@@ -1,0 +1,57 @@
+"""Ingest configuration — mirror of the reference's ``IngestOptions``
+(reference src/lib.rs:256-305) plus Spark-specific knobs."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+
+
+class MessageFormat(str, Enum):
+    """reference src/lib.rs:213-240."""
+
+    JSON = "json"
+    JSON_GZIP = "json_gzip"
+    JSON_SCHEMA_REGISTRY = "json_schema_registry"
+    AVRO = "avro"
+    AVRO_SCHEMA_REGISTRY = "avro_schema_registry"
+    AVRO_SOE = "avro_soe"
+
+
+class AutoOffsetReset(str, Enum):
+    """reference src/lib.rs:244-254 → Kafka source startingOffsets."""
+
+    EARLIEST = "earliest"
+    LATEST = "latest"
+
+
+@dataclass
+class IngestOptions:
+    topic: str = ""
+    table_uri: str = ""
+    # Consumer group / txn ledger id (reference: app_id, default "kafka_delta_ingest").
+    app_id: str = "kafka_delta_ingest"
+    # Flush deadline seconds (reference default 300, src/lib.rs:315).
+    allowed_latency: int = 300
+    # Messages per record batch (reference default 5000, src/lib.rs:316).
+    max_messages_per_batch: int = 5000
+    # Min bytes per parquet file (reference default 128 MiB, src/lib.rs:317).
+    min_bytes_per_file: int = 134_217_728
+    # target property -> JMESPath-subset expression or kafka.* property.
+    transforms: dict[str, str] = field(default_factory=dict)
+    partition_by: list[str] = field(default_factory=list)
+    dlq_table_location: str | None = None
+    dlq_transforms: dict[str, str] = field(default_factory=dict)
+    message_format: MessageFormat = MessageFormat.JSON
+    auto_offset_reset: AutoOffsetReset = AutoOffsetReset.EARLIEST
+    # Explicit start offsets {kafka_partition: offset} (reference src/offsets.rs).
+    seek_offsets: dict[int, int] | None = None
+    # Stop when the initial high watermark is reached (→ availableNow trigger).
+    ends_at_latest_offsets: bool = False
+    # Pass-through kafka client settings (reference -K key=value).
+    kafka_settings: dict[str, str] = field(default_factory=dict)
+    kafka_brokers: str = "localhost:9092"
+    # Write Delta checkpoints (native in delta/our log: every 10 commits).
+    checkpoints: bool = True
+    # statsd endpoint (observability parity; optional).
+    statsd_endpoint: str | None = None

@@ -1,0 +1,254 @@
+"""IngestJob — the end-to-end Kafka→table pipeline as one Spark plan.
+
+The reference's run loop (reference src/lib.rs:393-529) interprets
+messages one at a time: deserialize → transform → coerce → buffer →
+write → commit. Here the same dataflow is declared ONCE as a DataFrame
+plan over the Kafka source and executed by Structured Streaming
+micro-batches; ``foreachBatch`` hosts the three sink-boundary behaviors
+that need custom logic (SURVEY §7.0): DLQ splitting, the
+per-Kafka-partition txn offset ledger, and dlq_transforms.
+
+Message path (one ``select``, whole-stage-codegen'd — the per-message
+control flow of reference src/lib.rs:811-869 collapses into columnar
+expressions):
+
+1. deserialize (serialization.json_payload_to_struct, PERMISSIVE)
+2. failed rows → DeadLetter{base64_bytes,...} (src/lib.rs:853-865)
+3. transform (transforms.Transformer — kafka meta + JMESPath subset)
+4. coerce onto the destination schema (coercions.apply_coercions)
+5. non-conforming rows → DeadLetter{json_string,...} — the columnar
+   replacement for the reference's row-level parquet quarantine
+   (src/writer.rs:618-639): conformance is decided by predicates
+   *before* the write, so good rows never pay for bad ones.
+6. append + txn commit (sinks.DeltaLikeTable; real Delta when available)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
+
+from kafka_delta_ingest_spark.config import IngestOptions, MessageFormat
+from kafka_delta_ingest_spark.coercions import apply_coercions
+from kafka_delta_ingest_spark.dead_letters import DeadLetterQueue, dead_letter_columns
+from kafka_delta_ingest_spark.serialization import json_payload_to_struct
+from kafka_delta_ingest_spark.sinks.delta_like import DeltaLikeTable
+from kafka_delta_ingest_spark.transforms import Transformer
+
+# Reserved names for Kafka metadata carried alongside the flattened
+# payload (the payload owns the plain namespace, as in the reference
+# where the message IS the top-level JSON object).
+META = {
+    "partition": "_kdi_partition",
+    "offset": "_kdi_offset",
+    "topic": "_kdi_topic",
+    "timestamp": "_kdi_timestamp",
+    "timestamp_type": "_kdi_timestamp_type",
+}
+CONFORM_COL = "_kdi_conforms"
+ERROR_COL = "_kdi_error"
+RAW_COL = "_kdi_raw_value"
+
+
+@dataclass
+class BatchMetrics:
+    """Counters matching the reference's metric names (src/metrics.rs:221-301)."""
+
+    messages_deserialized: int = 0
+    messages_deserialization_failed: int = 0
+    messages_transform_failed: int = 0
+    delta_add_file_size: int = 0
+    delta_write_num_records: int = 0
+    version: int = -1
+    skipped: bool = False
+
+
+class IngestJob:
+    def __init__(self, opts: IngestOptions, target_schema: StructType):
+        self.opts = opts
+        # Destination-driven schema (SURVEY §1.2): in real Delta mode this
+        # is read from the table; here callers pass the table schema.
+        self.target_schema = target_schema
+        self.transformer = Transformer(
+            opts.transforms,
+            kafka_cols={
+                "partition": META["partition"],
+                "offset": META["offset"],
+                "topic": META["topic"],
+                "timestamp": META["timestamp"],
+                "timestamp_type": META["timestamp_type"],
+            },
+        )
+        self.table = DeltaLikeTable(opts.table_uri)
+        self.dlq = DeadLetterQueue(
+            table_location=opts.dlq_table_location,
+            dlq_transforms=opts.dlq_transforms,
+            partition_by=None,
+        )
+        self.metrics_history: list[BatchMetrics] = []
+
+    # ------------------------------------------------------------------
+    # Plan construction (pure — no actions)
+    # ------------------------------------------------------------------
+
+    def plan(self, raw: DataFrame) -> DataFrame:
+        """Kafka-layout DataFrame → annotated row stream.
+
+        ``raw`` must have the Spark Kafka source layout: ``value``
+        (binary), ``partition`` (int), ``offset`` (long), ``topic``
+        (string), ``timestamp`` (timestamp), ``timestampType`` (int).
+        Output: destination-schema columns + META columns + ERROR_COL
+        (non-null → dead letter) + CONFORM_COL.
+        """
+        gzip = self.opts.message_format == MessageFormat.JSON_GZIP
+        confluent = self.opts.message_format == MessageFormat.JSON_SCHEMA_REGISTRY
+        parsed, err = json_payload_to_struct(
+            F.col("value"), self.target_schema, gzip=gzip, confluent_wire_format=confluent
+        )
+
+        # Empty payloads are skipped silently, not dead-lettered
+        # (reference src/lib.rs:847-852).
+        nonempty = raw.filter(F.col("value").isNotNull() & (F.length("value") > 0))
+
+        staged = nonempty.select(
+            parsed.alias("_payload"),
+            err.alias(ERROR_COL),
+            F.col("value").alias(RAW_COL),
+            F.col("partition").alias(META["partition"]),
+            F.col("offset").alias(META["offset"]),
+            F.col("topic").alias(META["topic"]),
+            F.col("timestamp").alias(META["timestamp"]),
+            F.col("timestampType").alias(META["timestamp_type"]),
+        )
+
+        # Flatten payload to top level (the reference's message object),
+        # carrying meta + error columns alongside.
+        flat = staged.select(
+            *[F.col(f"_payload.`{f.name}`").alias(f.name) for f in self.target_schema.fields],
+            ERROR_COL,
+            RAW_COL,
+            *[F.col(c) for c in META.values()],
+        )
+
+        transformed = self.transformer.apply(flat)
+
+        coerced = apply_coercions(
+            transformed, self.target_schema, conform_col=CONFORM_COL, keep_extra=True
+        )
+        return coerced
+
+    def split(self, planned: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """(good rows projected to the destination schema, dead letters)."""
+        target_cols = [f.name for f in self.target_schema.fields]
+        good = (
+            planned.filter(F.col(ERROR_COL).isNull() & F.col(CONFORM_COL))
+            .select(*[F.col(f"`{c}`") for c in target_cols])
+        )
+        deser_failed = planned.filter(F.col(ERROR_COL).isNotNull())
+        dlq_deser = deser_failed.select(
+            *dead_letter_columns(F.col(RAW_COL), None, F.col(ERROR_COL))
+        )
+        nonconforming = planned.filter(F.col(ERROR_COL).isNull() & ~F.col(CONFORM_COL))
+        dlq_bad = nonconforming.select(
+            *dead_letter_columns(
+                None,
+                F.to_json(F.struct(*[F.col(f"`{c}`") for c in target_cols])),
+                F.lit("FailedToCoerceToDestinationSchema"),
+            )
+        )
+        return good, dlq_deser.unionByName(dlq_bad)
+
+    # ------------------------------------------------------------------
+    # Execution
+    # ------------------------------------------------------------------
+
+    def process_batch(self, raw: DataFrame, batch_id: int = 0) -> BatchMetrics:
+        """foreachBatch body: split, append data + txn ledger, DLQ."""
+        planned = self.plan(raw).persist()
+        try:
+            good, dlq = self.split(planned)
+
+            # Per-Kafka-partition last offsets → txn actions
+            # (reference src/delta_helpers.rs:15-40): DLQ'd messages count
+            # as processed, so offsets come from everything planned.
+            offsets = {
+                row["p"]: row["o"]
+                for row in planned.groupBy(F.col(META["partition"]).alias("p"))
+                .agg(F.max(META["offset"]).alias("o"))
+                .collect()
+            }
+            txn = {f"{self.opts.app_id}-{p}": o for p, o in offsets.items()}
+
+            m = BatchMetrics()
+            result = self.table.write_batch(
+                good, partition_by=self.opts.partition_by or None, txn=txn
+            )
+            m.version = result.version
+            m.skipped = result.skipped
+            m.delta_write_num_records = result.num_records
+            m.messages_deserialization_failed = self.dlq_count(dlq)
+            self.dlq.write(dlq)
+            self.metrics_history.append(m)
+            return m
+        finally:
+            planned.unpersist()
+
+    @staticmethod
+    def dlq_count(dlq: DataFrame) -> int:
+        # Cheap count only when a DLQ sink is configured elsewhere; the
+        # split predicates are already evaluated in the persisted plan.
+        return dlq.count()
+
+    def run_batch(self, raw: DataFrame) -> BatchMetrics:
+        """One-shot ingest of a static DataFrame (the reference's
+        ``--ends_at_latest_offsets`` mode ≙ trigger(availableNow))."""
+        return self.process_batch(raw, batch_id=0)
+
+    def run_stream(self, spark: SparkSession, checkpoint_dir: str, raw_stream=None):
+        """Launch the streaming query.
+
+        ``raw_stream`` defaults to the real Kafka source built from the
+        options; tests inject a file/memory stream with the same layout.
+        """
+        if raw_stream is None:
+            raw_stream = self.kafka_source(spark)
+        writer = (
+            raw_stream.writeStream.option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(lambda df, bid: self.process_batch(df, bid))
+            .queryName(self.opts.app_id)
+        )
+        if self.opts.ends_at_latest_offsets:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=f"{self.opts.allowed_latency} seconds")
+        return writer.start()
+
+    def kafka_source(self, spark: SparkSession) -> DataFrame:
+        """Build the Kafka source (requires the spark-sql-kafka package).
+
+        Maps reference options: seek_offsets → startingOffsets JSON
+        (src/offsets.rs), auto_offset_reset → earliest/latest
+        (src/lib.rs:244-254), max_messages_per_batch → maxOffsetsPerTrigger.
+        """
+        import json as _json
+
+        reader = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", self.opts.kafka_brokers)
+            .option("subscribe", self.opts.topic)
+            .option("failOnDataLoss", "false")
+            .option(
+                "maxOffsetsPerTrigger",
+                str(self.opts.max_messages_per_batch * 64),
+            )
+        )
+        if self.opts.seek_offsets:
+            starting = {self.opts.topic: {str(p): o for p, o in self.opts.seek_offsets.items()}}
+            reader = reader.option("startingOffsets", _json.dumps(starting))
+        else:
+            reader = reader.option("startingOffsets", self.opts.auto_offset_reset.value)
+        for k, v in self.opts.kafka_settings.items():
+            reader = reader.option(f"kafka.{k}", v)
+        return reader.load()

@@ -1,0 +1,57 @@
+"""Loaders for the driver's synthetic parquet tables (TESTDATA.md).
+
+The testdata stores some timestamp columns as parquet TIMESTAMP(NANOS),
+which Spark cannot read natively. With
+``spark.sql.legacy.parquet.nanosAsLong=true`` those columns surface as
+LongType nanoseconds; we convert to TIMESTAMP_NTZ (truncating to micros,
+exactly what DuckDB does when it reads the same files).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import LongType
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Columns that are semantically timestamps in the testdata.
+_TS_COLS = {
+    "events": ["ts"],
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in _TS_COLS.get(name, []):
+        if c in df.columns and isinstance(df.schema[c].dataType, LongType):
+            # nanos-as-long → micros → naive timestamp (matches DuckDB's
+            # truncating TIMESTAMP_NS → TIMESTAMP read of the same file).
+            df = df.withColumn(
+                c,
+                F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz"),
+            )
+        elif c in df.columns:
+            df = df.withColumn(c, F.col(c).cast("timestamp_ntz"))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

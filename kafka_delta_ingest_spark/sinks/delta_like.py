@@ -1,0 +1,330 @@
+"""Delta-style transactional sink over Hive-partitioned parquet.
+
+The reference commits parquet files to a Delta table together with
+per-Kafka-partition ``txn`` offset actions for end-to-end exactly-once
+(reference src/delta_helpers.rs:15-40, src/lib.rs:966-1024). On a
+cluster with the delta-spark package installed, Spark's Delta sink with
+``txnAppId``/``txnVersion`` gives all of this natively — see
+``delta_available()``. This module provides the same *semantics* without
+the Delta jars (the test container has none): an append-only JSON action
+log over a partitioned parquet directory, mirroring the Delta protocol's
+shape:
+
+* versioned commits ``_kdi_log/<%020d>.json`` — JSON-lines of
+  ``commitInfo`` / ``txn`` / ``add`` actions;
+* ``txn`` actions ``{appId: "<app_id>-<partition>", version: <offset>}``
+  (reference src/delta_helpers.rs:29-40) enable idempotent replay: a
+  batch whose offsets are already recorded is skipped
+  (src/lib.rs:1087-1100 ``should_process_offset``);
+* per-file stats (numRecords, minValues, maxValues, nullCount) decoded
+  from parquet footers — the reference computes these in
+  src/writer.rs:657-1076; we read them back from the files the
+  vectorized parquet writer already produced;
+* optimistic-concurrency commit: atomic O_EXCL create of the next
+  version file, retry on conflict (src/lib.rs:966-1024);
+* checkpoint every 10th version (src/delta_helpers.rs:42-68):
+  consolidated state + ``_last_checkpoint`` pointer so the log scan is
+  O(10) regardless of table age.
+
+Data files are written by Spark's native parquet writer (snappy,
+Hive-style ``k=v`` dirs, ``__HIVE_DEFAULT_PARTITION__`` for nulls —
+reference src/writer.rs:504-543 builds these paths by hand) into a
+staging dir, then moved into the table root and recorded in the log.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+LOG_DIR = "_kdi_log"
+CHECKPOINT_EVERY = 10  # reference src/delta_helpers.rs:46
+MAX_COMMIT_ATTEMPTS = 100_000  # reference uses 10M (src/lib.rs:74-75)
+
+
+def delta_available() -> bool:
+    try:
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class CommitConflict(RuntimeError):
+    pass
+
+
+@dataclass
+class CommitResult:
+    version: int
+    num_files: int
+    num_records: int
+    skipped: bool = False
+
+
+class DeltaLikeTable:
+    def __init__(self, path: str):
+        self.path = path.rstrip("/")
+        self.log_path = os.path.join(self.path, LOG_DIR)
+        os.makedirs(self.log_path, exist_ok=True)
+
+    # -- log state ---------------------------------------------------------
+
+    def _version_file(self, v: int) -> str:
+        return os.path.join(self.log_path, f"{v:020d}.json")
+
+    def latest_version(self) -> int:
+        versions = [
+            int(f[:20])
+            for f in os.listdir(self.log_path)
+            if f.endswith(".json") and f[:20].isdigit()
+        ]
+        return max(versions, default=-1)
+
+    def _read_checkpoint(self) -> tuple[int, dict]:
+        ptr = os.path.join(self.log_path, "_last_checkpoint")
+        if not os.path.exists(ptr):
+            return -1, {"txn": {}, "files": [], "metaData": None}
+        with open(ptr) as f:
+            v = json.load(f)["version"]
+        with open(os.path.join(self.log_path, f"checkpoint.{v:020d}.json")) as f:
+            state = json.load(f)
+        state.setdefault("metaData", None)
+        return v, state
+
+    def snapshot(self) -> dict:
+        """Consolidated table state: txn app versions + live files."""
+        cp_version, state = self._read_checkpoint()
+        txn = dict(state["txn"])
+        files = list(state["files"])
+        meta = state.get("metaData")
+        v = cp_version + 1
+        while os.path.exists(self._version_file(v)):
+            with open(self._version_file(v)) as f:
+                for line in f:
+                    action = json.loads(line)
+                    if "txn" in action:
+                        txn[action["txn"]["appId"]] = action["txn"]["version"]
+                    elif "add" in action:
+                        files.append(action["add"])
+                    elif "metaData" in action:
+                        meta = action["metaData"]
+            v += 1
+        return {"version": v - 1, "txn": txn, "files": files, "metaData": meta}
+
+    def txn_version(self, app_id: str) -> int | None:
+        """Last committed version for an appId — the reference's
+        ``last_txn_version`` (src/delta_helpers.rs:70-72)."""
+        return self.snapshot()["txn"].get(app_id)
+
+    # -- write path --------------------------------------------------------
+
+    def write_batch(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        txn: dict[str, int] | None = None,
+        operation: str = "STREAMING UPDATE",
+    ) -> CommitResult:
+        """Append ``df`` and commit atomically with ``txn`` actions.
+
+        ``txn`` maps appId → version (e.g. ``{"app-0": 1042}`` per Kafka
+        partition). If EVERY supplied appId is already at-or-beyond its
+        version in the log, the write is skipped (idempotent replay —
+        reference src/offsets.rs:36-102 + src/lib.rs:1087-1100).
+        Empty batches never commit (src/lib.rs:902-904).
+        """
+        txn = txn or {}
+        snap = self.snapshot()
+        if txn:
+            stored = snap["txn"]
+            if all(
+                app in stored and stored[app] >= ver for app, ver in txn.items()
+            ):
+                return CommitResult(snap["version"], 0, 0, skipped=True)
+
+        staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(staging)
+
+        adds = self._promote_staging(staging, partition_by or [])
+        shutil.rmtree(staging, ignore_errors=True)
+        if not adds:
+            return CommitResult(self.latest_version(), 0, 0, skipped=True)
+
+        actions = [
+            {
+                "commitInfo": {
+                    "operation": operation,
+                    "timestamp": int(time.time() * 1000),
+                    "operationParameters": {"partitionBy": partition_by or []},
+                }
+            }
+        ]
+        if snap["metaData"] is None:
+            # First commit records the table schema (Delta's metaData
+            # action) so readers restore exact types for partition
+            # columns instead of re-inferring them from directory names.
+            actions.append(
+                {
+                    "metaData": {
+                        "schemaString": df.schema.json(),
+                        "partitionColumns": partition_by or [],
+                    }
+                }
+            )
+        actions += [{"txn": {"appId": a, "version": v}} for a, v in txn.items()]
+        actions += [{"add": a} for a in adds]
+        version = self._commit(actions)
+        if version % CHECKPOINT_EVERY == 0 and version > 0:
+            self._checkpoint(version)
+        n_records = sum(a["stats"]["numRecords"] for a in adds)
+        return CommitResult(version, len(adds), n_records)
+
+    def _promote_staging(self, staging: str, partition_by: list[str]) -> list[dict]:
+        """Move staged parquet files under the table root; collect stats."""
+        adds = []
+        for dirpath, _dirs, files in os.walk(staging):
+            rel = os.path.relpath(dirpath, staging)
+            for fname in files:
+                if not fname.endswith(".parquet"):
+                    continue
+                rel_dir = "" if rel == "." else rel
+                dest_dir = os.path.join(self.path, rel_dir)
+                os.makedirs(dest_dir, exist_ok=True)
+                src = os.path.join(dirpath, fname)
+                dest = os.path.join(dest_dir, fname)
+                stats = _parquet_stats(src)
+                partition_values = _parse_partition_values(rel_dir)
+                shutil.move(src, dest)
+                adds.append(
+                    {
+                        "path": os.path.join(rel_dir, fname) if rel_dir else fname,
+                        "partitionValues": partition_values,
+                        "size": os.path.getsize(dest),
+                        "modificationTime": int(time.time() * 1000),
+                        "stats": stats,
+                    }
+                )
+        return adds
+
+    def _commit(self, actions: list[dict]) -> int:
+        """Optimistic-concurrency commit (reference src/lib.rs:966-1024)."""
+        payload = "\n".join(json.dumps(a) for a in actions) + "\n"
+        for _ in range(MAX_COMMIT_ATTEMPTS):
+            version = self.latest_version() + 1
+            try:
+                fd = os.open(
+                    self._version_file(version),
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                )
+            except FileExistsError:
+                continue  # another writer won this version; retry
+            with os.fdopen(fd, "w") as f:
+                f.write(payload)
+            return version
+        raise CommitConflict("exhausted commit attempts")
+
+    def _checkpoint(self, version: int) -> None:
+        state = self.snapshot()
+        cp = {"txn": state["txn"], "files": state["files"]}
+        cp_file = os.path.join(self.log_path, f"checkpoint.{version:020d}.json")
+        tmp = cp_file + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(cp, f)
+        os.replace(tmp, cp_file)
+        with open(os.path.join(self.log_path, "_last_checkpoint.tmp"), "w") as f:
+            json.dump({"version": version}, f)
+        os.replace(
+            os.path.join(self.log_path, "_last_checkpoint.tmp"),
+            os.path.join(self.log_path, "_last_checkpoint"),
+        )
+
+    # -- read path ---------------------------------------------------------
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        # _kdi_log and _staging-* are underscore-prefixed → invisible to
+        # Spark's file listing, so a plain recursive read sees only data.
+        # Partition values come from directory names as strings; the
+        # metaData action restores their declared types.
+        spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+        df = spark.read.option("basePath", self.path).parquet(self.path)
+        meta = self.snapshot()["metaData"]
+        if meta:
+            from pyspark.sql.types import StructType as _St
+            from pyspark.sql import functions as _F
+
+            schema = _St.fromJson(json.loads(meta["schemaString"]))
+            for pcol in meta["partitionColumns"]:
+                if pcol in schema.fieldNames() and pcol in df.columns:
+                    df = df.withColumn(pcol, _F.col(pcol).cast(schema[pcol].dataType))
+            df = df.select(*[f"`{f.name}`" for f in schema.fields if f.name in df.columns])
+        return df
+
+
+def _parse_partition_values(rel_dir: str) -> dict[str, str | None]:
+    values: dict[str, str | None] = {}
+    for seg in rel_dir.split(os.sep):
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            values[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+    return values
+
+
+def _parquet_stats(path: str) -> dict:
+    """numRecords / minValues / maxValues / nullCount from the footer.
+
+    Parity with the reference's add-action stats
+    (src/writer.rs:657-1076): top-level primitive columns only, min/max
+    for bool/int/long/float/double/string.
+    """
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    num_records = md.num_rows
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            name = col.path_in_schema
+            if "." in name:  # skip nested leaves (arrays etc.)
+                continue
+            st = col.statistics
+            if st is None:
+                continue
+            if st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+            if st.has_min_max:
+                mn, mx = _json_safe(st.min), _json_safe(st.max)
+                if name not in mins or (mn is not None and mn < mins[name]):
+                    mins[name] = mn
+                if name not in maxs or (mx is not None and mx > maxs[name]):
+                    maxs[name] = mx
+    return {
+        "numRecords": num_records,
+        "minValues": mins,
+        "maxValues": maxs,
+        "nullCount": nulls,
+    }
+
+
+def _json_safe(v):
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return v.hex()
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v

@@ -1,0 +1,324 @@
+"""End-to-end ingest tests — the reference's integration-test pattern
+(SURVEY §5.2): build messages → run ingest → read the table back →
+assert exact rows, partitions, stats, and txn offsets."""
+
+import datetime
+import json
+
+import pytest
+from pyspark.sql import Row, functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from kafka_delta_ingest_spark.config import IngestOptions
+from kafka_delta_ingest_spark.ingest import IngestJob
+from kafka_delta_ingest_spark.sinks.delta_like import DeltaLikeTable
+
+# The reference's primary fixture schema (FIXTURES.md F1 web_requests,
+# tests/data/web_requests/_delta_log/00000000000000000000.json).
+WEB_REQUESTS_SCHEMA = StructType(
+    [
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField(
+                        "producer",
+                        StructType([StructField("timestamp", StringType())]),
+                    ),
+                    StructField(
+                        "kafka",
+                        StructType(
+                            [
+                                StructField("offset", StringType()),
+                                StructField("topic", StringType()),
+                                StructField("partition", IntegerType()),
+                            ]
+                        ),
+                    ),
+                ]
+            ),
+        ),
+        StructField("method", StringType()),
+        StructField("session_id", StringType()),
+        StructField("status", IntegerType()),
+        StructField("url", StringType()),
+        StructField("uuid", StringType()),
+        StructField("date", StringType()),
+    ]
+)
+
+# Canonical transforms from the reference quick start (README.adoc:41-49).
+WEB_REQUESTS_TRANSFORMS = {
+    "date": "substr(meta.producer.timestamp, `0`, `10`)",
+    "meta.kafka.offset": "kafka.offset",
+    "meta.kafka.partition": "kafka.partition",
+    "meta.kafka.topic": "kafka.topic",
+}
+
+
+def _msg(i: int, partition: int, ts="2021-03-24T15:06:17.321710+00:00", extra=None):
+    payload = {
+        "meta": {"producer": {"timestamp": ts}},
+        "method": "GET",
+        "session_id": f"sess-{i % 3}",
+        "status": 200 if i % 2 == 0 else 404,
+        "url": f"/site/page{i}",
+        "uuid": f"uuid-{i}",
+    }
+    if extra:
+        payload.update(extra)
+    return Row(
+        value=bytearray(json.dumps(payload).encode()),
+        partition=partition,
+        offset=i,
+        topic="web_requests",
+        timestamp=datetime.datetime(2021, 3, 24, 15, 6, 17),
+        timestampType=0,
+    )
+
+
+def _raw_df(spark, rows):
+    schema = (
+        "value binary, partition int, offset long, topic string, "
+        "timestamp timestamp, timestampType int"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_web_requests_e2e(spark, tmp_path):
+    # SURVEY §7.1 step 1: the minimum end-to-end slice.
+    table = str(tmp_path / "web_requests")
+    opts = IngestOptions(
+        topic="web_requests",
+        table_uri=table,
+        app_id="wr",
+        transforms=WEB_REQUESTS_TRANSFORMS,
+        partition_by=["date"],
+    )
+    job = IngestJob(opts, WEB_REQUESTS_SCHEMA)
+    raw = _raw_df(spark, [_msg(i, i % 2) for i in range(20)])
+    m = job.run_batch(raw)
+    assert m.version == 0
+    assert m.delta_write_num_records == 20
+    assert m.messages_deserialization_failed == 0
+
+    back = DeltaLikeTable(table).read(spark)
+    assert back.count() == 20
+    r = back.filter(F.col("uuid") == "uuid-3").collect()[0]
+    assert r.date == "2021-03-24"  # derived by substr transform
+    assert r.meta.kafka.offset == "3"  # injected + coerced long→string
+    assert r.meta.kafka.partition == 1
+    assert r.meta.kafka.topic == "web_requests"
+    assert r.status == 404
+    assert r.meta.producer.timestamp == "2021-03-24T15:06:17.321710+00:00"
+
+    # txn ledger: per-kafka-partition last offsets (reference
+    # src/delta_helpers.rs:29-40).
+    snap = DeltaLikeTable(table).snapshot()
+    assert snap["txn"] == {"wr-0": 18, "wr-1": 19}
+
+
+def test_idempotent_replay_skipped(spark, tmp_path):
+    table = str(tmp_path / "t")
+    opts = IngestOptions(table_uri=table, app_id="app", transforms={})
+    schema = StructType([StructField("id", StringType())])
+    job = IngestJob(opts, schema)
+    raw = _raw_df(
+        spark,
+        [
+            Row(
+                value=bytearray(b'{"id": "1"}'),
+                partition=0,
+                offset=5,
+                topic="t",
+                timestamp=None,
+                timestampType=0,
+            )
+        ],
+    )
+    m1 = job.run_batch(raw)
+    assert not m1.skipped and m1.delta_write_num_records == 1
+    #
+
+    # Same offsets again → reference's AlreadyProcessedPartitionOffset
+    # guard (src/value_buffers.rs:14-35): the write is skipped entirely.
+    m2 = job.run_batch(raw)
+    assert m2.skipped
+    assert DeltaLikeTable(table).read(spark).count() == 1
+
+
+def test_deserialization_failure_routes_to_dlq(spark, tmp_path):
+    table = str(tmp_path / "t")
+    dlq_loc = str(tmp_path / "dlq")
+    opts = IngestOptions(
+        table_uri=table, app_id="app", dlq_table_location=dlq_loc
+    )
+    schema = StructType([StructField("id", StringType())])
+    job = IngestJob(opts, schema)
+    rows = [
+        Row(
+            value=bytearray(b'{"id": "1"}'),
+            partition=0,
+            offset=0,
+            topic="t",
+            timestamp=None,
+            timestampType=0,
+        ),
+        Row(
+            value=bytearray(b"this is not json"),
+            partition=0,
+            offset=1,
+            topic="t",
+            timestamp=None,
+            timestampType=0,
+        ),
+        Row(  # empty payload: skipped, NOT dead-lettered (src/lib.rs:847-852)
+            value=None,
+            partition=0,
+            offset=2,
+            topic="t",
+            timestamp=None,
+            timestampType=0,
+        ),
+    ]
+    m = job.run_batch(_raw_df(spark, rows))
+    assert m.delta_write_num_records == 1
+    assert m.messages_deserialization_failed == 1
+    dlq = spark.read.parquet(dlq_loc)
+    assert dlq.count() == 1
+    row = dlq.collect()[0]
+    assert row.base64_bytes is not None
+    import base64
+
+    assert base64.b64decode(row.base64_bytes) == b"this is not json"
+    # offsets still advance past bad + empty messages
+    assert DeltaLikeTable(table).snapshot()["txn"] == {"app-0": 1}
+
+
+def test_coercion_failure_routes_to_dlq(spark, tmp_path):
+    table = str(tmp_path / "t")
+    dlq_loc = str(tmp_path / "dlq")
+    opts = IngestOptions(table_uri=table, app_id="app", dlq_table_location=dlq_loc)
+    schema = StructType(
+        [StructField("id", StringType()), StructField("ts", TimestampType())]
+    )
+    job = IngestJob(opts, schema)
+    rows = [
+        Row(
+            value=bytearray(b'{"id": "good", "ts": "2021-11-11T22:11:58Z"}'),
+            partition=0,
+            offset=0,
+            topic="t",
+            timestamp=None,
+            timestampType=0,
+        ),
+        Row(  # Java-style timestamp: NOT RFC3339 → quarantined
+            value=bytearray(b'{"id": "bad", "ts": "2021-11-11 22:11:58"}'),
+            partition=0,
+            offset=1,
+            topic="t",
+            timestamp=None,
+            timestampType=0,
+        ),
+    ]
+    m = job.run_batch(_raw_df(spark, rows))
+    assert m.delta_write_num_records == 1
+    good = DeltaLikeTable(table).read(spark).collect()
+    assert len(good) == 1 and good[0].id == "good"
+    dlq_rows = spark.read.parquet(dlq_loc).collect()
+    assert len(dlq_rows) == 1
+    assert json.loads(dlq_rows[0].json_string)["id"] == "bad"
+    assert dlq_rows[0].error == "FailedToCoerceToDestinationSchema"
+
+
+def test_null_partition_value_hive_default(spark, tmp_path):
+    # reference tests/delta_partitions_tests.rs: null partition column →
+    # __HIVE_DEFAULT_PARTITION__ directory.
+    table = str(tmp_path / "t")
+    opts = IngestOptions(table_uri=table, app_id="app", partition_by=["color"])
+    schema = StructType(
+        [StructField("id", StringType()), StructField("color", StringType())]
+    )
+    job = IngestJob(opts, schema)
+    rows = [
+        Row(
+            value=bytearray(json.dumps({"id": str(i), "color": c}).encode()),
+            partition=0,
+            offset=i,
+            topic="t",
+            timestamp=None,
+            timestampType=0,
+        )
+        for i, c in enumerate(["red", "blue", None])
+    ]
+    job.run_batch(_raw_df(spark, rows))
+    import os
+
+    dirs = {d for d in os.listdir(table) if d.startswith("color=")}
+    assert dirs == {"color=red", "color=blue", "color=__HIVE_DEFAULT_PARTITION__"}
+    back = DeltaLikeTable(table).read(spark)
+    assert back.count() == 3
+    assert back.filter(F.col("color").isNull()).count() == 1
+
+
+def test_file_stats_recorded(spark, tmp_path):
+    # reference src/writer.rs:657-1076 delta_stats_test (subset parity)
+    table = str(tmp_path / "t")
+    opts = IngestOptions(table_uri=table, app_id="app")
+    schema = StructType(
+        [StructField("id", StringType()), StructField("value", IntegerType())]
+    )
+    job = IngestJob(opts, schema)
+    rows = [
+        Row(
+            value=bytearray(json.dumps({"id": f"id{i}", "value": i * 10}).encode()),
+            partition=0,
+            offset=i,
+            topic="t",
+            timestamp=None,
+            timestampType=0,
+        )
+        for i in range(10)
+    ]
+    job.run_batch(_raw_df(spark, rows))
+    snap = DeltaLikeTable(table).snapshot()
+    stats = [f["stats"] for f in snap["files"]]
+    assert sum(s["numRecords"] for s in stats) == 10
+    all_mins = [s["minValues"].get("value") for s in stats if s["minValues"]]
+    all_maxs = [s["maxValues"].get("value") for s in stats if s["maxValues"]]
+    assert min(all_mins) == 0 and max(all_maxs) == 90
+
+
+def test_checkpoint_every_10_commits(spark, tmp_path):
+    # reference src/delta_helpers.rs:42-68 (X7)
+    import os
+
+    table = str(tmp_path / "t")
+    opts = IngestOptions(table_uri=table, app_id="app")
+    schema = StructType([StructField("id", StringType())])
+    job = IngestJob(opts, schema)
+    for i in range(11):
+        rows = [
+            Row(
+                value=bytearray(json.dumps({"id": str(i)}).encode()),
+                partition=0,
+                offset=i,
+                topic="t",
+                timestamp=None,
+                timestampType=0,
+            )
+        ]
+        job.run_batch(_raw_df(spark, rows))
+    log = os.listdir(f"{table}/_kdi_log")
+    assert "checkpoint.00000000000000000010.json" in log
+    assert "_last_checkpoint" in log
+    snap = DeltaLikeTable(table).snapshot()
+    assert snap["version"] == 10
+    assert snap["txn"] == {"app-0": 10}
+    assert DeltaLikeTable(table).read(spark).count() == 11
