@@ -311,13 +311,15 @@ def _set_path(df: DataFrame, parts: list[str], value: Column) -> DataFrame:
     """
     root = parts[0]
     if len(parts) == 1:
-        prev = F.col(f"`{root}`") if root in df.columns else F.lit(None)
-        return df.withColumn(root, F.when(value.isNull(), prev).otherwise(value))
+        if root in df.columns:
+            # Null result → keep the previous value (coalesce also finds
+            # the common type when the transform retypes the column).
+            return df.withColumn(root, F.coalesce(value, F.col(f"`{root}`")))
+        return df.withColumn(root, value)
     if root in df.columns:
         cur = F.col(f"`{root}`")
         new_root = _set_in_struct(cur, df.schema[root].dataType, parts[1:], value)
-        # Null result → no assignment: the whole object stays as it was.
-        return df.withColumn(root, F.when(value.isNull(), cur).otherwise(new_root))
+        return df.withColumn(root, new_root)
     new_root = _nested_struct(parts[1:], value)
     return df.withColumn(root, F.when(value.isNotNull(), new_root))
 
@@ -340,7 +342,8 @@ def _set_in_struct(cur: Column, dtype, parts: list[str], value: Column) -> Colum
     if p in existing_names:
         sub_t = dtype[p].dataType
         if len(parts) == 1:
-            new_child = value
+            # Null-skip at the leaf: keep the prior value on null results.
+            new_child = F.coalesce(value, cur[p])
         elif isinstance(sub_t, StructType):
             new_child = _set_in_struct(cur[p], sub_t, parts[1:], value)
         else:
