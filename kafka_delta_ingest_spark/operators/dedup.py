@@ -1,0 +1,308 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design notes (100 TB / 1000 executors):
+
+* **exact_dedup** groups on a 128-bit hash of the key columns, not the
+  raw text — the shuffle moves 16-byte keys instead of documents.
+* **MinHash** computes signatures with one explode + N min-aggregations
+  (map-side partial aggregation collapses each partition before the
+  shuffle); LSH banding turns the O(n²) pair search into equi-joins on
+  (band, band_hash) buckets — only bucket-mates are compared.
+* **SimHash** never explodes: bit votes are computed per-document with
+  the ``aggregate``/``zip_with`` higher-order functions (whole-stage
+  codegen), then near-dup candidates come from equality joins on 16-bit
+  fingerprint chunks (any pair within Hamming distance 3 shares at
+  least one of 4 chunks — pigeonhole).
+* **n-gram Jaccard** caps gram document-frequency before the pair join
+  (a gram occurring in thousands of docs contributes candidate pairs
+  quadratically while carrying almost no signal — standard df-cap
+  trick), keeping the join output near-linear.
+
+All hashing uses Spark's built-in ``xxhash64``/``hash``/``md5`` —
+deterministic across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from kafka_delta_ingest_spark.operators.text import normalize_text
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep the lowest-id row per exact key; returns the surviving rows.
+
+    groupBy on md5(key) — map-side combine + 16-byte shuffle keys.
+    """
+    key = F.md5(F.concat_ws("", *[F.col(c) for c in key_cols]))
+    keep = (
+        df.select(F.col(id_col), key.alias("_key"))
+        .groupBy("_key")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keep, on=id_col, how="inner").drop("_key")
+
+
+def exact_dedup_normalized(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup on normalized text (case/whitespace-insensitive)."""
+    keyed = df.withColumn("_norm_key", F.md5(normalize_text(F.col(text_col))))
+    keep = keyed.groupBy("_norm_key").agg(F.min(id_col).alias(id_col))
+    return df.join(keep, on=id_col, how="inner")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of normalized text."""
+    words = F.split(normalize_text(col), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
+    return F.when(n < k, F.array(F.concat_ws(" ", words))).otherwise(
+        F.array_distinct(sh)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, sig: array<long>[num_hashes]) MinHash signatures.
+
+    One explode over distinct shingles; ``num_hashes`` independent hash
+    families realized as xxhash64 with distinct literal seeds. Partial
+    (map-side) min-aggregation keeps the shuffle at |docs|×num_hashes.
+    """
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("_sh"),
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(j), F.col("_sh"))).alias(f"h{j}")
+        for j in range(num_hashes)
+    ]
+    sigs = exploded.groupBy(id_col).agg(*aggs)
+    return sigs.select(
+        id_col, F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b, est_jaccard ≥ threshold).
+
+    est_jaccard is the signature agreement rate — an unbiased estimator
+    of shingle-set Jaccard similarity.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.hash(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)).alias(
+                        "bucket"
+                    ),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "sig", "bb.band", "bb.bucket")
+
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket"
+    )
+    cand = (
+        left.join(right, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.aggregate(
+        F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    est = agree.cast("double") / F.lit(float(num_hashes))
+    return (
+        cand.select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    **kw,
+) -> DataFrame:
+    """Drop near-duplicates: a doc is removed if it pairs (est_jaccard ≥
+    threshold) with a lower-id doc — single LSH pass, no iteration.
+
+    Greedy-by-min-id (standard in web-dedup pipelines): transitive
+    chains collapse toward the lowest id without a connected-components
+    iteration; at trillion-doc scale a full CC would need GraphFrames /
+    iterative joins, which this deliberately avoids.
+    """
+    pairs = minhash_lsh_pairs(df, id_col, text_col, threshold=threshold, **kw)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(col: Column) -> Column:
+    """64-bit SimHash of whitespace tokens — no explode, pure HOFs.
+
+    Per token, xxhash64 supplies 64 pseudo-random bits; each bit votes
+    ±1; the fingerprint sets bit i when the vote sum is positive.
+    """
+    toks = F.split(normalize_text(col), " ")
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda i: F.when(
+                    F.call_function("shiftright", F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1
+                )
+                .otherwise(-1)
+                .cast("long"),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(63)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.when(
+            F.element_at(votes, (i + 1).cast("int")) > 0,
+            F.call_function("shiftleft", F.lit(1).cast("long"), i.cast("int")),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Pigeonhole banding: split the 64-bit fingerprint into 4 16-bit
+    chunks; any pair within distance 3 agrees on ≥1 chunk, so equality
+    joins on chunks produce a complete candidate set, then bit_count
+    verifies exactly.
+    """
+    fp = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("fp"))
+    chunks = fp.select(
+        id_col,
+        "fp",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda c: F.struct(
+                    c.alias("chunk"),
+                    F.call_function("shiftright", F.col("fp"), (c * 16).cast("int"))
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("val"),
+                ),
+            )
+        ).alias("cv"),
+    ).select(id_col, "fp", "cv.chunk", "cv.val")
+    left = chunks.select(F.col(id_col).alias("id_a"), F.col("fp").alias("fp_a"), "chunk", "val")
+    right = chunks.select(F.col(id_col).alias("id_b"), F.col("fp").alias("fp_b"), "chunk", "val")
+    cand = (
+        left.join(right, on=["chunk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dist = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return cand.select("id_a", "id_b", dist.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_gram_df: int = 1000,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard over candidate pairs sharing a gram.
+
+    ``max_gram_df`` drops grams present in more than that many docs
+    before the pair join (df-cap — see module docstring).
+    """
+    grams = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("g")
+    )
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
+    rare = (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("gdf"))
+        .filter(F.col("gdf") <= max_gram_df)
+        .select("g")
+    )
+    pruned = grams.join(rare, on="g")
+    inter = (
+        pruned.alias("a")
+        .join(pruned.alias("b"), on="g")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("inter").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

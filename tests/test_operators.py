@@ -1,0 +1,221 @@
+"""Operator tests over the driver's synthetic tables (sf0.001)."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from kafka_delta_ingest_spark.io import load_table
+from kafka_delta_ingest_spark.operators import dedup, similarity, text
+from kafka_delta_ingest_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    media_from_documents,
+    FEATURE_DIM,
+)
+from kafka_delta_ingest_spark.streaming import sessionize, windowed_counts
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def embeds(spark):
+    return load_table(spark, SF_DIR, "embeddings").cache()
+
+
+# -- text ---------------------------------------------------------------
+
+
+def test_token_count_matches_python(spark, docs):
+    rows = docs.select("doc_id", "text", text.token_count(F.col("text")).alias("n")).collect()
+    for r in rows[:50]:
+        assert r.n == len(r.text.split()), r.doc_id
+
+
+def test_quality_and_ratios_bounded(spark, docs):
+    prof = text.text_profile(docs).collect()
+    assert len(prof) == docs.count()
+    for r in prof:
+        assert 0.0 <= r.quality <= 1.0
+        assert 0.0 <= r.punct_ratio <= 1.0
+        assert 0.0 <= r.stopword_ratio <= 1.0
+        assert len(r.fingerprint) == 32
+
+
+def test_fingerprint_is_normalization_invariant(spark):
+    df = spark.createDataFrame(
+        [Row(a="Hello   World"), Row(a="hello world"), Row(a="HELLO\tWORLD")]
+    )
+    fps = [r.fp for r in df.select(text.fingerprint_md5(F.col("a")).alias("fp")).collect()]
+    assert len(set(fps)) == 1
+
+
+def test_lang_id_deterministic(spark):
+    df = spark.createDataFrame(
+        [
+            Row(t="the cat and the dog is happy"),
+            Row(t="der hund und die katze ist da"),
+            Row(t="el perro es grande y la casa"),
+            Row(t="xyzzy qwerty plugh"),
+        ]
+    )
+    out = [r.l for r in df.select(text.lang_id(F.col("t")).alias("l")).collect()]
+    assert out == ["en", "de", "es", "unknown"]
+
+
+# -- dedup --------------------------------------------------------------
+
+
+def test_exact_dedup_removes_planted_dupes(spark, docs):
+    # plant duplicates: union docs with itself shifted ids
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    both = docs.unionByName(dup)
+    kept = dedup.exact_dedup(both, ["text"], "doc_id")
+    assert kept.count() == docs.select("text").distinct().count()
+    # survivors are the low ids
+    assert kept.filter(F.col("doc_id") >= 1_000_000).count() == 0
+
+
+def test_minhash_self_similarity(spark, docs):
+    small = docs.limit(50)
+    # identical copies must be found with est_jaccard == 1.0
+    copy = small.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    both = small.unionByName(copy)
+    pairs = dedup.minhash_lsh_pairs(both, "doc_id", "text", num_hashes=32, bands=8)
+    exact_pairs = pairs.filter(
+        (F.col("id_b") - F.col("id_a") == 1_000_000) & (F.col("est_jaccard") == 1.0)
+    )
+    assert exact_pairs.count() == 50
+
+
+def test_minhash_dedup_drops_copies(spark, docs):
+    small = docs.limit(40)
+    copy = small.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    both = small.unionByName(copy)
+    kept = dedup.minhash_dedup(both, "doc_id", "text", threshold=0.9, num_hashes=32, bands=8)
+    # every planted copy is dropped; originals may also pair among
+    # themselves if the corpus contains true near-dupes
+    assert kept.filter(F.col("doc_id") >= 1_000_000).count() == 0
+    assert 35 <= kept.count() <= 40
+
+
+def test_simhash_identical_distance_zero(spark, docs):
+    small = docs.limit(30)
+    copy = small.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    both = small.unionByName(copy)
+    pairs = dedup.simhash_pairs(both, "doc_id", "text", max_hamming=0)
+    hits = pairs.filter(F.col("id_b") - F.col("id_a") == 1_000_000)
+    assert hits.count() == 30
+
+
+def test_ngram_jaccard_exact_one_for_copies(spark, docs):
+    small = docs.limit(20)
+    copy = small.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    both = small.unionByName(copy)
+    pairs = dedup.ngram_jaccard_pairs(both, "doc_id", "text", n=3, threshold=0.99)
+    hits = pairs.filter(
+        (F.col("id_b") - F.col("id_a") == 1_000_000) & (F.col("jaccard") == 1.0)
+    )
+    assert hits.count() == 20
+
+
+# -- similarity ---------------------------------------------------------
+
+
+def test_cosine_topk_self_nearest(spark, embeds):
+    queries = embeds.limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.cosine_topk(embeds, queries, k=3)
+    top1 = {r.query_id: r.neighbor_id for r in out.filter(F.col("rank") == 1).collect()}
+    # each vector's nearest neighbor is itself (cos=1)
+    for qid, nid in top1.items():
+        assert qid == nid
+    sims = out.filter(F.col("rank") == 1).select("cos_sim").collect()
+    for s in sims:
+        assert abs(s.cos_sim - 1.0) < 1e-4
+
+
+def test_lsh_topk_recall_at_1(spark, embeds):
+    queries = embeds.limit(10).select(F.col("vec_id").alias("query_id"), "embedding")
+    approx = similarity.lsh_bucketed_topk(
+        embeds, queries, k=1, dim=64, num_bits=8, num_tables=4
+    )
+    # self-match always lands in the same bucket → recall@1 == 1.0
+    top1 = {r.query_id: r.neighbor_id for r in approx.filter(F.col("rank") == 1).collect()}
+    assert all(q == n for q, n in top1.items())
+    assert len(top1) == 10
+
+
+def test_embedding_neardup_planted(spark, embeds):
+    small = embeds.limit(20)
+    copy = small.withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    both = small.unionByName(copy)
+    pairs = similarity.embedding_neardup_pairs(both, threshold=0.999, num_bits=6)
+    hits = pairs.filter(F.col("id_b") - F.col("id_a") == 1_000_000)
+    assert hits.count() == 20
+
+
+# -- multimodal ---------------------------------------------------------
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = media_from_documents(docs.limit(25))
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 25
+    for r in rows:
+        assert len(r.features) == FEATURE_DIM
+        assert r.n_bytes > 0
+    # deterministic: same input → same features
+    again = {r.media_id: r.features for r in extract_features(media).collect()}
+    for r in rows:
+        assert again[r.media_id] == r.features
+
+
+def test_frame_sample_plan(spark, docs):
+    media = media_from_documents(docs.limit(5))
+    plan = frame_sample_plan(media, every_ms=500)
+    rows = plan.groupBy("media_id").agg(F.count("*").alias("n")).collect()
+    durations = {r.media_id: r["meta"].duration_ms for r in media.select("media_id", "meta").collect()}
+    for r in rows:
+        expected = max(durations[r.media_id] // 500, 1)
+        assert r.n == expected
+
+
+def test_real_decode_is_stubbed(spark, docs):
+    from kafka_delta_ingest_spark.operators.multimodal import real_decode_stub
+
+    with pytest.raises(NotImplementedError):
+        real_decode_stub(b"bytes")
+
+
+# -- event-time ---------------------------------------------------------
+
+
+def test_windowed_counts_total(spark):
+    events = load_table(spark, SF_DIR, "events")
+    out = windowed_counts(events, window="1 hour")
+    assert out.agg(F.sum("n_events")).collect()[0][0] == events.count()
+
+
+def test_sessionize_gap_semantics(spark):
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        Row(user_id=1, ts=base),
+        Row(user_id=1, ts=base + datetime.timedelta(minutes=10)),
+        Row(user_id=1, ts=base + datetime.timedelta(minutes=70)),  # new session
+        Row(user_id=2, ts=base),
+    ]
+    df = spark.createDataFrame(rows)
+    out = sessionize(df, gap_minutes=30).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert len(by_user[1]) == 2
+    assert len(by_user[2]) == 1
+    assert sum(r.n_events for r in by_user[1]) == 3
