@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Headline-query benchmark.
+
+Runs the flagship queries from ``__spark_entry__`` against
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Each query is forced end-to-end with a noop sink (full computation, no
+collect-to-driver cost, no output I/O skew).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from kafka_delta_ingest_spark.session import get_spark
+
+HEADLINE = [
+    "ingest_message_path",
+    "ingest_dlq_split",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "win_top_orders_per_customer",
+    "agg_rollup_orders",
+    "events_sessionize",
+    "events_tumbling_counts",
+    "text_profile",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "sim_cosine_topk",
+    "sim_lsh_topk",
+    "embedding_neardup_lsh",
+    "multimodal_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark("kdi-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.queries()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

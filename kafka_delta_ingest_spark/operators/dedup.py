@@ -24,6 +24,8 @@ deterministic across runs and cluster sizes.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from kafka_delta_ingest_spark.operators.text import normalize_text
@@ -180,38 +182,44 @@ def minhash_dedup(
 # ---------------------------------------------------------------------------
 
 
-def simhash64(col: Column) -> Column:
-    """64-bit SimHash of whitespace tokens — no explode, pure HOFs.
+def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, fp) 64-bit SimHash fingerprints via explode + 64 partial sums.
 
     Per token, xxhash64 supplies 64 pseudo-random bits; each bit votes
-    ±1; the fingerprint sets bit i when the vote sum is positive.
+    ±1; the fingerprint sets bit i when the vote sum is positive. The
+    explode+groupBy shape keeps every expression tiny (whole-stage
+    codegen friendly) and the 64 vote sums combine map-side, so the
+    shuffle carries |docs|×64 longs — the earlier all-HOF formulation
+    built a ~4000-node expression per row and fell off the codegen
+    fast path entirely.
     """
-    toks = F.split(normalize_text(col), " ")
-    votes = F.aggregate(
-        toks,
-        F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, t: F.zip_with(
-            acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda i: F.when(
-                    F.call_function("shiftright", F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1
-                )
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("_t"),
+    ).withColumn("_h", F.xxhash64("_t"))
+    def mask(i: int) -> int:
+        # Bit 63 as a signed long (two's complement), ANSI-overflow-safe.
+        return 1 << i if i < 63 else -(1 << 63)
+
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.col("_h").bitwiseAND(F.lit(mask(i))) != 0, 1)
                 .otherwise(-1)
-                .cast("long"),
-            ),
-            lambda a, b: a + b,
-        ),
+                .cast("long")
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
     )
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(63)),
-        F.lit(0).cast("long"),
+    fp = reduce(
         lambda acc, i: acc
-        + F.when(
-            F.element_at(votes, (i + 1).cast("int")) > 0,
-            F.call_function("shiftleft", F.lit(1).cast("long"), i.cast("int")),
-        ).otherwise(F.lit(0).cast("long")),
+        + F.when(F.col(f"v{i}") > 0, F.lit(mask(i)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+        range(64),
+        F.lit(0).cast("long"),
     )
+    return votes.select(F.col(id_col), fp.alias("fp"))
 
 
 def simhash_pairs(
@@ -227,7 +235,7 @@ def simhash_pairs(
     joins on chunks produce a complete candidate set, then bit_count
     verifies exactly.
     """
-    fp = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("fp"))
+    fp = simhash_fingerprints(df, id_col, text_col)
     chunks = fp.select(
         id_col,
         "fp",

@@ -125,20 +125,26 @@ def fingerprint_md5(col: Column) -> Column:
     return F.md5(normalize_text(col))
 
 
-def fingerprint_rolling(col: Column, window: int = 8) -> Column:
+ROLLING_HASH_MOD = 1_000_000_007
+
+
+def fingerprint_rolling(col: Column) -> Column:
     """Polynomial rolling hash over normalized text (codegen arithmetic).
 
-    A cheap content fingerprint for shift-tolerant comparison: the
-    minimum of per-window rolling hashes (winnowing-style). Uses only
-    integer arithmetic so it is portable to the SQL oracle.
+    h = (h*31 + char_code) mod 1e9+7 — the modulus keeps every
+    intermediate below 2^35 so the expression is safe under ANSI
+    overflow checking and bit-for-bit portable to the SQL oracle.
     """
     norm = normalize_text(col)
-    # aggregate over character codes: h = h*31 + code (mod 2^63 via long overflow)
     chars = F.split(norm, "")
     return F.aggregate(
         chars,
         F.lit(0).cast("long"),
-        lambda acc, ch: acc * F.lit(31).cast("long") + F.coalesce(F.ascii(ch).cast("long"), F.lit(0)),
+        lambda acc, ch: (
+            acc * F.lit(31).cast("long")
+            + F.coalesce(F.ascii(ch).cast("long"), F.lit(0))
+        )
+        % F.lit(ROLLING_HASH_MOD),
     )
 
 
