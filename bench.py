@@ -54,6 +54,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry_mod.queries()
 
+    # Warm the JVM/codegen paths once so per-query times measure the
+    # steady state, not first-job startup.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    qs["ingest_message_path"](spark, "/root/testdata/sf0.001").write.mode(
+        "overwrite"
+    ).format("noop").save()
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]

@@ -29,6 +29,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from kafka_delta_ingest_spark.operators.text import normalize_text
+from kafka_delta_ingest_spark.operators.util import spread
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -85,7 +86,7 @@ def minhash_signatures(
     families realized as xxhash64 with distinct literal seeds. Partial
     (map-side) min-aggregation keeps the shuffle at |docs|×num_hashes.
     """
-    exploded = df.select(
+    exploded = spread(df).select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_k)).alias("_sh"),
     )
@@ -117,9 +118,11 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
 
+    # Band/bucket rows carry only (id, band, bucket) — the 512-byte
+    # signature arrays stay out of the self-join and the pair dedup
+    # shuffle; they are joined back onto the deduped (id_a, id_b) pairs.
     banded = sigs.select(
         F.col(id_col),
-        F.col("sig"),
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -131,20 +134,19 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select(id_col, "sig", "bb.band", "bb.bucket")
+    ).select(id_col, "bb.band", "bb.bucket")
 
-    left = banded.select(
-        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket"
-    )
-    right = banded.select(
-        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket"
-    )
-    cand = (
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    pair_ids = (
         left.join(right, on=["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    cand = pair_ids.join(
+        sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
+    ).join(sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
     agree = F.aggregate(
         F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
         F.lit(0),
@@ -193,7 +195,7 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     built a ~4000-node expression per row and fell off the codegen
     fast path entirely.
     """
-    toks = df.select(
+    toks = spread(df).select(
         F.col(id_col),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("_t"),
     ).withColumn("_h", F.xxhash64("_t"))
@@ -283,17 +285,23 @@ def ngram_jaccard_pairs(
     ``max_gram_df`` drops grams present in more than that many docs
     before the pair join (df-cap — see module docstring).
     """
+    df = spread(df)
+    # Shingle-set size is a per-doc array expression — no explode or
+    # shuffle needed for it (the explode below is only for the join).
+    sizes = df.select(
+        F.col(id_col), F.size(word_shingles(F.col(text_col), n)).alias("sz")
+    )
     grams = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("g")
     )
-    sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
-    rare = (
-        grams.groupBy("g")
-        .agg(F.count("*").alias("gdf"))
+    # df-cap via one count-over-gram window: a single shuffle replaces
+    # the groupBy + re-join formulation (shingles are computed once).
+    gw = Window.partitionBy("g")
+    pruned = (
+        grams.withColumn("gdf", F.count("*").over(gw))
         .filter(F.col("gdf") <= max_gram_df)
-        .select("g")
+        .select(id_col, "g")
     )
-    pruned = grams.join(rare, on="g")
     inter = (
         pruned.alias("a")
         .join(pruned.alias("b"), on="g")
@@ -303,14 +311,15 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count("*").alias("inter"))
     )
+    # Doc-size side tables are |docs| rows of (id, int) — broadcast.
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     jac = F.col("inter").cast("double") / (
         F.col("sz_a") + F.col("sz_b") - F.col("inter")
     )
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

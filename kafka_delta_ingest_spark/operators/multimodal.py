@@ -108,7 +108,9 @@ def extract_features(
                 {"media_id": ids, "n_bytes": sizes, "features": feats}
             )
 
-    return df.mapInPandas(run, schema=FEATURES_SCHEMA)
+    from kafka_delta_ingest_spark.operators.util import spread
+
+    return spread(df).mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
 def frame_sample_plan(

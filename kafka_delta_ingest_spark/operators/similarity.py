@@ -16,6 +16,8 @@
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql.functions import broadcast
 
@@ -98,35 +100,26 @@ def lsh_bucketed_topk(
     buckets fit comfortably in a task (e.g. 2^12 buckets per table at
     1e9 vectors → ~244k vectors/bucket — raise num_bits at that scale).
     """
-    tables = F.sequence(F.lit(0), F.lit(num_tables - 1))
-
-    def with_buckets(df, id_alias, vec_alias, idc, vecc):
-        v = _as_double(F.col(vecc))
-        return df.select(
-            F.col(idc).alias(id_alias), v.alias(vec_alias)
-        ).select(
-            id_alias,
-            vec_alias,
-            F.explode(
-                F.transform(
-                    tables,
-                    lambda t: F.struct(
-                        t.alias("table"),
-                        hyperplane_bits(F.col(vec_alias), dim, num_bits, t).alias("bucket"),
-                    ),
-                )
-            ).alias("tb"),
-        ).select(id_alias, vec_alias, "tb.table", "tb.bucket")
-
-    c = with_buckets(corpus, "neighbor_id", "_cv", corpus_id, corpus_vec)
-    q = with_buckets(queries, "query_id", "_qv", query_id, query_vec)
-    cand = (
+    c = _bucketed(corpus, corpus_id, corpus_vec, "neighbor_id", dim, num_bits, num_tables)
+    q = _bucketed(queries, query_id, query_vec, "query_id", dim, num_bits, num_tables)
+    # Dedup on bare id pairs; vectors re-join after (small shuffles).
+    pair_ids = (
         c.join(broadcast(q), on=["table", "bucket"])
-        .select("query_id", "neighbor_id", "_cv", "_qv")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.select(
-        "query_id", "neighbor_id", cosine(F.col("_cv"), F.col("_qv")).alias("cos_sim")
+    cvecs = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), _as_double(F.col(corpus_vec)).alias("_cv")
+    )
+    qvecs = queries.select(
+        F.col(query_id).alias("query_id"), _as_double(F.col(query_vec)).alias("_qv")
+    )
+    scored = (
+        pair_ids.join(cvecs, "neighbor_id")
+        .join(broadcast(qvecs), "query_id")
+        .select(
+            "query_id", "neighbor_id", cosine(F.col("_cv"), F.col("_qv")).alias("cos_sim")
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -138,37 +131,80 @@ def lsh_bucketed_topk(
     )
 
 
-def hyperplane_bits(vec: Column, dim: int, num_bits: int, table) -> Column:
-    """Deterministic random-hyperplane signature (long).
+def _plane_sign(table: int, p: int, i: int) -> float:
+    """Deterministic ±1 hyperplane component from md5(table,p,i) — a pure
+    function, so every executor (and every cluster size) derives the
+    identical planes with zero coordination or RNG state shipping."""
+    import hashlib
 
-    Plane p component i ∈ {-1,+1} from the low bit of
-    xxhash64(table, p, i): reproducible on any cluster with zero
-    coordination — the "random" planes are pure functions.
-    """
+    digest = hashlib.md5(f"{table}:{p}:{i}".encode()).digest()
+    return 1.0 if digest[0] & 1 else -1.0
 
-    def side(p):
+
+def hyperplane_bits(vec: Column, dim: int, num_bits: int, table: int) -> Column:
+    """Deterministic random-hyperplane signature (long), pure-expression
+    form: each bit is one zip_with/aggregate dot product against a
+    constant plane array. Kept as the no-Python-workers fallback; the
+    hot path is :func:`hyperplane_buckets` (vectorized matmul)."""
+    bits = F.lit(0).cast("long")
+    for p in range(num_bits):
+        plane = F.array(*[F.lit(_plane_sign(table, p, i)) for i in range(dim)])
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(dim - 1)),
-                    lambda i: F.when(
-                        F.xxhash64(table, p, i).bitwiseAND(F.lit(1)) == 1, 1.0
-                    ).otherwise(-1.0),
-                ),
-                lambda x, y: x * y,
-            ),
+            F.zip_with(vec, plane, lambda x, y: x * y),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        return F.when(
-            proj > 0, F.call_function("shiftleft", F.lit(1).cast("long"), p.cast("int"))
-        ).otherwise(F.lit(0).cast("long"))
+        bits = bits + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bits
 
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(num_bits - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, p: acc + side(p),
+
+def hyperplane_buckets(dim: int, num_bits: int, num_tables: int):
+    """Arrow-vectorized LSH bucketing: embedding → array<long> of one
+    bucket per table, via a single numpy matmul per Arrow batch.
+
+    The sign matrix is derived from the same md5-based pure function as
+    :func:`hyperplane_bits`, so the two paths assign identical buckets.
+    One (batch × dim) @ (dim × tables·bits) BLAS call replaces
+    tables×bits×dim scalar expression nodes per row — at 100 TB this is
+    the difference between scan-speed bucketing and a codegen blowup.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    signs = np.array(
+        [
+            [[_plane_sign(t, p, i) for i in range(dim)] for p in range(num_bits)]
+            for t in range(num_tables)
+        ]
+    )  # (T, B, dim)
+    planes = signs.reshape(num_tables * num_bits, dim).T  # (dim, T*B)
+    weights = (1 << np.arange(num_bits)).astype(np.int64)  # (B,)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        x = np.array(vecs.tolist(), dtype=np.float64)  # (n, dim)
+        proj = x @ planes  # (n, T*B)
+        bits = (proj > 0).reshape(len(x), num_tables, num_bits)
+        out = (bits * weights).sum(axis=2)  # (n, T)
+        return pd.Series(list(out))
+
+    return _buckets
+
+
+def _bucketed(
+    df: DataFrame, idc: str, vecc: str, id_alias: str, dim: int, num_bits: int, num_tables: int
+) -> DataFrame:
+    """(id, table, bucket) rows — one per (row, table) — via the
+    vectorized bucketer. Narrow op: no shuffle, blobs stay put."""
+    from kafka_delta_ingest_spark.operators.util import spread
+
+    buckets = hyperplane_buckets(dim, num_bits, num_tables)
+    return (
+        spread(df).select(F.col(idc).alias(id_alias), _as_double(F.col(vecc)).alias("_v"))
+        .select(id_alias, F.posexplode(buckets("_v")).alias("table", "bucket"))
     )
 
 
@@ -182,28 +218,19 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine ≥ threshold), LSH-bucketed."""
-    tables = F.sequence(F.lit(0), F.lit(num_tables - 1))
-    b = df.select(
-        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
-    ).select(
-        "vid",
-        "v",
-        F.explode(
-            F.transform(
-                tables,
-                lambda t: F.struct(
-                    t.alias("table"), hyperplane_bits(F.col("v"), dim, num_bits, t).alias("bucket")
-                ),
-            )
-        ).alias("tb"),
-    ).select("vid", "v", "tb.table", "tb.bucket")
-    left = b.select(F.col("vid").alias("id_a"), F.col("v").alias("va"), "table", "bucket")
-    right = b.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"), "table", "bucket")
-    cand = (
+    b = _bucketed(df, id_col, vec_col, "vid", dim, num_bits, num_tables)
+    left = b.select(F.col("vid").alias("id_a"), "table", "bucket")
+    right = b.select(F.col("vid").alias("id_b"), "table", "bucket")
+    pair_ids = (
         left.join(right, on=["table", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    vecs = df.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v"))
+    cand = pair_ids.join(
+        vecs.select(F.col("vid").alias("id_a"), F.col("v").alias("va")), "id_a"
+    ).join(vecs.select(F.col("vid").alias("id_b"), F.col("v").alias("vb")), "id_b")
     return (
         cand.select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)

@@ -150,8 +150,10 @@ def fingerprint_rolling(col: Column) -> Column:
 
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass profile: token count, ratios, quality, language, fingerprint."""
+    from kafka_delta_ingest_spark.operators.util import spread
+
     c = F.col(text_col)
-    return df.select(
+    return spread(df).select(
         F.col(id_col),
         token_count(c).alias("n_tokens"),
         F.length(c).alias("n_chars"),
