@@ -88,6 +88,9 @@ class IngestJob:
             partition_by=None,
         )
         self.metrics_history: list[BatchMetrics] = []
+        from kafka_delta_ingest_spark.metrics import IngestMetrics
+
+        self.metrics = IngestMetrics(endpoint=opts.statsd_endpoint)
 
     # ------------------------------------------------------------------
     # Plan construction (pure — no actions)
@@ -164,8 +167,26 @@ class IngestJob:
     # Execution
     # ------------------------------------------------------------------
 
+    def sync_schema(self) -> bool:
+        """Adopt the table's current declared schema if it changed —
+        runtime schema evolution (reference ``update_schema``
+        src/writer.rs:370-387 + src/lib.rs:956-963: after a write the
+        table metadata is re-read; on drift the Arrow schema and the
+        coercion tree are rebuilt). Our plan is recompiled from
+        ``target_schema`` every batch, so adopting the new StructType is
+        the whole rebuild. Returns True when the schema changed."""
+        declared = self.table.table_schema()
+        if declared is not None and declared != self.target_schema:
+            self.target_schema = declared
+            return True
+        return False
+
     def process_batch(self, raw: DataFrame, batch_id: int = 0) -> BatchMetrics:
         """foreachBatch body: split, append data + txn ledger, DLQ."""
+        import time as _time
+
+        t_start = _time.perf_counter()
+        self.sync_schema()
         planned = self.plan(raw).persist()
         try:
             good, dlq = self.split(planned)
@@ -191,6 +212,15 @@ class IngestJob:
             m.messages_deserialization_failed = self.dlq_count(dlq)
             self.dlq.write(dlq)
             self.metrics_history.append(m)
+            self.metrics.record_batch(
+                deserialized=m.delta_write_num_records
+                + m.messages_deserialization_failed,
+                deserialize_failed=m.messages_deserialization_failed,
+                transform_failed=0,
+                write_duration_s=_time.perf_counter() - t_start,
+                add_file_bytes=m.delta_add_file_size,
+                num_records=m.delta_write_num_records,
+            )
             return m
         finally:
             planned.unpersist()

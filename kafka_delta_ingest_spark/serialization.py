@@ -34,6 +34,8 @@ rather than Spark's laxer cast.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -67,7 +69,6 @@ def gunzip(col: Column) -> Column:
     Implemented as an Arrow-batched pandas UDF — Spark has no builtin
     gunzip; this is off the hot path unless the topic is gzipped.
     """
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("binary")
@@ -95,11 +96,26 @@ def strip_confluent_header(col: Column) -> Column:
 
 def soe_fingerprint(col: Column) -> Column:
     """Avro single-object-encoding fingerprint: little-endian i64 at
-    bytes [2, 10) (reference src/serialization.rs:188-195)."""
-    # Reverse the 8 fingerprint bytes (LE → BE) then decode as signed i64.
-    b = F.expr(f"substring({_sql(col)}, 3, 8)")
-    rev = F.reverse(b)
-    return F.conv(F.hex(rev), 16, 10).cast("decimal(20,0)").cast("long")
+    bytes [2, 10) (reference src/serialization.rs:188-195).
+
+    Assembled byte-by-byte in two's complement: the most-significant
+    (10th) byte contributes signed (−128..127)·2^56, the rest unsigned —
+    every intermediate stays inside long range, so the expression is
+    ANSI-overflow-safe for all 2^64 fingerprints.
+    """
+
+    def byte_at(pos: int) -> Column:
+        # 1-based position in the payload; one byte → 0..255.
+        return F.conv(F.hex(F.expr(f"substring({_sql(col)}, {pos}, 1)")), 16, 10).cast(
+            "long"
+        )
+
+    top = byte_at(10)
+    signed_top = F.when(top >= 128, top - 256).otherwise(top)
+    out = signed_top * F.lit(1 << 56).cast("long")
+    for i in range(7):  # bytes 3..9 = low 7 bytes (little-endian)
+        out = out + byte_at(3 + i) * F.lit(1 << (8 * i)).cast("long")
+    return out
 
 
 def _sql(col: Column) -> str:

@@ -124,6 +124,39 @@ class DeltaLikeTable:
         ``last_txn_version`` (src/delta_helpers.rs:70-72)."""
         return self.snapshot()["txn"].get(app_id)
 
+    def table_schema(self):
+        """Declared table schema (StructType) from the latest metaData
+        action, or None for an empty table — the reference reads this
+        from ``_delta_log`` at startup and AFTER EVERY file write to
+        detect runtime evolution (src/writer.rs:340-350, 370-387)."""
+        meta = self.snapshot()["metaData"]
+        if not meta:
+            return None
+        from pyspark.sql.types import StructType as _St
+
+        return _St.fromJson(json.loads(meta["schemaString"]))
+
+    def evolve_schema(self, schema, partition_by: list[str] | None = None) -> int:
+        """Commit a new metaData action (ALTER TABLE ADD COLUMNS
+        analog). Writers pick it up on their next batch
+        (reference tests/schema_update_tests.rs:23-113)."""
+        return self._commit(
+            [
+                {
+                    "commitInfo": {
+                        "operation": "CHANGE SCHEMA",
+                        "timestamp": int(time.time() * 1000),
+                    }
+                },
+                {
+                    "metaData": {
+                        "schemaString": schema.json(),
+                        "partitionColumns": partition_by or [],
+                    }
+                },
+            ]
+        )
+
     # -- write path --------------------------------------------------------
 
     def write_batch(
@@ -257,7 +290,14 @@ class DeltaLikeTable:
         # Partition values come from directory names as strings; the
         # metaData action restores their declared types.
         spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-        df = spark.read.option("basePath", self.path).parquet(self.path)
+        # mergeSchema: files written before a schema evolution lack the
+        # new columns; the union schema surfaces them as NULL for old
+        # rows (reference tests/schema_update_tests.rs:98-110).
+        df = (
+            spark.read.option("basePath", self.path)
+            .option("mergeSchema", "true")
+            .parquet(self.path)
+        )
         meta = self.snapshot()["metaData"]
         if meta:
             from pyspark.sql.types import StructType as _St

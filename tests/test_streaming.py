@@ -1,0 +1,156 @@
+"""Structured Streaming e2e: file-based stream → IngestJob.run_stream →
+table + txn ledger; incremental checkpointed restarts; runtime schema
+evolution; metrics emission.
+
+Mirrors the reference's streaming integration pattern (SURVEY §5.2)
+with a rate-limited file source standing in for Kafka (same column
+layout as the Spark Kafka source), per SURVEY §5.3.
+"""
+
+import datetime
+import json
+
+from pyspark.sql import Row
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from kafka_delta_ingest_spark.config import IngestOptions
+from kafka_delta_ingest_spark.ingest import IngestJob
+from kafka_delta_ingest_spark.sinks.delta_like import DeltaLikeTable
+
+RAW_SCHEMA = (
+    "value binary, partition int, offset long, topic string, "
+    "timestamp timestamp, timestampType int"
+)
+
+TABLE_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("color", StringType()),
+    ]
+)
+
+
+def _rows(start: int, n: int, extra=None):
+    out = []
+    for i in range(start, start + n):
+        payload = {"id": i, "color": "red" if i % 2 == 0 else "blue"}
+        if extra:
+            payload.update(extra(i))
+        out.append(
+            Row(
+                value=bytearray(json.dumps(payload).encode()),
+                partition=i % 2,
+                offset=i,
+                topic="t",
+                timestamp=datetime.datetime(2024, 1, 1, 0, 0, i % 60),
+                timestampType=0,
+            )
+        )
+    return out
+
+
+def _write_raw(spark, rows, path):
+    spark.createDataFrame(rows, RAW_SCHEMA).coalesce(1).write.mode("append").parquet(
+        path
+    )
+
+
+def _stream(spark, path):
+    return spark.readStream.schema(RAW_SCHEMA).parquet(path)
+
+
+def test_stream_available_now_end_to_end(spark, tmp_path):
+    """X8 (ends_at_latest_offsets ≙ availableNow) + X1 txn ledger on a
+    real streaming query with checkpointed incremental restart."""
+    src = str(tmp_path / "src")
+    table_dir = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_raw(spark, _rows(0, 20), src)
+    opts = IngestOptions(
+        topic="t", table_uri=table_dir, app_id="stream_app", ends_at_latest_offsets=True
+    )
+    job = IngestJob(opts, TABLE_SCHEMA)
+    q = job.run_stream(spark, ckpt, raw_stream=_stream(spark, src))
+    q.awaitTermination(120)
+
+    table = DeltaLikeTable(table_dir)
+    got = {r["id"] for r in table.read(spark).collect()}
+    assert got == set(range(20))
+    # per-Kafka-partition txn offsets recorded (partitions 0/1, max ids)
+    assert table.txn_version("stream_app-0") == 18
+    assert table.txn_version("stream_app-1") == 19
+
+    # restart with MORE files: only the new ones are processed
+    _write_raw(spark, _rows(20, 10), src)
+    job2 = IngestJob(opts, TABLE_SCHEMA)
+    q2 = job2.run_stream(spark, ckpt, raw_stream=_stream(spark, src))
+    q2.awaitTermination(120)
+    got2 = sorted(r["id"] for r in table.read(spark).collect())
+    assert got2 == list(range(30))  # no duplicates, no loss
+    assert table.txn_version("stream_app-1") == 29
+
+
+def test_schema_evolution_mid_stream(spark, tmp_path):
+    """SURVEY §1.2: table schema evolves between batches; the writer
+    adopts the new schema on its next batch (reference
+    src/writer.rs:370-387, tests/schema_update_tests.rs:23-113); rows
+    written before evolution read back with NULL for the new column."""
+    src = str(tmp_path / "src")
+    table_dir = str(tmp_path / "table")
+    opts = IngestOptions(topic="t", table_uri=table_dir, app_id="evolve_app")
+
+    job = IngestJob(opts, TABLE_SCHEMA)
+    job.run_batch(
+        spark.createDataFrame(_rows(0, 5), RAW_SCHEMA)
+    )
+
+    # ALTER TABLE ADD COLUMN size (external schema change)
+    evolved = StructType(
+        list(TABLE_SCHEMA.fields) + [StructField("size", IntegerType())]
+    )
+    table = DeltaLikeTable(table_dir)
+    table.evolve_schema(evolved)
+
+    # Same job object keeps running; next batch adopts the new schema.
+    job.run_batch(
+        spark.createDataFrame(
+            _rows(5, 5, extra=lambda i: {"size": i * 10}), RAW_SCHEMA
+        )
+    )
+    assert job.target_schema == evolved
+
+    out = {r["id"]: (r["color"], r["size"]) for r in table.read(spark).collect()}
+    assert len(out) == 10
+    assert out[2] == ("red", None)  # pre-evolution row: new column NULL
+    assert out[7] == ("blue", 70)
+
+
+def test_metrics_recorded_per_batch(spark, tmp_path):
+    """M1: statsd-named counters emitted from the batch lifecycle."""
+    from kafka_delta_ingest_spark import metrics as M
+
+    opts = IngestOptions(topic="t", table_uri=str(tmp_path / "table"), app_id="m")
+    job = IngestJob(opts, TABLE_SCHEMA)
+    rows = _rows(0, 8)
+    rows[3] = Row(
+        value=bytearray(b"{not json"),
+        partition=0,
+        offset=100,
+        topic="t",
+        timestamp=datetime.datetime(2024, 1, 1),
+        timestampType=0,
+    )
+    job.run_batch(spark.createDataFrame(rows, RAW_SCHEMA))
+    totals = job.metrics.totals()
+    assert totals[M.MESSAGE_DESERIALIZED] == 7  # 8 attempted, 1 corrupt
+    assert totals[M.MESSAGE_DESERIALIZATION_FAILED] == 1
+    assert totals[M.RECORD_BATCH_COMPLETED] == 1
+    assert totals[M.DELTA_WRITE_COMPLETED] == 1
+    assert M.DELTA_WRITE_DURATION in totals
