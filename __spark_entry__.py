@@ -955,6 +955,86 @@ def text_profile(spark, sf_dir):
     )
 
 
+@_q(
+    "text_token_counts",
+    r"""
+    SELECT doc_id,
+      CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS INT) AS ws_tokens,
+      CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def text_token_counts(spark, sf_dir):
+    """Whitespace vs BPE-ish-regex token counting (north-star item)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        textops.token_count(F.col("text")).alias("ws_tokens"),
+        textops.bpe_ish_token_count(F.col("text")).cast("int").alias("bpe_ish_tokens"),
+    )
+
+
+@_q(
+    "events_asof_join",
+    """
+    WITH purchases AS (
+      SELECT user_id, ts, max(event_id) AS p_event_id
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    )
+    SELECT e.event_id, e.user_id, e.ts, e.event_type,
+           p.p_event_id AS asof_p_event_id, p.ts AS asof_ts
+    FROM events e
+    ASOF LEFT JOIN purchases p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def events_asof_join(spark, sf_dir):
+    """As-of join: each event picks up the user's latest purchase at or
+    before its timestamp (union+window formulation — one shuffle)."""
+    from kafka_delta_ingest_spark.operators.joins import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("p_event_id"))
+    )
+    out = asof_join(
+        e.select("event_id", "user_id", "ts", "event_type"),
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "event_type", "asof_p_event_id", "asof_ts"
+    )
+
+
+@_q(
+    "agg_percentiles",
+    """
+    SELECT l_returnflag,
+      round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+      round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+      round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price,
+      COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark, sf_dir):
+    """Exact percentiles with linear interpolation (sort-based agg)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50_price"),
+        F.count("*").alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (binary media columns; decode kernel stubbed)
 # ---------------------------------------------------------------------------

@@ -120,6 +120,17 @@ def lang_id(col: Column) -> Column:
     return out
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, single non-space
+# symbols — the GPT-2-style split that approximates subword token counts
+# far better than whitespace on punctuation-heavy text.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Count of BPE-ish pre-tokens (codegen regexp_count, no UDF)."""
+    return F.regexp_count(col, F.lit(BPE_ISH_PATTERN))
+
+
 def fingerprint_md5(col: Column) -> Column:
     """Deterministic document fingerprint: md5 over normalized text."""
     return F.md5(normalize_text(col))

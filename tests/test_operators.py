@@ -219,3 +219,39 @@ def test_sessionize_gap_semantics(spark):
     assert len(by_user[1]) == 2
     assert len(by_user[2]) == 1
     assert sum(r.n_events for r in by_user[1]) == 3
+
+
+def test_asof_join_semantics(spark):
+    """asof_join: latest right row with ts <= left ts; <= is inclusive;
+    no match → NULL."""
+    import datetime
+
+    from kafka_delta_ingest_spark.operators.joins import asof_join
+
+    T = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, 1, T(10)), (2, 1, T(20)), (3, 1, T(5)), (4, 2, T(30))],
+        "lid long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, 1, T(10)), (200, 1, T(15))], "rid long, k long, rts timestamp"
+    )
+    out = {
+        r["lid"]: r["asof_rid"]
+        for r in asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts").collect()
+    }
+    assert out == {1: 100, 2: 200, 3: None, 4: None}
+    # 1: rts==ts inclusive; 2: picks latest (200 not 100); 3: before all; 4: other key
+
+
+def test_bpe_ish_token_count(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_delta_ingest_spark.operators.text import bpe_ish_token_count
+
+    df = spark.createDataFrame(
+        [("hello, world! it's 2024",), ("",), ("a-b",)], "t string"
+    )
+    got = [r["n"] for r in df.select(bpe_ish_token_count(F.col("t")).alias("n")).collect()]
+    # hello , world ! it ' s 2024 → 8 ; "" → 0 ; a - b → 3
+    assert got == [8, 0, 3]
