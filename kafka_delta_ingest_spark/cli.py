@@ -1,0 +1,157 @@
+"""Command-line interface with the reference's argument surface.
+
+``python -m kafka_delta_ingest_spark ingest <topic> <table_location>
+[options]`` accepts the same options as the reference binary
+(reference src/main.rs:334-490), maps them onto :class:`IngestOptions`,
+and launches the Structured Streaming query. A user of the reference
+can switch by replacing the binary name.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from kafka_delta_ingest_spark.config import (
+    AutoOffsetReset,
+    IngestOptions,
+    MessageFormat,
+)
+
+
+def parse_transform_args(pairs: list[str]) -> dict[str, str]:
+    """``PROPERTY: SOURCE`` strings → dict (reference src/main.rs:302-319)."""
+    out: dict[str, str] = {}
+    for pair in pairs or []:
+        prop, _, source = pair.partition(":")
+        if not _:
+            raise SystemExit(f"invalid transform (expected 'PROP: SOURCE'): {pair!r}")
+        out[prop.strip()] = source.strip()
+    return out
+
+
+def parse_seek_offsets(val: str | None) -> dict[int, int] | None:
+    """JSON ``{"0":123,"1":321}`` → {0: 123, 1: 321}
+    (reference src/main.rs:321-332)."""
+    if not val:
+        return None
+    return {int(p): int(o) for p, o in json.loads(val).items()}
+
+
+def parse_kafka_settings(pairs: list[str]) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for pair in pairs or []:
+        key, _, value = pair.partition("=")
+        if not _:
+            raise SystemExit(f"invalid -K setting (expected key=value): {pair!r}")
+        out[key.strip()] = value.strip()
+    return out
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="kafka-delta-ingest-spark")
+    sub = p.add_subparsers(dest="command", required=True)
+    ing = sub.add_parser("ingest", help="Ingest a Kafka topic into a Delta table")
+    ing.add_argument("topic", help="The Kafka topic to stream from")
+    ing.add_argument("table_location", help="The Delta table location to write out")
+    ing.add_argument("--kafka", "-k", default="localhost:9092",
+                     help="Kafka broker connection string to use")
+    ing.add_argument("--consumer_group", "-g", default="kafka_delta_ingest",
+                     help="Consumer group to use when subscribing to Kafka topics")
+    ing.add_argument("--app_id", "-a", default="kafka_delta_ingest",
+                     help="App ID to use when writing to Delta")
+    ing.add_argument("--seek_offsets", default=None,
+                     help='JSON partition-offset map, e.g. {"0":123, "1":321}')
+    ing.add_argument("--auto_offset_reset", "-o", default="earliest",
+                     choices=["earliest", "latest"])
+    ing.add_argument("--allowed_latency", "-l", type=int, default=300)
+    ing.add_argument("--max_messages_per_batch", "-m", type=int, default=5000)
+    ing.add_argument("--min_bytes_per_file", "-b", type=int, default=134217728)
+    ing.add_argument("--transform", "-t", action="append", default=[],
+                     help="PROPERTY: SOURCE transform pairs")
+    ing.add_argument("--dlq_table_location", "-d", default=None,
+                     help="Optional table to write unprocessable entities to")
+    ing.add_argument("--dlq_transform", action="append", default=[])
+    ing.add_argument("--checkpoints", "-c", action="store_true",
+                     help="Write checkpoints on every 10th commit")
+    ing.add_argument("--kafka_setting", "-K", action="append", default=[])
+    ing.add_argument("--statsd_endpoint", "-s", default=None)
+    ing.add_argument("--json", dest="json_registry", default=None,
+                     help="Schema registry endpoint, local path, or empty string")
+    ing.add_argument("--avro", dest="avro_schema", default=None,
+                     help="Schema registry endpoint, local path, or empty string")
+    ing.add_argument("--soe-avro", dest="soe_avro", default=None,
+                     help="Path to Avro schema file(s) for single-object encoding")
+    ing.add_argument("--ends_at_latest_offsets", "-e", action="store_true")
+    ing.add_argument("--decompress_gzip", action="store_true",
+                     help="Enable gzip decompression for incoming messages")
+    ing.add_argument("--partition_columns", "-p", action="append", default=[])
+    ing.add_argument("--checkpoint_dir", default=None,
+                     help="(Spark) streaming checkpoint location; defaults to "
+                          "<table_location>/_kdi_checkpoints/<app_id>")
+    return p
+
+
+def options_from_args(args: argparse.Namespace) -> IngestOptions:
+    if args.soe_avro:
+        fmt = MessageFormat.AVRO_SOE
+    elif args.avro_schema is not None:
+        fmt = MessageFormat.AVRO if args.avro_schema == "" else MessageFormat.AVRO_SCHEMA_REGISTRY
+    elif args.json_registry:
+        fmt = MessageFormat.JSON_SCHEMA_REGISTRY
+    elif args.decompress_gzip:
+        fmt = MessageFormat.JSON_GZIP
+    else:
+        fmt = MessageFormat.JSON
+    return IngestOptions(
+        topic=args.topic,
+        table_uri=args.table_location,
+        app_id=args.app_id,
+        allowed_latency=args.allowed_latency,
+        max_messages_per_batch=args.max_messages_per_batch,
+        min_bytes_per_file=args.min_bytes_per_file,
+        transforms=parse_transform_args(args.transform),
+        partition_by=list(args.partition_columns),
+        dlq_table_location=args.dlq_table_location,
+        dlq_transforms=parse_transform_args(args.dlq_transform),
+        message_format=fmt,
+        auto_offset_reset=AutoOffsetReset(args.auto_offset_reset),
+        seek_offsets=parse_seek_offsets(args.seek_offsets),
+        ends_at_latest_offsets=args.ends_at_latest_offsets,
+        kafka_settings=parse_kafka_settings(args.kafka_setting),
+        kafka_brokers=args.kafka,
+        checkpoints=args.checkpoints,
+        statsd_endpoint=args.statsd_endpoint,
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    opts = options_from_args(args)
+
+    from kafka_delta_ingest_spark.ingest import IngestJob
+    from kafka_delta_ingest_spark.offsets import write_offsets_to_table
+    from kafka_delta_ingest_spark.session import get_spark
+    from kafka_delta_ingest_spark.sinks.delta_like import DeltaLikeTable
+
+    spark = get_spark(app_name=f"kdi-{opts.app_id}")
+    table = DeltaLikeTable(opts.table_uri)
+    schema = table.table_schema()
+    if schema is None:
+        raise SystemExit(
+            f"table {opts.table_uri} has no schema; create it first "
+            "(the destination schema drives decoding — SURVEY §1.2)"
+        )
+    if opts.seek_offsets:
+        write_offsets_to_table(table, opts.app_id, opts.seek_offsets)
+
+    job = IngestJob(opts, schema)
+    ckpt = args.checkpoint_dir or f"{opts.table_uri}/_kdi_checkpoints/{opts.app_id}"
+    query = job.run_stream(spark, ckpt)
+    query.awaitTermination()
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())

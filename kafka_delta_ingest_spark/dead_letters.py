@@ -81,8 +81,12 @@ class DeadLetterQueue:
             return n
         if sink_writer is not None:
             return sink_writer(out, self.table_location, self.partition_by)
-        writer = out.write.mode("append")
-        if self.partition_by:
-            writer = writer.partitionBy(*self.partition_by)
-        writer.parquet(self.table_location)
-        return -1  # unknown count without an extra action
+        # Delta-style synchronous append commit (reference insert_all,
+        # src/dead_letters.rs:240-316 + src/writer.rs:577-601) — the DLQ
+        # table gets the same txn-log/stats treatment as the data table.
+        from kafka_delta_ingest_spark.sinks.delta_like import DeltaLikeTable
+
+        result = DeltaLikeTable(self.table_location).write_batch(
+            out, partition_by=self.partition_by, operation="WRITE"
+        )
+        return result.num_records
