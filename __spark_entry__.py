@@ -820,6 +820,60 @@ def sim_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(e, q, k=10, query_id="vec_id")
 
 
+@_q(
+    "sim_ivf_topk",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0
+    ), cents AS (
+      SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 10 = 0
+    ), assigned AS (
+      SELECT vec_id AS neighbor_id, v, cent_id AS cell
+      FROM (
+        SELECT e.vec_id, e.v, cents.cent_id,
+          row_number() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY list_sum(list_transform(list_zip(e.v, cv), p -> p[1]*p[2]))
+                   / (sqrt(list_sum(list_transform(e.v, x -> x*x)))
+                      * sqrt(list_sum(list_transform(cv, x -> x*x)))) DESC,
+              cent_id ASC) AS r
+        FROM e CROSS JOIN cents
+      ) WHERE r = 1
+    ), probes AS (
+      SELECT query_id, qv, cent_id AS cell
+      FROM (
+        SELECT q.query_id, q.qv, cents.cent_id,
+          row_number() OVER (
+            PARTITION BY q.query_id
+            ORDER BY list_sum(list_transform(list_zip(qv, cv), p -> p[1]*p[2]))
+                   / (sqrt(list_sum(list_transform(qv, x -> x*x)))
+                      * sqrt(list_sum(list_transform(cv, x -> x*x)))) DESC,
+              cent_id ASC) AS r
+        FROM q CROSS JOIN cents
+      ) WHERE r <= 3
+    ), scored AS (
+      SELECT probes.query_id, assigned.neighbor_id,
+        list_sum(list_transform(list_zip(assigned.v, probes.qv), p -> p[1]*p[2]))
+          / (sqrt(list_sum(list_transform(assigned.v, x -> x*x)))
+             * sqrt(list_sum(list_transform(probes.qv, x -> x*x)))) AS cs
+      FROM assigned JOIN probes USING (cell)
+    )
+    SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim,
+      CAST(row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS INT) AS rank
+    FROM scored QUALIFY rank <= 10
+    """,
+)
+def sim_ivf_topk(spark, sf_dir):
+    """IVF-cell ANN: probe 3 nearest cells, exact re-rank (scale path)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return similarity.ivf_topk(
+        e, q, k=10, centroid_mod=10, n_probe=3, query_id="vec_id"
+    )
+
+
 @_q("sim_lsh_topk")  # xxhash64 hyperplanes — rows-only check
 def sim_lsh_topk(spark, sf_dir):
     """ANN top-k via random-hyperplane LSH buckets + exact re-rank."""

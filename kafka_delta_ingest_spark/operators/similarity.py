@@ -208,6 +208,74 @@ def _bucketed(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    centroid_mod: int = 10,
+    n_probe: int = 3,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: partition the corpus into centroid cells, search
+    only the ``n_probe`` cells nearest each query, exact re-rank inside.
+
+    Centroids here are deterministic pivots (``id % centroid_mod == 0``)
+    so the DuckDB oracle can replicate cell assignment bit-for-bit; on a
+    real deployment you plug k-means centroids into the same plan. Scale
+    shape: build cost is |corpus|×|centroids| scored against a BROADCAST
+    centroid table (no corpus shuffle), then the probe join touches only
+    |query|·n_probe cells instead of the whole corpus. With
+    |centroids| ≈ √n this is the classic IVF trade: ~n_probe/√n of the
+    corpus scored per query, recall < 1 by construction.
+    """
+    cvecs = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), _as_double(F.col(corpus_vec)).alias("_cv")
+    )
+    qvecs = queries.select(
+        F.col(query_id).alias("query_id"), _as_double(F.col(query_vec)).alias("_qv")
+    )
+    cents = corpus.filter(F.col(corpus_id) % centroid_mod == 0).select(
+        F.col(corpus_id).alias("cent_id"), _as_double(F.col(corpus_vec)).alias("_cent")
+    )
+
+    # Cell assignment: nearest centroid per corpus vector (ties → lowest id).
+    aw = Window.partitionBy("neighbor_id").orderBy(
+        cosine(F.col("_cv"), F.col("_cent")).desc(), F.col("cent_id").asc()
+    )
+    assigned = (
+        cvecs.crossJoin(broadcast(cents))
+        .withColumn("_r", F.row_number().over(aw))
+        .filter(F.col("_r") == 1)
+        .select("neighbor_id", "_cv", F.col("cent_id").alias("cell"))
+    )
+
+    # Probe list: n_probe nearest centroids per query.
+    qw = Window.partitionBy("query_id").orderBy(
+        cosine(F.col("_qv"), F.col("_cent")).desc(), F.col("cent_id").asc()
+    )
+    probes = (
+        qvecs.crossJoin(broadcast(cents))
+        .withColumn("_r", F.row_number().over(qw))
+        .filter(F.col("_r") <= n_probe)
+        .select("query_id", "_qv", F.col("cent_id").alias("cell"))
+    )
+
+    scored = assigned.join(broadcast(probes), on="cell").select(
+        "query_id", "neighbor_id", cosine(F.col("_cv"), F.col("_qv")).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -105,6 +105,7 @@ class DeltaLikeTable:
         txn = dict(state["txn"])
         files = list(state["files"])
         meta = state.get("metaData")
+        removed: set[str] = set(state.get("removed", []))
         v = cp_version + 1
         while os.path.exists(self._version_file(v)):
             with open(self._version_file(v)) as f:
@@ -114,10 +115,19 @@ class DeltaLikeTable:
                         txn[action["txn"]["appId"]] = action["txn"]["version"]
                     elif "add" in action:
                         files.append(action["add"])
+                        removed.discard(action["add"]["path"])
+                    elif "remove" in action:
+                        removed.add(action["remove"]["path"])
                     elif "metaData" in action:
                         meta = action["metaData"]
             v += 1
-        return {"version": v - 1, "txn": txn, "files": files, "metaData": meta}
+        return {
+            "version": v - 1,
+            "txn": txn,
+            "files": files,
+            "metaData": meta,
+            "removed": removed,
+        }
 
     def txn_version(self, app_id: str) -> int | None:
         """Last committed version for an appId — the reference's
@@ -269,7 +279,8 @@ class DeltaLikeTable:
 
     def _checkpoint(self, version: int) -> None:
         state = self.snapshot()
-        cp = {"txn": state["txn"], "files": state["files"]}
+        # Checkpoints store only LIVE files (removes already applied).
+        cp = {"txn": state["txn"], "files": self._live_files(state)}
         cp_file = os.path.join(self.log_path, f"checkpoint.{version:020d}.json")
         tmp = cp_file + ".tmp"
         with open(tmp, "w") as f:
@@ -282,6 +293,89 @@ class DeltaLikeTable:
             os.path.join(self.log_path, "_last_checkpoint"),
         )
 
+    # -- compaction --------------------------------------------------------
+
+    def optimize(
+        self,
+        spark: SparkSession,
+        target_file_bytes: int = 134_217_728,
+        partition_by: list[str] | None = None,
+    ) -> CommitResult:
+        """Bin-pack small files into ~``target_file_bytes`` files.
+
+        The reference reaches its 128 MiB ``min_bytes_per_file`` target
+        by holding parquet writers open across record batches
+        (reference doc/DESIGN.md:61-76, src/writer.rs:183-295). Spark's
+        commit model closes files per micro-batch, so the idiomatic
+        substitute (SURVEY §7.2) is periodic OPTIMIZE: read the live
+        small files, rewrite coalesced, commit ``remove`` + ``add``
+        actions atomically. Readers of any snapshot see exactly-one copy
+        of every row.
+        """
+        snap = self.snapshot()
+        meta = snap["metaData"]
+        partition_by = partition_by or (meta["partitionColumns"] if meta else [])
+        removed = set()
+        live = self._live_files(snap)
+        small = [f for f in live if f["size"] < target_file_bytes]
+        if len(small) < 2:
+            return CommitResult(snap["version"], 0, 0, skipped=True)
+        total_bytes = sum(f["size"] for f in small)
+        n_out = max(1, round(total_bytes / target_file_bytes))
+
+        paths = [os.path.join(self.path, f["path"]) for f in small]
+        df = spark.read.option("basePath", self.path).option(
+            "mergeSchema", "true"
+        ).parquet(*paths)
+        staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
+        writer = df.coalesce(n_out).write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(staging)
+        adds = self._promote_staging(staging, partition_by)
+        shutil.rmtree(staging, ignore_errors=True)
+        removed = {f["path"] for f in small}
+        actions = [
+            {
+                "commitInfo": {
+                    "operation": "OPTIMIZE",
+                    "timestamp": int(time.time() * 1000),
+                    "operationParameters": {
+                        "targetSize": target_file_bytes,
+                        "numRemoved": len(removed),
+                        "numAdded": len(adds),
+                    },
+                }
+            }
+        ]
+        actions += [{"remove": {"path": p}} for p in sorted(removed)]
+        actions += [{"add": a} for a in adds]
+        version = self._commit(actions)
+        if version % CHECKPOINT_EVERY == 0 and version > 0:
+            self._checkpoint(version)
+        # Physical deletion is safe only after the commit (readers of
+        # older snapshots in-flight would use a VACUUM grace period on a
+        # real deployment; tests delete eagerly).
+        for p in removed:
+            try:
+                os.remove(os.path.join(self.path, p))
+            except FileNotFoundError:
+                pass
+        n_records = sum(a["stats"]["numRecords"] for a in adds)
+        return CommitResult(version, len(adds), n_records)
+
+    def _live_files(self, snap: dict | None = None) -> list[dict]:
+        """add actions minus remove actions, in commit order."""
+        snap = snap or self.snapshot()
+        removed: set[str] = set(snap.get("removed", set()))
+        out, seen = [], set()
+        for f in snap["files"]:
+            if f["path"] in removed or f["path"] in seen:
+                continue
+            seen.add(f["path"])
+            out.append(f)
+        return out
+
     # -- read path ---------------------------------------------------------
 
     def read(self, spark: SparkSession) -> DataFrame:
@@ -290,15 +384,22 @@ class DeltaLikeTable:
         # Partition values come from directory names as strings; the
         # metaData action restores their declared types.
         spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-        # mergeSchema: files written before a schema evolution lack the
-        # new columns; the union schema surfaces them as NULL for old
-        # rows (reference tests/schema_update_tests.rs:98-110).
+        # Log-driven read: exactly the LIVE file set from the txn log
+        # (adds minus removes) — a reader never sees a file that a
+        # concurrent OPTIMIZE logically replaced. mergeSchema: files
+        # written before a schema evolution lack the new columns; the
+        # union schema surfaces them as NULL for old rows (reference
+        # tests/schema_update_tests.rs:98-110).
+        snap = self.snapshot()
+        live = [os.path.join(self.path, f["path"]) for f in self._live_files(snap)]
+        if not live:
+            live = [self.path]  # empty table: let Spark infer an empty frame
         df = (
             spark.read.option("basePath", self.path)
             .option("mergeSchema", "true")
-            .parquet(self.path)
+            .parquet(*live)
         )
-        meta = self.snapshot()["metaData"]
+        meta = snap["metaData"]
         if meta:
             from pyspark.sql.types import StructType as _St
             from pyspark.sql import functions as _F

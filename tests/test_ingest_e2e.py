@@ -322,3 +322,48 @@ def test_checkpoint_every_10_commits(spark, tmp_path):
     assert snap["version"] == 10
     assert snap["txn"] == {"app-0": 10}
     assert DeltaLikeTable(table).read(spark).count() == 11
+
+
+def test_optimize_compacts_small_files(spark, tmp_path):
+    """B4/P4 substitute (SURVEY §7.2): bin-pack small files via OPTIMIZE
+    with remove+add actions; row set unchanged; stats/txn preserved."""
+    table_dir = str(tmp_path / "table")
+    opts = IngestOptions(topic="t", table_uri=table_dir, app_id="opt")
+    schema = StructType(
+        [StructField("uuid", StringType()), StructField("status", IntegerType())]
+    )
+    job = IngestJob(opts, schema)
+    # 5 commits → 5+ small files
+    for batch in range(5):
+        rows = [
+            Row(
+                value=bytearray(
+                    json.dumps({"uuid": f"u-{batch}-{i}", "status": 200}).encode()
+                ),
+                partition=0,
+                offset=batch * 10 + i,
+                topic="t",
+                timestamp=datetime.datetime(2024, 1, 1),
+                timestampType=0,
+            )
+            for i in range(10)
+        ]
+        job.run_batch(spark.createDataFrame(rows, (
+            "value binary, partition int, offset long, topic string, "
+            "timestamp timestamp, timestampType int")))
+
+    table = DeltaLikeTable(table_dir)
+    before = table._live_files()
+    assert len(before) >= 5
+    rows_before = sorted(r["uuid"] for r in table.read(spark).collect())
+
+    result = table.optimize(spark, target_file_bytes=10 * 1024 * 1024)
+    assert not result.skipped
+    after = table._live_files()
+    assert len(after) < len(before)
+    rows_after = sorted(r["uuid"] for r in table.read(spark).collect())
+    assert rows_after == rows_before  # no loss, no dupes
+    # txn ledger survives compaction
+    assert table.txn_version("opt-0") == 49
+    # second optimize is a no-op (already compact)
+    assert table.optimize(spark, target_file_bytes=10 * 1024 * 1024).skipped

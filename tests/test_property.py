@@ -1,0 +1,117 @@
+"""Property-based tests (hypothesis): the custom scalar functions match
+independent Python reference implementations over randomized inputs.
+
+Each case batches ~dozens of generated examples into ONE DataFrame so a
+hypothesis run costs a handful of Spark jobs, not hundreds.
+"""
+
+import datetime
+import re
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from kafka_delta_ingest_spark.coercions import RFC3339_PATTERN
+from kafka_delta_ingest_spark.operators.text import ROLLING_HASH_MOD
+from kafka_delta_ingest_spark.transforms import (
+    epoch_millis_to_iso8601,
+    substr_chars,
+)
+
+TEXT = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FA0),
+    max_size=40,
+)
+
+
+def _py_iso_variable(micros: int) -> str:
+    """chrono {:?} on DateTime<Utc>: shortest of 0/3/6 frac digits."""
+    dt = datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=micros)
+    base = dt.strftime("%Y-%m-%dT%H:%M:%S")
+    sub = micros % 1_000_000
+    if sub == 0:
+        return base + "Z"
+    if sub % 1000 == 0:
+        return f"{base}.{sub // 1000:03d}Z"
+    return f"{base}.{sub:06d}Z"
+
+
+@settings(max_examples=4, deadline=None)
+@given(st.lists(st.tuples(TEXT, st.integers(0, 50), st.integers(0, 50)), min_size=1, max_size=60))
+def test_substr_chars_matches_python_slicing(spark, cases):
+    """Rust chars().skip(n).take(m) ≡ Python s[n:n+m] (char-based)."""
+    df = spark.createDataFrame(
+        [(i, s, a, b) for i, (s, a, b) in enumerate(cases)], "i int, s string, a int, b int"
+    )
+    got = {
+        r["i"]: r["out"]
+        for r in df.select(
+            "i", substr_chars(F.col("s"), F.col("a"), F.col("b")).alias("out")
+        ).collect()
+    }
+    for i, (s, a, b) in enumerate(cases):
+        assert got[i] == s[a : a + b], (s, a, b)
+
+
+@settings(max_examples=4, deadline=None)
+@given(st.lists(st.integers(0, 4_000_000_000_000), min_size=1, max_size=60))
+def test_epoch_millis_iso8601_matches_chrono_semantics(spark, millis):
+    df = spark.createDataFrame([(i, m) for i, m in enumerate(millis)], "i int, ms long")
+    got = {
+        r["i"]: r["out"]
+        for r in df.select("i", epoch_millis_to_iso8601(F.col("ms")).alias("out")).collect()
+    }
+    for i, m in enumerate(millis):
+        assert got[i] == _py_iso_variable(m * 1000), m
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.datetimes(
+                min_value=datetime.datetime(1971, 1, 1),
+                max_value=datetime.datetime(2200, 1, 1),
+            ).map(lambda d: d.strftime("%Y-%m-%dT%H:%M:%S") + "Z"),
+            st.datetimes(
+                min_value=datetime.datetime(1971, 1, 1),
+                max_value=datetime.datetime(2200, 1, 1),
+            ).map(lambda d: d.strftime("%Y-%m-%d %H:%M:%S")),  # no offset → reject
+            TEXT,
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_rfc3339_gate_matches_python_regex(spark, strings):
+    """The Spark-side rlike gate agrees with Python's re over the same
+    pattern for arbitrary strings (valid, offset-less, garbage)."""
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(strings)], "i int, s string")
+    got = {
+        r["i"]: r["ok"]
+        for r in df.select("i", F.col("s").rlike(RFC3339_PATTERN).alias("ok")).collect()
+    }
+    pat = re.compile(RFC3339_PATTERN)
+    for i, s in enumerate(strings):
+        assert got[i] == bool(pat.match(s)), s
+
+
+@settings(max_examples=4, deadline=None)
+@given(st.lists(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=60), min_size=1, max_size=60))
+def test_rolling_fingerprint_matches_python(spark, texts):
+    from kafka_delta_ingest_spark.operators.text import fingerprint_rolling
+
+    def py_roll(s: str) -> int:
+        norm = re.sub(r"\s+", " ", s.lower()).strip()
+        h = 0
+        for ch in norm:
+            h = (h * 31 + ord(ch)) % ROLLING_HASH_MOD
+        return h
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(texts)], "i int, s string")
+    got = {
+        r["i"]: r["h"]
+        for r in df.select("i", fingerprint_rolling(F.col("s")).alias("h")).collect()
+    }
+    for i, s in enumerate(texts):
+        assert got[i] == py_roll(s), repr(s)
