@@ -319,6 +319,48 @@ def agg_rollup_orders(spark, sf_dir):
 
 
 @_q(
+    "agg_cube_lineitem",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube_lineitem(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), _dsum("l_quantity").alias("total_qty")
+    )
+
+
+@_q(
+    "sql_correlated_subquery",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE CAST(o_totalprice AS DECIMAL(18,2)) > (
+      SELECT 1.5 * avg(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+      FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+)
+def sql_correlated_subquery(spark, sf_dir):
+    """Correlated scalar subquery (decorrelated by Catalyst into an
+    aggregate + join) — identical SQL runs on both engines."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE CAST(o_totalprice AS DECIMAL(18,2)) > (
+          SELECT 1.5 * avg(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+          FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+@_q(
     "agg_distinct_users",
     """
     SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events,
@@ -824,7 +866,10 @@ def sim_cosine_topk(spark, sf_dir):
     "sim_ivf_topk",
     """
     WITH e AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      SELECT vec_id,
+        list_transform(CAST(embedding AS DOUBLE[]),
+          x -> x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), y -> y*y)))) AS v
+      FROM embeddings
     ), q AS (
       SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0
     ), cents AS (
@@ -835,9 +880,7 @@ def sim_cosine_topk(spark, sf_dir):
         SELECT e.vec_id, e.v, cents.cent_id,
           row_number() OVER (
             PARTITION BY e.vec_id
-            ORDER BY list_sum(list_transform(list_zip(e.v, cv), p -> p[1]*p[2]))
-                   / (sqrt(list_sum(list_transform(e.v, x -> x*x)))
-                      * sqrt(list_sum(list_transform(cv, x -> x*x)))) DESC,
+            ORDER BY list_sum(list_transform(list_zip(e.v, cv), p -> p[1]*p[2])) DESC,
               cent_id ASC) AS r
         FROM e CROSS JOIN cents
       ) WHERE r = 1
@@ -847,17 +890,13 @@ def sim_cosine_topk(spark, sf_dir):
         SELECT q.query_id, q.qv, cents.cent_id,
           row_number() OVER (
             PARTITION BY q.query_id
-            ORDER BY list_sum(list_transform(list_zip(qv, cv), p -> p[1]*p[2]))
-                   / (sqrt(list_sum(list_transform(qv, x -> x*x)))
-                      * sqrt(list_sum(list_transform(cv, x -> x*x)))) DESC,
+            ORDER BY list_sum(list_transform(list_zip(qv, cv), p -> p[1]*p[2])) DESC,
               cent_id ASC) AS r
         FROM q CROSS JOIN cents
       ) WHERE r <= 3
     ), scored AS (
       SELECT probes.query_id, assigned.neighbor_id,
-        list_sum(list_transform(list_zip(assigned.v, probes.qv), p -> p[1]*p[2]))
-          / (sqrt(list_sum(list_transform(assigned.v, x -> x*x)))
-             * sqrt(list_sum(list_transform(probes.qv, x -> x*x)))) AS cs
+        list_sum(list_transform(list_zip(assigned.v, probes.qv), p -> p[1]*p[2])) AS cs
       FROM assigned JOIN probes USING (cell)
     )
     SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim,

@@ -40,7 +40,9 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
     "sim_cosine_topk",
+    "sim_ivf_topk",
     "sim_lsh_topk",
+    "events_asof_join",
     "embedding_neardup_lsh",
     "multimodal_features",
 ]

@@ -231,19 +231,32 @@ def ivf_topk(
     |centroids| ≈ √n this is the classic IVF trade: ~n_probe/√n of the
     corpus scored per query, recall < 1 by construction.
     """
-    cvecs = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"), _as_double(F.col(corpus_vec)).alias("_cv")
+    # Pre-normalize every side ONCE: cosine then reduces to a plain dot
+    # product, so the |corpus|×|centroids| scoring pass does dim mults
+    # per pair instead of 3·dim (norms recomputed per pair). The oracle
+    # mirrors the same normalize-then-dot formulation.
+    def unit(col: Column) -> Column:
+        n = l2_norm(col)
+        return F.transform(col, lambda x: x / n)
+
+    from kafka_delta_ingest_spark.operators.util import spread
+
+    cvecs = spread(corpus).select(
+        F.col(corpus_id).alias("neighbor_id"),
+        unit(_as_double(F.col(corpus_vec))).alias("_cv"),
     )
     qvecs = queries.select(
-        F.col(query_id).alias("query_id"), _as_double(F.col(query_vec)).alias("_qv")
+        F.col(query_id).alias("query_id"),
+        unit(_as_double(F.col(query_vec))).alias("_qv"),
     )
     cents = corpus.filter(F.col(corpus_id) % centroid_mod == 0).select(
-        F.col(corpus_id).alias("cent_id"), _as_double(F.col(corpus_vec)).alias("_cent")
+        F.col(corpus_id).alias("cent_id"),
+        unit(_as_double(F.col(corpus_vec))).alias("_cent"),
     )
 
     # Cell assignment: nearest centroid per corpus vector (ties → lowest id).
     aw = Window.partitionBy("neighbor_id").orderBy(
-        cosine(F.col("_cv"), F.col("_cent")).desc(), F.col("cent_id").asc()
+        dot(F.col("_cv"), F.col("_cent")).desc(), F.col("cent_id").asc()
     )
     assigned = (
         cvecs.crossJoin(broadcast(cents))
@@ -254,7 +267,7 @@ def ivf_topk(
 
     # Probe list: n_probe nearest centroids per query.
     qw = Window.partitionBy("query_id").orderBy(
-        cosine(F.col("_qv"), F.col("_cent")).desc(), F.col("cent_id").asc()
+        dot(F.col("_qv"), F.col("_cent")).desc(), F.col("cent_id").asc()
     )
     probes = (
         qvecs.crossJoin(broadcast(cents))
@@ -264,7 +277,7 @@ def ivf_topk(
     )
 
     scored = assigned.join(broadcast(probes), on="cell").select(
-        "query_id", "neighbor_id", cosine(F.col("_cv"), F.col("_qv")).alias("cos_sim")
+        "query_id", "neighbor_id", dot(F.col("_cv"), F.col("_qv")).alias("cos_sim")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()

@@ -154,3 +154,63 @@ def test_metrics_recorded_per_batch(spark, tmp_path):
     assert totals[M.RECORD_BATCH_COMPLETED] == 1
     assert totals[M.DELTA_WRITE_COMPLETED] == 1
     assert M.DELTA_WRITE_DURATION in totals
+
+
+def test_watermark_drops_late_rows_across_restart(spark, tmp_path):
+    """Event-time watermarking on a real stream: a checkpointed restart
+    carries the watermark forward, and a row later than the watermark
+    delay is dropped from its (already closed) window."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "wm-src")
+    ckpt = str(tmp_path / "wm-ckpt")
+
+    def event(ts_s, etype="click"):
+        return Row(ts=datetime.datetime(2024, 1, 1, 0, 0, 0)
+                   + datetime.timedelta(seconds=ts_s), event_type=etype)
+
+    def run(rows, name):
+        spark.createDataFrame(rows, "ts timestamp, event_type string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("ts timestamp, event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", "30 seconds")
+            .groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("ws"), "event_type", "n")
+        )
+        emitted = []
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(
+                lambda df, bid: emitted.extend(
+                    (r["ws"], r["event_type"], r["n"]) for r in df.collect()
+                )
+            )
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {(ws, et): n for ws, et, n in emitted}
+
+    import datetime
+
+    # run 1: 3 events in minute-0, then minute-2 events that push the
+    # watermark past minute-0 → minute-0 window closes and is emitted.
+    out1 = run([event(1), event(20), event(45), event(130), event(140)], "wm1")
+    m0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    m2 = datetime.datetime(2024, 1, 1, 0, 2, 0)
+    assert out1.get((m0, "click")) == 3
+
+    # run 2 (restart from checkpoint): one LATE row for minute-0 (beyond
+    # the 30s delay) plus minute-4 rows that close minute-2.
+    out2 = run([event(15), event(250), event(260)], "wm2")
+    assert (m0, "click") not in out2        # late row dropped, window stays closed
+    assert out2.get((m2, "click")) == 2     # minute-2 emitted WITHOUT late contamination
