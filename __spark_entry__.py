@@ -982,7 +982,7 @@ def embedding_neardup_lsh(spark, sf_dir):
         ),
     )
     return similarity.embedding_neardup_pairs(
-        base.unionByName(pert), threshold=0.95, dim=64, num_bits=8, num_tables=8
+        base.unionByName(pert), threshold=0.95, dim=64, num_bits=10, num_tables=8
     )
 
 

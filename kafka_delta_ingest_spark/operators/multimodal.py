@@ -113,6 +113,56 @@ def extract_features(
     return spread(df).mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+def deterministic_fake_resize(b: bytes, width: int, height: int) -> bytes:
+    """Stubbed resize kernel: deterministic byte reshaping standing in
+    for PIL ``Image.resize`` (no image libs in this runtime). The output
+    length is ``width*height`` bytes sampled evenly from the input, so
+    batch shapes and size accounting downstream are realistic."""
+    target = max(1, width * height)
+    src = b or b"\x00"
+    step = max(1, len(src) // target)
+    return bytes(src[i] for i in range(0, min(len(src), step * target), step))[:target]
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    kernel: Callable[[bytes, int, int], bytes] = deterministic_fake_resize,
+    media_col: str = "media",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Resize media blobs via Arrow-batched ``mapInPandas``.
+
+    Real plumbing, stubbed kernel (swap in PIL/ffmpeg on a cluster):
+    output keeps the media schema with updated width/height metadata.
+    Narrow transformation — blobs never cross a shuffle boundary.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_media = [
+                kernel(bytes(b) if b is not None else b"", width, height)
+                for b in pdf[media_col]
+            ]
+            meta = [
+                {
+                    "format": (m or {}).get("format"),
+                    "width": width,
+                    "height": height,
+                    "duration_ms": (m or {}).get("duration_ms"),
+                }
+                for m in pdf["meta"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col], "media": out_media, "meta": meta}
+            )
+
+    from kafka_delta_ingest_spark.operators.util import spread
+
+    return spread(df).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def frame_sample_plan(
     df: DataFrame,
     every_ms: int = 1000,

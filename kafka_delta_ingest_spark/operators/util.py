@@ -1,8 +1,8 @@
-"""Shared operator utilities."""
+"""Shared operator utilities: parallelism spreading and skew salting."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, functions as F
 
 
 def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
@@ -19,3 +19,39 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-stage aggregation with key salting for skewed distributions.
+
+    ``aggs`` maps output column → ("sum"|"count"|"min"|"max", input col).
+    Stage 1 aggregates on (keys + salt) — a hot key's rows split across
+    ``salt_buckets`` reducers instead of melting one; stage 2 merges the
+    per-salt partials (count merges via sum). AQE's skew-join splitting
+    covers joins; this covers aggregations whose partial/merge functions
+    are algebraic, which Spark cannot re-salt automatically.
+    """
+    stage1_aggs, stage2_aggs = [], []
+    for out, (kind, col) in aggs.items():
+        if kind == "count":
+            stage1_aggs.append(F.count(col).alias(out))
+            stage2_aggs.append(F.sum(out).alias(out))
+        elif kind == "sum":
+            stage1_aggs.append(F.sum(col).alias(out))
+            stage2_aggs.append(F.sum(out).alias(out))
+        elif kind == "min":
+            stage1_aggs.append(F.min(col).alias(out))
+            stage2_aggs.append(F.min(out).alias(out))
+        elif kind == "max":
+            stage1_aggs.append(F.max(col).alias(out))
+            stage2_aggs.append(F.max(out).alias(out))
+        else:
+            raise ValueError(f"unsupported salted agg kind: {kind!r}")
+    salt = (F.spark_partition_id() % salt_buckets).alias("_salt")
+    partial = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*stage1_aggs)
+    return partial.groupBy(*keys).agg(*stage2_aggs)

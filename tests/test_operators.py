@@ -255,3 +255,37 @@ def test_bpe_ish_token_count(spark):
     got = [r["n"] for r in df.select(bpe_ish_token_count(F.col("t")).alias("n")).collect()]
     # hello , world ! it ' s 2024 → 8 ; "" → 0 ; a - b → 3
     assert got == [8, 0, 3]
+
+
+def test_salted_agg_matches_plain_groupby(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_delta_ingest_spark.operators.util import salted_agg
+
+    # heavily skewed: 90% of rows share one key
+    rows = [(("hot" if i % 10 else f"k{i}"), i) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    salted = {
+        r["k"]: (r["n"], r["total"], r["mx"])
+        for r in salted_agg(
+            df, ["k"], {"n": ("count", "v"), "total": ("sum", "v"), "mx": ("max", "v")}
+        ).collect()
+    }
+    plain = {
+        r["k"]: (r["n"], r["total"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(F.count("v").alias("n"), F.sum("v").alias("total"), F.max("v").alias("mx"))
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_resize_media_plumbing(spark, docs):
+    from kafka_delta_ingest_spark.operators import multimodal
+
+    media = multimodal.media_from_documents(docs)
+    out = multimodal.resize_media(media, width=8, height=4).collect()
+    assert len(out) == media.count()
+    for r in out:
+        assert len(bytes(r["media"])) <= 8 * 4
+        assert r["meta"]["width"] == 8 and r["meta"]["height"] == 4
