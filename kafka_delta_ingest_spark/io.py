@@ -34,6 +34,13 @@ _TS_COLS = {
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Defensive session conf: the harness may run queries in ITS OWN
+    # SparkSession (not our factory). Without nanosAsLong the TIMESTAMP
+    # (NANOS) columns in the testdata abort the scan with
+    # PARQUET_TYPE_ILLEGAL; without UTC the timestamp formatting in the
+    # transform queries would follow the machine timezone.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _TS_COLS.get(name, []):
         if c in df.columns and isinstance(df.schema[c].dataType, LongType):
