@@ -378,6 +378,66 @@ def agg_distinct_users(spark, sf_dir):
 
 
 @_q(
+    "pivot_event_matrix",
+    """
+    SELECT user_id,
+      COUNT(*) FILTER (event_type = 'click')    AS click,
+      COUNT(*) FILTER (event_type = 'view')     AS view,
+      COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+      COUNT(*) FILTER (event_type = 'signup')   AS signup,
+      COUNT(*) FILTER (event_type = 'error')    AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_matrix(spark, sf_dir):
+    """Pivot (wide counts per key) — Spark pivot ≡ conditional aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+    )
+    # Spark pivot leaves NULL where a (user, type) pair never occurred;
+    # the FILTER formulation counts 0 — align on 0.
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ["click", "view", "purchase", "signup", "error"]],
+    )
+
+
+@_q(
+    "join_semi_anti_suppliers",
+    """
+    SELECT s_suppkey, s_name,
+      EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey
+              AND l_shipdate >= TIMESTAMP '2001-01-01') AS shipped_2001
+    FROM supplier
+    WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_suppkey = s_suppkey AND l_returnflag = 'A'
+                        AND l_quantity > 49 AND l_discount > 0.09)
+    """,
+)
+def join_semi_anti_suppliers(spark, sf_dir):
+    """Semi + anti joins (EXISTS / NOT EXISTS) with a correlated boolean
+    projection — planned as LeftSemi/LeftAnti, no row multiplication."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name,
+          EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey
+                  AND l_shipdate >= TIMESTAMP '2001-01-01') AS shipped_2001
+        FROM supplier
+        WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_suppkey = s_suppkey AND l_returnflag = 'A'
+                            AND l_quantity > 49 AND l_discount > 0.09)
+        """
+    )
+
+
+@_q(
     "set_ops_active_customers",
     """
     (SELECT c_custkey AS custkey FROM customer
