@@ -1188,6 +1188,28 @@ def agg_percentiles(spark, sf_dir):
     )
 
 
+@_q(
+    "text_fingerprint_rolling",
+    r"""
+    SELECT doc_id,
+      list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(
+            string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ''),
+            c -> CAST(ascii(c) AS BIGINT))),
+        (a, b) -> (a * 31 + b) % 1000000007) AS rolling_fp
+    FROM documents
+    """,
+)
+def text_fingerprint_rolling(spark, sf_dir):
+    """Mod-prime polynomial rolling hash over normalized text — the
+    shift-tolerant document fingerprint from the north-star list."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", textops.fingerprint_rolling(F.col("text")).alias("rolling_fp")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (binary media columns; decode kernel stubbed)
 # ---------------------------------------------------------------------------
