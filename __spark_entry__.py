@@ -1167,6 +1167,81 @@ def events_asof_join(spark, sf_dir):
 
 
 @_q(
+    "events_range_join",
+    """
+    WITH iv AS (
+      SELECT user_id, ts AS s, ts + INTERVAL 1 HOUR AS e,
+             max(event_id) AS interval_id
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    )
+    SELECT iv.interval_id, COUNT(*) AS n_events
+    FROM events e
+    JOIN iv ON e.user_id = iv.user_id AND e.ts >= iv.s AND e.ts < iv.e
+    GROUP BY iv.interval_id
+    """,
+)
+def events_range_join(spark, sf_dir):
+    """Point-in-interval range join: events landing inside each user's
+    1-hour post-purchase window. Bucketed equi-join formulation — a
+    plain theta join plans as a broadcast-nested-loop (O(n*m), a 100 TB
+    non-starter); bucketing makes it a hash join (see
+    operators/joins.py::range_join)."""
+    from kafka_delta_ingest_spark.operators.joins import range_join
+
+    e = load_table(spark, sf_dir, "events")
+    iv = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("interval_id"))
+        .select(
+            "user_id",
+            F.col("ts").alias("s"),
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("e"),
+            "interval_id",
+        )
+    )
+    out = range_join(
+        e.select("event_id", "user_id", "ts"),
+        iv,
+        point_col="ts",
+        start_col="s",
+        end_col="e",
+        bucket_width=3600,
+        on=["user_id"],
+    )
+    return out.groupBy("interval_id").agg(F.count("*").alias("n_events"))
+
+
+@_q(
+    "stream_offset_dedup",
+    """
+    SELECT CAST(user_id % 8 AS INT) AS kafka_partition,
+           event_id AS kafka_offset
+    FROM events
+    """,
+)
+def stream_offset_dedup(spark, sf_dir):
+    """The reference's per-partition ValueBuffer offset guard (reference
+    src/value_buffers.rs:14-35) as an explicit stateful operator:
+    replayed offsets are rejected per Kafka partition. Batch twin of the
+    applyInPandasWithState streaming operator (state survives
+    micro-batches via the checkpoint — proven in tests/test_stateful.py);
+    here replays are injected in-batch and must collapse back to the
+    exact source offset set."""
+    from kafka_delta_ingest_spark.streaming.stateful import stateful_offset_dedup
+
+    raw = _kafka_raw(spark, sf_dir)
+    frame = raw.select(
+        F.col("partition").alias("kafka_partition"),
+        F.col("offset").alias("kafka_offset"),
+    )
+    replays = frame.filter(F.col("kafka_offset") % 10 == 0)
+    noisy = frame.unionAll(replays).unionAll(replays)
+    return stateful_offset_dedup(noisy)
+
+
+@_q(
     "agg_percentiles",
     """
     SELECT l_returnflag,

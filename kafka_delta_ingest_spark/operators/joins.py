@@ -1,9 +1,11 @@
-"""Temporal join operators: as-of join (and its windowed plumbing).
+"""Temporal join operators: as-of join and bucketed range join.
 
 The reference has no joins at all (reference doc/DESIGN.md:52 "no joins
 or aggregates"); an as-of join is the canonical temporal operator a
 training-data / feature pipeline needs over the ingested event tables
-("latest right-side state at or before each left timestamp").
+("latest right-side state at or before each left timestamp"), and a
+point-in-interval range join is its sibling ("which window/campaign/
+maintenance interval does this event fall into").
 
 Scale design: the implementation is the union+window formulation — tag
 both sides, union, one shuffle on (keys, ts), then a running
@@ -16,7 +18,9 @@ the oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 _TS = "_kdi_asof_ts"
 _SIDE = "_kdi_asof_is_left"
@@ -71,3 +75,65 @@ def asof_join(
         *[F.col(f"_match.`{c}`").alias(f"{right_prefix}{c}") for c in rcols],
     )
     return out
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+    on: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join: each point row matched to every interval
+    with ``start <= point < end`` (half-open) and equal ``on`` keys.
+
+    Scale design: a naive theta-join (`p >= s AND p < e`) plans as
+    broadcast-nested-loop — O(|points|·|intervals|) and a 100 TB
+    non-starter. Instead each interval is exploded to the fixed-width
+    buckets it covers and each point to its single bucket; the join is
+    then an *equi*-join on (keys, bucket) that hash-partitions, AQE
+    skew-splits, and never compares a point with an interval more than
+    one bucket away. A point has exactly one bucket, so no dedup is
+    needed. Choose ``bucket_width`` near the typical interval length:
+    cost is |intervals| × (len/width) exploded rows vs join selectivity.
+
+    Numeric or timestamp columns both work (timestamps bucket on epoch
+    seconds). Point/start/end columns must be mutually comparable.
+    """
+    on = on or []
+    ts_types = ("timestamp", "timestamp_ntz")
+
+    def _num(df: DataFrame, name: str) -> Column:
+        # Timestamps bucket on epoch seconds (TIMESTAMP_NTZ cannot cast
+        # to LONG directly — go through TIMESTAMP; session TZ is UTC so
+        # the mapping is stable); integers pass through.
+        if df.schema[name].dataType.simpleString() in ts_types:
+            return F.unix_seconds(F.col(name).cast("timestamp"))
+        return F.col(name).cast("long")
+
+    iv = intervals.withColumn(
+        "_kdi_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(_num(intervals, start_col) / F.lit(bucket_width)),
+                # end is exclusive: an interval ending exactly on a bucket
+                # boundary does not reach into that bucket.
+                F.floor((_num(intervals, end_col) - 1) / F.lit(bucket_width)),
+            )
+        ),
+    )
+    pt = points.withColumn(
+        "_kdi_bucket", F.floor(_num(points, point_col) / F.lit(bucket_width))
+    )
+    cond = [pt["_kdi_bucket"] == iv["_kdi_bucket"]]
+    cond += [pt[k] == iv[k] for k in on]
+    cond.append(pt[point_col] >= iv[start_col])
+    cond.append(pt[point_col] < iv[end_col])
+    joined = pt.join(iv, reduce(lambda a, b: a & b, cond), how)
+    keep = [pt[c] for c in points.columns] + [
+        iv[c] for c in intervals.columns if c not in on
+    ]
+    return joined.select(*keep)
