@@ -378,7 +378,27 @@ class DeltaLikeTable:
 
     # -- read path ---------------------------------------------------------
 
-    def read(self, spark: SparkSession) -> DataFrame:
+    def files_for(self, predicates: list[tuple] | None = None) -> list[dict]:
+        """Live files minus those provably excluded by ``predicates`` —
+        reader-side data skipping over the add-action stats the writer
+        collects (the consumption side of reference src/writer.rs:657-1076;
+        Delta calls this data skipping / file pruning).
+
+        ``predicates`` is a list of ``(column, op, value)`` with op in
+        ``= < <= > >= is_not_null``. Skipping is conservative: a file is
+        dropped only when its partition value or min/max window proves no
+        row can match; unknown columns/ops/missing stats keep the file.
+        At scale this is the difference between scanning a 100 TB table
+        and scanning the handful of files a time-range query touches.
+        """
+        files = self._live_files()
+        if not predicates:
+            return files
+        return [f for f in files if not _file_excluded(f, predicates)]
+
+    def read(
+        self, spark: SparkSession, predicates: list[tuple] | None = None
+    ) -> DataFrame:
         # _kdi_log and _staging-* are underscore-prefixed → invisible to
         # Spark's file listing, so a plain recursive read sees only data.
         # Partition values come from directory names as strings; the
@@ -391,7 +411,12 @@ class DeltaLikeTable:
         # union schema surfaces them as NULL for old rows (reference
         # tests/schema_update_tests.rs:98-110).
         snap = self.snapshot()
-        live = [os.path.join(self.path, f["path"]) for f in self._live_files(snap)]
+        live_actions = self._live_files(snap)
+        if predicates:
+            live_actions = [
+                f for f in live_actions if not _file_excluded(f, predicates)
+            ]
+        live = [os.path.join(self.path, f["path"]) for f in live_actions]
         if not live:
             live = [self.path]  # empty table: let Spark infer an empty frame
         df = (
@@ -410,6 +435,72 @@ class DeltaLikeTable:
                     df = df.withColumn(pcol, _F.col(pcol).cast(schema[pcol].dataType))
             df = df.select(*[f"`{f.name}`" for f in schema.fields if f.name in df.columns])
         return df
+
+
+def _coerce_like(stored, probe):
+    """Coerce a stored stat/partition value into the probe's comparison
+    domain. Partition values are strings on disk; numeric predicates must
+    not compare lexicographically ("10" < "9")."""
+    if stored is None:
+        return None
+    if isinstance(probe, bool):
+        return str(stored).lower() == "true" if isinstance(stored, str) else bool(stored)
+    if isinstance(probe, (int, float)):
+        try:
+            return float(stored)
+        except (TypeError, ValueError):
+            return None
+    if hasattr(probe, "isoformat"):  # datetime probe vs ISO-string stat
+        return str(stored)
+    return str(stored)
+
+
+def _norm_probe(v):
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        return float(v)
+    return v
+
+
+def _file_excluded(f: dict, predicates: list[tuple]) -> bool:
+    """True iff the add action PROVES no row in the file can satisfy
+    every predicate (conjunctive semantics)."""
+    pvals = f.get("partitionValues") or {}
+    stats = f.get("stats") or {}
+    if isinstance(stats, str):
+        stats = json.loads(stats)
+    mins = stats.get("minValues") or {}
+    maxs = stats.get("maxValues") or {}
+    nulls = stats.get("nullCount") or {}
+    nrec = stats.get("numRecords")
+    for col, op, *rest in predicates:
+        value = rest[0] if rest else None
+        if op == "is_not_null":
+            if col in pvals:
+                if pvals[col] is None:
+                    return True
+            elif nrec is not None and nulls.get(col) == nrec:
+                return True
+            continue
+        probe = _norm_probe(value)
+        if col in pvals:
+            lo = hi = _coerce_like(pvals[col], probe)
+            if pvals[col] is None:
+                return True  # null partition value matches no comparison
+        else:
+            lo, hi = _coerce_like(mins.get(col), probe), _coerce_like(maxs.get(col), probe)
+        if lo is None or hi is None:
+            continue  # no usable stats — keep the file
+        if (
+            (op == "=" and (probe < lo or probe > hi))
+            or (op == "<" and lo >= probe)
+            or (op == "<=" and lo > probe)
+            or (op == ">" and hi <= probe)
+            or (op == ">=" and hi < probe)
+        ):
+            return True
+    return False
 
 
 def _parse_partition_values(rel_dir: str) -> dict[str, str | None]:

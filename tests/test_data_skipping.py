@@ -1,0 +1,81 @@
+"""Reader-side data skipping over add-action stats.
+
+The writer collects per-file min/max/nullCount for parity with the
+reference (src/writer.rs:657-1076); these tests prove the READER
+consumes them — a time-range or partition predicate prunes files before
+Spark ever lists them. That pruning is what makes the 100 TB table
+readable: the scan cost follows the predicate's selectivity, not the
+table size.
+"""
+
+import shutil
+import tempfile
+
+import pytest
+
+from kafka_delta_ingest_spark.sinks.delta_like import DeltaLikeTable
+
+
+@pytest.fixture()
+def table(spark):
+    root = tempfile.mkdtemp(prefix="kdi-skip-")
+    t = DeltaLikeTable(root + "/t")
+    t.write_batch(
+        spark.createDataFrame(
+            [(i, float(i), "2024-01-01") for i in range(10)], "id long, v double, date string"
+        ).coalesce(1),
+        partition_by=["date"],
+    )
+    t.write_batch(
+        spark.createDataFrame(
+            [(i, float(i), "2024-01-02") for i in range(100, 110)],
+            "id long, v double, date string",
+        ).coalesce(1),
+        partition_by=["date"],
+    )
+    yield t
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_minmax_stats_prune_files(table):
+    assert len(table.files_for()) == 2
+    assert len(table.files_for([("v", ">", 50)])) == 1
+    assert len(table.files_for([("v", "<=", 9)])) == 1
+    assert len(table.files_for([("v", ">", 500)])) == 0
+    # Point lookup inside a gap between the two files' windows.
+    assert len(table.files_for([("id", "=", 55)])) == 0
+    assert len(table.files_for([("id", "=", 105)])) == 1
+
+
+def test_partition_values_prune_typed(table):
+    assert len(table.files_for([("date", "=", "2024-01-02")])) == 1
+    assert len(table.files_for([("date", ">=", "2024-01-03")])) == 0
+    # Conjunction across a partition column and a stats column.
+    assert len(table.files_for([("date", "=", "2024-01-01"), ("v", ">", 50)])) == 0
+
+
+def test_numeric_partition_values_not_lexicographic(spark):
+    root = tempfile.mkdtemp(prefix="kdi-skip-num-")
+    try:
+        t = DeltaLikeTable(root + "/t")
+        for b in (2, 10):  # "10" < "9" lexicographically — must not matter
+            t.write_batch(
+                spark.createDataFrame([(b, b)], "id long, bucket long").coalesce(1),
+                partition_by=["bucket"],
+            )
+        assert len(t.files_for([("bucket", ">=", 9)])) == 1
+        assert len(t.files_for([("bucket", "<", 9)])) == 1
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_read_with_predicates_matches_full_filter(table, spark):
+    full = table.read(spark).filter("v > 50").count()
+    pruned = table.read(spark, predicates=[("v", ">", 50)]).filter("v > 50").count()
+    assert full == pruned == 10
+
+
+def test_unknown_columns_and_missing_stats_keep_files(table):
+    # Conservative fallback: pruning must never drop a file it cannot prove.
+    assert len(table.files_for([("nonexistent", ">", 1)])) == 2
+    assert len(table.files_for([("v", "is_not_null")])) == 2
