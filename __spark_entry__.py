@@ -1242,6 +1242,42 @@ def stream_offset_dedup(spark, sf_dir):
 
 
 @_q(
+    "events_interval_join",
+    """
+    SELECT a.event_id AS purchase_id, COUNT(*) AS n_following
+    FROM events a
+    JOIN events b ON a.user_id = b.user_id
+      AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    WHERE a.event_type = 'purchase'
+    GROUP BY a.event_id
+    """,
+)
+def events_interval_join(spark, sf_dir):
+    """Batch twin of the watermarked stream-stream interval join
+    (streaming/joins.py::interval_join, stream semantics proven in
+    tests/test_stream_joins.py): events within 30 minutes after each
+    purchase, hash-joined on user_id with the time bound as residual."""
+    from kafka_delta_ingest_spark.streaming.joins import interval_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = interval_join(
+        purchases.withColumnRenamed("p_user", "user_id"),
+        e.select("user_id", F.col("ts").alias("e_ts")),
+        on="user_id",
+        left_ts="p_ts",
+        right_ts="e_ts",
+        lower="0 seconds",
+        upper="30 minutes",
+    )
+    return joined.groupBy("purchase_id").agg(F.count("*").alias("n_following"))
+
+
+@_q(
     "q4_order_priority",
     """
     SELECT o_orderpriority, COUNT(*) AS order_count
