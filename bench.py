@@ -44,6 +44,12 @@ HEADLINE = [
     "sim_ivf_topk",
     "sim_lsh_topk",
     "events_asof_join",
+    "events_range_join",
+    "events_interval_join",
+    "q9_nation_year_profit",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "stream_offset_dedup",
     "embedding_neardup_lsh",
     "multimodal_features",
 ]
