@@ -105,28 +105,37 @@ def range_join(
     """
     on = on or []
     ts_types = ("timestamp", "timestamp_ntz")
+    any_ts = any(
+        df.schema[name].dataType.simpleString() in ts_types
+        for df, name in ((points, point_col), (intervals, start_col), (intervals, end_col))
+    )
+    # Timestamps bucket on epoch MICROseconds — Spark's native timestamp
+    # precision — so `end - 1` below is exact for sub-second data (epoch
+    # seconds would truncate a fractional end into an uncovered bucket
+    # and silently miss matches). bucket_width stays in seconds/units.
+    width = bucket_width * 1_000_000 if any_ts else bucket_width
 
     def _num(df: DataFrame, name: str) -> Column:
-        # Timestamps bucket on epoch seconds (TIMESTAMP_NTZ cannot cast
-        # to LONG directly — go through TIMESTAMP; session TZ is UTC so
-        # the mapping is stable); integers pass through.
+        # TIMESTAMP_NTZ cannot cast to LONG directly — go through
+        # TIMESTAMP; points and intervals shift identically under any
+        # session TZ, so bucket assignment stays consistent.
         if df.schema[name].dataType.simpleString() in ts_types:
-            return F.unix_seconds(F.col(name).cast("timestamp"))
+            return F.unix_micros(F.col(name).cast("timestamp"))
         return F.col(name).cast("long")
 
     iv = intervals.withColumn(
         "_kdi_bucket",
         F.explode(
             F.sequence(
-                F.floor(_num(intervals, start_col) / F.lit(bucket_width)),
+                F.floor(_num(intervals, start_col) / F.lit(width)),
                 # end is exclusive: an interval ending exactly on a bucket
                 # boundary does not reach into that bucket.
-                F.floor((_num(intervals, end_col) - 1) / F.lit(bucket_width)),
+                F.floor((_num(intervals, end_col) - 1) / F.lit(width)),
             )
         ),
     )
     pt = points.withColumn(
-        "_kdi_bucket", F.floor(_num(points, point_col) / F.lit(bucket_width))
+        "_kdi_bucket", F.floor(_num(points, point_col) / F.lit(width))
     )
     cond = [pt["_kdi_bucket"] == iv["_kdi_bucket"]]
     cond += [pt[k] == iv[k] for k in on]

@@ -207,3 +207,22 @@ def test_range_join_timestamps_with_keys(spark):
     )
     out = range_join(points, intervals, "ts", "s", "e", bucket_width=3600, on=["user"])
     assert {r.eid for r in out.collect()} == {1}
+
+
+def test_range_join_subsecond_timestamps(spark):
+    """A point in the same truncated second as a fractional interval end
+    must still match (micro-precision bucketing; second-truncation would
+    drop it into an uncovered bucket)."""
+    points = spark.createDataFrame(
+        [(1, "2024-01-01 00:59:59.2"), (2, "2024-01-01 00:59:59.8")],
+        "eid int, ts string",
+    ).select("eid", F.col("ts").cast("timestamp_ntz").alias("ts"))
+    intervals = spark.createDataFrame(
+        [(7, "2024-01-01 00:00:00", "2024-01-01 00:59:59.5")], "iid int, s string, e string"
+    ).select(
+        "iid",
+        F.col("s").cast("timestamp_ntz").alias("s"),
+        F.col("e").cast("timestamp_ntz").alias("e"),
+    )
+    out = range_join(points, intervals, "ts", "s", "e", bucket_width=3600)
+    assert {r.eid for r in out.collect()} == {1}  # .2 < end .5 ≤ .8
