@@ -158,46 +158,181 @@ def json_payload_to_struct(
     return clean, err
 
 
+def avro_to_spark_schema(avro_schema) -> DataType:
+    """Avro schema → Spark DataType (for the jar-free decode path).
+
+    bytes/fixed surface as base64 strings (JSON hand-off); unions with
+    null become the nullable non-null branch.
+    """
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        MapType,
+    )
+    from kafka_delta_ingest_spark import avro_python
+
+    s = avro_python.parse_schema(avro_schema)
+
+    def conv(s) -> DataType:
+        if isinstance(s, list):
+            non_null = [b for b in s if b != "null"]
+            return conv(non_null[0]) if non_null else StringType()
+        if isinstance(s, dict):
+            t = s["type"]
+            if t == "record":
+                return StructType(
+                    [StructField(f["name"], conv(f["type"]), True) for f in s["fields"]]
+                )
+            if t == "array":
+                return ArrayType(conv(s["items"]), True)
+            if t == "map":
+                return MapType(StringType(), conv(s["values"]), True)
+            if t in ("enum", "fixed"):
+                return StringType()
+            return conv(t)
+        return {
+            "boolean": BooleanType(),
+            "int": LongType(),
+            "long": LongType(),
+            "float": DoubleType(),
+            "double": DoubleType(),
+            "bytes": StringType(),
+            "string": StringType(),
+            "null": StringType(),
+        }[s]
+
+    return conv(s)
+
+
+def _jvm_avro_loaded() -> bool:
+    """True iff the spark-avro jar is actually on the session classpath
+    (the Python ``from_avro`` wrapper imports fine either way; absence
+    only surfaces as AVRO_NOT_LOADED at analysis time)."""
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is None:
+        return False
+    try:
+        s._jvm.java.lang.Class.forName("org.apache.spark.sql.avro.AvroDataToCatalyst")
+        return True
+    except Exception:
+        return False
+
+
+def _python_avro_json_udf(
+    single_schema: str | None = None,
+    schemas_by_fp: dict[int, str] | None = None,
+    skip_bytes: int = 0,
+):
+    """binary → JSON-text pandas UDF over the pure-Python Avro codec.
+
+    Exactly one of ``single_schema`` / ``schemas_by_fp`` is set; the
+    latter routes each message by its little-endian i64 fingerprint at
+    bytes [2, 10) (single-object encoding). Decode failures and unknown
+    fingerprints yield NULL (→ DLQ via the JSON corrupt path).
+    """
+    import base64
+
+    from pyspark.sql.functions import pandas_udf
+    from kafka_delta_ingest_spark import avro_python
+
+    parsed_one = avro_python.parse_schema(single_schema) if single_schema else None
+    parsed_fp = {
+        fp: avro_python.parse_schema(s) for fp, s in (schemas_by_fp or {}).items()
+    }
+
+    def jdefault(o):
+        if isinstance(o, (bytes, bytearray)):
+            return base64.b64encode(bytes(o)).decode("ascii")
+        raise TypeError(type(o).__name__)
+
+    @pandas_udf("string")
+    def _dec(series: pd.Series) -> pd.Series:
+        import json as _json
+
+        from kafka_delta_ingest_spark import avro_python as ap
+
+        def one(b):
+            if b is None:
+                return None
+            try:
+                raw = bytes(b)
+                if parsed_one is not None:
+                    datum = ap.decode(raw[skip_bytes:], parsed_one)
+                else:
+                    fp = int.from_bytes(raw[2:10], "little", signed=True)
+                    sch = parsed_fp.get(fp)
+                    if sch is None:
+                        return None
+                    datum = ap.decode(raw[10:], sch)
+                return _json.dumps(datum, default=jdefault)
+            except Exception:
+                return None
+
+        return series.map(one)
+
+    return _dec
+
+
 def avro_payload_to_struct(
     value: Column,
     avro_json_schema: str,
     confluent_wire_format: bool = False,
 ):
-    """binary payload → struct via spark-avro (gated on the package jar).
+    """binary payload → struct.
 
-    Raises RuntimeError with a clear message when the spark-avro package
-    is absent (it is not bundled with a plain pyspark install).
+    Uses the JVM ``from_avro`` when the spark-avro package is on the
+    classpath; otherwise falls back to the pure-Python Avro binary
+    decoder (avro_python.py) as an Arrow-batched UDF emitting JSON that
+    re-enters the native ``from_json`` path — same struct out, jar-free.
     """
-    try:
+    if _jvm_avro_loaded():
         from pyspark.sql.avro.functions import from_avro
-    except ImportError as e:  # pragma: no cover
-        raise RuntimeError(
-            "Avro decode requires the spark-avro package "
-            "(--packages org.apache.spark:spark-avro_2.13:<spark-version>)"
-        ) from e
-    payload = strip_confluent_header(value) if confluent_wire_format else value
-    return from_avro(payload, avro_json_schema, {"mode": "PERMISSIVE"})
+
+        payload = strip_confluent_header(value) if confluent_wire_format else value
+        return from_avro(payload, avro_json_schema, {"mode": "PERMISSIVE"})
+    dec = _python_avro_json_udf(
+        single_schema=avro_json_schema,
+        skip_bytes=5 if confluent_wire_format else 0,
+    )
+    return F.from_json(dec(value), avro_to_spark_schema(avro_json_schema))
 
 
 def soe_routed_avro(value: Column, schemas_by_fingerprint: dict[int, str]):
-    """Single-object-encoding: fingerprint-dispatched from_avro branches.
+    """Single-object-encoding: fingerprint-dispatched Avro decode
+    (reference src/serialization.rs:161-210).
 
     ``schemas_by_fingerprint`` maps the 8-byte Rabin fingerprint
-    (little-endian i64, as produced by ``soe_fingerprint``) to the Avro
-    reader schema JSON. Unknown fingerprints → NULL (route to DLQ).
+    (little-endian i64, as produced by ``soe_fingerprint`` /
+    ``avro_python.rabin_fingerprint``) to the Avro reader schema JSON.
+    Unknown fingerprints → NULL (route to DLQ). JVM ``from_avro``
+    branches when the jar is present; pure-Python decode otherwise.
+    The decoded struct is the field-union of all reader schemas (a
+    message leaves the other schemas' fields NULL).
     """
-    try:
+    merged = StructType()
+    seen: set[str] = set()
+    for schema_json in schemas_by_fingerprint.values():
+        st = avro_to_spark_schema(schema_json)
+        for field in st.fields:
+            if field.name not in seen:
+                seen.add(field.name)
+                merged = merged.add(field)
+    if _jvm_avro_loaded():
         from pyspark.sql.avro.functions import from_avro
-    except ImportError as e:  # pragma: no cover
-        raise RuntimeError("SOE Avro decode requires the spark-avro package") from e
-    fp = soe_fingerprint(value)
-    body = F.expr(f"substring({_sql(value)}, 11, length({_sql(value)}) - 10)")
-    out = None
-    for fingerprint, schema_json in schemas_by_fingerprint.items():
-        branch = from_avro(body, schema_json)
-        out = (
-            F.when(fp == F.lit(fingerprint), branch)
-            if out is None
-            else out.when(fp == F.lit(fingerprint), branch)
-        )
-    return out
+
+        fp = soe_fingerprint(value)
+        body = F.expr(f"substring({_sql(value)}, 11, length({_sql(value)}) - 10)")
+        out = None
+        for fingerprint, schema_json in schemas_by_fingerprint.items():
+            branch = F.to_json(from_avro(body, schema_json))
+            out = (
+                F.when(fp == F.lit(fingerprint), branch)
+                if out is None
+                else out.when(fp == F.lit(fingerprint), branch)
+            )
+        return F.from_json(out, merged)
+    dec = _python_avro_json_udf(schemas_by_fp=schemas_by_fingerprint)
+    return F.from_json(dec(value), merged)
