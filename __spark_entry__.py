@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.types import (
     IntegerType,
@@ -1211,6 +1212,56 @@ def events_range_join(spark, sf_dir):
         on=["user_id"],
     )
     return out.groupBy("interval_id").agg(F.count("*").alias("n_events"))
+
+
+@_q(
+    "ingest_avro_path",
+    """
+    SELECT event_id, user_id, event_type FROM events
+    """,
+)
+def ingest_avro_path(spark, sf_dir):
+    """Avro wire-format roundtrip through the jar-free codec
+    (serialization.py::avro_payload_to_struct → avro_python.py): events
+    are Avro-binary-encoded by an Arrow-batched UDF, then decoded by the
+    deserializer family's fallback path — output must reproduce the
+    source table exactly (reference src/serialization.rs:142-154)."""
+    import json as _json
+
+    from pyspark.sql.functions import pandas_udf
+    from kafka_delta_ingest_spark.serialization import avro_payload_to_struct
+
+    avro_schema = _json.dumps(
+        {
+            "type": "record",
+            "name": "Event",
+            "fields": [
+                {"name": "event_id", "type": "long"},
+                {"name": "user_id", "type": "long"},
+                {"name": "event_type", "type": "string"},
+            ],
+        }
+    )
+
+    @pandas_udf("binary")
+    def enc(eid: pd.Series, uid: pd.Series, et: pd.Series) -> pd.Series:
+        from kafka_delta_ingest_spark import avro_python as ap
+
+        parsed = ap.parse_schema(avro_schema)
+        return pd.Series(
+            [
+                ap.encode(
+                    {"event_id": int(a), "user_id": int(b), "event_type": str(c)},
+                    parsed,
+                )
+                for a, b, c in zip(eid, uid, et)
+            ]
+        )
+
+    e = load_table(spark, sf_dir, "events")
+    wire = e.select(enc("event_id", "user_id", "event_type").alias("value"))
+    dec = wire.select(avro_payload_to_struct(F.col("value"), avro_schema).alias("m"))
+    return dec.select("m.event_id", "m.user_id", "m.event_type")
 
 
 @_q(
