@@ -300,8 +300,10 @@ class DeltaLikeTable:
         spark: SparkSession,
         target_file_bytes: int = 134_217_728,
         partition_by: list[str] | None = None,
+        cluster_by: list[str] | None = None,
     ) -> CommitResult:
-        """Bin-pack small files into ~``target_file_bytes`` files.
+        """Bin-pack small files into ~``target_file_bytes`` files,
+        optionally clustering rows by ``cluster_by`` while rewriting.
 
         The reference reaches its 128 MiB ``min_bytes_per_file`` target
         by holding parquet writers open across record batches
@@ -311,13 +313,25 @@ class DeltaLikeTable:
         small files, rewrite coalesced, commit ``remove`` + ``add``
         actions atomically. Readers of any snapshot see exactly-one copy
         of every row.
+
+        ``cluster_by`` is the Delta ZORDER/liquid-clustering analog:
+        ``repartitionByRange`` + in-partition sort on the keys makes
+        every rewritten file own a narrow disjoint min/max window, so
+        reader-side data skipping (``files_for``) prunes point and
+        range predicates on those columns to ~one file instead of all
+        of them. With clustering, ALL live files are rewritten (the
+        point is the global sort, not just packing the small ones).
         """
         snap = self.snapshot()
         meta = snap["metaData"]
         partition_by = partition_by or (meta["partitionColumns"] if meta else [])
         removed = set()
         live = self._live_files(snap)
-        small = [f for f in live if f["size"] < target_file_bytes]
+        small = (
+            list(live)
+            if cluster_by
+            else [f for f in live if f["size"] < target_file_bytes]
+        )
         if len(small) < 2:
             return CommitResult(snap["version"], 0, 0, skipped=True)
         total_bytes = sum(f["size"] for f in small)
@@ -328,7 +342,14 @@ class DeltaLikeTable:
             "mergeSchema", "true"
         ).parquet(*paths)
         staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
-        writer = df.coalesce(n_out).write.mode("overwrite")
+        if cluster_by:
+            from pyspark.sql import functions as _F
+
+            keys = [_F.col(c) for c in cluster_by]
+            shaped = df.repartitionByRange(n_out, *keys).sortWithinPartitions(*keys)
+        else:
+            shaped = df.coalesce(n_out)
+        writer = shaped.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(staging)
@@ -344,6 +365,7 @@ class DeltaLikeTable:
                         "targetSize": target_file_bytes,
                         "numRemoved": len(removed),
                         "numAdded": len(adds),
+                        "clusterBy": cluster_by or [],
                     },
                 }
             }

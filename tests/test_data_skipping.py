@@ -75,6 +75,39 @@ def test_read_with_predicates_matches_full_filter(table, spark):
     assert full == pruned == 10
 
 
+def test_clustered_optimize_enables_skipping(spark):
+    """Before clustering, every file's id min/max window spans the whole
+    domain (round-robin writes) so a point predicate prunes nothing;
+    after optimize(cluster_by=["id"]), files own disjoint ranges and the
+    same predicate hits ~one file."""
+    root = tempfile.mkdtemp(prefix="kdi-zorder-")
+    try:
+        t = DeltaLikeTable(root + "/t")
+        # 4 batches, each containing ids spread across the full 0..400
+        # domain (i, i+4, i+8, ...) — worst case for min/max skipping.
+        for b in range(4):
+            t.write_batch(
+                spark.createDataFrame(
+                    [(i,) for i in range(b, 400, 4)], "id long"
+                ).coalesce(1)
+            )
+        before = t.files_for([("id", "=", 250)])
+        assert len(before) == 4  # every file's window covers 250
+
+        res = t.optimize(spark, target_file_bytes=1, cluster_by=["id"])
+        assert not res.skipped
+        after = t.files_for([("id", "=", 250)])
+        assert len(after) == 1  # disjoint sorted ranges → one file
+        # Row set is unchanged through the rewrite.
+        assert sorted(r.id for r in t.read(spark).collect()) == list(range(400))
+        # And predicate reads agree.
+        assert t.read(spark, predicates=[("id", "=", 250)]).filter(
+            "id = 250"
+        ).count() == 1
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_unknown_columns_and_missing_stats_keep_files(table):
     # Conservative fallback: pruning must never drop a file it cannot prove.
     assert len(table.files_for([("nonexistent", ">", 1)])) == 2
