@@ -94,10 +94,38 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def options_from_args(args: argparse.Namespace) -> IngestOptions:
+    import os
+
+    avro_schema_json: str | None = None
+    soe_schemas: dict[int, str] | None = None
     if args.soe_avro:
         fmt = MessageFormat.AVRO_SOE
+        # Reference semantics (src/serialization.rs:368-440): a schema
+        # file or a directory of schema files, each registered under its
+        # Rabin fingerprint.
+        from kafka_delta_ingest_spark.avro_python import rabin_fingerprint
+
+        paths = (
+            [os.path.join(args.soe_avro, p) for p in sorted(os.listdir(args.soe_avro))]
+            if os.path.isdir(args.soe_avro)
+            else [args.soe_avro]
+        )
+        soe_schemas = {}
+        for p in paths:
+            if not p.endswith((".avsc", ".json")):
+                continue
+            with open(p) as f:
+                schema_json = f.read()
+            soe_schemas[rabin_fingerprint(schema_json)] = schema_json
     elif args.avro_schema is not None:
-        fmt = MessageFormat.AVRO if args.avro_schema == "" else MessageFormat.AVRO_SCHEMA_REGISTRY
+        if args.avro_schema == "":
+            fmt = MessageFormat.AVRO  # self-describing container payloads
+        elif os.path.isfile(args.avro_schema):
+            fmt = MessageFormat.AVRO  # explicit reader schema file
+            with open(args.avro_schema) as f:
+                avro_schema_json = f.read()
+        else:
+            fmt = MessageFormat.AVRO_SCHEMA_REGISTRY  # registry URL
     elif args.json_registry:
         fmt = MessageFormat.JSON_SCHEMA_REGISTRY
     elif args.decompress_gzip:
@@ -123,6 +151,8 @@ def options_from_args(args: argparse.Namespace) -> IngestOptions:
         kafka_brokers=args.kafka,
         checkpoints=args.checkpoints,
         statsd_endpoint=args.statsd_endpoint,
+        avro_schema_json=avro_schema_json,
+        soe_schemas=soe_schemas,
     )
 
 

@@ -55,3 +55,10 @@ class IngestOptions:
     checkpoints: bool = True
     # statsd endpoint (observability parity; optional).
     statsd_endpoint: str | None = None
+    # Avro reader schema JSON (AVRO / AVRO_SCHEMA_REGISTRY); None for
+    # object-container payloads, which carry their writer schema
+    # (reference src/serialization.rs:243-315).
+    avro_schema_json: str | None = None
+    # AVRO_SOE: little-endian i64 Rabin fingerprint → reader schema JSON
+    # (reference src/serialization.rs:161-210).
+    soe_schemas: dict[int, str] | None = None

@@ -105,11 +105,33 @@ class IngestJob:
         Output: destination-schema columns + META columns + ERROR_COL
         (non-null → dead letter) + CONFORM_COL.
         """
-        gzip = self.opts.message_format == MessageFormat.JSON_GZIP
-        confluent = self.opts.message_format == MessageFormat.JSON_SCHEMA_REGISTRY
-        parsed, err = json_payload_to_struct(
-            F.col("value"), self.target_schema, gzip=gzip, confluent_wire_format=confluent
-        )
+        fmt = self.opts.message_format
+        if fmt in (
+            MessageFormat.AVRO,
+            MessageFormat.AVRO_SCHEMA_REGISTRY,
+            MessageFormat.AVRO_SOE,
+        ):
+            from kafka_delta_ingest_spark.serialization import (
+                avro_payload_to_json,
+                json_text_to_struct,
+            )
+
+            text = avro_payload_to_json(
+                F.col("value"),
+                avro_schema_json=self.opts.avro_schema_json,
+                confluent_wire_format=fmt == MessageFormat.AVRO_SCHEMA_REGISTRY,
+                soe_schemas=self.opts.soe_schemas
+                if fmt == MessageFormat.AVRO_SOE
+                else None,
+            )
+            parsed, err = json_text_to_struct(text, self.target_schema)
+        else:
+            parsed, err = json_payload_to_struct(
+                F.col("value"),
+                self.target_schema,
+                gzip=fmt == MessageFormat.JSON_GZIP,
+                confluent_wire_format=fmt == MessageFormat.JSON_SCHEMA_REGISTRY,
+            )
 
         # Empty payloads are skipped silently, not dead-lettered
         # (reference src/lib.rs:847-852).

@@ -123,25 +123,15 @@ def _sql(col: Column) -> str:
     return col._jc.toString()  # noqa: SLF001
 
 
-def json_payload_to_struct(
-    value: Column,
-    target: StructType,
-    gzip: bool = False,
-    confluent_wire_format: bool = False,
-) -> tuple[Column, Column]:
-    """binary payload → (parsed wire struct, error string or NULL).
+def json_text_to_struct(text: Column, target: StructType) -> tuple[Column, Column]:
+    """JSON text → (parsed wire struct, error string or NULL).
 
-    PERMISSIVE parse with corrupt-record capture: a payload that is not
-    valid JSON (or not an object) yields a NULL struct and the error
-    column carries the raw text — the reference's deserialization-failure
-    DLQ path (src/lib.rs:853-865).
+    PERMISSIVE parse with corrupt-record capture: text that is not valid
+    JSON (or not an object) yields a NULL struct and the error column
+    carries the raw text — the reference's deserialization-failure DLQ
+    path (src/lib.rs:853-865). NULL text (an upstream binary decode
+    failed) is an error too, never a silent drop.
     """
-    payload = value
-    if confluent_wire_format:
-        payload = strip_confluent_header(payload)
-    if gzip:
-        payload = gunzip(payload)
-    text = payload.cast("string")
     schema = StructType(
         list(wire_schema(target).fields) + [StructField(CORRUPT_COL, StringType(), True)]
     )
@@ -151,11 +141,26 @@ def json_payload_to_struct(
         {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
     )
     err = F.when(
-        parsed.isNull() | parsed[CORRUPT_COL].isNotNull(),
-        F.coalesce(parsed[CORRUPT_COL], text),
+        parsed.isNull() | parsed[CORRUPT_COL].isNotNull() | text.isNull(),
+        F.coalesce(parsed[CORRUPT_COL], text, F.lit("payload decode failed")),
     )
     clean = F.when(err.isNull(), parsed.dropFields(CORRUPT_COL))
     return clean, err
+
+
+def json_payload_to_struct(
+    value: Column,
+    target: StructType,
+    gzip: bool = False,
+    confluent_wire_format: bool = False,
+) -> tuple[Column, Column]:
+    """binary payload → (parsed wire struct, error string or NULL)."""
+    payload = value
+    if confluent_wire_format:
+        payload = strip_confluent_header(payload)
+    if gzip:
+        payload = gunzip(payload)
+    return json_text_to_struct(payload.cast("string"), target)
 
 
 def avro_to_spark_schema(avro_schema) -> DataType:
@@ -274,6 +279,60 @@ def _python_avro_json_udf(
         return series.map(one)
 
     return _dec
+
+
+def avro_payload_to_json(
+    value: Column,
+    avro_schema_json: str | None = None,
+    confluent_wire_format: bool = False,
+    soe_schemas: dict[int, str] | None = None,
+) -> Column:
+    """binary Avro payload → JSON text, covering the reference's three
+    Avro shapes (src/serialization.rs:142-315): explicit reader schema
+    (optionally Confluent-framed), single-object encoding routed by
+    fingerprint, or — when no schema is given — object-container bytes
+    carrying their own writer schema. The text re-enters the normal
+    ``json_text_to_struct`` path, so Avro messages get the identical
+    destination-schema decode, coercion, and DLQ semantics as JSON ones.
+    Decode failures yield NULL (→ error capture downstream)."""
+    if soe_schemas:
+        return _python_avro_json_udf(schemas_by_fp=soe_schemas)(value)
+    if avro_schema_json:
+        return _python_avro_json_udf(
+            single_schema=avro_schema_json,
+            skip_bytes=5 if confluent_wire_format else 0,
+        )(value)
+
+    # Container mode: each payload is a self-describing container file.
+    import base64
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _dec(series: pd.Series) -> pd.Series:
+        import json as _json
+
+        from kafka_delta_ingest_spark import avro_python as ap
+
+        def jdefault(o):
+            if isinstance(o, (bytes, bytearray)):
+                return base64.b64encode(bytes(o)).decode("ascii")
+            raise TypeError(type(o).__name__)
+
+        def one(b):
+            if b is None:
+                return None
+            try:
+                _schema, records = ap.read_container(bytes(b))
+                if not records:
+                    return None
+                return _json.dumps(records[0], default=jdefault)
+            except Exception:
+                return None
+
+        return series.map(one)
+
+    return _dec(value)
 
 
 def avro_payload_to_struct(

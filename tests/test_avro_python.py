@@ -125,6 +125,95 @@ def test_soe_fingerprint_routing(spark):
     assert rows[2].id is None and rows[2].url is None  # unknown → NULL → DLQ
 
 
+def test_ingest_job_avro_message_path(spark):
+    """Avro messages through the full IngestJob plan/split: good rows
+    decode into the destination schema, undecodable payloads route to
+    the DLQ split — identical semantics to the JSON path (reference
+    tests/deserialization_tests.rs:37-340)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from kafka_delta_ingest_spark.config import IngestOptions, MessageFormat
+    from kafka_delta_ingest_spark.ingest import IngestJob
+
+    schema_json = json.dumps(
+        {
+            "type": "record",
+            "name": "E",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "color", "type": "string"},
+            ],
+        }
+    )
+    parsed = ap.parse_schema(schema_json)
+    msgs = [
+        (ap.encode({"id": i, "color": "red"}, parsed), 0, i) for i in range(10)
+    ] + [(b"\xff\xfe garbage", 0, 10)]
+    raw = spark.createDataFrame(
+        [
+            (v, p, o, "t", __import__("datetime").datetime(2024, 1, 1), 0)
+            for v, p, o in msgs
+        ],
+        "value binary, partition int, offset long, topic string, "
+        "timestamp timestamp, timestampType int",
+    )
+    target = StructType(
+        [StructField("id", LongType()), StructField("color", StringType())]
+    )
+    job = IngestJob(
+        IngestOptions(
+            topic="t",
+            table_uri="/tmp/kdi-avro-noop",
+            message_format=MessageFormat.AVRO,
+            avro_schema_json=schema_json,
+        ),
+        target,
+    )
+    good, dlq = job.split(job.plan(raw))
+    assert sorted(r.id for r in good.collect()) == list(range(10))
+    assert dlq.count() == 1
+
+
+def test_soe_schema_dir_cli_loading(tmp_path):
+    """--soe-avro with a directory registers every schema under its
+    Rabin fingerprint (reference SoeAvroDeserializer::try_from_path)."""
+    from kafka_delta_ingest_spark.cli import build_parser, options_from_args
+
+    s1 = json.dumps({"type": "record", "name": "A", "fields": [{"name": "x", "type": "long"}]})
+    s2 = json.dumps({"type": "record", "name": "B", "fields": [{"name": "y", "type": "string"}]})
+    (tmp_path / "a.avsc").write_text(s1)
+    (tmp_path / "b.avsc").write_text(s2)
+    args = build_parser().parse_args(
+        ["ingest", "topic", "/tmp/tbl", "--soe-avro", str(tmp_path)]
+    )
+    opts = options_from_args(args)
+    assert opts.soe_schemas == {
+        ap.rabin_fingerprint(s1): s1,
+        ap.rabin_fingerprint(s2): s2,
+    }
+
+
+def test_container_payload_self_describing(spark):
+    """MessageFormat.AVRO with no reader schema: each payload is an
+    object-container whose writer schema drives the decode."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from kafka_delta_ingest_spark.serialization import (
+        avro_payload_to_json,
+        json_text_to_struct,
+    )
+
+    sch = {"type": "record", "name": "C", "fields": [
+        {"name": "id", "type": "long"}, {"name": "color", "type": "string"}]}
+    blob = ap.write_container([{"id": 5, "color": "teal"}], json.dumps(sch))
+    df = spark.createDataFrame([(blob,)], "value binary")
+    target = StructType([StructField("id", LongType()), StructField("color", StringType())])
+    text = avro_payload_to_json(F.col("value"))
+    parsed, err = json_text_to_struct(text, target)
+    row = df.select(parsed.alias("m"), err.alias("e")).collect()[0]
+    assert row.m.id == 5 and row.m.color == "teal" and row.e is None
+
+
 def test_avro_to_spark_schema_types():
     st = avro_to_spark_schema(json.dumps(SCHEMA))
     assert st["id"].dataType.simpleString() == "bigint"
