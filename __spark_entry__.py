@@ -1329,6 +1329,63 @@ def events_interval_join(spark, sf_dir):
 
 
 @_q(
+    "agg_grouping_sets",
+    """
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (distinct from rollup/cube): one pass,
+    expand-then-aggregate — no per-set rescan."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_kdi_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM _kdi_orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+@_q(
+    "win_lead_lag",
+    """
+    SELECT event_id, user_id, ts,
+      lag(event_id) OVER w AS prev_event_id,
+      lead(event_id) OVER w AS next_event_id,
+      COALESCE(CAST(date_diff('second', lag(ts) OVER w, ts) AS BIGINT), -1)
+        AS secs_since_prev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_lead_lag(spark, sf_dir):
+    """lead/lag navigation windows with an id tie-break (one shuffle on
+    user_id serves all three functions)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+        F.coalesce(
+            (
+                F.unix_seconds(F.col("ts").cast("timestamp"))
+                - F.unix_seconds(F.lag("ts").over(w).cast("timestamp"))
+            ),
+            F.lit(-1),
+        ).alias("secs_since_prev"),
+    )
+
+
+@_q(
     "q4_order_priority",
     """
     SELECT o_orderpriority, COUNT(*) AS order_count
