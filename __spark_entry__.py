@@ -1641,6 +1641,457 @@ def multimodal_features(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Relational surface, widened: the remaining TPC-H patterns expressible
+# against the driver schema (no partsupp / shipmode / phone columns, so
+# Q2/Q12/Q22 are adapted to equivalent operator shapes). Each docstring
+# states the plan property that matters at 100 TB.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q7_volume_shipping",
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(volume) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+             {REV_SQL} AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7: bidirectional nation-pair trade volume. The OR-of-pairs
+    predicate implies nation ∈ {1,2} on BOTH dimension branches, so each
+    side broadcasts a 2-row filtered nation table and the fact rows are
+    pruned by two broadcast joins before the one big l⋈o shuffle; the
+    residual pair filter is a cheap post-join predicate."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    pair = ("NATION_1", "NATION_2")
+    n1 = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
+@_q(
+    "q8_market_share",
+    f"""
+    SELECT o_year,
+      round(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                          ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+            / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share,
+      CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+             {REV_SQL} AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'STANDARD'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8: one nation's share of regional volume per year. All six
+    dimensions broadcast; the selective p_type filter prunes lineitem
+    through the first broadcast join, so the only shuffle on 100 TB is
+    the fact⋈orders equi-join plus one small re-agg by year. Numerator
+    and denominator fold into a single conditional-aggregation pass."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    national = F.when(F.col("nation") == "NATION_3", _revenue()).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(national).cast("double") / F.sum(_revenue()).cast("double"), 6
+            ).alias("mkt_share"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@_q(
+    "q11_important_parts",
+    """
+    WITH pp AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+      FROM lineitem
+      GROUP BY l_partkey)
+    SELECT l_partkey, part_value
+    FROM pp
+    WHERE part_value > 1.3 * (SELECT CAST(SUM(CAST(part_value AS DECIMAL(18,2))) AS DOUBLE)
+                                     / COUNT(*) FROM pp)
+    """,
+)
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape: groups filtered against a GLOBAL scalar
+    aggregate (parts whose value exceeds 1.3× the mean part value —
+    scale-invariant, unlike a fixed fraction). The scalar is a 1-row
+    DataFrame broadcast into the HAVING predicate — no collect()
+    round-trip; the per-part aggregation is map-side combined so its
+    shuffle carries one row per part, not per lineitem, and is computed
+    once for both the rows and the mean."""
+    l = load_table(spark, sf_dir, "lineitem")
+    per_part = l.groupBy("l_partkey").agg(_dsum("l_extendedprice").alias("part_value"))
+    mean = per_part.agg(
+        (1.3 * _dsum("part_value") / F.count("*")).alias("_threshold")
+    )
+    return (
+        per_part.join(F.broadcast(mean))
+        .filter(F.col("part_value") > F.col("_threshold"))
+        .select("l_partkey", "part_value")
+    )
+
+
+@_q(
+    "q12_priority_conditional",
+    """
+    SELECT l_linestatus,
+      CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def q12_priority_conditional(spark, sf_dir):
+    """TPC-H Q12 shape (shipmode → linestatus): urgent-vs-other counts
+    in one conditional-aggregation pass over the join — two CASE sums,
+    one shuffle, instead of two filtered sub-aggregations."""
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@_q(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13: count-of-counts over an outer join. The join predicate
+    (not a WHERE) keeps order-less customers with c_count=0; the second
+    aggregation re-shuffles only one row per customer, and the final
+    group-by-count has tiny cardinality."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@_q(
+    "q15_top_supplier",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM({REV_SQL}) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15: supplier(s) attaining the quarter's max revenue. The
+    revenue CTE is computed once and reused for both the rows and the
+    scalar max (a broadcast 1-row join), instead of scanning lineitem
+    twice; revenue sums are exact decimals so the max-equality compare
+    is portable."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_revenue()).cast("double").alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("_max_rev"))
+    return (
+        revenue.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@_q(
+    "q16_supplier_variety",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (1,5,9,13,17,21,25,29)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_variety(spark, sf_dir):
+    """TPC-H Q16: distinct-supplier counts per part attribute with an
+    excluded-supplier anti join. The NOT IN rewrites to a broadcast
+    LEFT ANTI join (s_suppkey is non-null so the null-semantics trap
+    doesn't apply); COUNT(DISTINCT) expands to a two-stage partial
+    aggregation rather than a per-group set in one task."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_q(
+    "q17_small_quantity_revenue",
+    """
+    SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6) AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23' AND p_size < 10
+      AND l_quantity < (
+        SELECT 0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17: rows below 20% of their part's average quantity. The
+    correlated scalar subquery is decorrelated by hand into one grouped
+    aggregate over the SAME brand-filtered lineitem slice (computed
+    once, reused for both the average and the probe side), then a
+    per-part equi-join — no per-row subquery, no second full scan."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") < 10)
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    lp = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    avg_per_part = lp.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (_dsum("l_quantity") / F.count("*")).alias("_avg_qty")
+    )
+    return (
+        lp.join(avg_per_part, F.col("l_partkey") == F.col("_pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("_avg_qty"))
+        .agg(
+            F.round(_dsum("l_extendedprice") / 7.0, 6).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@_q(
+    "q2_min_cost_supplier",
+    """
+    WITH unit AS (
+      SELECT l_partkey, l_suppkey, round(MIN(l_extendedprice / l_quantity), 6) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), ranked AS (
+      SELECT l_partkey, l_suppkey, unit_cost,
+             row_number() OVER (PARTITION BY l_partkey ORDER BY unit_cost, l_suppkey) AS rn
+      FROM unit)
+    SELECT p_partkey, p_name, s_suppkey, s_name, unit_cost
+    FROM ranked
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE rn = 1 AND p_size <= 5
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (argmin-per-group without partsupp): cheapest
+    observed supplier per part. MIN collapses lineitem to one row per
+    (part, supplier) with map-side combine BEFORE the window, so the
+    row_number partition is tiny; the suppkey tie-break makes rank 1
+    deterministic. Dimension joins run after rn=1 filtering — the
+    window output, not the fact table, hits the broadcast joins."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    s = load_table(spark, sf_dir, "supplier")
+    unit = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 6).alias(
+            "unit_cost"
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
+    return (
+        unit.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "unit_cost")
+    )
+
+
+@_q(
+    "q20_volume_suppliers",
+    """
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%gear%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_suppkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > CAST(50 AS DECIMAL(18,2)))
+    """,
+)
+def q20_volume_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers who moved real volume of the target
+    parts. The nested aggregate runs over lineitem pre-pruned by a
+    broadcast of the %gear% parts, and the IN becomes a LEFT SEMI join
+    against the (tiny) qualifying-supplier set — supplier never joins
+    the fact table directly."""
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    movers = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_qty"))
+        .filter(F.col("_qty") > F.lit(50).cast("decimal(18,2)"))
+        .select("l_suppkey")
+    )
+    return s.join(
+        F.broadcast(movers), s.s_suppkey == movers.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@_q(
+    "q22_idle_customers",
+    """
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                       FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY n_name
+    """,
+)
+def q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape: above-average-balance customers with no urgent
+    orders. The global average is a broadcast scalar (exact decimal
+    sum / count so both engines agree bit-for-bit); NOT EXISTS is a
+    LEFT ANTI join on the orders key — at scale the anti join shuffles
+    only the filtered customer slice against the pre-filtered order
+    keys, never materializing a distinct-orders set on the driver."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (_dsum("c_acctbal") / F.count("*")).alias("_avg_bal")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            _dsum("c_acctbal").alias("totacctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 

@@ -49,6 +49,10 @@ HEADLINE = [
     "q9_nation_year_profit",
     "q18_large_orders",
     "q19_disjunctive_revenue",
+    "q7_volume_shipping",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q2_min_cost_supplier",
     "stream_offset_dedup",
     "embedding_neardup_lsh",
     "multimodal_features",

@@ -78,6 +78,43 @@ def test_aggregations_partial_before_shuffle(spark):
     assert "partial_sum" in p or "partial_count" in p
 
 
+def test_q2_argmin_aggregates_before_window(spark):
+    """The (part,supplier) MIN must partial-aggregate below its shuffle
+    and the window must consume the aggregated rows — at 100 TB the
+    window partition holds suppliers-per-part, never raw lineitems."""
+    p = plan(E.queries()["q2_min_cost_supplier"](spark, SF), mode="simple")
+    assert "Window" in p
+    assert "partial_min" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q16_not_in_is_broadcast_anti_join(spark):
+    """NOT IN over non-null keys must plan as a broadcast LEFT ANTI hash
+    join, not a nested loop."""
+    p = plan(E.queries()["q16_supplier_variety"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q22_not_exists_is_anti_join(spark):
+    """NOT EXISTS must plan as a LEFT ANTI equi-join on o_custkey (the
+    1-row scalar-average join may be a broadcast nested loop — that's
+    the intended broadcast of a single row, not a blowup)."""
+    p = plan(E.queries()["q22_idle_customers"](spark, SF))
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q7_nation_pair_broadcasts(spark):
+    """Both 2-row nation branches plus supplier/customer broadcast; the
+    only shuffle join is lineitem⋈orders."""
+    p = plan(E.queries()["q7_volume_shipping"](spark, SF))
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 def test_q19_disjunction_prunes_both_scans(spark):
     """The OR-of-ANDs predicate must leave per-side implied filters on
     BOTH scans (brand/size on part, quantity on lineitem)."""
