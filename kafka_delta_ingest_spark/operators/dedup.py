@@ -24,9 +24,10 @@ deterministic across runs and cluster sizes.
 
 from __future__ import annotations
 
+import random
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from kafka_delta_ingest_spark.operators.text import normalize_text
 from kafka_delta_ingest_spark.operators.util import spread
@@ -73,6 +74,20 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     )
 
 
+# Affine hash families over the Mersenne prime 2^31-1: every operand
+# stays below 2^31, so a*h+b < 2^62 — safe under ANSI overflow checking.
+_MERSENNE31 = (1 << 31) - 1
+
+
+def _hash_family(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficients for h_j(x) = (a_j*x + b_j) mod p."""
+    rng = random.Random(0x5EED)
+    return [
+        (rng.randrange(1, _MERSENNE31), rng.randrange(_MERSENNE31))
+        for _ in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -82,17 +97,26 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<long>[num_hashes]) MinHash signatures.
 
-    One explode over distinct shingles; ``num_hashes`` independent hash
-    families realized as xxhash64 with distinct literal seeds. Partial
-    (map-side) min-aggregation keeps the shuffle at |docs|×num_hashes.
+    One explode over distinct shingles; each shingle STRING is hashed
+    exactly once (xxhash64 → mod p), then the ``num_hashes`` families
+    are affine transforms of that one long — 64 integer mul/add/mod per
+    shingle instead of 64 variable-length string hashes (the string
+    hashing dominated the old formulation's runtime). Partial (map-side)
+    min-aggregation keeps the shuffle at |docs|×num_hashes.
     """
-    exploded = spread(df).select(
-        F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("_sh"),
+    exploded = (
+        spread(df)
+        .select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), shingle_k)).alias("_sh"),
+        )
+        .select(id_col, F.pmod(F.xxhash64("_sh"), F.lit(_MERSENNE31)).alias("_h0"))
     )
     aggs = [
-        F.min(F.xxhash64(F.lit(j), F.col("_sh"))).alias(f"h{j}")
-        for j in range(num_hashes)
+        F.min(F.pmod(F.lit(a) * F.col("_h0") + F.lit(b), F.lit(_MERSENNE31))).alias(
+            f"h{j}"
+        )
+        for j, (a, b) in enumerate(_hash_family(num_hashes))
     ]
     sigs = exploded.groupBy(id_col).agg(*aggs)
     return sigs.select(
@@ -198,16 +222,23 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     toks = spread(df).select(
         F.col(id_col),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("_t"),
-    ).withColumn("_h", F.xxhash64("_t"))
+    ).select(id_col, F.xxhash64("_t").alias("_h"))
+
     def mask(i: int) -> int:
         # Bit 63 as a signed long (two's complement), ANSI-overflow-safe.
         return 1 << i if i < 63 else -(1 << 63)
 
-    votes = toks.groupBy(id_col).agg(
+    # Token-multiplicity pre-aggregation: collapse to one row per
+    # (doc, token hash) with its count BEFORE the 64 bit-vote sums, so
+    # the expensive conditional aggregation runs over |docs|×|vocab|
+    # rows instead of every token occurrence. SimHash weights votes by
+    # term frequency, and sum(±count) ≡ sum over occurrences exactly.
+    weighted = toks.groupBy(id_col, "_h").agg(F.count("*").alias("_w"))
+    votes = weighted.groupBy(id_col).agg(
         *[
             F.sum(
-                F.when(F.col("_h").bitwiseAND(F.lit(mask(i))) != 0, 1)
-                .otherwise(-1)
+                F.when(F.col("_h").bitwiseAND(F.lit(mask(i))) != 0, F.col("_w"))
+                .otherwise(-F.col("_w"))
                 .cast("long")
             ).alias(f"v{i}")
             for i in range(64)
@@ -294,14 +325,20 @@ def ngram_jaccard_pairs(
     grams = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("g")
     )
-    # df-cap via one count-over-gram window: a single shuffle replaces
-    # the groupBy + re-join formulation (shingles are computed once).
-    gw = Window.partitionBy("g")
-    pruned = (
-        grams.withColumn("gdf", F.count("*").over(gw))
+    # df-cap: aggregate gram document-frequencies (map-side combine
+    # collapses to |distinct grams| rows before the shuffle), keep only
+    # the RARE grams, and semi-join that set back. A count-over-gram
+    # window would shuffle AND SORT every gram occurrence; the semi join
+    # re-shuffles the same rows but never sorts. Broadcast is left to
+    # AQE: at bench scale the rare set broadcasts, at 100 TB (billions
+    # of distinct grams) it must stay a shuffled hash join.
+    rare = (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("gdf"))
         .filter(F.col("gdf") <= max_gram_df)
-        .select(id_col, "g")
+        .select("g")
     )
+    pruned = grams.join(rare, on="g", how="left_semi").select(id_col, "g")
     inter = (
         pruned.alias("a")
         .join(pruned.alias("b"), on="g")
