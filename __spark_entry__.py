@@ -1611,6 +1611,116 @@ def text_fingerprint_rolling(spark, sf_dir):
     )
 
 
+@_q(
+    "text_repetition_profile",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS l
+      FROM documents
+    ), base AS (
+      SELECT doc_id, l,
+        CASE WHEN len(l) >= 2
+             THEN list_transform(generate_series(1, len(l) - 1),
+                                 i -> l[i] || ' ' || l[i + 1])
+             ELSE CAST([] AS VARCHAR[]) END AS bg
+      FROM w
+    ), sizes AS (
+      SELECT doc_id, CAST(len(l) AS INT) AS n_words,
+        round(1.0 - CAST(len(list_distinct(l)) AS DOUBLE) / len(l), 6) AS dup_word_frac
+      FROM base
+    ), cnt AS (
+      SELECT doc_id, g, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(bg) AS g FROM base) x
+      GROUP BY doc_id, g
+    ), top AS (
+      SELECT doc_id, MAX(c) AS top_cnt, SUM(c) AS total FROM cnt GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_words, s.dup_word_frac,
+      round(CAST(COALESCE(top_cnt, 0) AS DOUBLE) / GREATEST(total, 1), 6) AS top_bigram_frac
+    FROM sizes s LEFT JOIN top USING (doc_id)
+    """,
+)
+def text_repetition_profile(spark, sf_dir):
+    """C4/Gopher-style repetition quality metrics: duplicate-word
+    fraction (pure expression) and top-bigram occupancy (explode →
+    two map-side-combined aggregations)."""
+    d = load_table(spark, sf_dir, "documents")
+    return textops.repetition_profile(d)
+
+
+@_q(
+    "text_top_ngrams",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS l
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+        CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+             ELSE list_distinct(list_transform(generate_series(1, len(l) - 2),
+                    i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))
+        END AS grams
+      FROM w
+    )
+    SELECT g, CAST(COUNT(*) AS BIGINT) AS doc_freq
+    FROM (SELECT doc_id, unnest(grams) AS g FROM sh) x
+    GROUP BY g
+    ORDER BY doc_freq DESC, g
+    LIMIT 20
+    """,
+)
+def text_top_ngrams(spark, sf_dir):
+    """Corpus top-20 trigrams by document frequency — the boilerplate /
+    df-cap census over the whole corpus as one map-side-combined
+    aggregate plus a TakeOrdered top-k (no full sort)."""
+    d = load_table(spark, sf_dir, "documents")
+    return textops.corpus_top_ngrams(d, n=3, top_k=20)
+
+
+@_q("sim_recall_lsh_vs_exact")  # LSH side has no SQL twin — rows-only
+def sim_recall_lsh_vs_exact(spark, sf_dir):
+    """Recall@10 of the LSH ANN path measured against the exact
+    brute-force result INSIDE the engine — the self-evaluation loop a
+    production ANN deployment runs on a sampled query set."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    approx = similarity.lsh_bucketed_topk(
+        e, q, k=10, dim=64, num_bits=8, num_tables=8, query_id="vec_id"
+    )
+    exact = similarity.cosine_topk(e, q, k=10, query_id="vec_id")
+    return similarity.recall_eval(approx, exact, k=10)
+
+
+@_q(
+    "events_enrich_users",
+    """
+    SELECT e.event_id, e.user_id, e.event_type, e.value, c.c_mktsegment AS segment
+    FROM events e
+    LEFT JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def events_enrich_users(spark, sf_dir):
+    """Batch twin of the stream-static dimension enrichment
+    (streaming/joins.py::enrich_stream_static): same function, batch
+    frames — the stream side never shuffles; the dimension broadcasts
+    once per micro-batch and Delta-backed dims refresh between batches.
+    Stream semantics exercised in tests/test_stream_joins.py."""
+    from kafka_delta_ingest_spark.streaming.joins import enrich_stream_static
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    return enrich_stream_static(e, c, on="user_id", how="left")
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (binary media columns; decode kernel stubbed)
 # ---------------------------------------------------------------------------

@@ -289,6 +289,45 @@ def ivf_topk(
     )
 
 
+def recall_eval(approx: DataFrame, exact: DataFrame, k: int = 10) -> DataFrame:
+    """Recall@k of an ANN result against the exact brute-force result.
+
+    Both inputs are (query_id, neighbor_id, ...) top-k frames. Returns
+    one row: (mean_recall, n_queries, n_hits). The join is on the two
+    id columns only (the score columns are dropped first), so the probe
+    side is |queries|·k rows — trivially broadcastable at any corpus
+    size; recall is measured per query then averaged so every query
+    weighs equally regardless of result-set ties."""
+    a = approx.select("query_id", "neighbor_id")
+    e = exact.select("query_id", "neighbor_id")
+    hits = e.join(a, on=["query_id", "neighbor_id"], how="left_semi")
+    per_q = (
+        e.groupBy("query_id")
+        .agg(F.count("*").alias("n_exact"))
+        .join(
+            hits.groupBy("query_id").agg(F.count("*").alias("n_hit")),
+            on="query_id",
+            how="left",
+        )
+        .select(
+            "query_id",
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.col("n_exact")
+            ).alias("recall"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+        )
+    )
+    # Decimal-accumulated mean — order-independent under Spark's
+    # partial aggregation, so repeated runs agree bit-for-bit.
+    return per_q.agg(
+        F.round(F.avg(F.col("recall").cast("decimal(18,9)")).cast("double"), 6).alias(
+            "mean_recall"
+        ),
+        F.count("*").alias("n_queries"),
+        F.sum("n_hit").alias("n_hits"),
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -159,6 +159,101 @@ def fingerprint_rolling(col: Column) -> Column:
     )
 
 
+def word_bigrams(col: Column) -> Column:
+    """All word bigrams of normalized text, WITH multiplicity (unlike
+    ``word_shingles`` this does not dedup — repetition metrics need the
+    raw occurrence counts). <2 words → empty array."""
+    words = F.split(normalize_text(col), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1)))
+    bg = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, 2)))
+    return F.when(n < 2, F.array().cast("array<string>")).otherwise(bg)
+
+
+def dup_word_fraction(col: Column) -> Column:
+    """Fraction of word occurrences that repeat an earlier word
+    (1 − distinct/total) — the word-level analog of the duplicate-line
+    fraction used by C4/Gopher-style quality filters."""
+    words = F.split(normalize_text(col), " ")
+    return F.round(
+        F.lit(1.0) - F.size(F.array_distinct(words)).cast("double") / F.size(words), 6
+    )
+
+
+def repetition_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition metrics for quality filtering:
+    (id, n_words, dup_word_frac, top_bigram_frac).
+
+    ``top_bigram_frac`` (share of bigram occurrences taken by the single
+    most frequent bigram — Gopher's top-2-gram filter) needs a per-doc
+    mode, which has no builtin: explode → count per (doc, bigram) →
+    max/sum per doc. Both aggregations combine map-side, so the shuffles
+    carry one row per distinct (doc, bigram), never the raw text."""
+    from kafka_delta_ingest_spark.operators.util import spread
+
+    c = F.col(text_col)
+    base = spread(df).select(
+        F.col(id_col),
+        F.split(normalize_text(c), " ").alias("_w"),
+        word_bigrams(c).alias("_bg"),
+    )
+    sizes = base.select(
+        F.col(id_col),
+        F.size("_w").alias("n_words"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct("_w")).cast("double") / F.size("_w"), 6
+        ).alias("dup_word_frac"),
+    )
+    top = (
+        base.select(F.col(id_col), F.explode("_bg").alias("_g"))
+        .groupBy(id_col, "_g")
+        .agg(F.count("*").alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").alias("_top"), F.sum("_c").alias("_total"))
+    )
+    return sizes.join(top, on=id_col, how="left").select(
+        id_col,
+        "n_words",
+        "dup_word_frac",
+        F.round(
+            F.coalesce(F.col("_top"), F.lit(0)).cast("double")
+            / F.greatest(F.col("_total"), F.lit(1)),
+            6,
+        ).alias("top_bigram_frac"),
+    )
+
+
+def corpus_top_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    top_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide top-k n-grams by DOCUMENT frequency (g, doc_freq).
+
+    Document frequency (via per-doc distinct shingles) rather than raw
+    occurrence count: it is the quantity dedup df-caps and boilerplate
+    detectors need, and the per-doc dedup bounds each doc's contribution
+    to any gram at 1. The groupBy combines map-side, so the shuffle is
+    |distinct grams| rows; the ordered top-k is a TakeOrdered, not a
+    full sort."""
+    from kafka_delta_ingest_spark.operators.dedup import word_shingles
+    from kafka_delta_ingest_spark.operators.util import spread
+
+    grams = spread(df).select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("g")
+    )
+    return (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("g"))
+        .limit(top_k)
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass profile: token count, ratios, quality, language, fingerprint."""
     from kafka_delta_ingest_spark.operators.util import spread

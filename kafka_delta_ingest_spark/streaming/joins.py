@@ -16,6 +16,7 @@ and an OOM.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import broadcast
 
 
 def interval_join(
@@ -46,6 +47,28 @@ def interval_join(
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {upper}"))
     )
     return lw.join(rw, cond, how)
+
+
+def enrich_stream_static(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+    hint_broadcast: bool = True,
+) -> DataFrame:
+    """Stream-static dimension enrichment join.
+
+    The classic ingest-time enrichment (events ↔ user/device/geo
+    dimension). Spark re-evaluates the static side every micro-batch,
+    so a Delta-backed ``dim`` picks up dimension updates between
+    batches with no restart. ``hint_broadcast`` (default) ships the
+    dimension to every executor once per batch — the stream side never
+    shuffles, which is the only shape that survives a 100 TB/day topic;
+    disable it only when the dimension is genuinely too large to
+    broadcast, accepting a per-batch shuffle of the stream.
+    """
+    d = broadcast(dim) if hint_broadcast else dim
+    return stream.join(d, on=on, how=how)
 
 
 def dedup_within_watermark(df: DataFrame, keys: list[str], ts_col: str, watermark: str) -> DataFrame:

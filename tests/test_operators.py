@@ -289,3 +289,51 @@ def test_resize_media_plumbing(spark, docs):
     for r in out:
         assert len(bytes(r["media"])) <= 8 * 4
         assert r["meta"]["width"] == 8 and r["meta"]["height"] == 4
+
+
+def test_repetition_profile_hand_computed(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a a a b"), Row(doc_id=2, text="x y"), Row(doc_id=3, text="solo")]
+    )
+    got = {r.doc_id: r for r in text.repetition_profile(df).collect()}
+    # doc 1: 4 words, 2 distinct -> dup 0.5; bigrams [a a, a a, a b] -> top 2/3
+    assert got[1].n_words == 4 and got[1].dup_word_frac == 0.5
+    assert got[1].top_bigram_frac == round(2 / 3, 6)
+    # doc 2: no repetition; single bigram occupies everything
+    assert got[2].dup_word_frac == 0.0 and got[2].top_bigram_frac == 1.0
+    # doc 3: one word -> no bigrams -> 0
+    assert got[3].top_bigram_frac == 0.0
+
+
+def test_corpus_top_ngrams_document_frequency(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox the quick brown fox"),
+            Row(doc_id=2, text="the quick brown cat"),
+            Row(doc_id=3, text="lazy dog sleeps"),
+        ]
+    )
+    top = text.corpus_top_ngrams(df, n=3, top_k=2).collect()
+    # "the quick brown" appears in docs 1 and 2 (per-doc distinct -> df=2)
+    assert top[0].g == "the quick brown" and top[0].doc_freq == 2
+    assert top[1].doc_freq == 1
+
+
+def test_recall_eval_hand_computed(spark):
+    from pyspark.sql import Row
+
+    exact = spark.createDataFrame(
+        [Row(query_id=1, neighbor_id=n) for n in (10, 11)]
+        + [Row(query_id=2, neighbor_id=n) for n in (20, 21)]
+    )
+    approx = spark.createDataFrame(
+        [Row(query_id=1, neighbor_id=10), Row(query_id=1, neighbor_id=11),
+         Row(query_id=2, neighbor_id=20), Row(query_id=2, neighbor_id=99)]
+    )
+    row = similarity.recall_eval(approx, exact).collect()[0]
+    assert row.n_queries == 2 and row.n_hits == 3
+    assert row.mean_recall == 0.75

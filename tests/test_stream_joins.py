@@ -147,3 +147,29 @@ def test_streaming_session_window_on_stream(spark):
         assert got == [(1, 1), (1, 2), (2, 1)]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_enrich_stream_static_broadcast_dim(spark):
+    from kafka_delta_ingest_spark.streaming.joins import enrich_stream_static
+
+    d = tempfile.mkdtemp(prefix="kdi-enrich-")
+    try:
+        src, ckpt = d + "/src", d + "/ckpt"
+        spark.createDataFrame(
+            [(1, 100), (2, 200), (3, 999)], "event_id int, user_id int"
+        ).coalesce(1).write.parquet(src)
+        dim = spark.createDataFrame(
+            [(100, "gold"), (200, "basic")], "user_id int, tier string"
+        )
+        out = enrich_stream_static(
+            spark.readStream.schema("event_id int, user_id int").parquet(src),
+            dim,
+            on="user_id",
+        )
+        assert out.isStreaming
+        rows = _run(out, ckpt)
+        got = {r.event_id: r.tier for r in rows}
+        # left join: unmatched user keeps the event with a null tier.
+        assert got == {1: "gold", 2: "basic", 3: None}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
