@@ -99,15 +99,28 @@ class DeltaLikeTable:
         state.setdefault("metaData", None)
         return v, state
 
-    def snapshot(self) -> dict:
-        """Consolidated table state: txn app versions + live files."""
-        cp_version, state = self._read_checkpoint()
+    def snapshot(self, as_of: int | None = None) -> dict:
+        """Consolidated table state: txn app versions + live files.
+
+        ``as_of`` replays the log only through that version — time
+        travel. The replay starts from version 0 (checkpoints hold only
+        the LATEST consolidated state); version files below a checkpoint
+        are never deleted by ``_checkpoint``, so every historical
+        version stays reconstructable until ``vacuum`` reclaims its
+        data files.
+        """
+        if as_of is None:
+            cp_version, state = self._read_checkpoint()
+        else:
+            cp_version, state = -1, {"txn": {}, "files": [], "metaData": None}
         txn = dict(state["txn"])
         files = list(state["files"])
         meta = state.get("metaData")
         removed: set[str] = set(state.get("removed", []))
         v = cp_version + 1
-        while os.path.exists(self._version_file(v)):
+        while os.path.exists(self._version_file(v)) and (
+            as_of is None or v <= as_of
+        ):
             with open(self._version_file(v)) as f:
                 for line in f:
                     action = json.loads(line)
@@ -121,6 +134,10 @@ class DeltaLikeTable:
                     elif "metaData" in action:
                         meta = action["metaData"]
             v += 1
+        if as_of is not None and v - 1 < as_of:
+            raise ValueError(
+                f"version {as_of} does not exist (latest is {v - 1})"
+            )
         return {
             "version": v - 1,
             "txn": txn,
@@ -370,21 +387,59 @@ class DeltaLikeTable:
                 }
             }
         ]
-        actions += [{"remove": {"path": p}} for p in sorted(removed)]
+        actions += [
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": int(time.time() * 1000),
+                    "dataChange": False,
+                }
+            }
+            for p in sorted(removed)
+        ]
         actions += [{"add": a} for a in adds]
         version = self._commit(actions)
         if version % CHECKPOINT_EVERY == 0 and version > 0:
             self._checkpoint(version)
-        # Physical deletion is safe only after the commit (readers of
-        # older snapshots in-flight would use a VACUUM grace period on a
-        # real deployment; tests delete eagerly).
-        for p in removed:
-            try:
-                os.remove(os.path.join(self.path, p))
-            except FileNotFoundError:
-                pass
+        # No physical deletion here: removed files become tombstones so
+        # in-flight readers of older snapshots (and time travel) keep
+        # working — exactly Delta's OPTIMIZE semantics. ``vacuum``
+        # reclaims them after the retention window.
         n_records = sum(a["stats"]["numRecords"] for a in adds)
         return CommitResult(version, len(adds), n_records)
+
+    def vacuum(self, spark=None, retention_ms: int = 7 * 24 * 3600 * 1000) -> list[str]:
+        """Physically delete data files no longer referenced by the
+        CURRENT snapshot and older than ``retention_ms`` (by mtime).
+
+        Mirrors Delta VACUUM: the walk covers tombstoned files AND
+        orphans from aborted writes (staging dirs that never promoted);
+        anything inside the retention window survives so concurrent
+        readers of recent snapshots and short-horizon time travel keep
+        working. After a vacuum, ``read(version=...)`` below the
+        reclaimed horizon fails — the same trade Delta documents.
+        Returns the deleted relative paths.
+        """
+        live = {f["path"] for f in self._live_files()}
+        cutoff = time.time() - retention_ms / 1000.0
+        deleted: list[str] = []
+        for root, dirs, names in os.walk(self.path):
+            # _kdi_log, _staging-*: underscore-prefixed internals.
+            dirs[:] = [d for d in dirs if not d.startswith("_")]
+            for name in names:
+                if name.startswith("_") or name.startswith("."):
+                    continue
+                full = os.path.join(root, name)
+                rel = os.path.relpath(full, self.path)
+                if rel in live:
+                    continue
+                try:
+                    if os.path.getmtime(full) <= cutoff:
+                        os.remove(full)
+                        deleted.append(rel)
+                except FileNotFoundError:
+                    pass
+        return sorted(deleted)
 
     def _live_files(self, snap: dict | None = None) -> list[dict]:
         """add actions minus remove actions, in commit order."""
@@ -419,7 +474,10 @@ class DeltaLikeTable:
         return [f for f in files if not _file_excluded(f, predicates)]
 
     def read(
-        self, spark: SparkSession, predicates: list[tuple] | None = None
+        self,
+        spark: SparkSession,
+        predicates: list[tuple] | None = None,
+        version: int | None = None,
     ) -> DataFrame:
         # _kdi_log and _staging-* are underscore-prefixed → invisible to
         # Spark's file listing, so a plain recursive read sees only data.
@@ -432,7 +490,7 @@ class DeltaLikeTable:
         # written before a schema evolution lack the new columns; the
         # union schema surfaces them as NULL for old rows (reference
         # tests/schema_update_tests.rs:98-110).
-        snap = self.snapshot()
+        snap = self.snapshot(as_of=version)
         live_actions = self._live_files(snap)
         if predicates:
             live_actions = [
