@@ -264,6 +264,11 @@ class DeltaLikeTable:
                 src = os.path.join(dirpath, fname)
                 dest = os.path.join(dest_dir, fname)
                 stats = _parquet_stats(src)
+                if stats["numRecords"] == 0:
+                    # Zero-row part files (e.g. a DELETE that drained a
+                    # whole file) are never promoted: a stats-less empty
+                    # add would defeat every later pruning pass.
+                    continue
                 partition_values = _parse_partition_values(rel_dir)
                 shutil.move(src, dest)
                 adds.append(
@@ -441,6 +446,145 @@ class DeltaLikeTable:
                     pass
         return sorted(deleted)
 
+    # -- row-level mutations (MERGE / DELETE) ------------------------------
+
+    def merge(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key_cols: list[str],
+        partition_by: list[str] | None = None,
+    ) -> CommitResult:
+        """Upsert: source rows REPLACE table rows with equal keys;
+        unmatched source keys are inserts (whole-row semantics — the
+        WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT * shape of
+        Delta MERGE).
+
+        Scale design: only files whose stats window overlaps the
+        source's key range are rewritten. The pruning predicate is the
+        source's [min, max] on the first key column — two scalars from
+        one aggregate (plan-level metadata, not a per-row collect) —
+        so a trickle of late updates against a 100 TB table rewrites a
+        handful of files, not the table. The rewrite itself is one
+        left-anti join (matched rows drop) + union with the source,
+        committed as remove+add atomically; concurrent readers see the
+        old snapshot until the commit lands.
+        """
+        from pyspark.sql import functions as _F
+
+        snap = self.snapshot()
+        meta = snap["metaData"]
+        partition_by = partition_by or (meta["partitionColumns"] if meta else [])
+        source = source.dropDuplicates(key_cols)
+
+        k0 = key_cols[0]
+        bounds = source.agg(
+            _F.min(k0).alias("lo"), _F.max(k0).alias("hi")
+        ).collect()[0]
+        if bounds["lo"] is None:
+            return CommitResult(snap["version"], 0, 0, skipped=True)
+        preds = [(k0, ">=", bounds["lo"]), (k0, "<=", bounds["hi"])]
+        live = self._live_files(snap)
+        candidates = [f for f in live if not _file_excluded(f, preds)]
+
+        if candidates:
+            cur = self._frame_for(spark, snap, candidates)
+            keep = cur.join(
+                source.select(*key_cols), on=key_cols, how="left_anti"
+            )
+            out = keep.unionByName(source, allowMissingColumns=True)
+        else:
+            out = source
+        return self._rewrite_commit(
+            spark,
+            out,
+            remove=[f["path"] for f in candidates],
+            partition_by=partition_by,
+            operation="MERGE",
+            params={
+                "keyCols": key_cols,
+                "numCandidateFiles": len(candidates),
+                "numLiveFiles": len(live),
+            },
+        )
+
+    def delete_where(
+        self, spark: SparkSession, predicates: list[tuple]
+    ) -> CommitResult:
+        """DELETE rows matching the conjunctive ``predicates`` (same
+        ``(column, op, value)`` grammar as ``files_for``).
+
+        Only files that MAY contain matches (per partition values and
+        min/max stats) are rewritten without their matching rows; a
+        file the stats prove untouched is never read. A fully-matching
+        file simply yields zero surviving rows and is tombstoned
+        without a replacement."""
+        snap = self.snapshot()
+        meta = snap["metaData"]
+        partition_by = meta["partitionColumns"] if meta else []
+        live = self._live_files(snap)
+        candidates = [f for f in live if not _file_excluded(f, predicates)]
+        if not candidates:
+            return CommitResult(snap["version"], 0, 0, skipped=True)
+        cur = self._frame_for(spark, snap, candidates)
+        keep = cur.filter(~_pred_to_column(predicates))
+        return self._rewrite_commit(
+            spark,
+            keep,
+            remove=[f["path"] for f in candidates],
+            partition_by=partition_by,
+            operation="DELETE",
+            params={
+                "predicate": [list(p) for p in predicates],
+                "numCandidateFiles": len(candidates),
+                "numLiveFiles": len(live),
+            },
+        )
+
+    def _rewrite_commit(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        remove: list[str],
+        partition_by: list[str],
+        operation: str,
+        params: dict,
+    ) -> CommitResult:
+        """Write ``df`` as the replacement for ``remove`` and commit
+        remove+add atomically (shared tail of MERGE/DELETE/OPTIMIZE)."""
+        staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(staging)
+        adds = self._promote_staging(staging, partition_by)
+        shutil.rmtree(staging, ignore_errors=True)
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "operation": operation,
+                    "timestamp": int(time.time() * 1000),
+                    "operationParameters": _json_params(params),
+                }
+            }
+        ]
+        actions += [
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": int(time.time() * 1000),
+                    "dataChange": True,
+                }
+            }
+            for p in sorted(remove)
+        ]
+        actions += [{"add": a} for a in adds]
+        version = self._commit(actions)
+        if version % CHECKPOINT_EVERY == 0 and version > 0:
+            self._checkpoint(version)
+        n_records = sum(a["stats"]["numRecords"] for a in adds)
+        return CommitResult(version, len(adds), n_records)
+
     def _live_files(self, snap: dict | None = None) -> list[dict]:
         """add actions minus remove actions, in commit order."""
         snap = snap or self.snapshot()
@@ -496,7 +640,16 @@ class DeltaLikeTable:
             live_actions = [
                 f for f in live_actions if not _file_excluded(f, predicates)
             ]
-        live = [os.path.join(self.path, f["path"]) for f in live_actions]
+        return self._frame_for(spark, snap, live_actions)
+
+    def _frame_for(self, spark: SparkSession, snap: dict, actions: list[dict]) -> DataFrame:
+        """DataFrame over exactly the given add actions, with partition
+        columns restored to their declared types — shared by ``read``
+        and the MERGE/DELETE rewrite paths so both see identical rows."""
+        spark.conf.set(
+            "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
+        )
+        live = [os.path.join(self.path, f["path"]) for f in actions]
         if not live:
             live = [self.path]  # empty table: let Spark infer an empty frame
         df = (
@@ -541,6 +694,37 @@ def _norm_probe(v):
     if isinstance(v, (int, float)) and not isinstance(v, bool):
         return float(v)
     return v
+
+
+def _pred_to_column(predicates: list[tuple]):
+    """Conjunction Column for the ``(column, op, value)`` grammar —
+    the row-level twin of ``_file_excluded``'s file-level pruning, so
+    DELETE prunes and filters with the same predicate."""
+    from functools import reduce
+
+    from pyspark.sql import functions as _F
+
+    cols = []
+    for col, op, *rest in predicates:
+        c = _F.col(col)
+        if op == "is_not_null":
+            cols.append(c.isNotNull())
+            continue
+        value = rest[0]
+        cols.append(
+            {
+                "=": c == value,
+                "<": c < value,
+                "<=": c <= value,
+                ">": c > value,
+                ">=": c >= value,
+            }[op]
+        )
+    return reduce(lambda a, b: a & b, cols)
+
+
+def _json_params(params: dict) -> dict:
+    return json.loads(json.dumps(params, default=str))
 
 
 def _file_excluded(f: dict, predicates: list[tuple]) -> bool:
