@@ -1693,6 +1693,25 @@ def sim_recall_lsh_vs_exact(spark, sf_dir):
     return similarity.recall_eval(approx, exact, k=10)
 
 
+@_q("agg_approx_distinct")  # HLL sketch values are engine-specific — rows-only
+def agg_approx_distinct(spark, sf_dir):
+    """HyperLogLog++ approximate count-distinct next to the exact
+    count. At 100 TB exact distinct-counting shuffles every distinct
+    key; the HLL sketch is a few-KB mergeable buffer per group —
+    constant-size partial state regardless of cardinality. The exact
+    column doubles as the in-engine accuracy audit
+    (tests assert relative error ≤ 3·rsd)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count_distinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @_q(
     "events_enrich_users",
     """

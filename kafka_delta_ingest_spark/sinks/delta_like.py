@@ -585,6 +585,68 @@ class DeltaLikeTable:
         n_records = sum(a["stats"]["numRecords"] for a in adds)
         return CommitResult(version, len(adds), n_records)
 
+    # -- change feed -------------------------------------------------------
+
+    def appended_between(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+        operations: tuple[str, ...] = ("STREAMING UPDATE",),
+    ) -> DataFrame:
+        """Append change feed: rows ADDED by data-changing commits in
+        ``(from_version, to_version]``, tagged with ``_commit_version``.
+
+        The Delta CDF analog scoped to what an append-mostly ingest
+        table can answer exactly: OPTIMIZE rewrites (dataChange=false)
+        never appear, and MERGE/DELETE rewrites are excluded by the
+        ``operations`` allowlist because their add files mix changed
+        and carried-over rows — a consumer needing row-diff CDC for
+        mutations should read the pre/post snapshots via time travel.
+
+        Incremental consumers poll this instead of re-scanning the
+        table: each call reads ONLY the files committed since their
+        last cursor, so downstream cost tracks the append rate, not
+        table size.
+        """
+        from pyspark.sql import functions as _F
+
+        latest = self.latest_version()
+        to_version = latest if to_version is None else to_version
+        if to_version > latest:
+            raise ValueError(f"version {to_version} does not exist")
+        # One forward pass over the log, carrying the schema (metaData)
+        # current AT each version — never an O(V²) per-version replay.
+        frames = []
+        meta = None
+        for v in range(0, to_version + 1):
+            op, adds = None, []
+            with open(self._version_file(v)) as f:
+                for line in f:
+                    action = json.loads(line)
+                    if "commitInfo" in action:
+                        op = action["commitInfo"].get("operation")
+                    elif "metaData" in action:
+                        meta = action["metaData"]
+                    elif "add" in action and action["add"].get("dataChange", True):
+                        adds.append(action["add"])
+            if v <= from_version or op not in operations or not adds:
+                continue
+            frames.append(
+                self._frame_for(spark, {"metaData": meta}, adds).withColumn(
+                    "_commit_version", _F.lit(v).cast("long")
+                )
+            )
+        if not frames:
+            empty = self._frame_for(spark, self.snapshot(), [])
+            return empty.withColumn(
+                "_commit_version", _F.lit(None).cast("long")
+            ).limit(0)
+        out = frames[0]
+        for fdf in frames[1:]:
+            out = out.unionByName(fdf, allowMissingColumns=True)
+        return out
+
     def _live_files(self, snap: dict | None = None) -> list[dict]:
         """add actions minus remove actions, in commit order."""
         snap = snap or self.snapshot()

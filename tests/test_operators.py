@@ -337,3 +337,14 @@ def test_recall_eval_hand_computed(spark):
     row = similarity.recall_eval(approx, exact).collect()[0]
     assert row.n_queries == 2 and row.n_hits == 3
     assert row.mean_recall == 0.75
+
+
+def test_approx_count_distinct_error_bound(spark):
+    import __spark_entry__ as E
+
+    rows = E.queries()["agg_approx_distinct"](spark, SF_DIR).collect()
+    assert rows, "no groups"
+    for r in rows:
+        rel_err = abs(r.approx_users - r.exact_users) / max(r.exact_users, 1)
+        # rsd=0.02; allow 3 sigma.
+        assert rel_err <= 0.06, (r.event_type, r.approx_users, r.exact_users)

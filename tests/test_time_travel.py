@@ -85,3 +85,32 @@ def test_vacuum_reclaims_aborted_staging_orphans(spark):
         assert t.read(spark).count() == 10
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_append_change_feed_skips_rewrites(spark):
+    root = tempfile.mkdtemp(prefix="kdi-cdf-")
+    try:
+        t = DeltaLikeTable(root + "/t")
+        for b in range(3):  # versions 0, 1, 2
+            _write(t, spark, b * 10)
+        assert not t.optimize(spark, target_file_bytes=64 * 1024 * 1024).skipped  # v3
+        _write(t, spark, 100)  # version 4
+        src = spark.createDataFrame([(0, "fix")], "id long, s string")
+        t.merge(spark, src, key_cols=["id"])  # version 5 (rewrite, excluded)
+
+        feed = t.appended_between(spark, from_version=0)
+        rows = feed.collect()
+        # versions 1, 2, 4 — never the OPTIMIZE or MERGE rewrites.
+        assert sorted({r._commit_version for r in rows}) == [1, 2, 4]
+        assert sorted(r.id for r in rows) == list(range(10, 30)) + list(range(100, 110))
+        # cursor semantics: from_version=-1 also yields the first commit
+        assert t.appended_between(spark, from_version=-1).count() == 40
+        # empty window
+        assert t.appended_between(spark, from_version=5).count() == 0
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="does not exist"):
+            t.appended_between(spark, from_version=0, to_version=99)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
