@@ -98,6 +98,7 @@ def options_from_args(args: argparse.Namespace) -> IngestOptions:
 
     avro_schema_json: str | None = None
     soe_schemas: dict[int, str] | None = None
+    schema_registry_url: str | None = None
     if args.soe_avro:
         fmt = MessageFormat.AVRO_SOE
         # Reference semantics (src/serialization.rs:368-440): a schema
@@ -126,6 +127,7 @@ def options_from_args(args: argparse.Namespace) -> IngestOptions:
                 avro_schema_json = f.read()
         else:
             fmt = MessageFormat.AVRO_SCHEMA_REGISTRY  # registry URL
+            schema_registry_url = args.avro_schema
     elif args.json_registry:
         fmt = MessageFormat.JSON_SCHEMA_REGISTRY
     elif args.decompress_gzip:
@@ -153,6 +155,7 @@ def options_from_args(args: argparse.Namespace) -> IngestOptions:
         statsd_endpoint=args.statsd_endpoint,
         avro_schema_json=avro_schema_json,
         soe_schemas=soe_schemas,
+        schema_registry_url=schema_registry_url,
     )
 
 

@@ -62,3 +62,12 @@ class IngestOptions:
     # AVRO_SOE: little-endian i64 Rabin fingerprint → reader schema JSON
     # (reference src/serialization.rs:161-210).
     soe_schemas: dict[int, str] | None = None
+    # Confluent Schema Registry endpoint for AVRO_SCHEMA_REGISTRY with
+    # per-message schema-id resolution (reference
+    # src/serialization.rs:212-241). When set and no explicit
+    # avro_schema_json is given, writer schemas are fetched by the id in
+    # each message's wire-format header.
+    schema_registry_url: str | None = None
+    # Test / air-gapped hook: replaces the HTTP fetch (url -> schema
+    # JSON). Must be picklable (top-level function) to reach executors.
+    schema_registry_fetcher: object | None = None

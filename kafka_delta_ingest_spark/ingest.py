@@ -113,17 +113,31 @@ class IngestJob:
         ):
             from kafka_delta_ingest_spark.serialization import (
                 avro_payload_to_json,
+                avro_registry_to_json,
                 json_text_to_struct,
             )
 
-            text = avro_payload_to_json(
-                F.col("value"),
-                avro_schema_json=self.opts.avro_schema_json,
-                confluent_wire_format=fmt == MessageFormat.AVRO_SCHEMA_REGISTRY,
-                soe_schemas=self.opts.soe_schemas
-                if fmt == MessageFormat.AVRO_SOE
-                else None,
-            )
+            if (
+                fmt == MessageFormat.AVRO_SCHEMA_REGISTRY
+                and self.opts.schema_registry_url
+                and not self.opts.avro_schema_json
+            ):
+                # Per-message writer-schema resolution by the id in the
+                # wire-format header (reference src/serialization.rs:212-241).
+                text = avro_registry_to_json(
+                    F.col("value"),
+                    self.opts.schema_registry_url,
+                    fetcher=self.opts.schema_registry_fetcher,
+                )
+            else:
+                text = avro_payload_to_json(
+                    F.col("value"),
+                    avro_schema_json=self.opts.avro_schema_json,
+                    confluent_wire_format=fmt == MessageFormat.AVRO_SCHEMA_REGISTRY,
+                    soe_schemas=self.opts.soe_schemas
+                    if fmt == MessageFormat.AVRO_SOE
+                    else None,
+                )
             parsed, err = json_text_to_struct(text, self.target_schema)
         else:
             parsed, err = json_payload_to_struct(

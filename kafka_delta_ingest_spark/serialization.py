@@ -281,6 +281,61 @@ def _python_avro_json_udf(
     return _dec
 
 
+def avro_registry_to_json(
+    value: Column,
+    registry_url: str,
+    fetcher=None,
+) -> Column:
+    """Confluent wire-format Avro → JSON text with PER-MESSAGE writer
+    schema resolution from the registry (reference
+    src/serialization.rs:212-241): byte 0 is the magic, bytes [1, 5)
+    the big-endian schema id, byte 5 onward the Avro body.
+
+    Runs executor-side inside an Arrow-batched UDF: each Python worker
+    resolves a schema id once (process-wide cache in
+    ``schema_registry``), so registry traffic is O(distinct ids ×
+    workers), independent of message volume. Messages with an unknown
+    magic byte or a failing/unknown schema id decode to NULL → the
+    standard DLQ path. The JSON text re-enters ``json_text_to_struct``
+    against the DESTINATION schema, so writer-schema evolution between
+    messages needs no plan change at all.
+    """
+    import base64
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _dec(series: pd.Series) -> pd.Series:
+        import json as _json
+
+        from kafka_delta_ingest_spark import avro_python as ap
+        from kafka_delta_ingest_spark.schema_registry import SchemaRegistryClient
+
+        client = SchemaRegistryClient(registry_url, fetcher)
+
+        def jdefault(o):
+            if isinstance(o, (bytes, bytearray)):
+                return base64.b64encode(bytes(o)).decode("ascii")
+            raise TypeError(type(o).__name__)
+
+        def one(b):
+            if b is None:
+                return None
+            try:
+                raw = bytes(b)
+                if len(raw) < 6 or raw[0] != 0:
+                    return None
+                schema_id = int.from_bytes(raw[1:5], "big", signed=False)
+                datum = ap.decode(raw[5:], client.parsed_avro_by_id(schema_id))
+                return _json.dumps(datum, default=jdefault)
+            except Exception:
+                return None
+
+        return series.map(one)
+
+    return _dec(value)
+
+
 def avro_payload_to_json(
     value: Column,
     avro_schema_json: str | None = None,

@@ -221,3 +221,103 @@ def test_avro_to_spark_schema_types():
     assert st["tags"].dataType.simpleString() == "array<string>"
     assert st["maybe"].dataType.simpleString() == "bigint"
     assert st["meta"].dataType.simpleString() == "struct<src:string>"
+
+
+# -- Confluent Schema Registry resolution --------------------------------
+
+_REGISTRY_SCHEMAS = {
+    1: json.dumps(
+        {
+            "type": "record",
+            "name": "V1",
+            "fields": [{"name": "id", "type": "long"}, {"name": "name", "type": "string"}],
+        }
+    ),
+    2: json.dumps(
+        {
+            "type": "record",
+            "name": "V2",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "name", "type": "string"},
+                {"name": "age", "type": ["null", "long"], "default": None},
+            ],
+        }
+    ),
+}
+
+_FETCH_CALLS: list[str] = []
+
+
+def _fake_fetch(url: str) -> str:
+    # Picklable dict-backed stand-in for the Confluent HTTP endpoint.
+    _FETCH_CALLS.append(url)
+    schema_id = int(url.rsplit("/", 1)[1])
+    return _REGISTRY_SCHEMAS[schema_id]
+
+
+def _framed(schema_id: int, value: dict, schema_json: str) -> bytes:
+    # Confluent wire format: magic 0x0 + big-endian schema id + body.
+    return b"\x00" + schema_id.to_bytes(4, "big") + ap.encode(
+        value, ap.parse_schema(schema_json)
+    )
+
+
+def test_registry_client_caches_per_schema_id():
+    from kafka_delta_ingest_spark.schema_registry import (
+        SchemaRegistryClient,
+        clear_caches,
+    )
+
+    clear_caches()
+    _FETCH_CALLS.clear()
+    c = SchemaRegistryClient("http://registry.test", _fake_fetch)
+    assert json.loads(c.schema_by_id(1))["name"] == "V1"
+    c.schema_by_id(1)
+    c.parsed_avro_by_id(1)
+    assert len(_FETCH_CALLS) == 1  # every later hit served from cache
+    c.schema_by_id(2)
+    assert len(_FETCH_CALLS) == 2
+
+
+def test_registry_resolves_writer_schema_per_message(spark):
+    """Messages written under two registry schema ids (an evolution)
+    decode in ONE plan against the destination schema — new fields from
+    the later writer schema surface, old messages null-fill."""
+    from kafka_delta_ingest_spark.schema_registry import clear_caches
+    from kafka_delta_ingest_spark.serialization import (
+        avro_registry_to_json,
+        json_text_to_struct,
+    )
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    clear_caches()
+    schemas = dict(_REGISTRY_SCHEMAS)
+
+    def fetch(url: str) -> str:
+        # Defined inside the test so cloudpickle ships it BY VALUE to
+        # executor workers (a test-module global would pickle by
+        # reference to a module the worker cannot import).
+        return schemas[int(url.rsplit("/", 1)[1])]
+
+    msgs = [
+        (_framed(1, {"id": 1, "name": "a"}, _REGISTRY_SCHEMAS[1]),),
+        (_framed(2, {"id": 2, "name": "b", "age": 30}, _REGISTRY_SCHEMAS[2]),),
+        (b"\x01garbage-wrong-magic",),
+        (_framed(9, {"id": 3, "name": "c"}, _REGISTRY_SCHEMAS[1]),),  # unknown id
+    ]
+    df = spark.createDataFrame(msgs, "value binary")
+    dest = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("age", LongType()),
+        ]
+    )
+    text = avro_registry_to_json(F.col("value"), "http://registry.test", fetch)
+    parsed, err = json_text_to_struct(text, dest)
+    rows = df.select(parsed.alias("p"), err.alias("e")).collect()
+    ok = [r.p for r in rows if r.e is None]
+    bad = [r for r in rows if r.e is not None]
+    assert {(p.id, p.name, p.age) for p in ok} == {(1, "a", None), (2, "b", 30)}
+    assert len(bad) == 2  # wrong magic + unknown schema id -> DLQ path
