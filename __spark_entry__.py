@@ -304,6 +304,77 @@ def win_running_spend(spark, sf_dir):
 
 
 @_q(
+    "win_moving_avg_range",
+    """
+    SELECT event_id, user_id, ts,
+      round(CAST(AVG(CAST(value AS DECIMAL(18,6)))
+        OVER (PARTITION BY user_id ORDER BY ts
+              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS DOUBLE),
+        6) AS avg_1h
+    FROM events
+    WHERE user_id % 50 = 0
+    """,
+)
+def win_moving_avg_range(spark, sf_dir):
+    """Time-RANGE window frame (not ROWS): the 1-hour trailing average
+    every monitoring pipeline needs. The frame bound is event-time, so
+    rows with irregular spacing get correct physical windows; decimal
+    accumulation keeps the average identical across engines regardless
+    of in-frame evaluation order. One exchange on user_id serves the
+    whole window."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 50 == 0)
+    # Frame math in epoch MICROS: the events stream has sub-second
+    # timestamps, and a seconds-granularity bound would shift frame
+    # membership relative to exact interval arithmetic.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.avg(_dec("value", 18, 6)).over(w).cast("double"), 6).alias("avg_1h"),
+    )
+
+
+@_q(
+    "win_rank_family",
+    """
+    SELECT o_orderkey, o_orderpriority,
+      CAST(dense_rank() OVER w AS BIGINT) AS price_dense_rank,
+      percent_rank() OVER w AS price_pct_rank,
+      CAST(ntile(4) OVER w AS INT) AS price_quartile
+    FROM orders
+    WHERE o_totalprice > 400000
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def win_rank_family(spark, sf_dir):
+    """The ranking-function family in one pass: dense_rank /
+    percent_rank / ntile share a single window spec, so Catalyst plans
+    ONE sort + ONE Window operator for all three (no per-function
+    re-shuffle); the orderkey tie-break pins every rank
+    deterministically."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.dense_rank().over(w).cast("long").alias("price_dense_rank"),
+        # No rounding: (rank-1)/(n-1) is one IEEE division — bitwise
+        # identical in both engines, while rounding a .xxxxx5 half-case
+        # is not (Spark HALF_UP vs DuckDB half-even).
+        F.percent_rank().over(w).alias("price_pct_rank"),
+        F.ntile(4).over(w).alias("price_quartile"),
+    )
+
+
+@_q(
     "agg_rollup_orders",
     """
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
@@ -824,10 +895,10 @@ def dedup_exact(spark, sf_dir):
     return dedup.exact_dedup_normalized(uni, "text", "doc_id").select("doc_id")
 
 
-@_q(
-    "dedup_ngram_jaccard",
-    """
-    WITH d AS (
+# Shared CTE chain for the word-3-gram Jaccard pair oracle; reused by
+# the pair query and the connected-components clustering oracle.
+_NGRAM_PAIR_CTES = """
+    d AS (
       SELECT doc_id,
         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
       FROM documents
@@ -849,13 +920,21 @@ def dedup_exact(spark, sf_dir):
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
       FROM pg a JOIN pg b ON a.gram = b.gram AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    )
-    SELECT id_a, id_b,
-      round(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common), 6) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.2
+    ), pairs AS (
+      SELECT id_a, id_b,
+        round(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common), 6) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.2
+    )"""
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_NGRAM_PAIR_CTES}
+    SELECT id_a, id_b, jaccard FROM pairs
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
@@ -864,6 +943,36 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
         d, "doc_id", "text", n=3, threshold=0.2, max_gram_df=1000
     )
+
+
+@_q(
+    "dedup_clusters_cc",
+    f"""
+    WITH RECURSIVE {_NGRAM_PAIR_CTES},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+    )
+    SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    """,
+)
+def dedup_clusters_cc(spark, sf_dir):
+    """Near-duplicate CLUSTERS, not just pairs: connected components
+    over the n-gram Jaccard pair graph via iterative min-label
+    propagation (see ``dedup.connected_components``). The oracle walks
+    the same graph with a recursive transitive-closure CTE — two very
+    different algorithms agreeing on every cluster assignment."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.2, max_gram_df=1000
+    )
+    return dedup.connected_components(pairs)
 
 
 @_q("dedup_minhash_pairs")  # xxhash64-based — no DuckDB twin, rows-only check

@@ -299,6 +299,71 @@ def simhash_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Connected components (dedup clusters)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(doc_id, cluster_id) for every vertex of the pair graph —
+    cluster_id is the MINIMUM id reachable through the edges, i.e. the
+    canonical representative of each near-duplicate cluster.
+
+    Join-based min-label propagation (the Pregel shape on plain
+    DataFrames): each round every vertex takes the min of its own label
+    and its neighbors'. Rounds needed = cluster diameter — near-dup
+    graphs are shallow (copies of copies), so this converges in a
+    handful of rounds where a general graph would want GraphFrames.
+    Per round: one equi-join + one map-side-combined min aggregation;
+    ``localCheckpoint`` truncates the growing lineage so round N's plan
+    does not replay rounds 1..N-1. Convergence is detected from the
+    SUM of labels (labels only ever decrease, so an unchanged exact
+    decimal sum IS the fixed point) — one scalar action per round, no
+    change-join.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr, labels.id == nbr.src, "left")
+            .select(
+                labels.id,
+                F.least(
+                    labels.label, F.coalesce(F.col("nbr_min"), labels.label)
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard (exact)
 # ---------------------------------------------------------------------------
 

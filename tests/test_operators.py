@@ -348,3 +348,15 @@ def test_approx_count_distinct_error_bound(spark):
         rel_err = abs(r.approx_users - r.exact_users) / max(r.exact_users, 1)
         # rsd=0.02; allow 3 sigma.
         assert rel_err <= 0.06, (r.event_type, r.approx_users, r.exact_users)
+
+
+def test_connected_components_chain_and_triangle(spark):
+    from pyspark.sql import Row
+
+    # chain 1-2-3-4 (diameter 3), triangle 10-11-12, isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [Row(id_a=a, id_b=b) for a, b in
+         [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)]]
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
