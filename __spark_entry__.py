@@ -1734,20 +1734,14 @@ def text_fingerprint_rolling(spark, sf_dir):
                                  i -> l[i] || ' ' || l[i + 1])
              ELSE CAST([] AS VARCHAR[]) END AS bg
       FROM w
-    ), sizes AS (
-      SELECT doc_id, CAST(len(l) AS INT) AS n_words,
-        round(1.0 - CAST(len(list_distinct(l)) AS DOUBLE) / len(l), 6) AS dup_word_frac
-      FROM base
-    ), cnt AS (
-      SELECT doc_id, g, COUNT(*) AS c
-      FROM (SELECT doc_id, unnest(bg) AS g FROM base) x
-      GROUP BY doc_id, g
-    ), top AS (
-      SELECT doc_id, MAX(c) AS top_cnt, SUM(c) AS total FROM cnt GROUP BY doc_id
     )
-    SELECT s.doc_id, s.n_words, s.dup_word_frac,
-      round(CAST(COALESCE(top_cnt, 0) AS DOUBLE) / GREATEST(total, 1), 6) AS top_bigram_frac
-    FROM sizes s LEFT JOIN top USING (doc_id)
+    SELECT doc_id, CAST(len(l) AS INT) AS n_words,
+      round(1.0 - CAST(len(list_distinct(l)) AS DOUBLE) / len(l), 6) AS dup_word_frac,
+      round(CAST(COALESCE(
+          list_max(list_transform(list_distinct(bg),
+                                  g -> len(list_filter(bg, x -> x = g)))),
+          0) AS DOUBLE) / GREATEST(len(bg), 1), 6) AS top_bigram_frac
+    FROM base
     """,
 )
 def text_repetition_profile(spark, sf_dir):

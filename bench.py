@@ -56,6 +56,10 @@ HEADLINE = [
     "stream_offset_dedup",
     "embedding_neardup_lsh",
     "multimodal_features",
+    "text_repetition_profile",
+    "win_moving_avg_range",
+    "agg_approx_distinct",
+    "dedup_clusters_cc",
 ]
 
 

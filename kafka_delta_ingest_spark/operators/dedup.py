@@ -326,9 +326,16 @@ def connected_components(
     change-join.
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    sym = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    # Materialize the edge set ONCE: without this every round's action
+    # would re-run the (possibly expensive) pair-generation pipeline
+    # feeding ``pairs`` — the dominant cost for LSH/Jaccard graphs.
+    sym = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
