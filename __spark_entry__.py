@@ -1796,6 +1796,29 @@ def sim_recall_lsh_vs_exact(spark, sf_dir):
     return similarity.recall_eval(approx, exact, k=10)
 
 
+@_q("agg_approx_percentiles")  # KLL/GK sketch values are engine-specific — rows-only
+def agg_approx_percentiles(spark, sf_dir):
+    """approx_percentile next to the exact percentile: the exact form
+    needs a per-group sort (fine at bench scale, a full-shuffle sort at
+    100 TB); the sketch is a bounded-size mergeable summary computed in
+    one pass. The exact columns double as the in-engine error audit."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+                "p50_approx"
+            ),
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("p50_exact"),
+            F.approx_percentile("l_extendedprice", F.lit(0.99), F.lit(10000)).alias(
+                "p99_approx"
+            ),
+            F.percentile("l_extendedprice", F.lit(0.99)).alias("p99_exact"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 @_q("agg_approx_distinct")  # HLL sketch values are engine-specific — rows-only
 def agg_approx_distinct(spark, sf_dir):
     """HyperLogLog++ approximate count-distinct next to the exact

@@ -360,3 +360,13 @@ def test_connected_components_chain_and_triangle(spark):
     )
     got = {r.doc_id: r.cluster_id for r in dedup.connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_approx_percentile_error_bound(spark):
+    import __spark_entry__ as E
+
+    for r in E.queries()["agg_approx_percentiles"](spark, SF_DIR).collect():
+        # accuracy 10000 -> rank error <= 1/10000; prices are dense, so
+        # a loose 1% relative-value tolerance is a safe audit.
+        assert abs(r.p50_approx - r.p50_exact) / r.p50_exact < 0.01
+        assert abs(r.p99_approx - r.p99_exact) / r.p99_exact < 0.01

@@ -115,3 +115,39 @@ def test_rolling_fingerprint_matches_python(spark, texts):
     }
     for i, s in enumerate(texts):
         assert got[i] == py_roll(s), repr(s)
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=50
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_repetition_profile_matches_python(spark, texts):
+    from collections import Counter
+
+    from kafka_delta_ingest_spark.operators.text import repetition_profile
+
+    def py_profile(s: str):
+        words = re.sub(r"\s+", " ", s.lower()).strip().split(" ")
+        n = len(words)
+        dup = round(1.0 - len(set(words)) / n, 6)
+        bigrams = (
+            [" ".join(words[i : i + 2]) for i in range(n - 1)] if n >= 2 else []
+        )
+        top = (
+            round(max(Counter(bigrams).values()) / len(bigrams), 6) if bigrams else 0.0
+        )
+        return n, dup, top
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(texts)], "doc_id int, text string")
+    got = {
+        r.doc_id: (r.n_words, r.dup_word_frac, r.top_bigram_frac)
+        for r in repetition_profile(df).collect()
+    }
+    for i, s in enumerate(texts):
+        assert got[i] == py_profile(s), repr(s)
