@@ -1796,6 +1796,67 @@ def sim_recall_lsh_vs_exact(spark, sf_dir):
     return similarity.recall_eval(approx, exact, k=10)
 
 
+@_q(
+    "scan_variant_props",
+    """
+    SELECT event_type,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+      CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    WHERE CAST(props->>'$.k' AS BIGINT) > 50
+    GROUP BY event_type
+    """,
+)
+def scan_variant_props(spark, sf_dir):
+    """Semi-structured path via Spark 4's VARIANT type: parse_json once,
+    variant_get for typed extraction — the open-schema column pattern
+    (no fixed struct, no per-query schema inference pass over 100 TB of
+    JSON; the variant binary encoding pushes through shredding-aware
+    readers). The DuckDB twin extracts the same path with JSON
+    operators."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    return (
+        e.select("event_type", k.alias("_k"))
+        .filter(F.col("_k") > 50)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("_k").alias("sum_k"),
+            F.max("_k").alias("max_k"),
+        )
+    )
+
+
+# One SQL text, two engines: Spark 4 recursive CTE == DuckDB recursive
+# CTE, character for character (dialect-neutral subset).
+_RECURSIVE_CALENDAR_SQL = """
+    WITH RECURSIVE months(m) AS (
+      SELECT DATE '1995-01-01'
+      UNION ALL
+      SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+      WHERE m < DATE '2001-08-01'
+    )
+    SELECT m AS month, COUNT(o_orderkey) AS n_orders
+    FROM months LEFT JOIN orders
+      ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+    GROUP BY m
+    """
+
+
+@_q("sql_recursive_calendar", _RECURSIVE_CALENDAR_SQL)
+def sql_recursive_calendar(spark, sf_dir):
+    """Recursive-CTE calendar gap-fill (dense month series from sparse
+    orders, zero-filled) — Spark 4's WITH RECURSIVE running the
+    CHARACTER-IDENTICAL SQL text the DuckDB oracle runs. The recursion
+    materializes 80 rows on the driver side of the plan; the join
+    against the fact table is an ordinary hash join, so the pattern
+    costs one scan regardless of table size."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_RECURSIVE_CALENDAR_SQL)
+
+
 @_q("agg_approx_percentiles")  # KLL/GK sketch values are engine-specific — rows-only
 def agg_approx_percentiles(spark, sf_dir):
     """approx_percentile next to the exact percentile: the exact form
