@@ -1721,6 +1721,41 @@ def text_fingerprint_rolling(spark, sf_dir):
 
 
 @_q(
+    "sim_quantize_fidelity",
+    """
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), s AS (
+      SELECT vec_id, v,
+        CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+             THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+             ELSE 1.0 END AS scale
+      FROM base
+    ), dq AS (
+      SELECT vec_id, v,
+        list_transform(v, x -> floor(x * scale + 0.5) / scale) AS d
+      FROM s
+    )
+    SELECT vec_id,
+      round(list_sum(list_transform(list_zip(v, d), p -> p[1] * p[2]))
+        / (sqrt(list_sum(list_transform(v, x -> x * x)))
+           * sqrt(list_sum(list_transform(d, x -> x * x)))), 6) AS cos_fidelity,
+      round(list_max(list_transform(list_zip(v, d), p -> abs(p[1] - p[2]))), 6) AS max_abs_err
+    FROM dq
+    """,
+)
+def sim_quantize_fidelity(spark, sf_dir):
+    """Int8 embedding quantization round-trip audit: per-vector cosine
+    between the original and its dequantized form plus the worst
+    component error — the 4× storage/bandwidth lever for embedding
+    columns, with floor(x+0.5) ties so both engines quantize
+    identically (round() would diverge on .5 between HALF_UP and
+    half-even)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.quantization_fidelity(e)
+
+
+@_q(
     "text_repetition_profile",
     r"""
     WITH w AS (

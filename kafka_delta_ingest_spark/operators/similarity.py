@@ -289,6 +289,49 @@ def ivf_topk(
     )
 
 
+def quantize_int8(vec: Column) -> tuple[Column, Column]:
+    """Symmetric per-vector int8 quantization: (codes, scale).
+
+    ``codes[i] = floor(x[i] * 127 / max_abs + 0.5)`` — floor(x+0.5)
+    instead of round() because engines disagree on .5 ties (HALF_UP vs
+    half-even) while floor is identical everywhere. At 100 TB this is
+    the 4× storage / memory-bandwidth lever for embedding columns; the
+    scale rides along so dot products dequantize exactly.
+    """
+    max_abs = F.aggregate(
+        F.transform(vec, lambda x: F.abs(x)),
+        F.lit(0.0),
+        lambda acc, v: F.greatest(acc, v),
+    )
+    scale = F.when(max_abs > 0, 127.0 / max_abs).otherwise(F.lit(1.0))
+    codes = F.transform(vec, lambda x: F.floor(x * scale + 0.5).cast("int"))
+    return codes, scale
+
+
+def dequantize(codes: Column, scale: Column) -> Column:
+    return F.transform(codes, lambda q: q.cast("double") / scale)
+
+
+def quantization_fidelity(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, cos_fidelity, max_abs_err): cosine between each vector and
+    its int8 round-trip, plus the worst per-component error — the audit
+    a pipeline runs before committing to quantized storage."""
+    v = _as_double(F.col(vec_col))
+    base = df.select(F.col(id_col), v.alias("_v"))
+    codes, scale = quantize_int8(F.col("_v"))
+    qd = base.select(id_col, "_v", dequantize(codes, scale).alias("_dq"))
+    abs_err = F.array_max(
+        F.zip_with(F.col("_v"), F.col("_dq"), lambda a, b: F.abs(a - b))
+    )
+    return qd.select(
+        id_col,
+        F.round(cosine(F.col("_v"), F.col("_dq")), 6).alias("cos_fidelity"),
+        F.round(abs_err, 6).alias("max_abs_err"),
+    )
+
+
 def recall_eval(approx: DataFrame, exact: DataFrame, k: int = 10) -> DataFrame:
     """Recall@k of an ANN result against the exact brute-force result.
 

