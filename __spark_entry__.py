@@ -1983,6 +1983,39 @@ def multimodal_frame_plan(spark, sf_dir):
     return multimodal.frame_sample_plan(media, every_ms=1000)
 
 
+@_q(
+    "multimodal_dedup_exact",
+    """
+    WITH all_media AS (
+      SELECT doc_id AS media_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT md5(text) AS content_hash,
+           MIN(media_id) AS media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM all_media
+    GROUP BY md5(text)
+    """,
+)
+def multimodal_dedup_exact(spark, sf_dir):
+    """Content-addressable media dedup BEFORE decode: hash the binary
+    payload, keep the lowest id per digest. At 100 TB this is the first
+    stage of every media pipeline — the 16-byte digest shuffles, the
+    blobs never do, and each surviving blob is decoded exactly once
+    downstream."""
+    d = load_table(spark, sf_dir, "documents")
+    copies = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    media = multimodal.media_from_documents(
+        d.select("doc_id", "text").unionByName(copies)
+    )
+    return media.groupBy(F.md5(F.col("media")).alias("content_hash")).agg(
+        F.min("media_id").alias("media_id"), F.count("*").alias("n_copies")
+    )
+
+
 @_q("multimodal_features")  # mapInPandas + stubbed decode — rows-only check
 def multimodal_features(spark, sf_dir):
     """Arrow-batched mapInPandas feature extraction over binary media."""
