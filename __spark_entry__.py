@@ -1721,6 +1721,48 @@ def text_fingerprint_rolling(spark, sf_dir):
 
 
 @_q(
+    "split_train_holdout",
+    """
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS min_id
+    FROM (
+      SELECT doc_id,
+        CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  % 100 < 90
+             THEN 'train' ELSE 'holdout' END AS split
+      FROM documents
+    ) s
+    GROUP BY split
+    """,
+)
+def split_train_holdout(spark, sf_dir):
+    """Deterministic hash-based train/holdout split: the bucket is a
+    pure function of the key, so assignments survive reruns, engine
+    swaps, and incremental arrivals (a doc never migrates between
+    splits) — the property seeded RNG splits lack. Verified row-for-row
+    by the oracle computing the identical md5 bucket."""
+    from kafka_delta_ingest_spark.operators.sampling import deterministic_split
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        deterministic_split(d, "doc_id", train_pct=90)
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_id"))
+    )
+
+
+@_q("sample_stratified")  # seeded RNG — engine-specific, rows-only
+def sample_stratified(spark, sf_dir):
+    """Per-stratum Bernoulli rebalance of the skewed language mix
+    (en is ~3× the other strata): no shuffle, rows kept or dropped in
+    place; the fixed seed makes reruns reproducible within Spark."""
+    from kafka_delta_ingest_spark.operators.sampling import stratified_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    fr = {"en": 0.3, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
+    return stratified_sample(d, "lang", fr).select("doc_id", "lang")
+
+
+@_q(
     "sim_quantize_fidelity",
     """
     WITH base AS (

@@ -381,3 +381,41 @@ def test_quantization_fidelity_bounds(spark):
         assert r.cos_fidelity >= 0.999, (r.vec_id, r.cos_fidelity)
         # per-component error bounded by half a quantization step
         assert r.max_abs_err >= 0.0
+
+
+def test_deterministic_split_stable_and_partitioned(spark, docs):
+    from kafka_delta_ingest_spark.operators.sampling import deterministic_split
+
+    a = deterministic_split(docs, "doc_id", train_pct=90)
+    counts = {r.split: r.n for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    assert total == docs.count()
+    # md5 buckets are uniform: train share within a few points of 90%
+    assert 0.85 <= counts["train"] / total <= 0.95
+    # pure function of the key: re-derivation agrees row for row
+    b = deterministic_split(docs.orderBy(F.rand(7)), "doc_id", train_pct=90)
+    mismatch = (
+        a.select("doc_id", F.col("split").alias("s1"))
+        .join(b.select("doc_id", F.col("split").alias("s2")), "doc_id")
+        .where("s1 <> s2")
+        .count()
+    )
+    assert mismatch == 0
+
+
+def test_stratified_sample_hits_fractions(spark, docs):
+    from kafka_delta_ingest_spark.operators.sampling import stratified_sample
+
+    base = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    fr = {lang: 0.5 for lang in base}
+    got = {
+        r.lang: r.n
+        for r in stratified_sample(docs, "lang", fr, seed=1)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for lang, n in base.items():
+        assert got.get(lang, 0) <= n
+        if n >= 50:  # only check the ratio where the stratum is big enough
+            assert 0.3 <= got[lang] / n <= 0.7
