@@ -1763,6 +1763,180 @@ def sample_stratified(spark, sf_dir):
 
 
 @_q(
+    "split_pack_sequences",
+    r"""
+    WITH t AS (
+      SELECT lang, doc_id,
+        CASE WHEN len(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+      FROM documents
+    ), c AS (
+      SELECT lang, doc_id, n_tok,
+        SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+      FROM t
+    )
+    SELECT lang, CAST(floor((cum - n_tok) / 512) AS BIGINT) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
+    FROM c
+    GROUP BY lang, pack_id
+    """,
+)
+def split_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing for pretraining: each doc is
+    assigned the 512-token context window its first token lands in
+    under per-language doc_id-ordered concatenation. The window is
+    partitioned by language (at corpus scale: by hash shard), so packing
+    is embarrassingly parallel — no global sort anywhere in the plan."""
+    from kafka_delta_ingest_spark.operators.sampling import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        pack_sequences(d, ctx_tokens=512)
+        .groupBy("lang", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+        )
+    )
+
+
+@_q(
+    "split_quality_curriculum",
+    r"""
+    WITH s AS (
+      SELECT doc_id, lang, text,
+        CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+             ELSE string_split_regex(trim(text), '\s+') END AS toks,
+        CASE WHEN len(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+             ELSE string_split_regex(trim(lower(text)), '\s+') END AS tokl
+      FROM documents
+    ), m AS (
+      SELECT doc_id, lang,
+        round(0.4 * least(CAST(len(text) AS DOUBLE) / 500.0, 1.0)
+            + 0.2 * least((CASE WHEN len(text) = 0 THEN 0.0
+                 ELSE CAST(len(text) - len(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE) / len(text) END) * 20.0, 1.0)
+            + 0.2 * least((CASE WHEN len(tokl) = 0 THEN 0.0
+                 ELSE CAST(len(list_filter(tokl, t -> t IN ('the','a','an','and','or','of','to','in','is','it','on','for','with','as','by','at','this','that'))) AS DOUBLE) / len(tokl) END) * 5.0, 1.0)
+            + 0.2 * (CASE WHEN (CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks) END) BETWEEN 3.0 AND 10.0
+                 THEN 1.0 ELSE 0.0 END), 6) AS quality
+      FROM s
+    ), b AS (
+      SELECT lang, quality,
+        ntile(4) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS bin
+      FROM m
+    )
+    SELECT lang, CAST(bin AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(MIN(quality), 6) AS q_min, round(MAX(quality), 6) AS q_max
+    FROM b GROUP BY lang, bin
+    """,
+)
+def split_quality_curriculum(spark, sf_dir):
+    """Curriculum binning: quartile buckets of the composite quality
+    score within each language (ntile over a lang-partitioned window —
+    parallel across groups, deterministic via the doc_id tie-break).
+    Downstream training samples bin 1 early and anneals toward bin 4."""
+    d = load_table(spark, sf_dir, "documents")
+    q = d.select("doc_id", "lang", textops.quality_score(F.col("text")).alias("quality"))
+    w = Window.partitionBy("lang").orderBy(F.col("quality").desc(), "doc_id")
+    return (
+        q.withColumn("bin", F.ntile(4).over(w).cast("int"))
+        .groupBy("lang", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.min("quality"), 6).alias("q_min"),
+            F.round(F.max("quality"), 6).alias("q_max"),
+        )
+    )
+
+
+@_q(
+    "text_tfidf_top_terms",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents WHERE len(trim(text)) > 0
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+    ), dft AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT COUNT(*) AS n FROM documents WHERE len(trim(text)) > 0
+    )
+    SELECT doc_id, term,
+           round((CAST(tf AS DOUBLE) / dl) * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf,
+           CAST(rn AS INT) AS rn
+    FROM (
+      SELECT tf.doc_id, tf.term, tf.tf, dl.dl, dft.df, n.n,
+        row_number() OVER (
+          PARTITION BY tf.doc_id
+          ORDER BY (CAST(tf.tf AS DOUBLE) / dl.dl) * ln(CAST(n.n AS DOUBLE) / dft.df) DESC,
+                   tf.term
+        ) AS rn
+      FROM tf JOIN dl USING (doc_id) JOIN dft USING (term) CROSS JOIN n
+    )
+    WHERE rn <= 3
+    """,
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    """Top-3 characteristic terms per document by TF-IDF (keyword
+    extraction / topic labeling). Ranks on the unrounded score with a
+    term-text tie-break; the vocabulary side of the join is
+    dimension-sized, so AQE broadcasts it."""
+    from kafka_delta_ingest_spark.operators.ranking import tfidf_top_terms
+
+    d = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, top_k=3)
+
+
+@_q(
+    "text_bm25_search",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents WHERE len(trim(text)) > 0
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+    ), qtf AS (
+      SELECT * FROM tf WHERE term IN ('merge', 'window', 'hash')
+    ), dft AS (
+      SELECT term, COUNT(*) AS df FROM qtf GROUP BY term
+    ), n AS (
+      SELECT COUNT(*) AS n FROM documents WHERE len(trim(text)) > 0
+    ), ad AS (
+      SELECT AVG(dl) AS avgdl FROM dl
+    )
+    SELECT doc_id, round(score, 6) AS bm25
+    FROM (
+      SELECT qtf.doc_id,
+        SUM( ln(1.0 + (CAST(n.n AS DOUBLE) - dft.df + 0.5) / (dft.df + 0.5))
+             * CAST(qtf.tf AS DOUBLE) * 2.2
+             / (CAST(qtf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl.dl / ad.avgdl)) ) AS score
+      FROM qtf JOIN dl USING (doc_id) JOIN dft USING (term) CROSS JOIN n CROSS JOIN ad
+      GROUP BY qtf.doc_id
+    )
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """,
+)
+def text_bm25_search(spark, sf_dir):
+    """Okapi BM25 (k1=1.2, b=0.75) top-10 documents for the query
+    {merge, window, hash}: corpus search over the tf index. The query
+    filter runs BEFORE any shuffle, so only rows containing a query
+    term move; N and avgdl travel as broadcast single-row scalars."""
+    from kafka_delta_ingest_spark.operators.ranking import bm25_search
+
+    d = load_table(spark, sf_dir, "documents")
+    return bm25_search(d, ["merge", "window", "hash"], top_k=10)
+
+
+@_q(
     "sim_quantize_fidelity",
     """
     WITH base AS (

@@ -1,0 +1,151 @@
+"""Lexical relevance ranking: TF-IDF term extraction and BM25 search.
+
+The retrieval layer of a training-data pipeline: TF-IDF surfaces each
+document's most characteristic terms (keyword extraction, topic
+labeling, df-capped boilerplate detection); BM25 scores documents
+against a query term set (corpus search, nearest-neighbor text
+retrieval before embedding models enter the picture).
+
+Both are pure DataFrame compositions — explode → map-side-combined
+aggregations → joins — with no Python in the hot path, and both are
+ANSI-SQL-expressible so the DuckDB oracle verifies them value-for-value.
+
+Scale shape (100 TB corpus):
+* the explode shuffles (doc_id, term) pairs, but `groupBy(doc_id,
+  term).count()` combines map-side, so the wire carries per-partition
+  distinct pairs, not raw token occurrences;
+* the term→df side is |vocab| rows (millions, not billions) — Spark's
+  AQE broadcasts it when it fits, shuffles otherwise; nothing in the
+  plan forces a sort;
+* BM25 filters to the query's terms BEFORE any shuffle, so a k-term
+  query moves only rows containing those k terms — the classic
+  "search narrows first" plan;
+* per-doc top-k is a windowed row_number over doc_id partitions
+  (arbitrarily parallel — no global sort).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from kafka_delta_ingest_spark.operators.text import tokens
+from kafka_delta_ingest_spark.operators.util import spread
+
+
+def _term_frequencies(
+    df: DataFrame, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(tf, dl): per-(doc,term) counts and per-doc token lengths.
+
+    Empty documents drop out (no terms, no length) — matching the SQL
+    twin's `len(trim(text)) > 0` guard.
+
+    dl is derived FROM tf (Σ tf per doc), not from a second pass over
+    the token stream: the corpus is tokenized and exploded exactly once,
+    and because both consumers hang off the same aggregate subtree,
+    Spark's ReuseExchange serves the second branch from the first's
+    shuffle files instead of re-scanning 100 TB of text.
+    """
+    toks = spread(df).select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    return tf, dl
+
+
+def _corpus_size(df: DataFrame, text_col: str) -> DataFrame:
+    """Single-row (n_docs) frame — broadcast-cross-joined wherever the
+    formulas need N, keeping the whole plan lazy (no driver round-trip)."""
+    return df.where(F.length(F.trim(F.col(text_col))) > 0).agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    top_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    tfidf(t, d) = (tf/dl) · ln(N/df) — raw idf, no smoothing: df ≥ 1
+    for every term that exists, so the log is always defined, and a
+    term present in every document scores exactly 0.
+
+    Ranking happens on the UNROUNDED expression (ties broken by term
+    text, so the winner set is deterministic); the emitted value is
+    rounded to 6 dp. Returns (id, term, tfidf, rn) with rn ∈ 1..top_k.
+    """
+    tf, dl = _term_frequencies(df, text_col, id_col)
+    dft = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = _corpus_size(df, text_col)
+
+    score = (F.col("tf").cast("double") / F.col("dl")) * F.log(
+        F.col("n_docs").cast("double") / F.col("df")
+    )
+    w = Window.partitionBy(id_col).orderBy(score.desc(), F.col("term"))
+    return (
+        tf.join(dl, id_col)
+        .join(dft, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= top_k)
+        .select(
+            id_col,
+            "term",
+            F.round(score, 6).alias("tfidf"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    top_k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25: top-k documents for a bag-of-words query.
+
+    score(d) = Σ_q idf(q) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(q) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    The tf table is filtered to the query's terms BEFORE the df/avgdl
+    joins, so only matching rows ever shuffle. avgdl and N are global
+    scalars carried as a broadcast single-row cross join — no
+    collect-and-reinject, the plan stays lazy end to end.
+    """
+    tf, dl = _term_frequencies(df, text_col, id_col)
+    qtf = tf.where(F.col("term").isin(*query_terms))
+    dft = qtf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = _corpus_size(df, text_col)
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+
+    idf = F.log(
+        1.0 + (F.col("n_docs").cast("double") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_c = F.col("tf").cast("double")
+    denom = tf_c + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    contrib = idf * tf_c * (k1 + 1.0) / denom
+
+    scored = (
+        qtf.join(dl, id_col)
+        .join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(avgdl))
+        .groupBy(id_col)
+        .agg(F.sum(contrib).alias("_score"))
+    )
+    return (
+        scored.orderBy(F.col("_score").desc(), id_col)
+        .limit(top_k)
+        .select(id_col, F.round("_score", 6).alias("bm25"))
+    )

@@ -13,11 +13,19 @@ Two primitives every corpus pipeline needs ahead of training:
   (``df.sampleBy`` with a fixed seed): rebalance skewed strata (e.g.
   languages) without a shuffle; each row is kept or dropped where it
   sits.
+* **pack_sequences** — concat-and-chunk sequence packing: assign each
+  document to the fixed-size context-window "pack" its first token
+  lands in, given a deterministic (group, order) concatenation of the
+  corpus. Packing runs per group (language, shard, …) so the window is
+  partitioned — arbitrarily parallel, no global sort; at 100 TB the
+  group key is a hash shard and each shard packs independently.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
+
+from kafka_delta_ingest_spark.operators.text import token_count
 
 
 def split_bucket(key_col: str) -> F.Column:
@@ -42,6 +50,32 @@ def deterministic_split(
         F.when(split_bucket(key_col) < train_pct, F.lit("train")).otherwise(
             F.lit("holdout")
         ),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    ctx_tokens: int,
+    group_col: str = "lang",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Add (n_tokens, pack_id): which ctx_tokens-sized training pack the
+    document STARTS in, under per-group (order_col)-ordered
+    concatenation.
+
+    pack_id = floor((running_total − n_tokens) / ctx_tokens) — i.e. the
+    chunk containing the doc's first token; long docs straddle into the
+    following packs, exactly like concat-and-chunk pretraining loaders.
+    Every input is integer arithmetic over a running sum, so the DuckDB
+    oracle reproduces assignments row for row.
+    """
+    tc = token_count(F.col(text_col))
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    cum = F.sum(tc).over(w)
+    return df.withColumn("n_tokens", tc).withColumn(
+        "pack_id",
+        F.floor((cum - F.col("n_tokens")) / F.lit(ctx_tokens)).cast("long"),
     )
 
 

@@ -419,3 +419,55 @@ def test_stratified_sample_hits_fractions(spark, docs):
         assert got.get(lang, 0) <= n
         if n >= 50:  # only check the ratio where the stratum is big enough
             assert 0.3 <= got[lang] / n <= 0.7
+
+
+def test_pack_sequences_monotone_and_chunk_aligned(spark, docs):
+    from kafka_delta_ingest_spark.operators.sampling import pack_sequences
+
+    p = pack_sequences(docs, ctx_tokens=256).select("lang", "doc_id", "n_tokens", "pack_id")
+    rows = p.orderBy("lang", "doc_id").collect()
+    cum = {}
+    for r in rows:
+        start = cum.get(r.lang, 0)  # token offset where this doc begins
+        assert r.pack_id == start // 256, (r.lang, r.doc_id)
+        cum[r.lang] = start + r.n_tokens
+    # pack ids never decrease along the concatenation order
+    for lang in cum:
+        ids = [r.pack_id for r in rows if r.lang == lang]
+        assert ids == sorted(ids)
+
+
+def test_tfidf_ubiquitous_term_scores_zero(spark):
+    from kafka_delta_ingest_spark.operators.ranking import tfidf_top_terms
+
+    d = spark.createDataFrame(
+        [(1, "apple common x"), (2, "banana common y"), (3, "cherry common z")],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_id, r.term): r.tfidf for r in tfidf_top_terms(d, top_k=3).collect()}
+    # 'common' appears in every doc -> idf = ln(1) = 0
+    assert all(abs(v) < 1e-9 for (d_, t), v in out.items() if t == "common")
+    # each doc's distinctive terms outrank it
+    assert out[(1, "apple")] > 0 and out[(2, "banana")] > 0 and out[(3, "cherry")] > 0
+
+
+def test_bm25_ranks_matching_docs(spark):
+    from kafka_delta_ingest_spark.operators.ranking import bm25_search
+
+    d = spark.createDataFrame(
+        [
+            (1, "spark merge merge merge"),
+            (2, "spark merge"),
+            (3, "nothing relevant here"),
+            (4, "merge"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = bm25_search(d, ["merge"], top_k=10).collect()
+    got = [r.doc_id for r in rows]
+    assert 3 not in got  # no query term, no score
+    assert set(got) == {1, 2, 4}
+    scores = [r.bm25 for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # tf saturation: doc 1 (tf=3) beats doc 2 (tf=1, same length band)
+    assert got[0] == 1
