@@ -1763,6 +1763,93 @@ def sample_stratified(spark, sf_dir):
 
 
 @_q(
+    "sample_exact_k",
+    """
+    SELECT doc_id FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    LIMIT 100
+    """,
+)
+def sample_exact_k(spark, sf_dir):
+    """Exact-100 uniform sample via hash ordering (TakeOrderedAndProject
+    — per-partition top-k + single merge, no global sort). Deterministic
+    across engines, runs, and cluster sizes."""
+    from kafka_delta_ingest_spark.operators.sampling import hash_sample_exact
+
+    d = load_table(spark, sf_dir, "documents")
+    return hash_sample_exact(d, 100).select("doc_id")
+
+
+@_q(
+    "split_source_mix",
+    """
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM documents
+    WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+          < CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 100 ELSE 40 END
+    GROUP BY source
+    """,
+)
+def split_source_mix(spark, sf_dir):
+    """Pretraining mixture weighting: even-numbered sources kept whole,
+    odd-numbered downsampled to 40%, via the md5-bucket threshold — a
+    pure per-row filter (zero shuffle) whose keep/drop decision is a
+    function of the row key, so appends and reshards never flip it."""
+    from kafka_delta_ingest_spark.operators.sampling import source_mix
+
+    d = load_table(spark, sf_dir, "documents")
+    weights = {f"src{i}": (1.0 if i % 2 == 0 else 0.4) for i in range(20)}
+    return source_mix(d, weights).groupBy("source").agg(F.count("*").alias("n_kept"))
+
+
+@_q(
+    "split_domain_cap",
+    r"""
+    WITH s AS (
+      SELECT doc_id, source, text,
+        CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+             ELSE string_split_regex(trim(text), '\s+') END AS toks,
+        CASE WHEN len(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+             ELSE string_split_regex(trim(lower(text)), '\s+') END AS tokl
+      FROM documents
+    ), m AS (
+      SELECT doc_id, source,
+        round(0.4 * least(CAST(len(text) AS DOUBLE) / 500.0, 1.0)
+            + 0.2 * least((CASE WHEN len(text) = 0 THEN 0.0
+                 ELSE CAST(len(text) - len(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE) / len(text) END) * 20.0, 1.0)
+            + 0.2 * least((CASE WHEN len(tokl) = 0 THEN 0.0
+                 ELSE CAST(len(list_filter(tokl, t -> t IN ('the','a','an','and','or','of','to','in','is','it','on','for','with','as','by','at','this','that'))) AS DOUBLE) / len(tokl) END) * 5.0, 1.0)
+            + 0.2 * (CASE WHEN (CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks) END) BETWEEN 3.0 AND 10.0
+                 THEN 1.0 ELSE 0.0 END), 6) AS quality
+      FROM s
+    )
+    SELECT doc_id, source, quality, CAST(rn AS INT) AS rn
+    FROM (
+      SELECT doc_id, source, quality,
+        row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rn
+      FROM m
+    )
+    WHERE rn <= 10
+    """,
+)
+def split_domain_cap(spark, sf_dir):
+    """Per-domain cap: keep each source's 10 best-quality documents
+    (row_number over a source-partitioned window — one shuffle on the
+    group key, no global sort; a mega-domain's overflow is exactly what
+    the cap discards)."""
+    from kafka_delta_ingest_spark.operators.sampling import cap_per_group
+
+    d = load_table(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id", "source", textops.quality_score(F.col("text")).alias("quality")
+    )
+    return cap_per_group(
+        q, "source", 10, [F.col("quality").desc(), F.col("doc_id")]
+    )
+
+
+@_q(
     "split_pack_sequences",
     r"""
     WITH t AS (

@@ -87,3 +87,58 @@ def stratified_sample(
 ) -> DataFrame:
     """Per-stratum Bernoulli sample (seeded, no shuffle)."""
     return df.sampleBy(strata_col, fractions, seed)
+
+
+def hash_sample_exact(df: DataFrame, k: int, key_col: str = "doc_id") -> DataFrame:
+    """EXACT-size pseudo-random sample: the k smallest md5(key) values.
+
+    Bernoulli sampling can't hit an exact count and reservoir sampling
+    needs driver coordination; ordering by a cryptographic hash of the
+    key gives a uniform, deterministic, engine-portable pick. The
+    orderBy+limit compiles to TakeOrderedAndProject — each partition
+    keeps its local top-k and a single merge finishes — no global sort
+    shuffle even at 100 TB.
+    """
+    return df.orderBy(F.md5(F.col(key_col).cast("string")), F.col(key_col)).limit(k)
+
+
+def source_mix(
+    df: DataFrame,
+    weights: dict,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic mixture weighting: keep each source at its target
+    fraction (0..1) by thresholding the md5 bucket of the row key — the
+    "3 parts web, 1 part code" knob of a pretraining mix.
+
+    A pure per-row filter (no shuffle, no sampling state); because the
+    bucket is keyed on the row, re-running, resharding, or appending
+    data never flips a kept row to dropped. Unlisted sources drop.
+    """
+    pct = F.lit(0)
+    for s, frac in weights.items():
+        pct = F.when(F.col(source_col) == s, F.lit(int(round(frac * 100)))).otherwise(pct)
+    return df.where(split_bucket(key_col) < pct)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    order_by: list,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Keep the top-n rows per group under ``order_by`` (list of
+    Columns) — per-domain document caps (Gopher/FineWeb style: bound
+    any one domain's share, keeping its best-quality documents).
+
+    One hash shuffle on the group key, then a per-group row_number —
+    no global ordering; skewed mega-domains are exactly the rows the
+    cap discards, so the window state per key is bounded by n.
+    """
+    w = Window.partitionBy(group_col).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w).cast("int"))
+        .where(F.col(rank_col) <= n)
+    )

@@ -471,3 +471,34 @@ def test_bm25_ranks_matching_docs(spark):
     assert scores == sorted(scores, reverse=True)
     # tf saturation: doc 1 (tf=3) beats doc 2 (tf=1, same length band)
     assert got[0] == 1
+
+
+def test_hash_sample_exact_k_and_plan(spark, docs):
+    from kafka_delta_ingest_spark.operators.sampling import hash_sample_exact
+
+    s = hash_sample_exact(docs, 50)
+    assert s.count() == 50
+    # stable pick: same 50 ids regardless of input order
+    a = {r.doc_id for r in s.collect()}
+    b = {r.doc_id for r in hash_sample_exact(docs.orderBy(F.rand(3)), 50).collect()}
+    assert a == b
+    # top-k merge, not a global sort shuffle
+    plan = s._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_source_mix_and_domain_cap(spark, docs):
+    from kafka_delta_ingest_spark.operators.sampling import cap_per_group, source_mix
+
+    kept = source_mix(docs, {"src0": 1.0, "src1": 0.0})
+    srcs = {r.source for r in kept.select("source").distinct().collect()}
+    assert srcs == {"src0"}  # 0-weight and unlisted sources drop
+    n0 = docs.where("source = 'src0'").count()
+    assert kept.count() == n0  # weight 1.0 keeps every row
+
+    capped = cap_per_group(docs, "source", 3, [F.col("doc_id")])
+    per = capped.groupBy("source").count().collect()
+    assert all(r["count"] <= 3 for r in per)
+    # kept rows are the 3 smallest doc_ids of each source
+    for r in capped.where("source = 'src0'").collect():
+        assert r.rn <= 3
