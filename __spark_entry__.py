@@ -945,6 +945,30 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+# Quality-score CTE twin of operators.text.quality_score, with lang /
+# source / token count carried through for downstream pipeline stages.
+_QUALITY_SQL = r"""
+    qsrc AS (
+      SELECT doc_id, lang, source, text,
+        CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+             ELSE string_split_regex(trim(text), '\s+') END AS toks,
+        CASE WHEN len(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+             ELSE string_split_regex(trim(lower(text)), '\s+') END AS tokl
+      FROM documents
+    ), qual AS (
+      SELECT doc_id, lang, source, text, len(toks) AS n_tok,
+        round(0.4 * least(CAST(len(text) AS DOUBLE) / 500.0, 1.0)
+            + 0.2 * least((CASE WHEN len(text) = 0 THEN 0.0
+                 ELSE CAST(len(text) - len(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE) / len(text) END) * 20.0, 1.0)
+            + 0.2 * least((CASE WHEN len(tokl) = 0 THEN 0.0
+                 ELSE CAST(len(list_filter(tokl, t -> t IN ('the','a','an','and','or','of','to','in','is','it','on','for','with','as','by','at','this','that'))) AS DOUBLE) / len(tokl) END) * 5.0, 1.0)
+            + 0.2 * (CASE WHEN (CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks) END) BETWEEN 3.0 AND 10.0
+                 THEN 1.0 ELSE 0.0 END), 6) AS quality
+      FROM qsrc
+    )"""
+
+
 @_q(
     "dedup_clusters_cc",
     f"""
@@ -973,6 +997,107 @@ def dedup_clusters_cc(spark, sf_dir):
         d, "doc_id", "text", n=3, threshold=0.2, max_gram_df=1000
     )
     return dedup.connected_components(pairs)
+
+
+@_q(
+    "dedup_canonical_keep",
+    f"""
+    WITH RECURSIVE {_NGRAM_PAIR_CTES},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+    ),
+    clus AS (
+      SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    ),
+    {_QUALITY_SQL}
+    SELECT q.doc_id, COALESCE(c.cluster_id, q.doc_id) AS cluster_id, q.quality,
+      CAST(row_number() OVER (
+        PARTITION BY COALESCE(c.cluster_id, q.doc_id)
+        ORDER BY q.quality DESC, q.doc_id) = 1 AS INT) AS keep
+    FROM qual q LEFT JOIN clus c USING (doc_id)
+    """,
+)
+def dedup_canonical_keep(spark, sf_dir):
+    """The decision step after near-dup clustering: every document gets
+    its cluster id (itself when unclustered) and a keep flag — true only
+    for the cluster's highest-quality member. Iterative min-label CC +
+    window argmax on Spark vs recursive transitive closure + the same
+    argmax in the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.2, max_gram_df=1000
+    )
+    clusters = dedup.connected_components(pairs)
+    q = d.select("doc_id", textops.quality_score(F.col("text")).alias("quality"))
+    return dedup.canonicalize_clusters(q, clusters, "quality")
+
+
+@_q(
+    "pipeline_corpus_curation",
+    f"""
+    WITH {_QUALITY_SQL},
+    filtered AS (
+      SELECT * FROM qual WHERE quality >= 0.5
+    ),
+    deduped AS (
+      SELECT * FROM filtered
+      QUALIFY row_number() OVER (
+        PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+        ORDER BY doc_id) = 1
+    ),
+    mixed AS (
+      SELECT * FROM deduped
+      WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+            < CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 100 ELSE 40 END
+    )
+    SELECT lang,
+      CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                % 100 < 90 THEN 'train' ELSE 'holdout' END AS split,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+    FROM mixed
+    GROUP BY lang, split
+    """,
+)
+def pipeline_corpus_curation(spark, sf_dir):
+    """Flagship curation funnel, one declarative plan end to end:
+    quality filter → exact dedup (min-id survivor per normalized text)
+    → source mixture weighting → deterministic train/holdout split →
+    per-(lang, split) corpus accounting. Catalyst fuses the three
+    per-row filter stages into the scan; the only shuffles are the
+    dedup's 16-byte-key groupBy and the final aggregation."""
+    from kafka_delta_ingest_spark.operators.sampling import (
+        deterministic_split,
+        source_mix,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        textops.token_count(F.col("text")).alias("n_tok"),
+        textops.quality_score(F.col("text")).alias("quality"),
+    ).where(F.col("quality") >= 0.5)
+    deduped = dedup.exact_dedup_normalized(q, "text", "doc_id")
+    weights = {f"src{i}": (1.0 if i % 2 == 0 else 0.4) for i in range(20)}
+    mixed = source_mix(deduped, weights)
+    return (
+        deterministic_split(mixed, "doc_id", train_pct=90)
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+    )
 
 
 @_q("dedup_minhash_pairs")  # xxhash64-based — no DuckDB twin, rows-only check

@@ -27,7 +27,7 @@ from __future__ import annotations
 import random
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from kafka_delta_ingest_spark.operators.text import normalize_text
 from kafka_delta_ingest_spark.operators.util import spread
@@ -373,6 +373,34 @@ def connected_components(
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact)
 # ---------------------------------------------------------------------------
+
+
+def canonicalize_clusters(
+    df: DataFrame,
+    clusters: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pick each near-duplicate cluster's KEPT representative: the
+    highest-``quality_col`` member (id tie-break). Documents absent from
+    the cluster map are singletons — their own cluster, always kept.
+
+    This is the decision step FineWeb-style pipelines run after
+    clustering: drop all but the best copy. One broadcast-able left
+    join (the cluster map is |clustered docs| rows — tiny next to the
+    corpus) plus a window whose per-key state is one cluster's members.
+    Adds (cluster_id, keep) to ``df``'s columns.
+    """
+    c = clusters.select(F.col(id_col), F.col("cluster_id").alias("_cl"))
+    joined = (
+        df.join(c, id_col, "left")
+        .withColumn("cluster_id", F.coalesce(F.col("_cl"), F.col(id_col)))
+        .drop("_cl")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(quality_col).desc(), F.col(id_col)
+    )
+    return joined.withColumn("keep", (F.row_number().over(w) == 1).cast("int"))
 
 
 def ngram_jaccard_pairs(

@@ -502,3 +502,27 @@ def test_source_mix_and_domain_cap(spark, docs):
     # kept rows are the 3 smallest doc_ids of each source
     for r in capped.where("source = 'src0'").collect():
         assert r.rn <= 3
+
+
+def test_canonicalize_clusters_keeps_best(spark):
+    docs = spark.createDataFrame(
+        [(1, 0.4), (2, 0.9), (3, 0.7)], "doc_id long, quality double"
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1)], "doc_id long, cluster_id long"
+    )
+    out = {r.doc_id: r for r in dedup.canonicalize_clusters(docs, clusters, "quality").collect()}
+    assert out[2].keep == 1 and out[1].keep == 0  # best-quality member wins
+    assert out[1].cluster_id == out[2].cluster_id == 1
+    assert out[3].cluster_id == 3 and out[3].keep == 1  # singleton keeps itself
+
+
+def test_pipeline_corpus_curation_funnel(spark):
+    import __spark_entry__ as E
+
+    rows = E.queries()["pipeline_corpus_curation"](spark, SF_DIR).collect()
+    assert rows
+    assert {r.split for r in rows} <= {"train", "holdout"}
+    total = sum(r.n_docs for r in rows)
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert 0 < total < n_docs  # the funnel filtered something, kept something
