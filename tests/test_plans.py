@@ -125,3 +125,22 @@ def test_q19_disjunction_prunes_both_scans(spark):
     part_scan = next(s for s in scans[1:] if "p_brand" in s[:2000])
     assert "l_quantity" in lineitem_scan.split("PushedFilters:")[1][:500]
     assert "p_brand" in part_scan.split("PushedFilters:")[1][:500]
+
+
+def test_curation_pipeline_two_shuffles(spark):
+    """The whole curation funnel (filter → dedup → mix → split → agg)
+    must stay at two hash shuffles: the dedup's 16-byte-key groupBy and
+    the final aggregation; the keep-set joins back as a broadcast."""
+    p = plan(E.queries()["pipeline_corpus_curation"](spark, SF), mode="simple")
+    assert p.count("Exchange hashpartitioning") <= 2
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_bm25_filters_before_shuffle(spark):
+    """BM25's query-term filter must sit below the (doc,term) aggregate
+    exchange, so only rows containing query terms shuffle; scalar sides
+    (N, avgdl, per-term df) broadcast — never nested-loop over data."""
+    p = plan(E.queries()["text_bm25_search"](spark, SF), mode="simple")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastExchange") >= 3
