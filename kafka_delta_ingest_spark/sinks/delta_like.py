@@ -526,8 +526,14 @@ class DeltaLikeTable:
         candidates = [f for f in live if not _file_excluded(f, predicates)]
         if not candidates:
             return CommitResult(snap["version"], 0, 0, skipped=True)
+        from pyspark.sql import functions as _F
+
         cur = self._frame_for(spark, snap, candidates)
-        keep = cur.filter(~_pred_to_column(predicates))
+        # SQL DELETE removes only rows where the predicate is TRUE; a
+        # NULL predicate (e.g. a NULL column in a comparison) must keep
+        # the row. A bare ``~pred`` turns NULL into NULL, which filter()
+        # drops — coalesce to FALSE first so NULL-predicate rows survive.
+        keep = cur.filter(~_F.coalesce(_pred_to_column(predicates), _F.lit(False)))
         return self._rewrite_commit(
             spark,
             keep,

@@ -103,3 +103,25 @@ def test_delete_where_rewrites_only_matching_files(spark):
         assert t.delete_where(spark, [("id", ">=", 1000)]).skipped
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_delete_where_keeps_null_predicate_rows(spark):
+    """SQL DELETE removes rows where the predicate is TRUE — rows where
+    it evaluates to NULL (here: s IS NULL under ``s = 'x'``) must
+    survive, not be silently dropped by ``~NULL``."""
+    root = tempfile.mkdtemp(prefix="kdi-delnull-")
+    try:
+        t = DeltaLikeTable(root + "/t")
+        df = spark.createDataFrame(
+            [(1, "x"), (2, "y"), (3, None), (4, "x"), (5, None)],
+            "id long, s string",
+        ).coalesce(1)
+        t.write_batch(df)
+
+        res = t.delete_where(spark, [("s", "=", "x")])
+        assert not res.skipped
+        got = {(r.id, r.s) for r in t.read(spark).collect()}
+        # Only the TRUE rows (1, 4) are deleted; NULL-predicate rows stay.
+        assert got == {(2, "y"), (3, None), (5, None)}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
