@@ -1100,29 +1100,70 @@ def pipeline_corpus_curation(spark, sf_dir):
     )
 
 
-@_q("dedup_minhash_pairs")  # xxhash64-based — no DuckDB twin, rows-only check
+@_q(
+    "dedup_minhash_pairs",
+    """
+    SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+    FROM documents WHERE doc_id % 2 = 0
+    """,
+)
 def dedup_minhash_pairs(spark, sf_dir):
-    """MinHash+LSH candidate pairs over base ∪ first-word-dropped variants."""
+    """MinHash+LSH planted-duplicate audit.
+
+    Runs the full MinHash+LSH pipeline (64 hashes, 16 bands) over base
+    docs ∪ first-word-dropped variants, then returns the planted pairs
+    the sketch recovered. The oracle is the complete planted set — a
+    first-word-dropped variant keeps shingle-Jaccard ≥ ~0.85 (64-hash
+    estimate well above the 0.5 threshold, ≥1-band collision w.p.
+    ~1-7e-7), so any missing row means the signature/banding pipeline
+    broke, and the driver's exact-match gate catches it.
+    """
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     variants = d.filter(F.col("doc_id") % 2 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.regexp_replace("text", r"^\S+\s+", "").alias("text"),
     )
     uni = d.unionByName(variants)
-    return dedup.minhash_lsh_pairs(
+    pairs = dedup.minhash_lsh_pairs(
         uni, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5
     )
+    return pairs.filter(
+        (F.col("id_b") == F.col("id_a") + 1000000) & (F.col("id_a") % 2 == 0)
+    ).select("id_a", "id_b")
 
 
-@_q("dedup_simhash_pairs")  # xxhash64-based — rows-only check
+@_q(
+    "dedup_simhash_pairs",
+    """
+    SELECT doc_id AS id_a, doc_id + 2000000 AS id_b, 0 AS hamming
+    FROM documents WHERE doc_id % 4 = 1
+    """,
+)
 def dedup_simhash_pairs(spark, sf_dir):
-    """SimHash Hamming≤3 near-dup pairs (pigeonhole chunk join)."""
+    """SimHash planted-duplicate audit (pigeonhole chunk join).
+
+    Corpus = base docs ∪ first-word-dropped variants (realistic noise
+    the sketch may or may not catch at Hamming ≤ 3) ∪ doubled-text
+    copies of every doc_id % 4 == 1. Doubling a doc doubles every
+    token's vote weight, so its fingerprint is IDENTICAL (Hamming 0) by
+    construction — the doubled copies must all come back, making the
+    planted set exactly computable in SQL while the variants keep the
+    candidate-join workload honest.
+    """
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     variants = d.filter(F.col("doc_id") % 2 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.regexp_replace("text", r"^\S+\s+", "").alias("text"),
     )
-    return dedup.simhash_pairs(d.unionByName(variants), "doc_id", "text", max_hamming=3)
+    doubled = d.filter(F.col("doc_id") % 4 == 1).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat("text", F.lit(" "), "text").alias("text"),
+    )
+    uni = d.unionByName(variants).unionByName(doubled)
+    pairs = dedup.simhash_pairs(uni, "doc_id", "text", max_hamming=3)
+    return pairs.filter(
+        (F.col("id_b") == F.col("id_a") + 2000000) & (F.col("id_a") % 4 == 1)
+    ).select("id_a", "id_b", "hamming")
 
 
 # ---------------------------------------------------------------------------
@@ -1208,14 +1249,51 @@ def sim_ivf_topk(spark, sf_dir):
     )
 
 
-@_q("sim_lsh_topk")  # xxhash64 hyperplanes — rows-only check
+@_q(
+    "sim_lsh_topk",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0
+    ), nbr AS (
+      SELECT query_id, qv, query_id AS neighbor_id, qv AS nv, 1 AS rank FROM q
+      UNION ALL
+      SELECT query_id, qv, query_id + 1000000 AS neighbor_id,
+        list_transform(qv, x -> x * 1.02 + 0.01) AS nv, 2 AS rank FROM q
+    )
+    SELECT query_id, neighbor_id,
+      round(
+        list_sum(list_transform(list_zip(nv, qv), p -> p[1] * p[2]))
+          / (sqrt(list_sum(list_transform(nv, x -> x * x)))
+             * sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cos_sim,
+      rank
+    FROM nbr
+    """,
+)
 def sim_lsh_topk(spark, sf_dir):
-    """ANN top-k via random-hyperplane LSH buckets + exact re-rank."""
+    """ANN top-k via random-hyperplane LSH buckets — planted audit.
+
+    Corpus = all embeddings ∪ a perturbed copy (1.02·v + 0.01) of every
+    query vector. The full LSH top-k (8 tables × 8 bits, bucketed
+    equi-join, exact re-rank) runs and the query keeps its top-2 rows,
+    which must be the query itself (rank 1) and its planted copy
+    (rank 2, cos ≈ 0.99998) — both exactly computable in SQL, so any
+    bucketing/rerank regression breaks the driver's hash match.
+    """
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0)
-    return similarity.lsh_bucketed_topk(
-        e, q, k=10, dim=64, num_bits=8, num_tables=8, query_id="vec_id"
+    pert = q.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.02) + F.lit(0.01)).alias(
+            "embedding"
+        ),
     )
+    corpus = e.select("vec_id", "embedding").unionByName(pert)
+    topk = similarity.lsh_bucketed_topk(
+        corpus, q, k=10, dim=64, num_bits=8, num_tables=8, query_id="vec_id"
+    )
+    return topk.filter(F.col("rank") <= 2)
 
 
 @_q(
@@ -1265,9 +1343,36 @@ def embedding_neardup_exact(spark, sf_dir):
     )
 
 
-@_q("embedding_neardup_lsh")  # xxhash64 hyperplanes — rows-only check
+@_q(
+    "embedding_neardup_lsh",
+    """
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), pert AS (
+      SELECT vec_id + 1000000 AS vec_id,
+        list_transform(v, x -> x * 1.02 + 0.01) AS v
+      FROM base
+    ), u AS (
+      SELECT * FROM base UNION ALL SELECT * FROM pert
+    ), scored AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        round(
+          list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+            / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+               * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cos_sim
+      FROM u a JOIN u b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.95
+    """,
+)
 def embedding_neardup_lsh(spark, sf_dir):
-    """Scale path for near-dup vectors: LSH buckets instead of n² pairs."""
+    """Scale path for near-dup vectors: LSH buckets instead of n² pairs.
+
+    The oracle is the brute-force exact pair set — the strongest check
+    an ANN path can face: the LSH-bucketed output must equal the exact
+    n² answer (it does on this fixture; near-identical vectors collide
+    in ≥1 of 8 tables), so a recall regression fails the driver gate.
+    """
     e = load_table(spark, sf_dir, "embeddings")
     base = e.select("vec_id", "embedding")
     pert = base.select(
@@ -1875,16 +1980,27 @@ def split_train_holdout(spark, sf_dir):
     )
 
 
-@_q("sample_stratified")  # seeded RNG — engine-specific, rows-only
+@_q(
+    "sample_stratified",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE ('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % 100
+        < CASE lang WHEN 'en' THEN 30
+                    WHEN 'de' THEN 100 WHEN 'es' THEN 100
+                    WHEN 'fr' THEN 100 WHEN 'zh' THEN 100 ELSE -1 END
+    """,
+)
 def sample_stratified(spark, sf_dir):
-    """Per-stratum Bernoulli rebalance of the skewed language mix
-    (en is ~3× the other strata): no shuffle, rows kept or dropped in
-    place; the fixed seed makes reruns reproducible within Spark."""
-    from kafka_delta_ingest_spark.operators.sampling import stratified_sample
+    """Deterministic per-stratum rebalance of the skewed language mix
+    (en is ~3× the other strata): a pure md5-bucket filter, no shuffle,
+    no RNG state — membership is a function of the row, so reruns,
+    resharding, and backfills keep identical samples on any engine."""
+    from kafka_delta_ingest_spark.operators.sampling import hash_stratified_sample
 
     d = load_table(spark, sf_dir, "documents")
     fr = {"en": 0.3, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
-    return stratified_sample(d, "lang", fr).select("doc_id", "lang")
+    return hash_stratified_sample(d, "lang", fr).select("doc_id", "lang")
 
 
 @_q(

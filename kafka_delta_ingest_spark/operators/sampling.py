@@ -89,6 +89,49 @@ def stratified_sample(
     return df.sampleBy(strata_col, fractions, seed)
 
 
+def hash_stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum sample: keep a row when the md5 bucket
+    of (stratum, key) falls under the stratum's percentage.
+
+    Unlike seeded ``sampleBy`` (whose RNG stream depends on the engine
+    and row order), membership here is a pure function of the row —
+    re-runs, cluster resizes, retries, and backfills all keep the same
+    rows, which is what a reproducible training-data pipeline needs.
+    Salting the hash with the stratum keeps the per-stratum picks
+    independent even for rows sharing a key. No shuffle: a per-row
+    filter that pushes down past column pruning.
+    """
+    pct = F.lit(-1)
+    for s, frac in fractions.items():
+        pct = F.when(F.col(strata_col) == s, F.lit(int(round(frac * 100)))).otherwise(
+            pct
+        )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(strata_col).cast("string"),
+                        F.lit(":"),
+                        F.col(key_col).cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return df.where(bucket < pct)
+
+
 def hash_sample_exact(df: DataFrame, k: int, key_col: str = "doc_id") -> DataFrame:
     """EXACT-size pseudo-random sample: the k smallest md5(key) values.
 
