@@ -61,6 +61,17 @@ class CommitConflict(RuntimeError):
     pass
 
 
+class ConcurrentDeleteDelete(CommitConflict):
+    """Another commit already removed a file this rewrite also removes.
+
+    Mirrors Delta's ConcurrentDeleteDeleteException (and the reference's
+    conflict loop, src/lib.rs:966-1024): the rewrite was derived from a
+    snapshot that no longer describes those files, so blindly committing
+    would re-add rows the other writer deleted (silent row resurrection)
+    or double-apply a compaction. The caller must re-read the new
+    snapshot and recompute."""
+
+
 @dataclass
 class CommitResult:
     version: int
@@ -282,11 +293,46 @@ class DeltaLikeTable:
                 )
         return adds
 
-    def _commit(self, actions: list[dict]) -> int:
-        """Optimistic-concurrency commit (reference src/lib.rs:966-1024)."""
+    def _commit(
+        self,
+        actions: list[dict],
+        read_version: int | None = None,
+        remove_paths: set[str] | None = None,
+    ) -> int:
+        """Optimistic-concurrency commit (reference src/lib.rs:966-1024).
+
+        Plain appends (``remove_paths`` empty/None) are always safe to
+        land at the next free version — blind INSERTs never conflict
+        under WriteSerializable, Delta's default isolation level.
+
+        Rewrite commits (MERGE/DELETE/OPTIMIZE) pass the snapshot
+        version they were computed from plus their remove set; before
+        claiming a version slot, every log entry committed since that
+        snapshot is checked for an overlapping remove. An overlap means
+        another writer already rewrote (or tombstoned) one of our input
+        files — committing anyway would resurrect its deleted rows —
+        so the commit fails with :class:`ConcurrentDeleteDelete` and the
+        caller recomputes from the fresh snapshot. Concurrent APPENDS do
+        not conflict: the rewrite's predicate applies to the snapshot it
+        read, and later-inserted rows survive, exactly Delta's
+        WriteSerializable behavior.
+        """
         payload = "\n".join(json.dumps(a) for a in actions) + "\n"
+        checked_through = read_version if read_version is not None else -1
         for _ in range(MAX_COMMIT_ATTEMPTS):
             version = self.latest_version() + 1
+            if remove_paths and read_version is not None:
+                for v in range(checked_through + 1, version):
+                    with open(self._version_file(v)) as f:
+                        for line in f:
+                            a = json.loads(line).get("remove")
+                            if a and a["path"] in remove_paths:
+                                raise ConcurrentDeleteDelete(
+                                    f"file {a['path']!r} was removed by "
+                                    f"commit {v} after this rewrite read "
+                                    f"version {read_version}"
+                                )
+                checked_through = version - 1
             try:
                 fd = os.open(
                     self._version_file(version),
@@ -403,7 +449,9 @@ class DeltaLikeTable:
             for p in sorted(removed)
         ]
         actions += [{"add": a} for a in adds]
-        version = self._commit(actions)
+        version = self._commit(
+            actions, read_version=snap["version"], remove_paths=removed
+        )
         if version % CHECKPOINT_EVERY == 0 and version > 0:
             self._checkpoint(version)
         # No physical deletion here: removed files become tombstones so
@@ -506,6 +554,7 @@ class DeltaLikeTable:
                 "numCandidateFiles": len(candidates),
                 "numLiveFiles": len(live),
             },
+            read_version=snap["version"],
         )
 
     def delete_where(
@@ -545,6 +594,7 @@ class DeltaLikeTable:
                 "numCandidateFiles": len(candidates),
                 "numLiveFiles": len(live),
             },
+            read_version=snap["version"],
         )
 
     def _rewrite_commit(
@@ -555,9 +605,14 @@ class DeltaLikeTable:
         partition_by: list[str],
         operation: str,
         params: dict,
+        read_version: int | None = None,
     ) -> CommitResult:
         """Write ``df`` as the replacement for ``remove`` and commit
-        remove+add atomically (shared tail of MERGE/DELETE/OPTIMIZE)."""
+        remove+add atomically (shared tail of MERGE/DELETE/OPTIMIZE).
+
+        ``read_version`` is the snapshot version the rewrite was derived
+        from; commits racing past it with an overlapping remove raise
+        :class:`ConcurrentDeleteDelete` instead of resurrecting rows."""
         staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
         writer = df.write.mode("overwrite")
         if partition_by:
@@ -585,7 +640,9 @@ class DeltaLikeTable:
             for p in sorted(remove)
         ]
         actions += [{"add": a} for a in adds]
-        version = self._commit(actions)
+        version = self._commit(
+            actions, read_version=read_version, remove_paths=set(remove)
+        )
         if version % CHECKPOINT_EVERY == 0 and version > 0:
             self._checkpoint(version)
         n_records = sum(a["stats"]["numRecords"] for a in adds)

@@ -74,3 +74,104 @@ def test_replay_after_race_is_skipped(spark):
         assert t.read(spark).count() == 1
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_racing_deletes_raise_concurrent_delete_delete(spark):
+    """Two DELETEs computed from the same snapshot race; the loser must
+    fail with ConcurrentDeleteDelete instead of silently resurrecting
+    the winner's deleted rows (Delta ConcurrentDeleteDeleteException;
+    reference conflict loop src/lib.rs:966-1024)."""
+    import pytest
+
+    from kafka_delta_ingest_spark.sinks.delta_like import ConcurrentDeleteDelete
+
+    root = tempfile.mkdtemp(prefix="kdi-dd-")
+    try:
+        t = DeltaLikeTable(root + "/t")
+        # One physical file so both predicates hit the same candidate
+        # set (otherwise stats pruning gives the writers disjoint files
+        # and they genuinely don't conflict).
+        df = spark.createDataFrame(
+            [(i, "x" if i < 50 else "y") for i in range(100)], "id long, v string"
+        ).repartition(1)
+        t.write_batch(df)
+
+        # Writer B reads the pre-race snapshot, then stalls while writer
+        # A's DELETE commits. Pinning the stale snapshot reproduces the
+        # interleaving deterministically (no sleeps, no threads).
+        stale = t.snapshot()
+        b = DeltaLikeTable(root + "/t")
+        b.snapshot = lambda as_of=None, _s=stale: _s  # type: ignore[method-assign]
+
+        ra = t.delete_where(spark, [("id", "<", 10)])
+        assert not ra.skipped
+
+        with pytest.raises(ConcurrentDeleteDelete):
+            b.delete_where(spark, [("id", ">=", 90)])
+
+        # The table still reflects exactly writer A's delete.
+        ids = sorted(r.id for r in t.read(spark).select("id").collect())
+        assert ids == list(range(10, 100))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_merge_racing_optimize_conflicts(spark):
+    """MERGE computed from a snapshot that OPTIMIZE has since compacted
+    must conflict (its rewrite would re-add the compacted small files'
+    rows alongside the compacted copy — duplication)."""
+    import pytest
+
+    from kafka_delta_ingest_spark.sinks.delta_like import ConcurrentDeleteDelete
+
+    root = tempfile.mkdtemp(prefix="kdi-mo-")
+    try:
+        t = DeltaLikeTable(root + "/t")
+        for lo in (0, 50):
+            df = spark.createDataFrame(
+                [(i, "x") for i in range(lo, lo + 50)], "id long, v string"
+            )
+            t.write_batch(df)
+
+        stale = t.snapshot()
+        b = DeltaLikeTable(root + "/t")
+        b.snapshot = lambda as_of=None, _s=stale: _s  # type: ignore[method-assign]
+
+        ro = t.optimize(spark)
+        assert not ro.skipped
+
+        src = spark.createDataFrame([(5, "updated")], "id long, v string")
+        with pytest.raises(ConcurrentDeleteDelete):
+            b.merge(spark, src, key_cols=["id"])
+
+        assert t.read(spark).count() == 100
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_append_does_not_conflict_with_delete(spark):
+    """A blind append landing between a DELETE's snapshot read and its
+    commit must NOT conflict (WriteSerializable): the appended rows
+    survive and the delete applies to the snapshot it read."""
+    root = tempfile.mkdtemp(prefix="kdi-ad-")
+    try:
+        t = DeltaLikeTable(root + "/t")
+        df = spark.createDataFrame([(i, "x") for i in range(50)], "id long, v string")
+        t.write_batch(df)
+
+        stale = t.snapshot()
+        b = DeltaLikeTable(root + "/t")
+        b.snapshot = lambda as_of=None, _s=stale: _s  # type: ignore[method-assign]
+
+        # Concurrent blind append of ids 100..109.
+        t.write_batch(
+            spark.createDataFrame([(i, "new") for i in range(100, 110)], "id long, v string")
+        )
+
+        rb = b.delete_where(spark, [("id", "<", 10)])
+        assert not rb.skipped
+
+        ids = sorted(r.id for r in t.read(spark).select("id").collect())
+        assert ids == list(range(10, 50)) + list(range(100, 110))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
