@@ -2098,30 +2098,36 @@ def split_domain_cap(spark, sf_dir):
         CASE WHEN len(trim(text)) = 0 THEN 0
              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
       FROM documents
-    ), c AS (
+    ), sh AS (
       SELECT lang, doc_id, n_tok,
-        SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4 AS INT)
+          AS pack_shard
       FROM t
+    ), c AS (
+      SELECT lang, pack_shard, doc_id, n_tok,
+        SUM(n_tok) OVER (PARTITION BY lang, pack_shard ORDER BY doc_id) AS cum
+      FROM sh
     )
-    SELECT lang, CAST(floor((cum - n_tok) / 512) AS BIGINT) AS pack_id,
+    SELECT lang, pack_shard, CAST(floor((cum - n_tok) / 512) AS BIGINT) AS pack_id,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
     FROM c
-    GROUP BY lang, pack_id
+    GROUP BY lang, pack_shard, pack_id
     """,
 )
 def split_pack_sequences(spark, sf_dir):
     """Concat-and-chunk sequence packing for pretraining: each doc is
     assigned the 512-token context window its first token lands in
-    under per-language doc_id-ordered concatenation. The window is
-    partitioned by language (at corpus scale: by hash shard), so packing
-    is embarrassingly parallel — no global sort anywhere in the plan."""
+    under (lang, md5-shard) doc_id-ordered concatenation — the sharded
+    scale path, where a mega-language runs as parallel running-sum
+    tasks instead of one straggler sort; pack identity is
+    (lang, pack_shard, pack_id)."""
     from kafka_delta_ingest_spark.operators.sampling import pack_sequences
 
     d = load_table(spark, sf_dir, "documents")
     return (
-        pack_sequences(d, ctx_tokens=512)
-        .groupBy("lang", "pack_id")
+        pack_sequences(d, ctx_tokens=512, shards=4)
+        .groupBy("lang", "pack_shard", "pack_id")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("pack_tokens"),

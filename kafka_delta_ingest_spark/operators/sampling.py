@@ -59,6 +59,7 @@ def pack_sequences(
     group_col: str = "lang",
     order_col: str = "doc_id",
     text_col: str = "text",
+    shards: int = 0,
 ) -> DataFrame:
     """Add (n_tokens, pack_id): which ctx_tokens-sized training pack the
     document STARTS in, under per-group (order_col)-ordered
@@ -69,11 +70,36 @@ def pack_sequences(
     following packs, exactly like concat-and-chunk pretraining loaders.
     Every input is integer arithmetic over a running sum, so the DuckDB
     oracle reproduces assignments row for row.
+
+    ``shards > 0`` is the scale path: rows are dealt into ``shards``
+    md5(order_col) sub-streams per group, each packed independently,
+    with a ``pack_shard`` column identifying the stream (pack identity
+    = (group, pack_shard, pack_id)). A language holding 30% of a
+    100 TB corpus runs as ``shards`` parallel running-sum tasks instead
+    of one straggler sort; the cost is ≤ one partially-filled tail pack
+    per shard, statistically nothing at pretraining scale. The md5
+    dealing keeps assignments engine-portable and rerun-stable (and the
+    DuckDB oracle reproduces them exactly). ``shards=0`` keeps the
+    single concatenation stream per group.
     """
     tc = token_count(F.col(text_col))
-    w = Window.partitionBy(group_col).orderBy(order_col)
-    cum = F.sum(tc).over(w)
-    return df.withColumn("n_tokens", tc).withColumn(
+    if shards <= 0:
+        w = Window.partitionBy(group_col).orderBy(order_col)
+        cum = F.sum(tc).over(w)
+        return df.withColumn("n_tokens", tc).withColumn(
+            "pack_id",
+            F.floor((cum - F.col("n_tokens")) / F.lit(ctx_tokens)).cast("long"),
+        )
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.col(order_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % shards
+    ).cast("int")
+    w = Window.partitionBy(group_col, "pack_shard").orderBy(order_col)
+    out = df.withColumn("pack_shard", shard).withColumn("n_tokens", tc)
+    cum = F.sum("n_tokens").over(w)
+    return out.withColumn(
         "pack_id",
         F.floor((cum - F.col("n_tokens")) / F.lit(ctx_tokens)).cast("long"),
     )
@@ -171,17 +197,45 @@ def cap_per_group(
     n: int,
     order_by: list,
     rank_col: str = "rn",
+    salt_shards: int = 64,
 ) -> DataFrame:
     """Keep the top-n rows per group under ``order_by`` (list of
     Columns) — per-domain document caps (Gopher/FineWeb style: bound
     any one domain's share, keeping its best-quality documents).
 
-    One hash shuffle on the group key, then a per-group row_number —
-    no global ordering; skewed mega-domains are exactly the rows the
-    cap discards, so the window state per key is bounded by n.
+    Salted two-phase top-n, exact under a total ``order_by``:
+
+    1. shard every row into (group, salt) where salt is a row-content
+       hash mod ``salt_shards``, and keep each shard's local top-n —
+       the global top-n is a subset of the union of shard-local top-ns
+       for ANY row→shard assignment, so this is a pure pre-filter;
+    2. rank the surviving ≤ salt_shards·n rows per group and keep the
+       final top-n.
+
+    A mega-domain holding 30% of a 100 TB corpus becomes salt_shards
+    parallel window tasks in phase 1; phase 2's per-group input is
+    bounded by salt_shards·n rows however large the domain was — no
+    single-task straggler sort anywhere. ``salt_shards=0`` restores the
+    single-window form (useful when every group is known small).
     """
-    w = Window.partitionBy(group_col).orderBy(*order_by)
+    if salt_shards <= 0:
+        w = Window.partitionBy(group_col).orderBy(*order_by)
+        return (
+            df.withColumn(rank_col, F.row_number().over(w).cast("int"))
+            .where(F.col(rank_col) <= n)
+        )
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_shards)
+    )
+    w1 = Window.partitionBy(group_col, "_salt").orderBy(*order_by)
+    survivors = (
+        df.withColumn("_salt", salt)
+        .withColumn("_lrn", F.row_number().over(w1))
+        .where(F.col("_lrn") <= n)
+        .drop("_salt", "_lrn")
+    )
+    w2 = Window.partitionBy(group_col).orderBy(*order_by)
     return (
-        df.withColumn(rank_col, F.row_number().over(w).cast("int"))
+        survivors.withColumn(rank_col, F.row_number().over(w2).cast("int"))
         .where(F.col(rank_col) <= n)
     )

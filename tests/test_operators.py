@@ -526,3 +526,108 @@ def test_pipeline_corpus_curation_funnel(spark):
     total = sum(r.n_docs for r in rows)
     n_docs = load_table(spark, SF_DIR, "documents").count()
     assert 0 < total < n_docs  # the funnel filtered something, kept something
+
+
+# ---------------------------------------------------------------------------
+# skew-safe sampling paths
+# ---------------------------------------------------------------------------
+
+
+def _skewed_docs(spark, n=6000, hot_frac=0.3):
+    """Synthetic corpus where one domain owns ``hot_frac`` of all rows —
+    the straggler shape a 100 TB per-domain cap/pack must survive."""
+    hot = int(n * hot_frac)
+    rows = [
+        (i, "megadomain" if i < hot else f"src{i % 17}", f"word{i % 97} " * (5 + i % 40))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_salted_cap_matches_naive_exactly(spark):
+    from kafka_delta_ingest_spark.operators.sampling import cap_per_group
+
+    d = _skewed_docs(spark)
+    order = [F.length("text").desc(), F.col("doc_id")]
+    naive = cap_per_group(d, "source", 25, order, salt_shards=0)
+    salted = cap_per_group(d, "source", 25, order, salt_shards=16)
+    a = sorted(map(tuple, naive.collect()))
+    b = sorted(map(tuple, salted.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_salted_cap_bounds_per_task_rows(spark):
+    """Phase 2 of the salted top-n sees ≤ salt_shards·n rows per group
+    no matter how hot the domain is — the straggler sort is gone."""
+    from kafka_delta_ingest_spark.operators.sampling import cap_per_group
+
+    d = _skewed_docs(spark)
+    n, shards = 25, 16
+    order = [F.length("text").desc(), F.col("doc_id")]
+    # Reconstruct phase 1's survivor set and check the bound that makes
+    # phase 2 skew-proof.
+    from pyspark.sql import Window
+
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in d.columns]), F.lit(shards))
+    w1 = Window.partitionBy("source", "_salt").orderBy(*order)
+    survivors = (
+        d.withColumn("_salt", salt)
+        .withColumn("_lrn", F.row_number().over(w1))
+        .where(F.col("_lrn") <= n)
+    )
+    per_group = survivors.groupBy("source").count().collect()
+    hot_total = d.filter(F.col("source") == "megadomain").count()
+    assert hot_total >= 1500  # fixture really is skewed
+    for r in per_group:
+        assert r["count"] <= shards * n
+    # and phase 1 split the hot domain across many window partitions
+    hot_shards = (
+        survivors.filter(F.col("source") == "megadomain")
+        .select("_salt").distinct().count()
+    )
+    assert hot_shards == shards
+
+
+def test_sharded_pack_sequences_bounded_and_consistent(spark):
+    """Sharded packing: every (group, shard) stream packs independently
+    and exactly (running-sum law holds inside each stream), and the hot
+    group's rows split across all shards instead of one sort task."""
+    import math
+
+    from kafka_delta_ingest_spark.operators.sampling import pack_sequences
+
+    d = _skewed_docs(spark)
+    ctx, shards = 256, 8
+    p = pack_sequences(
+        d, ctx_tokens=ctx, group_col="source", order_col="doc_id", shards=shards
+    )
+    rows = p.filter(F.col("source") == "megadomain").orderBy(
+        "pack_shard", "doc_id"
+    ).collect()
+    assert {r.pack_shard for r in rows} == set(range(shards))
+    # per-stream exact running-sum packing
+    from collections import defaultdict
+
+    streams = defaultdict(list)
+    for r in rows:
+        streams[r.pack_shard].append(r)
+    for sh, rs in streams.items():
+        cum = 0
+        for r in rs:
+            assert r.pack_id == math.floor(cum / ctx) or r.pack_id == (cum) // ctx
+            expect = cum // ctx
+            assert r.pack_id == expect
+            cum += r.n_tokens
+    # rows per stream bounded well below the hot group's total
+    sizes = [len(rs) for rs in streams.values()]
+    assert max(sizes) < 0.5 * sum(sizes)
+
+
+def test_sharded_pack_plan_has_no_single_group_window(spark):
+    """The physical plan must window on (group, shard), not group alone."""
+    from kafka_delta_ingest_spark.operators.sampling import pack_sequences
+
+    d = _skewed_docs(spark)
+    p = pack_sequences(d, ctx_tokens=256, group_col="source", order_col="doc_id", shards=8)
+    plan = p._jdf.queryExecution().executedPlan().toString()
+    assert "pack_shard" in plan.split("Window")[1][:400]
