@@ -349,22 +349,96 @@ def _fp_table() -> list[int]:
     return _TABLE
 
 
-def rabin_fingerprint(schema_json: str) -> int:
-    """64-bit Rabin fingerprint of the canonical-ish schema text,
-    returned as a SIGNED little-endian i64 to match ``soe_fingerprint``
-    in serialization.py (reference src/serialization.rs:188-195 reads the
-    wire bytes as little-endian i64)."""
+def rabin_fingerprint(text: str) -> int:
+    """64-bit CRC-64-AVRO (Rabin) fingerprint of raw text, returned as
+    a SIGNED little-endian i64 to match ``soe_fingerprint`` in
+    serialization.py (reference src/serialization.rs:188-195 reads the
+    wire bytes as little-endian i64). Callers fingerprinting a SCHEMA
+    should use :func:`schema_fingerprint`, which canonicalizes first."""
     table = _fp_table()
     fp = _EMPTY
-    for byte in schema_json.encode("utf-8"):
+    for byte in text.encode("utf-8"):
         fp = (fp >> 8) ^ table[(fp ^ byte) & 0xFF]
     return fp - (1 << 64) if fp >= (1 << 63) else fp
 
 
+# Parsing Canonical Form (Avro spec "Transforming into Parsing Canonical
+# Form"): the only attributes that affect datum parsing, in this fixed
+# order, with fullnames resolved, primitives inlined, and no whitespace.
+_PCF_PRIMITIVES = {
+    "null", "boolean", "int", "long", "float", "double", "bytes", "string",
+}
+
+
+def _pcf_fullname(name: str, namespace: str | None, enclosing: str | None) -> str:
+    if "." in name:
+        return name
+    ns = namespace if namespace is not None else enclosing
+    return f"{ns}.{name}" if ns else name
+
+
+def _pcf(node, enclosing: str | None):
+    if isinstance(node, str):
+        if node in _PCF_PRIMITIVES:
+            return node
+        return _pcf_fullname(node, None, enclosing)  # named-type reference
+    if isinstance(node, list):  # union
+        return [_pcf(b, enclosing) for b in node]
+    t = node["type"]
+    if isinstance(t, (dict, list)):
+        # {"type": <complex schema>} wrapper — canonicalize the payload.
+        return _pcf(t, enclosing)
+    if t in _PCF_PRIMITIVES:
+        return t
+    if t == "array":
+        return {"type": "array", "items": _pcf(node["items"], enclosing)}
+    if t == "map":
+        return {"type": "map", "values": _pcf(node["values"], enclosing)}
+    if t in ("record", "error", "enum", "fixed"):
+        fullname = _pcf_fullname(node["name"], node.get("namespace"), enclosing)
+        out = {"name": fullname, "type": "record" if t == "error" else t}
+        if t in ("record", "error"):
+            ns = fullname.rsplit(".", 1)[0] if "." in fullname else None
+            out["fields"] = [
+                {"name": f["name"], "type": _pcf(f["type"], ns)}
+                for f in node["fields"]
+            ]
+        elif t == "enum":
+            out["symbols"] = list(node["symbols"])
+        else:
+            out["size"] = int(node["size"])
+        return out
+    # unknown named reference spelled as {"type": "X"}
+    return _pcf_fullname(t, None, enclosing)
+
+
+def parsing_canonical_form(schema_json: str) -> str:
+    """Avro Parsing Canonical Form of a schema: strips everything that
+    does not affect parsing (doc, aliases, defaults, logical types,
+    custom attributes), resolves names to fullnames, inlines primitive
+    type objects, fixes attribute order, and removes whitespace —
+    so equivalent schemas from different producers fingerprint
+    identically (Avro spec; reference src/serialization.rs:368-440
+    relies on the avro crate doing the same canonicalization)."""
+    return json.dumps(
+        _pcf(json.loads(schema_json), None),
+        separators=(",", ":"),
+        ensure_ascii=False,
+    )
+
+
+def schema_fingerprint(schema_json: str) -> int:
+    """CRC-64-AVRO fingerprint of the schema's Parsing Canonical Form —
+    the fingerprint real single-object-encoding producers put on the
+    wire. Fingerprinting raw schema text would silently dead-letter
+    every message from a producer that formats its schema differently."""
+    return rabin_fingerprint(parsing_canonical_form(schema_json))
+
+
 def soe_message(value, schema) -> bytes:
     """Encode one single-object-encoding message: marker C3 01 +
-    little-endian fingerprint + body (Avro spec; reference
-    src/serialization.rs:161-210)."""
+    little-endian fingerprint of the PARSING CANONICAL FORM + body
+    (Avro spec; reference src/serialization.rs:161-210)."""
     schema_json = schema if isinstance(schema, str) else json.dumps(schema)
-    fp = rabin_fingerprint(schema_json) & 0xFFFFFFFFFFFFFFFF
+    fp = schema_fingerprint(schema_json) & 0xFFFFFFFFFFFFFFFF
     return b"\xc3\x01" + fp.to_bytes(8, "little") + encode(value, parse_schema(schema))

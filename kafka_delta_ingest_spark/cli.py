@@ -102,22 +102,33 @@ def options_from_args(args: argparse.Namespace) -> IngestOptions:
     if args.soe_avro:
         fmt = MessageFormat.AVRO_SOE
         # Reference semantics (src/serialization.rs:368-440): a schema
-        # file or a directory of schema files, each registered under its
-        # Rabin fingerprint.
-        from kafka_delta_ingest_spark.avro_python import rabin_fingerprint
+        # file or a directory of schema files, each registered under the
+        # Rabin fingerprint of its Parsing Canonical Form. The extension
+        # filter applies only when scanning a DIRECTORY; a single file
+        # named explicitly is always read, and ending up with zero
+        # schemas is a configuration error, not a silent fallthrough to
+        # container mode (which would dead-letter every message).
+        from kafka_delta_ingest_spark.avro_python import schema_fingerprint
 
-        paths = (
-            [os.path.join(args.soe_avro, p) for p in sorted(os.listdir(args.soe_avro))]
-            if os.path.isdir(args.soe_avro)
-            else [args.soe_avro]
-        )
+        if os.path.isdir(args.soe_avro):
+            paths = [
+                os.path.join(args.soe_avro, p)
+                for p in sorted(os.listdir(args.soe_avro))
+                if p.endswith((".avsc", ".json"))
+            ]
+        else:
+            paths = [args.soe_avro]
         soe_schemas = {}
         for p in paths:
-            if not p.endswith((".avsc", ".json")):
-                continue
             with open(p) as f:
                 schema_json = f.read()
-            soe_schemas[rabin_fingerprint(schema_json)] = schema_json
+            soe_schemas[schema_fingerprint(schema_json)] = schema_json
+        if not soe_schemas:
+            raise ValueError(
+                f"--avro-soe {args.soe_avro!r}: no .avsc/.json schema "
+                "files found — single-object decoding needs at least one "
+                "registered schema"
+            )
     elif args.avro_schema is not None:
         if args.avro_schema == "":
             fmt = MessageFormat.AVRO  # self-describing container payloads

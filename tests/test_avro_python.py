@@ -108,7 +108,7 @@ def test_soe_fingerprint_routing(spark):
         "fields": [{"name": "url", "type": "string"}],
     }
     s1, s2 = json.dumps(SCHEMA), json.dumps(other)
-    fp1, fp2 = ap.rabin_fingerprint(s1), ap.rabin_fingerprint(s2)
+    fp1, fp2 = ap.schema_fingerprint(s1), ap.schema_fingerprint(s2)
     assert fp1 != fp2
     msgs = [
         (ap.soe_message(ROW, s1),),
@@ -188,8 +188,8 @@ def test_soe_schema_dir_cli_loading(tmp_path):
     )
     opts = options_from_args(args)
     assert opts.soe_schemas == {
-        ap.rabin_fingerprint(s1): s1,
-        ap.rabin_fingerprint(s2): s2,
+        ap.schema_fingerprint(s1): s1,
+        ap.schema_fingerprint(s2): s2,
     }
 
 
@@ -321,3 +321,102 @@ def test_registry_resolves_writer_schema_per_message(spark):
     bad = [r for r in rows if r.e is not None]
     assert {(p.id, p.name, p.age) for p in ok} == {(1, "a", None), (2, "b", 30)}
     assert len(bad) == 2  # wrong magic + unknown schema id -> DLQ path
+
+
+# ---------------------------------------------------------------------------
+# Parsing Canonical Form + CLI misconfig guard
+# ---------------------------------------------------------------------------
+
+
+def test_parsing_canonical_form_rules():
+    """PCF must strip non-parsing attributes, resolve fullnames, inline
+    primitives, fix attribute order, and drop whitespace (Avro spec
+    'Transforming into Parsing Canonical Form')."""
+    verbose = """
+    {
+      "type": "record", "name": "Email", "namespace": "com.example.mail",
+      "doc": "an email", "aliases": ["Mail"],
+      "fields": [
+        {"name": "id", "type": {"type": "long"}, "doc": "pk", "default": 0},
+        {"name": "tag", "type": {"type": "enum", "name": "Tag",
+          "symbols": ["A", "B"], "doc": "x"}},
+        {"name": "raw", "type": {"type": "fixed", "name": "Raw16", "size": 16}},
+        {"name": "hdrs", "type": {"type": "map", "values": "string"}},
+        {"name": "refs", "type": {"type": "array", "items": "Tag"}},
+        {"name": "opt", "type": ["null", {"type": "string", "avro.java.string": "String"}]}
+      ]
+    }
+    """
+    pcf = ap.parsing_canonical_form(verbose)
+    assert pcf == (
+        '{"name":"com.example.mail.Email","type":"record","fields":['
+        '{"name":"id","type":"long"},'
+        '{"name":"tag","type":{"name":"com.example.mail.Tag","type":"enum","symbols":["A","B"]}},'
+        '{"name":"raw","type":{"name":"com.example.mail.Raw16","type":"fixed","size":16}},'
+        '{"name":"hdrs","type":{"type":"map","values":"string"}},'
+        '{"name":"refs","type":{"type":"array","items":"com.example.mail.Tag"}},'
+        '{"name":"opt","type":["null","string"]}]}'
+    )
+
+
+def test_equivalent_schemas_fingerprint_identically():
+    """The cross-producer case the raw-text fingerprint broke: same
+    schema, different formatting/attribute order/docs → same wire
+    fingerprint."""
+    a = '{"type":"record","name":"T","namespace":"n","fields":[{"name":"x","type":"long"}]}'
+    b = """{
+        "doc": "same schema, different producer",
+        "fields": [ {"type": {"type": "long"}, "name": "x", "default": 1} ],
+        "name": "n.T",
+        "type": "record"
+    }"""
+    assert ap.parsing_canonical_form(a) == ap.parsing_canonical_form(b)
+    assert ap.schema_fingerprint(a) == ap.schema_fingerprint(b)
+    assert ap.rabin_fingerprint(a) != ap.rabin_fingerprint(b)  # why PCF exists
+
+
+def test_soe_decode_accepts_cross_producer_formatting(spark):
+    """End-to-end: a message encoded from a reformatted-but-equivalent
+    schema must route to the registered reader schema, not the DLQ."""
+    reader = json.dumps(SCHEMA)
+    producer_variant = json.dumps(json.loads(reader), indent=4, sort_keys=True)
+    msg = ap.soe_message(ROW, producer_variant)
+    df = spark.createDataFrame([(msg,)], "value binary")
+    out = df.select(
+        soe_routed_avro(
+            F.col("value"), {ap.schema_fingerprint(reader): reader}
+        ).alias("m")
+    ).select("m.id")
+    assert out.collect()[0].id == 42
+
+
+def test_soe_cli_single_file_any_extension(tmp_path):
+    """A single schema file named explicitly is read whatever its
+    extension (the filter only applies to directory scans)."""
+    from kafka_delta_ingest_spark.cli import build_parser, options_from_args
+
+    s = json.dumps({"type": "record", "name": "A",
+                    "fields": [{"name": "x", "type": "long"}]})
+    f = tmp_path / "schema.txt"
+    f.write_text(s)
+    args = build_parser().parse_args(
+        ["ingest", "topic", "/tmp/tbl", "--soe-avro", str(f)]
+    )
+    opts = options_from_args(args)
+    assert opts.soe_schemas == {ap.schema_fingerprint(s): s}
+
+
+def test_soe_cli_empty_schema_dir_raises(tmp_path):
+    """A directory with no usable schema files must be a loud
+    configuration error, never a silent fallthrough to container mode
+    (which dead-letters every message)."""
+    import pytest
+
+    from kafka_delta_ingest_spark.cli import build_parser, options_from_args
+
+    (tmp_path / "README.md").write_text("not a schema")
+    args = build_parser().parse_args(
+        ["ingest", "topic", "/tmp/tbl", "--soe-avro", str(tmp_path)]
+    )
+    with pytest.raises(ValueError, match="no .avsc/.json"):
+        options_from_args(args)

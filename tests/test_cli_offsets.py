@@ -62,12 +62,17 @@ def test_cli_full_option_surface():
     assert opts.message_format == MessageFormat.JSON
 
 
-def test_cli_format_flags():
+def test_cli_format_flags(tmp_path):
     assert _parse(["ingest", "t", "/x", "--decompress_gzip"]).message_format == MessageFormat.JSON_GZIP
     assert _parse(["ingest", "t", "/x", "--json", "http://registry"]).message_format == MessageFormat.JSON_SCHEMA_REGISTRY
     assert _parse(["ingest", "t", "/x", "--avro", ""]).message_format == MessageFormat.AVRO
     assert _parse(["ingest", "t", "/x", "--avro", "http://registry"]).message_format == MessageFormat.AVRO_SCHEMA_REGISTRY
-    assert _parse(["ingest", "t", "/x", "--soe-avro", "/schemas"]).message_format == MessageFormat.AVRO_SOE
+    schema_dir = tmp_path / "schemas"
+    schema_dir.mkdir()
+    (schema_dir / "a.avsc").write_text(
+        '{"type":"record","name":"A","fields":[{"name":"x","type":"long"}]}'
+    )
+    assert _parse(["ingest", "t", "/x", "--soe-avro", str(schema_dir)]).message_format == MessageFormat.AVRO_SOE
 
 
 def test_transform_parse_rejects_garbage():
