@@ -123,6 +123,12 @@ def range_join(
             return F.unix_micros(F.col(name).cast("timestamp"))
         return F.col(name).cast("long")
 
+    # Malformed intervals (end <= start) contain no points under
+    # [start, end) — but F.sequence with a descending range would emit
+    # one row per bucket BETWEEN the endpoints, an unbounded explode for
+    # a single corrupt row (e.g. swapped columns spanning years). Drop
+    # them before bucketing; the join result is unchanged.
+    intervals = intervals.filter(F.col(end_col) > F.col(start_col))
     iv = intervals.withColumn(
         "_kdi_bucket",
         F.explode(

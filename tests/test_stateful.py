@@ -226,3 +226,18 @@ def test_range_join_subsecond_timestamps(spark):
     )
     out = range_join(points, intervals, "ts", "s", "e", bucket_width=3600)
     assert {r.eid for r in out.collect()} == {1}  # .2 < end .5 ≤ .8
+
+
+def test_range_join_inverted_interval_no_explosion(spark):
+    """A corrupt interval with end <= start (here spanning ~3e9 bucket
+    widths backwards) must be dropped before bucket explosion — it can
+    match nothing under [start, end) — instead of emitting one exploded
+    row per bucket between the endpoints."""
+    points = spark.createDataFrame([(1, 5), (2, 15)], "pid int, v int")
+    intervals = spark.createDataFrame(
+        [(100, 0, 10), (666, 3_000_000_000, -3_000_000_000), (777, 7, 7)],
+        "iid long, s long, e long",
+    )
+    out = range_join(points, intervals, "v", "s", "e", bucket_width=1)
+    got = {(r.pid, r.iid) for r in out.collect()}  # completes instantly
+    assert got == {(1, 100)}
