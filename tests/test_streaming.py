@@ -214,3 +214,53 @@ def test_watermark_drops_late_rows_across_restart(spark, tmp_path):
     out2 = run([event(15), event(250), event(260)], "wm2")
     assert (m0, "click") not in out2        # late row dropped, window stays closed
     assert out2.get((m2, "click")) == 2     # minute-2 emitted WITHOUT late contamination
+
+
+def test_progress_listener_lag_gauges_from_recorded_progress(spark):
+    """M2: the lag-gauge math, driven by a RECORDED Kafka-connector
+    progress payload (the `sources[].metrics` fields
+    spark-sql-kafka publishes; no broker in this container — the
+    connector-side values are replayed verbatim)."""
+    from types import SimpleNamespace
+
+    from kafka_delta_ingest_spark.metrics import (
+        BUFFER_LAG_TOTAL,
+        RECORD_BATCH_WRITE_DURATION,
+        IngestMetrics,
+        ProgressListener,
+    )
+
+    m = IngestMetrics()  # buffered only; no UDP endpoint
+    pl = ProgressListener(m)
+    pl.attach(spark)
+    try:
+        # Shape recorded from a spark-sql-kafka streaming query's
+        # lastProgress (fields this listener consumes).
+        progress = SimpleNamespace(
+            durationMs={"addBatch": 734, "triggerExecution": 901},
+            numInputRows=12000,
+            sources=[
+                SimpleNamespace(
+                    metrics={
+                        "estimatedTotalBytesBehindLatest": "18329",
+                        "avgOffsetsBehindLatest": "61.0",
+                    }
+                )
+            ],
+        )
+        pl._listener.onQueryProgress(SimpleNamespace(progress=progress))
+        totals = m.totals()
+        assert totals[BUFFER_LAG_TOTAL] == 18329.0
+        assert totals[RECORD_BATCH_WRITE_DURATION] == 734
+        assert totals["batch.num_input_rows"] == 12000
+        # a progress tick with NO kafka metrics must not clobber the gauge
+        pl._listener.onQueryProgress(
+            SimpleNamespace(
+                progress=SimpleNamespace(
+                    durationMs={}, numInputRows=0, sources=[SimpleNamespace(metrics={})]
+                )
+            )
+        )
+        assert m.totals()[BUFFER_LAG_TOTAL] == 18329.0
+    finally:
+        pl.detach(spark)
