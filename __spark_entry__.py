@@ -2367,6 +2367,155 @@ def text_top_ngrams(spark, sf_dir):
     return textops.corpus_top_ngrams(d, n=3, top_k=20)
 
 
+@_q(
+    "decontam_overlap_report",
+    r"""
+    WITH dnorm AS (
+      SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ), corpus_g0 AS (
+      SELECT doc_id,
+        CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+             ELSE list_distinct([array_to_string(w[i:i+7], ' ')
+                                 for i in generate_series(1, len(w)-7)])
+        END AS grams
+      FROM dnorm
+    ), corpus AS (
+      SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram FROM corpus_g0
+    ), bench_w AS (
+      SELECT doc_id AS bench_id, w[1:30] AS w FROM dnorm WHERE doc_id % 97 = 0
+    ), bench_g0 AS (
+      SELECT bench_id,
+        CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+             ELSE list_distinct([array_to_string(w[i:i+7], ' ')
+                                 for i in generate_series(1, len(w)-7)])
+        END AS grams
+      FROM bench_w
+    ), bench AS (
+      SELECT bench_id, unnest(grams) AS gram FROM bench_g0
+    ), hits AS (
+      SELECT c.doc_id, any_value(c.n_grams) AS n_grams,
+             COUNT(DISTINCT c.gram) AS n_hit_grams,
+             COUNT(DISTINCT b.bench_id) AS n_bench_docs
+      FROM corpus c JOIN bench b USING (gram)
+      GROUP BY c.doc_id
+    )
+    SELECT doc_id, CAST(n_grams AS INT) AS n_grams, n_hit_grams, n_bench_docs,
+      round(CAST(n_hit_grams AS DOUBLE) / n_grams, 6) AS contamination_rate
+    FROM hits
+    """,
+)
+def decontam_overlap_report(spark, sf_dir):
+    """Benchmark decontamination (GPT-3/PaLM-style): flag every corpus
+    document sharing a word 8-gram with a benchmark example. The
+    benchmark here is a deterministic eval-excerpt set (first 30 words
+    of every 97th document), so each excerpt's source doc — and any
+    near-copy — must surface. The benchmark gram set is broadcast; the
+    corpus side never shuffles for the match step."""
+    from kafka_delta_ingest_spark.operators import decontam
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.concat_ws(
+            " ",
+            F.slice(F.split(textops.normalize_text(F.col("text")), " "), 1, 30),
+        ).alias("text"),
+    )
+    return decontam.contamination_report(d, bench, n=8)
+
+
+@_q(
+    "pii_scrub",
+    r"""
+    WITH planted AS (
+      SELECT doc_id,
+        text
+        || CASE WHEN doc_id % 7 = 0
+                THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                ELSE '' END
+        || CASE WHEN doc_id % 11 = 0
+                THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END
+        || CASE WHEN doc_id % 13 = 0
+                THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                     || '.' || CAST(doc_id * 7 % 256 AS VARCHAR)
+                ELSE '' END
+        || CASE WHEN doc_id % 17 = 0
+                THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END
+        AS text
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+      CAST(len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS INT) AS n_ssn,
+      CAST(len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS INT) AS n_phone,
+      CAST(len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS INT) AS n_ipv4,
+      CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+         + len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'))
+         + len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b'))
+         + len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS INT) AS pii_total,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+          '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'),
+        '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IPV4>', 'g') AS redacted
+    FROM planted
+    """,
+)
+def pii_scrub(spark, sf_dir):
+    """PII detection + redaction as a single codegen projection: plant
+    deterministic email/phone/IPv4/SSN strings into a modular subset of
+    documents, then count matches per family (on the original text) and
+    emit the redacted text. Patterns are chosen from the Java∩RE2
+    dialect so the DuckDB oracle verifies the scrub bit-for-bit."""
+    from kafka_delta_ingest_spark.operators import pii
+
+    d = load_table(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    t = F.col("text")
+    planted = (
+        d.withColumn(
+            "text",
+            F.when(
+                doc % 7 == 0,
+                F.concat(t, F.lit(" contact user"), doc.cast("string"),
+                         F.lit("@example.com")),
+            ).otherwise(t),
+        )
+        .withColumn(
+            "text",
+            F.when(
+                doc % 11 == 0,
+                F.concat(t, F.lit(" call 415-555-"),
+                         F.lpad((doc % 10000).cast("string"), 4, "0")),
+            ).otherwise(t),
+        )
+        .withColumn(
+            "text",
+            F.when(
+                doc % 13 == 0,
+                F.concat(t, F.lit(" from 10.0."), (doc % 256).cast("string"),
+                         F.lit("."), ((doc * 7) % 256).cast("string")),
+            ).otherwise(t),
+        )
+        .withColumn(
+            "text",
+            F.when(
+                doc % 17 == 0,
+                F.concat(t, F.lit(" ssn 123-45-"),
+                         F.lpad((doc % 10000).cast("string"), 4, "0")),
+            ).otherwise(t),
+        )
+    )
+    return pii.pii_report(planted)
+
+
 @_q("sim_recall_lsh_vs_exact")  # LSH side has no SQL twin — rows-only
 def sim_recall_lsh_vs_exact(spark, sf_dir):
     """Recall@10 of the LSH ANN path measured against the exact
@@ -3043,7 +3192,7 @@ def q22_idle_customers(spark, sf_dir):
 # The tail keeps the remaining TPC-H/window/agg/set/scan/events queries,
 # also cheapest-first. tools/check_oracle.py verifies all 86 regardless.
 _SWEEP_ORDER: list[str] = [
-    # --- family-coverage block (50) ---
+    # --- family-coverage block (52) ---
     "transform_substr",
     "coerce_tostring",
     "split_train_holdout",
@@ -3055,6 +3204,7 @@ _SWEEP_ORDER: list[str] = [
     "multimodal_dedup_exact",
     "coerce_timestamp_strict",
     "text_token_counts",
+    "pii_scrub",
     "split_source_mix",
     "split_domain_cap",
     "split_quality_curriculum",
@@ -3072,6 +3222,7 @@ _SWEEP_ORDER: list[str] = [
     "events_asof_join",
     "embedding_neardup_exact",
     "text_top_ngrams",
+    "decontam_overlap_report",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "ingest_dlq_split",

@@ -1,0 +1,107 @@
+"""Benchmark decontamination: word n-gram overlap between a training
+corpus and an evaluation/benchmark set.
+
+Standard practice in LLM training-data pipelines (GPT-3 appendix C,
+PaLM, Llama): a training document that shares at least one word n-gram
+(n is typically 8-13) with a benchmark example is flagged and usually
+dropped, so that eval scores measure generalization rather than
+memorization of leaked test data.
+
+Scale design (100 TB corpus vs an MB-scale benchmark):
+
+* The benchmark side is tiny relative to the corpus, so its exploded
+  (bench_id, gram) set is **broadcast**; flagging the corpus is then a
+  broadcast-hash join — the corpus side never shuffles for the match
+  step, which keeps the scan narrow end-to-end.
+* Per-document overlap stats aggregate on doc_id *after* the join has
+  already shrunk the stream to hit rows only — the shuffle moves only
+  contaminated grams, a vanishing fraction of the corpus.
+* Gram sets are ``array_distinct``-ed per document before the join, so
+  a gram repeated inside one document cannot multiply join output.
+
+All gram generation is pure ``pyspark.sql.functions`` expression work
+(whole-stage codegen); semantics are mirrored 1:1 by the DuckDB oracle
+in ``__spark_entry__`` (list-comprehension n-grams).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from kafka_delta_ingest_spark.operators.dedup import word_shingles
+from kafka_delta_ingest_spark.operators.util import spread
+
+
+def _grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, n_grams, gram) — one row per DISTINCT word n-gram, with the
+    document's total distinct-gram count carried alongside."""
+    with_grams = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), n).alias("_grams")
+    )
+    return with_grams.select(
+        id_col,
+        F.size("_grams").alias("n_grams"),
+        F.explode("_grams").alias("gram"),
+    )
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Per contaminated document: how much of it overlaps the benchmark.
+
+    Returns (id_col, n_grams, n_hit_grams, n_bench_docs,
+    contamination_rate) for every corpus document sharing >= 1 word
+    n-gram with any benchmark document. Clean documents are absent —
+    at 100 TB the report must stay proportional to the contamination,
+    not the corpus.
+    """
+    corpus_grams = _grams(spread(corpus), id_col, text_col, n)
+    bench_grams = (
+        _grams(benchmark, bench_id_col, bench_text_col, n)
+        .select(bench_id_col, "gram")
+        .dropDuplicates([bench_id_col, "gram"])
+    )
+    hits = corpus_grams.join(F.broadcast(bench_grams), on="gram")
+    return (
+        hits.groupBy(id_col)
+        .agg(
+            F.first("n_grams").alias("n_grams"),
+            F.count_distinct("gram").alias("n_hit_grams"),
+            F.count_distinct(bench_id_col).alias("n_bench_docs"),
+        )
+        .withColumn(
+            "contamination_rate",
+            F.round(F.col("n_hit_grams").cast("double") / F.col("n_grams"), 6),
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+    n: int = 8,
+    max_hit_grams: int = 0,
+) -> DataFrame:
+    """Drop corpus documents whose benchmark n-gram overlap exceeds
+    ``max_hit_grams`` (default 0: any shared n-gram disqualifies).
+
+    Implemented as a broadcast left-anti join against the flagged id
+    set, so the surviving corpus never shuffles.
+    """
+    flagged = contamination_report(
+        corpus, benchmark, id_col, text_col, bench_id_col, bench_text_col, n
+    ).filter(F.col("n_hit_grams") > max_hit_grams)
+    return corpus.join(
+        F.broadcast(flagged.select(id_col)), on=id_col, how="left_anti"
+    )

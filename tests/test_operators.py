@@ -631,3 +631,114 @@ def test_sharded_pack_plan_has_no_single_group_window(spark):
     p = pack_sequences(d, ctx_tokens=256, group_col="source", order_col="doc_id", shards=8)
     plan = p._jdf.queryExecution().executedPlan().toString()
     assert "pack_shard" in plan.split("Window")[1][:400]
+
+
+# -- decontamination ----------------------------------------------------
+
+
+def test_contamination_flags_excerpt_sources(spark, docs):
+    """A benchmark built from 30-word excerpts must flag exactly the
+    source documents (plus any true n-gram collisions) and report a
+    sane overlap rate."""
+    from kafka_delta_ingest_spark.operators.decontam import contamination_report
+
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(text.normalize_text(F.col("text")), " "), 1, 30)
+        ).alias("text"),
+    )
+    report = contamination_report(docs, bench, n=8)
+    rows = {r.doc_id: r for r in report.collect()}
+    bench_ids = [r.bench_id for r in bench.select("bench_id").collect()]
+    for b in bench_ids:
+        assert b in rows, f"benchmark source doc {b} not flagged"
+        r = rows[b]
+        assert 0 < r.n_hit_grams <= r.n_grams
+        assert r.n_bench_docs >= 1
+        assert 0.0 < r.contamination_rate <= 1.0
+
+
+def test_decontaminate_drops_flagged_keeps_clean(spark, docs):
+    from kafka_delta_ingest_spark.operators.decontam import (
+        contamination_report,
+        decontaminate,
+    )
+
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"), F.col("text")
+    )
+    flagged = {
+        r.doc_id
+        for r in contamination_report(docs, bench, n=8).collect()
+    }
+    clean = decontaminate(docs, bench, n=8)
+    kept = {r.doc_id for r in clean.select("doc_id").collect()}
+    total = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert kept == total - flagged
+    assert flagged  # the verbatim benchmark must flag its own sources
+
+
+def test_contamination_match_is_broadcast(spark, docs):
+    """The corpus-side flagging join must be a broadcast-hash join —
+    the 100 TB side never shuffles for the match step."""
+    from kafka_delta_ingest_spark.operators.decontam import contamination_report
+
+    bench = docs.limit(5).select(
+        F.col("doc_id").alias("bench_id"), F.col("text")
+    )
+    plan = (
+        contamination_report(docs, bench, n=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+# -- PII scrub ----------------------------------------------------------
+
+
+def test_pii_counts_and_redaction_roundtrip(spark):
+    from kafka_delta_ingest_spark.operators.pii import pii_report
+
+    rows = [
+        Row(doc_id=1, text="reach me at jane.doe+spam@mail.example.org today"),
+        Row(doc_id=2, text="call 415-555-0134 or 650-555-0199"),
+        Row(doc_id=3, text="ssn 123-45-6789 on file"),
+        Row(doc_id=4, text="served from 192.168.1.254 cluster"),
+        Row(doc_id=5, text="clean text with no identifiers at all"),
+        Row(doc_id=6, text="a@b.io and 10.0.0.1 and 999-99-9999"),
+    ]
+    out = {r.doc_id: r for r in pii_report(spark.createDataFrame(rows)).collect()}
+    assert out[1].n_email == 1 and "<EMAIL>" in out[1].redacted
+    assert "jane" not in out[1].redacted
+    assert out[2].n_phone == 2 and out[2].redacted.count("<PHONE>") == 2
+    assert out[3].n_ssn == 1 and "<SSN>" in out[3].redacted
+    assert out[4].n_ipv4 == 1 and "<IPV4>" in out[4].redacted
+    assert out[5].pii_total == 0 and out[5].redacted == rows[4].text
+    assert out[6].n_email == 1 and out[6].n_ipv4 == 1 and out[6].n_ssn == 1
+    assert out[6].pii_total == 3
+
+
+def test_pii_ssn_phone_disambiguation(spark):
+    """3-2-4 digit runs are SSNs, 3-3-4 are phones — neither pattern may
+    consume the other's match."""
+    from kafka_delta_ingest_spark.operators.pii import pii_report
+
+    rows = [Row(doc_id=1, text="415-555-0134 vs 123-45-6789")]
+    r = pii_report(spark.createDataFrame(rows)).collect()[0]
+    assert r.n_phone == 1 and r.n_ssn == 1
+    assert r.redacted == "<PHONE> vs <SSN>"
+
+
+def test_pii_scrub_is_pure_projection(spark, docs):
+    """The scrub plan must be a single Project over the scan — no
+    shuffle, no UDF eval nodes."""
+    from kafka_delta_ingest_spark.operators.pii import pii_report
+
+    plan = (
+        pii_report(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
