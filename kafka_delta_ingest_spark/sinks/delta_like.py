@@ -80,6 +80,64 @@ class CommitResult:
     skipped: bool = False
 
 
+def zorder_value(df: DataFrame, cols: list[str]):
+    """Morton (Z-order) key over numeric/timestamp/date columns.
+
+    Two passes: a driver-scalar stats action collects per-column
+    min/max, then every value is normalized to a ``bits``-wide integer
+    rank and the ranks are bit-interleaved — pure shift/mask
+    expressions, whole-stage codegen. Sorting by the interleaved key
+    gives every output file a narrow min/max window on EVERY clustered
+    column simultaneously, unlike a lexicographic sort which only
+    bounds the leading column (Delta's ZORDER BY does the same thing
+    on range-partition ids; OPTIMIZE ... ZORDER BY in delta-spark).
+
+    Nulls normalize to rank 0 (sorted first, like Delta). Raises for
+    column types with no numeric order — hash-bucketing a string gives
+    interleave bits no range locality, so silently accepting one would
+    quietly disable skipping on the other columns too.
+    """
+    from pyspark.sql import functions as F
+
+    for c in cols:
+        t = dict(df.dtypes)[c]
+        if not (
+            t in ("tinyint", "smallint", "int", "bigint", "float", "double", "date")
+            or t.startswith(("decimal", "timestamp"))
+        ):
+            raise ValueError(f"zorder_value: column {c!r} has unordered type {t}")
+    bits = min(16, 63 // len(cols))
+    top = (1 << bits) - 1
+    stats = df.agg(
+        *[
+            a
+            for c in cols
+            for a in (
+                F.min(F.col(c).cast("double")).alias(f"_mn_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"_mx_{c}"),
+            )
+        ]
+    ).collect()[0]
+    ranks = []
+    for c in cols:
+        mn, mx = stats[f"_mn_{c}"], stats[f"_mx_{c}"]
+        if mn is None or mx is None or mx <= mn:
+            ranks.append(F.lit(0).cast("long"))
+            continue
+        scaled = (
+            (F.coalesce(F.col(c).cast("double"), F.lit(mn)) - F.lit(mn))
+            * F.lit(top / (mx - mn))
+        ).cast("long")
+        ranks.append(F.least(F.greatest(scaled, F.lit(0)), F.lit(top)))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for ci, r in enumerate(ranks):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(r, i).bitwiseAND(F.lit(1)), i * len(cols) + ci)
+            )
+    return z
+
+
 class DeltaLikeTable:
     def __init__(self, path: str):
         self.path = path.rstrip("/")
@@ -369,6 +427,7 @@ class DeltaLikeTable:
         target_file_bytes: int = 134_217_728,
         partition_by: list[str] | None = None,
         cluster_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> CommitResult:
         """Bin-pack small files into ~``target_file_bytes`` files,
         optionally clustering rows by ``cluster_by`` while rewriting.
@@ -389,7 +448,16 @@ class DeltaLikeTable:
         range predicates on those columns to ~one file instead of all
         of them. With clustering, ALL live files are rewritten (the
         point is the global sort, not just packing the small ones).
+
+        ``zorder_by`` is the multi-dimensional variant (Delta's
+        OPTIMIZE ... ZORDER BY): rows sort by the Morton interleave of
+        the columns' normalized ranks (``zorder_value``), so every
+        output file gets a narrow min/max window on EVERY listed column
+        at once — a lexicographic ``cluster_by`` bounds only the
+        leading column, leaving predicates on the others unprunable.
         """
+        if cluster_by and zorder_by:
+            raise ValueError("optimize: cluster_by and zorder_by are exclusive")
         snap = self.snapshot()
         meta = snap["metaData"]
         partition_by = partition_by or (meta["partitionColumns"] if meta else [])
@@ -397,7 +465,7 @@ class DeltaLikeTable:
         live = self._live_files(snap)
         small = (
             list(live)
-            if cluster_by
+            if cluster_by or zorder_by
             else [f for f in live if f["size"] < target_file_bytes]
         )
         if len(small) < 2:
@@ -415,6 +483,13 @@ class DeltaLikeTable:
 
             keys = [_F.col(c) for c in cluster_by]
             shaped = df.repartitionByRange(n_out, *keys).sortWithinPartitions(*keys)
+        elif zorder_by:
+            shaped = (
+                df.withColumn("_kdi_z", zorder_value(df, zorder_by))
+                .repartitionByRange(n_out, "_kdi_z")
+                .sortWithinPartitions("_kdi_z")
+                .drop("_kdi_z")
+            )
         else:
             shaped = df.coalesce(n_out)
         writer = shaped.write.mode("overwrite")
@@ -434,6 +509,7 @@ class DeltaLikeTable:
                         "numRemoved": len(removed),
                         "numAdded": len(adds),
                         "clusterBy": cluster_by or [],
+                        "zOrderBy": zorder_by or [],
                     },
                 }
             }

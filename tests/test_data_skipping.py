@@ -112,3 +112,80 @@ def test_unknown_columns_and_missing_stats_keep_files(table):
     # Conservative fallback: pruning must never drop a file it cannot prove.
     assert len(table.files_for([("nonexistent", ">", 1)])) == 2
     assert len(table.files_for([("v", "is_not_null")])) == 2
+
+
+def test_zorder_optimize_prunes_every_clustered_dimension(spark):
+    """Z-order vs lexicographic clustering on a 2-D grid: after
+    optimize(zorder_by=["x","y"]) a point predicate on EITHER column
+    prunes most files; after cluster_by=["x","y"] only the leading
+    column prunes (the y windows all span the full domain)."""
+    rows = [(x, y) for x in range(20) for y in range(20)]
+
+    def build(**opt_kw):
+        root = tempfile.mkdtemp(prefix="kdi-z2d-")
+        t = DeltaLikeTable(root + "/t")
+        # 4 round-robin batches: every file spans both full domains.
+        for b in range(4):
+            t.write_batch(
+                spark.createDataFrame(
+                    rows[b::4], "x long, y long"
+                ).coalesce(1)
+            )
+        total = sum(f["size"] for f in t._live_files(t.snapshot()))
+        res = t.optimize(spark, target_file_bytes=max(1, total // 16), **opt_kw)
+        assert not res.skipped
+        return root, t
+
+    zroot, zt = build(zorder_by=["x", "y"])
+    lroot, lt = build(cluster_by=["x", "y"])
+    try:
+        z_all = len(zt.files_for([]))
+        l_all = len(lt.files_for([]))
+        assert z_all >= 8 and l_all >= 8
+
+        # leading column prunes under both layouts
+        assert len(zt.files_for([("x", "=", 5)])) <= z_all // 2
+        assert len(lt.files_for([("x", "=", 5)])) <= l_all // 2
+        # trailing column prunes ONLY under z-order
+        assert len(zt.files_for([("y", "=", 5)])) <= z_all // 2
+        assert len(lt.files_for([("y", "=", 5)])) == l_all
+        # conjunction narrows further than either alone under z-order
+        both = len(zt.files_for([("x", "=", 5), ("y", "=", 5)]))
+        assert both <= len(zt.files_for([("x", "=", 5)]))
+
+        # the rewrite preserved the row multiset and predicate reads
+        got = sorted((r.x, r.y) for r in zt.read(spark).collect())
+        assert got == sorted(rows)
+        assert (
+            zt.read(spark, predicates=[("x", "=", 5), ("y", "=", 5)])
+            .filter("x = 5 and y = 5")
+            .count()
+            == 1
+        )
+    finally:
+        shutil.rmtree(zroot, ignore_errors=True)
+        shutil.rmtree(lroot, ignore_errors=True)
+
+
+def test_zorder_rejects_unordered_types(spark):
+    import pytest as _pytest
+
+    from kafka_delta_ingest_spark.sinks.delta_like import zorder_value
+
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    with _pytest.raises(ValueError, match="unordered type"):
+        zorder_value(df, ["id", "s"])
+
+
+def test_zorder_null_and_constant_columns(spark):
+    """Null values rank 0 (sorted first); a constant column contributes
+    zero bits but must not error or perturb the other dimension."""
+    from pyspark.sql import functions as F
+
+    from kafka_delta_ingest_spark.sinks.delta_like import zorder_value
+
+    df = spark.createDataFrame(
+        [(None, 7), (5, 7), (9, 7)], "a int, b int"
+    )
+    out = df.withColumn("z", zorder_value(df, ["a", "b"])).orderBy("z").collect()
+    assert [r.a for r in out] == [None, 5, 9]
