@@ -970,6 +970,106 @@ _QUALITY_SQL = r"""
 
 
 @_q(
+    "dedup_incremental_admit",
+    r"""
+    WITH src AS (
+      SELECT doc_id, text,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ), incoming AS (
+      SELECT doc_id + 2000000 AS doc_id,
+             regexp_replace(text, '^\S+\s+', '') AS text
+      FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 3000000, array_to_string(list_reverse(w), ' ')
+      FROM src WHERE doc_id % 5 = 2
+      UNION ALL
+      SELECT doc_id + 4000000, array_to_string(list_reverse(w), ' ')
+      FROM src WHERE doc_id % 10 = 2
+    ), uni AS (
+      SELECT doc_id, text, 0 AS nw FROM documents
+      UNION ALL
+      SELECT doc_id, text, 1 AS nw FROM incoming
+    ), d AS (
+      SELECT doc_id, nw,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      FROM uni
+    ), g0 AS (
+      SELECT doc_id, nw,
+        CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+             ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+                                 for i in generate_series(1, len(w)-2)])
+        END AS grams
+      FROM d
+    ), g AS (
+      SELECT doc_id, nw, unnest(grams) AS gram FROM g0
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id
+    ), rare AS (
+      SELECT gram FROM g GROUP BY gram HAVING COUNT(*) <= 1000
+    ), pg AS (
+      SELECT g.doc_id, g.nw, g.gram FROM g JOIN rare USING (gram)
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             any_value(a.nw) AS new_a, any_value(b.nw) AS new_b,
+             COUNT(*) AS n_common
+      FROM pg a JOIN pg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      WHERE a.nw = 1 OR b.nw = 1
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b, new_a, new_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5
+    ), losers AS (
+      SELECT DISTINCT CASE WHEN new_a = 0 THEN id_b
+                           WHEN new_b = 0 THEN id_a
+                           ELSE id_b END AS doc_id
+      FROM pairs
+    )
+    SELECT doc_id FROM incoming
+    WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    """,
+)
+def dedup_incremental_admit(spark, sf_dir):
+    """Continuous-ingest dedup: admit only the incoming-batch docs that
+    near-duplicate neither the existing corpus nor a lower-id incoming
+    doc. The batch plants all three outcomes: first-word-dropped
+    near-dups of corpus docs (rejected against the corpus), reversed-
+    word novel docs (admitted), and second copies of those novel docs
+    (rejected intra-batch). One pair pass over the union computes both
+    cross and intra pairs; existing x existing pairs are cut before the
+    aggregation."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doc = F.col("doc_id")
+    rev = F.concat_ws(
+        " ", F.reverse(F.split(textops.normalize_text(F.col("text")), " "))
+    )
+    incoming = (
+        d.filter(doc % 5 == 0)
+        .select(
+            (doc + 2000000).alias("doc_id"),
+            F.regexp_replace("text", r"^\S+\s+", "").alias("text"),
+        )
+        .unionByName(
+            d.filter(doc % 5 == 2).select(
+                (doc + 3000000).alias("doc_id"), rev.alias("text")
+            )
+        )
+        .unionByName(
+            d.filter(doc % 10 == 2).select(
+                (doc + 4000000).alias("doc_id"), rev.alias("text")
+            )
+        )
+    )
+    admitted = dedup.incremental_ngram_dedup(
+        d, incoming, "doc_id", "text", n=3, threshold=0.5, max_gram_df=1000
+    )
+    return admitted.select("doc_id")
+
+
+@_q(
     "dedup_clusters_cc",
     f"""
     WITH RECURSIVE {_NGRAM_PAIR_CTES},
@@ -3192,7 +3292,7 @@ def q22_idle_customers(spark, sf_dir):
 # The tail keeps the remaining TPC-H/window/agg/set/scan/events queries,
 # also cheapest-first. tools/check_oracle.py verifies all 86 regardless.
 _SWEEP_ORDER: list[str] = [
-    # --- family-coverage block (52) ---
+    # --- family-coverage block (53) ---
     "transform_substr",
     "coerce_tostring",
     "split_train_holdout",
@@ -3239,6 +3339,7 @@ _SWEEP_ORDER: list[str] = [
     "dedup_exact",
     "embedding_neardup_lsh",
     "dedup_ngram_jaccard",
+    "dedup_incremental_admit",
     "sim_recall_lsh_vs_exact",
     "dedup_minhash_pairs",
     "dedup_canonical_keep",

@@ -481,3 +481,92 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def incremental_ngram_dedup(
+    existing: DataFrame,
+    incoming: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_gram_df: int = 1000,
+) -> DataFrame:
+    """Admit the incoming-batch rows that near-duplicate neither the
+    existing corpus nor a lower-id incoming row (exact word-n-gram
+    Jaccard ≥ ``threshold`` disqualifies).
+
+    The continuous-ingest form of dedup: every arriving batch is
+    checked against the already-admitted corpus, so the corpus stays
+    near-dup-free without ever re-deduping itself. One pair pass over
+    the union computes both cross (existing x incoming) and intra
+    (incoming x incoming) pairs; existing x existing pairs are
+    irrelevant and get filtered before the pair aggregation, not after
+    — the quadratic join never materializes them. Precondition: ids are
+    disjoint across the two inputs (colliding ids would silently merge
+    documents; callers allocate batch ids above the corpus ceiling).
+
+    Stateless formulation: grams are recomputed from text each batch.
+    A steady-state 100 TB deployment would persist the existing side's
+    (id, gram) index as a bucketed table and join incoming grams
+    against it — same plan shape, one scan instead of recompute.
+    """
+    tag = "_kdi_new"
+    tagged = existing.select(
+        F.col(id_col), F.col(text_col), F.lit(0).alias(tag)
+    ).unionByName(
+        incoming.select(F.col(id_col), F.col(text_col), F.lit(1).alias(tag))
+    )
+    df = spread(tagged)
+    flags = df.select(id_col, tag)
+    sizes = df.select(
+        F.col(id_col), F.size(word_shingles(F.col(text_col), n)).alias("sz")
+    )
+    grams = df.select(
+        F.col(id_col), tag, F.explode(word_shingles(F.col(text_col), n)).alias("g")
+    )
+    rare = (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("gdf"))
+        .filter(F.col("gdf") <= max_gram_df)
+        .select("g")
+    )
+    pruned = grams.join(rare, on="g", how="left_semi")
+    inter = (
+        pruned.alias("a")
+        .join(pruned.alias("b"), on="g")
+        .filter(
+            (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            # at least one side is incoming — existing x existing pairs
+            # are dead weight and are cut before the aggregation
+            & ((F.col(f"a.{tag}") == 1) | (F.col(f"b.{tag}") == 1))
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    fa = flags.select(F.col(id_col).alias("id_a"), F.col(tag).alias("new_a"))
+    fb = flags.select(F.col(id_col).alias("id_b"), F.col(tag).alias("new_b"))
+    jac = F.col("inter").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    )
+    pairs = (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .join(F.broadcast(fa), "id_a")
+        .join(F.broadcast(fb), "id_b")
+        .filter(jac >= threshold)
+    )
+    # Greedy admission: an incoming doc loses to ANY existing match and
+    # to a lower-id incoming match (chains collapse toward the corpus,
+    # matching minhash_dedup's min-id convention).
+    losers = pairs.select(
+        F.when(F.col("new_a") == 0, F.col("id_b"))
+        .when(F.col("new_b") == 0, F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias(id_col)
+    ).distinct()
+    return incoming.join(losers, on=id_col, how="left_anti")

@@ -742,3 +742,54 @@ def test_pii_scrub_is_pure_projection(spark, docs):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# -- incremental dedup --------------------------------------------------
+
+
+def test_incremental_dedup_admission_rules(spark):
+    """Cross rejection (vs corpus), intra rejection (vs lower-id batch
+    mate), and admission of novel docs, on hand-checkable texts."""
+    from kafka_delta_ingest_spark.operators.dedup import incremental_ngram_dedup
+
+    existing = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "pack my box with five dozen liquor jugs right now"),
+        ],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            # near-dup of corpus doc 1 (first word dropped) -> rejected
+            (10, "quick brown fox jumps over the lazy dog tonight"),
+            # novel -> admitted
+            (11, "completely unrelated sentence about spark query planning"),
+            # exact copy of 11 -> rejected intra-batch (higher id loses)
+            (12, "completely unrelated sentence about spark query planning"),
+        ],
+        "doc_id long, text string",
+    )
+    admitted = incremental_ngram_dedup(
+        existing, incoming, "doc_id", "text", n=3, threshold=0.5
+    )
+    assert {r.doc_id for r in admitted.collect()} == {11}
+    # admitted rows keep their full schema
+    assert admitted.columns == ["doc_id", "text"]
+
+
+def test_incremental_dedup_empty_existing(spark):
+    """With no corpus, this degrades to plain intra-batch dedup."""
+    from kafka_delta_ingest_spark.operators.dedup import incremental_ngram_dedup
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    incoming = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "one two three four five six seven eight"),
+        ],
+        "doc_id long, text string",
+    )
+    admitted = incremental_ngram_dedup(empty, incoming, "doc_id", "text")
+    assert {r.doc_id for r in admitted.collect()} == {1, 3}
