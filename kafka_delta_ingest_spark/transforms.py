@@ -128,7 +128,18 @@ _FUNCTIONS = {
     "epoch_millis_to_micro": lambda a: epoch_millis_to_micro(_c(a[0])),
     "to_number": lambda a: _c(a[0]).cast("double"),
     "to_string": lambda a: _c(a[0]).cast("string"),
+    # Extension beyond the reference's function set: scrub PII in-flight
+    # so raw identifiers never reach the destination table (the DLQ
+    # still records the original payload for replay). Same codegen
+    # projection as operators/pii.py — zero extra plan nodes.
+    "redact_pii": lambda a: _redact_pii(_c(a[0])),
 }
+
+
+def _redact_pii(col: Column) -> Column:
+    from kafka_delta_ingest_spark.operators.pii import redact
+
+    return redact(col)
 
 
 def _c(v) -> Column:

@@ -167,3 +167,16 @@ def test_transforms_read_original_snapshot(spark):
     t = Transformer({"a": "b", "b": "a"})
     r = t.apply(df).collect()[0]
     assert (r.a, r.b) == ("2", "1")
+
+
+def test_redact_pii_transform_function(spark):
+    """`redact_pii(field)` is available in the transform expression
+    surface, scrubbing identifiers inside the message path."""
+    from kafka_delta_ingest_spark.transforms import Transformer
+
+    df = spark.createDataFrame(
+        [(1, "mail bob@corp.example.com or dial 415-555-0100")],
+        "id long, note string",
+    )
+    out = Transformer({"note": "redact_pii(note)"}).apply(df).collect()[0]
+    assert out.note == "mail <EMAIL> or dial <PHONE>"
