@@ -80,6 +80,85 @@ class CommitResult:
     skipped: bool = False
 
 
+def _bloom_canon(v) -> str:
+    """Canonical string form hashed into blooms — MUST be identical on
+    the build side (pandas values) and the probe side (python literals),
+    or every lookup degenerates to keep-the-file."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    try:  # numpy integer scalars stringify with their dtype otherwise
+        import numpy as _np
+
+        if isinstance(v, _np.integer):
+            return str(int(v))
+    except ImportError:
+        pass
+    return str(v)
+
+
+def _bloom_positions(value, m: int, k: int) -> list[int]:
+    import hashlib
+
+    canon = _bloom_canon(value)
+    return [
+        int.from_bytes(
+            hashlib.md5(f"{i}:{canon}".encode()).digest()[:8], "big"
+        )
+        % m
+        for i in range(k)
+    ]
+
+
+def _bloom_might_contain(bloom: dict, value) -> bool:
+    import base64
+
+    bits = base64.b64decode(bloom["b64"])
+    return all(
+        bits[p // 8] & (1 << (p % 8))
+        for p in _bloom_positions(value, bloom["m"], bloom["k"])
+    )
+
+
+def _bloom_pass(
+    spark: SparkSession, staging: str, cols: list[str], m: int, k: int
+) -> dict[str, dict]:
+    """Per-file bloom bitmaps for ``cols`` over every staged parquet
+    file, keyed by file basename (promotion preserves basenames).
+
+    Distributed: one grouped-map pass keyed by input file — the
+    rewritten data shuffles once by filename, each task folds its
+    file's distinct values into an ``m``-bit bitmap. Only the bitmaps
+    (one small row per file x column) ever reach the driver.
+    """
+    import base64
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(staging)
+        .select(F.input_file_name().alias("_f"), *cols)
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        fname = os.path.basename(pdf["_f"].iloc[0])
+        rows = []
+        for c in cols:
+            bits = bytearray(m // 8)
+            for v in pdf[c].dropna().unique():
+                for p in _bloom_positions(v, m, k):
+                    bits[p // 8] |= 1 << (p % 8)
+            rows.append((fname, c, base64.b64encode(bytes(bits)).decode()))
+        return pd.DataFrame(rows, columns=["file", "col", "b64"])
+
+    out = df.groupBy("_f").applyInPandas(build, "file string, col string, b64 string")
+    blooms: dict[str, dict] = {}
+    for r in out.collect():  # one row per (file, column) — driver-scalar
+        blooms.setdefault(r.file, {})[r.col] = {"m": m, "k": k, "b64": r.b64}
+    return blooms
+
+
 def zorder_value(df: DataFrame, cols: list[str]):
     """Morton (Z-order) key over numeric/timestamp/date columns.
 
@@ -428,6 +507,9 @@ class DeltaLikeTable:
         partition_by: list[str] | None = None,
         cluster_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
+        bloom_for: list[str] | None = None,
+        bloom_bits: int = 8192,
+        bloom_hashes: int = 6,
     ) -> CommitResult:
         """Bin-pack small files into ~``target_file_bytes`` files,
         optionally clustering rows by ``cluster_by`` while rewriting.
@@ -455,6 +537,16 @@ class DeltaLikeTable:
         output file gets a narrow min/max window on EVERY listed column
         at once — a lexicographic ``cluster_by`` bounds only the
         leading column, leaving predicates on the others unprunable.
+
+        ``bloom_for`` additionally records an ``m``-bit bloom bitmap per
+        rewritten file for each listed int/string column (Delta's bloom
+        filter index analog): ``files_for`` then prunes ``=`` lookups on
+        values a file provably does not contain, even when every file's
+        min/max window spans the whole domain (high-cardinality ids in
+        arrival order — the case clustering cannot fix without choosing
+        that column). Size ``bloom_bits`` at ~10 bits per expected
+        distinct value per file for ~1% false positives; a false
+        positive only costs an extra file scan, never correctness.
         """
         if cluster_by and zorder_by:
             raise ValueError("optimize: cluster_by and zorder_by are exclusive")
@@ -465,7 +557,7 @@ class DeltaLikeTable:
         live = self._live_files(snap)
         small = (
             list(live)
-            if cluster_by or zorder_by
+            if cluster_by or zorder_by or bloom_for
             else [f for f in live if f["size"] < target_file_bytes]
         )
         if len(small) < 2:
@@ -496,7 +588,23 @@ class DeltaLikeTable:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(staging)
+        if bloom_for:
+            types = dict(df.dtypes)
+            for c in bloom_for:
+                t = types.get(c)
+                if t not in ("tinyint", "smallint", "int", "bigint", "string"):
+                    raise ValueError(
+                        f"bloom_for: column {c!r} has type {t}; only "
+                        "int/string columns have a canonical hash form"
+                    )
+            blooms = _bloom_pass(spark, staging, bloom_for, bloom_bits, bloom_hashes)
+        else:
+            blooms = {}
         adds = self._promote_staging(staging, partition_by)
+        for a in adds:
+            b = blooms.get(os.path.basename(a["path"]))
+            if b:
+                a["bloom"] = b
         shutil.rmtree(staging, ignore_errors=True)
         removed = {f["path"] for f in small}
         actions = [
@@ -510,6 +618,7 @@ class DeltaLikeTable:
                         "numAdded": len(adds),
                         "clusterBy": cluster_by or [],
                         "zOrderBy": zorder_by or [],
+                        "bloomFor": bloom_for or [],
                     },
                 }
             }
@@ -939,8 +1048,16 @@ def _file_excluded(f: dict, predicates: list[tuple]) -> bool:
     maxs = stats.get("maxValues") or {}
     nulls = stats.get("nullCount") or {}
     nrec = stats.get("numRecords")
+    blooms = f.get("bloom") or {}
     for col, op, *rest in predicates:
         value = rest[0] if rest else None
+        if (
+            op == "="
+            and value is not None
+            and col in blooms
+            and not _bloom_might_contain(blooms[col], value)
+        ):
+            return True
         if op == "is_not_null":
             if col in pvals:
                 if pvals[col] is None:

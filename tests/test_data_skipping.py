@@ -189,3 +189,93 @@ def test_zorder_null_and_constant_columns(spark):
     )
     out = df.withColumn("z", zorder_value(df, ["a", "b"])).orderBy("z").collect()
     assert [r.a for r in out] == [None, 5, 9]
+
+
+def test_bloom_index_prunes_wide_minmax_windows(spark):
+    """High-cardinality ids in arrival order: every file's min/max
+    window spans the whole domain, so point lookups prune nothing by
+    stats — but the per-file bloom built by OPTIMIZE prunes to the one
+    file actually holding the value (plus rare false positives)."""
+    root = tempfile.mkdtemp(prefix="kdi-bloom-")
+    try:
+        t = DeltaLikeTable(root + "/t")
+        # Knuth-hash spread: each batch's ids scatter over [0, 99991).
+        batches = [
+            [(i * 4 + b) * 2654435761 % 99991 for i in range(200)]
+            for b in range(4)
+        ]
+        for ids in batches:
+            t.write_batch(
+                spark.createDataFrame([(i,) for i in ids], "id long").coalesce(1)
+            )
+        total = sum(f["size"] for f in t._live_files(t.snapshot()))
+        res = t.optimize(
+            spark, target_file_bytes=max(1, total // 4), bloom_for=["id"]
+        )
+        assert not res.skipped
+        all_files = t.files_for([])
+        assert len(all_files) >= 3
+        assert all("bloom" in f and "id" in f["bloom"] for f in all_files)
+
+        # every live id resolves to very few files...
+        probe_ids = [ids[0] for ids in batches]
+        for pid in probe_ids:
+            hit = t.files_for([("id", "=", pid)])
+            assert 1 <= len(hit) <= 2, (pid, len(hit), len(all_files))
+            # ...and the pruned read still finds the row
+            assert (
+                t.read(spark, predicates=[("id", "=", pid)])
+                .filter(f"id = {pid}")
+                .count()
+                == sum(ids.count(pid) for ids in batches)
+            )
+        # a value no file contains prunes to (almost) nothing
+        assert len(t.files_for([("id", "=", 99990)])) <= 1
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_bloom_rejects_uncanonical_types(spark):
+    root = tempfile.mkdtemp(prefix="kdi-bloomty-")
+    try:
+        t = DeltaLikeTable(root + "/t")
+        for _ in range(2):
+            t.write_batch(
+                spark.createDataFrame([(1.5,), (2.5,)], "v double").coalesce(1)
+            )
+        with pytest.raises(ValueError, match="canonical hash form"):
+            t.optimize(spark, target_file_bytes=1, bloom_for=["v"])
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_bloom_string_column_and_survives_checkpoint(spark):
+    """String blooms work, and bloom actions survive log checkpoints
+    (the consolidated state carries add actions wholesale)."""
+    from kafka_delta_ingest_spark.sinks.delta_like import CHECKPOINT_EVERY
+
+    root = tempfile.mkdtemp(prefix="kdi-blooms-")
+    try:
+        t = DeltaLikeTable(root + "/t")
+        keys = [f"user-{i * 7919 % 1000:03d}" for i in range(300)]
+        for b in range(3):
+            t.write_batch(
+                spark.createDataFrame(
+                    [(k,) for k in keys[b::3]], "k string"
+                ).coalesce(1)
+            )
+        total = sum(f["size"] for f in t._live_files(t.snapshot()))
+        t.optimize(spark, target_file_bytes=max(1, total // 4), bloom_for=["k"])
+        # force a checkpoint by committing empty-ish appends up to the boundary
+        while t.latest_version() % CHECKPOINT_EVERY != 0:
+            t.write_batch(
+                spark.createDataFrame([("zzz-none",)], "k string").coalesce(1)
+            )
+        n_all = len(t.files_for([]))
+        hit = t.files_for([("k", "=", keys[0])])
+        assert len(hit) < n_all
+        assert t.read(spark, predicates=[("k", "=", keys[0])]).filter(
+            f"k = '{keys[0]}'"
+        ).count() == keys.count(keys[0])
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
