@@ -173,3 +173,44 @@ def test_enrich_stream_static_broadcast_dim(spark):
         assert got == {1: "gold", 2: "basic", 3: None}
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_decontaminate_stream_per_microbatch(spark):
+    """Decontamination in a STREAMING pipeline: Spark disallows an
+    anti-join whose flag set derives from the stream itself, so the
+    operator runs inside foreachBatch — each micro-batch is scrubbed
+    against the static benchmark with the exact batch operator before
+    it is committed (the same pattern the CDC-apply sink uses)."""
+    from kafka_delta_ingest_spark.operators.decontam import decontaminate
+
+    d = tempfile.mkdtemp(prefix="kdi-deconstream-")
+    try:
+        src, ckpt = d + "/src", d + "/ckpt"
+        docs = [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "totally clean document about watermark state eviction policies"),
+        ]
+        spark.createDataFrame(docs, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(src)
+        bench = spark.createDataFrame(
+            [(100, docs[0][1])], "bench_id long, text string"
+        )
+        survivors = []
+
+        def sink(bdf, _bid):
+            survivors.extend(decontaminate(bdf, bench, n=8).collect())
+
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert {r.doc_id for r in survivors} == {2, 3}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
