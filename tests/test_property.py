@@ -151,3 +151,33 @@ def test_repetition_profile_matches_python(spark, texts):
     }
     for i, s in enumerate(texts):
         assert got[i] == py_profile(s), repr(s)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=80),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(2, 9),
+)
+def test_word_shingles_match_python_reference(spark, texts, k):
+    """The chained-zip_with shingle construction equals the obvious
+    Python sliding-window-over-normalized-words reference, including
+    the shorter-than-k single-gram branch and distinctness."""
+    from kafka_delta_ingest_spark.operators.dedup import word_shingles
+
+    def py_shingles(s: str, kk: int) -> set[str]:
+        words = re.sub(r"\s+", " ", s.lower()).strip().split(" ")
+        if len(words) < kk:
+            return {" ".join(words)}
+        return {" ".join(words[i : i + kk]) for i in range(len(words) - kk + 1)}
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(texts)], "i int, s string")
+    got = {
+        r["i"]: set(r["g"])
+        for r in df.select("i", word_shingles(F.col("s"), k).alias("g")).collect()
+    }
+    for i, s in enumerate(texts):
+        assert got[i] == py_shingles(s, k), (k, repr(s))
