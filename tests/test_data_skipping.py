@@ -279,3 +279,45 @@ def test_bloom_string_column_and_survives_checkpoint(spark):
         ).count() == keys.count(keys[0])
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_zorder_and_bloom_compose(spark):
+    """One OPTIMIZE can lay out rows by z-order AND build a bloom on a
+    third, unclustered column: range predicates prune via the z-layout
+    windows while point lookups on the bloomed key prune via bitmaps."""
+    root = tempfile.mkdtemp(prefix="kdi-zb-")
+    try:
+        t = DeltaLikeTable(root + "/t")
+        rows = [
+            (x, y, (x * 31 + y) * 2654435761 % 99991)
+            for x in range(20)
+            for y in range(20)
+        ]
+        for b in range(4):
+            t.write_batch(
+                spark.createDataFrame(
+                    rows[b::4], "x long, y long, key long"
+                ).coalesce(1)
+            )
+        total = sum(f["size"] for f in t._live_files(t.snapshot()))
+        res = t.optimize(
+            spark,
+            target_file_bytes=max(1, total // 8),
+            zorder_by=["x", "y"],
+            bloom_for=["key"],
+        )
+        assert not res.skipped
+        n_all = len(t.files_for([]))
+        assert n_all >= 4
+        assert len(t.files_for([("y", "=", 3)])) < n_all
+        probe = rows[7][2]
+        hit = t.files_for([("key", "=", probe)])
+        assert len(hit) < n_all
+        assert (
+            t.read(spark, predicates=[("key", "=", probe)])
+            .filter(f"key = {probe}")
+            .count()
+            == sum(1 for r in rows if r[2] == probe)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
