@@ -2616,6 +2616,53 @@ def pii_scrub(spark, sf_dir):
     return pii.pii_report(planted)
 
 
+_BOILERPLATE = " ".join(f"clause{i}" for i in range(60))
+
+
+@_q(
+    "text_shared_passages",
+    rf"""
+    WITH planted AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 9 = 0 THEN text || ' {_BOILERPLATE}'
+             ELSE text END AS text
+      FROM documents
+    ), d AS (
+      SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      FROM planted
+    ), g0 AS (
+      SELECT doc_id,
+        CASE WHEN len(w) < 50 THEN [array_to_string(w, ' ')]
+             ELSE list_distinct([array_to_string(w[i:i+49], ' ')
+                                 for i in generate_series(1, len(w)-49)])
+        END AS grams
+      FROM d
+    ), g AS (
+      SELECT doc_id, md5(unnest(grams)) AS passage FROM g0
+    )
+    SELECT passage, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc,
+           MAX(doc_id) AS max_doc
+    FROM g GROUP BY passage HAVING COUNT(*) >= 2
+    """,
+)
+def text_shared_passages(spark, sf_dir):
+    """Boilerplate/shared-passage census: every 50-word window repeated
+    across >= 2 documents (Lee et al. 2022's exact-substring dedup
+    signal). A 60-word license-like passage is planted on every 9th
+    document, so its 11 in-passage windows must surface with exactly
+    the planted carrier set; windows are md5-keyed before the shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    planted = d.withColumn(
+        "text",
+        F.when(
+            doc % 9 == 0, F.concat(F.col("text"), F.lit(" " + _BOILERPLATE))
+        ).otherwise(F.col("text")),
+    )
+    return textops.shared_passages(planted, window=50, min_docs=2)
+
+
 @_q("sim_recall_lsh_vs_exact")  # LSH side has no SQL twin — rows-only
 def sim_recall_lsh_vs_exact(spark, sf_dir):
     """Recall@10 of the LSH ANN path measured against the exact
@@ -3292,7 +3339,7 @@ def q22_idle_customers(spark, sf_dir):
 # The tail keeps the remaining TPC-H/window/agg/set/scan/events queries,
 # also cheapest-first. tools/check_oracle.py verifies all 86 regardless.
 _SWEEP_ORDER: list[str] = [
-    # --- family-coverage block (53) ---
+    # --- family-coverage block (54) ---
     "transform_substr",
     "coerce_tostring",
     "split_train_holdout",
@@ -3322,6 +3369,7 @@ _SWEEP_ORDER: list[str] = [
     "events_asof_join",
     "embedding_neardup_exact",
     "text_top_ngrams",
+    "text_shared_passages",
     "decontam_overlap_report",
     "q1_pricing_summary",
     "q3_shipping_priority",

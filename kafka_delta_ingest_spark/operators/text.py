@@ -267,3 +267,41 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         lang_id(c).alias("lang_pred"),
         fingerprint_md5(c).alias("fingerprint"),
     )
+
+
+def shared_passages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 50,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Repeated ``window``-word passages across documents — the
+    exact-substring signal behind boilerplate/license/quote detection
+    in training-data curation (Lee et al. 2022 deduplicate long
+    repeated substrings; a ~50-token window is their operating point).
+
+    Per passage found in >= ``min_docs`` documents: its md5, the doc
+    count, and the min/max carrier ids. Scale shape: windows are
+    md5-keyed BEFORE the aggregation, so the shuffle moves 32-char
+    digests rather than ~350-char passages, and the per-doc distinct
+    window sets (``word_shingles``) mean a plain count(*) equals the
+    document frequency — no count_distinct expand pass.
+    """
+    from kafka_delta_ingest_spark.operators.dedup import word_shingles
+    from kafka_delta_ingest_spark.operators.util import spread
+
+    grams = spread(df).select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), window)).alias("_w"),
+    )
+    keyed = grams.select(id_col, F.md5("_w").alias("passage"))
+    return (
+        keyed.groupBy("passage")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("min_doc"),
+            F.max(id_col).alias("max_doc"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

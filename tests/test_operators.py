@@ -793,3 +793,29 @@ def test_incremental_dedup_empty_existing(spark):
     )
     admitted = incremental_ngram_dedup(empty, incoming, "doc_id", "text")
     assert {r.doc_id for r in admitted.collect()} == {1, 3}
+
+
+def test_shared_passages_finds_planted_boilerplate(spark):
+    from kafka_delta_ingest_spark.operators.text import shared_passages
+
+    boiler = " ".join(f"term{i}" for i in range(60))
+    filler = [
+        " ".join(f"w{d}x{i}" for i in range(80))  # unique 80-word bodies
+        for d in range(4)
+    ]
+    rows = [
+        (0, filler[0] + " " + boiler),
+        (1, filler[1] + " " + boiler),
+        (2, filler[2] + " " + boiler),
+        (3, filler[3]),  # no boilerplate
+    ]
+    out = shared_passages(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        window=50,
+        min_docs=2,
+    ).collect()
+    # exactly the 11 in-boilerplate windows repeat (60 - 50 + 1), each
+    # carried by docs {0,1,2}; windows touching the unique bodies don't.
+    assert len(out) == 11
+    for r in out:
+        assert r.n_docs == 3 and r.min_doc == 0 and r.max_doc == 2
