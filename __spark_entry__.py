@@ -969,6 +969,80 @@ _QUALITY_SQL = r"""
     )"""
 
 
+# Deterministic PII planting (text + synthesized email/phone/IPv4/SSN on
+# modular doc_id subsets) — shared by pii_scrub and the curation
+# pipeline so the Spark twins and SQL oracles can't drift apart.
+_PII_PLANT_SQL = r"""
+        text
+        || CASE WHEN doc_id % 7 = 0
+                THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                ELSE '' END
+        || CASE WHEN doc_id % 11 = 0
+                THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END
+        || CASE WHEN doc_id % 13 = 0
+                THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                     || '.' || CAST(doc_id * 7 % 256 AS VARCHAR)
+                ELSE '' END
+        || CASE WHEN doc_id % 17 = 0
+                THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END
+"""
+
+# The 4-family redaction chain over a column named ``text`` (mirror of
+# operators/pii.py PII_PATTERNS order).
+_PII_REDACT_SQL = r"""
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+          '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'),
+        '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IPV4>', 'g')
+"""
+
+
+def _plant_pii(d: DataFrame) -> DataFrame:
+    """Spark twin of _PII_PLANT_SQL (same modular subsets, same text)."""
+    doc = F.col("doc_id")
+    t = F.col("text")
+    return (
+        d.withColumn(
+            "text",
+            F.when(
+                doc % 7 == 0,
+                F.concat(t, F.lit(" contact user"), doc.cast("string"),
+                         F.lit("@example.com")),
+            ).otherwise(t),
+        )
+        .withColumn(
+            "text",
+            F.when(
+                doc % 11 == 0,
+                F.concat(t, F.lit(" call 415-555-"),
+                         F.lpad((doc % 10000).cast("string"), 4, "0")),
+            ).otherwise(t),
+        )
+        .withColumn(
+            "text",
+            F.when(
+                doc % 13 == 0,
+                F.concat(t, F.lit(" from 10.0."), (doc % 256).cast("string"),
+                         F.lit("."), ((doc * 7) % 256).cast("string")),
+            ).otherwise(t),
+        )
+        .withColumn(
+            "text",
+            F.when(
+                doc % 17 == 0,
+                F.concat(t, F.lit(" ssn 123-45-"),
+                         F.lpad((doc % 10000).cast("string"), 4, "0")),
+            ).otherwise(t),
+        )
+    )
+
+
 @_q(
     "dedup_incremental_admit",
     r"""
@@ -1196,6 +1270,116 @@ def pipeline_corpus_curation(spark, sf_dir):
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tok").alias("total_tokens"),
+        )
+    )
+
+
+_PRETRAIN_SQL = (
+    "WITH planted AS (SELECT doc_id, lang, source, "
+    + _PII_PLANT_SQL
+    + " AS text FROM documents),\n red AS (SELECT doc_id, lang, source, "
+    + _PII_REDACT_SQL
+    + " AS text FROM planted),\n"
+    + _QUALITY_SQL.replace("FROM documents", "FROM red")
+    + ",\n"
+    + r"""
+    filtered AS (
+      SELECT doc_id, lang, text, n_tok, quality FROM qual WHERE quality >= 0.5
+    ), fw AS (
+      SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      FROM filtered
+    ), fg0 AS (
+      SELECT doc_id,
+        CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+             ELSE list_distinct([array_to_string(w[i:i+7], ' ')
+                                 for i in generate_series(1, len(w)-7)])
+        END AS grams
+      FROM fw
+    ), fg AS (
+      SELECT doc_id, unnest(grams) AS gram FROM fg0
+    ), bw AS (
+      SELECT doc_id AS bench_id, w[1:30] AS w
+      FROM (SELECT doc_id,
+              string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+            FROM documents)
+      WHERE doc_id % 97 = 0
+    ), bg0 AS (
+      SELECT bench_id,
+        CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+             ELSE list_distinct([array_to_string(w[i:i+7], ' ')
+                                 for i in generate_series(1, len(w)-7)])
+        END AS grams
+      FROM bw
+    ), bg AS (
+      SELECT bench_id, unnest(grams) AS gram FROM bg0
+    ), contaminated AS (
+      SELECT DISTINCT f.doc_id FROM fg f JOIN bg USING (gram)
+    ), cleaned AS (
+      SELECT * FROM filtered
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ), deduped AS (
+      SELECT * FROM cleaned
+      QUALIFY row_number() OVER (
+        PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        ORDER BY doc_id) = 1
+    )
+    SELECT
+      CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                % 100 < 90 THEN 'train' ELSE 'holdout' END AS split,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+      round(CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_quality
+    FROM deduped GROUP BY split
+    """
+)
+
+
+@_q("pipeline_pretrain_curation", _PRETRAIN_SQL)
+def pipeline_pretrain_curation(spark, sf_dir):
+    """The full pretraining-data funnel as ONE declarative plan:
+    plant PII → redact it in-flight → quality-filter the redacted text
+    → drop documents contaminated against the benchmark excerpt set
+    (broadcast gram join) → exact-dedup the survivors → deterministic
+    train/holdout split → corpus accounting (docs, tokens, exact
+    decimal-mean quality). Every stage is the registered operator the
+    sweep verifies individually; this query proves they compose into
+    one Catalyst plan whose only shuffles are the dedup groupBy, the
+    contamination hit aggregation, and the final rollup."""
+    from kafka_delta_ingest_spark.operators import decontam, pii
+    from kafka_delta_ingest_spark.operators.sampling import deterministic_split
+
+    d = load_table(spark, sf_dir, "documents")
+    red = _plant_pii(d.select("doc_id", "lang", "source", "text")).withColumn(
+        "text", pii.redact(F.col("text"))
+    )
+    q = red.select(
+        "doc_id",
+        "lang",
+        "text",
+        textops.token_count(F.col("text")).alias("n_tok"),
+        textops.quality_score(F.col("text")).alias("quality"),
+    ).where(F.col("quality") >= 0.5)
+    bench = d.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.concat_ws(
+            " ",
+            F.slice(F.split(textops.normalize_text(F.col("text")), " "), 1, 30),
+        ).alias("text"),
+    )
+    cleaned = decontam.decontaminate(q, bench, n=8)
+    deduped = dedup.exact_dedup_normalized(cleaned, "text", "doc_id")
+    return (
+        deterministic_split(deduped, "doc_id", train_pct=90)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(
+                F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_quality"),
         )
     )
 
@@ -2528,26 +2712,10 @@ def decontam_overlap_report(spark, sf_dir):
 
 @_q(
     "pii_scrub",
-    r"""
-    WITH planted AS (
-      SELECT doc_id,
-        text
-        || CASE WHEN doc_id % 7 = 0
-                THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
-                ELSE '' END
-        || CASE WHEN doc_id % 11 = 0
-                THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-                ELSE '' END
-        || CASE WHEN doc_id % 13 = 0
-                THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
-                     || '.' || CAST(doc_id * 7 % 256 AS VARCHAR)
-                ELSE '' END
-        || CASE WHEN doc_id % 17 = 0
-                THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-                ELSE '' END
-        AS text
-      FROM documents
-    )
+    "WITH planted AS (SELECT doc_id, "
+    + _PII_PLANT_SQL
+    + " AS text FROM documents)\n"
+    + r"""
     SELECT doc_id,
       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
       CAST(len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS INT) AS n_ssn,
@@ -2557,16 +2725,9 @@ def decontam_overlap_report(spark, sf_dir):
          + len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'))
          + len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b'))
          + len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS INT) AS pii_total,
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(text,
-              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-            '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
-          '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'),
-        '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IPV4>', 'g') AS redacted
-    FROM planted
-    """,
+    """
+    + _PII_REDACT_SQL
+    + " AS redacted FROM planted",
 )
 def pii_scrub(spark, sf_dir):
     """PII detection + redaction as a single codegen projection: plant
@@ -2577,43 +2738,7 @@ def pii_scrub(spark, sf_dir):
     from kafka_delta_ingest_spark.operators import pii
 
     d = load_table(spark, sf_dir, "documents")
-    doc = F.col("doc_id")
-    t = F.col("text")
-    planted = (
-        d.withColumn(
-            "text",
-            F.when(
-                doc % 7 == 0,
-                F.concat(t, F.lit(" contact user"), doc.cast("string"),
-                         F.lit("@example.com")),
-            ).otherwise(t),
-        )
-        .withColumn(
-            "text",
-            F.when(
-                doc % 11 == 0,
-                F.concat(t, F.lit(" call 415-555-"),
-                         F.lpad((doc % 10000).cast("string"), 4, "0")),
-            ).otherwise(t),
-        )
-        .withColumn(
-            "text",
-            F.when(
-                doc % 13 == 0,
-                F.concat(t, F.lit(" from 10.0."), (doc % 256).cast("string"),
-                         F.lit("."), ((doc * 7) % 256).cast("string")),
-            ).otherwise(t),
-        )
-        .withColumn(
-            "text",
-            F.when(
-                doc % 17 == 0,
-                F.concat(t, F.lit(" ssn 123-45-"),
-                         F.lpad((doc % 10000).cast("string"), 4, "0")),
-            ).otherwise(t),
-        )
-    )
-    return pii.pii_report(planted)
+    return pii.pii_report(_plant_pii(d))
 
 
 _BOILERPLATE = " ".join(f"clause{i}" for i in range(60))
@@ -3339,7 +3464,7 @@ def q22_idle_customers(spark, sf_dir):
 # The tail keeps the remaining TPC-H/window/agg/set/scan/events queries,
 # also cheapest-first. tools/check_oracle.py verifies all 86 regardless.
 _SWEEP_ORDER: list[str] = [
-    # --- family-coverage block (54) ---
+    # --- family-coverage block (55) ---
     "transform_substr",
     "coerce_tostring",
     "split_train_holdout",
@@ -3380,6 +3505,7 @@ _SWEEP_ORDER: list[str] = [
     "stream_offset_dedup",
     "sim_ivf_topk",
     "pipeline_corpus_curation",
+    "pipeline_pretrain_curation",
     "text_profile",
     "ingest_message_path",
     "text_tfidf_top_terms",
