@@ -1288,7 +1288,7 @@ _PRETRAIN_SQL = (
     ), fw AS (
       SELECT doc_id,
         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
-      FROM filtered
+      FROM planted
     ), fg0 AS (
       SELECT doc_id,
         CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
@@ -1340,19 +1340,20 @@ def pipeline_pretrain_curation(spark, sf_dir):
     """The full pretraining-data funnel as ONE declarative plan:
     plant PII → redact it in-flight → quality-filter the redacted text
     → drop documents contaminated against the benchmark excerpt set
-    (broadcast gram join) → exact-dedup the survivors → deterministic
-    train/holdout split → corpus accounting (docs, tokens, exact
-    decimal-mean quality). Every stage is the registered operator the
-    sweep verifies individually; this query proves they compose into
-    one Catalyst plan whose only shuffles are the dedup groupBy, the
-    contamination hit aggregation, and the final rollup."""
+    (flags computed on the pre-redaction text via the broadcast gram
+    join, so the flag side never re-executes the redaction/scoring
+    lineage) → exact-dedup the survivors (single-pass window) →
+    deterministic train/holdout split → corpus accounting (docs,
+    tokens, exact decimal-mean quality). Every stage is the registered
+    operator the sweep verifies individually; this query proves they
+    compose into one Catalyst plan whose only shuffles are the dedup
+    window, the contamination hit dedup, and the final rollup."""
     from kafka_delta_ingest_spark.operators import decontam, pii
     from kafka_delta_ingest_spark.operators.sampling import deterministic_split
 
     d = load_table(spark, sf_dir, "documents")
-    red = _plant_pii(d.select("doc_id", "lang", "source", "text")).withColumn(
-        "text", pii.redact(F.col("text"))
-    )
+    planted = _plant_pii(d.select("doc_id", "lang", "source", "text"))
+    red = planted.withColumn("text", pii.redact(F.col("text")))
     q = red.select(
         "doc_id",
         "lang",
@@ -1367,7 +1368,9 @@ def pipeline_pretrain_curation(spark, sf_dir):
             F.slice(F.split(textops.normalize_text(F.col("text")), " "), 1, 30),
         ).alias("text"),
     )
-    cleaned = decontam.decontaminate(q, bench, n=8)
+    cleaned = decontam.decontaminate(
+        q, bench, n=8, flag_corpus=planted.select("doc_id", "text")
+    )
     deduped = dedup.exact_dedup_normalized(cleaned, "text", "doc_id")
     return (
         deterministic_split(deduped, "doc_id", train_pct=90)
@@ -3462,7 +3465,7 @@ def q22_idle_customers(spark, sf_dir):
 #     sf0.01, warm session) so a time-budgeted sweep completes the
 #     maximum number of rows before any cutoff.
 # The tail keeps the remaining TPC-H/window/agg/set/scan/events queries,
-# also cheapest-first. tools/check_oracle.py verifies all 86 regardless.
+# also cheapest-first. tools/check_oracle.py verifies all 91 regardless.
 _SWEEP_ORDER: list[str] = [
     # --- family-coverage block (55) ---
     "transform_substr",

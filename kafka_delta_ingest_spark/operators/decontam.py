@@ -92,16 +92,39 @@ def decontaminate(
     bench_text_col: str = "text",
     n: int = 8,
     max_hit_grams: int = 0,
+    flag_corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Drop corpus documents whose benchmark n-gram overlap exceeds
     ``max_hit_grams`` (default 0: any shared n-gram disqualifies).
 
+    ``flag_corpus`` optionally supplies a DIFFERENT frame to compute
+    the flags from (matched back to ``corpus`` by ``id_col``) — e.g.
+    the pre-redaction text in a curation pipeline, so the flag side
+    doesn't re-execute the redaction/scoring lineage and contamination
+    is judged on the source document as published.
+
     Implemented as a broadcast left-anti join against the flagged id
-    set, so the surviving corpus never shuffles.
+    set, so the surviving corpus never shuffles. The flag side skips
+    ``contamination_report``'s per-doc stats (gram totals, bench-doc
+    counts): a drop decision only needs "shares more than
+    ``max_hit_grams`` grams", so the flag pipeline is one explode, one
+    broadcast join, and one count-style aggregation over hit rows only.
     """
-    flagged = contamination_report(
-        corpus, benchmark, id_col, text_col, bench_id_col, bench_text_col, n
-    ).filter(F.col("n_hit_grams") > max_hit_grams)
-    return corpus.join(
-        F.broadcast(flagged.select(id_col)), on=id_col, how="left_anti"
+    flag_src = corpus if flag_corpus is None else flag_corpus
+    corpus_grams = _grams(spread(flag_src), id_col, text_col, n).select(id_col, "gram")
+    bench_grams = (
+        _grams(benchmark, bench_id_col, bench_text_col, n)
+        .select("gram")
+        .dropDuplicates(["gram"])
     )
+    hits = corpus_grams.join(F.broadcast(bench_grams), on="gram")
+    if max_hit_grams > 0:
+        flagged = (
+            hits.groupBy(id_col)
+            .agg(F.count("*").alias("_n_hits"))
+            .filter(F.col("_n_hits") > max_hit_grams)
+            .select(id_col)
+        )
+    else:
+        flagged = hits.select(id_col).dropDuplicates([id_col])
+    return corpus.join(F.broadcast(flagged), on=id_col, how="left_anti")

@@ -52,10 +52,23 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
 
 
 def exact_dedup_normalized(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Exact dedup on normalized text (case/whitespace-insensitive)."""
-    keyed = df.withColumn("_norm_key", F.md5(normalize_text(F.col(text_col))))
-    keep = keyed.groupBy("_norm_key").agg(F.min(id_col).alias(id_col))
-    return df.join(keep, on=id_col, how="inner")
+    """Exact dedup on normalized text (case/whitespace-insensitive).
+
+    Single-pass: row_number over the 16-byte md5 key keeps the min-id
+    row per group. The window evaluates the input ONCE — the earlier
+    groupBy-then-join-back shape re-executed the whole upstream plan
+    for both sides, which doubles (and composed pipelines multiply)
+    the cost of expensive lineages. Duplicate-text groups are tiny, so
+    the per-key window sort is bounded; the shuffle volume equals the
+    groupBy formulation's.
+    """
+    w = Window.partitionBy("_norm_key").orderBy(F.col(id_col))
+    return (
+        df.withColumn("_norm_key", F.md5(normalize_text(F.col(text_col))))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_norm_key", "_rn")
+    )
 
 
 # ---------------------------------------------------------------------------
