@@ -63,6 +63,11 @@ HEADLINE = [
     "win_moving_avg_range",
     "agg_approx_distinct",
     "dedup_clusters_cc",
+    "pii_scrub",
+    "decontam_overlap_report",
+    "dedup_incremental_admit",
+    "text_shared_passages",
+    "pipeline_pretrain_curation",
 ]
 
 
