@@ -1537,6 +1537,64 @@ def sim_ivf_topk(spark, sf_dir):
 
 
 @_q(
+    "sim_pq_topk",
+    """
+    WITH e AS (
+      SELECT vec_id,
+        list_transform(CAST(embedding AS DOUBLE[]),
+          x -> x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), y -> y*y)))) AS v
+      FROM embeddings
+    ), piv AS (
+      SELECT vec_id AS cent_id, v FROM e WHERE vec_id % 10 = 0
+    ), js AS (
+      SELECT unnest(generate_series(0, 7)) AS j
+    ), csub AS (
+      SELECT e.vec_id AS neighbor_id, j, v[j*8+1 : j*8+8] AS sv FROM e CROSS JOIN js
+    ), psub AS (
+      SELECT cent_id, j, v[j*8+1 : j*8+8] AS cv FROM piv CROSS JOIN js
+    ), codes AS (
+      SELECT neighbor_id, j, cent_id AS code FROM (
+        SELECT c.neighbor_id, c.j, p.cent_id,
+          row_number() OVER (PARTITION BY c.neighbor_id, c.j ORDER BY
+            list_sum(list_transform(list_zip(c.sv, p.cv),
+                                    t -> (t[1]-t[2])*(t[1]-t[2]))) ASC,
+            p.cent_id ASC) AS r
+        FROM csub c JOIN psub p USING (j)
+      ) WHERE r = 1
+    ), qsub AS (
+      SELECT vec_id AS query_id, j, v[j*8+1 : j*8+8] AS sv
+      FROM e CROSS JOIN js WHERE vec_id % 100 = 0
+    ), qd AS (
+      SELECT query_id, q.j, p.cent_id,
+        list_sum(list_transform(list_zip(q.sv, p.cv),
+                                t -> (t[1]-t[2])*(t[1]-t[2]))) AS d
+      FROM qsub q JOIN psub p USING (j)
+    ), scored AS (
+      SELECT qd.query_id, codes.neighbor_id,
+        CAST(SUM(CAST(d AS DECIMAL(26,12))) AS DOUBLE) AS approx_d
+      FROM codes JOIN qd ON codes.j = qd.j AND codes.code = qd.cent_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, round(approx_d, 6) AS approx_d,
+      CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY approx_d ASC, neighbor_id) AS INT) AS rank
+    FROM scored QUALIFY rank <= 10
+    """,
+)
+def sim_pq_topk(spark, sf_dir):
+    """Product-quantization ANN: 8 subspace codebooks (deterministic
+    pivots), corpus stored as 8 codes per vector (32x compression),
+    query distances via broadcast ADC tables with exact decimal
+    accumulation — the memory-bound trillion-vector index layout,
+    replicated subspace-for-subspace by the DuckDB oracle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return similarity.pq_topk(
+        e, q, k=10, dim=64, m=8, centroid_mod=10, query_id="vec_id"
+    )
+
+
+@_q(
     "sim_lsh_topk",
     """
     WITH e AS (
@@ -3467,7 +3525,7 @@ def q22_idle_customers(spark, sf_dir):
 # The tail keeps the remaining TPC-H/window/agg/set/scan/events queries,
 # also cheapest-first. tools/check_oracle.py verifies all 91 regardless.
 _SWEEP_ORDER: list[str] = [
-    # --- family-coverage block (55) ---
+    # --- family-coverage block (56) ---
     "transform_substr",
     "coerce_tostring",
     "split_train_holdout",
@@ -3507,6 +3565,7 @@ _SWEEP_ORDER: list[str] = [
     "ingest_avro_path",
     "stream_offset_dedup",
     "sim_ivf_topk",
+    "sim_pq_topk",
     "pipeline_corpus_curation",
     "pipeline_pretrain_curation",
     "text_profile",

@@ -398,3 +398,122 @@ def embedding_neardup_pairs(
         cand.select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    m: int = 8,
+    centroid_mod: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance (ADC).
+
+    Vectors split into ``m`` subvectors; each subspace gets a codebook
+    (deterministic pivots ``id % centroid_mod == 0``, like ``ivf_topk``
+    — plug k-means codebooks into the same plan on a real deployment).
+    A corpus vector is stored as ``m`` small codes — dim floats
+    collapse to m bytes, the 32x storage compression that lets a
+    trillion-vector index live in memory — and query-to-corpus distance
+    is approximated by summing the query's precomputed distance to each
+    coded centroid (Jegou et al., PQ for nearest neighbor search).
+
+    Scale shape: codebooks and the per-query distance tables are
+    BROADCAST (|pivots| x m rows); encoding scores the corpus against
+    broadcast pivots with no corpus shuffle; the ADC pass joins the
+    compact code table to the distance tables and aggregates m partial
+    distances per (query, neighbor) with exact decimal accumulation so
+    the result is order-independent (and DuckDB-replicable).
+    """
+    assert dim % m == 0
+    sub_dim = dim // m
+
+    def unit(col: Column) -> Column:
+        n = l2_norm(col)
+        return F.transform(col, lambda x: x / n)
+
+    from kafka_delta_ingest_spark.operators.util import spread
+
+    js = F.sequence(F.lit(0), F.lit(m - 1))
+
+    def subspaces(vcol: Column) -> Column:
+        return F.explode(
+            F.transform(
+                js,
+                lambda j: F.struct(
+                    j.cast("int").alias("j"),
+                    F.slice(vcol, j * sub_dim + 1, sub_dim).alias("sv"),
+                ),
+            )
+        )
+
+    def l2sq(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    corpus_sub = (
+        spread(corpus)
+        .select(
+            F.col(corpus_id).alias("neighbor_id"),
+            subspaces(unit(_as_double(F.col(corpus_vec)))).alias("s"),
+        )
+        .select("neighbor_id", "s.j", "s.sv")
+    )
+    piv_sub = (
+        corpus.filter(F.col(corpus_id) % centroid_mod == 0)
+        .select(
+            F.col(corpus_id).alias("cent_id"),
+            subspaces(unit(_as_double(F.col(corpus_vec)))).alias("s"),
+        )
+        .select("cent_id", "s.j", F.col("s.sv").alias("cv"))
+    )
+    aw = Window.partitionBy("neighbor_id", "j").orderBy(
+        F.col("_d").asc(), F.col("cent_id").asc()
+    )
+    codes = (
+        corpus_sub.join(broadcast(piv_sub), on="j")
+        .withColumn("_d", l2sq(F.col("sv"), F.col("cv")))
+        .withColumn("_r", F.row_number().over(aw))
+        .filter(F.col("_r") == 1)
+        .select("neighbor_id", "j", F.col("cent_id").alias("code"))
+    )
+    q_sub = (
+        queries.select(
+            F.col(query_id).alias("query_id"),
+            subspaces(unit(_as_double(F.col(query_vec)))).alias("s"),
+        )
+        .select("query_id", "s.j", F.col("s.sv").alias("qv"))
+    )
+    qd = q_sub.join(broadcast(piv_sub), on="j").select(
+        "query_id", "j", "cent_id", l2sq(F.col("qv"), F.col("cv")).alias("d")
+    )
+    scored = (
+        codes.join(
+            broadcast(qd),
+            on=[codes.j == qd.j, codes.code == qd.cent_id],
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum(F.col("d").cast("decimal(26,12)"))
+            .cast("double")
+            .alias("approx_d")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("approx_d", 6).alias("approx_d"), "rank"
+        )
+    )

@@ -819,3 +819,35 @@ def test_shared_passages_finds_planted_boilerplate(spark):
     assert len(out) == 11
     for r in out:
         assert r.n_docs == 3 and r.min_doc == 0 and r.max_doc == 2
+
+
+def test_pq_exact_when_corpus_is_its_own_codebook(spark):
+    """When every corpus vector IS a pivot, each vector's codes are its
+    own subvectors, so the ADC distance is the true L2^2 — PQ becomes
+    exact: top-1 for each query must be itself at distance 0."""
+    import random
+
+    from kafka_delta_ingest_spark.operators.similarity import pq_topk
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(10)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = pq_topk(
+        corpus,
+        corpus.selectExpr("vec_id AS query_id", "embedding"),
+        k=3,
+        dim=16,
+        m=4,
+        centroid_mod=1,  # every corpus vector is a pivot
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(10))
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == [1, 2, 3]
+        assert rs[0].neighbor_id == qid and rs[0].approx_d == 0.0
+        assert all(r.approx_d >= 0 for r in rs)
