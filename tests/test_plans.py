@@ -129,12 +129,13 @@ def test_q19_disjunction_prunes_both_scans(spark):
 
 def test_curation_pipeline_two_shuffles(spark):
     """The whole curation funnel (filter → dedup → mix → split → agg)
-    must stay at two hash shuffles: the dedup's 16-byte-key groupBy and
-    the final aggregation; the keep-set joins back as a broadcast."""
+    must stay at two hash shuffles: the dedup's 16-byte-key window and
+    the final aggregation. The single-pass window dedup needs no
+    join-back at all — the plan must be join-free."""
     p = plan(E.queries()["pipeline_corpus_curation"](spark, SF), mode="simple")
     assert p.count("Exchange hashpartitioning") <= 2
-    assert "BroadcastHashJoin" in p
-    assert "SortMergeJoin" not in p
+    assert "Window" in p
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
 
 
 def test_bm25_filters_before_shuffle(spark):
