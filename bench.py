@@ -63,6 +63,7 @@ HEADLINE = [
     "win_moving_avg_range",
     "agg_approx_distinct",
     "dedup_clusters_cc",
+    "sim_pq_topk",
     "pii_scrub",
     "decontam_overlap_report",
     "dedup_incremental_admit",

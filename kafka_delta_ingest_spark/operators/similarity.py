@@ -475,15 +475,20 @@ def pq_topk(
         )
         .select("cent_id", "s.j", F.col("s.sv").alias("cv"))
     )
-    aw = Window.partitionBy("neighbor_id", "j").orderBy(
-        F.col("_d").asc(), F.col("cent_id").asc()
-    )
+    # argmin per (vector, subspace) as min_by over a (distance, id)
+    # struct: a hash aggregation with map-side partial combine — no
+    # per-group sort, unlike the row_number-window formulation. The
+    # struct's lexicographic order makes ties break toward the lowest
+    # centroid id, matching the oracle's ORDER BY d, cent_id.
     codes = (
         corpus_sub.join(broadcast(piv_sub), on="j")
         .withColumn("_d", l2sq(F.col("sv"), F.col("cv")))
-        .withColumn("_r", F.row_number().over(aw))
-        .filter(F.col("_r") == 1)
-        .select("neighbor_id", "j", F.col("cent_id").alias("code"))
+        .groupBy("neighbor_id", "j")
+        .agg(
+            F.min_by(
+                F.col("cent_id"), F.struct(F.col("_d"), F.col("cent_id"))
+            ).alias("code")
+        )
     )
     q_sub = (
         queries.select(
