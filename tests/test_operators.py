@@ -851,3 +851,19 @@ def test_pq_exact_when_corpus_is_its_own_codebook(spark):
         assert [r.rank for r in rs] == [1, 2, 3]
         assert rs[0].neighbor_id == qid and rs[0].approx_d == 0.0
         assert all(r.approx_d >= 0 for r in rs)
+
+
+def test_pq_recall_against_exact_topk(spark, embeds):
+    """PQ is approximate; this pins a recall floor against the exact
+    cosine top-k on the driver's embeddings so codebook or ADC
+    regressions show up as a recall collapse, not silent bad answers."""
+    from kafka_delta_ingest_spark.operators.similarity import cosine_topk, pq_topk
+
+    q = embeds.filter(F.col("vec_id") % 50 == 0)
+    exact = cosine_topk(embeds, q, k=10, query_id="vec_id")
+    approx = pq_topk(embeds, q, k=10, dim=64, m=8, centroid_mod=10,
+                     query_id="vec_id")
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3, recall  # coarse 16-cell codebooks; floor, not target
