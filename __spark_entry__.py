@@ -3508,6 +3508,148 @@ def q22_idle_customers(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# LM quality scoring + importance sampling + funnel analytics
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "text_lm_perplexity",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      FROM documents WHERE len(trim(text)) > 0
+    ), uni AS (
+      SELECT unnest(w) AS word FROM d
+    ), vocab AS (
+      SELECT word FROM uni GROUP BY word HAVING COUNT(*) >= 2
+    ), vsz AS (
+      SELECT COUNT(*) + 1 AS v_size FROM vocab
+    ), big0 AS (
+      SELECT doc_id, w, unnest(generate_series(1, len(w)-1)) AS i
+      FROM d WHERE len(w) >= 2
+    ), big AS (
+      SELECT doc_id,
+        CASE WHEN v1.word IS NULL THEN '<unk>' ELSE w[i] END AS m1,
+        CASE WHEN v2.word IS NULL THEN '<unk>' ELSE w[i+1] END AS m2
+      FROM big0
+      LEFT JOIN vocab v1 ON v1.word = w[i]
+      LEFT JOIN vocab v2 ON v2.word = w[i+1]
+    ), dmc AS (
+      SELECT doc_id, m1, m2, COUNT(*) AS k FROM big GROUP BY 1, 2, 3
+    ), bc AS (
+      SELECT m1, m2, SUM(k) AS cb FROM dmc GROUP BY 1, 2
+    ), cc AS (
+      SELECT m1, SUM(cb) AS c1 FROM bc GROUP BY 1
+    )
+    SELECT doc_id,
+      CAST(SUM(k) AS BIGINT) AS n_bigrams,
+      round(SUM(k * ln((cb + 1) / (c1 + v_size))) / SUM(k), 6) AS avg_logp,
+      round(exp(-SUM(k * ln((cb + 1) / (c1 + v_size))) / SUM(k)), 6) AS ppl
+    FROM dmc JOIN bc USING (m1, m2) JOIN cc USING (m1) CROSS JOIN vsz
+    GROUP BY doc_id
+    """,
+)
+def text_lm_perplexity(spark, sf_dir):
+    """CCNet-style quality scoring: per-document perplexity under a
+    bigram LM trained on the corpus itself, in one declarative plan
+    (census → vocab → Laplace-smoothed model → broadcast-join scoring).
+    The model tables are vocabulary-bounded, so at 100 TB the corpus
+    token stream shuffles only for its own counts, never for the
+    lookup. Reference analogue: none (reference has no text analysis);
+    method from Wenzek et al. 2020 (CCNet)."""
+    from kafka_delta_ingest_spark.operators.lm import bigram_lm_scores
+
+    return bigram_lm_scores(load_table(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_dsir_weights",
+    r"""
+    WITH c AS (
+      SELECT doc_id,
+        unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+      FROM documents WHERE len(trim(text)) > 0
+    ), cw AS (
+      SELECT doc_id,
+        CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT) % 256 AS bucket
+      FROM c
+    ), dbc AS (
+      SELECT doc_id, bucket, COUNT(*) AS c FROM cw GROUP BY 1, 2
+    ), t AS (
+      SELECT
+        unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+      FROM documents
+      WHERE lang = 'en' AND doc_id % 5 = 0 AND len(trim(text)) > 0
+    ), tw AS (
+      SELECT CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT) % 256 AS bucket
+      FROM t
+    ), tc AS (
+      SELECT bucket, COUNT(*) AS ct FROM tw GROUP BY 1
+    ), nt AS (
+      SELECT COUNT(*) AS n_t FROM tw
+    ), qc AS (
+      SELECT bucket, SUM(c) AS cq FROM dbc GROUP BY 1
+    ), nq AS (
+      SELECT SUM(cq) AS n_q FROM qc
+    )
+    SELECT doc_id,
+      CAST(SUM(c) AS BIGINT) AS n_tok,
+      round(SUM(c * ln(((coalesce(ct, 0) + 1) / (n_t + 256.0))
+                       / ((cq + 1) / (n_q + 256.0)))) / SUM(c), 6) AS dsir_score
+    FROM dbc LEFT JOIN tc USING (bucket) JOIN qc USING (bucket)
+    CROSS JOIN nt CROSS JOIN nq
+    GROUP BY doc_id
+    """,
+)
+def text_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): score every document
+    by the hashed-unigram log-likelihood ratio against a target domain
+    (here: a deterministic sample of the English slice). Both
+    multinomials are 256-row broadcast tables; the 100 TB corpus
+    shuffles once for its bucket census and once for the per-doc
+    aggregation."""
+    from kafka_delta_ingest_spark.operators.lm import dsir_importance
+
+    d = load_table(spark, sf_dir, "documents")
+    target = d.where((F.col("lang") == "en") & (F.col("doc_id") % 5 == 0))
+    return dsir_importance(d, target, n_buckets=256)
+
+
+@_q(
+    "events_funnel",
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1
+    )
+    SELECT CAST(1 AS INT) AS stage, 'view' AS step,
+           CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS users
+    UNION ALL
+    SELECT CAST(2 AS INT), 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+    UNION ALL
+    SELECT CAST(3 AS INT), 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """Ordered first-touch conversion funnel (view → click → purchase)
+    over the event stream: chained filtered min-aggregations, every
+    shuffle on the same user key so the partitioning is planned once
+    and reused; no per-user event-list sorts."""
+    return win.funnel(
+        load_table(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -3553,8 +3695,11 @@ _SWEEP_ORDER: list[str] = [
     "events_sessionize",
     "transform_epoch_functions",
     "events_asof_join",
+    "events_funnel",
     "embedding_neardup_exact",
     "text_top_ngrams",
+    "text_lm_perplexity",
+    "text_dsir_weights",
     "text_shared_passages",
     "decontam_overlap_report",
     "q1_pricing_summary",

@@ -69,6 +69,9 @@ HEADLINE = [
     "dedup_incremental_admit",
     "text_shared_passages",
     "pipeline_pretrain_curation",
+    "text_lm_perplexity",
+    "text_dsir_weights",
+    "events_funnel",
 ]
 
 

@@ -1,0 +1,219 @@
+"""Statistical language-model operators for corpus quality scoring.
+
+Two published curation methods, re-expressed as pure DataFrame plans:
+
+* **Bigram-LM perplexity** (the CCNet recipe, Wenzek et al. 2020:
+  score web documents by the perplexity of a language model and keep
+  the low-perplexity tail). CCNet uses a pre-trained KenLM; here the
+  model is *trained on the corpus itself* in the same plan — a
+  self-contained quality signal that needs no external artifact, which
+  also makes it exactly reproducible by the SQL oracle.
+* **Hashed-n-gram importance weights** (the DSIR recipe, Xie et al.
+  2023: select pretraining data by the likelihood ratio between a
+  target-domain bag-of-hashed-ngrams model and the raw-corpus model).
+
+Scale shape (100 TB corpus, 1000 executors):
+
+* The corpus is tokenized and exploded **once per operator**; all
+  counts come off that single stream via map-side-combined
+  ``groupBy``s.
+* Model tables are vocabulary-sized, not corpus-sized: the bigram
+  model is df-capped by ``min_count`` (rare bigrams collapse into the
+  smoothing mass), the DSIR feature space is a fixed ``n_buckets``
+  array. Both sit well under broadcast thresholds at any corpus size,
+  so scoring is a broadcast join against the token stream — the
+  100 TB side never shuffles for the model lookup.
+* Everything is built-in expressions (whole-stage codegen); no Python
+  UDFs anywhere.
+
+All log-scores are rounded to 6 dp at the emit boundary so the DuckDB
+oracle matches bit-for-bit despite last-ulp libm differences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from kafka_delta_ingest_spark.operators.text import tokens
+from kafka_delta_ingest_spark.operators.util import spread
+
+UNK = "<unk>"
+
+
+def _lower_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, w[]) for nonempty documents, lowercase whitespace tokens."""
+    return (
+        spread(df)
+        .where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), tokens(F.lower(F.col(text_col))).alias("w"))
+    )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document perplexity under a corpus-trained bigram LM.
+
+    Pipeline (one logical plan, no driver round-trips):
+
+    1. unigram census → vocabulary = words with count ≥ ``min_count``;
+       everything else maps to ``<unk>`` (V = |vocab| + 1).
+    2. bigram stream built array-side (``zip_with`` of the token array
+       with its own shift — no positional self-join), then both slots
+       mapped through the vocabulary with left broadcast joins.
+    3. model: bigram counts c(w1,w2) and context counts c(w1) off the
+       mapped stream; Laplace smoothing
+       ``P(w2|w1) = (c(w1,w2)+1) / (c(w1)+V)``.
+    4. score: each document's bigrams join the model (model side is
+       vocabulary-bounded → AQE broadcasts it), then one per-doc
+       aggregation emits ``avg_logp`` and ``ppl = exp(-avg_logp)``.
+
+    Documents with fewer than two tokens have no bigrams and are
+    absent from the result (mirrors the SQL twin's join semantics).
+
+    Returns (id, n_bigrams, avg_logp, ppl), rounded to 6 dp.
+    """
+    toks = _lower_tokens(df, text_col, id_col)
+
+    uni = toks.select(F.explode("w").alias("word"))
+    vocab = (
+        uni.groupBy("word")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= min_count)
+        .select("word")
+    )
+    # V as a broadcast single-row frame — the plan stays lazy.
+    v_size = vocab.agg((F.count("*") + 1).alias("v_size"))
+
+    # Array-side bigrams: zip each token with its successor.
+    n = F.size(F.col("w"))
+    pairs = F.slice(
+        F.zip_with(
+            F.col("w"),
+            F.slice(F.col("w"), 2, F.greatest(n - 1, F.lit(1))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+        1,
+        F.greatest(n - 1, F.lit(0)),
+    )
+    big = (
+        toks.where(n >= 2)
+        .select(F.col(id_col), F.explode(pairs).alias("p"))
+        .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    # Map both slots through the vocabulary (broadcast left joins).
+    v1 = F.broadcast(vocab.withColumnRenamed("word", "w1").withColumn("k1", F.lit(1)))
+    v2 = F.broadcast(vocab.withColumnRenamed("word", "w2").withColumn("k2", F.lit(1)))
+    mapped = (
+        big.join(v1, "w1", "left")
+        .join(v2, "w2", "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("k1").isNotNull(), F.col("w1")).otherwise(UNK).alias("m1"),
+            F.when(F.col("k2").isNotNull(), F.col("w2")).otherwise(UNK).alias("m2"),
+        )
+    )
+
+    # Per-(doc, bigram) counts are the shared base: the model's global
+    # counts AND the scoring join both hang off this one aggregate, so
+    # the explode + vocabulary mapping runs ONCE and ReuseExchange
+    # serves the second branch from the first's shuffle files.
+    dmc = mapped.groupBy(id_col, "m1", "m2").agg(F.count("*").alias("k"))
+    bigram_counts = dmc.groupBy("m1", "m2").agg(F.sum("k").alias("cb"))
+    context_counts = bigram_counts.groupBy("m1").agg(F.sum("cb").alias("c1"))
+    model = bigram_counts.join(context_counts, "m1").crossJoin(F.broadcast(v_size))
+
+    logp = F.log(
+        (F.col("cb") + 1).cast("double") / (F.col("c1") + F.col("v_size"))
+    )
+    avg = F.sum(F.col("k") * logp) / F.sum("k")
+    return (
+        dmc.join(model, ["m1", "m2"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("k").cast("long").alias("n_bigrams"),
+            avg.alias("_avg"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            F.round(F.col("_avg"), 6).alias("avg_logp"),
+            F.round(F.exp(-F.col("_avg")), 6).alias("ppl"),
+        )
+    )
+
+
+def _md5_bucket(col: Column, n_buckets: int) -> Column:
+    """Engine-portable word→bucket hash: first 32 md5 bits mod buckets."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % n_buckets
+    ).alias("bucket")
+
+
+def dsir_importance(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_text_col: str | None = None,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Per-document DSIR importance weight against a target domain.
+
+    Data Selection via Importance Resampling (Xie et al. 2023): hash
+    every token into ``n_buckets`` features, fit two smoothed
+    multinomials — target p(b) and raw-corpus q(b) — and weight each
+    document by the average per-token log-likelihood ratio
+    ``Σ log(p(b)/q(b)) / n_tok``. High scores = most target-like;
+    resampling then keeps the top mass.
+
+    Both models are ``n_buckets`` rows (Laplace: (c(b)+1)/(n+B)) and
+    ride a broadcast join; the corpus token stream shuffles only for
+    its own per-bucket census and the final per-doc aggregation.
+
+    Returns (id, n_tok, dsir_score) for nonempty documents, 6 dp.
+    """
+    tcol = target_text_col or text_col
+    corpus_toks = _lower_tokens(df, text_col, id_col).select(
+        F.col(id_col), F.explode("w").alias("word")
+    )
+    target_toks = (
+        spread(target)
+        .where(F.length(F.trim(F.col(tcol))) > 0)
+        .select(F.explode(tokens(F.lower(F.col(tcol)))).alias("word"))
+    )
+
+    # Per-(doc, bucket) counts are the shared base: the corpus census
+    # derives from them (ReuseExchange — the corpus tokenizes once) and
+    # the scoring aggregation is token-count-weighted over them.
+    dbc = corpus_toks.groupBy(
+        id_col, _md5_bucket(F.col("word"), n_buckets)
+    ).agg(F.count("*").alias("c"))
+
+    qc = dbc.groupBy("bucket").agg(F.sum("c").alias("cq"))
+    n_q = qc.agg(F.sum("cq").alias("n_corpus"))
+    tc = target_toks.groupBy(_md5_bucket(F.col("word"), n_buckets)).agg(
+        F.count("*").alias("ct")
+    )
+    n_t = tc.agg(F.sum("ct").alias("n_target"))
+
+    # A bucket can be absent from the target's census; its smoothed
+    # count is then 0+1 — the left join + coalesce supplies it.
+    ratio = F.log(
+        ((F.coalesce(F.col("ct"), F.lit(0)) + 1) / (F.col("n_target") + n_buckets))
+        / ((F.col("cq") + 1) / (F.col("n_corpus") + n_buckets))
+    )
+    return (
+        dbc.join(F.broadcast(tc), "bucket", "left")
+        .join(F.broadcast(qc), "bucket")
+        .crossJoin(F.broadcast(n_t))
+        .crossJoin(F.broadcast(n_q))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_tok"),
+            F.round(F.sum(F.col("c") * ratio) / F.sum("c"), 6).alias("dsir_score"),
+        )
+    )

@@ -78,3 +78,58 @@ def streaming_session_window(df: DataFrame, ts_col: str, user_col: str, gap: str
         df.groupBy(F.session_window(F.col(ts_col), gap), F.col(user_col))
         .agg(F.count("*").alias("n_events"))
     )
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-step conversion funnel over an event stream.
+
+    A user reaches stage k when, for every step i ≤ k, there is an
+    event of type ``steps[i]`` strictly later than their stage-(i−1)
+    entry time (first-touch semantics: each stage anchors at the
+    EARLIEST qualifying event, the standard product-analytics funnel).
+
+    Plan shape: one filtered min-aggregation per step, chained by
+    equi-joins on ``user_col``. Every shuffle in the chain hashes the
+    same key, so Spark plans one Exchange and reuses the partitioning
+    across all stages; per-stage frames shrink monotonically (stage k
+    is a subset of stage k−1). No windows over whole-user event lists,
+    so a bot user with 10⁸ events costs its filter scan, not a sort.
+
+    Returns one row per stage: (stage, step, users), stage 1-based.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    ev = df.select(user_col, ts_col, type_col)
+    stage = (
+        ev.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t"))
+    )
+    counts = [stage.select(F.count("*").alias("users"))]
+    for step in steps[1:]:
+        stage = (
+            ev.where(F.col(type_col) == step)
+            .join(stage, user_col)
+            .where(F.col(ts_col) > F.col("t"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("t"))
+        )
+        counts.append(stage.select(F.count("*").alias("users")))
+    rows = [
+        c.select(
+            F.lit(i + 1).alias("stage"),
+            F.lit(step).alias("step"),
+            F.col("users").cast("long").alias("users"),
+        )
+        for i, (step, c) in enumerate(zip(steps, counts))
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
