@@ -3617,6 +3617,46 @@ def text_dsir_weights(spark, sf_dir):
 
 
 @_q(
+    "sim_semdedup",
+    """
+    WITH e AS (
+      SELECT vec_id,
+        list_transform(CAST(embedding AS DOUBLE[]),
+          x -> x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), y -> y*y)))) AS v
+      FROM embeddings
+    ), cents AS (
+      SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 10 = 0
+    ), assigned AS (
+      SELECT vec_id, v, cent_id AS cell
+      FROM (
+        SELECT e.vec_id, e.v, cents.cent_id,
+          row_number() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY list_sum(list_transform(list_zip(e.v, cv), p -> p[1]*p[2])) DESC,
+              cent_id ASC) AS r
+        FROM e CROSS JOIN cents
+      ) WHERE r = 1
+    ), dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) >= 0.9
+    )
+    SELECT assigned.vec_id, cell,
+      (dropped.vec_id IS NULL) AS kept
+    FROM assigned LEFT JOIN dropped USING (vec_id)
+    """,
+)
+def sim_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): within-cluster cosine dedup of the
+    embedding corpus — deterministic pivot cells, greedy-by-id keep
+    rule, cell-key equi-join instead of a corpus cross product."""
+    return similarity.semdedup(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.9
+    )
+
+
+@_q(
     "events_funnel",
     """
     WITH s1 AS (
@@ -3697,6 +3737,7 @@ _SWEEP_ORDER: list[str] = [
     "events_asof_join",
     "events_funnel",
     "embedding_neardup_exact",
+    "sim_semdedup",
     "text_top_ngrams",
     "text_lm_perplexity",
     "text_dsir_weights",

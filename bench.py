@@ -72,6 +72,7 @@ HEADLINE = [
     "text_lm_perplexity",
     "text_dsir_weights",
     "events_funnel",
+    "sim_semdedup",
 ]
 
 

@@ -522,3 +522,72 @@ def pq_topk(
             "query_id", "neighbor_id", F.round("approx_d", 6).alias("approx_d"), "rank"
         )
     )
+
+
+def semdedup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    centroid_mod: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication of an
+    embedding corpus by within-cluster cosine similarity.
+
+    The published recipe: k-means the embeddings, then inside each
+    cluster drop all but one member of every group whose pairwise
+    cosine exceeds ``threshold``. Here clusters come from the same
+    deterministic pivot assignment as ``ivf_topk`` (``id %
+    centroid_mod == 0``) so the DuckDB oracle replicates them exactly;
+    a real deployment plugs k-means centroids into the identical plan.
+
+    The keep rule is greedy-by-id: a vector is dropped iff some
+    LOWER-id cell-mate sits within the threshold. Deterministic, one
+    pair pass, no iteration — and because every comparison is confined
+    to a cell, the pair join is an equi-join on the cell key
+    (Σ|cell|² work, the trade SemDeDup makes by design), never a
+    corpus cross product.
+
+    Returns one row per vector: (id, cell, kept).
+    """
+
+    def unit(col: Column) -> Column:
+        n = l2_norm(col)
+        return F.transform(col, lambda x: x / n)
+
+    from kafka_delta_ingest_spark.operators.util import spread
+
+    vecs = spread(df).select(
+        F.col(id_col).alias("vid"), unit(_as_double(F.col(vec_col))).alias("_v")
+    )
+    cents = df.filter(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("cent_id"),
+        unit(_as_double(F.col(vec_col))).alias("_cent"),
+    )
+    aw = Window.partitionBy("vid").orderBy(
+        dot(F.col("_v"), F.col("_cent")).desc(), F.col("cent_id").asc()
+    )
+    assigned = (
+        vecs.crossJoin(broadcast(cents))
+        .withColumn("_r", F.row_number().over(aw))
+        .filter(F.col("_r") == 1)
+        .select("vid", "_v", F.col("cent_id").alias("cell"))
+    )
+    a = assigned.select(F.col("vid").alias("id_a"), F.col("_v").alias("va"), "cell")
+    b = assigned.select(F.col("vid").alias("id_b"), F.col("_v").alias("vb"), "cell")
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(dot(F.col("va"), F.col("vb")) >= threshold)
+        .select(F.col("id_b").alias("vid"))
+        .distinct()
+        .withColumn("_drop", F.lit(1))
+    )
+    return (
+        assigned.join(dropped, "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            "cell",
+            F.col("_drop").isNull().alias("kept"),
+        )
+    )

@@ -867,3 +867,29 @@ def test_pq_recall_against_exact_topk(spark, embeds):
     a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.3, recall  # coarse 16-cell codebooks; floor, not target
+
+
+def test_semdedup_drops_higher_id_near_identical(spark):
+    """Planted near-identical vectors: the lowest id in each clique
+    survives, everything else is dropped; distinct vectors all survive."""
+    import math
+
+    from kafka_delta_ingest_spark.operators.similarity import semdedup
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    base = unit([1.0, 2.0, 3.0, 4.0])
+    near = unit([1.001, 2.0, 3.0, 4.0])  # cos ~ 1.0 with base
+    far = unit([4.0, -3.0, 2.0, -1.0])
+    rows = [
+        Row(vec_id=0, embedding=base),   # pivot (0 % 10 == 0) + clique min
+        Row(vec_id=1, embedding=near),   # dropped (near 0)
+        Row(vec_id=2, embedding=base),   # dropped (identical to 0)
+        Row(vec_id=3, embedding=far),    # kept (distinct)
+        Row(vec_id=10, embedding=unit([-1.0, -2.0, -3.0, -4.0])),  # pivot, kept
+    ]
+    df = spark.createDataFrame(rows)
+    got = {r.vec_id: r.kept for r in semdedup(df, threshold=0.99).collect()}
+    assert got == {0: True, 1: False, 2: False, 3: True, 10: True}
