@@ -3616,6 +3616,83 @@ def text_dsir_weights(spark, sf_dir):
     return dsir_importance(d, target, n_buckets=256)
 
 
+_FUZZY_PIPELINE_SQL = (
+    "WITH RECURSIVE "
+    + _QUALITY_SQL
+    + """,
+    filtered AS (
+      SELECT doc_id, lang, text, n_tok, quality FROM qual WHERE quality >= 0.5
+    ),
+    """
+    + _NGRAM_PAIR_CTES.replace("FROM documents", "FROM filtered").lstrip()
+    + """,
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+    ),
+    clus AS (
+      SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    ),
+    kept AS (
+      SELECT f.doc_id, f.lang, f.n_tok, f.quality
+      FROM filtered f LEFT JOIN clus c USING (doc_id)
+      QUALIFY row_number() OVER (
+        PARTITION BY COALESCE(c.cluster_id, f.doc_id)
+        ORDER BY f.quality DESC, f.doc_id) = 1
+    )
+    SELECT lang,
+      CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                % 100 < 90 THEN 'train' ELSE 'holdout' END AS split,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+    FROM kept
+    GROUP BY lang, split
+    """
+)
+
+
+@_q("pipeline_fuzzy_curation", _FUZZY_PIPELINE_SQL)
+def pipeline_fuzzy_curation(spark, sf_dir):
+    """RefinedWeb/FineWeb-style curation with FUZZY dedup: quality
+    filter → word-3-gram Jaccard near-dup pairs (df-capped) →
+    connected components (iterative min-label propagation — the one
+    non-declarative stage) → keep each cluster's best-quality member →
+    deterministic train/holdout split → per-(lang, split) accounting.
+    The oracle replays the identical funnel with a recursive
+    transitive-closure CTE standing in for the CC loop."""
+    from kafka_delta_ingest_spark.operators.sampling import deterministic_split
+
+    d = load_table(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        textops.token_count(F.col("text")).alias("n_tok"),
+        textops.quality_score(F.col("text")).alias("quality"),
+    ).where(F.col("quality") >= 0.5)
+    pairs = dedup.ngram_jaccard_pairs(
+        q, "doc_id", "text", n=3, threshold=0.2, max_gram_df=1000
+    )
+    clusters = dedup.connected_components(pairs)
+    kept = dedup.canonicalize_clusters(q, clusters, "quality").where(
+        F.col("keep") == 1
+    )
+    return (
+        deterministic_split(kept, "doc_id", train_pct=90)
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+    )
+
+
 @_q(
     "sim_semdedup",
     """
@@ -3754,6 +3831,7 @@ _SWEEP_ORDER: list[str] = [
     "sim_pq_topk",
     "pipeline_corpus_curation",
     "pipeline_pretrain_curation",
+    "pipeline_fuzzy_curation",
     "text_profile",
     "ingest_message_path",
     "text_tfidf_top_terms",

@@ -73,6 +73,7 @@ HEADLINE = [
     "text_dsir_weights",
     "events_funnel",
     "sim_semdedup",
+    "pipeline_fuzzy_curation",
 ]
 
 

@@ -28,7 +28,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 
 def stateful_offset_dedup(
@@ -131,6 +131,82 @@ def stateful_running_totals(
 
     return df.groupBy(key_col).applyInPandasWithState(
         totals,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stateful_funnel(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming twin of ``windows.funnel``: per-user ordered-step
+    progression maintained across micro-batches.
+
+    State per user = (stage_reached, anchor_micros). Each micro-batch
+    replays the user's events in timestamp order and advances the
+    machine greedily: an event advances stage k→k+1 iff its type is
+    ``steps[k]`` and (for k > 0) its timestamp is STRICTLY after the
+    stage-k anchor — the same strict first-touch rule as the batch
+    funnel. Emits ``(user, stage, step)`` per batch the user appears
+    in (update mode); stage 0 = not yet entered.
+
+    Semantics note: with in-order arrival this matches the batch
+    funnel exactly (the earliest qualifying event is seen first and
+    anchors the stage). Late events older than an already-set anchor
+    cannot retroactively re-anchor — the standard streaming
+    first-observation trade; replaying from history reconciles.
+
+    Scale: two longs of state per user; the shuffle is keyed on the
+    user column only.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    out_schema = StructType(
+        [
+            df.schema[user_col],
+            StructField("stage", LongType()),
+            StructField("step", StringType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("stage", LongType()), StructField("anchor_micros", LongType())]
+    )
+    step_index = {s: i for i, s in enumerate(steps)}
+
+    def advance(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        stage, anchor = state.get if state.exists else (0, -(1 << 62))
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(ts_col, kind="mergesort")
+        ts_micros = batch[ts_col].astype("int64") // 1000
+        types = batch[type_col]
+        for t_us, typ in zip(ts_micros, types):
+            if stage >= len(steps):
+                break
+            if step_index.get(typ) != stage:
+                continue
+            if stage > 0 and t_us <= anchor:
+                continue
+            stage += 1
+            anchor = int(t_us)
+        state.update((int(stage), int(anchor)))
+        yield pd.DataFrame(
+            {
+                user_col: [key[0]],
+                "stage": [int(stage)],
+                "step": [steps[stage - 1] if stage > 0 else None],
+            }
+        )
+
+    return df.groupBy(user_col).applyInPandasWithState(
+        advance,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="update",

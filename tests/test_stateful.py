@@ -241,3 +241,71 @@ def test_range_join_inverted_interval_no_explosion(spark):
     out = range_join(points, intervals, "v", "s", "e", bucket_width=1)
     got = {(r.pid, r.iid) for r in out.collect()}  # completes instantly
     assert got == {(1, 100)}
+
+
+def test_stateful_funnel_progresses_across_microbatches(spark):
+    from datetime import datetime
+
+    from pyspark.sql.types import TimestampType
+
+    from kafka_delta_ingest_spark.streaming.stateful import stateful_funnel
+
+    src = tempfile.mkdtemp(prefix="kdi-funnel-src-")
+    ckpt = tempfile.mkdtemp(prefix="kdi-funnel-ckpt-")
+    sch = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+
+    def t(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    try:
+        # Batch 1: u1 views; u2 clicks (no view yet -> stage 0).
+        spark.createDataFrame(
+            [(1, t(1), "view"), (2, t(1), "click")], sch
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(0.05)
+        # Batch 2: u1 clicks then purchases (advances 1->3 using the
+        # anchor carried in state); u2 views (enters stage 1); u3 does
+        # click-at-same-ts-as-view -> strict > keeps it at stage 1.
+        spark.createDataFrame(
+            [
+                (1, t(2), "click"),
+                (1, t(3), "purchase"),
+                (2, t(5), "view"),
+                (3, t(7), "view"),
+                (3, t(7), "click"),
+            ],
+            sch,
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        latest: dict[int, tuple] = {}
+
+        def sink(batch_df, _bid):
+            for r in batch_df.collect():
+                latest[r.user_id] = (r.stage, r.step)
+
+        q = (
+            stateful_funnel(
+                spark.readStream.schema(sch).option("maxFilesPerTrigger", 1).parquet(src),
+                ["view", "click", "purchase"],
+            )
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert latest == {
+            1: (3, "purchase"),
+            2: (1, "view"),
+            3: (1, "view"),
+        }
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
