@@ -145,3 +145,41 @@ def test_bm25_filters_before_shuffle(spark):
     p = plan(E.queries()["text_bm25_search"](spark, SF), mode="simple")
     assert "CartesianProduct" not in p
     assert p.count("BroadcastExchange") >= 3
+
+
+def test_lm_perplexity_no_python_udf_and_broadcast_model(spark):
+    """The bigram-LM plan must stay JVM-side (no Arrow/Python eval in
+    the hot path) and look vocabulary tables up via broadcast joins."""
+    p = plan(E.queries()["text_lm_perplexity"](spark, SF))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_dsir_models_broadcast(spark):
+    """Both DSIR multinomials are n_buckets-row tables: they must ride
+    broadcast joins, never shuffle the corpus token stream for lookup."""
+    p = plan(E.queries()["text_dsir_weights"](spark, SF))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_funnel_reuses_user_partitioning(spark):
+    """Every funnel stage joins and aggregates on the same user key;
+    no cartesian/nested-loop plans may appear."""
+    p = plan(E.queries()["events_funnel"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_semdedup_pair_join_is_equi_join(spark):
+    """The within-cell pair pass must be an equi-join on the cell key —
+    the only cross join allowed is the broadcast centroid scoring."""
+    p = plan(E.queries()["sim_semdedup"](spark, SF))
+    assert "CartesianProduct" not in p
+    # Centroid assignment is a broadcast nested loop BY DESIGN (every
+    # vector scores every centroid); the pair join itself must not be.
+    joins = [ln for ln in p.splitlines() if "Join" in ln and "Nested" not in ln]
+    assert any(
+        "SortMergeJoin" in ln or "ShuffledHashJoin" in ln or "BroadcastHashJoin" in ln
+        for ln in joins
+    ), p[:2000]
