@@ -3616,6 +3616,65 @@ def text_dsir_weights(spark, sf_dir):
     return dsir_importance(d, target, n_buckets=256)
 
 
+@_q(
+    "text_chunk_sliding",
+    r"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      FROM documents WHERE len(trim(text)) > 0
+    ), st AS (
+      SELECT doc_id, w, unnest(generate_series(0, len(w) - 1, 96)) AS s FROM d
+    )
+    SELECT doc_id,
+      CAST(s // 96 AS INT) AS chunk_ix,
+      CAST(len(w[s+1:s+128]) AS INT) AS n_tok,
+      array_to_string(w[s+1:s+128], ' ') AS chunk_text
+    FROM st
+    """,
+)
+def text_chunk_sliding(spark, sf_dir):
+    """RAG-style sliding-window chunking: 128-token windows every 96
+    tokens (32-token overlap), tail window shorter. Narrow op — no
+    shuffle, runs at scan speed at any corpus size."""
+    return textops.chunk_sliding(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=128, stride=96
+    )
+
+
+@_q(
+    "text_bpe_pair_census",
+    r"""
+    WITH w AS (
+      SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+      FROM documents WHERE len(trim(text)) > 0
+    ), wc AS (
+      SELECT word, COUNT(*) AS wc FROM w GROUP BY 1
+    ), p AS (
+      SELECT substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b, wc
+      FROM (
+        SELECT word, wc, unnest(generate_series(1, len(word) - 1)) AS i
+        FROM wc WHERE len(word) >= 2
+      )
+    )
+    SELECT a, b, CAST(SUM(wc) AS BIGINT) AS pair_count
+    FROM p GROUP BY a, b
+    ORDER BY pair_count DESC, a, b
+    LIMIT 40
+    """,
+)
+def text_bpe_pair_census(spark, sf_dir):
+    """BPE's first ranking: adjacent-character-pair frequencies
+    weighted by word frequency, computed over the VOCABULARY table
+    (distinct words + counts) so the corpus pays one tokenize pass
+    regardless of size. The iterative trainer (``bpe.train_bpe``) is
+    verified against a sequential pure-Python reference in
+    tests/test_bpe.py — its data-dependent merge sequence has no
+    static SQL twin."""
+    from kafka_delta_ingest_spark.operators.bpe import pair_census
+
+    return pair_census(load_table(spark, sf_dir, "documents"), top_k=40)
+
+
 _FUZZY_PIPELINE_SQL = (
     "WITH RECURSIVE "
     + _QUALITY_SQL
@@ -3796,6 +3855,8 @@ _SWEEP_ORDER: list[str] = [
     "multimodal_dedup_exact",
     "coerce_timestamp_strict",
     "text_token_counts",
+    "text_chunk_sliding",
+    "text_bpe_pair_census",
     "pii_scrub",
     "split_source_mix",
     "split_domain_cap",

@@ -74,6 +74,8 @@ HEADLINE = [
     "events_funnel",
     "sim_semdedup",
     "pipeline_fuzzy_curation",
+    "text_chunk_sliding",
+    "text_bpe_pair_census",
 ]
 
 

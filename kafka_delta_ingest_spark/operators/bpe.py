@@ -1,0 +1,133 @@
+"""BPE tokenizer training over a Spark corpus.
+
+Byte-pair encoding (Sennrich et al. 2016; the GPT-2/RoBERTa tokenizer
+recipe): start from characters, repeatedly merge the most frequent
+adjacent symbol pair. The classic trainer optimization — and the whole
+scale story here — is that after ONE corpus-scale word census, every
+merge iteration runs on the *vocabulary* table (distinct words +
+counts), which is millions of rows regardless of corpus size. 100 TB
+of text costs one tokenize+groupBy pass; the merge loop never touches
+the corpus again.
+
+* ``pair_census`` — adjacent-pair frequencies (the first thing BPE
+  ranks), pure expressions, SQL-oracle-able.
+* ``train_bpe`` — the iterative trainer: per merge, one
+  vocabulary-scale pair census + one driver-side argmax (a scalar
+  action, same pattern as ``dedup.connected_components``), then an
+  ``aggregate``-HOF rewrite of the symbol arrays. Greedy left-to-right
+  non-overlapping merging, verified against a pure-Python reference in
+  tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from kafka_delta_ingest_spark.operators.text import tokens
+from kafka_delta_ingest_spark.operators.util import spread
+
+
+def word_census(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, wc) over lowercased whitespace tokens — the one
+    corpus-scale pass (map-side-combined groupBy on the token)."""
+    return (
+        spread(df)
+        .where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.explode(tokens(F.lower(F.col(text_col)))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+    )
+
+
+def pair_census(df: DataFrame, text_col: str = "text", top_k: int = 40) -> DataFrame:
+    """Top-k adjacent CHARACTER pairs weighted by word frequency — the
+    ranking that picks BPE's first merge. Fully deterministic order
+    (count desc, then pair text) so top-k is engine-portable."""
+    wc = word_census(df, text_col)
+    pairs = wc.where(F.length("word") >= 2).select(
+        "wc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.struct(
+                    F.col("word").substr(i, F.lit(1)).alias("a"),
+                    F.col("word").substr(i + 1, F.lit(1)).alias("b"),
+                ),
+            )
+        ).alias("p"),
+    )
+    return (
+        pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("wc").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "a", "b")
+        .limit(top_k)
+    )
+
+
+def _merge_pair(arr: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right non-overlapping merge of (a, b) → a+b.
+
+    One ``aggregate`` scan: append each symbol unless the accumulator's
+    LAST element is ``a`` and the incoming one is ``b`` — then replace
+    the last element with the merged symbol. Because a merge changes
+    the last element away from ``a``, overlapping occurrences (aaa with
+    pair (a,a)) resolve exactly like the sequential reference trainer.
+    """
+    merged = a + b
+    return F.aggregate(
+        arr,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == a) & (x == b),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def train_bpe(
+    df: DataFrame, n_merges: int, text_col: str = "text"
+) -> list[tuple[str, str, int]]:
+    """Train ``n_merges`` BPE merges; returns [(a, b, pair_count), ...]
+    in merge order.
+
+    Ties rank (count desc, a, b) — deterministic across engines and
+    cluster sizes. Each iteration: symbol-pair census over the
+    vocabulary table, driver argmax (one scalar collect), HOF rewrite
+    of the symbol arrays, ``localCheckpoint`` to truncate lineage.
+    """
+    vocab = (
+        word_census(df, text_col)
+        .withColumn("syms", F.split("word", ""))
+        .select("syms", "wc")
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        top = (
+            vocab.where(F.size("syms") >= 2)
+            .select(
+                "wc",
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("wc").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0].a, top[0].b, int(top[0].pair_count)
+        merges.append((a, b, cnt))
+        vocab = vocab.select(
+            _merge_pair(F.col("syms"), a, b).alias("syms"), "wc"
+        ).localCheckpoint()
+    return merges

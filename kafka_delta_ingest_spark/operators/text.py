@@ -305,3 +305,41 @@ def shared_passages(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def chunk_sliding(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    stride: int = 96,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window document chunking — the RAG / embedding-prep
+    splitter: token windows of ``chunk_tokens``, a new window every
+    ``stride`` tokens, the tail window shorter. Every nonempty
+    document emits at least one chunk.
+
+    Narrow operation: tokenize + per-row explode, no shuffle anywhere
+    — at 100 TB this runs at scan speed and the output is written
+    partition-local. Integer window arithmetic only, so the DuckDB
+    oracle reproduces chunk boundaries exactly.
+
+    Returns (id, chunk_ix, n_tok, chunk_text).
+    """
+    from kafka_delta_ingest_spark.operators.util import spread
+
+    toks = tokens(F.col(text_col))
+    starts = F.sequence(F.lit(0), F.size("w") - 1, F.lit(stride))
+    chunk = F.slice(F.col("w"), F.col("s") + 1, chunk_tokens)
+    return (
+        spread(df)
+        .where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), toks.alias("w"))
+        .select(F.col(id_col), "w", F.explode(starts).alias("s"))
+        .select(
+            F.col(id_col),
+            (F.col("s") / stride).cast("int").alias("chunk_ix"),
+            F.size(chunk).alias("n_tok"),
+            F.concat_ws(" ", chunk).alias("chunk_text"),
+        )
+    )

@@ -1,0 +1,62 @@
+"""BPE trainer vs a pure-Python sequential reference."""
+
+from collections import Counter
+
+from pyspark.sql import Row
+
+from kafka_delta_ingest_spark.operators.bpe import pair_census, train_bpe
+
+
+def _py_train(texts, n):
+    wc = Counter(w for t in texts for w in t.lower().split())
+    vocab = {w: list(w) for w in wc}
+    merges = []
+    for _ in range(n):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for x, y in zip(syms, syms[1:]):
+                pc[(x, y)] += wc[w]
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, cnt))
+        for w, syms in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            vocab[w] = out
+    return merges
+
+
+def test_train_bpe_matches_python_reference(spark):
+    texts = [
+        "the cat sat on the mat",
+        "the thin thing thought",
+        "banana bandana",
+        "aaaa aaa baab",  # overlapping (a,a) occurrences: greedy rule
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    assert train_bpe(df, 6) == _py_train(texts, 6)
+
+
+def test_pair_census_weighted_by_word_frequency(spark):
+    # "ab" occurs 3x as a word, "ba" once -> (a,b) outranks (b,a).
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="ab ab ab ba")]
+    )
+    rows = pair_census(df, top_k=2).collect()
+    assert [(r.a, r.b, r.pair_count) for r in rows] == [
+        ("a", "b", 3),
+        ("b", "a", 1),
+    ]
+
+
+def test_train_bpe_exhausts_gracefully(spark):
+    # Single 2-char word: one merge possible, then the census is empty.
+    df = spark.createDataFrame([Row(doc_id=0, text="ab")])
+    assert train_bpe(df, 5) == [("a", "b", 1)]

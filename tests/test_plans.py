@@ -183,3 +183,18 @@ def test_semdedup_pair_join_is_equi_join(spark):
         "SortMergeJoin" in ln or "ShuffledHashJoin" in ln or "BroadcastHashJoin" in ln
         for ln in joins
     ), p[:2000]
+
+
+def test_chunk_sliding_is_shuffle_free(spark):
+    """Chunking is a narrow op: tokenize + explode, not one Exchange."""
+    p = plan(E.queries()["text_chunk_sliding"](spark, SF), mode="simple")
+    # The spread() repartition of a tiny test input is the only
+    # allowed exchange; no aggregation/join exchanges may appear.
+    assert "Join" not in p and "Aggregate" not in p.replace("AQEShuffleRead", "")
+
+
+def test_bpe_census_single_corpus_pass(spark):
+    """The pair census aggregates over the vocabulary; the corpus-scale
+    token stream is scanned once (one scan of documents in the plan)."""
+    p = plan(E.queries()["text_bpe_pair_census"](spark, SF), mode="simple")
+    assert p.count("Scan parquet") == 1
