@@ -21,6 +21,8 @@ the corpus again.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from kafka_delta_ingest_spark.operators.text import tokens
@@ -131,3 +133,61 @@ def train_bpe(
             _merge_pair(F.col("syms"), a, b).alias("syms"), "wc"
         ).localCheckpoint()
     return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply trained BPE merges: (id, bpe_tokens array<string>, n_bpe).
+
+    The encode side of the tokenizer. Merge ranks broadcast to every
+    executor inside an Arrow-batched pandas UDF (the HF-tokenizers
+    encode algorithm: repeatedly merge the best-ranked adjacent pair
+    per word); per-word results are memoized per batch, so cost scales
+    with DISTINCT words in a batch, not tokens. This is the one
+    deliberate Python-UDF hot path in the text family — the
+    data-dependent merge loop is not expressible as Catalyst
+    expressions; Arrow batching keeps it vectorized at the transfer
+    layer.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    ranks = {(a, b): i for i, (a, b, *_) in enumerate(merges)}
+
+    def encode_word(word: str, memo: dict) -> list[str]:
+        got = memo.get(word)
+        if got is not None:
+            return got
+        syms = list(word)
+        while len(syms) > 1:
+            best_i, best_r = -1, None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_r is None or r < best_r):
+                    best_i, best_r = i, r
+            if best_r is None:
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        memo[word] = syms
+        return syms
+
+    @pandas_udf(ArrayType(StringType()))
+    def _encode(texts: pd.Series) -> pd.Series:
+        memo: dict = {}
+        out = []
+        for t in texts:
+            toks: list[str] = []
+            for w in (t or "").lower().split():
+                toks.extend(encode_word(w, memo))
+            out.append(toks)
+        return pd.Series(out)
+
+    return (
+        spread(df)
+        .select(F.col(id_col), _encode(F.col(text_col)).alias("bpe_tokens"))
+        .withColumn("n_bpe", F.size("bpe_tokens"))
+    )

@@ -60,3 +60,41 @@ def test_train_bpe_exhausts_gracefully(spark):
     # Single 2-char word: one merge possible, then the census is empty.
     df = spark.createDataFrame([Row(doc_id=0, text="ab")])
     assert train_bpe(df, 5) == [("a", "b", 1)]
+
+
+def _py_encode(text, merges):
+    ranks = {(a, b): i for i, (a, b, *_) in enumerate(merges)}
+    out = []
+    for w in text.lower().split():
+        syms = list(w)
+        while len(syms) > 1:
+            best_i, best_r = -1, None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_r is None or r < best_r):
+                    best_i, best_r = i, r
+            if best_r is None:
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        out.extend(syms)
+    return out
+
+
+def test_bpe_encode_matches_reference_and_reconstructs(spark):
+    from kafka_delta_ingest_spark.operators.bpe import bpe_encode
+
+    texts = [
+        "the cat sat on the mat",
+        "the thin thing thought about the weather",
+        "banana bandana cabana",
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    merges = train_bpe(df, 8)
+    got = {r.doc_id: (list(r.bpe_tokens), r.n_bpe) for r in bpe_encode(df, merges).collect()}
+    for i, t in enumerate(texts):
+        want = _py_encode(t, merges)
+        assert got[i] == (want, len(want)), i
+        # Lossless: concatenated tokens reconstruct the word stream.
+        assert "".join(want) == t.lower().replace(" ", "")
