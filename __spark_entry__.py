@@ -3675,6 +3675,57 @@ def text_bpe_pair_census(spark, sf_dir):
     return pair_census(load_table(spark, sf_dir, "documents"), top_k=40)
 
 
+@_q(
+    "corpus_card",
+    "WITH "
+    + _QUALITY_SQL
+    + r""",
+    norm AS (
+      SELECT lang, source, n_tok, quality,
+        md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      FROM qual
+    )
+    SELECT lang, source,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+      round(CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+        AS avg_quality,
+      round(quantile_cont(quality, 0.5), 6) AS median_quality,
+      CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_exact_dupes
+    FROM norm
+    GROUP BY lang, source
+    """,
+)
+def corpus_card(spark, sf_dir):
+    """Dataset-card accounting per (lang, source): doc/token counts,
+    mean + exact-median quality, and the exact-duplicate count — the
+    summary table a curation run publishes alongside the corpus. One
+    scan, one aggregation; the median uses the discrete quantile
+    (an exact value from the group, engine-portable) and the dupe count
+    is count - count(distinct md5) with 16-byte keys."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "lang",
+        "source",
+        textops.token_count(F.col("text")).alias("n_tok"),
+        textops.quality_score(F.col("text")).alias("quality"),
+        textops.fingerprint_md5(F.col("text")).alias("fp"),
+    )
+    return base.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.round(
+            F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_quality"),
+        F.round(
+            F.expr("percentile(quality, 0.5)").cast("double"), 6
+        ).alias("median_quality"),
+        (F.count("*") - F.count_distinct(F.col("fp"))).alias("n_exact_dupes"),
+    )
+
+
 _FUZZY_PIPELINE_SQL = (
     "WITH RECURSIVE "
     + _QUALITY_SQL
@@ -3915,6 +3966,7 @@ _SWEEP_ORDER: list[str] = [
     "win_moving_avg_range",
     "set_ops_active_customers",
     "agg_percentiles",
+    "corpus_card",
     "sample_stratified",
     "q19_disjunctive_revenue",
     "q12_priority_conditional",

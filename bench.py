@@ -76,6 +76,7 @@ HEADLINE = [
     "pipeline_fuzzy_curation",
     "text_chunk_sliding",
     "text_bpe_pair_census",
+    "corpus_card",
 ]
 
 
