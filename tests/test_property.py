@@ -181,3 +181,37 @@ def test_word_shingles_match_python_reference(spark, texts, k):
     }
     for i, s in enumerate(texts):
         assert got[i] == py_shingles(s, k), (k, repr(s))
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=200),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(2, 20),
+    st.integers(1, 15),
+)
+def test_chunk_sliding_matches_python_reference(spark, texts, chunk, stride):
+    """Chunk boundaries equal the obvious Python sliding window for any
+    (chunk_tokens, stride), including the shorter tail window and the
+    one-chunk-per-nonempty-doc guarantee."""
+    from kafka_delta_ingest_spark.operators.text import chunk_sliding
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], "doc_id int, text string"
+    )
+    got = {}
+    for r in chunk_sliding(df, chunk_tokens=chunk, stride=stride).collect():
+        got.setdefault(r.doc_id, {})[r.chunk_ix] = (r.n_tok, r.chunk_text)
+    for i, s in enumerate(texts):
+        toks = s.split()
+        if not toks:
+            assert i not in got
+            continue
+        want = {}
+        for ix, start in enumerate(range(0, len(toks), stride)):
+            w = toks[start : start + chunk]
+            want[ix] = (len(w), " ".join(w))
+        assert got.get(i) == want, (i, repr(s), chunk, stride)
