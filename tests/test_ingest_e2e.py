@@ -153,6 +153,45 @@ def test_idempotent_replay_skipped(spark, tmp_path):
     assert DeltaLikeTable(table).read(spark).count() == 1
 
 
+def test_zero_offset_replay_skipped(spark, tmp_path):
+    """Offset ZERO must count as "already stored" on replay — the falsy-
+    zero bug class the reference pins with tests/offset_tests.rs:33-89
+    (zero_offset_issue: a table holding partition 0 / offset 0 must not
+    re-ingest message 0:0, while later offsets still flow)."""
+    table = str(tmp_path / "t")
+    opts = IngestOptions(table_uri=table, app_id="zero_offset", transforms={})
+    schema = StructType([StructField("id", StringType())])
+    job = IngestJob(opts, schema)
+
+    def raw_at(offset, payload):
+        return _raw_df(
+            spark,
+            [
+                Row(
+                    value=bytearray(payload),
+                    partition=0,
+                    offset=offset,
+                    topic="t",
+                    timestamp=None,
+                    timestampType=0,
+                )
+            ],
+        )
+
+    m0 = job.run_batch(raw_at(0, b'{"id": "a"}'))
+    assert not m0.skipped
+    assert DeltaLikeTable(table).snapshot()["txn"] == {"zero_offset-0": 0}
+
+    # Replay of offset 0: stored version 0 must be treated as present
+    # (is-not-None semantics), not as falsy -> the write is skipped.
+    m0r = job.run_batch(raw_at(0, b'{"id": "a"}'))
+    assert m0r.skipped
+
+    m1 = job.run_batch(raw_at(1, b'{"id": "b"}'))
+    assert not m1.skipped
+    assert DeltaLikeTable(table).read(spark).count() == 2
+
+
 def test_deserialization_failure_routes_to_dlq(spark, tmp_path):
     table = str(tmp_path / "t")
     dlq_loc = str(tmp_path / "dlq")
