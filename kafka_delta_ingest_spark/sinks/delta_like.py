@@ -484,8 +484,15 @@ class DeltaLikeTable:
 
     def _checkpoint(self, version: int) -> None:
         state = self.snapshot()
-        # Checkpoints store only LIVE files (removes already applied).
-        cp = {"txn": state["txn"], "files": self._live_files(state)}
+        # Checkpoints store only LIVE files (removes already applied) —
+        # plus the metaData action: without it a post-checkpoint
+        # snapshot would lose the declared schema and partition types
+        # whenever no later metaData action exists.
+        cp = {
+            "txn": state["txn"],
+            "files": self._live_files(state),
+            "metaData": state["metaData"],
+        }
         cp_file = os.path.join(self.log_path, f"checkpoint.{version:020d}.json")
         tmp = cp_file + ".tmp"
         with open(tmp, "w") as f:
@@ -558,17 +565,22 @@ class DeltaLikeTable:
         small = (
             list(live)
             if cluster_by or zorder_by or bloom_for
-            else [f for f in live if f["size"] < target_file_bytes]
+            else [
+                f
+                for f in live
+                # DV'd files always rewrite: OPTIMIZE is how deletion
+                # vectors get materialized away.
+                if f["size"] < target_file_bytes or f.get("deletionVector")
+            ]
         )
-        if len(small) < 2:
+        if len(small) < 2 and not any(f.get("deletionVector") for f in small):
             return CommitResult(snap["version"], 0, 0, skipped=True)
         total_bytes = sum(f["size"] for f in small)
         n_out = max(1, round(total_bytes / target_file_bytes))
 
-        paths = [os.path.join(self.path, f["path"]) for f in small]
-        df = spark.read.option("basePath", self.path).option(
-            "mergeSchema", "true"
-        ).parquet(*paths)
+        # Logical read (_frame_for): deletion vectors apply, so the
+        # rewritten files carry surviving rows only — no descriptor.
+        df = self._frame_for(spark, snap, small)
         staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
         if cluster_by:
             from pyspark.sql import functions as _F
@@ -743,7 +755,7 @@ class DeltaLikeTable:
         )
 
     def delete_where(
-        self, spark: SparkSession, predicates: list[tuple]
+        self, spark: SparkSession, predicates: list[tuple], dv: bool = False
     ) -> CommitResult:
         """DELETE rows matching the conjunctive ``predicates`` (same
         ``(column, op, value)`` grammar as ``files_for``).
@@ -752,7 +764,17 @@ class DeltaLikeTable:
         min/max stats) are rewritten without their matching rows; a
         file the stats prove untouched is never read. A fully-matching
         file simply yields zero surviving rows and is tombstoned
-        without a replacement."""
+        without a replacement.
+
+        ``dv=True`` takes the deletion-vector path instead: no data
+        file is rewritten — matching (file, row_index) pairs land in a
+        sidecar under ``_kdi_dv/`` and each affected file is re-added
+        with a ``deletionVector`` descriptor (Delta's DV protocol
+        shape: remove+add of the SAME path in one commit). The trickle-
+        delete lever at 100 TB: a few hundred matching rows cost one
+        sidecar write, not a rewrite of every touched 128 MiB file.
+        ``optimize()`` later materializes DVs away (it reads logical
+        rows and writes fresh files with no descriptor)."""
         snap = self.snapshot()
         meta = snap["metaData"]
         partition_by = meta["partitionColumns"] if meta else []
@@ -760,6 +782,8 @@ class DeltaLikeTable:
         candidates = [f for f in live if not _file_excluded(f, predicates)]
         if not candidates:
             return CommitResult(snap["version"], 0, 0, skipped=True)
+        if dv:
+            return self._delete_with_dv(spark, snap, candidates, predicates)
         from pyspark.sql import functions as _F
 
         cur = self._frame_for(spark, snap, candidates)
@@ -781,6 +805,98 @@ class DeltaLikeTable:
             },
             read_version=snap["version"],
         )
+
+    def _delete_with_dv(
+        self,
+        spark: SparkSession,
+        snap: dict,
+        candidates: list[dict],
+        predicates: list[tuple],
+    ) -> CommitResult:
+        """Deletion-vector DELETE over the candidate files.
+
+        Reads the candidates LOGICALLY (existing DVs applied), so
+        matches are disjoint from already-deleted rows; the new sidecar
+        then carries the UNION of old DV rows and new matches for every
+        affected file — one descriptor per add, cumulative across
+        repeated DV deletes. Conflict detection reuses the rewrite
+        protocol: the affected paths form the remove set, so a racing
+        rewrite of the same files raises ConcurrentDeleteDelete."""
+        from pyspark.sql import functions as _F
+
+        cur = self._frame_for(spark, snap, candidates, with_meta=True)
+        matches = cur.filter(
+            _F.coalesce(_pred_to_column(predicates), _F.lit(False))
+        ).select(
+            _F.col("_dv_path").alias("path"),
+            _F.col("_dv_ri").alias("row_index"),
+        )
+        old_sidecars = sorted(
+            {
+                f["deletionVector"]["storagePath"]
+                for f in candidates
+                if f.get("deletionVector")
+            }
+        )
+        if old_sidecars:
+            old_rows = spark.read.parquet(
+                *[os.path.join(self.path, p) for p in old_sidecars]
+            ).select("path", "row_index")
+            # Only rows of files still affected ride into the new
+            # sidecar; other files keep pointing at their old sidecar.
+            matches = matches.unionByName(
+                old_rows.join(
+                    matches.select("path").distinct(), "path", "left_semi"
+                )
+            )
+        dv_rel = os.path.join("_kdi_dv", f"{uuid.uuid4().hex}.parquet")
+        matches.write.mode("overwrite").parquet(os.path.join(self.path, dv_rel))
+        per_file = {
+            r["path"]: r["n"]
+            for r in spark.read.parquet(os.path.join(self.path, dv_rel))
+            .groupBy("path")
+            .agg(_F.count("*").alias("n"))
+            .collect()
+        }
+        affected = [f for f in candidates if f["path"] in per_file]
+        if not affected:
+            shutil.rmtree(os.path.join(self.path, dv_rel), ignore_errors=True)
+            return CommitResult(snap["version"], 0, 0, skipped=True)
+        ts = int(time.time() * 1000)
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "operation": "DELETE",
+                    "operationParameters": {
+                        "predicate": [list(p) for p in predicates],
+                        "mode": "deletionVector",
+                        "numCandidateFiles": len(candidates),
+                        "numAffectedFiles": len(affected),
+                    },
+                    "timestamp": ts,
+                }
+            }
+        ]
+        for f in affected:
+            actions.append(
+                {"remove": {"path": f["path"], "deletionTimestamp": ts}}
+            )
+            re_add = dict(f)
+            re_add["deletionVector"] = {
+                "storagePath": dv_rel,
+                "cardinality": int(per_file[f["path"]]),
+            }
+            re_add["dataChange"] = True
+            actions.append({"add": re_add})
+        version = self._commit(
+            actions,
+            read_version=snap["version"],
+            remove_paths={f["path"] for f in affected},
+        )
+        if version % CHECKPOINT_EVERY == 0:
+            self._checkpoint(version)
+        total = sum(per_file.values())
+        return CommitResult(version, len(affected), total)
 
     def _rewrite_commit(
         self,
@@ -896,16 +1012,21 @@ class DeltaLikeTable:
         return out
 
     def _live_files(self, snap: dict | None = None) -> list[dict]:
-        """add actions minus remove actions, in commit order."""
+        """add actions minus remove actions, in commit order.
+
+        The LAST add per path wins: a deletion-vector DELETE re-adds
+        the same data file with an updated ``deletionVector`` descriptor
+        (remove+add in one commit, exactly Delta's DV protocol shape),
+        and readers must see the newest descriptor. Positions stay
+        stable (dict preserves first-insert order)."""
         snap = snap or self.snapshot()
         removed: set[str] = set(snap.get("removed", set()))
-        out, seen = [], set()
+        latest: dict[str, dict] = {}
         for f in snap["files"]:
-            if f["path"] in removed or f["path"] in seen:
+            if f["path"] in removed:
                 continue
-            seen.add(f["path"])
-            out.append(f)
-        return out
+            latest[f["path"]] = f
+        return list(latest.values())
 
     # -- read path ---------------------------------------------------------
 
@@ -952,10 +1073,36 @@ class DeltaLikeTable:
             ]
         return self._frame_for(spark, snap, live_actions)
 
-    def _frame_for(self, spark: SparkSession, snap: dict, actions: list[dict]) -> DataFrame:
+    def _rel_path_col(self):
+        """Column: ``_metadata.file_path`` normalized to the add-action
+        relative path (scheme stripped, table root removed)."""
+        from pyspark.sql import functions as _F
+
+        root = os.path.abspath(self.path)
+        norm = _F.regexp_replace(
+            _F.col("_metadata.file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"
+        )
+        # +2: past the root and its trailing slash (substring is 1-based).
+        return _F.substring(norm, len(root) + 2, 1 << 30)
+
+    def _frame_for(
+        self,
+        spark: SparkSession,
+        snap: dict,
+        actions: list[dict],
+        with_meta: bool = False,
+    ) -> DataFrame:
         """DataFrame over exactly the given add actions, with partition
         columns restored to their declared types — shared by ``read``
-        and the MERGE/DELETE rewrite paths so both see identical rows."""
+        and the MERGE/DELETE rewrite paths so both see identical rows.
+
+        Rows masked by a ``deletionVector`` descriptor on any action are
+        filtered out via a broadcast anti-join on (file, row_index) —
+        the reader half of the DV protocol. ``with_meta=True`` keeps
+        ``_dv_path``/``_dv_ri`` columns (relative file path + physical
+        row index) so the DV write path can address rows."""
+        from pyspark.sql import functions as _F
+
         spark.conf.set(
             "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
         )
@@ -967,16 +1114,44 @@ class DeltaLikeTable:
             .option("mergeSchema", "true")
             .parquet(*live)
         )
+        dv_sidecars = sorted(
+            {
+                f["deletionVector"]["storagePath"]
+                for f in actions
+                if f.get("deletionVector")
+            }
+        )
+        if dv_sidecars or with_meta:
+            df = df.select(
+                "*",
+                self._rel_path_col().alias("_dv_path"),
+                _F.col("_metadata.row_index").alias("_dv_ri"),
+            )
+        if dv_sidecars:
+            dv = spark.read.parquet(
+                *[os.path.join(self.path, p) for p in dv_sidecars]
+            ).select(
+                _F.col("path").alias("_dv_path"),
+                _F.col("row_index").alias("_dv_ri"),
+            )
+            from pyspark.sql.functions import broadcast as _b
+
+            df = df.join(_b(dv), ["_dv_path", "_dv_ri"], "left_anti")
         meta = snap["metaData"]
+        keep_meta = ["_dv_path", "_dv_ri"] if with_meta else []
         if meta:
             from pyspark.sql.types import StructType as _St
-            from pyspark.sql import functions as _F
 
             schema = _St.fromJson(json.loads(meta["schemaString"]))
             for pcol in meta["partitionColumns"]:
                 if pcol in schema.fieldNames() and pcol in df.columns:
                     df = df.withColumn(pcol, _F.col(pcol).cast(schema[pcol].dataType))
-            df = df.select(*[f"`{f.name}`" for f in schema.fields if f.name in df.columns])
+            df = df.select(
+                *[f"`{f.name}`" for f in schema.fields if f.name in df.columns],
+                *keep_meta,
+            )
+        elif not with_meta and ("_dv_path" in df.columns):
+            df = df.drop("_dv_path", "_dv_ri")
         return df
 
 
