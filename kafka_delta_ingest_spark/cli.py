@@ -90,6 +90,28 @@ def build_parser() -> argparse.ArgumentParser:
     ing.add_argument("--checkpoint_dir", default=None,
                      help="(Spark) streaming checkpoint location; defaults to "
                           "<table_location>/_kdi_checkpoints/<app_id>")
+
+    cur = sub.add_parser(
+        "curate",
+        help="Run the pretraining-corpus curation funnel over a documents table",
+    )
+    cur.add_argument("input", help="Parquet path of a documents-shaped table")
+    cur.add_argument("output", help="Output directory for the curated corpus")
+    cur.add_argument("--id_col", default="doc_id")
+    cur.add_argument("--text_col", default="text")
+    cur.add_argument("--min_quality", type=float, default=0.5,
+                     help="Drop documents scoring below this quality")
+    cur.add_argument("--pii_redact", action="store_true",
+                     help="Redact emails/SSNs/phones/IPv4s before scoring")
+    cur.add_argument("--decontam_benchmark", default=None,
+                     help="Parquet path of benchmark docs to 8-gram-decontaminate against")
+    cur.add_argument("--dedup", choices=["exact", "fuzzy", "none"], default="exact",
+                     help="exact: normalized-text hash dedup; fuzzy: 3-gram "
+                          "Jaccard pairs + connected components + keep-best")
+    cur.add_argument("--train_pct", type=int, default=90,
+                     help="Deterministic md5-bucket train split percentage")
+    cur.add_argument("--report", default=None,
+                     help="Optional parquet path for the corpus-card report")
     return p
 
 
@@ -170,8 +192,82 @@ def options_from_args(args: argparse.Namespace) -> IngestOptions:
     )
 
 
+def run_curate(args: argparse.Namespace) -> int:
+    """The curation funnel as a batch job: (optional PII redaction) →
+    quality filter → (optional benchmark decontamination) → dedup →
+    deterministic split → partitioned parquet + corpus-card report.
+
+    Every stage is the library operator the driver sweep verifies; the
+    CLI just composes them over user-supplied paths. One declarative
+    plan except the fuzzy-dedup connected-components loop.
+    """
+    from pyspark.sql import functions as F
+
+    from kafka_delta_ingest_spark.operators import decontam, dedup, pii
+    from kafka_delta_ingest_spark.operators import text as textops
+    from kafka_delta_ingest_spark.operators.sampling import deterministic_split
+    from kafka_delta_ingest_spark.session import get_spark
+
+    spark = get_spark(app_name="kdi-curate")
+    idc, txc = args.id_col, args.text_col
+    d = spark.read.parquet(args.input)
+    if args.pii_redact:
+        d = d.withColumn(txc, pii.redact(F.col(txc)))
+    d = d.withColumn("quality", textops.quality_score(F.col(txc))).withColumn(
+        "n_tok", textops.token_count(F.col(txc))
+    )
+    d = d.where(F.col("quality") >= args.min_quality)
+    if args.decontam_benchmark:
+        bench = spark.read.parquet(args.decontam_benchmark)
+        bid = "bench_id" if "bench_id" in bench.columns else bench.columns[0]
+        btx = txc if txc in bench.columns else "text"
+        d = decontam.decontaminate(
+            d, bench, n=8, id_col=idc, text_col=txc,
+            bench_id_col=bid, bench_text_col=btx,
+        )
+    if args.dedup == "exact":
+        d = dedup.exact_dedup_normalized(d, txc, idc)
+    elif args.dedup == "fuzzy":
+        pairs = dedup.ngram_jaccard_pairs(
+            d, idc, txc, n=3, threshold=0.2, max_gram_df=1000
+        )
+        clusters = dedup.connected_components(pairs)
+        d = (
+            dedup.canonicalize_clusters(d, clusters, "quality", id_col=idc)
+            .where(F.col("keep") == 1)
+            .drop("cluster_id", "keep")
+        )
+    out = deterministic_split(d, idc, train_pct=args.train_pct)
+    out.write.mode("overwrite").partitionBy("split").parquet(args.output)
+
+    card = (
+        spark.read.parquet(args.output)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(
+                F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_quality"),
+        )
+        .orderBy("split")
+    )
+    if args.report:
+        card.write.mode("overwrite").parquet(args.report)
+    for r in card.collect():
+        print(
+            f"split={r['split']} n_docs={r['n_docs']} "
+            f"total_tokens={r['total_tokens']} avg_quality={r['avg_quality']}"
+        )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.command == "curate":
+        return run_curate(args)
     opts = options_from_args(args)
 
     from kafka_delta_ingest_spark.ingest import IngestJob
