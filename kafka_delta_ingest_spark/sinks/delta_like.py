@@ -1108,7 +1108,31 @@ class DeltaLikeTable:
         )
         live = [os.path.join(self.path, f["path"]) for f in actions]
         if not live:
-            live = [self.path]  # empty table: let Spark infer an empty frame
+            # Zero live files. Never fall back to scanning the table
+            # directory: tombstoned-but-unvacuumed data files still sit
+            # there and a directory read would resurrect their rows
+            # (caught by the model-based fuzz in
+            # tests/test_sink_model_fuzz.py). With a declared schema,
+            # an empty frame is exact; without one (never-written
+            # table) the directory holds no data files, so the listing
+            # read keeps its original "infer empty" behavior.
+            meta0 = snap["metaData"]
+            if meta0:
+                from pyspark.sql.types import StructType as _St
+
+                empty = spark.createDataFrame(
+                    [], _St.fromJson(json.loads(meta0["schemaString"]))
+                )
+                if with_meta:
+                    from pyspark.sql import functions as _F0
+
+                    empty = empty.select(
+                        "*",
+                        _F0.lit(None).cast("string").alias("_dv_path"),
+                        _F0.lit(None).cast("long").alias("_dv_ri"),
+                    )
+                return empty
+            live = [self.path]
         df = (
             spark.read.option("basePath", self.path)
             .option("mergeSchema", "true")

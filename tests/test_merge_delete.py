@@ -125,3 +125,21 @@ def test_delete_where_keeps_null_predicate_rows(spark):
         assert got == {(2, "y"), (3, None), (5, None)}
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_delete_everything_reads_empty(spark, tmp_path):
+    """Deleting every row must leave a readable EMPTY table — the
+    zero-live-files read path must not fall back to a directory scan,
+    which would resurrect tombstoned-but-unvacuumed physical files
+    (minimal case of the model-fuzz falsifying example: optimize →
+    delete-all doubled the row count)."""
+    from pyspark.sql import Row
+
+    t = DeltaLikeTable(str(tmp_path / "t"))
+    t.write_batch(spark.createDataFrame([Row(id=i, val=f"v{i}") for i in range(8)]))
+    t.optimize(spark, target_file_bytes=1 << 20)
+    res = t.delete_where(spark, [("id", "<", 100)])
+    assert not res.skipped
+    empty = t.read(spark)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"id", "val"}  # schema survives
