@@ -87,12 +87,16 @@ def extract_features(
     media_col: str = "media",
     id_col: str = "media_id",
     batch_hint: int = 256,
+    null_on_error: bool = False,
 ) -> DataFrame:
     """(media_id, n_bytes, features[FEATURE_DIM]) via mapInPandas.
 
     Narrow transformation: no shuffle, Arrow-batched, one Python worker
     hop per partition. ``batch_hint`` documents the intended Arrow batch
     row count (set spark.sql.execution.arrow.maxRecordsPerBatch).
+    ``null_on_error=True`` turns per-row decode failures into NULL
+    features (the quarantine-not-crash rule the ingest DLQ applies to
+    undecodable messages) instead of failing the job.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -103,7 +107,13 @@ def extract_features(
             for b in media:
                 raw = bytes(b) if b is not None else b""
                 sizes.append(len(raw))
-                feats.append(decode(raw))
+                if null_on_error:
+                    try:
+                        feats.append(decode(raw))
+                    except Exception:  # noqa: BLE001 — any decode fault
+                        feats.append(None)
+                else:
+                    feats.append(decode(raw))
             yield pd.DataFrame(
                 {"media_id": ids, "n_bytes": sizes, "features": feats}
             )
@@ -199,3 +209,87 @@ def media_from_documents(df: DataFrame, text_col: str = "text", id_col: str = "d
             (F.length(text_col) * 10).cast("long").alias("duration_ms"),
         ).alias("meta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Real decode path for uncompressed formats (pure numpy — no media libs)
+# ---------------------------------------------------------------------------
+#
+# The stub seam above exists because codec formats (JPEG/MP3/H.264) need
+# native libraries this runtime lacks. Uncompressed container formats do
+# NOT: binary PPM (P6) is a full image format numpy can parse outright,
+# so the decode → feature-extract → resize path below is REAL end to end
+# — same mapInPandas plumbing, an actual pixel-space kernel inside.
+
+
+def encode_ppm(arr) -> bytes:
+    """uint8 (h, w, 3) array → binary PPM (P6) bytes."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, c = a.shape
+    if c != 3:
+        raise ValueError("PPM is RGB: expected (h, w, 3)")
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def decode_ppm(b: bytes):
+    """Binary PPM (P6) bytes → uint8 (h, w, 3) numpy array.
+
+    Raises ValueError on anything that is not a well-formed P6 — the
+    caller routes such rows to the DLQ-style null features, mirroring
+    how a PIL decode failure would be handled."""
+    import numpy as np
+
+    if not b.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    # Header: magic, width, height, maxval — whitespace/comment delimited.
+    fields, pos = [], 2
+    while len(fields) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(b) and b[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(b[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    need = w * h * 3
+    data = np.frombuffer(b, dtype=np.uint8, count=need, offset=pos)
+    if data.size != need:
+        raise ValueError("truncated PPM payload")
+    return data.reshape(h, w, 3)
+
+
+def ppm_features(b: bytes) -> list[float]:
+    """Real image features from a P6 payload: dimensions, per-channel
+    mean/std, luma stats, and an 8-bin luma histogram — FEATURE_DIM
+    floats, computed in pixel space (not a byte hash)."""
+    import numpy as np
+
+    a = decode_ppm(b).astype(np.float64)
+    h, w, _ = a.shape
+    means = a.reshape(-1, 3).mean(axis=0)
+    stds = a.reshape(-1, 3).std(axis=0)
+    luma = a @ np.array([0.299, 0.587, 0.114])
+    hist, _ = np.histogram(luma, bins=8, range=(0.0, 255.0))
+    hist = hist / luma.size
+    out = [float(w), float(h), *means, *stds, float(luma.mean()), *hist]
+    return [float(x) for x in out[:FEATURE_DIM]]
+
+
+def ppm_resize(b: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor resize in pixel space; returns new P6 bytes."""
+    import numpy as np
+
+    a = decode_ppm(b)
+    h, w, _ = a.shape
+    ys = np.minimum((np.arange(height) * (h / height)).astype(int), h - 1)
+    xs = np.minimum((np.arange(width) * (w / width)).astype(int), w - 1)
+    return encode_ppm(a[ys][:, xs])
