@@ -72,6 +72,14 @@ class ConcurrentDeleteDelete(CommitConflict):
     snapshot and recompute."""
 
 
+class ConstraintViolation(RuntimeError):
+    """A write contained rows failing a table CHECK constraint.
+
+    Mirrors Delta's InvariantViolationException: the whole transaction
+    fails — no partial data lands. SQL CHECK semantics: a row violates
+    only when the expression is FALSE; NULL/UNKNOWN satisfies."""
+
+
 @dataclass
 class CommitResult:
     version: int
@@ -327,10 +335,110 @@ class DeltaLikeTable:
                     "metaData": {
                         "schemaString": schema.json(),
                         "partitionColumns": partition_by or [],
+                        # Preserve table configuration (CHECK constraints
+                        # live under delta.constraints.*) across schema
+                        # evolution — a metaData action REPLACES state.
+                        "configuration": (
+                            (self.snapshot()["metaData"] or {}).get(
+                                "configuration", {}
+                            )
+                        ),
                     }
                 },
             ]
         )
+
+    # -- CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT parity) -------
+
+    def constraints(self, snap: dict | None = None) -> dict[str, str]:
+        """name → SQL expression, from the metaData configuration under
+        Delta's own key convention (``delta.constraints.<name>``)."""
+        meta = (snap or self.snapshot())["metaData"]
+        cfg = (meta or {}).get("configuration", {})
+        prefix = "delta.constraints."
+        return {
+            k[len(prefix):]: v for k, v in cfg.items() if k.startswith(prefix)
+        }
+
+    def add_constraint(self, spark: SparkSession, name: str, expr: str) -> int:
+        """ALTER TABLE ADD CONSTRAINT <name> CHECK (<expr>).
+
+        Existing rows are validated first (Delta scans the table before
+        accepting a constraint); a violating table rejects the DDL."""
+        snap = self.snapshot()
+        meta = snap["metaData"]
+        if meta is None:
+            raise ValueError("table has no schema yet")
+        if name in self.constraints(snap):
+            raise ValueError(f"constraint {name!r} already exists")
+        from pyspark.sql import functions as _F
+
+        existing = self._frame_for(spark, snap, self._live_files(snap))
+        n_bad = existing.filter(
+            ~_F.coalesce(_F.expr(expr), _F.lit(True))
+        ).count()
+        if n_bad:
+            raise ConstraintViolation(
+                f"cannot add constraint {name!r}: {n_bad} existing row(s) "
+                f"violate CHECK ({expr})"
+            )
+        cfg = dict((meta.get("configuration") or {}))
+        cfg[f"delta.constraints.{name}"] = expr
+        return self._commit_meta_config(meta, cfg, f"ADD CONSTRAINT {name}")
+
+    def drop_constraint(self, name: str) -> int:
+        snap = self.snapshot()
+        meta = snap["metaData"]
+        key = f"delta.constraints.{name}"
+        if meta is None or key not in (meta.get("configuration") or {}):
+            raise ValueError(f"no such constraint: {name!r}")
+        cfg = dict(meta["configuration"])
+        del cfg[key]
+        return self._commit_meta_config(meta, cfg, f"DROP CONSTRAINT {name}")
+
+    def _commit_meta_config(self, meta: dict, cfg: dict, operation: str) -> int:
+        return self._commit(
+            [
+                {
+                    "commitInfo": {
+                        "operation": operation,
+                        "timestamp": int(time.time() * 1000),
+                    }
+                },
+                {
+                    "metaData": {
+                        "schemaString": meta["schemaString"],
+                        "partitionColumns": meta.get("partitionColumns", []),
+                        "configuration": cfg,
+                    }
+                },
+            ]
+        )
+
+    def _enforce_constraints(self, df: DataFrame, snap: dict) -> None:
+        """Fail the transaction if any incoming row violates a CHECK
+        constraint (expression FALSE; NULL satisfies). One aggregate
+        pass counts every constraint's violations together."""
+        cons = self.constraints(snap)
+        if not cons:
+            return
+        from pyspark.sql import functions as _F
+
+        counts = df.agg(
+            *[
+                _F.sum(
+                    (~_F.coalesce(_F.expr(e), _F.lit(True))).cast("long")
+                ).alias(n)
+                for n, e in cons.items()
+            ]
+        ).collect()[0]
+        bad = {n: counts[n] for n in cons if (counts[n] or 0) > 0}
+        if bad:
+            detail = "; ".join(
+                f"{n}: {c} row(s) violate CHECK ({cons[n]})"
+                for n, c in bad.items()
+            )
+            raise ConstraintViolation(detail)
 
     # -- write path --------------------------------------------------------
 
@@ -357,6 +465,7 @@ class DeltaLikeTable:
                 app in stored and stored[app] >= ver for app, ver in txn.items()
             ):
                 return CommitResult(snap["version"], 0, 0, skipped=True)
+        self._enforce_constraints(df, snap)
 
         staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
         writer = df.write.mode("overwrite")
@@ -914,6 +1023,10 @@ class DeltaLikeTable:
         ``read_version`` is the snapshot version the rewrite was derived
         from; commits racing past it with an overlapping remove raise
         :class:`ConcurrentDeleteDelete` instead of resurrecting rows."""
+        if operation == "MERGE":
+            # MERGE introduces/updates rows; CHECK constraints apply to
+            # them (DELETE/OPTIMIZE only re-shuffle already-valid rows).
+            self._enforce_constraints(df, self.snapshot())
         staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
         writer = df.write.mode("overwrite")
         if partition_by:
