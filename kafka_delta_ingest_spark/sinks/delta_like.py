@@ -415,6 +415,73 @@ class DeltaLikeTable:
             ]
         )
 
+    def generated_columns(self, snap: dict | None = None) -> dict[str, str]:
+        """column → generation expression (Delta generated-column
+        analog; stored under ``kdi.generated.<col>`` configuration
+        keys — real Delta tucks the expression into schema-field
+        metadata, same contract)."""
+        meta = (snap or self.snapshot())["metaData"]
+        cfg = (meta or {}).get("configuration", {})
+        prefix = "kdi.generated."
+        return {
+            k[len(prefix):]: v for k, v in cfg.items() if k.startswith(prefix)
+        }
+
+    def set_generated_column(self, name: str, expr: str) -> int:
+        """Declare ``name`` as GENERATED ALWAYS AS (<expr>).
+
+        Writers may omit the column (it is computed in-flight, the
+        classic derived-date-partition pattern) or supply it — in which
+        case the supplied value must equal the expression, enforced
+        like a CHECK constraint."""
+        snap = self.snapshot()
+        meta = snap["metaData"]
+        if meta is None:
+            raise ValueError("table has no schema yet")
+        cfg = dict((meta.get("configuration") or {}))
+        cfg[f"kdi.generated.{name}"] = expr
+        return self._commit_meta_config(
+            meta, cfg, f"SET GENERATED COLUMN {name}"
+        )
+
+    def _apply_generated(self, df: DataFrame, snap: dict) -> DataFrame:
+        """Compute missing generated columns; validate supplied ones."""
+        gen = self.generated_columns(snap)
+        if not gen:
+            return df
+        from pyspark.sql import functions as _F
+
+        checks = {}
+        for name, expr in gen.items():
+            if name in df.columns:
+                checks[f"generated column {name}"] = (
+                    f"({name}) <=> ({expr})"  # null-safe equality
+                )
+            else:
+                df = df.withColumn(name, _F.expr(expr))
+        if checks:
+            counts = df.agg(
+                *[
+                    _F.sum(
+                        (~_F.expr(e)).cast("long")
+                    ).alias(str(i))
+                    for i, e in enumerate(checks.values())
+                ]
+            ).collect()[0]
+            names = list(checks)
+            bad = {
+                names[i]: counts[str(i)]
+                for i in range(len(names))
+                if (counts[str(i)] or 0) > 0
+            }
+            if bad:
+                detail = "; ".join(
+                    f"{n}: {c} supplied row(s) differ from the generation "
+                    f"expression" for n, c in bad.items()
+                )
+                raise ConstraintViolation(detail)
+        return df
+
     def _enforce_constraints(self, df: DataFrame, snap: dict) -> None:
         """Fail the transaction if any incoming row violates a CHECK
         constraint (expression FALSE; NULL satisfies). One aggregate
@@ -465,6 +532,7 @@ class DeltaLikeTable:
                 app in stored and stored[app] >= ver for app, ver in txn.items()
             ):
                 return CommitResult(snap["version"], 0, 0, skipped=True)
+        df = self._apply_generated(df, snap)
         self._enforce_constraints(df, snap)
 
         staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")

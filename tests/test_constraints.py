@@ -91,3 +91,50 @@ def test_constraint_survives_schema_evolution(spark, tmp_path):
     assert t.constraints() == {"qty_positive": "qty > 0"}
     with pytest.raises(ConstraintViolation):
         t.write_batch(spark.createDataFrame([Row(id=9, qty=-2, note="x")]))
+
+
+def test_generated_column_computed_when_missing(spark, tmp_path):
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    t = DeltaLikeTable(str(tmp_path / "t"))
+    t.write_batch(
+        spark.createDataFrame(
+            [Row(id=1, ts="2024-03-01T10:00:00", date="2024-03-01")]
+        )
+    )
+    t.set_generated_column("date", "substring(ts, 1, 10)")
+    # Writer omits the column -> computed in-flight.
+    sch = StructType(
+        [StructField("id", LongType()), StructField("ts", StringType())]
+    )
+    t.write_batch(spark.createDataFrame([(2, "2024-04-15T09:30:00")], sch))
+    got = {r.id: r.date for r in t.read(spark).collect()}
+    assert got[2] == "2024-04-15"
+
+
+def test_generated_column_validates_supplied_values(spark, tmp_path):
+    t = DeltaLikeTable(str(tmp_path / "t"))
+    t.write_batch(
+        spark.createDataFrame(
+            [Row(id=1, ts="2024-03-01T10:00:00", date="2024-03-01")]
+        )
+    )
+    t.set_generated_column("date", "substring(ts, 1, 10)")
+    with pytest.raises(ConstraintViolation, match="generated column date"):
+        t.write_batch(
+            spark.createDataFrame(
+                [Row(id=3, ts="2024-05-01T00:00:00", date="1999-01-01")]
+            )
+        )
+    # Correctly supplied values pass.
+    t.write_batch(
+        spark.createDataFrame(
+            [Row(id=4, ts="2024-05-01T00:00:00", date="2024-05-01")]
+        )
+    )
+    assert t.read(spark).count() == 2
