@@ -3464,6 +3464,66 @@ def q20_volume_suppliers(spark, sf_dir):
 
 
 @_q(
+    "q21_waiting_suppliers",
+    """
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND n_name = 'NATION_3'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (the hardest decorrelation case: correlated
+    EXISTS + NOT EXISTS over the same fact table), with returnflag='R'
+    standing in for the synthetic schema's missing receipt/commit
+    dates. Both subqueries decorrelate into ONE aggregation pass over
+    lineitem — per order: distinct suppliers and distinct 'late'
+    suppliers; a row qualifies iff n_supp >= 2 (EXISTS: someone else
+    shipped) and n_late_supp = 1 (NOT EXISTS: nobody else was late,
+    and l1 itself is late). At 100 TB that is one map-side-combined
+    groupBy on the order key instead of two correlated self-joins;
+    supplier and nation broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    late = F.col("l_returnflag") == "R"
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        li.filter(late)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@_q(
     "q22_idle_customers",
     """
     SELECT n_name,
@@ -3639,6 +3699,67 @@ def text_chunk_sliding(spark, sf_dir):
     return textops.chunk_sliding(
         load_table(spark, sf_dir, "documents"), chunk_tokens=128, stride=96
     )
+
+
+@_q(
+    "text_gopher_quality",
+    r"""
+    WITH g AS (
+      SELECT doc_id,
+        CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+             ELSE string_split_regex(trim(text), '\s+') END AS toks,
+        CASE WHEN len(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+             ELSE string_split_regex(trim(lower(text)), '\s+') END AS tokl,
+        string_split(text, chr(10)) AS lines,
+        len(text) - len(replace(text, '#', '')) AS hash_chars,
+        text
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+        len(toks) AS n_words,
+        CASE WHEN len(toks) = 0 THEN 0.0
+             ELSE CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+                  / len(toks) END AS mtl,
+        len(list_filter(lines, ln -> ends_with(rtrim(ln), '...'))) AS ell,
+        len(list_filter(lines, ln -> regexp_matches(ltrim(ln), '^[-*•]'))) AS bul,
+        len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS alpha,
+        len(lines) AS n_lines,
+        hash_chars,
+        (CASE WHEN list_contains(tokl, 'the') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(tokl, 'be') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(tokl, 'to') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(tokl, 'of') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(tokl, 'and') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(tokl, 'that') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(tokl, 'have') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(tokl, 'with') THEN 1 ELSE 0 END) AS stop_hits
+      FROM g
+    )
+    SELECT doc_id,
+      (n_words >= 50 AND n_words <= 100000) AS word_count_ok,
+      (mtl >= 3.0 AND mtl <= 10.0) AS mean_word_len_ok,
+      (CAST(hash_chars AS DOUBLE) / greatest(n_words, 1) <= 0.1) AS hash_ratio_ok,
+      (CAST(ell AS DOUBLE) / greatest(n_lines, 1) <= 0.3) AS ellipsis_line_ratio_ok,
+      (CAST(bul AS DOUBLE) / greatest(n_lines, 1) <= 0.9) AS bullet_line_ratio_ok,
+      (CAST(alpha AS DOUBLE) / greatest(n_words, 1) >= 0.8) AS alpha_word_ratio_ok,
+      (stop_hits >= 2) AS stopword_ok,
+      ((n_words >= 50 AND n_words <= 100000)
+       AND (mtl >= 3.0 AND mtl <= 10.0)
+       AND (CAST(hash_chars AS DOUBLE) / greatest(n_words, 1) <= 0.1)
+       AND (CAST(ell AS DOUBLE) / greatest(n_lines, 1) <= 0.3)
+       AND (CAST(bul AS DOUBLE) / greatest(n_lines, 1) <= 0.9)
+       AND (CAST(alpha AS DOUBLE) / greatest(n_words, 1) >= 0.8)
+       AND (stop_hits >= 2)) AS gopher_keep
+    FROM m
+    """,
+)
+def text_gopher_quality(spark, sf_dir):
+    """The Gopher quality-rule battery (Rae et al. 2021 A1.1): word
+    count band, mean word length band, '#' symbol ratio, ellipsis- and
+    bullet-line ratios, alphabetic-word fraction, stopword presence —
+    each rule a pure expression over one tokenize/line-split pass, all
+    seven decisions verified per document against the oracle."""
+    return textops.gopher_quality(load_table(spark, sf_dir, "documents"))
 
 
 @_q(
@@ -3913,7 +4034,7 @@ _SWEEP_ORDER: list[str] = [
     "text_chunk_sliding",
     "text_profile",
     "text_repetition_profile",
-    "text_top_ngrams",
+    "text_gopher_quality",
     "text_bpe_pair_census",
     "text_dsir_weights",
     "text_tfidf_top_terms",
@@ -3945,7 +4066,8 @@ _SWEEP_ORDER: list[str] = [
     "pipeline_fuzzy_curation",
     # --- tail: the remaining relational/window/agg/set/scan/event
     # queries plus the rows-only sketch audits, cheapest-first.
-    # tools/check_oracle.py verifies all 99 regardless of any cap.
+    # tools/check_oracle.py verifies the full set regardless of any cap.
+    "text_top_ngrams",
     "scan_filter_project",
     "scan_variant_props",
     "events_tumbling_counts",
@@ -3988,6 +4110,7 @@ _SWEEP_ORDER: list[str] = [
     "events_funnel",
     "q3_shipping_priority",
     "q22_idle_customers",
+    "q21_waiting_suppliers",
     "q18_large_orders",
     "q10_returned_items",
     "text_fingerprint_rolling",

@@ -77,6 +77,7 @@ HEADLINE = [
     "text_chunk_sliding",
     "text_bpe_pair_census",
     "corpus_card",
+    "text_gopher_quality",
 ]
 
 

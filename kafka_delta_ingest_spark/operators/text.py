@@ -343,3 +343,70 @@ def chunk_sliding(
             F.concat_ws(" ", chunk).alias("chunk_text"),
         )
     )
+
+
+# Gopher quality rules (Rae et al. 2021, appendix A1.1) — the canonical
+# heuristic filter battery for web-scale pretraining corpora. Every rule
+# is a pure expression over one tokenize/line-split pass, and each is
+# deliberately SQL-expressible so the DuckDB oracle verifies the exact
+# per-document rule decisions.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    col: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> dict[str, Column]:
+    """Per-rule boolean columns; True = the document PASSES the rule."""
+    toks = tokens(col)
+    n_words = F.size(toks)
+    mtl = mean_token_len(col)
+    lines = F.split(col, "\n")
+    n_lines = F.size(lines)
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda ln: F.rtrim(ln).endswith("..."))
+    )
+    bullet_lines = F.size(
+        F.filter(lines, lambda ln: F.ltrim(ln).rlike("^[-*•]"))
+    )
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    hash_chars = F.length(col) - F.length(F.regexp_replace(col, "#", ""))
+    low = F.lower(col)
+    stop_hits = sum(
+        (
+            F.when(
+                F.array_contains(tokens(low), w), F.lit(1)
+            ).otherwise(F.lit(0))
+            for w in GOPHER_STOPWORDS
+        ),
+        F.lit(0),
+    )
+    nz = F.greatest(n_words, F.lit(1))
+    nzl = F.greatest(n_lines, F.lit(1))
+    return {
+        "word_count_ok": (n_words >= min_words) & (n_words <= max_words),
+        "mean_word_len_ok": (mtl >= 3.0) & (mtl <= 10.0),
+        "hash_ratio_ok": hash_chars.cast("double") / nz <= 0.1,
+        "ellipsis_line_ratio_ok": ellipsis_lines.cast("double") / nzl <= 0.3,
+        "bullet_line_ratio_ok": bullet_lines.cast("double") / nzl <= 0.9,
+        "alpha_word_ratio_ok": alpha_words.cast("double") / nz >= 0.8,
+        "stopword_ok": stop_hits >= 2,
+    }
+
+
+def gopher_quality(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, <rule flags...>, gopher_keep) — keep iff every rule passes."""
+    from kafka_delta_ingest_spark.operators.util import spread
+
+    rules = gopher_rules(F.col(text_col))
+    keep = None
+    for c in rules.values():
+        keep = c if keep is None else (keep & c)
+    return spread(df).select(
+        F.col(id_col),
+        *[c.alias(n) for n, c in rules.items()],
+        keep.alias("gopher_keep"),
+    )

@@ -893,3 +893,35 @@ def test_semdedup_drops_higher_id_near_identical(spark):
     df = spark.createDataFrame(rows)
     got = {r.vec_id: r.kept for r in semdedup(df, threshold=0.99).collect()}
     assert got == {0: True, 1: False, 2: False, 3: True, 10: True}
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    """One crafted document per rule: exactly that rule fails."""
+    from kafka_delta_ingest_spark.operators.text import gopher_quality
+
+    good = (
+        "The quick brown fox jumps over the lazy dog and runs away with "
+        "great speed because it must have been chased by loud hunters. "
+    ) * 3  # ~66 words, all rules pass
+    docs = {
+        0: good,
+        1: "The dog and that cat have fun with all of it",  # < 50 words
+        2: good + " ##########" * 20,  # hash ratio
+        3: good + ("\nwait for it...\n" * 40),  # ellipsis lines
+        4: good + " " + " ".join(["z" * 60] * 30),  # mean word len
+        5: good + " " + " ".join(["123456"] * 40),  # alpha-word ratio
+        6: " ".join(["lorem", "ipsum", "dolor", "sit", "amet"] * 12),  # stopwords
+    }
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in docs.items()]
+    )
+    got = {r.doc_id: r.asDict() for r in gopher_quality(df).collect()}
+    assert got[0]["gopher_keep"] is True
+    assert got[1]["word_count_ok"] is False
+    assert got[2]["hash_ratio_ok"] is False
+    assert got[3]["ellipsis_line_ratio_ok"] is False
+    assert got[4]["mean_word_len_ok"] is False
+    assert got[5]["alpha_word_ratio_ok"] is False
+    assert got[6]["stopword_ok"] is False
+    for i in range(1, 7):
+        assert got[i]["gopher_keep"] is False, i
