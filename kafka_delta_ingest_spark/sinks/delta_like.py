@@ -847,7 +847,8 @@ class DeltaLikeTable:
         reclaimed horizon fails — the same trade Delta documents.
         Returns the deleted relative paths.
         """
-        live = {f["path"] for f in self._live_files()}
+        live_actions = self._live_files()
+        live = {f["path"] for f in live_actions}
         cutoff = time.time() - retention_ms / 1000.0
         deleted: list[str] = []
         for root, dirs, names in os.walk(self.path):
@@ -863,6 +864,28 @@ class DeltaLikeTable:
                 try:
                     if os.path.getmtime(full) <= cutoff:
                         os.remove(full)
+                        deleted.append(rel)
+                except FileNotFoundError:
+                    pass
+        # Deletion-vector sidecars: a sidecar directory is reclaimable
+        # once no LIVE add references it (e.g. OPTIMIZE materialized the
+        # vector away) and it has aged past retention — same horizon
+        # rule as data files, so recent-snapshot readers keep working.
+        referenced = {
+            f["deletionVector"]["storagePath"]
+            for f in live_actions
+            if f.get("deletionVector")
+        }
+        dv_root = os.path.join(self.path, "_kdi_dv")
+        if os.path.isdir(dv_root):
+            for name in os.listdir(dv_root):
+                rel = os.path.join("_kdi_dv", name)
+                full = os.path.join(dv_root, name)
+                if rel in referenced:
+                    continue
+                try:
+                    if os.path.getmtime(full) <= cutoff:
+                        shutil.rmtree(full, ignore_errors=True)
                         deleted.append(rel)
                 except FileNotFoundError:
                     pass

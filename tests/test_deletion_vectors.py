@@ -130,3 +130,22 @@ def test_merge_reads_logical_rows_after_dv(spark, tmp_path):
     assert back.filter(F.col("id") == 2).count() == 1
     assert back.filter(F.col("id") == 2).collect()[0].val == "resurrect?"
     assert back.count() == 16
+
+
+def test_vacuum_reclaims_unreferenced_dv_sidecars(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.delete_where(spark, [("id", "<", 5)], dv=True)
+    dv_dir = os.path.join(t.path, "_kdi_dv")
+    assert len(os.listdir(dv_dir)) == 1
+
+    # Still referenced: vacuum must NOT touch it even with retention 0.
+    assert t.vacuum(retention_ms=0) is not None
+    assert len(os.listdir(dv_dir)) == 1
+    assert t.read(spark).count() == 15
+
+    # OPTIMIZE materializes the vector away -> sidecar unreferenced.
+    t.optimize(spark)
+    gone = t.vacuum(retention_ms=0)
+    assert any(p.startswith("_kdi_dv") for p in gone)
+    assert os.listdir(dv_dir) == []
+    assert t.read(spark).count() == 15
