@@ -127,6 +127,27 @@ def main() -> None:
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
+    # Like-for-like subtotal over the queries that were already in the
+    # round-2 headline set: the grand total grows as operators land
+    # (r2: 35 queries, now 50), so cross-round comparisons should use
+    # this stable-key subtotal, not the grand total.
+    r2_keys = [
+        "ingest_message_path", "ingest_dlq_split", "q1_pricing_summary",
+        "q3_shipping_priority", "q5_local_supplier_volume",
+        "q10_returned_items", "win_top_orders_per_customer",
+        "agg_rollup_orders", "events_sessionize", "events_tumbling_counts",
+        "text_profile", "dedup_exact", "dedup_minhash_pairs",
+        "dedup_simhash_pairs", "dedup_ngram_jaccard", "sim_cosine_topk",
+        "sim_ivf_topk", "sim_lsh_topk", "events_asof_join",
+        "events_range_join", "events_interval_join", "q9_nation_year_profit",
+        "q18_large_orders", "q19_disjunctive_revenue", "q7_volume_shipping",
+        "q13_customer_distribution", "q17_small_quantity_revenue",
+        "q2_min_cost_supplier", "stream_offset_dedup",
+        "embedding_neardup_lsh", "multimodal_features",
+        "text_repetition_profile", "win_moving_avg_range",
+        "agg_approx_distinct", "dedup_clusters_cc",
+    ]
+    shared_r2 = round(sum(times[k] for k in r2_keys if k in times), 3)
     print(
         json.dumps(
             {
@@ -135,6 +156,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "n_queries": len(times),
+                "shared_r2_subtotal": shared_r2,
             }
         )
     )

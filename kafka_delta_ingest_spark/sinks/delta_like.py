@@ -954,6 +954,28 @@ class DeltaLikeTable:
             read_version=snap["version"],
         )
 
+    def delete_where_with_retry(
+        self,
+        spark: SparkSession,
+        predicates: list[tuple],
+        dv: bool = False,
+        max_retries: int = 10,
+    ) -> CommitResult:
+        """``delete_where`` wrapped in the reference's conflict loop
+        (src/lib.rs:966-1024: recompute from a fresh snapshot and retry
+        on version conflict, bounded attempts): a racing rewrite raises
+        ConcurrentDeleteDelete inside; this re-reads and re-derives the
+        delete until it lands or the budget runs out."""
+        last: Exception | None = None
+        for _ in range(max_retries):
+            try:
+                return self.delete_where(spark, predicates, dv=dv)
+            except ConcurrentDeleteDelete as ex:
+                last = ex
+        raise CommitConflict(
+            f"delete_where lost {max_retries} conflict races"
+        ) from last
+
     def delete_where(
         self, spark: SparkSession, predicates: list[tuple], dv: bool = False
     ) -> CommitResult:

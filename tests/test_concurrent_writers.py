@@ -175,3 +175,30 @@ def test_append_does_not_conflict_with_delete(spark):
         assert ids == list(range(10, 50)) + list(range(100, 110))
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_delete_retry_recomputes_after_conflict(spark, tmp_path):
+    """Two DV deletes race from the same snapshot: the loser's retry
+    re-reads the fresh snapshot, recomputes against the winner's state,
+    and lands — the reference's bounded conflict loop
+    (src/lib.rs:966-1024) on the rewrite path."""
+    from pyspark.sql import Row
+
+    from kafka_delta_ingest_spark.sinks.delta_like import DeltaLikeTable
+
+    t = DeltaLikeTable(str(tmp_path / "t"))
+    t.write_batch(
+        spark.createDataFrame(
+            [Row(id=i, val=f"v{i}") for i in range(20)]
+        ).repartition(2)
+    )
+
+    # Writer A lands a DV delete first (simulating the race winner).
+    t.delete_where(spark, [("id", "<", 3)], dv=True)
+    # Writer B, retry-wrapped, derives from the CURRENT snapshot inside
+    # the loop and must succeed without manual recomputation.
+    res = t.delete_where_with_retry(spark, [("id", ">=", 15)], dv=True)
+    assert not res.skipped
+    back = t.read(spark)
+    assert back.count() == 12
+    assert back.filter("id < 3 OR id >= 15").count() == 0
