@@ -3965,6 +3965,91 @@ def sim_semdedup(spark, sf_dir):
 
 
 @_q(
+    "sim_ivfpq_topk",
+    """
+    WITH e AS (
+      SELECT vec_id,
+        list_transform(CAST(embedding AS DOUBLE[]),
+          x -> x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), y -> y*y)))) AS v
+      FROM embeddings
+    ), coarse AS (
+      SELECT vec_id AS cell_id, v AS cellv FROM e WHERE vec_id % 25 = 0
+    ), assigned AS (
+      SELECT vec_id AS neighbor_id, cell FROM (
+        SELECT e.vec_id, coarse.cell_id AS cell,
+          row_number() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY list_sum(list_transform(list_zip(e.v, cellv), p -> p[1]*p[2])) DESC,
+              cell_id ASC) AS r
+        FROM e CROSS JOIN coarse
+      ) WHERE r = 1
+    ), probes AS (
+      SELECT query_id, cell FROM (
+        SELECT e.vec_id AS query_id, coarse.cell_id AS cell,
+          row_number() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY list_sum(list_transform(list_zip(e.v, cellv), p -> p[1]*p[2])) DESC,
+              cell_id ASC) AS r
+        FROM e CROSS JOIN coarse WHERE e.vec_id % 100 = 0
+      ) WHERE r <= 3
+    ), piv AS (
+      SELECT vec_id AS cent_id, v FROM e WHERE vec_id % 10 = 0
+    ), js AS (
+      SELECT unnest(generate_series(0, 7)) AS j
+    ), csub AS (
+      SELECT e.vec_id AS neighbor_id, j, v[j*8+1 : j*8+8] AS sv FROM e CROSS JOIN js
+    ), psub AS (
+      SELECT cent_id, j, v[j*8+1 : j*8+8] AS cv FROM piv CROSS JOIN js
+    ), codes AS (
+      SELECT neighbor_id, j, cent_id AS code FROM (
+        SELECT c.neighbor_id, c.j, p.cent_id,
+          row_number() OVER (PARTITION BY c.neighbor_id, c.j ORDER BY
+            list_sum(list_transform(list_zip(c.sv, p.cv),
+                                    t -> (t[1]-t[2])*(t[1]-t[2]))) ASC,
+            p.cent_id ASC) AS r
+        FROM csub c JOIN psub p USING (j)
+      ) WHERE r = 1
+    ), qsub AS (
+      SELECT vec_id AS query_id, j, v[j*8+1 : j*8+8] AS sv
+      FROM e CROSS JOIN js WHERE vec_id % 100 = 0
+    ), qd AS (
+      SELECT query_id, q.j, p.cent_id AS code,
+        list_sum(list_transform(list_zip(q.sv, p.cv),
+                                t -> (t[1]-t[2])*(t[1]-t[2]))) AS d
+      FROM qsub q JOIN psub p USING (j)
+    ), cand AS (
+      SELECT probes.query_id, assigned.neighbor_id
+      FROM assigned JOIN probes USING (cell)
+    ), scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+        CAST(SUM(CAST(d AS DECIMAL(26,12))) AS DOUBLE) AS approx_d
+      FROM cand
+      JOIN codes USING (neighbor_id)
+      JOIN qd ON qd.query_id = cand.query_id
+             AND qd.j = codes.j AND qd.code = codes.code
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, round(approx_d, 6) AS approx_d,
+      CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY approx_d ASC, neighbor_id) AS INT) AS rank
+    FROM scored QUALIFY rank <= 10
+    """,
+)
+def sim_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composite (FAISS IVFPQ layout): 3-probe coarse cells
+    restrict the candidate set, 8-subspace PQ codes score inside via
+    broadcast ADC tables — cell machinery from ivf_topk composed with
+    code machinery from pq_topk, replicated stage-for-stage by the
+    oracle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return similarity.ivfpq_topk(
+        e, q, k=10, dim=64, m=8, centroid_mod=10, coarse_mod=25,
+        n_probe=3, query_id="vec_id",
+    )
+
+
+@_q(
     "events_funnel",
     """
     WITH s1 AS (
@@ -4048,9 +4133,9 @@ _SWEEP_ORDER: list[str] = [
     "sim_ivf_topk",
     "sim_lsh_topk",
     "sim_semdedup",
-    "embedding_neardup_exact",
     "embedding_neardup_lsh",
     "sim_pq_topk",
+    "sim_ivfpq_topk",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_clusters_cc",
@@ -4067,6 +4152,7 @@ _SWEEP_ORDER: list[str] = [
     # --- tail: the remaining relational/window/agg/set/scan/event
     # queries plus the rows-only sketch audits, cheapest-first.
     # tools/check_oracle.py verifies the full set regardless of any cap.
+    "embedding_neardup_exact",
     "text_top_ngrams",
     "scan_filter_project",
     "scan_variant_props",

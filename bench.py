@@ -78,6 +78,7 @@ HEADLINE = [
     "text_bpe_pair_census",
     "corpus_card",
     "text_gopher_quality",
+    "sim_ivfpq_topk",
 ]
 
 

@@ -591,3 +591,149 @@ def semdedup(
             F.col("_drop").isNull().alias("kept"),
         )
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    m: int = 8,
+    centroid_mod: int = 10,
+    coarse_mod: int = 25,
+    n_probe: int = 3,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ composite index (the FAISS IVFPQ layout, Jegou et al.):
+    coarse cells restrict WHICH vectors each query scores (``n_probe``
+    nearest cells), PQ codes give the compressed ADC scoring INSIDE the
+    probed cells. The two halves are exactly ``ivf_topk``'s cell
+    machinery and ``pq_topk``'s code machinery composed; codes encode
+    the raw unit vector (residual encoding plugs into the same plan).
+
+    Scale shape: coarse centroids, probe lists, per-query ADC tables
+    all broadcast; the corpus never shuffles for assignment or
+    encoding; the candidate restriction happens BEFORE the m-fold code
+    expansion, so ADC work is |query|·n_probe·cell-size·m, not
+    corpus-sized.
+    """
+    assert dim % m == 0
+    sub_dim = dim // m
+
+    def unit(col: Column) -> Column:
+        n = l2_norm(col)
+        return F.transform(col, lambda x: x / n)
+
+    from kafka_delta_ingest_spark.operators.util import spread
+
+    js = F.sequence(F.lit(0), F.lit(m - 1))
+
+    def subspaces(vcol: Column) -> Column:
+        return F.explode(
+            F.transform(
+                js,
+                lambda j: F.struct(
+                    j.cast("int").alias("j"),
+                    F.slice(vcol, j * sub_dim + 1, sub_dim).alias("sv"),
+                ),
+            )
+        )
+
+    def l2sq(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    cvecs = spread(corpus).select(
+        F.col(corpus_id).alias("neighbor_id"),
+        unit(_as_double(F.col(corpus_vec))).alias("_v"),
+    )
+    qvecs = queries.select(
+        F.col(query_id).alias("query_id"),
+        unit(_as_double(F.col(query_vec))).alias("_qv"),
+    )
+    coarse = corpus.filter(F.col(corpus_id) % coarse_mod == 0).select(
+        F.col(corpus_id).alias("cell_id"),
+        unit(_as_double(F.col(corpus_vec))).alias("_cell"),
+    )
+    aw = Window.partitionBy("neighbor_id").orderBy(
+        dot(F.col("_v"), F.col("_cell")).desc(), F.col("cell_id").asc()
+    )
+    assigned = (
+        cvecs.crossJoin(broadcast(coarse))
+        .withColumn("_r", F.row_number().over(aw))
+        .filter(F.col("_r") == 1)
+        .select("neighbor_id", F.col("cell_id").alias("cell"))
+    )
+    qw = Window.partitionBy("query_id").orderBy(
+        dot(F.col("_qv"), F.col("_cell")).desc(), F.col("cell_id").asc()
+    )
+    probes = (
+        qvecs.crossJoin(broadcast(coarse))
+        .withColumn("_r", F.row_number().over(qw))
+        .filter(F.col("_r") <= n_probe)
+        .select("query_id", F.col("cell_id").alias("cell"))
+    )
+
+    piv_sub = (
+        corpus.filter(F.col(corpus_id) % centroid_mod == 0)
+        .select(
+            F.col(corpus_id).alias("cent_id"),
+            subspaces(unit(_as_double(F.col(corpus_vec)))).alias("s"),
+        )
+        .select("cent_id", "s.j", F.col("s.sv").alias("cv"))
+    )
+    corpus_sub = cvecs.select(
+        "neighbor_id", subspaces(F.col("_v")).alias("s")
+    ).select("neighbor_id", "s.j", "s.sv")
+    codes = (
+        corpus_sub.join(broadcast(piv_sub), on="j")
+        .withColumn("_d", l2sq(F.col("sv"), F.col("cv")))
+        .groupBy("neighbor_id", "j")
+        .agg(
+            F.min_by(
+                F.col("cent_id"), F.struct(F.col("_d"), F.col("cent_id"))
+            ).alias("code")
+        )
+    )
+    q_sub = qvecs.select(
+        "query_id", subspaces(F.col("_qv")).alias("s")
+    ).select("query_id", "s.j", F.col("s.sv").alias("qv"))
+    qd = q_sub.join(broadcast(piv_sub), on="j").select(
+        "query_id", "j", "cent_id", l2sq(F.col("qv"), F.col("cv")).alias("d")
+    )
+
+    candidates = assigned.join(broadcast(probes), on="cell").select(
+        "query_id", "neighbor_id"
+    )
+    scored = (
+        candidates.join(codes, on="neighbor_id")
+        .join(
+            broadcast(qd.withColumnRenamed("cent_id", "code")),
+            on=["query_id", "j", "code"],
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum(F.col("d").cast("decimal(26,12)"))
+            .cast("double")
+            .alias("approx_d")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("approx_d", 6).alias("approx_d"),
+            "rank",
+        )
+    )

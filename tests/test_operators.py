@@ -925,3 +925,24 @@ def test_gopher_rules_each_rule_fires(spark):
     assert got[6]["stopword_ok"] is False
     for i in range(1, 7):
         assert got[i]["gopher_keep"] is False, i
+
+
+def test_ivfpq_recall_against_exact_topk(spark, embeds):
+    """IVF-PQ compounds two approximations (probe misses + code
+    quantization); pin a recall floor against exact cosine so either
+    half regressing shows up as a collapse."""
+    from kafka_delta_ingest_spark.operators.similarity import (
+        cosine_topk,
+        ivfpq_topk,
+    )
+
+    q = embeds.filter(F.col("vec_id") % 50 == 0)
+    exact = cosine_topk(embeds, q, k=10, query_id="vec_id")
+    approx = ivfpq_topk(
+        embeds, q, k=10, dim=64, m=8, centroid_mod=10, coarse_mod=25,
+        n_probe=3, query_id="vec_id",
+    )
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.2, recall  # floor: 3 of ~tiny-SF cells probed
