@@ -176,3 +176,46 @@ def test_funnel_rejects_empty_steps(spark):
     df = spark.createDataFrame([_ev(1, 1, "view")])
     with pytest.raises(ValueError):
         funnel(df, [])
+
+
+def test_funnel_matches_python_reference_on_random_events(spark):
+    """Randomized cross-check: the chained-join funnel equals a brute
+    sequential scan for any event soup (hypothesis-lite: fixed seeds,
+    many shapes)."""
+    import random
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        steps = ["view", "click", "purchase"]
+        events = [
+            (
+                rng.randrange(6),
+                datetime(2024, 1, 1, 0, 0, rng.randrange(50)),
+                rng.choice(steps + ["noise"]),
+            )
+            for _ in range(120)
+        ]
+        # Python reference: first-touch stage machine per user over the
+        # time-sorted stream (ties: same rule as the operator — strict
+        # > per stage anchor; within-second ordering irrelevant since
+        # anchors compare with >).
+        per_user: dict[int, list] = {}
+        for u, ts, typ in sorted(events, key=lambda e: e[1]):
+            per_user.setdefault(u, []).append((ts, typ))
+        want = {i + 1: 0 for i in range(len(steps))}
+        for u, evs in per_user.items():
+            stage, anchor = 0, None
+            for ts, typ in evs:
+                if stage < len(steps) and typ == steps[stage] and (
+                    stage == 0 or ts > anchor
+                ):
+                    stage += 1
+                    anchor = ts
+            for s in range(1, stage + 1):
+                want[s] += 1
+
+        df = spark.createDataFrame(
+            [Row(user_id=u, ts=ts, event_type=t) for u, ts, t in events]
+        )
+        got = {r.stage: r.users for r in funnel(df, steps).collect()}
+        assert got == want, seed

@@ -198,3 +198,12 @@ def test_bpe_census_single_corpus_pass(spark):
     token stream is scanned once (one scan of documents in the plan)."""
     p = plan(E.queries()["text_bpe_pair_census"](spark, SF), mode="simple")
     assert p.count("Scan parquet") == 1
+
+
+def test_ivfpq_candidate_restriction_is_equi_join(spark):
+    """The probe restriction and ADC lookups must all be hash equi-joins
+    (the only nested loop allowed is broadcast centroid scoring), and
+    the final distance aggregation must partial-combine map-side."""
+    p = plan(E.queries()["sim_ivfpq_topk"](spark, SF), mode="simple")
+    assert "CartesianProduct" not in p
+    assert "partial_sum" in p
