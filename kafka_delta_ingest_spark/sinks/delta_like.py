@@ -889,9 +889,328 @@ class DeltaLikeTable:
                         deleted.append(rel)
                 except FileNotFoundError:
                     pass
+        # Change-data files: a cdc file referenced by ANY committed
+        # version backs ``table_changes`` history and lives as long as
+        # the version files themselves (which this sink never deletes).
+        # Unreferenced cdc files are orphans of commits that lost their
+        # race — reclaimable past the same retention horizon.
+        cdc_root = os.path.join(self.path, "_change_data")
+        if os.path.isdir(cdc_root):
+            referenced_cdc: set[str] = set()
+            for v in range(0, self.latest_version() + 1):
+                try:
+                    with open(self._version_file(v)) as f:
+                        for line in f:
+                            a = json.loads(line).get("cdc")
+                            if a:
+                                referenced_cdc.add(a["path"])
+                except FileNotFoundError:
+                    continue
+            for root, _dirs, names in os.walk(cdc_root, topdown=False):
+                for name in names:
+                    full = os.path.join(root, name)
+                    rel = os.path.relpath(full, self.path)
+                    if rel in referenced_cdc:
+                        continue
+                    try:
+                        if os.path.getmtime(full) <= cutoff:
+                            os.remove(full)
+                            deleted.append(rel)
+                    except FileNotFoundError:
+                        pass
+                try:
+                    os.rmdir(root)  # only succeeds when fully drained
+                except OSError:
+                    pass
         return sorted(deleted)
 
-    # -- row-level mutations (MERGE / DELETE) ------------------------------
+    # -- change data feed plumbing (Delta CDF parity) ----------------------
+
+    CDF_KEY = "delta.enableChangeDataFeed"
+
+    def enable_cdf(self) -> int:
+        """SET TBLPROPERTIES (delta.enableChangeDataFeed = true).
+
+        From the NEXT commit on, every row-mutating DML (UPDATE /
+        DELETE / MERGE / RESTORE) also writes change-data files under
+        ``_change_data/`` and records them as ``cdc`` actions — the
+        exact action shape real Delta uses — so ``table_changes`` can
+        answer row-level diffs without snapshot comparison. Append
+        commits need no change files (their add files ARE the inserts),
+        which is also Delta's behavior."""
+        snap = self.snapshot()
+        meta = snap["metaData"]
+        if meta is None:
+            raise ValueError("table has no schema yet")
+        cfg = dict((meta.get("configuration") or {}))
+        cfg[self.CDF_KEY] = "true"
+        return self._commit_meta_config(meta, cfg, "SET TBLPROPERTIES")
+
+    def _cdf_enabled(self, snap: dict) -> bool:
+        cfg = ((snap.get("metaData") or {}).get("configuration")) or {}
+        return str(cfg.get(self.CDF_KEY, "")).lower() == "true"
+
+    def _write_cdc(self, df: DataFrame) -> list[dict]:
+        """Write a change frame (table columns + ``_change_type``) under
+        ``_change_data/`` and return its ``cdc`` actions. The directory
+        is underscore-prefixed so plain table reads never see it; only
+        ``table_changes`` resolves cdc paths."""
+        rel_dir = os.path.join("_change_data", f"cdc-{uuid.uuid4().hex}")
+        out_dir = os.path.join(self.path, rel_dir)
+        df.write.mode("overwrite").parquet(out_dir)
+        actions = []
+        for fname in sorted(os.listdir(out_dir)):
+            if not fname.endswith(".parquet"):
+                continue
+            full = os.path.join(out_dir, fname)
+            if _parquet_stats(full)["numRecords"] == 0:
+                os.remove(full)
+                continue
+            actions.append(
+                {
+                    "cdc": {
+                        "path": os.path.join(rel_dir, fname),
+                        "partitionValues": {},
+                        "size": os.path.getsize(full),
+                        "dataChange": False,
+                    }
+                }
+            )
+        return actions
+
+    def table_changes(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Row-level change feed for ``(from_version, to_version]`` —
+        the reader half of Delta CDF (``table_changes(...)`` TVF).
+
+        Each returned row carries ``_change_type`` in
+        ``insert | delete | update_preimage | update_postimage`` plus
+        ``_commit_version``. Append commits stream their add files as
+        inserts directly (no change files exist or are needed); DML
+        commits stream their recorded ``cdc`` files. A data-changing
+        DML commit in range that predates ``enable_cdf`` raises — the
+        feed cannot be reconstructed for it, matching Delta's error.
+
+        Incremental consumers poll this with a version cursor: cost
+        tracks the change rate, never table size."""
+        from pyspark.sql import functions as _F
+
+        latest = self.latest_version()
+        to_version = latest if to_version is None else to_version
+        if to_version > latest:
+            raise ValueError(f"version {to_version} does not exist")
+        frames = []
+        meta = None
+        rewrite_ops = {"UPDATE", "DELETE", "MERGE", "RESTORE"}
+        for v in range(0, to_version + 1):
+            op, adds, cdcs, n_removes, cdf_on = None, [], [], 0, False
+            with open(self._version_file(v)) as f:
+                for line in f:
+                    action = json.loads(line)
+                    if "commitInfo" in action:
+                        op = action["commitInfo"].get("operation")
+                        cdf_on = bool(
+                            (
+                                action["commitInfo"].get(
+                                    "operationParameters"
+                                )
+                                or {}
+                            ).get("changeDataFeed")
+                        )
+                    elif "metaData" in action:
+                        meta = action["metaData"]
+                    elif "cdc" in action:
+                        cdcs.append(action["cdc"])
+                    elif "remove" in action and action["remove"].get(
+                        "dataChange", True
+                    ):
+                        n_removes += 1
+                    elif "add" in action and action["add"].get(
+                        "dataChange", True
+                    ):
+                        adds.append(action["add"])
+            if v <= from_version:
+                continue
+            if cdcs:
+                cdf = spark.read.parquet(
+                    *[os.path.join(self.path, c["path"]) for c in cdcs]
+                )
+            elif op in rewrite_ops and (adds or n_removes):
+                # A rewrite with adds OR data-changing removes (a DELETE
+                # that drained whole files has removes only) mutated
+                # rows. `changeDataFeed: true` in commitInfo means the
+                # feed WAS on and the change set was simply empty (stats
+                # matched files but no rows); without it the changes
+                # were never recorded and the range is unanswerable.
+                if cdf_on:
+                    continue
+                raise ValueError(
+                    f"commit {v} ({op}) predates "
+                    f"delta.enableChangeDataFeed; its row-level changes "
+                    f"were not recorded"
+                )
+            elif adds and op != "OPTIMIZE":
+                cdf = self._frame_for(spark, {"metaData": meta}, adds).select(
+                    "*", _F.lit("insert").alias("_change_type")
+                )
+            else:
+                continue
+            frames.append(
+                cdf.withColumn("_commit_version", _F.lit(v).cast("long"))
+            )
+        if not frames:
+            empty = self._frame_for(spark, self.snapshot(), [])
+            return (
+                empty.select(
+                    "*",
+                    _F.lit(None).cast("string").alias("_change_type"),
+                    _F.lit(None).cast("long").alias("_commit_version"),
+                )
+            ).limit(0)
+        out = frames[0]
+        for fdf in frames[1:]:
+            out = out.unionByName(fdf, allowMissingColumns=True)
+        return out
+
+    # -- restore (Delta RESTORE TABLE ... VERSION AS OF parity) ------------
+
+    def restore(self, spark: SparkSession, version: int) -> CommitResult:
+        """RESTORE TABLE ... TO VERSION AS OF ``version``.
+
+        Rolls the LIVE state back by committing a forward diff — remove
+        every file live now but not at the target version, re-add every
+        file live then but not now (including deletion-vector descriptor
+        changes: a path whose DV differs is re-added with the target's
+        descriptor) — plus the target's metaData when schema/properties
+        changed. History is preserved: this lands as a NEW version, the
+        rolled-back commits stay readable via time travel, exactly
+        Delta's RESTORE.
+
+        No data file is read or written unless CDF is enabled — the
+        commit is pure log metadata, O(diff) not O(table), so restoring
+        a 100 TB table after a bad batch is instant. Files already
+        reclaimed by ``vacuum`` fail the restore up front (Delta raises
+        the same way). A racing rewrite of a file this restore removes
+        raises :class:`ConcurrentDeleteDelete`.
+
+        With CDF enabled, the row-level diff rides along as change
+        files: physical rows are keyed by (file, row_index), so
+        restored-away rows emit ``delete`` and resurrected rows emit
+        ``insert`` — exact even when only a DV descriptor changed."""
+        from pyspark.sql import functions as _F
+
+        snap_cur = self.snapshot()
+        if version == snap_cur["version"]:
+            return CommitResult(snap_cur["version"], 0, 0, skipped=True)
+        snap_tgt = self.snapshot(as_of=version)
+
+        def keyed(snap):
+            return {
+                (
+                    f["path"],
+                    (f.get("deletionVector") or {}).get("storagePath"),
+                ): f
+                for f in self._live_files(snap)
+            }
+
+        cur_live, tgt_live = keyed(snap_cur), keyed(snap_tgt)
+        removes = [f for k, f in cur_live.items() if k not in tgt_live]
+        re_adds = [f for k, f in tgt_live.items() if k not in cur_live]
+        meta_cur, meta_tgt = snap_cur["metaData"], snap_tgt["metaData"]
+        meta_changed = (meta_cur or {}) != (meta_tgt or {})
+        if not removes and not re_adds and not meta_changed:
+            return CommitResult(snap_cur["version"], 0, 0, skipped=True)
+        missing = [
+            f["path"]
+            for f in re_adds
+            if not os.path.exists(os.path.join(self.path, f["path"]))
+        ] + [
+            f["deletionVector"]["storagePath"]
+            for f in re_adds
+            if f.get("deletionVector")
+            and not os.path.exists(
+                os.path.join(self.path, f["deletionVector"]["storagePath"])
+            )
+        ]
+        if missing:
+            raise ValueError(
+                f"cannot restore to version {version}: {len(missing)} "
+                f"file(s) were vacuumed (e.g. {missing[0]!r})"
+            )
+
+        cdc_actions: list[dict] = []
+        if self._cdf_enabled(snap_cur) and (removes or re_adds):
+            # Row-level diff over ONLY the differing files: multiset
+            # difference (exceptAll — null-safe, duplicate-exact), so
+            # rows carried unchanged through a rewrite never appear as
+            # changes. Across a schema change there is no value-level
+            # row identity; every diff-file row is a delete + insert.
+            cur_f = self._frame_for(spark, snap_cur, removes)
+            tgt_f = self._frame_for(spark, snap_tgt, re_adds)
+            if cur_f.schema == tgt_f.schema:
+                deleted, inserted = cur_f.exceptAll(tgt_f), tgt_f.exceptAll(cur_f)
+            else:
+                deleted, inserted = cur_f, tgt_f
+            cdc_actions = self._write_cdc(
+                deleted.select(
+                    "*", _F.lit("delete").alias("_change_type")
+                ).unionByName(
+                    inserted.select(
+                        "*", _F.lit("insert").alias("_change_type")
+                    ),
+                    allowMissingColumns=True,
+                )
+            )
+
+        ts = int(time.time() * 1000)
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "operation": "RESTORE",
+                    "timestamp": ts,
+                    "operationParameters": {
+                        "version": version,
+                        "numRemovedFiles": len(removes),
+                        "numRestoredFiles": len(re_adds),
+                        "changeDataFeed": self._cdf_enabled(snap_cur),
+                    },
+                }
+            }
+        ]
+        if meta_changed and meta_tgt is not None:
+            actions.append({"metaData": meta_tgt})
+        for f in removes:
+            actions.append(
+                {
+                    "remove": {
+                        "path": f["path"],
+                        "deletionTimestamp": ts,
+                        "dataChange": True,
+                    }
+                }
+            )
+        for f in re_adds:
+            re_add = dict(f)
+            re_add["dataChange"] = True
+            actions.append({"add": re_add})
+        actions += cdc_actions
+        new_version = self._commit(
+            actions,
+            read_version=snap_cur["version"],
+            remove_paths={f["path"] for f in removes},
+        )
+        if new_version % CHECKPOINT_EVERY == 0 and new_version > 0:
+            self._checkpoint(new_version)
+        n_rows = sum(
+            (f.get("stats") or {}).get("numRecords", 0) for f in re_adds
+        )
+        return CommitResult(new_version, len(re_adds), n_rows)
+
+    # -- row-level mutations (MERGE / DELETE / UPDATE) ---------------------
 
     def merge(
         self,
@@ -940,6 +1259,30 @@ class DeltaLikeTable:
             out = keep.unionByName(source, allowMissingColumns=True)
         else:
             out = source
+        cdc_actions: list[dict] = []
+        if self._cdf_enabled(snap):
+            # CDF classification costs two extra semi/anti joins over
+            # the CANDIDATE files only (stats-pruned set, not the
+            # table) and runs only when the feed is enabled.
+            if candidates:
+                pre = cur.join(
+                    source.select(*key_cols), on=key_cols, how="left_semi"
+                ).select("*", _F.lit("update_preimage").alias("_change_type"))
+                table_keys = cur.select(*key_cols)
+                post = source.join(
+                    table_keys, on=key_cols, how="left_semi"
+                ).select("*", _F.lit("update_postimage").alias("_change_type"))
+                ins = source.join(
+                    table_keys, on=key_cols, how="left_anti"
+                ).select("*", _F.lit("insert").alias("_change_type"))
+                changes = pre.unionByName(
+                    post, allowMissingColumns=True
+                ).unionByName(ins, allowMissingColumns=True)
+            else:
+                changes = source.select(
+                    "*", _F.lit("insert").alias("_change_type")
+                )
+            cdc_actions = self._write_cdc(changes)
         return self._rewrite_commit(
             spark,
             out,
@@ -950,8 +1293,10 @@ class DeltaLikeTable:
                 "keyCols": key_cols,
                 "numCandidateFiles": len(candidates),
                 "numLiveFiles": len(live),
+                "changeDataFeed": self._cdf_enabled(snap),
             },
             read_version=snap["version"],
+            extra_actions=cdc_actions,
         )
 
     def delete_where_with_retry(
@@ -1014,6 +1359,12 @@ class DeltaLikeTable:
         # the row. A bare ``~pred`` turns NULL into NULL, which filter()
         # drops — coalesce to FALSE first so NULL-predicate rows survive.
         keep = cur.filter(~_F.coalesce(_pred_to_column(predicates), _F.lit(False)))
+        cdc_actions: list[dict] = []
+        if self._cdf_enabled(snap):
+            deleted = cur.filter(
+                _F.coalesce(_pred_to_column(predicates), _F.lit(False))
+            ).select("*", _F.lit("delete").alias("_change_type"))
+            cdc_actions = self._write_cdc(deleted)
         return self._rewrite_commit(
             spark,
             keep,
@@ -1024,8 +1375,119 @@ class DeltaLikeTable:
                 "predicate": [list(p) for p in predicates],
                 "numCandidateFiles": len(candidates),
                 "numLiveFiles": len(live),
+                "changeDataFeed": self._cdf_enabled(snap),
             },
             read_version=snap["version"],
+            extra_actions=cdc_actions,
+        )
+
+    def update_where_with_retry(
+        self,
+        spark: SparkSession,
+        set_exprs: dict[str, str],
+        predicates: list[tuple],
+        max_retries: int = 10,
+    ) -> CommitResult:
+        """``update_where`` wrapped in the same bounded
+        recompute-and-retry conflict loop as ``delete_where_with_retry``
+        (reference src/lib.rs:966-1024)."""
+        last: Exception | None = None
+        for _ in range(max_retries):
+            try:
+                return self.update_where(spark, set_exprs, predicates)
+            except ConcurrentDeleteDelete as ex:
+                last = ex
+        raise CommitConflict(
+            f"update_where lost {max_retries} conflict races"
+        ) from last
+
+    def update_where(
+        self,
+        spark: SparkSession,
+        set_exprs: dict[str, str],
+        predicates: list[tuple],
+    ) -> CommitResult:
+        """UPDATE ... SET <set_exprs> WHERE <predicates> (Delta UPDATE
+        parity; the append-only reference has no row mutation — this
+        rounds out the DML triad next to ``merge``/``delete_where``).
+
+        ``set_exprs`` maps column → SQL expression; every expression is
+        evaluated against the PRE-image row (standard SQL UPDATE
+        semantics: ``SET a = b, b = a`` swaps). Only files whose
+        partition values / min-max stats may hold a match are rewritten
+        — a selective UPDATE against a 100 TB table touches a handful
+        of files, proven by ``numCandidateFiles`` in the commit. NULL
+        predicates leave rows untouched (SQL: only TRUE updates).
+
+        Updated rows re-validate CHECK constraints, and generated
+        columns not explicitly SET are recomputed from their expression
+        (Delta recomputes generated columns whose inputs changed).
+        Racing rewrites of the same files raise
+        :class:`ConcurrentDeleteDelete`; deletion-vector state on the
+        candidates is honored (the rewrite reads logical rows) and
+        materialized away in the replacement files."""
+        from pyspark.sql import functions as _F
+
+        snap = self.snapshot()
+        meta = snap["metaData"]
+        if meta is None:
+            return CommitResult(-1, 0, 0, skipped=True)
+        schema = json.loads(meta["schemaString"])
+        colnames = [f["name"] for f in schema["fields"]]
+        unknown = sorted(set(set_exprs) - set(colnames))
+        if unknown:
+            raise ValueError(f"UPDATE SET targets unknown columns: {unknown}")
+        partition_by = meta["partitionColumns"]
+        live = self._live_files(snap)
+        candidates = [f for f in live if not _file_excluded(f, predicates)]
+        if not candidates:
+            return CommitResult(snap["version"], 0, 0, skipped=True)
+
+        cur = self._frame_for(spark, snap, candidates)
+        pred = _F.coalesce(_pred_to_column(predicates), _F.lit(False))
+        kept = cur.filter(~pred)
+        matched = cur.filter(pred)
+        gen = self.generated_columns(snap)
+        # One SELECT evaluates every SET against the pre-image;
+        # generated columns not explicitly SET are recomputed after.
+        updated = matched.select(
+            *[
+                _F.expr(set_exprs[c]).cast(matched.schema[c].dataType).alias(c)
+                if c in set_exprs
+                else _F.col(f"`{c}`")
+                for c in matched.columns
+            ]
+        )
+        for gname, gexpr in gen.items():
+            if gname not in set_exprs and gname in updated.columns:
+                updated = updated.withColumn(gname, _F.expr(gexpr))
+        self._enforce_constraints(updated, snap)
+        cdc_actions: list[dict] = []
+        if self._cdf_enabled(snap):
+            changes = matched.select(
+                "*", _F.lit("update_preimage").alias("_change_type")
+            ).unionByName(
+                updated.select(
+                    "*", _F.lit("update_postimage").alias("_change_type")
+                )
+            )
+            cdc_actions = self._write_cdc(changes)
+        out = kept.unionByName(updated)
+        return self._rewrite_commit(
+            spark,
+            out,
+            remove=[f["path"] for f in candidates],
+            partition_by=partition_by,
+            operation="UPDATE",
+            params={
+                "predicate": [list(p) for p in predicates],
+                "set": dict(set_exprs),
+                "numCandidateFiles": len(candidates),
+                "numLiveFiles": len(live),
+                "changeDataFeed": self._cdf_enabled(snap),
+            },
+            read_version=snap["version"],
+            extra_actions=cdc_actions,
         )
 
     def _delete_with_dv(
@@ -1084,6 +1546,17 @@ class DeltaLikeTable:
         if not affected:
             shutil.rmtree(os.path.join(self.path, dv_rel), ignore_errors=True)
             return CommitResult(snap["version"], 0, 0, skipped=True)
+        cdc_actions: list[dict] = []
+        if self._cdf_enabled(snap):
+            # The logical read already masks previously-deleted rows, so
+            # this is exactly the NEWLY deleted set — disjoint from any
+            # earlier DV delete's change files.
+            deleted = cur.filter(
+                _F.coalesce(_pred_to_column(predicates), _F.lit(False))
+            ).drop("_dv_path", "_dv_ri").select(
+                "*", _F.lit("delete").alias("_change_type")
+            )
+            cdc_actions = self._write_cdc(deleted)
         ts = int(time.time() * 1000)
         actions: list[dict] = [
             {
@@ -1094,6 +1567,7 @@ class DeltaLikeTable:
                         "mode": "deletionVector",
                         "numCandidateFiles": len(candidates),
                         "numAffectedFiles": len(affected),
+                        "changeDataFeed": self._cdf_enabled(snap),
                     },
                     "timestamp": ts,
                 }
@@ -1110,6 +1584,7 @@ class DeltaLikeTable:
             }
             re_add["dataChange"] = True
             actions.append({"add": re_add})
+        actions += cdc_actions
         version = self._commit(
             actions,
             read_version=snap["version"],
@@ -1129,13 +1604,18 @@ class DeltaLikeTable:
         operation: str,
         params: dict,
         read_version: int | None = None,
+        extra_actions: list[dict] | None = None,
     ) -> CommitResult:
         """Write ``df`` as the replacement for ``remove`` and commit
         remove+add atomically (shared tail of MERGE/DELETE/OPTIMIZE).
 
         ``read_version`` is the snapshot version the rewrite was derived
         from; commits racing past it with an overlapping remove raise
-        :class:`ConcurrentDeleteDelete` instead of resurrecting rows."""
+        :class:`ConcurrentDeleteDelete` instead of resurrecting rows.
+        ``extra_actions`` (e.g. ``cdc`` change-file records) ride in the
+        same atomic commit; if the commit loses its race the files they
+        reference are simply never referenced by any landed version and
+        ``vacuum`` reclaims them."""
         if operation == "MERGE":
             # MERGE introduces/updates rows; CHECK constraints apply to
             # them (DELETE/OPTIMIZE only re-shuffle already-valid rows).
@@ -1167,6 +1647,7 @@ class DeltaLikeTable:
             for p in sorted(remove)
         ]
         actions += [{"add": a} for a in adds]
+        actions += list(extra_actions or [])
         version = self._commit(
             actions, read_version=read_version, remove_paths=set(remove)
         )
