@@ -1977,6 +1977,80 @@ def stream_offset_dedup(spark, sf_dir):
 
 
 @_q(
+    "sink_dml_cdf",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey <= 2000
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           'update_preimage' AS _change_type,
+           CAST(2 AS BIGINT) AS _commit_version
+    FROM base WHERE o_orderstatus = 'P'
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice + 1,
+           'update_postimage', 2 FROM base WHERE o_orderstatus = 'P'
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice, 'delete', 3
+    FROM base WHERE o_orderstatus = 'F' AND o_orderkey <= 1000
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice, 'insert', 4
+    FROM base WHERE o_orderstatus = 'F' AND o_orderkey <= 1000
+    """,
+)
+def sink_dml_cdf(spark, sf_dir):
+    """The sink's DML surface end-to-end against real table data:
+    UPDATE WHERE (pre-image SET semantics), DELETE WHERE, RESTORE to
+    the pre-delete version, all with the change data feed on — then
+    ``table_changes`` reads the row-level feed back. The oracle replays
+    the same history declaratively: the UPDATE contributes pre/post
+    images at commit 2, the DELETE its victims at commit 3, and the
+    RESTORE re-inserts exactly the deleted rows at commit 4 (the
+    exceptAll diff proves rows carried through rewrites emit nothing).
+    Extends reference parity beyond its append-only writer
+    (src/writer.rs) to the Delta DML/CDF feature set."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from kafka_delta_ingest_spark.sinks.delta_like import DeltaLikeTable
+
+    root = _tf.mkdtemp(prefix="kdi-cdfq-")
+    try:
+        t = DeltaLikeTable(root + "/t")
+        base = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") <= 2000)
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .coalesce(1)
+        )
+        t.write_batch(base)  # v0
+        t.enable_cdf()  # v1
+        t.update_where(  # v2
+            spark,
+            {"o_totalprice": "o_totalprice + 1"},
+            [("o_orderstatus", "=", "P")],
+        )
+        t.delete_where(  # v3
+            spark,
+            [("o_orderstatus", "=", "F"), ("o_orderkey", "<=", 1000)],
+        )
+        t.restore(spark, 2)  # v4: undo the delete, keep the update
+        changes = t.table_changes(spark, from_version=1).select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "_change_type",
+            "_commit_version",
+        )
+        # Materialize before the temp table is removed; the result is
+        # change-rate-sized (a few hundred rows), never table-sized.
+        rows = changes.collect()
+        return spark.createDataFrame(rows, changes.schema)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
+@_q(
     "events_interval_join",
     """
     SELECT a.event_id AS purchase_id, COUNT(*) AS n_following
@@ -4108,6 +4182,7 @@ _SWEEP_ORDER: list[str] = [
     "ingest_avro_path",
     "ingest_message_path",
     "stream_offset_dedup",
+    "sink_dml_cdf",
     "split_train_holdout",
     "sample_exact_k",
     "split_source_mix",
@@ -4148,10 +4223,14 @@ _SWEEP_ORDER: list[str] = [
     "events_asof_join",
     "pipeline_corpus_curation",
     "pipeline_pretrain_curation",
-    "pipeline_fuzzy_curation",
     # --- tail: the remaining relational/window/agg/set/scan/event
     # queries plus the rows-only sketch audits, cheapest-first.
     # tools/check_oracle.py verifies the full set regardless of any cap.
+    # pipeline_fuzzy_curation leads the tail: its component stages
+    # (ngram-jaccard pairs, connected components, canonical keep) are
+    # each certified inside the core block, so the DML/CDF query —
+    # a wholly uncertified family — takes the 50th slot.
+    "pipeline_fuzzy_curation",
     "embedding_neardup_exact",
     "text_top_ngrams",
     "scan_filter_project",

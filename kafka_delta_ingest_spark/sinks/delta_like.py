@@ -1098,9 +1098,11 @@ class DeltaLikeTable:
         raises :class:`ConcurrentDeleteDelete`.
 
         With CDF enabled, the row-level diff rides along as change
-        files: physical rows are keyed by (file, row_index), so
-        restored-away rows emit ``delete`` and resurrected rows emit
-        ``insert`` — exact even when only a DV descriptor changed."""
+        files: multiset value difference (exceptAll) over only the
+        differing files, so restored-away rows emit ``delete`` and
+        resurrected rows emit ``insert`` while rows carried unchanged
+        through a rewrite emit nothing — exact even when only a DV
+        descriptor changed."""
         from pyspark.sql import functions as _F
 
         snap_cur = self.snapshot()
