@@ -202,3 +202,44 @@ def test_delete_retry_recomputes_after_conflict(spark, tmp_path):
     back = t.read(spark)
     assert back.count() == 12
     assert back.filter("id < 3 OR id >= 15").count() == 0
+
+
+def test_update_racing_delete_conflicts_then_retry_lands(spark):
+    """UPDATE computed from a snapshot a DELETE has since rewritten must
+    conflict (its rewrite would resurrect the deleted rows); the
+    retry-wrapped variant recomputes from the fresh snapshot and lands
+    against the winner's state."""
+    import pytest
+
+    from kafka_delta_ingest_spark.sinks.delta_like import ConcurrentDeleteDelete
+
+    root = tempfile.mkdtemp(prefix="kdi-ud-")
+    try:
+        t = DeltaLikeTable(root + "/t")
+        df = spark.createDataFrame(
+            [(i, i * 10) for i in range(100)], "id long, val long"
+        ).repartition(1)
+        t.write_batch(df)
+
+        stale = t.snapshot()
+        b = DeltaLikeTable(root + "/t")
+        b.snapshot = lambda as_of=None, _s=stale: _s  # type: ignore[method-assign]
+
+        ra = t.delete_where(spark, [("id", "<", 10)])
+        assert not ra.skipped
+
+        with pytest.raises(ConcurrentDeleteDelete):
+            b.update_where(spark, {"val": "val + 1"}, [("id", ">=", 90)])
+
+        # Retry path (fresh handle, real snapshot): recomputes against
+        # the post-delete state and lands.
+        res = t.update_where_with_retry(
+            spark, {"val": "val + 1"}, [("id", ">=", 90)]
+        )
+        assert not res.skipped
+        got = {r.id: r.val for r in t.read(spark).collect()}
+        assert len(got) == 90  # the racing delete's rows stayed dead
+        assert all(got[i] == i * 10 + 1 for i in range(90, 100))
+        assert all(got[i] == i * 10 for i in range(10, 90))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
