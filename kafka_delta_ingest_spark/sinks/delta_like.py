@@ -1220,11 +1220,31 @@ class DeltaLikeTable:
         source: DataFrame,
         key_cols: list[str],
         partition_by: list[str] | None = None,
+        delete_condition: str | None = None,
+        update_condition: str | None = None,
+        drop_cols: list[str] | None = None,
     ) -> CommitResult:
         """Upsert: source rows REPLACE table rows with equal keys;
         unmatched source keys are inserts (whole-row semantics — the
         WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT * shape of
         Delta MERGE).
+
+        Conditional clauses (Delta's multi-clause MERGE, conditions
+        evaluated on the SOURCE row):
+
+        - ``delete_condition`` — WHEN MATCHED AND <cond> THEN DELETE:
+          a matched table row whose source mate satisfies the condition
+          is dropped and the source row is NOT inserted; an unmatched
+          delete-flagged source row is a no-op (CDC tombstone for a row
+          that never arrived). This is the clause a change-feed apply
+          needs.
+        - ``update_condition`` — WHEN MATCHED AND <cond> THEN UPDATE:
+          a matched source row failing the condition leaves the table
+          row UNCHANGED (stale-update guard, e.g. ``s.ts > t.ts`` style
+          ordering keys pre-resolved into the source). Unmatched rows
+          insert regardless (gate inserts upstream with a filter).
+        - ``drop_cols`` — control columns (flags, cursors) consumed by
+          the conditions and excluded from the written rows.
 
         Scale design: only files whose stats window overlaps the
         source's key range are rewritten. The pruning predicate is the
@@ -1242,28 +1262,87 @@ class DeltaLikeTable:
         meta = snap["metaData"]
         partition_by = partition_by or (meta["partitionColumns"] if meta else [])
         source = source.dropDuplicates(key_cols)
+        # Split BEFORE dropping control columns: the conditions may
+        # reference them. Each key appears once (dropDuplicates), so
+        # the delete/upsert branches are disjoint by key.
+        if delete_condition is not None:
+            del_src = source.filter(
+                _F.coalesce(_F.expr(delete_condition), _F.lit(False))
+            )
+            source = source.filter(
+                ~_F.coalesce(_F.expr(delete_condition), _F.lit(False))
+            )
+        else:
+            del_src = None
+        if update_condition is not None:
+            noop_src = source.filter(
+                ~_F.coalesce(_F.expr(update_condition), _F.lit(False))
+            )
+            source = source.filter(
+                _F.coalesce(_F.expr(update_condition), _F.lit(False))
+            )
+        else:
+            noop_src = None
+        if drop_cols:
+            source = source.drop(*drop_cols)
+            if del_src is not None:
+                del_src = del_src.drop(*drop_cols)
+            if noop_src is not None:
+                noop_src = noop_src.drop(*drop_cols)
 
         k0 = key_cols[0]
-        bounds = source.agg(
+        # Pruning bounds cover upsert AND delete-flagged keys: a file is
+        # a rewrite candidate if it may hold a row either branch touches.
+        touch = source.select(k0)
+        if del_src is not None:
+            touch = touch.unionByName(del_src.select(k0))
+        bounds = touch.agg(
             _F.min(k0).alias("lo"), _F.max(k0).alias("hi")
         ).collect()[0]
-        if bounds["lo"] is None:
+        if bounds["lo"] is None and noop_src is None:
             return CommitResult(snap["version"], 0, 0, skipped=True)
-        preds = [(k0, ">=", bounds["lo"]), (k0, "<=", bounds["hi"])]
         live = self._live_files(snap)
-        candidates = [f for f in live if not _file_excluded(f, preds)]
+        if bounds["lo"] is not None:
+            preds = [(k0, ">=", bounds["lo"]), (k0, "<=", bounds["hi"])]
+            candidates = [f for f in live if not _file_excluded(f, preds)]
+        else:
+            candidates = []
 
+        touched_keys = source.select(*key_cols)
+        if del_src is not None:
+            touched_keys = touched_keys.unionByName(del_src.select(*key_cols))
         if candidates:
             cur = self._frame_for(spark, snap, candidates)
-            keep = cur.join(
-                source.select(*key_cols), on=key_cols, how="left_anti"
-            )
+            keep = cur.join(touched_keys, on=key_cols, how="left_anti")
             out = keep.unionByName(source, allowMissingColumns=True)
         else:
             out = source
+        if noop_src is not None:
+            # Update-condition misses: matched rows stay as-is (already
+            # in `keep` — their keys are not in touched_keys), but
+            # UNMATCHED rows still insert. Probing for "unmatched" reads
+            # only the files whose stats overlap the noop key range, and
+            # those files are read-only — never rewritten.
+            nb = noop_src.agg(
+                _F.min(k0).alias("lo"), _F.max(k0).alias("hi")
+            ).collect()[0]
+            if nb["lo"] is not None:
+                npreds = [(k0, ">=", nb["lo"]), (k0, "<=", nb["hi"])]
+                probe_files = [
+                    f for f in live if not _file_excluded(f, npreds)
+                ]
+                probe = self._frame_for(spark, snap, probe_files).select(
+                    *key_cols
+                )
+                noop_ins = noop_src.join(probe, on=key_cols, how="left_anti")
+                out = out.unionByName(noop_ins, allowMissingColumns=True)
+            else:
+                noop_ins = None
+        else:
+            noop_ins = None
         cdc_actions: list[dict] = []
         if self._cdf_enabled(snap):
-            # CDF classification costs two extra semi/anti joins over
+            # CDF classification costs a few extra semi/anti joins over
             # the CANDIDATE files only (stats-pruned set, not the
             # table) and runs only when the feed is enabled.
             if candidates:
@@ -1280,9 +1359,23 @@ class DeltaLikeTable:
                 changes = pre.unionByName(
                     post, allowMissingColumns=True
                 ).unionByName(ins, allowMissingColumns=True)
+                if del_src is not None:
+                    dels = cur.join(
+                        del_src.select(*key_cols), on=key_cols, how="left_semi"
+                    ).select("*", _F.lit("delete").alias("_change_type"))
+                    changes = changes.unionByName(
+                        dels, allowMissingColumns=True
+                    )
             else:
                 changes = source.select(
                     "*", _F.lit("insert").alias("_change_type")
+                )
+            if noop_ins is not None:
+                changes = changes.unionByName(
+                    noop_ins.select(
+                        "*", _F.lit("insert").alias("_change_type")
+                    ),
+                    allowMissingColumns=True,
                 )
             cdc_actions = self._write_cdc(changes)
         return self._rewrite_commit(
@@ -1299,6 +1392,48 @@ class DeltaLikeTable:
             },
             read_version=snap["version"],
             extra_actions=cdc_actions,
+        )
+
+    def apply_changes(
+        self,
+        spark: SparkSession,
+        feed: DataFrame,
+        key_cols: list[str],
+        partition_by: list[str] | None = None,
+    ) -> CommitResult:
+        """Apply a change feed (the frame ``table_changes`` returns —
+        table columns + ``_change_type`` + ``_commit_version``) to THIS
+        table: the CDC-apply / replica-maintenance operator (Delta's
+        "merge the change feed" recipe, APPLY CHANGES INTO in DLT).
+
+        The feed first collapses to its NET effect per key — latest
+        ``_commit_version`` wins, ``update_preimage`` rows drop — so a
+        key inserted at v2, updated at v5, deleted at v9 applies as one
+        delete. Then one conditional MERGE lands everything atomically:
+        deletes via ``delete_condition``, upserts as plain matched
+        updates / unmatched inserts. Polling ``table_changes`` on the
+        source and ``apply_changes`` on the replica gives an
+        incrementally-maintained mirror whose per-poll cost tracks the
+        CHANGE RATE, never source-table size."""
+        from pyspark.sql import Window as _W
+        from pyspark.sql import functions as _F
+
+        net = feed.filter(_F.col("_change_type") != "update_preimage")
+        w = _W.partitionBy(*key_cols).orderBy(
+            _F.col("_commit_version").desc()
+        )
+        latest = (
+            net.withColumn("_rn", _F.row_number().over(w))
+            .filter(_F.col("_rn") == 1)
+            .drop("_rn", "_commit_version")
+        )
+        return self.merge(
+            spark,
+            latest,
+            key_cols=key_cols,
+            partition_by=partition_by,
+            delete_condition="_change_type = 'delete'",
+            drop_cols=["_change_type"],
         )
 
     def delete_where_with_retry(

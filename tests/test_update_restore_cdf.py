@@ -369,3 +369,131 @@ def test_vacuum_reclaims_orphaned_cdc_files(spark, root):
     assert not os.path.exists(orphan)
     for f in referenced:  # referenced change files survive
         assert os.path.exists(f)
+
+
+# -- conditional MERGE + CDC apply ----------------------------------------
+
+
+def test_merge_matched_delete_condition(spark, root):
+    t = DeltaLikeTable(root + "/t")
+    t.write_batch(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, s string"
+        )
+    )
+    src = spark.createDataFrame(
+        [
+            (2, "ignored", True),   # matched + flag -> delete
+            (3, "c2", False),       # matched -> update
+            (4, "d", False),        # unmatched -> insert
+            (5, "ghost", True),     # unmatched + flag -> no-op tombstone
+        ],
+        "id long, s string, is_del boolean",
+    )
+    t.merge(
+        spark, src, key_cols=["id"],
+        delete_condition="is_del", drop_cols=["is_del"],
+    )
+    got = {r.id: r.s for r in t.read(spark).collect()}
+    assert got == {1: "a", 3: "c2", 4: "d"}
+    assert t.table_schema().fieldNames() == ["id", "s"]  # flag never lands
+
+
+def test_merge_update_condition_stale_guard(spark, root):
+    t = DeltaLikeTable(root + "/t")
+    t.write_batch(
+        spark.createDataFrame(
+            [(1, "cur", 5), (2, "cur", 5)], "id long, s string, ver long"
+        )
+    )
+    src = spark.createDataFrame(
+        [
+            (1, "newer", 7),   # passes ver > 5 -> update
+            (2, "stale", 3),   # fails -> table row untouched
+            (9, "stale-but-new-key", 1),  # unmatched -> inserts regardless
+        ],
+        "id long, s string, ver long",
+    )
+    t.merge(spark, src, key_cols=["id"], update_condition="ver > 5")
+    got = {r.id: (r.s, r.ver) for r in t.read(spark).collect()}
+    assert got == {
+        1: ("newer", 7),
+        2: ("cur", 5),
+        9: ("stale-but-new-key", 1),
+    }
+
+
+def test_merge_conditional_cdf_classification(spark, root):
+    t = DeltaLikeTable(root + "/t")
+    t.write_batch(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    )
+    t.enable_cdf()
+    v = t.latest_version()
+    src = spark.createDataFrame(
+        [(1, "x", True), (2, "b2", False), (7, "n", False)],
+        "id long, s string, is_del boolean",
+    )
+    t.merge(
+        spark, src, key_cols=["id"],
+        delete_condition="is_del", drop_cols=["is_del"],
+    )
+    ch = sorted(
+        (r.id, r.s, r._change_type)
+        for r in t.table_changes(spark, v).collect()
+    )
+    assert ch == [
+        (1, "a", "delete"),
+        (2, "b", "update_preimage"),
+        (2, "b2", "update_postimage"),
+        (7, "n", "insert"),
+    ]
+
+
+def test_apply_changes_maintains_replica(spark, root):
+    a = DeltaLikeTable(root + "/a")
+    b = DeltaLikeTable(root + "/b")
+    a.write_batch(
+        spark.createDataFrame(
+            [(i, f"s{i}", i) for i in range(6)], "id long, s string, val long"
+        )
+    )
+    a.enable_cdf()
+    v0 = a.latest_version()
+    # Seed the replica from the initial snapshot.
+    b.write_batch(a.read(spark))
+
+    # Poll 1: an update + an insert batch.
+    a.update_where(spark, {"val": "val + 100"}, [("id", "<", 2)])
+    a.write_batch(spark.createDataFrame([(10, "new", 0)], "id long, s string, val long"))
+    v1 = a.latest_version()
+    b.apply_changes(spark, a.table_changes(spark, v0, v1), key_cols=["id"])
+    assert sorted(map(tuple, b.read(spark).collect())) == sorted(
+        map(tuple, a.read(spark).collect())
+    )
+
+    # Poll 2: delete + another update + a restore-free mix.
+    a.delete_where(spark, [("id", "=", 3)])
+    a.update_where(spark, {"s": "'zz'"}, [("id", "=", 10)])
+    b.apply_changes(spark, a.table_changes(spark, v1), key_cols=["id"])
+    assert sorted(map(tuple, b.read(spark).collect())) == sorted(
+        map(tuple, a.read(spark).collect())
+    )
+
+
+def test_apply_changes_collapses_to_net_effect(spark, root):
+    a = DeltaLikeTable(root + "/a")
+    b = DeltaLikeTable(root + "/b")
+    a.write_batch(spark.createDataFrame([(0, "seed")], "id long, s string"))
+    a.enable_cdf()
+    v0 = a.latest_version()
+    b.write_batch(a.read(spark))
+    # id=1: insert then delete -> must never appear in the replica.
+    # id=0: two updates -> only the LAST value applies.
+    a.merge(spark, spark.createDataFrame([(1, "born")], "id long, s string"), ["id"])
+    a.update_where(spark, {"s": "'mid'"}, [("id", "=", 0)])
+    a.delete_where(spark, [("id", "=", 1)])
+    a.update_where(spark, {"s": "'final'"}, [("id", "=", 0)])
+    feed = a.table_changes(spark, v0)
+    b.apply_changes(spark, feed, key_cols=["id"])
+    assert [tuple(r) for r in b.read(spark).collect()] == [(0, "final")]
