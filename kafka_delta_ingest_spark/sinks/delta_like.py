@@ -1076,6 +1076,119 @@ class DeltaLikeTable:
             out = out.unionByName(fdf, allowMissingColumns=True)
         return out
 
+    # -- metadata-only aggregates ------------------------------------------
+
+    def count_rows(self, predicates: list[tuple] | None = None) -> int | None:
+        """SELECT COUNT(*) answered from the transaction log alone —
+        Delta's metadata-only count optimization. Every add action
+        carries ``stats.numRecords`` and every deletion-vector
+        descriptor its exact ``cardinality``, so the live row count is
+        one log read: zero data files touched, O(files) driver work,
+        the same answer at 100 TB as at 100 rows.
+
+        With ``predicates``, the count is exact only when every live
+        file is either provably excluded OR provably all-matching;
+        a file whose stats window straddles the predicate makes the
+        metadata answer unsound, and the method returns None — the
+        caller falls back to a scan. (No-predicate counts are always
+        exact.)"""
+        files = self._live_files()
+        if not predicates:
+            return sum(
+                int((f.get("stats") or {}).get("numRecords", 0))
+                - int((f.get("deletionVector") or {}).get("cardinality", 0))
+                for f in files
+            )
+        total = 0
+        for f in files:
+            if _file_excluded(f, predicates):
+                continue
+            if f.get("deletionVector"):
+                # DV-masked rows are positionally deleted; stats can't
+                # say WHICH rows, so any matching DV'd file is unsound.
+                return None
+            if not _file_all_matching(f, predicates):
+                return None
+            total += int((f.get("stats") or {}).get("numRecords", 0))
+        return total
+
+    # -- clone (Delta CLONE parity) ----------------------------------------
+
+    def clone_to(
+        self,
+        spark: SparkSession,
+        dest_path: str,
+        shallow: bool = True,
+        version: int | None = None,
+    ) -> "DeltaLikeTable":
+        """CREATE TABLE ... [SHALLOW] CLONE, optionally AS OF a version.
+
+        Shallow: the clone's version-0 commit re-references the source's
+        live data files by ABSOLUTE path — zero data copied, O(files)
+        metadata, instant even at 100 TB. The clone then evolves
+        independently: its DML rewrites land as local relative-path
+        files; the source never sees them. The documented Delta trade
+        applies — vacuuming the SOURCE can orphan a shallow clone.
+        Shallow cloning a table with live deletion vectors is refused
+        (the sidecar row addressing is source-root-relative; real Delta
+        materializes DVs on clone for the same reason — use
+        ``shallow=False``).
+
+        Deep: logical rows are read once and written as the clone's own
+        files (DVs materialize away), same metaData and properties."""
+        snap = self.snapshot(as_of=version)
+        meta = snap["metaData"]
+        if meta is None:
+            raise ValueError("cannot clone a table with no schema")
+        live = self._live_files(snap)
+        dest = DeltaLikeTable(dest_path)
+        if dest.latest_version() >= 0:
+            raise ValueError(f"clone destination {dest_path!r} is not empty")
+        if not shallow:
+            df = self._frame_for(spark, snap, live)
+            res = dest.write_batch(
+                df,
+                partition_by=meta.get("partitionColumns") or [],
+                operation="CLONE",
+            )
+            # write_batch records the schema; carry the configuration
+            # (constraints, CDF flag, generated columns) over too.
+            if meta.get("configuration"):
+                dest._commit_meta_config(
+                    dest.snapshot()["metaData"],
+                    dict(meta["configuration"]),
+                    "CLONE PROPERTIES",
+                )
+            return dest
+        dv_files = [f["path"] for f in live if f.get("deletionVector")]
+        if dv_files:
+            raise ValueError(
+                f"shallow clone with live deletion vectors is not "
+                f"supported ({len(dv_files)} file(s), e.g. "
+                f"{dv_files[0]!r}); use shallow=False"
+            )
+        src_root = os.path.abspath(self.path)
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "operation": "CLONE",
+                    "timestamp": int(time.time() * 1000),
+                    "operationParameters": {
+                        "source": src_root,
+                        "sourceVersion": snap["version"],
+                        "shallow": True,
+                    },
+                }
+            },
+            {"metaData": meta},
+        ]
+        for f in live:
+            a = dict(f)
+            a["path"] = os.path.join(src_root, f["path"])
+            actions.append({"add": a})
+        dest._commit(actions)
+        return dest
+
     # -- restore (Delta RESTORE TABLE ... VERSION AS OF parity) ------------
 
     def restore(self, spark: SparkSession, version: int) -> CommitResult:
@@ -1487,6 +1600,12 @@ class DeltaLikeTable:
         if not candidates:
             return CommitResult(snap["version"], 0, 0, skipped=True)
         if dv:
+            if any(os.path.isabs(f["path"]) for f in candidates):
+                raise ValueError(
+                    "deletion-vector DELETE cannot address rows in "
+                    "shallow-cloned external files; optimize() or a "
+                    "rewriting delete localizes them first"
+                )
             return self._delete_with_dv(spark, snap, candidates, predicates)
         from pyspark.sql import functions as _F
 
@@ -1977,6 +2096,54 @@ class DeltaLikeTable:
                     )
                 return empty
             live = [self.path]
+        if any(os.path.isabs(f["path"]) for f in actions):
+            # Shallow-cloned files live OUTSIDE the table root (absolute
+            # add paths), where Spark's basePath partition-directory
+            # inference cannot apply. Rows are read per partition-value
+            # group with the values re-attached as literals from the
+            # add actions — the log, not the directory layout, is the
+            # source of truth. DV addressing is source-root-relative,
+            # so external files never carry descriptors (clone_to
+            # refuses them) and the DV machinery is bypassed.
+            if with_meta:
+                raise ValueError(
+                    "row-address reads (deletion vectors) are not "
+                    "supported on shallow-cloned external files; "
+                    "optimize() localizes them first"
+                )
+            groups: dict[tuple, list[str]] = {}
+            for f in actions:
+                key = tuple(sorted((f.get("partitionValues") or {}).items()))
+                groups.setdefault(key, []).append(
+                    os.path.join(self.path, f["path"])
+                )
+            parts = []
+            for key, paths in groups.items():
+                g = spark.read.option("mergeSchema", "true").parquet(*paths)
+                for pcol, pval in key:
+                    g = g.withColumn(pcol, _F.lit(pval))
+                parts.append(g)
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p, allowMissingColumns=True)
+            meta = snap["metaData"]
+            if meta:
+                from pyspark.sql.types import StructType as _St
+
+                schema = _St.fromJson(json.loads(meta["schemaString"]))
+                for pcol in meta["partitionColumns"]:
+                    if pcol in schema.fieldNames() and pcol in df.columns:
+                        df = df.withColumn(
+                            pcol, _F.col(pcol).cast(schema[pcol].dataType)
+                        )
+                df = df.select(
+                    *[
+                        f"`{f.name}`"
+                        for f in schema.fields
+                        if f.name in df.columns
+                    ]
+                )
+            return df
         df = (
             spark.read.option("basePath", self.path)
             .option("mergeSchema", "true")
@@ -2126,6 +2293,51 @@ def _file_excluded(f: dict, predicates: list[tuple]) -> bool:
         ):
             return True
     return False
+
+
+def _file_all_matching(f: dict, predicates: list[tuple]) -> bool:
+    """True iff the add action PROVES every row in the file satisfies
+    every predicate — the dual of :func:`_file_excluded`, used by
+    metadata-only aggregates. Conservative: missing stats, any NULL in
+    a compared column, or a straddling window all return False."""
+    pvals = f.get("partitionValues") or {}
+    stats = f.get("stats") or {}
+    if isinstance(stats, str):
+        stats = json.loads(stats)
+    mins = stats.get("minValues") or {}
+    maxs = stats.get("maxValues") or {}
+    nulls = stats.get("nullCount") or {}
+    for col, op, *rest in predicates:
+        value = rest[0] if rest else None
+        if op == "is_not_null":
+            if col in pvals:
+                if pvals[col] is None:
+                    return False
+                continue
+            if nulls.get(col) != 0:
+                return False
+            continue
+        probe = _norm_probe(value)
+        if col in pvals:
+            if pvals[col] is None:
+                return False
+            lo = hi = _coerce_like(pvals[col], probe)
+        else:
+            if nulls.get(col) != 0:
+                return False  # NULL rows fail every comparison
+            lo = _coerce_like(mins.get(col), probe)
+            hi = _coerce_like(maxs.get(col), probe)
+        if lo is None or hi is None:
+            return False
+        if not (
+            (op == "=" and lo == probe and hi == probe)
+            or (op == "<" and hi < probe)
+            or (op == "<=" and hi <= probe)
+            or (op == ">" and lo > probe)
+            or (op == ">=" and lo >= probe)
+        ):
+            return False
+    return True
 
 
 def _parse_partition_values(rel_dir: str) -> dict[str, str | None]:
