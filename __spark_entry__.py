@@ -2690,6 +2690,80 @@ def text_bm25_search(spark, sf_dir):
 
 
 @_q(
+    "search_hybrid_rrf",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents WHERE len(trim(text)) > 0
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+    ), qtf AS (
+      SELECT * FROM tf WHERE term IN ('merge', 'window', 'hash')
+    ), dft AS (
+      SELECT term, COUNT(*) AS df FROM qtf GROUP BY term
+    ), n AS (
+      SELECT COUNT(*) AS n FROM documents WHERE len(trim(text)) > 0
+    ), ad AS (
+      SELECT AVG(dl) AS avgdl FROM dl
+    ), bm AS (
+      SELECT doc_id, round(score, 6) AS bm25
+      FROM (
+        SELECT qtf.doc_id,
+          SUM( ln(1.0 + (CAST(n.n AS DOUBLE) - dft.df + 0.5) / (dft.df + 0.5))
+               * CAST(qtf.tf AS DOUBLE) * 2.2
+               / (CAST(qtf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl.dl / ad.avgdl)) ) AS score
+        FROM qtf JOIN dl USING (doc_id) JOIN dft USING (term) CROSS JOIN n CROSS JOIN ad
+        GROUP BY qtf.doc_id
+      )
+    ), lex AS (
+      SELECT doc_id AS id,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+      FROM bm QUALIFY r_lex <= 50
+    ), e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), qv AS (
+      SELECT v AS q FROM e WHERE vec_id = 0
+    ), dense AS (
+      SELECT vec_id AS id,
+             row_number() OVER (ORDER BY cs DESC, vec_id) AS r_dense
+      FROM (
+        SELECT e.vec_id,
+          list_sum(list_transform(list_zip(e.v, q), p -> p[1] * p[2]))
+            / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+               * sqrt(list_sum(list_transform(q, x -> x * x)))) AS cs
+        FROM e CROSS JOIN qv
+      ) QUALIFY r_dense <= 50
+    ), fused AS (
+      SELECT COALESCE(lex.id, dense.id) AS id,
+        COALESCE(1.0 / (60 + r_lex), 0) + COALESCE(1.0 / (60 + r_dense), 0) AS rrf,
+        r_lex, r_dense
+      FROM lex FULL OUTER JOIN dense ON lex.id = dense.id
+    )
+    SELECT id AS doc_id, round(rrf, 6) AS rrf,
+           CAST(r_lex AS INT) AS lex_rank, CAST(r_dense AS INT) AS dense_rank
+    FROM fused ORDER BY rrf DESC, id LIMIT 10
+    """,
+)
+def search_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical ranking fused with dense cosine
+    ranking by reciprocal rank (RRF, c=60) — the two-tower search
+    pattern RAG pipelines run over curated corpora. Both systems
+    contribute their top-50; docs found by both sum both reciprocal
+    ranks. Lexical ranks order by the 1e-6-rounded score so
+    cross-engine float noise cannot flip a rank; the fusion join is
+    ≤100 rows regardless of corpus size."""
+    from kafka_delta_ingest_spark.operators.ranking import hybrid_rrf
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    return hybrid_rrf(
+        d, e, ["merge", "window", "hash"], query_vec_id=0, k=10
+    )
+
+
+@_q(
     "sim_quantize_fidelity",
     """
     WITH base AS (
@@ -4231,6 +4305,7 @@ _SWEEP_ORDER: list[str] = [
     # each certified inside the core block, so the DML/CDF query —
     # a wholly uncertified family — takes the 50th slot.
     "pipeline_fuzzy_curation",
+    "search_hybrid_rrf",
     "embedding_neardup_exact",
     "text_top_ngrams",
     "scan_filter_project",

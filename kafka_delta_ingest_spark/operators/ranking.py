@@ -107,7 +107,7 @@ def tfidf_top_terms(
 def bm25_search(
     df: DataFrame,
     query_terms: list[str],
-    top_k: int = 10,
+    top_k: int | None = 10,
     k1: float = 1.2,
     b: float = 0.75,
     text_col: str = "text",
@@ -144,8 +144,79 @@ def bm25_search(
         .groupBy(id_col)
         .agg(F.sum(contrib).alias("_score"))
     )
+    out = scored.orderBy(F.col("_score").desc(), id_col)
+    if top_k is not None:
+        out = out.limit(top_k)
+    return out.select(id_col, F.round("_score", 6).alias("bm25"))
+
+
+def hybrid_rrf(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int,
+    k: int = 10,
+    n_per_system: int = 50,
+    c: int = 60,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of lexical (BM25) and
+    dense (embedding cosine) rankings — the standard two-tower search
+    recipe (RRF, Cormack et al. 2009: score = Σ 1/(c + rank), c=60).
+
+    Each system contributes its top ``n_per_system`` candidates; a doc
+    found by both systems sums both reciprocal ranks, a doc found by
+    one keeps a single term (full outer join on the id). Lexical ranks
+    order by the ROUNDED BM25 score (1e-6) with id tiebreak, so
+    cross-engine float noise below the rounding grain cannot flip a
+    rank.
+
+    Scale shape: the BM25 side shuffles only rows containing a query
+    term (query-result-sized, not corpus-sized); the dense side is one
+    broadcast query vector against the corpus with a top-n window; the
+    fusion join touches ≤ 2·n_per_system rows. Nothing downstream of
+    the two rankers is corpus-sized."""
+    from .similarity import cosine_topk
+
+    lex = bm25_search(docs, query_terms, top_k=None, id_col=id_col)
+    wl = Window.orderBy(F.col("bm25").desc(), F.col(id_col))
+    lex_top = (
+        lex.withColumn("r_lex", F.row_number().over(wl))
+        .filter(F.col("r_lex") <= n_per_system)
+        .select(F.col(id_col).alias("id"), "r_lex")
+    )
+    qv = embeddings.filter(F.col(vec_id_col) == query_vec_id).select(
+        F.lit(query_vec_id).alias("query_id"), F.col(vec_col)
+    )
+    dense_top = (
+        cosine_topk(
+            embeddings,
+            qv,
+            k=n_per_system,
+            corpus_id=vec_id_col,
+            corpus_vec=vec_col,
+            query_vec=vec_col,
+        )
+        .select(F.col("neighbor_id").alias("id"), F.col("rank").alias("r_dense"))
+    )
+    fused = lex_top.join(dense_top, "id", "full_outer").select(
+        "id",
+        (
+            F.coalesce(1.0 / (F.lit(c) + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(c) + F.col("r_dense")), F.lit(0.0))
+        ).alias("_rrf"),
+        "r_lex",
+        "r_dense",
+    )
     return (
-        scored.orderBy(F.col("_score").desc(), id_col)
-        .limit(top_k)
-        .select(id_col, F.round("_score", 6).alias("bm25"))
+        fused.orderBy(F.col("_rrf").desc(), F.col("id"))
+        .limit(k)
+        .select(
+            F.col("id").alias(id_col),
+            F.round("_rrf", 6).alias("rrf"),
+            F.col("r_lex").cast("int").alias("lex_rank"),
+            F.col("r_dense").cast("int").alias("dense_rank"),
+        )
     )
