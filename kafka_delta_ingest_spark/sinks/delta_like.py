@@ -1375,6 +1375,10 @@ class DeltaLikeTable:
         meta = snap["metaData"]
         partition_by = partition_by or (meta["partitionColumns"] if meta else [])
         source = source.dropDuplicates(key_cols)
+        # Generated columns apply to the rows MERGE writes, exactly as
+        # on append: omitted -> computed in-flight, supplied -> value
+        # validated against the expression.
+        source = self._apply_generated(source, snap)
         # Split BEFORE dropping control columns: the conditions may
         # reference them. Each key appears once (dropDuplicates), so
         # the delete/upsert branches are disjoint by key.
@@ -1657,11 +1661,30 @@ class DeltaLikeTable:
             f"update_where lost {max_retries} conflict races"
         ) from last
 
+    def _apply_set(self, matched: DataFrame, set_exprs: dict[str, str], gen: dict[str, str]) -> DataFrame:
+        """Evaluate every SET expression against the pre-image in one
+        SELECT, then recompute generated columns not explicitly SET."""
+        from pyspark.sql import functions as _F
+
+        updated = matched.select(
+            *[
+                _F.expr(set_exprs[c]).cast(matched.schema[c].dataType).alias(c)
+                if c in set_exprs
+                else _F.col(f"`{c}`")
+                for c in matched.columns
+            ]
+        )
+        for gname, gexpr in gen.items():
+            if gname not in set_exprs and gname in updated.columns:
+                updated = updated.withColumn(gname, _F.expr(gexpr))
+        return updated
+
     def update_where(
         self,
         spark: SparkSession,
         set_exprs: dict[str, str],
         predicates: list[tuple],
+        dv: bool = False,
     ) -> CommitResult:
         """UPDATE ... SET <set_exprs> WHERE <predicates> (Delta UPDATE
         parity; the append-only reference has no row mutation — this
@@ -1681,7 +1704,14 @@ class DeltaLikeTable:
         Racing rewrites of the same files raise
         :class:`ConcurrentDeleteDelete`; deletion-vector state on the
         candidates is honored (the rewrite reads logical rows) and
-        materialized away in the replacement files."""
+        materialized away in the replacement files.
+
+        ``dv=True`` is the trickle-update lever (how Delta runs UPDATE
+        when DVs are enabled): instead of rewriting every candidate
+        file, the matched rows are MASKED via a deletion-vector sidecar
+        and only the updated rows are written as new files — a
+        100-row update against 100 TB costs one sidecar plus one small
+        file, not a rewrite of every touched 128 MiB candidate."""
         from pyspark.sql import functions as _F
 
         snap = self.snapshot()
@@ -1698,25 +1728,24 @@ class DeltaLikeTable:
         candidates = [f for f in live if not _file_excluded(f, predicates)]
         if not candidates:
             return CommitResult(snap["version"], 0, 0, skipped=True)
+        if dv:
+            if any(os.path.isabs(f["path"]) for f in candidates):
+                raise ValueError(
+                    "deletion-vector UPDATE cannot address rows in "
+                    "shallow-cloned external files; optimize() "
+                    "localizes them first"
+                )
+            return self._update_with_dv(
+                spark, snap, candidates, predicates, set_exprs, partition_by
+            )
 
         cur = self._frame_for(spark, snap, candidates)
         pred = _F.coalesce(_pred_to_column(predicates), _F.lit(False))
         kept = cur.filter(~pred)
         matched = cur.filter(pred)
-        gen = self.generated_columns(snap)
-        # One SELECT evaluates every SET against the pre-image;
-        # generated columns not explicitly SET are recomputed after.
-        updated = matched.select(
-            *[
-                _F.expr(set_exprs[c]).cast(matched.schema[c].dataType).alias(c)
-                if c in set_exprs
-                else _F.col(f"`{c}`")
-                for c in matched.columns
-            ]
+        updated = self._apply_set(
+            matched, set_exprs, self.generated_columns(snap)
         )
-        for gname, gexpr in gen.items():
-            if gname not in set_exprs and gname in updated.columns:
-                updated = updated.withColumn(gname, _F.expr(gexpr))
         self._enforce_constraints(updated, snap)
         cdc_actions: list[dict] = []
         if self._cdf_enabled(snap):
@@ -1850,6 +1879,122 @@ class DeltaLikeTable:
             self._checkpoint(version)
         total = sum(per_file.values())
         return CommitResult(version, len(affected), total)
+
+    def _update_with_dv(
+        self,
+        spark: SparkSession,
+        snap: dict,
+        candidates: list[dict],
+        predicates: list[tuple],
+        set_exprs: dict[str, str],
+        partition_by: list[str],
+    ) -> CommitResult:
+        """Deletion-vector UPDATE: mask the pre-image rows via a DV
+        sidecar (same protocol as DV DELETE — remove+re-add of the same
+        files with a new descriptor) and append the post-image rows as
+        fresh files, all in ONE commit. Constraints validate the
+        post-image; CDF records pre/post images as usual."""
+        from pyspark.sql import functions as _F
+
+        cur = self._frame_for(spark, snap, candidates, with_meta=True)
+        pred = _F.coalesce(_pred_to_column(predicates), _F.lit(False))
+        matched_meta = cur.filter(pred)
+        matches = matched_meta.select(
+            _F.col("_dv_path").alias("path"),
+            _F.col("_dv_ri").alias("row_index"),
+        )
+        old_sidecars = sorted(
+            {
+                f["deletionVector"]["storagePath"]
+                for f in candidates
+                if f.get("deletionVector")
+            }
+        )
+        if old_sidecars:
+            old_rows = spark.read.parquet(
+                *[os.path.join(self.path, p) for p in old_sidecars]
+            ).select("path", "row_index")
+            matches = matches.unionByName(
+                old_rows.join(
+                    matches.select("path").distinct(), "path", "left_semi"
+                )
+            )
+        dv_rel = os.path.join("_kdi_dv", f"{uuid.uuid4().hex}.parquet")
+        matches.write.mode("overwrite").parquet(os.path.join(self.path, dv_rel))
+        per_file = {
+            r["path"]: r["n"]
+            for r in spark.read.parquet(os.path.join(self.path, dv_rel))
+            .groupBy("path")
+            .agg(_F.count("*").alias("n"))
+            .collect()
+        }
+        affected = [f for f in candidates if f["path"] in per_file]
+        if not affected:
+            shutil.rmtree(os.path.join(self.path, dv_rel), ignore_errors=True)
+            return CommitResult(snap["version"], 0, 0, skipped=True)
+
+        matched = matched_meta.drop("_dv_path", "_dv_ri")
+        updated = self._apply_set(
+            matched, set_exprs, self.generated_columns(snap)
+        )
+        self._enforce_constraints(updated, snap)
+        staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
+        writer = updated.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(staging)
+        adds = self._promote_staging(staging, partition_by)
+        shutil.rmtree(staging, ignore_errors=True)
+
+        cdc_actions: list[dict] = []
+        if self._cdf_enabled(snap):
+            changes = matched.select(
+                "*", _F.lit("update_preimage").alias("_change_type")
+            ).unionByName(
+                updated.select(
+                    "*", _F.lit("update_postimage").alias("_change_type")
+                )
+            )
+            cdc_actions = self._write_cdc(changes)
+        ts = int(time.time() * 1000)
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "operation": "UPDATE",
+                    "operationParameters": {
+                        "predicate": [list(p) for p in predicates],
+                        "set": dict(set_exprs),
+                        "mode": "deletionVector",
+                        "numCandidateFiles": len(candidates),
+                        "numAffectedFiles": len(affected),
+                        "changeDataFeed": self._cdf_enabled(snap),
+                    },
+                    "timestamp": ts,
+                }
+            }
+        ]
+        for f in affected:
+            actions.append(
+                {"remove": {"path": f["path"], "deletionTimestamp": ts}}
+            )
+            re_add = dict(f)
+            re_add["deletionVector"] = {
+                "storagePath": dv_rel,
+                "cardinality": int(per_file[f["path"]]),
+            }
+            re_add["dataChange"] = True
+            actions.append({"add": re_add})
+        actions += [{"add": a} for a in adds]
+        actions += cdc_actions
+        version = self._commit(
+            actions,
+            read_version=snap["version"],
+            remove_paths={f["path"] for f in affected},
+        )
+        if version % CHECKPOINT_EVERY == 0:
+            self._checkpoint(version)
+        n_upd = sum(a["stats"]["numRecords"] for a in adds)
+        return CommitResult(version, len(affected) + len(adds), n_upd)
 
     def _rewrite_commit(
         self,

@@ -497,3 +497,82 @@ def test_apply_changes_collapses_to_net_effect(spark, root):
     feed = a.table_changes(spark, v0)
     b.apply_changes(spark, feed, key_cols=["id"])
     assert [tuple(r) for r in b.read(spark).collect()] == [(0, "final")]
+
+
+# -- deletion-vector UPDATE ------------------------------------------------
+
+
+def test_update_dv_masks_preimage_and_appends_postimage(spark, root):
+    t = DeltaLikeTable(root + "/t")
+    t.write_batch(
+        spark.createDataFrame(
+            [(i, i) for i in range(10)], "id long, val long"
+        ).coalesce(1)
+    )
+    orig = {f["path"] for f in t._live_files()}
+    t.update_where(spark, {"val": "val + 100"}, [("id", "<", 3)], dv=True)
+    got = {r.id: r.val for r in t.read(spark).collect()}
+    assert got == {i: (i + 100 if i < 3 else i) for i in range(10)}
+    live = t._live_files()
+    # The original file survives (re-added with a DV descriptor masking
+    # the 3 pre-image rows); the post-image rows are a NEW small file.
+    by_path = {f["path"]: f for f in live}
+    assert orig <= set(by_path)
+    assert by_path[next(iter(orig))]["deletionVector"]["cardinality"] == 3
+    assert len(live) == 2
+    # Metadata-only count stays exact through the mask+append.
+    assert t.count_rows() == 10
+
+
+def test_update_dv_twice_same_rows(spark, root):
+    t = DeltaLikeTable(root + "/t")
+    t.write_batch(
+        spark.createDataFrame(
+            [(i, i) for i in range(6)], "id long, val long"
+        ).coalesce(1)
+    )
+    t.update_where(spark, {"val": "val + 10"}, [("id", "=", 2)], dv=True)
+    # Second DV update hits the POST-image row (in the appended file).
+    t.update_where(spark, {"val": "val + 10"}, [("id", "=", 2)], dv=True)
+    got = {r.id: r.val for r in t.read(spark).collect()}
+    assert got[2] == 22 and len(got) == 6
+    assert t.count_rows() == 6
+
+
+def test_update_dv_emits_cdf_images(spark, root):
+    t = DeltaLikeTable(root + "/t")
+    t.write_batch(
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, val long").coalesce(1)
+    )
+    t.enable_cdf()
+    v = t.latest_version()
+    t.update_where(spark, {"val": "val * 2"}, [("id", "=", 1)], dv=True)
+    ch = sorted(
+        (r.id, r.val, r._change_type)
+        for r in t.table_changes(spark, v).collect()
+    )
+    assert ch == [(1, 10, "update_preimage"), (1, 20, "update_postimage")]
+
+
+def test_optimize_materializes_dv_update(spark, root):
+    t = DeltaLikeTable(root + "/t")
+    t.write_batch(
+        spark.createDataFrame(
+            [(i, i) for i in range(8)], "id long, val long"
+        ).coalesce(1)
+    )
+    t.update_where(spark, {"val": "-1"}, [("id", ">=", 6)], dv=True)
+    t.optimize(spark)
+    assert all(not f.get("deletionVector") for f in t._live_files())
+    got = {r.id: r.val for r in t.read(spark).collect()}
+    assert got == {i: (-1 if i >= 6 else i) for i in range(8)}
+
+
+def test_merge_computes_generated_columns(spark, root):
+    t = DeltaLikeTable(root + "/t")
+    t.write_batch(spark.createDataFrame([(1, 10)], "id long, twice long"))
+    t.set_generated_column("twice", "id * 10")
+    src = spark.createDataFrame([(2,)], "id long")  # omits `twice`
+    t.merge(spark, src, key_cols=["id"])
+    got = {r.id: r.twice for r in t.read(spark).collect()}
+    assert got == {1: 10, 2: 20}  # computed in-flight, not NULL
