@@ -1076,7 +1076,78 @@ class DeltaLikeTable:
             out = out.unionByName(fdf, allowMissingColumns=True)
         return out
 
+    # -- history -----------------------------------------------------------
+
+    def describe_history(self, spark: SparkSession) -> DataFrame:
+        """DESCRIBE HISTORY: one row per commit, newest first —
+        version, timestamp, operation, operationParameters (JSON), and
+        the commit's add/remove file counts. Pure log read, no data
+        files touched; the audit surface Delta exposes for every table."""
+        rows = []
+        for v in range(self.latest_version(), -1, -1):
+            op, params, ts, n_add, n_remove = None, {}, None, 0, 0
+            with open(self._version_file(v)) as f:
+                for line in f:
+                    action = json.loads(line)
+                    if "commitInfo" in action:
+                        ci = action["commitInfo"]
+                        op = ci.get("operation")
+                        params = ci.get("operationParameters") or {}
+                        ts = ci.get("timestamp")
+                    elif "add" in action:
+                        n_add += 1
+                    elif "remove" in action:
+                        n_remove += 1
+            rows.append(
+                (
+                    v,
+                    ts,
+                    op,
+                    json.dumps(params, sort_keys=True),
+                    n_add,
+                    n_remove,
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "version long, timestamp long, operation string, "
+            "operationParameters string, numAddedFiles int, "
+            "numRemovedFiles int",
+        )
+
     # -- metadata-only aggregates ------------------------------------------
+
+    def min_max(self, column: str) -> tuple | None:
+        """MIN/MAX of ``column`` answered from add-action stats alone,
+        or None when the log cannot prove the answer. Sound only when
+        no live file carries a deletion vector (a DV may mask exactly
+        the extreme row) and every live file has min/max stats for the
+        column with zero nulls unaccounted — the conservative dual of
+        file pruning, same contract as :meth:`count_rows`."""
+        files = self._live_files()
+        if not files:
+            return None
+        lo = hi = None
+        for f in files:
+            if f.get("deletionVector"):
+                return None
+            stats = f.get("stats") or {}
+            if isinstance(stats, str):
+                stats = json.loads(stats)
+            mins = (stats.get("minValues") or {})
+            maxs = (stats.get("maxValues") or {})
+            pvals = f.get("partitionValues") or {}
+            if column in pvals:
+                fmin = fmax = pvals[column]
+            elif column in mins and column in maxs:
+                fmin, fmax = mins[column], maxs[column]
+            else:
+                return None
+            if fmin is None or fmax is None:
+                return None
+            lo = fmin if lo is None or fmin < lo else lo
+            hi = fmax if hi is None or fmax > hi else hi
+        return (lo, hi)
 
     def count_rows(self, predicates: list[tuple] | None = None) -> int | None:
         """SELECT COUNT(*) answered from the transaction log alone —

@@ -174,3 +174,35 @@ def test_clone_into_nonempty_destination_refused(spark, root):
     _seed(other, spark, batches=1)
     with pytest.raises(ValueError, match="not empty"):
         src.clone_to(spark, root + "/other")
+
+
+def test_min_max_from_stats(spark, root):
+    t = DeltaLikeTable(root + "/t")
+    _seed(t, spark)  # ids 0..29 across 3 files
+    assert t.min_max("id") == (0, 29)
+    t.delete_where(spark, [("id", ">=", 20)])  # rewrite drops a file
+    assert t.min_max("id") == (0, 19)
+    # A DV makes the metadata answer unsound: must be None, not wrong.
+    t.delete_where(spark, [("id", "=", 0)], dv=True)
+    assert t.min_max("id") is None
+    assert t.min_max("no_such_column") is None
+
+
+def test_describe_history_audit_trail(spark, root):
+    t = DeltaLikeTable(root + "/t")
+    _seed(t, spark, batches=2)
+    t.delete_where(spark, [("id", "<", 5)])
+    t.restore(spark, 1)
+    h = t.describe_history(spark).collect()
+    assert [r.version for r in h] == [3, 2, 1, 0]
+    assert [r.operation for r in h] == [
+        "RESTORE",
+        "DELETE",
+        "STREAMING UPDATE",
+        "STREAMING UPDATE",
+    ]
+    import json as _json
+
+    restore_params = _json.loads(h[0].operationParameters)
+    assert restore_params["version"] == 1
+    assert h[1].numRemovedFiles == 1  # the delete tombstoned one file
