@@ -2690,6 +2690,53 @@ def text_bm25_search(spark, sf_dir):
 
 
 @_q(
+    "decontam_semantic",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), nn AS (
+      SELECT vec_id,
+        list_transform(v, x -> x /
+          CASE WHEN sqrt(list_sum(list_transform(v, y -> y*y))) = 0
+               THEN 1.0
+               ELSE sqrt(list_sum(list_transform(v, y -> y*y))) END) AS v
+      FROM e
+    ), b AS (
+      SELECT vec_id AS bench_id, v AS bv FROM nn WHERE vec_id % 50 = 0
+    ), scored AS (
+      SELECT nn.vec_id, b.bench_id,
+        list_sum(list_transform(list_zip(nn.v, bv), p -> p[1] * p[2])) AS cs
+      FROM nn CROSS JOIN b
+    ), best AS (
+      SELECT vec_id, bench_id, cs,
+        row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, bench_id) AS r
+      FROM scored
+    )
+    SELECT vec_id, CAST(bench_id AS BIGINT) AS bench_id,
+           round(cs, 6) AS cos_sim
+    FROM best WHERE r = 1 AND cs >= 0.99
+    """,
+)
+def decontam_semantic(spark, sf_dir):
+    """Embedding-space benchmark decontamination: flag corpus vectors
+    whose best cosine against the benchmark embedding set reaches 0.99
+    — catches paraphrased/reformatted leakage the word-8-gram check
+    (decontam_overlap_report) cannot see. The benchmark collapses into
+    one broadcast array row; the corpus computes its per-row argmax via
+    a higher-order fold — a pure map, zero shuffles, output
+    proportional to the contamination."""
+    from kafka_delta_ingest_spark.operators.decontam import (
+        semantic_contamination,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    bench = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("bench_id"), "embedding"
+    )
+    return semantic_contamination(e, bench, threshold=0.99)
+
+
+@_q(
     "search_hybrid_rrf",
     r"""
     WITH toks AS (
@@ -4306,6 +4353,7 @@ _SWEEP_ORDER: list[str] = [
     # a wholly uncertified family — takes the 50th slot.
     "pipeline_fuzzy_curation",
     "search_hybrid_rrf",
+    "decontam_semantic",
     "embedding_neardup_exact",
     "text_top_ngrams",
     "scan_filter_project",

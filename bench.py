@@ -79,6 +79,7 @@ HEADLINE = [
     "corpus_card",
     "text_gopher_quality",
     "sim_ivfpq_topk",
+    "search_hybrid_rrf",
 ]
 
 

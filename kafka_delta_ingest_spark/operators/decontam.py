@@ -128,3 +128,94 @@ def decontaminate(
     else:
         flagged = hits.select(id_col).dropDuplicates([id_col])
     return corpus.join(F.broadcast(flagged), on=id_col, how="left_anti")
+
+
+def semantic_contamination(
+    corpus_emb: DataFrame,
+    bench_emb: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "bench_id",
+    bench_vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark contamination: flag every corpus
+    vector whose best cosine against ANY benchmark vector reaches
+    ``threshold`` — the semantic complement of the word-n-gram overlap
+    check (paraphrased or reformatted benchmark leakage that shares no
+    8-gram still lands at cosine ≈ 1).
+
+    Returns (id_col, bench_id_col, cos_sim) for flagged vectors only —
+    like ``contamination_report``, output stays proportional to the
+    contamination, never the corpus.
+
+    Scale shape: the benchmark embedding set (thousands of rows, not
+    corpus-scale) is collapsed into ONE broadcast row holding an array
+    of (id, vector) structs; the corpus then computes its per-row best
+    match with a higher-order ``aggregate`` over that array — a pure
+    map over the corpus, zero shuffles, no corpus-sized join or
+    groupBy anywhere. Ties break toward the smaller benchmark id for
+    engine-portable determinism."""
+    from kafka_delta_ingest_spark.operators.similarity import (
+        _as_double,
+        l2_norm,
+    )
+
+    b = bench_emb.select(
+        F.col(bench_id_col).alias("_bid"),
+        _as_double(F.col(bench_vec_col)).alias("_bv"),
+    ).select(
+        "_bid",
+        F.transform(
+            "_bv", lambda x: x / F.coalesce(F.nullif(l2_norm(F.col("_bv")), F.lit(0.0)), F.lit(1.0))
+        ).alias("_bv"),
+    )
+    # array_sort on (id, vec) structs orders by id — collect_list alone
+    # has no deterministic order across partitions.
+    bench_arr = b.agg(
+        F.array_sort(F.collect_list(F.struct("_bid", "_bv"))).alias("_bench")
+    )
+    c = corpus_emb.select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("_cv"),
+    ).select(
+        id_col,
+        F.transform(
+            "_cv", lambda x: x / F.coalesce(F.nullif(l2_norm(F.col("_cv")), F.lit(0.0)), F.lit(1.0))
+        ).alias("_cv"),
+    )
+    # Per-row argmax over the broadcast benchmark array: fold keeps the
+    # (best_cos, best_id) pair; strictly-greater keeps the first (i.e.
+    # smallest) benchmark id on exact ties.
+    best = F.aggregate(
+        F.col("_bench"),
+        F.struct(
+            F.lit(float("-inf")).alias("cs"), F.lit(None).cast("long").alias("bid")
+        ),
+        lambda acc, x: F.when(
+            F.aggregate(
+                F.zip_with(F.col("_cv"), x["_bv"], lambda p, q: p * q),
+                F.lit(0.0),
+                lambda a2, v: a2 + v,
+            )
+            > acc["cs"],
+            F.struct(
+                F.aggregate(
+                    F.zip_with(F.col("_cv"), x["_bv"], lambda p, q: p * q),
+                    F.lit(0.0),
+                    lambda a2, v: a2 + v,
+                ).alias("cs"),
+                x["_bid"].cast("long").alias("bid"),
+            ),
+        ).otherwise(acc),
+    )
+    return (
+        c.crossJoin(F.broadcast(bench_arr))
+        .select(id_col, best.alias("_best"))
+        .where(F.col("_best.cs") >= threshold)
+        .select(
+            id_col,
+            F.col("_best.bid").alias(bench_id_col),
+            F.round(F.col("_best.cs"), 6).alias("cos_sim"),
+        )
+    )
