@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -415,6 +416,168 @@ class DeltaLikeTable:
             ]
         )
 
+    # -- column mapping (Delta columnMapping.mode=name parity) -------------
+
+    COLMAP_MODE_KEY = "delta.columnMapping.mode"
+    COLMAP_PREFIX = "kdi.colmap."
+
+    def _colmap(self, snap: dict | None = None) -> dict[str, str]:
+        """logical → physical column names, only the entries that
+        differ (identity mappings are dropped so the no-rename fast
+        path costs nothing)."""
+        meta = (snap or self.snapshot()).get("metaData")
+        cfg = (meta or {}).get("configuration") or {}
+        p = self.COLMAP_PREFIX
+        return {
+            k[len(p):]: v
+            for k, v in cfg.items()
+            if k.startswith(p) and v != k[len(p):]
+        }
+
+    @staticmethod
+    def _rename_cols(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+        for a, b in mapping.items():
+            if a in df.columns:
+                df = df.withColumnRenamed(a, b)
+        return df
+
+    def _phys_preds(
+        self, predicates: list[tuple] | None, cm: dict[str, str]
+    ) -> list[tuple] | None:
+        """Predicates arrive under LOGICAL names; stats, partition
+        values, and blooms are keyed by PHYSICAL names on disk."""
+        if not predicates or not cm:
+            return predicates
+        return [(cm.get(p[0], p[0]), *p[1:]) for p in predicates]
+
+    def enable_column_mapping(self) -> int:
+        """SET TBLPROPERTIES (delta.columnMapping.mode = name).
+
+        Every existing column's physical name is frozen at its current
+        logical name; from here on ``rename_column`` changes only the
+        LOGICAL name — files, stats, and partition directories keep the
+        physical name forever, so a rename is one metaData commit on a
+        100 TB table, zero data rewritten (Delta's name-mode column
+        mapping)."""
+        snap = self.snapshot()
+        meta = snap["metaData"]
+        if meta is None:
+            raise ValueError("table has no schema yet")
+        cfg = dict((meta.get("configuration") or {}))
+        cfg[self.COLMAP_MODE_KEY] = "name"
+        from pyspark.sql.types import StructType as _St
+
+        for f in _St.fromJson(json.loads(meta["schemaString"])).fields:
+            cfg.setdefault(self.COLMAP_PREFIX + f.name, f.name)
+        return self._commit_meta_config(meta, cfg, "SET TBLPROPERTIES")
+
+    def _refuse_referenced(self, snap: dict, name: str, what: str) -> None:
+        refs = {**self.constraints(snap), **self.generated_columns(snap)}
+        offenders = [
+            n
+            for n, expr in refs.items()
+            if re.search(rf"\b{re.escape(name)}\b", expr)
+        ]
+        gen_cols = [
+            g for g in self.generated_columns(snap) if g == name
+        ]
+        if offenders or gen_cols:
+            raise ValueError(
+                f"cannot {what} column {name!r}: referenced by "
+                f"{sorted(set(offenders + gen_cols))}"
+            )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE ... RENAME COLUMN old TO new — metadata only.
+
+        Requires column mapping (auto-enabled on first rename). The
+        physical name is carried over, so every already-written file
+        stays valid; refuses if a CHECK constraint or generated-column
+        expression references the old name (they are stored as SQL text
+        and would silently break — same restriction real Delta
+        enforces)."""
+        snap = self.snapshot()
+        meta = snap["metaData"]
+        if meta is None:
+            raise ValueError("table has no schema yet")
+        cfg = dict((meta.get("configuration") or {}))
+        if cfg.get(self.COLMAP_MODE_KEY) != "name":
+            self.enable_column_mapping()
+            snap = self.snapshot()
+            meta = snap["metaData"]
+            cfg = dict(meta.get("configuration") or {})
+        schema = json.loads(meta["schemaString"])
+        names = [f["name"] for f in schema["fields"]]
+        if old not in names:
+            raise ValueError(f"no such column: {old!r}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        self._refuse_referenced(snap, old, "rename")
+        for f in schema["fields"]:
+            if f["name"] == old:
+                f["name"] = new
+        physical = cfg.pop(self.COLMAP_PREFIX + old, old)
+        cfg[self.COLMAP_PREFIX + new] = physical
+        parts = [
+            new if c == old else c for c in meta.get("partitionColumns", [])
+        ]
+        return self._commit(
+            [
+                {
+                    "commitInfo": {
+                        "operation": f"RENAME COLUMN {old} TO {new}",
+                        "timestamp": int(time.time() * 1000),
+                    }
+                },
+                {
+                    "metaData": {
+                        "schemaString": json.dumps(schema),
+                        "partitionColumns": parts,
+                        "configuration": cfg,
+                    }
+                },
+            ]
+        )
+
+    def drop_column(self, name: str) -> int:
+        """ALTER TABLE ... DROP COLUMN — metadata only: the field
+        leaves the schema (readers prune it via the schema select);
+        bytes stay in the files until files are rewritten. Partition
+        columns and columns referenced by constraints/generated
+        expressions are refused."""
+        snap = self.snapshot()
+        meta = snap["metaData"]
+        if meta is None:
+            raise ValueError("table has no schema yet")
+        if name in (meta.get("partitionColumns") or []):
+            raise ValueError(f"cannot drop partition column {name!r}")
+        self._refuse_referenced(snap, name, "drop")
+        schema = json.loads(meta["schemaString"])
+        if name not in [f["name"] for f in schema["fields"]]:
+            raise ValueError(f"no such column: {name!r}")
+        schema["fields"] = [
+            f for f in schema["fields"] if f["name"] != name
+        ]
+        cfg = dict((meta.get("configuration") or {}))
+        cfg.pop(self.COLMAP_PREFIX + name, None)
+        return self._commit(
+            [
+                {
+                    "commitInfo": {
+                        "operation": f"DROP COLUMN {name}",
+                        "timestamp": int(time.time() * 1000),
+                    }
+                },
+                {
+                    "metaData": {
+                        "schemaString": json.dumps(schema),
+                        "partitionColumns": meta.get("partitionColumns", []),
+                        "configuration": cfg,
+                    }
+                },
+            ]
+        )
+
     def generated_columns(self, snap: dict | None = None) -> dict[str, str]:
         """column → generation expression (Delta generated-column
         analog; stored under ``kdi.generated.<col>`` configuration
@@ -532,13 +695,22 @@ class DeltaLikeTable:
                 app in stored and stored[app] >= ver for app, ver in txn.items()
             ):
                 return CommitResult(snap["version"], 0, 0, skipped=True)
+        if partition_by is None and snap["metaData"]:
+            # Inherit the table's declared partitioning (Delta writers
+            # always do) — a layout-mixing unpartitioned append into a
+            # partitioned table confuses directory-based reads.
+            partition_by = snap["metaData"].get("partitionColumns") or []
         df = self._apply_generated(df, snap)
         self._enforce_constraints(df, snap)
 
+        # Column mapping: files, stats, and partition directories are
+        # written under PHYSICAL names; the frame stays logical until
+        # this point (no-op when no rename ever happened).
+        cm = self._colmap(snap)
         staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
-        writer = df.write.mode("overwrite")
+        writer = self._rename_cols(df, cm).write.mode("overwrite")
         if partition_by:
-            writer = writer.partitionBy(*partition_by)
+            writer = writer.partitionBy(*[cm.get(c, c) for c in partition_by])
         writer.parquet(staging)
 
         adds = self._promote_staging(staging, partition_by or [])
@@ -773,9 +945,10 @@ class DeltaLikeTable:
             )
         else:
             shaped = df.coalesce(n_out)
-        writer = shaped.write.mode("overwrite")
+        cm = self._colmap(snap)
+        writer = self._rename_cols(shaped, cm).write.mode("overwrite")
         if partition_by:
-            writer = writer.partitionBy(*partition_by)
+            writer = writer.partitionBy(*[cm.get(c, c) for c in partition_by])
         writer.parquet(staging)
         if bloom_for:
             types = dict(df.dtypes)
@@ -786,7 +959,14 @@ class DeltaLikeTable:
                         f"bloom_for: column {c!r} has type {t}; only "
                         "int/string columns have a canonical hash form"
                     )
-            blooms = _bloom_pass(spark, staging, bloom_for, bloom_bits, bloom_hashes)
+            # Bloom bitmaps key on the PHYSICAL name, same as stats.
+            blooms = _bloom_pass(
+                spark,
+                staging,
+                [cm.get(c, c) for c in bloom_for],
+                bloom_bits,
+                bloom_hashes,
+            )
         else:
             blooms = {}
         adds = self._promote_staging(staging, partition_by)
@@ -950,11 +1130,15 @@ class DeltaLikeTable:
         cfg = ((snap.get("metaData") or {}).get("configuration")) or {}
         return str(cfg.get(self.CDF_KEY, "")).lower() == "true"
 
-    def _write_cdc(self, df: DataFrame) -> list[dict]:
+    def _write_cdc(self, df: DataFrame, snap: dict | None = None) -> list[dict]:
         """Write a change frame (table columns + ``_change_type``) under
         ``_change_data/`` and return its ``cdc`` actions. The directory
         is underscore-prefixed so plain table reads never see it; only
-        ``table_changes`` resolves cdc paths."""
+        ``table_changes`` resolves cdc paths. Change files store
+        PHYSICAL column names like data files, so they stay valid
+        across later renames."""
+        if snap is not None:
+            df = self._rename_cols(df, self._colmap(snap))
         rel_dir = os.path.join("_change_data", f"cdc-{uuid.uuid4().hex}")
         out_dir = os.path.join(self.path, rel_dir)
         df.write.mode("overwrite").parquet(out_dir)
@@ -1006,6 +1190,10 @@ class DeltaLikeTable:
         frames = []
         meta = None
         rewrite_ops = {"UPDATE", "DELETE", "MERGE", "RESTORE"}
+        # Physical names are the stable key across renames: every frame
+        # is surfaced under the CURRENT logical names, whatever the
+        # column was called when its commit landed.
+        inv_cur = {v: k for k, v in self._colmap().items()}
         for v in range(0, to_version + 1):
             op, adds, cdcs, n_removes, cdf_on = None, [], [], 0, False
             with open(self._version_file(v)) as f:
@@ -1036,8 +1224,13 @@ class DeltaLikeTable:
             if v <= from_version:
                 continue
             if cdcs:
-                cdf = spark.read.parquet(
-                    *[os.path.join(self.path, c["path"]) for c in cdcs]
+                # Change files store physical names; one inverse map
+                # lands them on the current logical schema.
+                cdf = self._rename_cols(
+                    spark.read.parquet(
+                        *[os.path.join(self.path, c["path"]) for c in cdcs]
+                    ),
+                    inv_cur,
                 )
             elif op in rewrite_ops and (adds or n_removes):
                 # A rewrite with adds OR data-changing removes (a DELETE
@@ -1054,9 +1247,19 @@ class DeltaLikeTable:
                     f"were not recorded"
                 )
             elif adds and op != "OPTIMIZE":
-                cdf = self._frame_for(spark, {"metaData": meta}, adds).select(
-                    "*", _F.lit("insert").alias("_change_type")
-                )
+                # _frame_for surfaces the commit-era logical names;
+                # compose era-logical -> physical -> current-logical.
+                era_cm = self._colmap({"metaData": meta})
+                era_to_cur = {
+                    l_era: inv_cur.get(phys, phys)
+                    for l_era, phys in era_cm.items()
+                }
+                for phys, l_cur in inv_cur.items():
+                    era_to_cur.setdefault(phys, l_cur)
+                cdf = self._rename_cols(
+                    self._frame_for(spark, {"metaData": meta}, adds),
+                    era_to_cur,
+                ).select("*", _F.lit("insert").alias("_change_type"))
             else:
                 continue
             frames.append(
@@ -1125,6 +1328,7 @@ class DeltaLikeTable:
         column with zero nulls unaccounted — the conservative dual of
         file pruning, same contract as :meth:`count_rows`."""
         files = self._live_files()
+        column = self._colmap().get(column, column)
         if not files:
             return None
         lo = hi = None
@@ -1164,6 +1368,7 @@ class DeltaLikeTable:
         caller falls back to a scan. (No-predicate counts are always
         exact.)"""
         files = self._live_files()
+        predicates = self._phys_preds(predicates, self._colmap())
         if not predicates:
             return sum(
                 int((f.get("stats") or {}).get("numRecords", 0))
@@ -1349,7 +1554,8 @@ class DeltaLikeTable:
                         "*", _F.lit("insert").alias("_change_type")
                     ),
                     allowMissingColumns=True,
-                )
+                ),
+                snap_cur,
             )
 
         ts = int(time.time() * 1000)
@@ -1490,8 +1696,11 @@ class DeltaLikeTable:
         if bounds["lo"] is None and noop_src is None:
             return CommitResult(snap["version"], 0, 0, skipped=True)
         live = self._live_files(snap)
+        cm_merge = self._colmap(snap)
         if bounds["lo"] is not None:
-            preds = [(k0, ">=", bounds["lo"]), (k0, "<=", bounds["hi"])]
+            preds = self._phys_preds(
+                [(k0, ">=", bounds["lo"]), (k0, "<=", bounds["hi"])], cm_merge
+            )
             candidates = [f for f in live if not _file_excluded(f, preds)]
         else:
             candidates = []
@@ -1515,7 +1724,9 @@ class DeltaLikeTable:
                 _F.min(k0).alias("lo"), _F.max(k0).alias("hi")
             ).collect()[0]
             if nb["lo"] is not None:
-                npreds = [(k0, ">=", nb["lo"]), (k0, "<=", nb["hi"])]
+                npreds = self._phys_preds(
+                    [(k0, ">=", nb["lo"]), (k0, "<=", nb["hi"])], cm_merge
+                )
                 probe_files = [
                     f for f in live if not _file_excluded(f, npreds)
                 ]
@@ -1565,7 +1776,7 @@ class DeltaLikeTable:
                     ),
                     allowMissingColumns=True,
                 )
-            cdc_actions = self._write_cdc(changes)
+            cdc_actions = self._write_cdc(changes, snap)
         return self._rewrite_commit(
             spark,
             out,
@@ -1671,7 +1882,8 @@ class DeltaLikeTable:
         meta = snap["metaData"]
         partition_by = meta["partitionColumns"] if meta else []
         live = self._live_files(snap)
-        candidates = [f for f in live if not _file_excluded(f, predicates)]
+        preds_p = self._phys_preds(predicates, self._colmap(snap))
+        candidates = [f for f in live if not _file_excluded(f, preds_p)]
         if not candidates:
             return CommitResult(snap["version"], 0, 0, skipped=True)
         if dv:
@@ -1695,7 +1907,7 @@ class DeltaLikeTable:
             deleted = cur.filter(
                 _F.coalesce(_pred_to_column(predicates), _F.lit(False))
             ).select("*", _F.lit("delete").alias("_change_type"))
-            cdc_actions = self._write_cdc(deleted)
+            cdc_actions = self._write_cdc(deleted, snap)
         return self._rewrite_commit(
             spark,
             keep,
@@ -1796,7 +2008,8 @@ class DeltaLikeTable:
             raise ValueError(f"UPDATE SET targets unknown columns: {unknown}")
         partition_by = meta["partitionColumns"]
         live = self._live_files(snap)
-        candidates = [f for f in live if not _file_excluded(f, predicates)]
+        preds_p = self._phys_preds(predicates, self._colmap(snap))
+        candidates = [f for f in live if not _file_excluded(f, preds_p)]
         if not candidates:
             return CommitResult(snap["version"], 0, 0, skipped=True)
         if dv:
@@ -1827,7 +2040,7 @@ class DeltaLikeTable:
                     "*", _F.lit("update_postimage").alias("_change_type")
                 )
             )
-            cdc_actions = self._write_cdc(changes)
+            cdc_actions = self._write_cdc(changes, snap)
         out = kept.unionByName(updated)
         return self._rewrite_commit(
             spark,
@@ -1912,7 +2125,7 @@ class DeltaLikeTable:
             ).drop("_dv_path", "_dv_ri").select(
                 "*", _F.lit("delete").alias("_change_type")
             )
-            cdc_actions = self._write_cdc(deleted)
+            cdc_actions = self._write_cdc(deleted, snap)
         ts = int(time.time() * 1000)
         actions: list[dict] = [
             {
@@ -2009,10 +2222,11 @@ class DeltaLikeTable:
             matched, set_exprs, self.generated_columns(snap)
         )
         self._enforce_constraints(updated, snap)
+        cm = self._colmap(snap)
         staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
-        writer = updated.write.mode("overwrite")
+        writer = self._rename_cols(updated, cm).write.mode("overwrite")
         if partition_by:
-            writer = writer.partitionBy(*partition_by)
+            writer = writer.partitionBy(*[cm.get(c, c) for c in partition_by])
         writer.parquet(staging)
         adds = self._promote_staging(staging, partition_by)
         shutil.rmtree(staging, ignore_errors=True)
@@ -2026,7 +2240,7 @@ class DeltaLikeTable:
                     "*", _F.lit("update_postimage").alias("_change_type")
                 )
             )
-            cdc_actions = self._write_cdc(changes)
+            cdc_actions = self._write_cdc(changes, snap)
         ts = int(time.time() * 1000)
         actions: list[dict] = [
             {
@@ -2088,14 +2302,16 @@ class DeltaLikeTable:
         same atomic commit; if the commit loses its race the files they
         reference are simply never referenced by any landed version and
         ``vacuum`` reclaims them."""
+        snap_now = self.snapshot()
         if operation == "MERGE":
             # MERGE introduces/updates rows; CHECK constraints apply to
             # them (DELETE/OPTIMIZE only re-shuffle already-valid rows).
-            self._enforce_constraints(df, self.snapshot())
+            self._enforce_constraints(df, snap_now)
+        cm = self._colmap(snap_now)
         staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
-        writer = df.write.mode("overwrite")
+        writer = self._rename_cols(df, cm).write.mode("overwrite")
         if partition_by:
-            writer = writer.partitionBy(*partition_by)
+            writer = writer.partitionBy(*[cm.get(c, c) for c in partition_by])
         writer.parquet(staging)
         adds = self._promote_staging(staging, partition_by)
         shutil.rmtree(staging, ignore_errors=True)
@@ -2225,7 +2441,8 @@ class DeltaLikeTable:
         files = self._live_files()
         if not predicates:
             return files
-        return [f for f in files if not _file_excluded(f, predicates)]
+        preds_p = self._phys_preds(predicates, self._colmap())
+        return [f for f in files if not _file_excluded(f, preds_p)]
 
     def read(
         self,
@@ -2247,8 +2464,9 @@ class DeltaLikeTable:
         snap = self.snapshot(as_of=version)
         live_actions = self._live_files(snap)
         if predicates:
+            preds_p = self._phys_preds(predicates, self._colmap(snap))
             live_actions = [
-                f for f in live_actions if not _file_excluded(f, predicates)
+                f for f in live_actions if not _file_excluded(f, preds_p)
             ]
         return self._frame_for(spark, snap, live_actions)
 
@@ -2342,6 +2560,9 @@ class DeltaLikeTable:
             df = parts[0]
             for p in parts[1:]:
                 df = df.unionByName(p, allowMissingColumns=True)
+            df = self._rename_cols(
+                df, {v: k for k, v in self._colmap(snap).items()}
+            )
             meta = snap["metaData"]
             if meta:
                 from pyspark.sql.types import StructType as _St
@@ -2364,6 +2585,11 @@ class DeltaLikeTable:
             spark.read.option("basePath", self.path)
             .option("mergeSchema", "true")
             .parquet(*live)
+        )
+        # Column mapping: files store PHYSICAL names; the frame exposes
+        # LOGICAL names from here on (no-op without renames).
+        df = self._rename_cols(
+            df, {v: k for k, v in self._colmap(snap).items()}
         )
         dv_sidecars = sorted(
             {
