@@ -866,6 +866,7 @@ class DeltaLikeTable:
         bloom_for: list[str] | None = None,
         bloom_bits: int = 8192,
         bloom_hashes: int = 6,
+        where: list[tuple] | None = None,
     ) -> CommitResult:
         """Bin-pack small files into ~``target_file_bytes`` files,
         optionally clustering rows by ``cluster_by`` while rewriting.
@@ -911,6 +912,14 @@ class DeltaLikeTable:
         partition_by = partition_by or (meta["partitionColumns"] if meta else [])
         removed = set()
         live = self._live_files(snap)
+        if where:
+            # OPTIMIZE ... WHERE <partition predicate>: scope the pass
+            # to the files the predicate selects — on a 100 TB table
+            # you compact/recluster one partition at a time, never the
+            # world. Same (column, op, value) grammar as files_for;
+            # conservative pruning keeps any file the stats can't clear.
+            preds_p = self._phys_preds(list(where), self._colmap(snap))
+            live = [f for f in live if not _file_excluded(f, preds_p)]
         small = (
             list(live)
             if cluster_by or zorder_by or bloom_for
@@ -988,6 +997,7 @@ class DeltaLikeTable:
                         "clusterBy": cluster_by or [],
                         "zOrderBy": zorder_by or [],
                         "bloomFor": bloom_for or [],
+                        "where": [list(p) for p in (where or [])],
                     },
                 }
             }
@@ -1015,9 +1025,16 @@ class DeltaLikeTable:
         n_records = sum(a["stats"]["numRecords"] for a in adds)
         return CommitResult(version, len(adds), n_records)
 
-    def vacuum(self, spark=None, retention_ms: int = 7 * 24 * 3600 * 1000) -> list[str]:
+    def vacuum(
+        self,
+        spark=None,
+        retention_ms: int = 7 * 24 * 3600 * 1000,
+        dry_run: bool = False,
+    ) -> list[str]:
         """Physically delete data files no longer referenced by the
         CURRENT snapshot and older than ``retention_ms`` (by mtime).
+        ``dry_run=True`` returns what WOULD be reclaimed without
+        touching anything (VACUUM ... DRY RUN).
 
         Mirrors Delta VACUUM: the walk covers tombstoned files AND
         orphans from aborted writes (staging dirs that never promoted);
@@ -1043,7 +1060,8 @@ class DeltaLikeTable:
                     continue
                 try:
                     if os.path.getmtime(full) <= cutoff:
-                        os.remove(full)
+                        if not dry_run:
+                            os.remove(full)
                         deleted.append(rel)
                 except FileNotFoundError:
                     pass
@@ -1065,7 +1083,8 @@ class DeltaLikeTable:
                     continue
                 try:
                     if os.path.getmtime(full) <= cutoff:
-                        shutil.rmtree(full, ignore_errors=True)
+                        if not dry_run:
+                            shutil.rmtree(full, ignore_errors=True)
                         deleted.append(rel)
                 except FileNotFoundError:
                     pass
@@ -1094,14 +1113,16 @@ class DeltaLikeTable:
                         continue
                     try:
                         if os.path.getmtime(full) <= cutoff:
-                            os.remove(full)
+                            if not dry_run:
+                                os.remove(full)
                             deleted.append(rel)
                     except FileNotFoundError:
                         pass
-                try:
-                    os.rmdir(root)  # only succeeds when fully drained
-                except OSError:
-                    pass
+                if not dry_run:
+                    try:
+                        os.rmdir(root)  # only succeeds when fully drained
+                    except OSError:
+                        pass
         return sorted(deleted)
 
     # -- change data feed plumbing (Delta CDF parity) ----------------------
@@ -1613,6 +1634,7 @@ class DeltaLikeTable:
         delete_condition: str | None = None,
         update_condition: str | None = None,
         drop_cols: list[str] | None = None,
+        evolve: bool = False,
     ) -> CommitResult:
         """Upsert: source rows REPLACE table rows with equal keys;
         unmatched source keys are inserts (whole-row semantics — the
@@ -1683,6 +1705,37 @@ class DeltaLikeTable:
                 del_src = del_src.drop(*drop_cols)
             if noop_src is not None:
                 noop_src = noop_src.drop(*drop_cols)
+        # Schema evolution (Delta's schema.autoMerge): extra source
+        # columns either evolve the table schema in the SAME commit
+        # (``evolve=True`` — old rows read the new column as NULL) or
+        # fail loudly; silently dropping data is never an option.
+        meta_evolution: list[dict] = []
+        if meta is not None:
+            tbl_schema = json.loads(meta["schemaString"])
+            tbl_cols = {f["name"] for f in tbl_schema["fields"]}
+            extra = [c for c in source.columns if c not in tbl_cols]
+            if extra and not evolve:
+                raise ValueError(
+                    f"MERGE source has columns not in the table schema: "
+                    f"{extra}; pass evolve=True to evolve it (Delta "
+                    f"autoMerge) or drop them via drop_cols"
+                )
+            if extra:
+                src_schema = json.loads(source.schema.json())
+                tbl_schema["fields"] += [
+                    f for f in src_schema["fields"] if f["name"] in extra
+                ]
+                meta_evolution = [
+                    {
+                        "metaData": {
+                            "schemaString": json.dumps(tbl_schema),
+                            "partitionColumns": meta.get(
+                                "partitionColumns", []
+                            ),
+                            "configuration": meta.get("configuration", {}),
+                        }
+                    }
+                ]
 
         k0 = key_cols[0]
         # Pruning bounds cover upsert AND delete-flagged keys: a file is
@@ -1790,7 +1843,7 @@ class DeltaLikeTable:
                 "changeDataFeed": self._cdf_enabled(snap),
             },
             read_version=snap["version"],
-            extra_actions=cdc_actions,
+            extra_actions=meta_evolution + cdc_actions,
         )
 
     def apply_changes(

@@ -206,3 +206,56 @@ def test_describe_history_audit_trail(spark, root):
     restore_params = _json.loads(h[0].operationParameters)
     assert restore_params["version"] == 1
     assert h[1].numRemovedFiles == 1  # the delete tombstoned one file
+
+
+def test_optimize_where_scopes_to_partition(spark, root):
+    t = DeltaLikeTable(root + "/t")
+    for b in range(3):  # 3 small files per partition value
+        t.write_batch(
+            spark.createDataFrame(
+                [(b * 10 + i, "a" if i % 2 == 0 else "b") for i in range(10)],
+                "id long, par string",
+            ),
+            partition_by=["par"],
+        )
+    before = {f["path"] for f in t._live_files()}
+    b_files_before = {p for p in before if "par=b" in p}
+    t.optimize(spark, where=[("par", "=", "a")])
+    after = {f["path"] for f in t._live_files()}
+    # Partition b untouched; partition a compacted.
+    assert b_files_before <= after
+    assert len([p for p in after if "par=a" in p]) < len(
+        [p for p in before if "par=a" in p]
+    )
+    assert t.read(spark).count() == 30
+
+
+def test_vacuum_dry_run_touches_nothing(spark, root):
+    import os
+
+    t = DeltaLikeTable(root + "/t")
+    _seed(t, spark, batches=1)
+    t.delete_where(spark, [("id", "<", 100)])  # tombstones the file
+    would = t.vacuum(retention_ms=0, dry_run=True)
+    assert len(would) == 1
+    assert os.path.exists(os.path.join(root + "/t", would[0]))  # untouched
+    really = t.vacuum(retention_ms=0)
+    assert really == would
+    assert not os.path.exists(os.path.join(root + "/t", would[0]))
+
+
+def test_merge_schema_evolution(spark, root):
+    t = DeltaLikeTable(root + "/t")
+    t.write_batch(spark.createDataFrame([(1, "a")], "id long, s string"))
+    wide = spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, s string, score double"
+    )
+    # Strict by default: never silently drop source data.
+    with pytest.raises(ValueError, match="evolve"):
+        t.merge(spark, wide, key_cols=["id"])
+    t.merge(spark, wide, key_cols=["id"], evolve=True)
+    df = t.read(spark)
+    assert df.columns == ["id", "s", "score"]
+    got = {r.id: r.score for r in df.collect()}
+    assert got == {1: None, 2: 9.5}  # old rows surface NULL
+    assert len(t.table_schema().fields) == 3  # schema evolved in-commit
