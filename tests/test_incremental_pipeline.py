@@ -130,3 +130,46 @@ def test_poll_reads_only_the_delta(spark, root):
     feed = raw.table_changes(spark, v1)
     assert feed.count() == 7  # never the 100-row backlog
     assert {r._change_type for r in feed.collect()} == {"insert"}
+
+
+def test_change_feed_cursor_replication(spark, root):
+    """The productized poller: replicate_into maintains a mirror with a
+    durable cursor; replayed and empty polls are no-ops."""
+    from kafka_delta_ingest_spark.streaming.feed import (
+        ChangeFeedCursor,
+        replicate_into,
+    )
+
+    src = DeltaLikeTable(root + "/src")
+    dst = DeltaLikeTable(root + "/dst")
+    cursor = root + "/cursor.json"
+    src.write_batch(
+        spark.createDataFrame([(i, i) for i in range(10)], "id long, val long")
+    )
+    src.enable_cdf()
+
+    h1 = replicate_into(spark, src, dst, ["id"], cursor)
+    assert sorted(map(tuple, dst.read(spark).collect())) == sorted(
+        map(tuple, src.read(spark).collect())
+    )
+
+    src.update_where(spark, {"val": "val + 100"}, [("id", "<", 3)])
+    src.delete_where(spark, [("id", "=", 9)])
+    h2 = replicate_into(spark, src, dst, ["id"], cursor)
+    assert h2 > h1
+    assert sorted(map(tuple, dst.read(spark).collect())) == sorted(
+        map(tuple, src.read(spark).collect())
+    )
+
+    # Empty poll: cursor already at head, destination untouched.
+    v_dst = dst.latest_version()
+    assert replicate_into(spark, src, dst, ["id"], cursor) == h2
+    assert dst.latest_version() == v_dst
+
+    # Crash-replay: a stale cursor re-polls the same range; MERGE over
+    # the same net changes is idempotent and the mirror still matches.
+    ChangeFeedCursor(src, cursor).ack(h1)
+    replicate_into(spark, src, dst, ["id"], cursor)
+    assert sorted(map(tuple, dst.read(spark).collect())) == sorted(
+        map(tuple, src.read(spark).collect())
+    )
