@@ -112,7 +112,122 @@ def build_parser() -> argparse.ArgumentParser:
                      help="Deterministic md5-bucket train split percentage")
     cur.add_argument("--report", default=None,
                      help="Optional parquet path for the corpus-card report")
+
+    tab = sub.add_parser(
+        "table",
+        help="Admin operations on a Delta-style table (DESCRIBE HISTORY, "
+             "COUNT, OPTIMIZE, VACUUM, RESTORE, DELETE, UPDATE, CDF)",
+    )
+    tab.add_argument("location", help="Table root directory")
+    tab.add_argument(
+        "action",
+        choices=[
+            "history", "count", "optimize", "vacuum", "restore",
+            "delete", "update", "enable-cdf", "changes",
+        ],
+    )
+    tab.add_argument("--version", type=int, default=None,
+                     help="restore: target version; changes: from-version")
+    tab.add_argument("--to_version", type=int, default=None,
+                     help="changes: inclusive upper version")
+    tab.add_argument("--where", default=None,
+                     help='Conjunctive predicates as JSON, e.g. '
+                          '\'[["id", "<", 10]]\' (delete/update/count/optimize)')
+    tab.add_argument("--set", dest="set_exprs", default=None,
+                     help='update: SET expressions as JSON, e.g. '
+                          '\'{"val": "val + 1"}\'')
+    tab.add_argument("--dv", action="store_true",
+                     help="delete/update: deletion-vector mode (mask rows, "
+                          "no file rewrite)")
+    tab.add_argument("--retention_ms", type=int, default=7 * 24 * 3600 * 1000)
+    tab.add_argument("--dry_run", action="store_true",
+                     help="vacuum: report reclaimable files, touch nothing")
+    tab.add_argument("--cluster_by", default=None, help="optimize: comma-separated")
+    tab.add_argument("--zorder_by", default=None, help="optimize: comma-separated")
+    tab.add_argument("--target_bytes", type=int, default=134_217_728)
     return p
+
+
+def _parse_preds(val: str | None) -> list[tuple] | None:
+    if not val:
+        return None
+    return [tuple(p) for p in json.loads(val)]
+
+
+def run_table(args: argparse.Namespace) -> int:
+    """The admin surface over the jar-free sink — each action is one
+    call on :class:`DeltaLikeTable`, printed in a parse-friendly form."""
+    from kafka_delta_ingest_spark.session import get_spark
+    from kafka_delta_ingest_spark.sinks.delta_like import DeltaLikeTable
+
+    t = DeltaLikeTable(args.location)
+    preds = _parse_preds(args.where)
+
+    if args.action == "count":
+        n = t.count_rows(preds)
+        if n is None:
+            spark = get_spark("kdi-table")
+            n = t.read(spark, preds).count()
+            print(f"count={n} source=scan")
+        else:
+            print(f"count={n} source=log")
+        return 0
+    if args.action == "vacuum":
+        deleted = t.vacuum(retention_ms=args.retention_ms, dry_run=args.dry_run)
+        verb = "would_reclaim" if args.dry_run else "reclaimed"
+        print(f"{verb}={len(deleted)}")
+        for p in deleted:
+            print(p)
+        return 0
+    if args.action == "enable-cdf":
+        v = t.enable_cdf()
+        print(f"version={v}")
+        return 0
+
+    spark = get_spark("kdi-table")
+    if args.action == "history":
+        for r in t.describe_history(spark).collect():
+            print(
+                f"v={r.version} ts={r.timestamp} op={r.operation} "
+                f"adds={r.numAddedFiles} removes={r.numRemovedFiles} "
+                f"params={r.operationParameters}"
+            )
+        return 0
+    if args.action == "restore":
+        if args.version is None:
+            raise SystemExit("restore requires --version")
+        res = t.restore(spark, args.version)
+        print(f"version={res.version} restored_files={res.num_files}")
+        return 0
+    if args.action == "delete":
+        if not preds:
+            raise SystemExit("delete requires --where")
+        res = t.delete_where_with_retry(spark, preds, dv=args.dv)
+        print(f"version={res.version} skipped={res.skipped}")
+        return 0
+    if args.action == "update":
+        if not preds or not args.set_exprs:
+            raise SystemExit("update requires --where and --set")
+        res = t.update_where(spark, json.loads(args.set_exprs), preds, dv=args.dv)
+        print(f"version={res.version} skipped={res.skipped}")
+        return 0
+    if args.action == "optimize":
+        res = t.optimize(
+            spark,
+            target_file_bytes=args.target_bytes,
+            cluster_by=args.cluster_by.split(",") if args.cluster_by else None,
+            zorder_by=args.zorder_by.split(",") if args.zorder_by else None,
+            where=preds,
+        )
+        print(f"version={res.version} files={res.num_files} skipped={res.skipped}")
+        return 0
+    if args.action == "changes":
+        from_v = args.version if args.version is not None else -1
+        df = t.table_changes(spark, from_v, args.to_version)
+        for r in df.collect():
+            print(json.dumps({c: str(r[c]) for c in df.columns}, sort_keys=True))
+        return 0
+    raise SystemExit(f"unknown table action {args.action!r}")
 
 
 def options_from_args(args: argparse.Namespace) -> IngestOptions:
@@ -268,6 +383,8 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if args.command == "curate":
         return run_curate(args)
+    if args.command == "table":
+        return run_table(args)
     opts = options_from_args(args)
 
     from kafka_delta_ingest_spark.ingest import IngestJob
