@@ -2690,6 +2690,65 @@ def text_bm25_search(spark, sf_dir):
 
 
 @_q(
+    "split_shuffle_order",
+    """
+    SELECT doc_id,
+           md5(concat('42-', CAST(doc_id AS VARCHAR))) AS shuffle_key
+    FROM documents ORDER BY shuffle_key, doc_id LIMIT 20
+    """,
+)
+def split_shuffle_order(spark, sf_dir):
+    """Seeded deterministic training-order shuffle: the first 20 docs
+    of epoch seed 42. orderBy+limit plans as TakeOrderedAndProject —
+    a distributed top-k, never a global single-task sort — and the
+    md5 permutation is stable under reruns, appends, and resharding."""
+    from kafka_delta_ingest_spark.operators.sampling import shuffle_order
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        shuffle_order(d, "doc_id", seed=42)
+        .select("doc_id", "shuffle_key")
+        .orderBy("shuffle_key", "doc_id")
+        .limit(20)
+    )
+
+
+@_q(
+    "corpus_length_histogram",
+    r"""
+    WITH t AS (
+      SELECT CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+      FROM documents
+    )
+    SELECT CAST(floor(log2(n + 1)) AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens
+    FROM t GROUP BY 1
+    """,
+)
+def corpus_length_histogram(spark, sf_dir):
+    """Sequence-length distribution in log2 buckets — the planning
+    input for packing efficiency and truncation-loss estimates (how
+    many documents fall short of / exceed the context window). One
+    scan, one tiny aggregation; bucket count is bounded by log2 of the
+    longest document, so the result never grows with the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    n = textops.token_count(F.col("text"))
+    return (
+        d.select(
+            F.floor(F.log2(n + F.lit(1))).cast("int").alias("bucket"),
+            n.alias("_n"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_n").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+@_q(
     "decontam_semantic",
     """
     WITH e AS (
@@ -4354,6 +4413,8 @@ _SWEEP_ORDER: list[str] = [
     "pipeline_fuzzy_curation",
     "search_hybrid_rrf",
     "decontam_semantic",
+    "split_shuffle_order",
+    "corpus_length_histogram",
     "embedding_neardup_exact",
     "text_top_ngrams",
     "scan_filter_project",

@@ -239,3 +239,19 @@ def cap_per_group(
         survivors.withColumn(rank_col, F.row_number().over(w2).cast("int"))
         .where(F.col(rank_col) <= n)
     )
+
+
+def shuffle_order(df: DataFrame, id_col: str, seed: int = 0) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    ``shuffle_key`` = md5(seed || id). Sorting by the key is a seeded
+    permutation that is stable under reruns, appends, and resharding —
+    the dataloader property epoch ordering needs (a new seed is a new
+    permutation).
+
+    Scale shape: the key is a pure projection. Consumers either take
+    the first batches via ``orderBy(key).limit(n)`` (distributed top-k,
+    no global sort) or materialize the full order with
+    ``repartitionByRange(key).sortWithinPartitions(key)`` — a range
+    shuffle, never a single-task sort."""
+    key = F.md5(F.concat(F.lit(f"{seed}-"), F.col(id_col).cast("string")))
+    return df.withColumn("shuffle_key", key)
