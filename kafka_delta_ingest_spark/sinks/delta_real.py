@@ -75,8 +75,102 @@ class RealDeltaTable:
             writer = writer.option("userMetadata", json.dumps({"kdiOffsets": txn}))
         writer.save(self.path)
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        return spark.read.format("delta").load(self.path)
+    def read(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame:
+        reader = spark.read.format("delta")
+        if version is not None:
+            reader = reader.option("versionAsOf", version)
+        return reader.load(self.path)
 
-    def optimize(self, spark: SparkSession, **_):
-        spark.sql(f"OPTIMIZE delta.`{self.path}`")
+    def optimize(self, spark: SparkSession, zorder_by: list[str] | None = None, **_):
+        if zorder_by:
+            cols = ", ".join(zorder_by)
+            spark.sql(f"OPTIMIZE delta.`{self.path}` ZORDER BY ({cols})")
+        else:
+            spark.sql(f"OPTIMIZE delta.`{self.path}`")
+
+    # -- DML / admin passthroughs ------------------------------------------
+    # Same call surface as DeltaLikeTable, delegated to delta-spark; the
+    # sink contract suite (tests/test_sink_contract.py) runs both sinks
+    # through one comparator wherever the jars exist.
+
+    def delete_where(self, spark: SparkSession, predicates: list[tuple], **_):
+        from delta.tables import DeltaTable
+
+        DeltaTable.forPath(spark, self.path).delete(_pred_sql(predicates))
+
+    def update_where(
+        self, spark: SparkSession, set_exprs: dict[str, str], predicates: list[tuple], **_
+    ):
+        from delta.tables import DeltaTable
+
+        DeltaTable.forPath(spark, self.path).update(
+            condition=_pred_sql(predicates), set=set_exprs
+        )
+
+    def merge(self, spark: SparkSession, source: DataFrame, key_cols: list[str], **_):
+        from delta.tables import DeltaTable
+
+        cond = " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in key_cols)
+        (
+            DeltaTable.forPath(spark, self.path)
+            .alias("t")
+            .merge(source.alias("s"), cond)
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+
+    def restore(self, spark: SparkSession, version: int):
+        from delta.tables import DeltaTable
+
+        DeltaTable.forPath(spark, self.path).restoreToVersion(version)
+
+    def vacuum(self, spark: SparkSession, retention_ms: int = 7 * 24 * 3600 * 1000, **_):
+        from delta.tables import DeltaTable
+
+        DeltaTable.forPath(spark, self.path).vacuum(retention_ms / 3_600_000)
+
+    def enable_cdf(self):
+        spark = SparkSession.getActiveSession()
+        spark.sql(
+            f"ALTER TABLE delta.`{self.path}` SET TBLPROPERTIES "
+            f"(delta.enableChangeDataFeed = true)"
+        )
+
+    def table_changes(
+        self, spark: SparkSession, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        reader = (
+            spark.read.format("delta")
+            .option("readChangeFeed", "true")
+            .option("startingVersion", from_version + 1)
+        )
+        if to_version is not None:
+            reader = reader.option("endingVersion", to_version)
+        return reader.load(self.path)
+
+    def describe_history(self, spark: SparkSession) -> DataFrame:
+        from delta.tables import DeltaTable
+
+        return DeltaTable.forPath(spark, self.path).history()
+
+
+def _pred_sql(predicates: list[tuple]) -> str:
+    """(col, op, value) conjunction → a Delta condition string (same
+    grammar DeltaLikeTable prunes with)."""
+    parts = []
+    for col, op, *rest in predicates:
+        if op == "is_not_null":
+            parts.append(f"`{col}` IS NOT NULL")
+            continue
+        v = rest[0]
+        if isinstance(v, str):
+            lit = "'" + v.replace("'", "''") + "'"  # SQL-escape quotes
+        elif isinstance(v, bool):
+            lit = "true" if v else "false"
+        else:
+            lit = repr(v)
+        parts.append(f"`{col}` {op} {lit}")
+    return " AND ".join(parts)
