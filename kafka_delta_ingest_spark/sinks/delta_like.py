@@ -323,7 +323,46 @@ class DeltaLikeTable:
     def evolve_schema(self, schema, partition_by: list[str] | None = None) -> int:
         """Commit a new metaData action (ALTER TABLE ADD COLUMNS
         analog). Writers pick it up on their next batch
-        (reference tests/schema_update_tests.rs:23-113)."""
+        (reference tests/schema_update_tests.rs:23-113).
+
+        Guards (each a silent-corruption vector otherwise):
+
+        * omitting ``partition_by`` KEEPS the current partitioning — it
+          never silently resets a partitioned table to unpartitioned;
+        * changing partition columns on a table with live files is
+          refused (old and new directory layouts would mix under one
+          root and confuse partition discovery — rewrite via a deep
+          ``clone_to`` instead), matching Delta, which also requires a
+          rewrite to repartition;
+        * changing an existing column's TYPE is refused (readers union
+          old and new files with mergeSchema, which cannot reconcile
+          differing physical parquet types) — add a new column and
+          backfill, or rewrite.
+        """
+        snap = self.snapshot()
+        meta = snap["metaData"]
+        cur_parts = (meta or {}).get("partitionColumns", [])
+        if partition_by is None:
+            partition_by = list(cur_parts)
+        if meta and list(partition_by) != list(cur_parts) and self._live_files(snap):
+            raise ValueError(
+                f"changing partition columns {cur_parts} -> "
+                f"{list(partition_by)} on a non-empty table would mix "
+                f"directory layouts; rewrite via clone_to(shallow=False)"
+            )
+        if meta:
+            old_types = {
+                f["name"]: f["type"]
+                for f in json.loads(meta["schemaString"])["fields"]
+            }
+            for f in json.loads(schema.json())["fields"]:
+                if f["name"] in old_types and old_types[f["name"]] != f["type"]:
+                    raise ValueError(
+                        f"column {f['name']!r}: type change "
+                        f"{old_types[f['name']]!r} -> {f['type']!r} cannot "
+                        f"be applied to already-written files; add a new "
+                        f"column and backfill, or rewrite the table"
+                    )
         return self._commit(
             [
                 {
@@ -335,15 +374,11 @@ class DeltaLikeTable:
                 {
                     "metaData": {
                         "schemaString": schema.json(),
-                        "partitionColumns": partition_by or [],
+                        "partitionColumns": list(partition_by),
                         # Preserve table configuration (CHECK constraints
                         # live under delta.constraints.*) across schema
                         # evolution — a metaData action REPLACES state.
-                        "configuration": (
-                            (self.snapshot()["metaData"] or {}).get(
-                                "configuration", {}
-                            )
-                        ),
+                        "configuration": (meta or {}).get("configuration", {}),
                     }
                 },
             ]

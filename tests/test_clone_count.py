@@ -259,3 +259,44 @@ def test_merge_schema_evolution(spark, root):
     got = {r.id: r.score for r in df.collect()}
     assert got == {1: None, 2: 9.5}  # old rows surface NULL
     assert len(t.table_schema().fields) == 3  # schema evolved in-commit
+
+
+def test_evolve_schema_guards(spark, root):
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    t = DeltaLikeTable(root + "/t")
+    t.write_batch(
+        spark.createDataFrame([(1, "a", "x")], "id long, s string, par string"),
+        partition_by=["par"],
+    )
+    # Omitted partition_by KEEPS the partitioning (used to reset to []).
+    t.evolve_schema(
+        StructType(
+            [
+                StructField("id", LongType()),
+                StructField("s", StringType()),
+                StructField("par", StringType()),
+                StructField("extra", LongType()),
+            ]
+        )
+    )
+    assert t.snapshot()["metaData"]["partitionColumns"] == ["par"]
+    # Changing partition columns on a non-empty table is refused.
+    with pytest.raises(ValueError, match="directory layouts"):
+        t.evolve_schema(t.table_schema(), partition_by=["s"])
+    # Type changes on existing columns are refused.
+    with pytest.raises(ValueError, match="type change"):
+        t.evolve_schema(
+            StructType(
+                [
+                    StructField("id", StringType()),
+                    StructField("s", StringType()),
+                    StructField("par", StringType()),
+                ]
+            )
+        )
