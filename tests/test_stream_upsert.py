@@ -62,3 +62,48 @@ def test_stream_of_changes_upserts_to_latest_state(spark):
         assert {r.k: r.v for r in t.read(spark).collect()} == got
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_of_cdf_changes_applies_deletes_and_upserts(spark):
+    """Streaming apply_changes: a change stream carrying inserts,
+    updates, AND delete tombstones (the table_changes row shape) folds
+    into the table per micro-batch — the streaming twin of
+    replicate_into's poll loop."""
+    d = tempfile.mkdtemp(prefix="kdi-cdcd-")
+    try:
+        src, ckpt, table = d + "/src", d + "/ckpt", d + "/t"
+        t = DeltaLikeTable(table)
+        t.write_batch(
+            spark.createDataFrame(
+                [(1, "seed1"), (2, "seed2"), (3, "seed3")], "k long, v string"
+            )
+        )
+        schema = "k long, v string, _change_type string, _commit_version long"
+        spark.createDataFrame(
+            [(2, "upd2", "update_postimage", 10), (4, "new4", "insert", 10)],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(0.05)
+        spark.createDataFrame(
+            [(1, "seed1", "delete", 11), (4, "new4x", "update_postimage", 12)],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        def apply_feed(bdf, _bid):
+            t.apply_changes(bdf.sparkSession, bdf, key_cols=["k"])
+
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(apply_feed)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+        got = {r.k: r.v for r in t.read(spark).collect()}
+        assert got == {2: "upd2", 3: "seed3", 4: "new4x"}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
