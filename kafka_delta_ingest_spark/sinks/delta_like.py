@@ -902,6 +902,7 @@ class DeltaLikeTable:
         bloom_bits: int = 8192,
         bloom_hashes: int = 6,
         where: list[tuple] | None = None,
+        incremental: bool = False,
     ) -> CommitResult:
         """Bin-pack small files into ~``target_file_bytes`` files,
         optionally clustering rows by ``cluster_by`` while rewriting.
@@ -955,18 +956,51 @@ class DeltaLikeTable:
             # conservative pruning keeps any file the stats can't clear.
             preds_p = self._phys_preds(list(where), self._colmap(snap))
             live = [f for f in live if not _file_excluded(f, preds_p)]
-        small = (
-            list(live)
-            if cluster_by or zorder_by or bloom_for
-            else [
+        keys = cluster_by or zorder_by
+        cluster_tag = (
+            {
+                "mode": "zorder" if zorder_by else ("range" if keys else "bloom"),
+                "keys": list(keys or []),
+                "bloom": sorted(bloom_for or []),
+            }
+            if (keys or bloom_for)
+            else None
+        )
+        if cluster_by or zorder_by or bloom_for:
+            if incremental and cluster_tag:
+                # Liquid-clustering-style incremental pass: only files
+                # NOT already produced by an identical clustering pass
+                # rewrite (appends since the last pass, DV'd files, or
+                # files clustered under different keys). Already-
+                # clustered files keep their narrow windows; each pass
+                # adds its own narrowly-windowed generation, so a
+                # predicate touches ~one file per pass instead of the
+                # table — the only clustering discipline that survives
+                # continuous ingest at 100 TB (a full re-sort per pass
+                # does not).
+                small = [
+                    f
+                    for f in live
+                    if f.get("clusteredBy") != cluster_tag
+                    or f.get("deletionVector")
+                ]
+            else:
+                small = list(live)
+        else:
+            small = [
                 f
                 for f in live
                 # DV'd files always rewrite: OPTIMIZE is how deletion
                 # vectors get materialized away.
                 if f["size"] < target_file_bytes or f.get("deletionVector")
             ]
-        )
-        if len(small) < 2 and not any(f.get("deletionVector") for f in small):
+        if not small or (
+            len(small) < 2
+            and not any(f.get("deletionVector") for f in small)
+            # An incremental clustering pass rewrites even a single new
+            # file — the point is its windows/blooms, not bin-packing.
+            and not (incremental and cluster_tag)
+        ):
             return CommitResult(snap["version"], 0, 0, skipped=True)
         total_bytes = sum(f["size"] for f in small)
         n_out = max(1, round(total_bytes / target_file_bytes))
@@ -1018,6 +1052,11 @@ class DeltaLikeTable:
             b = blooms.get(os.path.basename(a["path"]))
             if b:
                 a["bloom"] = b
+            if cluster_tag:
+                # Clustered-state marker (liquid-clustering analog):
+                # a later incremental pass skips files carrying an
+                # identical tag.
+                a["clusteredBy"] = cluster_tag
         shutil.rmtree(staging, ignore_errors=True)
         removed = {f["path"] for f in small}
         actions = [
@@ -1033,6 +1072,7 @@ class DeltaLikeTable:
                         "zOrderBy": zorder_by or [],
                         "bloomFor": bloom_for or [],
                         "where": [list(p) for p in (where or [])],
+                        "incremental": bool(incremental),
                     },
                 }
             }

@@ -300,3 +300,47 @@ def test_evolve_schema_guards(spark, root):
                 ]
             )
         )
+
+
+def test_incremental_clustering_skips_already_clustered(spark, root):
+    from pyspark.sql import functions as F
+
+    t = DeltaLikeTable(root + "/t")
+    t.write_batch(
+        spark.createDataFrame(
+            [(i, i % 7) for i in range(100)], "id long, k long"
+        ).repartition(3)
+    )
+    # Full clustering pass tags every output file.
+    t.optimize(spark, cluster_by=["id"], incremental=True)
+    clustered = {f["path"] for f in t._live_files()}
+    assert all(
+        f.get("clusteredBy", {}).get("keys") == ["id"]
+        for f in t._live_files()
+    )
+
+    # Idempotence: nothing new -> the next incremental pass is a no-op.
+    res = t.optimize(spark, cluster_by=["id"], incremental=True)
+    assert res.skipped
+    assert {f["path"] for f in t._live_files()} == clustered
+
+    # New append: ONLY the new file rewrites; the clustered generation
+    # survives untouched.
+    t.write_batch(
+        spark.createDataFrame(
+            [(1000 + i, i % 7) for i in range(50)], "id long, k long"
+        ).coalesce(1)
+    )
+    res = t.optimize(spark, cluster_by=["id"], incremental=True)
+    assert not res.skipped
+    after = {f["path"] for f in t._live_files()}
+    assert clustered <= after  # first generation untouched
+    assert t.read(spark).count() == 150
+    # Point predicate pruning: at most one file per clustering
+    # generation may match.
+    assert len(t.files_for([("id", "=", 3)])) <= 2
+
+    # A FULL pass (incremental=False) still rewrites everything.
+    res = t.optimize(spark, cluster_by=["id"])
+    assert not res.skipped
+    assert clustered.isdisjoint({f["path"] for f in t._live_files()})
