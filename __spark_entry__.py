@@ -2714,6 +2714,41 @@ def split_shuffle_order(spark, sf_dir):
 
 
 @_q(
+    "sample_token_budget",
+    r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+        CASE WHEN len(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), '\s+')) END AS n,
+        md5(concat('7-', CAST(doc_id AS VARCHAR))) AS k
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang,
+        COALESCE(SUM(n) OVER (ORDER BY k
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM t
+    )
+    SELECT doc_id, lang FROM c WHERE before < 5000
+    """,
+)
+def sample_token_budget_q(spark, sf_dir):
+    """"Give me 5000 tokens of this corpus": the exact shortest
+    seeded-hash-order prefix whose total reaches the budget —
+    rerun-stable under appends and resharding. The oracle replays it as
+    one sequential running sum; the Spark plan is the distributed
+    two-level version (256 bucket sums -> tiny running total -> whole
+    buckets admitted with zero row work, one straddling bucket resolved
+    by a 1/256-of-corpus window)."""
+    from kafka_delta_ingest_spark.operators.sampling import (
+        sample_token_budget,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    out = sample_token_budget(d, budget=5000, id_col="doc_id", seed=7)
+    return out.select("doc_id", "lang")
+
+
+@_q(
     "corpus_length_histogram",
     r"""
     WITH t AS (
@@ -4415,6 +4450,7 @@ _SWEEP_ORDER: list[str] = [
     "decontam_semantic",
     "split_shuffle_order",
     "corpus_length_histogram",
+    "sample_token_budget",
     "embedding_neardup_exact",
     "text_top_ngrams",
     "scan_filter_project",

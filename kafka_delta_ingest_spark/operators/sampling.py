@@ -255,3 +255,70 @@ def shuffle_order(df: DataFrame, id_col: str, seed: int = 0) -> DataFrame:
     shuffle, never a single-task sort."""
     key = F.md5(F.concat(F.lit(f"{seed}-"), F.col(id_col).cast("string")))
     return df.withColumn("shuffle_key", key)
+
+
+def sample_token_budget(
+    df: DataFrame,
+    budget: int,
+    id_col: str,
+    text_col: str = "text",
+    seed: int = 0,
+) -> DataFrame:
+    """Take documents in deterministic (seeded md5) order until the
+    cumulative token count reaches ``budget`` — "give me 50B tokens of
+    this corpus" as an exact, rerun-stable prefix selection. The last
+    admitted document may cross the budget (documents are atomic); the
+    selection is the unique shortest hash-order prefix with
+    total >= budget.
+
+    Scale shape — a sequential prefix scan without a global sort:
+
+    1. every row gets key = md5(seed || id) and bucket = its first two
+       hex chars (256 buckets; hex-string order == (bucket, key) order,
+       so bucket boundaries respect the global order);
+    2. one aggregation yields 256 (bucket, token_sum) rows; the
+       running total over them is window work on 256 rows, nothing;
+    3. buckets wholly under the budget are admitted with NO row-level
+       work; the single straddling bucket resolves exactly with a
+       window over ~1/256 of the corpus; buckets past it are filtered
+       out before any shuffle.
+    """
+    tc = token_count(F.col(text_col)).cast("long")
+    key = F.md5(F.concat(F.lit(f"{seed}-"), F.col(id_col).cast("string")))
+    rows = df.withColumn("_bkey", key).withColumn(
+        "_bucket", F.substring("_bkey", 1, 2)
+    ).withColumn("_tok", tc)
+
+    per_bucket = rows.groupBy("_bucket").agg(F.sum("_tok").alias("_bsum"))
+    wb = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # 256 rows: the single-partition window is driver-trivial
+    bounds = per_bucket.withColumn(
+        "_before", F.coalesce(F.sum("_bsum").over(wb), F.lit(0))
+    )
+    # Admit whole buckets that end under the budget; resolve the one
+    # straddling bucket row-by-row; drop everything after it.
+    full = bounds.filter(F.col("_before") + F.col("_bsum") < budget).select(
+        "_bucket"
+    )
+    straddle = bounds.filter(
+        (F.col("_before") < budget)
+        & (F.col("_before") + F.col("_bsum") >= budget)
+    ).select("_bucket", "_before")
+
+    admitted_full = rows.join(F.broadcast(full), "_bucket", "left_semi")
+    ws = Window.partitionBy("_bucket").orderBy("_bkey").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    in_straddle = (
+        rows.join(F.broadcast(straddle), "_bucket")
+        .withColumn(
+            "_run", F.col("_before") + F.coalesce(F.sum("_tok").over(ws), F.lit(0))
+        )
+        .filter(F.col("_run") < budget)  # admit while PRIOR total < budget
+        .drop("_before", "_run")
+    )
+    return (
+        admitted_full.unionByName(in_straddle)
+        .drop("_bucket", "_bkey", "_tok")
+    )

@@ -946,3 +946,32 @@ def test_ivfpq_recall_against_exact_topk(spark, embeds):
     a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.2, recall  # floor: 3 of ~tiny-SF cells probed
+
+
+def test_sample_token_budget_shortest_prefix(spark):
+    """The selection is the unique SHORTEST hash-order prefix reaching
+    the budget: total >= budget, and dropping the last admitted doc
+    falls below."""
+    from pyspark.sql import functions as F
+
+    from kafka_delta_ingest_spark.operators.sampling import (
+        sample_token_budget,
+    )
+    from kafka_delta_ingest_spark.operators.text import token_count
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = sample_token_budget(d, budget=3000, id_col="doc_id", seed=3)
+    toks = out.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n"),
+        F.md5(F.concat(F.lit("3-"), F.col("doc_id").cast("string"))).alias("k"),
+    ).collect()
+    total = sum(r.n for r in toks)
+    assert total >= 3000
+    last = max(toks, key=lambda r: r.k)
+    assert total - last.n < 3000
+    # Rerun-stable: same seed, same selection.
+    again = sample_token_budget(d, budget=3000, id_col="doc_id", seed=3)
+    assert {r.doc_id for r in again.select("doc_id").collect()} == {
+        r.doc_id for r in toks
+    }
