@@ -1590,6 +1590,8 @@ class DeltaLikeTable:
         descriptor changed."""
         from pyspark.sql import functions as _F
 
+        if version < 0:
+            raise ValueError(f"version {version} does not exist")
         snap_cur = self.snapshot()
         if version == snap_cur["version"]:
             return CommitResult(snap_cur["version"], 0, 0, skipped=True)
