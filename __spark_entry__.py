@@ -2714,6 +2714,44 @@ def split_shuffle_order(spark, sf_dir):
 
 
 @_q(
+    "decontam_fuzzy",
+    """
+    SELECT doc_id, doc_id AS bench_id FROM documents WHERE doc_id % 97 = 0
+    UNION ALL
+    SELECT doc_id + 3000000, doc_id FROM documents WHERE doc_id % 97 = 0
+    """,
+)
+def decontam_fuzzy(spark, sf_dir):
+    """MinHash-LSH benchmark contamination, planted-leak audit: the
+    corpus carries each benchmark doc verbatim AND a first-word-dropped
+    paraphrase under a shifted id; the fuzzy check must flag BOTH (the
+    paraphrase shares almost no word 8-gram with the benchmark, so the
+    exact-gram check misses it — this is the paraphrase-tolerant
+    lexical complement, next to the embedding-space decontam_semantic).
+    The oracle is the complete planted set; output filtered to the
+    planted shape because the natural corpus may legitimately contain
+    its own near-dups of benchmark docs."""
+    from kafka_delta_ingest_spark.operators.decontam import (
+        fuzzy_contamination,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    paraphrases = bench.select(
+        (F.col("bench_id") + 3000000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+\s+", "").alias("text"),
+    )
+    corpus = d.unionByName(paraphrases)
+    flagged = fuzzy_contamination(corpus, bench, threshold=0.5)
+    return flagged.filter(
+        (F.col("doc_id") == F.col("bench_id"))
+        | (F.col("doc_id") == F.col("bench_id") + 3000000)
+    ).select("doc_id", "bench_id")
+
+
+@_q(
     "sample_token_budget",
     r"""
     WITH t AS (
@@ -4451,6 +4489,7 @@ _SWEEP_ORDER: list[str] = [
     "split_shuffle_order",
     "corpus_length_histogram",
     "sample_token_budget",
+    "decontam_fuzzy",
     "embedding_neardup_exact",
     "text_top_ngrams",
     "scan_filter_project",

@@ -219,3 +219,65 @@ def semantic_contamination(
             F.round(F.col("_best.cs"), 6).alias("cos_sim"),
         )
     )
+
+
+def fuzzy_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Lexical-fuzzy benchmark contamination via MinHash+LSH: flag
+    (corpus doc, benchmark doc) pairs whose estimated shingle-set
+    Jaccard reaches ``threshold`` — the paraphrase-tolerant complement
+    of the exact word-8-gram check (a lightly edited benchmark leak
+    shares no 8-gram but keeps most of its shingles) and the lexical
+    twin of :func:`semantic_contamination`.
+
+    Scale shape: the benchmark's band/bucket rows AND signatures are
+    benchmark-sized and broadcast; the corpus computes signatures in
+    one explode + map-side min-agg (|docs| x num_hashes shuffle) and
+    probes the broadcast buckets with an equi-join — the corpus never
+    self-joins and never moves for the match. A doc may appear once
+    per matching benchmark doc; droppers take DISTINCT ids."""
+    from kafka_delta_ingest_spark.operators.dedup import (
+        minhash_signatures,
+        _banded,
+    )
+
+    c_sig = minhash_signatures(corpus, id_col, text_col, num_hashes, shingle_k)
+    b_sig = minhash_signatures(
+        benchmark, bench_id_col, bench_text_col, num_hashes, shingle_k
+    )
+    c_bb = _banded(c_sig, id_col, num_hashes, bands)
+    b_bb = _banded(b_sig, bench_id_col, num_hashes, bands)
+    cand = (
+        c_bb.join(F.broadcast(b_bb), on=["band", "bucket"])
+        .select(id_col, bench_id_col)
+        .dropDuplicates([id_col, bench_id_col])
+    )
+    agree = F.aggregate(
+        F.zip_with(F.col("sig"), F.col("bsig"), lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    est = agree.cast("double") / F.lit(float(num_hashes))
+    return (
+        cand.join(c_sig, id_col)
+        .join(
+            F.broadcast(b_sig.select(bench_id_col, F.col("sig").alias("bsig"))),
+            bench_id_col,
+        )
+        .select(
+            id_col,
+            bench_id_col,
+            F.round(est, 6).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )

@@ -158,6 +158,27 @@ def minhash_signatures(
     )
 
 
+def _banded(sigs: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, bucket) LSH band rows for a signature frame — the
+    shared candidate-generation core of self-join pair mining and
+    corpus-vs-benchmark probing."""
+    rows_per_band = num_hashes // bands
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.hash(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -173,26 +194,12 @@ def minhash_lsh_pairs(
     of shingle-set Jaccard similarity.
     """
     assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
 
     # Band/bucket rows carry only (id, band, bucket) — the 512-byte
     # signature arrays stay out of the self-join and the pair dedup
     # shuffle; they are joined back onto the deduped (id_a, id_b) pairs.
-    banded = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.hash(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)).alias(
-                        "bucket"
-                    ),
-                ),
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    banded = _banded(sigs, id_col, num_hashes, bands)
 
     left = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     right = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
