@@ -2714,6 +2714,41 @@ def split_shuffle_order(spark, sf_dir):
 
 
 @_q(
+    "sim_pool_embeddings",
+    """
+    WITH u AS (
+      SELECT vec_id % 50 AS grp, vec_id,
+             unnest(CAST(embedding AS DOUBLE[])) AS x,
+             generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS pos
+      FROM embeddings
+    ), m AS (
+      SELECT grp, pos,
+             round(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+               / COUNT(DISTINCT vec_id), 6) AS mval,
+             COUNT(DISTINCT vec_id) AS n
+      FROM u GROUP BY grp, pos
+    )
+    SELECT grp, list(mval ORDER BY pos) AS embedding,
+           CAST(MAX(n) AS BIGINT) AS n_chunks
+    FROM m GROUP BY grp
+    """,
+)
+def sim_pool_embeddings(spark, sf_dir):
+    """Chunk→document embedding mean-pooling (the aggregation after a
+    RAG splitter encodes per chunk): elementwise mean per group with
+    exact decimal accumulation, dimension-major so partial aggregation
+    combines map-side and no per-group window exists. Value-for-value
+    oracled, including the float payloads."""
+    from kafka_delta_ingest_spark.operators.similarity import (
+        pool_embeddings,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    chunks = e.withColumn("grp", F.col("vec_id") % 50)
+    return pool_embeddings(chunks, "grp")
+
+
+@_q(
     "decontam_fuzzy",
     """
     SELECT doc_id, doc_id AS bench_id FROM documents WHERE doc_id % 97 = 0
@@ -4490,6 +4525,7 @@ _SWEEP_ORDER: list[str] = [
     "corpus_length_histogram",
     "sample_token_budget",
     "decontam_fuzzy",
+    "sim_pool_embeddings",
     "embedding_neardup_exact",
     "text_top_ngrams",
     "scan_filter_project",

@@ -737,3 +737,57 @@ def ivfpq_topk(
             "rank",
         )
     )
+
+
+def pool_embeddings(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Elementwise mean-pool chunk embeddings into one vector per
+    group — the chunk→document aggregation every RAG/embedding
+    pipeline runs after splitting documents for the encoder.
+
+    Returns (group_col, embedding: array<double>, n_chunks).
+
+    Scale shape: ``posexplode`` turns |rows|×dim cells into a
+    (group, position) aggregation — dimension-major, so the shuffle
+    key space is |groups|×dim tiny cells and partial aggregation
+    combines map-side. Accumulation is exact decimal (engine-portable:
+    float sum order varies across partitions, decimal does not), cast
+    back to double only at the end. Reassembly sorts each group's dim
+    positions inside ``collect_list``-free ``array_agg`` via a struct
+    sort — no per-group window."""
+    cells = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.posexplode(_as_double(F.col(vec_col))).alias("_pos", "_x"),
+    )
+    pooled = (
+        cells.groupBy(group_col, "_pos")
+        .agg(
+            # Exact decimal SUM, then one double division — decimal/int
+            # division scale rules differ across engines, double IEEE
+            # division does not.
+            F.round(
+                F.sum(F.col("_x").cast("decimal(28,12)")).cast("double")
+                / F.count_distinct(id_col),
+                6,
+            ).alias("_m"),
+            F.count_distinct(id_col).alias("_n"),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_pos"), F.col("_m")))
+            ).alias("_pm"),
+            F.max("_n").alias("n_chunks"),
+        )
+        .select(
+            group_col,
+            F.transform(F.col("_pm"), lambda s: s["_m"]).alias(vec_col),
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+        )
+    )
+    return pooled
