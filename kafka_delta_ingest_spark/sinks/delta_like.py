@@ -154,7 +154,7 @@ def _bloom_pass(
         fname = os.path.basename(pdf["_f"].iloc[0])
         rows = []
         for c in cols:
-            bits = bytearray(m // 8)
+            bits = bytearray((m + 7) // 8)  # ceil: bit m-1 must exist
             for v in pdf[c].dropna().unique():
                 for p in _bloom_positions(v, m, k):
                     bits[p // 8] |= 1 << (p % 8)
@@ -339,6 +339,11 @@ class DeltaLikeTable:
           differing physical parquet types) — add a new column and
           backfill, or rewrite.
         """
+        return self._ddl_retry(
+            lambda: self._evolve_schema_once(schema, partition_by)
+        )
+
+    def _evolve_schema_once(self, schema, partition_by=None) -> int:
         snap = self.snapshot()
         meta = snap["metaData"]
         cur_parts = (meta or {}).get("partitionColumns", [])
@@ -355,7 +360,8 @@ class DeltaLikeTable:
                 f["name"]: f["type"]
                 for f in json.loads(meta["schemaString"])["fields"]
             }
-            for f in json.loads(schema.json())["fields"]:
+            new_fields = json.loads(schema.json())["fields"]
+            for f in new_fields:
                 if f["name"] in old_types and old_types[f["name"]] != f["type"]:
                     raise ValueError(
                         f"column {f['name']!r}: type change "
@@ -363,6 +369,16 @@ class DeltaLikeTable:
                         f"be applied to already-written files; add a new "
                         f"column and backfill, or rewrite the table"
                     )
+            added = [
+                f["name"] for f in new_fields if f["name"] not in old_types
+            ]
+            bad = self._physical_conflicts(meta, added)
+            if bad:
+                raise ValueError(
+                    f"new column(s) {bad} collide with a physical parquet "
+                    f"name still present in old files (renamed or dropped "
+                    f"column); pick different names or rewrite the table"
+                )
         return self._commit(
             [
                 {
@@ -381,7 +397,8 @@ class DeltaLikeTable:
                         "configuration": (meta or {}).get("configuration", {}),
                     }
                 },
-            ]
+            ],
+            expected_version=snap["version"],
         )
 
     # -- CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT parity) -------
@@ -418,9 +435,13 @@ class DeltaLikeTable:
                 f"cannot add constraint {name!r}: {n_bad} existing row(s) "
                 f"violate CHECK ({expr})"
             )
-        cfg = dict((meta.get("configuration") or {}))
-        cfg[f"delta.constraints.{name}"] = expr
-        return self._commit_meta_config(meta, cfg, f"ADD CONSTRAINT {name}")
+        def mutate(cfg, _meta):
+            if f"delta.constraints.{name}" in cfg:
+                raise ValueError(f"constraint {name!r} already exists")
+            cfg[f"delta.constraints.{name}"] = expr
+            return cfg
+
+        return self._update_config(f"ADD CONSTRAINT {name}", mutate)
 
     def drop_constraint(self, name: str) -> int:
         snap = self.snapshot()
@@ -428,11 +449,21 @@ class DeltaLikeTable:
         key = f"delta.constraints.{name}"
         if meta is None or key not in (meta.get("configuration") or {}):
             raise ValueError(f"no such constraint: {name!r}")
-        cfg = dict(meta["configuration"])
-        del cfg[key]
-        return self._commit_meta_config(meta, cfg, f"DROP CONSTRAINT {name}")
+        def mutate(cfg, _meta):
+            if key not in cfg:
+                raise ValueError(f"no such constraint: {name!r}")
+            del cfg[key]
+            return cfg
 
-    def _commit_meta_config(self, meta: dict, cfg: dict, operation: str) -> int:
+        return self._update_config(f"DROP CONSTRAINT {name}", mutate)
+
+    def _commit_meta_config(
+        self,
+        meta: dict,
+        cfg: dict,
+        operation: str,
+        expected_version: int | None = None,
+    ) -> int:
         return self._commit(
             [
                 {
@@ -448,8 +479,44 @@ class DeltaLikeTable:
                         "configuration": cfg,
                     }
                 },
-            ]
+            ],
+            expected_version=expected_version,
         )
+
+    def _update_config(self, operation: str, mutate) -> int:
+        """Compare-and-set configuration change: re-derive the config
+        from a FRESH snapshot each attempt and commit at exactly
+        snapshot+1, so two racing DDLs (e.g. concurrent ADD CONSTRAINT
+        a / ADD CONSTRAINT b) merge instead of the loser silently
+        erasing the winner's change with its stale full-replacement
+        metaData."""
+        last: Exception | None = None
+        for _ in range(MAX_COMMIT_ATTEMPTS):
+            snap = self.snapshot()
+            meta = snap["metaData"]
+            if meta is None:
+                raise ValueError("table has no schema yet")
+            cfg = mutate(dict(meta.get("configuration") or {}), meta)
+            try:
+                return self._commit_meta_config(
+                    meta, cfg, operation, expected_version=snap["version"]
+                )
+            except CommitConflict as ex:
+                last = ex
+        raise CommitConflict(f"{operation}: lost every metadata race") from last
+
+    def _ddl_retry(self, attempt) -> int:
+        """Bounded retry for schema-changing DDL: each attempt
+        re-derives from a fresh snapshot and commits compare-and-set
+        (expected_version), so racing commits can never be silently
+        overwritten by a stale metaData replacement."""
+        last: Exception | None = None
+        for _ in range(MAX_COMMIT_ATTEMPTS):
+            try:
+                return attempt()
+            except CommitConflict as ex:
+                last = ex
+        raise CommitConflict("DDL lost every metadata race") from last
 
     # -- column mapping (Delta columnMapping.mode=name parity) -------------
 
@@ -494,17 +561,34 @@ class DeltaLikeTable:
         physical name forever, so a rename is one metaData commit on a
         100 TB table, zero data rewritten (Delta's name-mode column
         mapping)."""
-        snap = self.snapshot()
-        meta = snap["metaData"]
-        if meta is None:
-            raise ValueError("table has no schema yet")
-        cfg = dict((meta.get("configuration") or {}))
-        cfg[self.COLMAP_MODE_KEY] = "name"
-        from pyspark.sql.types import StructType as _St
+        def mutate(cfg, meta):
+            cfg[self.COLMAP_MODE_KEY] = "name"
+            from pyspark.sql.types import StructType as _St
 
-        for f in _St.fromJson(json.loads(meta["schemaString"])).fields:
-            cfg.setdefault(self.COLMAP_PREFIX + f.name, f.name)
-        return self._commit_meta_config(meta, cfg, "SET TBLPROPERTIES")
+            for f in _St.fromJson(json.loads(meta["schemaString"])).fields:
+                cfg.setdefault(self.COLMAP_PREFIX + f.name, f.name)
+            return cfg
+
+        return self._update_config("SET TBLPROPERTIES", mutate)
+
+    DROPPED_PREFIX = "kdi.droppedcol."
+
+    def _physical_conflicts(self, meta: dict | None, names) -> list[str]:
+        """Which of ``names`` collide with a PHYSICAL parquet column
+        already in use by a renamed column or left behind by a dropped
+        one. Introducing such a logical column would read the old
+        files' stale bytes as the new column's values (resurrection) or
+        produce duplicate columns after the rename pass."""
+        cfg = (meta or {}).get("configuration") or {}
+        in_use = {
+            v for k, v in cfg.items() if k.startswith(self.COLMAP_PREFIX)
+        }
+        dropped = {
+            k[len(self.DROPPED_PREFIX):]
+            for k in cfg
+            if k.startswith(self.DROPPED_PREFIX)
+        }
+        return sorted(n for n in names if n in in_use or n in dropped)
 
     def _refuse_referenced(self, snap: dict, name: str, what: str) -> None:
         refs = {**self.constraints(snap), **self.generated_columns(snap)}
@@ -531,6 +615,9 @@ class DeltaLikeTable:
         expression references the old name (they are stored as SQL text
         and would silently break — same restriction real Delta
         enforces)."""
+        return self._ddl_retry(lambda: self._rename_column_once(old, new))
+
+    def _rename_column_once(self, old: str, new: str) -> int:
         snap = self.snapshot()
         meta = snap["metaData"]
         if meta is None:
@@ -547,6 +634,16 @@ class DeltaLikeTable:
             raise ValueError(f"no such column: {old!r}")
         if new in names:
             raise ValueError(f"column {new!r} already exists")
+        own_phys = cfg.get(self.COLMAP_PREFIX + old, old)
+        bad = [
+            n for n in self._physical_conflicts(meta, [new]) if n != own_phys
+        ]
+        if bad:
+            raise ValueError(
+                f"cannot rename to {new!r}: it is the physical parquet "
+                f"name of another (renamed or dropped) column still "
+                f"present in old files"
+            )
         self._refuse_referenced(snap, old, "rename")
         for f in schema["fields"]:
             if f["name"] == old:
@@ -571,7 +668,8 @@ class DeltaLikeTable:
                         "configuration": cfg,
                     }
                 },
-            ]
+            ],
+            expected_version=snap["version"],
         )
 
     def drop_column(self, name: str) -> int:
@@ -580,6 +678,9 @@ class DeltaLikeTable:
         bytes stay in the files until files are rewritten. Partition
         columns and columns referenced by constraints/generated
         expressions are refused."""
+        return self._ddl_retry(lambda: self._drop_column_once(name))
+
+    def _drop_column_once(self, name: str) -> int:
         snap = self.snapshot()
         meta = snap["metaData"]
         if meta is None:
@@ -594,7 +695,11 @@ class DeltaLikeTable:
             f for f in schema["fields"] if f["name"] != name
         ]
         cfg = dict((meta.get("configuration") or {}))
-        cfg.pop(self.COLMAP_PREFIX + name, None)
+        phys = cfg.pop(self.COLMAP_PREFIX + name, name)
+        # Tombstone the physical name: old files still carry its bytes,
+        # and a later column re-using this name would silently read
+        # them back as its own values.
+        cfg[self.DROPPED_PREFIX + phys] = "true"
         return self._commit(
             [
                 {
@@ -610,7 +715,8 @@ class DeltaLikeTable:
                         "configuration": cfg,
                     }
                 },
-            ]
+            ],
+            expected_version=snap["version"],
         )
 
     def generated_columns(self, snap: dict | None = None) -> dict[str, str]:
@@ -636,11 +742,11 @@ class DeltaLikeTable:
         meta = snap["metaData"]
         if meta is None:
             raise ValueError("table has no schema yet")
-        cfg = dict((meta.get("configuration") or {}))
-        cfg[f"kdi.generated.{name}"] = expr
-        return self._commit_meta_config(
-            meta, cfg, f"SET GENERATED COLUMN {name}"
-        )
+        def mutate(cfg, _meta):
+            cfg[f"kdi.generated.{name}"] = expr
+            return cfg
+
+        return self._update_config(f"SET GENERATED COLUMN {name}", mutate)
 
     def _apply_generated(self, df: DataFrame, snap: dict) -> DataFrame:
         """Compute missing generated columns; validate supplied ones."""
@@ -819,6 +925,7 @@ class DeltaLikeTable:
         actions: list[dict],
         read_version: int | None = None,
         remove_paths: set[str] | None = None,
+        expected_version: int | None = None,
     ) -> int:
         """Optimistic-concurrency commit (reference src/lib.rs:966-1024).
 
@@ -839,6 +946,30 @@ class DeltaLikeTable:
         WriteSerializable behavior.
         """
         payload = "\n".join(json.dumps(a) for a in actions) + "\n"
+        if expected_version is not None:
+            # Compare-and-set: metaData replacements (DDL) must land at
+            # EXACTLY expected_version+1 — landing later would
+            # overwrite configuration a racing commit just changed
+            # (lost update). The caller re-derives from a fresh
+            # snapshot and retries.
+            version = expected_version + 1
+            if self.latest_version() >= version:
+                raise CommitConflict(
+                    f"metadata commit expected version {version} but the "
+                    f"log moved past it"
+                )
+            try:
+                fd = os.open(
+                    self._version_file(version),
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                )
+            except FileExistsError:
+                raise CommitConflict(
+                    f"metadata commit lost the race for version {version}"
+                ) from None
+            with os.fdopen(fd, "w") as f:
+                f.write(payload)
+            return version
         checked_through = read_version if read_version is not None else -1
         for _ in range(MAX_COMMIT_ATTEMPTS):
             version = self.latest_version() + 1
@@ -1140,6 +1271,22 @@ class DeltaLikeTable:
                         deleted.append(rel)
                 except FileNotFoundError:
                     pass
+        # Aborted-write orphans: a _staging-* dir that never promoted
+        # (writer crashed between the parquet write and the commit).
+        # Underscore dirs are pruned from the main walk, so they are
+        # reclaimed explicitly — past retention, so a LIVE writer's
+        # in-flight staging dir is never yanked out from under it.
+        for name in os.listdir(self.path):
+            if not name.startswith("_staging-"):
+                continue
+            full = os.path.join(self.path, name)
+            try:
+                if os.path.getmtime(full) <= cutoff:
+                    if not dry_run:
+                        shutil.rmtree(full, ignore_errors=True)
+                    deleted.append(name)
+            except FileNotFoundError:
+                pass
         # Deletion-vector sidecars: a sidecar directory is reclaimable
         # once no LIVE add references it (e.g. OPTIMIZE materialized the
         # vector away) and it has aged past retention — same horizon
@@ -1214,13 +1361,11 @@ class DeltaLikeTable:
         answer row-level diffs without snapshot comparison. Append
         commits need no change files (their add files ARE the inserts),
         which is also Delta's behavior."""
-        snap = self.snapshot()
-        meta = snap["metaData"]
-        if meta is None:
-            raise ValueError("table has no schema yet")
-        cfg = dict((meta.get("configuration") or {}))
-        cfg[self.CDF_KEY] = "true"
-        return self._commit_meta_config(meta, cfg, "SET TBLPROPERTIES")
+        def mutate(cfg, _meta):
+            cfg[self.CDF_KEY] = "true"
+            return cfg
+
+        return self._update_config("SET TBLPROPERTIES", mutate)
 
     def _cdf_enabled(self, snap: dict) -> bool:
         cfg = ((snap.get("metaData") or {}).get("configuration")) or {}
@@ -1423,10 +1568,31 @@ class DeltaLikeTable:
         the extreme row) and every live file has min/max stats for the
         column with zero nulls unaccounted — the conservative dual of
         file pruning, same contract as :meth:`count_rows`."""
-        files = self._live_files()
-        column = self._colmap().get(column, column)
+        snap = self.snapshot()
+        files = self._live_files(snap)
+        logical = column
+        column = self._colmap(snap).get(column, column)
         if not files:
             return None
+        # Partition values are directory STRINGS; comparing them raw
+        # would give lexicographic (wrong) extremes for numeric columns
+        # ("9" > "10"). The declared schema supplies the type.
+        ftype = None
+        meta = snap.get("metaData")
+        if meta:
+            for f in json.loads(meta["schemaString"])["fields"]:
+                if f["name"] == logical:
+                    ftype = f["type"]
+
+        def _typed(v):
+            if not isinstance(v, str):
+                return v
+            if ftype in ("byte", "short", "integer", "long"):
+                return int(v)
+            if ftype in ("float", "double"):
+                return float(v)
+            return v
+
         lo = hi = None
         for f in files:
             if f.get("deletionVector"):
@@ -1438,7 +1604,7 @@ class DeltaLikeTable:
             maxs = (stats.get("maxValues") or {})
             pvals = f.get("partitionValues") or {}
             if column in pvals:
-                fmin = fmax = pvals[column]
+                fmin = fmax = _typed(pvals[column])
             elif column in mins and column in maxs:
                 fmin, fmax = mins[column], maxs[column]
             else:
@@ -1463,8 +1629,9 @@ class DeltaLikeTable:
         metadata answer unsound, and the method returns None — the
         caller falls back to a scan. (No-predicate counts are always
         exact.)"""
-        files = self._live_files()
-        predicates = self._phys_preds(predicates, self._colmap())
+        snap = self.snapshot()
+        files = self._live_files(snap)
+        predicates = self._phys_preds(predicates, self._colmap(snap))
         if not predicates:
             return sum(
                 int((f.get("stats") or {}).get("numRecords", 0))
@@ -1524,13 +1691,24 @@ class DeltaLikeTable:
                 operation="CLONE",
             )
             # write_batch records the schema; carry the configuration
-            # (constraints, CDF flag, generated columns) over too.
+            # (constraints, CDF flag, generated columns) over too —
+            # EXCEPT the column-mapping entries: the deep clone's files
+            # were just written under LOGICAL names, so a carried
+            # logical→physical map would mis-rename every future
+            # read/write of the clone.
             if meta.get("configuration"):
-                dest._commit_meta_config(
-                    dest.snapshot()["metaData"],
-                    dict(meta["configuration"]),
-                    "CLONE PROPERTIES",
-                )
+                cfg = {
+                    k: v
+                    for k, v in meta["configuration"].items()
+                    if not k.startswith(self.COLMAP_PREFIX)
+                    and k != self.COLMAP_MODE_KEY
+                }
+                if cfg:
+                    dest._commit_meta_config(
+                        dest.snapshot()["metaData"],
+                        cfg,
+                        "CLONE PROPERTIES",
+                    )
             return dest
         dv_files = [f["path"] for f in live if f.get("deletionVector")]
         if dv_files:
@@ -1787,6 +1965,19 @@ class DeltaLikeTable:
         # (``evolve=True`` — old rows read the new column as NULL) or
         # fail loudly; silently dropping data is never an option.
         meta_evolution: list[dict] = []
+        if meta is None:
+            # First-ever commit via MERGE: record the schema exactly as
+            # write_batch would — without it partition column types and
+            # later partitioning inheritance are lost.
+            meta_evolution = [
+                {
+                    "metaData": {
+                        "schemaString": source.schema.json(),
+                        "partitionColumns": partition_by or [],
+                        "configuration": {},
+                    }
+                }
+            ]
         if meta is not None:
             tbl_schema = json.loads(meta["schemaString"])
             tbl_cols = {f["name"] for f in tbl_schema["fields"]}
@@ -1797,6 +1988,13 @@ class DeltaLikeTable:
                     f"{extra}; pass evolve=True to evolve it (Delta "
                     f"autoMerge) or drop them via drop_cols"
                 )
+            if extra:
+                bad = self._physical_conflicts(meta, extra)
+                if bad:
+                    raise ValueError(
+                        f"MERGE evolution column(s) {bad} collide with a "
+                        f"physical parquet name still present in old files"
+                    )
             if extra:
                 src_schema = json.loads(source.schema.json())
                 tbl_schema["fields"] += [
@@ -1948,8 +2146,12 @@ class DeltaLikeTable:
         from pyspark.sql import functions as _F
 
         net = feed.filter(_F.col("_change_type") != "update_preimage")
+        # Tie-break WITHIN a commit: a RESTORE records a value change as
+        # a delete (old value) plus an insert (new value) at the SAME
+        # version; the insert is the live row, so delete loses ties.
         w = _W.partitionBy(*key_cols).orderBy(
-            _F.col("_commit_version").desc()
+            _F.col("_commit_version").desc(),
+            (_F.col("_change_type") != "delete").cast("int").desc(),
         )
         latest = (
             net.withColumn("_rn", _F.row_number().over(w))
@@ -2568,10 +2770,11 @@ class DeltaLikeTable:
         At scale this is the difference between scanning a 100 TB table
         and scanning the handful of files a time-range query touches.
         """
-        files = self._live_files()
+        snap = self.snapshot()
+        files = self._live_files(snap)
         if not predicates:
             return files
-        preds_p = self._phys_preds(predicates, self._colmap())
+        preds_p = self._phys_preds(predicates, self._colmap(snap))
         return [f for f in files if not _file_excluded(f, preds_p)]
 
     def read(
@@ -2913,11 +3116,21 @@ def _file_all_matching(f: dict, predicates: list[tuple]) -> bool:
 
 
 def _parse_partition_values(rel_dir: str) -> dict[str, str | None]:
+    """Directory segments → partition values. Spark percent-escapes
+    special characters in partition directory names (':' → '%3A',
+    Hive's escapePathName); the add action must store the UNESCAPED
+    value or every predicate probe and every Spark-read value (which
+    Spark unescapes) would mismatch the stored window — silently
+    excluding matching files."""
+    from urllib.parse import unquote
+
     values: dict[str, str | None] = {}
     for seg in rel_dir.split(os.sep):
         if "=" in seg:
             k, v = seg.split("=", 1)
-            values[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+            values[unquote(k)] = (
+                None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+            )
     return values
 
 
