@@ -1228,8 +1228,9 @@ def dedup_canonical_keep(spark, sf_dir):
     ),
     mixed AS (
       SELECT * FROM deduped
-      WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
-            < CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 100 ELSE 40 END
+      WHERE CAST(concat('0x', substr(md5(concat('mix:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+            % 1000000
+            < CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 1000000 ELSE 400000 END
     )
     SELECT lang,
       CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
@@ -2404,10 +2405,10 @@ def split_train_holdout(spark, sf_dir):
     """
     SELECT doc_id, lang FROM documents
     WHERE ('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-          % 100
-        < CASE lang WHEN 'en' THEN 30
-                    WHEN 'de' THEN 100 WHEN 'es' THEN 100
-                    WHEN 'fr' THEN 100 WHEN 'zh' THEN 100 ELSE -1 END
+          % 1000000
+        < CASE lang WHEN 'en' THEN 300000
+                    WHEN 'de' THEN 1000000 WHEN 'es' THEN 1000000
+                    WHEN 'fr' THEN 1000000 WHEN 'zh' THEN 1000000 ELSE -1 END
     """,
 )
 def sample_stratified(spark, sf_dir):
@@ -2445,8 +2446,9 @@ def sample_exact_k(spark, sf_dir):
     """
     SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept
     FROM documents
-    WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
-          < CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 100 ELSE 40 END
+    WHERE CAST(concat('0x', substr(md5(concat('mix:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+          % 1000000
+          < CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 1000000 ELSE 400000 END
     GROUP BY source
     """,
 )
@@ -2948,6 +2950,7 @@ def decontam_semantic(spark, sf_dir):
             / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
                * sqrt(list_sum(list_transform(q, x -> x * x)))) AS cs
         FROM e CROSS JOIN qv
+        WHERE e.vec_id <> 0  -- the query doc itself is not a result
       ) QUALIFY r_dense <= 50
     ), fused AS (
       SELECT COALESCE(lex.id, dense.id) AS id,

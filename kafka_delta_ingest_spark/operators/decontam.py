@@ -34,7 +34,13 @@ from kafka_delta_ingest_spark.operators.util import spread
 
 def _grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, n_grams, gram) — one row per DISTINCT word n-gram, with the
-    document's total distinct-gram count carried alongside."""
+    document's total distinct-gram count carried alongside.
+
+    Empty/whitespace-only texts are dropped up front: their shingle set
+    is [""], and a single blank benchmark row would otherwise flag
+    every blank corpus document as 100% "contaminated" on zero shared
+    content."""
+    df = df.where(F.length(F.trim(F.col(text_col))) > 0)
     with_grams = df.select(
         F.col(id_col), word_shingles(F.col(text_col), n).alias("_grams")
     )
@@ -161,53 +167,61 @@ def semantic_contamination(
         l2_norm,
     )
 
-    b = bench_emb.select(
-        F.col(bench_id_col).alias("_bid"),
-        _as_double(F.col(bench_vec_col)).alias("_bv"),
-    ).select(
+    bid_type = bench_emb.schema[bench_id_col].dataType
+
+    def _unit(df, idc, vecc, out):
+        # Hoist the norm into its own column first: inlining l2_norm
+        # inside the transform lambda would re-evaluate the O(dim) sum
+        # once per ELEMENT (O(dim^2) per vector).
+        return (
+            df.select(F.col(idc), _as_double(F.col(vecc)).alias("_v"))
+            .withColumn(
+                "_n",
+                F.coalesce(
+                    F.nullif(l2_norm(F.col("_v")), F.lit(0.0)), F.lit(1.0)
+                ),
+            )
+            .select(
+                idc, F.transform("_v", lambda x: x / F.col("_n")).alias(out)
+            )
+        )
+
+    b = _unit(
+        bench_emb.select(
+            F.col(bench_id_col).alias("_bid"), F.col(bench_vec_col)
+        ),
         "_bid",
-        F.transform(
-            "_bv", lambda x: x / F.coalesce(F.nullif(l2_norm(F.col("_bv")), F.lit(0.0)), F.lit(1.0))
-        ).alias("_bv"),
+        bench_vec_col,
+        "_bv",
     )
     # array_sort on (id, vec) structs orders by id — collect_list alone
     # has no deterministic order across partitions.
     bench_arr = b.agg(
         F.array_sort(F.collect_list(F.struct("_bid", "_bv"))).alias("_bench")
     )
-    c = corpus_emb.select(
-        F.col(id_col),
-        _as_double(F.col(vec_col)).alias("_cv"),
-    ).select(
-        id_col,
-        F.transform(
-            "_cv", lambda x: x / F.coalesce(F.nullif(l2_norm(F.col("_cv")), F.lit(0.0)), F.lit(1.0))
-        ).alias("_cv"),
-    )
-    # Per-row argmax over the broadcast benchmark array: fold keeps the
-    # (best_cos, best_id) pair; strictly-greater keeps the first (i.e.
-    # smallest) benchmark id on exact ties.
-    best = F.aggregate(
+    c = _unit(corpus_emb, id_col, vec_col, "_cv")
+    # ONE dot product per (row, benchmark vector): score the broadcast
+    # array into (cs, bid) structs, then argmax with a cheap
+    # struct-compare fold — strictly-greater keeps the first (smallest)
+    # benchmark id on exact ties. The id keeps its source type.
+    scored = F.transform(
         F.col("_bench"),
-        F.struct(
-            F.lit(float("-inf")).alias("cs"), F.lit(None).cast("long").alias("bid")
-        ),
-        lambda acc, x: F.when(
+        lambda x: F.struct(
             F.aggregate(
                 F.zip_with(F.col("_cv"), x["_bv"], lambda p, q: p * q),
                 F.lit(0.0),
                 lambda a2, v: a2 + v,
-            )
-            > acc["cs"],
-            F.struct(
-                F.aggregate(
-                    F.zip_with(F.col("_cv"), x["_bv"], lambda p, q: p * q),
-                    F.lit(0.0),
-                    lambda a2, v: a2 + v,
-                ).alias("cs"),
-                x["_bid"].cast("long").alias("bid"),
-            ),
-        ).otherwise(acc),
+            ).alias("cs"),
+            x["_bid"].alias("bid"),
+        ),
+    )
+    best = F.aggregate(
+        scored,
+        F.struct(
+            F.lit(float("-inf")).alias("cs"),
+            F.lit(None).cast(bid_type).alias("bid"),
+        ),
+        lambda acc, x: F.when(x["cs"] > acc["cs"], x).otherwise(acc),
     )
     return (
         c.crossJoin(F.broadcast(bench_arr))
@@ -247,8 +261,9 @@ def fuzzy_contamination(
     self-joins and never moves for the match. A doc may appear once
     per matching benchmark doc; droppers take DISTINCT ids."""
     from kafka_delta_ingest_spark.operators.dedup import (
-        minhash_signatures,
         _banded,
+        minhash_signatures,
+        sig_agreement,
     )
 
     c_sig = minhash_signatures(corpus, id_col, text_col, num_hashes, shingle_k)
@@ -262,12 +277,7 @@ def fuzzy_contamination(
         .select(id_col, bench_id_col)
         .dropDuplicates([id_col, bench_id_col])
     )
-    agree = F.aggregate(
-        F.zip_with(F.col("sig"), F.col("bsig"), lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
-    est = agree.cast("double") / F.lit(float(num_hashes))
+    est = sig_agreement(F.col("sig"), F.col("bsig"), num_hashes)
     return (
         cand.join(c_sig, id_col)
         .join(

@@ -158,10 +158,26 @@ def minhash_signatures(
     )
 
 
+def sig_agreement(sig_a, sig_b, num_hashes: int):
+    """Signature agreement rate — the unbiased Jaccard estimator both
+    the pair miner and the benchmark probe score candidates with."""
+    agree = F.aggregate(
+        F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return agree.cast("double") / F.lit(float(num_hashes))
+
+
 def _banded(sigs: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
     """(id, band, bucket) LSH band rows for a signature frame — the
     shared candidate-generation core of self-join pair mining and
     corpus-vs-benchmark probing."""
+    assert num_hashes % bands == 0, (
+        f"num_hashes ({num_hashes}) must divide into bands ({bands}); "
+        f"a remainder would silently exclude trailing signature "
+        f"positions from candidate generation"
+    )
     rows_per_band = num_hashes // bands
     return sigs.select(
         F.col(id_col),
@@ -212,12 +228,7 @@ def minhash_lsh_pairs(
     cand = pair_ids.join(
         sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
     ).join(sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
-    agree = F.aggregate(
-        F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
-    est = agree.cast("double") / F.lit(float(num_hashes))
+    est = sig_agreement(F.col("sig_a"), F.col("sig_b"), num_hashes)
     return (
         cand.select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)

@@ -124,6 +124,9 @@ def bm25_search(
     collect-and-reinject, the plan stays lazy end to end.
     """
     tf, dl = _term_frequencies(df, text_col, id_col)
+    # The index tokenizes lowercased text; an uppercase query term
+    # would silently match nothing.
+    query_terms = [t.lower() for t in query_terms]
     qtf = tf.where(F.col("term").isin(*query_terms))
     dft = qtf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = _corpus_size(df, text_col)
@@ -180,11 +183,16 @@ def hybrid_rrf(
     the two rankers is corpus-sized."""
     from .similarity import cosine_topk
 
+    # limit() first (TakeOrderedAndProject: per-partition top-n + one
+    # merge), THEN rank the <= n survivors — a bare Window.orderBy over
+    # every term-matching document would funnel corpus-scale rows into
+    # a single task.
     lex = bm25_search(docs, query_terms, top_k=None, id_col=id_col)
     wl = Window.orderBy(F.col("bm25").desc(), F.col(id_col))
     lex_top = (
-        lex.withColumn("r_lex", F.row_number().over(wl))
-        .filter(F.col("r_lex") <= n_per_system)
+        lex.orderBy(F.col("bm25").desc(), F.col(id_col))
+        .limit(n_per_system)
+        .withColumn("r_lex", F.row_number().over(wl))
         .select(F.col(id_col).alias("id"), "r_lex")
     )
     qv = embeddings.filter(F.col(vec_id_col) == query_vec_id).select(
@@ -192,7 +200,10 @@ def hybrid_rrf(
     )
     dense_top = (
         cosine_topk(
-            embeddings,
+            # The query vector is drawn FROM the corpus; without this
+            # filter it self-matches at cosine 1.0 and wastes the top
+            # dense slot on the query document itself.
+            embeddings.filter(F.col(vec_id_col) != query_vec_id),
             qv,
             k=n_per_system,
             corpus_id=vec_id_col,

@@ -134,9 +134,9 @@ def hash_stratified_sample(
     """
     pct = F.lit(-1)
     for s, frac in fractions.items():
-        pct = F.when(F.col(strata_col) == s, F.lit(int(round(frac * 100)))).otherwise(
-            pct
-        )
+        pct = F.when(
+            F.col(strata_col) == s, F.lit(int(round(frac * 1_000_000)))
+        ).otherwise(pct)
     bucket = (
         F.conv(
             F.substring(
@@ -153,7 +153,7 @@ def hash_stratified_sample(
             16,
             10,
         ).cast("long")
-        % 100
+        % 1_000_000
     )
     return df.where(bucket < pct)
 
@@ -184,11 +184,33 @@ def source_mix(
     A pure per-row filter (no shuffle, no sampling state); because the
     bucket is keyed on the row, re-running, resharding, or appending
     data never flips a kept row to dropped. Unlisted sources drop.
+
+    The hash is SALTED ("mix:") so the kept-set is independent of
+    ``deterministic_split``'s unsalted bucket on the same key —
+    without the salt, every row surviving a weight-w source has
+    bucket < w*100 and a downstream train/holdout split at pct >= w*100
+    would put ALL of them in train, emptying the holdout for every
+    down-weighted source. Thresholds quantize at 1e-6 (a 0.005 weight
+    keeps 0.5%, not 0%).
     """
     pct = F.lit(0)
     for s, frac in weights.items():
-        pct = F.when(F.col(source_col) == s, F.lit(int(round(frac * 100)))).otherwise(pct)
-    return df.where(split_bucket(key_col) < pct)
+        pct = F.when(
+            F.col(source_col) == s, F.lit(int(round(frac * 1_000_000)))
+        ).otherwise(pct)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix:"), F.col(key_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+    return df.where(bucket < pct)
 
 
 def cap_per_group(
