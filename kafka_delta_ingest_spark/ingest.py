@@ -50,6 +50,7 @@ META = {
 CONFORM_COL = "_kdi_conforms"
 ERROR_COL = "_kdi_error"
 RAW_COL = "_kdi_raw_value"
+PRE_COERCE_JSON_COL = "_kdi_pre_coerce_json"
 
 
 @dataclass
@@ -173,8 +174,24 @@ class IngestJob:
 
         transformed = self.transformer.apply(flat)
 
+        # Snapshot the PRE-coercion record as JSON for the quarantine
+        # path: coercion nulls the offending field, so serializing the
+        # coerced row would dead-letter a record with the bad value
+        # already erased — undiagnosable and unreplayable (the
+        # reference quarantines the record as it attempted to write it,
+        # src/writer.rs:618-639). Column pruning drops this for the
+        # good-row branch; only DLQ rows ever compute it.
+        tcols = [
+            f.name
+            for f in self.target_schema.fields
+            if f.name in transformed.columns
+        ]
+        pre = transformed.withColumn(
+            PRE_COERCE_JSON_COL,
+            F.to_json(F.struct(*[F.col(f"`{c}`") for c in tcols])),
+        )
         coerced = apply_coercions(
-            transformed, self.target_schema, conform_col=CONFORM_COL, keep_extra=True
+            pre, self.target_schema, conform_col=CONFORM_COL, keep_extra=True
         )
         return coerced
 
@@ -193,7 +210,7 @@ class IngestJob:
         dlq_bad = nonconforming.select(
             *dead_letter_columns(
                 None,
-                F.to_json(F.struct(*[F.col(f"`{c}`") for c in target_cols])),
+                F.col(PRE_COERCE_JSON_COL),
                 F.lit("FailedToCoerceToDestinationSchema"),
             )
         )
@@ -228,12 +245,17 @@ class IngestJob:
             good, dlq = self.split(planned)
 
             # Per-Kafka-partition last offsets → txn actions
-            # (reference src/delta_helpers.rs:15-40): DLQ'd messages count
-            # as processed, so offsets come from everything planned.
+            # (reference src/delta_helpers.rs:15-40): DLQ'd AND
+            # empty/tombstone messages count as processed (the
+            # reference counts empties, src/lib.rs:847-852), so offsets
+            # come from the RAW batch — the planned frame has already
+            # dropped empty payloads, and a ledger built from it would
+            # understate progress on compacted topics and re-consume
+            # tombstone offsets after a seek.
             offsets = {
                 row["p"]: row["o"]
-                for row in planned.groupBy(F.col(META["partition"]).alias("p"))
-                .agg(F.max(META["offset"]).alias("o"))
+                for row in raw.groupBy(F.col("partition").alias("p"))
+                .agg(F.max("offset").alias("o"))
                 .collect()
             }
             txn = {f"{self.opts.app_id}-{p}": o for p, o in offsets.items()}
@@ -245,14 +267,30 @@ class IngestJob:
             m.version = result.version
             m.skipped = result.skipped
             m.delta_write_num_records = result.num_records
-            m.messages_deserialization_failed = self.dlq_count(dlq)
+            # One aggregate splits the DLQ by cause: rows that never
+            # parsed (deserialization) vs rows that parsed but failed
+            # schema coercion — the reference keeps these counters
+            # separate (src/metrics.rs), and conflating them makes the
+            # deserialization-failure dashboard spike on schema drift.
+            cause = dlq.agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    (
+                        F.col("error") == "FailedToCoerceToDestinationSchema"
+                    ).cast("long")
+                ).alias("n_coerce"),
+            ).collect()[0]
+            n_dlq = int(cause["n"] or 0)
+            n_coerce = int(cause["n_coerce"] or 0)
+            m.messages_deserialization_failed = n_dlq - n_coerce
+            m.messages_transform_failed = n_coerce
+            m.messages_deserialized = m.delta_write_num_records + n_coerce
             self.dlq.write(dlq)
             self.metrics_history.append(m)
             self.metrics.record_batch(
-                deserialized=m.delta_write_num_records
-                + m.messages_deserialization_failed,
+                deserialized=m.messages_deserialized,
                 deserialize_failed=m.messages_deserialization_failed,
-                transform_failed=0,
+                transform_failed=n_coerce,
                 write_duration_s=_time.perf_counter() - t_start,
                 add_file_bytes=m.delta_add_file_size,
                 num_records=m.delta_write_num_records,
@@ -263,8 +301,8 @@ class IngestJob:
 
     @staticmethod
     def dlq_count(dlq: DataFrame) -> int:
-        # Cheap count only when a DLQ sink is configured elsewhere; the
-        # split predicates are already evaluated in the persisted plan.
+        """Count dead letters (the per-cause split in process_batch
+        supersedes this in the hot path; kept for tests/tools)."""
         return dlq.count()
 
     def run_batch(self, raw: DataFrame) -> BatchMetrics:
@@ -305,9 +343,12 @@ class IngestJob:
             .option("kafka.bootstrap.servers", self.opts.kafka_brokers)
             .option("subscribe", self.opts.topic)
             .option("failOnDataLoss", "false")
+            # Direct mapping (SURVEY §2.4): maxOffsetsPerTrigger is a
+            # TOTAL across partitions per micro-batch, same contract as
+            # the reference's per-run batch bound.
             .option(
                 "maxOffsetsPerTrigger",
-                str(self.opts.max_messages_per_batch * 64),
+                str(self.opts.max_messages_per_batch),
             )
         )
         if self.opts.seek_offsets:

@@ -1429,13 +1429,33 @@ class DeltaLikeTable:
         if to_version > latest:
             raise ValueError(f"version {to_version} does not exist")
         frames = []
-        meta = None
         rewrite_ops = {"UPDATE", "DELETE", "MERGE", "RESTORE"}
+        # Seed the pre-range metaData from the newest checkpoint at or
+        # below from_version instead of replaying the log from 0 —
+        # checkpoints land every CHECKPOINT_EVERY commits and persist,
+        # so an incremental poll reads O(range + CHECKPOINT_EVERY) log
+        # files, not O(table history). Without this, a 30-second poll
+        # loop against a long-lived table re-opens every version file
+        # ever written on every poll.
+        start, meta = 0, None
+        cp_candidates = [
+            int(f[len("checkpoint."):-len(".json")])
+            for f in os.listdir(self.log_path)
+            if f.startswith("checkpoint.") and f.endswith(".json")
+        ]
+        usable = [v for v in cp_candidates if v <= from_version]
+        if usable:
+            cp_v = max(usable)
+            with open(
+                os.path.join(self.log_path, f"checkpoint.{cp_v:020d}.json")
+            ) as f:
+                meta = json.load(f).get("metaData")
+            start = cp_v + 1
         # Physical names are the stable key across renames: every frame
         # is surfaced under the CURRENT logical names, whatever the
         # column was called when its commit landed.
         inv_cur = {v: k for k, v in self._colmap().items()}
-        for v in range(0, to_version + 1):
+        for v in range(start, to_version + 1):
             op, adds, cdcs, n_removes, cdf_on = None, [], [], 0, False
             with open(self._version_file(v)) as f:
                 for line in f:

@@ -43,17 +43,20 @@ class ChangeFeedCursor:
         except (FileNotFoundError, ValueError, KeyError):
             return -1
 
-    def poll(self, spark: SparkSession) -> tuple[DataFrame, int]:
+    def poll(self, spark: SparkSession) -> tuple[DataFrame | None, int]:
         """(changes since the cursor, head version to ack).
 
-        The frame is the ``table_changes`` slice ``(position, head]`` —
-        empty when nothing new landed. The returned head is what
-        ``ack`` must receive AFTER the consumer durably processed the
-        frame; acknowledging before processing turns at-least-once into
-        at-most-once."""
+        The frame is the ``table_changes`` slice ``(position, head]``,
+        or ``None`` when nothing new landed — the head check costs one
+        directory listing, so an idle poll never touches the log
+        replay at all. The returned head is what ``ack`` must receive
+        AFTER the consumer durably processed the frame; acknowledging
+        before processing turns at-least-once into at-most-once."""
         head = self.table.latest_version()
-        frame = self.table.table_changes(spark, self.position(), head)
-        return frame, head
+        pos = self.position()
+        if head <= pos:
+            return None, head
+        return self.table.table_changes(spark, pos, head), head
 
     def ack(self, head: int) -> None:
         """Durably advance the cursor (tmp + atomic rename)."""
@@ -71,20 +74,19 @@ def replicate_into(
     cursor_path: str,
 ) -> int:
     """One replication poll: apply the source's new changes to ``dest``
-    and advance the cursor, exactly-once.
+    and advance the side-file cursor.
 
-    The cursor here is the DESTINATION's txn ledger (appId
-    ``cdf-replica``), not a side file: ``apply_changes`` lands the
-    changes and the ``txn`` action in ONE commit... the jar-free sink's
-    merge path records no txn, so this helper instead checks the ledger
-    BEFORE applying and skips an already-applied head — a replayed poll
-    (crash between apply and cursor write) re-derives the same net
-    changes and MERGE is idempotent for them, so the replica converges
-    regardless. Returns the head version applied (or the current one if
-    nothing new)."""
+    Delivery is AT-LEAST-ONCE with an idempotent apply: the cursor acks
+    only after ``apply_changes`` commits, so a crash between apply and
+    ack replays exactly one poll — and replaying the same feed slice
+    re-derives the same net-effect-per-key changes, for which MERGE is
+    idempotent, so the replica converges to the same state. An idle
+    poll is one directory listing (no log replay, no Spark job).
+    Returns the head version applied (or the current one if nothing
+    new)."""
     cur = ChangeFeedCursor(source, cursor_path, name="cdf-replica")
     frame, head = cur.poll(spark)
-    if head <= cur.position():
+    if frame is None:
         return head
     dest.apply_changes(spark, frame, key_cols=key_cols)
     cur.ack(head)

@@ -46,7 +46,15 @@ def interval_join(
         & (rw[right_ts] >= lw[left_ts] + F.expr(f"INTERVAL {lower}"))
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {upper}"))
     )
-    return lw.join(rw, cond, how)
+    # Drop the right-side copy of the equi-key where the left copy is
+    # always populated: with a Column-expression condition both copies
+    # survive the join and any downstream reference to `on` throws
+    # AMBIGUOUS_REFERENCE. Right/full outer keeps both (the left copy
+    # is NULL for unmatched right rows).
+    joined = lw.join(rw, cond, how)
+    if how in ("inner", "left", "leftouter", "left_outer", "left_semi"):
+        joined = joined.drop(rw[on])
+    return joined
 
 
 def enrich_stream_static(

@@ -121,9 +121,13 @@ def stateful_running_totals(
         n, total = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            # Integer micro-units: exact accumulation, associative across
-            # batches (float summation order would drift vs the oracle).
-            total += int(round(pdf[value_col].sum() * 1_000_000))
+            # Integer micro-units PER VALUE: rounding each value before
+            # summing makes the total associative across batches AND
+            # Arrow chunks — rounding a per-chunk float sum would make
+            # the lifetime total depend on chunk boundaries.
+            total += int(
+                (pdf[value_col] * 1_000_000).round().astype("int64").sum()
+            )
         state.update((n, total))
         yield pd.DataFrame(
             {key_col: [key[0]], "n_events": [n], "total_value_micros": [total]}
@@ -184,6 +188,11 @@ def stateful_funnel(
     ) -> Iterator[pd.DataFrame]:
         stage, anchor = state.get if state.exists else (0, -(1 << 62))
         batch = pd.concat(list(pdfs), ignore_index=True)
+        # Null timestamps cannot order a funnel: NaT.astype(int64) is
+        # INT64_MIN on this pandas (and raises on others), which would
+        # anchor a stage in the distant past and let ANY later event
+        # advance — drop them before replay.
+        batch = batch.dropna(subset=[ts_col])
         batch = batch.sort_values(ts_col, kind="mergesort")
         ts_micros = batch[ts_col].astype("int64") // 1000
         types = batch[type_col]

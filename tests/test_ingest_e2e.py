@@ -236,8 +236,10 @@ def test_deserialization_failure_routes_to_dlq(spark, tmp_path):
     import base64
 
     assert base64.b64decode(row.base64_bytes) == b"this is not json"
-    # offsets still advance past bad + empty messages
-    assert DeltaLikeTable(table).snapshot()["txn"] == {"app-0": 1}
+    # offsets advance past bad AND empty messages: the tombstone at
+    # offset 2 counts as processed (reference src/lib.rs:847-852), so
+    # the ledger records 2, not the last non-empty offset.
+    assert DeltaLikeTable(table).snapshot()["txn"] == {"app-0": 2}
 
 
 def test_coercion_failure_routes_to_dlq(spark, tmp_path):

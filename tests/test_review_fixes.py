@@ -210,3 +210,22 @@ def test_stratified_subpercent_fraction_not_dropped(spark):
     d = spark.range(200_000).selectExpr("id AS doc_id", "'en' AS lang")
     got = hash_stratified_sample(d, "lang", {"en": 0.005}).count()
     assert 500 <= got <= 1500  # ~1000 expected; zero was the bug
+
+
+def test_table_changes_seeds_from_checkpoint_not_v0(spark, root):
+    """An incremental poll must read O(range) version files, seeded
+    from the newest checkpoint at or below the cursor — never replay
+    the whole log per poll."""
+    t = DeltaLikeTable(root + "/t")
+    for i in range(12):  # checkpoint lands at version 10
+        t.write_batch(spark.createDataFrame([(i,)], "id long"))
+    t.enable_cdf()  # v12
+    t.write_batch(spark.createDataFrame([(100,)], "id long"))  # v13
+
+    opened = []
+    orig = t._version_file
+    t._version_file = lambda v: (opened.append(v), orig(v))[1]  # type: ignore[method-assign]
+    ch = t.table_changes(spark, from_version=12).collect()
+    assert [r.id for r in ch] == [100]
+    # Seeded from checkpoint.10: versions 0..9 never opened.
+    assert opened and min(opened) >= 11

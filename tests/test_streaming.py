@@ -149,7 +149,10 @@ def test_metrics_recorded_per_batch(spark, tmp_path):
     )
     job.run_batch(spark.createDataFrame(rows, RAW_SCHEMA))
     totals = job.metrics.totals()
-    assert totals[M.MESSAGE_DESERIALIZED] == 7  # 8 attempted, 1 corrupt
+    # 8 attempted, 1 corrupt, 1 empty tombstone: the success counter
+    # counts messages that actually deserialized — failures and skipped
+    # empties are not "deserialized".
+    assert totals[M.MESSAGE_DESERIALIZED] == 6
     assert totals[M.MESSAGE_DESERIALIZATION_FAILED] == 1
     assert totals[M.RECORD_BATCH_COMPLETED] == 1
     assert totals[M.DELTA_WRITE_COMPLETED] == 1
