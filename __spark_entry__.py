@@ -2789,6 +2789,72 @@ def decontam_fuzzy(spark, sf_dir):
 
 
 @_q(
+    "text_domain_census",
+    r"""
+    WITH planted AS (
+      SELECT doc_id,
+        text ||
+        CASE WHEN doc_id % 5 = 0
+             THEN ' see https://www.site' || CAST(doc_id % 7 AS VARCHAR)
+                  || '.example.com/page'
+             ELSE '' END ||
+        CASE WHEN doc_id % 11 = 0
+             THEN ' via http://cdn' || CAST(doc_id % 3 AS VARCHAR)
+                  || '.example.org/a'
+             ELSE '' END AS text
+      FROM documents
+    ), urls AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1)) AS domain
+      FROM planted
+    )
+    SELECT domain,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM urls GROUP BY domain
+    """,
+)
+def text_domain_census(spark, sf_dir):
+    """Web-corpus domain census: plant deterministic URLs, extract
+    every http(s) domain, and count urls/docs per domain — the
+    provenance histogram domain blocklists and source-mix audits are
+    built from. Extraction is one codegen regexp over the scan; the
+    census aggregation is domain-cardinality-sized, never
+    corpus-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                doc % 5 == 0,
+                F.concat(
+                    F.lit(" see https://www.site"),
+                    (doc % 7).cast("string"),
+                    F.lit(".example.com/page"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                doc % 11 == 0,
+                F.concat(
+                    F.lit(" via http://cdn"),
+                    (doc % 3).cast("string"),
+                    F.lit(".example.org/a"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    urls = planted.select(
+        "doc_id", F.explode(textops.extract_domains(F.col("text"))).alias("domain")
+    )
+    return urls.groupBy("domain").agg(
+        F.count("*").alias("n_urls"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+
+
+@_q(
     "sample_token_budget",
     r"""
     WITH t AS (
@@ -4527,6 +4593,7 @@ _SWEEP_ORDER: list[str] = [
     "split_shuffle_order",
     "corpus_length_histogram",
     "sample_token_budget",
+    "text_domain_census",
     "decontam_fuzzy",
     "sim_pool_embeddings",
     "embedding_neardup_exact",

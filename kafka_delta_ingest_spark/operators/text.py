@@ -410,3 +410,13 @@ def gopher_quality(
         *[c.alias(n) for n, c in rules.items()],
         keep.alias("gopher_keep"),
     )
+
+
+def extract_domains(col: Column) -> Column:
+    """Domains of every http(s) URL in the text — the unit of
+    web-corpus provenance tracking and blocklist curation. Pattern
+    restricted to the Java∩RE2 regex dialect (same discipline as the
+    PII patterns) so SQL oracles replicate it bit-for-bit."""
+    return F.regexp_extract_all(
+        col, F.lit(r"https?://([A-Za-z0-9.-]+)"), 1
+    )
