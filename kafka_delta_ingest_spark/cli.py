@@ -208,7 +208,11 @@ def run_table(args: argparse.Namespace) -> int:
     if args.action == "update":
         if not preds or not args.set_exprs:
             raise SystemExit("update requires --where and --set")
-        res = t.update_where(spark, json.loads(args.set_exprs), preds, dv=args.dv)
+        # with_retry: a CLI update racing a concurrent rewrite should
+        # recompute-and-retry, matching the delete branch above.
+        res = t.update_where_with_retry(
+            spark, json.loads(args.set_exprs), preds, dv=args.dv
+        )
         print(f"version={res.version} skipped={res.skipped}")
         return 0
     if args.action == "optimize":

@@ -500,15 +500,20 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count("*").alias("inter"))
     )
-    # Doc-size side tables are |docs| rows of (id, int) — broadcast.
+    # Doc-size side tables are |docs| rows of (id, int). No explicit
+    # broadcast hint: a hint would FORCE a driver-side build of an
+    # O(|docs|) table and OOM at 1e9+ docs, bypassing the size check
+    # AQE applies. Left to AQE, the sizes side broadcasts when small
+    # and falls back to a shuffled hash join at corpus scale — same
+    # hand-off the `rare` semi-join above uses.
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     jac = F.col("inter").cast("double") / (
         F.col("sz_a") + F.col("sz_b") - F.col("inter")
     )
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
@@ -584,11 +589,14 @@ def incremental_ngram_dedup(
     jac = F.col("inter").cast("double") / (
         F.col("sz_a") + F.col("sz_b") - F.col("inter")
     )
+    # Size/flag side tables are O(|docs|) — no broadcast hints (they
+    # would force a corpus-scale driver build at 1e9+ docs); AQE
+    # broadcasts them when they fit and shuffles otherwise.
     pairs = (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
-        .join(F.broadcast(fa), "id_a")
-        .join(F.broadcast(fb), "id_b")
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .join(fa, "id_a")
+        .join(fb, "id_b")
         .filter(jac >= threshold)
     )
     # Greedy admission: an incoming doc loses to ANY existing match and

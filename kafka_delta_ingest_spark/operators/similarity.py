@@ -59,7 +59,16 @@ def cosine_topk(
 
     Returns (query_id, neighbor_id, cos_sim, rank). Ties break by
     neighbor id for determinism.
+
+    The scoring pass is the deliberate brute-force twin (every corpus
+    vector scored against every broadcast query — the O(n·q) baseline
+    the ANN variants are measured against), but the top-k itself is the
+    salted two-phase ``cap_per_group``: per-(query, shard) local top-k
+    bounded by |corpus|/shards rows per task, then a final rank over
+    ≤ shards·k survivors — no per-query corpus-sized single-task sort.
     """
+    from kafka_delta_ingest_spark.operators.sampling import cap_per_group
+
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         _as_double(F.col(corpus_vec)).alias("_cv"),
@@ -72,13 +81,15 @@ def cosine_topk(
         "neighbor_id",
         cosine(F.col("_cv"), F.col("_qv")).alias("cos_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    topk = cap_per_group(
+        scored,
+        "query_id",
+        k,
+        order_by=[F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        rank_col="rank",
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    return topk.select(
+        "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
     )
 
 
@@ -512,15 +523,23 @@ def pq_topk(
             .alias("approx_d")
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("approx_d").asc(), F.col("neighbor_id").asc()
+    # Two-phase top-k (salted cap_per_group): flat PQ necessarily scores
+    # every (query, corpus-code) pair, but the per-query rank no longer
+    # sorts corpus-sized partitions in one task — phase 1 keeps each
+    # (query, shard)'s local top-k, phase 2 ranks ≤ shards·k survivors.
+    # Production traffic at 100 TB should still prefer ivfpq_topk, which
+    # restricts candidates via coarse cells BEFORE ADC scoring.
+    from kafka_delta_ingest_spark.operators.sampling import cap_per_group
+
+    topk = cap_per_group(
+        scored,
+        "query_id",
+        k,
+        order_by=[F.col("approx_d").asc(), F.col("neighbor_id").asc()],
+        rank_col="rank",
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "neighbor_id", F.round("approx_d", 6).alias("approx_d"), "rank"
-        )
+    return topk.select(
+        "query_id", "neighbor_id", F.round("approx_d", 6).alias("approx_d"), "rank"
     )
 
 

@@ -369,6 +369,21 @@ class DeltaLikeTable:
                         f"be applied to already-written files; add a new "
                         f"column and backfill, or rewrite the table"
                     )
+            # Refuse schemas that OMIT an existing column: accepting one
+            # would remove the column WITHOUT a DROPPED_PREFIX tombstone,
+            # so a later re-add of the same name passes
+            # _physical_conflicts and resurrects the old files' stale
+            # bytes as the new column's values — the exact corruption
+            # drop_column's tombstone exists to prevent.
+            new_names = {f["name"] for f in new_fields}
+            missing = sorted(n for n in old_types if n not in new_names)
+            if missing:
+                raise ValueError(
+                    f"evolved schema omits existing column(s) {missing}; "
+                    f"schema evolution is add-only — use drop_column() to "
+                    f"remove a column (it tombstones the physical name so "
+                    f"the name can never silently resurrect old bytes)"
+                )
             added = [
                 f["name"] for f in new_fields if f["name"] not in old_types
             ]
@@ -1652,9 +1667,17 @@ class DeltaLikeTable:
         snap = self.snapshot()
         files = self._live_files(snap)
         predicates = self._phys_preds(predicates, self._colmap(snap))
+        def _num_records(f: dict) -> int:
+            # add actions may store stats as a JSON STRING (the shape
+            # real Delta logs use) — same guard as min_max.
+            stats = f.get("stats") or {}
+            if isinstance(stats, str):
+                stats = json.loads(stats)
+            return int(stats.get("numRecords", 0))
+
         if not predicates:
             return sum(
-                int((f.get("stats") or {}).get("numRecords", 0))
+                _num_records(f)
                 - int((f.get("deletionVector") or {}).get("cardinality", 0))
                 for f in files
             )
@@ -1668,7 +1691,7 @@ class DeltaLikeTable:
                 return None
             if not _file_all_matching(f, predicates):
                 return None
-            total += int((f.get("stats") or {}).get("numRecords", 0))
+            total += _num_records(f)
         return total
 
     # -- clone (Delta CLONE parity) ----------------------------------------
@@ -2281,6 +2304,7 @@ class DeltaLikeTable:
         spark: SparkSession,
         set_exprs: dict[str, str],
         predicates: list[tuple],
+        dv: bool = False,
         max_retries: int = 10,
     ) -> CommitResult:
         """``update_where`` wrapped in the same bounded
@@ -2289,7 +2313,7 @@ class DeltaLikeTable:
         last: Exception | None = None
         for _ in range(max_retries):
             try:
-                return self.update_where(spark, set_exprs, predicates)
+                return self.update_where(spark, set_exprs, predicates, dv=dv)
             except ConcurrentDeleteDelete as ex:
                 last = ex
         raise CommitConflict(

@@ -132,8 +132,16 @@ class RealDeltaTable:
 
         DeltaTable.forPath(spark, self.path).vacuum(retention_ms / 3_600_000)
 
-    def enable_cdf(self):
-        spark = SparkSession.getActiveSession()
+    def enable_cdf(self, spark: SparkSession | None = None):
+        # Accept spark like every other passthrough (DeltaLikeTable's
+        # enable_cdf needs none, so callers may omit it); only fall
+        # back to the active session, with a clear error when absent.
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                "enable_cdf: no SparkSession passed and no active "
+                "session; pass spark explicitly"
+            )
         spark.sql(
             f"ALTER TABLE delta.`{self.path}` SET TBLPROPERTIES "
             f"(delta.enableChangeDataFeed = true)"
