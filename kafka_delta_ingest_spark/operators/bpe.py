@@ -88,16 +88,69 @@ def _merge_pair(arr: Column, a: str, b: str) -> Column:
     )
 
 
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """Adjacent symbol-pair census over the vocabulary table, ordered
+    (count desc, a, b) — the deterministic BPE merge ranking."""
+    return (
+        vocab.where(F.size("syms") >= 2)
+        .select(
+            "wc",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                    F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("wc").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "a", "b")
+    )
+
+
 def train_bpe(
-    df: DataFrame, n_merges: int, text_col: str = "text"
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    batch_k: int = 8,
 ) -> list[tuple[str, str, int]]:
     """Train ``n_merges`` BPE merges; returns [(a, b, pair_count), ...]
-    in merge order.
+    in merge order — EXACTLY the sequential greedy schedule (ties rank
+    (count desc, a, b), deterministic across engines and cluster
+    sizes), verified against a pure-Python reference in tests.
 
-    Ties rank (count desc, a, b) — deterministic across engines and
-    cluster sizes. Each iteration: symbol-pair census over the
-    vocabulary table, driver argmax (one scalar collect), HOF rewrite
-    of the symbol arrays, ``localCheckpoint`` to truncate lineage.
+    Batched driver loop: instead of one census + one scalar collect
+    per merge (2 jobs x 32k merges for a GPT-2-sized vocabulary), each
+    round censuses once, collects the top ``4*batch_k`` pairs, and
+    applies the longest PROVABLY-greedy-equivalent prefix of that
+    ranking in a single rewrite — ~3 jobs per accepted batch. The
+    prefix c1..ck is safe (i.e. the sequential trainer would pick
+    exactly c1, then c2, ...) when three conditions hold:
+
+    1. *Disjoint prefix, no skips.* Accepted pairs are pairwise
+       symbol-disjoint and form a PREFIX of the rank order (stop at the
+       first conflicting pair). Merging (a,b) never increases the count
+       of a pair not involving the merged output, and every pair ranked
+       above c_i is already in the batch — so at step i every old pair
+       still counts <= count(c_i), with census tie-order deciding ties.
+    2. *Fresh outputs.* Each merged string a+b must not collide with an
+       existing symbol (tracked exactly driver-side: initial distinct
+       characters + prior merge outputs) or an earlier batch output —
+       a collision would boost pre-existing pairs involving that
+       symbol, voiding (1) for later batch members; the batch is cut at
+       the colliding pair (it stays in, later candidates wait).
+    3. *New-pair guard.* A merge c_j creates new pairs involving its
+       output; each such pair's count is bounded by m_j, the exact
+       number of merge events for c_j (every event shortens a word's
+       symbol array by one, so m_j = sum(wc * (len_{j-1} - len_j)),
+       computed in ONE aggregation over the chained merge expressions).
+       c_i is kept only while count(c_i) > max_{j<i} m_j — strictly, so
+       lexicographic ties with a new pair can never flip the pick.
+
+    Violations never produce a wrong schedule — they truncate the batch
+    and the next round's census re-ranks from scratch. ``batch_k=1``
+    reproduces the unbatched loop exactly (and is still 1 job cheaper).
     """
     vocab = (
         word_census(df, text_col)
@@ -105,33 +158,66 @@ def train_bpe(
         .select("syms", "wc")
         .localCheckpoint()
     )
+    # Exact driver-side symbol ledger: initial distinct characters
+    # (vocabulary-scale, tiny) + one new symbol per applied merge.
+    known_symbols = {
+        r.s
+        for r in vocab.select(
+            F.explode("syms").alias("s")
+        ).distinct().collect()
+    }
     merges: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
-        top = (
-            vocab.where(F.size("syms") >= 2)
-            .select(
-                "wc",
-                F.explode(
-                    F.zip_with(
-                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
-                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
-                        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
-                    )
-                ).alias("p"),
-            )
-            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.sum("wc").alias("pair_count"))
-            .orderBy(F.col("pair_count").desc(), "a", "b")
-            .limit(1)
-            .collect()
-        )
+    while len(merges) < n_merges:
+        want = min(batch_k, n_merges - len(merges))
+        top = _pair_counts(vocab).limit(max(4 * want, 8)).collect()
         if not top:
             break
-        a, b, cnt = top[0].a, top[0].b, int(top[0].pair_count)
-        merges.append((a, b, cnt))
-        vocab = vocab.select(
-            _merge_pair(F.col("syms"), a, b).alias("syms"), "wc"
-        ).localCheckpoint()
+        # Longest disjoint prefix with fresh outputs (conditions 1+2).
+        batch: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        for r in top:
+            a, b, cnt = r.a, r.b, int(r.pair_count)
+            if len(batch) >= want or a in used or b in used:
+                break
+            merged = a + b
+            batch.append((a, b, cnt))
+            used.update((a, b, merged))
+            if merged in known_symbols:
+                break  # non-fresh output: keep this merge, cut after
+        if len(batch) > 1:
+            # Condition 3: exact merge-event counts m_j from the
+            # chained rewrite expressions, one aggregation.
+            exprs = [F.col("syms")]
+            for a, b, _ in batch:
+                exprs.append(_merge_pair(exprs[-1], a, b))
+            sizes = vocab.select(
+                "wc", *[F.size(e).alias(f"_s{i}") for i, e in enumerate(exprs)]
+            )
+            m = (
+                sizes.agg(
+                    *[
+                        F.sum(
+                            F.col("wc")
+                            * (F.col(f"_s{j - 1}") - F.col(f"_s{j}"))
+                        ).alias(f"m{j}")
+                        for j in range(1, len(exprs))
+                    ]
+                )
+                .collect()[0]
+            )
+            safe = 1
+            worst = int(m[0])
+            while safe < len(batch) and batch[safe][2] > worst:
+                worst = max(worst, int(m[safe]))
+                safe += 1
+            batch = batch[:safe]
+        for a, b, _ in batch:
+            known_symbols.add(a + b)
+        merges.extend(batch)
+        expr = F.col("syms")
+        for a, b, _ in batch:
+            expr = _merge_pair(expr, a, b)
+        vocab = vocab.select(expr.alias("syms"), "wc").localCheckpoint()
     return merges
 
 

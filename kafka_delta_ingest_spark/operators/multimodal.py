@@ -62,14 +62,19 @@ FEATURES_SCHEMA = StructType(
 
 
 def real_decode_stub(_bytes: bytes) -> list[float]:
-    """Placeholder for a real decoder (PIL.Image.open / librosa / ffmpeg).
+    """Placeholder for decoders of formats this runtime cannot parse
+    (MP3 / H.264 and other codecs needing native libraries).
 
-    Kept as an explicit NotImplementedError so the seam where a real
-    kernel plugs in is obvious and typed.
+    Two image formats ARE decoded for real, no native libs: binary PPM
+    via ``ppm_features`` below, and baseline JPEG via
+    ``operators.jpeg.jpeg_features`` (pure-numpy Huffman+IDCT codec,
+    planted-fixture-tested in test_jpeg_decode.py). This stub marks
+    the remaining seam where an audio/video kernel plugs in.
     """
     raise NotImplementedError(
-        "media decoding requires an image/audio library; "
-        "pass decode=your_kernel to extract_features"
+        "audio/video decoding requires a native media library; "
+        "pass decode=your_kernel to extract_features (JPEG: use "
+        "operators.jpeg.jpeg_features; PPM: use ppm_features)"
     )
 
 
@@ -215,11 +220,12 @@ def media_from_documents(df: DataFrame, text_col: str = "text", id_col: str = "d
 # Real decode path for uncompressed formats (pure numpy — no media libs)
 # ---------------------------------------------------------------------------
 #
-# The stub seam above exists because codec formats (JPEG/MP3/H.264) need
-# native libraries this runtime lacks. Uncompressed container formats do
-# NOT: binary PPM (P6) is a full image format numpy can parse outright,
-# so the decode → feature-extract → resize path below is REAL end to end
-# — same mapInPandas plumbing, an actual pixel-space kernel inside.
+# The stub seam above now covers only audio/video codecs (MP3/H.264),
+# which need native libraries this runtime lacks. Both image formats are
+# decoded for real: binary PPM (P6) below, and baseline JPEG in
+# operators/jpeg.py (pure-numpy entropy decode + IDCT, written from the
+# public T.81 spec) — same mapInPandas plumbing, actual pixel-space
+# kernels inside.
 
 
 def encode_ppm(arr) -> bytes:

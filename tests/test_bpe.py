@@ -44,6 +44,50 @@ def test_train_bpe_matches_python_reference(spark):
     assert train_bpe(df, 6) == _py_train(texts, 6)
 
 
+def test_train_bpe_batched_schedules_match_sequential(spark):
+    # Greedy-equivalence of the batched trainer: every batch_k must
+    # produce the exact sequential schedule (the batch safety rules —
+    # disjoint prefix, fresh outputs, new-pair guard — only ever
+    # truncate a round, never reorder it).
+    texts = [
+        "the cat sat on the mat",
+        "the thin thing thought about the weather",
+        "banana bandana cabana",
+        "aaaa aaa baab",  # overlapping (a,a): greedy + guard stress
+        "ababab abab ab",  # merged output immediately forms a top pair
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    want = _py_train(texts, 12)
+    for k in (1, 2, 4, 8):
+        assert train_bpe(df, 12, batch_k=k) == want, k
+
+
+def test_train_bpe_batched_random_corpora(spark):
+    # Seeded random corpora over a tiny alphabet maximize pair
+    # collisions, non-fresh merged outputs ("ab" the string reappears),
+    # and count ties — the cases where unsafe batching would diverge.
+    import random
+
+    rng = random.Random(42)
+    for trial in range(3):
+        texts = [
+            " ".join(
+                "".join(
+                    rng.choice("abc") for _ in range(rng.randint(1, 7))
+                )
+                for _ in range(rng.randint(3, 12))
+            )
+            for _ in range(8)
+        ]
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+        )
+        want = _py_train(texts, 10)
+        assert train_bpe(df, 10, batch_k=6) == want, (trial, texts)
+
+
 def test_pair_census_weighted_by_word_frequency(spark):
     # "ab" occurs 3x as a word, "ba" once -> (a,b) outranks (b,a).
     df = spark.createDataFrame(

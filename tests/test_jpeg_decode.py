@@ -1,0 +1,137 @@
+"""Baseline JPEG codec: planted-fixture pixel-space oracles.
+
+Mirrors the PPM recorded-fixture approach (test_ppm_decode.py): the
+encoder plants a JPEG with KNOWN pixel content; the decoder must
+recover it within the codec's quantization tolerance. Encoder and
+decoder are independent code paths (forward DCT + Huffman emit vs
+Huffman parse + IDCT), so a round-trip match exercises both.
+"""
+
+import numpy as np
+import pytest
+
+from kafka_delta_ingest_spark.operators.jpeg import (
+    decode_jpeg,
+    encode_jpeg_baseline,
+    jpeg_features,
+)
+
+
+def _gradient_rgb(h=40, w=56):
+    y, x = np.mgrid[0:h, 0:w]
+    r = (x * 255 / (w - 1)).astype(np.uint8)
+    g = (y * 255 / (h - 1)).astype(np.uint8)
+    b = ((x + y) * 255 / (w + h - 2)).astype(np.uint8)
+    return np.stack([r, g, b], axis=-1)
+
+
+def test_flat_gray_roundtrip_is_near_exact():
+    # A solid image is pure DC: quantization error is at most one
+    # luma quant step after rounding.
+    img = np.full((24, 24), 131, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg_baseline(img, quality=90))
+    assert out.shape == (24, 24)
+    assert int(np.abs(out.astype(int) - 131).max()) <= 2
+
+
+def test_flat_color_roundtrip_is_near_exact():
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    img[..., 0], img[..., 1], img[..., 2] = 200, 80, 40
+    out = decode_jpeg(encode_jpeg_baseline(img, quality=95))
+    assert out.shape == (16, 16, 3)
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 4
+
+
+def test_gradient_rgb_roundtrip_within_quant_tolerance():
+    img = _gradient_rgb()
+    out = decode_jpeg(encode_jpeg_baseline(img, quality=95))
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int))
+    # Smooth content at q95: small mean error, bounded max error.
+    assert float(err.mean()) < 3.0, err.mean()
+    assert int(err.max()) <= 25, err.max()
+
+
+def test_non_multiple_of_8_dimensions():
+    img = _gradient_rgb(h=21, w=13)
+    out = decode_jpeg(encode_jpeg_baseline(img, quality=95))
+    assert out.shape == (21, 13, 3)
+    assert float(np.abs(out.astype(int) - img.astype(int)).mean()) < 6.0
+
+
+def test_grayscale_gradient_roundtrip():
+    y, x = np.mgrid[0:32, 0:48]
+    img = ((x + y) * 255 / 78).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg_baseline(img, quality=92))
+    assert out.shape == img.shape
+    assert float(np.abs(out.astype(int) - img.astype(int)).mean()) < 3.0
+
+
+def test_malformed_inputs_raise():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+    good = encode_jpeg_baseline(np.full((8, 8), 77, dtype=np.uint8))
+    with pytest.raises(ValueError):
+        decode_jpeg(good[: len(good) // 2])  # truncated entropy data
+    # progressive SOF marker is refused, not mis-decoded
+    bad = bytearray(good)
+    sof = bad.find(b"\xff\xc0")
+    bad[sof + 1] = 0xC2
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bad))
+
+
+def test_jpeg_features_pixel_space_oracle():
+    # Solid mid-gray: mean ≈ 128 every channel, histogram mass in the
+    # bin holding 128, std ≈ 0 — pixel-space values, not byte hashes.
+    img = np.full((16, 16, 3), 128, dtype=np.uint8)
+    f = jpeg_features(encode_jpeg_baseline(img, quality=95))
+    w, h = f[0], f[1]
+    means, stds = f[2:5], f[5:8]
+    luma_mean, hist = f[8], f[9:16]
+    assert (w, h) == (16.0, 16.0)
+    assert all(abs(m - 128.0) <= 2.0 for m in means), means
+    assert all(s <= 2.0 for s in stds), stds
+    assert abs(luma_mean - 128.0) <= 2.0
+    assert hist[4] >= 0.99  # bin [128, 160)
+
+
+def test_extract_features_with_jpeg_kernel(spark):
+    # The Spark-side plumbing with the REAL jpeg kernel: plant encoded
+    # images in a media table, decode via mapInPandas, quarantine the
+    # undecodable row as NULL features.
+    from pyspark.sql import Row
+
+    from kafka_delta_ingest_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+    )
+
+    imgs = {
+        1: np.full((8, 8, 3), 50, dtype=np.uint8),
+        2: np.full((8, 8, 3), 200, dtype=np.uint8),
+    }
+    rows = [
+        Row(
+            media_id=i,
+            media=bytearray(encode_jpeg_baseline(a, quality=95)),
+            meta=Row(format="image/jpeg", width=8, height=8, duration_ms=None),
+        )
+        for i, a in imgs.items()
+    ] + [
+        Row(
+            media_id=3,
+            media=bytearray(b"corrupt bytes"),
+            meta=Row(format="image/jpeg", width=None, height=None, duration_ms=None),
+        )
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        r.media_id: r.features
+        for r in extract_features(
+            df, decode=jpeg_features, null_on_error=True
+        ).collect()
+    }
+    assert got[3] is None  # quarantined, job not failed
+    assert abs(got[1][2] - 50.0) <= 3.0  # R-channel mean, pixel space
+    assert abs(got[2][2] - 200.0) <= 3.0

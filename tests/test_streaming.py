@@ -132,6 +132,109 @@ def test_schema_evolution_mid_stream(spark, tmp_path):
     assert out[7] == ("blue", 70)
 
 
+def test_schema_update_replay_while_stream_runs(spark, tmp_path):
+    """Verbatim replay of the reference's evolve-while-streaming
+    integration scenario (tests/schema_update_tests.rs:23-113) on the
+    file-stream harness: a LIVE continuously-triggered query ingests a
+    v1 message {id, date}; the table schema is altered to add 'color'
+    BETWEEN micro-batches while the query keeps running; two v2
+    messages {id, color, date} follow. Expected table content matches
+    the reference assertion exactly — the pre-evolution row reads
+    color=NULL, post-evolution rows carry their colors, everything
+    partitioned by date."""
+    import time
+
+    src = str(tmp_path / "src")
+    table_dir = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    v1_schema = StructType(
+        [
+            StructField("id", IntegerType()),
+            StructField("date", StringType()),
+        ]
+    )
+    v2_schema = StructType(
+        [
+            StructField("id", IntegerType()),
+            StructField("color", StringType()),
+            StructField("date", StringType()),
+        ]
+    )
+
+    def msg(offset, payload):
+        return Row(
+            value=bytearray(json.dumps(payload).encode()),
+            partition=0,
+            offset=offset,
+            topic="schema_update",
+            timestamp=datetime.datetime(2024, 1, 1, 0, 0, offset),
+            timestampType=0,
+        )
+
+    opts = IngestOptions(
+        topic="schema_update",
+        table_uri=table_dir,
+        app_id="schema_update_app",
+        partition_by=["date"],
+        allowed_latency=1,  # 1s processingTime trigger: a live stream
+    )
+    job = IngestJob(opts, v1_schema)
+
+    # send msg v1, start the stream
+    _write_raw(spark, [msg(0, {"id": 1, "date": "default"})], src)
+    q = job.run_stream(spark, ckpt, raw_stream=_stream(spark, src))
+    table = DeltaLikeTable(table_dir)
+
+    def wait_for_ids(want, timeout=90):
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            try:
+                live = table.latest_version() >= 0
+            except OSError:
+                live = False
+            if live:
+                got = {r["id"] for r in table.read(spark).collect()}
+                if got >= want:
+                    return got
+            time.sleep(0.5)
+        raise AssertionError(f"stream never produced ids {want}")
+
+    try:
+        wait_for_ids({1})
+        # update delta schema with new col 'color' — mid-stream, the
+        # query is still running on its 1s trigger
+        table.evolve_schema(v2_schema)
+        # send a few messages with the new schema
+        _write_raw(
+            spark,
+            [
+                msg(1, {"id": 2, "color": "red", "date": "default"}),
+                msg(2, {"id": 3, "color": "blue", "date": "default"}),
+            ],
+            src,
+        )
+        wait_for_ids({1, 2, 3})
+    finally:
+        q.stop()
+
+    # the writer adopted the evolved schema without restarting
+    assert job.target_schema == v2_schema
+    content = sorted(
+        (
+            (r["id"], r["color"], r["date"])
+            for r in table.read(spark).collect()
+        )
+    )
+    assert content == [
+        (1, None, "default"),  # v1 row: new column reads NULL
+        (2, "red", "default"),
+        (3, "blue", "default"),
+    ]
+    # partitioning survived the evolution commit
+    assert table.snapshot()["metaData"]["partitionColumns"] == ["date"]
+
+
 def test_metrics_recorded_per_batch(spark, tmp_path):
     """M1: statsd-named counters emitted from the batch lifecycle."""
     from kafka_delta_ingest_spark import metrics as M
