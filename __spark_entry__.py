@@ -3487,6 +3487,78 @@ def multimodal_features(spark, sf_dir):
     return multimodal.extract_features(media)
 
 
+@_q(
+    "multimodal_jpeg_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(8 + (doc_id % 3) * 4 AS INT) AS width,
+           CAST(8 + (doc_id % 2) * 8 AS INT) AS height,
+           TRUE AS mean_ok
+    FROM documents
+    """,
+)
+def multimodal_jpeg_roundtrip(spark, sf_dir):
+    """End-to-end certification of the REAL compressed-image path: per
+    document, plant a solid-gray image whose geometry derives from the
+    doc id and whose gray level derives from the text length, compress
+    it with the pure-numpy baseline JPEG encoder, decode it back with
+    the independent decoder (operators/jpeg.py — Huffman parse + IDCT,
+    written from the public T.81 spec), and emit the decoded
+    dimensions plus a boolean asserting the decoded luma mean landed
+    within quantization tolerance of the planted level. Dimensions and
+    the tolerance verdict are EXACT, so the DuckDB oracle can replay
+    them without running a decoder — the same planted-invariant trick
+    the LSH family uses. Plan shape: one narrow mapInPandas over
+    (doc_id, length) — blobs are created, coded, and dropped inside
+    the task; nothing binary ever shuffles."""
+    import pandas as pd
+    from pyspark.sql.types import BooleanType
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("mean_ok", BooleanType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from kafka_delta_ingest_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg_baseline,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, n in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = int(8 + (doc_id % 3) * 4)
+                h = int(8 + (doc_id % 2) * 8)
+                g = int(n % 256)
+                img = np.full((h, w), g, dtype=np.uint8)
+                dec = decode_jpeg(encode_jpeg_baseline(img, quality=95))
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(dec.shape[1]),
+                        int(dec.shape[0]),
+                        abs(float(dec.mean()) - g) <= 3.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "mean_ok"]
+            )
+
+    from kafka_delta_ingest_spark.operators.util import spread
+
+    return spread(d).mapInPandas(run, schema=out_schema)
+
+
 # ---------------------------------------------------------------------------
 # Relational surface, widened: the remaining TPC-H patterns expressible
 # against the driver schema (no partsupp / shipmode / phone columns, so
@@ -4524,8 +4596,9 @@ _SWEEP_ORDER: list[str] = [
     # dict entries in CORRECTNESS_r{N}.json (observed r1-r3). The union
     # of r1-r3 driver rows certified 75 of the 112 queries; the 37 that
     # have NEVER earned a driver row (all verified exact / rows-clean by
-    # tools/check_oracle.py) occupy the first 37 slots this round so the
-    # cumulative driver record reaches 112/112. Cheap scans lead to
+    # tools/check_oracle.py) occupy the first 37 slots this round —
+    # with the new multimodal_jpeg_roundtrip that makes the cumulative
+    # driver record 113/113 registered queries. Cheap scans lead to
     # absorb session warmup; the four rows-only-by-design sketch audits
     # (approx_percentiles/approx_distinct/recall/multimodal) sit at the
     # block's end.
@@ -4566,7 +4639,9 @@ _SWEEP_ORDER: list[str] = [
     "agg_approx_distinct",
     "sim_recall_lsh_vs_exact",
     "multimodal_features",
-    # --- 13 re-certification slots: the highest-value already-green
+    # New this round — JPEG codec certification, never driver-checked:
+    "multimodal_jpeg_roundtrip",
+    # --- 12 re-certification slots: the highest-value already-green
     # rows (ingest dataflow, sink DML/CDF, the LSH/ANN dedup family,
     # the composed pretrain pipeline) so every round keeps fresh
     # evidence on the flagship paths.
@@ -4582,9 +4657,9 @@ _SWEEP_ORDER: list[str] = [
     "sim_lsh_topk",
     "sim_ivfpq_topk",
     "pipeline_pretrain_curation",
-    "q1_pricing_summary",
     # --- tail: everything already certified in r1-r3 driver files.
     # tools/check_oracle.py verifies the full set regardless of any cap.
+    "q1_pricing_summary",
     "transform_substr",
     "coerce_tostring",
     "coerce_timestamp_strict",

@@ -80,6 +80,7 @@ HEADLINE = [
     "text_gopher_quality",
     "sim_ivfpq_topk",
     "search_hybrid_rrf",
+    "multimodal_jpeg_roundtrip",
 ]
 
 

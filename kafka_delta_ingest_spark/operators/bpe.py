@@ -177,9 +177,14 @@ def train_bpe(
         used: set[str] = set()
         for r in top:
             a, b, cnt = r.a, r.b, int(r.pair_count)
-            if len(batch) >= want or a in used or b in used:
-                break
             merged = a + b
+            # `merged in used` also rejects a candidate whose OUTPUT
+            # collides with an earlier batch member's output or symbol
+            # (e.g. ("a","bc") then ("ab","c"), both producing "abc"):
+            # two producers of one symbol would pool their merge events
+            # and void the per-merge m_j bound below.
+            if len(batch) >= want or a in used or b in used or merged in used:
+                break
             batch.append((a, b, cnt))
             used.update((a, b, merged))
             if merged in known_symbols:

@@ -146,6 +146,8 @@ def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
 
 def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     """symbol → (code, length) per the canonical assignment (C.2)."""
+    if len(vals) < sum(bits):
+        raise ValueError("truncated Huffman table")
     out, code = {}, 0
     k = 0
     for length in range(1, 17):
@@ -185,6 +187,9 @@ class _BitWriter:
             self.out.append(byte)
             if byte == 0xFF:  # byte stuffing (B.1.1.5)
                 self.out.append(0x00)
+        # Drop emitted bits so acc stays machine-word-sized (otherwise
+        # it grows into a bignum and encode turns O(n^2)).
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> bytes:
         if self.nbits:
@@ -339,7 +344,9 @@ class _BitReader:
                 self.marker = nxt
                 self.pos += 1
                 raise ValueError("entropy data ended at marker")
-        self.acc = (self.acc << 8) | byte
+        # Mask to the live bits: an unmasked acc accretes every byte
+        # ever read (bignum), turning decode O(n^2) on real-size files.
+        self.acc = (((self.acc << 8) | byte) & ((1 << (self.nbits + 8)) - 1))
         self.nbits += 8
 
     def read_bit(self) -> int:
@@ -391,6 +398,15 @@ def decode_jpeg(b: bytes):
     Raises ValueError on non-baseline or malformed input."""
     if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
         raise ValueError("not a JPEG (missing SOI)")
+    try:
+        return _decode_segments(b)
+    except IndexError as ex:
+        # Out-of-range segment field on a malformed file — surface the
+        # documented ValueError contract, never a bare IndexError.
+        raise ValueError("malformed JPEG segment data") from ex
+
+
+def _decode_segments(b: bytes):
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
@@ -426,6 +442,8 @@ def decode_jpeg(b: bytes):
             while p < len(payload):
                 tc, th = payload[p] >> 4, payload[p] & 0x0F
                 bits = list(payload[p + 1:p + 17])
+                if len(bits) < 16:
+                    raise ValueError("truncated DHT segment")
                 n = sum(bits)
                 vals = list(payload[p + 17:p + 17 + n])
                 huff[(tc, th)] = _decode_table(bits, vals)
@@ -436,6 +454,11 @@ def decode_jpeg(b: bytes):
                 raise ValueError("only 8-bit precision supported")
             h = int.from_bytes(payload[1:3], "big")
             w = int.from_bytes(payload[3:5], "big")
+            if h == 0 or w == 0:
+                # h=0 is legal only with a DNL marker (unsupported);
+                # refusing beats returning an empty image whose feature
+                # math silently yields NaNs.
+                raise ValueError("zero image dimension (DNL unsupported)")
             ncomp = payload[5]
             comps = []
             for ci in range(ncomp):
@@ -463,7 +486,11 @@ def decode_jpeg(b: bytes):
             for si in range(ns):
                 cs = payload[1 + si * 2]
                 tt = payload[2 + si * 2]
-                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                comp = next(
+                    (c for c in frame["comps"] if c["id"] == cs), None
+                )
+                if comp is None:
+                    raise ValueError("scan references unknown component")
                 scan.append((comp, tt >> 4, tt & 0x0F))
             data_start = pos + 2 + seg_len
             return _decode_scan(
@@ -475,8 +502,17 @@ def decode_jpeg(b: bytes):
 
 def _decode_scan(b, pos, frame, scan, qt, huff, restart_interval):
     h, w = frame["h"], frame["w"]
+    if len(scan) == 1:
+        # Non-interleaved scan (T.81 A.2.2): one 8x8 data unit per MCU
+        # in raster order, REGARDLESS of the component's declared
+        # sampling factors — a grayscale SOF may legally say 2x2, but
+        # the entropy stream still holds ceil(w/8)*ceil(h/8) blocks.
+        scan = [(dict(scan[0][0], h=1, v=1), scan[0][1], scan[0][2])]
     hmax = max(c["h"] for c, _, _ in scan)
     vmax = max(c["v"] for c, _, _ in scan)
+    for c, _, _ in scan:
+        if not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4):
+            raise ValueError("invalid sampling factors")
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
     planes = []
@@ -545,18 +581,10 @@ def _decode_scan(b, pos, frame, scan, qt, huff, restart_interval):
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
-def jpeg_features(b: bytes, feature_dim: int = 16) -> list[float]:
-    """Pixel-space features from a JPEG payload — same layout as
-    ``ppm_features``: dims, per-channel mean/std, luma mean, 8-bin
-    luma histogram."""
-    a = decode_jpeg(b).astype(np.float64)
-    if a.ndim == 2:
-        a = np.stack([a, a, a], axis=-1)
-    h, w, _ = a.shape
-    means = a.reshape(-1, 3).mean(axis=0)
-    stds = a.reshape(-1, 3).std(axis=0)
-    luma = a @ np.array([0.299, 0.587, 0.114])
-    hist, _ = np.histogram(luma, bins=8, range=(0.0, 255.0))
-    hist = hist / luma.size
-    out = [float(w), float(h), *means, *stds, float(luma.mean()), *hist]
-    return [float(x) for x in out[:feature_dim]]
+def jpeg_features(b: bytes) -> list[float]:
+    """Pixel-space features from a JPEG payload — the shared
+    ``multimodal.pixel_features`` layout (dims, channel mean/std, luma
+    mean, luma histogram), FEATURE_DIM floats."""
+    from kafka_delta_ingest_spark.operators.multimodal import pixel_features
+
+    return pixel_features(decode_jpeg(b))

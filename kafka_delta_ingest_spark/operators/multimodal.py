@@ -273,13 +273,17 @@ def decode_ppm(b: bytes):
     return data.reshape(h, w, 3)
 
 
-def ppm_features(b: bytes) -> list[float]:
-    """Real image features from a P6 payload: dimensions, per-channel
-    mean/std, luma stats, and an 8-bin luma histogram — FEATURE_DIM
-    floats, computed in pixel space (not a byte hash)."""
+def pixel_features(a, feature_dim: int = FEATURE_DIM) -> list[float]:
+    """Shared pixel-space feature vector for every real image decoder
+    (PPM, JPEG): dims, per-channel mean/std, luma mean, 8-bin luma
+    histogram — ``feature_dim`` floats matching FEATURES_SCHEMA."""
     import numpy as np
 
-    a = decode_ppm(b).astype(np.float64)
+    a = np.asarray(a, dtype=np.float64)
+    if a.ndim == 2:
+        a = np.stack([a, a, a], axis=-1)
+    if a.size == 0:
+        raise ValueError("empty image")  # NaN features must never leak
     h, w, _ = a.shape
     means = a.reshape(-1, 3).mean(axis=0)
     stds = a.reshape(-1, 3).std(axis=0)
@@ -287,7 +291,13 @@ def ppm_features(b: bytes) -> list[float]:
     hist, _ = np.histogram(luma, bins=8, range=(0.0, 255.0))
     hist = hist / luma.size
     out = [float(w), float(h), *means, *stds, float(luma.mean()), *hist]
-    return [float(x) for x in out[:FEATURE_DIM]]
+    return [float(x) for x in out[:feature_dim]]
+
+
+def ppm_features(b: bytes) -> list[float]:
+    """Real image features from a P6 payload, computed in pixel space
+    (not a byte hash) — see :func:`pixel_features` for the layout."""
+    return pixel_features(decode_ppm(b))
 
 
 def ppm_resize(b: bytes, width: int, height: int) -> bytes:

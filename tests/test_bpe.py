@@ -71,7 +71,7 @@ def test_train_bpe_batched_random_corpora(spark):
     import random
 
     rng = random.Random(42)
-    for trial in range(3):
+    for trial in range(4):
         texts = [
             " ".join(
                 "".join(
@@ -84,8 +84,8 @@ def test_train_bpe_batched_random_corpora(spark):
         df = spark.createDataFrame(
             [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
         )
-        want = _py_train(texts, 10)
-        assert train_bpe(df, 10, batch_k=6) == want, (trial, texts)
+        want = _py_train(texts, 12)
+        assert train_bpe(df, 12, batch_k=8) == want, (trial, texts)
 
 
 def test_pair_census_weighted_by_word_frequency(spark):

@@ -81,6 +81,54 @@ def test_malformed_inputs_raise():
         decode_jpeg(bytes(bad))
 
 
+def test_single_component_scan_ignores_sampling_factors():
+    # T.81 A.2.2: a non-interleaved (single-component) scan is one 8x8
+    # data unit per MCU in raster order even when SOF declares 2x2
+    # sampling. Flip the encoder's 1x1 sampling byte to 2x2 — the
+    # entropy stream is unchanged, so decode must still match.
+    y, x = np.mgrid[0:24, 0:24]
+    img = ((x * 7 + y * 3) % 256).astype(np.uint8)
+    good = encode_jpeg_baseline(img, quality=95)
+    hacked = bytearray(good)
+    sof = hacked.find(b"\xff\xc0")
+    assert hacked[sof + 11] == 0x11  # component 1 sampling byte
+    hacked[sof + 11] = 0x22
+    assert np.array_equal(decode_jpeg(bytes(hacked)), decode_jpeg(good))
+
+
+def test_zero_dimension_sof_is_refused():
+    good = encode_jpeg_baseline(np.full((8, 8), 10, dtype=np.uint8))
+    bad = bytearray(good)
+    sof = bad.find(b"\xff\xc0")
+    bad[sof + 5] = bad[sof + 6] = 0  # height := 0 (DNL-style)
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bad))
+
+
+def test_unknown_scan_component_is_refused():
+    good = encode_jpeg_baseline(np.full((8, 8), 10, dtype=np.uint8))
+    bad = bytearray(good)
+    sos = bad.find(b"\xff\xda")
+    bad[sos + 5] = 9  # scan references component id 9, SOF declares 1
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bad))
+
+
+def test_decode_time_scales_linearly_not_quadratically():
+    # The bit accumulators must stay word-sized: decoding a noisy
+    # (incompressible) image used to go bignum-quadratic. 96x96 noise
+    # decodes in well under a second when linear.
+    import time
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(96, 96), dtype=np.uint8).astype(np.uint8)
+    enc = encode_jpeg_baseline(img, quality=95)
+    t0 = time.perf_counter()
+    out = decode_jpeg(enc)
+    assert out.shape == (96, 96)
+    assert time.perf_counter() - t0 < 5.0
+
+
 def test_jpeg_features_pixel_space_oracle():
     # Solid mid-gray: mean ≈ 128 every channel, histogram mass in the
     # bin holding 128, std ≈ 0 — pixel-space values, not byte hashes.
