@@ -3559,6 +3559,77 @@ def multimodal_jpeg_roundtrip(spark, sf_dir):
     return spread(d).mapInPandas(run, schema=out_schema)
 
 
+@_q(
+    "multimodal_wav_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(1024 AS INT) AS n_samples,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(1 + doc_id % 37 AS INT) AS recovered_bin
+    FROM documents
+    """,
+)
+def multimodal_wav_roundtrip(spark, sf_dir):
+    """End-to-end certification of the REAL audio path: per document,
+    plant a pure sine whose frequency bin derives from the doc id,
+    encode it as 16-bit PCM WAV (operators/audio.py), decode it back,
+    and emit the exact sample count, sample rate, and the rFFT argmax
+    bin — which for a planted pure sine is the planted bin EXACTLY, so
+    the DuckDB oracle replays the whole pipeline without an audio
+    stack. Same planted-invariant pattern as multimodal_jpeg_roundtrip
+    (PCM is lossless, so this one needs no tolerance at all). Plan
+    shape: one narrow mapInPandas; blobs live and die inside the
+    task."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_samples", IntegerType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("recovered_bin", IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from kafka_delta_ingest_spark.operators.audio import (
+            decode_wav,
+            dominant_bin,
+            encode_wav,
+        )
+
+        n, rate = 1024, 8000
+        t = np.arange(n)
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                k = int(1 + doc_id % 37)
+                samples = (12000 * np.sin(2 * np.pi * k * t / n)).astype(
+                    np.int16
+                )
+                wav = encode_wav(samples, rate)
+                decoded, got_rate = decode_wav(wav)
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(decoded.shape[0]),
+                        int(got_rate),
+                        dominant_bin(wav),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_samples", "sample_rate", "recovered_bin"],
+            )
+
+    from kafka_delta_ingest_spark.operators.util import spread
+
+    return spread(d).mapInPandas(run, schema=out_schema)
+
+
 # ---------------------------------------------------------------------------
 # Relational surface, widened: the remaining TPC-H patterns expressible
 # against the driver schema (no partsupp / shipmode / phone columns, so
@@ -4597,8 +4668,9 @@ _SWEEP_ORDER: list[str] = [
     # of r1-r3 driver rows certified 75 of the 112 queries; the 37 that
     # have NEVER earned a driver row (all verified exact / rows-clean by
     # tools/check_oracle.py) occupy the first 37 slots this round —
-    # with the new multimodal_jpeg_roundtrip that makes the cumulative
-    # driver record 113/113 registered queries. Cheap scans lead to
+    # with the new multimodal_{jpeg,wav}_roundtrip that makes the
+    # cumulative driver record 114/114 registered queries. Cheap scans
+    # lead to
     # absorb session warmup; the four rows-only-by-design sketch audits
     # (approx_percentiles/approx_distinct/recall/multimodal) sit at the
     # block's end.
@@ -4639,9 +4711,11 @@ _SWEEP_ORDER: list[str] = [
     "agg_approx_distinct",
     "sim_recall_lsh_vs_exact",
     "multimodal_features",
-    # New this round — JPEG codec certification, never driver-checked:
+    # New this round — JPEG + WAV codec certification, never
+    # driver-checked:
     "multimodal_jpeg_roundtrip",
-    # --- 12 re-certification slots: the highest-value already-green
+    "multimodal_wav_roundtrip",
+    # --- 11 re-certification slots: the highest-value already-green
     # rows (ingest dataflow, sink DML/CDF, the LSH/ANN dedup family,
     # the composed pretrain pipeline) so every round keeps fresh
     # evidence on the flagship paths.
@@ -4653,12 +4727,12 @@ _SWEEP_ORDER: list[str] = [
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
-    "dedup_incremental_admit",
     "sim_lsh_topk",
     "sim_ivfpq_topk",
     "pipeline_pretrain_curation",
     # --- tail: everything already certified in r1-r3 driver files.
     # tools/check_oracle.py verifies the full set regardless of any cap.
+    "dedup_incremental_admit",
     "q1_pricing_summary",
     "transform_substr",
     "coerce_tostring",

@@ -81,6 +81,7 @@ HEADLINE = [
     "sim_ivfpq_topk",
     "search_hybrid_rrf",
     "multimodal_jpeg_roundtrip",
+    "multimodal_wav_roundtrip",
 ]
 
 

@@ -65,16 +65,19 @@ def real_decode_stub(_bytes: bytes) -> list[float]:
     """Placeholder for decoders of formats this runtime cannot parse
     (MP3 / H.264 and other codecs needing native libraries).
 
-    Two image formats ARE decoded for real, no native libs: binary PPM
-    via ``ppm_features`` below, and baseline JPEG via
-    ``operators.jpeg.jpeg_features`` (pure-numpy Huffman+IDCT codec,
-    planted-fixture-tested in test_jpeg_decode.py). This stub marks
-    the remaining seam where an audio/video kernel plugs in.
+    Three formats ARE decoded for real, no native libs: binary PPM via
+    ``ppm_features`` below, baseline JPEG via
+    ``operators.jpeg.jpeg_features`` (pure-numpy Huffman+IDCT codec),
+    and WAV/PCM audio via ``operators.audio.audio_features`` (RIFF
+    parser + FFT features) — each planted-fixture-tested. This stub
+    marks the remaining seam: compressed audio/video codecs
+    (MP3/AAC/H.264) that need native libraries.
     """
     raise NotImplementedError(
-        "audio/video decoding requires a native media library; "
-        "pass decode=your_kernel to extract_features (JPEG: use "
-        "operators.jpeg.jpeg_features; PPM: use ppm_features)"
+        "compressed audio/video decoding requires a native media "
+        "library; pass decode=your_kernel to extract_features (JPEG: "
+        "operators.jpeg.jpeg_features; PPM: ppm_features; WAV: "
+        "operators.audio.audio_features)"
     )
 
 
