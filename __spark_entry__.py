@@ -4251,6 +4251,78 @@ def text_dsir_weights(spark, sf_dir):
 
 
 @_q(
+    "text_quality_classifier",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+        unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+      FROM documents WHERE len(trim(text)) > 0
+    ), tw AS (
+      SELECT doc_id,
+        CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT) % 256 AS bucket
+      FROM tok
+    ), dbc AS (
+      SELECT doc_id, bucket, COUNT(*) AS c FROM tw GROUP BY 1, 2
+    ), posw AS (
+      SELECT CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT) % 256 AS bucket
+      FROM (
+        SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+        FROM documents
+        WHERE lang = 'en' AND doc_id % 7 = 0 AND len(trim(text)) > 0
+      )
+    ), negw AS (
+      SELECT CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT) % 256 AS bucket
+      FROM (
+        SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+        FROM documents
+        WHERE lang <> 'en' AND doc_id % 7 = 0 AND len(trim(text)) > 0
+      )
+    ), pc AS (SELECT bucket, COUNT(*) AS cp FROM posw GROUP BY 1),
+    np AS (SELECT COUNT(*) AS n_p FROM posw),
+    nc AS (SELECT bucket, COUNT(*) AS cn FROM negw GROUP BY 1),
+    nn AS (SELECT COUNT(*) AS n_n FROM negw),
+    wt AS (
+      SELECT b.bucket,
+        ln(((coalesce(cp, 0) + 1) / (n_p + 256.0))
+           / ((coalesce(cn, 0) + 1) / (n_n + 256.0))) AS weight
+      FROM (SELECT unnest(generate_series(0, 255)) AS bucket) b
+      LEFT JOIN pc ON pc.bucket = b.bucket
+      LEFT JOIN nc ON nc.bucket = b.bucket
+      CROSS JOIN np CROSS JOIN nn
+    )
+    SELECT doc_id,
+      CAST(SUM(c) AS BIGINT) AS n_tok,
+      round(1.0 / (1.0 + exp(-(SUM(c * weight) / SUM(c)))), 6) AS score,
+      (1.0 / (1.0 + exp(-(SUM(c * weight) / SUM(c))))) >= 0.5 AS keep
+    FROM dbc JOIN wt ON wt.bucket = dbc.bucket
+    GROUP BY doc_id
+    """,
+)
+def text_quality_classifier(spark, sf_dir):
+    """Model-based quality filtering (the FineWeb-Edu / fastText
+    pipeline stage): train closed-form log-odds weights over hashed
+    unigrams from labeled seed slices (English-vs-other here, standing
+    in for human/LLM-labeled seeds), then score every document with
+    the linear model through a sigmoid. The 256-row weight table
+    broadcasts; the 100 TB corpus shuffles only for its own bucket
+    census and the per-doc aggregation — scoring cost is two
+    aggregations regardless of model provenance (externally-trained
+    fastText weights drop into the same (bucket, weight) contract).
+    Joulin et al. 2016; FineWeb-Edu (Penedo et al. 2024)."""
+    from kafka_delta_ingest_spark.operators.quality import (
+        classifier_score,
+        train_log_odds_weights,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    seeds = d.where((F.col("doc_id") % 7 == 0))
+    pos = seeds.where(F.col("lang") == "en")
+    neg = seeds.where(F.col("lang") != "en")
+    w = train_log_odds_weights(pos, neg, n_buckets=256)
+    return classifier_score(d, w, n_buckets=256)
+
+
+@_q(
     "text_chunk_sliding",
     r"""
     WITH d AS (
@@ -4668,9 +4740,9 @@ _SWEEP_ORDER: list[str] = [
     # of r1-r3 driver rows certified 75 of the 112 queries; the 37 that
     # have NEVER earned a driver row (all verified exact / rows-clean by
     # tools/check_oracle.py) occupy the first 37 slots this round —
-    # with the new multimodal_{jpeg,wav}_roundtrip that makes the
-    # cumulative driver record 114/114 registered queries. Cheap scans
-    # lead to
+    # with the round-4 additions (multimodal_{jpeg,wav}_roundtrip,
+    # text_quality_classifier) that makes the cumulative driver record
+    # 115/115 registered queries. Cheap scans lead to
     # absorb session warmup; the four rows-only-by-design sketch audits
     # (approx_percentiles/approx_distinct/recall/multimodal) sit at the
     # block's end.
@@ -4715,7 +4787,8 @@ _SWEEP_ORDER: list[str] = [
     # driver-checked:
     "multimodal_jpeg_roundtrip",
     "multimodal_wav_roundtrip",
-    # --- 11 re-certification slots: the highest-value already-green
+    "text_quality_classifier",
+    # --- 10 re-certification slots: the highest-value already-green
     # rows (ingest dataflow, sink DML/CDF, the LSH/ANN dedup family,
     # the composed pretrain pipeline) so every round keeps fresh
     # evidence on the flagship paths.
@@ -4726,12 +4799,12 @@ _SWEEP_ORDER: list[str] = [
     "sink_dml_cdf",
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
-    "dedup_ngram_jaccard",
     "sim_lsh_topk",
     "sim_ivfpq_topk",
     "pipeline_pretrain_curation",
     # --- tail: everything already certified in r1-r3 driver files.
     # tools/check_oracle.py verifies the full set regardless of any cap.
+    "dedup_ngram_jaccard",
     "dedup_incremental_admit",
     "q1_pricing_summary",
     "transform_substr",

@@ -82,6 +82,7 @@ HEADLINE = [
     "search_hybrid_rrf",
     "multimodal_jpeg_roundtrip",
     "multimodal_wav_roundtrip",
+    "text_quality_classifier",
 ]
 
 
