@@ -3280,6 +3280,79 @@ def text_shared_passages(spark, sf_dir):
     return textops.shared_passages(planted, window=50, min_docs=2)
 
 
+@_q(
+    "text_remove_boilerplate",
+    rf"""
+    WITH planted AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 9 = 0 THEN text || ' {_BOILERPLATE}'
+             ELSE text END AS text
+      FROM documents
+    ), base AS (
+      SELECT doc_id,
+        CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+             ELSE string_split_regex(trim(text), '\s+') END AS w
+      FROM planted
+    ), st AS (
+      SELECT doc_id, w, unnest(generate_series(0, len(w) - 50)) AS s
+      FROM base WHERE len(w) >= 50
+    ), wins AS (
+      SELECT doc_id, s,
+             md5(array_to_string(w[s+1:s+50], ' ')) AS passage
+      FROM st
+    ), rep AS (
+      SELECT passage, MIN(doc_id) AS keeper
+      FROM (SELECT DISTINCT passage, doc_id FROM wins)
+      GROUP BY passage HAVING COUNT(*) >= 2
+    ), covs AS (
+      SELECT wins.doc_id, wins.s FROM wins JOIN rep USING (passage)
+      WHERE wins.doc_id <> rep.keeper
+    ), cov AS (
+      SELECT DISTINCT doc_id, s + unnest(generate_series(0, 49)) AS pos
+      FROM covs
+    ), toks AS (
+      SELECT doc_id, unnest(generate_series(1, len(w))) - 1 AS pos, w
+      FROM base
+    ), kept AS (
+      SELECT t.doc_id, t.pos, t.w[t.pos + 1] AS word
+      FROM toks t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM cov c WHERE c.doc_id = t.doc_id AND c.pos = t.pos
+      )
+    ), reb AS (
+      SELECT doc_id, COUNT(*) AS _kept,
+             string_agg(word, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+      CAST(len(b.w) AS BIGINT) AS n_tok,
+      CAST(len(b.w) - coalesce(reb._kept, 0) AS BIGINT) AS n_removed,
+      coalesce(reb.clean_text, '') AS clean_text
+    FROM base b LEFT JOIN reb ON reb.doc_id = b.doc_id
+    """,
+)
+def text_remove_boilerplate(spark, sf_dir):
+    """The removal half of Lee et al. 2022 exact-substring dedup: the
+    60-word license passage planted on every 9th document (the same
+    plant text_shared_passages censuses) is STRIPPED from every
+    carrier except the lowest-id one, along with any naturally
+    repeated 50-word windows — returning the rewritten corpus plus
+    per-doc removal accounting. The oracle replays the whole
+    cover-and-rebuild pipeline in SQL, so clean_text is verified
+    byte-for-byte. Scale shape in the operator docstring
+    (operators/text.py::remove_shared_passages): md5 digests shuffle,
+    passages don't; rebuilds are per-doc bounded."""
+    d = load_table(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    planted = d.withColumn(
+        "text",
+        F.when(
+            doc % 9 == 0, F.concat(F.col("text"), F.lit(" " + _BOILERPLATE))
+        ).otherwise(F.col("text")),
+    )
+    return textops.remove_shared_passages(planted, window=50, min_docs=2)
+
+
 @_q("sim_recall_lsh_vs_exact")  # LSH side has no SQL twin — rows-only
 def sim_recall_lsh_vs_exact(spark, sf_dir):
     """Recall@10 of the LSH ANN path measured against the exact
@@ -4741,8 +4814,9 @@ _SWEEP_ORDER: list[str] = [
     # have NEVER earned a driver row (all verified exact / rows-clean by
     # tools/check_oracle.py) occupy the first 37 slots this round —
     # with the round-4 additions (multimodal_{jpeg,wav}_roundtrip,
-    # text_quality_classifier) that makes the cumulative driver record
-    # 115/115 registered queries. Cheap scans lead to
+    # text_quality_classifier, text_remove_boilerplate) that makes the
+    # cumulative driver record 116/116 registered queries. Cheap scans
+    # lead to
     # absorb session warmup; the four rows-only-by-design sketch audits
     # (approx_percentiles/approx_distinct/recall/multimodal) sit at the
     # block's end.
@@ -4788,7 +4862,8 @@ _SWEEP_ORDER: list[str] = [
     "multimodal_jpeg_roundtrip",
     "multimodal_wav_roundtrip",
     "text_quality_classifier",
-    # --- 10 re-certification slots: the highest-value already-green
+    "text_remove_boilerplate",
+    # --- 9 re-certification slots: the highest-value already-green
     # rows (ingest dataflow, sink DML/CDF, the LSH/ANN dedup family,
     # the composed pretrain pipeline) so every round keeps fresh
     # evidence on the flagship paths.
@@ -4798,12 +4873,12 @@ _SWEEP_ORDER: list[str] = [
     "stream_offset_dedup",
     "sink_dml_cdf",
     "dedup_minhash_pairs",
-    "dedup_simhash_pairs",
     "sim_lsh_topk",
     "sim_ivfpq_topk",
     "pipeline_pretrain_curation",
     # --- tail: everything already certified in r1-r3 driver files.
     # tools/check_oracle.py verifies the full set regardless of any cap.
+    "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
     "dedup_incremental_admit",
     "q1_pricing_summary",

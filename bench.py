@@ -83,6 +83,7 @@ HEADLINE = [
     "multimodal_jpeg_roundtrip",
     "multimodal_wav_roundtrip",
     "text_quality_classifier",
+    "text_remove_boilerplate",
 ]
 
 

@@ -307,6 +307,102 @@ def shared_passages(
     )
 
 
+def remove_shared_passages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 50,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The removal half of Lee et al. 2022: strip every token covered
+    by a ``window``-word passage that repeats across >= ``min_docs``
+    documents, keeping the copy in the passage's lowest-id carrier —
+    boilerplate/license/navigation text disappears corpus-wide while
+    one canonical occurrence survives.
+
+    Returns (id, n_tok, n_removed, clean_text). Scale shape: windows
+    are md5-keyed before any shuffle (digests move, not ~350-char
+    passages); the repeated-passage table is proportional to the
+    amount of boilerplate, not the corpus, and AQE broadcasts it when
+    small; coverage positions and the per-doc rebuild are bounded by
+    document length (the collect_list is per-doc, never corpus-wide).
+    Overlapping repeated windows union naturally into maximal covered
+    spans, matching the paper's remove-covered-spans semantics.
+    """
+    from kafka_delta_ingest_spark.operators.util import spread
+
+    base = (
+        spread(df)
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("_w"))
+        .withColumn("_n", F.size("_w"))
+    )
+    # Position-aware windows: (id, start, md5(passage)). Docs shorter
+    # than the window produce none and pass through untouched.
+    wins = base.where(F.col("_n") >= window).select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("_n") - window),
+                lambda s: F.struct(
+                    s.cast("int").alias("start"),
+                    F.md5(
+                        F.concat_ws(
+                            " ", F.slice(F.col("_w"), s + 1, window)
+                        )
+                    ).alias("passage"),
+                ),
+            )
+        ).alias("p"),
+    ).select(id_col, "p.start", "p.passage")
+    rep = (
+        wins.select("passage", id_col)
+        .distinct()
+        .groupBy("passage")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("_keeper"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("passage", "_keeper")
+    )
+    covered = (
+        wins.join(rep, "passage")
+        .filter(F.col(id_col) != F.col("_keeper"))
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + window - 1)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = base.select(
+        id_col, F.posexplode("_w").alias("pos", "word")
+    )
+    kept = toks.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("word")))
+                ),
+                lambda s: s["word"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        base.select(id_col, F.col("_n").cast("long").alias("n_tok"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_tok",
+            (F.col("n_tok") - F.coalesce(F.col("_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 def chunk_sliding(
     df: DataFrame,
     chunk_tokens: int = 128,

@@ -821,6 +821,42 @@ def test_shared_passages_finds_planted_boilerplate(spark):
         assert r.n_docs == 3 and r.min_doc == 0 and r.max_doc == 2
 
 
+def test_remove_shared_passages_strips_all_but_keeper(spark):
+    from kafka_delta_ingest_spark.operators.text import (
+        remove_shared_passages,
+    )
+
+    boiler = " ".join(f"term{i}" for i in range(60))
+    filler = [
+        " ".join(f"w{d}x{i}" for i in range(80)) for d in range(4)
+    ]
+    rows = [
+        (0, filler[0] + " " + boiler),
+        (1, filler[1] + " " + boiler),
+        (2, filler[2] + " " + boiler),
+        (3, filler[3]),  # no boilerplate
+        (4, "short doc"),  # below window: untouched
+    ]
+    out = {
+        r.doc_id: r
+        for r in remove_shared_passages(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            window=50,
+            min_docs=2,
+        ).collect()
+    }
+    # doc 0 is the lowest-id carrier: keeps its copy verbatim
+    assert out[0].n_removed == 0 and out[0].clean_text == rows[0][1]
+    # docs 1/2 lose exactly the 60 boilerplate words, filler survives
+    for d in (1, 2):
+        assert out[d].n_removed == 60
+        assert out[d].clean_text == filler[d]
+        assert out[d].n_tok == 140
+    # untouched docs round-trip exactly (whitespace-normalized join)
+    assert out[3].n_removed == 0 and out[3].clean_text == filler[3]
+    assert out[4].clean_text == "short doc" and out[4].n_tok == 2
+
+
 def test_pq_exact_when_corpus_is_its_own_codebook(spark):
     """When every corpus vector IS a pivot, each vector's codes are its
     own subvectors, so the ADC distance is the true L2^2 — PQ becomes
