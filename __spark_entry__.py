@@ -2751,6 +2751,84 @@ def sim_pool_embeddings(spark, sf_dir):
 
 
 @_q(
+    "pipeline_rag_retrieval",
+    r"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      FROM documents WHERE len(trim(text)) > 0
+    ), st AS (
+      SELECT doc_id, w, unnest(generate_series(0, len(w) - 1, 96)) AS s FROM d
+    ), ch AS (
+      SELECT doc_id, CAST(s // 96 AS INT) AS chunk_ix,
+             array_to_string(w[s+1:s+128], ' ') AS chunk_text
+      FROM st
+    ), ce AS (
+      SELECT doc_id, chunk_ix,
+        [CAST(concat('0x', substr(md5(chunk_text), 1 + 2*i, 2)) AS BIGINT) / 255.0
+         for i in generate_series(0, 7)] AS v
+      FROM ch
+    ), cells AS (
+      SELECT doc_id, chunk_ix, unnest(v) AS x,
+             generate_subscripts(v, 1) AS pos
+      FROM ce
+    ), pooled0 AS (
+      SELECT doc_id, pos,
+        round(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+          / COUNT(DISTINCT chunk_ix), 6) AS m
+      FROM cells GROUP BY doc_id, pos
+    ), pooled AS (
+      SELECT doc_id, list(m ORDER BY pos) AS v FROM pooled0 GROUP BY doc_id
+    ), q AS (
+      SELECT doc_id AS query_id, v AS qv FROM pooled WHERE doc_id % 101 = 0
+    ), scored AS (
+      SELECT query_id, p.doc_id AS neighbor_id,
+        list_sum(list_transform(list_zip(p.v, qv), t -> t[1] * t[2]))
+          / (sqrt(list_sum(list_transform(p.v, x -> x * x)))
+             * sqrt(list_sum(list_transform(qv, x -> x * x)))) AS cs
+      FROM pooled p CROSS JOIN q
+    )
+    SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim,
+      CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 3
+    """,
+)
+def pipeline_rag_retrieval(spark, sf_dir):
+    """Composed RAG indexing+retrieval pipeline in ONE Catalyst plan:
+    sliding-window chunking (128/96) → deterministic per-chunk
+    embedding (md5-byte hash vectors standing in for an encoder — the
+    pipeline SHAPE is what's exercised; a real encoder is a pandas-UDF
+    drop-in at the same spot) → exact-decimal mean-pooling back to
+    document vectors → brute-force cosine top-3 for the planted query
+    set, via the two-phase salted top-k. Every query's own document
+    must rank first with cos_sim 1.0 — and the oracle replays chunk →
+    embed → pool → score value-for-value in SQL. Scale shape: chunking
+    is narrow, the pool is a dimension-major aggregation (map-side
+    combine), queries broadcast; the only corpus-wide shuffles are the
+    pool and the top-k itself."""
+    d = load_table(spark, sf_dir, "documents")
+    chunks = textops.chunk_sliding(d)
+    md = F.md5(F.col("chunk_text"))
+    emb = F.array(
+        *[
+            (
+                F.conv(F.substring(md, 1 + 2 * i, 2), 16, 10).cast("double")
+                / F.lit(255.0)
+            )
+            for i in range(8)
+        ]
+    )
+    ce = chunks.select("doc_id", "chunk_ix", emb.alias("embedding"))
+    pooled = similarity.pool_embeddings(ce, "doc_id", id_col="chunk_ix")
+    q = pooled.where(F.col("doc_id") % 101 == 0).select(
+        F.col("doc_id").alias("query_id"), "embedding"
+    )
+    corpus = pooled.select(F.col("doc_id").alias("vec_id"), "embedding")
+    return similarity.cosine_topk(corpus, q, k=3)
+
+
+@_q(
     "decontam_fuzzy",
     """
     SELECT doc_id, doc_id AS bench_id FROM documents WHERE doc_id % 97 = 0
@@ -4814,9 +4892,9 @@ _SWEEP_ORDER: list[str] = [
     # have NEVER earned a driver row (all verified exact / rows-clean by
     # tools/check_oracle.py) occupy the first 37 slots this round —
     # with the round-4 additions (multimodal_{jpeg,wav}_roundtrip,
-    # text_quality_classifier, text_remove_boilerplate) that makes the
-    # cumulative driver record 116/116 registered queries. Cheap scans
-    # lead to
+    # text_quality_classifier, text_remove_boilerplate,
+    # pipeline_rag_retrieval) that makes the cumulative driver record
+    # 117/117 registered queries. Cheap scans lead to
     # absorb session warmup; the four rows-only-by-design sketch audits
     # (approx_percentiles/approx_distinct/recall/multimodal) sit at the
     # block's end.
@@ -4863,7 +4941,8 @@ _SWEEP_ORDER: list[str] = [
     "multimodal_wav_roundtrip",
     "text_quality_classifier",
     "text_remove_boilerplate",
-    # --- 9 re-certification slots: the highest-value already-green
+    "pipeline_rag_retrieval",
+    # --- 8 re-certification slots: the highest-value already-green
     # rows (ingest dataflow, sink DML/CDF, the LSH/ANN dedup family,
     # the composed pretrain pipeline) so every round keeps fresh
     # evidence on the flagship paths.
@@ -4872,12 +4951,12 @@ _SWEEP_ORDER: list[str] = [
     "ingest_dlq_split",
     "stream_offset_dedup",
     "sink_dml_cdf",
-    "dedup_minhash_pairs",
     "sim_lsh_topk",
     "sim_ivfpq_topk",
     "pipeline_pretrain_curation",
     # --- tail: everything already certified in r1-r3 driver files.
     # tools/check_oracle.py verifies the full set regardless of any cap.
+    "dedup_minhash_pairs",
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
     "dedup_incremental_admit",

@@ -84,6 +84,7 @@ HEADLINE = [
     "multimodal_wav_roundtrip",
     "text_quality_classifier",
     "text_remove_boilerplate",
+    "pipeline_rag_retrieval",
 ]
 
 
