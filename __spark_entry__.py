@@ -3376,7 +3376,7 @@ def text_shared_passages(spark, sf_dir):
       FROM base WHERE len(w) >= 50
     ), wins AS (
       SELECT doc_id, s,
-             md5(array_to_string(w[s+1:s+50], ' ')) AS passage
+             md5(lower(array_to_string(w[s+1:s+50], ' '))) AS passage
       FROM st
     ), rep AS (
       SELECT passage, MIN(doc_id) AS keeper
@@ -3748,7 +3748,7 @@ def multimodal_wav_roundtrip(spark, sf_dir):
 
         from kafka_delta_ingest_spark.operators.audio import (
             decode_wav,
-            dominant_bin,
+            dominant_bin_samples,
             encode_wav,
         )
 
@@ -3762,13 +3762,13 @@ def multimodal_wav_roundtrip(spark, sf_dir):
                     np.int16
                 )
                 wav = encode_wav(samples, rate)
-                decoded, got_rate = decode_wav(wav)
+                decoded, got_rate = decode_wav(wav)  # decode ONCE
                 rows.append(
                     (
                         int(doc_id),
                         int(decoded.shape[0]),
                         int(got_rate),
-                        dominant_bin(wav),
+                        dominant_bin_samples(decoded),
                     )
                 )
             yield pd.DataFrame(

@@ -112,16 +112,22 @@ def decode_wav(b: bytes):
     return raw[: n * channels].reshape(n, channels).astype(np.int16), fmt["rate"]
 
 
-def dominant_bin(b: bytes) -> int:
-    """Exact integer invariant: the argmax magnitude bin of the rFFT
-    over the mono mix (DC excluded). For a planted pure sine of
-    frequency ``k * rate / n`` this is ``k`` by construction."""
-    samples, _ = decode_wav(b)
-    mono = samples.mean(axis=1)
+def dominant_bin_samples(samples) -> int:
+    """Argmax rFFT magnitude bin (DC excluded) of already-decoded
+    samples — callers that just ran ``decode_wav`` use this directly
+    instead of paying a second RIFF parse."""
+    mono = np.asarray(samples).mean(axis=1)
     mags = np.abs(np.fft.rfft(mono))
     if mags.size <= 1:
         raise ValueError("too short for spectral analysis")
     return int(np.argmax(mags[1:]) + 1)
+
+
+def dominant_bin(b: bytes) -> int:
+    """Exact integer invariant: the argmax magnitude bin of the rFFT
+    over the mono mix (DC excluded). For a planted pure sine of
+    frequency ``k * rate / n`` this is ``k`` by construction."""
+    return dominant_bin_samples(decode_wav(b)[0])
 
 
 AUDIO_FEATURE_DIM = 16

@@ -32,7 +32,7 @@ method per Joulin et al. 2016 (fastText) and the FineWeb-Edu report.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from kafka_delta_ingest_spark.operators.lm import _md5_bucket
 from kafka_delta_ingest_spark.operators.text import tokens
@@ -67,8 +67,10 @@ def train_log_odds_weights(
     nc = _bucket_tokens(neg, text_col, n_buckets).groupBy("bucket").agg(
         F.count("*").alias("cn")
     )
-    n_p = pc.agg(F.sum("cp").alias("n_p"))
-    n_n = nc.agg(F.sum("cn").alias("n_n"))
+    # coalesce: an EMPTY seed side must degrade to the smoothed prior
+    # (count 0 everywhere), not propagate NULL into every weight.
+    n_p = pc.agg(F.coalesce(F.sum("cp"), F.lit(0)).alias("n_p"))
+    n_n = nc.agg(F.coalesce(F.sum("cn"), F.lit(0)).alias("n_n"))
     all_buckets = pos.sparkSession.range(n_buckets).select(
         F.col("id").cast("long").alias("bucket")
     )
@@ -113,10 +115,17 @@ def classifier_score(
     dbc = toks.groupBy(id_col, _md5_bucket(F.col("word"), n_buckets)).agg(
         F.count("*").alias("c")
     )
-    z = F.sum(F.col("c") * F.col("weight")) / F.sum("c") + F.lit(bias)
+    # LEFT join + coalesce(0): an externally-trained weight table that
+    # covers only its training-time buckets must not silently drop
+    # tokens from n_tok (or whole documents) — unknown buckets score 0.
+    z = (
+        F.sum(F.col("c") * F.coalesce(F.col("weight"), F.lit(0.0)))
+        / F.sum("c")
+        + F.lit(bias)
+    )
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     return (
-        dbc.join(F.broadcast(weights), "bucket")
+        dbc.join(F.broadcast(weights), "bucket", "left")
         .groupBy(id_col)
         .agg(
             F.sum("c").cast("long").alias("n_tok"),

@@ -320,14 +320,20 @@ def remove_shared_passages(
     boilerplate/license/navigation text disappears corpus-wide while
     one canonical occurrence survives.
 
-    Returns (id, n_tok, n_removed, clean_text). Scale shape: windows
-    are md5-keyed before any shuffle (digests move, not ~350-char
-    passages); the repeated-passage table is proportional to the
-    amount of boilerplate, not the corpus, and AQE broadcasts it when
-    small; coverage positions and the per-doc rebuild are bounded by
-    document length (the collect_list is per-doc, never corpus-wide).
-    Overlapping repeated windows union naturally into maximal covered
-    spans, matching the paper's remove-covered-spans semantics.
+    Returns (id, n_tok, n_removed, clean_text). Passage keys are
+    CASE-INSENSITIVE (md5 over the lowercased window), matching
+    :func:`shared_passages`'s census semantics — what the census
+    reports repeated, this removes — while ``clean_text`` rebuilds
+    from the ORIGINAL tokens, preserving the surviving text's case.
+
+    Scale shape: windows are md5-keyed before any shuffle (digests
+    move, not ~350-char passages); the repeated-passage table is
+    proportional to the amount of boilerplate, not the corpus, and AQE
+    broadcasts it when small; coverage positions and the per-doc
+    rebuild are bounded by document length (the collect_list is
+    per-doc, never corpus-wide). Overlapping repeated windows union
+    naturally into maximal covered spans, matching the paper's
+    remove-covered-spans semantics.
     """
     from kafka_delta_ingest_spark.operators.util import spread
 
@@ -346,8 +352,10 @@ def remove_shared_passages(
                 lambda s: F.struct(
                     s.cast("int").alias("start"),
                     F.md5(
-                        F.concat_ws(
-                            " ", F.slice(F.col("_w"), s + 1, window)
+                        F.lower(
+                            F.concat_ws(
+                                " ", F.slice(F.col("_w"), s + 1, window)
+                            )
                         )
                     ).alias("passage"),
                 ),

@@ -28,12 +28,36 @@ def test_pcm16_roundtrip_is_lossless():
     assert np.array_equal(out2, stereo)
 
 
-def test_odd_length_data_chunk_pads_to_word_boundary():
-    mono = np.array([1, -2, 3], dtype=np.int16)
-    b = encode_wav(mono[:, None][:1], 8000)  # 2-byte data, even
-    one = np.array([[7]], dtype=np.int16)
-    assert np.array_equal(decode_wav(encode_wav(one, 8000))[0], one)
-    assert np.array_equal(decode_wav(b)[0], mono[:1][:, None])
+def _wav8(samples_u8: bytes, rate: int = 8000, trailing_chunk: bool = False):
+    """Hand-built 8-bit mono WAV — externally-produced shape the
+    encoder never emits (encode_wav is 16-bit only)."""
+    fmt = (
+        (1).to_bytes(2, "little")  # PCM
+        + (1).to_bytes(2, "little")  # mono
+        + rate.to_bytes(4, "little")
+        + rate.to_bytes(4, "little")  # byte rate (1 byte/sample)
+        + (1).to_bytes(2, "little")  # block align
+        + (8).to_bytes(2, "little")  # bits
+    )
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += b"data" + len(samples_u8).to_bytes(4, "little") + samples_u8
+    if len(samples_u8) % 2:
+        chunks += b"\x00"  # RIFF word-alignment pad byte
+    if trailing_chunk:
+        chunks += b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def test_external_8bit_wav_with_odd_data_chunk_and_trailing_chunk():
+    # ODD-size data chunk followed by a pad byte and ANOTHER chunk:
+    # exercises the size+pad skip in the chunk walker — dropping the
+    # word-alignment term would misparse the LIST header as samples.
+    raw = bytes([128, 255, 0, 128, 200])  # 5 samples — odd
+    out, rate = decode_wav(_wav8(raw, trailing_chunk=True))
+    assert rate == 8000 and out.shape == (5, 1)
+    # unsigned 8-bit centers at 128 then scales <<8
+    want = (np.array([0, 127, -128, 0, 72], dtype=np.int16) << 8)
+    assert np.array_equal(out[:, 0], want)
 
 
 def test_planted_sine_dominant_bin_is_exact():

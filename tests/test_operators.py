@@ -857,6 +857,34 @@ def test_remove_shared_passages_strips_all_but_keeper(spark):
     assert out[4].clean_text == "short doc" and out[4].n_tok == 2
 
 
+def test_remove_shared_passages_case_insensitive_match(spark):
+    # Passage keys are case-insensitive (matching shared_passages'
+    # census semantics): an upper-cased copy of the boilerplate still
+    # counts as the same repeated passage, yet the SURVIVING text keeps
+    # its original case.
+    from kafka_delta_ingest_spark.operators.text import (
+        remove_shared_passages,
+        shared_passages,
+    )
+
+    boiler = " ".join(f"term{i}" for i in range(60))
+    filler = [" ".join(f"w{d}x{i}" for i in range(80)) for d in range(2)]
+    rows = [
+        (0, (filler[0] + " " + boiler).upper()),  # keeper, upper-case
+        (1, filler[1] + " " + boiler),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # the census sees the repeat…
+    assert shared_passages(df, window=50, min_docs=2).count() == 11
+    out = {
+        r.doc_id: r
+        for r in remove_shared_passages(df, window=50, min_docs=2).collect()
+    }
+    # …and removal strips it from the non-keeper, case notwithstanding
+    assert out[0].n_removed == 0 and out[0].clean_text == rows[0][1]
+    assert out[1].n_removed == 60 and out[1].clean_text == filler[1]
+
+
 def test_pq_exact_when_corpus_is_its_own_codebook(spark):
     """When every corpus vector IS a pivot, each vector's codes are its
     own subvectors, so the ADC distance is the true L2^2 — PQ becomes

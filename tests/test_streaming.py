@@ -235,6 +235,93 @@ def test_schema_update_replay_while_stream_runs(spark, tmp_path):
     assert table.snapshot()["metaData"]["partitionColumns"] == ["date"]
 
 
+def test_streaming_curation_matches_batch_pipeline(spark, tmp_path):
+    """Streaming twin of pipeline_corpus_curation: documents arrive in
+    micro-batches; each batch is quality-filtered and exact-deduped
+    BOTH within itself and against everything already admitted to the
+    sink (the continuous-ingest dedup contract), then appended. After
+    two waves the curated table must equal the batch pipeline run over
+    the union — curation is replayable as either one batch plan or a
+    resumable stream with identical results."""
+    import pyspark.sql.functions as SF
+    from pyspark.sql import Window
+
+    src = str(tmp_path / "docs_src")
+    table_dir = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+
+    def doc(i, text):
+        return Row(doc_id=i, text=text)
+
+    wave1 = [
+        doc(0, "alpha beta gamma delta epsilon"),  # good
+        doc(1, "too short"),  # 2 tokens: quality-filtered
+        doc(2, "one two three four five six"),  # good
+        doc(3, "alpha beta gamma delta epsilon"),  # dup of 0, same wave
+    ]
+    wave2 = [
+        doc(10, "one two three four five six"),  # dup of 2, prior wave
+        doc(11, "fresh unique content arriving later"),  # good
+        doc(12, "tiny"),  # quality-filtered
+    ]
+    schema = "doc_id long, text string"
+
+    def curate_batch(df, table):
+        """Quality gate + within-batch dedup + against-sink dedup."""
+        good = df.where(SF.size(SF.split(SF.col("text"), r"\s+")) >= 3)
+        h = good.withColumn("h", SF.md5("text"))
+        w = Window.partitionBy("h").orderBy("doc_id")
+        first = (
+            h.withColumn("_rn", SF.row_number().over(w))
+            .where(SF.col("_rn") == 1)
+            .drop("_rn")
+        )
+        try:
+            existing = table.read(spark).select(SF.md5("text").alias("h"))
+            fresh = first.join(existing, "h", "left_anti")
+        except Exception:  # first batch: table not created yet
+            fresh = first
+        return fresh.drop("h")
+
+    table = DeltaLikeTable(table_dir)
+
+    def run_wave(rows, run_name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda df, bid: table.write_batch(curate_batch(df, table))
+            )
+            .trigger(availableNow=True)
+            .queryName(run_name)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_wave(wave1, "curate_w1")
+    run_wave(wave2, "curate_w2")
+
+    streamed = {
+        (r.doc_id, r.text) for r in table.read(spark).collect()
+    }
+
+    # Batch twin over the union, same rules, one plan.
+    union = spark.createDataFrame(wave1 + wave2, schema)
+    batch = curate_batch(union, DeltaLikeTable(str(tmp_path / "nope")))
+    want = {(r.doc_id, r.text) for r in batch.collect()}
+
+    assert streamed == want
+    assert streamed == {
+        (0, "alpha beta gamma delta epsilon"),
+        (2, "one two three four five six"),
+        (11, "fresh unique content arriving later"),
+    }
+
+
 def test_metrics_recorded_per_batch(spark, tmp_path):
     """M1: statsd-named counters emitted from the batch lifecycle."""
     from kafka_delta_ingest_spark import metrics as M
