@@ -101,6 +101,19 @@ def build_parser() -> argparse.ArgumentParser:
     cur.add_argument("--text_col", default="text")
     cur.add_argument("--min_quality", type=float, default=0.5,
                      help="Drop documents scoring below this quality")
+    cur.add_argument("--remove_boilerplate", action="store_true",
+                     help="strip cross-document repeated 50-word "
+                          "passages (keep the lowest-id copy) before "
+                          "quality scoring")
+    cur.add_argument("--classifier_pos", default=None,
+                     help="parquet of positive seed docs: enables "
+                          "model-based quality filtering (log-odds "
+                          "linear classifier) after the heuristic gate")
+    cur.add_argument("--classifier_neg", default=None,
+                     help="parquet of negative seed docs (required "
+                          "with --classifier_pos)")
+    cur.add_argument("--classifier_threshold", type=float, default=0.5,
+                     help="keep docs scoring >= this sigmoid score")
     cur.add_argument("--pii_redact", action="store_true",
                      help="Redact emails/SSNs/phones/IPv4s before scoring")
     cur.add_argument("--decontam_benchmark", default=None,
@@ -332,10 +345,36 @@ def run_curate(args: argparse.Namespace) -> int:
     d = spark.read.parquet(args.input)
     if args.pii_redact:
         d = d.withColumn(txc, pii.redact(F.col(txc)))
+    if args.remove_boilerplate:
+        # Rewrite text with cross-doc repeated passages stripped BEFORE
+        # quality scoring, so the gates judge the de-boilerplated doc.
+        cleaned = textops.remove_shared_passages(
+            d, id_col=idc, text_col=txc
+        ).select(idc, F.col("clean_text").alias(txc))
+        d = d.drop(txc).join(cleaned, idc)
     d = d.withColumn("quality", textops.quality_score(F.col(txc))).withColumn(
         "n_tok", textops.token_count(F.col(txc))
     )
     d = d.where(F.col("quality") >= args.min_quality)
+    if args.classifier_pos or args.classifier_neg:
+        if not (args.classifier_pos and args.classifier_neg):
+            raise SystemExit(
+                "--classifier_pos and --classifier_neg are both required "
+                "for model-based filtering"
+            )
+        from kafka_delta_ingest_spark.operators.quality import (
+            classifier_score,
+            train_log_odds_weights,
+        )
+
+        pos = spark.read.parquet(args.classifier_pos)
+        neg = spark.read.parquet(args.classifier_neg)
+        w = train_log_odds_weights(pos, neg, text_col=txc)
+        keep = classifier_score(
+            d, w, text_col=txc, id_col=idc,
+            threshold=args.classifier_threshold,
+        ).where(F.col("keep"))
+        d = d.join(keep.select(idc), idc, "left_semi")
     if args.decontam_benchmark:
         bench = spark.read.parquet(args.decontam_benchmark)
         bid = "bench_id" if "bench_id" in bench.columns else bench.columns[0]
