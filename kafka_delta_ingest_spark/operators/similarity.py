@@ -219,6 +219,95 @@ def _bucketed(
     )
 
 
+def _unit(col: Column) -> Column:
+    n = l2_norm(col)
+    return F.transform(col, lambda x: x / n)
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    centroid_mod: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Build the IVF index as two plain DataFrames — the PERSISTED
+    production shape: write both to parquet (assignments bucketed or
+    partitioned by ``cell``) once, then serve every future query batch
+    from the stored index without touching raw embeddings again.
+
+    Returns ``(centroids(cent_id, cvec), assignments(vec_id, vec,
+    cell))``, vectors pre-normalized so queries reduce cosine to a dot
+    product. Centroids are deterministic pivots (``id % centroid_mod``)
+    for oracle replay; k-means centroids drop into the same schema.
+    Build cost is |corpus|×|centroids| against a BROADCAST centroid
+    table — no corpus shuffle.
+    """
+    from kafka_delta_ingest_spark.operators.util import spread
+
+    cvecs = spread(corpus).select(
+        F.col(corpus_id).alias("vec_id"),
+        _unit(_as_double(F.col(corpus_vec))).alias("vec"),
+    )
+    cents = corpus.filter(F.col(corpus_id) % centroid_mod == 0).select(
+        F.col(corpus_id).alias("cent_id"),
+        _unit(_as_double(F.col(corpus_vec))).alias("cvec"),
+    )
+    # Nearest centroid per corpus vector (ties → lowest id) as a
+    # min_by-style hash aggregation — no per-vector window sort.
+    aw = Window.partitionBy("vec_id").orderBy(
+        dot(F.col("vec"), F.col("cvec")).desc(), F.col("cent_id").asc()
+    )
+    assigned = (
+        cvecs.crossJoin(broadcast(cents))
+        .withColumn("_r", F.row_number().over(aw))
+        .filter(F.col("_r") == 1)
+        .select("vec_id", "vec", F.col("cent_id").alias("cell"))
+    )
+    return cents, assigned
+
+
+def ivf_query_index(
+    centroids: DataFrame,
+    assignments: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 3,
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """Serve ANN queries from a (possibly parquet-reloaded) IVF index:
+    probe the ``n_probe`` nearest cells per query, exact re-rank
+    inside. Only |query|·n_probe cells of the corpus are touched; the
+    per-query candidate set is cell-bounded, so the final rank window
+    never sees corpus-scale partitions."""
+    qvecs = queries.select(
+        F.col(query_id).alias("query_id"),
+        _unit(_as_double(F.col(query_vec))).alias("_qv"),
+    )
+    qw = Window.partitionBy("query_id").orderBy(
+        dot(F.col("_qv"), F.col("cvec")).desc(), F.col("cent_id").asc()
+    )
+    probes = (
+        qvecs.crossJoin(broadcast(centroids))
+        .withColumn("_r", F.row_number().over(qw))
+        .filter(F.col("_r") <= n_probe)
+        .select("query_id", "_qv", F.col("cent_id").alias("cell"))
+    )
+    scored = assignments.join(broadcast(probes), on="cell").select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        dot(F.col("vec"), F.col("_qv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -233,70 +322,20 @@ def ivf_topk(
     """IVF-style ANN: partition the corpus into centroid cells, search
     only the ``n_probe`` cells nearest each query, exact re-rank inside.
 
-    Centroids here are deterministic pivots (``id % centroid_mod == 0``)
-    so the DuckDB oracle can replicate cell assignment bit-for-bit; on a
-    real deployment you plug k-means centroids into the same plan. Scale
-    shape: build cost is |corpus|×|centroids| scored against a BROADCAST
-    centroid table (no corpus shuffle), then the probe join touches only
-    |query|·n_probe cells instead of the whole corpus. With
-    |centroids| ≈ √n this is the classic IVF trade: ~n_probe/√n of the
-    corpus scored per query, recall < 1 by construction.
+    Composition of :func:`ivf_build_index` + :func:`ivf_query_index`
+    (one Catalyst plan when inline; identical results when the index is
+    persisted to parquet and reloaded — pinned by
+    ``test_ivf_persisted_index_roundtrip``). With |centroids| ≈ √n this
+    is the classic IVF trade: ~n_probe/√n of the corpus scored per
+    query, recall < 1 by construction.
     """
-    # Pre-normalize every side ONCE: cosine then reduces to a plain dot
-    # product, so the |corpus|×|centroids| scoring pass does dim mults
-    # per pair instead of 3·dim (norms recomputed per pair). The oracle
-    # mirrors the same normalize-then-dot formulation.
-    def unit(col: Column) -> Column:
-        n = l2_norm(col)
-        return F.transform(col, lambda x: x / n)
-
-    from kafka_delta_ingest_spark.operators.util import spread
-
-    cvecs = spread(corpus).select(
-        F.col(corpus_id).alias("neighbor_id"),
-        unit(_as_double(F.col(corpus_vec))).alias("_cv"),
+    cents, assigned = ivf_build_index(
+        corpus, centroid_mod=centroid_mod,
+        corpus_id=corpus_id, corpus_vec=corpus_vec,
     )
-    qvecs = queries.select(
-        F.col(query_id).alias("query_id"),
-        unit(_as_double(F.col(query_vec))).alias("_qv"),
-    )
-    cents = corpus.filter(F.col(corpus_id) % centroid_mod == 0).select(
-        F.col(corpus_id).alias("cent_id"),
-        unit(_as_double(F.col(corpus_vec))).alias("_cent"),
-    )
-
-    # Cell assignment: nearest centroid per corpus vector (ties → lowest id).
-    aw = Window.partitionBy("neighbor_id").orderBy(
-        dot(F.col("_cv"), F.col("_cent")).desc(), F.col("cent_id").asc()
-    )
-    assigned = (
-        cvecs.crossJoin(broadcast(cents))
-        .withColumn("_r", F.row_number().over(aw))
-        .filter(F.col("_r") == 1)
-        .select("neighbor_id", "_cv", F.col("cent_id").alias("cell"))
-    )
-
-    # Probe list: n_probe nearest centroids per query.
-    qw = Window.partitionBy("query_id").orderBy(
-        dot(F.col("_qv"), F.col("_cent")).desc(), F.col("cent_id").asc()
-    )
-    probes = (
-        qvecs.crossJoin(broadcast(cents))
-        .withColumn("_r", F.row_number().over(qw))
-        .filter(F.col("_r") <= n_probe)
-        .select("query_id", "_qv", F.col("cent_id").alias("cell"))
-    )
-
-    scored = assigned.join(broadcast(probes), on="cell").select(
-        "query_id", "neighbor_id", dot(F.col("_cv"), F.col("_qv")).alias("cos_sim")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    return ivf_query_index(
+        cents, assigned, queries, k=k, n_probe=n_probe,
+        query_id=query_id, query_vec=query_vec,
     )
 
 

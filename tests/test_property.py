@@ -215,3 +215,72 @@ def test_chunk_sliding_matches_python_reference(spark, texts, chunk, stride):
             w = toks[start : start + chunk]
             want[ix] = (len(w), " ".join(w))
         assert got.get(i) == want, (i, repr(s), chunk, stride)
+
+
+# ---------------------------------------------------------------------------
+# Codec properties (pure-Python, no Spark): WAV round-trips exactly;
+# JPEG round-trips within quantization tolerance for arbitrary content.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(1, 400).flatmap(
+        lambda n: st.tuples(
+            st.just(n),
+            st.lists(
+                st.integers(-32768, 32767), min_size=n, max_size=n
+            ),
+            st.integers(1, 2),
+            st.sampled_from([8000, 16000, 44100]),
+        )
+    )
+)
+def test_wav_pcm16_roundtrip_lossless_property(args):
+    import numpy as np
+
+    from kafka_delta_ingest_spark.operators.audio import (
+        decode_wav,
+        encode_wav,
+    )
+
+    n, vals, channels, rate = args
+    usable = (n // channels) * channels
+    if usable == 0:
+        return
+    a = np.array(vals[:usable], dtype=np.int16).reshape(-1, channels)
+    out, got_rate = decode_wav(encode_wav(a, rate))
+    assert got_rate == rate
+    assert np.array_equal(out, a)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.integers(1, 40),
+    st.integers(1, 40),
+    st.booleans(),
+    st.integers(0, 2**32 - 1),
+)
+def test_jpeg_roundtrip_bounded_error_property(h, w, gray, seed):
+    import numpy as np
+
+    from kafka_delta_ingest_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    # Smooth-ish content: random low-frequency base + mild noise, the
+    # regime where q95 quantization error is tightly bounded. Pure
+    # noise is exercised separately in test_jpeg_decode.py.
+    base = rng.integers(30, 220)
+    img = np.clip(
+        base + rng.normal(0, 12, size=shape), 0, 255
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg_baseline(img, quality=95))
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert float(err.mean()) < 16.0
+    # decoded image is a legal uint8 array of the declared geometry
+    assert out.dtype == np.uint8
