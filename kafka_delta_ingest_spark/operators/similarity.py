@@ -308,6 +308,124 @@ def ivf_query_index(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Train spherical k-means centroids with Lloyd iterations — the
+    trainer that replaces the deterministic-pivot centroids every IVF /
+    IVFPQ docstring leaves as a seam.
+
+    Returns (cent_id, cvec) in :func:`ivf_build_index`'s centroid
+    schema, unit-normalized (spherical k-means: assignment by max dot
+    product == max cosine on unit vectors).
+
+    Scale shape per iteration: centroids BROADCAST to the corpus for
+    assignment (a pure map — the corpus never shuffles for the lookup);
+    the mean update is one hash aggregation on (cent_id, dim) after a
+    posexplode — map-side combined, shuffle key space is
+    n_centroids × dim tiny cells; the new centroid table collects to
+    the driver (n_centroids rows). So n_iters passes over the corpus
+    total, each shuffling only centroid-sized aggregates. Determinism:
+    init = the ``n_centroids`` lowest-id vectors, ties in assignment
+    break toward the lowest cent_id, empty cells keep their previous
+    centroid — same inputs give the same centroids on any cluster
+    size/partitioning (exact decimal accumulation in the mean).
+    """
+    from kafka_delta_ingest_spark.operators.util import spread
+
+    vecs = spread(corpus).select(
+        F.col(corpus_id).alias("vec_id"),
+        _unit(_as_double(F.col(corpus_vec))).alias("vec"),
+    )
+    # Deterministic init: n lowest-id vectors (orderBy+limit plans as
+    # TakeOrderedAndProject — distributed top-k, no global sort).
+    init = (
+        vecs.orderBy("vec_id")
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = [(i, list(r.vec)) for i, r in enumerate(init)]
+    spark = corpus.sparkSession
+    for _ in range(n_iters):
+        cdf = broadcast(
+            spark.createDataFrame(cents, "cent_id int, cvec array<double>")
+        )
+        aw = Window.partitionBy("vec_id").orderBy(
+            dot(F.col("vec"), F.col("cvec")).desc(), F.col("cent_id").asc()
+        )
+        assigned = (
+            vecs.crossJoin(cdf)
+            .withColumn("_r", F.row_number().over(aw))
+            .filter(F.col("_r") == 1)
+            .select("cent_id", "vec")
+        )
+        # Mean per (cent_id, dim): exact decimal accumulation so the
+        # result is partitioning-independent; renormalize driver-side.
+        means = (
+            assigned.select(
+                "cent_id", F.posexplode("vec").alias("pos", "x")
+            )
+            .groupBy("cent_id", "pos")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                    / F.count("*")
+                ).alias("m")
+            )
+            .groupBy("cent_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                    ),
+                    lambda s: s["m"],
+                ).alias("mvec")
+            )
+            .collect()
+        )
+        got = {r.cent_id: list(r.mvec) for r in means}
+        new_cents = []
+        for cid, old in cents:
+            v = got.get(cid, old)  # empty cell: keep previous centroid
+            norm = sum(x * x for x in v) ** 0.5
+            new_cents.append(
+                (cid, [x / norm for x in v] if norm > 0 else old)
+            )
+        cents = new_cents
+    return spark.createDataFrame(cents, "cent_id int, cvec array<double>")
+
+
+def ivf_append_to_index(
+    centroids: DataFrame,
+    new_vectors: DataFrame,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Incremental index maintenance: assign a NEW batch of vectors to
+    the existing (persisted) centroids — append the result to the
+    assignments table, no rebuild, no old-data scan. This is the
+    continuous-ingest path for the ANN index: ingest commits vectors,
+    this assigns the delta against the broadcast centroid table (a pure
+    map), the assignments parquet grows by the batch."""
+    vecs = new_vectors.select(
+        F.col(corpus_id).alias("vec_id"),
+        _unit(_as_double(F.col(corpus_vec))).alias("vec"),
+    )
+    aw = Window.partitionBy("vec_id").orderBy(
+        dot(F.col("vec"), F.col("cvec")).desc(), F.col("cent_id").asc()
+    )
+    return (
+        vecs.crossJoin(broadcast(centroids))
+        .withColumn("_r", F.row_number().over(aw))
+        .filter(F.col("_r") == 1)
+        .select("vec_id", "vec", F.col("cent_id").alias("cell"))
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

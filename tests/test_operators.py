@@ -1083,3 +1083,53 @@ def test_ivf_persisted_index_roundtrip(spark, tmp_path):
     assert any(
         p.startswith("cell=") for p in os.listdir(adir)
     )
+
+
+def test_kmeans_centroids_and_incremental_append(spark, tmp_path):
+    """Spherical k-means trains usable centroids for the IVF path, and
+    a later vector batch appends to the persisted index by assignment
+    against the broadcast centroids only (no rebuild)."""
+    from kafka_delta_ingest_spark.io import load_table
+    from kafka_delta_ingest_spark.operators.similarity import (
+        ivf_append_to_index,
+        ivf_query_index,
+        kmeans_centroids,
+    )
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    first = e.filter(F.col("vec_id") % 2 == 0)
+    later = e.filter(F.col("vec_id") % 2 == 1)
+
+    cents = kmeans_centroids(first, n_centroids=8, n_iters=3)
+    crows = cents.collect()
+    assert len(crows) == 8
+    for r in crows:
+        n2 = sum(x * x for x in r.cvec)
+        assert abs(n2 - 1.0) < 1e-9  # unit-normalized
+
+    # determinism: same input → identical centroids
+    again = {r.cent_id: r.cvec for r in
+             kmeans_centroids(first, n_centroids=8, n_iters=3).collect()}
+    for r in crows:
+        assert again[r.cent_id] == list(r.cvec)
+
+    base = ivf_append_to_index(cents, first)
+    delta = ivf_append_to_index(cents, later)
+    full = base.unionByName(delta)
+    assert full.count() == e.count()
+    # incremental == from-scratch assignment over the union
+    scratch = ivf_append_to_index(cents, e)
+    a = {(r.vec_id, r.cell) for r in full.collect()}
+    b = {(r.vec_id, r.cell) for r in scratch.collect()}
+    assert a == b
+
+    # the trained index actually serves: every query's top-1 is itself
+    q = e.filter(F.col("vec_id") % 100 == 0).selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    top1 = {
+        r.query_id: r.neighbor_id
+        for r in ivf_query_index(cents, full, q, k=1, n_probe=2).collect()
+    }
+    assert top1 and all(qid == nid for qid, nid in top1.items())
