@@ -568,6 +568,120 @@ def embedding_neardup_pairs(
     )
 
 
+def _pq_subspaces(vcol: Column, m: int, sub_dim: int) -> Column:
+    js = F.sequence(F.lit(0), F.lit(m - 1))
+    return F.explode(
+        F.transform(
+            js,
+            lambda j: F.struct(
+                j.cast("int").alias("j"),
+                F.slice(vcol, j * sub_dim + 1, sub_dim).alias("sv"),
+            ),
+        )
+    )
+
+
+def _pq_l2sq(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    dim: int = 64,
+    m: int = 8,
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Train real PQ codebooks — per-subspace k-means (Jegou et al.'s
+    actual trainer), replacing the deterministic pivots ``pq_topk``
+    defaults to. Returns (j, cent_id, cv) ready for
+    ``pq_topk(codebooks=...)`` / persistence as parquet.
+
+    ALL ``m`` subspaces train in ONE Spark plan per iteration: the
+    codebook table (m × n_centroids rows) broadcasts, assignment is a
+    min_by hash aggregation (no window sort), and the mean update
+    aggregates (j, code, dim-pos) cells with exact decimal accumulation
+    — shuffle key space is m × n_centroids × sub_dim tiny cells however
+    large the corpus. Deterministic: init = subvectors of the
+    n_centroids lowest-id vectors, ties toward the lowest cent_id,
+    empty cells keep their previous centroid.
+    """
+    assert dim % m == 0
+    sub_dim = dim // m
+    from kafka_delta_ingest_spark.operators.util import spread
+
+    vecs = (
+        spread(corpus)
+        .select(
+            F.col(corpus_id).alias("vec_id"),
+            _pq_subspaces(
+                _unit(_as_double(F.col(corpus_vec))), m, sub_dim
+            ).alias("s"),
+        )
+        .select("vec_id", "s.j", "s.sv")
+    )
+    init = (
+        corpus.orderBy(corpus_id)
+        .limit(n_centroids)
+        .select(_unit(_as_double(F.col(corpus_vec))).alias("v"))
+        .collect()
+    )
+    books = [
+        (j, cid, [float(x) for x in r.v[j * sub_dim:(j + 1) * sub_dim]])
+        for cid, r in enumerate(init)
+        for j in range(m)
+    ]
+    spark = corpus.sparkSession
+    for _ in range(n_iters):
+        cb = broadcast(
+            spark.createDataFrame(
+                books, "j int, cent_id int, cv array<double>"
+            )
+        )
+        assigned = (
+            vecs.join(cb, "j")
+            .withColumn("_d", _pq_l2sq(F.col("sv"), F.col("cv")))
+            .groupBy("vec_id", "j")
+            .agg(
+                F.min_by(
+                    F.col("cent_id"), F.struct(F.col("_d"), F.col("cent_id"))
+                ).alias("code"),
+                F.first("sv").alias("sv"),
+            )
+        )
+        means = (
+            assigned.select("j", "code", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("j", "code", "pos")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                    / F.count("*")
+                ).alias("mu")
+            )
+            .groupBy("j", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("mu")))
+                    ),
+                    lambda s: s["mu"],
+                ).alias("cv")
+            )
+            .collect()
+        )
+        got = {(r.j, r.code): list(r.cv) for r in means}
+        books = [
+            (j, cid, got.get((j, cid), cv)) for j, cid, cv in books
+        ]
+    return spark.createDataFrame(books, "j int, cent_id int, cv array<double>")
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -579,6 +693,7 @@ def pq_topk(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "embedding",
+    codebooks: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization ANN with asymmetric distance (ADC).
 
@@ -635,14 +750,19 @@ def pq_topk(
         )
         .select("neighbor_id", "s.j", "s.sv")
     )
-    piv_sub = (
-        corpus.filter(F.col(corpus_id) % centroid_mod == 0)
-        .select(
-            F.col(corpus_id).alias("cent_id"),
-            subspaces(unit(_as_double(F.col(corpus_vec)))).alias("s"),
+    if codebooks is not None:
+        # Trained codebooks (pq_train_codebooks, or parquet-reloaded):
+        # same (cent_id, j, cv) contract, plugged into the same plan.
+        piv_sub = codebooks.select("cent_id", "j", "cv")
+    else:
+        piv_sub = (
+            corpus.filter(F.col(corpus_id) % centroid_mod == 0)
+            .select(
+                F.col(corpus_id).alias("cent_id"),
+                subspaces(unit(_as_double(F.col(corpus_vec)))).alias("s"),
+            )
+            .select("cent_id", "s.j", F.col("s.sv").alias("cv"))
         )
-        .select("cent_id", "s.j", F.col("s.sv").alias("cv"))
-    )
     # argmin per (vector, subspace) as min_by over a (distance, id)
     # struct: a hash aggregation with map-side partial combine — no
     # per-group sort, unlike the row_number-window formulation. The

@@ -1133,3 +1133,56 @@ def test_kmeans_centroids_and_incremental_append(spark, tmp_path):
         for r in ivf_query_index(cents, full, q, k=1, n_probe=2).collect()
     }
     assert top1 and all(qid == nid for qid, nid in top1.items())
+
+
+def test_pq_trained_codebooks_reduce_distortion(spark):
+    """pq_train_codebooks is real k-means: quantization distortion
+    after Lloyd iterations is <= the distortion of its own init
+    (monotone k-means objective), the output is deterministic, and the
+    trained books plug into pq_topk's codebooks parameter."""
+    from kafka_delta_ingest_spark.io import load_table
+    from kafka_delta_ingest_spark.operators.similarity import (
+        _as_double,
+        _pq_l2sq,
+        _pq_subspaces,
+        _unit,
+        pq_topk,
+        pq_train_codebooks,
+    )
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings").limit(400)
+    books0 = pq_train_codebooks(e, n_iters=0)
+    books4 = pq_train_codebooks(e, n_iters=4)
+    assert books4.count() == 8 * 16
+    assert all(len(r.cv) == 8 for r in books4.collect())
+    # determinism
+    a = sorted((r.j, r.cent_id, tuple(r.cv)) for r in books4.collect())
+    b = sorted(
+        (r.j, r.cent_id, tuple(r.cv))
+        for r in pq_train_codebooks(e, n_iters=4).collect()
+    )
+    assert a == b
+
+    def distortion(books):
+        vecs = e.select(
+            _pq_subspaces(
+                _unit(_as_double(F.col("embedding"))), 8, 8
+            ).alias("s")
+        ).select("s.j", "s.sv")
+        d = (
+            vecs.join(books, "j")
+            .withColumn("_d", _pq_l2sq(F.col("sv"), F.col("cv")))
+            .groupBy("j", "sv")
+            .agg(F.min("_d").alias("dmin"))
+            .agg(F.sum("dmin"))
+            .collect()[0][0]
+        )
+        return float(d)
+
+    assert distortion(books4) <= distortion(books0) + 1e-9
+
+    # trained books serve through the same ADC plan
+    q = e.limit(3).selectExpr("vec_id AS query_id", "embedding")
+    out = pq_topk(e, q, k=5, codebooks=books4).collect()
+    assert len(out) == 15
