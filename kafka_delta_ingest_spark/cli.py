@@ -68,6 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
     ing.add_argument("--allowed_latency", "-l", type=int, default=300)
     ing.add_argument("--max_messages_per_batch", "-m", type=int, default=5000)
     ing.add_argument("--min_bytes_per_file", "-b", type=int, default=134217728)
+    ing.add_argument("--auto_optimize_interval", type=int, default=0,
+                     help="bin-pack small files toward min_bytes_per_file "
+                          "after every N ingest commits (0 = off) — the "
+                          "Spark substitute for the reference's held-open "
+                          "file-size management")
     ing.add_argument("--transform", "-t", action="append", default=[],
                      help="PROPERTY: SOURCE transform pairs")
     ing.add_argument("--dlq_table_location", "-d", default=None,
@@ -306,6 +311,7 @@ def options_from_args(args: argparse.Namespace) -> IngestOptions:
         allowed_latency=args.allowed_latency,
         max_messages_per_batch=args.max_messages_per_batch,
         min_bytes_per_file=args.min_bytes_per_file,
+        auto_optimize_interval=args.auto_optimize_interval,
         transforms=parse_transform_args(args.transform),
         partition_by=list(args.partition_columns),
         dlq_table_location=args.dlq_table_location,

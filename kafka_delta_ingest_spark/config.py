@@ -71,3 +71,10 @@ class IngestOptions:
     # Test / air-gapped hook: replaces the HTTP fetch (url -> schema
     # JSON). Must be picklable (top-level function) to reach executors.
     schema_registry_fetcher: object | None = None
+    # Continuous file-size management (reference B4: min_bytes_per_file
+    # via held-open writers, doc/DESIGN.md:61-76 — not reproducible in
+    # Spark's per-micro-batch commit model; SURVEY §7.2 substitutes
+    # periodic OPTIMIZE). 0 = off; N > 0 bin-packs the table's small
+    # files toward min_bytes_per_file after every N ingest commits,
+    # inside the same streaming loop.
+    auto_optimize_interval: int = 0

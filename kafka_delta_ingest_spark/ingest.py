@@ -286,6 +286,21 @@ class IngestJob:
             m.messages_transform_failed = n_coerce
             m.messages_deserialized = m.delta_write_num_records + n_coerce
             self.dlq.write(dlq)
+            # Continuous file sizing (opt-in): after every
+            # auto_optimize_interval ingest commits, bin-pack small
+            # files toward min_bytes_per_file — the Spark-idiomatic
+            # substitute for the reference's held-open writers (B4,
+            # doc/DESIGN.md:61-76; SURVEY §7.2). OPTIMIZE commits
+            # remove+add atomically, so concurrent readers of any
+            # version still see exactly one copy of every row, and the
+            # txn ledger is untouched (compaction moves bytes, not
+            # offsets).
+            n_opt = self.opts.auto_optimize_interval
+            if n_opt > 0 and m.version is not None and m.version % n_opt == 0:
+                self.table.optimize(
+                    raw.sparkSession,
+                    target_file_bytes=self.opts.min_bytes_per_file,
+                )
             self.metrics_history.append(m)
             self.metrics.record_batch(
                 deserialized=m.messages_deserialized,

@@ -457,3 +457,45 @@ def test_progress_listener_lag_gauges_from_recorded_progress(spark):
         assert m.totals()[BUFFER_LAG_TOTAL] == 18329.0
     finally:
         pl.detach(spark)
+
+
+def test_auto_optimize_compacts_during_ingest(spark, tmp_path):
+    """B4 continuous file sizing (opt-in): with
+    auto_optimize_interval=2, the ingest loop periodically bin-packs
+    small files toward min_bytes_per_file; rows and the per-partition
+    txn ledger are untouched, but the live file count stays bounded
+    instead of growing one-per-batch."""
+    plain_dir = str(tmp_path / "plain")
+    auto_dir = str(tmp_path / "auto")
+
+    def run(table_dir, interval):
+        opts = IngestOptions(
+            topic="t",
+            table_uri=table_dir,
+            app_id="auto_opt_app",
+            auto_optimize_interval=interval,
+        )
+        job = IngestJob(opts, TABLE_SCHEMA)
+        for wave in range(4):
+            job.run_batch(
+                spark.createDataFrame(_rows(wave * 5, 5), RAW_SCHEMA)
+            )
+        return DeltaLikeTable(table_dir)
+
+    t_plain = run(plain_dir, 0)
+    t_auto = run(auto_dir, 2)
+
+    def live_files(t):
+        return len(t._live_files(t.snapshot()))
+
+    # identical rows and ledger either way
+    assert {r["id"] for r in t_auto.read(spark).collect()} == set(range(20))
+    assert t_auto.txn_version("auto_opt_app-0") == t_plain.txn_version(
+        "auto_opt_app-0"
+    )
+    assert t_auto.txn_version("auto_opt_app-1") == t_plain.txn_version(
+        "auto_opt_app-1"
+    )
+    # compaction actually fired: fewer live files than the plain run
+    assert live_files(t_plain) >= 4
+    assert live_files(t_auto) < live_files(t_plain)
