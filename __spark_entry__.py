@@ -4349,6 +4349,97 @@ def text_lm_perplexity(spark, sf_dir):
 
 
 @_q(
+    "split_ccnet_buckets",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      FROM documents WHERE len(trim(text)) > 0
+    ), uni AS (
+      SELECT unnest(w) AS word FROM d
+    ), vocab AS (
+      SELECT word FROM uni GROUP BY word HAVING COUNT(*) >= 2
+    ), vsz AS (
+      SELECT COUNT(*) + 1 AS v_size FROM vocab
+    ), big0 AS (
+      SELECT doc_id, w, unnest(generate_series(1, len(w)-1)) AS i
+      FROM d WHERE len(w) >= 2
+    ), big AS (
+      SELECT doc_id,
+        CASE WHEN v1.word IS NULL THEN '<unk>' ELSE w[i] END AS m1,
+        CASE WHEN v2.word IS NULL THEN '<unk>' ELSE w[i+1] END AS m2
+      FROM big0
+      LEFT JOIN vocab v1 ON v1.word = w[i]
+      LEFT JOIN vocab v2 ON v2.word = w[i+1]
+    ), dmc AS (
+      SELECT doc_id, m1, m2, COUNT(*) AS k FROM big GROUP BY 1, 2, 3
+    ), bc AS (
+      SELECT m1, m2, SUM(k) AS cb FROM dmc GROUP BY 1, 2
+    ), cc AS (
+      SELECT m1, SUM(cb) AS c1 FROM bc GROUP BY 1
+    ), ppl AS (
+      SELECT doc_id,
+        round(exp(-SUM(k * ln((cb + 1) / (c1 + v_size))) / SUM(k)), 6) AS ppl
+      FROM dmc JOIN bc USING (m1, m2) JOIN cc USING (m1) CROSS JOIN vsz
+      GROUP BY doc_id
+    )
+    SELECT doc_id, lang, ppl,
+      CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+    FROM (
+      SELECT p.doc_id, doc.lang, p.ppl,
+             ntile(3) OVER (PARTITION BY doc.lang ORDER BY p.ppl, p.doc_id) AS nt
+      FROM ppl p JOIN documents doc ON doc.doc_id = p.doc_id
+    )
+    """,
+)
+def split_ccnet_buckets(spark, sf_dir):
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): per-lang
+    perplexity terciles under the corpus-trained bigram LM — the
+    fluency-ordered cut CCNet feeds to pretraining (keep head first).
+    Exact-tercile formulation; the approx-percentile-threshold scale
+    path is documented in operators/lm.py::ccnet_perplexity_buckets."""
+    from kafka_delta_ingest_spark.operators.lm import (
+        ccnet_perplexity_buckets,
+    )
+
+    return ccnet_perplexity_buckets(load_table(spark, sf_dir, "documents"))
+
+
+@_q(
+    "split_temperature_mix",
+    """
+    WITH c AS (
+      SELECT source, COUNT(*) AS n FROM documents GROUP BY 1
+    ), mn AS (
+      SELECT MIN(n) AS n_min FROM c
+    ), th AS (
+      SELECT source,
+             CAST(floor(sqrt(CAST(n_min AS DOUBLE) / n) * 1000000) AS BIGINT) AS pct
+      FROM c CROSS JOIN mn
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN th USING (source)
+    WHERE CAST(concat('0x', substr(md5(concat('mix:', CAST(d.doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+          % 1000000 < pct
+    """,
+)
+def split_temperature_mix(spark, sf_dir):
+    """Temperature-based source rebalancing (alpha=0.5, the
+    multilingual-pretraining knob of Conneau & Lample 2019 / T5): the
+    keep-fraction per source collapses to the closed form
+    sqrt(n_min/n_s) — the smallest source keeps everything, bigger
+    sources keep temperature-proportionally less, and kept counts
+    follow n_s^alpha. One |sources|-row aggregation to derive the
+    fractions, then the salted-md5 per-row threshold (zero extra
+    shuffles, rerun/append-stable); floor quantization at 1e-6 makes
+    the kept set engine-exact."""
+    from kafka_delta_ingest_spark.operators.sampling import temperature_mix
+
+    d = load_table(spark, sf_dir, "documents")
+    return temperature_mix(d, alpha=0.5).select("doc_id", "source")
+
+
+@_q(
     "text_dsir_weights",
     r"""
     WITH c AS (
@@ -4891,10 +4982,11 @@ _SWEEP_ORDER: list[str] = [
     # of r1-r3 driver rows certified 75 of the 112 queries; the 37 that
     # have NEVER earned a driver row (all verified exact / rows-clean by
     # tools/check_oracle.py) occupy the first 37 slots this round —
-    # with the round-4 additions (multimodal_{jpeg,wav}_roundtrip,
+    # with the seven round-4 additions (multimodal_{jpeg,wav}_roundtrip,
     # text_quality_classifier, text_remove_boilerplate,
-    # pipeline_rag_retrieval) that makes the cumulative driver record
-    # 117/117 registered queries. Cheap scans lead to
+    # pipeline_rag_retrieval, split_ccnet_buckets,
+    # split_temperature_mix) that makes the cumulative driver record
+    # 119/119 registered queries. Cheap scans lead to
     # absorb session warmup; the four rows-only-by-design sketch audits
     # (approx_percentiles/approx_distinct/recall/multimodal) sit at the
     # block's end.
@@ -4942,7 +5034,9 @@ _SWEEP_ORDER: list[str] = [
     "text_quality_classifier",
     "text_remove_boilerplate",
     "pipeline_rag_retrieval",
-    # --- 8 re-certification slots: the highest-value already-green
+    "split_ccnet_buckets",
+    "split_temperature_mix",
+    # --- 6 re-certification slots: the highest-value already-green
     # rows (ingest dataflow, sink DML/CDF, the LSH/ANN dedup family,
     # the composed pretrain pipeline) so every round keeps fresh
     # evidence on the flagship paths.
@@ -4951,11 +5045,11 @@ _SWEEP_ORDER: list[str] = [
     "ingest_dlq_split",
     "stream_offset_dedup",
     "sink_dml_cdf",
-    "sim_lsh_topk",
-    "sim_ivfpq_topk",
     "pipeline_pretrain_curation",
     # --- tail: everything already certified in r1-r3 driver files.
     # tools/check_oracle.py verifies the full set regardless of any cap.
+    "sim_lsh_topk",
+    "sim_ivfpq_topk",
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",

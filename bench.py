@@ -85,6 +85,8 @@ HEADLINE = [
     "text_quality_classifier",
     "text_remove_boilerplate",
     "pipeline_rag_retrieval",
+    "split_ccnet_buckets",
+    "split_temperature_mix",
 ]
 
 

@@ -32,7 +32,7 @@ oracle matches bit-for-bit despite last-ulp libm differences.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from kafka_delta_ingest_spark.operators.text import tokens
 from kafka_delta_ingest_spark.operators.util import spread
@@ -215,5 +215,46 @@ def dsir_importance(
         .agg(
             F.sum("c").cast("long").alias("n_tok"),
             F.round(F.sum(F.col("c") * ratio) / F.sum("c"), 6).alias("dsir_score"),
+        )
+    )
+
+
+def ccnet_perplexity_buckets(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): within each
+    language, rank documents by LM perplexity and cut into terciles —
+    "head" (lowest perplexity, most fluent) is what pretraining keeps
+    first.
+
+    Perplexity comes from :func:`bigram_lm_scores` (corpus-trained
+    bigram LM; CCNet uses a pretrained KenLM — a scores table from any
+    external LM drops into the same ntile step). Exact-tercile
+    formulation: ntile(3) over a lang-partitioned window ordered by
+    (ppl, id) — deterministic and engine-portable. At 100 TB a
+    mega-language makes that window's sort the bottleneck; the scale
+    path is per-lang approx-percentile THRESHOLDS (percentile_approx
+    on ppl, then a pure filter — no per-lang global sort), trading
+    exact tercile boundaries for a bounded-error cut, same trade
+    split_quality_curriculum documents.
+    """
+    scores = bigram_lm_scores(df, text_col=text_col, id_col=id_col)
+    langs = df.select(F.col(id_col), F.col(lang_col))
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("ppl").asc(), F.col(id_col).asc()
+    )
+    bucket = F.ntile(3).over(w)
+    return (
+        scores.join(langs, id_col)
+        .select(
+            id_col,
+            lang_col,
+            "ppl",
+            F.element_at(
+                F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), bucket
+            ).alias("bucket"),
         )
     )

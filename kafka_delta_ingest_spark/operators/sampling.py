@@ -213,6 +213,44 @@ def source_mix(
     return df.where(bucket < pct)
 
 
+def temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based mixture rebalancing (the multilingual /
+    multi-source pretraining knob: sample source s proportional to
+    n_s^alpha, so alpha=1 keeps natural proportions and alpha→0
+    approaches uniform; Conneau & Lample 2019, T5).
+
+    Maximal-size formulation: the keep-fraction reduces to the closed
+    form ``f_s = (n_min / n_s)^(1-alpha)`` — the smallest source keeps
+    everything, larger sources keep temperature-proportionally less,
+    and resulting counts follow n_s^alpha exactly in expectation. The
+    per-source fractions come from ONE tiny counts aggregation
+    (|sources| rows to the driver); the filter itself is
+    :func:`source_mix`'s salted-md5 per-row threshold — zero extra
+    shuffles, rerun/append-stable. Fractions quantize by FLOOR at 1e-6
+    (floor, not round: identical in every engine, so the SQL oracle
+    reproduces the kept set bit-for-bit).
+    """
+    import math
+
+    counts = {
+        r[source_col]: r["n"]
+        for r in df.groupBy(source_col).agg(F.count("*").alias("n")).collect()
+    }
+    if not counts:
+        return source_mix(df, {}, source_col=source_col, key_col=key_col)
+    n_min = min(counts.values())
+    weights = {
+        s: math.floor((n_min / n) ** (1.0 - alpha) * 1_000_000) / 1_000_000
+        for s, n in counts.items()
+    }
+    return source_mix(df, weights, source_col=source_col, key_col=key_col)
+
+
 def cap_per_group(
     df: DataFrame,
     group_col: str,

@@ -1186,3 +1186,35 @@ def test_pq_trained_codebooks_reduce_distortion(spark):
     q = e.limit(3).selectExpr("vec_id AS query_id", "embedding")
     out = pq_topk(e, q, k=5, codebooks=books4).collect()
     assert len(out) == 15
+
+
+def test_temperature_mix_follows_alpha_proportions(spark):
+    from kafka_delta_ingest_spark.operators.sampling import temperature_mix
+
+    rows = (
+        [Row(doc_id=i, source="small", text="x") for i in range(100)]
+        + [Row(doc_id=1000 + i, source="mid", text="x") for i in range(400)]
+        + [Row(doc_id=10000 + i, source="big", text="x") for i in range(900)]
+    )
+    df = spark.createDataFrame(rows)
+    kept = (
+        temperature_mix(df, alpha=0.5)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    got = {r.source: r.n for r in kept}
+    # smallest source keeps everything; larger sources keep
+    # sqrt(n_min/n_s): expected ≈ 100 / 200 / 300 (= n_s^0.5 ratios)
+    assert got["small"] == 100
+    assert abs(got["mid"] - 200) < 40
+    assert abs(got["big"] - 300) < 50
+    # rerun-stable: identical kept set
+    again = {
+        r.source: r.n
+        for r in temperature_mix(df, alpha=0.5)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == again
