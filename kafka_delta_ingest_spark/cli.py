@@ -354,10 +354,20 @@ def run_curate(args: argparse.Namespace) -> int:
     if args.remove_boilerplate:
         # Rewrite text with cross-doc repeated passages stripped BEFORE
         # quality scoring, so the gates judge the de-boilerplated doc.
-        cleaned = textops.remove_shared_passages(
-            d, id_col=idc, text_col=txc
-        ).select(idc, F.col("clean_text").alias(txc))
-        d = d.drop(txc).join(cleaned, idc)
+        # ONLY docs that actually lost tokens are rewritten — the
+        # rebuild whitespace-normalizes, and flattening newlines/tabs
+        # in every untouched document would be lossy mutation far
+        # beyond the flag's contract.
+        touched = (
+            textops.remove_shared_passages(d, id_col=idc, text_col=txc)
+            .where(F.col("n_removed") > 0)
+            .select(idc, F.col("clean_text").alias("_clean"))
+        )
+        d = (
+            d.join(touched, idc, "left")
+            .withColumn(txc, F.coalesce(F.col("_clean"), F.col(txc)))
+            .drop("_clean")
+        )
     d = d.withColumn("quality", textops.quality_score(F.col(txc))).withColumn(
         "n_tok", textops.token_count(F.col(txc))
     )

@@ -89,6 +89,12 @@ class IngestJob:
             partition_by=None,
         )
         self.metrics_history: list[BatchMetrics] = []
+        # Job-local counter for auto-OPTIMIZE cadence. Gating on the
+        # table VERSION would be wrong twice over: OPTIMIZE's own
+        # commit shifts subsequent versions (interval=2 degenerates to
+        # compacting after EVERY batch), and replay-skipped batches
+        # would count.
+        self._commits_since_optimize = 0
         from kafka_delta_ingest_spark.metrics import IngestMetrics
 
         self.metrics = IngestMetrics(endpoint=opts.statsd_endpoint)
@@ -296,11 +302,14 @@ class IngestJob:
             # txn ledger is untouched (compaction moves bytes, not
             # offsets).
             n_opt = self.opts.auto_optimize_interval
-            if n_opt > 0 and m.version is not None and m.version % n_opt == 0:
-                self.table.optimize(
-                    raw.sparkSession,
-                    target_file_bytes=self.opts.min_bytes_per_file,
-                )
+            if n_opt > 0 and not m.skipped:
+                self._commits_since_optimize += 1
+                if self._commits_since_optimize >= n_opt:
+                    self._commits_since_optimize = 0
+                    self.table.optimize(
+                        raw.sparkSession,
+                        target_file_bytes=self.opts.min_bytes_per_file,
+                    )
             self.metrics_history.append(m)
             self.metrics.record_batch(
                 deserialized=m.messages_deserialized,

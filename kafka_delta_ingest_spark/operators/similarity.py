@@ -252,18 +252,49 @@ def ivf_build_index(
         F.col(corpus_id).alias("cent_id"),
         _unit(_as_double(F.col(corpus_vec))).alias("cvec"),
     )
-    # Nearest centroid per corpus vector (ties → lowest id) as a
-    # min_by-style hash aggregation — no per-vector window sort.
-    aw = Window.partitionBy("vec_id").orderBy(
-        dot(F.col("vec"), F.col("cvec")).desc(), F.col("cent_id").asc()
-    )
-    assigned = (
-        cvecs.crossJoin(broadcast(cents))
-        .withColumn("_r", F.row_number().over(aw))
-        .filter(F.col("_r") == 1)
-        .select("vec_id", "vec", F.col("cent_id").alias("cell"))
-    )
+    # Nearest centroid per corpus vector (ties → lowest id) as a PURE
+    # MAP: the centroid table packs into ONE broadcast row and each
+    # vector folds over it with an aggregate expression — zero corpus
+    # shuffle, zero sort; only the centroid-sized row moves.
+    assigned = _assign_cells(cvecs, cents)
     return cents, assigned
+
+
+def _assign_cells(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, vec) × (cent_id, cvec) → (vec_id, vec, cell), where
+    cell = argmax dot, ties toward the lowest cent_id.
+
+    The centroid table collapses to a single collect_list row that
+    broadcasts; the argmin is an ``aggregate`` fold over that array in
+    the projection — a narrow map, so the corpus neither shuffles nor
+    sorts (the row_number-window and groupBy formulations both move
+    one row per vector; this moves none). The fold keeps the running
+    (-dot, cent_id) minimum with an order-independent comparison, so
+    the nondeterministic collect_list order cannot change the result.
+    Constraint: the centroid set must fit in one row / executor memory
+    — the same bound broadcasting it already imposed."""
+    packed = cents.agg(
+        F.collect_list(
+            F.struct(F.col("cent_id").cast("long").alias("cent_id"), F.col("cvec"))
+        ).alias("_cents")
+    )
+    zero = F.struct(
+        F.lit(float("inf")).alias("nd"),
+        F.lit(None).cast("long").alias("cell"),
+    )
+
+    def step(acc, c):
+        nd = -dot(F.col("vec"), c["cvec"])
+        better = (nd < acc["nd"]) | ((nd == acc["nd"]) & (c["cent_id"] < acc["cell"]))
+        return F.when(
+            better, F.struct(nd.alias("nd"), c["cent_id"].alias("cell"))
+        ).otherwise(acc)
+
+    return vecs.crossJoin(broadcast(packed)).select(
+        "vec_id",
+        "vec",
+        F.aggregate(F.col("_cents"), zero, step)["cell"].alias("cell"),
+    )
 
 
 def ivf_query_index(
@@ -354,14 +385,8 @@ def kmeans_centroids(
         cdf = broadcast(
             spark.createDataFrame(cents, "cent_id int, cvec array<double>")
         )
-        aw = Window.partitionBy("vec_id").orderBy(
-            dot(F.col("vec"), F.col("cvec")).desc(), F.col("cent_id").asc()
-        )
-        assigned = (
-            vecs.crossJoin(cdf)
-            .withColumn("_r", F.row_number().over(aw))
-            .filter(F.col("_r") == 1)
-            .select("cent_id", "vec")
+        assigned = _assign_cells(vecs, cdf).select(
+            F.col("cell").alias("cent_id"), "vec"
         )
         # Mean per (cent_id, dim): exact decimal accumulation so the
         # result is partitioning-independent; renormalize driver-side.
@@ -415,15 +440,7 @@ def ivf_append_to_index(
         F.col(corpus_id).alias("vec_id"),
         _unit(_as_double(F.col(corpus_vec))).alias("vec"),
     )
-    aw = Window.partitionBy("vec_id").orderBy(
-        dot(F.col("vec"), F.col("cvec")).desc(), F.col("cent_id").asc()
-    )
-    return (
-        vecs.crossJoin(broadcast(centroids))
-        .withColumn("_r", F.row_number().over(aw))
-        .filter(F.col("_r") == 1)
-        .select("vec_id", "vec", F.col("cent_id").alias("cell"))
-    )
+    return _assign_cells(vecs, centroids)
 
 
 def ivf_topk(
@@ -716,37 +733,13 @@ def pq_topk(
     assert dim % m == 0
     sub_dim = dim // m
 
-    def unit(col: Column) -> Column:
-        n = l2_norm(col)
-        return F.transform(col, lambda x: x / n)
-
     from kafka_delta_ingest_spark.operators.util import spread
-
-    js = F.sequence(F.lit(0), F.lit(m - 1))
-
-    def subspaces(vcol: Column) -> Column:
-        return F.explode(
-            F.transform(
-                js,
-                lambda j: F.struct(
-                    j.cast("int").alias("j"),
-                    F.slice(vcol, j * sub_dim + 1, sub_dim).alias("sv"),
-                ),
-            )
-        )
-
-    def l2sq(a: Column, b: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
-        )
 
     corpus_sub = (
         spread(corpus)
         .select(
             F.col(corpus_id).alias("neighbor_id"),
-            subspaces(unit(_as_double(F.col(corpus_vec)))).alias("s"),
+            _pq_subspaces(_unit(_as_double(F.col(corpus_vec))), m, sub_dim).alias("s"),
         )
         .select("neighbor_id", "s.j", "s.sv")
     )
@@ -759,7 +752,7 @@ def pq_topk(
             corpus.filter(F.col(corpus_id) % centroid_mod == 0)
             .select(
                 F.col(corpus_id).alias("cent_id"),
-                subspaces(unit(_as_double(F.col(corpus_vec)))).alias("s"),
+                _pq_subspaces(_unit(_as_double(F.col(corpus_vec))), m, sub_dim).alias("s"),
             )
             .select("cent_id", "s.j", F.col("s.sv").alias("cv"))
         )
@@ -770,7 +763,7 @@ def pq_topk(
     # centroid id, matching the oracle's ORDER BY d, cent_id.
     codes = (
         corpus_sub.join(broadcast(piv_sub), on="j")
-        .withColumn("_d", l2sq(F.col("sv"), F.col("cv")))
+        .withColumn("_d", _pq_l2sq(F.col("sv"), F.col("cv")))
         .groupBy("neighbor_id", "j")
         .agg(
             F.min_by(
@@ -781,12 +774,12 @@ def pq_topk(
     q_sub = (
         queries.select(
             F.col(query_id).alias("query_id"),
-            subspaces(unit(_as_double(F.col(query_vec)))).alias("s"),
+            _pq_subspaces(_unit(_as_double(F.col(query_vec))), m, sub_dim).alias("s"),
         )
         .select("query_id", "s.j", F.col("s.sv").alias("qv"))
     )
     qd = q_sub.join(broadcast(piv_sub), on="j").select(
-        "query_id", "j", "cent_id", l2sq(F.col("qv"), F.col("cv")).alias("d")
+        "query_id", "j", "cent_id", _pq_l2sq(F.col("qv"), F.col("cv")).alias("d")
     )
     scored = (
         codes.join(
@@ -847,18 +840,14 @@ def semdedup(
     Returns one row per vector: (id, cell, kept).
     """
 
-    def unit(col: Column) -> Column:
-        n = l2_norm(col)
-        return F.transform(col, lambda x: x / n)
-
     from kafka_delta_ingest_spark.operators.util import spread
 
     vecs = spread(df).select(
-        F.col(id_col).alias("vid"), unit(_as_double(F.col(vec_col))).alias("_v")
+        F.col(id_col).alias("vid"), _unit(_as_double(F.col(vec_col))).alias("_v")
     )
     cents = df.filter(F.col(id_col) % centroid_mod == 0).select(
         F.col(id_col).alias("cent_id"),
-        unit(_as_double(F.col(vec_col))).alias("_cent"),
+        _unit(_as_double(F.col(vec_col))).alias("_cent"),
     )
     aw = Window.partitionBy("vid").orderBy(
         dot(F.col("_v"), F.col("_cent")).desc(), F.col("cent_id").asc()
@@ -919,43 +908,19 @@ def ivfpq_topk(
     assert dim % m == 0
     sub_dim = dim // m
 
-    def unit(col: Column) -> Column:
-        n = l2_norm(col)
-        return F.transform(col, lambda x: x / n)
-
     from kafka_delta_ingest_spark.operators.util import spread
-
-    js = F.sequence(F.lit(0), F.lit(m - 1))
-
-    def subspaces(vcol: Column) -> Column:
-        return F.explode(
-            F.transform(
-                js,
-                lambda j: F.struct(
-                    j.cast("int").alias("j"),
-                    F.slice(vcol, j * sub_dim + 1, sub_dim).alias("sv"),
-                ),
-            )
-        )
-
-    def l2sq(a: Column, b: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
-        )
 
     cvecs = spread(corpus).select(
         F.col(corpus_id).alias("neighbor_id"),
-        unit(_as_double(F.col(corpus_vec))).alias("_v"),
+        _unit(_as_double(F.col(corpus_vec))).alias("_v"),
     )
     qvecs = queries.select(
         F.col(query_id).alias("query_id"),
-        unit(_as_double(F.col(query_vec))).alias("_qv"),
+        _unit(_as_double(F.col(query_vec))).alias("_qv"),
     )
     coarse = corpus.filter(F.col(corpus_id) % coarse_mod == 0).select(
         F.col(corpus_id).alias("cell_id"),
-        unit(_as_double(F.col(corpus_vec))).alias("_cell"),
+        _unit(_as_double(F.col(corpus_vec))).alias("_cell"),
     )
     aw = Window.partitionBy("neighbor_id").orderBy(
         dot(F.col("_v"), F.col("_cell")).desc(), F.col("cell_id").asc()
@@ -980,16 +945,16 @@ def ivfpq_topk(
         corpus.filter(F.col(corpus_id) % centroid_mod == 0)
         .select(
             F.col(corpus_id).alias("cent_id"),
-            subspaces(unit(_as_double(F.col(corpus_vec)))).alias("s"),
+            _pq_subspaces(_unit(_as_double(F.col(corpus_vec))), m, sub_dim).alias("s"),
         )
         .select("cent_id", "s.j", F.col("s.sv").alias("cv"))
     )
     corpus_sub = cvecs.select(
-        "neighbor_id", subspaces(F.col("_v")).alias("s")
+        "neighbor_id", _pq_subspaces(F.col("_v"), m, sub_dim).alias("s")
     ).select("neighbor_id", "s.j", "s.sv")
     codes = (
         corpus_sub.join(broadcast(piv_sub), on="j")
-        .withColumn("_d", l2sq(F.col("sv"), F.col("cv")))
+        .withColumn("_d", _pq_l2sq(F.col("sv"), F.col("cv")))
         .groupBy("neighbor_id", "j")
         .agg(
             F.min_by(
@@ -998,10 +963,10 @@ def ivfpq_topk(
         )
     )
     q_sub = qvecs.select(
-        "query_id", subspaces(F.col("_qv")).alias("s")
+        "query_id", _pq_subspaces(F.col("_qv"), m, sub_dim).alias("s")
     ).select("query_id", "s.j", F.col("s.sv").alias("qv"))
     qd = q_sub.join(broadcast(piv_sub), on="j").select(
-        "query_id", "j", "cent_id", l2sq(F.col("qv"), F.col("cv")).alias("d")
+        "query_id", "j", "cent_id", _pq_l2sq(F.col("qv"), F.col("cv")).alias("d")
     )
 
     candidates = assigned.join(broadcast(probes), on="cell").select(

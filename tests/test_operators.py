@@ -1071,7 +1071,6 @@ def test_ivf_persisted_index_roundtrip(spark, tmp_path):
         k=5,
     ).collect()
 
-    key = lambda r: (r.query_id, r.rank)
     assert sorted(
         [(r.query_id, r.neighbor_id, r.cos_sim, r.rank) for r in inline]
     ) == sorted(
@@ -1166,14 +1165,18 @@ def test_pq_trained_codebooks_reduce_distortion(spark):
 
     def distortion(books):
         vecs = e.select(
+            "vec_id",
             _pq_subspaces(
                 _unit(_as_double(F.col("embedding"))), 8, 8
-            ).alias("s")
-        ).select("s.j", "s.sv")
+            ).alias("s"),
+        ).select("vec_id", "s.j", "s.sv")
         d = (
             vecs.join(books, "j")
             .withColumn("_d", _pq_l2sq(F.col("sv"), F.col("cv")))
-            .groupBy("j", "sv")
+            # per (vec, subspace), NOT per distinct subvector value:
+            # Lloyd's monotonicity is on the duplicate-weighted
+            # (multiset) objective, and the fixture plants exact dups.
+            .groupBy("vec_id", "j")
             .agg(F.min("_d").alias("dmin"))
             .agg(F.sum("dmin"))
             .collect()[0][0]
