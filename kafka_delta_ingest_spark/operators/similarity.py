@@ -278,22 +278,21 @@ def _assign_cells(vecs: DataFrame, cents: DataFrame) -> DataFrame:
             F.struct(F.col("cent_id").cast("long").alias("cent_id"), F.col("cvec"))
         ).alias("_cents")
     )
-    zero = F.struct(
-        F.lit(float("inf")).alias("nd"),
-        F.lit(None).cast("long").alias("cell"),
+    # One dot per centroid, then array_min over (nd, cent_id) structs:
+    # struct ordering is lexicographic, which IS the argmin-with-
+    # lowest-id-tie rule, and evaluates each dot exactly once (a fold
+    # with the comparison inline re-evaluates it per branch).
+    scored = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            (-dot(F.col("vec"), c["cvec"])).alias("nd"),
+            c["cent_id"].alias("cell"),
+        ),
     )
-
-    def step(acc, c):
-        nd = -dot(F.col("vec"), c["cvec"])
-        better = (nd < acc["nd"]) | ((nd == acc["nd"]) & (c["cent_id"] < acc["cell"]))
-        return F.when(
-            better, F.struct(nd.alias("nd"), c["cent_id"].alias("cell"))
-        ).otherwise(acc)
-
     return vecs.crossJoin(broadcast(packed)).select(
         "vec_id",
         "vec",
-        F.aggregate(F.col("_cents"), zero, step)["cell"].alias("cell"),
+        F.array_min(scored)["cell"].alias("cell"),
     )
 
 
