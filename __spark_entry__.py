@@ -2751,6 +2751,57 @@ def sim_pool_embeddings(spark, sf_dir):
 
 
 @_q(
+    "dedup_winnow_pairs",
+    r"""
+    SELECT doc_id AS id_a,
+           doc_id + 5000000 AS id_b
+    FROM documents
+    WHERE doc_id % 13 = 0
+      AND len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) >= 8
+    """,
+)
+def dedup_winnow_pairs(spark, sf_dir):
+    """Winnowing partial-overlap detection (Schleimer et al. 2003, the
+    MOSS fingerprinting scheme) with its coverage guarantee as the
+    oracle: every 13th document (with >= w+k-1 = 8 tokens) gets a twin
+    carrying 30 junk words PREPENDED to the full original text — a
+    partial-overlap pair whose whole-document Jaccard can be arbitrary
+    but which winnowing MUST pair, because any shared token run of
+    length >= w+k-1 yields a shared window-minimum fingerprint. The
+    planted pair set is therefore exactly predictable in SQL. Output
+    filtered to the planted id shape (the natural corpus legitimately
+    contains its own overlapping pairs). Scale shape: fingerprinting
+    is a narrow array projection; the pair join moves 8-byte hashes
+    df-capped like ngram_jaccard_pairs."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_tok = F.size(F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "))
+    junk = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(29)),
+            lambda i: F.concat(
+                F.lit("junk"), F.col("doc_id").cast("string"), F.lit("x"),
+                i.cast("string"),
+            ),
+        ),
+    )
+    twins = (
+        d.where((F.col("doc_id") % 13 == 0) & (n_tok >= 8))
+        .select(
+            (F.col("doc_id") + 5_000_000).alias("doc_id"),
+            F.concat(junk, F.lit(" "), F.col("text")).alias("text"),
+        )
+    )
+    pairs = dedup.winnow_pairs(
+        d.unionByName(twins), min_shared=1, max_fp_df=1_000_000_000
+    )
+    return pairs.where(
+        (F.col("id_b") - F.col("id_a") == 5_000_000)
+        & (F.col("id_b") >= 5_000_000)
+    ).select("id_a", "id_b")
+
+
+@_q(
     "pipeline_rag_retrieval",
     r"""
     WITH d AS (
@@ -5036,7 +5087,8 @@ _SWEEP_ORDER: list[str] = [
     "pipeline_rag_retrieval",
     "split_ccnet_buckets",
     "split_temperature_mix",
-    # --- 6 re-certification slots: the highest-value already-green
+    "dedup_winnow_pairs",
+    # --- 5 re-certification slots: the highest-value already-green
     # rows (ingest dataflow, sink DML/CDF, the LSH/ANN dedup family,
     # the composed pretrain pipeline) so every round keeps fresh
     # evidence on the flagship paths.
@@ -5045,9 +5097,9 @@ _SWEEP_ORDER: list[str] = [
     "ingest_dlq_split",
     "stream_offset_dedup",
     "sink_dml_cdf",
-    "pipeline_pretrain_curation",
     # --- tail: everything already certified in r1-r3 driver files.
     # tools/check_oracle.py verifies the full set regardless of any cap.
+    "pipeline_pretrain_curation",
     "sim_lsh_topk",
     "sim_ivfpq_topk",
     "dedup_minhash_pairs",

@@ -87,6 +87,7 @@ HEADLINE = [
     "pipeline_rag_retrieval",
     "split_ccnet_buckets",
     "split_temperature_mix",
+    "dedup_winnow_pairs",
 ]
 
 

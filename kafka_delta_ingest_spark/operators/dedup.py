@@ -609,3 +609,95 @@ def incremental_ngram_dedup(
         .alias(id_col)
     ).distinct()
     return incoming.join(losers, on=id_col, how="left_anti")
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003, the
+    MOSS local fingerprinting scheme): hash every k-gram, slide a
+    w-hash window, keep each window's MINIMUM hash. Guarantee: any
+    shared run of at least w+k-1 tokens between two documents yields
+    at least one shared fingerprint — the partial-overlap detector
+    MinHash (whole-document similarity) and SimHash (global distance)
+    both lack.
+
+    Value-set variant: fingerprints are the DISTINCT selected hash
+    values per document (positions dropped), which keeps tie-breaking
+    trivially engine-portable. Returns (id, fp) rows.
+
+    Scale shape: hashing and window-minima are array expressions — a
+    narrow projection; the per-doc distinct collapses fingerprints
+    before anything shuffles, and downstream pair joins move 16-char
+    digests, not text.
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    n = F.size(words)
+    # k-gram rolling hashes (first 32 md5 bits — portable, like the
+    # lm.py bucketing) via the shift-and-concat shingle builder.
+    grams = word_shingles(F.col(text_col), k)
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+    )
+    nh = F.size(hashes)
+    mins = F.when(
+        nh < w,
+        # Shorter than one window: the whole doc is one window
+        # (standard winnowing edge rule — every doc fingerprints).
+        F.array(F.array_min(hashes)),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), nh - w + 1),
+            lambda p: F.array_min(F.slice(hashes, p, w)),
+        )
+    )
+    return (
+        spread(df)
+        .where(F.size(words) > 0)
+        .select(F.col(id_col), F.explode(mins).alias("fp"))
+        .distinct()
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int = 1000,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints
+    — partial-overlap / plagiarism detection: a long shared passage
+    surfaces the pair even when the rest of both documents is
+    unrelated (where whole-document Jaccard stays near zero).
+
+    Same pair-join shape as ``ngram_jaccard_pairs``: a df-cap drops
+    boilerplate fingerprints present in more than ``max_fp_df``
+    documents before the quadratic join, and only ids + counts ever
+    shuffle."""
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("fdf"))
+        .filter(F.col("fdf") <= max_fp_df)
+        .select("fp")
+    )
+    pruned = fps.join(rare, "fp", "left_semi")
+    return (
+        pruned.alias("a")
+        .join(pruned.alias("b"), on="fp")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

@@ -1221,3 +1221,28 @@ def test_temperature_mix_follows_alpha_proportions(spark):
         .collect()
     }
     assert got == again
+
+
+def test_winnow_pairs_catch_partial_overlap_jaccard_misses(spark):
+    from kafka_delta_ingest_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        winnow_pairs,
+    )
+
+    shared = " ".join(f"quote{i}" for i in range(12))  # 12-token passage
+    a = " ".join(f"aw{i}" for i in range(200)) + " " + shared
+    b = shared + " " + " ".join(f"bw{i}" for i in range(200))
+    c = " ".join(f"cw{i}" for i in range(50))  # unrelated
+    df = spark.createDataFrame(
+        [(0, a), (1, b), (2, c)], "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in winnow_pairs(df, min_shared=1).collect()
+    }
+    # the 12-token shared run (>= w+k-1 = 8) guarantees the pair...
+    assert (0, 1) in got
+    assert not any(2 in p for p in got)
+    # ...while whole-document Jaccard is far below any useful threshold
+    jac = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.2).collect()
+    assert not any({r.id_a, r.id_b} == {0, 1} for r in jac)
