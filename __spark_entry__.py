@@ -5033,11 +5033,11 @@ _SWEEP_ORDER: list[str] = [
     # of r1-r3 driver rows certified 75 of the 112 queries; the 37 that
     # have NEVER earned a driver row (all verified exact / rows-clean by
     # tools/check_oracle.py) occupy the first 37 slots this round —
-    # with the seven round-4 additions (multimodal_{jpeg,wav}_roundtrip,
+    # with the eight round-4 additions (multimodal_{jpeg,wav}_roundtrip,
     # text_quality_classifier, text_remove_boilerplate,
-    # pipeline_rag_retrieval, split_ccnet_buckets,
-    # split_temperature_mix) that makes the cumulative driver record
-    # 119/119 registered queries. Cheap scans lead to
+    # pipeline_rag_retrieval, split_ccnet_buckets, split_temperature_mix,
+    # dedup_winnow_pairs) that makes the cumulative driver record
+    # 120/120 registered queries. Cheap scans lead to
     # absorb session warmup; the four rows-only-by-design sketch audits
     # (approx_percentiles/approx_distinct/recall/multimodal) sit at the
     # block's end.

@@ -220,8 +220,12 @@ def _bucketed(
 
 
 def _unit(col: Column) -> Column:
+    # Zero vectors pass through unchanged: x/0 would NaN-poison every
+    # downstream dot product, comparison, and aggregate they touch.
     n = l2_norm(col)
-    return F.transform(col, lambda x: x / n)
+    return F.when(n == 0, col).otherwise(
+        F.transform(col, lambda x: x / n)
+    )
 
 
 def ivf_build_index(

@@ -1246,3 +1246,22 @@ def test_winnow_pairs_catch_partial_overlap_jaccard_misses(spark):
     # ...while whole-document Jaccard is far below any useful threshold
     jac = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.2).collect()
     assert not any({r.id_a, r.id_b} == {0, 1} for r in jac)
+
+
+def test_zero_vector_does_not_nan_poison_index(spark):
+    from kafka_delta_ingest_spark.operators.similarity import (
+        ivf_append_to_index,
+        kmeans_centroids,
+    )
+
+    rows = [(0, [1.0] * 8), (1, [0.0] * 8), (2, [2.0] * 8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_centroids(df, n_centroids=2, n_iters=2)
+    # no NaN anywhere in the trained centroids
+    import math
+
+    for r in cents.collect():
+        assert all(not math.isnan(x) for x in r.cvec), r
+    assigned = ivf_append_to_index(cents, df).collect()
+    assert len(assigned) == 3
+    assert all(r.cell is not None for r in assigned)
