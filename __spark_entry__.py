@@ -2771,8 +2771,13 @@ def dedup_winnow_pairs(spark, sf_dir):
     planted pair set is therefore exactly predictable in SQL. Output
     filtered to the planted id shape (the natural corpus legitimately
     contains its own overlapping pairs). Scale shape: fingerprinting
-    is a narrow array projection; the pair join moves 8-byte hashes
-    df-capped like ngram_jaccard_pairs."""
+    is a narrow array projection and the pair join moves 8-byte
+    hashes. The df-cap is deliberately DISABLED here (max_fp_df=None):
+    the oracle rests on the MUST-pair guarantee, and a cap may drop
+    exactly the one fingerprint a planted pair shares. Production
+    callers keep winnow_pairs' default cap (1000), which prunes
+    boilerplate fingerprints before the quadratic join like
+    ngram_jaccard_pairs does."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     n_tok = F.size(F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "))
     junk = F.concat_ws(
@@ -2793,7 +2798,7 @@ def dedup_winnow_pairs(spark, sf_dir):
         )
     )
     pairs = dedup.winnow_pairs(
-        d.unionByName(twins), min_shared=1, max_fp_df=1_000_000_000
+        d.unionByName(twins), min_shared=1, max_fp_df=None
     )
     return pairs.where(
         (F.col("id_b") - F.col("id_a") == 5_000_000)

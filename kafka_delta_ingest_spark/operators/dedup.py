@@ -76,8 +76,13 @@ def exact_dedup_normalized(df: DataFrame, text_col: str, id_col: str) -> DataFra
 # ---------------------------------------------------------------------------
 
 
-def word_shingles(col: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles of normalized text.
+def positional_shingles(words: Column, n: Column, k: int) -> Column:
+    """k-word shingles of ``words`` IN DOCUMENT ORDER, duplicates kept
+    — element i is words[i..i+k-1]. The positional variant exists for
+    :func:`winnow_fingerprints`, whose sliding-window coverage
+    guarantee is over the gram *sequence* (collapsing repeated grams
+    would silently drop windows). Docs shorter than k yield the single
+    whole-doc shingle (standard edge rule).
 
     Built by chaining ``zip_with`` over progressively shifted copies of
     the word array: after step j each element i holds words[i..i+j]
@@ -90,8 +95,6 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     (which run past the array end and come out short) are cut by the
     final slice, never inspected.
     """
-    words = F.split(normalize_text(col), " ")
-    n = F.size(words)
     grams = words
     for j in range(1, k):
         # slice length n (not INT_MAX: Slice computes start+length in
@@ -103,9 +106,14 @@ def word_shingles(col: Column, k: int = 3) -> Column:
             lambda a, b: F.concat_ws(" ", a, b),
         )
     full = F.slice(grams, 1, F.greatest(n - (k - 1), F.lit(1)))
-    return F.when(n < k, F.array(F.concat_ws(" ", words))).otherwise(
-        F.array_distinct(full)
-    )
+    return F.when(n < k, F.array(F.concat_ws(" ", words))).otherwise(full)
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of normalized text (the set-semantics
+    builder every Jaccard/MinHash-family operator uses)."""
+    words = F.split(normalize_text(col), " ")
+    return F.array_distinct(positional_shingles(words, F.size(words), k))
 
 
 # Affine hash families over the Mersenne prime 2^31-1: every operand
@@ -637,28 +645,36 @@ def winnow_fingerprints(
     """
     words = F.split(normalize_text(F.col(text_col)), " ")
     n = F.size(words)
-    # k-gram rolling hashes (first 32 md5 bits — portable, like the
-    # lm.py bucketing) via the shift-and-concat shingle builder.
-    grams = word_shingles(F.col(text_col), k)
-    hashes = F.transform(
-        grams,
-        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
-    )
+    # k-gram hashes over the POSITIONAL shingle sequence: repeated
+    # grams must stay in place or windows vanish and the w+k-1-run
+    # guarantee breaks for internally repetitive text. xxhash64 per
+    # gram — no md5 hex formatting / base conversion; nothing
+    # replicates these values engine-side (the oracle predicts PAIRS
+    # from the coverage guarantee, not hash values), so the portable
+    # md5 convention lm.py's bucketing needs does not apply here.
+    grams = positional_shingles(words, n, k)
+    hashes = F.transform(grams, lambda g: F.xxhash64(g))
     nh = F.size(hashes)
+    # Window minima by a shift-and-least chain (the same shape as the
+    # shingle builder): after step j element i holds min(h[i..i+j]),
+    # so the first nh-w+1 elements are the w-window minima — O(n*w)
+    # two-arg `least` comparisons with no per-window slice allocation.
+    m = hashes
+    for j in range(1, w):
+        m = F.zip_with(
+            m, F.slice(hashes, j + 1, nh), lambda a, b: F.least(a, b)
+        )
     mins = F.when(
         nh < w,
         # Shorter than one window: the whole doc is one window
         # (standard winnowing edge rule — every doc fingerprints).
         F.array(F.array_min(hashes)),
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), nh - w + 1),
-            lambda p: F.array_min(F.slice(hashes, p, w)),
-        )
-    )
+    ).otherwise(F.slice(m, 1, F.greatest(nh - (w - 1), F.lit(1))))
     return (
         spread(df)
-        .where(F.size(words) > 0)
+        # split('') yields [''] (size 1), so gate on normalized length:
+        # blank docs carry no content and must not all share md5('').
+        .where(F.length(normalize_text(F.col(text_col))) > 0)
         .select(F.col(id_col), F.explode(mins).alias("fp"))
         .distinct()
     )
@@ -671,33 +687,42 @@ def winnow_pairs(
     k: int = 5,
     w: int = 4,
     min_shared: int = 2,
-    max_fp_df: int = 1000,
+    max_fp_df: int | None = 1000,
 ) -> DataFrame:
     """Document pairs sharing >= ``min_shared`` winnowing fingerprints
     — partial-overlap / plagiarism detection: a long shared passage
     surfaces the pair even when the rest of both documents is
     unrelated (where whole-document Jaccard stays near zero).
 
-    Same pair-join shape as ``ngram_jaccard_pairs``: a df-cap drops
-    boilerplate fingerprints present in more than ``max_fp_df``
-    documents before the quadratic join, and only ids + counts ever
-    shuffle."""
+    Pair generation groups carrier ids per fingerprint (ONE pass over
+    the fingerprint plan, one shuffle on fp — a fps-vs-fps self-join
+    would compute the fingerprint projection twice, and Spark does not
+    reuse the exchange across the aliased legs), then streams ordered
+    pairs via posexplode + suffix-slice; per-row memory stays O(df),
+    never O(df^2). The df-cap drops boilerplate fingerprints present
+    in more than ``max_fp_df`` documents before any pair exists — as
+    a free size filter on the grouped carrier array. ``max_fp_df=None``
+    disables the cap — callers that rely on the MUST-pair coverage
+    guarantee need it, since a cap may drop exactly the one
+    fingerprint a pair shares."""
     fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
-    rare = (
-        fps.groupBy("fp")
-        .agg(F.count("*").alias("fdf"))
-        .filter(F.col("fdf") <= max_fp_df)
-        .select("fp")
+    carriers = fps.groupBy("fp").agg(
+        F.array_sort(F.collect_list(F.col(id_col))).alias("ids")
     )
-    pruned = fps.join(rare, "fp", "left_semi")
+    if max_fp_df is not None:
+        carriers = carriers.filter(F.size("ids") <= max_fp_df)
     return (
-        pruned.alias("a")
-        .join(pruned.alias("b"), on="fp")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+        carriers.filter(F.size("ids") >= 2)
+        .select(F.col("ids"), F.posexplode("ids").alias("i", "id_a"))
+        # ids is sorted and (id, fp) rows are distinct, so the strict
+        # suffix after position i pairs id_a with every larger carrier.
+        .select(
+            "id_a",
+            F.explode(
+                F.slice("ids", F.col("i") + 2, F.size("ids"))
+            ).alias("id_b"),
         )
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )

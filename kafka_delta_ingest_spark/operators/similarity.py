@@ -342,6 +342,38 @@ def ivf_query_index(
     )
 
 
+def _lloyd_means(assigned: DataFrame, keys: list[str], vec_col: str) -> dict:
+    """One Lloyd mean update shared by the k-means and PQ trainers:
+    per-(keys, dim) means with exact decimal accumulation (so the
+    result is partitioning-independent), rebuilt into position-ordered
+    vectors, collected to the driver (codebook-sized — n_centroids or
+    m × n_centroids rows). Returns {key: vector} with a scalar key for
+    a single grouping column, else a tuple key."""
+    rows = (
+        assigned.select(*keys, F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy(*keys, "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                / F.count("*")
+            ).alias("m")
+        )
+        .groupBy(*keys)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                ),
+                lambda s: s["m"],
+            ).alias("mvec")
+        )
+        .collect()
+    )
+    if len(keys) == 1:
+        return {r[keys[0]]: list(r.mvec) for r in rows}
+    return {tuple(r[k] for k in keys): list(r.mvec) for r in rows}
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -371,59 +403,47 @@ def kmeans_centroids(
     """
     from kafka_delta_ingest_spark.operators.util import spread
 
-    vecs = spread(corpus).select(
-        F.col(corpus_id).alias("vec_id"),
-        _unit(_as_double(F.col(corpus_vec))).alias("vec"),
-    )
-    # Deterministic init: n lowest-id vectors (orderBy+limit plans as
-    # TakeOrderedAndProject — distributed top-k, no global sort).
-    init = (
-        vecs.orderBy("vec_id")
-        .limit(n_centroids)
-        .collect()
-    )
-    cents = [(i, list(r.vec)) for i, r in enumerate(init)]
-    spark = corpus.sparkSession
-    for _ in range(n_iters):
-        cdf = broadcast(
-            spark.createDataFrame(cents, "cent_id int, cvec array<double>")
+    # Persisted: every Lloyd iteration re-reads this frame (assignment
+    # + mean update), so the corpus scan, spread() shuffle, and L2
+    # normalization are paid once, not n_iters+1 times.
+    vecs = (
+        spread(corpus)
+        .select(
+            F.col(corpus_id).alias("vec_id"),
+            _unit(_as_double(F.col(corpus_vec))).alias("vec"),
         )
-        assigned = _assign_cells(vecs, cdf).select(
-            F.col("cell").alias("cent_id"), "vec"
-        )
-        # Mean per (cent_id, dim): exact decimal accumulation so the
-        # result is partitioning-independent; renormalize driver-side.
-        means = (
-            assigned.select(
-                "cent_id", F.posexplode("vec").alias("pos", "x")
-            )
-            .groupBy("cent_id", "pos")
-            .agg(
-                (
-                    F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
-                    / F.count("*")
-                ).alias("m")
-            )
-            .groupBy("cent_id")
-            .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("pos"), F.col("m")))
-                    ),
-                    lambda s: s["m"],
-                ).alias("mvec")
-            )
+        .persist()
+    )
+    try:
+        # Deterministic init: n lowest-id vectors (orderBy+limit plans
+        # as TakeOrderedAndProject — distributed top-k, no global sort).
+        init = (
+            vecs.orderBy("vec_id")
+            .limit(n_centroids)
             .collect()
         )
-        got = {r.cent_id: list(r.mvec) for r in means}
-        new_cents = []
-        for cid, old in cents:
-            v = got.get(cid, old)  # empty cell: keep previous centroid
-            norm = sum(x * x for x in v) ** 0.5
-            new_cents.append(
-                (cid, [x / norm for x in v] if norm > 0 else old)
+        cents = [(i, list(r.vec)) for i, r in enumerate(init)]
+        spark = corpus.sparkSession
+        for _ in range(n_iters):
+            cdf = broadcast(
+                spark.createDataFrame(
+                    cents, "cent_id int, cvec array<double>"
+                )
             )
-        cents = new_cents
+            assigned = _assign_cells(vecs, cdf).select(
+                F.col("cell").alias("cent_id"), "vec"
+            )
+            got = _lloyd_means(assigned, ["cent_id"], "vec")
+            new_cents = []
+            for cid, old in cents:
+                v = got.get(cid, old)  # empty cell: keep previous centroid
+                norm = sum(x * x for x in v) ** 0.5
+                new_cents.append(
+                    (cid, [x / norm for x in v] if norm > 0 else old)
+                )
+            cents = new_cents
+    finally:
+        vecs.unpersist()
     return spark.createDataFrame(cents, "cent_id int, cvec array<double>")
 
 
@@ -636,6 +656,9 @@ def pq_train_codebooks(
     sub_dim = dim // m
     from kafka_delta_ingest_spark.operators.util import spread
 
+    # Persisted: each iteration's assignment + mean update re-reads the
+    # subspace frame; the corpus scan, normalization, and m-way
+    # subspace explode are paid once, not n_iters times.
     vecs = (
         spread(corpus)
         .select(
@@ -645,60 +668,45 @@ def pq_train_codebooks(
             ).alias("s"),
         )
         .select("vec_id", "s.j", "s.sv")
+        .persist()
     )
-    init = (
-        corpus.orderBy(corpus_id)
-        .limit(n_centroids)
-        .select(_unit(_as_double(F.col(corpus_vec))).alias("v"))
-        .collect()
-    )
-    books = [
-        (j, cid, [float(x) for x in r.v[j * sub_dim:(j + 1) * sub_dim]])
-        for cid, r in enumerate(init)
-        for j in range(m)
-    ]
-    spark = corpus.sparkSession
-    for _ in range(n_iters):
-        cb = broadcast(
-            spark.createDataFrame(
-                books, "j int, cent_id int, cv array<double>"
-            )
-        )
-        assigned = (
-            vecs.join(cb, "j")
-            .withColumn("_d", _pq_l2sq(F.col("sv"), F.col("cv")))
-            .groupBy("vec_id", "j")
-            .agg(
-                F.min_by(
-                    F.col("cent_id"), F.struct(F.col("_d"), F.col("cent_id"))
-                ).alias("code"),
-                F.first("sv").alias("sv"),
-            )
-        )
-        means = (
-            assigned.select("j", "code", F.posexplode("sv").alias("pos", "x"))
-            .groupBy("j", "code", "pos")
-            .agg(
-                (
-                    F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
-                    / F.count("*")
-                ).alias("mu")
-            )
-            .groupBy("j", "code")
-            .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("pos"), F.col("mu")))
-                    ),
-                    lambda s: s["mu"],
-                ).alias("cv")
-            )
+    try:
+        init = (
+            corpus.orderBy(corpus_id)
+            .limit(n_centroids)
+            .select(_unit(_as_double(F.col(corpus_vec))).alias("v"))
             .collect()
         )
-        got = {(r.j, r.code): list(r.cv) for r in means}
         books = [
-            (j, cid, got.get((j, cid), cv)) for j, cid, cv in books
+            (j, cid, [float(x) for x in r.v[j * sub_dim:(j + 1) * sub_dim]])
+            for cid, r in enumerate(init)
+            for j in range(m)
         ]
+        spark = corpus.sparkSession
+        for _ in range(n_iters):
+            cb = broadcast(
+                spark.createDataFrame(
+                    books, "j int, cent_id int, cv array<double>"
+                )
+            )
+            assigned = (
+                vecs.join(cb, "j")
+                .withColumn("_d", _pq_l2sq(F.col("sv"), F.col("cv")))
+                .groupBy("vec_id", "j")
+                .agg(
+                    F.min_by(
+                        F.col("cent_id"),
+                        F.struct(F.col("_d"), F.col("cent_id")),
+                    ).alias("code"),
+                    F.first("sv").alias("sv"),
+                )
+            )
+            got = _lloyd_means(assigned, ["j", "code"], "sv")
+            books = [
+                (j, cid, got.get((j, cid), cv)) for j, cid, cv in books
+            ]
+    finally:
+        vecs.unpersist()
     return spark.createDataFrame(books, "j int, cent_id int, cv array<double>")
 
 

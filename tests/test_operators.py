@@ -1248,6 +1248,41 @@ def test_winnow_pairs_catch_partial_overlap_jaccard_misses(spark):
     assert not any({r.id_a, r.id_b} == {0, 1} for r in jac)
 
 
+def test_winnow_guarantee_holds_for_repetitive_text(spark):
+    # Internally repeated k-grams must keep their POSITIONS in the
+    # hash sequence: a set-collapsed ("distinct") sequence loses
+    # windows and the w+k-1-run guarantee becomes probabilistic.
+    from kafka_delta_ingest_spark.operators.dedup import winnow_pairs
+
+    rep = " ".join(["buy"] * 12)  # 12 tokens, all identical
+    junk = " ".join(f"junk{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(0, rep), (1, junk + " " + rep)], "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in winnow_pairs(
+            df, min_shared=1, max_fp_df=10**9
+        ).collect()
+    }
+    assert (0, 1) in got
+
+
+def test_winnow_blank_docs_never_pair(spark):
+    from kafka_delta_ingest_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "\t\n"), (3, "real content here")],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df).collect()
+    assert {r.doc_id for r in fps} == {3}
+    assert winnow_pairs(df, min_shared=1).count() == 0
+
+
 def test_zero_vector_does_not_nan_poison_index(spark):
     from kafka_delta_ingest_spark.operators.similarity import (
         ivf_append_to_index,
