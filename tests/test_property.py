@@ -284,3 +284,51 @@ def test_jpeg_roundtrip_bounded_error_property(h, w, gray, seed):
     assert float(err.mean()) < 16.0
     # decoded image is a legal uint8 array of the declared geometry
     assert out.dtype == np.uint8
+
+
+@settings(max_examples=3, deadline=None)
+@given(st.data())
+def test_winnow_coverage_guarantee_property(spark, data):
+    """Schleimer et al.'s theorem, fuzzed: ANY pair of docs sharing a
+    contiguous run of >= w+k-1 tokens MUST share a winnowing
+    fingerprint (cap disabled, min_shared=1) — including docs whose
+    filler is internally repetitive (the regime where a set-collapsed
+    gram sequence loses windows). Conversely, docs with disjoint
+    vocabularies must never pair."""
+    from kafka_delta_ingest_spark.operators.dedup import winnow_pairs
+
+    k, w = 5, 4
+    n_pairs = data.draw(st.integers(2, 6))
+    rows, planted = [], set()
+    for i in range(n_pairs):
+        run_len = data.draw(st.integers(w + k - 1, w + k + 6))
+        run = [f"s{i}t{j}" for j in range(run_len)]
+        docs = []
+        for side in (0, 1):
+            doc_id = 2 * i + side
+            n_fill = data.draw(st.integers(0, 25))
+            # filler vocabulary is unique per doc; repetitive docs
+            # draw from a tiny pool so tokens repeat back-to-back
+            pool = data.draw(st.integers(1, 4))
+            fill = [
+                f"d{doc_id}f{data.draw(st.integers(0, pool - 1))}"
+                for _ in range(n_fill)
+            ]
+            cut = data.draw(st.integers(0, n_fill))
+            docs.append(" ".join(fill[:cut] + run + fill[cut:]))
+        rows.append((2 * i, docs[0]))
+        rows.append((2 * i + 1, docs[1]))
+        planted.add((2 * i, 2 * i + 1))
+    # plus a loner with no shared run: must never appear in any pair
+    rows.append((10_000, " ".join(f"lonew{j}" for j in range(20))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in winnow_pairs(
+            df, k=k, w=w, min_shared=1, max_fp_df=None
+        ).collect()
+    }
+    assert planted <= got, planted - got
+    assert not any(10_000 in p for p in got)
+    # only planted-run vocab is cross-doc, so no other pairs exist
+    assert got == planted
