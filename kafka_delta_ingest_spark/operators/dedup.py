@@ -463,6 +463,29 @@ def canonicalize_clusters(
     return joined.withColumn("keep", (F.row_number().over(w) == 1).cast("int"))
 
 
+def _carriers(rows: DataFrame, key: str, item: Column, cap: int | None) -> DataFrame:
+    """Group ``item`` carriers per ``key`` into a sorted array, with
+    BOUNDED aggregation buffers: with a ``cap``, a counter-only
+    pre-aggregation (map-side combined, no lists) drops over-cap keys
+    via a semi-join BEFORE any list is collected, so no collect_list
+    buffer ever exceeds ``cap`` items — a boilerplate gram carried by
+    1e8 documents costs a counter, never an 800 MB array. ``cap=None``
+    collects directly (one pass over ``rows``'s lineage instead of
+    two); callers choose it when the key's carrier counts are known
+    bounded or when every carrier is required (coverage guarantees)."""
+    if cap is not None:
+        keep = (
+            rows.groupBy(key)
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= cap)
+            .select(key)
+        )
+        rows = rows.join(keep, key, "left_semi")
+    return rows.groupBy(key).agg(
+        F.array_sort(F.collect_list(item)).alias("ids")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -485,27 +508,26 @@ def ngram_jaccard_pairs(
     grams = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("g")
     )
-    # df-cap: aggregate gram document-frequencies (map-side combine
-    # collapses to |distinct grams| rows before the shuffle), keep only
-    # the RARE grams, and semi-join that set back. A count-over-gram
-    # window would shuffle AND SORT every gram occurrence; the semi join
-    # re-shuffles the same rows but never sorts. Broadcast is left to
-    # AQE: at bench scale the rare set broadcasts, at 100 TB (billions
-    # of distinct grams) it must stay a shuffled hash join.
-    rare = (
-        grams.groupBy("g")
-        .agg(F.count("*").alias("gdf"))
-        .filter(F.col("gdf") <= max_gram_df)
-        .select("g")
-    )
-    pruned = grams.join(rare, on="g", how="left_semi").select(id_col, "g")
+    # Group carrier ids per gram (df-capped with bounded buffers — see
+    # _carriers), then stream ordered pairs from each group via
+    # posexplode + suffix-slice: two passes over the gram explode
+    # total (counter agg + collect) where the previous a/b aliased
+    # self-join executed the shingle lineage three times (Spark does
+    # not reuse the exchange across aliased legs), and per-row memory
+    # stays O(gram df) <= max_gram_df.
+    carriers = _carriers(grams, "g", F.col(id_col), max_gram_df)
     inter = (
-        pruned.alias("a")
-        .join(pruned.alias("b"), on="g")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        carriers.filter(F.size("ids") >= 2)
+        .select(F.col("ids"), F.posexplode("ids").alias("i", "id_a"))
+        # ids is sorted and (id, gram) rows are distinct per doc, so
+        # the strict suffix after position i gives every id_a < id_b.
+        .select(
+            "id_a",
+            F.explode(
+                F.slice("ids", F.col("i") + 2, F.size("ids"))
+            ).alias("id_b"),
         )
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
     # Doc-size side tables are |docs| rows of (id, int). No explicit
@@ -562,49 +584,55 @@ def incremental_ngram_dedup(
         incoming.select(F.col(id_col), F.col(text_col), F.lit(1).alias(tag))
     )
     df = spread(tagged)
-    flags = df.select(id_col, tag)
     sizes = df.select(
         F.col(id_col), F.size(word_shingles(F.col(text_col), n)).alias("sz")
     )
     grams = df.select(
         F.col(id_col), tag, F.explode(word_shingles(F.col(text_col), n)).alias("g")
     )
-    rare = (
-        grams.groupBy("g")
-        .agg(F.count("*").alias("gdf"))
-        .filter(F.col("gdf") <= max_gram_df)
-        .select("g")
+    # Same group-carriers-then-stream-pairs shape as
+    # ``ngram_jaccard_pairs`` (df-capped with bounded buffers via
+    # _carriers), carrying the new/existing tag inside the grouped
+    # struct so the pair stream filters existing x existing pairs
+    # inline and the admission step below needs no flag-table joins at
+    # all. array_sort on (id, t) structs orders by id first.
+    carriers = _carriers(
+        grams,
+        "g",
+        F.struct(F.col(id_col).alias("id"), F.col(tag).alias("t")),
+        max_gram_df,
     )
-    pruned = grams.join(rare, on="g", how="left_semi")
     inter = (
-        pruned.alias("a")
-        .join(pruned.alias("b"), on="g")
-        .filter(
-            (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            # at least one side is incoming — existing x existing pairs
-            # are dead weight and are cut before the aggregation
-            & ((F.col(f"a.{tag}") == 1) | (F.col(f"b.{tag}") == 1))
+        carriers.filter(F.size("ids") >= 2)
+        .select(F.col("ids"), F.posexplode("ids").alias("i", "a"))
+        .select(
+            "a",
+            F.explode(
+                F.slice("ids", F.col("i") + 2, F.size("ids"))
+            ).alias("b"),
         )
+        # at least one side is incoming — existing x existing pairs
+        # are dead weight and are cut before the aggregation
+        .filter((F.col("a.t") == 1) | (F.col("b.t") == 1))
         .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            F.col("a.id").alias("id_a"),
+            F.col("a.t").alias("new_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("b.t").alias("new_b"),
         )
         .agg(F.count("*").alias("inter"))
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
-    fa = flags.select(F.col(id_col).alias("id_a"), F.col(tag).alias("new_a"))
-    fb = flags.select(F.col(id_col).alias("id_b"), F.col(tag).alias("new_b"))
     jac = F.col("inter").cast("double") / (
         F.col("sz_a") + F.col("sz_b") - F.col("inter")
     )
-    # Size/flag side tables are O(|docs|) — no broadcast hints (they
+    # Size side tables are O(|docs|) — no broadcast hints (they
     # would force a corpus-scale driver build at 1e9+ docs); AQE
     # broadcasts them when they fit and shuffles otherwise.
     pairs = (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
-        .join(fa, "id_a")
-        .join(fb, "id_b")
         .filter(jac >= threshold)
     )
     # Greedy admission: an incoming doc loses to ANY existing match and
@@ -694,23 +722,19 @@ def winnow_pairs(
     surfaces the pair even when the rest of both documents is
     unrelated (where whole-document Jaccard stays near zero).
 
-    Pair generation groups carrier ids per fingerprint (ONE pass over
-    the fingerprint plan, one shuffle on fp — a fps-vs-fps self-join
-    would compute the fingerprint projection twice, and Spark does not
-    reuse the exchange across the aliased legs), then streams ordered
-    pairs via posexplode + suffix-slice; per-row memory stays O(df),
-    never O(df^2). The df-cap drops boilerplate fingerprints present
-    in more than ``max_fp_df`` documents before any pair exists — as
-    a free size filter on the grouped carrier array. ``max_fp_df=None``
-    disables the cap — callers that rely on the MUST-pair coverage
+    Pair generation groups carrier ids per fingerprint (via
+    ``_carriers`` — with a cap, over-df fingerprints are dropped by a
+    counter pre-aggregation BEFORE any list is collected, bounding
+    aggregation buffers; a fps-vs-fps self-join would instead compute
+    the fingerprint projection once per aliased leg, since Spark does
+    not reuse that exchange), then streams ordered pairs via
+    posexplode + suffix-slice; per-row memory stays O(df), never
+    O(df^2). ``max_fp_df=None`` disables the cap AND the extra
+    counter pass — callers that rely on the MUST-pair coverage
     guarantee need it, since a cap may drop exactly the one
     fingerprint a pair shares."""
     fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
-    carriers = fps.groupBy("fp").agg(
-        F.array_sort(F.collect_list(F.col(id_col))).alias("ids")
-    )
-    if max_fp_df is not None:
-        carriers = carriers.filter(F.size("ids") <= max_fp_df)
+    carriers = _carriers(fps, "fp", F.col(id_col), max_fp_df)
     return (
         carriers.filter(F.size("ids") >= 2)
         .select(F.col("ids"), F.posexplode("ids").alias("i", "id_a"))
