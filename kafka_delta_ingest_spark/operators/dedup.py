@@ -30,7 +30,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from kafka_delta_ingest_spark.operators.text import normalize_text
-from kafka_delta_ingest_spark.operators.util import spread
+from kafka_delta_ingest_spark.operators.util import _carriers, spread
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -221,16 +221,26 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
 
     # Band/bucket rows carry only (id, band, bucket) — the 512-byte
-    # signature arrays stay out of the self-join and the pair dedup
-    # shuffle; they are joined back onto the deduped (id_a, id_b) pairs.
+    # signature arrays stay out of the bucket grouping and the pair
+    # dedup shuffle; they are joined back onto the deduped (id_a,
+    # id_b) pairs. Candidates come from grouping carrier ids per
+    # (band, bucket) and streaming ordered pairs (posexplode +
+    # suffix-slice): ONE pass over the signature lineage where the
+    # left/right aliased self-join executed it twice. No cap: the
+    # pigeonhole candidate set must be complete, and bucket sizes are
+    # already bounded by banding (identical-signature floods degrade
+    # the old join shape identically).
     banded = _banded(sigs, id_col, num_hashes, bands)
-
-    left = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
-    right = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     pair_ids = (
-        left.join(right, on=["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        _carriers(banded, ["band", "bucket"], F.col(id_col), None)
+        .filter(F.size("ids") >= 2)
+        .select(F.col("ids"), F.posexplode("ids").alias("i", "id_a"))
+        .select(
+            "id_a",
+            F.explode(
+                F.slice("ids", F.col("i") + 2, F.size("ids"))
+            ).alias("id_b"),
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     cand = pair_ids.join(
@@ -344,12 +354,33 @@ def simhash_pairs(
             )
         ).alias("cv"),
     ).select(id_col, "fp", "cv.chunk", "cv.val")
-    left = chunks.select(F.col(id_col).alias("id_a"), F.col("fp").alias("fp_a"), "chunk", "val")
-    right = chunks.select(F.col(id_col).alias("id_b"), F.col("fp").alias("fp_b"), "chunk", "val")
+    # Carriers per (chunk, val) with the 8-byte fingerprint inside the
+    # struct — ONE pass over the fingerprint lineage (the aliased
+    # left/right self-join computed it twice) and no fetch-back join.
+    # array_sort orders the (id, fp) structs by id, so the suffix
+    # stream yields id_a < id_b directly. No cap: the pigeonhole
+    # candidate set must be complete.
     cand = (
-        left.join(right, on=["chunk", "val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "fp_a", "fp_b")
+        _carriers(
+            chunks,
+            ["chunk", "val"],
+            F.struct(F.col(id_col).alias("id"), F.col("fp")),
+            None,
+        )
+        .filter(F.size("ids") >= 2)
+        .select(F.col("ids"), F.posexplode("ids").alias("i", "a"))
+        .select(
+            "a",
+            F.explode(
+                F.slice("ids", F.col("i") + 2, F.size("ids"))
+            ).alias("b"),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     dist = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
@@ -461,29 +492,6 @@ def canonicalize_clusters(
         F.col(quality_col).desc(), F.col(id_col)
     )
     return joined.withColumn("keep", (F.row_number().over(w) == 1).cast("int"))
-
-
-def _carriers(rows: DataFrame, key: str, item: Column, cap: int | None) -> DataFrame:
-    """Group ``item`` carriers per ``key`` into a sorted array, with
-    BOUNDED aggregation buffers: with a ``cap``, a counter-only
-    pre-aggregation (map-side combined, no lists) drops over-cap keys
-    via a semi-join BEFORE any list is collected, so no collect_list
-    buffer ever exceeds ``cap`` items — a boilerplate gram carried by
-    1e8 documents costs a counter, never an 800 MB array. ``cap=None``
-    collects directly (one pass over ``rows``'s lineage instead of
-    two); callers choose it when the key's carrier counts are known
-    bounded or when every carrier is required (coverage guarantees)."""
-    if cap is not None:
-        keep = (
-            rows.groupBy(key)
-            .agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") <= cap)
-            .select(key)
-        )
-        rows = rows.join(keep, key, "left_semi")
-    return rows.groupBy(key).agg(
-        F.array_sort(F.collect_list(item)).alias("ids")
-    )
 
 
 def ngram_jaccard_pairs(

@@ -588,14 +588,26 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Near-duplicate vector pairs (cosine ≥ threshold), LSH-bucketed."""
+    """Near-duplicate vector pairs (cosine ≥ threshold), LSH-bucketed.
+
+    Candidates come from grouping carrier ids per (table, bucket) and
+    streaming ordered pairs (posexplode + suffix-slice) — ONE pass
+    over the hyperplane-hash lineage, where a left/right aliased
+    self-join would execute it twice. The vector payloads are joined
+    back only onto the deduped candidate pairs."""
+    from kafka_delta_ingest_spark.operators.util import _carriers
+
     b = _bucketed(df, id_col, vec_col, "vid", dim, num_bits, num_tables)
-    left = b.select(F.col("vid").alias("id_a"), "table", "bucket")
-    right = b.select(F.col("vid").alias("id_b"), "table", "bucket")
     pair_ids = (
-        left.join(right, on=["table", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        _carriers(b, ["table", "bucket"], F.col("vid"), None)
+        .filter(F.size("ids") >= 2)
+        .select(F.col("ids"), F.posexplode("ids").alias("i", "id_a"))
+        .select(
+            "id_a",
+            F.explode(
+                F.slice("ids", F.col("i") + 2, F.size("ids"))
+            ).alias("id_b"),
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     vecs = df.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v"))
@@ -854,20 +866,19 @@ def semdedup(
     from kafka_delta_ingest_spark.operators.util import spread
 
     vecs = spread(df).select(
-        F.col(id_col).alias("vid"), _unit(_as_double(F.col(vec_col))).alias("_v")
+        F.col(id_col).alias("vec_id"),
+        _unit(_as_double(F.col(vec_col))).alias("vec"),
     )
     cents = df.filter(F.col(id_col) % centroid_mod == 0).select(
         F.col(id_col).alias("cent_id"),
-        _unit(_as_double(F.col(vec_col))).alias("_cent"),
+        _unit(_as_double(F.col(vec_col))).alias("cvec"),
     )
-    aw = Window.partitionBy("vid").orderBy(
-        dot(F.col("_v"), F.col("_cent")).desc(), F.col("cent_id").asc()
-    )
-    assigned = (
-        vecs.crossJoin(broadcast(cents))
-        .withColumn("_r", F.row_number().over(aw))
-        .filter(F.col("_r") == 1)
-        .select("vid", "_v", F.col("cent_id").alias("cell"))
+    # Packed-broadcast pure-map assignment (same argmax-dot /
+    # lowest-id tie rule): the crossJoin + per-vid row_number window
+    # this replaces expanded the corpus |cents|-fold and then sort-
+    # shuffled every expanded row on vid.
+    assigned = _assign_cells(vecs, cents).select(
+        F.col("vec_id").alias("vid"), F.col("vec").alias("_v"), "cell"
     )
     a = assigned.select(F.col("vid").alias("id_a"), F.col("_v").alias("va"), "cell")
     b = assigned.select(F.col("vid").alias("id_b"), F.col("_v").alias("vb"), "cell")

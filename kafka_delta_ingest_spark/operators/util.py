@@ -21,6 +21,38 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+def _carriers(
+    rows: DataFrame, key: str | list[str], item: Column, cap: int | None
+) -> DataFrame:
+    """Group ``item`` carriers per ``key`` into a sorted array ``ids``,
+    with BOUNDED aggregation buffers: with a ``cap``, a counter-only
+    pre-aggregation (map-side combined, no lists) drops over-cap keys
+    via a semi-join BEFORE any list is collected, so no collect_list
+    buffer ever exceeds ``cap`` items — a boilerplate gram carried by
+    1e8 documents costs a counter, never an 800 MB array. ``cap=None``
+    collects directly (one pass over ``rows``'s lineage instead of
+    two); callers choose it when the key's carrier counts are known
+    bounded or when every carrier is required (coverage guarantees).
+
+    This is the shared candidate-pair core of the dedup/LSH families:
+    downstream stages posexplode ``ids`` and pair each element with
+    its strict suffix — one pass over the (often expensive) upstream
+    lineage, where an a/b aliased self-join would execute it once per
+    leg (Spark does not reuse the exchange across aliased legs)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    if cap is not None:
+        keep = (
+            rows.groupBy(*keys)
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= cap)
+            .select(*keys)
+        )
+        rows = rows.join(keep, keys, "left_semi")
+    return rows.groupBy(*keys).agg(
+        F.array_sort(F.collect_list(item)).alias("ids")
+    )
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],
