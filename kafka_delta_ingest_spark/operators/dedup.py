@@ -13,10 +13,18 @@ Scale design notes (100 TB / 1000 executors):
   codegen), then near-dup candidates come from equality joins on 16-bit
   fingerprint chunks (any pair within Hamming distance 3 shares at
   least one of 4 chunks — pigeonhole).
-* **n-gram Jaccard** caps gram document-frequency before the pair join
-  (a gram occurring in thousands of docs contributes candidate pairs
-  quadratically while carrying almost no signal — standard df-cap
-  trick), keeping the join output near-linear.
+* **n-gram Jaccard** caps gram document-frequency before any pair is
+  generated (a gram occurring in thousands of docs contributes
+  candidate pairs quadratically while carrying almost no signal —
+  standard df-cap trick), keeping the pair volume near-linear.
+* **Candidate pairs** across every family come from one shared shape
+  (``operators.util._carriers``): group carrier ids per bucket key —
+  df-caps enforced by a counter-only pre-aggregation so no collect
+  buffer exceeds the cap — then stream ordered pairs by pairing each
+  posexploded element with its strict suffix. One pass over the
+  expensive signature/shingle lineage; the a/b aliased self-join
+  alternative executes that lineage once per leg, because Spark does
+  not reuse the exchange across aliased legs.
 
 All hashing uses Spark's built-in ``xxhash64``/``hash``/``md5`` —
 deterministic across runs and cluster sizes.
