@@ -1300,3 +1300,40 @@ def test_zero_vector_does_not_nan_poison_index(spark):
     assigned = ivf_append_to_index(cents, df).collect()
     assert len(assigned) == 3
     assert all(r.cell is not None for r in assigned)
+
+
+def test_carriers_cap_bounds_groups_before_collection(spark):
+    """The df-cap drops over-cap keys via the counter pre-aggregation;
+    under-cap keys keep their full sorted carrier arrays, and the
+    single-key / composite-key / struct-item forms agree."""
+    from pyspark.sql import functions as F
+
+    from kafka_delta_ingest_spark.operators.util import _carriers
+
+    rows = [("hot", i) for i in range(50)] + [("rare", 1), ("rare", 7)]
+    df = spark.createDataFrame(rows, "g string, id long")
+    got = {
+        r.g: list(r.ids)
+        for r in _carriers(df, "g", F.col("id"), 10).collect()
+    }
+    assert got == {"rare": [1, 7]}  # hot dropped pre-collection
+    uncapped = {
+        r.g: len(r.ids)
+        for r in _carriers(df, "g", F.col("id"), None).collect()
+    }
+    assert uncapped == {"hot": 50, "rare": 2}
+    # composite key + struct item: array_sort orders by first field
+    df2 = spark.createDataFrame(
+        [(0, 5, 3, "x"), (0, 5, 1, "y"), (1, 5, 2, "z")],
+        "k1 int, k2 int, id long, t string",
+    )
+    comp = {
+        (r.k1, r.k2): [(s.id, s.t) for s in r.ids]
+        for r in _carriers(
+            df2,
+            ["k1", "k2"],
+            F.struct(F.col("id"), F.col("t")),
+            100,
+        ).collect()
+    }
+    assert comp == {(0, 5): [(1, "y"), (3, "x")], (1, 5): [(2, "z")]}
