@@ -270,17 +270,22 @@ def fuzzy_contamination(
     b_sig = minhash_signatures(
         benchmark, bench_id_col, bench_text_col, num_hashes, shingle_k
     )
-    c_bb = _banded(c_sig, id_col, num_hashes, bands)
+    # Corpus band rows CARRY their signature: the broadcast probe join
+    # is a narrow map, and the candidate dedup (first(sig) — sig is
+    # functionally dependent on id) shuffles candidate-scale rows
+    # only. Fetching the signature back by re-joining c_sig would
+    # instead recompute the corpus-wide signature lineage a second
+    # time (Spark does not reuse that exchange).
+    c_bb = _banded(c_sig, id_col, num_hashes, bands, carry_sig=True)
     b_bb = _banded(b_sig, bench_id_col, num_hashes, bands)
     cand = (
         c_bb.join(F.broadcast(b_bb), on=["band", "bucket"])
-        .select(id_col, bench_id_col)
-        .dropDuplicates([id_col, bench_id_col])
+        .groupBy(id_col, bench_id_col)
+        .agg(F.first("sig").alias("sig"))
     )
     est = sig_agreement(F.col("sig"), F.col("bsig"), num_hashes)
     return (
-        cand.join(c_sig, id_col)
-        .join(
+        cand.join(
             F.broadcast(b_sig.select(bench_id_col, F.col("sig").alias("bsig"))),
             bench_id_col,
         )

@@ -185,18 +185,29 @@ def sig_agreement(sig_a, sig_b, num_hashes: int):
     return agree.cast("double") / F.lit(float(num_hashes))
 
 
-def _banded(sigs: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
+def _banded(
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    carry_sig: bool = False,
+) -> DataFrame:
     """(id, band, bucket) LSH band rows for a signature frame — the
-    shared candidate-generation core of self-join pair mining and
-    corpus-vs-benchmark probing."""
+    shared candidate-generation core of pair mining and
+    corpus-vs-benchmark probing. ``carry_sig=True`` keeps the
+    signature array on each band row, for probes whose downstream
+    verification would otherwise recompute the whole signature
+    lineage just to fetch it back."""
     assert num_hashes % bands == 0, (
         f"num_hashes ({num_hashes}) must divide into bands ({bands}); "
         f"a remainder would silently exclude trailing signature "
         f"positions from candidate generation"
     )
     rows_per_band = num_hashes // bands
+    keep = [F.col(id_col)] + ([F.col("sig")] if carry_sig else [])
+    out = [id_col] + (["sig"] if carry_sig else []) + ["bb.band", "bb.bucket"]
     return sigs.select(
-        F.col(id_col),
+        *keep,
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -208,7 +219,7 @@ def _banded(sigs: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFr
                 ),
             )
         ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    ).select(*out)
 
 
 def minhash_lsh_pairs(
