@@ -38,7 +38,11 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from kafka_delta_ingest_spark.operators.text import normalize_text
-from kafka_delta_ingest_spark.operators.util import _carriers, spread
+from kafka_delta_ingest_spark.operators.util import (
+    _carriers,
+    _suffix_pairs,
+    spread,
+)
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -230,11 +234,15 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 3,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b, est_jaccard ≥ threshold).
 
     est_jaccard is the signature agreement rate — an unbiased estimator
     of shingle-set Jaccard similarity.
+
+    ``max_bucket`` optionally caps bucket size (see scale note below);
+    the default keeps the candidate set complete.
     """
     assert num_hashes % bands == 0
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
@@ -243,22 +251,20 @@ def minhash_lsh_pairs(
     # signature arrays stay out of the bucket grouping and the pair
     # dedup shuffle; they are joined back onto the deduped (id_a,
     # id_b) pairs. Candidates come from grouping carrier ids per
-    # (band, bucket) and streaming ordered pairs (posexplode +
-    # suffix-slice): ONE pass over the signature lineage where the
-    # left/right aliased self-join executed it twice. No cap: the
-    # pigeonhole candidate set must be complete, and bucket sizes are
-    # already bounded by banding (identical-signature floods degrade
-    # the old join shape identically).
+    # (band, bucket) and streaming ordered pairs: ONE pass over the
+    # signature lineage where the left/right aliased self-join
+    # executed it twice. Default uncapped for a complete candidate
+    # set; an identical-signature flood of N docs then costs an
+    # N-element carrier buffer AND N^2/2 streamed pairs — quadratic
+    # either way (the old join shape had the same N^2), so corpora
+    # with million-scale duplicate floods should pass ``max_bucket``
+    # to bound both.
     banded = _banded(sigs, id_col, num_hashes, bands)
     pair_ids = (
-        _carriers(banded, ["band", "bucket"], F.col(id_col), None)
-        .filter(F.size("ids") >= 2)
-        .select(F.col("ids"), F.posexplode("ids").alias("i", "id_a"))
-        .select(
+        _suffix_pairs(
+            _carriers(banded, ["band", "bucket"], F.col(id_col), max_bucket),
             "id_a",
-            F.explode(
-                F.slice("ids", F.col("i") + 2, F.size("ids"))
-            ).alias("id_b"),
+            "id_b",
         )
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -376,23 +382,19 @@ def simhash_pairs(
     # Carriers per (chunk, val) with the 8-byte fingerprint inside the
     # struct — ONE pass over the fingerprint lineage (the aliased
     # left/right self-join computed it twice) and no fetch-back join.
-    # array_sort orders the (id, fp) structs by id, so the suffix
-    # stream yields id_a < id_b directly. No cap: the pigeonhole
-    # candidate set must be complete.
+    # array_sort orders the (id, fp) structs by id; _suffix_pairs'
+    # strict id comparison yields id_a < id_b. No cap: the pigeonhole
+    # candidate set must be complete (an identical-fingerprint flood
+    # is quadratic in the old join shape too).
     cand = (
-        _carriers(
-            chunks,
-            ["chunk", "val"],
-            F.struct(F.col(id_col).alias("id"), F.col("fp")),
-            None,
-        )
-        .filter(F.size("ids") >= 2)
-        .select(F.col("ids"), F.posexplode("ids").alias("i", "a"))
-        .select(
-            "a",
-            F.explode(
-                F.slice("ids", F.col("i") + 2, F.size("ids"))
-            ).alias("b"),
+        _suffix_pairs(
+            _carriers(
+                chunks,
+                ["chunk", "val"],
+                F.struct(F.col(id_col).alias("id"), F.col("fp")),
+                None,
+            ),
+            id_of=lambda c: c["id"],
         )
         .select(
             F.col("a.id").alias("id_a"),
@@ -542,17 +544,11 @@ def ngram_jaccard_pairs(
     # self-join executed the shingle lineage three times (Spark does
     # not reuse the exchange across aliased legs), and per-row memory
     # stays O(gram df) <= max_gram_df.
-    carriers = _carriers(grams, "g", F.col(id_col), max_gram_df)
     inter = (
-        carriers.filter(F.size("ids") >= 2)
-        .select(F.col("ids"), F.posexplode("ids").alias("i", "id_a"))
-        # ids is sorted and (id, gram) rows are distinct per doc, so
-        # the strict suffix after position i gives every id_a < id_b.
-        .select(
+        _suffix_pairs(
+            _carriers(grams, "g", F.col(id_col), max_gram_df),
             "id_a",
-            F.explode(
-                F.slice("ids", F.col("i") + 2, F.size("ids"))
-            ).alias("id_b"),
+            "id_b",
         )
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
@@ -561,8 +557,8 @@ def ngram_jaccard_pairs(
     # broadcast hint: a hint would FORCE a driver-side build of an
     # O(|docs|) table and OOM at 1e9+ docs, bypassing the size check
     # AQE applies. Left to AQE, the sizes side broadcasts when small
-    # and falls back to a shuffled hash join at corpus scale — same
-    # hand-off the `rare` semi-join above uses.
+    # and falls back to a shuffled hash join at corpus scale — the
+    # same hand-off _carriers' df-cap counter pass relies on.
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     jac = F.col("inter").cast("double") / (
@@ -623,20 +619,15 @@ def incremental_ngram_dedup(
     # struct so the pair stream filters existing x existing pairs
     # inline and the admission step below needs no flag-table joins at
     # all. array_sort on (id, t) structs orders by id first.
-    carriers = _carriers(
-        grams,
-        "g",
-        F.struct(F.col(id_col).alias("id"), F.col(tag).alias("t")),
-        max_gram_df,
-    )
     inter = (
-        carriers.filter(F.size("ids") >= 2)
-        .select(F.col("ids"), F.posexplode("ids").alias("i", "a"))
-        .select(
-            "a",
-            F.explode(
-                F.slice("ids", F.col("i") + 2, F.size("ids"))
-            ).alias("b"),
+        _suffix_pairs(
+            _carriers(
+                grams,
+                "g",
+                F.struct(F.col(id_col).alias("id"), F.col(tag).alias("t")),
+                max_gram_df,
+            ),
+            id_of=lambda c: c["id"],
         )
         # at least one side is incoming — existing x existing pairs
         # are dead weight and are cut before the aggregation
@@ -695,8 +686,8 @@ def winnow_fingerprints(
 
     Scale shape: hashing and window-minima are array expressions — a
     narrow projection; the per-doc distinct collapses fingerprints
-    before anything shuffles, and downstream pair joins move 16-char
-    digests, not text.
+    before anything shuffles, and downstream pair grouping moves
+    8-byte xxhash64 longs, not text.
     """
     words = F.split(normalize_text(F.col(text_col)), " ")
     n = F.size(words)
@@ -761,17 +752,9 @@ def winnow_pairs(
     guarantee need it, since a cap may drop exactly the one
     fingerprint a pair shares."""
     fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
-    carriers = _carriers(fps, "fp", F.col(id_col), max_fp_df)
     return (
-        carriers.filter(F.size("ids") >= 2)
-        .select(F.col("ids"), F.posexplode("ids").alias("i", "id_a"))
-        # ids is sorted and (id, fp) rows are distinct, so the strict
-        # suffix after position i pairs id_a with every larger carrier.
-        .select(
-            "id_a",
-            F.explode(
-                F.slice("ids", F.col("i") + 2, F.size("ids"))
-            ).alias("id_b"),
+        _suffix_pairs(
+            _carriers(fps, "fp", F.col(id_col), max_fp_df), "id_a", "id_b"
         )
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("shared_fps"))

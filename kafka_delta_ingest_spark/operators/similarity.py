@@ -595,21 +595,14 @@ def embedding_neardup_pairs(
     over the hyperplane-hash lineage, where a left/right aliased
     self-join would execute it twice. The vector payloads are joined
     back only onto the deduped candidate pairs."""
-    from kafka_delta_ingest_spark.operators.util import _carriers
+    from kafka_delta_ingest_spark.operators.util import _carriers, _suffix_pairs
 
     b = _bucketed(df, id_col, vec_col, "vid", dim, num_bits, num_tables)
-    pair_ids = (
-        _carriers(b, ["table", "bucket"], F.col("vid"), None)
-        .filter(F.size("ids") >= 2)
-        .select(F.col("ids"), F.posexplode("ids").alias("i", "id_a"))
-        .select(
-            "id_a",
-            F.explode(
-                F.slice("ids", F.col("i") + 2, F.size("ids"))
-            ).alias("id_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    pair_ids = _suffix_pairs(
+        _carriers(b, ["table", "bucket"], F.col("vid"), None),
+        "id_a",
+        "id_b",
+    ).dropDuplicates(["id_a", "id_b"])
     vecs = df.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v"))
     cand = pair_ids.join(
         vecs.select(F.col("vid").alias("id_a"), F.col("v").alias("va")), "id_a"
@@ -860,7 +853,11 @@ def semdedup(
     (Σ|cell|² work, the trade SemDeDup makes by design), never a
     corpus cross product.
 
-    Returns one row per vector: (id, cell, kept).
+    Returns one row per vector: (id, cell, kept). Degenerate edge: an
+    EMPTY pivot set (no id hits the centroid_mod grid) assigns every
+    vector cell=null and keeps everything — nothing to cluster means
+    nothing to dedup (the earlier crossJoin formulation silently
+    returned an empty frame, i.e. dropped the whole corpus).
     """
 
     from kafka_delta_ingest_spark.operators.util import spread

@@ -53,6 +53,35 @@ def _carriers(
     )
 
 
+def _suffix_pairs(
+    carriers: DataFrame,
+    out_a: str = "a",
+    out_b: str = "b",
+    id_of=None,
+) -> DataFrame:
+    """Stream ordered carrier pairs from a :func:`_carriers` frame:
+    each posexploded element of the sorted ``ids`` array pairs with
+    its strict suffix, so every unordered pair appears exactly once
+    with the lower id first and per-row memory stays O(carriers),
+    never O(carriers^2). ``id_of`` extracts the ordering id from an
+    element (identity for plain id arrays; a field accessor for
+    struct items) — the strict ``<`` on it also drops self-pairs when
+    the input carried duplicate ids, which the old a/b equi-join
+    shapes tolerated silently."""
+    id_of = id_of or (lambda c: c)
+    return (
+        carriers.filter(F.size("ids") >= 2)
+        .select(F.col("ids"), F.posexplode("ids").alias("_i", out_a))
+        .select(
+            out_a,
+            F.explode(
+                F.slice("ids", F.col("_i") + 2, F.size("ids"))
+            ).alias(out_b),
+        )
+        .filter(id_of(F.col(out_a)) < id_of(F.col(out_b)))
+    )
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],

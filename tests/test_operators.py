@@ -1337,3 +1337,43 @@ def test_carriers_cap_bounds_groups_before_collection(spark):
         ).collect()
     }
     assert comp == {(0, 5): [(1, "y"), (3, "x")], (1, 5): [(2, "z")]}
+
+
+def test_pair_generators_tolerate_duplicate_ids(spark):
+    """A replayed row (same id appearing twice) must not produce a
+    self-pair — downstream droppers would delete a doc as a duplicate
+    of itself."""
+    base = [(1, "alpha beta gamma delta epsilon zeta eta theta")]
+    df = spark.createDataFrame(base + base, "doc_id long, text string")
+    assert (
+        dedup.minhash_lsh_pairs(df, "doc_id", "text", num_hashes=16, bands=4)
+        .filter(F.col("id_a") == F.col("id_b")).count() == 0
+    )
+    assert (
+        dedup.simhash_pairs(df, "doc_id", "text")
+        .filter(F.col("id_a") == F.col("id_b")).count() == 0
+    )
+    assert (
+        dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.1)
+        .filter(F.col("id_a") == F.col("id_b")).count() == 0
+    )
+    edf = spark.createDataFrame(
+        [(7, [1.0] * 64), (7, [1.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    assert (
+        similarity.embedding_neardup_pairs(edf, threshold=0.5)
+        .filter(F.col("id_a") == F.col("id_b")).count() == 0
+    )
+
+
+def test_semdedup_empty_pivot_set_keeps_everything(spark):
+    """No pivots (no id on the centroid_mod grid) → nothing to
+    cluster → every vector kept with a null cell, not an empty (i.e.
+    drop-everything) result."""
+    df = spark.createDataFrame(
+        [(1, [1.0] * 8), (3, [1.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    out = similarity.semdedup(df, centroid_mod=10).collect()
+    assert len(out) == 2
+    assert all(r.kept for r in out)
+    assert all(r.cell is None for r in out)
