@@ -2807,6 +2807,58 @@ def dedup_winnow_pairs(spark, sf_dir):
 
 
 @_q(
+    "dedup_containment_pairs",
+    r"""
+    SELECT doc_id AS id_a,
+           doc_id + 7000000 AS id_b
+    FROM documents
+    WHERE doc_id % 17 = 0
+      AND len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) >= 3
+    """,
+)
+def dedup_containment_pairs(spark, sf_dir):
+    """N-gram CONTAINMENT dedup (|A∩B| / min set size — Broder's
+    containment, the doc-inside-doc detector) with a planted subset
+    invariant as the oracle: every 17th document (>= n=3 normalized
+    tokens, so its shingle set is pure 3-grams) gets a twin holding
+    the FULL original text plus 200 junk words APPENDED. The twin's
+    3-gram set is a strict superset of the original's, so containment
+    is exactly 1.0 — while Jaccard ≈ |A|/(|A|+200) stays far below
+    any useful threshold, which is the operator's reason to exist.
+    df-cap disabled (a capped gram removes itself from the
+    intersection and breaks the exact-1.0 invariant); junk words are
+    doc_id-salted so no two twins share them. Output filtered to the
+    planted id shape; the pair set is exactly predictable in SQL."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_tok = F.size(F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "))
+    junk = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(199)),
+            lambda i: F.concat(
+                F.lit("ctj"), F.col("doc_id").cast("string"), F.lit("x"),
+                i.cast("string"),
+            ),
+        ),
+    )
+    twins = (
+        d.where((F.col("doc_id") % 17 == 0) & (n_tok >= 3))
+        .select(
+            (F.col("doc_id") + 7_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" "), junk).alias("text"),
+        )
+    )
+    pairs = dedup.ngram_containment_pairs(
+        d.unionByName(twins), "doc_id", "text", n=3,
+        threshold=1.0, max_gram_df=None,
+    )
+    return pairs.where(
+        (F.col("id_b") - F.col("id_a") == 7_000_000)
+        & (F.col("id_b") >= 7_000_000)
+    ).select("id_a", "id_b")
+
+
+@_q(
     "pipeline_rag_retrieval",
     r"""
     WITH d AS (
@@ -5174,6 +5226,7 @@ _SWEEP_ORDER: list[str] = [
     "q9_nation_year_profit",
     "q3_shipping_priority",
     "q10_returned_items",
+    "dedup_containment_pairs",
 ]
 
 

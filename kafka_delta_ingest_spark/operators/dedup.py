@@ -572,6 +572,57 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_gram_df: int | None = 1000,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by n-gram CONTAINMENT:
+    |A∩B| / min(|A|, |B|) — the doc-inside-doc detector. A short
+    document pasted into a long one (quoting, aggregation pages,
+    scraped wrappers) scores containment 1.0 while its Jaccard is
+    |A| / |B| ≈ 0, so a Jaccard threshold never pairs them (Broder's
+    resemblance-vs-containment distinction).
+
+    Same plan as :func:`ngram_jaccard_pairs` — carriers grouped per
+    gram with bounded buffers, suffix-streamed pairs, size table
+    joined back at pair scale — only the final ratio differs.
+    ``max_gram_df=None`` disables the df-cap for callers needing
+    exact containment on every pair (a capped gram removes itself
+    from the intersection, understating containment).
+    """
+    df = spread(df)
+    sizes = df.select(
+        F.col(id_col), F.size(word_shingles(F.col(text_col), n)).alias("sz")
+    )
+    grams = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("g")
+    )
+    inter = (
+        _suffix_pairs(
+            _carriers(grams, "g", F.col(id_col), max_gram_df),
+            "id_a",
+            "id_b",
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    cont = F.col("inter").cast("double") / F.least(
+        F.col("sz_a"), F.col("sz_b")
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def incremental_ngram_dedup(
     existing: DataFrame,
     incoming: DataFrame,

@@ -1377,3 +1377,24 @@ def test_semdedup_empty_pivot_set_keeps_everything(spark):
     assert len(out) == 2
     assert all(r.kept for r in out)
     assert all(r.cell is None for r in out)
+
+
+def test_containment_catches_doc_inside_doc_jaccard_misses(spark):
+    """Broder containment vs resemblance: a short doc pasted into a
+    long one scores containment 1.0 while Jaccard ~ |A|/|B| stays
+    tiny."""
+    short = " ".join(f"core{i}" for i in range(10))
+    long_doc = short + " " + " ".join(f"pad{i}" for i in range(200))
+    other = " ".join(f"zz{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(0, short), (1, long_doc), (2, other)], "doc_id long, text string"
+    )
+    cont = dedup.ngram_containment_pairs(
+        df, "doc_id", "text", threshold=0.99
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in cont} == {(0, 1)}
+    assert cont[0].containment == 1.0
+    jac = dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.2)
+    assert not any(
+        {r.id_a, r.id_b} == {0, 1} for r in jac.collect()
+    )
