@@ -2590,14 +2590,19 @@ def split_pack_sequences(spark, sf_dir):
 )
 def split_quality_curriculum(spark, sf_dir):
     """Curriculum binning: quartile buckets of the composite quality
-    score within each language (ntile over a lang-partitioned window —
-    parallel across groups, deterministic via the doc_id tie-break).
+    score within each language via sampling.quantile_bins (exact=True
+    here — the certifiable ntile twin; production at 100 TB uses the
+    exact=False approx-threshold path, which replaces the per-language
+    sort with a one-pass percentile sketch + pure filter).
     Downstream training samples bin 1 early and anneals toward bin 4."""
+    from kafka_delta_ingest_spark.operators.sampling import quantile_bins
+
     d = load_table(spark, sf_dir, "documents")
     q = d.select("doc_id", "lang", textops.quality_score(F.col("text")).alias("quality"))
-    w = Window.partitionBy("lang").orderBy(F.col("quality").desc(), "doc_id")
     return (
-        q.withColumn("bin", F.ntile(4).over(w).cast("int"))
+        quantile_bins(
+            q, "quality", "lang", 4, descending=True, exact=True
+        )
         .groupBy("lang", "bin")
         .agg(
             F.count("*").alias("n_docs"),

@@ -224,6 +224,8 @@ def ccnet_perplexity_buckets(
     lang_col: str = "lang",
     text_col: str = "text",
     id_col: str = "doc_id",
+    exact: bool = True,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """CCNet's head/middle/tail split (Wenzek et al. 2020): within each
     language, rank documents by LM perplexity and cut into terciles —
@@ -232,29 +234,56 @@ def ccnet_perplexity_buckets(
 
     Perplexity comes from :func:`bigram_lm_scores` (corpus-trained
     bigram LM; CCNet uses a pretrained KenLM — a scores table from any
-    external LM drops into the same ntile step). Exact-tercile
-    formulation: ntile(3) over a lang-partitioned window ordered by
-    (ppl, id) — deterministic and engine-portable. At 100 TB a
-    mega-language makes that window's sort the bottleneck; the scale
-    path is per-lang approx-percentile THRESHOLDS (percentile_approx
-    on ppl, then a pure filter — no per-lang global sort), trading
-    exact tercile boundaries for a bounded-error cut, same trade
-    split_quality_curriculum documents.
+    external LM drops into the same bucketing step). Two formulations:
+
+    * ``exact=True`` (the oracle twin): ntile(3) over a
+      lang-partitioned window ordered by (ppl, id) — deterministic,
+      engine-portable, exact tercile SIZES. The cost is a full
+      per-language sort in one partition chain, which a mega-language
+      turns into the job bottleneck at 100 TB.
+    * ``exact=False`` (the production scale path): per-lang
+      ``percentile_approx(ppl, [1/3, 2/3])`` cut points — a one-pass
+      mergeable sketch hash-aggregation — broadcast back, then a pure
+      filter assigns buckets. NO per-language global sort anywhere in
+      the plan (pinned by tests/test_plans.py); boundary placement is
+      sketch-approximate (rank error ≤ n/accuracy) but every document
+      still lands in a deterministic bucket for a given dataset.
+
+    CCNet itself computes cutoffs on a SAMPLE for the same reason —
+    the approx path is the faithful production semantics, the exact
+    path the certifiable twin.
     """
     scores = bigram_lm_scores(df, text_col=text_col, id_col=id_col)
     langs = df.select(F.col(id_col), F.col(lang_col))
-    w = Window.partitionBy(lang_col).orderBy(
-        F.col("ppl").asc(), F.col(id_col).asc()
+    scored = scores.join(langs, id_col)
+    names = F.array(F.lit("head"), F.lit("middle"), F.lit("tail"))
+    if exact:
+        w = Window.partitionBy(lang_col).orderBy(
+            F.col("ppl").asc(), F.col(id_col).asc()
+        )
+        bucket = F.ntile(3).over(w)
+        return scored.select(
+            id_col,
+            lang_col,
+            "ppl",
+            F.element_at(names, bucket).alias("bucket"),
+        )
+    cuts = scored.groupBy(lang_col).agg(
+        F.approx_percentile(
+            "ppl", F.array(F.lit(1 / 3), F.lit(2 / 3)), F.lit(accuracy)
+        ).alias("_cuts")
     )
-    bucket = F.ntile(3).over(w)
+    bucket = (
+        F.when(F.col("ppl") <= F.col("_cuts")[0], F.lit(1))
+        .when(F.col("ppl") <= F.col("_cuts")[1], F.lit(2))
+        .otherwise(F.lit(3))
+    )
     return (
-        scores.join(langs, id_col)
+        scored.join(F.broadcast(cuts), lang_col)
         .select(
             id_col,
             lang_col,
             "ppl",
-            F.element_at(
-                F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), bucket
-            ).alias("bucket"),
+            F.element_at(names, bucket).alias("bucket"),
         )
     )

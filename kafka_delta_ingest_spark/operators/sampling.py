@@ -301,6 +301,69 @@ def cap_per_group(
     )
 
 
+def quantile_bins(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    n_bins: int,
+    id_col: str = "doc_id",
+    descending: bool = False,
+    exact: bool = True,
+    accuracy: int = 10000,
+    bin_col: str = "bin",
+) -> DataFrame:
+    """Per-group quantile binning (curriculum quartiles, CCNet-style
+    terciles, …): every row gets a 1..n_bins bucket by its value's
+    rank within its group.
+
+    * ``exact=True`` (the oracle twin): ``ntile(n_bins)`` over a
+      group-partitioned window ordered by (value, id) — deterministic
+      and engine-portable, exact bin SIZES, but a full per-group sort:
+      one mega-group at 100 TB serializes into a single partition
+      chain.
+    * ``exact=False`` (the production scale path): per-group
+      ``percentile_approx`` cut points — a one-pass mergeable-sketch
+      hash aggregation — broadcast back, then a pure filter assigns
+      bins. NO per-group global sort in the plan (pinned by
+      tests/test_plans.py); bin boundaries carry sketch rank error
+      ≤ n/accuracy, and ties AT a boundary all land in the lower bin
+      (value-based cut) where ntile would split them by id.
+
+    ``descending=True`` ranks high values into bin 1 (curriculum
+    "best first"); implemented by negating the value so both paths
+    share one ordering convention.
+    """
+    v = F.col(value_col) if not descending else -F.col(value_col)
+    work = df.withColumn("_qv", v)
+    if exact:
+        w = Window.partitionBy(group_col).orderBy(
+            F.col("_qv").asc(), F.col(id_col).asc()
+        )
+        return work.withColumn(
+            bin_col, F.ntile(n_bins).over(w).cast("int")
+        ).drop("_qv")
+    qs = [i / n_bins for i in range(1, n_bins)]
+    cuts = work.groupBy(group_col).agg(
+        F.approx_percentile(
+            "_qv", F.array(*[F.lit(q) for q in qs]), F.lit(accuracy)
+        ).alias("_cuts")
+    )
+    # bin = 1 + number of cut points strictly below the value.
+    bin_expr = (
+        F.lit(1)
+        + F.aggregate(
+            F.col("_cuts"),
+            F.lit(0),
+            lambda acc, c: acc + F.when(F.col("_qv") > c, 1).otherwise(0),
+        )
+    ).cast("int")
+    return (
+        work.join(F.broadcast(cuts), group_col)
+        .withColumn(bin_col, bin_expr)
+        .drop("_qv", "_cuts")
+    )
+
+
 def shuffle_order(df: DataFrame, id_col: str, seed: int = 0) -> DataFrame:
     """Deterministic global training-order shuffle: every row gets a
     ``shuffle_key`` = md5(seed || id). Sorting by the key is a seeded

@@ -219,3 +219,79 @@ def test_funnel_matches_python_reference_on_random_events(spark):
         )
         got = {r.stage: r.users for r in funnel(df, steps).collect()}
         assert got == want, seed
+
+
+def test_ccnet_buckets_approx_matches_exact_partition(spark):
+    """The exact=False scale path (percentile_approx thresholds + pure
+    filter) must produce the same head/middle/tail PARTITION the exact
+    ntile twin does, up to boundary placement: per lang the buckets
+    are value-monotone and sizes stay within one row of a tercile
+    (the sketch is exact at this cardinality)."""
+    from kafka_delta_ingest_spark.operators.lm import ccnet_perplexity_buckets
+
+    rows = []
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    for i in range(24):
+        lang = "en" if i % 2 == 0 else "de"
+        # distinct word mixes -> distinct perplexities
+        text = " ".join(words[(i + j) % 6] for j in range(4 + i % 5)) + f" w{i}"
+        rows.append(Row(doc_id=i, lang=lang, text=text))
+    df = spark.createDataFrame(rows)
+
+    exact = ccnet_perplexity_buckets(df, exact=True).collect()
+    approx = ccnet_perplexity_buckets(df, exact=False).collect()
+
+    assert {r.doc_id for r in approx} == {r.doc_id for r in exact}
+    order = {"head": 0, "middle": 1, "tail": 2}
+    for lang in ("en", "de"):
+        rs = [r for r in approx if r.lang == lang]
+        n = len(rs)
+        # value-monotone partition: every head ppl <= every middle ppl
+        # <= every tail ppl
+        by_bucket = {}
+        for r in rs:
+            by_bucket.setdefault(r.bucket, []).append(r.ppl)
+        buckets = sorted(by_bucket, key=order.get)
+        for a, b in zip(buckets, buckets[1:]):
+            assert max(by_bucket[a]) <= min(by_bucket[b]), (lang, a, b)
+        # tercile sizes within one row of exact
+        for name, vals in by_bucket.items():
+            assert abs(len(vals) - n / 3) <= 1, (lang, name, len(vals))
+
+
+def test_quantile_bins_exact_matches_ntile_and_approx_is_monotone(spark):
+    from kafka_delta_ingest_spark.operators.sampling import quantile_bins
+    from pyspark.sql import Window, functions as F
+
+    rows = [
+        Row(doc_id=i, lang="en" if i % 3 else "fr", score=float((i * 37) % 101))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows)
+
+    got = {
+        (r.doc_id, r.bin)
+        for r in quantile_bins(
+            df, "score", "lang", 4, descending=True, exact=True
+        ).collect()
+    }
+    w = Window.partitionBy("lang").orderBy(F.col("score").desc(), "doc_id")
+    want = {
+        (r.doc_id, r.bin)
+        for r in df.withColumn("bin", F.ntile(4).over(w).cast("int")).collect()
+    }
+    assert got == want
+
+    approx = quantile_bins(
+        df, "score", "lang", 4, descending=True, exact=False
+    ).collect()
+    assert {r.doc_id for r in approx} == {r.doc_id for r in rows}
+    for lang in ("en", "fr"):
+        by_bin = {}
+        for r in approx:
+            if r.lang == lang:
+                by_bin.setdefault(r.bin, []).append(r.score)
+        # descending: bin 1 holds the highest scores
+        bins = sorted(by_bin)
+        for a, b in zip(bins, bins[1:]):
+            assert min(by_bin[a]) >= max(by_bin[b]), (lang, a, b)

@@ -234,3 +234,24 @@ def test_hybrid_rrf_fusion_is_tiny_and_broadcast(spark):
     assert "CartesianProduct" not in p
     # The dense side's query set is broadcast against the corpus.
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_ccnet_approx_path_has_no_per_lang_sort(spark):
+    """exact=False is the 100 TB path: percentile_approx cut points +
+    broadcast join + pure filter. The physical plan must contain no
+    window (ntile) and no sort at all — a mega-language must never
+    serialize into one partition chain."""
+    from kafka_delta_ingest_spark.operators.lm import ccnet_perplexity_buckets
+    from kafka_delta_ingest_spark.operators.sampling import quantile_bins
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(ccnet_perplexity_buckets(docs, exact=False), mode="simple")
+    assert "Window" not in p
+    assert "Sort" not in p
+    assert "BroadcastHashJoin" in p
+
+    scored = docs.select("doc_id", "lang", F.length("text").cast("double").alias("q"))
+    p2 = plan(quantile_bins(scored, "q", "lang", 4, exact=False), mode="simple")
+    assert "Window" not in p2
+    assert "Sort" not in p2
