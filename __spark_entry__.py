@@ -1116,11 +1116,44 @@ def dedup_incremental_admit(spark, sf_dir):
     cross and intra pairs; existing x existing pairs are cut before the
     aggregation."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    admitted = dedup.incremental_ngram_dedup(
+        d, _incremental_incoming(d), "doc_id", "text",
+        n=3, threshold=0.5, max_gram_df=1000,
+    )
+    return admitted.select("doc_id")
+
+
+@_q(
+    "dedup_incremental_indexed",
+    # The indexed steady-state form admits EXACTLY what the stateless
+    # form admits (shared _admit_incoming core, grams compared by
+    # xxhash64 in both), so its oracle is the same SQL.
+    _ORACLES["dedup_incremental_admit"],
+)
+def dedup_incremental_indexed(spark, sf_dir):
+    """Steady-state continuous-ingest dedup: the existing corpus
+    arrives as a persisted hashed-shingle index (build_gram_index —
+    one (id, xxhash64(gram)) row per doc-gram, append-only across
+    polls), so each batch joins incoming grams against ONE index scan
+    instead of re-shingling the admitted corpus. Same planted
+    three-outcome batch and the same oracle as dedup_incremental_admit:
+    the two forms must admit identical rows."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    index = dedup.build_gram_index(d, "doc_id", "text", n=3)
+    admitted = dedup.incremental_ngram_dedup_indexed(
+        index, _incremental_incoming(d), "doc_id", "text",
+        n=3, threshold=0.5, max_gram_df=1000,
+    )
+    return admitted.select("doc_id")
+
+
+def _incremental_incoming(d):
+    """The planted incoming batch shared by both incremental queries."""
     doc = F.col("doc_id")
     rev = F.concat_ws(
         " ", F.reverse(F.split(textops.normalize_text(F.col("text")), " "))
     )
-    incoming = (
+    return (
         d.filter(doc % 5 == 0)
         .select(
             (doc + 2000000).alias("doc_id"),
@@ -1137,10 +1170,6 @@ def dedup_incremental_admit(spark, sf_dir):
             )
         )
     )
-    admitted = dedup.incremental_ngram_dedup(
-        d, incoming, "doc_id", "text", n=3, threshold=0.5, max_gram_df=1000
-    )
-    return admitted.select("doc_id")
 
 
 @_q(
@@ -5266,6 +5295,7 @@ _SWEEP_ORDER: list[str] = [
     "dedup_ngram_jaccard",
     "dedup_winnow_pairs",
     "dedup_incremental_admit",
+    "dedup_incremental_indexed",
     "dedup_clusters_cc",
     "sim_cosine_topk",
     "sim_lsh_topk",
@@ -5291,7 +5321,6 @@ _SWEEP_ORDER: list[str] = [
     "q3_shipping_priority",
     "corpus_card",
     "q9_nation_year_profit",
-    "q18_large_orders",
     "sim_pq_topk",
     # --- tail: everything already certified in r1-r4 driver files.
     # tools/check_oracle.py verifies the full set regardless of any cap.
@@ -5317,6 +5346,7 @@ _SWEEP_ORDER: list[str] = [
     "q15_top_supplier",
     "q16_supplier_variety",
     "q17_small_quantity_revenue",
+    "q18_large_orders",
     "q19_disjunctive_revenue",
     "q20_volume_suppliers",
     "q21_waiting_suppliers",

@@ -88,6 +88,7 @@ HEADLINE = [
     "split_ccnet_buckets",
     "split_temperature_mix",
     "dedup_winnow_pairs",
+    "dedup_incremental_indexed",
 ]
 
 

@@ -126,6 +126,17 @@ def build_parser() -> argparse.ArgumentParser:
     cur.add_argument("--dedup", choices=["exact", "fuzzy", "none"], default="exact",
                      help="exact: normalized-text hash dedup; fuzzy: 3-gram "
                           "Jaccard pairs + connected components + keep-best")
+    cur.add_argument("--gram_index", default=None,
+                     help="parquet path of a persisted hashed-shingle index "
+                          "(dedup.build_gram_index): incoming docs that "
+                          "near-duplicate the already-admitted corpus "
+                          "(3-gram Jaccard >= --admit_threshold) are "
+                          "dropped, and the admitted docs' grams are "
+                          "APPENDED to the index — the steady-state "
+                          "continuous-ingest dedup loop, one index scan "
+                          "per batch instead of re-shingling the corpus")
+    cur.add_argument("--admit_threshold", type=float, default=0.5,
+                     help="Jaccard threshold for --gram_index admission")
     cur.add_argument("--train_pct", type=int, default=90,
                      help="Deterministic md5-bucket train split percentage")
     cur.add_argument("--report", default=None,
@@ -410,6 +421,29 @@ def run_curate(args: argparse.Namespace) -> int:
             dedup.canonicalize_clusters(d, clusters, "quality", id_col=idc)
             .where(F.col("keep") == 1)
             .drop("cluster_id", "keep")
+        )
+    if args.gram_index:
+        import os
+
+        if os.path.isdir(args.gram_index):
+            index = spark.read.parquet(args.gram_index)
+        else:
+            # First batch: empty index with the right (id, gh) types.
+            index = d.select(
+                F.col(idc), F.xxhash64(F.col(txc)).alias("gh")
+            ).limit(0)
+        d = dedup.incremental_ngram_dedup_indexed(
+            index, d, idc, txc, n=3, threshold=args.admit_threshold
+        ).localCheckpoint()
+        # Materialized BEFORE the index append: the admitted frame's
+        # lineage reads the index path, and both the append below and
+        # the output write re-execute it otherwise — the checkpoint
+        # freezes the pre-append snapshot and runs admission once.
+        # Append-only index maintenance: the admitted batch's grams
+        # join the persisted table for the next batch — no rebuild,
+        # no read-modify-write of existing files.
+        dedup.build_gram_index(d, idc, txc, n=3).write.mode("append").parquet(
+            args.gram_index
         )
     out = deterministic_split(d, idc, train_pct=args.train_pct)
     out.write.mode("overwrite").partitionBy("split").parquet(args.output)

@@ -623,59 +623,31 @@ def ngram_containment_pairs(
     )
 
 
-def incremental_ngram_dedup(
-    existing: DataFrame,
+def _admit_incoming(
+    grams: DataFrame,
+    sizes: DataFrame,
     incoming: DataFrame,
     id_col: str,
-    text_col: str,
-    n: int = 3,
-    threshold: float = 0.5,
-    max_gram_df: int = 1000,
+    threshold: float,
+    max_gram_df: int | None,
 ) -> DataFrame:
-    """Admit the incoming-batch rows that near-duplicate neither the
-    existing corpus nor a lower-id incoming row (exact word-n-gram
-    Jaccard ≥ ``threshold`` disqualifies).
+    """Shared admission core of the two incremental-dedup forms.
 
-    The continuous-ingest form of dedup: every arriving batch is
-    checked against the already-admitted corpus, so the corpus stays
-    near-dup-free without ever re-deduping itself. One pair pass over
-    the union computes both cross (existing x incoming) and intra
-    (incoming x incoming) pairs; existing x existing pairs are
-    irrelevant and get filtered before the pair aggregation, not after
-    — the quadratic join never materializes them. Precondition: ids are
-    disjoint across the two inputs (colliding ids would silently merge
-    documents; callers allocate batch ids above the corpus ceiling).
-
-    Stateless formulation: grams are recomputed from text each batch.
-    A steady-state 100 TB deployment would persist the existing side's
-    (id, gram) index as a bucketed table and join incoming grams
-    against it — same plan shape, one scan instead of recompute.
+    ``grams``: one row per (doc, gram) — columns (id_col, ``_t``
+    new-tag, ``gh`` hashed gram). ``sizes``: (id_col, ``sz``) distinct
+    shingle counts. Same group-carriers-then-stream-pairs shape as
+    ``ngram_jaccard_pairs`` (df-capped with bounded buffers via
+    _carriers), carrying the new/existing tag inside the grouped
+    struct so the pair stream filters existing x existing pairs
+    inline and the admission step below needs no flag-table joins at
+    all. array_sort on (id, t) structs orders by id first.
     """
-    tag = "_kdi_new"
-    tagged = existing.select(
-        F.col(id_col), F.col(text_col), F.lit(0).alias(tag)
-    ).unionByName(
-        incoming.select(F.col(id_col), F.col(text_col), F.lit(1).alias(tag))
-    )
-    df = spread(tagged)
-    sizes = df.select(
-        F.col(id_col), F.size(word_shingles(F.col(text_col), n)).alias("sz")
-    )
-    grams = df.select(
-        F.col(id_col), tag, F.explode(word_shingles(F.col(text_col), n)).alias("g")
-    )
-    # Same group-carriers-then-stream-pairs shape as
-    # ``ngram_jaccard_pairs`` (df-capped with bounded buffers via
-    # _carriers), carrying the new/existing tag inside the grouped
-    # struct so the pair stream filters existing x existing pairs
-    # inline and the admission step below needs no flag-table joins at
-    # all. array_sort on (id, t) structs orders by id first.
     inter = (
         _suffix_pairs(
             _carriers(
                 grams,
-                "g",
-                F.struct(F.col(id_col).alias("id"), F.col(tag).alias("t")),
+                "gh",
+                F.struct(F.col(id_col).alias("id"), F.col("_t").alias("t")),
                 max_gram_df,
             ),
             id_of=lambda c: c["id"],
@@ -714,6 +686,135 @@ def incremental_ngram_dedup(
         .alias(id_col)
     ).distinct()
     return incoming.join(losers, on=id_col, how="left_anti")
+
+
+def incremental_ngram_dedup(
+    existing: DataFrame,
+    incoming: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_gram_df: int = 1000,
+) -> DataFrame:
+    """Admit the incoming-batch rows that near-duplicate neither the
+    existing corpus nor a lower-id incoming row (exact word-n-gram
+    Jaccard ≥ ``threshold`` disqualifies).
+
+    The continuous-ingest form of dedup: every arriving batch is
+    checked against the already-admitted corpus, so the corpus stays
+    near-dup-free without ever re-deduping itself. One pair pass over
+    the union computes both cross (existing x incoming) and intra
+    (incoming x incoming) pairs; existing x existing pairs are
+    irrelevant and get filtered before the pair aggregation, not after
+    — the quadratic join never materializes them. Precondition: ids are
+    disjoint across the two inputs (colliding ids would silently merge
+    documents; callers allocate batch ids above the corpus ceiling).
+
+    Stateless formulation: grams are recomputed from text each batch —
+    right for backfills and one-shot merges. A steady-state deployment
+    uses :func:`incremental_ngram_dedup_indexed`, which replaces the
+    existing side's re-shingling with one scan of a persisted
+    (id, gram-hash) index — grams compare by xxhash64 in BOTH forms,
+    so the two produce identical admissions.
+    """
+    tagged = existing.select(
+        F.col(id_col), F.col(text_col), F.lit(0).alias("_t")
+    ).unionByName(
+        incoming.select(F.col(id_col), F.col(text_col), F.lit(1).alias("_t"))
+    )
+    df = spread(tagged)
+    sizes = df.select(
+        F.col(id_col), F.size(word_shingles(F.col(text_col), n)).alias("sz")
+    )
+    grams = df.select(
+        F.col(id_col),
+        "_t",
+        F.explode(word_shingles(F.col(text_col), n)).alias("_g"),
+    ).select(F.col(id_col), "_t", F.xxhash64("_g").alias("gh"))
+    return _admit_incoming(
+        grams, sizes, incoming, id_col, threshold, max_gram_df
+    )
+
+
+def build_gram_index(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, gh) hashed-shingle index of an admitted corpus — the
+    persistable state of :func:`incremental_ngram_dedup_indexed`.
+
+    One row per (doc, distinct k-gram); ``gh`` is xxhash64 of the gram
+    string, so the persisted table stores 16 bytes/row instead of the
+    gram text and every downstream join/shuffle moves longs. Shingle
+    counts are NOT stored: grams are distinct per doc, so the per-doc
+    size is recoverable as a map-side-combined count over the index —
+    keeping the index single-tabled and append-only (no second table
+    to keep transactionally in step). Persist with
+    ``index.write.partitionBy()/bucketBy(...)`` keyed on ``gh`` so the
+    steady-state probe join co-locates.
+
+    Same build-once / serve-many / append split the IVF ANN index uses
+    (similarity.py ivf_build_index): append a new batch's rows after
+    admission with ``index.unionByName(build_gram_index(admitted))``
+    — no rebuild.
+    """
+    return (
+        spread(df)
+        .select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), n)).alias("_g"),
+        )
+        .select(F.col(id_col), F.xxhash64("_g").alias("gh"))
+    )
+
+
+def incremental_ngram_dedup_indexed(
+    index: DataFrame,
+    incoming: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_gram_df: int = 1000,
+) -> DataFrame:
+    """Steady-state form of :func:`incremental_ngram_dedup`: the
+    existing corpus arrives as a persisted :func:`build_gram_index`
+    table instead of raw text, so each ingest batch joins incoming
+    grams against ONE scan of the index rather than re-shingling the
+    whole admitted corpus — the per-batch cost drops from
+    O(|corpus| + |batch|) shingling to O(|batch|) shingling plus an
+    index scan that partition-prunes/co-locates when the table is
+    bucketed by ``gh``.
+
+    Admission semantics are identical to the stateless form (asserted
+    by tests/test_incremental_pipeline.py): both compare grams by
+    xxhash64, share :func:`_admit_incoming`, and collapse chains
+    toward the corpus by min-id. After admitting, append
+    ``build_gram_index(admitted)`` to the index for the next batch.
+    """
+    inc = spread(incoming)
+    inc_sizes = inc.select(
+        F.col(id_col), F.size(word_shingles(F.col(text_col), n)).alias("sz")
+    )
+    # Distinct grams per doc ⇒ the index itself is the size table.
+    idx_sizes = index.groupBy(id_col).agg(F.count("*").alias("sz"))
+    grams = index.select(
+        F.col(id_col), F.lit(0).alias("_t"), F.col("gh")
+    ).unionByName(
+        inc.select(
+            F.col(id_col),
+            F.lit(1).alias("_t"),
+            F.explode(word_shingles(F.col(text_col), n)).alias("_g"),
+        ).select(F.col(id_col), "_t", F.xxhash64("_g").alias("gh"))
+    )
+    return _admit_incoming(
+        grams,
+        idx_sizes.unionByName(inc_sizes),
+        incoming,
+        id_col,
+        threshold,
+        max_gram_df,
+    )
 
 
 def winnow_fingerprints(

@@ -128,3 +128,66 @@ def test_curate_boilerplate_and_classifier_stages(spark, tmp_path):
     # boilerplate survived only in the lowest-id carrier
     assert boiler in got[0]
     assert boiler not in got[1]
+
+
+def test_curate_gram_index_steady_state(spark, tmp_path):
+    """Two curate runs sharing --gram_index: the second batch's
+    near-dup resubmissions of batch-1 text must be rejected by the
+    persisted index, and the index grows append-only."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_DIR, "documents").orderBy("doc_id")
+    base = docs.limit(20).collect()
+    idx = str(tmp_path / "gram_index")
+    schema = "doc_id long, text string, lang string, source string, n_chars int"
+
+    src1, out1 = str(tmp_path / "in1"), str(tmp_path / "out1")
+    spark.createDataFrame(
+        [(d.doc_id, d.text, d.lang, d.source, d.n_chars) for d in base[:10]],
+        schema,
+    ).write.mode("overwrite").parquet(src1)
+    rc = main(
+        ["curate", src1, out1, "--min_quality", "0.0", "--dedup", "none",
+         "--gram_index", idx]
+    )
+    assert rc == 0
+    n1 = spark.read.parquet(out1).count()
+    assert n1 == 10
+    idx_n1 = spark.read.parquet(idx).count()
+    assert idx_n1 > 0
+
+    # Batch 2: 5 fresh docs + 3 near-dup resubmissions of batch-1 text
+    # under new ids (one appended word: high Jaccard, not exact).
+    src2, out2 = str(tmp_path / "in2"), str(tmp_path / "out2")
+    rows2 = [
+        (d.doc_id, d.text, d.lang, d.source, d.n_chars) for d in base[10:15]
+    ] + [
+        (9_000 + i, base[i].text + " resub", base[i].lang, base[i].source,
+         base[i].n_chars)
+        for i in range(3)
+    ]
+    spark.createDataFrame(rows2, schema).write.mode("overwrite").parquet(src2)
+    rc = main(
+        ["curate", src2, out2, "--min_quality", "0.0", "--dedup", "none",
+         "--gram_index", idx]
+    )
+    assert rc == 0
+    admitted2 = {r.doc_id for r in spark.read.parquet(out2).collect()}
+    # Golden: the stateless operator against the corpus admitted so far
+    # (the synthetic documents table contains natural near-dups, so the
+    # fresh docs are not all guaranteed through).
+    from kafka_delta_ingest_spark.operators.dedup import incremental_ngram_dedup
+
+    existing = spark.read.parquet(out1).select("doc_id", "text")
+    batch2 = spark.createDataFrame(rows2, schema).select("doc_id", "text")
+    golden = {
+        r.doc_id
+        for r in incremental_ngram_dedup(
+            existing, batch2, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    assert admitted2 == golden
+    assert not any(i >= 9_000 for i in admitted2)
+    # index grew by exactly the admitted docs' grams
+    assert spark.read.parquet(idx).count() > idx_n1
+    assert spark.read.parquet(idx).filter(F.col("doc_id") >= 9_000).count() == 0

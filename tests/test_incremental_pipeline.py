@@ -173,3 +173,104 @@ def test_change_feed_cursor_replication(spark, root):
     assert sorted(map(tuple, dst.read(spark).collect())) == sorted(
         map(tuple, src.read(spark).collect())
     )
+
+
+def _doc_rows(spark, lo, hi):
+    return (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(hi)
+        .collect()[lo:hi]
+    )
+
+
+def test_indexed_admission_equals_stateless(spark):
+    """incremental_ngram_dedup_indexed over build_gram_index(existing)
+    must admit exactly the rows the stateless form admits — the
+    contract that lets a steady-state deployment swap corpus
+    re-shingling for one persisted-index scan."""
+    from kafka_delta_ingest_spark.operators.dedup import (
+        build_gram_index,
+        incremental_ngram_dedup,
+        incremental_ngram_dedup_indexed,
+    )
+
+    docs = _doc_rows(spark, 0, 40)
+    schema = "doc_id long, text string"
+    existing = spark.createDataFrame([(d.doc_id, d.text) for d in docs[:25]], schema)
+    # incoming: 10 fresh docs + near-dup resubmissions of corpus text
+    # (one word appended: high-Jaccard, not exact) + an intra-batch
+    # near-dup pair.
+    incoming_rows = [(10_000 + i, docs[25 + i].text) for i in range(10)]
+    incoming_rows += [
+        (20_000 + i, docs[i].text + " extra") for i in range(4)
+    ]
+    incoming_rows += [(30_000, docs[30].text), (30_001, docs[30].text + " tail")]
+    incoming = spark.createDataFrame(incoming_rows, schema)
+
+    stateless = incremental_ngram_dedup(
+        existing, incoming, "doc_id", "text", n=3, threshold=0.5
+    )
+    index = build_gram_index(existing, "doc_id", "text", n=3)
+    indexed = incremental_ngram_dedup_indexed(
+        index, incoming, "doc_id", "text", n=3, threshold=0.5
+    )
+    got_a = sorted(r.doc_id for r in stateless.collect())
+    got_b = sorted(r.doc_id for r in indexed.collect())
+    assert got_a == got_b
+    # the resubmissions and the higher intra-batch twin must be gone,
+    # the fresh docs admitted
+    assert all(i < 20_000 or i == 30_000 for i in got_b)
+    assert {10_000 + i for i in range(10)} <= set(got_b)
+
+
+def test_gram_index_append_invariant(spark):
+    """Appending an admitted batch's grams to the index and admitting
+    the NEXT batch equals the stateless form run against
+    corpus ∪ admitted — the index stays a faithful corpus mirror
+    across polls."""
+    from kafka_delta_ingest_spark.operators.dedup import (
+        build_gram_index,
+        incremental_ngram_dedup,
+        incremental_ngram_dedup_indexed,
+    )
+
+    docs = _doc_rows(spark, 0, 45)
+    schema = "doc_id long, text string"
+    corpus = spark.createDataFrame([(d.doc_id, d.text) for d in docs[:20]], schema)
+    batch1 = spark.createDataFrame(
+        [(1_000 + i, docs[20 + i].text) for i in range(10)]
+        + [(2_000, docs[0].text + " x")],
+        schema,
+    )
+    batch2 = spark.createDataFrame(
+        [(5_000 + i, docs[30 + i].text) for i in range(10)]
+        # near-dups of batch-1 ADMITTED text — only the index append
+        # can reject these
+        + [(6_000 + i, docs[20 + i].text + " y") for i in range(3)],
+        schema,
+    )
+
+    index = build_gram_index(corpus, "doc_id", "text", n=3)
+    admitted1 = incremental_ngram_dedup_indexed(
+        index, batch1, "doc_id", "text", n=3, threshold=0.5
+    ).localCheckpoint()
+    index2 = index.unionByName(
+        build_gram_index(admitted1, "doc_id", "text", n=3)
+    )
+    admitted2 = incremental_ngram_dedup_indexed(
+        index2, batch2, "doc_id", "text", n=3, threshold=0.5
+    )
+
+    golden_existing = corpus.unionByName(admitted1)
+    golden2 = incremental_ngram_dedup(
+        golden_existing, batch2, "doc_id", "text", n=3, threshold=0.5
+    )
+    assert sorted(r.doc_id for r in admitted2.collect()) == sorted(
+        r.doc_id for r in golden2.collect()
+    )
+    # the batch-1-near-dup plants must be rejected by the appended index
+    assert not any(
+        6_000 <= r.doc_id < 7_000 for r in admitted2.collect()
+    )
