@@ -4062,6 +4062,88 @@ def multimodal_wav_roundtrip(spark, sf_dir):
     return spread(d).mapInPandas(run, schema=out_schema)
 
 
+@_q(
+    "multimodal_png_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(8 + doc_id % 5 AS INT) AS width,
+           CAST(8 + doc_id % 3 AS INT) AS height,
+           list_sum(list_transform(
+             range(0, (8 + doc_id % 5) * (8 + doc_id % 3)),
+             i -> (length(text) % 256
+                   + i % (8 + doc_id % 5)
+                   + 2 * (i // (8 + doc_id % 5))) % 256
+           )) AS px_sum,
+           TRUE AS exact_ok
+    FROM documents
+    """,
+)
+def multimodal_png_roundtrip(spark, sf_dir):
+    """End-to-end certification of the REAL lossless-image path: per
+    document, plant a gray gradient image whose geometry derives from
+    the doc id and whose pixels are (g0 + x + 2y) mod 256 with g0 from
+    the text length, encode it as PNG with the per-row filter types
+    cycling through ALL FIVE scanline filters (operators/png.py —
+    chunk framing + zlib + unfiltering, written from RFC 2083), decode
+    it back, and emit the decoded dimensions, the exact pixel sum, and
+    a boolean asserting bit-exact recovery. PNG is lossless, so —
+    unlike the JPEG twin's quantization tolerance — EVERY output
+    column is exactly predictable and the DuckDB oracle replays the
+    pixel arithmetic without a decoder. Plan shape: one narrow
+    mapInPandas over (doc_id, length); blobs are created, coded, and
+    dropped inside the task."""
+    import pandas as pd
+    from pyspark.sql.types import BooleanType
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("px_sum", LongType()),
+            StructField("exact_ok", BooleanType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from kafka_delta_ingest_spark.operators.png import (
+            decode_png,
+            encode_png,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, n in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = int(8 + doc_id % 5)
+                h = int(8 + doc_id % 3)
+                g0 = int(n % 256)
+                y, x = np.mgrid[0:h, 0:w]
+                img = ((g0 + x + 2 * y) % 256).astype(np.uint8)
+                dec = decode_png(encode_png(img, filter_type=[0, 1, 2, 3, 4]))
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(dec.shape[1]),
+                        int(dec.shape[0]),
+                        int(dec.astype(np.int64).sum()),
+                        bool(np.array_equal(dec, img)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "px_sum", "exact_ok"],
+            )
+
+    from kafka_delta_ingest_spark.operators.util import spread
+
+    return spread(d).mapInPandas(run, schema=out_schema)
+
+
 # ---------------------------------------------------------------------------
 # Relational surface, widened: the remaining TPC-H patterns expressible
 # against the driver schema (no partsupp / shipmode / phone columns, so
@@ -5316,11 +5398,11 @@ _SWEEP_ORDER: list[str] = [
     "search_hybrid_rrf",
     "multimodal_jpeg_roundtrip",
     "multimodal_wav_roundtrip",
+    "multimodal_png_roundtrip",
     "events_sessionize",
     "events_asof_join",
     "q3_shipping_priority",
     "corpus_card",
-    "q9_nation_year_profit",
     "sim_pq_topk",
     # --- tail: everything already certified in r1-r4 driver files.
     # tools/check_oracle.py verifies the full set regardless of any cap.
@@ -5355,6 +5437,7 @@ _SWEEP_ORDER: list[str] = [
     "sim_quantize_fidelity",
     "dedup_canonical_keep",
     "embedding_neardup_exact",
+    "q9_nation_year_profit",
     "transform_substr",
     "coerce_tostring",
     "coerce_timestamp_strict",

@@ -89,6 +89,7 @@ HEADLINE = [
     "split_temperature_mix",
     "dedup_winnow_pairs",
     "dedup_incremental_indexed",
+    "multimodal_png_roundtrip",
 ]
 
 

@@ -63,21 +63,24 @@ FEATURES_SCHEMA = StructType(
 
 def real_decode_stub(_bytes: bytes) -> list[float]:
     """Placeholder for decoders of formats this runtime cannot parse
-    (MP3 / H.264 and other codecs needing native libraries).
+    (MP3 / AAC / H.264 and other LOSSY audio/video codecs needing
+    native libraries).
 
-    Three formats ARE decoded for real, no native libs: binary PPM via
+    Four formats ARE decoded for real, no native libs: binary PPM via
     ``ppm_features`` below, baseline JPEG via
     ``operators.jpeg.jpeg_features`` (pure-numpy Huffman+IDCT codec),
-    and WAV/PCM audio via ``operators.audio.audio_features`` (RIFF
-    parser + FFT features) — each planted-fixture-tested. This stub
-    marks the remaining seam: compressed audio/video codecs
-    (MP3/AAC/H.264) that need native libraries.
+    PNG via ``operators.png.png_features`` (chunk framing + stdlib
+    zlib + all five scanline unfilters), and WAV/PCM audio via
+    ``operators.audio.audio_features`` (RIFF parser + FFT features) —
+    each planted-fixture-tested. This stub marks the remaining seam:
+    lossy audio/video codecs (MP3/AAC/H.264) that need native
+    libraries.
     """
     raise NotImplementedError(
-        "compressed audio/video decoding requires a native media "
+        "lossy audio/video decoding requires a native media "
         "library; pass decode=your_kernel to extract_features (JPEG: "
-        "operators.jpeg.jpeg_features; PPM: ppm_features; WAV: "
-        "operators.audio.audio_features)"
+        "operators.jpeg.jpeg_features; PNG: operators.png.png_features; "
+        "PPM: ppm_features; WAV: operators.audio.audio_features)"
     )
 
 
