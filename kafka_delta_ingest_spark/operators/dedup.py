@@ -871,7 +871,8 @@ def winnow_fingerprints(
     return (
         spread(df)
         # split('') yields [''] (size 1), so gate on normalized length:
-        # blank docs carry no content and must not all share md5('').
+        # blank docs carry no content and must not all share
+        # xxhash64('') as a spurious common fingerprint.
         .where(F.length(normalize_text(F.col(text_col))) > 0)
         .select(F.col(id_col), F.explode(mins).alias("fp"))
         .distinct()

@@ -224,7 +224,12 @@ def _encode_block(
     run = 0
     last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
     for i in range(1, last_nz + 1):
-        v = int(zz[i])
+        # Clamp to magnitude category 10 (±1023): the baseline AC
+        # Huffman tables carry sizes 1-10 only, and at quality ≳93 an
+        # Annex-K quant entry can scale to 1, letting high-frequency
+        # content quantize into category 11. libjpeg clamps the same
+        # way rather than fail the encode.
+        v = min(1023, max(-1023, int(zz[i])))
         if v == 0:
             run += 1
             continue
@@ -365,9 +370,19 @@ class _BitReader:
         """Byte-align and consume an RSTn marker (E.2.4)."""
         self.nbits = 0
         if self.marker is None:
-            # marker not yet hit: it must be the next bytes
-            while self.pos < len(self.data) and self.data[self.pos] != 0xFF:
-                self.pos += 1
+            # marker not yet hit: scan forward for it, skipping stuffed
+            # 0xFF 0x00 pairs — if the byte-alignment pad before the
+            # marker forms a 0xFF byte, the entropy stream contains
+            # 0xFF 0x00 (stuffed data, F.1.2.3), not a marker, and
+            # treating the 0x00 as the marker would reject a spec-valid
+            # baseline file.
+            while self.pos + 1 < len(self.data):
+                if self.data[self.pos] != 0xFF:
+                    self.pos += 1
+                elif self.data[self.pos + 1] == 0x00:
+                    self.pos += 2
+                else:
+                    break
             if self.pos + 1 >= len(self.data):
                 raise ValueError("missing restart marker")
             self.marker = self.data[self.pos + 1]

@@ -264,19 +264,46 @@ def ivf_build_index(
     return cents, assigned
 
 
-def _assign_cells(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+def _assign_cells(
+    vecs: DataFrame, cents: DataFrame, max_packed: int | None = 65536
+) -> DataFrame:
     """(vec_id, vec) × (cent_id, cvec) → (vec_id, vec, cell), where
     cell = argmax dot, ties toward the lowest cent_id.
 
-    The centroid table collapses to a single collect_list row that
-    broadcasts; the argmin is an ``aggregate`` fold over that array in
-    the projection — a narrow map, so the corpus neither shuffles nor
-    sorts (the row_number-window and groupBy formulations both move
-    one row per vector; this moves none). The fold keeps the running
-    (-dot, cent_id) minimum with an order-independent comparison, so
-    the nondeterministic collect_list order cannot change the result.
-    Constraint: the centroid set must fit in one row / executor memory
-    — the same bound broadcasting it already imposed."""
+    Fast path: the centroid table collapses to a single collect_list
+    row that broadcasts; the argmin is an ``aggregate`` fold over that
+    array in the projection — a narrow map, so the corpus neither
+    shuffles nor sorts (the row_number-window and groupBy formulations
+    both move one row per vector; this moves none). The fold keeps the
+    running (-dot, cent_id) minimum with an order-independent
+    comparison, so the nondeterministic collect_list order cannot
+    change the result.
+
+    The packed row is tighter-bounded than a broadcast TABLE: one row
+    must stay under the 2 GB row / Arrow-batch ceiling, which a
+    k-means-scale centroid set (|centroids| ≈ sqrt(n)) always does but
+    a pivot rule like ``ivf_build_index``'s default ``id % 10`` (10%
+    of the corpus!) does not. So when the centroid count exceeds
+    ``max_packed`` (default 64k: ~192-dim doubles ≈ 100 MB packed),
+    fall back to the broadcast hash-join + min_by hash-agg
+    formulation: still no corpus-sized sort and the partial min folds
+    map-side, at the cost of one (vec_id, vec) shuffle.
+    ``max_packed=None`` skips the count — callers whose centroid frame
+    is construction-time known small (e.g. the Lloyd loop's k-row
+    local relation) avoid a per-iteration count job."""
+    if max_packed is not None and cents.count() > max_packed:
+        scored = vecs.crossJoin(broadcast(cents)).select(
+            "vec_id",
+            "vec",
+            F.struct(
+                (-dot(F.col("vec"), F.col("cvec"))).alias("nd"),
+                F.col("cent_id").cast("long").alias("cell"),
+            ).alias("_s"),
+        )
+        return scored.groupBy("vec_id").agg(
+            F.any_value("vec").alias("vec"),
+            F.min("_s")["cell"].alias("cell"),
+        )
     packed = cents.agg(
         F.collect_list(
             F.struct(F.col("cent_id").cast("long").alias("cent_id"), F.col("cvec"))
@@ -430,7 +457,7 @@ def kmeans_centroids(
                     cents, "cent_id int, cvec array<double>"
                 )
             )
-            assigned = _assign_cells(vecs, cdf).select(
+            assigned = _assign_cells(vecs, cdf, max_packed=None).select(
                 F.col("cell").alias("cent_id"), "vec"
             )
             got = _lloyd_means(assigned, ["cent_id"], "vec")

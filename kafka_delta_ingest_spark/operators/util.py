@@ -14,9 +14,26 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     split (one parquet file < maxPartitionBytes), which would serialize
     the whole operator on a single core. The row shuffle here is cheap
     (ids + text), the parallelism unlock downstream is not.
+
+    Deliberately RDD-free (``df.rdd`` does not exist under Spark
+    Connect): width is estimated catalog-free from ``inputFiles()``
+    (a lower bound on scan splits — a file larger than
+    maxPartitionBytes splits further, so the estimate only ever errs
+    toward repartitioning, never toward under-parallelism), and the
+    target falls back to ``spark.sql.shuffle.partitions`` when no
+    SparkContext is reachable.
     """
-    target = partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    sess = df.sparkSession
+    try:
+        default = sess.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no client-side SparkContext
+        default = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    target = partitions or default
+    try:
+        n_splits = len(df.inputFiles())
+    except Exception:  # non-file-backed plan: assume narrow
+        n_splits = 0
+    if n_splits >= target:
         return df
     return df.repartition(target)
 

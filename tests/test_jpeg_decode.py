@@ -183,3 +183,48 @@ def test_extract_features_with_jpeg_kernel(spark):
     assert got[3] is None  # quarantined, job not failed
     assert abs(got[1][2] - 50.0) <= 3.0  # R-channel mean, pixel space
     assert abs(got[2][2] - 200.0) <= 3.0
+
+
+def test_high_quality_high_frequency_clamps_not_crashes():
+    # At quality >= ~93 some Annex-K quant entries scale to 1, so a
+    # checkerboard (max high-frequency energy) can quantize into
+    # magnitude category 11, which the baseline AC tables don't carry.
+    # The encoder must clamp to +/-1023 (category 10), as libjpeg
+    # does, not raise KeyError.
+    rng = np.random.default_rng(7)
+    y, x = np.mgrid[0:24, 0:24]
+    board = (((x + y) % 2) * 255).astype(np.uint8)
+    noisy = rng.integers(0, 256, size=(24, 24), dtype=np.uint8)
+    for img in (board, noisy):
+        for q in (93, 95, 97, 100):
+            out = decode_jpeg(encode_jpeg_baseline(img, quality=q))
+            assert out.shape == img.shape
+    # clamping one coefficient still reconstructs the checkerboard to
+    # within a coarse tolerance at quality 95
+    out = decode_jpeg(encode_jpeg_baseline(board, quality=95))
+    assert np.mean(np.abs(out.astype(int) - board.astype(int))) < 48
+
+
+def test_restart_scan_skips_stuffed_ff_pad():
+    # If the byte-alignment pad before an RSTn marker forms a 0xFF
+    # byte, the stream contains a stuffed 0xFF 0x00 pair before the
+    # marker; restart() must skip it rather than read the stuffed
+    # 0x00 as the marker byte.
+    from kafka_delta_ingest_spark.operators.jpeg import _BitReader
+
+    data = b"\xff\x00\xff\xd0\xab"
+    r = _BitReader(data, 0)
+    r.restart()  # must consume the stuffed pair then RST0
+    assert r.marker is None
+    assert r.pos == 4
+    assert r.read_bits(8) == 0xAB
+
+    # plain pad byte then marker still works
+    r2 = _BitReader(b"\x7f\xff\xd1\xcd", 0)
+    r2.restart()
+    assert r2.read_bits(8) == 0xCD
+
+    # a real (non-RST) marker in place of the restart is still refused
+    r3 = _BitReader(b"\xff\xd9", 0)
+    with pytest.raises(ValueError):
+        r3.restart()

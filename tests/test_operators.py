@@ -1398,3 +1398,37 @@ def test_containment_catches_doc_inside_doc_jaccard_misses(spark):
     assert not any(
         {r.id_a, r.id_b} == {0, 1} for r in jac.collect()
     )
+
+
+def test_assign_cells_fallback_join_matches_packed(spark):
+    """When the centroid frame exceeds the packed-row bound,
+    _assign_cells must switch to the broadcast-join + min_by hash-agg
+    formulation and produce IDENTICAL assignments (same argmax-dot,
+    same lowest-cent_id tie rule) — the packed single collect_list row
+    hits the 2 GB row ceiling long before a broadcast table would."""
+    from kafka_delta_ingest_spark.io import load_table
+    from kafka_delta_ingest_spark.operators.similarity import (
+        _as_double,
+        _assign_cells,
+        _unit,
+    )
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    vecs = e.select(
+        F.col("vec_id"), _unit(_as_double(F.col("embedding"))).alias("vec")
+    )
+    cents = e.filter(F.col("vec_id") % 7 == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        _unit(_as_double(F.col("embedding"))).alias("cvec"),
+    )
+    packed = _assign_cells(vecs, cents).select("vec_id", "cell").collect()
+    # max_packed=0 forces the fallback branch
+    joined = (
+        _assign_cells(vecs, cents, max_packed=0)
+        .select("vec_id", "cell")
+        .collect()
+    )
+    assert sorted((r.vec_id, r.cell) for r in packed) == sorted(
+        (r.vec_id, r.cell) for r in joined
+    )

@@ -255,3 +255,27 @@ def test_ccnet_approx_path_has_no_per_lang_sort(spark):
     p2 = plan(quantile_bins(scored, "q", "lang", 4, exact=False), mode="simple")
     assert "Window" not in p2
     assert "Sort" not in p2
+
+
+def test_spread_is_rdd_free_for_spark_connect(spark, monkeypatch):
+    # Spark Connect has no df.rdd / SparkContext; spread() must widen
+    # narrow scans without touching either. Simulate Connect by making
+    # both accesses explode.
+    from pyspark.sql import DataFrame
+
+    from kafka_delta_ingest_spark.operators.util import spread
+
+    df = spark.read.parquet(SF + "/documents.parquet")
+
+    def _boom(self):
+        raise AttributeError("rdd is not available under Spark Connect")
+
+    monkeypatch.setattr(DataFrame, "rdd", property(_boom))
+    widened = spread(df)
+    # single-file scan < default parallelism → a repartition was added
+    assert "RoundRobinPartitioning" in plan(widened, mode="simple")
+    assert widened.count() == df.count()
+
+    # and a wide input (file count >= target) passes through untouched
+    wide = spread(df, partitions=1)
+    assert "Exchange" not in plan(wide)
