@@ -95,6 +95,9 @@ class IngestJob:
         # compacting after EVERY batch), and replay-skipped batches
         # would count.
         self._commits_since_optimize = 0
+        # Per-partition stored-offset floors, read lazily ONCE from the
+        # table's txn ledger at the first batch (None = not yet read).
+        self._offset_floors: dict[int, int] | None = None
         from kafka_delta_ingest_spark.metrics import IngestMetrics
 
         self.metrics = IngestMetrics(endpoint=opts.statsd_endpoint)
@@ -240,13 +243,80 @@ class IngestJob:
             return True
         return False
 
+    def ledger_floors(self) -> dict[int, int]:
+        """Stored per-partition offset floors for THIS app from the
+        table's txn ledger.
+
+        The reference seeds its per-partition ``ValueBuffer`` state from
+        the same ledger at startup and seeks each consumer to
+        ``stored + 1`` (src/lib.rs:1045-1075); any message at or below
+        the stored offset is rejected as
+        ``AlreadyProcessedPartitionOffset`` (src/lib.rs:812-819). The
+        floors come from normal ingest commits, from ``--seek_offsets``
+        bootstrap (src/offsets.rs), or from the latest-watermark
+        bootstrap (:meth:`seek_to_high_watermark`)."""
+        prefix = f"{self.opts.app_id}-"
+        floors: dict[int, int] = {}
+        for app, ver in self.table.snapshot()["txn"].items():
+            tail = app[len(prefix):] if app.startswith(prefix) else ""
+            if tail.isdigit():
+                floors[int(tail)] = int(ver)
+        return floors
+
+    def seek_to_high_watermark(self, raw_static: DataFrame) -> None:
+        """``auto_offset_reset=latest`` bootstrap for non-Kafka sources:
+        record the source's CURRENT max offset per partition in the txn
+        ledger, so the stream starts strictly after everything that
+        already exists — the reference gets this from the broker by
+        seeking to ``Offset::End`` (src/lib.rs:1060-1066); the real
+        Kafka source from ``startingOffsets=latest``. File/test
+        harnesses have no broker to ask, so the watermark is read from
+        a static snapshot of the same source and applied through the
+        exact ``--seek_offsets`` decision tree (offsets.py) — i.e.
+        "latest" is modeled as an explicit seek to the observed high
+        watermark, and the per-row ledger-floor guard enforces it."""
+        from kafka_delta_ingest_spark.offsets import write_offsets_to_table
+
+        marks = {
+            int(r["p"]): int(r["o"])
+            for r in raw_static.groupBy(F.col("partition").alias("p"))
+            .agg(F.max("offset").alias("o"))
+            .collect()
+        }
+        if marks:
+            write_offsets_to_table(self.table, self.opts.app_id, marks)
+
+    def _apply_offset_floors(self, raw: DataFrame) -> DataFrame:
+        """Drop rows already covered by the ledger (B1/X3 row guard).
+
+        Read once at the first batch — the reference seeds buffers once
+        per assignment the same way — then applied as a pure map-side
+        predicate on two int columns: free in steady state, where every
+        incoming offset is beyond the floor. Spark's checkpoint makes
+        this redundant for its own replays; it is the correctness gate
+        for cross-engine restarts (a ledger written by another writer)
+        and for seek/latest bootstraps on sources that cannot seek."""
+        if self._offset_floors is None:
+            self._offset_floors = self.ledger_floors()
+        if not self._offset_floors:
+            return raw
+        pairs = [
+            F.lit(x)
+            for p, o in sorted(self._offset_floors.items())
+            for x in (p, o)
+        ]
+        floor = F.coalesce(
+            F.create_map(*pairs)[F.col("partition")], F.lit(-(1 << 62))
+        )
+        return raw.filter(F.col("offset") > floor)
+
     def process_batch(self, raw: DataFrame, batch_id: int = 0) -> BatchMetrics:
         """foreachBatch body: split, append data + txn ledger, DLQ."""
         import time as _time
 
         t_start = _time.perf_counter()
         self.sync_schema()
-        planned = self.plan(raw).persist()
+        planned = self.plan(self._apply_offset_floors(raw)).persist()
         try:
             good, dlq = self.split(planned)
 
