@@ -4144,6 +4144,90 @@ def multimodal_png_roundtrip(spark, sf_dir):
     return spread(d).mapInPandas(run, schema=out_schema)
 
 
+@_q(
+    "pack_concat_chunk",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+        CASE WHEN len(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        md5(concat('0-', CAST(doc_id AS VARCHAR))) AS k
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+        CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY k
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS stream_start
+      FROM t
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, stream_start,
+      CAST(stream_start // 512 AS BIGINT) AS first_ctx,
+      CAST((stream_start + greatest(n_tokens - 1, 0)) // 512 AS BIGINT)
+        AS last_ctx,
+      CAST((stream_start + greatest(n_tokens - 1, 0)) // 512
+           - stream_start // 512 + 1 AS INT) AS n_ctx
+    FROM c
+    """,
+)
+def pack_concat_chunk(spark, sf_dir):
+    """GPT-style concat-and-chunk packing plan (Brown et al. 2020
+    §2.1): deterministic md5 corpus shuffle, exact exclusive prefix
+    sum of token counts, 512-token context windows; every document
+    mapped to the contexts it occupies. The prefix sum is the
+    two-level 256-bucket scan (one 256-row window + 256-way-parallel
+    per-bucket windows) — no global sort; the oracle replays it with
+    a plain global window, proving the distributed scan exact."""
+    from kafka_delta_ingest_spark.operators.packing import (
+        pack_concat_chunk as _pack,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return _pack(d, ctx_len=512, seed=0)
+
+
+@_q(
+    "pack_bins_nfd",
+    r"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id,
+        CASE WHEN len(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        CAST(doc_id % 32 AS INT) AS shard
+      FROM documents
+    ), ord AS (
+      SELECT doc_id, n_tokens, shard,
+        row_number() OVER (PARTITION BY shard
+                           ORDER BY n_tokens DESC, doc_id) AS rn
+      FROM t
+    ), step AS (
+      SELECT shard, rn, doc_id, n_tokens, 0 AS bin, n_tokens AS fill
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+        CASE WHEN s.fill + o.n_tokens <= 512 THEN s.bin ELSE s.bin + 1 END,
+        CASE WHEN s.fill + o.n_tokens <= 512
+             THEN s.fill + o.n_tokens ELSE o.n_tokens END
+      FROM step s JOIN ord o ON o.shard = s.shard AND o.rn = s.rn + 1
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, shard,
+           CAST(bin AS INT) AS bin
+    FROM step
+    """,
+)
+def pack_bins_nfd(spark, sf_dir):
+    """No-split bin packing for SFT-style training: next-fit-
+    decreasing (Johnson 1973) inside deterministic ``doc_id % 32``
+    shards, bin capacity 512 tokens. Shards pack sequentially inside
+    one Arrow-batched applyInPandas group each and run in parallel;
+    the DuckDB oracle replays the identical greedy scan as a
+    recursive CTE stepping (shard, rank)→(shard, rank+1), so every
+    (doc → bin) assignment is value-certified."""
+    from kafka_delta_ingest_spark.operators.packing import pack_bins_nfd as _pack
+
+    d = load_table(spark, sf_dir, "documents")
+    return _pack(d, ctx_len=512, n_shards=32)
+
+
 # ---------------------------------------------------------------------------
 # Relational surface, widened: the remaining TPC-H patterns expressible
 # against the driver schema (no partsupp / shipmode / phone columns, so
@@ -5359,6 +5443,9 @@ _SWEEP_ORDER: list[str] = [
     "agg_approx_distinct",
     "sim_recall_lsh_vs_exact",
     "dedup_containment_pairs",
+    # --- round-5 new operators (no driver row yet by definition).
+    "pack_concat_chunk",
+    "pack_bins_nfd",
     # --- flagship re-certification: ingest + sink paths.
     "ingest_message_path",
     "ingest_avro_path",

@@ -1432,3 +1432,59 @@ def test_assign_cells_fallback_join_matches_packed(spark):
     assert sorted((r.vec_id, r.cell) for r in packed) == sorted(
         (r.vec_id, r.cell) for r in joined
     )
+
+
+def test_pack_concat_chunk_is_exact_prefix_scan(spark):
+    """The two-level bucket scan must produce the same placements as a
+    driver-side sequential scan in md5 order, and the stream must be
+    gapless: starts are exactly the cumulative token counts."""
+    import hashlib
+
+    from kafka_delta_ingest_spark.io import load_table
+    from kafka_delta_ingest_spark.operators.packing import pack_concat_chunk
+    from tests.conftest import SF_DIR
+
+    d = load_table(spark, SF_DIR, "documents")
+    got = {
+        r.doc_id: (r.n_tokens, r.stream_start, r.first_ctx, r.last_ctx, r.n_ctx)
+        for r in pack_concat_chunk(d, ctx_len=512).collect()
+    }
+    docs = [(r.doc_id, r.text) for r in d.select("doc_id", "text").collect()]
+    ordered = sorted(
+        docs, key=lambda t: hashlib.md5(f"0-{t[0]}".encode()).hexdigest()
+    )
+    run = 0
+    for doc_id, text in ordered:
+        n = len(text.split()) if text.strip() else 0
+        first = run // 512
+        last = (run + max(n - 1, 0)) // 512
+        assert got[doc_id] == (n, run, first, last, last - first + 1), doc_id
+        run += n
+    assert len(got) == len(docs)
+
+
+def test_pack_bins_nfd_capacity_and_determinism(spark):
+    """Every multi-doc bin respects capacity; only a bin whose single
+    document exceeds ctx_len may overflow; repeated runs agree."""
+    from kafka_delta_ingest_spark.io import load_table
+    from kafka_delta_ingest_spark.operators.packing import pack_bins_nfd
+    from tests.conftest import SF_DIR
+
+    d = load_table(spark, SF_DIR, "documents")
+    rows = pack_bins_nfd(d, ctx_len=128, n_shards=8).collect()
+    fills: dict[tuple, list[int]] = {}
+    for r in rows:
+        fills.setdefault((r.shard, r.bin), []).append(r.n_tokens)
+    for (shard, b), toks in fills.items():
+        if len(toks) > 1:
+            assert sum(toks) <= 128, (shard, b, toks)
+    # bins are dense 0..max per shard
+    per_shard: dict[int, set] = {}
+    for r in rows:
+        per_shard.setdefault(r.shard, set()).add(r.bin)
+    for shard, bs in per_shard.items():
+        assert bs == set(range(max(bs) + 1))
+    again = pack_bins_nfd(d, ctx_len=128, n_shards=8).collect()
+    assert sorted((r.doc_id, r.bin) for r in rows) == sorted(
+        (r.doc_id, r.bin) for r in again
+    )

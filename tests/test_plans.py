@@ -279,3 +279,17 @@ def test_spread_is_rdd_free_for_spark_connect(spark, monkeypatch):
     # and a wide input (file count >= target) passes through untouched
     wide = spread(df, partitions=1)
     assert "Exchange" not in plan(wide)
+
+
+def test_pack_concat_chunk_prefix_scan_is_bucketed(spark):
+    # The corpus-sized window must be partitioned by the 256-way
+    # bucket; only the 256-row bucket-offset window may be global.
+    p = plan(E.queries()["pack_concat_chunk"](spark, SF), mode="simple")
+    corpus_windows = [
+        line
+        for line in p.splitlines()
+        if "sum(n_tokens" in line and "windowspecdefinition" in line
+    ]
+    assert corpus_windows
+    for line in corpus_windows:
+        assert "_bucket" in line.split("windowspecdefinition")[1][:40]
