@@ -4228,6 +4228,181 @@ def pack_bins_nfd(spark, sf_dir):
     return _pack(d, ctx_len=512, n_shards=32)
 
 
+@_q(
+    "text_c4_line_filter",
+    r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ), l AS (
+      SELECT doc_id,
+        list_transform(range(0, CAST(ceil(len(toks)/5.0) AS INT)), i ->
+          array_to_string(toks[(i*5+1):(i*5+5)], ' ')
+          || CASE WHEN (doc_id + i) % 13 = 0 THEN ' javascript' ELSE '' END
+          || CASE WHEN (doc_id + i) % 53 = 0 THEN ' {' ELSE '' END
+          || CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END
+        ) AS lines
+      FROM w
+    ), doc AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 31 = 7
+             THEN 'lorem ipsum dolor.' || chr(10) || array_to_string(lines, chr(10))
+             ELSE array_to_string(lines, chr(10)) END AS lined
+      FROM l
+    ), f AS (
+      SELECT doc_id, string_split(lined, chr(10)) AS lines,
+        list_filter(string_split(lined, chr(10)), x ->
+          regexp_matches(x, '[.!?"”]$')
+          AND len(string_split_regex(trim(x), '\s+')) >= 3
+          AND NOT contains(lower(x), 'javascript')
+        ) AS kept, lined
+      FROM doc
+    )
+    SELECT doc_id, CAST(len(lines) AS INT) AS n_lines,
+      CAST(len(kept) AS INT) AS n_kept,
+      (contains(lower(lined), 'lorem ipsum') OR contains(lined, '{')
+       OR len(kept) < 3) AS c4_drop,
+      md5(COALESCE(array_to_string(kept, chr(10)), '')) AS kept_md5,
+      CAST(len(COALESCE(array_to_string(kept, chr(10)), '')) AS BIGINT)
+        AS kept_chars
+    FROM f
+    """,
+)
+def text_c4_line_filter(spark, sf_dir):
+    """C4 cleaning battery (Raffel et al. 2020 §2.2) certified
+    end-to-end: the corpus has no newlines, so the query first PLANTS
+    deterministic lines (5-word chunks; terminal punctuation, a
+    javascript token, a brace, and a lorem-ipsum header injected on
+    doc_id-derived schedules — every rule fires on known rows), then
+    runs ``operators.text.c4_line_filter``: keep lines ending in
+    terminal punctuation with >= 3 words and no javascript; drop docs
+    with lorem ipsum / '{' / < 3 surviving lines. All pure array
+    expressions over one split — zero shuffle, zero UDF; the oracle
+    replays planting and rules with the same list lambdas, and
+    kept_md5 certifies the exact retained text byte-for-byte."""
+    from kafka_delta_ingest_spark.operators.text import c4_line_filter
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    nl = F.ceil(F.size(toks) / F.lit(5.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.concat(
+            F.array_join(F.slice(toks, i * 5 + 1, 5), " "),
+            F.when((F.col("doc_id") + i) % 13 == 0, F.lit(" javascript"))
+            .otherwise(F.lit("")),
+            F.when((F.col("doc_id") + i) % 53 == 0, F.lit(" {"))
+            .otherwise(F.lit("")),
+            F.when((F.col("doc_id") + i) % 3 != 0, F.lit("."))
+            .otherwise(F.lit("")),
+        ),
+    )
+    lined = F.array_join(lines, "\n")
+    lined = F.when(
+        F.col("doc_id") % 31 == 7,
+        F.concat(F.lit("lorem ipsum dolor.\n"), lined),
+    ).otherwise(lined)
+    return c4_line_filter(d.select("doc_id", lined.alias("text")))
+
+
+@_q(
+    "corpus_zipf_fit",
+    r"""
+    WITH toks AS (
+      SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+      FROM documents
+      WHERE len(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) > 0
+    ), freqs AS (SELECT term, COUNT(*) AS freq FROM toks GROUP BY term),
+    totals AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+             CAST(SUM(freq) AS BIGINT) AS n_instances
+      FROM freqs
+    ),
+    top AS (
+      SELECT freq, row_number() OVER (ORDER BY freq DESC, term ASC) AS rnk
+      FROM freqs ORDER BY freq DESC, term ASC LIMIT 1000
+    ),
+    xy AS (
+      SELECT ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y
+      FROM top
+    ),
+    fit AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS k, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*y) AS sxy, SUM(x*x) AS sxx
+      FROM xy
+    )
+    SELECT n_terms, n_instances,
+      round((k*sxy - sx*sy)/(k*sxx - sx*sx), 6) AS zipf_slope,
+      round((sy - ((k*sxy - sx*sy)/(k*sxx - sx*sx))*sx)/k, 6) AS zipf_intercept
+    FROM totals, fit
+    """,
+)
+def corpus_zipf_fit(spark, sf_dir):
+    """Zipf rank-frequency diagnostic: one token explode + hash
+    aggregation, a TakeOrderedAndProject top-1000 (distributed top-k,
+    no global vocabulary sort), and a closed-form least-squares fit of
+    ln(freq) ~ ln(rank) in a 5-column aggregate. Natural corpora sit
+    near slope -1; templated/synthetic ones bend away — the one-look
+    corpus health check before training."""
+    from kafka_delta_ingest_spark.operators.text import zipf_fit
+
+    return zipf_fit(load_table(spark, sf_dir, "documents"))
+
+
+@_q(
+    "dedup_substring_spans",
+    r"""
+    WITH t AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      FROM documents
+    ), sized AS (
+      SELECT doc_id,
+        CASE WHEN len(norm) = 0 THEN 0 ELSE len(string_split(norm, ' ')) END AS n,
+        CASE WHEN len(norm) = 0 THEN CAST([] AS VARCHAR[])
+             ELSE string_split(norm, ' ') END AS w
+      FROM t
+    ), gl AS (
+      SELECT doc_id, n,
+        CASE WHEN n >= 8
+             THEN list_transform(range(0, n - 7),
+                                 i -> array_to_string(w[(i+1):(i+8)], ' '))
+             ELSE CAST([] AS VARCHAR[]) END AS gs
+      FROM sized
+    ), grams AS (
+      SELECT doc_id, unnest(gs) AS g, generate_subscripts(gs, 1) - 1 AS pos
+      FROM gl
+    ), dups AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+    cov AS (
+      SELECT doc_id, COUNT(DISTINCT p) AS dup_tokens FROM (
+        SELECT doc_id, unnest(range(pos, pos + 8)) AS p
+        FROM grams WHERE g IN (SELECT g FROM dups)
+      ) GROUP BY doc_id
+    )
+    SELECT s.doc_id, CAST(s.n AS BIGINT) AS n_tokens,
+      CAST(COALESCE(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+      round(CASE WHEN s.n = 0 THEN 0.0
+                 ELSE COALESCE(c.dup_tokens, 0) / CAST(s.n AS DOUBLE) END, 6)
+        AS dup_fraction
+    FROM sized s LEFT JOIN cov c ON s.doc_id = c.doc_id
+    """,
+)
+def dedup_substring_spans(spark, sf_dir):
+    """Exact duplicated-substring coverage per document (Lee et al.
+    2022): every duplicated token span of length >= 8 must contain a
+    duplicated 8-gram, so the distinct token positions covered by
+    grams occurring twice or more lower-bound the duplicated spans
+    exactly — the measurement that motivates substring-level dedup.
+    Positional grams ride one posexplode; occurrence counts hash-
+    aggregate on the gram's xxhash64 (8-byte shuffle keys, map-side
+    combined); coverage is a left-semi equi-join plus a bounded
+    k-position explode. reference parity: none (ingest daemon);
+    extends SURVEY §6's dedup family."""
+    from kafka_delta_ingest_spark.operators.dedup import substring_dup_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return substring_dup_spans(d, "doc_id", "text", k=8, min_count=2)
+
+
 # ---------------------------------------------------------------------------
 # Relational surface, widened: the remaining TPC-H patterns expressible
 # against the driver schema (no partsupp / shipmode / phone columns, so
@@ -5446,6 +5621,9 @@ _SWEEP_ORDER: list[str] = [
     # --- round-5 new operators (no driver row yet by definition).
     "pack_concat_chunk",
     "pack_bins_nfd",
+    "text_c4_line_filter",
+    "corpus_zipf_fit",
+    "dedup_substring_spans",
     # --- flagship re-certification: ingest + sink paths.
     "ingest_message_path",
     "ingest_avro_path",

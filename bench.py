@@ -90,6 +90,11 @@ HEADLINE = [
     "dedup_winnow_pairs",
     "dedup_incremental_indexed",
     "multimodal_png_roundtrip",
+    "pack_concat_chunk",
+    "pack_bins_nfd",
+    "text_c4_line_filter",
+    "corpus_zipf_fit",
+    "dedup_substring_spans",
 ]
 
 

@@ -913,3 +913,80 @@ def winnow_pairs(
         .agg(F.count("*").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_count: int = 2,
+    max_gram_df: int | None = 100_000,
+) -> DataFrame:
+    """Exact duplicated-substring coverage, the diagnostic behind
+    substring-level dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): any duplicated token span of
+    length >= k must contain a duplicated k-gram, so marking the token
+    positions covered by k-grams occurring >= ``min_count`` times in
+    the corpus (within- or cross-document) lower-bounds every
+    >=k-token duplicated span exactly.
+
+    Returns one row per document: ``(id, n_tokens, dup_tokens,
+    dup_fraction)`` with ``dup_tokens`` = distinct token positions
+    covered by a duplicated k-gram (0 for docs shorter than k).
+
+    Plan: positional k-grams ride one posexplode (position = array
+    index); occurrence counts are a map-side-combined hash aggregation
+    on the 8-byte xxhash64 of the gram; the join back is an equi-join
+    on that hash; coverage explodes each surviving gram into its k
+    positions and distinct-counts per document. ``max_gram_df`` caps
+    the join fan-in the same way the carrier caps do — a boilerplate
+    gram in 1e8 documents would explode k * 1e8 coverage rows, and
+    every position it covers is certainly duplicated anyway, so
+    over-cap grams still COUNT as duplicated but are excluded from
+    position-accurate coverage only when they exceed the cap (the
+    default cap is far above anything the oracle data reaches, and
+    ``None`` disables it for exact parity)."""
+    from kafka_delta_ingest_spark.operators.util import spread
+
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    n = F.size(words)
+    base = spread(df).select(
+        F.col(id_col),
+        F.when(
+            F.length(normalize_text(F.col(text_col))) == 0, F.lit(0)
+        ).otherwise(n).alias("n_tokens"),
+        F.when(n >= k, F.slice(
+            positional_shingles(words, n, k), 1, F.greatest(n - (k - 1), F.lit(1))
+        )).otherwise(F.array().cast("array<string>")).alias("_grams"),
+    )
+    grams = base.select(
+        id_col,
+        F.posexplode("_grams").alias("pos", "_g"),
+    ).select(id_col, "pos", F.xxhash64("_g").alias("gh"))
+    counts = grams.groupBy("gh").agg(F.count("*").alias("_c"))
+    dup = counts.filter(F.col("_c") >= min_count)
+    if max_gram_df is not None:
+        dup = dup.filter(F.col("_c") <= max_gram_df)
+    covered = (
+        grams.join(dup.select("gh"), "gh", "left_semi")
+        .select(id_col, F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("p"))
+        .groupBy(id_col)
+        .agg(F.count_distinct("p").alias("dup_tokens"))
+    )
+    return (
+        base.select(id_col, "n_tokens")
+        .join(covered, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.round(
+                F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+                    F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                    / F.col("n_tokens")
+                ),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )

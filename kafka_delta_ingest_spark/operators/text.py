@@ -9,7 +9,7 @@ can verify it bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # Normalization: lowercase + collapse whitespace. Shared by fingerprint
 # and dedup so their notions of "same text" agree.
@@ -523,4 +523,134 @@ def extract_domains(col: Column) -> Column:
     PII patterns) so SQL oracles replicate it bit-for-bit."""
     return F.regexp_extract_all(
         col, F.lit(r"https?://([A-Za-z0-9.-]+)"), 1
+    )
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = 3,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep
+    only lines that end in a terminal punctuation mark, have at least
+    ``min_line_words`` words, and do not mention javascript; drop the
+    whole document when it contains the "lorem ipsum" placeholder
+    phrase or a ``{`` (code), or retains fewer than ``min_kept_lines``
+    lines (the paper's sentence-count floor, with line ≈ sentence).
+
+    Pure array expressions over one ``split`` — no shuffle, no UDF;
+    scales linearly like the rest of the text battery. Returns
+    ``(id, n_lines, n_kept, c4_drop, kept_md5, kept_chars)`` where
+    ``kept_md5`` certifies the exact retained text without carrying
+    the full string through downstream plans (callers that need the
+    cleaned text use :func:`c4_kept_text`).
+    """
+    from kafka_delta_ingest_spark.operators.util import spread
+
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(lines, _c4_line_keep(min_line_words))
+    kept_text = F.array_join(kept, "\n")
+    doc_drop = (
+        F.lower(F.col(text_col)).contains("lorem ipsum")
+        | F.col(text_col).contains("{")
+        | (F.size(kept) < min_kept_lines)
+    )
+    return spread(df).select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        doc_drop.alias("c4_drop"),
+        F.md5(kept_text).alias("kept_md5"),
+        F.length(kept_text).cast("long").alias("kept_chars"),
+    )
+
+
+def _c4_line_keep(min_line_words: int):
+    """The per-line C4 predicate as a higher-order-function lambda."""
+    def keep(line):
+        words = F.split(F.trim(line), _WS)
+        return (
+            line.rlike('[.!?"”]$')
+            & (F.size(words) >= min_line_words)
+            & ~F.lower(line).contains("javascript")
+        )
+
+    return keep
+
+
+def c4_kept_text(df: DataFrame, text_col: str = "text", **kw) -> DataFrame:
+    """The rewrite half of :func:`c4_line_filter`: documents that
+    survive, with their retained lines re-joined — the curate-stage
+    form."""
+    min_line_words = kw.get("min_line_words", 3)
+    min_kept_lines = kw.get("min_kept_lines", 3)
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(lines, _c4_line_keep(min_line_words))
+    doc_drop = (
+        F.lower(F.col(text_col)).contains("lorem ipsum")
+        | F.col(text_col).contains("{")
+        | (F.size(kept) < min_kept_lines)
+    )
+    return df.withColumn(text_col, F.array_join(kept, "\n")).filter(~doc_drop)
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 1000,
+) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary: least-
+    squares slope/intercept of ln(freq) against ln(rank) for the
+    ``top_n`` most frequent normalized tokens — the standard one-look
+    corpus health check (natural text ≈ slope -1; templated or
+    machine-generated corpora bend away from it).
+
+    One token-explode + one hash aggregation; the rank sort touches
+    only ``top_n`` survivors of a TakeOrderedAndProject (distributed
+    top-k, no global sort), and the closed-form regression is a
+    second 5-column aggregate over those rows. Returns ONE row:
+    ``(n_terms, n_instances, top_terms, zipf_slope, zipf_intercept)``.
+    """
+    from kafka_delta_ingest_spark.operators.util import spread
+
+    toks = spread(df).select(
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("term")
+    )
+    freqs = toks.groupBy("term").agg(F.count("*").alias("freq"))
+    totals = freqs.agg(
+        F.count("*").alias("n_terms"), F.sum("freq").alias("n_instances")
+    )
+    top = freqs.orderBy(F.col("freq").desc(), F.col("term").asc()).limit(top_n)
+    ranked = top.select(
+        F.log(F.row_number().over(
+            Window.orderBy(F.col("freq").desc(), F.col("term").asc())
+        ).cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    fit = ranked.agg(
+        F.count("*").cast("double").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    ).select(
+        (
+            (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("slope"),
+        (
+            (F.col("sy") - (
+                (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            ) * F.col("sx"))
+            / F.col("k")
+        ).alias("intercept"),
+    )
+    return totals.crossJoin(fit).select(
+        "n_terms",
+        "n_instances",
+        F.round("slope", 6).alias("zipf_slope"),
+        F.round("intercept", 6).alias("zipf_intercept"),
     )

@@ -1488,3 +1488,76 @@ def test_pack_bins_nfd_capacity_and_determinism(spark):
     assert sorted((r.doc_id, r.bin) for r in rows) == sorted(
         (r.doc_id, r.bin) for r in again
     )
+
+
+def test_c4_line_filter_rules_and_rewrite(spark):
+    """Each C4 rule fires on a planted line; the rewrite half keeps
+    exactly the surviving docs with the retained text."""
+    from kafka_delta_ingest_spark.operators.text import (
+        c4_kept_text,
+        c4_line_filter,
+    )
+
+    rows = [
+        (1, "good line stays here.\nno terminal punct\nalso a keeper!\nthird good line?"),
+        (2, "uses javascript heavily.\nshort one.\na b c d e.\nf g h i j.\nk l m n o."),
+        (3, "lorem ipsum dolor sit.\nfine line one here.\nfine line two here.\nfine line three here."),
+        (4, "brace { in doc.\nfine line one here.\nfine line two here.\nfine line three here."),
+        (5, "only two good lines.\nsecond good line here.\nbad"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in c4_line_filter(df).collect()}
+    assert got[1].n_kept == 3 and not got[1].c4_drop
+    # javascript line dropped, 'short one.' has 2 words -> dropped
+    assert got[2].n_kept == 3 and not got[2].c4_drop
+    assert got[3].c4_drop  # lorem ipsum
+    assert got[4].c4_drop  # brace
+    assert got[5].c4_drop  # < 3 kept lines
+    kept = {r.doc_id: r.text for r in c4_kept_text(df).collect()}
+    assert set(kept) == {1, 2}
+    assert kept[1] == "good line stays here.\nalso a keeper!\nthird good line?"
+
+
+def test_substring_dup_spans_planted_coverage(spark):
+    """A shared 9-token span marks exactly its positions in both
+    carriers; unique text and sub-k docs report zero."""
+    from kafka_delta_ingest_spark.operators.dedup import substring_dup_spans
+
+    span = "alpha beta gamma delta epsilon zeta eta theta iota"  # 9 tokens
+    rows = [
+        (1, span + " onlyone unique tail words here now extra"),
+        (2, "different head words lead in then " + span),
+        (3, "totally unrelated text with no repeated grams at all today"),
+        (4, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.dup_tokens) for r in
+           substring_dup_spans(df, "doc_id", "text", k=8).collect()}
+    # 9-token shared span -> two 8-grams -> 9 covered positions
+    assert got[1] == (16, 9)
+    assert got[2] == (15, 9)
+    assert got[3][1] == 0
+    assert got[4] == (2, 0)
+
+
+def test_zipf_fit_matches_numpy_least_squares(spark):
+    import numpy as np
+
+    from kafka_delta_ingest_spark.operators.text import zipf_fit
+
+    # freq(term_i) planted as 2^(10-i): slope of ln f vs ln r is known
+    rows = []
+    rid = 0
+    for i in range(8):
+        for _ in range(2 ** (10 - i)):
+            rows.append((rid, f"term{i}"))
+            rid += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = zipf_fit(df).collect()[0]
+    freqs = sorted([2 ** (10 - i) for i in range(8)], reverse=True)
+    x = np.log(np.arange(1, 9, dtype=float))
+    y = np.log(np.array(freqs, dtype=float))
+    slope, intercept = np.polyfit(x, y, 1)
+    assert r.n_terms == 8 and r.n_instances == sum(freqs)
+    assert abs(r.zipf_slope - slope) < 1e-6
+    assert abs(r.zipf_intercept - intercept) < 1e-6
