@@ -95,6 +95,7 @@ HEADLINE = [
     "text_c4_line_filter",
     "corpus_zipf_fit",
     "dedup_substring_spans",
+    "dedup_substring_rewrite",
 ]
 
 

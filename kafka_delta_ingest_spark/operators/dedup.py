@@ -990,3 +990,101 @@ def substring_dup_spans(
             ).alias("dup_fraction"),
         )
     )
+
+
+def substring_dedup_rewrite(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """The REWRITE half of exact-substring dedup (Lee et al. 2022
+    ExactSubstr): for every k-gram occurring >= ``min_count`` times in
+    the corpus, the lexicographically-first occurrence (min
+    ``(id, pos)``) is canonical and survives; every other occurrence
+    marks its k token positions for removal in its document. A token
+    survives unless some non-canonical occurrence of a duplicated
+    k-gram covers it — so one copy of each duplicated >=k-token span
+    remains (in the earliest carrier) and the rest is excised, the
+    exact editorial move the paper applies with a suffix array. Docs
+    shorter than k tokens are never touched.
+
+    Returns ``(id, n_tokens, removed_tokens, kept_text)`` on the
+    NORMALIZED text (lowercase, collapsed whitespace — same notion of
+    "same text" as the rest of the dedup family).
+
+    Plan: one positional-shingle pass; duplicated grams and their
+    canonical occurrence come from a single map-side-combined hash
+    aggregation on the 8-byte xxhash64 (``min`` over a ``(id, pos)``
+    struct is the canonical pick — lexicographic struct ordering,
+    no window); non-canonical occurrences are an equi-join back on
+    the hash plus a struct inequality; removal positions explode k
+    rows per non-canonical occurrence (linear in true duplication
+    mass) and fold into one bounded-by-doc-length ``collect_set`` per
+    document; the rewrite is a positional array filter — no second
+    text scan. Unlike :func:`substring_dup_spans` there is no
+    ``max_gram_df`` cap: removal must stay position-exact for every
+    occurrence, and the explode cost is k rows per occurrence —
+    already linear in the gram table, not a fan-out join.
+
+    reference parity: none (the reference is an ingest daemon);
+    extends SURVEY §6's dedup family with the curate-stage rewrite."""
+    from kafka_delta_ingest_spark.operators.util import spread
+
+    words_expr = F.split(normalize_text(F.col(text_col)), " ")
+    n = F.size(words_expr)
+    base = spread(df).select(
+        F.col(id_col),
+        F.when(
+            F.length(normalize_text(F.col(text_col))) == 0,
+            F.array().cast("array<string>"),
+        ).otherwise(words_expr).alias("_w"),
+        F.when(n >= k, F.slice(
+            positional_shingles(words_expr, n, k),
+            1,
+            F.greatest(n - (k - 1), F.lit(1)),
+        )).otherwise(F.array().cast("array<string>")).alias("_grams"),
+    )
+    grams = base.select(
+        id_col,
+        F.posexplode("_grams").alias("pos", "_g"),
+    ).select(id_col, "pos", F.xxhash64("_g").alias("gh"))
+    dup_canon = (
+        grams.groupBy("gh")
+        .agg(
+            F.count("*").alias("_c"),
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_canon"),
+        )
+        .filter(F.col("_c") >= min_count)
+        .select("gh", "_canon")
+    )
+    removed = (
+        grams.join(dup_canon, "gh")
+        .where(
+            (F.col(id_col) != F.col("_canon").getField(id_col))
+            | (F.col("pos") != F.col("_canon").getField("pos"))
+        )
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (k - 1))
+            ).alias("p"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("p").alias("_rem"))
+    )
+    rem = F.coalesce(F.col("_rem"), F.array().cast("array<int>"))
+    # HOF filter's index is 0-based, matching posexplode positions.
+    kept = F.filter(
+        F.col("_w"), lambda w, i: ~F.array_contains(rem, i)
+    )
+    return (
+        base.join(removed, id_col, "left")
+        .select(
+            id_col,
+            F.size("_w").cast("long").alias("n_tokens"),
+            F.size(rem).cast("long").alias("removed_tokens"),
+            F.array_join(kept, " ").alias("kept_text"),
+        )
+    )

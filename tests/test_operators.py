@@ -1540,6 +1540,35 @@ def test_substring_dup_spans_planted_coverage(spark):
     assert got[4] == (2, 0)
 
 
+def test_substring_dedup_rewrite_canonical_keep(spark):
+    """The earliest (id, pos) occurrence of a duplicated 8-gram span
+    survives; later carriers lose exactly the span tokens; a doc that
+    IS the span is emptied; within-doc repeats keep the first copy."""
+    from kafka_delta_ingest_spark.operators.dedup import (
+        substring_dedup_rewrite,
+    )
+
+    span = "alpha beta gamma delta epsilon zeta eta theta iota"  # 9 toks
+    rows = [
+        (1, span + " unique1 tail1"),
+        (2, "lead2 words2 " + span + " end2"),
+        (3, span),
+        (4, "short doc"),
+        # doc 5: its own 8-gram repeated back-to-back -> second copy cut
+        (5, "r1 r2 r3 r4 r5 r6 r7 r8 r1 r2 r3 r4 r5 r6 r7 r8"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.removed_tokens, r.kept_text)
+        for r in substring_dedup_rewrite(df, "doc_id", "text", k=8).collect()
+    }
+    assert got[1] == (11, 0, span + " unique1 tail1")  # canonical carrier
+    assert got[2] == (12, 9, "lead2 words2 end2")
+    assert got[3] == (9, 9, "")
+    assert got[4] == (2, 0, "short doc")
+    assert got[5] == (16, 8, "r1 r2 r3 r4 r5 r6 r7 r8")
+
+
 def test_zipf_fit_matches_numpy_least_squares(spark):
     import numpy as np
 
