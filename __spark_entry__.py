@@ -4063,6 +4063,97 @@ def multimodal_wav_roundtrip(spark, sf_dir):
 
 
 @_q(
+    "multimodal_adpcm_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(1024 AS INT) AS n_samples,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(3 AS INT) AS n_blocks,
+           CAST(828 AS INT) AS adpcm_bytes,
+           CAST(1 + doc_id % 37 AS INT) AS recovered_bin,
+           TRUE AS snr_ok
+    FROM documents
+    """,
+)
+def multimodal_adpcm_roundtrip(spark, sf_dir):
+    """End-to-end certification of REAL compressed audio: per
+    document, plant a pure sine (frequency bin derived from the doc
+    id), encode it as IMA ADPCM — 4-bit lossy compression, WAVE tag
+    0x11 (operators/adpcm.py) — decode it back, and emit closed-form
+    container geometry (sample count, rate, block count, exact byte
+    length), the recovered rFFT argmax bin (exact: ADPCM quantization
+    noise sits 30+ dB under a full-scale sine in the planted band),
+    and an SNR-floor boolean — the JPEG pattern applied to lossy
+    audio. Byte length is fully determined by the format: 12 RIFF +
+    28 fmt + 12 fact + 8 data header + 3 blocks x 256. Plan shape:
+    one narrow mapInPandas; blobs live and die inside the task."""
+    import pandas as pd
+
+    from pyspark.sql.types import BooleanType
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_samples", IntegerType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("n_blocks", IntegerType()),
+            StructField("adpcm_bytes", IntegerType()),
+            StructField("recovered_bin", IntegerType()),
+            StructField("snr_ok", BooleanType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from kafka_delta_ingest_spark.operators.adpcm import (
+            adpcm_snr_db,
+            decode_wav_adpcm,
+            encode_wav_adpcm,
+            samples_per_block,
+        )
+        from kafka_delta_ingest_spark.operators.audio import (
+            dominant_bin_samples,
+        )
+
+        n, rate, ba = 1024, 8000, 256
+        spb = samples_per_block(ba)
+        t = np.arange(n)
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                k = int(1 + doc_id % 37)
+                samples = (12000 * np.sin(2 * np.pi * k * t / n)).astype(
+                    np.int16
+                )
+                blob = encode_wav_adpcm(samples, rate, block_align=ba)
+                decoded, got_rate = decode_wav_adpcm(blob)
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(decoded.shape[0]),
+                        int(got_rate),
+                        -(-n // spb),
+                        len(blob),
+                        dominant_bin_samples(decoded[:, None]),
+                        bool(adpcm_snr_db(samples, decoded) >= 25.0),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "sample_rate", "n_blocks",
+                    "adpcm_bytes", "recovered_bin", "snr_ok",
+                ],
+            )
+
+    from kafka_delta_ingest_spark.operators.util import spread
+
+    return spread(d).mapInPandas(run, schema=out_schema)
+
+
+@_q(
     "multimodal_png_roundtrip",
     """
     SELECT doc_id,
@@ -5698,6 +5789,7 @@ _SWEEP_ORDER: list[str] = [
     "corpus_zipf_fit",
     "dedup_substring_spans",
     "dedup_substring_rewrite",
+    "multimodal_adpcm_roundtrip",
     # --- flagship re-certification: ingest + sink paths.
     "ingest_message_path",
     "ingest_avro_path",

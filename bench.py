@@ -96,6 +96,7 @@ HEADLINE = [
     "corpus_zipf_fit",
     "dedup_substring_spans",
     "dedup_substring_rewrite",
+    "multimodal_adpcm_roundtrip",
 ]
 
 

@@ -137,7 +137,16 @@ def audio_features(b: bytes) -> list[float]:
     """Sample-space features: duration_s, sample_rate, channels, RMS,
     peak, zero-crossing rate, spectral centroid (Hz), normalized
     dominant-bin magnitude, 8 log-spaced band energies."""
-    samples, rate = decode_wav(b)
+    return features_from_samples(*decode_wav(b))
+
+
+def features_from_samples(samples, rate: int) -> list[float]:
+    """The feature kernel itself, decoupled from the container parse
+    so every audio codec (PCM WAV here, IMA ADPCM in adpcm.py) feeds
+    the same FEATURE_DIM contract."""
+    samples = np.asarray(samples)
+    if samples.ndim == 1:
+        samples = samples[:, None]
     n, channels = samples.shape
     mono = samples.mean(axis=1) / 32768.0
     rms = float(np.sqrt(np.mean(mono**2)))

@@ -63,24 +63,26 @@ FEATURES_SCHEMA = StructType(
 
 def real_decode_stub(_bytes: bytes) -> list[float]:
     """Placeholder for decoders of formats this runtime cannot parse
-    (MP3 / AAC / H.264 and other LOSSY audio/video codecs needing
+    (MP3 / AAC / H.264 and other PERCEPTUAL-transform codecs needing
     native libraries).
 
-    Four formats ARE decoded for real, no native libs: binary PPM via
+    Five formats ARE decoded for real, no native libs: binary PPM via
     ``ppm_features`` below, baseline JPEG via
     ``operators.jpeg.jpeg_features`` (pure-numpy Huffman+IDCT codec),
     PNG via ``operators.png.png_features`` (chunk framing + stdlib
-    zlib + all five scanline unfilters), and WAV/PCM audio via
-    ``operators.audio.audio_features`` (RIFF parser + FFT features) —
-    each planted-fixture-tested. This stub marks the remaining seam:
-    lossy audio/video codecs (MP3/AAC/H.264) that need native
-    libraries.
+    zlib + all five scanline unfilters), WAV/PCM audio via
+    ``operators.audio.audio_features`` (RIFF parser + FFT features),
+    and lossy COMPRESSED audio via ``operators.adpcm.adpcm_features``
+    (IMA ADPCM, WAVE tag 0x11, 4-bit 4:1) — each planted-fixture-
+    tested. This stub marks the remaining seam: perceptual transform
+    codecs (MP3/AAC) and video (H.264) that need native libraries.
     """
     raise NotImplementedError(
-        "lossy audio/video decoding requires a native media "
+        "perceptual audio/video decoding requires a native media "
         "library; pass decode=your_kernel to extract_features (JPEG: "
         "operators.jpeg.jpeg_features; PNG: operators.png.png_features; "
-        "PPM: ppm_features; WAV: operators.audio.audio_features)"
+        "PPM: ppm_features; WAV: operators.audio.audio_features; "
+        "IMA ADPCM: operators.adpcm.adpcm_features)"
     )
 
 

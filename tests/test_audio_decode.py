@@ -131,3 +131,146 @@ def test_extract_features_with_wav_kernel(spark):
     assert got[3] is None  # compressed/undecodable row quarantined
     assert abs(got[1][5] - 2 * 5 / 2048) < 0.01  # ZCR tracks frequency
     assert abs(got[2][5] - 2 * 40 / 2048) < 0.01
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM (operators/adpcm.py)
+# ---------------------------------------------------------------------------
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+]
+_IMA_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _scalar_ima_decode(data: bytes, block_align: int):
+    """Textbook scalar IMA decoder (straight from the public IMA
+    reference algorithm) — the independent twin the vectorized
+    decoder must match bit-for-bit."""
+    spb = (block_align - 4) * 2 + 1
+    out = []
+    for off in range(0, len(data), block_align):
+        block = data[off:off + block_align]
+        pred = int.from_bytes(block[0:2], "little", signed=True)
+        idx = block[2]
+        out.append(pred)
+        nibbles = []
+        for byte in block[4:]:
+            nibbles.append(byte & 0x0F)
+            nibbles.append(byte >> 4)
+        for nib in nibbles[: spb - 1]:
+            step = _IMA_STEPS[idx]
+            delta = step >> 3
+            if nib & 4:
+                delta += step
+            if nib & 2:
+                delta += step >> 1
+            if nib & 1:
+                delta += step >> 2
+            pred = pred - delta if nib & 8 else pred + delta
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + _IMA_ADJ[nib & 7]))
+            out.append(pred)
+    return out
+
+
+def test_adpcm_vectorized_decode_matches_scalar_reference():
+    """Random nibble streams: the block-parallel numpy decoder must
+    equal the textbook scalar algorithm sample-for-sample."""
+    import numpy as np
+
+    from kafka_delta_ingest_spark.operators.adpcm import decode_wav_adpcm
+
+    rng = np.random.default_rng(42)
+    for trial in range(5):
+        n = int(rng.integers(1, 2000))
+        samples = rng.integers(-32768, 32768, size=n).astype(np.int16)
+        from kafka_delta_ingest_spark.operators.adpcm import (
+            encode_wav_adpcm,
+        )
+
+        blob = encode_wav_adpcm(samples, 8000, block_align=64)
+        # locate the data chunk and replay it through the scalar twin
+        pos, data = 12, None
+        while pos + 8 <= len(blob):
+            cid = blob[pos:pos + 4]
+            size = int.from_bytes(blob[pos + 4:pos + 8], "little")
+            if cid == b"data":
+                data = blob[pos + 8:pos + 8 + size]
+            pos += 8 + size + (size % 2)
+        want = _scalar_ima_decode(data, 64)[:n]
+        got, rate = decode_wav_adpcm(blob)
+        assert rate == 8000
+        assert got.tolist() == want
+
+
+def test_adpcm_roundtrip_snr_and_geometry():
+    import numpy as np
+
+    from kafka_delta_ingest_spark.operators.adpcm import (
+        adpcm_snr_db,
+        decode_wav_adpcm,
+        encode_wav_adpcm,
+        samples_per_block,
+    )
+    from kafka_delta_ingest_spark.operators.audio import (
+        dominant_bin_samples,
+    )
+
+    n, rate = 1024, 8000
+    t = np.arange(n)
+    spb = samples_per_block(256)
+    for k in (1, 5, 19, 37):
+        s = (12000 * np.sin(2 * np.pi * k * t / n)).astype(np.int16)
+        blob = encode_wav_adpcm(s, rate, block_align=256)
+        d, got_rate = decode_wav_adpcm(blob)
+        assert (got_rate, len(d)) == (rate, n)
+        assert dominant_bin_samples(d[:, None]) == k
+        assert adpcm_snr_db(s, d) >= 25.0
+        # closed-form container size: RIFF 12 + fmt 28 + fact 12 +
+        # data hdr 8 + ceil(n/spb) blocks * 256
+        assert len(blob) == 12 + 28 + 12 + 8 + (-(-n // spb)) * 256
+    # determinism
+    s = (9000 * np.sin(2 * np.pi * 3 * t / n)).astype(np.int16)
+    assert encode_wav_adpcm(s, rate) == encode_wav_adpcm(s, rate)
+
+
+def test_adpcm_error_paths():
+    import numpy as np
+    import pytest
+
+    from kafka_delta_ingest_spark.operators.adpcm import (
+        decode_wav_adpcm,
+        encode_wav_adpcm,
+    )
+    from kafka_delta_ingest_spark.operators.audio import encode_wav
+
+    stereo = np.zeros((16, 2), dtype=np.int16)
+    with pytest.raises(ValueError, match="mono-only"):
+        encode_wav_adpcm(stereo, 8000)
+    with pytest.raises(ValueError, match="empty"):
+        encode_wav_adpcm(np.array([], dtype=np.int16), 8000)
+    with pytest.raises(ValueError, match="not a RIFF"):
+        decode_wav_adpcm(b"junk")
+    # a plain PCM wav is NOT ADPCM: tag check must fire
+    pcm = encode_wav(np.zeros(16, dtype=np.int16), 8000)
+    with pytest.raises(ValueError, match="not IMA ADPCM"):
+        decode_wav_adpcm(pcm)
+    # corrupt step index > 88 rejected
+    good = bytearray(
+        encode_wav_adpcm(np.zeros(16, dtype=np.int16), 8000, block_align=8)
+    )
+    di = good.find(b"data") + 8
+    good[di + 2] = 200
+    with pytest.raises(ValueError, match="step index"):
+        decode_wav_adpcm(bytes(good))
+    # truncated data chunk (not a whole block)
+    with pytest.raises(ValueError):
+        decode_wav_adpcm(bytes(good[:-2]))
