@@ -960,10 +960,19 @@ def substring_dup_spans(
             positional_shingles(words, n, k), 1, F.greatest(n - (k - 1), F.lit(1))
         )).otherwise(F.array().cast("array<string>")).alias("_grams"),
     )
+    # One explicit gh-shuffle shared by BOTH consumers (the count
+    # aggregation and the coverage join probe): the expensive shingle
+    # lineage runs in the map side of this single exchange, which
+    # Spark's stage cache reuses across legs — without it each leg
+    # re-executes shingling past the shared scan. The aggregation and
+    # the join both want exactly this partitioning, so no further
+    # gram shuffle exists downstream.
     grams = base.select(
         id_col,
         F.posexplode("_grams").alias("pos", "_g"),
-    ).select(id_col, "pos", F.xxhash64("_g").alias("gh"))
+    ).select(id_col, "pos", F.xxhash64("_g").alias("gh")).repartition(
+        F.col("gh")
+    )
     counts = grams.groupBy("gh").agg(F.count("*").alias("_c"))
     dup = counts.filter(F.col("_c") >= min_count)
     if max_gram_df is not None:
@@ -1014,16 +1023,20 @@ def substring_dedup_rewrite(
     NORMALIZED text (lowercase, collapsed whitespace — same notion of
     "same text" as the rest of the dedup family).
 
-    Plan: one positional-shingle pass; duplicated grams and their
-    canonical occurrence come from a single map-side-combined hash
-    aggregation on the 8-byte xxhash64 (``min`` over a ``(id, pos)``
-    struct is the canonical pick — lexicographic struct ordering,
-    no window); non-canonical occurrences are an equi-join back on
-    the hash plus a struct inequality; removal positions explode k
-    rows per non-canonical occurrence (linear in true duplication
-    mass) and fold into one bounded-by-doc-length ``collect_set`` per
-    document; the rewrite is a positional array filter — no second
-    text scan. Unlike :func:`substring_dup_spans` there is no
+    Plan: one positional-shingle pass feeding one explicit gh-keyed
+    exchange whose stage both consumers reuse; duplicated grams and
+    their canonical occurrence come from one aggregation on the
+    8-byte xxhash64 (``min`` over a ``(id, pos)`` struct is the
+    canonical pick — lexicographic struct ordering, no window; the
+    struct-typed buffer makes Spark plan a SortAggregate, which here
+    sorts each gh-partition locally — distributed and spill-safe,
+    NOT a global sort); non-canonical occurrences are an equi-join
+    back on the hash (co-partitioned by construction, AQE splits any
+    boilerplate-gram probe skew) plus a struct inequality; removal
+    positions explode k rows per non-canonical occurrence (linear in
+    true duplication mass) and fold into one bounded-by-doc-length
+    ``collect_set`` per document; the rewrite is a positional array
+    filter — no second text scan. Unlike :func:`substring_dup_spans` there is no
     ``max_gram_df`` cap: removal must stay position-exact for every
     occurrence, and the explode cost is k rows per occurrence —
     already linear in the gram table, not a fan-out join.
@@ -1046,10 +1059,15 @@ def substring_dedup_rewrite(
             F.greatest(n - (k - 1), F.lit(1)),
         )).otherwise(F.array().cast("array<string>")).alias("_grams"),
     )
+    # Shared gh-shuffle: shingling runs once in this exchange's map
+    # side and the stage is reused by both the canonical aggregation
+    # and the removal join probe (see substring_dup_spans).
     grams = base.select(
         id_col,
         F.posexplode("_grams").alias("pos", "_g"),
-    ).select(id_col, "pos", F.xxhash64("_g").alias("gh"))
+    ).select(id_col, "pos", F.xxhash64("_g").alias("gh")).repartition(
+        F.col("gh")
+    )
     dup_canon = (
         grams.groupBy("gh")
         .agg(
