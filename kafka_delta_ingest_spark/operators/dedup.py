@@ -350,42 +350,55 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     return votes.select(F.col(id_col), fp.alias("fp"))
 
 
-def simhash_pairs(
-    df: DataFrame,
+def hamming_neardup_pairs(
+    fp_df: DataFrame,
     id_col: str,
-    text_col: str,
+    fp_col: str = "fp",
     max_hamming: int = 3,
+    n_chunks: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+    """Near-dup pairs among 64-bit fingerprints by Hamming distance
+    ≤ ``max_hamming`` — the shared banding core under SimHash text
+    near-dup AND perceptual-hash image near-dup (operators/phash.py).
 
-    Pigeonhole banding: split the 64-bit fingerprint into 4 16-bit
-    chunks; any pair within distance 3 agrees on ≥1 chunk, so equality
-    joins on chunks produce a complete candidate set, then bit_count
-    verifies exactly.
+    Pigeonhole banding: split the fingerprint into ``n_chunks`` ≥
+    ``max_hamming + 1`` bit ranges; a pair within distance h differs
+    in at most h chunks, so it AGREES on at least one — equality
+    grouping per chunk yields a complete candidate set, then
+    ``bit_count(xor)`` verifies exactly. Returns
+    ``(id_a, id_b, hamming)`` with ``id_a < id_b``, each pair once.
+
+    Plan: chunk rows ride one explode; carriers per (chunk, val)
+    group via :func:`_carriers` with the 8-byte fingerprint inside
+    the struct — ONE pass over the fingerprint lineage (an aliased
+    self-join would compute it per leg) and no fetch-back join. No
+    cap: the pigeonhole candidate set must be complete (an
+    identical-fingerprint flood is quadratic in any join shape).
     """
-    fp = simhash_fingerprints(df, id_col, text_col)
-    chunks = fp.select(
+    if n_chunks is None:
+        n_chunks = max(2, max_hamming + 1)
+    if n_chunks < max_hamming + 1:
+        raise ValueError("need n_chunks >= max_hamming + 1 for recall")
+    width = 64 // n_chunks  # first chunks; the last takes the slack
+    offs = [(c * width, width if c < n_chunks - 1 else 64 - c * width)
+            for c in range(n_chunks)]
+    chunks = fp_df.select(
         id_col,
-        "fp",
+        F.col(fp_col).alias("fp"),
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda c: F.struct(
-                    c.alias("chunk"),
-                    F.call_function("shiftright", F.col("fp"), (c * 16).cast("int"))
-                    .bitwiseAND(F.lit(0xFFFF))
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk"),
+                    F.call_function(
+                        "shiftright", F.col(fp_col), F.lit(off)
+                    )
+                    .bitwiseAND(F.lit((1 << w) - 1))
                     .alias("val"),
-                ),
-            )
+                )
+                for c, (off, w) in enumerate(offs)
+            ])
         ).alias("cv"),
     ).select(id_col, "fp", "cv.chunk", "cv.val")
-    # Carriers per (chunk, val) with the 8-byte fingerprint inside the
-    # struct — ONE pass over the fingerprint lineage (the aliased
-    # left/right self-join computed it twice) and no fetch-back join.
-    # array_sort orders the (id, fp) structs by id; _suffix_pairs'
-    # strict id comparison yields id_a < id_b. No cap: the pigeonhole
-    # candidate set must be complete (an identical-fingerprint flood
-    # is quadratic in the old join shape too).
     cand = (
         _suffix_pairs(
             _carriers(
@@ -407,6 +420,25 @@ def simhash_pairs(
     dist = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     return cand.select("id_a", "id_b", dist.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Pigeonhole banding via :func:`hamming_neardup_pairs` (4 × 16-bit
+    chunks at the default distance 3): any pair within distance 3
+    agrees on ≥1 chunk, so equality joins on chunks produce a
+    complete candidate set, then bit_count verifies exactly.
+    """
+    fp = simhash_fingerprints(df, id_col, text_col)
+    return hamming_neardup_pairs(
+        fp, id_col, "fp", max_hamming, n_chunks=max(4, max_hamming + 1)
     )
 
 
