@@ -3887,10 +3887,10 @@ def multimodal_dedup_exact(spark, sf_dir):
     """
     SELECT doc_id AS media_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           list_sum(list_transform(range(0, 16),
+           CAST(list_sum(list_transform(range(0, 16),
              i -> CAST('0x' || substr(sha256(text),
                                       CAST(2*i+1 AS BIGINT), 2) AS BIGINT)
-           )) AS feat_sum
+           )) AS BIGINT) AS feat_sum
     FROM documents
     """,
 )
@@ -4154,17 +4154,114 @@ def multimodal_adpcm_roundtrip(spark, sf_dir):
 
 
 @_q(
+    "multimodal_mjpeg_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(2 + doc_id % 3 AS INT) AS n_frames,
+           CAST(5 + doc_id % 4 AS INT) AS fps,
+           CAST(16 + (doc_id % 2) * 8 AS INT) AS width,
+           CAST(8 + (doc_id % 3) * 8 AS INT) AS height,
+           TRUE AS frames_ok,
+           TRUE AS sampled_ok
+    FROM documents
+    """,
+)
+def multimodal_mjpeg_roundtrip(spark, sf_dir):
+    """End-to-end certification of REAL video: per document, plant a
+    short solid-gray MJPEG clip (frame count, geometry, and fps derive
+    from the doc id; per-frame gray level from the text length), wrap
+    the frames in a RIFF/AVI container (operators/mjpeg.py — public
+    Microsoft AVI spec, per-frame baseline JPEG via the T.81 codec),
+    decode the container back, and emit closed-form frame count /
+    geometry / fps plus two booleans: every decoded frame's luma mean
+    within JPEG quantization tolerance of its planted level, and the
+    idx1-seek selective decode (the frame-sampling scale path)
+    byte-identical to the full decode's last frame. Counts and verdict
+    booleans are EXACT, so the DuckDB oracle replays them without a
+    video stack — the JPEG/WAV planted-invariant pattern applied to a
+    third modality. Plan shape: one narrow mapInPandas; video blobs
+    are created, coded, and dropped inside the task."""
+    import pandas as pd
+    from pyspark.sql.types import BooleanType
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_frames", IntegerType()),
+            StructField("fps", IntegerType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("frames_ok", BooleanType()),
+            StructField("sampled_ok", BooleanType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from kafka_delta_ingest_spark.operators.mjpeg import (
+            decode_avi_frames,
+            decode_avi_mjpeg,
+            encode_avi_mjpeg,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, n in zip(pdf["doc_id"], pdf["n_chars"]):
+                nf = int(2 + doc_id % 3)
+                fps = int(5 + doc_id % 4)
+                w = int(16 + (doc_id % 2) * 8)
+                h = int(8 + (doc_id % 3) * 8)
+                levels = [(int(n) + 37 * f) % 256 for f in range(nf)]
+                frames = [
+                    np.full((h, w), g, dtype=np.uint8) for g in levels
+                ]
+                avi = encode_avi_mjpeg(frames, fps=fps, quality=95)
+                dec, got_fps, (gw, gh) = decode_avi_mjpeg(avi)
+                frames_ok = all(
+                    abs(float(f.mean()) - g) <= 3.0
+                    for f, g in zip(dec, levels)
+                )
+                sampled = decode_avi_frames(avi, [nf - 1])
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(dec),
+                        int(got_fps),
+                        int(gw),
+                        int(gh),
+                        bool(frames_ok),
+                        bool(np.array_equal(sampled[0], dec[-1])),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "fps", "width", "height",
+                    "frames_ok", "sampled_ok",
+                ],
+            )
+
+    from kafka_delta_ingest_spark.operators.util import spread
+
+    return spread(d).mapInPandas(run, schema=out_schema)
+
+
+@_q(
     "multimodal_png_roundtrip",
     """
     SELECT doc_id,
            CAST(8 + doc_id % 5 AS INT) AS width,
            CAST(8 + doc_id % 3 AS INT) AS height,
-           list_sum(list_transform(
+           CAST(list_sum(list_transform(
              range(0, (8 + doc_id % 5) * (8 + doc_id % 3)),
              i -> (length(text) % 256
                    + i % (8 + doc_id % 5)
                    + 2 * (i // (8 + doc_id % 5))) % 256
-           )) AS px_sum,
+           )) AS BIGINT) AS px_sum,
            TRUE AS exact_ok
     FROM documents
     """,
@@ -5790,6 +5887,8 @@ _SWEEP_ORDER: list[str] = [
     "dedup_substring_spans",
     "dedup_substring_rewrite",
     "multimodal_adpcm_roundtrip",
+    # --- round-6 new operators (no driver row yet by definition).
+    "multimodal_mjpeg_roundtrip",
     # --- flagship re-certification: ingest + sink paths.
     "ingest_message_path",
     "ingest_avro_path",

@@ -97,6 +97,7 @@ HEADLINE = [
     "dedup_substring_spans",
     "dedup_substring_rewrite",
     "multimodal_adpcm_roundtrip",
+    "multimodal_mjpeg_roundtrip",
 ]
 
 
@@ -167,16 +168,41 @@ def main() -> None:
         "agg_approx_distinct", "dedup_clusters_cc",
     ]
     shared_r2 = round(sum(times[k] for k in r2_keys if k in times), 3)
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "n_queries": len(times),
+        "shared_r2_subtotal": shared_r2,
+    }
+    # Full per-query map: printed on an EARLIER stdout line and persisted
+    # to a committed file.  The driver captures only the last ~2000 chars
+    # of stdout and parses the FINAL line — at 69 queries the full map no
+    # longer fits (BENCH_r05.json recorded parsed:null), so the final
+    # line must be a compact summary that always fits the tail capture.
+    print(json.dumps(detail))
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_DETAIL.json"),
+            "w",
+        ) as f:
+            json.dump(detail, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
                 "sf": sf,
                 "n_queries": len(times),
                 "shared_r2_subtotal": shared_r2,
+                "queries_file": "BENCH_DETAIL.json",
             }
         )
     )

@@ -435,18 +435,40 @@ def run_curate(args: argparse.Namespace) -> int:
         d = dedup.incremental_ngram_dedup_indexed(
             index, d, idc, txc, n=3, threshold=args.admit_threshold
         ).localCheckpoint()
-        # Materialized BEFORE the index append: the admitted frame's
-        # lineage reads the index path, and both the append below and
-        # the output write re-execute it otherwise — the checkpoint
-        # freezes the pre-append snapshot and runs admission once.
-        # Append-only index maintenance: the admitted batch's grams
-        # join the persisted table for the next batch — no rebuild,
-        # no read-modify-write of existing files.
-        dedup.build_gram_index(d, idc, txc, n=3).write.mode("append").parquet(
-            args.gram_index
-        )
+        # Materialized here: the admitted frame's lineage reads the
+        # index path, and both the index append below and the output
+        # write re-execute it otherwise — the checkpoint freezes the
+        # pre-append snapshot and runs admission once.
+        gram_index_frame, gram_index_ids = index, idc
+    else:
+        gram_index_frame = None
     out = deterministic_split(d, idc, train_pct=args.train_pct)
     out.write.mode("overwrite").partitionBy("split").parquet(args.output)
+    if gram_index_frame is not None:
+        # Append-only index maintenance, ORDERED AFTER the curated
+        # output write: a failure between the two steps must never
+        # leave grams in the index for a batch whose output was never
+        # produced (the library precondition is disjoint ids across
+        # appends). Replay guard: ids already present in the index are
+        # excluded from the append, so re-running a batch is idempotent
+        # instead of silently duplicating grams and inflating idx_sizes.
+        new_grams = dedup.build_gram_index(d, idc, txc, n=3)
+        existing_ids = gram_index_frame.select(gram_index_ids).distinct()
+        replayed = (
+            new_grams.select(gram_index_ids)
+            .distinct()
+            .join(existing_ids, gram_index_ids, "left_semi")
+            .count()
+        )
+        if replayed:
+            print(
+                f"WARNING: {replayed} doc ids already present in "
+                f"{args.gram_index}; skipping their grams (replayed batch?)"
+            )
+            new_grams = new_grams.join(
+                existing_ids, gram_index_ids, "left_anti"
+            )
+        new_grams.write.mode("append").parquet(args.gram_index)
 
     card = (
         spark.read.parquet(args.output)

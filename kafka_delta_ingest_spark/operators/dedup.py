@@ -379,6 +379,12 @@ def hamming_neardup_pairs(
         n_chunks = max(2, max_hamming + 1)
     if n_chunks < max_hamming + 1:
         raise ValueError("need n_chunks >= max_hamming + 1 for recall")
+    if n_chunks < 2:
+        # An explicit n_chunks=1 (legal vs the recall bound when
+        # max_hamming=0) would make width=64, and the (1 << 64) - 1
+        # chunk mask overflows a Spark long at runtime.
+        raise ValueError("need n_chunks >= 2 (single-chunk mask "
+                         "overflows a 64-bit literal)")
     width = 64 // n_chunks  # first chunks; the last takes the slack
     offs = [(c * width, width if c < n_chunks - 1 else 64 - c * width)
             for c in range(n_chunks)]
@@ -1046,10 +1052,15 @@ def substring_dedup_rewrite(
     ``(id, pos)``) is canonical and survives; every other occurrence
     marks its k token positions for removal in its document. A token
     survives unless some non-canonical occurrence of a duplicated
-    k-gram covers it — so one copy of each duplicated >=k-token span
-    remains (in the earliest carrier) and the rest is excised, the
-    exact editorial move the paper applies with a suffix array. Docs
-    shorter than k tokens are never touched.
+    k-gram covers it — so for an isolated duplicated span one copy
+    (in the earliest carrier) remains and the rest is excised, the
+    editorial move the paper applies with a suffix array. Caveat
+    (shared with Lee et al.-style greedy excision): when duplicated
+    spans OVERLAP, removal positions from a different gram's
+    non-canonical occurrence can fall inside a canonical occurrence,
+    so the surviving copy may itself lose tokens — "exactly one
+    intact copy" is not guaranteed in overlap cases. Docs shorter
+    than k tokens are never touched.
 
     Returns ``(id, n_tokens, removed_tokens, kept_text)`` on the
     NORMALIZED text (lowercase, collapsed whitespace — same notion of

@@ -23,8 +23,9 @@ counts in hash order. That is the same 256-bucket two-level scan
 ``sample_token_budget`` uses (one tiny 256-row window + per-bucket
 windows that run 256-way parallel) — no global sort, no single-task
 window. NFD shards via ``id % n_shards``; each shard is one
-``applyInPandas`` group whose memory is O(shard rows), so pick
-``n_shards`` ≥ corpus_rows / rows-that-fit-in-executor-memory. The
+``applyInPandas`` group whose memory is O(shard rows), so the default
+derives ``n_shards`` from corpus_rows / ``rows_per_shard`` (≈200 MB
+of (id, n_tokens) longs per task at the 4M-row default). The
 reference engine has no packing surface; this extends the LLM-pipeline
 family (SURVEY §6).
 """
@@ -123,7 +124,8 @@ def pack_bins_nfd(
     ctx_len: int,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n_shards: int = 32,
+    n_shards: int | None = None,
+    rows_per_shard: int = 4_000_000,
 ) -> DataFrame:
     """No-split bin packing: assign each document to a bin of capacity
     ``ctx_len`` tokens via next-fit-decreasing within deterministic
@@ -137,9 +139,26 @@ def pack_bins_nfd(
     but shards run in parallel; determinism makes the result
     rerun-stable and exactly replayable by a recursive-CTE oracle.
 
+    Sharding / memory envelope: each shard is ONE ``applyInPandas``
+    group holding only ``(id, n_tokens)`` longs — roughly 40-50 bytes
+    per row as a pandas frame, so the default ``rows_per_shard`` of 4M
+    bounds a shard's task memory near ~200 MB regardless of corpus
+    size. ``n_shards=None`` (the default) derives the shard count from
+    one cheap column-pruned count: ``max(32, ceil(rows /
+    rows_per_shard))`` — a 1e10-doc corpus gets ~2500 shards instead
+    of 32 shards of 3e8 rows each. Pass an explicit ``n_shards`` for a
+    pinned, replayable shard layout (the oracle twin does). More
+    shards = more parallelism but slightly worse packing (bins never
+    span shards); the quality loss is O(n_shards) bins total.
+
     Returns ``(id, n_tokens, shard, bin)`` — ``bin`` is 0-based within
     the shard; ``(shard, bin)`` is the global bin key.
     """
+    if n_shards is None:
+        import math
+
+        n_rows = df.select(id_col).count()
+        n_shards = max(32, math.ceil(n_rows / max(1, rows_per_shard)))
     rows = df.select(
         F.col(id_col).cast("long").alias("_id"),
         token_count(F.col(text_col)).cast("long").alias("n_tokens"),

@@ -15,13 +15,17 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     the whole operator on a single core. The row shuffle here is cheap
     (ids + text), the parallelism unlock downstream is not.
 
-    Deliberately RDD-free (``df.rdd`` does not exist under Spark
-    Connect): width is estimated catalog-free from ``inputFiles()``
-    (a lower bound on scan splits — a file larger than
-    maxPartitionBytes splits further, so the estimate only ever errs
-    toward repartitioning, never toward under-parallelism), and the
-    target falls back to ``spark.sql.shuffle.partitions`` when no
-    SparkContext is reachable.
+    Width detection prefers ``df.rdd.getNumPartitions()`` — exact for
+    every plan shape, including cached ``InMemoryRelation``s whose
+    ``inputFiles()`` is empty. Under Spark Connect (no ``df.rdd``) it
+    falls back to: pass cached plans through untouched (a cache was
+    materialized at some cluster width; re-shuffling it to "fix" an
+    unknown width is a guaranteed extra exchange for a speculative
+    win), then estimate from ``inputFiles()`` (a lower bound on scan
+    splits — a file larger than maxPartitionBytes splits further, so
+    the estimate only errs toward repartitioning, never toward
+    under-parallelism). The target falls back to
+    ``spark.sql.shuffle.partitions`` when no SparkContext is reachable.
     """
     sess = df.sparkSession
     try:
@@ -30,9 +34,18 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
         default = int(sess.conf.get("spark.sql.shuffle.partitions"))
     target = partitions or default
     try:
-        n_splits = len(df.inputFiles())
-    except Exception:  # non-file-backed plan: assume narrow
-        n_splits = 0
+        n_splits = df.rdd.getNumPartitions()
+    except Exception:  # Spark Connect: no df.rdd
+        try:
+            lvl = df.storageLevel
+            if lvl.useMemory or lvl.useDisk:
+                return df  # cached: already partitioned, don't re-shuffle
+        except Exception:
+            pass
+        try:
+            n_splits = len(df.inputFiles())
+        except Exception:  # non-file-backed plan: assume narrow
+            n_splits = 0
     if n_splits >= target:
         return df
     return df.repartition(target)

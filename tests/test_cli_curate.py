@@ -189,5 +189,21 @@ def test_curate_gram_index_steady_state(spark, tmp_path):
     assert admitted2 == golden
     assert not any(i >= 9_000 for i in admitted2)
     # index grew by exactly the admitted docs' grams
-    assert spark.read.parquet(idx).count() > idx_n1
+    idx_n2 = spark.read.parquet(idx).count()
+    assert idx_n2 > idx_n1
     assert spark.read.parquet(idx).filter(F.col("doc_id") >= 9_000).count() == 0
+
+    # Replay guard: re-running batch 1 (same ids) must NOT duplicate
+    # grams in the index — the CLI skips already-present ids on append
+    # (r5 advisor finding: a replayed batch silently inflated
+    # idx_sizes, weakening future Jaccard admissions).
+    out1b = str(tmp_path / "out1b")
+    rc = main(
+        ["curate", src1, out1b, "--min_quality", "0.0", "--dedup", "none",
+         "--gram_index", idx]
+    )
+    assert rc == 0
+    assert spark.read.parquet(idx).count() == idx_n2
+    assert (
+        spark.read.parquet(idx).distinct().count() == idx_n2
+    )  # still no duplicate (doc_id, gh) rows

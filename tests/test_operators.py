@@ -101,6 +101,19 @@ def test_minhash_dedup_drops_copies(spark, docs):
     assert 35 <= kept.count() <= 40
 
 
+def test_hamming_neardup_rejects_single_chunk(spark):
+    """Explicit n_chunks=1 with max_hamming=0 passes the recall bound
+    but would make the chunk mask (1 << 64) - 1, overflowing a Spark
+    long at runtime — the guard must reject it up front."""
+    import pytest
+
+    df = spark.createDataFrame([(1, 0)], "doc_id long, fp long")
+    with pytest.raises(ValueError, match="n_chunks >= 2"):
+        dedup.hamming_neardup_pairs(
+            df, "doc_id", "fp", max_hamming=0, n_chunks=1
+        )
+
+
 def test_simhash_identical_distance_zero(spark, docs):
     small = docs.limit(30)
     copy = small.withColumn("doc_id", F.col("doc_id") + 1_000_000)
@@ -1488,6 +1501,48 @@ def test_pack_bins_nfd_capacity_and_determinism(spark):
     assert sorted((r.doc_id, r.bin) for r in rows) == sorted(
         (r.doc_id, r.bin) for r in again
     )
+
+
+def test_pack_bins_nfd_derived_shards_on_skewed_corpus(spark):
+    """n_shards=None derives the shard count from corpus size /
+    rows_per_shard; a 10x token-length-skewed corpus (a heavy class of
+    giant docs amid short ones) must still bin correctly: every doc
+    placed once, capacity respected, shard width bounded by the
+    derived sharding."""
+    from kafka_delta_ingest_spark.operators.packing import pack_bins_nfd
+
+    n = 600
+    docs = [
+        # every 10th doc is ~10x longer than the rest
+        (i, ("w " * (400 if i % 10 == 0 else 40)).strip())
+        for i in range(n)
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = pack_bins_nfd(d, ctx_len=128, rows_per_shard=10).collect()
+    assert len(rows) == n and len({r.doc_id for r in rows}) == n
+    shards = {r.shard for r in rows}
+    # derived: max(32, ceil(600/10)) = 60 shards, ids spread mod 60
+    assert max(shards) == 59 and min(shards) == 0
+    from collections import Counter
+
+    width = Counter(r.shard for r in rows)
+    assert max(width.values()) == 10  # 600 ids mod 60: exact balance
+    fills: dict[tuple, int] = {}
+    for r in rows:
+        fills[(r.shard, r.bin)] = fills.get((r.shard, r.bin), 0) + r.n_tokens
+    multi = {
+        k for k in fills
+        if sum(1 for r in rows if (r.shard, r.bin) == k) > 1
+    }
+    for k in multi:
+        assert fills[k] <= 128, k
+    # a 400-token doc exceeds ctx_len=128 → it sits alone in its bin
+    for r in rows:
+        if r.n_tokens > 128:
+            assert (
+                sum(1 for x in rows if (x.shard, x.bin) == (r.shard, r.bin))
+                == 1
+            )
 
 
 def test_c4_line_filter_rules_and_rewrite(spark):

@@ -260,11 +260,16 @@ def test_ccnet_approx_path_has_no_per_lang_sort(spark):
 def test_spread_is_rdd_free_for_spark_connect(spark, monkeypatch):
     # Spark Connect has no df.rdd / SparkContext; spread() must widen
     # narrow scans without touching either. Simulate Connect by making
-    # both accesses explode.
-    from pyspark.sql import DataFrame
+    # the rdd access explode — on the CLASSIC DataFrame class (it
+    # overrides the base-class property, so patching pyspark.sql.
+    # DataFrame is a no-op tripwire). Earlier tests may have left this
+    # parquet cached session-wide (which empties inputFiles()), so
+    # isolate with clearCache.
+    from pyspark.sql.classic.dataframe import DataFrame
 
     from kafka_delta_ingest_spark.operators.util import spread
 
+    spark.catalog.clearCache()
     df = spark.read.parquet(SF + "/documents.parquet")
 
     def _boom(self):
@@ -279,6 +284,37 @@ def test_spread_is_rdd_free_for_spark_connect(spark, monkeypatch):
     # and a wide input (file count >= target) passes through untouched
     wide = spread(df, partitions=1)
     assert "Exchange" not in plan(wide)
+
+    # a CACHED plan (inputFiles() == []) must pass through, not gain a
+    # speculative full shuffle (r5 advisor finding: cached inputs were
+    # unconditionally repartitioned under Connect).
+    df.cache()
+    try:
+        df.count()
+        cached_fresh = spark.read.parquet(SF + "/documents.parquet")
+        assert len(cached_fresh.inputFiles()) == 0  # precondition
+        assert "Exchange" not in plan(spread(cached_fresh))
+    finally:
+        df.unpersist()
+
+
+def test_spread_uses_exact_width_when_rdd_available(spark):
+    # Classic mode: df.rdd.getNumPartitions() is exact even for cached
+    # plans, so a cached 1-partition frame still widens, and an already
+    # wide frame passes through.
+    from kafka_delta_ingest_spark.operators.util import spread
+
+    spark.catalog.clearCache()
+    df = spark.read.parquet(SF + "/documents.parquet")
+    df.cache()
+    try:
+        df.count()
+        fresh = spark.read.parquet(SF + "/documents.parquet")
+        assert fresh.rdd.getNumPartitions() == 1
+        assert "RoundRobinPartitioning" in plan(spread(fresh), mode="simple")
+        assert "Exchange" not in plan(spread(fresh, partitions=1))
+    finally:
+        df.unpersist()
 
 
 def test_pack_concat_chunk_prefix_scan_is_bucketed(spark):

@@ -22,6 +22,36 @@ from kafka_delta_ingest_spark.io import TABLES  # noqa: E402
 from kafka_delta_ingest_spark.session import get_spark  # noqa: E402
 
 
+def duck_rows(con, sql):
+    """Materialize an oracle query the way the DRIVER does: through
+    ``con.execute(sql).df()`` (pandas).  This is dtype-sensitive — e.g.
+    DuckDB HUGEINT (the return type of ``list_sum``) becomes float64 in
+    pandas, so an uncast ``list_sum`` oracle mismatches an int64 Spark
+    column here exactly as it does in CORRECTNESS_r{N}.json.  The old
+    ``fetchall()`` path converted HUGEINT to Python int and masked that
+    class of failure (VERDICT r5, What's wrong #1)."""
+    pdf = con.execute(sql).df()
+    cols = list(pdf.columns)
+    rows = [
+        tuple(_from_pandas(v) for v in tup)
+        for tup in pdf.itertuples(index=False, name=None)
+    ]
+    return cols, rows
+
+
+def _from_pandas(v):
+    import numpy as np
+    import pandas as pd
+
+    if isinstance(v, np.ndarray):
+        return [_from_pandas(x) for x in v.tolist()]
+    if v is pd.NaT:
+        return None
+    if isinstance(v, np.generic):
+        return v.item()
+    return v
+
+
 def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -29,6 +59,11 @@ def norm_cell(v):
         return ("f", v)
     if isinstance(v, datetime.datetime):
         return ("t", v.replace(tzinfo=None).isoformat())
+    if isinstance(v, datetime.date):
+        # DuckDB DATE arrives as datetime64 (midnight Timestamp) through
+        # the pandas path while Spark collect() yields datetime.date —
+        # normalize both to the same midnight-datetime key.
+        return ("t", datetime.datetime(v.year, v.month, v.day).isoformat())
     if isinstance(v, (list, tuple)):
         return ("l", tuple(norm_cell(x) for x in v))
     if hasattr(v, "as_py"):
@@ -81,9 +116,7 @@ def main():
                 print(f"      WARNING: zero rows from {name}")
             continue
         try:
-            cur = con.execute(oracles[name])
-            dcols = [d[0] for d in cur.description]
-            drows = cur.fetchall()
+            dcols, drows = duck_rows(con, oracles[name])
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {ex}")
             failures.append(name)
