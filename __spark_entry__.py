@@ -4154,6 +4154,320 @@ def multimodal_adpcm_roundtrip(spark, sf_dir):
 
 
 @_q(
+    "web_url_normalize",
+    """
+    SELECT doc_id,
+           CASE doc_id % 6
+             WHEN 0 THEN 'https://www.site' || (doc_id % 20)
+                         || '.com/a/' || doc_id || '?a=1&b=2'
+             WHEN 1 THEN 'http://site' || (doc_id % 20) || '.org/'
+             WHEN 2 THEN 'http://site' || (doc_id % 20) || '.org:8080/p'
+             WHEN 3 THEN 'https://news.site' || (doc_id % 20) || '.co.uk/s'
+             WHEN 4 THEN 'http://host' || (doc_id % 20) || '.com/x?z=9'
+             ELSE 'ftp://files.site' || (doc_id % 20) || '.net/pub'
+           END AS url_norm,
+           CASE doc_id % 6
+             WHEN 0 THEN 'www.site' || (doc_id % 20) || '.com'
+             WHEN 1 THEN 'site' || (doc_id % 20) || '.org'
+             WHEN 2 THEN 'site' || (doc_id % 20) || '.org'
+             WHEN 3 THEN 'news.site' || (doc_id % 20) || '.co.uk'
+             WHEN 4 THEN 'host' || (doc_id % 20) || '.com'
+             ELSE 'files.site' || (doc_id % 20) || '.net'
+           END AS host,
+           CASE doc_id % 6
+             WHEN 0 THEN 'site' || (doc_id % 20) || '.com'
+             WHEN 1 THEN 'site' || (doc_id % 20) || '.org'
+             WHEN 2 THEN 'site' || (doc_id % 20) || '.org'
+             WHEN 3 THEN 'site' || (doc_id % 20) || '.co.uk'
+             WHEN 4 THEN 'host' || (doc_id % 20) || '.com'
+             ELSE 'site' || (doc_id % 20) || '.net'
+           END AS domain
+    FROM documents
+    """,
+)
+def web_url_normalize(spark, sf_dir):
+    """URL canonicalization for crawl pipelines (operators/url.py):
+    plant a six-variant matrix of messy URLs per document (mixed-case
+    scheme/host, default and explicit ports, tracking params, userinfo,
+    fragments, missing paths, co.uk-style suffixes), then normalize
+    with the pure-column-expression operator — RFC 3986 §6 syntax
+    normalization + crawl conventions (drop fragment/default port/
+    tracking params, sort query pairs) — and extract host and
+    registrable domain. The DuckDB oracle states the canonical answers
+    closed-form. ZERO UDFs: the whole operator is regexp/array
+    built-ins inside whole-stage codegen — normalizing 1e11 URLs is a
+    map-only stage."""
+    from kafka_delta_ingest_spark.operators.url import (
+        registrable_domain,
+        url_host,
+        url_normalize,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    k = (F.col("doc_id") % 20).cast("string")
+    i = F.col("doc_id").cast("string")
+    raw = (
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(F.lit("HTTPS://WWW.Site"), k, F.lit(".COM:443/a/"), i,
+                     F.lit("?b=2&utm_source=x&a=1#f")),
+        )
+        .when(
+            F.col("doc_id") % 6 == 1,
+            F.concat(F.lit("http://Site"), k, F.lit(".org")),
+        )
+        .when(
+            F.col("doc_id") % 6 == 2,
+            F.concat(F.lit("http://site"), k, F.lit(".org:8080/p")),
+        )
+        .when(
+            F.col("doc_id") % 6 == 3,
+            F.concat(F.lit("https://news.Site"), k,
+                     F.lit(".CO.UK/s?utm_campaign=z")),
+        )
+        .when(
+            F.col("doc_id") % 6 == 4,
+            F.concat(F.lit("http://u:p@Host"), k,
+                     F.lit(".com:80/x?fbclid=1&z=9")),
+        )
+        .otherwise(
+            F.concat(F.lit("ftp://files.site"), k, F.lit(".net/pub")),
+        )
+    )
+    return d.select(
+        "doc_id",
+        url_normalize(raw).alias("url_norm"),
+        url_host(raw).alias("host"),
+        registrable_domain(raw).alias("domain"),
+    )
+
+
+@_q(
+    "pipeline_web_extraction",
+    r"""
+    SELECT doc_id,
+           CAST(200 AS INT) AS http_status,
+           CAST(CASE WHEN length(regexp_replace(text, '\s', '', 'g')) = 0
+                     THEN 1 ELSE 2 END AS INT) AS n_blocks,
+           CAST(2 AS INT) AS n_boilerplate_blocks,
+           TRUE AS record_ok,
+           TRUE AS title_ok,
+           TRUE AS text_ok
+    FROM documents
+    """,
+)
+def pipeline_web_extraction(spark, sf_dir):
+    """End-to-end certification of the WEB-CRAWL ingestion path — the
+    pipeline a 100 TB pretraining corpus actually starts from: per
+    document, plant an HTML page (title + nav + heading + the escaped
+    document text + footer), frame it as an HTTP response inside a
+    WARC/1.0 record (warc.py — ISO 28500; per-record gzip member for
+    odd ids, the CommonCrawl layout), parse the record back, split the
+    HTTP framing, and run boilerplate-removing main-content extraction
+    (operators/html.py — readability/boilerpipe-lineage link-density
+    heuristic). Emits exact invariants the DuckDB oracle replays
+    closed-form: HTTP status, kept/dropped block counts (the nav and
+    footer are always boilerplate; the heading always survives; the
+    content paragraph survives iff the document text is non-blank),
+    and booleans for record framing, title recovery, and exact text
+    recovery modulo the documented whitespace collapse. Plan shape:
+    one narrow mapInPandas; HTML/WARC blobs never shuffle."""
+    import pandas as pd
+    from pyspark.sql.types import BooleanType
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("http_status", IntegerType()),
+            StructField("n_blocks", IntegerType()),
+            StructField("n_boilerplate_blocks", IntegerType()),
+            StructField("record_ok", BooleanType()),
+            StructField("title_ok", BooleanType()),
+            StructField("text_ok", BooleanType()),
+        ]
+    )
+
+    def run(batches):
+        import html as _h
+        import re
+
+        from kafka_delta_ingest_spark.operators.html import extract_main
+        from kafka_delta_ingest_spark.warc import (
+            encode_warc_record,
+            http_split,
+            parse_warc,
+        )
+
+        ws = re.compile(r"[ \t\r\f\v]+")
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                text = text or ""
+                title = f"Doc {doc_id}"
+                uri = f"http://corpus.example/{doc_id}"
+                page = (
+                    f"<html><head><title>{title}</title>"
+                    f"<script>nav();</script></head><body>"
+                    f"<nav><a href='/'>Home</a> <a href='/b'>About</a></nav>"
+                    f"<h1>{title}</h1>"
+                    f"<p>{_h.escape(text)}</p>"
+                    f"<footer><a href='/c'>C</a> <a href='/p'>P</a>"
+                    f"</footer></body></html>"
+                )
+                http = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                    + page.encode()
+                )
+                rec = encode_warc_record(
+                    "response",
+                    http,
+                    {"WARC-Target-URI": uri,
+                     "WARC-Date": "2024-01-01T00:00:00Z"},
+                    gzip_record=bool(doc_id % 2),
+                )
+                parsed = next(iter(parse_warc(rec)))
+                status, _hh, body = http_split(parsed["payload"])
+                got_title, main, kept, dropped, _links = extract_main(
+                    body.decode()
+                )
+                expected = ws.sub(" ", text).strip()
+                if expected:
+                    head_line, _, rest = main.partition("\n")
+                    text_ok = head_line == title and rest == expected
+                else:
+                    text_ok = main == title
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(status),
+                        int(kept),
+                        int(dropped),
+                        bool(
+                            parsed["warc_type"] == "response"
+                            and parsed["headers"]["WARC-Target-URI"] == uri
+                        ),
+                        bool(got_title == title),
+                        bool(text_ok),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "http_status", "n_blocks",
+                    "n_boilerplate_blocks", "record_ok", "title_ok",
+                    "text_ok",
+                ],
+            )
+
+    from kafka_delta_ingest_spark.operators.util import spread
+
+    return spread(d).mapInPandas(run, schema=out_schema)
+
+
+@_q(
+    "multimodal_g711_roundtrip",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'mulaw' ELSE 'alaw' END AS law,
+           CAST(4096 AS INT) AS n_samples,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(4152 AS INT) AS g711_bytes,
+           CAST(1 + doc_id % 37 AS INT) AS recovered_bin,
+           TRUE AS snr_ok,
+           TRUE AS requant_ok
+    FROM documents
+    """,
+)
+def multimodal_g711_roundtrip(spark, sf_dir):
+    """End-to-end certification of REAL telephony audio compression:
+    per document, plant a pure sine (frequency bin from the doc id),
+    compand it with ITU-T G.711 — mu-law for even ids, A-law for odd
+    (operators/g711.py, 2:1 lossy, fully vectorized: no sequential
+    state, the most scale-friendly codec in the family) — decode it
+    back and emit closed-form container geometry (12 RIFF + 24 fmt +
+    12 fact + 8 data header + 4096 one-byte codes = 4152), the exact
+    recovered rFFT bin (G.711 delivers ~38 dB SNR, far above what
+    argmax needs), an SNR-floor boolean, and the requantization-
+    idempotence boolean (decode∘encode is a step quantizer: applying
+    it twice is exact identity — the invariant that certifies a lossy
+    codec exactly). Plan shape: one narrow mapInPandas; blobs never
+    shuffle."""
+    import pandas as pd
+    from pyspark.sql.types import BooleanType, StringType
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("law", StringType()),
+            StructField("n_samples", IntegerType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("g711_bytes", IntegerType()),
+            StructField("recovered_bin", IntegerType()),
+            StructField("snr_ok", BooleanType()),
+            StructField("requant_ok", BooleanType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from kafka_delta_ingest_spark.operators.g711 import (
+            alaw_decode,
+            alaw_encode,
+            decode_wav_g711,
+            encode_wav_g711,
+            g711_snr_db,
+            mulaw_decode,
+            mulaw_encode,
+        )
+
+        n, rate = 4096, 8000
+        t = np.arange(n)
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                k = int(1 + doc_id % 37)
+                law = "mulaw" if doc_id % 2 == 0 else "alaw"
+                samples = (12000 * np.sin(2 * np.pi * k * t / n)).astype(
+                    np.int16
+                )
+                blob = encode_wav_g711(samples, rate, law=law)
+                dec, got_rate, got_law = decode_wav_g711(blob)
+                enc_f, dec_f = (
+                    (mulaw_encode, mulaw_decode)
+                    if law == "mulaw"
+                    else (alaw_encode, alaw_decode)
+                )
+                requant = np.array_equal(dec, dec_f(enc_f(dec)))
+                mags = np.abs(np.fft.rfft(dec.astype(np.float64)))
+                rows.append(
+                    (
+                        int(doc_id),
+                        got_law,
+                        int(dec.size),
+                        int(got_rate),
+                        len(blob),
+                        int(np.argmax(mags[1:])) + 1,
+                        bool(g711_snr_db(samples, dec) >= 30.0),
+                        bool(requant),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "law", "n_samples", "sample_rate",
+                    "g711_bytes", "recovered_bin", "snr_ok", "requant_ok",
+                ],
+            )
+
+    from kafka_delta_ingest_spark.operators.util import spread
+
+    return spread(d).mapInPandas(run, schema=out_schema)
+
+
+@_q(
     "multimodal_mjpeg_roundtrip",
     """
     SELECT doc_id,
@@ -5889,6 +6203,9 @@ _SWEEP_ORDER: list[str] = [
     "multimodal_adpcm_roundtrip",
     # --- round-6 new operators (no driver row yet by definition).
     "multimodal_mjpeg_roundtrip",
+    "multimodal_g711_roundtrip",
+    "pipeline_web_extraction",
+    "web_url_normalize",
     # --- flagship re-certification: ingest + sink paths.
     "ingest_message_path",
     "ingest_avro_path",

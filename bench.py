@@ -98,6 +98,9 @@ HEADLINE = [
     "dedup_substring_rewrite",
     "multimodal_adpcm_roundtrip",
     "multimodal_mjpeg_roundtrip",
+    "multimodal_g711_roundtrip",
+    "pipeline_web_extraction",
+    "web_url_normalize",
 ]
 
 

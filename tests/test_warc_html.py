@@ -1,0 +1,184 @@
+"""WARC source + HTML extraction tests: record codec, gzip members,
+HTTP framing, per-record quarantine, the distributed binaryFile read
+path, and the boilerplate-removal heuristics."""
+
+import gzip
+
+import pytest
+
+from kafka_delta_ingest_spark.operators.html import (
+    extract_main,
+    html_extract,
+    html_to_text,
+)
+from kafka_delta_ingest_spark.warc import (
+    encode_warc_record,
+    http_split,
+    parse_warc,
+    read_warc,
+    write_warc,
+)
+
+
+def _http(body: bytes, ctype: str = "text/html") -> bytes:
+    return (
+        b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype.encode() + b"\r\n\r\n"
+        + body
+    )
+
+
+def _page(i: int) -> bytes:
+    return (
+        f"<html><head><title>Page {i}</title></head><body>"
+        f"<nav><a href='/'>Home</a></nav>"
+        f"<p>Real content paragraph number {i} with plenty of characters "
+        f"to clear the block threshold.</p></body></html>"
+    ).encode()
+
+
+def test_record_roundtrip_plain_and_gzip():
+    for gz in (False, True):
+        rec = encode_warc_record(
+            "response",
+            _http(_page(1)),
+            {"WARC-Target-URI": "http://e.com/1"},
+            gzip_record=gz,
+        )
+        out = list(parse_warc(rec))
+        assert len(out) == 1
+        assert out[0]["warc_type"] == "response"
+        assert out[0]["headers"]["WARC-Target-URI"] == "http://e.com/1"
+        st, hh, body = http_split(out[0]["payload"])
+        assert st == 200 and b"Real content" in body
+
+
+def test_multi_record_and_multi_member():
+    plain = b"".join(
+        encode_warc_record("response", _http(_page(i))) for i in range(5)
+    )
+    assert len(list(parse_warc(plain))) == 5
+    gz = b"".join(
+        encode_warc_record("response", _http(_page(i)), gzip_record=True)
+        for i in range(5)
+    )
+    assert len(list(parse_warc(gz))) == 5
+
+
+def test_malformed_framing_raises():
+    with pytest.raises(ValueError, match="Content-Length"):
+        list(parse_warc(b"WARC/1.0\r\nWARC-Type: x\r\n\r\n"))
+    with pytest.raises(ValueError, match="version"):
+        list(parse_warc(b"HTTP/1.1 200\r\n\r\n"))
+    good = encode_warc_record("response", _http(_page(1)))
+    with pytest.raises(ValueError, match="truncated"):
+        list(parse_warc(good[: len(good) - 20]))
+    with pytest.raises(ValueError, match="truncated gzip"):
+        full = encode_warc_record("response", _http(_page(1)),
+                                  gzip_record=True)
+        list(parse_warc(full[:-8]))
+    with pytest.raises(ValueError, match="HTTP"):
+        http_split(b"<html>no status line</html>")
+    with pytest.raises(ValueError, match="CR/LF"):
+        encode_warc_record("response", b"", {"X": "a\r\nInjected: b"})
+
+
+def test_read_warc_distributed(spark, tmp_path):
+    # Two files (one gzipped), mixed record types, one corrupt file —
+    # the reader keeps good records, surfaces errors as rows.
+    f1 = str(tmp_path / "a.warc")
+    write_warc(
+        f1,
+        [
+            {"warc_type": "warcinfo", "payload": b"software: t\r\n"},
+            {
+                "warc_type": "response",
+                "payload": _http(_page(1)),
+                "headers": {
+                    "WARC-Target-URI": "http://e.com/1",
+                    "WARC-Record-ID": "<urn:uuid:1>",
+                    "WARC-Date": "2024-01-01T00:00:00Z",
+                },
+            },
+            {"warc_type": "request", "payload": b"GET / HTTP/1.1\r\n\r\n"},
+        ],
+    )
+    f2 = str(tmp_path / "b.warc.gz")
+    write_warc(
+        f2,
+        [
+            {
+                "warc_type": "response",
+                "payload": _http(_page(i)),
+                "headers": {"WARC-Target-URI": f"http://e.com/gz{i}"},
+            }
+            for i in range(2, 5)
+        ],
+        gzip_records=True,
+    )
+    with open(str(tmp_path / "c.warc"), "wb") as f:
+        f.write(b"GARBAGE NOT A WARC FILE AT ALL\r\n\r\n")
+
+    got = read_warc(spark, str(tmp_path)).collect()
+    ok = [r for r in got if r.parse_error is None]
+    bad = [r for r in got if r.parse_error is not None]
+    assert len(ok) == 4  # only the response records pass the type filter
+    assert {r.target_uri for r in ok} == {
+        "http://e.com/1", "http://e.com/gz2", "http://e.com/gz3",
+        "http://e.com/gz4",
+    }
+    assert all(r.http_status == 200 for r in ok)
+    assert all(b"Real content" in bytes(r.body) for r in ok)
+    assert len(bad) == 1 and bad[0].warc_file.endswith("c.warc")
+
+    # non-response types on request
+    info = read_warc(spark, f1, types=("warcinfo", "request")).collect()
+    assert {r.warc_type for r in info} == {"warcinfo", "request"}
+
+
+def test_html_to_text_machinery_and_entities():
+    doc = (
+        "<html><head><title>T</title><script>x='<p>fake</p>'</script>"
+        "<style>.a{}</style></head><body><!-- note -->"
+        "<h1>Head&nbsp;Line</h1><p>Alpha &amp; beta.</p>"
+        "<pre>  spaced   text </pre></body></html>"
+    )
+    t = html_to_text(doc)
+    assert "fake" not in t and ".a{}" not in t and "note" not in t
+    assert "Head Line" in t and "Alpha & beta." in t
+
+
+def test_extract_main_boilerplate_rules():
+    doc = (
+        "<html><head><title>The Title</title></head><body>"
+        "<nav><a>Home</a><a>About</a></nav>"
+        "<p>Long enough paragraph that should definitely be kept as the "
+        "main article content of this page.</p>"
+        "<p>Short with <a href='x'>link</a></p>"
+        "<p>A long paragraph containing a citation <a href='y'>link</a> "
+        "survives because content length dominates its link mass.</p>"
+        "<footer><a>Contact</a></footer></body></html>"
+    )
+    title, main, kept, dropped, links = extract_main(doc)
+    assert title == "The Title"
+    assert "main article content" in main
+    assert "citation" in main
+    assert "Home" not in main and "Contact" not in main
+    assert dropped >= 2 and links == 5
+    # never raises on garbage
+    assert extract_main("")[1] == ""
+    extract_main("<<<>>>&#x;<a")
+
+
+def test_html_extract_operator(spark):
+    rows = [
+        (1, "<html><head><title>A</title></head><body>"
+            "<p>Operator-level content long enough to be kept here.</p>"
+            "<nav><a>x</a></nav></body></html>"),
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {r.doc_id: r for r in html_extract(df).collect()}
+    assert got[1].title == "A"
+    assert "Operator-level content" in got[1].text
+    assert got[1].n_boilerplate_blocks >= 1
+    assert got[2].text == "" and got[2].n_chars == 0
