@@ -4154,6 +4154,99 @@ def multimodal_adpcm_roundtrip(spark, sf_dir):
 
 
 @_q(
+    "text_trigram_backoff",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      FROM documents WHERE len(trim(text)) > 0
+    ), train AS (
+      SELECT * FROM d WHERE doc_id % 2 = 0
+    ), vocab AS (
+      SELECT word FROM (SELECT unnest(w) AS word FROM train)
+      GROUP BY word HAVING COUNT(*) >= 2
+    ), tri_t0 AS (
+      SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+      FROM train WHERE len(w) >= 3
+    ), tri_t AS (
+      SELECT
+        CASE WHEN v1.word IS NULL THEN '<unk>' ELSE w[i] END AS m1,
+        CASE WHEN v2.word IS NULL THEN '<unk>' ELSE w[i+1] END AS m2,
+        CASE WHEN v3.word IS NULL THEN '<unk>' ELSE w[i+2] END AS m3
+      FROM tri_t0
+      LEFT JOIN vocab v1 ON v1.word = w[i]
+      LEFT JOIN vocab v2 ON v2.word = w[i+1]
+      LEFT JOIN vocab v3 ON v3.word = w[i+2]
+    ), ttc AS (
+      SELECT m1, m2, m3, COUNT(*) AS c3 FROM tri_t GROUP BY 1, 2, 3
+    ), ctx2 AS (
+      SELECT m1, m2, SUM(c3) AS cc2 FROM ttc GROUP BY 1, 2
+    ), bi AS (
+      SELECT m2, m3, SUM(c3) AS cb FROM ttc GROUP BY 1, 2
+    ), ctx1 AS (
+      SELECT m2, SUM(cb) AS cc1 FROM bi GROUP BY 1
+    ), uni AS (
+      SELECT m3, SUM(cb) AS cu FROM bi GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(c3) AS DOUBLE) AS nn FROM ttc
+    ), tri_s0 AS (
+      SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+      FROM d WHERE len(w) >= 3
+    ), tri_s AS (
+      SELECT doc_id,
+        CASE WHEN v1.word IS NULL THEN '<unk>' ELSE w[i] END AS m1,
+        CASE WHEN v2.word IS NULL THEN '<unk>' ELSE w[i+1] END AS m2,
+        CASE WHEN v3.word IS NULL THEN '<unk>' ELSE w[i+2] END AS m3
+      FROM tri_s0
+      LEFT JOIN vocab v1 ON v1.word = w[i]
+      LEFT JOIN vocab v2 ON v2.word = w[i+1]
+      LEFT JOIN vocab v3 ON v3.word = w[i+2]
+    ), dtc AS (
+      SELECT doc_id, m1, m2, m3, COUNT(*) AS k FROM tri_s GROUP BY 1, 2, 3, 4
+    ), j AS (
+      SELECT dtc.doc_id, dtc.k, ttc.c3,
+        CASE WHEN ttc.c3 IS NOT NULL THEN CAST(ttc.c3 AS DOUBLE) / ctx2.cc2
+             WHEN bi.cb IS NOT NULL THEN 0.4 * bi.cb / ctx1.cc1
+             ELSE 0.4 * 0.4 * COALESCE(CAST(uni.cu AS DOUBLE), 1.0) / tot.nn
+        END AS p
+      FROM dtc
+      LEFT JOIN ttc USING (m1, m2, m3)
+      LEFT JOIN ctx2 USING (m1, m2)
+      LEFT JOIN bi USING (m2, m3)
+      LEFT JOIN ctx1 USING (m2)
+      LEFT JOIN uni USING (m3)
+      CROSS JOIN tot
+    )
+    SELECT doc_id,
+      CAST(SUM(k) AS BIGINT) AS n_trigrams,
+      round(SUM(k * ln(p)) / SUM(k), 6) AS avg_logp,
+      round(exp(-SUM(k * ln(p)) / SUM(k)), 6) AS ppl,
+      round(CAST(SUM(CASE WHEN c3 IS NULL THEN k ELSE 0 END) AS DOUBLE)
+            / SUM(k), 6) AS backoff_rate
+    FROM j GROUP BY doc_id
+    """,
+)
+def text_trigram_backoff(spark, sf_dir):
+    """Held-out perplexity under a distributed STUPID-BACKOFF trigram
+    LM (operators/lm.py trigram_sb_scores — Brants et al. 2007, the
+    MapReduce-era answer to Kneser-Ney at corpus scale): train on the
+    even-id half of the corpus, score every document, so odd documents
+    exercise the full backoff chain (trigram → bigram → unigram with
+    alpha=0.4). All lower-order counts are suffix marginals of ONE
+    trigram census — a single aggregation tree, map-side combined at
+    every level; scoring is five left joins against vocabulary-bounded
+    model tables that AQE broadcasts when small. backoff_rate is the
+    trigram-mass fraction scored below order 3 — high backoff = text
+    unlike the training half."""
+    d = load_table(spark, sf_dir, "documents")
+    from kafka_delta_ingest_spark.operators.lm import trigram_sb_scores
+
+    return trigram_sb_scores(
+        d, train_df=d.where(F.col("doc_id") % 2 == 0)
+    )
+
+
+@_q(
     "web_url_normalize",
     """
     SELECT doc_id,
@@ -6206,6 +6299,7 @@ _SWEEP_ORDER: list[str] = [
     "multimodal_g711_roundtrip",
     "pipeline_web_extraction",
     "web_url_normalize",
+    "text_trigram_backoff",
     # --- flagship re-certification: ingest + sink paths.
     "ingest_message_path",
     "ingest_avro_path",

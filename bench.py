@@ -101,6 +101,7 @@ HEADLINE = [
     "multimodal_g711_roundtrip",
     "pipeline_web_extraction",
     "web_url_normalize",
+    "text_trigram_backoff",
 ]
 
 

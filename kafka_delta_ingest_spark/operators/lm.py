@@ -146,6 +146,157 @@ def bigram_lm_scores(
     )
 
 
+def trigram_sb_scores(
+    df: DataFrame,
+    train_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Per-document scores under a STUPID-BACKOFF trigram LM (Brants
+    et al. 2007, "Large Language Models in Machine Translation" — the
+    canonical distributed LM: relative frequencies with a fixed
+    backoff factor instead of Kneser-Ney discounting, designed
+    precisely because KN's normalization does not MapReduce at corpus
+    scale).
+
+    ``train_df`` is the training corpus (defaults to ``df``); score a
+    HELD-OUT ``df`` to exercise the backoff chain — on the training
+    corpus itself every observed trigram is order-3 by construction.
+
+        S(w3|w1,w2) = c3/C2           if the trigram was seen
+                    = a * cb/C1       else if the bigram (w2,w3) was
+                    = a^2 * cu/N      else (unigram relative freq,
+                                      1/N floor for an unseen <unk>)
+
+    All lower-order counts derive from ONE trigram census (suffix
+    marginals: cb = sum_w1 c3, cu = sum_w1,w2 cb) — a single shuffled
+    aggregation tree, each level map-side combined from the previous,
+    and one plan end-to-end. Words below ``min_count`` in the training
+    census map to ``<unk>`` (the vocabulary joins broadcast). Scoring
+    joins the per-(doc, trigram) counts against the three model levels
+    — model sides are vocabulary-bounded, AQE broadcasts them when
+    small and shuffles on the gram keys when not; nothing is ever
+    driver-collected.
+
+    Returns (id, n_trigrams, avg_logp, ppl, backoff_rate) rounded to
+    6 dp; documents with fewer than three tokens have no trigrams and
+    are absent. ``backoff_rate`` is the trigram-mass fraction scored
+    below order 3 — a data-quality signal in its own right (high
+    backoff = text unlike the training corpus).
+    """
+    train_toks = _lower_tokens(train_df if train_df is not None else df,
+                               text_col, id_col)
+    score_toks = _lower_tokens(df, text_col, id_col)
+
+    vocab = (
+        train_toks.select(F.explode("w").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= min_count)
+        .select("word")
+    )
+
+    def _trigrams(toks: DataFrame) -> DataFrame:
+        n = F.size(F.col("w"))
+        tri = F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.struct(
+                F.element_at("w", i).alias("w1"),
+                F.element_at("w", i + 1).alias("w2"),
+                F.element_at("w", i + 2).alias("w3"),
+            ),
+        )
+        base = (
+            toks.where(n >= 3)
+            .select(F.col(id_col), F.explode(tri).alias("t"))
+            .select(
+                id_col,
+                F.col("t.w1").alias("w1"),
+                F.col("t.w2").alias("w2"),
+                F.col("t.w3").alias("w3"),
+            )
+        )
+        mapped = base
+        for slot in ("w1", "w2", "w3"):
+            v = F.broadcast(
+                vocab.withColumnRenamed("word", slot)
+                .withColumn(f"_k{slot}", F.lit(1))
+            )
+            mapped = mapped.join(v, slot, "left")
+        return mapped.select(
+            F.col(id_col),
+            *[
+                F.when(F.col(f"_k{s}").isNotNull(), F.col(s))
+                .otherwise(UNK)
+                .alias(f"m{j}")
+                for j, s in enumerate(("w1", "w2", "w3"), start=1)
+            ],
+        )
+
+    # one trigram census; every lower order is a marginal of it
+    ttc = (
+        _trigrams(train_toks)
+        .groupBy("m1", "m2", "m3")
+        .agg(F.count("*").alias("c3"))
+    )
+    ctx2 = ttc.groupBy("m1", "m2").agg(F.sum("c3").alias("C2"))
+    bi = ttc.groupBy("m2", "m3").agg(F.sum("c3").alias("cb"))
+    ctx1 = bi.groupBy("m2").agg(F.sum("cb").alias("C1"))
+    uni = bi.groupBy("m3").agg(F.sum("cb").alias("cu"))
+    total = ttc.agg(F.sum("c3").cast("double").alias("N"))
+
+    dtc = (
+        _trigrams(score_toks)
+        .groupBy(id_col, "m1", "m2", "m3")
+        .agg(F.count("*").alias("k"))
+    )
+    joined = (
+        dtc.join(ttc, ["m1", "m2", "m3"], "left")
+        .join(ctx2, ["m1", "m2"], "left")
+        .join(bi, ["m2", "m3"], "left")
+        .join(ctx1, ["m2"], "left")
+        .join(uni, ["m3"], "left")
+        .crossJoin(F.broadcast(total))
+    )
+    p = (
+        F.when(
+            F.col("c3").isNotNull(),
+            F.col("c3").cast("double") / F.col("C2"),
+        )
+        .when(
+            F.col("cb").isNotNull(),
+            F.lit(alpha) * F.col("cb") / F.col("C1"),
+        )
+        .otherwise(
+            F.lit(alpha * alpha)
+            * F.coalesce(F.col("cu").cast("double"), F.lit(1.0))
+            / F.col("N")
+        )
+    )
+    level3 = F.col("c3").isNotNull()
+    avg = F.sum(F.col("k") * F.log(p)) / F.sum("k")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.sum("k").cast("long").alias("n_trigrams"),
+            avg.alias("_avg"),
+            (
+                F.sum(F.when(level3, F.lit(0)).otherwise(F.col("k")))
+                / F.sum("k")
+            ).alias("_bo"),
+        )
+        .select(
+            id_col,
+            "n_trigrams",
+            F.round(F.col("_avg"), 6).alias("avg_logp"),
+            F.round(F.exp(-F.col("_avg")), 6).alias("ppl"),
+            F.round(F.col("_bo"), 6).alias("backoff_rate"),
+        )
+    )
+
+
 def _md5_bucket(col: Column, n_buckets: int) -> Column:
     """Engine-portable word→bucket hash: first 32 md5 bits mod buckets."""
     return (

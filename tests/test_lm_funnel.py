@@ -76,6 +76,91 @@ def _bucket(word: str, n_buckets: int) -> int:
     return int(hashlib.md5(word.encode()).hexdigest()[:8], 16) % n_buckets
 
 
+def _py_trigram_sb(train: dict[int, str], score: dict[int, str],
+                   min_count: int = 2, alpha: float = 0.4):
+    """Pure-Python replica of the stupid-backoff trigram arithmetic
+    (all lower orders as suffix marginals of the trigram census)."""
+    ttoks = {i: t.lower().split() for i, t in train.items() if t.strip()}
+    stoks = {i: t.lower().split() for i, t in score.items() if t.strip()}
+    uni_census = Counter(w for ws in ttoks.values() for w in ws)
+    vocab = {w for w, c in uni_census.items() if c >= min_count}
+
+    def m(w):
+        return w if w in vocab else UNK
+
+    def tris(ws):
+        ws = [m(w) for w in ws]
+        return list(zip(ws, ws[1:], ws[2:]))
+
+    c3 = Counter(t for ws in ttoks.values() for t in tris(ws))
+    C2, cb, C1, cu = Counter(), Counter(), Counter(), Counter()
+    for (w1, w2, w3), c in c3.items():
+        C2[(w1, w2)] += c
+        cb[(w2, w3)] += c
+    for (w2, w3), c in cb.items():
+        C1[w2] += c
+        cu[w3] += c
+    N = sum(c3.values())
+    out = {}
+    for i, ws in stoks.items():
+        ts = tris(ws)
+        if not ts:
+            continue
+        lps, bo = [], 0
+        for t in ts:
+            if t in c3:
+                p = c3[t] / C2[(t[0], t[1])]
+            elif (t[1], t[2]) in cb:
+                p = alpha * cb[(t[1], t[2])] / C1[t[1]]
+                bo += 1
+            else:
+                p = alpha * alpha * (cu.get(t[2], 1.0)) / N
+                bo += 1
+            lps.append(math.log(p))
+        avg = sum(lps) / len(lps)
+        out[i] = (len(ts), round(avg, 6), round(math.exp(-avg), 6),
+                  round(bo / len(ts), 6))
+    return out
+
+
+def test_trigram_sb_matches_python_replica(spark):
+    from kafka_delta_ingest_spark.operators.lm import trigram_sb_scores
+
+    train = {
+        0: "the cat sat on the mat the cat sat on the rug",
+        2: "the dog sat on the mat and the dog ran",
+        4: "a cat and a dog sat here on the mat",
+    }
+    score = {
+        **train,
+        1: "the cat sat on the mat",          # mostly seen trigrams
+        3: "the zebra jumped over the moon",  # heavy backoff + OOV
+        5: "cat sat",                         # too short: absent
+    }
+    expected = _py_trigram_sb(train, score)
+    tdf = spark.createDataFrame(list(train.items()), "doc_id long, text string")
+    sdf = spark.createDataFrame(list(score.items()), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_trigrams, r.avg_logp, r.ppl, r.backoff_rate)
+        for r in trigram_sb_scores(sdf, train_df=tdf).collect()
+    }
+    assert got == expected
+    assert 5 not in got
+    # training docs never back off; the zebra doc always does
+    assert got[0][3] == 0.0 and got[3][3] > 0.5
+
+
+def test_trigram_sb_self_scoring_is_order3_everywhere(spark):
+    from kafka_delta_ingest_spark.operators.lm import trigram_sb_scores
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    rows = trigram_sb_scores(df).collect()
+    assert rows[0].backoff_rate == 0.0
+
+
 def test_dsir_matches_python_replica(spark):
     corpus = {
         1: "apples and oranges and pears",
