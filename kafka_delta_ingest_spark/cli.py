@@ -449,26 +449,15 @@ def run_curate(args: argparse.Namespace) -> int:
         # output write: a failure between the two steps must never
         # leave grams in the index for a batch whose output was never
         # produced (the library precondition is disjoint ids across
-        # appends). Replay guard: ids already present in the index are
-        # excluded from the append, so re-running a batch is idempotent
-        # instead of silently duplicating grams and inflating idx_sizes.
+        # appends). Replay guard: an unconditional left_anti on ids
+        # already present makes re-running a batch idempotent (no
+        # duplicated grams inflating idx_sizes) in ONE pass over the
+        # index — no separate overlap-count job.
         new_grams = dedup.build_gram_index(d, idc, txc, n=3)
         existing_ids = gram_index_frame.select(gram_index_ids).distinct()
-        replayed = (
-            new_grams.select(gram_index_ids)
-            .distinct()
-            .join(existing_ids, gram_index_ids, "left_semi")
-            .count()
-        )
-        if replayed:
-            print(
-                f"WARNING: {replayed} doc ids already present in "
-                f"{args.gram_index}; skipping their grams (replayed batch?)"
-            )
-            new_grams = new_grams.join(
-                existing_ids, gram_index_ids, "left_anti"
-            )
-        new_grams.write.mode("append").parquet(args.gram_index)
+        new_grams.join(existing_ids, gram_index_ids, "left_anti").write.mode(
+            "append"
+        ).parquet(args.gram_index)
 
     card = (
         spark.read.parquet(args.output)

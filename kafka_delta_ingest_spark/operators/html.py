@@ -39,9 +39,13 @@ _DROP_BLOCKS = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _COMMENTS = re.compile(r"<!--.*?-->", re.DOTALL)
-# block-level boundaries become newlines (paragraph structure survives)
+# block-level boundaries become newlines (paragraph structure survives);
+# NON-capturing so re.split yields only content fragments — a capture
+# group would interleave tag names into the split result, and filtering
+# those by value would silently drop real content blocks whose text
+# happens to equal a tag name ("pre", "form", ...).
 _BLOCK_TAGS = re.compile(
-    r"</?(p|div|br|li|ul|ol|h[1-6]|tr|table|section|article|header|"
+    r"</?(?:p|div|br|li|ul|ol|h[1-6]|tr|table|section|article|header|"
     r"footer|nav|aside|blockquote|pre|form|hr)\b[^>]*/?>",
     re.IGNORECASE,
 )
@@ -89,14 +93,6 @@ def extract_main(
     kept: list[str] = []
     dropped = 0
     for raw_block in _BLOCK_TAGS.split(body):
-        # _BLOCK_TAGS.split with a group-bearing pattern interleaves
-        # the captured tag names; skip those single-token captures.
-        if raw_block is None or re.fullmatch(
-            r"(?i)(p|div|br|li|ul|ol|h[1-6]|tr|table|section|article|"
-            r"header|footer|nav|aside|blockquote|pre|form|hr)",
-            raw_block or "",
-        ):
-            continue
         anchors = _ANCHOR.findall(raw_block)
         link_chars = sum(len(_clean(a).strip()) for a in anchors)
         n_links += len(anchors)

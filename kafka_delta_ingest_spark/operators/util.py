@@ -15,17 +15,20 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     the whole operator on a single core. The row shuffle here is cheap
     (ids + text), the parallelism unlock downstream is not.
 
-    Width detection prefers ``df.rdd.getNumPartitions()`` — exact for
-    every plan shape, including cached ``InMemoryRelation``s whose
-    ``inputFiles()`` is empty. Under Spark Connect (no ``df.rdd``) it
-    falls back to: pass cached plans through untouched (a cache was
-    materialized at some cluster width; re-shuffling it to "fix" an
-    unknown width is a guaranteed extra exchange for a speculative
-    win), then estimate from ``inputFiles()`` (a lower bound on scan
-    splits — a file larger than maxPartitionBytes splits further, so
-    the estimate only errs toward repartitioning, never toward
-    under-parallelism). The target falls back to
-    ``spark.sql.shuffle.partitions`` when no SparkContext is reachable.
+    Width detection must never RUN anything: ``df.rdd`` is off the
+    table even where it exists, because under AQE (default-on) it
+    materializes every shuffle stage in the plan just to read a
+    partition count, and that work is not reused by the later action.
+    So: estimate from ``inputFiles()`` (zero jobs; a lower bound on
+    scan splits — a file larger than maxPartitionBytes splits further,
+    so the estimate only errs toward repartitioning, never toward
+    under-parallelism). A plan with no input files that is CACHED
+    passes through untouched (the cache was materialized at some
+    cluster width; re-shuffling it to "fix" an unknown width is a
+    guaranteed extra exchange for a speculative win); a non-file,
+    non-cached plan is assumed narrow and widened. The target falls
+    back to ``spark.sql.shuffle.partitions`` when no SparkContext is
+    reachable (Spark Connect).
     """
     sess = df.sparkSession
     try:
@@ -34,18 +37,16 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
         default = int(sess.conf.get("spark.sql.shuffle.partitions"))
     target = partitions or default
     try:
-        n_splits = df.rdd.getNumPartitions()
-    except Exception:  # Spark Connect: no df.rdd
+        n_splits = len(df.inputFiles())
+    except Exception:  # non-file-backed plan
+        n_splits = 0
+    if n_splits == 0:
         try:
             lvl = df.storageLevel
             if lvl.useMemory or lvl.useDisk:
                 return df  # cached: already partitioned, don't re-shuffle
         except Exception:
             pass
-        try:
-            n_splits = len(df.inputFiles())
-        except Exception:  # non-file-backed plan: assume narrow
-            n_splits = 0
     if n_splits >= target:
         return df
     return df.repartition(target)

@@ -74,16 +74,39 @@ def write_warc(path: str, records: list[dict], gzip_records: bool = False):
             )
 
 
+_GZ_CHUNK = 1 << 14  # 16 KB: bounds per-member unused_data copy
+
+
 def _gunzip_members(b: bytes) -> Iterator[bytes]:
-    """Yield each gzip member of a multi-member stream separately."""
+    """Yield each gzip member of a multi-member stream separately.
+
+    Input is fed in bounded chunks through a memoryview: handing the
+    whole remaining buffer to ``decompress`` per member is quadratic
+    in memcpy on exactly the layout this exists for (zlib copies the
+    unconsumed tail into ``unused_data`` each time — a 50k-member
+    CommonCrawl file would shuffle terabytes of bytes); with chunked
+    feeding the per-member overshoot is at most one chunk."""
+    view = memoryview(b)
+    n = len(b)
     pos = 0
-    while pos < len(b):
+    while pos < n:
         d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
-        out = d.decompress(b[pos:])
-        if not d.eof:
-            raise ValueError("truncated gzip member")
-        yield out
-        consumed = len(b) - pos - len(d.unused_data)
+        out = []
+        p = pos
+        try:
+            while not d.eof:
+                if p >= n:
+                    raise ValueError("truncated gzip member")
+                chunk = view[p:p + _GZ_CHUNK]
+                out.append(d.decompress(chunk))
+                p += len(chunk)
+        except zlib.error as ex:
+            raise ValueError(f"corrupt gzip member: {ex}") from None
+        yield b"".join(out)
+        # position arithmetic, not unused_data hand-off: the tail
+        # copied into unused_data is bounded by one (small) chunk, so
+        # total copying stays O(file size + members * chunk).
+        consumed = p - pos - len(d.unused_data)
         if consumed <= 0:
             raise ValueError("gzip member made no progress")
         pos += consumed
@@ -91,14 +114,53 @@ def _gunzip_members(b: bytes) -> Iterator[bytes]:
 
 def parse_warc(b: bytes) -> Iterator[dict]:
     """Yield ``{"warc_type", "headers", "payload"}`` per record from
-    plain or per-record-gzipped WARC bytes. Raises ValueError on
-    malformed framing (callers quarantine per record by catching
-    around ``next()``)."""
+    plain or per-record-gzipped WARC bytes. Raises ValueError on the
+    first malformed framing (strict mode — fixtures and tests)."""
     if b[:2] == b"\x1f\x8b":
         for member in _gunzip_members(b):
             yield from _parse_plain(member)
     else:
         yield from _parse_plain(b)
+
+
+def parse_warc_lenient(b: bytes) -> Iterator[dict]:
+    """Like :func:`parse_warc`, but quarantines instead of raising:
+    malformed framing yields ``{"error": msg}`` markers and parsing
+    RESUMES at the next recoverable boundary.
+
+    Recovery granularity follows the container: in the gzip-member
+    layout every member is an independent stream (the reason
+    CommonCrawl uses it), so a bad member skips exactly that member —
+    unless the member stream itself is unbounded (truncated gzip),
+    which ends the file with one marker. In the plain layout records
+    are framed only by their own Content-Length, so after a bad header
+    the next boundary is unknowable and the remainder of the file is
+    one marker (how warcio behaves too)."""
+    def _drain(chunk: bytes) -> Iterator[dict]:
+        it = _parse_plain(chunk)
+        while True:
+            try:
+                rec = next(it)
+            except StopIteration:
+                return
+            except ValueError as ex:  # keep records parsed so far
+                yield {"error": str(ex)}
+                return
+            yield rec
+
+    if b[:2] == b"\x1f\x8b":
+        members = _gunzip_members(b)
+        while True:
+            try:
+                member = next(members)
+            except StopIteration:
+                return
+            except ValueError as ex:  # member stream unrecoverable
+                yield {"error": str(ex)}
+                return
+            yield from _drain(member)
+    else:
+        yield from _drain(b)
 
 
 def _parse_plain(b: bytes) -> Iterator[dict]:
@@ -197,41 +259,36 @@ def read_warc(spark, path: str, types: tuple[str, ...] = ("response",)):
         for pdf in batches:
             rows = []
             for fname, content in zip(pdf["path"], pdf["content"]):
-                try:
-                    it = parse_warc(bytes(content))
-                    while True:
-                        try:
-                            rec = next(it)
-                        except StopIteration:
-                            break
-                        h = rec["headers"]
-                        if want and rec["warc_type"] not in want:
-                            continue
-                        status, ctype, body = None, None, rec["payload"]
-                        if rec["warc_type"] == "response":
-                            try:
-                                status, hh, body = http_split(rec["payload"])
-                                ctype = hh.get("content-type")
-                            except ValueError as ex:
-                                rows.append(
-                                    (fname, rec["warc_type"],
-                                     h.get("WARC-Record-ID"),
-                                     h.get("WARC-Target-URI"),
-                                     h.get("WARC-Date"),
-                                     None, None, None, str(ex))
-                                )
-                                continue
+                for rec in parse_warc_lenient(bytes(content)):
+                    if "error" in rec:
                         rows.append(
-                            (fname, rec["warc_type"],
-                             h.get("WARC-Record-ID"),
-                             h.get("WARC-Target-URI"),
-                             h.get("WARC-Date"),
-                             status, ctype, bytes(body), None)
+                            (fname, None, None, None, None, None, None,
+                             None, rec["error"])
                         )
-                except ValueError as ex:
+                        continue
+                    h = rec["headers"]
+                    if want and rec["warc_type"] not in want:
+                        continue
+                    status, ctype, body = None, None, rec["payload"]
+                    if rec["warc_type"] == "response":
+                        try:
+                            status, hh, body = http_split(rec["payload"])
+                            ctype = hh.get("content-type")
+                        except ValueError as ex:
+                            rows.append(
+                                (fname, rec["warc_type"],
+                                 h.get("WARC-Record-ID"),
+                                 h.get("WARC-Target-URI"),
+                                 h.get("WARC-Date"),
+                                 None, None, None, str(ex))
+                            )
+                            continue
                     rows.append(
-                        (fname, None, None, None, None, None, None, None,
-                         str(ex))
+                        (fname, rec["warc_type"],
+                         h.get("WARC-Record-ID"),
+                         h.get("WARC-Target-URI"),
+                         h.get("WARC-Date"),
+                         status, ctype, bytes(body), None)
                     )
             yield pd.DataFrame(
                 rows,

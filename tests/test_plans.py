@@ -298,10 +298,12 @@ def test_spread_is_rdd_free_for_spark_connect(spark, monkeypatch):
         df.unpersist()
 
 
-def test_spread_uses_exact_width_when_rdd_available(spark):
-    # Classic mode: df.rdd.getNumPartitions() is exact even for cached
-    # plans, so a cached 1-partition frame still widens, and an already
-    # wide frame passes through.
+def test_spread_never_runs_jobs_and_passes_cached_through(spark):
+    # spread() must decide width WITHOUT executing anything (df.rdd
+    # under AQE materializes every shuffle stage just to count
+    # partitions — r6 review finding), so: cached plans pass through
+    # in every mode, file scans estimate from inputFiles(), and no
+    # Spark job runs during planning.
     from kafka_delta_ingest_spark.operators.util import spread
 
     spark.catalog.clearCache()
@@ -310,11 +312,17 @@ def test_spread_uses_exact_width_when_rdd_available(spark):
     try:
         df.count()
         fresh = spark.read.parquet(SF + "/documents.parquet")
-        assert fresh.rdd.getNumPartitions() == 1
-        assert "RoundRobinPartitioning" in plan(spread(fresh), mode="simple")
-        assert "Exchange" not in plan(spread(fresh, partitions=1))
+        tracker = spark.sparkContext.statusTracker()
+        before = tracker.getJobIdsForGroup(None)
+        widened = spread(fresh)  # plan-only: must not submit jobs
+        assert tracker.getJobIdsForGroup(None) == before
+        assert "Exchange" not in plan(widened)  # cached → pass through
     finally:
         df.unpersist()
+    # uncached single-file scan still widens, wide target passes through
+    fresh2 = spark.read.parquet(SF + "/documents.parquet")
+    assert "RoundRobinPartitioning" in plan(spread(fresh2), mode="simple")
+    assert "Exchange" not in plan(spread(fresh2, partitions=1))
 
 
 def test_pack_concat_chunk_prefix_scan_is_bucketed(spark):

@@ -169,6 +169,76 @@ def test_extract_main_boilerplate_rules():
     extract_main("<<<>>>&#x;<a")
 
 
+def test_content_block_equal_to_tag_name_survives():
+    # r6 review finding: a capture-group split interleaved tag names
+    # into the block list and the skip-filter matched real content by
+    # VALUE — a block whose whole text is "pre"/"form"/... vanished.
+    doc = "<html><body><p>pre</p><p>form</p><h2>nav</h2></body></html>"
+    _, main, kept, dropped, _ = extract_main(doc, min_block_chars=2)
+    assert main.split("\n") == ["pre", "form", "nav"]
+    assert kept == 3 and dropped == 0
+    assert "pre" in html_to_text(doc)
+
+
+def test_lenient_parse_recovers_after_bad_gzip_member():
+    # r6 review finding: one malformed record aborted the rest of the
+    # file. In the gzip-member layout each member is independent, so
+    # recovery must resume at the next member.
+    from kafka_delta_ingest_spark.warc import parse_warc_lenient
+
+    good1 = encode_warc_record("response", _http(_page(1)),
+                               {"WARC-Target-URI": "http://e.com/1"},
+                               gzip_record=True)
+    # valid gzip member whose CONTENT is not a WARC record
+    import io
+
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as z:
+        z.write(b"NOT A WARC RECORD\r\n\r\n")
+    bad = buf.getvalue()
+    good2 = encode_warc_record("response", _http(_page(2)),
+                               {"WARC-Target-URI": "http://e.com/2"},
+                               gzip_record=True)
+    out = list(parse_warc_lenient(good1 + bad + good2))
+    uris = [r["headers"]["WARC-Target-URI"] for r in out if "error" not in r]
+    errs = [r for r in out if "error" in r]
+    assert uris == ["http://e.com/1", "http://e.com/2"]
+    assert len(errs) == 1
+
+
+def test_lenient_parse_plain_keeps_prefix_records():
+    from kafka_delta_ingest_spark.warc import parse_warc_lenient
+
+    good = encode_warc_record("response", _http(_page(1)),
+                              {"WARC-Target-URI": "http://e.com/1"})
+    blob = good + b"GARBAGE WITHOUT FRAMING"
+    out = list(parse_warc_lenient(blob))
+    assert [r["headers"]["WARC-Target-URI"]
+            for r in out if "error" not in r] == ["http://e.com/1"]
+    assert sum(1 for r in out if "error" in r) == 1
+
+
+def test_read_warc_keeps_records_after_mid_file_corruption(spark, tmp_path):
+    f = str(tmp_path / "mix.warc.gz")
+    good1 = encode_warc_record("response", _http(_page(1)),
+                               {"WARC-Target-URI": "http://e.com/1"},
+                               gzip_record=True)
+    import io
+
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as z:
+        z.write(b"NOT A WARC RECORD\r\n\r\n")
+    good2 = encode_warc_record("response", _http(_page(2)),
+                               {"WARC-Target-URI": "http://e.com/2"},
+                               gzip_record=True)
+    with open(f, "wb") as fh:
+        fh.write(good1 + buf.getvalue() + good2)
+    got = read_warc(spark, f).collect()
+    ok = {r.target_uri for r in got if r.parse_error is None}
+    assert ok == {"http://e.com/1", "http://e.com/2"}
+    assert sum(1 for r in got if r.parse_error is not None) == 1
+
+
 def test_html_extract_operator(spark):
     rows = [
         (1, "<html><head><title>A</title></head><body>"
