@@ -4241,9 +4241,7 @@ def text_trigram_backoff(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     from kafka_delta_ingest_spark.operators.lm import trigram_sb_scores
 
-    return trigram_sb_scores(
-        d, train_df=d.where(F.col("doc_id") % 2 == 0)
-    )
+    return trigram_sb_scores(d, train_filter=F.col("doc_id") % 2 == 0)
 
 
 @_q(

@@ -142,6 +142,28 @@ def build_parser() -> argparse.ArgumentParser:
     cur.add_argument("--report", default=None,
                      help="Optional parquet path for the corpus-card report")
 
+    web = sub.add_parser(
+        "extract-web",
+        help="Extract a documents-shaped table from WARC web-crawl "
+             "files (CommonCrawl layout): HTTP 200 text/html records "
+             "-> boilerplate-removed main text + title + language + "
+             "registrable domain",
+    )
+    web.add_argument("input", help="Path/glob of .warc / .warc.gz files")
+    web.add_argument("output", help="Output parquet directory")
+    web.add_argument("--min_chars", type=int, default=100,
+                     help="Drop pages whose extracted main text is "
+                          "shorter than this")
+    web.add_argument("--min_block_chars", type=int, default=30,
+                     help="Boilerplate rule: blocks shorter than this "
+                          "AND link-dense are dropped")
+    web.add_argument("--max_link_density", type=float, default=0.5,
+                     help="Boilerplate rule: link-chars/text-chars "
+                          "threshold")
+    web.add_argument("--quarantine", default=None,
+                     help="Optional parquet path for malformed-record "
+                          "rows (warc_file + parse_error)")
+
     tab = sub.add_parser(
         "table",
         help="Admin operations on a Delta-style table (DESCRIBE HISTORY, "
@@ -483,10 +505,84 @@ def run_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def run_extract_web(args: argparse.Namespace) -> int:
+    """WARC crawl files → documents-shaped parquet: the ingestion
+    front of the web-corpus funnel (compose with ``curate`` for the
+    full RefinedWeb-style pipeline). One job: read_warc (one task per
+    WARC file) → keep HTTP 200 text/html → html_extract (boilerplate
+    removal, narrow mapInPandas) → language id + registrable domain —
+    blobs never shuffle; the output columns match what ``curate``
+    expects (doc_id, text, lang, source, n_chars) plus url/title and
+    the extraction diagnostics."""
+    from pyspark.sql import functions as F
+
+    from kafka_delta_ingest_spark.operators.html import html_extract
+    from kafka_delta_ingest_spark.operators.text import lang_id
+    from kafka_delta_ingest_spark.operators.url import registrable_domain
+    from kafka_delta_ingest_spark.session import get_spark
+    from kafka_delta_ingest_spark.warc import read_warc
+
+    spark = get_spark(app_name="kdi-extract-web")
+    recs = read_warc(spark, args.input).localCheckpoint()
+    # one WARC pass serves pages, quarantine, and the summary counts
+    if args.quarantine:
+        recs.where(F.col("parse_error").isNotNull()).select(
+            "warc_file", "record_id", "target_uri", "parse_error"
+        ).write.mode("overwrite").parquet(args.quarantine)
+    pages = recs.where(
+        F.col("parse_error").isNull()
+        & (F.col("http_status") == 200)
+        & F.lower(F.coalesce("http_content_type", F.lit(""))).contains(
+            "text/html"
+        )
+    ).select(
+        F.xxhash64(
+            F.coalesce("record_id", "target_uri"), "warc_file"
+        ).alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.col("body").cast("string").alias("html"),
+    )
+    docs = (
+        html_extract(
+            pages,
+            html_col="html",
+            id_col="doc_id",
+            min_block_chars=args.min_block_chars,
+            max_link_density=args.max_link_density,
+            keep_cols=["url"],
+        )
+        .where(F.col("n_chars") >= args.min_chars)
+        .select(
+            "doc_id",
+            "url",
+            "title",
+            "text",
+            lang_id(F.col("text")).alias("lang"),
+            registrable_domain(F.col("url")).alias("source"),
+            "n_chars",
+            "n_blocks",
+            "n_boilerplate_blocks",
+            "n_links",
+        )
+    )
+    docs.write.mode("overwrite").parquet(args.output)
+    n_bad = recs.where(F.col("parse_error").isNotNull()).count()
+    n_resp = recs.where(
+        F.col("parse_error").isNull() & (F.col("http_status").isNotNull())
+    ).count()
+    n_out = spark.read.parquet(args.output).count()
+    print(
+        f"responses={n_resp} extracted={n_out} quarantined={n_bad}"
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if args.command == "curate":
         return run_curate(args)
+    if args.command == "extract-web":
+        return run_extract_web(args)
     if args.command == "table":
         return run_table(args)
     opts = options_from_args(args)

@@ -113,10 +113,14 @@ def html_extract(
     id_col: str = "doc_id",
     min_block_chars: int = 30,
     max_link_density: float = 0.5,
+    keep_cols: list[str] | None = None,
 ):
     """Spark operator: (id, html string) → (id, title, text, n_blocks,
     n_boilerplate_blocks, n_links, n_chars). One narrow mapInPandas —
-    HTML never shuffles; downstream operators see plain text."""
+    HTML never shuffles; downstream operators see plain text.
+    ``keep_cols`` forwards extra input columns through the kernel
+    unchanged (url, fetch date, ...) so callers don't need a join to
+    reattach them."""
     import pandas as pd
 
     from pyspark.sql.types import (
@@ -128,10 +132,12 @@ def html_extract(
 
     from kafka_delta_ingest_spark.operators.util import spread
 
-    in_cols = df.select(id_col, html_col)
+    keep = list(keep_cols or [])
+    in_cols = df.select(id_col, html_col, *keep)
     schema = StructType(
         [
             StructField(id_col, df.schema[id_col].dataType),
+            *[StructField(c, df.schema[c].dataType) for c in keep],
             StructField("title", StringType()),
             StructField("text", StringType()),
             StructField("n_blocks", IntegerType()),
@@ -144,19 +150,21 @@ def html_extract(
     def run(batches):
         for pdf in batches:
             rows = []
-            for rid, doc in zip(pdf[id_col], pdf[html_col]):
+            for tup in pdf.itertuples(index=False, name=None):
+                rid, doc, extras = tup[0], tup[1], tup[2:]
                 title, text, kept, dropped, links = extract_main(
                     doc or "",
                     min_block_chars=min_block_chars,
                     max_link_density=max_link_density,
                 )
                 rows.append(
-                    (rid, title, text, kept, dropped, links, len(text))
+                    (rid, *extras, title, text, kept, dropped, links,
+                     len(text))
                 )
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    id_col, "title", "text", "n_blocks",
+                    id_col, *keep, "title", "text", "n_blocks",
                     "n_boilerplate_blocks", "n_links", "n_chars",
                 ],
             )

@@ -153,6 +153,7 @@ def trigram_sb_scores(
     id_col: str = "doc_id",
     min_count: int = 2,
     alpha: float = 0.4,
+    train_filter: Column | None = None,
 ) -> DataFrame:
     """Per-document scores under a STUPID-BACKOFF trigram LM (Brants
     et al. 2007, "Large Language Models in Machine Translation" — the
@@ -185,9 +186,22 @@ def trigram_sb_scores(
     are absent. ``backoff_rate`` is the trigram-mass fraction scored
     below order 3 — a data-quality signal in its own right (high
     backoff = text unlike the training corpus).
+
+    When the training corpus is a SUBSET of the scored corpus selected
+    by a predicate over ``id_col`` (the held-out-split shape), pass
+    ``train_filter`` instead of ``train_df``: the training census then
+    derives from the score stream's own per-(doc, trigram) aggregation
+    — the corpus is tokenized, mapped, and shuffled ONCE, and
+    ReuseExchange serves the model branch from the scoring branch's
+    shuffle files (vs. two full tokenize+map passes with a separate
+    ``train_df``).
     """
+    if train_filter is not None and train_df is not None:
+        raise ValueError("pass train_df or train_filter, not both")
     train_toks = _lower_tokens(train_df if train_df is not None else df,
                                text_col, id_col)
+    if train_filter is not None:
+        train_toks = train_toks.where(train_filter)
     score_toks = _lower_tokens(df, text_col, id_col)
 
     vocab = (
@@ -236,22 +250,30 @@ def trigram_sb_scores(
         )
 
     # one trigram census; every lower order is a marginal of it
-    ttc = (
-        _trigrams(train_toks)
-        .groupBy("m1", "m2", "m3")
-        .agg(F.count("*").alias("c3"))
-    )
-    ctx2 = ttc.groupBy("m1", "m2").agg(F.sum("c3").alias("C2"))
-    bi = ttc.groupBy("m2", "m3").agg(F.sum("c3").alias("cb"))
-    ctx1 = bi.groupBy("m2").agg(F.sum("cb").alias("C1"))
-    uni = bi.groupBy("m3").agg(F.sum("cb").alias("cu"))
-    total = ttc.agg(F.sum("c3").cast("double").alias("N"))
-
     dtc = (
         _trigrams(score_toks)
         .groupBy(id_col, "m1", "m2", "m3")
         .agg(F.count("*").alias("k"))
     )
+    if train_filter is not None:
+        # train ⊆ score: the training census is a marginal of the
+        # scoring aggregation — one tokenize/map/shuffle pass total.
+        ttc = (
+            dtc.where(train_filter)
+            .groupBy("m1", "m2", "m3")
+            .agg(F.sum("k").alias("c3"))
+        )
+    else:
+        ttc = (
+            _trigrams(train_toks)
+            .groupBy("m1", "m2", "m3")
+            .agg(F.count("*").alias("c3"))
+        )
+    ctx2 = ttc.groupBy("m1", "m2").agg(F.sum("c3").alias("C2"))
+    bi = ttc.groupBy("m2", "m3").agg(F.sum("c3").alias("cb"))
+    ctx1 = bi.groupBy("m2").agg(F.sum("cb").alias("C1"))
+    uni = bi.groupBy("m3").agg(F.sum("cb").alias("cu"))
+    total = ttc.agg(F.sum("c3").cast("double").alias("N"))
     joined = (
         dtc.join(ttc, ["m1", "m2", "m3"], "left")
         .join(ctx2, ["m1", "m2"], "left")

@@ -239,6 +239,89 @@ def test_read_warc_keeps_records_after_mid_file_corruption(spark, tmp_path):
     assert sum(1 for r in got if r.parse_error is not None) == 1
 
 
+def test_cli_extract_web_to_curate(spark, tmp_path):
+    """End-to-end web funnel: WARC crawl → extract-web → documents
+    parquet that `curate` accepts unchanged."""
+    from kafka_delta_ingest_spark.cli import main
+
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    body = (
+        "<html><head><title>Article {i}</title></head><body>"
+        "<nav><a href='/'>Home</a></nav>"
+        + "<p>Paragraph one of article {i} with a reasonable amount of "
+        "real textual content for the quality gates to look at.</p>"
+        "<p>Paragraph two keeps going with more plain language text "
+        "so the extracted document clears the min-chars bar.</p>"
+        "<footer><a href='/c'>Contact</a></footer></body></html>"
+    )
+    records = []
+    for i in range(6):
+        records.append(
+            {
+                "warc_type": "response",
+                "payload": _http(body.replace("{i}", str(i)).encode()),
+                "headers": {
+                    "WARC-Record-ID": f"<urn:uuid:{i}>",
+                    "WARC-Target-URI": f"https://www.site{i % 2}.com/a/{i}",
+                    "WARC-Date": "2024-01-01T00:00:00Z",
+                },
+            }
+        )
+    # non-HTML and non-200 records must be filtered, not fail
+    records.append(
+        {
+            "warc_type": "response",
+            "payload": _http(b"binary", ctype="image/png"),
+            "headers": {"WARC-Target-URI": "https://www.site0.com/img"},
+        }
+    )
+    write_warc(str(crawl / "a.warc.gz"), records[:4], gzip_records=True)
+    write_warc(str(crawl / "b.warc"), records[4:])
+    with open(crawl / "junk.warc", "wb") as f:
+        f.write(b"NOT A WARC\r\n\r\n")
+
+    docs_out = str(tmp_path / "docs")
+    quarantine = str(tmp_path / "quarantine")
+    rc = main(
+        ["extract-web", str(crawl), docs_out, "--min_chars", "50",
+         "--quarantine", quarantine]
+    )
+    assert rc == 0
+    docs = spark.read.parquet(docs_out)
+    rows = {r.url: r for r in docs.collect()}
+    assert len(rows) == 6  # six HTML pages; png filtered out
+    any_row = rows["https://www.site1.com/a/1"]
+    assert any_row.title == "Article 1"
+    assert "Paragraph one of article 1" in any_row.text
+    assert "Home" not in any_row.text  # boilerplate removed
+    assert any_row.source == "site1.com"
+    assert any_row.lang is not None and any_row.n_chars >= 50
+    assert len({r.doc_id for r in rows.values()}) == 6  # ids distinct
+    q = spark.read.parquet(quarantine).collect()
+    assert len(q) == 1 and q[0].warc_file.endswith("junk.warc")
+
+    # the output is curate-compatible as-is
+    curated = str(tmp_path / "curated")
+    rc = main(
+        ["curate", docs_out, curated, "--min_quality", "0.0",
+         "--dedup", "exact"]
+    )
+    assert rc == 0
+    assert spark.read.parquet(curated).count() > 0
+
+
+def test_html_extract_keep_cols_forwarding(spark):
+    df = spark.createDataFrame(
+        [(1, "<p>Some long enough content block for extraction.</p>",
+          "https://x.com/1")],
+        "doc_id long, html string, url string",
+    )
+    r = html_extract(df, keep_cols=["url"]).collect()[0]
+    assert r.url == "https://x.com/1"
+    assert "Some long enough content" in r.text
+
+
 def test_html_extract_operator(spark):
     rows = [
         (1, "<html><head><title>A</title></head><body>"
