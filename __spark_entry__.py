@@ -4154,6 +4154,113 @@ def multimodal_adpcm_roundtrip(spark, sf_dir):
 
 
 @_q(
+    "multimodal_gif_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(2 + doc_id % 3 AS INT) AS n_frames,
+           CAST(8 + doc_id % 5 AS INT) AS width,
+           CAST(8 + doc_id % 3 AS INT) AS height,
+           CAST((2 + doc_id % 3) * (5 + doc_id % 7) AS INT) AS delay_total,
+           CAST(list_sum(list_transform(
+             range(0, (2 + doc_id % 3) * (8 + doc_id % 5) * (8 + doc_id % 3)),
+             i -> (length(text) % 256
+                   + 37 * (i // ((8 + doc_id % 5) * (8 + doc_id % 3)))
+                   + (i % ((8 + doc_id % 5) * (8 + doc_id % 3)))
+                     % (8 + doc_id % 5)
+                   + 2 * ((i % ((8 + doc_id % 5) * (8 + doc_id % 3)))
+                          // (8 + doc_id % 5))) % 256
+           )) AS BIGINT) AS px_sum,
+           TRUE AS exact_ok
+    FROM documents
+    """,
+)
+def multimodal_gif_roundtrip(spark, sf_dir):
+    """End-to-end certification of REAL LZW-compressed animation: per
+    document, plant a short grayscale GIF whose frame count, geometry,
+    and per-frame delays derive from the doc id, each frame a gradient
+    (g0 + 37*frame + x + 2y) mod 256 with g0 from the text length;
+    encode with the real LZW compressor, decode with the independent
+    decoder (operators/gif.py — GIF89a spec: variable-width LSB-first
+    codes, CLEAR/END, 4096-entry dictionary), and emit exact frame
+    count, geometry, total delay, and the total pixel sum — GIF is
+    LOSSLESS over its palette, so the DuckDB oracle states the pixel
+    sum closed-form (CAST to BIGINT: DuckDB list_sum returns HUGEINT,
+    which the driver's pandas path would turn into float64 — the r5
+    lesson). Plan shape: one narrow mapInPandas; blobs never
+    shuffle."""
+    import pandas as pd
+    from pyspark.sql.types import BooleanType
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_frames", IntegerType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("delay_total", IntegerType()),
+            StructField("px_sum", LongType()),
+            StructField("exact_ok", BooleanType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from kafka_delta_ingest_spark.operators.gif import (
+            decode_gif,
+            encode_gif_gray,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, n in zip(pdf["doc_id"], pdf["n_chars"]):
+                nf = int(2 + doc_id % 3)
+                w = int(8 + doc_id % 5)
+                h = int(8 + doc_id % 3)
+                delay = int(5 + doc_id % 7)
+                g0 = int(n) % 256
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                planted = [
+                    ((g0 + 37 * f + x + 2 * y) % 256).astype(np.uint8)
+                    for f in range(nf)
+                ]
+                gif = encode_gif_gray(planted, delays_cs=[delay] * nf)
+                dec, delays, (gw, gh) = decode_gif(gif)
+                exact = all(
+                    np.array_equal(fr[:, :, 0], ref)
+                    and np.array_equal(fr[:, :, 1], ref)
+                    and np.array_equal(fr[:, :, 2], ref)
+                    for fr, ref in zip(dec, planted)
+                )
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(dec),
+                        int(gw),
+                        int(gh),
+                        int(sum(delays)),
+                        int(sum(int(fr[:, :, 0].sum()) for fr in dec)),
+                        bool(exact and len(dec) == nf),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "width", "height",
+                    "delay_total", "px_sum", "exact_ok",
+                ],
+            )
+
+    from kafka_delta_ingest_spark.operators.util import spread
+
+    return spread(d).mapInPandas(run, schema=out_schema)
+
+
+@_q(
     "text_trigram_backoff",
     r"""
     WITH d AS (
@@ -6298,6 +6405,7 @@ _SWEEP_ORDER: list[str] = [
     "pipeline_web_extraction",
     "web_url_normalize",
     "text_trigram_backoff",
+    "multimodal_gif_roundtrip",
     # --- flagship re-certification: ingest + sink paths.
     "ingest_message_path",
     "ingest_avro_path",

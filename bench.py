@@ -102,6 +102,7 @@ HEADLINE = [
     "pipeline_web_extraction",
     "web_url_normalize",
     "text_trigram_backoff",
+    "multimodal_gif_roundtrip",
 ]
 
 
