@@ -103,6 +103,7 @@ HEADLINE = [
     "web_url_normalize",
     "text_trigram_backoff",
     "multimodal_gif_roundtrip",
+    "iceberg_read_snapshot",
 ]
 
 

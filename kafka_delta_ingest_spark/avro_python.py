@@ -197,6 +197,26 @@ def _zigzag(v: int) -> int:
     return (v << 1) if v >= 0 else (((-v) << 1) - 1)
 
 
+def _union_branch_matches(bt: str | None, value) -> bool:
+    """Exact Python-type → Avro-branch compatibility for union
+    encoding; used before the permissive first-non-null fallback."""
+    if bt == "boolean":
+        return isinstance(value, bool)
+    if bt in ("int", "long"):
+        return isinstance(value, int) and not isinstance(value, bool)
+    if bt in ("float", "double"):
+        return isinstance(value, float)
+    if bt in ("string", "enum"):
+        return isinstance(value, str)
+    if bt in ("bytes", "fixed"):
+        return isinstance(value, (bytes, bytearray))
+    if bt in ("record", "map"):
+        return isinstance(value, dict)
+    if bt == "array":
+        return isinstance(value, (list, tuple))
+    return False
+
+
 def _encode(out: bytearray, schema, value) -> None:
     if isinstance(schema, dict) and isinstance(schema.get("type"), str) and (
         schema["type"] in _PRIMITIVES
@@ -224,11 +244,21 @@ def _encode(out: bytearray, schema, value) -> None:
             return
         raise ValueError(f"unknown primitive {schema}")
     if isinstance(schema, list):
+        # two passes: exact Python-type match first (so multi-type
+        # unions like ["null","string","long"] pick the right branch),
+        # then the first non-null branch as the permissive fallback —
+        # identical behavior to before for the common ["null", X].
         for i, branch in enumerate(schema):
             bt = branch if isinstance(branch, str) else branch.get("type")
             if value is None and bt == "null":
                 _write_long(out, _zigzag(i))
                 return
+            if value is not None and _union_branch_matches(bt, value):
+                _write_long(out, _zigzag(i))
+                _encode(out, branch, value)
+                return
+        for i, branch in enumerate(schema):
+            bt = branch if isinstance(branch, str) else branch.get("type")
             if value is not None and bt != "null":
                 _write_long(out, _zigzag(i))
                 _encode(out, branch, value)

@@ -1,0 +1,436 @@
+"""Apache Iceberg table READER — jar-free, built on the repo's own
+pure-Python Avro codec (avro_python.py reads the manifest files) and
+Spark's native parquet scan.
+
+Implements the public Iceberg table spec (iceberg.apache.org/spec):
+
+* metadata discovery: ``metadata/version-hint.text`` →
+  ``v<N>.metadata.json`` (falling back to the highest ``v*.metadata
+  .json`` present);
+* snapshot selection: current snapshot, an explicit ``snapshot_id``,
+  or timestamp time-travel (largest ``timestamp-ms`` ≤ the asked-for
+  instant) — same time-travel surface the Delta-style sink exposes;
+* planning: manifest-list Avro → manifest Avro → data/delete file
+  plan. Planning walks METADATA only (KBs per manifest), never data —
+  the property that makes Iceberg scans cheap at 100 TB — and
+  supports manifest-level partition pruning via a caller predicate
+  over the entry's partition struct;
+* v2 merge-on-read deletes, executed Spark-natively:
+  - POSITION deletes ((file_path, pos) parquet) anti-join the data
+    scan on ``(_metadata.file_path, _metadata.row_index)`` — Spark's
+    hidden parquet columns give exact per-file row positions without
+    any per-row Python;
+  - EQUALITY deletes anti-join on the delete file's equality columns
+    (field ids resolved to names through the table schema).
+  Sequence-number scoping is simplified: all live delete files in the
+  selected snapshot apply to all live data files (exact for tables
+  whose deletes were committed after the data they target — the
+  common append-then-delete history; documented limitation).
+
+A fixture WRITER (``write_iceberg_fixture``) builds real two-level
+Avro manifests + parquet data/delete files via pyarrow so tests and
+the driver query certify the reader against tables this repo did not
+"read back from itself" through Spark.
+
+Reference: the Rust engine writes only its own Delta log
+(src/delta_helpers.rs:15-40); this module extends interop to the
+second major open table format, read-side.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Callable
+
+from kafka_delta_ingest_spark.avro_python import read_container
+
+
+def _norm_path(p: str) -> str:
+    for prefix in ("file://", "file:"):
+        if p.startswith(prefix):
+            return p[len(prefix):]
+    return p
+
+
+def load_metadata(table_path: str) -> dict:
+    """Resolve and parse the current ``v<N>.metadata.json``."""
+    mdir = os.path.join(table_path, "metadata")
+    hint = os.path.join(mdir, "version-hint.text")
+    path = None
+    if os.path.exists(hint):
+        with open(hint) as f:
+            n = f.read().strip()
+        cand = os.path.join(mdir, f"v{n}.metadata.json")
+        if os.path.exists(cand):
+            path = cand
+    if path is None:
+        versions = []
+        for p in glob.glob(os.path.join(mdir, "v*.metadata.json")):
+            base = os.path.basename(p)
+            try:
+                versions.append((int(base[1:].split(".")[0]), p))
+            except ValueError:
+                continue
+        if not versions:
+            raise ValueError(f"no Iceberg metadata found under {mdir}")
+        path = max(versions)[1]
+    with open(path) as f:
+        return json.load(f)
+
+
+def snapshots(table_path: str) -> list[dict]:
+    """The table's snapshot history (id, timestamp-ms, summary)."""
+    return list(load_metadata(table_path).get("snapshots", []))
+
+
+def _select_snapshot(meta: dict, snapshot_id=None, as_of_timestamp_ms=None):
+    snaps = meta.get("snapshots", [])
+    if not snaps:
+        raise ValueError("Iceberg table has no snapshots")
+    if snapshot_id is not None:
+        for s in snaps:
+            if s["snapshot-id"] == snapshot_id:
+                return s
+        raise ValueError(f"snapshot {snapshot_id} not found")
+    if as_of_timestamp_ms is not None:
+        eligible = [s for s in snaps
+                    if s["timestamp-ms"] <= as_of_timestamp_ms]
+        if not eligible:
+            raise ValueError(
+                f"no snapshot at or before {as_of_timestamp_ms}"
+            )
+        return max(eligible, key=lambda s: s["timestamp-ms"])
+    cur = meta.get("current-snapshot-id")
+    for s in snaps:
+        if s["snapshot-id"] == cur:
+            return s
+    return max(snaps, key=lambda s: s["timestamp-ms"])
+
+
+def _schema_field_names(meta: dict) -> dict[int, str]:
+    """field-id → name map from the current table schema."""
+    schemas = meta.get("schemas") or []
+    cur = meta.get("current-schema-id")
+    schema = None
+    for s in schemas:
+        if s.get("schema-id") == cur:
+            schema = s
+            break
+    if schema is None:
+        schema = meta.get("schema") or (schemas[0] if schemas else None)
+    out = {}
+    for f in (schema or {}).get("fields", []):
+        out[f["id"]] = f["name"]
+    return out
+
+
+def plan_files(
+    table_path: str,
+    snapshot_id=None,
+    as_of_timestamp_ms=None,
+    partition_filter: Callable[[dict], bool] | None = None,
+):
+    """Walk the metadata tree and return the scan plan:
+    ``(data_files, position_delete_files, equality_deletes, meta)``
+    where ``equality_deletes`` is a list of (file_path, [column
+    names]). Metadata-only: no data file is opened."""
+    meta = load_metadata(table_path)
+    snap = _select_snapshot(meta, snapshot_id, as_of_timestamp_ms)
+    mlist_path = _norm_path(snap["manifest-list"])
+    with open(mlist_path, "rb") as f:
+        _, manifests = read_container(f.read())
+    ids = _schema_field_names(meta)
+    data_files, pos_deletes, eq_deletes = [], [], []
+    for m in manifests:
+        with open(_norm_path(m["manifest_path"]), "rb") as f:
+            _, entries = read_container(f.read())
+        for e in entries:
+            if e.get("status") == 2:  # DELETED entry
+                continue
+            df = e["data_file"]
+            if partition_filter is not None and not partition_filter(
+                df.get("partition") or {}
+            ):
+                continue
+            content = df.get("content", 0)
+            path = _norm_path(df["file_path"])
+            if str(df.get("file_format", "PARQUET")).upper() != "PARQUET":
+                raise ValueError(
+                    f"unsupported file format {df.get('file_format')!r}"
+                )
+            if content == 0:
+                data_files.append(path)
+            elif content == 1:
+                pos_deletes.append(path)
+            elif content == 2:
+                cols = [ids.get(i, str(i))
+                        for i in (df.get("equality_ids") or [])]
+                if not cols:
+                    raise ValueError(
+                        "equality delete file without equality_ids"
+                    )
+                eq_deletes.append((path, cols))
+            else:
+                raise ValueError(f"unknown data_file content {content}")
+    return data_files, pos_deletes, eq_deletes, meta
+
+
+def read_iceberg(
+    spark,
+    table_path: str,
+    snapshot_id=None,
+    as_of_timestamp_ms=None,
+    partition_filter: Callable[[dict], bool] | None = None,
+):
+    """Read an Iceberg table into a DataFrame at the current snapshot,
+    an explicit ``snapshot_id``, or a time-travel timestamp, applying
+    v2 position/equality deletes Spark-natively. See module docstring
+    for semantics and the sequence-number simplification."""
+    from pyspark.sql import functions as F
+
+    data_files, pos_deletes, eq_deletes, _ = plan_files(
+        table_path, snapshot_id, as_of_timestamp_ms, partition_filter
+    )
+    if not data_files:
+        raise ValueError("scan plan has no data files")
+    df = spark.read.parquet(*data_files)
+    if pos_deletes:
+        with_meta = spark.read.parquet(*data_files).select(
+            "*",
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:(//)?", ""
+            ).alias("_kdi_fp"),
+            F.col("_metadata.row_index").alias("_kdi_pos"),
+        )
+        dels = (
+            spark.read.parquet(*pos_deletes)
+            .select(
+                F.regexp_replace(
+                    F.col("file_path"), "^file:(//)?", ""
+                ).alias("_kdi_fp"),
+                F.col("pos").alias("_kdi_pos"),
+            )
+        )
+        df = (
+            with_meta.join(
+                F.broadcast(dels), ["_kdi_fp", "_kdi_pos"], "left_anti"
+            )
+            .drop("_kdi_fp", "_kdi_pos")
+        )
+    for path, cols in eq_deletes:
+        dels = spark.read.parquet(path).select(*cols).dropDuplicates()
+        df = df.join(F.broadcast(dels), cols, "left_anti")
+    return df
+
+
+# ---------------------------------------------------------------------------
+# fixture writer: real two-level Avro manifests + parquet via pyarrow
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "added_snapshot_id", "type": "long"},
+    ],
+}
+
+_MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "data_file",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {
+                        "name": "partition",
+                        "type": {
+                            "type": "map",
+                            "values": ["null", "string", "long"],
+                        },
+                    },
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                    {
+                        "name": "equality_ids",
+                        "type": ["null", {"type": "array", "items": "int"}],
+                        "default": None,
+                    },
+                ],
+            },
+        },
+    ],
+}
+
+
+class IcebergFixtureWriter:
+    """Builds a REAL on-disk Iceberg table layout for tests: parquet
+    data/delete files (pyarrow), Avro manifests and manifest lists
+    (avro_python.write_container), versioned metadata JSON with a
+    snapshot log and version-hint. Not a production writer — it exists
+    so the reader is certified against files this repo's Spark session
+    did not produce."""
+
+    def __init__(self, table_path: str, schema_fields: list[dict]):
+        # schema_fields: [{"id": 1, "name": "doc_id", "type": "long",
+        #                  "required": False}, ...]
+        self.root = table_path
+        self.data_dir = os.path.join(table_path, "data")
+        self.meta_dir = os.path.join(table_path, "metadata")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.meta_dir, exist_ok=True)
+        self.fields = schema_fields
+        self.snaps: list[dict] = []
+        self.version = 0
+        self._file_no = 0
+        self._live: list[dict] = []  # data_file dicts across snapshots
+
+    def _write_parquet(self, rows: list[dict], name: str) -> tuple[str, int]:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = os.path.join(self.data_dir, name)
+        cols = list(rows[0].keys())
+        table = pa.table({c: [r[c] for r in rows] for c in cols})
+        pq.write_table(table, path)
+        return path, os.path.getsize(path)
+
+    def _commit(self, new_entries: list[dict], ts_ms: int):
+        from kafka_delta_ingest_spark.avro_python import write_container
+
+        self._live.extend(new_entries)
+        snap_id = 1000 + len(self.snaps) + 1
+        entries = [
+            {"status": 1, "snapshot_id": snap_id, "data_file": f}
+            for f in self._live
+        ]
+        man_path = os.path.join(
+            self.meta_dir, f"manifest-{snap_id}.avro"
+        )
+        blob = write_container(entries, _MANIFEST_ENTRY_SCHEMA)
+        with open(man_path, "wb") as f:
+            f.write(blob)
+        mlist_path = os.path.join(
+            self.meta_dir, f"snap-{snap_id}.avro"
+        )
+        mlist = write_container(
+            [
+                {
+                    "manifest_path": man_path,
+                    "manifest_length": len(blob),
+                    "partition_spec_id": 0,
+                    "content": 0,
+                    "added_snapshot_id": snap_id,
+                }
+            ],
+            _MANIFEST_LIST_SCHEMA,
+        )
+        with open(mlist_path, "wb") as f:
+            f.write(mlist)
+        self.snaps.append(
+            {
+                "snapshot-id": snap_id,
+                "timestamp-ms": ts_ms,
+                "manifest-list": mlist_path,
+                "summary": {"operation": "append"},
+            }
+        )
+        self.version += 1
+        meta = {
+            "format-version": 2,
+            "table-uuid": "00000000-0000-0000-0000-000000000000",
+            "location": self.root,
+            "current-schema-id": 0,
+            "schemas": [
+                {"schema-id": 0, "type": "struct", "fields": self.fields}
+            ],
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "current-snapshot-id": self.snaps[-1]["snapshot-id"],
+            "snapshots": self.snaps,
+        }
+        with open(
+            os.path.join(self.meta_dir, f"v{self.version}.metadata.json"),
+            "w",
+        ) as f:
+            json.dump(meta, f)
+        with open(
+            os.path.join(self.meta_dir, "version-hint.text"), "w"
+        ) as f:
+            f.write(str(self.version))
+        return snap_id
+
+    def append(self, rows: list[dict], ts_ms: int, partition=None) -> int:
+        self._file_no += 1
+        path, size = self._write_parquet(
+            rows, f"data-{self._file_no:05d}.parquet"
+        )
+        return self._commit(
+            [
+                {
+                    "content": 0,
+                    "file_path": path,
+                    "file_format": "PARQUET",
+                    "partition": dict(partition or {}),
+                    "record_count": len(rows),
+                    "file_size_in_bytes": size,
+                    "equality_ids": None,
+                }
+            ],
+            ts_ms,
+        )
+
+    def position_delete(self, victims: list[tuple[str, int]], ts_ms: int):
+        """victims: (data file path, row position) pairs."""
+        self._file_no += 1
+        path, size = self._write_parquet(
+            [{"file_path": p, "pos": pos} for p, pos in victims],
+            f"delete-{self._file_no:05d}.parquet",
+        )
+        return self._commit(
+            [
+                {
+                    "content": 1,
+                    "file_path": path,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": len(victims),
+                    "file_size_in_bytes": size,
+                    "equality_ids": None,
+                }
+            ],
+            ts_ms,
+        )
+
+    def equality_delete(self, rows: list[dict], field_ids: list[int],
+                        ts_ms: int):
+        self._file_no += 1
+        path, size = self._write_parquet(
+            rows, f"eqdelete-{self._file_no:05d}.parquet"
+        )
+        return self._commit(
+            [
+                {
+                    "content": 2,
+                    "file_path": path,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": len(rows),
+                    "file_size_in_bytes": size,
+                    "equality_ids": list(field_ids),
+                }
+            ],
+            ts_ms,
+        )

@@ -1,0 +1,179 @@
+"""Iceberg reader tests against fixture tables the reader's own Spark
+session did not write: snapshot selection, time travel, v2
+position/equality deletes, manifest-level partition pruning, metadata
+discovery, and malformed-input errors."""
+
+import json
+import os
+
+import pytest
+
+from kafka_delta_ingest_spark.iceberg import (
+    IcebergFixtureWriter,
+    load_metadata,
+    plan_files,
+    read_iceberg,
+    snapshots,
+)
+
+_FIELDS = [
+    {"id": 1, "name": "doc_id", "type": "long", "required": False},
+    {"id": 2, "name": "grp", "type": "string", "required": False},
+]
+
+
+@pytest.fixture()
+def table(tmp_path):
+    w = IcebergFixtureWriter(str(tmp_path / "t"), _FIELDS)
+    s1 = w.append(
+        [{"doc_id": i, "grp": "a" if i % 2 else "b"} for i in range(10)],
+        ts_ms=1000,
+        partition={"bucket": "p0"},
+    )
+    s2 = w.append(
+        [{"doc_id": i, "grp": "c"} for i in range(10, 15)],
+        ts_ms=2000,
+        partition={"bucket": "p1"},
+    )
+    first = os.path.join(str(tmp_path / "t"), "data", "data-00001.parquet")
+    s3 = w.position_delete([(first, 0), (first, 3)], ts_ms=3000)
+    s4 = w.equality_delete([{"grp": "c"}], field_ids=[2], ts_ms=4000)
+    return str(tmp_path / "t"), (s1, s2, s3, s4)
+
+
+def test_current_snapshot_applies_both_delete_kinds(spark, table):
+    t, _ = table
+    got = sorted(r.doc_id for r in read_iceberg(spark, t).collect())
+    # doc_id 0 and 3 position-deleted; 10..14 equality-deleted (grp=c)
+    assert got == [1, 2] + list(range(4, 10))
+
+
+def test_snapshot_id_and_timestamp_time_travel(spark, table):
+    t, (s1, s2, s3, s4) = table
+    assert sorted(
+        r.doc_id for r in read_iceberg(spark, t, snapshot_id=s1).collect()
+    ) == list(range(10))
+    assert sorted(
+        r.doc_id for r in read_iceberg(spark, t, snapshot_id=s2).collect()
+    ) == list(range(15))
+    assert sorted(
+        r.doc_id
+        for r in read_iceberg(spark, t, as_of_timestamp_ms=3500).collect()
+    ) == [1, 2] + list(range(4, 15))
+    with pytest.raises(ValueError, match="no snapshot at or before"):
+        read_iceberg(spark, t, as_of_timestamp_ms=500)
+    with pytest.raises(ValueError, match="not found"):
+        read_iceberg(spark, t, snapshot_id=999999)
+
+
+def test_partition_pruning_is_metadata_level(spark, table):
+    t, (s1, s2, *_) = table
+    # prune to the p0 bucket at snapshot 2: only the first file scans
+    d, p, e, _ = plan_files(
+        t, snapshot_id=s2,
+        partition_filter=lambda part: part.get("bucket") == "p0",
+    )
+    assert len(d) == 1 and d[0].endswith("data-00001.parquet")
+    got = sorted(
+        r.doc_id
+        for r in read_iceberg(
+            spark, t, snapshot_id=s2,
+            partition_filter=lambda part: part.get("bucket") == "p0",
+        ).collect()
+    )
+    assert got == list(range(10))
+
+
+def test_snapshot_history_and_metadata_discovery(table):
+    t, (s1, s2, s3, s4) = table
+    hist = snapshots(t)
+    assert [s["snapshot-id"] for s in hist] == [s1, s2, s3, s4]
+    # version-hint fallback: removing the hint still finds max vN
+    os.remove(os.path.join(t, "metadata", "version-hint.text"))
+    meta = load_metadata(t)
+    assert meta["current-snapshot-id"] == s4
+
+
+def test_malformed_inputs_raise(tmp_path):
+    with pytest.raises(ValueError, match="no Iceberg metadata"):
+        load_metadata(str(tmp_path / "nope"))
+    # a non-parquet data file format is rejected at planning
+    w = IcebergFixtureWriter(str(tmp_path / "t2"), _FIELDS)
+    w.append([{"doc_id": 1, "grp": "a"}], ts_ms=1)
+    man_meta = load_metadata(str(tmp_path / "t2"))
+    # tamper: rewrite metadata pointing at an ORC file entry
+    from kafka_delta_ingest_spark.avro_python import (
+        read_container,
+        write_container,
+    )
+    from kafka_delta_ingest_spark.iceberg import (
+        _MANIFEST_ENTRY_SCHEMA,
+    )
+
+    snap = man_meta["snapshots"][-1]
+    with open(snap["manifest-list"].replace("file://", ""), "rb") as f:
+        _, manifests = read_container(f.read())
+    mpath = manifests[0]["manifest_path"]
+    with open(mpath, "rb") as f:
+        _, entries = read_container(f.read())
+    entries[0]["data_file"]["file_format"] = "ORC"
+    with open(mpath, "wb") as f:
+        f.write(write_container(entries, _MANIFEST_ENTRY_SCHEMA))
+    with pytest.raises(ValueError, match="unsupported file format"):
+        plan_files(str(tmp_path / "t2"))
+
+
+def test_deleted_manifest_entries_are_skipped(spark, tmp_path):
+    # status == 2 marks an entry removed from the snapshot
+    w = IcebergFixtureWriter(str(tmp_path / "t3"), _FIELDS)
+    w.append([{"doc_id": 1, "grp": "a"}], ts_ms=1)
+    w.append([{"doc_id": 2, "grp": "a"}], ts_ms=2)
+    meta = load_metadata(str(tmp_path / "t3"))
+    from kafka_delta_ingest_spark.avro_python import (
+        read_container,
+        write_container,
+    )
+    from kafka_delta_ingest_spark.iceberg import _MANIFEST_ENTRY_SCHEMA
+
+    snap = meta["snapshots"][-1]
+    with open(snap["manifest-list"], "rb") as f:
+        _, manifests = read_container(f.read())
+    mpath = manifests[0]["manifest_path"]
+    with open(mpath, "rb") as f:
+        _, entries = read_container(f.read())
+    for e in entries:
+        if e["data_file"]["file_path"].endswith("data-00001.parquet"):
+            e["status"] = 2
+    with open(mpath, "wb") as f:
+        f.write(write_container(entries, _MANIFEST_ENTRY_SCHEMA))
+    got = [r.doc_id for r in read_iceberg(spark, str(tmp_path / "t3")).collect()]
+    assert got == [2]
+
+
+def test_avro_manifest_roundtrip_schema():
+    # the fixture writer's manifests decode through the same avro
+    # codec with unions, nested records, arrays, and maps intact
+    from kafka_delta_ingest_spark.avro_python import (
+        read_container,
+        write_container,
+    )
+    from kafka_delta_ingest_spark.iceberg import _MANIFEST_ENTRY_SCHEMA
+
+    entry = {
+        "status": 1,
+        "snapshot_id": 7,
+        "data_file": {
+            "content": 2,
+            "file_path": "/x.parquet",
+            "file_format": "PARQUET",
+            "partition": {"bucket": "p0", "n": 3},
+            "record_count": 5,
+            "file_size_in_bytes": 100,
+            "equality_ids": [2, 3],
+        },
+    }
+    blob = write_container([entry], _MANIFEST_ENTRY_SCHEMA)
+    _, out = read_container(blob)
+    assert out[0]["data_file"]["equality_ids"] == [2, 3]
+    assert out[0]["data_file"]["partition"]["bucket"] == "p0"
+    assert out[0]["data_file"]["partition"]["n"] == 3
