@@ -4154,6 +4154,97 @@ def multimodal_adpcm_roundtrip(spark, sf_dir):
 
 
 @_q(
+    "delta_read_standard",
+    """
+    SELECT doc_id, lang, TRUE AS travel_ok
+    FROM documents
+    WHERE lang <> 'de'
+    """,
+)
+def delta_read_standard(spark, sf_dir):
+    """End-to-end certification of the STANDARD-layout Delta Lake
+    reader (delta_standard.py — jar-free, from the public transaction
+    protocol): hand-build a real ``_delta_log`` table (JSON commits,
+    hive-partitioned parquet written by pyarrow, a protocol-layout
+    parquet CHECKPOINT with _last_checkpoint pointer), then read it
+    back through log replay. History: v0 appends the even-id documents
+    partitioned by lang, v1 the odd ids, checkpoint at v1, v2 REMOVEs
+    every lang='de' file. The oracle states the survivors
+    declaratively; travel_ok certifies version and timestamp time
+    travel (counts at v0/v1/ts-between equal the closed-form counts),
+    which — because the pre-checkpoint state flows through the
+    checkpoint parquet — also certifies checkpoint replay. Partition
+    columns come from the log's partitionValues via the hive basePath
+    fast path: ONE scan, no per-file unions."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from pyspark.sql.types import (
+        LongType as _L,
+        StringType as _S,
+        StructField as _F,
+        StructType as _T,
+    )
+
+    from kafka_delta_ingest_spark.delta_standard import (
+        DeltaFixtureWriter,
+        read_delta,
+    )
+
+    rows = sorted(
+        (int(r.doc_id), r.lang)
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    )
+
+    def groups(pred):
+        by_lang: dict[str, list[dict]] = {}
+        for i, g in rows:
+            if pred(i):
+                by_lang.setdefault(g, []).append(
+                    {"doc_id": i, "lang": g}
+                )
+        return [({"lang": g}, rs) for g, rs in sorted(by_lang.items())]
+
+    root = _tf.mkdtemp(prefix="kdi-dstdq-")
+    try:
+        t = root + "/t"
+        w = DeltaFixtureWriter(
+            t,
+            _T([_F("doc_id", _L()), _F("lang", _S())]),
+            partition_cols=["lang"],
+        )
+        v0 = w.add_files(groups(lambda i: i % 2 == 0), timestamp_ms=1000)
+        v1 = w.add_files(groups(lambda i: i % 2 == 1), timestamp_ms=2000)
+        w.checkpoint()
+        import glob as _g
+        import os as _os
+
+        de_files = [
+            _os.path.relpath(p, t)
+            for p in _g.glob(t + "/lang=de/*.parquet")
+        ]
+        w.remove_files(de_files, timestamp_ms=3000)
+
+        n_even = sum(1 for i, _ in rows if i % 2 == 0)
+        travel_ok = (
+            read_delta(spark, t, version=v0).count() == n_even
+            and read_delta(spark, t, version=v1).count() == len(rows)
+            and read_delta(spark, t, timestamp_ms=2500).count()
+            == len(rows)
+        )
+        out = (
+            read_delta(spark, t)
+            .select("doc_id", "lang")
+            .withColumn("travel_ok", F.lit(bool(travel_ok)))
+        )
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
+@_q(
     "iceberg_read_snapshot",
     """
     SELECT doc_id, lang, TRUE AS travel_ok
@@ -6490,6 +6581,7 @@ _SWEEP_ORDER: list[str] = [
     "text_trigram_backoff",
     "multimodal_gif_roundtrip",
     "iceberg_read_snapshot",
+    "delta_read_standard",
     # --- flagship re-certification: ingest + sink paths.
     "ingest_message_path",
     "ingest_avro_path",

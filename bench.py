@@ -104,6 +104,7 @@ HEADLINE = [
     "text_trigram_backoff",
     "multimodal_gif_roundtrip",
     "iceberg_read_snapshot",
+    "delta_read_standard",
 ]
 
 

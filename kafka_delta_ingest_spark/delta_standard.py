@@ -1,0 +1,475 @@
+"""Standard-layout Delta Lake table READER — jar-free, from the public
+Delta transaction protocol (github.com/delta-io/delta PROTOCOL.md).
+
+The repo's sink (sinks/delta_like.py) WRITES Delta-protocol actions
+into its own ``_kdi_log``; this module READS tables that real Delta
+writers (delta-spark, delta-rs, the reference ingest daemon itself —
+src/delta_helpers.rs:15-40) produced under ``_delta_log/``:
+
+* log replay: ``%020d.json`` JSON-lines commits, starting from the
+  newest parquet checkpoint at or below the target version
+  (``_last_checkpoint`` pointer, single- and multi-part
+  ``%020d.checkpoint[.%010d.%010d].parquet``) — the log scan is
+  O(commits since checkpoint), not O(table history);
+* state reconstruction: latest protocol/metaData, live file set =
+  adds minus removes keyed by path;
+* partition columns: standard Delta stores them in ``add.
+  partitionValues``, NOT in the data files. Hive-style layouts take
+  the ``basePath`` fast path (one scan, Spark reconstructs partition
+  columns); non-hive layouts fall back to per-partition-group scans
+  with literal columns, unioned — always correct, plan size bounded
+  by the number of DISTINCT partition tuples present;
+* schema: ``metaData.schemaString`` is a Spark StructType JSON —
+  applied to the scan so type widening/evolution follows the log, not
+  parquet footers. Column-mapping mode ``name`` resolves physical →
+  logical names (the sink's own column-mapping convention); ``id``
+  mode and deletion vectors raise with a clear message (the two
+  protocol features needing a native reader — documented seam);
+* time travel: ``version=`` replays to that commit; ``timestamp=``
+  picks the last commit whose ``commitInfo.timestamp`` (file mtime
+  fallback) is at or before the instant — the same surface
+  DeltaLikeTable and the Iceberg reader expose.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import urllib.parse
+
+_LOG = "_delta_log"
+
+
+def _log_path(table_path: str) -> str:
+    p = os.path.join(table_path, _LOG)
+    if not os.path.isdir(p):
+        raise ValueError(f"no {_LOG} under {table_path}")
+    return p
+
+
+def _commit_versions(log: str) -> list[int]:
+    out = []
+    for f in os.listdir(log):
+        if f.endswith(".json") and f[:20].isdigit() and len(f) == 25:
+            out.append(int(f[:20]))
+    return sorted(out)
+
+
+def _checkpoint_files(log: str, version: int) -> list[str]:
+    single = os.path.join(log, f"{version:020d}.checkpoint.parquet")
+    if os.path.exists(single):
+        return [single]
+    parts = sorted(
+        glob.glob(
+            os.path.join(log, f"{version:020d}.checkpoint.*.parquet")
+        )
+    )
+    return parts
+
+
+def _best_checkpoint(log: str, target: int) -> int | None:
+    """Newest checkpoint version ≤ target, preferring _last_checkpoint
+    when it qualifies."""
+    ptr = os.path.join(log, "_last_checkpoint")
+    best = None
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            v = json.load(f).get("version")
+        if v is not None and v <= target and _checkpoint_files(log, v):
+            best = v
+    if best is None:
+        cands = set()
+        for f in os.listdir(log):
+            if ".checkpoint." in f and f[:20].isdigit():
+                cands.add(int(f[:20]))
+        ok = [v for v in cands if v <= target and _checkpoint_files(log, v)]
+        best = max(ok) if ok else None
+    return best
+
+
+def _replay(spark, table_path: str, target: int) -> dict:
+    """Reconstruct table state at ``target``: live adds, metaData,
+    protocol."""
+    log = _log_path(table_path)
+    adds: dict[str, dict] = {}
+    meta = None
+    protocol = None
+    start = 0
+    cp = _best_checkpoint(log, target)
+    if cp is not None:
+        for row in (
+            spark.read.parquet(*_checkpoint_files(log, cp))
+            .select("add", "remove", "metaData", "protocol")
+            .collect()
+        ):
+            if row.metaData is not None and row.metaData.id is not None:
+                meta = row.metaData.asDict(recursive=True)
+            if row.protocol is not None and (
+                row.protocol.minReaderVersion is not None
+            ):
+                protocol = row.protocol.asDict(recursive=True)
+            if row.add is not None and row.add.path is not None:
+                a = row.add.asDict(recursive=True)
+                adds[a["path"]] = a
+            if row.remove is not None and row.remove.path is not None:
+                adds.pop(row.remove.path, None)
+        start = cp + 1
+    for v in _commit_versions(log):
+        if v < start or v > target:
+            continue
+        with open(os.path.join(log, f"{v:020d}.json")) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                act = json.loads(line)
+                if "metaData" in act:
+                    meta = act["metaData"]
+                elif "protocol" in act:
+                    protocol = act["protocol"]
+                elif "add" in act:
+                    adds[act["add"]["path"]] = act["add"]
+                elif "remove" in act:
+                    adds.pop(act["remove"]["path"], None)
+    if meta is None:
+        raise ValueError("log replay found no metaData action")
+    return {"adds": list(adds.values()), "meta": meta,
+            "protocol": protocol}
+
+
+def _resolve_version(log: str, version=None, timestamp_ms=None) -> int:
+    versions = _commit_versions(log)
+    if not versions:
+        raise ValueError("empty Delta log")
+    if version is not None:
+        if version not in versions and version > max(versions):
+            raise ValueError(f"version {version} beyond log end")
+        return version
+    if timestamp_ms is not None:
+        best = None
+        for v in versions:
+            path = os.path.join(log, f"{v:020d}.json")
+            ts = None
+            with open(path) as f:
+                for line in f:
+                    act = json.loads(line)
+                    if "commitInfo" in act:
+                        ts = act["commitInfo"].get("timestamp")
+                        break
+            if ts is None:
+                ts = int(os.path.getmtime(path) * 1000)
+            if ts <= timestamp_ms:
+                best = v
+        if best is None:
+            raise ValueError(f"no commit at or before {timestamp_ms}")
+        return best
+    return max(versions)
+
+
+def _schema_mapping(meta: dict):
+    """(logical StructType, physical→logical rename map or None,
+    partition columns)."""
+    from pyspark.sql.types import StructType
+
+    schema_json = json.loads(meta["schemaString"])
+    logical = StructType.fromJson(schema_json)
+    conf = meta.get("configuration") or {}
+    mode = conf.get("delta.columnMapping.mode", "none")
+    if mode == "id":
+        raise ValueError(
+            "columnMapping mode 'id' requires parquet field-id "
+            "resolution — unsupported here (use mode 'name' or 'none')"
+        )
+    rename = None
+    if mode == "name":
+        rename = {}
+        for f in schema_json.get("fields", []):
+            phys = (f.get("metadata") or {}).get(
+                "delta.columnMapping.physicalName"
+            )
+            if phys:
+                rename[phys] = f["name"]
+    parts = list(meta.get("partitionColumns") or [])
+    return logical, rename, parts
+
+
+def read_delta(spark, table_path: str, version=None, timestamp_ms=None):
+    """Read a standard-layout Delta Lake table (``_delta_log``) into a
+    DataFrame at the latest, an explicit ``version``, or a
+    ``timestamp_ms`` time-travel instant. See module docstring."""
+    from pyspark.sql import functions as F
+
+    log = _log_path(table_path)
+    target = _resolve_version(log, version, timestamp_ms)
+    state = _replay(spark, table_path, target)
+    adds = state["adds"]
+    if not adds:
+        raise ValueError(f"no live files at version {target}")
+    for a in adds:
+        if a.get("deletionVector"):
+            raise ValueError(
+                "table uses deletion vectors — unsupported by this "
+                "jar-free reader (compact/OPTIMIZE the table first)"
+            )
+    logical, rename, part_cols = _schema_mapping(state["meta"])
+
+    def _abs(p: str) -> str:
+        p = urllib.parse.unquote(p)
+        if p.startswith("file:"):
+            p = p[len("file:"):]
+        if os.path.isabs(p):
+            return p
+        return os.path.join(table_path, p)
+
+    data_fields = [f for f in logical.fields if f.name not in part_cols]
+    phys_of = {}
+    if rename:
+        inv = {v: k for k, v in rename.items()}
+        phys_of = {f.name: inv.get(f.name, f.name) for f in logical.fields}
+    else:
+        phys_of = {f.name: f.name for f in logical.fields}
+
+    from pyspark.sql.types import StructField, StructType
+
+    read_schema = StructType(
+        [
+            StructField(phys_of[f.name], f.dataType, f.nullable)
+            for f in data_fields
+        ]
+    )
+
+    hive = bool(part_cols) and all(
+        all(f"{c}=" in a["path"] for c in part_cols) for a in adds
+    )
+
+    if not part_cols:
+        df = spark.read.schema(read_schema).parquet(
+            *[_abs(a["path"]) for a in adds]
+        )
+    elif hive and rename is None:
+        # hive-style layout: ONE scan; Spark reconstructs partition
+        # columns from the directory names under basePath.
+        full = StructType(
+            list(read_schema.fields)
+            + [f for f in logical.fields if f.name in part_cols]
+        )
+        df = (
+            spark.read.schema(full)
+            .option("basePath", table_path)
+            .parquet(*[_abs(a["path"]) for a in adds])
+        )
+    else:
+        # group by partition tuple; literal columns per group
+        groups: dict[tuple, list[str]] = {}
+        for a in adds:
+            pv = a.get("partitionValues") or {}
+            key = tuple(pv.get(c) for c in part_cols)
+            groups.setdefault(key, []).append(_abs(a["path"]))
+        parts_struct = {f.name: f.dataType for f in logical.fields}
+        df = None
+        for key, paths in sorted(groups.items()):
+            g = spark.read.schema(read_schema).parquet(*paths)
+            for c, v in zip(part_cols, key):
+                g = g.withColumn(
+                    phys_of[c],
+                    F.lit(v).cast(parts_struct[c]),
+                )
+            df = g if df is None else df.unionByName(g)
+    if rename:
+        for phys, logic in rename.items():
+            if phys != logic:
+                df = df.withColumnRenamed(phys, logic)
+    return df.select(*[f.name for f in logical.fields])
+
+
+class DeltaFixtureWriter:
+    """Hand-writes the STANDARD Delta layout (``_delta_log`` JSON
+    commits, hive-style data paths, a parquet checkpoint) from the
+    public protocol spec, via pyarrow — so ``read_delta`` is certified
+    against a table this repo's sink did not produce. Not a production
+    writer."""
+
+    def __init__(self, table_path: str, schema_struct,
+                 partition_cols: list[str] | None = None,
+                 configuration: dict | None = None):
+        self.root = table_path
+        self.log = os.path.join(table_path, _LOG)
+        os.makedirs(self.log, exist_ok=True)
+        self.schema = schema_struct
+        self.parts = list(partition_cols or [])
+        self.conf = dict(configuration or {})
+        self.version = -1
+        self._file_no = 0
+        self._committed_meta = False
+
+    def _meta_action(self) -> dict:
+        return {
+            "metaData": {
+                "id": "11111111-2222-3333-4444-555555555555",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(self.schema.jsonValue()),
+                "partitionColumns": self.parts,
+                "configuration": self.conf,
+                "createdTime": 1700000000000,
+            }
+        }
+
+    def _commit(self, actions: list[dict], operation: str,
+                timestamp_ms: int) -> int:
+        self.version += 1
+        head = [
+            {
+                "commitInfo": {
+                    "operation": operation,
+                    "timestamp": timestamp_ms,
+                }
+            }
+        ]
+        if not self._committed_meta:
+            head.append({"protocol": {"minReaderVersion": 1,
+                                      "minWriterVersion": 2}})
+            head.append(self._meta_action())
+            self._committed_meta = True
+        with open(
+            os.path.join(self.log, f"{self.version:020d}.json"), "w"
+        ) as f:
+            for a in head + actions:
+                f.write(json.dumps(a) + "\n")
+        return self.version
+
+    def add_files(self, groups: list[tuple[dict, list[dict]]],
+                  timestamp_ms: int, physical_names: dict | None = None
+                  ) -> int:
+        """groups: (partitionValues dict, rows) per data file; rows use
+        LOGICAL column names, ``physical_names`` maps logical→physical
+        for column-mapping fixtures."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        actions = []
+        for pv, rows in groups:
+            self._file_no += 1
+            subdir = "/".join(f"{k}={v}" for k, v in pv.items())
+            rel = (subdir + "/" if subdir else "") + (
+                f"part-{self._file_no:05d}.parquet"
+            )
+            full = os.path.join(self.root, rel)
+            os.makedirs(os.path.dirname(full), exist_ok=True)
+            names = physical_names or {}
+            cols = [c for c in rows[0] if c not in pv]
+            table = pa.table(
+                {names.get(c, c): [r[c] for r in rows] for c in cols}
+            )
+            pq.write_table(table, full)
+            actions.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": {k: str(v)
+                                            for k, v in pv.items()},
+                        "size": os.path.getsize(full),
+                        "modificationTime": timestamp_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+        return self._commit(actions, "WRITE", timestamp_ms)
+
+    def remove_files(self, rel_paths: list[str], timestamp_ms: int) -> int:
+        actions = [
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": timestamp_ms,
+                    "dataChange": True,
+                }
+            }
+            for p in rel_paths
+        ]
+        return self._commit(actions, "DELETE", timestamp_ms)
+
+    def checkpoint(self) -> None:
+        """Consolidate current state into a checkpoint parquet +
+        ``_last_checkpoint`` pointer (protocol layout: one action per
+        row, struct columns)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        # replay own log (py-side) to the live state
+        adds: dict[str, dict] = {}
+        meta = None
+        protocol = None
+        for v in _commit_versions(self.log):
+            with open(os.path.join(self.log, f"{v:020d}.json")) as f:
+                for line in f:
+                    act = json.loads(line)
+                    if "metaData" in act:
+                        meta = act["metaData"]
+                    elif "protocol" in act:
+                        protocol = act["protocol"]
+                    elif "add" in act:
+                        adds[act["add"]["path"]] = act["add"]
+                    elif "remove" in act:
+                        adds.pop(act["remove"]["path"], None)
+        rows = [{"protocol": protocol, "metaData": meta, "add": None,
+                 "remove": None}]
+        rows += [{"protocol": None, "metaData": None, "add": a,
+                  "remove": None} for a in adds.values()]
+        map_ss = pa.map_(pa.string(), pa.string())
+        cp_schema = pa.schema(
+            [
+                ("protocol", pa.struct(
+                    [("minReaderVersion", pa.int32()),
+                     ("minWriterVersion", pa.int32())]
+                )),
+                ("metaData", pa.struct(
+                    [("id", pa.string()),
+                     ("format", pa.struct(
+                         [("provider", pa.string()),
+                          ("options", map_ss)]
+                     )),
+                     ("schemaString", pa.string()),
+                     ("partitionColumns", pa.list_(pa.string())),
+                     ("configuration", map_ss),
+                     ("createdTime", pa.int64())]
+                )),
+                ("add", pa.struct(
+                    [("path", pa.string()),
+                     ("partitionValues", map_ss),
+                     ("size", pa.int64()),
+                     ("modificationTime", pa.int64()),
+                     ("dataChange", pa.bool_())]
+                )),
+                ("remove", pa.struct(
+                    [("path", pa.string()),
+                     ("deletionTimestamp", pa.int64()),
+                     ("dataChange", pa.bool_())]
+                )),
+            ]
+        )
+        table = pa.Table.from_pylist(rows, schema=cp_schema)
+        path = os.path.join(
+            self.log, f"{self.version:020d}.checkpoint.parquet"
+        )
+        pq.write_table(table, path)
+        with open(os.path.join(self.log, "_last_checkpoint"), "w") as f:
+            json.dump({"version": self.version, "size": len(rows)}, f)
+
+
+def delta_history(table_path: str) -> list[dict]:
+    """(version, operation, timestamp) per commit — DESCRIBE HISTORY
+    for standard-layout tables."""
+    log = _log_path(table_path)
+    out = []
+    for v in _commit_versions(log):
+        op, ts = None, None
+        with open(os.path.join(log, f"{v:020d}.json")) as f:
+            for line in f:
+                act = json.loads(line)
+                if "commitInfo" in act:
+                    op = act["commitInfo"].get("operation")
+                    ts = act["commitInfo"].get("timestamp")
+                    break
+        out.append({"version": v, "operation": op, "timestamp": ts})
+    return out
