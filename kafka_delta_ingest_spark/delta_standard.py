@@ -143,8 +143,13 @@ def _resolve_version(log: str, version=None, timestamp_ms=None) -> int:
     if not versions:
         raise ValueError("empty Delta log")
     if version is not None:
-        if version not in versions and version > max(versions):
+        if version > max(versions):
             raise ValueError(f"version {version} beyond log end")
+        if version < versions[0] and _best_checkpoint(log, version) is None:
+            raise ValueError(
+                f"version {version} before earliest available commit "
+                f"({versions[0]}) and no checkpoint covers it"
+            )
         return version
     if timestamp_ms is not None:
         best = None
@@ -191,6 +196,10 @@ def _schema_mapping(meta: dict):
             if phys:
                 rename[phys] = f["name"]
     parts = list(meta.get("partitionColumns") or [])
+    if rename:
+        # the protocol tracks partitionColumns AND add.partitionValues
+        # under PHYSICAL names in mapping mode — resolve to logical.
+        parts = [rename.get(c, c) for c in parts]
     return logical, rename, parts
 
 
@@ -239,8 +248,18 @@ def read_delta(spark, table_path: str, version=None, timestamp_ms=None):
         ]
     )
 
+    def _has_hive_segment(path: str, col: str) -> bool:
+        # match whole directory segments ("lang=en"), not substrings —
+        # a partition column named "e" must not match "date=2024".
+        return any(
+            seg.split("=", 1)[0] == col
+            for seg in path.split("/")
+            if "=" in seg
+        )
+
     hive = bool(part_cols) and all(
-        all(f"{c}=" in a["path"] for c in part_cols) for a in adds
+        all(_has_hive_segment(a["path"], phys_of[c]) for c in part_cols)
+        for a in adds
     )
 
     if not part_cols:
@@ -260,15 +279,21 @@ def read_delta(spark, table_path: str, version=None, timestamp_ms=None):
             .parquet(*[_abs(a["path"]) for a in adds])
         )
     else:
-        # group by partition tuple; literal columns per group
+        # group by partition tuple; literal columns per group.
+        # add.partitionValues keys are PHYSICAL names in mapping mode.
         groups: dict[tuple, list[str]] = {}
         for a in adds:
             pv = a.get("partitionValues") or {}
-            key = tuple(pv.get(c) for c in part_cols)
+            key = tuple(pv.get(phys_of[c]) for c in part_cols)
             groups.setdefault(key, []).append(_abs(a["path"]))
         parts_struct = {f.name: f.dataType for f in logical.fields}
         df = None
-        for key, paths in sorted(groups.items()):
+        # None-safe ordering: a null partition value (valid per the
+        # protocol) must not crash the sort against strings.
+        for key, paths in sorted(
+            groups.items(),
+            key=lambda kv: tuple((v is None, v or "") for v in kv[0]),
+        ):
             g = spark.read.schema(read_schema).parquet(*paths)
             for c, v in zip(part_cols, key):
                 g = g.withColumn(

@@ -150,11 +150,17 @@ def plan_files(
             if e.get("status") == 2:  # DELETED entry
                 continue
             df = e["data_file"]
-            if partition_filter is not None and not partition_filter(
-                df.get("partition") or {}
+            content = df.get("content", 0)
+            # partition pruning applies to DATA files only: delete
+            # files (often written with an empty/global partition
+            # struct) must always stay in the plan, or pruning would
+            # resurrect deleted rows in the partitions it keeps.
+            if (
+                content == 0
+                and partition_filter is not None
+                and not partition_filter(df.get("partition") or {})
             ):
                 continue
-            content = df.get("content", 0)
             path = _norm_path(df["file_path"])
             if str(df.get("file_format", "PARQUET")).upper() != "PARQUET":
                 raise ValueError(
@@ -195,9 +201,14 @@ def read_iceberg(
     )
     if not data_files:
         raise ValueError("scan plan has no data files")
-    df = spark.read.parquet(*data_files)
+    # mergeSchema unions parquet footers across the live file set, so
+    # additively-evolved tables (column added after early snapshots)
+    # surface every column instead of whichever file Spark samples
+    # first. Full Iceberg-schema-driven typing (rename/reorder field
+    # ids) is a documented seam.
+    df = spark.read.option("mergeSchema", "true").parquet(*data_files)
     if pos_deletes:
-        with_meta = spark.read.parquet(*data_files).select(
+        with_meta = df.select(
             "*",
             F.regexp_replace(
                 F.col("_metadata.file_path"), "^file:(//)?", ""

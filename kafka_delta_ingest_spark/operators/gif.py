@@ -182,10 +182,18 @@ def encode_gif_gray(frames, delays_cs=None) -> bytes:
 
 
 def decode_gif(b: bytes):
-    """GIF bytes → (frames list[(h, w, 3) uint8 RGB], delays_cs list,
-    (width, height)). Full-featured decode: 87a/89a, global and local
-    palettes, interlacing, variable-width LZW. Raises ValueError on
-    malformed streams."""
+    """GIF bytes → (frames list[(sh, sw, 3) uint8 RGB], delays_cs
+    list, (width, height)). Full-featured decode: 87a/89a, global and
+    local palettes, interlacing, variable-width LZW, and frame
+    COMPOSITING — sub-rectangle frames (image left/top offsets smaller
+    than the logical screen, the delta-frame optimization real
+    encoders emit) paint onto the running canvas, honoring disposal
+    methods 0/1 (leave in place) and 2 (restore background);
+    disposal 3 (restore previous) raises. Every returned frame is the
+    full composited canvas. Frame delay comes from each frame's own
+    graphic-control extension (0 when absent — the spec default), not
+    inherited from earlier frames. Raises ValueError on malformed
+    streams."""
     if len(b) < 13 or b[:6] not in (b"GIF89a", b"GIF87a"):
         raise ValueError("not a GIF payload")
     sw = int.from_bytes(b[6:8], "little")
@@ -203,7 +211,10 @@ def decode_gif(b: bytes):
 
     frames = []
     delays = []
-    delay = 10
+    delay = 0
+    disposal = 0
+    canvas = None
+    bg_rgb = None
     while True:
         if pos >= len(b):
             raise ValueError("missing GIF trailer")
@@ -217,6 +228,8 @@ def decode_gif(b: bytes):
             label = b[pos]
             pos += 1
             if label == 0xF9 and pos + 5 <= len(b) and b[pos] == 4:
+                gce_packed = b[pos + 1]
+                disposal = (gce_packed >> 2) & 0x07
                 delay = int.from_bytes(b[pos + 2:pos + 4], "little")
             while True:  # skip/consume sub-blocks
                 if pos >= len(b):
@@ -229,6 +242,8 @@ def decode_gif(b: bytes):
         elif block == 0x2C:  # image descriptor
             if pos + 9 > len(b):
                 raise ValueError("truncated image descriptor")
+            left = int.from_bytes(b[pos:pos + 2], "little")
+            top = int.from_bytes(b[pos + 2:pos + 4], "little")
             iw = int.from_bytes(b[pos + 4:pos + 6], "little")
             ih = int.from_bytes(b[pos + 6:pos + 8], "little")
             ipacked = b[pos + 8]
@@ -266,8 +281,28 @@ def decode_gif(b: bytes):
                 idx = _deinterlace(idx)
             if int(idx.max(initial=0)) >= pal.shape[0]:
                 raise ValueError("pixel index outside color table")
-            frames.append(pal[idx])
+            if left + iw > sw or top + ih > sh:
+                raise ValueError("frame rectangle outside logical screen")
+            if bg_rgb is None:
+                bg = b[11]
+                bg_rgb = (
+                    gct[bg]
+                    if gct is not None and bg < gct.shape[0]
+                    else np.zeros(3, dtype=np.uint8)
+                )
+            if canvas is None:
+                canvas = np.tile(bg_rgb, (sh, sw, 1)).astype(np.uint8)
+            if disposal == 3:
+                raise ValueError(
+                    "disposal method 3 (restore previous) unsupported"
+                )
+            canvas[top:top + ih, left:left + iw] = pal[idx]
+            frames.append(canvas.copy())
             delays.append(delay)
+            if disposal == 2:  # restore background in the frame rect
+                canvas[top:top + ih, left:left + iw] = bg_rgb
+            delay = 0
+            disposal = 0
         else:
             raise ValueError(f"unknown GIF block {block:#x}")
     if not frames:

@@ -129,6 +129,101 @@ def test_column_mapping_name_mode(spark, tmp_path):
     ]
 
 
+def test_column_mapping_with_physical_partition_names(spark, tmp_path):
+    # r6 review finding: in mapping mode the log stores
+    # partitionColumns and add.partitionValues under PHYSICAL names.
+    t = str(tmp_path / "cmp")
+    schema = StructType(
+        [
+            StructField(
+                "doc_id", LongType(), True,
+                {"delta.columnMapping.physicalName": "col-id"},
+            ),
+            StructField(
+                "lang", StringType(), True,
+                {"delta.columnMapping.physicalName": "col-lang"},
+            ),
+        ]
+    )
+    w = DeltaFixtureWriter(
+        t, schema,
+        partition_cols=["col-lang"],  # physical, as real writers do
+        configuration={"delta.columnMapping.mode": "name"},
+    )
+    w.add_files(
+        [
+            ({"col-lang": "en"}, [{"doc_id": 1}, {"doc_id": 2}]),
+            ({"col-lang": "fr"}, [{"doc_id": 3}]),
+        ],
+        timestamp_ms=1000,
+        physical_names={"doc_id": "col-id"},
+    )
+    df = read_delta(spark, t)
+    assert set(df.columns) == {"doc_id", "lang"}
+    got = sorted((r.doc_id, r.lang) for r in df.collect())
+    assert got == [(1, "en"), (2, "en"), (3, "fr")]
+
+
+def test_null_partition_value_does_not_crash_sort(spark, tmp_path):
+    t = str(tmp_path / "np")
+    w = DeltaFixtureWriter(t, _SCHEMA, partition_cols=["grp"])
+    w.add_files(
+        [({"grp": "a"}, [{"doc_id": 1, "grp": "a", "val": 1}])],
+        timestamp_ms=1000,
+    )
+    # hand-add a file whose partition value is null (non-hive path)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = os.path.join(t, "loose.parquet")
+    pq.write_table(pa.table({"doc_id": [9], "val": [90]}), p)
+    with open(os.path.join(t, "_delta_log", "%020d.json" % 1), "w") as f:
+        f.write(json.dumps({"commitInfo": {"operation": "WRITE",
+                                           "timestamp": 2000}}) + "\n")
+        f.write(json.dumps({"add": {"path": "loose.parquet",
+                                    "partitionValues": {"grp": None},
+                                    "size": 1, "modificationTime": 2000,
+                                    "dataChange": True}}) + "\n")
+    got = sorted(
+        (r.doc_id, r.grp) for r in read_delta(spark, t).collect()
+    )
+    assert got == [(1, "a"), (9, None)]
+
+
+def test_hive_detection_matches_whole_segments(spark, tmp_path):
+    # a partition column named "e" must NOT substring-match "date=..."
+    t = str(tmp_path / "seg")
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("e", StringType())]
+    )
+    w = DeltaFixtureWriter(t, schema, partition_cols=["e"])
+    # non-hive layout whose path contains "date=" but no "e=" segment
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sub = os.path.join(t, "date=2024")
+    os.makedirs(sub, exist_ok=True)
+    pq.write_table(pa.table({"doc_id": [5]}), os.path.join(sub, "f.parquet"))
+    with open(os.path.join(t, "_delta_log", "%020d.json" % 0), "w") as f:
+        f.write(json.dumps({"commitInfo": {"operation": "WRITE",
+                                           "timestamp": 1000}}) + "\n")
+        f.write(json.dumps({"protocol": {"minReaderVersion": 1,
+                                         "minWriterVersion": 2}}) + "\n")
+        f.write(json.dumps(w._meta_action()) + "\n")
+        f.write(json.dumps({"add": {"path": "date=2024/f.parquet",
+                                    "partitionValues": {"e": "x"},
+                                    "size": 1, "modificationTime": 1000,
+                                    "dataChange": True}}) + "\n")
+    got = read_delta(spark, t).collect()
+    assert [(r.doc_id, r.e) for r in got] == [(5, "x")]
+
+
+def test_version_before_earliest_commit_raises(spark, table):
+    t, _ = table
+    with pytest.raises(ValueError, match="before earliest|beyond"):
+        read_delta(spark, t, version=-3)
+
+
 def test_id_mapping_and_deletion_vectors_raise(spark, tmp_path):
     t = str(tmp_path / "bad")
     w = DeltaFixtureWriter(

@@ -84,6 +84,45 @@ def test_malformed_streams_raise():
         encode_gif_gray([np.zeros((4, 4), np.uint8)], delays_cs=[1, 2])
 
 
+def test_subrectangle_frame_composites_onto_canvas():
+    # r6 review finding: real encoders emit delta rectangles with
+    # left/top offsets — decode must composite onto the canvas, not
+    # return bare sub-rects, and per-frame delay must not inherit.
+    full = np.full((10, 12), 50, dtype=np.uint8)
+    gif = encode_gif_gray([full], delays_cs=[7])
+    # append a second image descriptor: 4x3 rect of value 200 at (5,2)
+    patch = np.full((3, 4), 200, dtype=np.uint8)
+    lzw = _lzw_encode(patch.reshape(-1), 8)
+    extra = bytearray()
+    extra += b"\x2c" + (5).to_bytes(2, "little") + (2).to_bytes(2, "little")
+    extra += (4).to_bytes(2, "little") + (3).to_bytes(2, "little") + b"\x00"
+    extra.append(8)
+    extra.append(len(lzw))
+    extra += lzw
+    extra.append(0)
+    tampered = gif[:-1] + bytes(extra) + b"\x3b"
+    frames, delays, (w, h) = decode_gif(tampered)
+    assert len(frames) == 2 and (w, h) == (12, 10)
+    assert frames[0].shape == (10, 12, 3) and frames[1].shape == (10, 12, 3)
+    # frame 2 = frame 1 with the patch painted at (top=2, left=5)
+    assert np.array_equal(frames[1][2:5, 5:9, 0], patch)
+    assert frames[1][0, 0, 0] == 50  # rest of canvas untouched
+    # the second frame has NO GCE: delay is the spec default 0, not 7
+    assert delays == [7, 0]
+
+
+def test_disposal_restore_background():
+    full = np.full((6, 6), 100, dtype=np.uint8)
+    gif = bytearray(encode_gif_gray([full, full], delays_cs=[1, 1]))
+    # set first frame's disposal method to 2 (restore background)
+    gce_at = bytes(gif).find(b"\x21\xf9\x04")
+    gif[gce_at + 3] = 2 << 2
+    frames, _, _ = decode_gif(bytes(gif))
+    # second frame repaints everything, so both frames look identical;
+    # the decode path just must not crash and must honor disposal 2
+    assert np.array_equal(frames[0], frames[1])
+
+
 def test_gif87a_and_local_palette_decode():
     # hand-build a minimal GIF87a with a LOCAL color table only
     import numpy as _np

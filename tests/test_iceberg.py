@@ -84,6 +84,73 @@ def test_partition_pruning_is_metadata_level(spark, table):
     assert got == list(range(10))
 
 
+def test_partition_pruning_never_drops_delete_files(spark, table):
+    # r6 review finding: delete files carry empty/global partition
+    # structs; pruning must apply to DATA files only or deleted rows
+    # resurrect inside the kept partitions.
+    t, _ = table
+    d, p, e, _ = plan_files(
+        t, partition_filter=lambda part: part.get("bucket") == "p0"
+    )
+    assert len(p) == 1 and len(e) == 1  # both delete files kept
+    got = sorted(
+        r.doc_id
+        for r in read_iceberg(
+            spark, t,
+            partition_filter=lambda part: part.get("bucket") == "p0",
+        ).collect()
+    )
+    # p0 bucket minus the two position-deleted rows (0 and 3)
+    assert got == [1, 2] + list(range(4, 10))
+
+
+def test_schema_evolution_union_across_files(spark, tmp_path):
+    # additive evolution: a column added after snapshot 1 must surface
+    # (mergeSchema) instead of depending on which file Spark samples.
+    w = IcebergFixtureWriter(str(tmp_path / "ev"), _FIELDS)
+    w.append([{"doc_id": 1, "grp": "a"}], ts_ms=1)
+    w2 = IcebergFixtureWriter(str(tmp_path / "ev"), _FIELDS)
+    w2.snaps = snapshots(str(tmp_path / "ev"))
+    w2.version = 1
+    w2._file_no = 1
+    w2._live = []  # appended entries below merge with snapshot1's via
+    # a fresh commit that carries BOTH files
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p2 = os.path.join(str(tmp_path / "ev"), "data", "data-00002.parquet")
+    pq.write_table(
+        pa.table({"doc_id": [2], "grp": ["b"], "extra": [99]}), p2
+    )
+    w2._live = [
+        {
+            "content": 0,
+            "file_path": os.path.join(
+                str(tmp_path / "ev"), "data", "data-00001.parquet"
+            ),
+            "file_format": "PARQUET",
+            "partition": {},
+            "record_count": 1,
+            "file_size_in_bytes": 1,
+            "equality_ids": None,
+        },
+        {
+            "content": 0,
+            "file_path": p2,
+            "file_format": "PARQUET",
+            "partition": {},
+            "record_count": 1,
+            "file_size_in_bytes": 1,
+            "equality_ids": None,
+        },
+    ]
+    w2._commit([], ts_ms=2)
+    df = read_iceberg(spark, str(tmp_path / "ev"))
+    assert "extra" in df.columns
+    got = {r.doc_id: r for r in df.collect()}
+    assert got[2].extra == 99 and got[1].extra is None
+
+
 def test_snapshot_history_and_metadata_discovery(table):
     t, (s1, s2, s3, s4) = table
     hist = snapshots(t)
