@@ -4328,6 +4328,102 @@ def iceberg_read_snapshot(spark, sf_dir):
 
 
 @_q(
+    "multimodal_flac_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(4096 AS INT) AS n_samples,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(1 + doc_id % 37 AS INT) AS recovered_bin,
+           TRUE AS exact_ok,
+           TRUE AS compressed,
+           TRUE AS stereo_ok
+    FROM documents
+    """,
+)
+def multimodal_flac_roundtrip(spark, sf_dir):
+    """End-to-end certification of REAL lossless-compressed audio:
+    per document, plant a pure sine (frequency bin from the doc id),
+    encode it as FLAC (operators/flac.py — fixed-predictor subframes +
+    partitioned Rice residuals, frame CRC-8/CRC-16, written from the
+    public xiph/RFC 9639 spec), decode with the independent
+    bit-reader, and emit the exact sample count/rate, the recovered
+    rFFT bin, and three booleans: bit-exact PCM equality (FLAC is
+    LOSSLESS — the strongest invariant in the audio family, no
+    tolerance at all), real compression (the sine shrinks ~3x under
+    fixed-order-2 prediction), and a mid-side STEREO roundtrip (the
+    decorrelated channel reconstruction path) equally bit-exact.
+    With FLAC, every classical codec tier decodes for real; only
+    perceptual codecs remain native seams. Plan shape: one narrow
+    mapInPandas; blobs never shuffle."""
+    import pandas as pd
+    from pyspark.sql.types import BooleanType
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_samples", IntegerType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("recovered_bin", IntegerType()),
+            StructField("exact_ok", BooleanType()),
+            StructField("compressed", BooleanType()),
+            StructField("stereo_ok", BooleanType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from kafka_delta_ingest_spark.operators.flac import (
+            decode_flac,
+            encode_flac,
+        )
+
+        n, rate = 4096, 8000
+        t = np.arange(n)
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                k = int(1 + doc_id % 37)
+                mono = (12000 * np.sin(2 * np.pi * k * t / n)).astype(
+                    np.int16
+                )
+                blob = encode_flac(mono, rate)
+                dec, got_rate = decode_flac(blob)
+                exact = np.array_equal(dec[:, 0], mono)
+                mags = np.abs(np.fft.rfft(dec[:, 0].astype(np.float64)))
+                st = np.stack(
+                    [mono, (mono * 0.9).astype(np.int16)], axis=1
+                )
+                st_dec, _ = decode_flac(
+                    encode_flac(st, rate, stereo_mode="mid-side")
+                )
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(dec.shape[0]),
+                        int(got_rate),
+                        int(np.argmax(mags[1:])) + 1,
+                        bool(exact),
+                        bool(len(blob) < mono.nbytes // 2),
+                        bool(np.array_equal(st_dec, st)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "sample_rate",
+                    "recovered_bin", "exact_ok", "compressed",
+                    "stereo_ok",
+                ],
+            )
+
+    from kafka_delta_ingest_spark.operators.util import spread
+
+    return spread(d).mapInPandas(run, schema=out_schema)
+
+
+@_q(
     "multimodal_gif_roundtrip",
     """
     SELECT doc_id,
@@ -6582,6 +6678,7 @@ _SWEEP_ORDER: list[str] = [
     "multimodal_gif_roundtrip",
     "iceberg_read_snapshot",
     "delta_read_standard",
+    "multimodal_flac_roundtrip",
     # --- flagship re-certification: ingest + sink paths.
     "ingest_message_path",
     "ingest_avro_path",

@@ -105,6 +105,7 @@ HEADLINE = [
     "multimodal_gif_roundtrip",
     "iceberg_read_snapshot",
     "delta_read_standard",
+    "multimodal_flac_roundtrip",
 ]
 
 

@@ -62,6 +62,17 @@ def test_no_oracle_outputs_hugeint():
     assert not offenders, f"HUGEINT-typed oracle outputs: {offenders}"
 
 
+def test_none_and_nan_unify_and_sort_safely():
+    # the driver sees NULL-in-float-column as NaN on both engines
+    # (pandas materialization), so the mirror must equate them; and
+    # rows mixing NaN with real floats must stay sortable (the old
+    # ("f", "nan") string crashed sorted() — r6 full-sweep regression).
+    assert norm_cell(None) == norm_cell(float("nan"))
+    rows = sorted([(norm_cell(float("nan")),), (norm_cell(1.5),),
+                   (norm_cell(None),), (norm_cell("x"),)])
+    assert len(rows) == 4
+
+
 def test_date_normalizes_to_midnight_datetime():
     # Spark collect() yields datetime.date; DuckDB-via-pandas yields a
     # midnight Timestamp — norm_cell must unify them.

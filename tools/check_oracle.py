@@ -53,9 +53,16 @@ def _from_pandas(v):
 
 
 def norm_cell(v):
+    if v is None:
+        # None and NaN normalize to ONE orderable key: the driver
+        # materializes both engines through pandas, where a NULL in a
+        # float column IS NaN — so the mirror must treat them as equal
+        # (and the old ("f", "nan") string crashed sorted() against
+        # float-valued cells).
+        return ("null", 0)
     if isinstance(v, float):
         if math.isnan(v):
-            return ("f", "nan")
+            return ("null", 0)
         return ("f", v)
     if isinstance(v, datetime.datetime):
         return ("t", v.replace(tzinfo=None).isoformat())
@@ -103,8 +110,17 @@ def main():
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            # through pandas, matching the driver: an int column with
+            # NULLs becomes float64 on BOTH engines, so the mirror must
+            # see the same dtype coercions on the Spark side as on the
+            # DuckDB side (collect() kept ints int and false-failed
+            # queries the driver passes).
+            spdf = sdf.toPandas()
+            scols = list(spdf.columns)
+            srows = [
+                tuple(_from_pandas(v) for v in tup)
+                for tup in spdf.itertuples(index=False, name=None)
+            ]
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {ex}")
             failures.append(name)
