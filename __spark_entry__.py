@@ -4711,6 +4711,73 @@ def web_url_normalize(spark, sf_dir):
 
 
 @_q(
+    "web_robots_filter",
+    """
+    SELECT doc_id,
+           'site' || (doc_id % 5) || '.com' AS host,
+           CASE doc_id % 4
+             WHEN 0 THEN '/index.html'
+             WHEN 1 THEN '/admin/secret'
+             WHEN 2 THEN '/admin/public/x'
+             ELSE '/tmp/a.bak'
+           END AS path,
+           CASE
+             WHEN doc_id % 5 = 1 THEN FALSE
+             WHEN doc_id % 5 = 0 AND doc_id % 4 = 1 THEN FALSE
+             WHEN doc_id % 5 = 2 AND doc_id % 4 = 3 THEN FALSE
+             ELSE TRUE
+           END AS robots_allowed
+    FROM documents
+    """,
+)
+def web_robots_filter(spark, sf_dir):
+    """RFC 9309 robots.txt compliance gate (operators/robots.py):
+    plant five per-host crawl policies (prefix Disallow with a longer
+    Allow override, blanket Disallow /, wildcard+$-anchored pattern,
+    empty Disallow, and a host with no robots.txt at all) and a
+    four-variant path matrix per document, then compute the verdict
+    with the real operator — per-host rules parsed once in a tiny
+    mapInPandas, pages filtered by PURE column expressions
+    (regexp_like over the broadcast rule array, array_max over
+    (specificity, allow) = the RFC longest-match-Allow-wins rule).
+    The oracle states the decision table closed-form. The page side
+    never shuffles and runs no Python."""
+    from kafka_delta_ingest_spark.operators.robots import (
+        robots_filter,
+        robots_rules,
+    )
+
+    robots_df = spark.createDataFrame(
+        [
+            ("site0.com",
+             "User-agent: *\nDisallow: /admin\nAllow: /admin/public"),
+            ("site1.com", "User-agent: *\nDisallow: /"),
+            ("site2.com", "User-agent: *\nDisallow: /tmp/*.bak$"),
+            ("site3.com", "User-agent: *\nDisallow:"),
+        ],
+        "host string, robots_txt string",
+    )
+    rules = robots_rules(robots_df)
+    pages = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("site"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".com")
+        ).alias("host"),
+        F.element_at(
+            F.array(
+                F.lit("/index.html"), F.lit("/admin/secret"),
+                F.lit("/admin/public/x"), F.lit("/tmp/a.bak"),
+            ),
+            (F.col("doc_id") % 4 + 1).cast("int"),
+        ).alias("path"),
+    )
+    return robots_filter(pages, rules, keep_denied=True).select(
+        "doc_id", "host", "path", "robots_allowed"
+    )
+
+
+@_q(
     "pipeline_web_extraction",
     r"""
     SELECT doc_id,
@@ -6679,6 +6746,7 @@ _SWEEP_ORDER: list[str] = [
     "iceberg_read_snapshot",
     "delta_read_standard",
     "multimodal_flac_roundtrip",
+    "web_robots_filter",
     # --- flagship re-certification: ingest + sink paths.
     "ingest_message_path",
     "ingest_avro_path",

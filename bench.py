@@ -106,6 +106,7 @@ HEADLINE = [
     "iceberg_read_snapshot",
     "delta_read_standard",
     "multimodal_flac_roundtrip",
+    "web_robots_filter",
 ]
 
 
