@@ -107,6 +107,7 @@ HEADLINE = [
     "delta_read_standard",
     "multimodal_flac_roundtrip",
     "web_robots_filter",
+    "pipeline_pdf_extraction",
 ]
 
 
