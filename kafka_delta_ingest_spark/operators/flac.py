@@ -128,13 +128,16 @@ def _utf8_number(n: int) -> bytes:
         return bytes([n])
     out = []
     bits = n.bit_length()
+    # capacity of the nbytes form: (7 - nbytes) payload bits in the
+    # lead byte + 6 per continuation byte (RFC 9639 §9.1.5 requires
+    # the SHORTEST form; the old formula understated 3+ byte capacity
+    # by nbytes-2 bits, emitting overlong codes past frame 32767)
     nbytes = 2
-    while bits > 6 + 5 * (nbytes - 1) - (nbytes - 2):
+    while bits > (7 - nbytes) + 6 * (nbytes - 1):
         nbytes += 1
         if nbytes > 7:
             raise ValueError("frame number too large")
     # leading byte: nbytes ones, a zero, then payload bits
-    payload_bits = 6 - nbytes + 5 * (nbytes - 1)
     lead = (0xFF << (8 - nbytes) & 0xFF) | (
         (n >> (6 * (nbytes - 1))) & ((1 << (7 - nbytes)) - 1)
     )
@@ -464,6 +467,11 @@ def decode_flac(b: bytes):
             side = subs[1]
             mid = (subs[0] << 1) | (side & 1)
             chan_data = [(mid + side) >> 1, (mid - side) >> 1]
+        if len(chan_data) != ch:
+            raise ValueError(
+                "frame channel assignment yields "
+                f"{len(chan_data)} channels, STREAMINFO says {ch}"
+            )
         take = min(bs, total - got)
         for c in range(ch):
             chans[c].extend(int(v) for v in chan_data[c][:take])

@@ -32,9 +32,32 @@ from __future__ import annotations
 import re
 import zlib
 
-_STREAM_OBJ = re.compile(
-    rb"<<(?P<dict>.*?)>>\s*stream\r?\n", re.DOTALL
-)
+_STREAM_KW = re.compile(rb">>\s*stream\r?\n")
+
+
+def _dict_open(b: bytes, close: int) -> int:
+    """Index just after the ``<<`` that balances the ``>>`` at
+    ``close``, scanning backwards and counting nested dicts.  A
+    leftmost-``<<`` regex (`<<.*?>>\\s*stream`) is WRONG here: search
+    anchors at the earliest ``<<`` in the file, so every non-stream
+    object since the previous stream gloms into the matched dict and
+    /Subtype//Image//Length lookups read keys from unrelated objects
+    (e.g. a font object's ``/Subtype /Type1`` plus a ProcSet's
+    ``/ImageB`` make a valid content stream skip as an image)."""
+    depth, i = 1, close
+    while True:
+        j_open = b.rfind(b"<<", 0, i)
+        if j_open < 0:
+            raise ValueError("unbalanced PDF dictionary")
+        j_close = b.rfind(b">>", 0, i)
+        if j_close > j_open:
+            depth += 1
+            i = j_close
+        else:
+            depth -= 1
+            if depth == 0:
+                return j_open + 2
+            i = j_open
 
 
 _LENGTH_DIRECT = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
@@ -68,11 +91,12 @@ def _find_streams(b: bytes):
     writer inserted)."""
     pos = 0
     while True:
-        m = _STREAM_OBJ.search(b, pos)
+        m = _STREAM_KW.search(b, pos)
         if m is None:
             return
         start = m.end()
-        length = _resolve_length(b, m.group("dict"))
+        d = b[_dict_open(b, m.start()):m.start()]
+        length = _resolve_length(b, d)
         if length is not None and start + length <= len(b):
             data = b[start:start + length]
             tail = b[start + length:start + length + 16]
@@ -88,7 +112,7 @@ def _find_streams(b: bytes):
                 data = data[:-2]
             elif data.endswith(b"\n") or data.endswith(b"\r"):
                 data = data[:-1]
-        yield m.group("dict"), data
+        yield d, data
         pos = end
 
 

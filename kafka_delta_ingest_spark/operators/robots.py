@@ -62,7 +62,9 @@ def parse_robots(txt: str, agent: str = "*") -> list[tuple[bool, str, int]]:
                 seen_rule_since_agent = False
             current_agents.append(val.lower())
             for a in current_agents:
-                groups.setdefault(a, groups.get(a, []))
+                # register the group even if it gains no rules: a
+                # matching agent-specific empty group must override '*'
+                groups.setdefault(a, [])
         elif key in ("allow", "disallow"):
             seen_rule_since_agent = True
             if not current_agents:

@@ -131,3 +131,36 @@ def test_malformed_streams_raise():
         encode_flac(s, 8000, stereo_mode="quad")
     with pytest.raises(ValueError, match="mono/stereo"):
         encode_flac(np.zeros((10, 3), dtype=np.int16), 8000)
+
+
+def test_utf8_frame_number_shortest_form():
+    """RFC 9639 §9.1.5 requires the SHORTEST coded form — the 3-byte
+    form holds 16 payload bits (4 lead + 2×6), so frame 65535 must
+    encode in 3 bytes, not 4 (review finding r6)."""
+    from kafka_delta_ingest_spark.operators.flac import (
+        _read_utf8_number,
+        _utf8_number,
+    )
+
+    for n, want_len in [(0, 1), (127, 1), (128, 2), (2047, 2),
+                        (2048, 3), (65535, 3), (65536, 4),
+                        ((1 << 21) - 1, 4), (1 << 21, 5)]:
+        enc = _utf8_number(n)
+        assert len(enc) == want_len, (n, enc)
+        assert _read_utf8_number(_BitReader(enc)) == n
+
+
+def test_channel_count_mismatch_raises_value_error():
+    """A frame whose channel assignment disagrees with STREAMINFO must
+    raise the documented ValueError (quarantine contract), not
+    IndexError (review finding r6): patch a mono stream's STREAMINFO
+    to claim stereo."""
+    sig = _sine(1024).reshape(-1, 1)
+    blob = bytearray(encode_flac(sig, 8000))
+    body = 8  # 'fLaC' + 4-byte metadata block header
+    val = int.from_bytes(blob[body + 10:body + 14], "big")
+    assert ((val >> 9) & 7) + 1 == 1
+    val |= (2 - 1) << 9  # claim 2 channels
+    blob[body + 10:body + 14] = val.to_bytes(4, "big")
+    with pytest.raises(ValueError, match="channel assignment"):
+        decode_flac(bytes(blob))

@@ -94,3 +94,28 @@ def test_pdf_extract_operator_with_quarantine(spark):
     assert got[1].n_lines == 2 and got[1].parse_error is None
     assert got[2].text is None and got[2].parse_error is not None
     assert got[3].text == "" and got[3].n_lines == 0
+
+
+def test_objects_before_stream_do_not_glom_into_stream_dict():
+    """Regression (review finding r6): a font object (/Subtype /Type1)
+    and a page dict mentioning /ImageB placed BEFORE the content
+    stream must not leak keys into the stream's dict — the old
+    leftmost-`<<` regex matched from the first object and silently
+    skipped the content stream as an image."""
+    import zlib
+
+    comp = zlib.compress(b"BT /F1 12 Tf (Order test) Tj ET")
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"5 0 obj\n<< /Type /Font /Subtype /Type1 "
+        b"/BaseFont /Helvetica >>\nendobj\n"
+        b"6 0 obj\n<< /SomethingElse /Length 5 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Resources << /Font "
+        b"<< /F1 5 0 R >> /ProcSet [/PDF /Text /ImageB] >> "
+        b"/Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(comp)).encode()
+        + b" /Filter /FlateDecode /DecodeParms << /Predictor 1 >> >>\n"
+        b"stream\n" + comp + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    assert pdf_to_text(pdf).strip() == "Order test"
