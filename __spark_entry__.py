@@ -719,6 +719,69 @@ def ingest_dlq_split(spark, sf_dir):
 
 
 @_q(
+    "ingest_compressed_path",
+    """
+    SELECT event_id, user_id, event_type, value, props, ts,
+      strftime(ts, '%Y-%m-%d') AS date,
+      CAST(ROW_NUMBER() OVER (PARTITION BY user_id % 8 ORDER BY event_id)
+           - 1 AS BIGINT) AS kafka_offset,
+      CAST(user_id % 8 AS INT) AS kafka_partition
+    FROM events
+    """,
+)
+def ingest_compressed_path(spark, sf_dir):
+    """End-to-end certification of the COMPRESSED-DUMP ingestion path
+    (compressed.py): the bootstrap/backfill twin of the live topic —
+    research corpora ship as ``.jsonl.zst`` / ``.jsonl.gz`` /
+    ``.jsonl.lz4`` part files (RedPajama/Dolma/FineWeb layout), and a
+    jar-light cluster has no Hadoop native zstd/lz4, so decompression
+    streams through Arrow in the Python workers.  Plant the SAME JSON
+    payloads the Kafka-shape flagship uses into 8 real part files (one
+    per user_id%8 partition, codec cycling zstd/gzip/lz4/plain so all
+    three codecs certify in one row-set), read them back through the
+    path-pruned streaming source, adapt (file, line) → (partition,
+    offset) identity, and run the full deserialize → transform →
+    coerce ingest dataflow.  The oracle restates the result
+    relationally: kafka_offset must equal the 0-based event rank
+    within its partition file (ROW_NUMBER over the same ordering the
+    planter wrote).  Scale: paths-not-payloads plan (binaryFile
+    column-pruned to path), one task per file, bounded-chunk
+    streaming decompress — see compressed.py's module docstring."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from kafka_delta_ingest_spark.compressed import (
+        jsonl_as_kafka,
+        read_jsonl,
+        write_jsonl,
+    )
+
+    raw = _kafka_raw(spark, sf_dir)
+    rows = raw.select("partition", "offset", "value").collect()
+    byp: dict[int, list] = {}
+    for r in rows:
+        byp.setdefault(int(r.partition), []).append(
+            (int(r.offset), bytes(r.value))
+        )
+    exts = [".zst", ".gz", ".lz4", ""]
+    root = _tf.mkdtemp(prefix="kdi-compq-")
+    try:
+        for p, items in byp.items():
+            items.sort()
+            write_jsonl(
+                f"{root}/part-{p:05d}.jsonl{exts[p % 4]}",
+                [v for _, v in items],
+            )
+        kafka = jsonl_as_kafka(read_jsonl(spark, root), topic="events")
+        job = _ingest_job()
+        good, _dlq = job.split(job.plan(kafka))
+        # materialize before the fixture directory is removed
+        return spark.createDataFrame(good.collect(), schema=good.schema)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
+@_q(
     "transform_kafka_meta",
     """
     SELECT event_id,
@@ -6825,6 +6888,7 @@ _SWEEP_ORDER: list[str] = [
     "multimodal_flac_roundtrip",
     "web_robots_filter",
     "pipeline_pdf_extraction",
+    "ingest_compressed_path",
     # --- flagship re-certification: ingest + sink paths.
     "ingest_message_path",
     "ingest_avro_path",

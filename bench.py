@@ -108,6 +108,7 @@ HEADLINE = [
     "multimodal_flac_roundtrip",
     "web_robots_filter",
     "pipeline_pdf_extraction",
+    "ingest_compressed_path",
 ]
 
 
