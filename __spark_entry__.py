@@ -5041,6 +5041,98 @@ def pipeline_web_extraction(spark, sf_dir):
 
 
 @_q(
+    "multimodal_apng_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(4 + doc_id % 3 AS INT) AS n_frames,
+           CAST(32 AS INT) AS width,
+           CAST(24 AS INT) AS height,
+           TRUE AS exact_ok,
+           TRUE AS delta_win,
+           TRUE AS delays_ok
+    FROM documents
+    """,
+)
+def multimodal_apng_roundtrip(spark, sf_dir):
+    """End-to-end certification of INTER-FRAME video coding: per
+    document, plant a short RGB animation (a bright square moving
+    across a two-axis gradient; frame count and square row derive
+    from the doc id), encode it as APNG (operators/apng.py — W3C PNG
+    Third Edition animation chunks: acTL/fcTL/fdAT with shared
+    sequence numbering, per-frame dirty-rect regions, dispose/blend
+    ops), decode through the strict chunk walk, and emit closed-form
+    frame count / geometry plus three booleans: bit-exact recovery of
+    EVERY frame (APNG is lossless — equality, no tolerance), a real
+    temporal-compression win (the delta stream must be smaller than
+    re-coding every frame as a still PNG — the point of inter-frame
+    coding), and per-frame delay metadata recovery.  Plan shape: one
+    narrow mapInPandas; animation blobs are created, coded, and
+    dropped inside the task."""
+    import pandas as pd
+    from pyspark.sql.types import BooleanType
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_frames", IntegerType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("exact_ok", BooleanType()),
+            StructField("delta_win", BooleanType()),
+            StructField("delays_ok", BooleanType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from kafka_delta_ingest_spark.operators.apng import (
+            decode_apng,
+            encode_apng,
+        )
+        from kafka_delta_ingest_spark.operators.png import encode_png
+
+        h, w = 24, 32
+        base = np.zeros((h, w, 3), dtype=np.uint8)
+        base[:, :, 0] = np.linspace(0, 255, w, dtype=np.uint8)[None, :]
+        base[:, :, 2] = np.linspace(0, 255, h, dtype=np.uint8)[:, None]
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                nf = int(4 + doc_id % 3)
+                y0 = int(3 + doc_id % 12)
+                frames = []
+                for k in range(nf):
+                    f = base.copy()
+                    f[y0:y0 + 6, 2 + 4 * k:8 + 4 * k] = (255, 255, 0)
+                    frames.append(f)
+                fr = np.stack(frames)
+                blob = encode_apng(fr, delay=(1, 12))
+                dec, delays = decode_apng(blob)
+                intra = sum(len(encode_png(f, 2)) for f in fr)
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(dec.shape[0]),
+                        int(dec.shape[2]),
+                        int(dec.shape[1]),
+                        bool(np.array_equal(dec, fr)),
+                        bool(len(blob) < intra),
+                        bool(delays == [(1, 12)] * nf),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in out_schema.fields],
+            )
+
+    from kafka_delta_ingest_spark.operators.util import spread
+
+    return spread(d).mapInPandas(run, schema=out_schema)
+
+
+@_q(
     "multimodal_g711_roundtrip",
     """
     SELECT doc_id,
@@ -6889,6 +6981,7 @@ _SWEEP_ORDER: list[str] = [
     "web_robots_filter",
     "pipeline_pdf_extraction",
     "ingest_compressed_path",
+    "multimodal_apng_roundtrip",
     # --- flagship re-certification: ingest + sink paths.
     "ingest_message_path",
     "ingest_avro_path",

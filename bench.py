@@ -109,6 +109,7 @@ HEADLINE = [
     "web_robots_filter",
     "pipeline_pdf_extraction",
     "ingest_compressed_path",
+    "multimodal_apng_roundtrip",
 ]
 
 

@@ -1,0 +1,267 @@
+"""APNG (Animated PNG) codec — REAL inter-frame video compression in
+pure numpy + stdlib zlib, shrinking the multimodal seam's last video
+tier (temporal prediction) to just the motion-compensated standards.
+
+Written from the public APNG specification (merged into the W3C PNG
+spec, Third Edition; originally the Mozilla APNG spec):
+
+* ``acTL`` (animation control: num_frames, num_plays), ``fcTL``
+  (frame control: shared sequence number, region geometry, delay,
+  dispose_op, blend_op), ``fdAT`` (frame data: sequence number +
+  IDAT-equivalent payload).  Sequence numbers run 0,1,2,… across
+  fcTL and fdAT chunks together and are validated strictly.
+* The first animation frame rides in ``IDAT`` (its fcTL must cover
+  the full canvas at offset 0); later frames are ``fdAT`` regions.
+  An ``IDAT`` *not* preceded by any fcTL is the spec's standalone
+  "default image" shown by non-animated decoders — skipped here.
+* Each frame region is its own zlib stream of filtered scanlines
+  (filters reset per frame) — the region codec is shared with the
+  still codec (png.encode_scanlines/decode_scanlines).
+* Dispose ops: NONE (canvas persists — the temporal-prediction
+  carrier), BACKGROUND (region → transparent black), PREVIOUS
+  (revert to the pre-frame canvas).  Blend ops: SOURCE (overwrite)
+  and OVER (alpha compositing, RGBA only — for opaque color types
+  the spec reduces OVER to SOURCE).
+
+The ENCODER is the temporal-delta side: frame 0 is intra-coded in
+full; every later frame stores only the bounding rectangle of pixels
+that changed against the running canvas (dispose NONE + blend
+SOURCE), so a mostly-static animation costs bytes proportional to
+its motion, not its area — the core idea of inter-frame coding,
+realized in a real interchange format.  A static frame degenerates
+to the spec-minimum 1x1 region.
+
+Lossless end to end: decode(encode(frames)) is bit-exact, which is
+what lets the driver query certify with equality booleans instead of
+tolerances.
+
+Scale: a per-row kernel for Arrow-batched ``mapInPandas``, like the
+JPEG/GIF/FLAC siblings — blobs decode where they land; no shuffle.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from .png import (
+    _CHANNELS,
+    _SIG,
+    _chunk,
+    decode_scanlines,
+    encode_scanlines,
+)
+
+DISPOSE_NONE, DISPOSE_BACKGROUND, DISPOSE_PREVIOUS = 0, 1, 2
+BLEND_SOURCE, BLEND_OVER = 0, 1
+
+
+def _fctl(
+    seq: int, w: int, h: int, x: int, y: int,
+    delay: tuple[int, int], dispose: int, blend: int,
+) -> bytes:
+    return _chunk(
+        b"fcTL",
+        struct.pack(
+            ">IIIIIHHBB", seq, w, h, x, y, delay[0], delay[1], dispose, blend
+        ),
+    )
+
+
+def _dirty_rect(prev: np.ndarray, cur: np.ndarray):
+    """Bounding box (x, y, w, h) of changed pixels; None if equal."""
+    diff = (prev != cur).any(axis=2)
+    ys, xs = np.nonzero(diff)
+    if ys.size == 0:
+        return None
+    y0, y1 = int(ys.min()), int(ys.max()) + 1
+    x0, x1 = int(xs.min()), int(xs.max()) + 1
+    return x0, y0, x1 - x0, y1 - y0
+
+
+def encode_apng(
+    frames,
+    delay: tuple[int, int] = (1, 10),
+    num_plays: int = 0,
+    filter_type: int | list[int] = 2,
+) -> bytes:
+    """uint8 (n, h, w) gray / (n, h, w, 3) RGB / (n, h, w, 4) RGBA →
+    APNG bytes with temporal-delta frame regions."""
+    a = np.asarray(frames, dtype=np.uint8)
+    if a.ndim == 3:
+        a = a[:, :, :, None]
+        color_type = 0
+    elif a.ndim == 4 and a.shape[3] == 3:
+        color_type = 2
+    elif a.ndim == 4 and a.shape[3] == 4:
+        color_type = 6
+    else:
+        raise ValueError("expected (n,h,w), (n,h,w,3) or (n,h,w,4) uint8")
+    n, h, w, ch = a.shape
+    if n == 0 or h == 0 or w == 0:
+        raise ValueError("empty animation")
+    out = bytearray(_SIG)
+    out += _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+    out += _chunk(b"acTL", struct.pack(">II", n, num_plays))
+    seq = 0
+    # frame 0: intra-coded, full canvas (spec requirement for the
+    # first animation frame)
+    out += _fctl(seq, w, h, 0, 0, delay, DISPOSE_NONE, BLEND_SOURCE)
+    seq += 1
+    out += _chunk(b"IDAT", zlib.compress(encode_scanlines(a[0], filter_type), 6))
+    canvas = a[0]
+    for k in range(1, n):
+        rect = _dirty_rect(canvas, a[k])
+        if rect is None:
+            rect = (0, 0, 1, 1)  # spec minimum region; repeats a pixel
+        x, y, rw, rh = rect
+        region = a[k, y:y + rh, x:x + rw]
+        out += _fctl(seq, rw, rh, x, y, delay, DISPOSE_NONE, BLEND_SOURCE)
+        seq += 1
+        data = zlib.compress(encode_scanlines(region, filter_type), 6)
+        out += _chunk(b"fdAT", struct.pack(">I", seq) + data)
+        seq += 1
+        canvas = a[k]
+    out += _chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def _parse_chunks(b: bytes):
+    if not b.startswith(_SIG):
+        raise ValueError("not a PNG: bad signature")
+    pos = len(_SIG)
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[pos:pos + 4])
+        typ = b[pos + 4:pos + 8]
+        data = b[pos + 8:pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(b):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(">I", b[pos + 8 + length:pos + 12 + length])
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        yield typ, data
+        if typ == b"IEND":
+            return
+        pos += 12 + length
+    raise ValueError("missing IEND")
+
+
+def decode_apng(b: bytes):
+    """APNG bytes → (frames, delays): uint8 (n, h, w[, ch]) canvas
+    snapshots after each frame composites, plus per-frame
+    (delay_num, delay_den) pairs.  Validates chunk CRCs, the shared
+    fcTL/fdAT sequence numbering, acTL frame count, and the
+    full-canvas rule for the first animation frame.  A plain
+    single-image PNG (no acTL) raises — use png.decode_png."""
+    ihdr = None
+    actl = None
+    frames: list[tuple[tuple, bytearray]] = []  # (fctl fields, zlib data)
+    cur: tuple | None = None
+    cur_data = bytearray()
+    default_idat = False
+    expect_seq = 0
+
+    def flush():
+        nonlocal cur, cur_data
+        if cur is not None:
+            if not cur_data:
+                raise ValueError("fcTL without frame data")
+            frames.append((cur, cur_data))
+            cur, cur_data = None, bytearray()
+
+    for typ, data in _parse_chunks(b):
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"acTL":
+            actl = struct.unpack(">II", data)
+        elif typ == b"fcTL":
+            flush()
+            f = struct.unpack(">IIIIIHHBB", data)
+            if f[0] != expect_seq:
+                raise ValueError(
+                    f"fcTL sequence {f[0]} != expected {expect_seq}"
+                )
+            expect_seq += 1
+            cur = f
+        elif typ == b"IDAT":
+            if cur is None:
+                default_idat = True  # spec's default image: not a frame
+            else:
+                cur_data += data
+        elif typ == b"fdAT":
+            if cur is None:
+                raise ValueError("fdAT without preceding fcTL")
+            (seq,) = struct.unpack(">I", data[:4])
+            if seq != expect_seq:
+                raise ValueError(
+                    f"fdAT sequence {seq} != expected {expect_seq}"
+                )
+            expect_seq += 1
+            cur_data += data[4:]
+        elif typ == b"IEND":
+            flush()
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    if actl is None:
+        raise ValueError("not an APNG: no acTL chunk")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or comp != 0 or filt != 0:
+        raise ValueError("unsupported IHDR for APNG (8-bit non-interlaced)")
+    if color_type not in (0, 2, 6):
+        raise ValueError(f"unsupported APNG color type {color_type}")
+    ch = _CHANNELS[color_type]
+    if actl[0] != len(frames):
+        raise ValueError(
+            f"acTL num_frames {actl[0]} != {len(frames)} fcTL frames"
+        )
+    if not frames:
+        raise ValueError("APNG with zero frames")
+    f0 = frames[0][0]
+    if not default_idat and (f0[1], f0[2], f0[3], f0[4]) != (w, h, 0, 0):
+        raise ValueError("first animation frame must cover the canvas")
+
+    canvas = np.zeros((h, w, ch), dtype=np.uint8)
+    out = np.empty((len(frames), h, w, ch), dtype=np.uint8)
+    delays = []
+    for k, (f, data) in enumerate(frames):
+        _, fw, fh, fx, fy, dnum, dden, dispose, blend = f
+        if k == 0 and dispose == DISPOSE_PREVIOUS:
+            dispose = DISPOSE_BACKGROUND  # spec rule for the first frame
+        if fw == 0 or fh == 0 or fx + fw > w or fy + fh > h:
+            raise ValueError("frame region outside canvas")
+        try:
+            raw = zlib.decompress(bytes(data))
+        except zlib.error as e:
+            raise ValueError(f"APNG frame inflate failed: {e}") from e
+        region = decode_scanlines(raw, fh, fw, ch).reshape(fh, fw, ch)
+        saved = canvas[fy:fy + fh, fx:fx + fw].copy() \
+            if dispose == DISPOSE_PREVIOUS else None
+        target = canvas[fy:fy + fh, fx:fx + fw]
+        if blend == BLEND_OVER and ch == 4:
+            a_f = region[:, :, 3:4].astype(np.uint16)
+            inv = 255 - a_f
+            target[:, :, :3] = (
+                (region[:, :, :3].astype(np.uint16) * a_f
+                 + target[:, :, :3].astype(np.uint16) * inv + 127) // 255
+            ).astype(np.uint8)
+            target[:, :, 3] = (
+                a_f[:, :, 0] + (target[:, :, 3].astype(np.uint16)
+                                * inv[:, :, 0] + 127) // 255
+            ).astype(np.uint8)
+        elif blend in (BLEND_SOURCE, BLEND_OVER):
+            target[:] = region
+        else:
+            raise ValueError(f"unknown blend_op {blend}")
+        out[k] = canvas
+        delays.append((dnum, dden))
+        if dispose == DISPOSE_BACKGROUND:
+            canvas[fy:fy + fh, fx:fx + fw] = 0
+        elif dispose == DISPOSE_PREVIOUS:
+            canvas[fy:fy + fh, fx:fx + fw] = saved
+        elif dispose != DISPOSE_NONE:
+            raise ValueError(f"unknown dispose_op {dispose}")
+    if ch == 1:
+        return out[:, :, :, 0], delays
+    return out, delays

@@ -109,6 +109,21 @@ def encode_png(arr, filter_type: int | list[int] = 0) -> bytes:
     h, w = a.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(encode_scanlines(a, filter_type), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def encode_scanlines(a: np.ndarray, filter_type: int | list[int] = 0) -> bytes:
+    """(h, w, ch) uint8 → the UNCOMPRESSED filtered scanline stream
+    (one filter byte + filtered row per scanline).  Shared by the
+    still encoder and the APNG frame-region encoder — every APNG
+    frame region is its own scanline stream with filters reset."""
+    h, w, ch = a.shape
     fts = [filter_type] if isinstance(filter_type, int) else list(filter_type)
     bpp = ch
     stride = w * ch
@@ -120,13 +135,7 @@ def encode_png(arr, filter_type: int | list[int] = 0) -> bytes:
         out.append(ft)
         out += _filter_row(ft, flat[y], prev, bpp)
         prev = flat[y]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    return (
-        _SIG
-        + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(bytes(out), 6))
-        + _chunk(b"IEND", b"")
-    )
+    return bytes(out)
 
 
 def decode_png(b: bytes) -> np.ndarray:
@@ -184,6 +193,22 @@ def decode_png(b: bytes) -> np.ndarray:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:  # corrupt deflate stream
         raise ValueError(f"PNG inflate failed: {e}") from e
+    out = decode_scanlines(raw, h, w, ch)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette image without PLTE")
+        idx = out.reshape(h, w)
+        if int(idx.max(initial=0)) >= plte.shape[0]:
+            raise ValueError("palette index out of range")
+        return plte[idx]
+    if ch == 1:
+        return out.reshape(h, w)
+    return out.reshape(h, w, ch)
+
+
+def decode_scanlines(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
+    """Unfilter an uncompressed scanline stream → (h, w*ch) uint8.
+    Shared by the still decoder and the APNG frame-region decoder."""
     stride = w * ch
     if len(raw) != h * (1 + stride):
         raise ValueError("PNG pixel data length mismatch")
@@ -215,16 +240,7 @@ def decode_png(b: bytes) -> np.ndarray:
             raise ValueError(f"unknown PNG filter type {ft}")
         out[y] = rec.astype(np.uint8)
         prev = rec
-    if color_type == 3:
-        if plte is None:
-            raise ValueError("palette image without PLTE")
-        idx = out.reshape(h, w)
-        if int(idx.max(initial=0)) >= plte.shape[0]:
-            raise ValueError("palette index out of range")
-        return plte[idx]
-    if ch == 1:
-        return out.reshape(h, w)
-    return out.reshape(h, w, ch)
+    return out
 
 
 def png_features(b: bytes) -> list[float]:
