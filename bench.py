@@ -110,6 +110,7 @@ HEADLINE = [
     "pipeline_pdf_extraction",
     "ingest_compressed_path",
     "multimodal_apng_roundtrip",
+    "hudi_read_snapshot",
 ]
 
 

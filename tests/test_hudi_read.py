@@ -1,0 +1,117 @@
+"""Hudi CoW reader: timeline walk, file-slice selection across
+insert/upsert/delete commits, time travel, plan-time partition
+pruning, meta-column handling, and pending/unsupported instants."""
+
+import json
+import os
+
+import pytest
+
+from kafka_delta_ingest_spark.hudi import (
+    HudiFixtureWriter,
+    META_COLS,
+    completed_commits,
+    plan_snapshot,
+    read_hudi,
+    table_properties,
+)
+
+
+@pytest.fixture()
+def table(tmp_path):
+    w = HudiFixtureWriter(
+        str(tmp_path / "t"), record_key="id", partition_field="lang"
+    )
+    rows = [
+        {"id": i, "lang": ["en", "fr"][i % 2], "text": f"doc {i}"}
+        for i in range(20)
+    ]
+    i1 = w.insert(rows[:10], ts_ms=1000, groups_per_partition=2)
+    i2 = w.insert(rows[10:], ts_ms=2000, groups_per_partition=2)
+    i3 = w.upsert([{"id": 4, "lang": "en", "text": "UPDATED"}], ts_ms=3000)
+    i4 = w.delete([7, 9], ts_ms=4000)
+    return str(tmp_path / "t"), (i1, i2, i3, i4)
+
+
+def test_snapshot_reads_latest_slice_per_group(spark, table):
+    path, _ = table
+    got = sorted((r.id, r.text) for r in read_hudi(spark, path).collect())
+    exp = sorted(
+        (i, "UPDATED" if i == 4 else f"doc {i}")
+        for i in range(20)
+        if i not in (7, 9)
+    )
+    assert got == exp
+
+
+def test_time_travel_by_instant(spark, table):
+    path, (i1, i2, i3, _) = table
+    assert read_hudi(spark, path, as_of_instant=i1).count() == 10
+    assert read_hudi(spark, path, as_of_instant=i2).count() == 20
+    d3 = read_hudi(spark, path, as_of_instant=i3)
+    assert d3.count() == 20
+    assert d3.filter("text = 'UPDATED'").count() == 1
+    # deletes are visible only at the final instant
+    assert {r.id for r in d3.collect()} >= {7, 9}
+
+
+def test_plan_time_partition_pruning(spark, table):
+    path, _ = table
+    files, _ = plan_snapshot(path, partition_filter=lambda p: p == "lang=en")
+    assert files and all("lang=en" in f for f in files)
+    df = read_hudi(spark, path, partition_filter=lambda p: p == "lang=en")
+    assert df.filter("lang <> 'en'").count() == 0
+    assert df.count() == 10  # deletes (7, 9) were both fr
+
+
+def test_meta_columns_dropped_by_default(spark, table):
+    path, _ = table
+    assert not set(read_hudi(spark, path).columns) & set(META_COLS)
+    dm = read_hudi(spark, path, keep_meta=True)
+    assert set(META_COLS) <= set(dm.columns)
+    r = dm.filter("id = 4").collect()[0]
+    assert r._hoodie_record_key == "4"
+    assert r._hoodie_partition_path == "lang=en"
+
+
+def test_pending_instants_are_invisible(spark, table):
+    path, (_, _, _, i4) = table
+    # fabricate a NEWER instant that never completed: only
+    # .requested/.inflight exist → snapshot must ignore it
+    hoodie = os.path.join(path, ".hoodie")
+    open(os.path.join(hoodie, "99999999999999999.commit.requested"),
+         "w").close()
+    open(os.path.join(hoodie, "99999999999999999.commit.inflight"),
+         "w").close()
+    assert completed_commits(path)[-1][0] == i4
+    assert read_hudi(spark, path).count() == 18
+
+
+def test_unsupported_actions_raise(table):
+    path, _ = table
+    hoodie = os.path.join(path, ".hoodie")
+    with open(os.path.join(hoodie, "99999999999999998.deltacommit"),
+              "w") as f:
+        json.dump({}, f)
+    with pytest.raises(ValueError, match="deltacommit"):
+        completed_commits(path)
+    os.remove(os.path.join(hoodie, "99999999999999998.deltacommit"))
+
+
+def test_properties_and_errors(tmp_path, table):
+    path, _ = table
+    props = table_properties(path)
+    assert props["hoodie.table.type"] == "COPY_ON_WRITE"
+    with pytest.raises(ValueError, match="not a Hudi table"):
+        completed_commits(str(tmp_path / "nope"))
+    with pytest.raises(ValueError, match="no completed commits"):
+        plan_snapshot(path, as_of_instant="19000101000000000")
+
+
+def test_upsert_missing_key_and_empty_group_raise(tmp_path):
+    w = HudiFixtureWriter(str(tmp_path / "u"), record_key="id")
+    w.insert([{"id": 1, "v": "a"}], ts_ms=1000)
+    with pytest.raises(ValueError, match="not present"):
+        w.upsert([{"id": 99, "v": "x"}], ts_ms=2000)
+    with pytest.raises(ValueError, match="file group"):
+        w.delete([1], ts_ms=3000)
