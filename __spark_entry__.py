@@ -4403,6 +4403,64 @@ def iceberg_read_snapshot(spark, sf_dir):
 
 
 @_q(
+    "text_bpe_train_probe",
+    """
+    WITH n AS (SELECT COUNT(*) AS nd FROM documents),
+         h AS (SELECT COUNT(*) AS nh FROM documents WHERE doc_id % 3 = 0)
+    SELECT 'a+a' AS m1, 'b+b' AS m2, 'c+c' AS m3, 'cc+d' AS m4,
+           CAST(n.nd + 7 AS BIGINT) AS c1,
+           CAST(n.nd AS BIGINT) AS c2,
+           CAST(h.nh AS BIGINT) AS c3,
+           CAST(h.nh AS BIGINT) AS c4,
+           CAST(8 AS INT) AS probe_tokens
+    FROM n, h
+    """,
+)
+def text_bpe_train_probe(spark, sf_dir):
+    """End-to-end certification of the distributed BPE TOKENIZER —
+    training loop (bpe.train_bpe: batched greedy schedule with the
+    provable-prefix optimization) plus the encode path (bpe.bpe_encode:
+    rank-table merge loop in an Arrow-batched UDF with per-batch word
+    memoization).  The planted corpus makes the whole merge schedule
+    analytic: words 'aa' x (N+7), 'bb' x N, 'ccd' x H with N = corpus
+    doc count and H = count(doc_id%3==0), so the greedy order is
+    exactly (a,a,N+7), (b,b,N), (c,c,H), (cc,d,H) — including a
+    same-count tie (c,c) vs (c,d) decided by the trainer's documented
+    (count desc, a, b) rank, and a second-round pair ('cc','d') that
+    only exists AFTER the third rewrite.  The probe string then
+    certifies encode: 'aa bb ccd aab cdd' must tokenize to
+    1+1+1+2+3 = 8 tokens (full-word merges, a partial merge, and an
+    unmergeable word).  The oracle restates every value relationally
+    from the same counts.  The trainer's data-dependent loop on REAL
+    text stays covered by tests/test_bpe.py against a sequential
+    reference; this query pins the Spark execution path itself."""
+    from kafka_delta_ingest_spark.operators.bpe import bpe_encode, train_bpe
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    nd = d.count()
+    nh = d.filter(F.col("doc_id") % 3 == 0).count()
+    corpus = (
+        spark.range(nd + 7).select(F.lit("aa").alias("text"))
+        .unionAll(spark.range(nd).select(F.lit("bb").alias("text")))
+        .unionAll(spark.range(nh).select(F.lit("ccd").alias("text")))
+    )
+    merges = train_bpe(corpus, 4)
+    probe = spark.createDataFrame(
+        [(0, "aa bb ccd aab cdd")], "doc_id long, text string"
+    )
+    n_bpe = int(bpe_encode(probe, merges).collect()[0].n_bpe)
+    row = tuple(
+        f"{a}+{b}" for a, b, _ in merges
+    ) + tuple(int(c) for _, _, c in merges) + (n_bpe,)
+    schema = StructType(
+        [StructField(f"m{i}", StringType()) for i in range(1, 5)]
+        + [StructField(f"c{i}", LongType()) for i in range(1, 5)]
+        + [StructField("probe_tokens", IntegerType())]
+    )
+    return spark.createDataFrame([row], schema)
+
+
+@_q(
     "hudi_read_snapshot",
     """
     SELECT doc_id, lang,
@@ -7093,6 +7151,7 @@ _SWEEP_ORDER: list[str] = [
     "ingest_compressed_path",
     "multimodal_apng_roundtrip",
     "hudi_read_snapshot",
+    "text_bpe_train_probe",
     # --- flagship re-certification: ingest + sink paths.
     "ingest_message_path",
     "ingest_avro_path",

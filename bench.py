@@ -111,6 +111,7 @@ HEADLINE = [
     "ingest_compressed_path",
     "multimodal_apng_roundtrip",
     "hudi_read_snapshot",
+    "text_bpe_train_probe",
 ]
 
 
