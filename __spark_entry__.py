@@ -4214,17 +4214,11 @@ def multimodal_adpcm_roundtrip(spark, sf_dir):
                 ],
             )
 
-    # Co-locate identical fixtures: hash-partition on the 37-valued
-    # fixture key so each task decodes 1-2 distinct signals (memo hit
-    # rate ~100%) instead of all 37 — the group-identical-work-
-    # by-key pattern; the shuffled rows are bare ids, so the exchange
-    # is ~free next to a codec roundtrip.
-    sess = d.sparkSession
-    try:
-        width = sess.sparkContext.defaultParallelism
-    except Exception:
-        width = int(sess.conf.get("spark.sql.shuffle.partitions"))
-    keyed = d.repartition(width, F.pmod(F.col("doc_id"), F.lit(37)))
+    # Co-locate identical fixtures on the 37-valued key so each task
+    # decodes 1-2 distinct signals (memo hit rate ~100%).
+    from kafka_delta_ingest_spark.operators.util import co_locate
+
+    keyed = co_locate(d, F.pmod(F.col("doc_id"), F.lit(37)))
     return keyed.mapInPandas(run, schema=out_schema)
 
 
@@ -4638,17 +4632,11 @@ def multimodal_flac_roundtrip(spark, sf_dir):
                 ],
             )
 
-    # Co-locate identical fixtures: hash-partition on the 37-valued
-    # fixture key so each task decodes 1-2 distinct signals (memo hit
-    # rate ~100%) instead of all 37 — the group-identical-work-
-    # by-key pattern; the shuffled rows are bare ids, so the exchange
-    # is ~free next to a codec roundtrip.
-    sess = d.sparkSession
-    try:
-        width = sess.sparkContext.defaultParallelism
-    except Exception:
-        width = int(sess.conf.get("spark.sql.shuffle.partitions"))
-    keyed = d.repartition(width, F.pmod(F.col("doc_id"), F.lit(37)))
+    # Co-locate identical fixtures on the 37-valued key so each task
+    # decodes 1-2 distinct signals (memo hit rate ~100%).
+    from kafka_delta_ingest_spark.operators.util import co_locate
+
+    keyed = co_locate(d, F.pmod(F.col("doc_id"), F.lit(37)))
     return keyed.mapInPandas(run, schema=out_schema)
 
 

@@ -117,12 +117,20 @@ _LINES_SCHEMA = StructType(
 
 
 def _local(path: str) -> str:
-    """file: URI → filesystem path (binaryFile emits file:/…)."""
+    """file: URI → filesystem path (binaryFile emits file:/…).
+
+    binaryFile emits PERCENT-ENCODED URIs — a directory named
+    "my corpus" arrives as ``file:/…/my%20corpus/…`` — so the path
+    must be unquoted after the scheme strip or the open fails."""
+    from urllib.parse import unquote
+
     if path.startswith("file://"):
         path = path[7:]
     elif path.startswith("file:"):
         path = path[5:]
-    return path
+    else:
+        return path
+    return unquote(path)
 
 
 def read_jsonl(
@@ -191,8 +199,14 @@ def jsonl_as_kafka(
         r"(\d+)$",
         1,
     )
+    # Trailing digit runs longer than 9 chars (timestamp-suffixed
+    # dumps like shard-20260815123000) overflow int32 to NULL under
+    # the cast; those fall back to the stable hash like no-digit
+    # names, keeping the (partition, offset) identity total.
     part = (
-        F.when(digits != "", digits.cast("int"))
+        F.when(
+            (digits != "") & (F.length(digits) <= 9), digits.cast("int")
+        )
         .otherwise(F.pmod(F.xxhash64("path"), F.lit(1 << 15)).cast("int"))
         if partition_from_path
         else F.lit(0)

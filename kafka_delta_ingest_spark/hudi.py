@@ -196,7 +196,13 @@ class HudiFixtureWriter:
         return f"{self.part_field}={row[self.part_field]}"
 
     def _write_group(self, part: str, file_id: str, rows: list[dict],
-                     instant: str, prev: str) -> dict:
+                     instant: str, prev: str,
+                     template: list[dict] | None = None) -> dict:
+        """Write one new file slice.  ``rows`` may be EMPTY — Hudi CoW
+        represents "every record in the group was deleted" as a new
+        base file with zero records (the group stays in the timeline;
+        readers see no rows) — in which case ``template`` supplies the
+        prior slice's rows so the empty parquet keeps typed columns."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -205,22 +211,40 @@ class HudiFixtureWriter:
         rel = os.path.join(part, fname) if part else fname
         full = os.path.join(self.path, rel)
         os.makedirs(os.path.dirname(full), exist_ok=True)
-        cols: dict[str, list] = {c: [] for c in META_COLS}
-        data_keys = list(rows[0].keys())
-        for c in data_keys:
-            cols[c] = []
-        for r in rows:
-            self._seq += 1
-            cols["_hoodie_commit_time"].append(instant)
-            cols["_hoodie_commit_seqno"].append(
-                f"{instant}_0_{self._seq}"
-            )
-            cols["_hoodie_record_key"].append(str(r[self.key]))
-            cols["_hoodie_partition_path"].append(part)
-            cols["_hoodie_file_name"].append(fname)
+        if rows:
+            cols: dict[str, list] = {c: [] for c in META_COLS}
+            data_keys = list(rows[0].keys())
             for c in data_keys:
-                cols[c].append(r[c])
-        pq.write_table(pa.table(cols), full)
+                cols[c] = []
+            for r in rows:
+                self._seq += 1
+                cols["_hoodie_commit_time"].append(instant)
+                cols["_hoodie_commit_seqno"].append(
+                    f"{instant}_0_{self._seq}"
+                )
+                cols["_hoodie_record_key"].append(str(r[self.key]))
+                cols["_hoodie_partition_path"].append(part)
+                cols["_hoodie_file_name"].append(fname)
+                for c in data_keys:
+                    cols[c].append(r[c])
+            table = pa.table(cols)
+        else:
+            if not template:
+                raise ValueError("empty slice needs a template row set")
+            names = META_COLS + list(template[0].keys())
+            arrays = []
+            for c in names:
+                if c in META_COLS:
+                    arrays.append(pa.array([], type=pa.string()))
+                else:
+                    # Infer the column type from any non-null prior
+                    # value; an all-null column degrades to string.
+                    v = next(
+                        (r[c] for r in template if r[c] is not None), ""
+                    )
+                    arrays.append(pa.array([v]).slice(0, 0))
+            table = pa.table(dict(zip(names, arrays)))
+        pq.write_table(table, full)
         self._groups[(part, file_id)] = list(rows)
         return {
             "fileId": file_id,
@@ -301,11 +325,10 @@ class HudiFixtureWriter:
 
     def delete(self, keys: list, ts_ms: int) -> str:
         """DELETE commit: CoW rewrite of affected groups without the
-        victims (a group deleted empty writes no slice but the group
-        keeps its last slice out of the plan via... a rewrite with
-        zero rows is not representable — Hudi writes an empty-payload
-        slice; here the group is rewritten with the survivors, and a
-        fully-emptied group raises as out of fixture scope)."""
+        victims.  A fully-emptied group is rewritten as a ZERO-record
+        base file (Hudi's representation — the group stays in the
+        timeline and readers see no rows from it), so the operation is
+        total over any victim set."""
         instant = self._instant(ts_ms)
         victims = {str(k) for k in keys}
         stats: dict[str, list[dict]] = {}
@@ -315,11 +338,8 @@ class HudiFixtureWriter:
             survivors = [
                 r for r in grows if str(r[self.key]) not in victims
             ]
-            if not survivors:
-                raise ValueError(
-                    "fixture scope: cannot empty a file group entirely"
-                )
             stats.setdefault(part, []).append(
-                self._write_group(part, fid, survivors, instant, "known")
+                self._write_group(part, fid, survivors, instant,
+                                  "known", template=grows)
             )
         return self._commit(stats, instant, "delete")

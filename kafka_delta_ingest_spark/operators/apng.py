@@ -240,16 +240,26 @@ def decode_apng(b: bytes):
             if dispose == DISPOSE_PREVIOUS else None
         target = canvas[fy:fy + fh, fx:fx + fw]
         if blend == BLEND_OVER and ch == 4:
-            a_f = region[:, :, 3:4].astype(np.uint16)
-            inv = 255 - a_f
-            target[:, :, :3] = (
-                (region[:, :, :3].astype(np.uint16) * a_f
-                 + target[:, :, :3].astype(np.uint16) * inv + 127) // 255
+            # Spec OVER (straight alpha, alphas normalized to [0,1]):
+            #   out_a   = s + d*(1-s)
+            #   out_rgb = (S*s + D*d*(1-s)) / out_a    (0 when out_a=0)
+            # The destination's OWN alpha weights its RGB — blending
+            # onto a transparent pixel must yield the source RGB
+            # exactly, not a half-brightness mix.  Integer-exact with
+            # common denominator 255²: oa = sa*255 + da*(255-sa).
+            sa = region[:, :, 3:4].astype(np.uint32)
+            da = target[:, :, 3:4].astype(np.uint32)
+            inv = 255 - sa
+            oa = sa * 255 + da * inv
+            num = (region[:, :, :3].astype(np.uint32) * sa * 255
+                   + target[:, :, :3].astype(np.uint32) * da * inv)
+            safe = np.maximum(oa, 1)
+            target[:, :, :3] = np.where(
+                oa == 0, 0, (num + safe // 2) // safe
             ).astype(np.uint8)
-            target[:, :, 3] = (
-                a_f[:, :, 0] + (target[:, :, 3].astype(np.uint16)
-                                * inv[:, :, 0] + 127) // 255
-            ).astype(np.uint8)
+            target[:, :, 3] = ((oa[:, :, 0] + 127) // 255).astype(
+                np.uint8
+            )
         elif blend in (BLEND_SOURCE, BLEND_OVER):
             target[:] = region
         else:

@@ -399,7 +399,10 @@ def decode_flac(b: bytes):
 
     chans: list[list[int]] = [[] for _ in range(ch)]
     got = 0
-    while got < total:
+    # STREAMINFO total_samples == 0 means UNKNOWN (RFC 9639 — legal for
+    # streaming encoders): decode frames until the bytes run out
+    # instead of silently returning zero samples.
+    while (got < total) if total else (pos < len(b)):
         frame_start = pos
         br = _BitReader(b, pos)
         if br.read(14) != 0b11111111111110:
@@ -472,7 +475,7 @@ def decode_flac(b: bytes):
                 "frame channel assignment yields "
                 f"{len(chan_data)} channels, STREAMINFO says {ch}"
             )
-        take = min(bs, total - got)
+        take = min(bs, total - got) if total else bs
         for c in range(ch):
             chans[c].extend(int(v) for v in chan_data[c][:take])
         got += take

@@ -60,14 +60,17 @@ def _dict_open(b: bytes, close: int) -> int:
             i = j_open
 
 
-_LENGTH_DIRECT = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+# Direct form must consume the ENTIRE digit run — without the (?!\d)
+# guard the regex engine backtracks a multi-digit indirect reference
+# ("/Length 1234 0 R") down to a prefix ("123") whose next character
+# defeats the not-an-indirect-ref lookahead, silently returning a
+# truncated byte count.  Indirect is also tried FIRST for the same
+# reason: its grammar is unambiguous.
+_LENGTH_DIRECT = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
 _LENGTH_INDIRECT = re.compile(rb"/Length\s+(\d+)\s+(\d+)\s+R")
 
 
 def _resolve_length(b: bytes, d: bytes) -> int | None:
-    m = _LENGTH_DIRECT.search(d)
-    if m:
-        return int(m.group(1))
     m = _LENGTH_INDIRECT.search(d)
     if m:
         ref = re.search(
@@ -77,6 +80,10 @@ def _resolve_length(b: bytes, d: bytes) -> int | None:
         )
         if ref:
             return int(ref.group(1))
+        return None
+    m = _LENGTH_DIRECT.search(d)
+    if m:
+        return int(m.group(1))
     return None
 
 

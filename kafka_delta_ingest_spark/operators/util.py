@@ -52,6 +52,22 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+def co_locate(df: DataFrame, key: Column, partitions: int | None = None) -> DataFrame:
+    """Hash-partition rows on a small-cardinality ``key`` so identical
+    downstream work (e.g. a memoized codec fixture derived from the
+    key) lands in the same task — the group-identical-work-by-key
+    pattern. Width detection mirrors :func:`spread`'s job-free rule
+    (``defaultParallelism``, falling back to shuffle.partitions under
+    Spark Connect); the shuffled rows are expected to be narrow (bare
+    ids), so the exchange is ~free next to the work it deduplicates."""
+    sess = df.sparkSession
+    try:
+        default = sess.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no client-side SparkContext
+        default = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(partitions or default, key)
+
+
 def _carriers(
     rows: DataFrame, key: str | list[str], item: Column, cap: int | None
 ) -> DataFrame:

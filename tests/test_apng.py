@@ -147,6 +147,31 @@ def test_blend_over_composites_alpha():
     assert px[3] == 255  # over opaque stays opaque
 
 
+def test_blend_over_onto_transparent_dest_yields_source_exactly():
+    """Spec OVER weights the destination RGB by the destination's OWN
+    alpha: compositing onto a fully-transparent pixel (here created by
+    DISPOSE_BACKGROUND) must reproduce the source RGB exactly — the
+    old straight mix halved the brightness (review fix)."""
+    opaque = np.zeros((2, 2, 4), np.uint8)
+    opaque[:, :, 1] = 200
+    opaque[:, :, 3] = 255
+    half_red = np.zeros((2, 2, 4), np.uint8)
+    half_red[:, :, 0] = 255
+    half_red[:, :, 3] = 128
+    blob = _apng(2, 2, 6, [
+        _chunk(b"acTL", struct.pack(">II", 2, 0)),
+        _fctl(0, 2, 2, 0, 0, (1, 10), DISPOSE_BACKGROUND, BLEND_SOURCE),
+        _idat(opaque),
+        _fctl(1, 2, 2, 0, 0, (1, 10), DISPOSE_NONE, BLEND_OVER),
+        _fdat(2, half_red),
+    ])
+    dec, _ = decode_apng(blob)
+    px = dec[1][0, 0]
+    assert px[0] == 255  # source red EXACT, not 128
+    assert px[1] == 0
+    assert px[3] == 128  # out alpha = source alpha over transparent
+
+
 def test_default_image_idat_is_not_a_frame():
     still = np.full((3, 3, 3), 5, np.uint8)
     f1 = np.full((3, 3, 3), 60, np.uint8)

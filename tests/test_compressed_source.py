@@ -124,3 +124,31 @@ def test_jsonl_as_kafka_partition_from_path(spark, tmp_path):
     assert all(r.topic == "dump" and r.timestamp is None for r in out)
     offs = sorted(r.offset for r in out if r.partition == 3)
     assert offs == [0, 1, 2, 3]
+
+
+def test_read_jsonl_percent_encoded_paths(spark, tmp_path):
+    """binaryFile emits percent-encoded file: URIs — a directory with
+    a space must still open (review fix: the un-decoded %20 path
+    raised FileNotFoundError inside the task)."""
+    d = tmp_path / "my corpus"
+    d.mkdir()
+    write_jsonl(str(d / "part-00000.jsonl.gz"), [b'{"i":1}', b'{"i":2}'])
+    got = read_jsonl(spark, str(d)).collect()
+    assert sorted(r.line_no for r in got) == [0, 1]
+
+
+def test_jsonl_as_kafka_oversized_digit_suffix_falls_back_to_hash(
+    spark, tmp_path
+):
+    """A trailing digit run wider than int32 (timestamp-suffixed dump
+    names) must take the stable-hash fallback, not overflow the cast
+    to a NULL partition (review fix)."""
+    write_jsonl(
+        str(tmp_path / "shard-20260815123000.jsonl.gz"), [b'{"i":1}']
+    )
+    out = jsonl_as_kafka(
+        read_jsonl(spark, str(tmp_path)), topic="dump"
+    ).collect()
+    assert len(out) == 1
+    assert out[0].partition is not None
+    assert 0 <= out[0].partition < (1 << 15)

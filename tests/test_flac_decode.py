@@ -164,3 +164,24 @@ def test_channel_count_mismatch_raises_value_error():
     blob[body + 10:body + 14] = val.to_bytes(4, "big")
     with pytest.raises(ValueError, match="channel assignment"):
         decode_flac(bytes(blob))
+
+
+def test_unknown_total_samples_decodes_to_end():
+    """STREAMINFO total_samples == 0 means UNKNOWN (RFC 9639, legal
+    for streaming encoders) — the decoder must consume frames until
+    the bytes run out, not silently return zero samples (review fix).
+
+    STREAMINFO bit layout: min_bs(16) max_bs(16) min_f(24) max_f(24)
+    rate(20) ch(3) bps(5) total(36) md5(128); total therefore spans
+    bits 108..144 of the block data, which starts at byte 8 (after
+    the fLaC magic and the 4-byte block header)."""
+    x = _sine(4096)
+    blob = bytearray(encode_flac(x[:, None], 8000))
+    base = 8
+    blob[base + 13] &= 0xF0
+    for i in range(14, 18):
+        blob[base + i] = 0
+    dec, rate = decode_flac(bytes(blob))
+    assert rate == 8000
+    assert dec.shape == (4096, 1)
+    assert (dec[:, 0] == x).all()

@@ -108,10 +108,35 @@ def test_properties_and_errors(tmp_path, table):
         plan_snapshot(path, as_of_instant="19000101000000000")
 
 
-def test_upsert_missing_key_and_empty_group_raise(tmp_path):
+def test_upsert_missing_key_raises(tmp_path):
     w = HudiFixtureWriter(str(tmp_path / "u"), record_key="id")
     w.insert([{"id": 1, "v": "a"}], ts_ms=1000)
     with pytest.raises(ValueError, match="not present"):
         w.upsert([{"id": 99, "v": "x"}], ts_ms=2000)
-    with pytest.raises(ValueError, match="file group"):
-        w.delete([1], ts_ms=3000)
+
+
+def test_delete_emptying_a_file_group_writes_zero_record_slice(
+    spark, tmp_path
+):
+    """Hudi CoW represents an all-victims group as a new base file
+    with ZERO records (typed columns, no rows) — the delete must be
+    total over any victim set, not raise (review fix: an unlucky
+    victim distribution previously failed the certification query)."""
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "z")
+    w = HudiFixtureWriter(root, record_key="id")
+    w.insert([{"id": 1, "v": "a"}, {"id": 2, "v": None}], ts_ms=1000)
+    w.delete([1, 2], ts_ms=2000)
+    files = sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(root)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    latest = max(files, key=lambda p: os.path.basename(p))
+    t = pq.read_table(latest)
+    assert t.num_rows == 0
+    assert "v" in t.schema.names  # typed data column survives
+    got = read_hudi(spark, root)
+    assert got.count() == 0

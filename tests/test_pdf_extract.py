@@ -119,3 +119,28 @@ def test_objects_before_stream_do_not_glom_into_stream_dict():
         b"stream\n" + comp + b"\nendstream\nendobj\n%%EOF\n"
     )
     assert pdf_to_text(pdf).strip() == "Order test"
+
+
+def test_multi_digit_indirect_length_resolves():
+    """/Length 1234 0 R must resolve object 1234, not backtrack to a
+    truncated direct length of 123 (review fix: the old direct-form
+    regex could shrink the digit run until its lookahead passed)."""
+    from kafka_delta_ingest_spark.operators.pdf import (
+        _find_streams,
+        _resolve_length,
+    )
+
+    body = b"1234 0 obj 11 endobj"
+    d = b"<< /Length 1234 0 R >>"
+    assert _resolve_length(body, d) == 11
+    # a full stream object wired through an indirect length
+    data = b"hello 11 by"
+    doc = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Length 1234 0 R >> stream\n"
+        + data
+        + b"\nendstream endobj\n"
+        b"1234 0 obj 11 endobj\n"
+    )
+    [(dict_bytes, raw)] = list(_find_streams(doc))
+    assert raw == data
