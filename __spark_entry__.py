@@ -4534,6 +4534,65 @@ def hudi_read_snapshot(spark, sf_dir):
 
 
 @_q(
+    "ingest_orc_path",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(event_id * 31 + user_id) AS BIGINT) AS checksum,
+           MIN(event_id) AS min_id,
+           MAX(event_id) AS max_id
+    FROM events
+    WHERE event_type IN ('click', 'view')
+    GROUP BY event_type
+    """,
+)
+def ingest_orc_path(spark, sf_dir):
+    """ORC columnar interop: the backfill surface next to parquet and
+    the compressed-JSONL dumps.  Write the events table as a REAL
+    Hive-partitioned ORC dataset (Spark's built-in ORC writer, zlib
+    stripes, partitioned by event_type), read it back through
+    ``spark.read.orc``, and certify content integrity with an exact
+    BIGINT checksum over two partition-pruned event types — the
+    read-back plan touches only the 2 of 5 partition directories
+    (partition pruning) and pushes the aggregation below the
+    exchange.  The oracle restates the checksum from the parquet
+    source, so any row lost, duplicated, or reordered into the wrong
+    partition by the ORC roundtrip breaks the hash.  Scale: ORC is a
+    first-class Spark source (vectorized reader, predicate pushdown,
+    stripe-level skipping) — the plan shape is identical to the
+    parquet path at any corpus size."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    ev = load_table(spark, sf_dir, "events")
+    root = _tf.mkdtemp(prefix="kdi-orcq-")
+    try:
+        (
+            ev.write.mode("overwrite")
+            .partitionBy("event_type")
+            .option("compression", "zlib")
+            .orc(root + "/t")
+        )
+        back = spark.read.orc(root + "/t")
+        out = (
+            back.filter(F.col("event_type").isin("click", "view"))
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.col("event_id") * 31 + F.col("user_id")
+                ).alias("checksum"),
+                F.min("event_id").alias("min_id"),
+                F.max("event_id").alias("max_id"),
+            )
+        )
+        # materialize before the fixture dataset is removed
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
+@_q(
     "multimodal_flac_roundtrip",
     """
     SELECT doc_id,
@@ -7140,6 +7199,7 @@ _SWEEP_ORDER: list[str] = [
     "multimodal_apng_roundtrip",
     "hudi_read_snapshot",
     "text_bpe_train_probe",
+    "ingest_orc_path",
     # --- flagship re-certification: ingest + sink paths.
     "ingest_message_path",
     "ingest_avro_path",

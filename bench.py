@@ -112,6 +112,7 @@ HEADLINE = [
     "multimodal_apng_roundtrip",
     "hudi_read_snapshot",
     "text_bpe_train_probe",
+    "ingest_orc_path",
 ]
 
 

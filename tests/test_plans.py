@@ -337,3 +337,25 @@ def test_pack_concat_chunk_prefix_scan_is_bucketed(spark):
     assert corpus_windows
     for line in corpus_windows:
         assert "_bucket" in line.split("windowspecdefinition")[1][:40]
+
+
+def test_orc_readback_prunes_partitions(spark, tmp_path):
+    """The ORC interop path must plan like the parquet path: the
+    event_type predicate lands in PartitionFilters (directory-level
+    pruning — 2 of 5 partitions scanned at any corpus size), not in
+    a post-scan Filter over all rows."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "t")
+    (
+        spark.read.parquet(SF + "/events.parquet")
+        .write.partitionBy("event_type")
+        .orc(root)
+    )
+    df = spark.read.orc(root).filter(
+        F.col("event_type").isin("click", "view")
+    )
+    p = plan(df)
+    assert "ORC" in p or "orc" in p
+    pf = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("event_type" in ln for ln in pf), p
