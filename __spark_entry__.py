@@ -4593,6 +4593,80 @@ def ingest_orc_path(spark, sf_dir):
 
 
 @_q(
+    "sink_zorder_cluster",
+    """
+    WITH s AS (
+      SELECT MIN(CAST(l_partkey AS DOUBLE)) AS mn1,
+             MAX(CAST(l_partkey AS DOUBLE)) AS mx1,
+             MIN(CAST(l_suppkey AS DOUBLE)) AS mn2,
+             MAX(CAST(l_suppkey AS DOUBLE)) AS mx2
+      FROM lineitem),
+    r AS (
+      SELECT l_partkey, l_suppkey,
+        LEAST(GREATEST(CAST(TRUNC(
+          (CAST(l_partkey AS DOUBLE) - s.mn1) * (65535.0 / (s.mx1 - s.mn1))
+        ) AS BIGINT), 0), 65535) AS r1,
+        LEAST(GREATEST(CAST(TRUNC(
+          (CAST(l_suppkey AS DOUBLE) - s.mn2) * (65535.0 / (s.mx2 - s.mn2))
+        ) AS BIGINT), 0), 65535) AS r2
+      FROM lineitem, s),
+    z AS (
+      SELECT l_partkey, l_suppkey,
+        CAST(list_sum(list_transform(range(0, 16),
+          i -> ((r1 >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i))
+             + ((r2 >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i + 1))
+        )) AS BIGINT) AS zval
+      FROM r)
+    SELECT CAST(zval >> 28 AS INT) AS zbucket,
+           COUNT(*) AS n,
+           CAST(SUM(zval) AS BIGINT) AS z_checksum,
+           MIN(l_partkey) AS pk_min, MAX(l_partkey) AS pk_max,
+           MIN(l_suppkey) AS sk_min, MAX(l_suppkey) AS sk_max
+    FROM z GROUP BY zbucket
+    """,
+)
+def sink_zorder_cluster(spark, sf_dir):
+    """Bit-exact cross-engine certification of the sink's Z-ORDER
+    (Morton) clustering key (sinks/delta_like.py::zorder_value — the
+    OPTIMIZE ... ZORDER BY analog Delta uses for multi-dimensional
+    data skipping; reference has no equivalent, this is a sink-side
+    scale feature).  The key normalizes each clustered column to a
+    16-bit rank via min/max scaling and interleaves the rank bits;
+    sorting by it gives every output file a narrow min/max window on
+    EVERY clustered dimension at once, which the reader's add-action
+    stats pruning then exploits (tests/test_data_skipping.py proves
+    the trailing-column pruning win; this query proves the KEY itself
+    is the mathematically-intended value).  The oracle recomputes the
+    full pipeline — IEEE-double scaling with the same operation order,
+    truncation, clamping, bit interleave via list arithmetic — so a
+    single flipped or misplaced bit in any of the 32 interleave
+    positions breaks the per-bucket z-value checksum.  The bucket
+    bounding boxes (min/max of both dims per top-4-bit bucket) state
+    the clustering property the key exists to provide.  Scale: the
+    stats pass is one driver-scalar agg; the key is pure shift/mask
+    expressions inside whole-stage codegen; the clustered write is
+    repartitionByRange on the key — no extra shuffle beyond the sort
+    the layout requires."""
+    from kafka_delta_ingest_spark.sinks.delta_like import zorder_value
+
+    li = load_table(spark, sf_dir, "lineitem")
+    z = zorder_value(li, ["l_partkey", "l_suppkey"])
+    return (
+        li.withColumn("zval", z)
+        .withColumn("zbucket", F.shiftright("zval", 28).cast("int"))
+        .groupBy("zbucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("zval").alias("z_checksum"),
+            F.min("l_partkey").alias("pk_min"),
+            F.max("l_partkey").alias("pk_max"),
+            F.min("l_suppkey").alias("sk_min"),
+            F.max("l_suppkey").alias("sk_max"),
+        )
+    )
+
+
+@_q(
     "multimodal_flac_roundtrip",
     """
     SELECT doc_id,
@@ -7200,6 +7274,7 @@ _SWEEP_ORDER: list[str] = [
     "hudi_read_snapshot",
     "text_bpe_train_probe",
     "ingest_orc_path",
+    "sink_zorder_cluster",
     # --- flagship re-certification: ingest + sink paths.
     "ingest_message_path",
     "ingest_avro_path",

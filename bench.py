@@ -113,6 +113,7 @@ HEADLINE = [
     "hudi_read_snapshot",
     "text_bpe_train_probe",
     "ingest_orc_path",
+    "sink_zorder_cluster",
 ]
 
 
