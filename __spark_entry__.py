@@ -4455,6 +4455,112 @@ def text_bpe_train_probe(spark, sf_dir):
 
 
 @_q(
+    "text_unigram_train_probe",
+    """
+    WITH n AS (SELECT COUNT(*) AS nd FROM documents),
+         h AS (SELECT COUNT(*) AS nh FROM documents WHERE doc_id % 3 = 0)
+    SELECT CAST(5 AS INT) AS n_pieces,
+           TRUE AS has_ab,
+           FALSE AS has_bc,
+           TRUE AS has_d,
+           CAST(2 * n.nd + 13 AS BIGINT) AS ab_freq,
+           CAST(h.nh AS BIGINT) AS dd_freq,
+           CAST(7 AS INT) AS probe_tokens
+    FROM n, h
+    """,
+)
+def text_unigram_train_probe(spark, sf_dir):
+    """End-to-end certification of the distributed UNIGRAM-LM
+    (SentencePiece) tokenizer trainer — the EM+prune counterpart to
+    the BPE probe: seed census (distributed substring ranking),
+    forward-backward E-steps over the distinct-word table, the
+    likelihood-loss prune, and the Viterbi encode path.  The planted
+    corpus makes the outcome analytic: words 'ab' x (N+13),
+    'abc' x N, 'dd' x H (N = doc count, H = count(doc_id%3==0)).
+    Seeding (seed_size=4, max_piece_len=2) keeps {ab, a, b, bc} by
+    the freq*len ranking and unions singles {a,b,c,d}; after EM the
+    posterior separates p(c) from p(bc), so 'bc' never sits on a
+    Viterbi path, takes ZERO prune loss, and is the unique piece cut
+    when pruning to vocab_size=5 — leaving exactly {a, b, c, d, ab}.
+    The probe string 'ab abc dd xab' must Viterbi-encode to
+    1+2+2+2 = 7 pieces (a full-piece word, a partial match, an
+    unknown-character fallback).  ab_freq/dd_freq re-state the seed
+    census relationally (2N+13 and H).  Trainer parity on REAL text
+    is pinned against a sequential reference in
+    tests/test_unigram.py; this query pins the Spark execution path.
+    Scale: one corpus pass for the census, then vocabulary-scale EM
+    kernels with piece-scale shuffles (operators/unigram.py)."""
+    from kafka_delta_ingest_spark.operators.bpe import word_census
+    from kafka_delta_ingest_spark.operators.unigram import (
+        seed_census,
+        train_unigram,
+        unigram_encode,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    nd = d.count()
+    nh = d.filter(F.col("doc_id") % 3 == 0).count()
+    # numPartitions bounds the synthetic-range task count: the planted
+    # corpus has 3 distinct words, so the trainer's cost here is pure
+    # per-job overhead, not compute. em_iters=1: the first M-step
+    # already separates p(c) from p(bc) (the property the prune needs),
+    # and the trainer runs one more EM pass after the prune anyway.
+    corpus = (
+        spark.range(0, nd + 13, numPartitions=4)
+        .select(F.lit("ab").alias("text"))
+        .unionAll(
+            spark.range(0, nd, numPartitions=4)
+            .select(F.lit("abc").alias("text"))
+        )
+        .unionAll(
+            spark.range(0, nh, numPartitions=4)
+            .select(F.lit("dd").alias("text"))
+        )
+    )
+    pieces = train_unigram(
+        corpus, vocab_size=5, max_piece_len=2, seed_size=4, em_iters=1
+    )
+    vocab = {p for p, _ in pieces}
+    cen = {
+        r.piece: int(r.freq)
+        for r in seed_census(word_census(corpus), max_len=2)
+        .filter(F.col("piece").isin("ab", "dd"))
+        .collect()
+    }
+    probe = spark.createDataFrame(
+        [(0, "ab abc dd xab")], "doc_id long, text string"
+    )
+    n_probe = int(unigram_encode(probe, pieces).collect()[0].n_unigram)
+    from pyspark.sql.types import BooleanType
+
+    schema = StructType(
+        [
+            StructField("n_pieces", IntegerType()),
+            StructField("has_ab", BooleanType()),
+            StructField("has_bc", BooleanType()),
+            StructField("has_d", BooleanType()),
+            StructField("ab_freq", LongType()),
+            StructField("dd_freq", LongType()),
+            StructField("probe_tokens", IntegerType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                len(vocab),
+                "ab" in vocab,
+                "bc" in vocab,
+                "d" in vocab,
+                cen["ab"],
+                cen["dd"],
+                n_probe,
+            )
+        ],
+        schema,
+    )
+
+
+@_q(
     "hudi_read_snapshot",
     """
     SELECT doc_id, lang,
@@ -7275,6 +7381,7 @@ _SWEEP_ORDER: list[str] = [
     "text_bpe_train_probe",
     "ingest_orc_path",
     "sink_zorder_cluster",
+    "text_unigram_train_probe",
     # --- flagship re-certification: ingest + sink paths.
     "ingest_message_path",
     "ingest_avro_path",

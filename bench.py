@@ -114,6 +114,7 @@ HEADLINE = [
     "text_bpe_train_probe",
     "ingest_orc_path",
     "sink_zorder_cluster",
+    "text_unigram_train_probe",
 ]
 
 
