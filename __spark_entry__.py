@@ -4455,6 +4455,84 @@ def text_bpe_train_probe(spark, sf_dir):
 
 
 @_q(
+    "dedup_paragraphs_global",
+    r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ), l AS (
+      SELECT doc_id,
+        list_transform(range(0, CAST(ceil(len(toks)/5.0) AS INT)), i ->
+          array_to_string(toks[(i*5+1):(i*5+5)], ' ')) AS pars
+      FROM w
+    ), occ AS (
+      SELECT doc_id, u.pos AS pos, u.par AS par
+      FROM (
+        SELECT doc_id,
+          unnest(list_transform(range(0, len(pars)),
+            i -> {'pos': i, 'par': pars[i+1]})) AS u
+        FROM l)
+    ), k AS (
+      SELECT doc_id, pos, par,
+        (doc_id * 1048576 + pos) AS ok,
+        MIN(doc_id * 1048576 + pos)
+          OVER (PARTITION BY lower(trim(par))) AS first_ok
+      FROM occ
+    )
+    SELECT doc_id,
+      CAST(COUNT(*) AS INT) AS n_pars,
+      CAST(SUM(CASE WHEN ok <> first_ok THEN 1 ELSE 0 END) AS INT)
+        AS n_removed,
+      md5(COALESCE(array_to_string(
+        list_transform(
+          list_sort(list({'pos': pos, 'par': par})
+                    FILTER (WHERE ok = first_ok)),
+          s -> s.par),
+        chr(10)), '')) AS clean_md5
+    FROM k GROUP BY doc_id
+    """,
+)
+def dedup_paragraphs_global(spark, sf_dir):
+    """Corpus-wide PARAGRAPH deduplication (operators/dedup.py::
+    paragraph_dedup — the CCNet preprocessing stage, Wenzek et al.
+    2020) certified end-to-end: the corpus has no newlines, so the
+    query first plants deterministic paragraphs (5-word chunks, the
+    c4_line_filter pattern), then keeps only each normalized
+    paragraph's FIRST corpus-wide occurrence by (doc_id, position) —
+    cross-document AND within-document repeats drop — and rebuilds
+    every document from its survivors.  clean_md5 certifies the
+    reassembled text byte-for-byte; the oracle replays planting,
+    first-occurrence selection (window min over the normalized
+    paragraph), and reassembly relationally.  The operator keys its
+    one corpus exchange on xxhash64 of the normalized paragraph; the
+    oracle partitions on the text itself — identical semantics absent
+    a 64-bit collision.  Scale: one hash-keyed exchange + an
+    unordered window min (no sort), then a per-doc reassembly groupBy
+    with doc-length-bounded buffers."""
+    from kafka_delta_ingest_spark.operators.dedup import paragraph_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    nl = F.ceil(F.size(toks) / F.lit(5.0)).cast("int")
+    planted = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), nl - 1),
+            lambda i: F.array_join(F.slice(toks, i * 5 + 1, 5), " "),
+        ),
+        "\n",
+    )
+    out = paragraph_dedup(
+        d.select("doc_id", planted.alias("text"))
+    )
+    return out.select(
+        "doc_id",
+        "n_pars",
+        "n_removed",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+    )
+
+
+@_q(
     "text_unigram_train_probe",
     """
     WITH n AS (SELECT COUNT(*) AS nd FROM documents),
@@ -7382,6 +7460,7 @@ _SWEEP_ORDER: list[str] = [
     "ingest_orc_path",
     "sink_zorder_cluster",
     "text_unigram_train_probe",
+    "dedup_paragraphs_global",
     # --- flagship re-certification: ingest + sink paths.
     "ingest_message_path",
     "ingest_avro_path",

@@ -115,6 +115,7 @@ HEADLINE = [
     "ingest_orc_path",
     "sink_zorder_cluster",
     "text_unigram_train_probe",
+    "dedup_paragraphs_global",
 ]
 
 

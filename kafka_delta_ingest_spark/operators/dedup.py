@@ -1149,3 +1149,62 @@ def substring_dedup_rewrite(
             F.array_join(kept, " ").alias("kept_text"),
         )
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide PARAGRAPH deduplication — the CCNet preprocessing
+    step (Wenzek et al. 2020 run it before language ID; C4 does the
+    sentence-level analog): normalize each paragraph (lowercase,
+    trim), keep only its FIRST occurrence corpus-wide (ordered by
+    ``(id, position)``), drop every later copy — including repeats
+    WITHIN one document — and rebuild each document from its
+    surviving paragraphs in order.
+
+    Returns (id, n_pars, n_removed, clean_text).
+
+    Scale shape: ONE exchange keyed by the paragraph's xxhash64
+    (8-byte longs travel, not paragraph text... the text rides along
+    for reassembly but is never a shuffle KEY); the canonical pick is
+    ``min`` over that hash partition — an unordered window, no sort
+    anywhere, no global ordering; reassembly is a per-doc groupBy
+    whose collect_list is bounded by document length. Positions pack
+    under ``id * 2^20`` in the order key, bounding documents at 2^20
+    paragraphs (far beyond any real document; raise the shift for
+    synthetic monsters).
+    """
+    from kafka_delta_ingest_spark.operators.util import spread
+
+    pars = spread(df).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "par"),
+    )
+    occ = pars.withColumn(
+        "gh", F.xxhash64(F.trim(F.lower(F.col("par"))))
+    ).withColumn("ok", F.col(id_col) * F.lit(1 << 20) + F.col("pos"))
+    w = Window.partitionBy("gh")
+    flagged = occ.withColumn("keep", F.col("ok") == F.min("ok").over(w))
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_pars"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+            .cast("int")
+            .alias("n_removed"),
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("pos", "par"))
+                        )
+                    ),
+                    lambda s: s["par"],
+                ),
+            ).alias("clean_text"),
+        )
+    )

@@ -1645,3 +1645,24 @@ def test_zipf_fit_matches_numpy_least_squares(spark):
     assert r.n_terms == 8 and r.n_instances == sum(freqs)
     assert abs(r.zipf_slope - slope) < 1e-6
     assert abs(r.zipf_intercept - intercept) < 1e-6
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    """CCNet paragraph dedup: first (id, pos) occurrence survives,
+    later copies are dropped cross-doc AND within-doc, documents
+    rebuild in original order."""
+    df = spark.createDataFrame(
+        [
+            (1, "alpha\nbeta\nalpha"),      # within-doc repeat of alpha
+            (2, "Beta \ngamma"),            # beta dup (case/trim-insensitive)
+            (3, "gamma\ndelta"),            # gamma dup
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_pars, r.n_removed, r.clean_text)
+        for r in dedup.paragraph_dedup(df).collect()
+    }
+    assert out[1] == (3, 1, "alpha\nbeta")
+    assert out[2] == (2, 1, "gamma")  # "Beta " normalizes to beta, dropped
+    assert out[3] == (2, 1, "delta")  # gamma's canonical is doc 2
