@@ -204,12 +204,21 @@ def trigram_sb_scores(
         train_toks = train_toks.where(train_filter)
     score_toks = _lower_tokens(df, text_col, id_col)
 
+    # Materialize the census tables: every model marginal below is a
+    # CONSUMER of the previous level, and Spark's ReuseExchange cannot
+    # serve them (each marginal shuffles on different keys, and the
+    # three per-slot vocab broadcasts are differently-projected legs)
+    # — without a cut, the corpus lineage re-executes once per
+    # consumer (measured: 56 source scans in one plan). One corpus
+    # pass materializes each level; everything downstream reads the
+    # stored census, which is the shape a 100 TB run needs anyway.
     vocab = (
         train_toks.select(F.explode("w").alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("c"))
         .where(F.col("c") >= min_count)
         .select("word")
+        .localCheckpoint(eager=False)
     )
 
     def _trigrams(toks: DataFrame) -> DataFrame:
@@ -254,6 +263,7 @@ def trigram_sb_scores(
         _trigrams(score_toks)
         .groupBy(id_col, "m1", "m2", "m3")
         .agg(F.count("*").alias("k"))
+        .localCheckpoint(eager=False)
     )
     if train_filter is not None:
         # train ⊆ score: the training census is a marginal of the
@@ -262,15 +272,21 @@ def trigram_sb_scores(
             dtc.where(train_filter)
             .groupBy("m1", "m2", "m3")
             .agg(F.sum("k").alias("c3"))
+            .localCheckpoint(eager=False)
         )
     else:
         ttc = (
             _trigrams(train_toks)
             .groupBy("m1", "m2", "m3")
             .agg(F.count("*").alias("c3"))
+            .localCheckpoint(eager=False)
         )
     ctx2 = ttc.groupBy("m1", "m2").agg(F.sum("c3").alias("C2"))
-    bi = ttc.groupBy("m2", "m3").agg(F.sum("c3").alias("cb"))
+    bi = (
+        ttc.groupBy("m2", "m3")
+        .agg(F.sum("c3").alias("cb"))
+        .localCheckpoint(eager=False)
+    )
     ctx1 = bi.groupBy("m2").agg(F.sum("cb").alias("C1"))
     uni = bi.groupBy("m3").agg(F.sum("cb").alias("cu"))
     total = ttc.agg(F.sum("c3").cast("double").alias("N"))
