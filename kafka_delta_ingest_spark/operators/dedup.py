@@ -679,7 +679,19 @@ def _admit_incoming(
     struct so the pair stream filters existing x existing pairs
     inline and the admission step below needs no flag-table joins at
     all. array_sort on (id, t) structs orders by id first.
+
+    ``grams`` and ``sizes`` are MATERIALIZED here (lazy
+    localCheckpoint): the pair machinery consumes ``grams`` three
+    times (the df-cap counter pre-agg, both sides of its semi-join)
+    and ``sizes`` twice (the a/b size joins), and none of those
+    consumers can share an exchange — without a cut, each one
+    re-executes the full tokenize+shingle+hash lineage (measured: 102
+    source scans in one uncut plan). The gram table is (id, tag,
+    8-byte hash) rows and the size table (id, count) — both far
+    smaller than the corpus text they replace.
     """
+    grams = grams.localCheckpoint(eager=False)
+    sizes = sizes.localCheckpoint(eager=False)
     inter = (
         _suffix_pairs(
             _carriers(
