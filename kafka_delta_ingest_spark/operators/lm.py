@@ -79,6 +79,11 @@ def bigram_lm_scores(
     toks = _lower_tokens(df, text_col, id_col)
 
     uni = toks.select(F.explode("w").alias("word"))
+    # NOT checkpointed (unlike the trigram path): a checkpointed side
+    # loses catalog size stats, demoting the model joins below from
+    # broadcast to sort-merge in the static plan — the pinned
+    # broadcast-model shape matters more than the re-derived census
+    # legs here (bigram lineage is one narrow pass, measured neutral).
     vocab = (
         uni.groupBy("word")
         .agg(F.count("*").alias("c"))
@@ -118,9 +123,7 @@ def bigram_lm_scores(
     )
 
     # Per-(doc, bigram) counts are the shared base: the model's global
-    # counts AND the scoring join both hang off this one aggregate, so
-    # the explode + vocabulary mapping runs ONCE and ReuseExchange
-    # serves the second branch from the first's shuffle files.
+    # counts AND the scoring join both hang off this one aggregate.
     dmc = mapped.groupBy(id_col, "m1", "m2").agg(F.count("*").alias("k"))
     bigram_counts = dmc.groupBy("m1", "m2").agg(F.sum("k").alias("cb"))
     context_counts = bigram_counts.groupBy("m1").agg(F.sum("cb").alias("c1"))
