@@ -4796,6 +4796,65 @@ def ingest_orc_path(spark, sf_dir):
 
 
 @_q(
+    "ingest_csv_path",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(event_id * 31 + user_id) AS BIGINT) AS checksum,
+           CAST(SUM(LENGTH(props)) AS BIGINT) AS props_chars,
+           COUNT(DISTINCT props) AS props_distinct
+    FROM events
+    WHERE event_type IN ('purchase', 'error')
+    GROUP BY event_type
+    """,
+)
+def ingest_csv_path(spark, sf_dir):
+    """CSV interop: the third Spark-native columnar/row format next
+    to parquet and ORC — the lowest-common-denominator exchange format
+    every upstream system can emit.  Write the events table as real
+    quoted CSV (header on; props is a JSON string full of commas and
+    quotes, so the writer's RFC 4180 quoting and the reader's unescape
+    are both on the certification path), read it back with the
+    explicit source schema, and certify integrity with order-free
+    integer invariants: the event checksum, total props characters,
+    and distinct props count — any mis-quoted comma splits a row and
+    breaks all three.  The oracle restates the invariants from the
+    parquet source.  Scale: Spark's CSV reader splits by newline at
+    file-block granularity, so the read parallelizes like any text
+    source; schema is explicit (no inference pass)."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    ev = load_table(spark, sf_dir, "events")
+    root = _tf.mkdtemp(prefix="kdi-csvq-")
+    try:
+        (
+            ev.write.mode("overwrite")
+            .option("header", "true")
+            .csv(root + "/t")
+        )
+        back = spark.read.schema(ev.schema).option(
+            "header", "true"
+        ).csv(root + "/t")
+        out = (
+            back.filter(F.col("event_type").isin("purchase", "error"))
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.col("event_id") * 31 + F.col("user_id")
+                ).alias("checksum"),
+                F.sum(F.length("props")).alias("props_chars"),
+                F.countDistinct("props").alias("props_distinct"),
+            )
+        )
+        # materialize before the fixture dataset is removed
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
+@_q(
     "sink_zorder_cluster",
     """
     WITH s AS (
@@ -7477,6 +7536,7 @@ _SWEEP_ORDER: list[str] = [
     "hudi_read_snapshot",
     "text_bpe_train_probe",
     "ingest_orc_path",
+    "ingest_csv_path",
     "sink_zorder_cluster",
     "text_unigram_train_probe",
     "dedup_paragraphs_global",

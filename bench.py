@@ -113,6 +113,7 @@ HEADLINE = [
     "hudi_read_snapshot",
     "text_bpe_train_probe",
     "ingest_orc_path",
+    "ingest_csv_path",
     "sink_zorder_cluster",
     "text_unigram_train_probe",
     "dedup_paragraphs_global",
