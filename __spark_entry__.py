@@ -4561,7 +4561,7 @@ def dedup_paragraphs_global(spark, sf_dir):
            FALSE AS has_bc,
            TRUE AS has_d,
            CAST(2 * n.nd + 13 AS BIGINT) AS ab_freq,
-           CAST(h.nh AS BIGINT) AS dd_freq,
+           CAST(GREATEST(h.nh, 1) AS BIGINT) AS dd_freq,
            CAST(7 AS INT) AS probe_tokens
     FROM n, h
     """,
@@ -4596,7 +4596,10 @@ def text_unigram_train_probe(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     nd = d.count()
-    nh = d.filter(F.col("doc_id") % 3 == 0).count()
+    # max(nh, 1) keeps the 'dd' leg nonempty (so 'd' exists and
+    # dd_freq is well-defined) on degenerate inputs; the oracle
+    # applies the same GREATEST.
+    nh = max(d.filter(F.col("doc_id") % 3 == 0).count(), 1)
     # numPartitions bounds the synthetic-range task count: the planted
     # corpus has 3 distinct words, so the trainer's cost here is pure
     # per-job overhead, not compute. em_iters=1: the first M-step

@@ -1184,22 +1184,32 @@ def paragraph_dedup(
     for reassembly but is never a shuffle KEY); the canonical pick is
     ``min`` over that hash partition — an unordered window, no sort
     anywhere, no global ordering; reassembly is a per-doc groupBy
-    whose collect_list is bounded by document length. Positions pack
-    under ``id * 2^20`` in the order key, bounding documents at 2^20
-    paragraphs (far beyond any real document; raise the shift for
-    synthetic monsters).
+    whose collect_list is bounded by document length. The canonical
+    pick orders by an (id, pos) STRUCT min, valid for any id range
+    (a packed integer key would wrap for ids >= 2^43). ``sep`` is a
+    LITERAL separator — escaped before the regex split, joined back
+    verbatim — so metacharacter separators like "." or "|" are safe.
     """
+    import re as _re
+
     from kafka_delta_ingest_spark.operators.util import spread
 
     pars = spread(df).select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "par"),
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(sep))
+        ).alias("pos", "par"),
     )
     occ = pars.withColumn(
         "gh", F.xxhash64(F.trim(F.lower(F.col("par"))))
-    ).withColumn("ok", F.col(id_col) * F.lit(1 << 20) + F.col("pos"))
+    )
     w = Window.partitionBy("gh")
-    flagged = occ.withColumn("keep", F.col("ok") == F.min("ok").over(w))
+    ok = F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))
+    first = F.min(ok).over(w)
+    flagged = occ.withColumn(
+        "keep",
+        (F.col(id_col) == first["i"]) & (F.col("pos") == first["p"]),
+    )
     return (
         flagged.groupBy(id_col)
         .agg(

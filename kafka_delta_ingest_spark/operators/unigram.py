@@ -145,8 +145,9 @@ def _viterbi(
     word: str, logp: dict, max_len: int, skip: str | None = None
 ) -> tuple[float, list[str]] | None:
     """Best segmentation of ``word`` (optionally excluding one piece);
-    None when no segmentation exists.  Ties resolve toward the LONGER
-    final piece (the natural DP order), deterministically."""
+    None when no segmentation exists.  Ties resolve toward the
+    SHORTER final piece (the ascending-length DP keeps the first
+    maximum under strict improvement), deterministically."""
     n = len(word)
     neg = float("-inf")
     best = [neg] * (n + 1)
@@ -203,6 +204,9 @@ def _collect_piece_map(
         .agg(F.sum("val").alias("val"))
         .collect()
     )
+    # One broadcast per E-step/prune pass: release it now or a long
+    # EM schedule accumulates a full logp copy per pass per executor.
+    bc.unpersist()
     return {r.piece: float(r.val) for r in rows}
 
 
@@ -280,9 +284,9 @@ def train_unigram(
         if len(multis) <= budget:
             break
         losses = _prune_losses(words, logp, max_piece_len)
+        # keep_n < len(multis) always holds here: this branch requires
+        # budget < len(multis), and int(len*shrink) < len for shrink<1.
         keep_n = max(budget, int(len(multis) * shrink))
-        if keep_n >= len(multis):
-            keep_n = budget  # shrink floor reached: cut to target
         ranked = sorted(
             multis, key=lambda p: (-losses.get(p, 0.0), p)
         )
@@ -306,36 +310,54 @@ def unigram_encode(
     (id, uni_tokens array<string>, n_unigram).  Mirrors ``bpe_encode``:
     the probability table broadcasts into an Arrow-batched pandas UDF
     with per-batch word memoization (cost scales with DISTINCT words).
-    A character absent from the vocabulary becomes its own UNK piece —
-    segmentation is total and lossless w.r.t. the character stream."""
+    Segmentation is TOTAL and lossless w.r.t. the character stream:
+    the lattice carries a per-character UNK edge priced 50 nats below
+    the worst real piece, so replacing any single real piece with
+    UNK characters is strictly worse and UNK pieces appear only for
+    characters no real piece covers (up to that 50-nat margin in
+    pathological vocabularies) — this also makes single-character
+    coverage in the vocabulary optional (a {"ab"} vocabulary encodes
+    "ab" as ["ab"], not two UNKs)."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, StringType
 
-    logp = (
-        {p: math.log(v) for p, v in dict(pieces).items()}
-        if not isinstance(pieces, dict)
-        else {p: math.log(v) for p, v in pieces.items()}
-    )
+    table = dict(pieces)
+    if any(v <= 0 for v in table.values()):
+        raise ValueError("piece probabilities must be positive")
+    logp = {p: math.log(v) for p, v in table.items()}
     max_len = max((len(p) for p in logp), default=1)
+    # Strictly worse than covering the same span with ONE real piece:
+    # k UNK edges cost k*(min-50) <= min-50 < any real lp >= min.
+    unk_lp = (min(logp.values()) if logp else 0.0) - 50.0
 
     def encode_word(word: str, memo: dict) -> list[str]:
         got = memo.get(word)
         if got is not None:
             return got
+        n = len(word)
+        neg = float("-inf")
+        best = [neg] * (n + 1)
+        best[0] = 0.0
+        back = [1] * (n + 1)
+        for i in range(1, n + 1):
+            for ln in range(1, min(max_len, i) + 1):
+                lp = logp.get(word[i - ln : i])
+                if lp is None or best[i - ln] == neg:
+                    continue
+                v = best[i - ln] + lp
+                if v > best[i]:
+                    best[i] = v
+                    back[i] = ln
+            v = best[i - 1] + unk_lp
+            if v > best[i]:
+                best[i] = v
+                back[i] = 1
         out: list[str] = []
-        # split at unknown characters: each becomes one UNK piece,
-        # known runs segment by Viterbi
-        run = []
-        for chx in word:
-            if chx in logp:
-                run.append(chx)
-                continue
-            if run:
-                out.extend(_viterbi("".join(run), logp, max_len)[1])
-                run = []
-            out.append(chx)
-        if run:
-            out.extend(_viterbi("".join(run), logp, max_len)[1])
+        i = n
+        while i > 0:
+            out.append(word[i - back[i] : i])
+            i -= back[i]
+        out.reverse()
         memo[word] = out
         return out
 

@@ -1666,3 +1666,21 @@ def test_paragraph_dedup_first_occurrence_wins(spark):
     assert out[1] == (3, 1, "alpha\nbeta")
     assert out[2] == (2, 1, "gamma")  # "Beta " normalizes to beta, dropped
     assert out[3] == (2, 1, "delta")  # gamma's canonical is doc 2
+
+
+def test_paragraph_dedup_metachar_separator_and_wide_ids(spark):
+    """sep is a LITERAL (a '.' separator must not regex-match every
+    character) and the canonical pick survives ids beyond 2^43 (a
+    packed integer order key would wrap) — review fixes."""
+    wide = 1 << 50
+    df = spark.createDataFrame(
+        [(wide + 5, "one.two"), (3, "two.three")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_removed, r.clean_text)
+        for r in dedup.paragraph_dedup(df, sep=".").collect()
+    }
+    # doc 3 has the lower id: its "two" is canonical
+    assert out[3] == (0, "two.three")
+    assert out[wide + 5] == (1, "one")

@@ -125,8 +125,6 @@ def _ref_train(word_counts, vocab_size, max_len, seed_size, shrink,
                 drop = (base - alt[0]) if alt else float("inf")
                 losses[p] = losses.get(p, 0.0) + c * drop
         keep_n = max(budget, int(len(multis) * shrink))
-        if keep_n >= len(multis):
-            keep_n = budget
         ranked_m = sorted(multis, key=lambda p: (-losses.get(p, 0.0), p))
         kept = set(ranked_m[:keep_n]) | set(singles)
         probs = {p: math.exp(lp) for p, lp in logp.items() if p in kept}
@@ -211,3 +209,18 @@ def test_encode_total_and_lossless(spark):
     # unknown char is its own piece
     assert "x" in toks0
     assert out[1] == ([], 0) and out[2] == ([], 0)
+
+
+def test_encode_multichar_only_vocab_and_bad_probs(spark):
+    """A vocabulary without single-character coverage still uses its
+    multi-char pieces (the UNK edge lives in the same lattice, priced
+    below every real piece), and non-positive probabilities are
+    rejected up front (review fixes)."""
+    df = spark.createDataFrame(
+        [(0, "ab aab zz")], "doc_id long, text string"
+    )
+    [row] = unigram_encode(df, [("ab", 1.0)]).collect()
+    # 'ab' -> [ab]; 'aab' -> [a(UNK), ab]; 'zz' -> [z, z] all UNK
+    assert row.uni_tokens == ["ab", "a", "ab", "z", "z"]
+    with pytest.raises(ValueError, match="positive"):
+        unigram_encode(df, [("ab", 0.0)])
