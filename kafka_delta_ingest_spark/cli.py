@@ -106,6 +106,11 @@ def build_parser() -> argparse.ArgumentParser:
     cur.add_argument("--text_col", default="text")
     cur.add_argument("--min_quality", type=float, default=0.5,
                      help="Drop documents scoring below this quality")
+    cur.add_argument("--dedup_paragraphs", action="store_true",
+                     help="Drop every repeated paragraph corpus-wide "
+                          "except its first (id, position) occurrence "
+                          "(the CCNet preprocessing stage), before "
+                          "quality scoring")
     cur.add_argument("--remove_boilerplate", action="store_true",
                      help="strip cross-document repeated 50-word "
                           "passages (keep the lowest-id copy) before "
@@ -384,6 +389,22 @@ def run_curate(args: argparse.Namespace) -> int:
     d = spark.read.parquet(args.input)
     if args.pii_redact:
         d = d.withColumn(txc, pii.redact(F.col(txc)))
+    if args.dedup_paragraphs:
+        # CCNet's position in the funnel: paragraph-level global dedup
+        # BEFORE quality/LM scoring, so the gates judge the deduped
+        # text. Touched-only rewrite, same contract as
+        # --remove_boilerplate below (untouched docs keep their exact
+        # bytes).
+        touched_p = (
+            dedup.paragraph_dedup(d, id_col=idc, text_col=txc)
+            .where(F.col("n_removed") > 0)
+            .select(idc, F.col("clean_text").alias("_cleanp"))
+        )
+        d = (
+            d.join(touched_p, idc, "left")
+            .withColumn(txc, F.coalesce(F.col("_cleanp"), F.col(txc)))
+            .drop("_cleanp")
+        )
     if args.remove_boilerplate:
         # Rewrite text with cross-doc repeated passages stripped BEFORE
         # quality scoring, so the gates judge the de-boilerplated doc.

@@ -207,3 +207,29 @@ def test_curate_gram_index_steady_state(spark, tmp_path):
     assert (
         spark.read.parquet(idx).distinct().count() == idx_n2
     )  # still no duplicate (doc_id, gh) rows
+
+
+def test_curate_paragraph_dedup_stage(spark, tmp_path):
+    """--dedup_paragraphs rewrites only touched docs (untouched docs
+    keep exact bytes) and the repeated paragraph survives solely in
+    its first (id, pos) carrier."""
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    rows = [
+        Row(doc_id=1, text="alpha beta gamma delta one\nshared para body here",
+            lang="en", source="s", n_chars=10),
+        Row(doc_id=2, text="shared para body here\nepsilon zeta eta theta two",
+            lang="en", source="s", n_chars=10),
+        Row(doc_id=3, text="untouched text stays byte identical three",
+            lang="en", source="s", n_chars=10),
+    ]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(src)
+    rc = main(
+        ["curate", src, out, "--min_quality", "0.0",
+         "--dedup", "none", "--dedup_paragraphs"]
+    )
+    assert rc == 0
+    got = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+    assert got[1] == "alpha beta gamma delta one\nshared para body here"
+    assert got[2] == "epsilon zeta eta theta two"
+    assert got[3] == "untouched text stays byte identical three"
