@@ -4474,6 +4474,78 @@ def text_bpe_train_probe(spark, sf_dir):
 
 
 @_q(
+    "text_lang_id",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+        string_split_regex(trim(lower(text ||
+          CASE CAST(doc_id % 4 AS INT)
+            WHEN 0 THEN ' der und das ist'
+            WHEN 1 THEN ' el que los'
+            WHEN 2 THEN ' le les et est'
+            ELSE '' END)), '\s+') AS toks
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+        CAST(len(list_filter(toks,
+          x -> x IN ('the','and','of','to','is'))) AS INT) AS en_hits,
+        CAST(len(list_filter(toks,
+          x -> x IN ('der','die','das','und','ist'))) AS INT) AS de_hits,
+        CAST(len(list_filter(toks,
+          x -> x IN ('el','la','los','que','es'))) AS INT) AS es_hits,
+        CAST(len(list_filter(toks,
+          x -> x IN ('le','la','les','et','est'))) AS INT) AS fr_hits
+      FROM t
+    )
+    SELECT doc_id, en_hits, de_hits, es_hits, fr_hits,
+      CASE
+        WHEN GREATEST(en_hits, de_hits, es_hits, fr_hits) = 0
+          THEN 'unknown'
+        WHEN en_hits = GREATEST(en_hits, de_hits, es_hits, fr_hits)
+          THEN 'en'
+        WHEN de_hits = GREATEST(en_hits, de_hits, es_hits, fr_hits)
+          THEN 'de'
+        WHEN es_hits = GREATEST(en_hits, de_hits, es_hits, fr_hits)
+          THEN 'es'
+        ELSE 'fr'
+      END AS lang_pred
+    FROM h
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    """Stopword-marker language ID (operators/text.py::lang_id — the
+    n-gram-heuristic family's zero-UDF form: per-language marker hit
+    counts via array filters, argmax with a fixed tie order, zero
+    hits → 'unknown').  The corpus is English-ish, so the query
+    plants marker suffixes on a doc_id schedule (German / Spanish /
+    French / untouched quarters); the untouched quarter certifies the
+    base-text path (en or unknown), the Spanish/French quarters
+    exercise the shared-marker overlap ('la' counts for both) and the
+    cross-language tie rule.  The oracle replays tokenization, all
+    four marker counts, and the argmax relationally — the per-language
+    integer hit counts make any miscount visible, not just a flipped
+    argmax.  Scale: pure array expressions inside whole-stage codegen,
+    no shuffle, no UDF."""
+    doc = F.col("doc_id")
+    inj = (
+        F.when(doc % 4 == 0, F.lit(" der und das ist"))
+        .when(doc % 4 == 1, F.lit(" el que los"))
+        .when(doc % 4 == 2, F.lit(" le les et est"))
+        .otherwise(F.lit(""))
+    )
+    t = F.concat(F.col("text"), inj)
+    scores = textops.lang_scores(t)
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        scores["en"].cast("int").alias("en_hits"),
+        scores["de"].cast("int").alias("de_hits"),
+        scores["es"].cast("int").alias("es_hits"),
+        scores["fr"].cast("int").alias("fr_hits"),
+        textops.lang_id(t).alias("lang_pred"),
+    )
+
+
+@_q(
     "dedup_paragraphs_global",
     r"""
     WITH w AS (
@@ -7543,6 +7615,7 @@ _SWEEP_ORDER: list[str] = [
     "sink_zorder_cluster",
     "text_unigram_train_probe",
     "dedup_paragraphs_global",
+    "text_lang_id",
     # --- flagship re-certification: ingest + sink paths.
     "ingest_message_path",
     "ingest_avro_path",

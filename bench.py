@@ -117,6 +117,7 @@ HEADLINE = [
     "sink_zorder_cluster",
     "text_unigram_train_probe",
     "dedup_paragraphs_global",
+    "text_lang_id",
 ]
 
 
