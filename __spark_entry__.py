@@ -4876,41 +4876,51 @@ def ingest_orc_path(spark, sf_dir):
     SELECT event_type,
            COUNT(*) AS n,
            CAST(SUM(event_id * 31 + user_id) AS BIGINT) AS checksum,
-           CAST(SUM(LENGTH(props)) AS BIGINT) AS props_chars,
-           COUNT(DISTINCT props) AS props_distinct
+           CAST(SUM(LENGTH('a,"' || props || '",b'))
+                AS BIGINT) AS tricky_chars,
+           COUNT(DISTINCT 'a,"' || props || '",b') AS tricky_distinct
     FROM events
     WHERE event_type IN ('purchase', 'error')
     GROUP BY event_type
     """,
 )
 def ingest_csv_path(spark, sf_dir):
-    """CSV interop: the third Spark-native columnar/row format next
-    to parquet and ORC — the lowest-common-denominator exchange format
-    every upstream system can emit.  Write the events table as real
-    quoted CSV (header on; props is a JSON string full of commas and
-    quotes, so the writer's RFC 4180 quoting and the reader's unescape
-    are both on the certification path), read it back with the
-    explicit source schema, and certify integrity with order-free
-    integer invariants: the event checksum, total props characters,
-    and distinct props count — any mis-quoted comma splits a row and
-    breaks all three.  The oracle restates the invariants from the
-    parquet source.  Scale: Spark's CSV reader splits by newline at
-    file-block granularity, so the read parallelizes like any text
+    """CSV interop: the third Spark-native format next to parquet and
+    ORC — the lowest-common-denominator exchange format every upstream
+    system can emit.  Write the events table as RFC 4180 CSV (header
+    on; ``escape`` set to the double-quote so embedded quotes DOUBLE
+    per the RFC instead of Spark's proprietary backslash default —
+    the dialect an external emitter/consumer actually speaks), with a
+    planted ``tricky`` column that wraps props in commas and quotes
+    ('a,"{...}",b') so field-splitting, quote-doubling, and unescape
+    are all genuinely on the certification path.  Read back with the
+    explicit schema and certify order-free integer invariants: the
+    event checksum, total tricky characters, and distinct tricky
+    values — a mis-quoted comma or a mis-doubled quote splits a field
+    and breaks all three.  The oracle restates the invariants from
+    the parquet source.  Scale: Spark's CSV reader splits by newline
+    at file-block granularity, so the read parallelizes like any text
     source; schema is explicit (no inference pass)."""
     import shutil as _sh
     import tempfile as _tf
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "tricky", F.concat(F.lit('a,"'), F.col("props"), F.lit('",b'))
+    )
     root = _tf.mkdtemp(prefix="kdi-csvq-")
     try:
         (
             ev.write.mode("overwrite")
             .option("header", "true")
+            .option("escape", '"')
             .csv(root + "/t")
         )
-        back = spark.read.schema(ev.schema).option(
-            "header", "true"
-        ).csv(root + "/t")
+        back = (
+            spark.read.schema(ev.schema)
+            .option("header", "true")
+            .option("escape", '"')
+            .csv(root + "/t")
+        )
         out = (
             back.filter(F.col("event_type").isin("purchase", "error"))
             .groupBy("event_type")
@@ -4919,8 +4929,8 @@ def ingest_csv_path(spark, sf_dir):
                 F.sum(
                     F.col("event_id") * 31 + F.col("user_id")
                 ).alias("checksum"),
-                F.sum(F.length("props")).alias("props_chars"),
-                F.countDistinct("props").alias("props_distinct"),
+                F.sum(F.length("tricky")).alias("tricky_chars"),
+                F.countDistinct("tricky").alias("tricky_distinct"),
             )
         )
         # materialize before the fixture dataset is removed

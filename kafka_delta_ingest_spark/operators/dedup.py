@@ -1189,6 +1189,13 @@ def paragraph_dedup(
     (a packed integer key would wrap for ids >= 2^43). ``sep`` is a
     LITERAL separator — escaped before the regex split, joined back
     verbatim — so metacharacter separators like "." or "|" are safe.
+
+    BLANK paragraphs (empty after trim) are NOT dedup candidates —
+    they are document structure (the blank line in "intro\\n\\nbody"),
+    and deduping them would strip every paragraph break in the corpus
+    but the first. Each blank keys its own salted group (a unique
+    (id, pos) hash), which both preserves it unconditionally and
+    keeps the all-blanks key from becoming one skewed partition.
     """
     import re as _re
 
@@ -1200,8 +1207,17 @@ def paragraph_dedup(
             F.split(F.col(text_col), _re.escape(sep))
         ).alias("pos", "par"),
     )
+    norm = F.trim(F.lower(F.col("par")))
     occ = pars.withColumn(
-        "gh", F.xxhash64(F.trim(F.lower(F.col("par"))))
+        "gh",
+        F.when(
+            norm == "",
+            F.xxhash64(
+                F.lit("\x00blank"),
+                F.col(id_col).cast("string"),
+                F.col("pos").cast("string"),
+            ),
+        ).otherwise(F.xxhash64(norm)),
     )
     w = Window.partitionBy("gh")
     ok = F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))

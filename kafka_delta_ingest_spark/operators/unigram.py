@@ -142,12 +142,21 @@ def _forward_backward(
 
 
 def _viterbi(
-    word: str, logp: dict, max_len: int, skip: str | None = None
+    word: str,
+    logp: dict,
+    max_len: int,
+    skip: str | None = None,
+    unk_lp: float | None = None,
 ) -> tuple[float, list[str]] | None:
     """Best segmentation of ``word`` (optionally excluding one piece);
     None when no segmentation exists.  Ties resolve toward the
     SHORTER final piece (the ascending-length DP keeps the first
-    maximum under strict improvement), deterministically."""
+    maximum under strict improvement), deterministically.
+
+    ``unk_lp`` (the encode path) adds a per-CHARACTER fallback edge at
+    that log-prob, making segmentation total: a character covered by
+    no piece becomes its own token.  With it set, None is never
+    returned."""
     n = len(word)
     neg = float("-inf")
     best = [neg] * (n + 1)
@@ -165,6 +174,11 @@ def _viterbi(
             if v > best[i]:
                 best[i] = v
                 back[i] = ln
+        if unk_lp is not None and best[i - 1] != neg:
+            v = best[i - 1] + unk_lp
+            if v > best[i]:
+                best[i] = v
+                back[i] = 1
     if best[n] == neg:
         return None
     out: list[str] = []
@@ -334,30 +348,7 @@ def unigram_encode(
         got = memo.get(word)
         if got is not None:
             return got
-        n = len(word)
-        neg = float("-inf")
-        best = [neg] * (n + 1)
-        best[0] = 0.0
-        back = [1] * (n + 1)
-        for i in range(1, n + 1):
-            for ln in range(1, min(max_len, i) + 1):
-                lp = logp.get(word[i - ln : i])
-                if lp is None or best[i - ln] == neg:
-                    continue
-                v = best[i - ln] + lp
-                if v > best[i]:
-                    best[i] = v
-                    back[i] = ln
-            v = best[i - 1] + unk_lp
-            if v > best[i]:
-                best[i] = v
-                back[i] = 1
-        out: list[str] = []
-        i = n
-        while i > 0:
-            out.append(word[i - back[i] : i])
-            i -= back[i]
-        out.reverse()
+        out = _viterbi(word, logp, max_len, unk_lp=unk_lp)[1]
         memo[word] = out
         return out
 

@@ -1684,3 +1684,20 @@ def test_paragraph_dedup_metachar_separator_and_wide_ids(spark):
     # doc 3 has the lower id: its "two" is canonical
     assert out[3] == (0, "two.three")
     assert out[wide + 5] == (1, "one")
+
+
+def test_paragraph_dedup_preserves_blank_structure(spark):
+    """Blank paragraphs are document STRUCTURE, not dedup candidates:
+    two unrelated documents with paragraph breaks must both keep
+    them (review fix: blanks shared one hash group, so every blank
+    line after the corpus-first was deleted)."""
+    df = spark.createDataFrame(
+        [(1, "intro\n\nbody"), (2, "unrelated\n\nother\n")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_removed, r.clean_text)
+        for r in dedup.paragraph_dedup(df).collect()
+    }
+    assert out[1] == (0, "intro\n\nbody")
+    assert out[2] == (0, "unrelated\n\nother\n")
