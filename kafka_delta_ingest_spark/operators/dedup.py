@@ -1182,9 +1182,11 @@ def paragraph_dedup(
     Scale shape: ONE exchange keyed by the paragraph's xxhash64
     (8-byte longs travel, not paragraph text... the text rides along
     for reassembly but is never a shuffle KEY); the canonical pick is
-    ``min`` over that hash partition — an unordered window, no sort
-    anywhere, no global ordering; reassembly is a per-doc groupBy
-    whose collect_list is bounded by document length. The canonical
+    ``min`` over that hash partition — WindowExec adds one LOCAL
+    per-partition sort on the 8-byte key (its clustering requirement;
+    no global ordering, no corpus-wide sort); reassembly is a per-doc
+    groupBy whose collect_list is bounded by document length. The
+    canonical
     pick orders by an (id, pos) STRUCT min, valid for any id range
     (a packed integer key would wrap for ids >= 2^43). ``sep`` is a
     LITERAL separator — escaped before the regex split, joined back

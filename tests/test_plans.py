@@ -359,3 +359,17 @@ def test_orc_readback_prunes_partitions(spark, tmp_path):
     assert "ORC" in p or "orc" in p
     pf = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
     assert pf and any("event_type" in ln for ln in pf), p
+
+
+def test_paragraph_dedup_shuffles_on_hash_no_global_sort(spark):
+    """paragraph_dedup's canonical pick must exchange on the 8-byte
+    paragraph hash and sort only LOCALLY for the window (no global
+    sort, no corpus-wide ordering)."""
+    from kafka_delta_ingest_spark.operators.dedup import paragraph_dedup
+
+    df = spark.read.parquet(SF + "/documents.parquet")
+    p = plan(paragraph_dedup(df), mode="simple")
+    assert "hashpartitioning(gh" in p
+    sorts = [ln for ln in p.splitlines() if "Sort [" in ln]
+    # every sort is the window's local one: global flag must be false
+    assert sorts and all(", false," in ln for ln in sorts), p
