@@ -4474,6 +4474,58 @@ def text_bpe_train_probe(spark, sf_dir):
 
 
 @_q(
+    "text_unicode_nfc",
+    """
+    WITH t AS (
+      SELECT doc_id,
+        text || CASE CAST(doc_id % 3 AS INT)
+          WHEN 0 THEN ' cafe' || chr(769)
+          WHEN 1 THEN ' A' || chr(778) || 'ngstro' || chr(776) || 'm'
+          ELSE '' END AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(length(raw) AS INT) AS raw_len,
+      CAST(length(nfc_normalize(raw)) AS INT) AS nfc_len,
+      md5(nfc_normalize(raw)) AS nfc_md5,
+      (nfc_normalize(raw) <> raw) AS changed
+    FROM t
+    """,
+)
+def text_unicode_nfc(spark, sf_dir):
+    """Unicode NFC normalization (operators/text.py::unicode_normalize
+    — the tokenizer-preprocessing canonicalization step: combining
+    sequences compose so 'e'+U+0301 and precomposed 'é' hash
+    identically for dedup/search).  The corpus is ASCII, so the query
+    plants decomposed suffixes on a doc_id schedule (a combining acute
+    and a ring+diaeresis pair); the oracle normalizes with DuckDB's
+    own UAX #15 implementation — two INDEPENDENT normalizers must
+    agree byte-for-byte (md5) and on the composed length drop, which
+    certifies the kernel against the standard rather than against
+    itself.  Untouched docs certify the identity path (changed =
+    false).  Scale: one Arrow-batched pandas-UDF map, no shuffle —
+    Spark has no built-in normalizer, the documented UDF criterion."""
+    doc = F.col("doc_id")
+    inj = (
+        F.when(doc % 3 == 0, F.lit(" cafe" + chr(0x0301)))
+        .when(
+            doc % 3 == 1,
+            F.lit(" A" + chr(0x030A) + "ngstro" + chr(0x0308) + "m"),
+        )
+        .otherwise(F.lit(""))
+    )
+    raw = F.concat(F.col("text"), inj)
+    nfc = textops.unicode_normalize(raw, "NFC")
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length(raw).cast("int").alias("raw_len"),
+        F.length(nfc).cast("int").alias("nfc_len"),
+        F.md5(nfc).alias("nfc_md5"),
+        (nfc != raw).alias("changed"),
+    )
+
+
+@_q(
     "text_lang_id",
     r"""
     WITH t AS (
@@ -7626,6 +7678,7 @@ _SWEEP_ORDER: list[str] = [
     "text_unigram_train_probe",
     "dedup_paragraphs_global",
     "text_lang_id",
+    "text_unicode_nfc",
     # --- flagship re-certification: ingest + sink paths.
     "ingest_message_path",
     "ingest_avro_path",

@@ -118,6 +118,7 @@ HEADLINE = [
     "text_unigram_train_probe",
     "dedup_paragraphs_global",
     "text_lang_id",
+    "text_unicode_nfc",
 ]
 
 

@@ -9,6 +9,8 @@ can verify it bit-for-bit.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # Normalization: lowercase + collapse whitespace. Shared by fingerprint
@@ -654,3 +656,31 @@ def zipf_fit(
         F.round("slope", 6).alias("zipf_slope"),
         F.round("intercept", 6).alias("zipf_intercept"),
     )
+
+
+def unicode_normalize(col: Column, form: str = "NFC") -> Column:
+    """Unicode normalization (UAX #15) of a string column — the
+    standard tokenizer-preprocessing step (SentencePiece defaults to
+    an NFKC variant; search/dedup pipelines canonicalize to NFC so
+    'e'+COMBINING ACUTE and precomposed 'é' hash identically).
+
+    Spark has no built-in normalizer, so this is a deliberate
+    Arrow-batched pandas-UDF hot path (the documented criterion);
+    the kernel is a pure per-string table lookup in the stdlib's
+    unicodedata, no Python-side state."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: unicodedata.normalize(form, t)
+            if t is not None
+            else None
+        )
+
+    return _norm(col)

@@ -1701,3 +1701,27 @@ def test_paragraph_dedup_preserves_blank_structure(spark):
     }
     assert out[1] == (0, "intro\n\nbody")
     assert out[2] == (0, "unrelated\n\nother\n")
+
+
+def test_unicode_normalize_forms(spark):
+    """NFC composes combining sequences; NFKC additionally folds
+    compatibility characters; bad form rejected; nulls pass through."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(0, "e" + chr(0x0301)), (1, "ﬁle"), (2, None)],
+        "doc_id long, t string",
+    )
+    out = {
+        r.doc_id: (r.nfc, r.nfkc)
+        for r in df.select(
+            "doc_id",
+            text.unicode_normalize(F.col("t"), "NFC").alias("nfc"),
+            text.unicode_normalize(F.col("t"), "NFKC").alias("nfkc"),
+        ).collect()
+    }
+    assert out[0] == ("é", "é")
+    assert out[1] == ("ﬁle", "file")  # ligature folds only in NFKC
+    assert out[2] == (None, None)
+    with _pytest.raises(ValueError, match="normalization form"):
+        text.unicode_normalize(F.col("t"), "NFX")
