@@ -58,6 +58,16 @@ def get_spark(
     )
     if SparkSession.getActiveSession() is None:
         builder = builder.master(f"local[{cpus}]")
+        # Local mode runs everything in the driver JVM, whose heap
+        # defaults to 1g regardless of machine size — 32 concurrent
+        # tasks sharing 1g hit GCLocker retry death on any
+        # materialization (measured: a 10x-corpus localCheckpoint).
+        # Size it to the box (overridable via SPARK_GRAFT_DRIVER_MEM);
+        # on a real cluster spark-submit owns this setting.
+        builder = builder.config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
