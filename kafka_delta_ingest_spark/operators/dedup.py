@@ -1186,8 +1186,8 @@ def paragraph_dedup(
     per-partition sort on the 8-byte key (its clustering requirement;
     no global ordering, no corpus-wide sort); reassembly is a per-doc
     groupBy whose collect_list is bounded by document length. The
-    canonical
-    pick orders by an (id, pos) STRUCT min, valid for any id range
+    canonical pick orders by an (id, pos) STRUCT min, valid for any
+    id range
     (a packed integer key would wrap for ids >= 2^43). ``sep`` is a
     LITERAL separator — escaped before the regex split, joined back
     verbatim — so metacharacter separators like "." or "|" are safe.

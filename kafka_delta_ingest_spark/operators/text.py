@@ -2,9 +2,13 @@
 document fingerprinting.
 
 All pure ``pyspark.sql.functions`` expressions (whole-stage codegen, no
-Python UDFs) so they run at scan speed over 100 TB of documents. Each
-operator is deliberately expressible in ANSI SQL so the DuckDB oracle
-can verify it bit-for-bit.
+Python UDFs) so they run at scan speed over 100 TB of documents — with
+ONE documented exception: :func:`unicode_normalize` is an
+Arrow-batched pandas UDF, because Spark has no built-in UAX #15
+normalizer (its oracle uses DuckDB's independent implementation
+instead of an ANSI restatement). Every other operator is deliberately
+expressible in ANSI SQL so the DuckDB oracle can verify it
+bit-for-bit.
 """
 
 from __future__ import annotations
@@ -665,11 +669,9 @@ def unicode_normalize(col: Column, form: str = "NFC") -> Column:
     'e'+COMBINING ACUTE and precomposed 'é' hash identically).
 
     Spark has no built-in normalizer, so this is a deliberate
-    Arrow-batched pandas-UDF hot path (the documented criterion);
-    the kernel is a pure per-string table lookup in the stdlib's
-    unicodedata, no Python-side state."""
-    import unicodedata
-
+    Arrow-batched pandas-UDF hot path (the documented criterion); the
+    kernel is pandas' own vectorized ``Series.str.normalize`` (which
+    wraps the stdlib's unicodedata and passes nulls through)."""
     from pyspark.sql.functions import pandas_udf
 
     if form not in ("NFC", "NFD", "NFKC", "NFKD"):
@@ -677,10 +679,6 @@ def unicode_normalize(col: Column, form: str = "NFC") -> Column:
 
     @pandas_udf("string")
     def _norm(s: pd.Series) -> pd.Series:
-        return s.map(
-            lambda t: unicodedata.normalize(form, t)
-            if t is not None
-            else None
-        )
+        return s.str.normalize(form)
 
     return _norm(col)

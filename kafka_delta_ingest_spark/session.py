@@ -62,12 +62,21 @@ def get_spark(
         # defaults to 1g regardless of machine size — 32 concurrent
         # tasks sharing 1g hit GCLocker retry death on any
         # materialization (measured: a 10x-corpus localCheckpoint).
-        # Size it to the box (overridable via SPARK_GRAFT_DRIVER_MEM);
-        # on a real cluster spark-submit owns this setting.
-        builder = builder.config(
-            "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
-        )
+        # Size it FROM the box: a quarter of physical RAM, clamped to
+        # [2g, 16g], so a small CI container is never overcommitted
+        # into the OOM-killer (override via SPARK_GRAFT_DRIVER_MEM;
+        # on a real cluster spark-submit owns this setting).
+        mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+        if not mem:
+            try:
+                ram_gb = (
+                    os.sysconf("SC_PHYS_PAGES")
+                    * os.sysconf("SC_PAGE_SIZE")
+                ) >> 30
+            except (ValueError, OSError):
+                ram_gb = 8
+            mem = f"{min(16, max(2, ram_gb // 4))}g"
+        builder = builder.config("spark.driver.memory", mem)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
