@@ -4474,6 +4474,68 @@ def text_bpe_train_probe(spark, sf_dir):
 
 
 @_q(
+    "text_split_sentences",
+    r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ), p AS (
+      SELECT doc_id,
+        array_to_string(list_transform(range(0, len(toks)), i ->
+          toks[i+1] || CASE CAST((doc_id + i) % 5 AS INT)
+            WHEN 0 THEN '.' WHEN 3 THEN '!' ELSE '' END), ' ') AS planted
+      FROM w
+    ), s AS (
+      SELECT doc_id,
+        list_filter(
+          list_transform(
+            regexp_extract_all(trim(planted),
+                               '[^.!?]+[.!?]+|[^.!?]+$'),
+            x -> trim(x)),
+          x -> len(x) > 0) AS sents
+      FROM p
+    )
+    SELECT doc_id,
+      CAST(len(sents) AS INT) AS n_sentences,
+      md5(array_to_string(sents, '|')) AS sents_md5
+    FROM s
+    """,
+)
+def text_split_sentences(spark, sf_dir):
+    """Rule-based sentence segmentation (operators/text.py::
+    split_sentences — the step under C4's sentence-level dedup and
+    RAG sentence-window chunkers): maximal runs ending in terminal
+    punctuation, trailing unterminated run kept.  The corpus has no
+    punctuation, so the query plants '.' and '!' on a (doc_id + word
+    index) schedule; sents_md5 certifies the exact segmentation
+    byte-for-byte (boundary placement, punctuation retention, trim).
+    The pattern avoids lookarounds so Java regex (Spark) and RE2 (the
+    oracle's regexp_extract_all) must agree — two independent regex
+    engines certify the split.  Scale: pure array expressions, no
+    shuffle, no UDF."""
+    doc = F.col("doc_id")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    planted = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i + 1),
+                F.when((doc + i) % 5 == 0, F.lit("."))
+                .when((doc + i) % 5 == 3, F.lit("!"))
+                .otherwise(F.lit("")),
+            ),
+        ),
+        " ",
+    )
+    sents = textops.split_sentences(planted)
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(sents).cast("int").alias("n_sentences"),
+        F.md5(F.array_join(sents, "|")).alias("sents_md5"),
+    )
+
+
+@_q(
     "text_unicode_nfc",
     """
     WITH t AS (
@@ -7679,6 +7741,7 @@ _SWEEP_ORDER: list[str] = [
     "dedup_paragraphs_global",
     "text_lang_id",
     "text_unicode_nfc",
+    "text_split_sentences",
     # --- flagship re-certification: ingest + sink paths.
     "ingest_message_path",
     "ingest_avro_path",

@@ -119,6 +119,7 @@ HEADLINE = [
     "dedup_paragraphs_global",
     "text_lang_id",
     "text_unicode_nfc",
+    "text_split_sentences",
 ]
 
 

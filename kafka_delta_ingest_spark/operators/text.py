@@ -682,3 +682,21 @@ def unicode_normalize(col: Column, form: str = "NFC") -> Column:
         return s.str.normalize(form)
 
     return _norm(col)
+
+
+def split_sentences(col: Column) -> Column:
+    """Rule-based sentence segmentation: maximal runs ending in
+    terminal punctuation (``.!?``, with a trailing unterminated run
+    kept as its own sentence) — the preprocessing step under C4's
+    sentence-level dedup and RAG sentence-window chunkers.
+
+    The pattern deliberately avoids lookarounds so Java regex (Spark)
+    and RE2 (the DuckDB oracle's ``regexp_extract_all``) segment
+    identically. Pure array expressions — no shuffle, no UDF."""
+    raw = F.regexp_extract_all(
+        F.trim(col), F.lit(r"[^.!?]+[.!?]+|[^.!?]+$"), F.lit(0)
+    )
+    return F.filter(
+        F.transform(raw, lambda s: F.trim(s)),
+        lambda s: F.length(s) > 0,
+    )

@@ -1725,3 +1725,29 @@ def test_unicode_normalize_forms(spark):
     assert out[2] == (None, None)
     with _pytest.raises(ValueError, match="normalization form"):
         text.unicode_normalize(F.col("t"), "NFX")
+
+
+def test_split_sentences_rules(spark):
+    """Terminal-punctuation segmentation: boundaries after .!? runs,
+    trailing unterminated text is its own sentence, empties drop."""
+    df = spark.createDataFrame(
+        [
+            (0, "Hello there. How are you? Fine!! trailing bit"),
+            (1, ""),
+            (2, None),
+            (3, "no punctuation at all"),
+        ],
+        "doc_id long, t string",
+    )
+    out = {
+        r.doc_id: r.s
+        for r in df.select(
+            "doc_id", text.split_sentences(F.col("t")).alias("s")
+        ).collect()
+    }
+    assert out[0] == [
+        "Hello there.", "How are you?", "Fine!!", "trailing bit",
+    ]
+    assert out[1] == []
+    assert out[2] is None
+    assert out[3] == ["no punctuation at all"]
