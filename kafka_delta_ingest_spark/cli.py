@@ -544,8 +544,28 @@ def run_extract_web(args: argparse.Namespace) -> int:
     from kafka_delta_ingest_spark.warc import read_warc
 
     spark = get_spark(app_name="kdi-extract-web")
-    recs = read_warc(spark, args.input).localCheckpoint()
-    # one WARC pass serves pages, quarantine, and the summary counts
+    # no checkpoint/persist of the record set: it contains decompressed
+    # response bodies, and at CommonCrawl scale materializing the whole
+    # crawl into (unreplicated) executor storage is both enormous and
+    # fragile to executor loss. Each consumer re-scans the WARC files —
+    # the quarantine/count passes are cheap column-pruned scans, and
+    # the summary counts come via observe() on the passes that already
+    # run (r7 ADVICE fix).
+    from pyspark.sql import Observation
+
+    obs = Observation("warc_summary")
+    recs = read_warc(spark, args.input).observe(
+        obs,
+        F.sum(F.col("parse_error").isNotNull().cast("long")).alias(
+            "n_bad"
+        ),
+        F.sum(
+            (
+                F.col("parse_error").isNull()
+                & F.col("http_status").isNotNull()
+            ).cast("long")
+        ).alias("n_resp"),
+    )
     if args.quarantine:
         recs.where(F.col("parse_error").isNotNull()).select(
             "warc_file", "record_id", "target_uri", "parse_error"
@@ -586,12 +606,13 @@ def run_extract_web(args: argparse.Namespace) -> int:
             "n_links",
         )
     )
+    out_obs = Observation("extracted")
+    docs = docs.observe(out_obs, F.count(F.lit(1)).alias("n_out"))
     docs.write.mode("overwrite").parquet(args.output)
-    n_bad = recs.where(F.col("parse_error").isNotNull()).count()
-    n_resp = recs.where(
-        F.col("parse_error").isNull() & (F.col("http_status").isNotNull())
-    ).count()
-    n_out = spark.read.parquet(args.output).count()
+    summary = obs.get
+    n_bad = summary["n_bad"] or 0
+    n_resp = summary["n_resp"] or 0
+    n_out = out_obs.get["n_out"]
     print(
         f"responses={n_resp} extracted={n_out} quarantined={n_bad}"
     )

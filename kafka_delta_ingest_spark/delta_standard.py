@@ -57,6 +57,12 @@ def _commit_versions(log: str) -> list[int]:
 
 
 def _checkpoint_files(log: str, version: int) -> list[str]:
+    """Files of a COMPLETE checkpoint at ``version``, else [].
+
+    Multi-part names encode ``%010d.%010d`` (part-of-total); a crash
+    mid-write leaves a partial set which must NOT qualify — replaying
+    it would silently drop add actions (r7 ADVICE fix). Completeness =
+    every part 1..total present and totals consistent."""
     single = os.path.join(log, f"{version:020d}.checkpoint.parquet")
     if os.path.exists(single):
         return [single]
@@ -65,7 +71,24 @@ def _checkpoint_files(log: str, version: int) -> list[str]:
             os.path.join(log, f"{version:020d}.checkpoint.*.parquet")
         )
     )
-    return parts
+    if not parts:
+        return []
+    seen: dict[int, str] = {}
+    total = None
+    for p in parts:
+        segs = os.path.basename(p).split(".")
+        # %020d.checkpoint.%010d.%010d.parquet → 5 dot-segments
+        if len(segs) != 5 or not (segs[2].isdigit() and segs[3].isdigit()):
+            return []
+        part, tot = int(segs[2]), int(segs[3])
+        if total is None:
+            total = tot
+        if tot != total or part in seen:
+            return []  # inconsistent totals / duplicate part
+        seen[part] = p
+    if total is None or set(seen) != set(range(1, total + 1)):
+        return []  # incomplete part set (crashed writer)
+    return [seen[i] for i in range(1, total + 1)]
 
 
 def _best_checkpoint(log: str, target: int) -> int | None:
@@ -98,22 +121,43 @@ def _replay(spark, table_path: str, target: int) -> dict:
     start = 0
     cp = _best_checkpoint(log, target)
     if cp is not None:
-        for row in (
-            spark.read.parquet(*_checkpoint_files(log, cp))
-            .select("add", "remove", "metaData", "protocol")
-            .collect()
-        ):
-            if row.metaData is not None and row.metaData.id is not None:
+        from pyspark.sql import functions as F
+
+        # add/remove reconciliation runs IN SPARK: the driver collects
+        # only metaData/protocol (one row each) and the SURVIVING add
+        # actions — O(live files), not O(checkpoint rows incl. remove
+        # tombstones). At 1M+-file tables the remove tombstones and
+        # superseded adds never reach the driver (r7, was a full
+        # .collect() of the checkpoint).
+        cpdf = spark.read.parquet(*_checkpoint_files(log, cp))
+        cols = set(cpdf.columns)
+        if "metaData" in cols:
+            for row in (
+                cpdf.filter(F.col("metaData.id").isNotNull())
+                .select("metaData")
+                .collect()
+            ):
                 meta = row.metaData.asDict(recursive=True)
-            if row.protocol is not None and (
-                row.protocol.minReaderVersion is not None
+        if "protocol" in cols:
+            for row in (
+                cpdf.filter(F.col("protocol.minReaderVersion").isNotNull())
+                .select("protocol")
+                .collect()
             ):
                 protocol = row.protocol.asDict(recursive=True)
-            if row.add is not None and row.add.path is not None:
-                a = row.add.asDict(recursive=True)
-                adds[a["path"]] = a
-            if row.remove is not None and row.remove.path is not None:
-                adds.pop(row.remove.path, None)
+        adds_df = cpdf.filter(F.col("add.path").isNotNull()).select("add")
+        if "remove" in cols:
+            rm = cpdf.filter(F.col("remove.path").isNotNull()).select(
+                F.col("remove.path").alias("_rm_path")
+            )
+            adds_df = adds_df.join(
+                rm,
+                adds_df["add"]["path"] == rm["_rm_path"],
+                "left_anti",
+            )
+        for row in adds_df.collect():
+            a = row.add.asDict(recursive=True)
+            adds[a["path"]] = a
         start = cp + 1
     for v in _commit_versions(log):
         if v < start or v > target:
@@ -414,10 +458,12 @@ class DeltaFixtureWriter:
         ]
         return self._commit(actions, "DELETE", timestamp_ms)
 
-    def checkpoint(self) -> None:
+    def checkpoint(self, tombstones: list[str] | None = None) -> None:
         """Consolidate current state into a checkpoint parquet +
         ``_last_checkpoint`` pointer (protocol layout: one action per
-        row, struct columns)."""
+        row, struct columns). ``tombstones`` adds remove rows for the
+        given paths (real checkpoints retain recent removes for
+        VACUUM; a reader must reconcile them against adds)."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -441,6 +487,12 @@ class DeltaFixtureWriter:
                  "remove": None}]
         rows += [{"protocol": None, "metaData": None, "add": a,
                   "remove": None} for a in adds.values()]
+        rows += [
+            {"protocol": None, "metaData": None, "add": None,
+             "remove": {"path": p, "deletionTimestamp": 0,
+                        "dataChange": True}}
+            for p in (tombstones or [])
+        ]
         map_ss = pa.map_(pa.string(), pa.string())
         cp_schema = pa.schema(
             [

@@ -15,17 +15,22 @@ Implements the public Iceberg table spec (iceberg.apache.org/spec):
   the property that makes Iceberg scans cheap at 100 TB — and
   supports manifest-level partition pruning via a caller predicate
   over the entry's partition struct;
-* v2 merge-on-read deletes, executed Spark-natively:
+* v2 merge-on-read deletes, executed Spark-natively with spec-exact
+  SEQUENCE-NUMBER SCOPING (data sequence numbers carried from the
+  manifest entries, inherited from the manifest list when null):
   - POSITION deletes ((file_path, pos) parquet) anti-join the data
     scan on ``(_metadata.file_path, _metadata.row_index)`` — Spark's
     hidden parquet columns give exact per-file row positions without
-    any per-row Python;
+    any per-row Python — and apply only to data files whose data
+    sequence number is ≤ the delete file's (same-commit deletes DO
+    apply, per spec);
   - EQUALITY deletes anti-join on the delete file's equality columns
-    (field ids resolved to names through the table schema).
-  Sequence-number scoping is simplified: all live delete files in the
-  selected snapshot apply to all live data files (exact for tables
-  whose deletes were committed after the data they target — the
-  common append-then-delete history; documented limitation).
+    (field ids resolved to names through the table schema) with
+    NULL-SAFE equality (spec: a null delete value matches null rows)
+    and apply only to data files whose sequence number is STRICTLY
+    below the delete's — a row re-inserted after the delete survives.
+  Delete frames are joined without a forced broadcast: AQE picks the
+  strategy, so million-row delete files cannot OOM the driver.
 
 A fixture WRITER (``write_iceberg_fixture``) builds real two-level
 Avro manifests + parquet data/delete files via pyarrow so tests and
@@ -134,8 +139,14 @@ def plan_files(
 ):
     """Walk the metadata tree and return the scan plan:
     ``(data_files, position_delete_files, equality_deletes, meta)``
-    where ``equality_deletes`` is a list of (file_path, [column
-    names]). Metadata-only: no data file is opened."""
+    where ``data_files`` is a list of (path, data_sequence_number),
+    ``position_delete_files`` of (path, seq), and ``equality_deletes``
+    of (path, [column names], seq). Metadata-only: no data file is
+    opened.
+
+    Sequence-number inheritance per the v2 spec: a manifest entry's
+    null ``sequence_number`` inherits the manifest's sequence number
+    from the manifest list (0 for v1 manifests lacking the field)."""
     meta = load_metadata(table_path)
     snap = _select_snapshot(meta, snapshot_id, as_of_timestamp_ms)
     mlist_path = _norm_path(snap["manifest-list"])
@@ -144,11 +155,15 @@ def plan_files(
     ids = _schema_field_names(meta)
     data_files, pos_deletes, eq_deletes = [], [], []
     for m in manifests:
+        man_seq = m.get("sequence_number") or 0
         with open(_norm_path(m["manifest_path"]), "rb") as f:
             _, entries = read_container(f.read())
         for e in entries:
             if e.get("status") == 2:  # DELETED entry
                 continue
+            seq = e.get("sequence_number")
+            if seq is None:
+                seq = man_seq
             df = e["data_file"]
             content = df.get("content", 0)
             # partition pruning applies to DATA files only: delete
@@ -167,9 +182,9 @@ def plan_files(
                     f"unsupported file format {df.get('file_format')!r}"
                 )
             if content == 0:
-                data_files.append(path)
+                data_files.append((path, seq))
             elif content == 1:
-                pos_deletes.append(path)
+                pos_deletes.append((path, seq))
             elif content == 2:
                 cols = [ids.get(i, str(i))
                         for i in (df.get("equality_ids") or [])]
@@ -177,7 +192,7 @@ def plan_files(
                     raise ValueError(
                         "equality delete file without equality_ids"
                     )
-                eq_deletes.append((path, cols))
+                eq_deletes.append((path, cols, seq))
             else:
                 raise ValueError(f"unknown data_file content {content}")
     return data_files, pos_deletes, eq_deletes, meta
@@ -192,8 +207,10 @@ def read_iceberg(
 ):
     """Read an Iceberg table into a DataFrame at the current snapshot,
     an explicit ``snapshot_id``, or a time-travel timestamp, applying
-    v2 position/equality deletes Spark-natively. See module docstring
-    for semantics and the sequence-number simplification."""
+    v2 position/equality deletes Spark-natively with spec-exact
+    sequence-number scoping. See module docstring for semantics."""
+    from functools import reduce
+
     from pyspark.sql import functions as F
 
     data_files, pos_deletes, eq_deletes, _ = plan_files(
@@ -206,34 +223,67 @@ def read_iceberg(
     # surface every column instead of whichever file Spark samples
     # first. Full Iceberg-schema-driven typing (rename/reorder field
     # ids) is a documented seam.
-    df = spark.read.option("mergeSchema", "true").parquet(*data_files)
-    if pos_deletes:
-        with_meta = df.select(
-            "*",
-            F.regexp_replace(
-                F.col("_metadata.file_path"), "^file:(//)?", ""
-            ).alias("_kdi_fp"),
-            F.col("_metadata.row_index").alias("_kdi_pos"),
+    if not pos_deletes and not eq_deletes:
+        return spark.read.option("mergeSchema", "true").parquet(
+            *[p for p, _ in data_files]
         )
-        dels = (
-            spark.read.parquet(*pos_deletes)
+    # deletes present: data files scan grouped by data sequence number
+    # so each delete applies only to its in-scope files. Group count =
+    # number of data commits in the snapshot (metadata-scale), each
+    # group is one multi-file parquet scan — no per-file plan blowup.
+    by_seq: dict[int, list[str]] = {}
+    for p, seq in data_files:
+        by_seq.setdefault(seq, []).append(p)
+    df = None
+    for seq in sorted(by_seq):
+        g = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*by_seq[seq])
             .select(
+                "*",
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:(//)?", ""
+                ).alias("_kdi_fp"),
+                F.col("_metadata.row_index").alias("_kdi_pos"),
+                F.lit(seq).alias("_kdi_seq"),
+            )
+        )
+        df = g if df is None else df.unionByName(
+            g, allowMissingColumns=True
+        )
+    if pos_deletes:
+        # each pos-delete file carries its own sequence number; a
+        # delete applies to data files with data_seq <= delete_seq
+        # (same-commit position deletes DO apply, per the spec).
+        dels = None
+        for path, dseq in pos_deletes:
+            d = spark.read.parquet(path).select(
                 F.regexp_replace(
                     F.col("file_path"), "^file:(//)?", ""
                 ).alias("_kdi_fp"),
                 F.col("pos").alias("_kdi_pos"),
+                F.lit(dseq).alias("_kdi_dseq"),
             )
+            dels = d if dels is None else dels.unionByName(d)
+        cond = (
+            (df["_kdi_fp"] == dels["_kdi_fp"])
+            & (df["_kdi_pos"] == dels["_kdi_pos"])
+            & (df["_kdi_seq"] <= dels["_kdi_dseq"])
         )
-        df = (
-            with_meta.join(
-                F.broadcast(dels), ["_kdi_fp", "_kdi_pos"], "left_anti"
-            )
-            .drop("_kdi_fp", "_kdi_pos")
-        )
-    for path, cols in eq_deletes:
+        # no forced broadcast: delete files can hold millions of rows;
+        # AQE picks broadcast vs shuffle from actual sizes.
+        df = df.join(dels, cond, "left_anti")
+    for path, cols, dseq in eq_deletes:
         dels = spark.read.parquet(path).select(*cols).dropDuplicates()
-        df = df.join(F.broadcast(dels), cols, "left_anti")
-    return df
+        # null-safe equality (spec: null delete values match null
+        # rows) + strict sequence scoping (deletes never touch data
+        # committed at or after the delete's own sequence number).
+        cond = reduce(
+            lambda a, b: a & b,
+            [df[c].eqNullSafe(dels[c]) for c in cols],
+        ) & (df["_kdi_seq"] < F.lit(dseq))
+        df = df.join(dels, cond, "left_anti")
+    return df.drop("_kdi_fp", "_kdi_pos", "_kdi_seq")
 
 
 # ---------------------------------------------------------------------------
@@ -247,6 +297,10 @@ _MANIFEST_LIST_SCHEMA = {
         {"name": "manifest_length", "type": "long"},
         {"name": "partition_spec_id", "type": "int"},
         {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": ["null", "long"],
+         "default": None},
+        {"name": "min_sequence_number", "type": ["null", "long"],
+         "default": None},
         {"name": "added_snapshot_id", "type": "long"},
     ],
 }
@@ -257,6 +311,8 @@ _MANIFEST_ENTRY_SCHEMA = {
     "fields": [
         {"name": "status", "type": "int"},
         {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+        {"name": "sequence_number", "type": ["null", "long"],
+         "default": None},
         {
             "name": "data_file",
             "type": {
@@ -307,7 +363,15 @@ class IcebergFixtureWriter:
         self.snaps: list[dict] = []
         self.version = 0
         self._file_no = 0
-        self._live: list[dict] = []  # data_file dicts across snapshots
+        self._seq = 0  # table-level data sequence number (v2 spec)
+        # (data_sequence_number, data_file dict) across snapshots;
+        # plain dicts (legacy test construction) get the commit's seq.
+        self._live: list = []
+
+    _PA_TYPES = {
+        "long": "int64", "int": "int32", "string": "string",
+        "double": "float64", "float": "float32", "boolean": "bool_",
+    }
 
     def _write_parquet(self, rows: list[dict], name: str) -> tuple[str, int]:
         import pyarrow as pa
@@ -315,19 +379,46 @@ class IcebergFixtureWriter:
 
         path = os.path.join(self.data_dir, name)
         cols = list(rows[0].keys())
-        table = pa.table({c: [r[c] for r in rows] for c in cols})
+        by_name = {f["name"]: f["type"] for f in self.fields}
+        arrays = {}
+        for c in cols:
+            vals = [r[c] for r in rows]
+            t = self._PA_TYPES.get(by_name.get(c))
+            # type from the declared Iceberg schema, not inference —
+            # an all-null equality-delete column must still carry the
+            # table's column type in parquet.
+            arrays[c] = (
+                pa.array(vals, type=getattr(pa, t)()) if t
+                else pa.array(vals)
+            )
+        table = pa.table(arrays)
         pq.write_table(table, path)
         return path, os.path.getsize(path)
 
     def _commit(self, new_entries: list[dict], ts_ms: int):
         from kafka_delta_ingest_spark.avro_python import write_container
 
-        self._live.extend(new_entries)
+        self._seq += 1
+        self._live.extend((self._seq, f) for f in new_entries)
         snap_id = 1000 + len(self.snaps) + 1
-        entries = [
-            {"status": 1, "snapshot_id": snap_id, "data_file": f}
-            for f in self._live
-        ]
+        entries = []
+        seqs = []
+        for item in self._live:
+            # legacy plain-dict entries (tests hand-assemble _live)
+            # carry the current commit's sequence number.
+            seq, f = item if isinstance(item, tuple) else (self._seq, item)
+            seqs.append(seq)
+            entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": snap_id,
+                    # EXISTING files keep their original data sequence
+                    # number explicitly (spec: inheritance is only for
+                    # null entries in the adding manifest).
+                    "sequence_number": seq,
+                    "data_file": f,
+                }
+            )
         man_path = os.path.join(
             self.meta_dir, f"manifest-{snap_id}.avro"
         )
@@ -344,6 +435,8 @@ class IcebergFixtureWriter:
                     "manifest_length": len(blob),
                     "partition_spec_id": 0,
                     "content": 0,
+                    "sequence_number": self._seq,
+                    "min_sequence_number": min(seqs) if seqs else self._seq,
                     "added_snapshot_id": snap_id,
                 }
             ],
@@ -363,6 +456,7 @@ class IcebergFixtureWriter:
         meta = {
             "format-version": 2,
             "table-uuid": "00000000-0000-0000-0000-000000000000",
+            "last-sequence-number": self._seq,
             "location": self.root,
             "current-schema-id": 0,
             "schemas": [

@@ -180,13 +180,18 @@ def _parse_plain(b: bytes) -> Iterator[dict]:
         if not lines[0].startswith("WARC/"):
             raise ValueError(f"bad WARC version line: {lines[0][:40]!r}")
         headers: dict[str, str] = {}
+        lc: dict[str, str] = {}
         for line in lines[1:]:
             if ":" not in line:
                 raise ValueError(f"malformed WARC header line: {line[:40]!r}")
             k, v = line.split(":", 1)
             headers[k.strip()] = v.strip()
+            # ISO 28500 header names are case-insensitive; keep the
+            # writer's casing in `headers` for fidelity, look up via
+            # the lowercase map.
+            lc[k.strip().lower()] = v.strip()
         try:
-            clen = int(headers["Content-Length"])
+            clen = int(lc["content-length"])
         except (KeyError, ValueError):
             raise ValueError("missing/invalid Content-Length") from None
         body_start = head_end + 4
@@ -194,7 +199,7 @@ def _parse_plain(b: bytes) -> Iterator[dict]:
             raise ValueError("truncated WARC payload")
         payload = b[body_start:body_start + clen]
         yield {
-            "warc_type": headers.get("WARC-Type", ""),
+            "warc_type": lc.get("warc-type", ""),
             "headers": headers,
             "payload": payload,
         }
@@ -266,7 +271,8 @@ def read_warc(spark, path: str, types: tuple[str, ...] = ("response",)):
                              None, rec["error"])
                         )
                         continue
-                    h = rec["headers"]
+                    # case-insensitive header access (ISO 28500)
+                    h = {k.lower(): v for k, v in rec["headers"].items()}
                     if want and rec["warc_type"] not in want:
                         continue
                     status, ctype, body = None, None, rec["payload"]
@@ -277,17 +283,17 @@ def read_warc(spark, path: str, types: tuple[str, ...] = ("response",)):
                         except ValueError as ex:
                             rows.append(
                                 (fname, rec["warc_type"],
-                                 h.get("WARC-Record-ID"),
-                                 h.get("WARC-Target-URI"),
-                                 h.get("WARC-Date"),
+                                 h.get("warc-record-id"),
+                                 h.get("warc-target-uri"),
+                                 h.get("warc-date"),
                                  None, None, None, str(ex))
                             )
                             continue
                     rows.append(
                         (fname, rec["warc_type"],
-                         h.get("WARC-Record-ID"),
-                         h.get("WARC-Target-URI"),
-                         h.get("WARC-Date"),
+                         h.get("warc-record-id"),
+                         h.get("warc-target-uri"),
+                         h.get("warc-date"),
                          status, ctype, bytes(body), None)
                     )
             yield pd.DataFrame(

@@ -257,3 +257,145 @@ def test_id_mapping_and_deletion_vectors_raise(spark, tmp_path):
 def test_missing_log_raises(tmp_path):
     with pytest.raises(ValueError, match="_delta_log"):
         delta_history(str(tmp_path / "none"))
+
+
+def test_incomplete_multipart_checkpoint_is_skipped(spark, table):
+    # r7 ADVICE fix: a crash mid-multi-part-checkpoint write leaves a
+    # partial part set; replaying it would silently drop adds. The
+    # reader must reject the incomplete set and fall back to pure JSON
+    # replay.
+    t, _ = table
+    log = os.path.join(t, "_delta_log")
+    # rename the valid single-part checkpoint into "part 1 of 2"
+    # (part 2 never written — the crash scenario)
+    single = glob.glob(os.path.join(log, "*.checkpoint.parquet"))[0]
+    v = os.path.basename(single)[:20]
+    os.rename(
+        single,
+        os.path.join(
+            log, f"{v}.checkpoint.{1:010d}.{2:010d}.parquet"
+        ),
+    )
+    # _last_checkpoint still points at this version; reader must not
+    # trust it. JSON replay gives the complete, correct state.
+    got = sorted(r.doc_id for r in read_delta(spark, t).collect())
+    assert got == list(range(5)) + list(range(10, 13))
+
+
+def test_complete_multipart_checkpoint_is_used(spark, table):
+    t, _ = table
+    log = os.path.join(t, "_delta_log")
+    single = glob.glob(os.path.join(log, "*.checkpoint.parquet"))[0]
+    v = os.path.basename(single)[:20]
+    # split the single checkpoint into two real parts
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(single)
+    os.remove(single)
+    pq.write_table(
+        tbl.slice(0, 2),
+        os.path.join(log, f"{v}.checkpoint.{1:010d}.{2:010d}.parquet"),
+    )
+    pq.write_table(
+        tbl.slice(2),
+        os.path.join(log, f"{v}.checkpoint.{2:010d}.{2:010d}.parquet"),
+    )
+    # remove the pre-checkpoint commit: state must come from the parts
+    os.remove(os.path.join(log, "%020d.json" % 0))
+    got = sorted(r.doc_id for r in read_delta(spark, t).collect())
+    assert got == list(range(5)) + list(range(10, 13))
+
+
+def test_checkpoint_remove_tombstones_reconciled_in_spark(spark, tmp_path):
+    # checkpoints retain remove tombstones (VACUUM window); the Spark
+    # replay must anti-join them out of the add set.
+    t = str(tmp_path / "tomb")
+    w = DeltaFixtureWriter(t, _SCHEMA)
+    w.add_files(
+        [({}, [{"doc_id": 1, "grp": "a", "val": 1}]),
+         ({}, [{"doc_id": 2, "grp": "b", "val": 2}])],
+        timestamp_ms=1000,
+    )
+    rel = sorted(
+        os.path.relpath(p, t) for p in glob.glob(t + "/part-*.parquet")
+    )
+    w.remove_files([rel[1]], timestamp_ms=2000)
+    w.checkpoint(tombstones=[rel[1]])
+    # drop the pre-checkpoint commit: state must come from the
+    # checkpoint (commit 1 = the checkpoint version stays so the log
+    # is non-empty, but replay starts AFTER the checkpoint).
+    os.remove(os.path.join(t, "_delta_log", "%020d.json" % 0))
+    got = [(r.doc_id, r.val) for r in read_delta(spark, t).collect()]
+    assert got == [(1, 1)]
+
+
+def test_replay_scales_to_large_checkpoint(spark, tmp_path):
+    # r7 verdict item: checkpoint replay streams through Spark — the
+    # driver collects only SURVIVING adds. Synthetic 100k-add /
+    # 40k-tombstone checkpoint; _replay must return exactly the 60k
+    # live adds (no data files needed — replay touches only the log).
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_delta_ingest_spark.delta_standard import _replay
+
+    t = str(tmp_path / "big")
+    log = os.path.join(t, "_delta_log")
+    os.makedirs(log)
+    meta = {
+        "id": "m", "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps(_SCHEMA.jsonValue()),
+        "partitionColumns": [], "configuration": {},
+        "createdTime": 0,
+    }
+    n, dead = 100_000, 40_000
+    rows = [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+             "metaData": meta, "add": None, "remove": None}]
+    rows += [
+        {"protocol": None, "metaData": None,
+         "add": {"path": f"p{i:06d}.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0, "dataChange": True},
+         "remove": None}
+        for i in range(n)
+    ]
+    rows += [
+        {"protocol": None, "metaData": None, "add": None,
+         "remove": {"path": f"p{i:06d}.parquet", "deletionTimestamp": 0,
+                    "dataChange": True}}
+        for i in range(dead)
+    ]
+    map_ss = pa.map_(pa.string(), pa.string())
+    cp_schema = pa.schema([
+        ("protocol", pa.struct([("minReaderVersion", pa.int32()),
+                                ("minWriterVersion", pa.int32())])),
+        ("metaData", pa.struct([
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string()),
+                                  ("options", map_ss)])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", map_ss),
+            ("createdTime", pa.int64())])),
+        ("add", pa.struct([("path", pa.string()),
+                           ("partitionValues", map_ss),
+                           ("size", pa.int64()),
+                           ("modificationTime", pa.int64()),
+                           ("dataChange", pa.bool_())])),
+        ("remove", pa.struct([("path", pa.string()),
+                              ("deletionTimestamp", pa.int64()),
+                              ("dataChange", pa.bool_())])),
+    ])
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=cp_schema),
+        os.path.join(log, "%020d.checkpoint.parquet" % 0),
+    )
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": 0, "size": len(rows)}, f)
+    with open(os.path.join(log, "%020d.json" % 0), "w") as f:
+        f.write(json.dumps({"commitInfo": {"operation": "WRITE",
+                                           "timestamp": 0}}) + "\n")
+    state = _replay(spark, t, 0)
+    assert len(state["adds"]) == n - dead
+    paths = {a["path"] for a in state["adds"]}
+    assert f"p{dead:06d}.parquet" in paths
+    assert f"p{dead - 1:06d}.parquet" not in paths

@@ -73,7 +73,7 @@ def test_partition_pruning_is_metadata_level(spark, table):
         t, snapshot_id=s2,
         partition_filter=lambda part: part.get("bucket") == "p0",
     )
-    assert len(d) == 1 and d[0].endswith("data-00001.parquet")
+    assert len(d) == 1 and d[0][0].endswith("data-00001.parquet")
     got = sorted(
         r.doc_id
         for r in read_iceberg(
@@ -217,6 +217,58 @@ def test_deleted_manifest_entries_are_skipped(spark, tmp_path):
     assert got == [2]
 
 
+def test_equality_delete_sequence_scoping(spark, tmp_path):
+    # r7: interleaved delete/data commits — the r6 "all deletes apply
+    # to all data" simplification gives the WRONG answer here: doc 5
+    # is re-inserted AFTER the grp=c equality delete and must survive
+    # (spec: equality deletes apply only to data files with STRICTLY
+    # lower data sequence numbers).
+    w = IcebergFixtureWriter(str(tmp_path / "sq"), _FIELDS)
+    w.append([{"doc_id": 5, "grp": "c"}, {"doc_id": 1, "grp": "a"}],
+             ts_ms=1000)                                    # seq 1
+    w.equality_delete([{"grp": "c"}], field_ids=[2], ts_ms=2000)  # seq 2
+    w.append([{"doc_id": 6, "grp": "c"}], ts_ms=3000)       # seq 3
+    got = sorted(
+        r.doc_id for r in read_iceberg(spark, str(tmp_path / "sq")).collect()
+    )
+    assert got == [1, 6]  # 5 deleted; 6 (post-delete insert) survives
+
+
+def test_equality_delete_null_values_match_null_rows(spark, tmp_path):
+    # spec: an equality delete row with a NULL column value deletes
+    # rows whose column is null (plain join equality would resurrect
+    # them) — r7 ADVICE fix, eqNullSafe.
+    w = IcebergFixtureWriter(str(tmp_path / "nl"), _FIELDS)
+    w.append(
+        [{"doc_id": 1, "grp": None}, {"doc_id": 2, "grp": "a"}],
+        ts_ms=1000,
+    )
+    w.equality_delete([{"grp": None}], field_ids=[2], ts_ms=2000)
+    got = sorted(
+        r.doc_id for r in read_iceberg(spark, str(tmp_path / "nl")).collect()
+    )
+    assert got == [2]
+
+
+def test_position_delete_applies_at_equal_sequence(spark, tmp_path):
+    # spec: position deletes apply to data files with data_seq <= the
+    # delete's — a later position delete still hits earlier data, and
+    # data appended AFTER the delete is untouched even at same path
+    # positions.
+    w = IcebergFixtureWriter(str(tmp_path / "pq"), _FIELDS)
+    w.append([{"doc_id": i, "grp": "a"} for i in range(4)], ts_ms=1000)
+    first = os.path.join(str(tmp_path / "pq"), "data",
+                         "data-00001.parquet")
+    w.position_delete([(first, 1)], ts_ms=2000)             # seq 2
+    w.append([{"doc_id": 9, "grp": "a"}], ts_ms=3000)       # seq 3: new
+    # file also has a row at pos 1? no — single row at pos 0; the
+    # point is the delete's (file_path, pos) targets only `first`.
+    got = sorted(
+        r.doc_id for r in read_iceberg(spark, str(tmp_path / "pq")).collect()
+    )
+    assert got == [0, 2, 3, 9]
+
+
 def test_avro_manifest_roundtrip_schema():
     # the fixture writer's manifests decode through the same avro
     # codec with unions, nested records, arrays, and maps intact
@@ -229,6 +281,7 @@ def test_avro_manifest_roundtrip_schema():
     entry = {
         "status": 1,
         "snapshot_id": 7,
+        "sequence_number": 3,
         "data_file": {
             "content": 2,
             "file_path": "/x.parquet",
