@@ -4416,6 +4416,73 @@ def iceberg_read_snapshot(spark, sf_dir):
 
 
 @_q(
+    "sink_delta_standard_roundtrip",
+    """
+    SELECT doc_id, lang, LENGTH(text) AS n_chars, TRUE AS travel_ok
+    FROM documents
+    WHERE lang <> 'de'
+    """,
+)
+def sink_delta_standard_roundtrip(spark, sf_dir):
+    """End-to-end certification of the standard-layout Delta Lake
+    WRITER (delta_standard.DeltaStandardWriter) — the reference
+    daemon's core interop property re-created on Spark: tables this
+    engine writes are consumable by any protocol-conformant Delta
+    reader (README.adoc:3-5, src/delta_helpers.rs:15-40). History
+    exercised: v0 appends the even-id documents partitioned by lang,
+    v1 appends the odds, v2 OVERWRITEs with the non-'de' corpus
+    (remove actions for every prior file in the same atomic commit) —
+    and with checkpoint_every=2 the v2 commit also writes a parquet
+    checkpoint + _last_checkpoint, so the read-back replays
+    checkpoint-first through the INDEPENDENT read_delta path (the
+    jar-free reader certified in its own right against foreign
+    fixture tables). travel_ok pins time travel: version-0 and
+    version-1 row counts must equal the closed-form even/full counts.
+    The oracle restates the surviving rows declaratively; the value
+    hash covers doc_id, lang (the partition column — reconstructed
+    from directory names, not data pages), and the roundtripped text
+    length. Scale: data files are written by one executor-parallel
+    Spark job; the writer only appends metadata, so throughput is the
+    cluster's parquet write rate."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from kafka_delta_ingest_spark.delta_standard import (
+        DeltaStandardWriter,
+        read_delta,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    root = _tf.mkdtemp(prefix="kdi-dstd-")
+    try:
+        t = root + "/t"
+        w = DeltaStandardWriter(t, checkpoint_every=2)
+        evens = docs.filter(F.col("doc_id") % 2 == 0)
+        w.write(evens, partition_by=["lang"])                    # v0
+        w.write(docs.filter(F.col("doc_id") % 2 == 1))           # v1
+        w.write(docs.filter(F.col("lang") != "de"),
+                mode="overwrite")                                # v2 + cp
+        n_even = evens.count()
+        n_all = docs.count()
+        travel_ok = (
+            read_delta(spark, t, version=0).count() == n_even
+            and read_delta(spark, t, version=1).count() == n_all
+        )
+        out = read_delta(spark, t).select(
+            "doc_id",
+            "lang",
+            F.length("text").alias("n_chars"),
+            F.lit(bool(travel_ok)).alias("travel_ok"),
+        )
+        # materialize before the temp table is removed
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
+@_q(
     "text_bpe_train_probe",
     """
     WITH n AS (SELECT COUNT(*) AS nd FROM documents),
@@ -7703,6 +7770,7 @@ _SWEEP_ORDER: list[str] = [
     # (ingest dataflow, sink DML/CDF, every dedup/ANN family, the
     # composed pipelines, the JPEG/WAV codec roundtrips).
     "scan_filter_project",
+    "sink_delta_standard_roundtrip",
     "sim_pool_embeddings",
     "multimodal_features",
     "agg_approx_percentiles",

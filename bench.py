@@ -8,9 +8,13 @@ Runs the flagship queries from ``__spark_entry__`` against
 
 Each query is forced end-to-end with a noop sink (full computation, no
 collect-to-driver cost, no output I/O skew). Per query the reported
-number is the MIN of two timed runs after a small-SF warm pass —
+number is the MEDIAN of three timed runs after a small-SF warm pass —
 steady-state throughput, the quantity that scales to a long-running
-cluster, not first-run compiler/page-cache latency.
+cluster, not first-run compiler/page-cache latency. BENCH_DETAIL.json
+additionally records every run and a per-query ``noise`` ratio
+(max/median), so external box load during a capture is visible in the
+artifact instead of masquerading as a plan regression (r6: 146.0s vs
+157.2s on identical code, 21 queries >1.3x, was single-shot signal).
 """
 
 from __future__ import annotations
@@ -158,17 +162,27 @@ def main() -> None:
         qs[name](spark, warm_sf).write.mode("overwrite").format("noop").save()
 
     times: dict[str, float] = {}
+    runs_detail: dict[str, list[float]] = {}
+    noise: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        best = None
-        for _ in range(2):
+        runs = []
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            el = time.perf_counter() - t0
-            best = el if best is None or el < best else best
-        times[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        med = sorted(runs)[1]
+        times[name] = round(med, 3)
+        runs_detail[name] = [round(r, 3) for r in runs]
+        noise[name] = round(max(runs) / med, 3) if med > 0 else 1.0
 
     total = round(sum(times.values()), 3)
+    # noise summary: how load-disturbed this capture was. A clean box
+    # shows max_noise near 1.0-1.2; >1.5 means at least one query's
+    # worst repeat ran 50% over its median — treat cross-round deltas
+    # of that magnitude as environmental.
+    max_noise = max(noise.values())
+    med_noise = sorted(noise.values())[len(noise) // 2]
     # Like-for-like subtotal over the queries that were already in the
     # round-2 headline set: the grand total grows as operators land
     # (r2: 35 queries, now 50), so cross-round comparisons should use
@@ -195,6 +209,10 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "runs": runs_detail,
+        "noise": noise,
+        "max_noise": round(max_noise, 3),
+        "median_noise": round(med_noise, 3),
         "sf": sf,
         "n_queries": len(times),
         "shared_r2_subtotal": shared_r2,
@@ -224,6 +242,8 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(times),
                 "shared_r2_subtotal": shared_r2,
+                "max_noise": round(max_noise, 3),
+                "median_noise": round(med_noise, 3),
                 "queries_file": "BENCH_DETAIL.json",
             }
         )

@@ -690,6 +690,14 @@ def _admit_incoming(
     8-byte hash) rows and the size table (id, count) — both far
     smaller than the corpus text they replace.
     """
+    # Bisect (r7, sf0.1 local[32], two interleaved passes of 3 runs
+    # each): WITH checkpoint admit/indexed pooled medians 2.71s/2.96s,
+    # WITHOUT 3.06s/3.61s — the configs overlap within the box's noise
+    # band (single runs ranged 2.26-4.42s in BOTH configs; the r6
+    # driver's 4.45s was one such outlier), and the checkpoint is
+    # never slower in pooled medians. Kept: it also removes ~100
+    # redundant source scans from the uncut plan, which is the bound
+    # that matters at 100x corpus size.
     grams = grams.localCheckpoint(eager=False)
     sizes = sizes.localCheckpoint(eager=False)
     inter = (
