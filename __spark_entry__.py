@@ -4993,6 +4993,98 @@ def hudi_read_snapshot(spark, sf_dir):
 
 
 @_q(
+    "hudi_read_mor",
+    """
+    SELECT doc_id, lang,
+           CAST(CASE WHEN doc_id % 5 = 0 THEN 2
+                     WHEN doc_id % 3 = 0 THEN 1
+                     ELSE 0 END AS INT) AS rev,
+           TRUE AS travel_ok
+    FROM documents
+    WHERE doc_id % 7 <> 0
+    """,
+)
+def hudi_read_mor(spark, sf_dir):
+    """End-to-end certification of the Hudi MERGE_ON_READ reader —
+    the default Hudi streaming-ingest layout, read jar-free through
+    the public HoodieLogFormat (hudi.py): base parquet slices plus
+    per-group ``.log`` files of framed avro-data/delete blocks, merged
+    Spark-natively (one record-key window; log files parsed one task
+    per file).  History: deltacommit 1 inserts all documents (two
+    file groups per partition), deltacommit 2 appends an UPSERT data
+    block setting rev=1 on doc_id%3==0, deltacommit 3 appends a
+    DELETE block tombstoning doc_id%7==0, deltacommit 4 appends a
+    SECOND upsert setting rev=2 on doc_id%5==0 — so the merge must
+    apply latest-wins across stacked blocks (a %15 doc takes rev=2,
+    not rev=1).  travel_ok pins instant time travel (pre-log count,
+    post-first-upsert rev census) through the same log-merge path.
+    The oracle states the surviving rows declaratively.  Scale: log
+    merge shuffles once on the record key and touches only changed
+    keys' groups; compaction (certified in pytest) resets groups to
+    the CoW fast path."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from kafka_delta_ingest_spark.hudi import (
+        HudiMorFixtureWriter,
+        read_hudi,
+    )
+
+    rows = sorted(
+        (int(r.doc_id), r.lang)
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    )
+    base = [
+        {"doc_id": i, "lang": g, "rev": 0} for i, g in rows
+    ]
+    threes = [
+        {"doc_id": i, "lang": g, "rev": 1} for i, g in rows if i % 3 == 0
+    ]
+    # the second upsert targets only still-live keys (%35 docs were
+    # tombstoned by the delete block; an upsert-after-delete re-insert
+    # is a fixture seam, not a reader concern)
+    fives = [
+        {"doc_id": i, "lang": g, "rev": 2}
+        for i, g in rows
+        if i % 5 == 0 and i % 7 != 0
+    ]
+    sevens = [i for i, _ in rows if i % 7 == 0]
+    root = _tf.mkdtemp(prefix="kdi-morq-")
+    try:
+        w = HudiMorFixtureWriter(
+            root + "/t",
+            record_key="doc_id",
+            schema={"doc_id": "long", "lang": "string", "rev": "long"},
+            partition_field="lang",
+        )
+        i1 = w.insert(base, ts_ms=1000, groups_per_partition=2)
+        i2 = w.upsert_log(threes, ts_ms=2000)
+        w.delete_log(sevens, ts_ms=3000)
+        w.upsert_log(fives, ts_ms=4000)
+        t = root + "/t"
+        travel_ok = (
+            read_hudi(spark, t, as_of_instant=i1).count() == len(rows)
+            and read_hudi(spark, t, as_of_instant=i2)
+            .filter(F.col("rev") == 1)
+            .count()
+            == len(threes)
+        )
+        out = (
+            read_hudi(spark, t)
+            .select(
+                "doc_id", "lang", F.col("rev").cast("int").alias("rev")
+            )
+            .withColumn("travel_ok", F.lit(bool(travel_ok)))
+        )
+        # materialize before the fixture table is removed
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
+@_q(
     "ingest_orc_path",
     """
     SELECT event_type,
@@ -7771,6 +7863,7 @@ _SWEEP_ORDER: list[str] = [
     # composed pipelines, the JPEG/WAV codec roundtrips).
     "scan_filter_project",
     "sink_delta_standard_roundtrip",
+    "hudi_read_mor",
     "sim_pool_embeddings",
     "multimodal_features",
     "agg_approx_percentiles",

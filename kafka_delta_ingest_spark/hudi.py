@@ -31,13 +31,39 @@ driver-side metadata, not O(files) listing).  The data read is one
 partition pruning / column pruning / predicate pushdown all apply
 normally.
 
-Scope (documented seams): COPY_ON_WRITE snapshot + time travel.
-MERGE_ON_READ log-file merging, replacecommit/clustering, and
-incremental queries raise with a clear message.
+Scope: COPY_ON_WRITE snapshot + time travel, and (r7)
+MERGE_ON_READ — the default Hudi streaming-ingest layout — via a
+jar-free HoodieLogFormat codec:
 
-A fixture writer (``HudiFixtureWriter``) builds REAL tables: properties
-file, requested/inflight/completed instant trio per commit, meta
-columns in parquet (via pyarrow), CoW rewrites for upsert/delete.
+* log files named ``.<fileId>_<baseInstant>.log.<version>_<token>``
+  hold a sequence of LOG BLOCKS, each framed per the public format
+  (org.apache.hudi.common.table.log.HoodieLogFormat, format version
+  1): ``#HUDI#`` magic, block-size long, version int, block-type
+  ordinal int, header map (count + per-entry ordinal/len/utf8),
+  content length + content, footer map, and a trailing total-size
+  long for reverse seeks;
+* AVRO_DATA_BLOCK content = format-version int, record count, then
+  per record a length-prefixed Avro-binary datum (writer schema in
+  the block's SCHEMA header) — decoded with the repo's own
+  avro_python codec; DELETE_BLOCK content = version int + length +
+  an Avro array of (recordKey, partitionPath, orderingVal) triples
+  (the Hudi 1.x HoodieDeleteRecordList form);
+* snapshot semantics: per file group, the base slice plus every log
+  block appended after it, merged by ``_hoodie_record_key`` with
+  LATEST-WINS ordering on (instant, block position) and delete
+  blocks tombstoning keys — executed Spark-natively (base files via
+  one parquet scan, log files parsed inside ``mapInPandas`` over
+  ``binaryFile``, one per-key window for the merge). Compaction
+  (``.commit`` rewriting a group's base) resets the group's log
+  chain, exactly the timeline rule.
+
+Still-documented seams: replacecommit/clustering and incremental
+queries raise with a clear message.
+
+Fixture writers (``HudiFixtureWriter``, ``HudiMorFixtureWriter``)
+build REAL tables: properties, requested/inflight/completed instant
+trios, meta columns in parquet (pyarrow), CoW rewrites, and MOR
+delta commits appending real log blocks.
 """
 
 from __future__ import annotations
@@ -83,35 +109,40 @@ def table_properties(table_path: str) -> dict:
 def completed_commits(table_path: str) -> list[tuple[str, str]]:
     """Sorted (instant, action) pairs for COMPLETED instants on the
     timeline.  Only fully-transitioned files count — ``.requested`` /
-    ``.inflight`` suffixed instants are pending by definition."""
+    ``.inflight`` suffixed instants are pending by definition.
+    ``commit`` (CoW write / MOR compaction) and ``deltacommit`` (MOR
+    write) are supported; ``replacecommit`` (clustering) raises."""
     out = []
     for name in os.listdir(_hoodie_dir(table_path)):
         m = _INSTANT_RE.match(name)
         if not m:
             continue
         instant, action = m.group(1), m.group(2)
-        if action in ("commit",):
+        if action in ("commit", "deltacommit"):
             out.append((instant, action))
-        elif action in ("replacecommit", "deltacommit"):
+        elif action == "replacecommit":
             raise ValueError(
-                f"unsupported Hudi action .{action} "
-                "(COPY_ON_WRITE commits only — clustering and "
-                "MERGE_ON_READ are documented seams)"
+                "unsupported Hudi action .replacecommit "
+                "(clustering is a documented seam)"
             )
     return sorted(out)
 
 
-def plan_snapshot(
+def plan_file_groups(
     table_path: str,
     as_of_instant: str | None = None,
     partition_filter: Callable[[str], bool] | None = None,
-) -> tuple[list[str], str]:
-    """Walk the timeline and return (live data file paths, instant).
+) -> tuple[dict, str]:
+    """Walk the timeline and return the snapshot plan per FILE GROUP:
+    ``{(partition, fileId): {"base": path|None,
+    "logs": [(instant, path), ...]}}`` plus the plan instant.
 
-    Per (partition, fileId) file group the LATEST slice at or before
-    ``as_of_instant`` wins — the copy-on-write rule: a commit that
-    touches a group rewrites it wholesale, so its newest slice is the
-    complete truth for the group."""
+    Rules (the Hudi file-slice model): a ``.parquet`` write stat
+    starts a NEW slice for its group — later base file wins and RESETS
+    the group's log chain (that is exactly what compaction's
+    ``.commit`` does); a ``.log.`` write stat appends to the group's
+    current slice. Metadata-only: O(commits) driver work, no data
+    directory listing (Hudi's object-store selling point)."""
     commits = completed_commits(table_path)
     if as_of_instant is not None:
         commits = [c for c in commits if c[0] <= as_of_instant]
@@ -119,20 +150,339 @@ def plan_snapshot(
         raise ValueError(
             f"no completed commits at or before {as_of_instant!r}"
         )
-    latest: dict[tuple[str, str], str] = {}
-    for instant, _action in commits:
+    groups: dict[tuple[str, str], dict] = {}
+    for instant, action in commits:
         meta = json.load(
-            open(os.path.join(_hoodie_dir(table_path), f"{instant}.commit"),
-                 encoding="utf-8")
+            open(
+                os.path.join(
+                    _hoodie_dir(table_path), f"{instant}.{action}"
+                ),
+                encoding="utf-8",
+            )
         )
         for part, stats in meta.get("partitionToWriteStats", {}).items():
             if partition_filter is not None and not partition_filter(part):
                 continue
             for st in stats:
-                latest[(part, st["fileId"])] = os.path.join(
-                    table_path, st["path"]
+                g = groups.setdefault(
+                    (part, st["fileId"]), {"base": None, "logs": []}
                 )
-    return sorted(latest.values()), commits[-1][0]
+                path = os.path.join(table_path, st["path"])
+                if ".log." in os.path.basename(st["path"]):
+                    g["logs"].append((instant, path))
+                else:
+                    g["base"] = path
+                    g["logs"] = []  # new slice resets the log chain
+    return groups, commits[-1][0]
+
+
+def plan_snapshot(
+    table_path: str,
+    as_of_instant: str | None = None,
+    partition_filter: Callable[[str], bool] | None = None,
+) -> tuple[list[str], str]:
+    """CoW-only plan: (live base file paths, instant). Per (partition,
+    fileId) file group the LATEST slice at or before ``as_of_instant``
+    wins — the copy-on-write rule. Raises if any group carries log
+    files (use :func:`read_hudi`, which merges them)."""
+    groups, instant = plan_file_groups(
+        table_path, as_of_instant, partition_filter
+    )
+    if any(g["logs"] for g in groups.values()):
+        raise ValueError(
+            "table has MERGE_ON_READ log files — plan_snapshot is the "
+            "CoW fast path; read_hudi merges log blocks"
+        )
+    return (
+        sorted(g["base"] for g in groups.values() if g["base"]),
+        instant,
+    )
+
+
+# ---------------------------------------------------------------------------
+# HoodieLogFormat codec (format version 1) — jar-free, from the public
+# format (org.apache.hudi.common.table.log.HoodieLogFormat{,Writer,
+# Reader} and .block.HoodieLogBlock): per block, magic + size long +
+# version int + type ordinal + header map + content (length-prefixed)
+# + footer map + trailing total-size long (reverse seek support).
+
+LOG_MAGIC = b"#HUDI#"
+LOG_FORMAT_VERSION = 1
+
+# HoodieLogBlockType ordinals
+BLOCK_COMMAND = 0
+BLOCK_DELETE = 1
+BLOCK_CORRUPT = 2
+BLOCK_AVRO_DATA = 3
+
+# HoodieLogBlock.HeaderMetadataType ordinals
+HDR_INSTANT_TIME = 0
+HDR_TARGET_INSTANT_TIME = 1
+HDR_SCHEMA = 2
+HDR_COMMAND_BLOCK_TYPE = 3
+
+_DELETE_RECORDS_SCHEMA = {
+    "type": "array",
+    "items": {
+        "type": "record",
+        "name": "HoodieDeleteRecord",
+        "fields": [
+            {"name": "recordKey", "type": "string"},
+            {"name": "partitionPath", "type": "string"},
+            {"name": "orderingVal", "type": ["null", "long"],
+             "default": None},
+        ],
+    },
+}
+
+
+def _meta_map_bytes(meta: dict[int, str]) -> bytes:
+    import struct
+
+    out = bytearray(struct.pack(">i", len(meta)))
+    for k in sorted(meta):
+        v = meta[k].encode("utf-8")
+        out += struct.pack(">i", k)
+        out += struct.pack(">i", len(v))
+        out += v
+    return bytes(out)
+
+
+def _read_meta_map(buf, pos: int) -> tuple[dict[int, str], int]:
+    import struct
+
+    (n,) = struct.unpack_from(">i", buf, pos)
+    pos += 4
+    out = {}
+    for _ in range(n):
+        k, ln = struct.unpack_from(">ii", buf, pos)
+        pos += 8
+        out[k] = buf[pos:pos + ln].decode("utf-8")
+        pos += ln
+    return out, pos
+
+
+def encode_log_block(btype: int, header: dict[int, str],
+                     content: bytes,
+                     footer: dict[int, str] | None = None) -> bytes:
+    import struct
+
+    body = bytearray()
+    body += struct.pack(">i", LOG_FORMAT_VERSION)
+    body += struct.pack(">i", btype)
+    body += _meta_map_bytes(header)
+    body += struct.pack(">q", len(content))
+    body += content
+    body += _meta_map_bytes(footer or {})
+    total = len(LOG_MAGIC) + 8 + len(body) + 8
+    return (
+        LOG_MAGIC + struct.pack(">q", total) + bytes(body)
+        + struct.pack(">q", total)
+    )
+
+
+def parse_log_file(b: bytes) -> list[dict]:
+    """All blocks of a log file: ``{"type", "header", "content"}``
+    each. Raises ValueError on framing corruption (bad magic or
+    size-trailer mismatch — the reader's corrupt-block detection)."""
+    import struct
+
+    out = []
+    pos = 0
+    n = len(b)
+    while pos < n:
+        if b[pos:pos + 6] != LOG_MAGIC:
+            raise ValueError(f"bad log block magic at offset {pos}")
+        start = pos
+        pos += 6
+        (total,) = struct.unpack_from(">q", b, pos)
+        pos += 8
+        version, btype = struct.unpack_from(">ii", b, pos)
+        pos += 8
+        if version != LOG_FORMAT_VERSION:
+            raise ValueError(f"unsupported log format version {version}")
+        header, pos = _read_meta_map(b, pos)
+        (clen,) = struct.unpack_from(">q", b, pos)
+        pos += 8
+        content = b[pos:pos + clen]
+        pos += clen
+        footer, pos = _read_meta_map(b, pos)
+        (trailer,) = struct.unpack_from(">q", b, pos)
+        pos += 8
+        if trailer != total or pos - start != total:
+            raise ValueError(
+                f"log block size mismatch at offset {start} "
+                f"(declared {total}, trailer {trailer}, read {pos - start})"
+            )
+        out.append({"type": btype, "header": header, "content": content})
+    return out
+
+
+def encode_avro_data_block_content(records: list[dict], schema: dict
+                                   ) -> bytes:
+    """AVRO_DATA_BLOCK content: format-version int, record count, then
+    per record a length-prefixed Avro-binary datum (writer schema
+    travels in the block's SCHEMA header)."""
+    import struct
+
+    from kafka_delta_ingest_spark.avro_python import _encode
+
+    out = bytearray(struct.pack(">i", 3))  # HoodieAvroDataBlock version
+    out += struct.pack(">i", len(records))
+    for r in records:
+        buf = bytearray()
+        _encode(buf, schema, r)
+        out += struct.pack(">i", len(buf))
+        out += buf
+    return bytes(out)
+
+
+def decode_avro_data_block_content(content: bytes, schema: dict
+                                   ) -> list[dict]:
+    import io
+    import struct
+
+    from kafka_delta_ingest_spark.avro_python import _decode
+
+    (_ver, n) = struct.unpack_from(">ii", content, 0)
+    pos = 8
+    out = []
+    for _ in range(n):
+        (ln,) = struct.unpack_from(">i", content, pos)
+        pos += 4
+        out.append(_decode(io.BytesIO(content[pos:pos + ln]), schema))
+        pos += ln
+    return out
+
+
+def encode_delete_block_content(keys: list[tuple[str, str]]) -> bytes:
+    """DELETE_BLOCK content: version int + length + Avro array of
+    (recordKey, partitionPath, orderingVal) triples (the Hudi 1.x
+    HoodieDeleteRecordList form — earlier kryo serialization is not
+    reproducible jar-free)."""
+    import struct
+
+    from kafka_delta_ingest_spark.avro_python import _encode
+
+    buf = bytearray()
+    _encode(
+        buf,
+        _DELETE_RECORDS_SCHEMA,
+        [
+            {"recordKey": k, "partitionPath": p, "orderingVal": None}
+            for k, p in keys
+        ],
+    )
+    return struct.pack(">i", 1) + struct.pack(">i", len(buf)) + bytes(buf)
+
+
+def decode_delete_block_content(content: bytes) -> list[dict]:
+    import io
+    import struct
+
+    from kafka_delta_ingest_spark.avro_python import _decode
+
+    (_ver, ln) = struct.unpack_from(">ii", content, 0)
+    return _decode(
+        io.BytesIO(content[8:8 + ln]), _DELETE_RECORDS_SCHEMA
+    )
+
+
+def _log_records_df(spark, log_specs: list[tuple[str, str, int]],
+                    base_schema):
+    """Parse MOR log files into a DataFrame shaped for the merge:
+    META_COLS + data columns + (_kdi_instant, _kdi_pos, _kdi_del).
+
+    ``log_specs``: (path, append_instant, log_seq). One task per log
+    file (a paths DataFrame → mapInPandas that opens the file
+    directly — Spark's hidden-file filter would drop the dot-prefixed
+    log names from a binaryFile scan); parallelism scales with the
+    log-file count exactly like the CommonCrawl WARC model. Ordering
+    within a file slice is (instant, position) with position packing
+    (log_seq, block index, record index) into one long."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    data_fields = [
+        f for f in base_schema.fields if f.name not in META_COLS
+    ]
+    out_schema = StructType(
+        [StructField(c, StringType()) for c in META_COLS]
+        + data_fields
+        + [
+            StructField("_kdi_instant", StringType()),
+            StructField("_kdi_pos", LongType()),
+            StructField("_kdi_del", BooleanType()),
+        ]
+    )
+    names = [f.name for f in out_schema.fields]
+    data_names = [f.name for f in data_fields]
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for path, instant, seq in zip(
+                pdf["path"], pdf["instant"], pdf["seq"]
+            ):
+                with open(path, "rb") as f:
+                    blocks = parse_log_file(f.read())
+                for bi, blk in enumerate(blocks):
+                    base_pos = (int(seq) << 40) | (bi << 20)
+                    if blk["type"] == BLOCK_AVRO_DATA:
+                        schema = json.loads(
+                            blk["header"][HDR_SCHEMA]
+                        )
+                        recs = decode_avro_data_block_content(
+                            blk["content"], schema
+                        )
+                        binst = blk["header"].get(
+                            HDR_INSTANT_TIME, instant
+                        )
+                        for ri, r in enumerate(recs):
+                            row = {c: None for c in names}
+                            row["_hoodie_record_key"] = str(
+                                r.get("_hoodie_record_key")
+                            )
+                            for c in data_names:
+                                row[c] = r.get(c)
+                            row["_kdi_instant"] = binst
+                            row["_kdi_pos"] = base_pos | ri
+                            row["_kdi_del"] = False
+                            rows.append(row)
+                    elif blk["type"] == BLOCK_DELETE:
+                        binst = blk["header"].get(
+                            HDR_INSTANT_TIME, instant
+                        )
+                        recs = decode_delete_block_content(
+                            blk["content"]
+                        )
+                        for ri, r in enumerate(recs):
+                            row = {c: None for c in names}
+                            row["_hoodie_record_key"] = r["recordKey"]
+                            row["_kdi_instant"] = binst
+                            row["_kdi_pos"] = base_pos | ri
+                            row["_kdi_del"] = True
+                            rows.append(row)
+                    elif blk["type"] == BLOCK_COMMAND:
+                        continue  # rollback handling is a seam
+                    else:
+                        raise ValueError(
+                            f"unsupported log block type {blk['type']}"
+                        )
+            yield pd.DataFrame(rows, columns=names)
+
+    paths_df = spark.createDataFrame(
+        [(p, i, s) for p, i, s in log_specs],
+        "path string, instant string, seq long",
+    ).repartition(max(1, min(len(log_specs), 64)))
+    return paths_df.mapInPandas(run, schema=out_schema)
 
 
 def read_hudi(
@@ -142,16 +492,55 @@ def read_hudi(
     keep_meta: bool = False,
     partition_filter: Callable[[str], bool] | None = None,
 ):
-    """Snapshot-read a Hudi CoW table into a DataFrame, optionally at
-    a time-travel instant.  ``partition_filter`` prunes partitions at
-    PLAN time (before any file is opened) from the timeline metadata
-    alone."""
-    files, _instant = plan_snapshot(
+    """Snapshot-read a Hudi table (CoW or MOR) into a DataFrame,
+    optionally at a time-travel instant.  ``partition_filter`` prunes
+    partitions at PLAN time (before any file is opened) from the
+    timeline metadata alone.
+
+    CoW tables (or MOR with no pending log files) are one parquet
+    scan. MOR snapshots merge each file group's log blocks over its
+    base slice: per ``_hoodie_record_key`` the LATEST version wins
+    (ordered by instant, then log position) and delete blocks
+    tombstone keys — one window over the union, partitioned by the
+    record key, so the merge shuffles once and scales with the
+    changed-key volume, not the table."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    groups, _instant = plan_file_groups(
         table_path, as_of_instant, partition_filter
     )
-    if not files:
+    base_files = sorted(
+        g["base"] for g in groups.values() if g["base"]
+    )
+    if not base_files:
         raise ValueError("snapshot plan has no data files")
-    df = spark.read.option("mergeSchema", "true").parquet(*files)
+    df = spark.read.option("mergeSchema", "true").parquet(*base_files)
+    log_specs = [
+        (path, inst, seq)
+        for g in groups.values()
+        for seq, (inst, path) in enumerate(g["logs"])
+    ]
+    if log_specs:
+        data_cols = [c for c in df.columns if c not in META_COLS]
+        base = df.select(
+            *META_COLS,
+            *data_cols,
+            F.col("_hoodie_commit_time").alias("_kdi_instant"),
+            F.lit(-1).cast("long").alias("_kdi_pos"),
+            F.lit(False).alias("_kdi_del"),
+        )
+        logs = _log_records_df(spark, log_specs, df.schema)
+        w = Window.partitionBy("_hoodie_record_key").orderBy(
+            F.desc("_kdi_instant"), F.desc("_kdi_pos")
+        )
+        df = (
+            base.unionByName(logs)
+            .withColumn("_kdi_rn", F.row_number().over(w))
+            .filter(F.col("_kdi_rn") == 1)
+            .filter(~F.col("_kdi_del"))
+            .drop("_kdi_instant", "_kdi_pos", "_kdi_del", "_kdi_rn")
+        )
     if not keep_meta:
         df = df.drop(*META_COLS)
     return df
@@ -163,6 +552,8 @@ class HudiFixtureWriter:
     files with Hudi meta columns, and copy-on-write rewrites for
     upsert/delete.  ``record_key`` names the field used for
     ``_hoodie_record_key``."""
+
+    _TABLE_TYPE = "COPY_ON_WRITE"
 
     def __init__(self, table_path: str, record_key: str,
                  partition_field: str | None = None,
@@ -178,7 +569,7 @@ class HudiFixtureWriter:
         with open(os.path.join(hoodie, "hoodie.properties"), "w",
                   encoding="utf-8") as f:
             f.write("hoodie.table.name=%s\n" % table_name)
-            f.write("hoodie.table.type=COPY_ON_WRITE\n")
+            f.write("hoodie.table.type=%s\n" % self._TABLE_TYPE)
             f.write("hoodie.table.version=6\n")
             f.write("hoodie.timeline.layout.version=1\n")
 
@@ -257,19 +648,19 @@ class HudiFixtureWriter:
         }
 
     def _commit(self, stats_by_part: dict[str, list[dict]],
-                instant: str, op: str):
+                instant: str, op: str, action: str = "commit"):
         hoodie = os.path.join(self.path, ".hoodie")
         meta = {
             "partitionToWriteStats": stats_by_part,
             "operationType": op,
-            "compacted": False,
+            "compacted": action == "commit" and op == "compact",
         }
         # real timeline state transitions
-        open(os.path.join(hoodie, f"{instant}.commit.requested"),
+        open(os.path.join(hoodie, f"{instant}.{action}.requested"),
              "w").close()
-        open(os.path.join(hoodie, f"{instant}.commit.inflight"),
+        open(os.path.join(hoodie, f"{instant}.{action}.inflight"),
              "w").close()
-        with open(os.path.join(hoodie, f"{instant}.commit"), "w",
+        with open(os.path.join(hoodie, f"{instant}.{action}"), "w",
                   encoding="utf-8") as f:
             json.dump(meta, f)
         return instant
@@ -343,3 +734,176 @@ class HudiFixtureWriter:
                                   "known", template=grows)
             )
         return self._commit(stats, instant, "delete")
+
+
+class HudiMorFixtureWriter(HudiFixtureWriter):
+    """MERGE_ON_READ fixture writer: inserts create base parquet
+    slices via ``.deltacommit``; updates/deletes APPEND real
+    HoodieLogFormat blocks (avro data / delete blocks) to per-group
+    log files via further delta commits; ``compact`` merges each
+    group py-side and writes a fresh base slice under a ``.commit``
+    (resetting the log chain — the timeline rule the reader plans by).
+
+    ``schema``: data column → avro primitive type (``long``,
+    ``double``, ``string``, ``boolean``) — the writer schema carried
+    in each data block's SCHEMA header."""
+
+    _TABLE_TYPE = "MERGE_ON_READ"
+
+    def __init__(self, table_path: str, record_key: str,
+                 schema: dict[str, str],
+                 partition_field: str | None = None,
+                 table_name: str = "fixture"):
+        super().__init__(table_path, record_key, partition_field,
+                         table_name)
+        self.schema = dict(schema)
+        # (part, fileId) -> [base_instant, next log version]
+        self._slices: dict[tuple[str, str], list] = {}
+
+    def _avro_schema(self) -> dict:
+        return {
+            "type": "record",
+            "name": "HoodieRecord",
+            "fields": [
+                {"name": "_hoodie_record_key", "type": "string"},
+            ] + [
+                {"name": n, "type": ["null", t], "default": None}
+                for n, t in self.schema.items()
+            ],
+        }
+
+    def insert(self, rows: list[dict], ts_ms: int,
+               groups_per_partition: int = 1) -> str:
+        """INSERT delta commit: new base files (MOR inserts go to base
+        parquet; only updates/deletes hit the logs)."""
+        instant = self._instant(ts_ms)
+        by_part: dict[str, list[dict]] = {}
+        for r in rows:
+            by_part.setdefault(self._partition_of(r), []).append(r)
+        stats: dict[str, list[dict]] = {}
+        for part, prows in sorted(by_part.items()):
+            for g in range(groups_per_partition):
+                grows = prows[g::groups_per_partition]
+                if not grows:
+                    continue
+                fid = str(uuid.uuid5(
+                    uuid.NAMESPACE_URL, f"{part}/{instant}/{g}"
+                ))
+                stats.setdefault(part, []).append(
+                    self._write_group(part, fid, grows, instant, "null")
+                )
+                self._slices[(part, fid)] = [instant, 1]
+        return self._commit(stats, instant, "insert",
+                            action="deltacommit")
+
+    def _append_log(self, part: str, fid: str, instant: str,
+                    block: bytes, n_records: int) -> dict:
+        base_instant, version = self._slices[(part, fid)]
+        self._slices[(part, fid)][1] += 1
+        fname = f".{fid}_{base_instant}.log.{version}_0-1-0"
+        rel = os.path.join(part, fname) if part else fname
+        full = os.path.join(self.path, rel)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        with open(full, "wb") as f:
+            f.write(block)
+        return {
+            "fileId": fid,
+            "path": rel.replace(os.sep, "/"),
+            "prevCommit": base_instant,
+            "numWrites": n_records,
+            "fileSizeInBytes": os.path.getsize(full),
+        }
+
+    def upsert_log(self, rows: list[dict], ts_ms: int) -> str:
+        """UPSERT delta commit: avro data blocks appended to the log
+        of every group holding an affected key (new keys raise —
+        fixture precondition, like the CoW upsert)."""
+        instant = self._instant(ts_ms)
+        updates = {str(r[self.key]): r for r in rows}
+        schema = self._avro_schema()
+        stats: dict[str, list[dict]] = {}
+        touched = set()
+        for (part, fid), grows in sorted(self._groups.items()):
+            hits = [
+                updates[str(r[self.key])]
+                for r in grows
+                if str(r[self.key]) in updates
+            ]
+            if not hits:
+                continue
+            recs = [
+                {
+                    "_hoodie_record_key": str(r[self.key]),
+                    **{n: r.get(n) for n in self.schema},
+                }
+                for r in hits
+            ]
+            block = encode_log_block(
+                BLOCK_AVRO_DATA,
+                {
+                    HDR_INSTANT_TIME: instant,
+                    HDR_SCHEMA: json.dumps(schema),
+                },
+                encode_avro_data_block_content(recs, schema),
+            )
+            stats.setdefault(part, []).append(
+                self._append_log(part, fid, instant, block, len(hits))
+            )
+            for r in grows:
+                k = str(r[self.key])
+                if k in updates:
+                    r.update(updates[k])
+                    touched.add(k)
+        missing = set(updates) - touched
+        if missing:
+            raise ValueError(f"upsert keys not present: {sorted(missing)}")
+        return self._commit(stats, instant, "upsert",
+                            action="deltacommit")
+
+    def delete_log(self, keys: list, ts_ms: int) -> str:
+        """DELETE delta commit: delete blocks appended to affected
+        groups' logs."""
+        instant = self._instant(ts_ms)
+        victims = {str(k) for k in keys}
+        stats: dict[str, list[dict]] = {}
+        for (part, fid), grows in sorted(self._groups.items()):
+            hits = [r for r in grows if str(r[self.key]) in victims]
+            if not hits:
+                continue
+            block = encode_log_block(
+                BLOCK_DELETE,
+                {HDR_INSTANT_TIME: instant},
+                encode_delete_block_content(
+                    [(str(r[self.key]), part) for r in hits]
+                ),
+            )
+            stats.setdefault(part, []).append(
+                self._append_log(part, fid, instant, block, len(hits))
+            )
+            self._groups[(part, fid)] = [
+                r for r in grows if str(r[self.key]) not in victims
+            ]
+        return self._commit(stats, instant, "delete",
+                            action="deltacommit")
+
+    def compact(self, ts_ms: int) -> str:
+        """Compaction ``.commit``: per group, merge the tracked state
+        into a fresh base slice; the new parquet resets the group's
+        log chain on the timeline."""
+        instant = self._instant(ts_ms)
+        dummy = {"long": 0, "double": 0.0, "string": "",
+                 "boolean": False}
+        stats: dict[str, list[dict]] = {}
+        for (part, fid), grows in sorted(self._groups.items()):
+            stats.setdefault(part, []).append(
+                self._write_group(
+                    part, fid, grows, instant, "known",
+                    # typed dummy row keeps an emptied group's parquet
+                    # columns at their declared types
+                    template=grows or [
+                        {n: dummy[t] for n, t in self.schema.items()}
+                    ],
+                )
+            )
+            self._slices[(part, fid)] = [instant, 1]
+        return self._commit(stats, instant, "compact", action="commit")

@@ -1,0 +1,164 @@
+"""Hudi MERGE_ON_READ: HoodieLogFormat block codec roundtrips, log
+merge semantics (latest-wins upserts, delete tombstones, compaction
+resetting the log chain), time travel across delta commits, and
+framing-corruption detection."""
+
+import os
+
+import pytest
+
+from kafka_delta_ingest_spark.hudi import (
+    BLOCK_AVRO_DATA,
+    BLOCK_DELETE,
+    HDR_INSTANT_TIME,
+    HDR_SCHEMA,
+    HudiMorFixtureWriter,
+    decode_avro_data_block_content,
+    decode_delete_block_content,
+    encode_avro_data_block_content,
+    encode_delete_block_content,
+    encode_log_block,
+    parse_log_file,
+    plan_file_groups,
+    plan_snapshot,
+    read_hudi,
+    table_properties,
+)
+
+_SCHEMA = {"id": "long", "lang": "string", "text": "string"}
+
+
+@pytest.fixture()
+def mor(tmp_path):
+    w = HudiMorFixtureWriter(
+        str(tmp_path / "m"), record_key="id", schema=_SCHEMA,
+        partition_field="lang",
+    )
+    rows = [
+        {"id": i, "lang": ["en", "fr"][i % 2], "text": f"doc {i}"}
+        for i in range(12)
+    ]
+    i1 = w.insert(rows, ts_ms=1000, groups_per_partition=2)
+    i2 = w.upsert_log(
+        [{"id": 4, "lang": "en", "text": "UPDATED"},
+         {"id": 5, "lang": "fr", "text": "UPDATED5"}],
+        ts_ms=2000,
+    )
+    i3 = w.delete_log([7, 8], ts_ms=3000)
+    # a second upsert to the SAME key: latest block must win
+    i4 = w.upsert_log(
+        [{"id": 4, "lang": "en", "text": "UPDATED-AGAIN"}], ts_ms=4000
+    )
+    return str(tmp_path / "m"), w, (i1, i2, i3, i4)
+
+
+def test_log_block_codec_roundtrip():
+    schema = {
+        "type": "record", "name": "R",
+        "fields": [
+            {"name": "_hoodie_record_key", "type": "string"},
+            {"name": "v", "type": ["null", "long"], "default": None},
+        ],
+    }
+    recs = [{"_hoodie_record_key": "k1", "v": 7},
+            {"_hoodie_record_key": "k2", "v": None}]
+    import json as _json
+
+    blob = encode_log_block(
+        BLOCK_AVRO_DATA,
+        {HDR_INSTANT_TIME: "20240101000000000",
+         HDR_SCHEMA: _json.dumps(schema)},
+        encode_avro_data_block_content(recs, schema),
+    ) + encode_log_block(
+        BLOCK_DELETE,
+        {HDR_INSTANT_TIME: "20240101000000001"},
+        encode_delete_block_content([("k1", "lang=en")]),
+    )
+    blocks = parse_log_file(blob)
+    assert [b["type"] for b in blocks] == [BLOCK_AVRO_DATA, BLOCK_DELETE]
+    assert blocks[0]["header"][HDR_INSTANT_TIME] == "20240101000000000"
+    got = decode_avro_data_block_content(
+        blocks[0]["content"], schema
+    )
+    assert got == recs
+    dels = decode_delete_block_content(blocks[1]["content"])
+    assert dels == [{"recordKey": "k1", "partitionPath": "lang=en",
+                     "orderingVal": None}]
+
+
+def test_log_block_corruption_detected():
+    blob = bytearray(
+        encode_log_block(BLOCK_DELETE, {HDR_INSTANT_TIME: "1"},
+                         encode_delete_block_content([("k", "")]))
+    )
+    blob[-1] ^= 0xFF  # flip a trailer byte
+    with pytest.raises(ValueError, match="size mismatch"):
+        parse_log_file(bytes(blob))
+    with pytest.raises(ValueError, match="magic"):
+        parse_log_file(b"NOTHUDI" + bytes(blob))
+
+
+def test_mor_snapshot_merges_logs(spark, mor):
+    path, _, _ = mor
+    assert table_properties(path)["hoodie.table.type"] == "MERGE_ON_READ"
+    got = {r.id: r.text for r in read_hudi(spark, path).collect()}
+    exp = {
+        i: f"doc {i}" for i in range(12) if i not in (7, 8)
+    }
+    exp[4] = "UPDATED-AGAIN"  # second upsert beats the first
+    exp[5] = "UPDATED5"
+    assert got == exp
+
+
+def test_mor_time_travel_by_delta_instant(spark, mor):
+    path, _, (i1, i2, i3, _) = mor
+    assert read_hudi(spark, path, as_of_instant=i1).count() == 12
+    d2 = {r.id: r.text for r in
+          read_hudi(spark, path, as_of_instant=i2).collect()}
+    assert d2[4] == "UPDATED" and d2[7] == "doc 7"
+    d3 = read_hudi(spark, path, as_of_instant=i3)
+    assert d3.count() == 10  # 7, 8 tombstoned; update to 4 still v1
+
+
+def test_compaction_resets_log_chain(spark, mor):
+    path, w, _ = mor
+    before = {r.id: r.text for r in read_hudi(spark, path).collect()}
+    ic = w.compact(ts_ms=5000)
+    # after compaction every group is pure parquet again — the CoW
+    # fast path plans it without any log merge
+    groups, _ = plan_file_groups(path)
+    assert all(not g["logs"] for g in groups.values())
+    files, _ = plan_snapshot(path)  # no longer raises
+    assert files
+    after = {r.id: r.text for r in read_hudi(spark, path).collect()}
+    assert after == before
+    # post-compaction log appends target the new base slice
+    w.upsert_log([{"id": 0, "lang": "en", "text": "POST-COMPACT"}],
+                 ts_ms=6000)
+    got = {r.id: r.text for r in read_hudi(spark, path).collect()}
+    assert got[0] == "POST-COMPACT"
+
+
+def test_plan_snapshot_raises_on_pending_logs(mor):
+    path, _, _ = mor
+    with pytest.raises(ValueError, match="MERGE_ON_READ"):
+        plan_snapshot(path)
+
+
+def test_mor_partition_pruning_at_plan_time(spark, mor):
+    path, _, _ = mor
+    df = read_hudi(
+        spark, path, partition_filter=lambda p: p == "lang=en"
+    )
+    got = {r.id: r.text for r in df.collect()}
+    exp = {i: f"doc {i}" for i in range(0, 12, 2) if i != 8}
+    exp[4] = "UPDATED-AGAIN"
+    assert got == exp
+
+
+def test_mor_keep_meta_exposes_record_key(spark, mor):
+    path, _, _ = mor
+    df = read_hudi(spark, path, keep_meta=True)
+    assert "_hoodie_record_key" in df.columns
+    keys = {r._hoodie_record_key for r in df.collect()}
+    assert "4" in keys and "7" not in keys

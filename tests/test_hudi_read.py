@@ -90,12 +90,12 @@ def test_pending_instants_are_invisible(spark, table):
 def test_unsupported_actions_raise(table):
     path, _ = table
     hoodie = os.path.join(path, ".hoodie")
-    with open(os.path.join(hoodie, "99999999999999998.deltacommit"),
+    with open(os.path.join(hoodie, "99999999999999998.replacecommit"),
               "w") as f:
         json.dump({}, f)
-    with pytest.raises(ValueError, match="deltacommit"):
+    with pytest.raises(ValueError, match="replacecommit"):
         completed_commits(path)
-    os.remove(os.path.join(hoodie, "99999999999999998.deltacommit"))
+    os.remove(os.path.join(hoodie, "99999999999999998.replacecommit"))
 
 
 def test_properties_and_errors(tmp_path, table):
