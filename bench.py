@@ -124,6 +124,8 @@ HEADLINE = [
     "text_lang_id",
     "text_unicode_nfc",
     "text_split_sentences",
+    "sink_delta_standard_roundtrip",
+    "hudi_read_mor",
 ]
 
 

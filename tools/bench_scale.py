@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""One-off sf0.1 → sf1 scaling spot-check (VERDICT r6 item #7).
+
+Builds a 10x `documents` table from the driver's sf0.1 parquet —
+10 replicas, each with doc_ids shifted into a disjoint range and text
+CAESAR-SHIFTED by the replica index. The shift preserves word lengths,
+whitespace structure, and the intra-replica duplicate/shared-passage
+profile (the skew the dedup operators exist for) while making gram
+hashes DISJOINT across replicas — so the honest expectation for a
+linear-in-corpus operator is ~10x runtime, and a quadratic pair
+blowup (what naive 10x copy-paste replication would manufacture:
+every doc near-dups its 9 clones, 45x pair work) cannot masquerade
+as a scaling cliff that isn't in the plan.
+
+Runs the 5 most expensive headline queries at sf0.1 and at the
+scaled dir (min of N repeats each, post warm-up) and writes
+BENCH_SCALE.json with per-query ratios.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QUERIES = [
+    "pipeline_pretrain_curation",
+    "dedup_substring_rewrite",
+    "dedup_substring_spans",
+    "pipeline_fuzzy_curation",
+    "text_bpe_train_probe",
+]
+
+REPLICAS = 10
+REPEATS = 2
+
+
+def build_scaled_documents(src_dir: str, out_dir: str) -> str:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    out = os.path.join(out_dir, "documents.parquet")
+    if os.path.exists(out):
+        return out
+    t = pq.read_table(os.path.join(src_dir, "documents.parquet"))
+    max_id = pc.max(t["doc_id"]).as_py() + 1
+    lower = "abcdefghijklmnopqrstuvwxyz"
+    upper = lower.upper()
+    chunks = []
+    for k in range(REPLICAS):
+        ids = pc.add(t["doc_id"], k * max_id)
+        if k == 0:
+            texts = t["text"]
+        else:
+            trans = str.maketrans(
+                lower + upper,
+                lower[k:] + lower[:k] + upper[k:] + upper[:k],
+            )
+            texts = pa.array(
+                [
+                    None if v is None else v.translate(trans)
+                    for v in t["text"].to_pylist()
+                ],
+                type=pa.string(),
+            )
+        chunks.append(
+            pa.table(
+                {
+                    "doc_id": ids,
+                    "text": texts,
+                    "lang": t["lang"],
+                    "source": t["source"],
+                    "n_chars": t["n_chars"],
+                }
+            )
+        )
+    pq.write_table(pa.concat_tables(chunks), out)
+    return out
+
+
+def main() -> None:
+    import __spark_entry__ as E
+    from kafka_delta_ingest_spark.session import get_spark
+
+    sf01 = "/root/testdata/sf0.1"
+    scaled = os.environ.get("KDI_SCALE_DIR", "/tmp/kdi-sf1")
+    build_scaled_documents(sf01, scaled)
+
+    spark = get_spark("kdi-bench-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = E.queries()
+
+    def run(name, sf_dir):
+        qs[name](spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+
+    # warm codegen/worker pools at the smallest SF
+    for name in QUERIES:
+        run(name, "/root/testdata/sf0.001")
+
+    results = {}
+    for name in QUERIES:
+        t01, t1 = [], []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            run(name, sf01)
+            t01.append(time.perf_counter() - t0)
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            run(name, scaled)
+            t1.append(time.perf_counter() - t0)
+        results[name] = {
+            "sf0.1_sec": round(min(t01), 3),
+            "sf1_sec": round(min(t1), 3),
+            "ratio": round(min(t1) / min(t01), 2),
+            "runs_sf0.1": [round(x, 3) for x in t01],
+            "runs_sf1": [round(x, 3) for x in t1],
+        }
+        print(name, results[name])
+
+    artifact = {
+        "metric": "sf0.1_to_sf1_scaling",
+        "replicas": REPLICAS,
+        "construction": "10x replicas, caesar-shifted text, "
+                        "disjoint id ranges",
+        "queries": results,
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_SCALE.json",
+    )
+    with open(path, "w") as f:
+        json.dump(artifact, f, indent=1)
+        f.write("\n")
+    print(json.dumps(artifact))
+
+
+if __name__ == "__main__":
+    main()
