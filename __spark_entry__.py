@@ -4416,6 +4416,81 @@ def iceberg_read_snapshot(spark, sf_dir):
 
 
 @_q(
+    "hudi_read_incremental",
+    """
+    SELECT doc_id, lang,
+           CAST(CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END AS INT) AS rev,
+           TRUE AS window_ok
+    FROM documents
+    WHERE doc_id % 3 = 0 OR doc_id % 5 = 0
+    """,
+)
+def hudi_read_incremental(spark, sf_dir):
+    """Hudi INCREMENTAL query certification — the change-feed surface
+    a streaming consumer polls (records inserted/updated in an instant
+    window, at their latest version; hudi.read_hudi_incremental).
+    History on a MOR fixture: deltacommit 1 inserts all documents
+    (rev=0), deltacommit 2 upserts rev=1 onto doc_id%3==0 via an avro
+    log block, deltacommit 3 upserts rev=2 onto doc_id%5==0.  The
+    incremental pull over (i1, i3] must return EXACTLY the changed
+    records at their latest versions — %15 docs appear once with
+    rev=2 (latest-wins), unchanged docs don't appear at all (their
+    rows keep the insert commit time through the merge).  window_ok
+    additionally pins the half-open window (i2, i3]: its count must
+    equal the %5 census.  The oracle states the changed-set
+    declaratively.  Scale: one snapshot plan + a pushed-down filter
+    on the commit-time meta column — an incremental pull costs one
+    filtered scan, not a two-snapshot diff."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from kafka_delta_ingest_spark.hudi import (
+        HudiMorFixtureWriter,
+        read_hudi_incremental,
+    )
+
+    rows = sorted(
+        (int(r.doc_id), r.lang)
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    )
+    base = [{"doc_id": i, "lang": g, "rev": 0} for i, g in rows]
+    threes = [
+        {"doc_id": i, "lang": g, "rev": 1} for i, g in rows if i % 3 == 0
+    ]
+    fives = [
+        {"doc_id": i, "lang": g, "rev": 2} for i, g in rows if i % 5 == 0
+    ]
+    root = _tf.mkdtemp(prefix="kdi-incq-")
+    try:
+        w = HudiMorFixtureWriter(
+            root + "/t",
+            record_key="doc_id",
+            schema={"doc_id": "long", "lang": "string", "rev": "long"},
+            partition_field="lang",
+        )
+        i1 = w.insert(base, ts_ms=1000, groups_per_partition=2)
+        i2 = w.upsert_log(threes, ts_ms=2000)
+        w.upsert_log(fives, ts_ms=3000)
+        t = root + "/t"
+        window_ok = (
+            read_hudi_incremental(spark, t, i2).count() == len(fives)
+        )
+        out = (
+            read_hudi_incremental(spark, t, i1)
+            .select(
+                "doc_id", "lang", F.col("rev").cast("int").alias("rev")
+            )
+            .withColumn("window_ok", F.lit(bool(window_ok)))
+        )
+        # materialize before the fixture table is removed
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
+@_q(
     "sink_delta_standard_roundtrip",
     """
     SELECT doc_id, lang, LENGTH(text) AS n_chars, TRUE AS travel_ok
@@ -7863,6 +7938,7 @@ _SWEEP_ORDER: list[str] = [
     "scan_filter_project",
     "sink_delta_standard_roundtrip",
     "hudi_read_mor",
+    "hudi_read_incremental",
     "iceberg_read_snapshot",
     "delta_read_standard",
     "hudi_read_snapshot",

@@ -539,8 +539,41 @@ def read_hudi(
             .withColumn("_kdi_rn", F.row_number().over(w))
             .filter(F.col("_kdi_rn") == 1)
             .filter(~F.col("_kdi_del"))
+            # a log-updated row's effective commit time is its block's
+            # instant — that is what incremental queries select on
+            .withColumn("_hoodie_commit_time", F.col("_kdi_instant"))
             .drop("_kdi_instant", "_kdi_pos", "_kdi_del", "_kdi_rn")
         )
+    if not keep_meta:
+        df = df.drop(*META_COLS)
+    return df
+
+
+def read_hudi_incremental(
+    spark,
+    table_path: str,
+    begin_instant: str,
+    end_instant: str | None = None,
+    keep_meta: bool = False,
+):
+    """Hudi INCREMENTAL query: the LATEST version of every record
+    inserted or updated in ``(begin_instant, end_instant]`` — the
+    change-feed surface streaming consumers poll (hudi.apache.org
+    incremental-query semantics; deletes don't surface, matching
+    Hudi's default payload behavior).
+
+    Implementation: snapshot at ``end_instant`` (CoW slice pick or the
+    MOR log merge — both leave each row's ``_hoodie_commit_time`` at
+    the instant that last wrote it), then one pushed-down filter on
+    the commit-time meta column. Incremental pulls therefore cost one
+    filtered scan of the files commits in range actually touched, not
+    a diff of two snapshots."""
+    from pyspark.sql import functions as F
+
+    df = read_hudi(
+        spark, table_path, as_of_instant=end_instant, keep_meta=True
+    )
+    df = df.filter(F.col("_hoodie_commit_time") > begin_instant)
     if not keep_meta:
         df = df.drop(*META_COLS)
     return df
@@ -562,8 +595,12 @@ class HudiFixtureWriter:
         self.key = record_key
         self.part_field = partition_field
         self._seq = 0
-        # (partition, fileId) -> list of rows currently in the group
-        self._groups: dict[tuple[str, str], list[dict]] = {}
+        # (partition, fileId) -> [(commit_time, row), ...] currently in
+        # the group. Per-ROW commit times matter: a CoW rewrite stamps
+        # the new instant only on rows it actually changed — unchanged
+        # rows RETAIN their original _hoodie_commit_time (that is what
+        # makes Hudi incremental queries work).
+        self._groups: dict[tuple[str, str], list[tuple]] = {}
         hoodie = os.path.join(table_path, ".hoodie")
         os.makedirs(hoodie, exist_ok=True)
         with open(os.path.join(hoodie, "hoodie.properties"), "w",
@@ -586,14 +623,19 @@ class HudiFixtureWriter:
             return ""
         return f"{self.part_field}={row[self.part_field]}"
 
-    def _write_group(self, part: str, file_id: str, rows: list[dict],
+    def _write_group(self, part: str, file_id: str,
+                     rows: list[tuple[str, dict]],
                      instant: str, prev: str,
                      template: list[dict] | None = None) -> dict:
-        """Write one new file slice.  ``rows`` may be EMPTY — Hudi CoW
-        represents "every record in the group was deleted" as a new
-        base file with zero records (the group stays in the timeline;
-        readers see no rows) — in which case ``template`` supplies the
-        prior slice's rows so the empty parquet keeps typed columns."""
+        """Write one new file slice.  ``rows`` is [(commit_time, row)]
+        — each row keeps ITS OWN ``_hoodie_commit_time`` (unchanged
+        rows retain their original instant through a rewrite; that is
+        the property incremental queries select on).  ``rows`` may be
+        EMPTY — Hudi CoW represents "every record in the group was
+        deleted" as a new base file with zero records (the group stays
+        in the timeline; readers see no rows) — in which case
+        ``template`` supplies the prior slice's rows so the empty
+        parquet keeps typed columns."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -604,14 +646,14 @@ class HudiFixtureWriter:
         os.makedirs(os.path.dirname(full), exist_ok=True)
         if rows:
             cols: dict[str, list] = {c: [] for c in META_COLS}
-            data_keys = list(rows[0].keys())
+            data_keys = list(rows[0][1].keys())
             for c in data_keys:
                 cols[c] = []
-            for r in rows:
+            for ct, r in rows:
                 self._seq += 1
-                cols["_hoodie_commit_time"].append(instant)
+                cols["_hoodie_commit_time"].append(ct)
                 cols["_hoodie_commit_seqno"].append(
-                    f"{instant}_0_{self._seq}"
+                    f"{ct}_0_{self._seq}"
                 )
                 cols["_hoodie_record_key"].append(str(r[self.key]))
                 cols["_hoodie_partition_path"].append(part)
@@ -682,30 +724,34 @@ class HudiFixtureWriter:
                     uuid.NAMESPACE_URL, f"{part}/{instant}/{g}"
                 ))
                 stats.setdefault(part, []).append(
-                    self._write_group(part, fid, grows, instant, "null")
+                    self._write_group(
+                        part, fid, [(instant, r) for r in grows],
+                        instant, "null",
+                    )
                 )
         return self._commit(stats, instant, "insert")
 
     def upsert(self, rows: list[dict], ts_ms: int) -> str:
         """UPSERT commit: copy-on-write — every file group holding an
         affected record key is rewritten wholesale as a new slice with
-        the updates applied; unmatched keys raise (fixture precondition:
-        upserts target existing records)."""
+        the updates applied (only UPDATED rows take the new commit
+        time); unmatched keys raise (fixture precondition: upserts
+        target existing records)."""
         instant = self._instant(ts_ms)
         updates = {str(r[self.key]): r for r in rows}
         stats: dict[str, list[dict]] = {}
         touched = set()
         for (part, fid), grows in sorted(self._groups.items()):
-            if not any(str(r[self.key]) in updates for r in grows):
+            if not any(str(r[self.key]) in updates for _, r in grows):
                 continue
             new_rows = []
-            for r in grows:
+            for ct, r in grows:
                 k = str(r[self.key])
                 if k in updates:
-                    new_rows.append(updates[k])
+                    new_rows.append((instant, updates[k]))
                     touched.add(k)
                 else:
-                    new_rows.append(r)
+                    new_rows.append((ct, r))
             stats.setdefault(part, []).append(
                 self._write_group(part, fid, new_rows, instant, "known")
             )
@@ -716,22 +762,25 @@ class HudiFixtureWriter:
 
     def delete(self, keys: list, ts_ms: int) -> str:
         """DELETE commit: CoW rewrite of affected groups without the
-        victims.  A fully-emptied group is rewritten as a ZERO-record
-        base file (Hudi's representation — the group stays in the
-        timeline and readers see no rows from it), so the operation is
-        total over any victim set."""
+        victims (survivors keep their original commit times).  A
+        fully-emptied group is rewritten as a ZERO-record base file
+        (Hudi's representation — the group stays in the timeline and
+        readers see no rows from it), so the operation is total over
+        any victim set."""
         instant = self._instant(ts_ms)
         victims = {str(k) for k in keys}
         stats: dict[str, list[dict]] = {}
         for (part, fid), grows in sorted(self._groups.items()):
-            if not any(str(r[self.key]) in victims for r in grows):
+            if not any(str(r[self.key]) in victims for _, r in grows):
                 continue
             survivors = [
-                r for r in grows if str(r[self.key]) not in victims
+                (ct, r) for ct, r in grows
+                if str(r[self.key]) not in victims
             ]
             stats.setdefault(part, []).append(
                 self._write_group(part, fid, survivors, instant,
-                                  "known", template=grows)
+                                  "known",
+                                  template=[r for _, r in grows])
             )
         return self._commit(stats, instant, "delete")
 
@@ -790,7 +839,10 @@ class HudiMorFixtureWriter(HudiFixtureWriter):
                     uuid.NAMESPACE_URL, f"{part}/{instant}/{g}"
                 ))
                 stats.setdefault(part, []).append(
-                    self._write_group(part, fid, grows, instant, "null")
+                    self._write_group(
+                        part, fid, [(instant, r) for r in grows],
+                        instant, "null",
+                    )
                 )
                 self._slices[(part, fid)] = [instant, 1]
         return self._commit(stats, instant, "insert",
@@ -826,7 +878,7 @@ class HudiMorFixtureWriter(HudiFixtureWriter):
         for (part, fid), grows in sorted(self._groups.items()):
             hits = [
                 updates[str(r[self.key])]
-                for r in grows
+                for _, r in grows
                 if str(r[self.key]) in updates
             ]
             if not hits:
@@ -849,11 +901,15 @@ class HudiMorFixtureWriter(HudiFixtureWriter):
             stats.setdefault(part, []).append(
                 self._append_log(part, fid, instant, block, len(hits))
             )
-            for r in grows:
+            new_state = []
+            for ct, r in grows:
                 k = str(r[self.key])
                 if k in updates:
-                    r.update(updates[k])
+                    new_state.append((instant, updates[k]))
                     touched.add(k)
+                else:
+                    new_state.append((ct, r))
+            self._groups[(part, fid)] = new_state
         missing = set(updates) - touched
         if missing:
             raise ValueError(f"upsert keys not present: {sorted(missing)}")
@@ -867,7 +923,7 @@ class HudiMorFixtureWriter(HudiFixtureWriter):
         victims = {str(k) for k in keys}
         stats: dict[str, list[dict]] = {}
         for (part, fid), grows in sorted(self._groups.items()):
-            hits = [r for r in grows if str(r[self.key]) in victims]
+            hits = [r for _, r in grows if str(r[self.key]) in victims]
             if not hits:
                 continue
             block = encode_log_block(
@@ -881,7 +937,8 @@ class HudiMorFixtureWriter(HudiFixtureWriter):
                 self._append_log(part, fid, instant, block, len(hits))
             )
             self._groups[(part, fid)] = [
-                r for r in grows if str(r[self.key]) not in victims
+                (ct, r) for ct, r in grows
+                if str(r[self.key]) not in victims
             ]
         return self._commit(stats, instant, "delete",
                             action="deltacommit")
@@ -900,7 +957,7 @@ class HudiMorFixtureWriter(HudiFixtureWriter):
                     part, fid, grows, instant, "known",
                     # typed dummy row keeps an emptied group's parquet
                     # columns at their declared types
-                    template=grows or [
+                    template=[r for _, r in grows] or [
                         {n: dummy[t] for n, t in self.schema.items()}
                     ],
                 )

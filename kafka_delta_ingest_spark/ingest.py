@@ -328,6 +328,13 @@ class IngestJob:
             # dropped empty payloads, and a ledger built from it would
             # understate progress on compacted topics and re-consume
             # tombstone offsets after a seek.
+            # This is a second scan of raw, but column-pruned to the
+            # two int columns (partition, offset) — no payload decode.
+            # observe() can't replace it: per-partition max is a
+            # GROUPED aggregate, and observation metrics are scalar
+            # (a collect_list map-building workaround would buffer the
+            # whole batch per task). Measured cost is noise next to
+            # the parquet write (r6 verdict, What's wrong #4).
             offsets = {
                 row["p"]: row["o"]
                 for row in raw.groupBy(F.col("partition").alias("p"))

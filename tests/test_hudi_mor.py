@@ -156,6 +156,49 @@ def test_mor_partition_pruning_at_plan_time(spark, mor):
     assert got == exp
 
 
+def test_incremental_query_mor(spark, mor):
+    from kafka_delta_ingest_spark.hudi import read_hudi_incremental
+
+    path, _, (i1, i2, i3, i4) = mor
+    # (i1, i2]: exactly the first upsert's two rows, at their updated
+    # versions
+    got = {(r.id, r.text) for r in
+           read_hudi_incremental(spark, path, i1, i2).collect()}
+    assert got == {(4, "UPDATED"), (5, "UPDATED5")}
+    # (i1, i4]: latest version of every changed record; deletes (7, 8)
+    # don't surface
+    got = {(r.id, r.text) for r in
+           read_hudi_incremental(spark, path, i1).collect()}
+    assert got == {(4, "UPDATED-AGAIN"), (5, "UPDATED5")}
+    # (i2, i4]: the second upsert only
+    got = {(r.id, r.text) for r in
+           read_hudi_incremental(spark, path, i2).collect()}
+    assert got == {(4, "UPDATED-AGAIN")}
+
+
+def test_incremental_query_cow(spark, tmp_path):
+    # CoW rewrites stamp the new instant only on rows they CHANGED —
+    # unchanged neighbors in the rewritten file keep their original
+    # commit time, so the incremental filter excludes them.
+    from kafka_delta_ingest_spark.hudi import (
+        HudiFixtureWriter,
+        read_hudi_incremental,
+    )
+
+    w = HudiFixtureWriter(
+        str(tmp_path / "c"), record_key="id", partition_field="lang"
+    )
+    rows = [
+        {"id": i, "lang": ["en", "fr"][i % 2], "text": f"doc {i}"}
+        for i in range(8)
+    ]
+    i1 = w.insert(rows, ts_ms=1000)
+    w.upsert([{"id": 2, "lang": "en", "text": "V2"}], ts_ms=2000)
+    got = {(r.id, r.text) for r in
+           read_hudi_incremental(spark, str(tmp_path / "c"), i1).collect()}
+    assert got == {(2, "V2")}  # not the 3 unchanged en-file neighbors
+
+
 def test_mor_keep_meta_exposes_record_key(spark, mor):
     path, _, _ = mor
     df = read_hudi(spark, path, keep_meta=True)
