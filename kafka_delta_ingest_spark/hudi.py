@@ -57,8 +57,14 @@ jar-free HoodieLogFormat codec:
   (``.commit`` rewriting a group's base) resets the group's log
   chain, exactly the timeline rule.
 
-Still-documented seams: replacecommit/clustering and incremental
-queries raise with a clear message.
+Also supported (r7 second wave): ``replacecommit`` CLUSTERING (the
+named file groups are replaced wholesale by the commit's new groups —
+``partitionToReplaceFileIds`` walk) and INCREMENTAL queries
+(``read_hudi_incremental``: latest version of every record written in
+an instant window, selected by the per-row ``_hoodie_commit_time``
+that both the CoW rewrite rule and the MOR merge preserve).
+Table-service markers (``clean``/``rollback``/``savepoint``) are
+ignored at plan time; genuinely unknown timeline actions raise.
 
 Fixture writers (``HudiFixtureWriter``, ``HudiMorFixtureWriter``)
 build REAL tables: properties, requested/inflight/completed instant
@@ -118,12 +124,17 @@ def completed_commits(table_path: str) -> list[tuple[str, str]]:
         if not m:
             continue
         instant, action = m.group(1), m.group(2)
-        if action in ("commit", "deltacommit"):
+        if action in ("commit", "deltacommit", "replacecommit"):
             out.append((instant, action))
-        elif action == "replacecommit":
+        elif action in ("clean", "rollback", "savepoint"):
+            # table-service markers, not data commits: clean deletes
+            # already-superseded slices, rollback/savepoint mark
+            # lifecycle events — snapshot planning ignores them (the
+            # rolled-back instant's own file is gone from the timeline)
+            continue
+        else:
             raise ValueError(
-                "unsupported Hudi action .replacecommit "
-                "(clustering is a documented seam)"
+                f"unknown Hudi timeline action .{action}"
             )
     return sorted(out)
 
@@ -160,6 +171,19 @@ def plan_file_groups(
                 encoding="utf-8",
             )
         )
+        if action == "replacecommit":
+            # clustering: the named file groups are REPLACED wholesale
+            # by this commit's new groups (added below via the normal
+            # write-stats walk)
+            for part, fids in meta.get(
+                "partitionToReplaceFileIds", {}
+            ).items():
+                if partition_filter is not None and not partition_filter(
+                    part
+                ):
+                    continue
+                for fid in fids:
+                    groups.pop((part, fid), None)
         for part, stats in meta.get("partitionToWriteStats", {}).items():
             if partition_filter is not None and not partition_filter(part):
                 continue
@@ -690,12 +714,14 @@ class HudiFixtureWriter:
         }
 
     def _commit(self, stats_by_part: dict[str, list[dict]],
-                instant: str, op: str, action: str = "commit"):
+                instant: str, op: str, action: str = "commit",
+                extra: dict | None = None):
         hoodie = os.path.join(self.path, ".hoodie")
         meta = {
             "partitionToWriteStats": stats_by_part,
             "operationType": op,
             "compacted": action == "commit" and op == "compact",
+            **(extra or {}),
         }
         # real timeline state transitions
         open(os.path.join(hoodie, f"{instant}.{action}.requested"),
@@ -783,6 +809,41 @@ class HudiFixtureWriter:
                                   template=[r for _, r in grows])
             )
         return self._commit(stats, instant, "delete")
+
+    def cluster(self, ts_ms: int) -> str:
+        """CLUSTERING replacecommit: per partition, coalesce every
+        live file group into ONE new group (rows ordered by record
+        key).  The ``.replacecommit`` metadata names the replaced
+        fileIds in ``partitionToReplaceFileIds`` and carries the new
+        group's write stats — exactly what the reader's replace walk
+        consumes.  Rows keep their original commit times (clustering
+        is a layout operation, not a data change)."""
+        instant = self._instant(ts_ms)
+        by_part: dict[str, list[tuple]] = {}
+        replaced: dict[str, list[str]] = {}
+        for (part, fid), grows in sorted(self._groups.items()):
+            by_part.setdefault(part, []).extend(grows)
+            replaced.setdefault(part, []).append(fid)
+        for part, fids in replaced.items():
+            for fid in fids:
+                self._groups.pop((part, fid), None)
+                if hasattr(self, "_slices"):
+                    self._slices.pop((part, fid), None)
+        stats: dict[str, list[dict]] = {}
+        for part, rows in sorted(by_part.items()):
+            rows.sort(key=lambda cr: str(cr[1][self.key]))
+            fid = str(uuid.uuid5(
+                uuid.NAMESPACE_URL, f"{part}/{instant}/cluster"
+            ))
+            stats.setdefault(part, []).append(
+                self._write_group(part, fid, rows, instant, "null")
+            )
+            if hasattr(self, "_slices"):
+                self._slices[(part, fid)] = [instant, 1]
+        return self._commit(
+            stats, instant, "cluster", action="replacecommit",
+            extra={"partitionToReplaceFileIds": replaced},
+        )
 
 
 class HudiMorFixtureWriter(HudiFixtureWriter):

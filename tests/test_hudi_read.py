@@ -87,15 +87,59 @@ def test_pending_instants_are_invisible(spark, table):
     assert read_hudi(spark, path).count() == 18
 
 
-def test_unsupported_actions_raise(table):
+def test_unknown_actions_raise_and_service_markers_ignored(table):
     path, _ = table
     hoodie = os.path.join(path, ".hoodie")
-    with open(os.path.join(hoodie, "99999999999999998.replacecommit"),
-              "w") as f:
+    # table-service markers are invisible to planning
+    n = len(completed_commits(path))
+    with open(os.path.join(hoodie, "99999999999999997.clean"), "w") as f:
         json.dump({}, f)
-    with pytest.raises(ValueError, match="replacecommit"):
+    assert len(completed_commits(path)) == n
+    os.remove(os.path.join(hoodie, "99999999999999997.clean"))
+    # genuinely unknown actions raise
+    with open(os.path.join(hoodie, "99999999999999998.wat"), "w") as f:
+        json.dump({}, f)
+    with pytest.raises(ValueError, match="unknown Hudi timeline"):
         completed_commits(path)
-    os.remove(os.path.join(hoodie, "99999999999999998.replacecommit"))
+    os.remove(os.path.join(hoodie, "99999999999999998.wat"))
+
+
+def test_clustering_merges_groups_and_preserves_commit_times(
+    spark, tmp_path
+):
+    from kafka_delta_ingest_spark.hudi import (
+        plan_file_groups,
+        read_hudi_incremental,
+    )
+
+    w = HudiFixtureWriter(
+        str(tmp_path / "cl"), record_key="id", partition_field="lang"
+    )
+    rows = [
+        {"id": i, "lang": ["en", "fr"][i % 2], "text": f"doc {i}"}
+        for i in range(12)
+    ]
+    i1 = w.insert(rows, ts_ms=1000, groups_per_partition=3)
+    w.upsert([{"id": 2, "lang": "en", "text": "V2"}], ts_ms=2000)
+    t = str(tmp_path / "cl")
+    groups_before, _ = plan_file_groups(t)
+    assert len(groups_before) == 6  # 3 groups x 2 partitions
+    ic = w.cluster(ts_ms=3000)
+    groups_after, _ = plan_file_groups(t)
+    assert len(groups_after) == 2  # one coalesced group per partition
+    # data unchanged through clustering
+    got = {(r.id, r.text) for r in read_hudi(spark, t).collect()}
+    exp = {(i, "V2" if i == 2 else f"doc {i}") for i in range(12)}
+    assert got == exp
+    # clustering is a LAYOUT operation: rows keep their original
+    # commit times, so an incremental pull after the upsert still
+    # returns exactly the one updated row
+    got = {(r.id, r.text) for r in
+           read_hudi_incremental(spark, t, i1).collect()}
+    assert got == {(2, "V2")}
+    # time travel to before the clustering sees the old layout
+    g_pre, _ = plan_file_groups(t, as_of_instant=i1)
+    assert len(g_pre) == 6
 
 
 def test_properties_and_errors(tmp_path, table):
