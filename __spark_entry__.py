@@ -4460,6 +4460,67 @@ def hudi_read_incremental(spark, sf_dir):
 
 
 @_q(
+    "ingest_delta_standard",
+    """
+    SELECT event_id, user_id, event_type, value, props, ts,
+      strftime(ts, '%Y-%m-%d') AS date,
+      event_id AS kafka_offset,
+      CAST(user_id % 8 AS INT) AS kafka_partition,
+      TRUE AS replay_ok
+    FROM events
+    """,
+)
+def ingest_delta_standard(spark, sf_dir):
+    """THE reference pipeline end-to-end on the standard layout:
+    Kafka-shaped messages → deserialize/transform/coerce/split (the
+    same single-projection plan as ingest_message_path) → a REAL
+    ``_delta_log`` table via DeltaStandardWriter, with per-Kafka-
+    partition offsets as ``txn`` actions — then the SAME batch written
+    again, which must be recognized as a replay from the stored txn
+    ledger and SKIPPED (no new version, no duplicate rows): the
+    reference's exactly-once mechanism (src/offsets.rs:36-102,
+    src/lib.rs:1087-1100, delta_helpers.rs:15-40) reproduced on a log
+    any Delta reader can consume. Read-back goes through the
+    independent read_delta replay path; replay_ok pins the skip.
+    Partitioned by kafka_partition (hive layout, values from the add
+    actions). Scale: the data write is one executor-parallel parquet
+    job; the txn ledger read is O(commits since checkpoint) metadata."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from kafka_delta_ingest_spark.delta_standard import (
+        DeltaStandardWriter,
+        read_delta,
+    )
+
+    raw = _kafka_raw(spark, sf_dir)
+    job = _ingest_job()
+    good, _dlq = job.split(job.plan(raw))
+    offsets = {
+        f"kdi-q-{int(r['p'])}": int(r["o"])
+        for r in raw.groupBy(F.col("partition").alias("p"))
+        .agg(F.max("offset").alias("o"))
+        .collect()
+    }
+    root = _tf.mkdtemp(prefix="kdi-dsing-")
+    try:
+        t = root + "/t"
+        w = DeltaStandardWriter(t)
+        v1 = w.write(good, partition_by=["kafka_partition"], txn=offsets)
+        v2 = w.write(good, txn=offsets)  # identical batch → replay
+        back = read_delta(spark, t)
+        replay_ok = bool(v2 == v1) and back.count() == good.count()
+        out = back.select(
+            "event_id", "user_id", "event_type", "value", "props",
+            "ts", "date", "kafka_offset", "kafka_partition",
+        ).withColumn("replay_ok", F.lit(replay_ok))
+        # materialize before the temp table is removed
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
+@_q(
     "sink_delta_standard_roundtrip",
     """
     SELECT doc_id, lang, LENGTH(text) AS n_chars, TRUE AS travel_ok
@@ -7962,6 +8023,7 @@ _SWEEP_ORDER: list[str] = [
     # tools/check_oracle.py verifies the full set regardless of cap.
     "scan_filter_project",
     "sink_delta_standard_roundtrip",
+    "ingest_delta_standard",
     "hudi_read_mor",
     "hudi_read_incremental",
     "iceberg_read_snapshot",

@@ -125,6 +125,7 @@ HEADLINE = [
     "text_unicode_nfc",
     "text_split_sentences",
     "sink_delta_standard_roundtrip",
+    "ingest_delta_standard",
     "hudi_read_mor",
     "hudi_read_incremental",
 ]

@@ -586,15 +586,18 @@ class DeltaStandardWriter:
 
     def _py_replay(self) -> dict:
         """Driver-side replay of own log (checkpoint-aware) — used for
-        overwrite remove-sets and checkpoint consolidation. O(live
-        files) memory, the same model delta-rs uses when checkpointing."""
+        overwrite remove-sets, txn ledger lookups, and checkpoint
+        consolidation. O(live files) memory, the same model delta-rs
+        uses when checkpointing."""
         adds: dict[str, dict] = {}
+        txn: dict[str, int] = {}
         meta = None
         protocol = None
         start = 0
         target = self.latest_version()
         if target < 0:
-            return {"adds": adds, "meta": meta, "protocol": protocol}
+            return {"adds": adds, "meta": meta, "protocol": protocol,
+                    "txn": txn}
         cp = _best_checkpoint(self.log, target)
         if cp is not None:
             import pyarrow.parquet as pq
@@ -613,6 +616,9 @@ class DeltaStandardWriter:
                     r = row.get("remove")
                     if r and r.get("path"):
                         adds.pop(r["path"], None)
+                    t = row.get("txn")
+                    if t and t.get("appId"):
+                        txn[t["appId"]] = t["version"]
             start = cp + 1
         for v in _commit_versions(self.log):
             if v < start or v > target:
@@ -631,7 +637,17 @@ class DeltaStandardWriter:
                         adds[act["add"]["path"]] = act["add"]
                     elif "remove" in act:
                         adds.pop(act["remove"]["path"], None)
-        return {"adds": adds, "meta": meta, "protocol": protocol}
+                    elif "txn" in act:
+                        txn[act["txn"]["appId"]] = act["txn"]["version"]
+        return {"adds": adds, "meta": meta, "protocol": protocol,
+                "txn": txn}
+
+    def txn_version(self, app_id: str) -> int | None:
+        """Highest committed ``txn`` version for ``app_id`` — the
+        Delta protocol's application-transaction ledger (what the
+        reference stores per-Kafka-partition offsets in,
+        src/delta_helpers.rs:15-40)."""
+        return self._py_replay()["txn"].get(app_id)
 
     # -- commit primitive ----------------------------------------------
 
@@ -658,11 +674,20 @@ class DeltaStandardWriter:
         df,
         mode: str = "append",
         partition_by: list[str] | None = None,
+        txn: dict[str, int] | None = None,
     ) -> int:
         """Write ``df`` as one atomic Delta commit; returns the version.
 
         ``mode="append"`` adds files; ``mode="overwrite"`` additionally
-        removes every previously-live file in the same commit."""
+        removes every previously-live file in the same commit.
+
+        ``txn`` maps appId → version (the protocol's application
+        transaction action — e.g. one appId per Kafka partition,
+        carrying its high offset). If EVERY supplied appId is already
+        at-or-beyond its version in the log, the write is SKIPPED and
+        the current version returned — idempotent replay, the
+        reference's exactly-once mechanism (src/offsets.rs:36-102,
+        src/lib.rs:1087-1100) on the standard log layout."""
         import shutil
         import time
         import uuid
@@ -674,7 +699,15 @@ class DeltaStandardWriter:
 
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unsupported mode {mode!r}")
+        txn = dict(txn or {})
         state = self._py_replay()
+        if txn:
+            stored = state["txn"]
+            if all(
+                app in stored and stored[app] >= ver
+                for app, ver in txn.items()
+            ):
+                return self.latest_version()  # replay — already applied
         if state["meta"] is not None:
             declared = state["meta"].get("partitionColumns") or []
             if partition_by is None:
@@ -772,6 +805,10 @@ class DeltaStandardWriter:
                 }
                 for p in state["adds"]
             ]
+        actions += [
+            {"txn": {"appId": a, "version": v, "lastUpdated": now_ms}}
+            for a, v in sorted(txn.items())
+        ]
         actions += [{"add": a} for a in adds]
         version = self._atomic_commit(actions)
         if version > 0 and version % self.checkpoint_every == 0:
@@ -795,7 +832,20 @@ class DeltaStandardWriter:
                 "metaData": state["meta"],
                 "add": None,
                 "remove": None,
+                "txn": None,
             }
+        ]
+        rows += [
+            {
+                "protocol": None,
+                "metaData": None,
+                "add": None,
+                "remove": None,
+                # the app-transaction ledger MUST survive checkpointing
+                # or exactly-once replay breaks after 10 commits
+                "txn": {"appId": a, "version": v},
+            }
+            for a, v in sorted(state["txn"].items())
         ]
         rows += [
             {
@@ -810,6 +860,7 @@ class DeltaStandardWriter:
                     "stats": a.get("stats"),
                 },
                 "remove": None,
+                "txn": None,
             }
             for a in state["adds"].values()
         ]
@@ -843,6 +894,10 @@ class DeltaStandardWriter:
                     [("path", pa.string()),
                      ("deletionTimestamp", pa.int64()),
                      ("dataChange", pa.bool_())]
+                )),
+                ("txn", pa.struct(
+                    [("appId", pa.string()),
+                     ("version", pa.int64())]
                 )),
             ]
         )

@@ -165,6 +165,42 @@ def test_empty_append_never_commits(spark, tmp_path):
     assert w.latest_version() == 0
 
 
+def test_txn_idempotent_replay(spark, tmp_path):
+    # the Delta protocol's application-transaction ledger: a batch
+    # whose appIds are all at-or-beyond their stored versions is a
+    # REPLAY and must not commit (the reference's exactly-once
+    # mechanism, src/offsets.rs:36-102 — now on the standard layout)
+    t = str(tmp_path / "tx")
+    w = DeltaStandardWriter(t)
+    v0 = w.write(_docs(spark, 4), txn={"app-0": 10, "app-1": 20})
+    assert v0 == 0
+    assert w.txn_version("app-0") == 10 and w.txn_version("app-1") == 20
+    # exact replay → skipped, no new version, no duplicate rows
+    v = w.write(_docs(spark, 4), txn={"app-0": 10, "app-1": 20})
+    assert v == 0 and w.latest_version() == 0
+    assert read_delta(spark, t).count() == 4
+    # progress on one partition → commits
+    v1 = w.write(_docs(spark, 2), txn={"app-0": 11, "app-1": 20})
+    assert v1 == 1 and w.txn_version("app-0") == 11
+    assert read_delta(spark, t).count() == 6
+
+
+def test_txn_ledger_survives_checkpoint(spark, tmp_path):
+    t = str(tmp_path / "txcp")
+    w = DeltaStandardWriter(t, checkpoint_every=2)
+    w.write(_docs(spark, 2), txn={"app-0": 1})
+    w.write(_docs(spark, 2), txn={"app-0": 2})
+    w.write(_docs(spark, 2), txn={"app-0": 3})  # v2 → checkpoint
+    # drop pre-checkpoint commits: the ledger must come from the
+    # checkpoint's txn rows
+    for v in (0, 1):
+        os.remove(os.path.join(t, "_delta_log", "%020d.json" % v))
+    w2 = DeltaStandardWriter(t, checkpoint_every=100)
+    assert w2.txn_version("app-0") == 3
+    v = w2.write(_docs(spark, 2), txn={"app-0": 3})  # replay
+    assert v == 2 and w2.latest_version() == 2
+
+
 def test_writer_then_fixture_reader_checkpoint_interop(spark, tmp_path):
     # a checkpoint written by the WRITER replays through the Spark-side
     # read path including remove reconciliation after an overwrite
