@@ -115,6 +115,39 @@ def test_real_delta_log_normalizes_like_recorded_fixture(spark, tmp_path):
     assert got == want
 
 
+def test_standard_writer_log_normalizes_like_recorded_fixture(
+    spark, tmp_path
+):
+    """The STANDARD-layout writer (delta_standard.DeltaStandardWriter)
+    must produce the same normalized action stream the jar-free sink
+    records for the append scenario — the exact parity check the
+    real-Delta leg runs on a jarred cluster (above), but runnable HERE
+    because this writer is jar-free. Covers operation category, txn
+    (appId, version) pairs, add counts, per-file record counts, and
+    partition values; also pins the txn replay-skip."""
+    from kafka_delta_ingest_spark.delta_standard import (
+        DeltaStandardWriter,
+    )
+
+    t = DeltaStandardWriter(str(tmp_path / "t"))
+    t.write(_batch(spark, 0, 10, "2024-01-01"), partition_by=["date"],
+            txn={"app-0": 5})
+    t.write(_batch(spark, 10, 20, "2024-01-02"),
+            txn={"app-0": 6, "app-1": 3})
+    # identical replay must be skipped (no third commit)
+    assert t.write(_batch(spark, 10, 20, "2024-01-02"),
+                   txn={"app-0": 6}) == 1
+    keys = ("operation", "txn", "numAdds", "numRemoves", "numRecords",
+            "adds", "metaData")
+    got = [
+        {k: c[k] for k in keys}
+        for c in normalize_log(str(tmp_path / "t"))
+    ]
+    with open(FIXTURE) as f:
+        want = [{k: c[k] for k in keys} for c in json.load(f)[:2]]
+    assert got == want
+
+
 def test_action_stream_protocol_shape(spark, tmp_path):
     """Delta-protocol structural laws the reference's consumers rely on:
     commitInfo leads every commit, rewrites list removes before adds,
