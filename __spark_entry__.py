@@ -4460,6 +4460,74 @@ def hudi_read_incremental(spark, sf_dir):
 
 
 @_q(
+    "sink_iceberg_roundtrip",
+    """
+    SELECT doc_id, lang, LENGTH(text) AS n_chars, TRUE AS travel_ok
+    FROM documents
+    """,
+)
+def sink_iceberg_roundtrip(spark, sf_dir):
+    """End-to-end certification of the production-shape Apache Iceberg
+    WRITER (iceberg.IcebergWriter): the engine's output becomes a real
+    v2 table — Avro manifests, manifest lists, versioned metadata,
+    O_CREAT|O_EXCL optimistic version claim — read back through the
+    INDEPENDENT read_iceberg metadata walk.  History: snapshot 1
+    appends the even-id documents, snapshot 2 the odds; the second
+    commit writes ONE new manifest and carries snapshot 1's manifest
+    forward in the manifest list — O(new files) commit work, the
+    property that keeps high-frequency ingest viable on billion-file
+    tables (verified structurally in tests/test_iceberg.py).
+    travel_ok pins snapshot-id and timestamp time travel row counts.
+    The oracle restates the union declaratively; the value hash covers
+    doc_id, lang, and the roundtripped text length."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from kafka_delta_ingest_spark.iceberg import (
+        IcebergWriter,
+        read_iceberg,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    root = _tf.mkdtemp(prefix="kdi-icew-")
+    try:
+        t = root + "/t"
+        w = IcebergWriter(
+            t,
+            [
+                {"id": 1, "name": "doc_id", "type": "long",
+                 "required": False},
+                {"id": 2, "name": "lang", "type": "string",
+                 "required": False},
+                {"id": 3, "name": "text", "type": "string",
+                 "required": False},
+            ],
+        )
+        evens = docs.filter(F.col("doc_id") % 2 == 0)
+        odds = docs.filter(F.col("doc_id") % 2 == 1)
+        s1 = w.append(evens, ts_ms=1000)
+        w.append(odds, ts_ms=2000)
+        n_even = evens.count()
+        travel_ok = (
+            read_iceberg(spark, t, snapshot_id=s1).count() == n_even
+            and read_iceberg(spark, t, as_of_timestamp_ms=1500).count()
+            == n_even
+        )
+        out = read_iceberg(spark, t).select(
+            "doc_id",
+            "lang",
+            F.length("text").alias("n_chars"),
+            F.lit(bool(travel_ok)).alias("travel_ok"),
+        )
+        # materialize before the temp table is removed
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
+@_q(
     "ingest_delta_standard",
     """
     SELECT event_id, user_id, event_type, value, props, ts,
@@ -8024,6 +8092,7 @@ _SWEEP_ORDER: list[str] = [
     "scan_filter_project",
     "sink_delta_standard_roundtrip",
     "ingest_delta_standard",
+    "sink_iceberg_roundtrip",
     "hudi_read_mor",
     "hudi_read_incremental",
     "iceberg_read_snapshot",

@@ -539,3 +539,201 @@ class IcebergFixtureWriter:
             ],
             ts_ms,
         )
+
+
+class IcebergWriter:
+    """Production-shape Apache Iceberg v2 WRITER (append snapshots) —
+    the write-side counterpart of :func:`read_iceberg`, closing the
+    second open-table-format interop loop next to the standard Delta
+    writer (delta_standard.DeltaStandardWriter).
+
+    Commit shape follows the spec's scaling design: each append writes
+    ONE new Avro manifest holding only the NEW data files (entries
+    carry their explicit data sequence number), and the new snapshot's
+    manifest list references the PRIOR manifests unchanged plus the new
+    one — an O(new files) metadata commit, never an O(table) manifest
+    rewrite (the property that keeps high-frequency ingest viable on
+    billion-file tables; the fixture writer above intentionally
+    rewrites one manifest per snapshot instead, to keep tampering
+    tests simple). Data files are written by one executor-parallel
+    Spark job into a staging dir, then promoted under ``data/``.
+
+    Commit protocol: optimistic — the new ``v<N+1>.metadata.json`` is
+    claimed with O_CREAT|O_EXCL (put-if-absent on the version file,
+    the same primitive HadoopTableOperations uses), then
+    ``version-hint.text`` is swapped via atomic rename. On a version
+    race the writer re-reads the table state and retries.
+
+    Scope: unpartitioned spec (spec-id 0, no partition fields) and
+    append-only commits; row-level deletes are served read-side via
+    the v2 position/equality delete files the reader already applies.
+    """
+
+    def __init__(self, table_path: str, schema_fields: list[dict]):
+        self.root = table_path
+        self.data_dir = os.path.join(table_path, "data")
+        self.meta_dir = os.path.join(table_path, "metadata")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.meta_dir, exist_ok=True)
+        self.fields = schema_fields
+
+    # -- state -----------------------------------------------------------
+
+    def _current(self) -> tuple[int, dict | None]:
+        """(current metadata version, metadata dict or None)."""
+        versions = []
+        for p in glob.glob(os.path.join(self.meta_dir, "v*.metadata.json")):
+            base = os.path.basename(p)
+            try:
+                versions.append((int(base[1:].split(".")[0]), p))
+            except ValueError:
+                continue
+        if not versions:
+            return 0, None
+        v, path = max(versions)
+        with open(path) as f:
+            return v, json.load(f)
+
+    # -- append ------------------------------------------------------------
+
+    def append(self, df, ts_ms: int | None = None,
+               attempts: int = 100) -> int:
+        """Append ``df`` as one Iceberg snapshot; returns snapshot id."""
+        import shutil
+        import time
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        from kafka_delta_ingest_spark.avro_python import write_container
+
+        if ts_ms is None:
+            ts_ms = int(time.time() * 1000)
+
+        # 1. data files: one Spark job into staging, promote under data/
+        staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(staging)
+        new_files = []
+        for fname in sorted(os.listdir(staging)):
+            if not fname.endswith(".parquet"):
+                continue
+            src = os.path.join(staging, fname)
+            md = pq.ParquetFile(src).metadata
+            if md.num_rows == 0:
+                continue
+            dest = os.path.join(
+                self.data_dir, f"{uuid.uuid4().hex}-{fname}"
+            )
+            shutil.move(src, dest)
+            new_files.append(
+                {
+                    "content": 0,
+                    "file_path": dest,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": md.num_rows,
+                    "file_size_in_bytes": os.path.getsize(dest),
+                    "equality_ids": None,
+                }
+            )
+        shutil.rmtree(staging, ignore_errors=True)
+        if not new_files:
+            raise ValueError("append with zero non-empty data files")
+
+        # 2. optimistic metadata commit
+        for _ in range(attempts):
+            cur_v, meta = self._current()
+            last_seq = (meta or {}).get("last-sequence-number", 0)
+            snaps = list((meta or {}).get("snapshots", []))
+            seq = last_seq + 1
+            snap_id = 1000 + len(snaps) + 1
+            # one NEW manifest: only the new entries, explicit seq
+            entries = [
+                {
+                    "status": 1,
+                    "snapshot_id": snap_id,
+                    "sequence_number": seq,
+                    "data_file": f,
+                }
+                for f in new_files
+            ]
+            man_path = os.path.join(
+                self.meta_dir, f"manifest-{uuid.uuid4().hex}.avro"
+            )
+            blob = write_container(entries, _MANIFEST_ENTRY_SCHEMA)
+            with open(man_path, "wb") as f:
+                f.write(blob)
+            # manifest list: prior snapshot's manifests carried forward
+            # + the new one — O(new files) commit work
+            prior_manifests = []
+            if snaps:
+                cur_snap = None
+                cur_id = (meta or {}).get("current-snapshot-id")
+                for s in snaps:
+                    if s["snapshot-id"] == cur_id:
+                        cur_snap = s
+                if cur_snap is not None:
+                    with open(_norm_path(cur_snap["manifest-list"]),
+                              "rb") as f:
+                        _, prior_manifests = read_container(f.read())
+            mlist_rows = list(prior_manifests) + [
+                {
+                    "manifest_path": man_path,
+                    "manifest_length": len(blob),
+                    "partition_spec_id": 0,
+                    "content": 0,
+                    "sequence_number": seq,
+                    "min_sequence_number": seq,
+                    "added_snapshot_id": snap_id,
+                }
+            ]
+            mlist_path = os.path.join(
+                self.meta_dir, f"snap-{snap_id}-{uuid.uuid4().hex}.avro"
+            )
+            with open(mlist_path, "wb") as f:
+                f.write(write_container(mlist_rows, _MANIFEST_LIST_SCHEMA))
+            snaps.append(
+                {
+                    "snapshot-id": snap_id,
+                    "timestamp-ms": ts_ms,
+                    "sequence-number": seq,
+                    "manifest-list": mlist_path,
+                    "summary": {"operation": "append"},
+                }
+            )
+            new_meta = {
+                "format-version": 2,
+                "table-uuid": (meta or {}).get(
+                    "table-uuid", str(uuid.uuid4())
+                ),
+                "last-sequence-number": seq,
+                "location": self.root,
+                "current-schema-id": 0,
+                "schemas": [
+                    {"schema-id": 0, "type": "struct",
+                     "fields": self.fields}
+                ],
+                "partition-specs": [{"spec-id": 0, "fields": []}],
+                "current-snapshot-id": snap_id,
+                "snapshots": snaps,
+            }
+            target = os.path.join(
+                self.meta_dir, f"v{cur_v + 1}.metadata.json"
+            )
+            try:
+                fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                # another writer claimed v<N+1>: clean our manifest
+                # files and recompute from the fresh state
+                os.unlink(man_path)
+                os.unlink(mlist_path)
+                continue
+            with os.fdopen(fd, "w") as f:
+                json.dump(new_meta, f)
+            hint = os.path.join(self.meta_dir, "version-hint.text")
+            tmp = hint + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                f.write(str(cur_v + 1))
+            os.replace(tmp, hint)
+            return snap_id
+        raise RuntimeError("exhausted Iceberg commit attempts")

@@ -297,3 +297,78 @@ def test_avro_manifest_roundtrip_schema():
     assert out[0]["data_file"]["equality_ids"] == [2, 3]
     assert out[0]["data_file"]["partition"]["bucket"] == "p0"
     assert out[0]["data_file"]["partition"]["n"] == 3
+
+
+def test_iceberg_writer_append_roundtrip(spark, tmp_path):
+    # the production-shape writer's output reads back through the
+    # independent metadata walk, including time travel
+    from pyspark.sql import functions as F
+
+    from kafka_delta_ingest_spark.iceberg import IcebergWriter
+
+    t = str(tmp_path / "w")
+    w = IcebergWriter(t, _FIELDS)
+    df1 = spark.range(5).select(
+        F.col("id").alias("doc_id"), F.lit("a").alias("grp")
+    )
+    df2 = spark.range(5, 8).select(
+        F.col("id").alias("doc_id"), F.lit("b").alias("grp")
+    )
+    s1 = w.append(df1, ts_ms=1000)
+    s2 = w.append(df2, ts_ms=2000)
+    assert sorted(
+        r.doc_id for r in read_iceberg(spark, t).collect()
+    ) == list(range(8))
+    assert read_iceberg(spark, t, snapshot_id=s1).count() == 5
+    assert read_iceberg(spark, t, as_of_timestamp_ms=1500).count() == 5
+    # commit shape: the second snapshot's manifest list carries the
+    # FIRST manifest forward plus one new manifest — O(new files)
+    from kafka_delta_ingest_spark.avro_python import read_container
+    from kafka_delta_ingest_spark.iceberg import load_metadata
+
+    meta = load_metadata(t)
+    snap2 = [s for s in meta["snapshots"] if s["snapshot-id"] == s2][0]
+    with open(snap2["manifest-list"], "rb") as f:
+        _, manifests = read_container(f.read())
+    assert len(manifests) == 2
+    assert manifests[0]["sequence_number"] == 1
+    assert manifests[1]["sequence_number"] == 2
+    # sequence numbers flow to the plan
+    d, p, e, _ = plan_files(t)
+    seqs = sorted(seq for _, seq in d)
+    assert seqs == [1] * 5 + [2] * 3 or set(seqs) == {1, 2}
+
+
+def test_iceberg_writer_version_race_retries(spark, tmp_path):
+    # claim v2 before the writer commits its second append: the
+    # O_EXCL claim must fail, the writer must re-read and land at v3
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from kafka_delta_ingest_spark.iceberg import IcebergWriter, snapshots
+
+    t = str(tmp_path / "r")
+    w = IcebergWriter(t, _FIELDS)
+    w.append(
+        spark.range(3).select(
+            F.col("id").alias("doc_id"), F.lit("a").alias("grp")
+        ),
+        ts_ms=1000,
+    )
+    # a racing writer claims v2 with the same content as v1
+    meta_dir = _os.path.join(t, "metadata")
+    with open(_os.path.join(meta_dir, "v1.metadata.json")) as f:
+        racing = _json.load(f)
+    with open(_os.path.join(meta_dir, "v2.metadata.json"), "w") as f:
+        _json.dump(racing, f)
+    w.append(
+        spark.range(3, 5).select(
+            F.col("id").alias("doc_id"), F.lit("b").alias("grp")
+        ),
+        ts_ms=2000,
+    )
+    assert _os.path.exists(_os.path.join(meta_dir, "v3.metadata.json"))
+    assert read_iceberg(spark, t).count() == 5
+    assert len(snapshots(t)) == 2
