@@ -73,6 +73,12 @@ def build_parser() -> argparse.ArgumentParser:
                           "after every N ingest commits (0 = off) — the "
                           "Spark substitute for the reference's held-open "
                           "file-size management")
+    ing.add_argument("--log_format", choices=("kdi", "delta"),
+                     default="kdi",
+                     help="destination transaction-log layout: 'kdi' "
+                          "(the engine's own log, full DML/OPTIMIZE "
+                          "surface) or 'delta' (a STANDARD _delta_log "
+                          "any Delta reader consumes)")
     ing.add_argument("--transform", "-t", action="append", default=[],
                      help="PROPERTY: SOURCE transform pairs")
     ing.add_argument("--dlq_table_location", "-d", default=None,
@@ -365,6 +371,7 @@ def options_from_args(args: argparse.Namespace) -> IngestOptions:
         avro_schema_json=avro_schema_json,
         soe_schemas=soe_schemas,
         schema_registry_url=schema_registry_url,
+        log_format=args.log_format,
     )
 
 

@@ -78,3 +78,11 @@ class IngestOptions:
     # files toward min_bytes_per_file after every N ingest commits,
     # inside the same streaming loop.
     auto_optimize_interval: int = 0
+    # Transaction-log layout for the destination table. "kdi" = the
+    # engine's own _kdi_log (full DML/CDF/OPTIMIZE surface);
+    # "delta" = a STANDARD _delta_log (delta_standard.DeltaStandardSink)
+    # consumable by delta-rs / delta-spark / any protocol-conformant
+    # reader — the reference daemon's interop property
+    # (src/delta_helpers.rs:15-40). The exactly-once txn ledger works
+    # identically on both.
+    log_format: str = "kdi"

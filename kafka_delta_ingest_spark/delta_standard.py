@@ -915,6 +915,87 @@ class DeltaStandardWriter:
         os.replace(tmp, ptr)
 
 
+class DeltaStandardSink:
+    """``DeltaLikeTable``-surface adapter over
+    :class:`DeltaStandardWriter`, so ``IngestJob`` (ingest.py) can
+    stream INTO a standard ``_delta_log`` table
+    (``IngestOptions.log_format == "delta"``) — the reference daemon's
+    whole value proposition (Kafka → a Delta table any reader
+    consumes, README.adoc:3-5) reproduced end-to-end.
+
+    Surface implemented (exactly what the ingest loop touches):
+    ``snapshot()["txn"/"version"/"metaData"]`` (ledger floors, replay
+    detection, offset bootstrap), ``table_schema()`` (runtime schema
+    adoption), ``write_batch(df, partition_by, txn)`` (append +
+    exactly-once txn actions, empty-batch suppression), ``_commit``
+    (raw txn-action commits for --seek_offsets bootstrap), and
+    ``read``. ``optimize`` raises: OPTIMIZE is a layout service of the
+    kdi sink; on the standard layout run a real Delta OPTIMIZE engine
+    against the table instead.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        self.w = DeltaStandardWriter(path)
+
+    def snapshot(self) -> dict:
+        st = self.w._py_replay()
+        return {
+            "txn": st["txn"],
+            "version": self.w.latest_version(),
+            "metaData": st["meta"],
+        }
+
+    def table_schema(self):
+        st = self.w._py_replay()
+        if st["meta"] is None:
+            return None
+        from pyspark.sql.types import StructType
+
+        return StructType.fromJson(
+            json.loads(st["meta"]["schemaString"])
+        )
+
+    def write_batch(self, df, partition_by=None, txn=None,
+                    operation: str = "STREAMING UPDATE"):
+        from kafka_delta_ingest_spark.sinks.delta_like import CommitResult
+
+        before = self.w.latest_version()
+        version = self.w.write(
+            df, mode="append", partition_by=partition_by or None,
+            txn=txn or {},
+        )
+        if version == before:
+            # replay-skip (txn already stored) or empty batch
+            return CommitResult(version, 0, 0, skipped=True)
+        n_files = n_records = 0
+        with open(
+            os.path.join(self.w.log, f"{version:020d}.json")
+        ) as f:
+            for line in f:
+                act = json.loads(line)
+                if "add" in act:
+                    n_files += 1
+                    stats = act["add"].get("stats")
+                    if isinstance(stats, str):
+                        stats = json.loads(stats)
+                    n_records += (stats or {}).get("numRecords", 0)
+        return CommitResult(version, n_files, n_records)
+
+    def _commit(self, actions: list[dict]) -> int:
+        return self.w._atomic_commit(actions)
+
+    def read(self, spark, as_of=None):
+        return read_delta(spark, self.path, version=as_of)
+
+    def optimize(self, *args, **kwargs):
+        raise NotImplementedError(
+            "OPTIMIZE on the standard layout: run a real Delta engine's "
+            "OPTIMIZE against this table (the log is fully standard), "
+            "or ingest with log_format='kdi' for the built-in bin-packer"
+        )
+
+
 def delta_history(table_path: str) -> list[dict]:
     """(version, operation, timestamp) per commit — DESCRIBE HISTORY
     for standard-layout tables."""

@@ -82,7 +82,16 @@ class IngestJob:
                 "timestamp_type": META["timestamp_type"],
             },
         )
-        self.table = DeltaLikeTable(opts.table_uri)
+        if getattr(opts, "log_format", "kdi") == "delta":
+            # standard _delta_log destination: any Delta reader can
+            # consume the output (reference src/delta_helpers.rs:15-40)
+            from kafka_delta_ingest_spark.delta_standard import (
+                DeltaStandardSink,
+            )
+
+            self.table = DeltaStandardSink(opts.table_uri)
+        else:
+            self.table = DeltaLikeTable(opts.table_uri)
         self.dlq = DeadLetterQueue(
             table_location=opts.dlq_table_location,
             dlq_transforms=opts.dlq_transforms,

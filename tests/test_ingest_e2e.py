@@ -408,3 +408,56 @@ def test_optimize_compacts_small_files(spark, tmp_path):
     assert table.txn_version("opt-0") == 49
     # second optimize is a no-op (already compact)
     assert table.optimize(spark, target_file_bytes=10 * 1024 * 1024).skipped
+
+
+def test_web_requests_e2e_standard_delta_log(spark, tmp_path):
+    """The reference pipeline into a STANDARD _delta_log destination
+    (IngestOptions.log_format='delta'): same transforms, same txn
+    exactly-once, but the output table reads back through the
+    independent delta_standard.read_delta replay — the interop
+    property the reference gets from delta-rs."""
+    from kafka_delta_ingest_spark.delta_standard import (
+        DeltaStandardSink,
+        read_delta,
+    )
+
+    table = str(tmp_path / "web_requests_std")
+    opts = IngestOptions(
+        topic="web_requests",
+        table_uri=table,
+        app_id="wr",
+        transforms=WEB_REQUESTS_TRANSFORMS,
+        partition_by=["date"],
+        log_format="delta",
+    )
+    job = IngestJob(opts, WEB_REQUESTS_SCHEMA)
+    raw = _raw_df(spark, [_msg(i, i % 2) for i in range(20)])
+    m = job.run_batch(raw)
+    assert m.version == 0
+    assert m.delta_write_num_records == 20
+
+    back = read_delta(spark, table)
+    assert back.count() == 20
+    r = back.filter(F.col("uuid") == "uuid-3").collect()[0]
+    assert r.date == "2021-03-24"
+    assert r.meta.kafka.offset == "3"
+    assert r.meta.kafka.partition == 1
+    assert r.status == 404
+
+    # txn ledger lives in the STANDARD log and drives replay-skip
+    snap = DeltaStandardSink(table).snapshot()
+    assert snap["txn"] == {"wr-0": 18, "wr-1": 19}
+    m2 = job.run_batch(raw)  # identical batch = replay
+    assert m2.skipped
+    assert read_delta(spark, table).count() == 20
+    # the log is pure standard protocol: every action kind is known
+    import os as _os
+
+    log = _os.path.join(table, "_delta_log")
+    for fname in sorted(_os.listdir(log)):
+        if not fname.endswith(".json"):
+            continue
+        for line in open(_os.path.join(log, fname)):
+            kind = next(iter(json.loads(line)))
+            assert kind in {"commitInfo", "protocol", "metaData",
+                            "add", "remove", "txn"}
