@@ -525,11 +525,15 @@ def read_hudi(
     scan. MOR snapshots merge each file group's log blocks over its
     base slice: per ``_hoodie_record_key`` the LATEST version wins
     (ordered by instant, then log position) and delete blocks
-    tombstone keys — one window over the union, partitioned by the
-    record key, so the merge shuffles once and scales with the
-    changed-key volume, not the table."""
+    tombstone keys — ONE aggregate over the union
+    (``max_by(row, (instant, pos))``, struct buffer → SortAggregate),
+    chosen over a window/row_number formulation because the PARTIAL
+    aggregate runs map-side: the key-hashed exchange carries one row
+    per key per task instead of every stacked log version — the term
+    that dominates when update churn is high (plan audited:
+    Sort+partial SortAggregate pre-shuffle, one Exchange, final
+    SortAggregate)."""
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
     groups, _instant = plan_file_groups(
         table_path, as_of_instant, partition_filter
@@ -555,18 +559,28 @@ def read_hudi(
             F.lit(False).alias("_kdi_del"),
         )
         logs = _log_records_df(spark, log_specs, df.schema)
-        w = Window.partitionBy("_hoodie_record_key").orderBy(
-            F.desc("_kdi_instant"), F.desc("_kdi_pos")
+        merged = base.unionByName(logs)
+        cols = merged.columns
+        # latest-wins via max_by on the (instant, position) order key:
+        # instants are fixed-width digit strings, so struct ordering is
+        # the timeline order; (instant, pos) is unique per row.
+        latest = (
+            merged.groupBy("_hoodie_record_key")
+            .agg(
+                F.max_by(
+                    F.struct(*[c for c in cols
+                               if c != "_hoodie_record_key"]),
+                    F.struct(F.col("_kdi_instant"), F.col("_kdi_pos")),
+                ).alias("_r")
+            )
+            .select("_hoodie_record_key", "_r.*")
         )
         df = (
-            base.unionByName(logs)
-            .withColumn("_kdi_rn", F.row_number().over(w))
-            .filter(F.col("_kdi_rn") == 1)
-            .filter(~F.col("_kdi_del"))
+            latest.filter(~F.col("_kdi_del"))
             # a log-updated row's effective commit time is its block's
             # instant — that is what incremental queries select on
             .withColumn("_hoodie_commit_time", F.col("_kdi_instant"))
-            .drop("_kdi_instant", "_kdi_pos", "_kdi_del", "_kdi_rn")
+            .drop("_kdi_instant", "_kdi_pos", "_kdi_del")
         )
     if not keep_meta:
         df = df.drop(*META_COLS)
