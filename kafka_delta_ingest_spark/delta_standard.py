@@ -259,12 +259,7 @@ def read_delta(spark, table_path: str, version=None, timestamp_ms=None):
     adds = state["adds"]
     if not adds:
         raise ValueError(f"no live files at version {target}")
-    for a in adds:
-        if a.get("deletionVector"):
-            raise ValueError(
-                "table uses deletion vectors — unsupported by this "
-                "jar-free reader (compact/OPTIMIZE the table first)"
-            )
+    dv_adds = [a for a in adds if a.get("deletionVector")]
     logical, rename, part_cols = _schema_mapping(state["meta"])
 
     def _abs(p: str) -> str:
@@ -306,9 +301,25 @@ def read_delta(spark, table_path: str, version=None, timestamp_ms=None):
         for a in adds
     )
 
+    def _with_dv_meta(frame):
+        # DV application keys on Spark's hidden parquet columns —
+        # selected INSIDE each scan (they are not addressable after a
+        # union)
+        if not dv_adds:
+            return frame
+        return frame.select(
+            "*",
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:(//)?", ""
+            ).alias("_kdi_fp"),
+            F.col("_metadata.row_index").alias("_kdi_pos"),
+        )
+
     if not part_cols:
-        df = spark.read.schema(read_schema).parquet(
-            *[_abs(a["path"]) for a in adds]
+        df = _with_dv_meta(
+            spark.read.schema(read_schema).parquet(
+                *[_abs(a["path"]) for a in adds]
+            )
         )
     elif hive and rename is None:
         # hive-style layout: ONE scan; Spark reconstructs partition
@@ -317,7 +328,7 @@ def read_delta(spark, table_path: str, version=None, timestamp_ms=None):
             list(read_schema.fields)
             + [f for f in logical.fields if f.name in part_cols]
         )
-        df = (
+        df = _with_dv_meta(
             spark.read.schema(full)
             .option("basePath", table_path)
             .parquet(*[_abs(a["path"]) for a in adds])
@@ -338,18 +349,64 @@ def read_delta(spark, table_path: str, version=None, timestamp_ms=None):
             groups.items(),
             key=lambda kv: tuple((v is None, v or "") for v in kv[0]),
         ):
-            g = spark.read.schema(read_schema).parquet(*paths)
+            g = _with_dv_meta(
+                spark.read.schema(read_schema).parquet(*paths)
+            )
             for c, v in zip(part_cols, key):
                 g = g.withColumn(
                     phys_of[c],
                     F.lit(v).cast(parts_struct[c]),
                 )
             df = g if df is None else df.unionByName(g)
+    if dv_adds:
+        df = _apply_deletion_vectors(spark, table_path, df, dv_adds, _abs)
     if rename:
         for phys, logic in rename.items():
             if phys != logic:
                 df = df.withColumnRenamed(phys, logic)
     return df.select(*[f.name for f in logical.fields])
+
+
+def _apply_deletion_vectors(spark, table_path, df, dv_adds, abs_of):
+    """Anti-join the deleted (file, row_index) pairs out of the scan.
+
+    Descriptors resolve DRIVER-side to the serialized bitmap bytes
+    (O(sum of compressed DV sizes) — KBs per million deleted rows);
+    the bitmaps are EXPANDED to row indexes in executors (one task per
+    DV file via mapInPandas), so a billion-row tombstone set never
+    materializes on the driver. The join is the same
+    (_metadata.file_path, row_index) anti-join the Iceberg reader uses
+    for position deletes; AQE picks broadcast when the expanded set is
+    small."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from kafka_delta_ingest_spark.roaring import (
+        deserialize_rbm_array,
+        dv_descriptor_bytes,
+    )
+
+    spec = [
+        (abs_of(a["path"]),
+         bytearray(dv_descriptor_bytes(table_path, a["deletionVector"])))
+        for a in dv_adds
+    ]
+    spec_df = spark.createDataFrame(
+        spec, "fp string, dv binary"
+    ).repartition(max(1, min(len(spec), 64)))
+
+    def expand(batches):
+        for pdf in batches:
+            for fp, dv in zip(pdf["fp"], pdf["dv"]):
+                pos = deserialize_rbm_array(bytes(dv))
+                yield pd.DataFrame({"_dv_fp": fp, "_dv_pos": pos})
+
+    dels = spec_df.mapInPandas(expand, "_dv_fp string, _dv_pos long")
+    cond = (F.col("_kdi_fp") == F.col("_dv_fp")) & (
+        F.col("_kdi_pos") == F.col("_dv_pos")
+    )
+    return df.join(dels, cond, "left_anti").drop("_kdi_fp", "_kdi_pos")
 
 
 class DeltaFixtureWriter:
@@ -455,6 +512,70 @@ class DeltaFixtureWriter:
                 }
             }
             for p in rel_paths
+        ]
+        return self._commit(actions, "DELETE", timestamp_ms)
+
+    def delete_rows(self, rel_path: str, positions: list[int],
+                    timestamp_ms: int) -> int:
+        """Row-level DELETE via a real deletion vector: writes a
+        ``deletion_vector_<uuid>.bin`` (roaring bitmap array, framed +
+        CRC per the protocol), then commits remove(old add) + the same
+        add re-added with a ``u``-type deletionVector descriptor —
+        exactly what delta-spark's DV DELETE emits. Cumulative: an
+        existing DV's rows are unioned in (the new descriptor must
+        cover ALL deleted rows of the file)."""
+        import uuid as _uuid
+
+        from kafka_delta_ingest_spark.roaring import (
+            deserialize_rbm_array,
+            dv_descriptor_bytes,
+            write_dv_file,
+            z85_encode,
+        )
+
+        # find the file's current add action in own (JSON-only) log
+        cur = None
+        for v in _commit_versions(self.log):
+            with open(os.path.join(self.log, f"{v:020d}.json")) as f:
+                for line in f:
+                    act = json.loads(line)
+                    if "add" in act and act["add"]["path"] == rel_path:
+                        cur = act["add"]
+                    elif ("remove" in act
+                          and act["remove"]["path"] == rel_path):
+                        cur = None
+        if cur is None:
+            raise ValueError(f"{rel_path} is not a live file")
+        all_pos = set(positions)
+        if cur.get("deletionVector"):
+            all_pos |= set(
+                deserialize_rbm_array(
+                    dv_descriptor_bytes(self.root, cur["deletionVector"])
+                )
+            )
+        u = _uuid.uuid4()
+        metas = write_dv_file(
+            os.path.join(self.root, f"deletion_vector_{u}.bin"),
+            [sorted(all_pos)],
+        )
+        new_add = dict(cur)
+        new_add["deletionVector"] = {
+            "storageType": "u",
+            "pathOrInlineDv": z85_encode(u.bytes),
+            "offset": metas[0]["offset"],
+            "sizeInBytes": metas[0]["sizeInBytes"],
+            "cardinality": metas[0]["cardinality"],
+        }
+        new_add["dataChange"] = False
+        actions = [
+            {
+                "remove": {
+                    "path": rel_path,
+                    "deletionTimestamp": timestamp_ms,
+                    "dataChange": False,
+                }
+            },
+            {"add": new_add},
         ]
         return self._commit(actions, "DELETE", timestamp_ms)
 

@@ -224,7 +224,7 @@ def test_version_before_earliest_commit_raises(spark, table):
         read_delta(spark, t, version=-3)
 
 
-def test_id_mapping_and_deletion_vectors_raise(spark, tmp_path):
+def test_id_mapping_raises(spark, tmp_path):
     t = str(tmp_path / "bad")
     w = DeltaFixtureWriter(
         t, _SCHEMA, configuration={"delta.columnMapping.mode": "id"}
@@ -234,24 +234,6 @@ def test_id_mapping_and_deletion_vectors_raise(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="columnMapping mode 'id'"):
         read_delta(spark, t)
-
-    t2 = str(tmp_path / "dv")
-    w2 = DeltaFixtureWriter(t2, _SCHEMA)
-    w2.add_files(
-        [({}, [{"doc_id": 1, "grp": "a", "val": 1}])], timestamp_ms=1
-    )
-    # tamper: attach a deletionVector to the add action
-    log = os.path.join(t2, "_delta_log", "%020d.json" % 0)
-    lines = [json.loads(x) for x in open(log)]
-    for a in lines:
-        if "add" in a:
-            a["add"]["deletionVector"] = {"storageType": "u",
-                                          "pathOrInlineDv": "x"}
-    with open(log, "w") as f:
-        for a in lines:
-            f.write(json.dumps(a) + "\n")
-    with pytest.raises(ValueError, match="deletion vectors"):
-        read_delta(spark, t2)
 
 
 def test_missing_log_raises(tmp_path):
