@@ -4528,6 +4528,86 @@ def sink_iceberg_roundtrip(spark, sf_dir):
 
 
 @_q(
+    "delta_read_dv",
+    """
+    SELECT doc_id, lang, TRUE AS travel_ok
+    FROM documents
+    WHERE doc_id % 2 = 1 OR (doc_id % 10 <> 0 AND doc_id % 7 <> 0)
+    """,
+)
+def delta_read_dv(spark, sf_dir):
+    """Deletion-vector read path of the standard-Delta reader
+    (delta_standard + roaring.py): a real protocol DV —
+    ``deletion_vector_<uuid>.bin`` holding a portable
+    RoaringBitmapArray (32-bit roaring containers), z85-encoded UUID
+    descriptor, size-prefix + CRC-32 framing — applied as a
+    (file, row_index) anti-join with the bitmaps expanded
+    executor-side.  History: commit 0 adds the even-id documents as
+    one file and the odds as another; commit 1 DV-deletes the even
+    file's rows at positions of doc_id%10==0; commit 2 DV-deletes
+    doc_id%7==0 positions of the SAME file — the second descriptor
+    must carry the UNION (cumulative DVs), and the odd file is
+    untouched.  travel_ok pins version time travel: at version 1 only
+    the %10 rows are missing.  The oracle states the surviving set
+    declaratively.  Scale: descriptor bytes are compressed-bitmap
+    sized on the driver; position expansion happens one-task-per-DV
+    in executors; AQE broadcasts the expanded set when small."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from kafka_delta_ingest_spark.delta_standard import (
+        DeltaFixtureWriter,
+        read_delta,
+    )
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    rows = sorted(
+        (int(r.doc_id), r.lang)
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    )
+    evens = [(i, g) for i, g in rows if i % 2 == 0]
+    odds = [(i, g) for i, g in rows if i % 2 == 1]
+    schema = StructType(
+        [StructField("doc_id", LongType()),
+         StructField("lang", StringType())]
+    )
+    root = _tf.mkdtemp(prefix="kdi-dvq-")
+    try:
+        t = root + "/t"
+        w = DeltaFixtureWriter(t, schema)
+        w.add_files(
+            [({}, [{"doc_id": i, "lang": g} for i, g in evens]),
+             ({}, [{"doc_id": i, "lang": g} for i, g in odds])],
+            timestamp_ms=1000,
+        )
+        even_file = "part-00001.parquet"
+        pos_10 = [p for p, (i, _) in enumerate(evens) if i % 10 == 0]
+        pos_7 = [p for p, (i, _) in enumerate(evens) if i % 7 == 0]
+        w.delete_rows(even_file, pos_10, timestamp_ms=2000)   # v1
+        w.delete_rows(even_file, pos_7, timestamp_ms=3000)    # v2 union
+        n_after_v1 = len(rows) - len(pos_10)
+        travel_ok = (
+            read_delta(spark, t, version=0).count() == len(rows)
+            and read_delta(spark, t, version=1).count() == n_after_v1
+        )
+        out = read_delta(spark, t).select(
+            "doc_id", "lang",
+            F.lit(bool(travel_ok)).alias("travel_ok"),
+        )
+        # materialize before the temp table is removed
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
+@_q(
     "ingest_delta_standard",
     """
     SELECT event_id, user_id, event_type, value, props, ts,
@@ -8092,6 +8172,7 @@ _SWEEP_ORDER: list[str] = [
     "scan_filter_project",
     "sink_delta_standard_roundtrip",
     "ingest_delta_standard",
+    "delta_read_dv",
     "sink_iceberg_roundtrip",
     "hudi_read_mor",
     "hudi_read_incremental",

@@ -126,6 +126,7 @@ HEADLINE = [
     "text_split_sentences",
     "sink_delta_standard_roundtrip",
     "ingest_delta_standard",
+    "delta_read_dv",
     "sink_iceberg_roundtrip",
     "hudi_read_mor",
     "hudi_read_incremental",
