@@ -23,8 +23,13 @@ src/delta_helpers.rs:15-40) produced under ``_delta_log/``:
   applied to the scan so type widening/evolution follows the log, not
   parquet footers. Column-mapping mode ``name`` resolves physical →
   logical names (the sink's own column-mapping convention); ``id``
-  mode and deletion vectors raise with a clear message (the two
-  protocol features needing a native reader — documented seam);
+  mode (r7) uses Spark's NATIVE parquet field-id matching
+  (``spark.sql.parquet.fieldId.read.enabled`` + ``parquet.field.id``
+  metadata on the requested schema) so the random physical names are
+  never touched; DELETION VECTORS (r7) apply via the roaring.py
+  codecs — descriptors resolve driver-side to compressed bitmap
+  bytes, positions expand executor-side, one (file, row_index)
+  anti-join;
 * time travel: ``version=`` replays to that commit; ``timestamp=``
   picks the last commit whose ``commitInfo.timestamp`` (file mtime
   fallback) is at or before the instant — the same surface
@@ -218,20 +223,22 @@ def _resolve_version(log: str, version=None, timestamp_ms=None) -> int:
 
 def _schema_mapping(meta: dict):
     """(logical StructType, physical→logical rename map or None,
-    partition columns)."""
+    partition columns, logical→parquet-field-id map or None).
+
+    Mapping modes: ``name`` resolves physical file-column names to
+    logical via the schema metadata's ``physicalName``; ``id`` (r7)
+    additionally returns the ``columnMapping.id`` map so the scan can
+    use Spark's NATIVE parquet field-id matching — the reader then
+    never touches the random physical column names at all."""
     from pyspark.sql.types import StructType
 
     schema_json = json.loads(meta["schemaString"])
     logical = StructType.fromJson(schema_json)
     conf = meta.get("configuration") or {}
     mode = conf.get("delta.columnMapping.mode", "none")
-    if mode == "id":
-        raise ValueError(
-            "columnMapping mode 'id' requires parquet field-id "
-            "resolution — unsupported here (use mode 'name' or 'none')"
-        )
     rename = None
-    if mode == "name":
+    field_ids = None
+    if mode in ("name", "id"):
         rename = {}
         for f in schema_json.get("fields", []):
             phys = (f.get("metadata") or {}).get(
@@ -239,12 +246,22 @@ def _schema_mapping(meta: dict):
             )
             if phys:
                 rename[phys] = f["name"]
+    if mode == "id":
+        field_ids = {}
+        for f in schema_json.get("fields", []):
+            fid = (f.get("metadata") or {}).get("delta.columnMapping.id")
+            if fid is None:
+                raise ValueError(
+                    f"columnMapping mode 'id' but field {f['name']!r} "
+                    "has no delta.columnMapping.id"
+                )
+            field_ids[f["name"]] = int(fid)
     parts = list(meta.get("partitionColumns") or [])
     if rename:
         # the protocol tracks partitionColumns AND add.partitionValues
         # under PHYSICAL names in mapping mode — resolve to logical.
         parts = [rename.get(c, c) for c in parts]
-    return logical, rename, parts
+    return logical, rename, parts, field_ids
 
 
 def read_delta(spark, table_path: str, version=None, timestamp_ms=None):
@@ -260,7 +277,12 @@ def read_delta(spark, table_path: str, version=None, timestamp_ms=None):
     if not adds:
         raise ValueError(f"no live files at version {target}")
     dv_adds = [a for a in adds if a.get("deletionVector")]
-    logical, rename, part_cols = _schema_mapping(state["meta"])
+    logical, rename, part_cols, field_ids = _schema_mapping(state["meta"])
+    if field_ids:
+        # id mode: Spark's parquet reader matches columns BY FIELD ID
+        # when the requested schema carries `parquet.field.id`
+        # metadata — set logical names directly, no physical renames.
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
 
     def _abs(p: str) -> str:
         p = urllib.parse.unquote(p)
@@ -280,12 +302,25 @@ def read_delta(spark, table_path: str, version=None, timestamp_ms=None):
 
     from pyspark.sql.types import StructField, StructType
 
-    read_schema = StructType(
-        [
-            StructField(phys_of[f.name], f.dataType, f.nullable)
-            for f in data_fields
-        ]
-    )
+    if field_ids:
+        # logical names + field-id metadata: the scan resolves file
+        # columns by id, so the frame is born with logical names
+        read_schema = StructType(
+            [
+                StructField(
+                    f.name, f.dataType, f.nullable,
+                    {"parquet.field.id": field_ids[f.name]},
+                )
+                for f in data_fields
+            ]
+        )
+    else:
+        read_schema = StructType(
+            [
+                StructField(phys_of[f.name], f.dataType, f.nullable)
+                for f in data_fields
+            ]
+        )
 
     def _has_hive_segment(path: str, col: str) -> bool:
         # match whole directory segments ("lang=en"), not substrings —
@@ -465,11 +500,13 @@ class DeltaFixtureWriter:
         return self.version
 
     def add_files(self, groups: list[tuple[dict, list[dict]]],
-                  timestamp_ms: int, physical_names: dict | None = None
-                  ) -> int:
+                  timestamp_ms: int, physical_names: dict | None = None,
+                  field_ids: dict | None = None) -> int:
         """groups: (partitionValues dict, rows) per data file; rows use
         LOGICAL column names, ``physical_names`` maps logical→physical
-        for column-mapping fixtures."""
+        for column-mapping fixtures, ``field_ids`` maps logical name →
+        parquet field id (id-mode fixtures: columns are written under
+        physical names WITH ``PARQUET:field_id`` metadata)."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -484,9 +521,27 @@ class DeltaFixtureWriter:
             os.makedirs(os.path.dirname(full), exist_ok=True)
             names = physical_names or {}
             cols = [c for c in rows[0] if c not in pv]
-            table = pa.table(
-                {names.get(c, c): [r[c] for r in rows] for c in cols}
-            )
+            arrays = {
+                names.get(c, c): pa.array([r[c] for r in rows])
+                for c in cols
+            }
+            if field_ids:
+                schema = pa.schema(
+                    [
+                        pa.field(
+                            names.get(c, c),
+                            arrays[names.get(c, c)].type,
+                            metadata={
+                                b"PARQUET:field_id":
+                                    str(field_ids[c]).encode()
+                            },
+                        )
+                        for c in cols
+                    ]
+                )
+                table = pa.table(arrays, schema=schema)
+            else:
+                table = pa.table(arrays)
             pq.write_table(table, full)
             actions.append(
                 {

@@ -224,16 +224,50 @@ def test_version_before_earliest_commit_raises(spark, table):
         read_delta(spark, t, version=-3)
 
 
-def test_id_mapping_raises(spark, tmp_path):
-    t = str(tmp_path / "bad")
+def test_id_mapping_via_native_field_id_matching(spark, tmp_path):
+    # id-mode table: random physical column names, parquet field-id
+    # metadata carries identity. The reader must resolve by id (Spark
+    # native field-id matching), never by name.
+    import json as _json
+
+    from pyspark.sql.types import StructType as _St
+
+    t = str(tmp_path / "idm")
+    schema_json = _SCHEMA.jsonValue()
+    phys = {"doc_id": "col-aaaa", "grp": "col-bbbb", "val": "col-cccc"}
+    ids = {"doc_id": 1, "grp": 2, "val": 3}
+    for f in schema_json["fields"]:
+        f["metadata"] = {
+            "delta.columnMapping.id": ids[f["name"]],
+            "delta.columnMapping.physicalName": phys[f["name"]],
+        }
     w = DeltaFixtureWriter(
-        t, _SCHEMA, configuration={"delta.columnMapping.mode": "id"}
+        t, _St.fromJson(schema_json),
+        configuration={"delta.columnMapping.mode": "id"},
     )
     w.add_files(
+        [({}, [{"doc_id": i, "grp": "a", "val": i * 10}
+               for i in range(5)])],
+        timestamp_ms=1,
+        physical_names=phys,
+        field_ids=ids,
+    )
+    df = read_delta(spark, t)
+    assert df.columns == ["doc_id", "grp", "val"]
+    got = sorted((r.doc_id, r.grp, r.val) for r in df.collect())
+    assert got == [(i, "a", i * 10) for i in range(5)]
+    # a field missing its columnMapping.id still raises
+    t2 = str(tmp_path / "idm2")
+    bad = _SCHEMA.jsonValue()
+    w2 = DeltaFixtureWriter(
+        t2, _St.fromJson(bad),
+        configuration={"delta.columnMapping.mode": "id"},
+    )
+    w2.add_files(
         [({}, [{"doc_id": 1, "grp": "a", "val": 1}])], timestamp_ms=1
     )
-    with pytest.raises(ValueError, match="columnMapping mode 'id'"):
-        read_delta(spark, t)
+    with pytest.raises(ValueError, match="columnMapping.id"):
+        read_delta(spark, t2)
 
 
 def test_missing_log_raises(tmp_path):
