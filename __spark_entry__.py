@@ -4464,6 +4464,7 @@ def hudi_read_incremental(spark, sf_dir):
     """
     SELECT doc_id, lang, LENGTH(text) AS n_chars, TRUE AS travel_ok
     FROM documents
+    WHERE lang <> 'de'
     """,
 )
 def sink_iceberg_roundtrip(spark, sf_dir):
@@ -4472,14 +4473,16 @@ def sink_iceberg_roundtrip(spark, sf_dir):
     v2 table — Avro manifests, manifest lists, versioned metadata,
     O_CREAT|O_EXCL optimistic version claim — read back through the
     INDEPENDENT read_iceberg metadata walk.  History: snapshot 1
-    appends the even-id documents, snapshot 2 the odds; the second
-    commit writes ONE new manifest and carries snapshot 1's manifest
-    forward in the manifest list — O(new files) commit work, the
-    property that keeps high-frequency ingest viable on billion-file
-    tables (verified structurally in tests/test_iceberg.py).
-    travel_ok pins snapshot-id and timestamp time travel row counts.
-    The oracle restates the union declaratively; the value hash covers
-    doc_id, lang, and the roundtripped text length."""
+    appends the even-id documents, snapshot 2 the odds (ONE new
+    manifest, snapshot 1's carried forward in the manifest list —
+    O(new files) commit work, the property that keeps high-frequency
+    ingest viable on billion-file tables), snapshot 3 row-level
+    DELETEs lang='de' as a position-delete file (merge-on-read: no
+    data file rewritten; the reader applies it with sequence-number
+    scoping).  travel_ok pins snapshot-id and timestamp time travel
+    row counts at the pre-delete snapshots.  The oracle restates the
+    surviving set declaratively; the value hash covers doc_id, lang,
+    and the roundtripped text length."""
     import shutil as _sh
     import tempfile as _tf
 
@@ -4508,10 +4511,13 @@ def sink_iceberg_roundtrip(spark, sf_dir):
         evens = docs.filter(F.col("doc_id") % 2 == 0)
         odds = docs.filter(F.col("doc_id") % 2 == 1)
         s1 = w.append(evens, ts_ms=1000)
-        w.append(odds, ts_ms=2000)
+        s2 = w.append(odds, ts_ms=2000)
+        w.delete_where(spark, "lang = 'de'", ts_ms=3000)
         n_even = evens.count()
+        n_all = docs.count()
         travel_ok = (
             read_iceberg(spark, t, snapshot_id=s1).count() == n_even
+            and read_iceberg(spark, t, snapshot_id=s2).count() == n_all
             and read_iceberg(spark, t, as_of_timestamp_ms=1500).count()
             == n_even
         )

@@ -639,8 +639,89 @@ class IcebergWriter:
         shutil.rmtree(staging, ignore_errors=True)
         if not new_files:
             raise ValueError("append with zero non-empty data files")
+        return self._commit_snapshot(new_files, 0, "append", ts_ms,
+                                     attempts)
 
-        # 2. optimistic metadata commit
+    def delete_where(self, spark, predicate: str,
+                     ts_ms: int | None = None,
+                     attempts: int = 100) -> int:
+        """Row-level DELETE as a merge-on-read POSITION-DELETE
+        snapshot: rows of the LIVE view matching ``predicate`` (a SQL
+        expression) become one sorted (file_path, pos) parquet delete
+        file; the commit adds a content=1 delete manifest — no data
+        file is rewritten (Iceberg's streaming-delete shape; the
+        reader applies it with sequence-number scoping).
+
+        Matching runs against the live view (existing deletes
+        applied), so repeated deletes never re-tombstone rows."""
+        import time
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        from pyspark.sql import functions as F
+
+        if ts_ms is None:
+            ts_ms = int(time.time() * 1000)
+        matches = (
+            read_iceberg(spark, self.root)
+            .select(
+                "*",
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:(//)?", ""
+                ).alias("file_path"),
+                F.col("_metadata.row_index").alias("pos"),
+            )
+            .filter(predicate)
+            .select("file_path", "pos")
+            .orderBy("file_path", "pos")  # spec: delete files sorted
+        )
+        staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex}")
+        matches.coalesce(1).write.mode("overwrite").parquet(staging)
+        import shutil
+
+        delete_files = []
+        for fname in sorted(os.listdir(staging)):
+            if not fname.endswith(".parquet"):
+                continue
+            src = os.path.join(staging, fname)
+            md = pq.ParquetFile(src).metadata
+            if md.num_rows == 0:
+                continue
+            dest = os.path.join(
+                self.data_dir, f"delete-{uuid.uuid4().hex}.parquet"
+            )
+            shutil.move(src, dest)
+            delete_files.append(
+                {
+                    "content": 1,
+                    "file_path": dest,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": md.num_rows,
+                    "file_size_in_bytes": os.path.getsize(dest),
+                    "equality_ids": None,
+                }
+            )
+        shutil.rmtree(staging, ignore_errors=True)
+        if not delete_files:
+            _, meta = self._current()
+            return (meta or {}).get("current-snapshot-id")  # no-op
+        return self._commit_snapshot(delete_files, 1, "delete", ts_ms,
+                                     attempts)
+
+    def _commit_snapshot(self, new_files: list[dict], content: int,
+                         operation: str, ts_ms: int,
+                         attempts: int) -> int:
+        """Optimistic snapshot commit: ONE new manifest holding only
+        ``new_files`` (explicit sequence number), prior manifests
+        carried forward in the manifest list, v<N+1>.metadata.json
+        claimed with O_CREAT|O_EXCL, version-hint swapped atomically.
+        Retries from fresh state on a version race."""
+        import uuid
+
+        from kafka_delta_ingest_spark.avro_python import write_container
+
         for _ in range(attempts):
             cur_v, meta = self._current()
             last_seq = (meta or {}).get("last-sequence-number", 0)
@@ -681,7 +762,7 @@ class IcebergWriter:
                     "manifest_path": man_path,
                     "manifest_length": len(blob),
                     "partition_spec_id": 0,
-                    "content": 0,
+                    "content": content,
                     "sequence_number": seq,
                     "min_sequence_number": seq,
                     "added_snapshot_id": snap_id,
@@ -698,7 +779,7 @@ class IcebergWriter:
                     "timestamp-ms": ts_ms,
                     "sequence-number": seq,
                     "manifest-list": mlist_path,
-                    "summary": {"operation": "append"},
+                    "summary": {"operation": operation},
                 }
             )
             new_meta = {

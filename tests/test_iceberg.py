@@ -372,3 +372,43 @@ def test_iceberg_writer_version_race_retries(spark, tmp_path):
     assert _os.path.exists(_os.path.join(meta_dir, "v3.metadata.json"))
     assert read_iceberg(spark, t).count() == 5
     assert len(snapshots(t)) == 2
+
+
+def test_iceberg_writer_delete_where(spark, tmp_path):
+    # row-level DELETE as a position-delete snapshot: no data file
+    # rewritten, reader applies it with sequence scoping
+    from pyspark.sql import functions as F
+
+    from kafka_delta_ingest_spark.iceberg import IcebergWriter
+
+    t = str(tmp_path / "dw")
+    w = IcebergWriter(t, _FIELDS)
+    w.append(
+        spark.range(10).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 2).cast("string").alias("grp"),
+        ),
+        ts_ms=1000,
+    )
+    w.delete_where(spark, "doc_id % 3 = 0", ts_ms=2000)
+    got = sorted(r.doc_id for r in read_iceberg(spark, t).collect())
+    assert got == [i for i in range(10) if i % 3 != 0]
+    # repeated delete on the live view: already-deleted rows are not
+    # re-tombstoned; new matches still land
+    w.delete_where(spark, "doc_id % 2 = 0", ts_ms=3000)
+    got = sorted(r.doc_id for r in read_iceberg(spark, t).collect())
+    assert got == [1, 5, 7]
+    # a no-match delete is a no-op (no new snapshot)
+    n_before = len(snapshots(t))
+    w.delete_where(spark, "doc_id > 999", ts_ms=4000)
+    assert len(snapshots(t)) == n_before
+    # data appended AFTER the deletes is untouched by them (sequence
+    # scoping), even when it matches the old predicates
+    w.append(
+        spark.range(100, 103).select(
+            F.col("id").alias("doc_id"), F.lit("x").alias("grp")
+        ),
+        ts_ms=5000,
+    )
+    got = sorted(r.doc_id for r in read_iceberg(spark, t).collect())
+    assert got == [1, 5, 7, 100, 101, 102]
