@@ -64,18 +64,32 @@ def _commit_versions(log: str) -> list[int]:
 def _checkpoint_files(log: str, version: int) -> list[str]:
     """Files of a COMPLETE checkpoint at ``version``, else [].
 
-    Multi-part names encode ``%010d.%010d`` (part-of-total); a crash
-    mid-write leaves a partial set which must NOT qualify — replaying
-    it would silently drop add actions (r7 ADVICE fix). Completeness =
-    every part 1..total present and totals consistent."""
+    Three layouts (protocol):
+
+    * classic single-part ``%020d.checkpoint.parquet``;
+    * classic multi-part ``%020d.checkpoint.%010d.%010d.parquet``
+      (part-of-total) — a crash mid-write leaves a partial set which
+      must NOT qualify (replaying it would silently drop adds, r7
+      ADVICE fix): completeness = every part 1..total present;
+    * V2 UUID-named ``%020d.checkpoint.<uuid>.{parquet,json}`` — a
+      self-contained manifest (each uuid file is a complete
+      checkpoint; adds/removes may live in ``sidecar``-referenced
+      files under ``_sidecars/``). Any one qualifies."""
     single = os.path.join(log, f"{version:020d}.checkpoint.parquet")
     if os.path.exists(single):
         return [single]
-    parts = sorted(
-        glob.glob(
-            os.path.join(log, f"{version:020d}.checkpoint.*.parquet")
-        )
+    cands = sorted(
+        glob.glob(os.path.join(log, f"{version:020d}.checkpoint.*"))
     )
+    v2 = [
+        p for p in cands
+        if len(os.path.basename(p).split(".")) == 4
+        and p.rsplit(".", 1)[1] in ("parquet", "json")
+        and not os.path.basename(p).split(".")[2].isdigit()
+    ]
+    if v2:
+        return [v2[-1]]  # any uuid manifest is complete; pick one
+    parts = [p for p in cands if p.endswith(".parquet")]
     if not parts:
         return []
     seen: dict[int, str] = {}
@@ -133,36 +147,91 @@ def _replay(spark, table_path: str, target: int) -> dict:
         # actions — O(live files), not O(checkpoint rows incl. remove
         # tombstones). At 1M+-file tables the remove tombstones and
         # superseded adds never reach the driver (r7, was a full
-        # .collect() of the checkpoint).
-        cpdf = spark.read.parquet(*_checkpoint_files(log, cp))
-        cols = set(cpdf.columns)
-        if "metaData" in cols:
-            for row in (
-                cpdf.filter(F.col("metaData.id").isNotNull())
-                .select("metaData")
-                .collect()
-            ):
-                meta = row.metaData.asDict(recursive=True)
-        if "protocol" in cols:
-            for row in (
-                cpdf.filter(F.col("protocol.minReaderVersion").isNotNull())
-                .select("protocol")
-                .collect()
-            ):
-                protocol = row.protocol.asDict(recursive=True)
-        adds_df = cpdf.filter(F.col("add.path").isNotNull()).select("add")
-        if "remove" in cols:
-            rm = cpdf.filter(F.col("remove.path").isNotNull()).select(
-                F.col("remove.path").alias("_rm_path")
+        # .collect() of the checkpoint). V2 checkpoints (UUID-named
+        # manifest, add/remove actions in `sidecar`-referenced parquet
+        # under _sidecars/) route their sidecars through the same
+        # Spark reconciliation.
+        cp_files = _checkpoint_files(log, cp)
+        frames = []
+        sidecars: list[str] = []
+        if cp_files[0].endswith(".json"):
+            # v2 JSON manifest: protocol/metaData/sidecar refs parse
+            # driver-side (the manifest is metadata-sized)
+            with open(cp_files[0]) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    act = json.loads(line)
+                    if "metaData" in act:
+                        meta = act["metaData"]
+                    elif "protocol" in act:
+                        protocol = act["protocol"]
+                    elif "sidecar" in act:
+                        sidecars.append(act["sidecar"]["path"])
+                    elif "add" in act:
+                        adds[act["add"]["path"]] = act["add"]
+                    elif "remove" in act:
+                        adds.pop(act["remove"]["path"], None)
+        else:
+            cpdf = spark.read.parquet(*cp_files)
+            cols = set(cpdf.columns)
+            if "metaData" in cols:
+                for row in (
+                    cpdf.filter(F.col("metaData.id").isNotNull())
+                    .select("metaData")
+                    .collect()
+                ):
+                    meta = row.metaData.asDict(recursive=True)
+            if "protocol" in cols:
+                for row in (
+                    cpdf.filter(
+                        F.col("protocol.minReaderVersion").isNotNull()
+                    )
+                    .select("protocol")
+                    .collect()
+                ):
+                    protocol = row.protocol.asDict(recursive=True)
+            if "sidecar" in cols:
+                for row in (
+                    cpdf.filter(F.col("sidecar.path").isNotNull())
+                    .select("sidecar.path")
+                    .collect()
+                ):
+                    sidecars.append(row.path)
+            if "add" in cols:
+                frames.append(cpdf)
+        if sidecars:
+            frames.append(
+                spark.read.parquet(
+                    *[os.path.join(log, "_sidecars", p)
+                      for p in sidecars]
+                )
             )
-            adds_df = adds_df.join(
-                rm,
-                adds_df["add"]["path"] == rm["_rm_path"],
-                "left_anti",
-            )
-        for row in adds_df.collect():
-            a = row.add.asDict(recursive=True)
-            adds[a["path"]] = a
+        adds_df = None
+        rm = None
+        for fr in frames:
+            fcols = set(fr.columns)
+            if "add" in fcols:
+                a = fr.filter(F.col("add.path").isNotNull()).select("add")
+                adds_df = a if adds_df is None else adds_df.unionByName(
+                    a, allowMissingColumns=True
+                )
+            if "remove" in fcols:
+                r = fr.filter(F.col("remove.path").isNotNull()).select(
+                    F.col("remove.path").alias("_rm_path")
+                )
+                rm = r if rm is None else rm.unionByName(r)
+        if adds_df is not None:
+            if rm is not None:
+                adds_df = adds_df.join(
+                    rm,
+                    adds_df["add"]["path"] == rm["_rm_path"],
+                    "left_anti",
+                )
+            for row in adds_df.collect():
+                a = row.add.asDict(recursive=True)
+                adds[a["path"]] = a
         start = cp + 1
     for v in _commit_versions(log):
         if v < start or v > target:
@@ -708,6 +777,111 @@ class DeltaFixtureWriter:
         pq.write_table(table, path)
         with open(os.path.join(self.log, "_last_checkpoint"), "w") as f:
             json.dump({"version": self.version, "size": len(rows)}, f)
+
+    def checkpoint_v2(self, fmt: str = "json") -> None:
+        """V2 checkpoint: a UUID-named top-level manifest
+        (``%020d.checkpoint.<uuid>.{json,parquet}``) holding
+        protocol/metaData + a ``sidecar`` action, with the add/remove
+        actions in a parquet sidecar under ``_delta_log/_sidecars/``
+        — the layout tables with the ``v2Checkpoint`` feature write."""
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        # replay own log to live state (same as checkpoint())
+        adds: dict[str, dict] = {}
+        meta = None
+        protocol = None
+        for v in _commit_versions(self.log):
+            with open(os.path.join(self.log, f"{v:020d}.json")) as f:
+                for line in f:
+                    act = json.loads(line)
+                    if "metaData" in act:
+                        meta = act["metaData"]
+                    elif "protocol" in act:
+                        protocol = act["protocol"]
+                    elif "add" in act:
+                        adds[act["add"]["path"]] = act["add"]
+                    elif "remove" in act:
+                        adds.pop(act["remove"]["path"], None)
+        sc_dir = os.path.join(self.log, "_sidecars")
+        os.makedirs(sc_dir, exist_ok=True)
+        sc_name = f"{_uuid.uuid4().hex}.parquet"
+        map_ss = pa.map_(pa.string(), pa.string())
+        sc_schema = pa.schema(
+            [
+                ("add", pa.struct(
+                    [("path", pa.string()),
+                     ("partitionValues", map_ss),
+                     ("size", pa.int64()),
+                     ("modificationTime", pa.int64()),
+                     ("dataChange", pa.bool_())]
+                )),
+                ("remove", pa.struct(
+                    [("path", pa.string()),
+                     ("deletionTimestamp", pa.int64()),
+                     ("dataChange", pa.bool_())]
+                )),
+            ]
+        )
+        sc_rows = [{"add": a, "remove": None} for a in adds.values()]
+        pq.write_table(
+            pa.Table.from_pylist(sc_rows, schema=sc_schema),
+            os.path.join(sc_dir, sc_name),
+        )
+        sidecar = {
+            "path": sc_name,
+            "sizeInBytes": os.path.getsize(os.path.join(sc_dir, sc_name)),
+            "modificationTime": 1700000000000,
+        }
+        u = _uuid.uuid4().hex
+        proto = protocol or {"minReaderVersion": 3, "minWriterVersion": 7}
+        if fmt == "json":
+            manifest = os.path.join(
+                self.log, f"{self.version:020d}.checkpoint.{u}.json"
+            )
+            with open(manifest, "w") as f:
+                f.write(json.dumps({"protocol": proto}) + "\n")
+                f.write(json.dumps({"metaData": meta}) + "\n")
+                f.write(json.dumps({"sidecar": sidecar}) + "\n")
+        else:
+            man_schema = pa.schema(
+                [
+                    ("protocol", pa.struct(
+                        [("minReaderVersion", pa.int32()),
+                         ("minWriterVersion", pa.int32())]
+                    )),
+                    ("metaData", pa.struct(
+                        [("id", pa.string()),
+                         ("format", pa.struct(
+                             [("provider", pa.string()),
+                              ("options", map_ss)]
+                         )),
+                         ("schemaString", pa.string()),
+                         ("partitionColumns", pa.list_(pa.string())),
+                         ("configuration", map_ss),
+                         ("createdTime", pa.int64())]
+                    )),
+                    ("sidecar", pa.struct(
+                        [("path", pa.string()),
+                         ("sizeInBytes", pa.int64()),
+                         ("modificationTime", pa.int64())]
+                    )),
+                ]
+            )
+            rows = [
+                {"protocol": proto, "metaData": meta, "sidecar": None},
+                {"protocol": None, "metaData": None, "sidecar": sidecar},
+            ]
+            pq.write_table(
+                pa.Table.from_pylist(rows, schema=man_schema),
+                os.path.join(
+                    self.log, f"{self.version:020d}.checkpoint.{u}.parquet"
+                ),
+            )
+        with open(os.path.join(self.log, "_last_checkpoint"), "w") as f:
+            json.dump({"version": self.version, "v2": True}, f)
 
 
 class DeltaStandardWriter:

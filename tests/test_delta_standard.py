@@ -345,6 +345,26 @@ def test_checkpoint_remove_tombstones_reconciled_in_spark(spark, tmp_path):
     assert got == [(1, 1)]
 
 
+@pytest.mark.parametrize("fmt", ["json", "parquet"])
+def test_v2_checkpoint_with_sidecars(spark, table, fmt):
+    # UUID-named manifest + add actions in a _sidecars/ parquet: the
+    # replay must route sidecars through the Spark reconciliation.
+    t, _ = table
+    log = os.path.join(t, "_delta_log")
+    # drop the classic checkpoint the fixture wrote; build a v2 one
+    for p in glob.glob(os.path.join(log, "*.checkpoint.parquet")):
+        os.remove(p)
+    w = DeltaFixtureWriter(t, _SCHEMA, partition_cols=["grp"])
+    w.version = 2
+    w.checkpoint_v2(fmt=fmt)
+    # remove pre-checkpoint commits: state must come from the v2
+    # manifest + sidecar alone
+    for v in (0, 1):
+        os.remove(os.path.join(log, "%020d.json" % v))
+    got = sorted(r.doc_id for r in read_delta(spark, t).collect())
+    assert got == list(range(5)) + list(range(10, 13))
+
+
 def test_replay_scales_to_large_checkpoint(spark, tmp_path):
     # r7 verdict item: checkpoint replay streams through Spark — the
     # driver collects only SURVIVING adds. Synthetic 100k-add /
