@@ -4679,7 +4679,7 @@ def ingest_delta_standard(spark, sf_dir):
     """
     SELECT doc_id, lang, LENGTH(text) AS n_chars, TRUE AS travel_ok
     FROM documents
-    WHERE lang <> 'de'
+    WHERE lang <> 'de' AND doc_id % 9 <> 0
     """,
 )
 def sink_delta_standard_roundtrip(spark, sf_dir):
@@ -4723,11 +4723,16 @@ def sink_delta_standard_roundtrip(spark, sf_dir):
         w.write(docs.filter(F.col("doc_id") % 2 == 1))           # v1
         w.write(docs.filter(F.col("lang") != "de"),
                 mode="overwrite")                                # v2 + cp
+        # v3: row-level DELETE via deletion vectors (no rewrite) —
+        # the writer's full DML surface on one history
+        w.delete_where(spark, "doc_id % 9 = 0")
         n_even = evens.count()
         n_all = docs.count()
+        n_non_de = docs.filter(F.col("lang") != "de").count()
         travel_ok = (
             read_delta(spark, t, version=0).count() == n_even
             and read_delta(spark, t, version=1).count() == n_all
+            and read_delta(spark, t, version=2).count() == n_non_de
         )
         out = read_delta(spark, t).select(
             "doc_id",

@@ -1165,6 +1165,120 @@ class DeltaStandardWriter:
             self._write_checkpoint(version)
         return version
 
+    # -- row-level DELETE (deletion vectors) -----------------------------
+
+    def delete_where(self, spark, predicate: str) -> int:
+        """Row-level DELETE via DELETION VECTORS — no data file is
+        rewritten: matching rows' positions become per-file roaring
+        bitmaps in a ``deletion_vector_<uuid>.bin``, and each affected
+        file is re-added with a ``u``-type descriptor (dataChange
+        false) in one atomic commit — the same action stream
+        delta-spark's DV DELETE emits, so any protocol reader applies
+        it.  Matching runs against the LIVE view (existing DVs
+        applied), and an affected file's new descriptor carries the
+        UNION of its old DV and the new matches (the protocol
+        invariant: one descriptor covers ALL deleted rows of a file).
+
+        Driver memory: O(deleted row positions this commit) while
+        building the bitmaps — the right trade until deletes are a
+        large fraction of the table, at which point rewrite (overwrite)
+        wins anyway."""
+        import time
+        import uuid as _uuid
+
+        from pyspark.sql import functions as F
+
+        from kafka_delta_ingest_spark.roaring import (
+            deserialize_rbm_array,
+            dv_descriptor_bytes,
+            write_dv_file,
+            z85_encode,
+        )
+
+        state = self._py_replay()
+        if state["meta"] is None:
+            raise ValueError("delete_where on an empty table")
+        live = read_delta(spark, self.root)
+        matches = (
+            live.select(
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:(//)?", ""
+                ).alias("_fp"),
+                F.col("_metadata.row_index").alias("_pos"),
+                "*",
+            )
+            .filter(predicate)
+            .groupBy("_fp")
+            .agg(F.collect_list("_pos").alias("_positions"))
+            .collect()
+        )
+        if not matches:
+            return self.latest_version()  # no-op
+        by_abs = {r["_fp"]: sorted(r["_positions"]) for r in matches}
+        # map absolute matched paths back to the log's relative adds
+        now_ms = int(time.time() * 1000)
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "operation": "DELETE",
+                    "operationParameters": {"predicate": predicate},
+                    "timestamp": now_ms,
+                }
+            }
+        ]
+        n_hit = 0
+        for rel, a in state["adds"].items():
+            ap = rel
+            ap = urllib.parse.unquote(ap)
+            if not os.path.isabs(ap):
+                ap = os.path.join(self.root, ap)
+            pos = by_abs.get(ap)
+            if pos is None:
+                continue
+            n_hit += 1
+            all_pos = set(pos)
+            if a.get("deletionVector"):
+                all_pos |= set(
+                    deserialize_rbm_array(
+                        dv_descriptor_bytes(
+                            self.root, a["deletionVector"]
+                        )
+                    )
+                )
+            u = _uuid.uuid4()
+            metas = write_dv_file(
+                os.path.join(self.root, f"deletion_vector_{u}.bin"),
+                [sorted(all_pos)],
+            )
+            new_add = dict(a)
+            new_add["deletionVector"] = {
+                "storageType": "u",
+                "pathOrInlineDv": z85_encode(u.bytes),
+                "offset": metas[0]["offset"],
+                "sizeInBytes": metas[0]["sizeInBytes"],
+                "cardinality": metas[0]["cardinality"],
+            }
+            new_add["dataChange"] = False
+            actions.append(
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": False,
+                    }
+                }
+            )
+            actions.append({"add": new_add})
+        if n_hit != len(by_abs):
+            raise RuntimeError(
+                "matched files missing from the log snapshot "
+                f"({len(by_abs)} matched, {n_hit} resolved)"
+            )
+        version = self._atomic_commit(actions)
+        if version > 0 and version % self.checkpoint_every == 0:
+            self._write_checkpoint(version)
+        return version
+
     # -- checkpoint ------------------------------------------------------
 
     def _write_checkpoint(self, version: int) -> None:
@@ -1208,6 +1322,9 @@ class DeltaStandardWriter:
                     "modificationTime": a.get("modificationTime", 0),
                     "dataChange": bool(a.get("dataChange", True)),
                     "stats": a.get("stats"),
+                    # DV descriptors MUST survive checkpointing or
+                    # deleted rows resurrect after log truncation
+                    "deletionVector": a.get("deletionVector"),
                 },
                 "remove": None,
                 "txn": None,
@@ -1238,7 +1355,14 @@ class DeltaStandardWriter:
                      ("size", pa.int64()),
                      ("modificationTime", pa.int64()),
                      ("dataChange", pa.bool_()),
-                     ("stats", pa.string())]
+                     ("stats", pa.string()),
+                     ("deletionVector", pa.struct(
+                         [("storageType", pa.string()),
+                          ("pathOrInlineDv", pa.string()),
+                          ("offset", pa.int32()),
+                          ("sizeInBytes", pa.int32()),
+                          ("cardinality", pa.int64())]
+                     ))]
                 )),
                 ("remove", pa.struct(
                     [("path", pa.string()),

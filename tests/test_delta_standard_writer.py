@@ -213,3 +213,48 @@ def test_writer_then_fixture_reader_checkpoint_interop(spark, tmp_path):
         os.path.join(t, "_delta_log", "%020d.checkpoint.parquet" % 2)
     )
     assert read_delta(spark, t).count() == 3  # 2 overwritten + 1 appended
+
+
+def test_delete_where_via_deletion_vectors(spark, tmp_path):
+    t = str(tmp_path / "dvw")
+    w = DeltaStandardWriter(t)
+    w.write(_docs(spark, 20), partition_by=["grp"])
+    v = w.delete_where(spark, "val >= 100")
+    assert v == 1
+    got = sorted(r.doc_id for r in read_delta(spark, t).collect())
+    assert got == list(range(10))
+    # no data file was rewritten: the DELETE commit adds carry
+    # dataChange=false and a deletionVector descriptor
+    acts = [
+        json.loads(x)
+        for x in open(os.path.join(t, "_delta_log", "%020d.json" % 1))
+    ]
+    dvs = [a["add"]["deletionVector"] for a in acts if "add" in a]
+    assert dvs and all(d["storageType"] == "u" for d in dvs)
+    assert all(not a["add"]["dataChange"] for a in acts if "add" in a)
+    # cumulative: second delete unions with the first per file
+    w.delete_where(spark, "doc_id % 2 = 1")
+    got = sorted(r.doc_id for r in read_delta(spark, t).collect())
+    assert got == [0, 2, 4, 6, 8]
+    # time travel: pre-delete version still sees everything
+    assert read_delta(spark, t, version=0).count() == 20
+    # no-op predicate → no new commit
+    before = w.latest_version()
+    assert w.delete_where(spark, "val > 99999") == before
+
+
+def test_dv_descriptors_survive_writer_checkpoint(spark, tmp_path):
+    t = str(tmp_path / "dvcp")
+    w = DeltaStandardWriter(t, checkpoint_every=2)
+    w.write(_docs(spark, 10))          # v0
+    w.delete_where(spark, "doc_id < 3")  # v1
+    w.write(
+        spark.createDataFrame(
+            [(90, "x", 0)], "doc_id long, grp string, val long"
+        )
+    )  # v2 → checkpoint
+    # drop pre-checkpoint commits: DVs must come from the checkpoint
+    for v in (0, 1):
+        os.remove(os.path.join(t, "_delta_log", "%020d.json" % v))
+    got = sorted(r.doc_id for r in read_delta(spark, t).collect())
+    assert got == list(range(3, 10)) + [90]
