@@ -4534,6 +4534,77 @@ def sink_iceberg_roundtrip(spark, sf_dir):
 
 
 @_q(
+    "delta_read_cdf",
+    """
+    SELECT doc_id, lang, 'insert' AS change_type,
+           CAST(1 AS BIGINT) AS commit_version
+    FROM documents WHERE doc_id % 2 = 1
+    UNION ALL
+    SELECT doc_id, lang, 'delete' AS change_type,
+           CAST(2 AS BIGINT) AS commit_version
+    FROM documents WHERE doc_id % 2 = 0
+    """,
+)
+def delta_read_cdf(spark, sf_dir):
+    """Change Data Feed over a standard ``_delta_log`` table
+    (delta_standard.table_changes — the ``table_changes()`` surface
+    delta-spark exposes, already provided on the kdi log by the sink).
+    History: v0 adds the even-id documents, v1 the odds, v2 REMOVES
+    the even file — so the change feed over (1, 2] must contain the
+    odd inserts (derived from the v1 add) and the even deletes
+    (derived from the v2 remove: the removed file's rows are the
+    change set, readable until VACUUM — delta-spark's derivation).
+    cdc-action commits (update pre/post images) are pytest-covered;
+    this query pins the derivation path and the version/timestamp
+    metadata columns.  The oracle states both change sets
+    declaratively.  Scale: one parquet scan per contributing commit —
+    cost follows the changed data, never the table."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from kafka_delta_ingest_spark.delta_standard import (
+        DeltaFixtureWriter,
+        table_changes,
+    )
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    rows = sorted(
+        (int(r.doc_id), r.lang)
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    )
+    evens = [{"doc_id": i, "lang": g} for i, g in rows if i % 2 == 0]
+    odds = [{"doc_id": i, "lang": g} for i, g in rows if i % 2 == 1]
+    schema = StructType(
+        [StructField("doc_id", LongType()),
+         StructField("lang", StringType())]
+    )
+    root = _tf.mkdtemp(prefix="kdi-cdfq-")
+    try:
+        t = root + "/t"
+        w = DeltaFixtureWriter(t, schema)
+        w.add_files([({}, evens)], timestamp_ms=1000)   # v0
+        w.add_files([({}, odds)], timestamp_ms=2000)    # v1
+        w.remove_files(["part-00001.parquet"], timestamp_ms=3000)  # v2
+        out = table_changes(spark, t, 1, 2).select(
+            "doc_id",
+            "lang",
+            F.col("_change_type").alias("change_type"),
+            F.col("_commit_version").alias("commit_version"),
+        )
+        # materialize before the temp table is removed
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
+@_q(
     "delta_read_dv",
     """
     SELECT doc_id, lang, TRUE AS travel_ok
@@ -8184,6 +8255,7 @@ _SWEEP_ORDER: list[str] = [
     "sink_delta_standard_roundtrip",
     "ingest_delta_standard",
     "delta_read_dv",
+    "delta_read_cdf",
     "sink_iceberg_roundtrip",
     "hudi_read_mor",
     "hudi_read_incremental",

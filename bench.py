@@ -127,6 +127,7 @@ HEADLINE = [
     "sink_delta_standard_roundtrip",
     "ingest_delta_standard",
     "delta_read_dv",
+    "delta_read_cdf",
     "sink_iceberg_roundtrip",
     "hudi_read_mor",
     "hudi_read_incremental",

@@ -639,6 +639,48 @@ class DeltaFixtureWriter:
         ]
         return self._commit(actions, "DELETE", timestamp_ms)
 
+    def commit_with_cdc(self, remove_rel_paths: list[str],
+                        cdc_rows: list[dict], timestamp_ms: int) -> int:
+        """A DML commit carrying an explicit ``cdc`` action: the
+        change rows (each with a ``_change_type``) go to a parquet
+        under ``_change_data/`` and the commit lists removes + the
+        cdc file — the shape delta-spark emits when CDF is enabled."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        cd_dir = os.path.join(self.root, "_change_data")
+        os.makedirs(cd_dir, exist_ok=True)
+        self._file_no += 1
+        rel = f"_change_data/cdc-{self._file_no:05d}.parquet"
+        cols = list(cdc_rows[0].keys())
+        pq.write_table(
+            pa.table({c: [r[c] for r in cdc_rows] for c in cols}),
+            os.path.join(self.root, rel),
+        )
+        actions = [
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": timestamp_ms,
+                    "dataChange": True,
+                }
+            }
+            for p in remove_rel_paths
+        ]
+        actions.append(
+            {
+                "cdc": {
+                    "path": rel,
+                    "partitionValues": {},
+                    "size": os.path.getsize(
+                        os.path.join(self.root, rel)
+                    ),
+                    "dataChange": False,
+                }
+            }
+        )
+        return self._commit(actions, "DELETE", timestamp_ms)
+
     def delete_rows(self, rel_path: str, positions: list[int],
                     timestamp_ms: int) -> int:
         """Row-level DELETE via a real deletion vector: writes a
@@ -1468,6 +1510,133 @@ class DeltaStandardSink:
             "OPTIMIZE against this table (the log is fully standard), "
             "or ingest with log_format='kdi' for the built-in bin-packer"
         )
+
+
+def table_changes(spark, table_path: str, start_version: int,
+                  end_version: int | None = None):
+    """Change Data Feed over a STANDARD ``_delta_log`` table: one row
+    per change in ``[start_version, end_version]`` with
+    ``_change_type`` / ``_commit_version`` / ``_commit_timestamp``
+    meta columns — the surface ``table_changes()`` exposes in
+    delta-spark (and the kdi sink already provides on its own log).
+
+    Per commit: explicit ``cdc`` actions win (their parquet files
+    carry ``_change_type``, including ``update_preimage``/
+    ``update_postimage``); otherwise changes DERIVE from the data
+    actions — adds with ``dataChange`` are inserts, removes with
+    ``dataChange`` are deletes of the removed file's rows (readable
+    until VACUUM, exactly delta-spark's derivation). Commits whose
+    actions all carry ``dataChange=false`` (OPTIMIZE, clustering,
+    DV re-adds) contribute nothing. A DV DELETE without a cdc action
+    raises: its change set is the DV diff, which only the writer
+    knows — enable CDF on the writer instead.
+
+    Scale: one parquet scan per contributing commit, unioned — the
+    cost is the changed data, never a table scan."""
+    from pyspark.sql import functions as F
+
+    log = _log_path(table_path)
+    last = _resolve_version(log)
+    if end_version is None:
+        end_version = last
+    state = _replay(spark, table_path, min(end_version, last))
+    logical, rename, part_cols, _fids = _schema_mapping(state["meta"])
+    if part_cols and rename:
+        raise ValueError(
+            "table_changes on column-mapped partitioned tables is "
+            "not supported here"
+        )
+
+    def _abs(p: str) -> str:
+        p = urllib.parse.unquote(p)
+        if p.startswith("file:"):
+            p = p[len("file:"):]
+        return p if os.path.isabs(p) else os.path.join(table_path, p)
+
+    data_fields = [f for f in logical.fields if f.name not in part_cols]
+    from pyspark.sql.types import StructType
+
+    read_schema = StructType(data_fields)
+    out = None
+    for v in _commit_versions(log):
+        if v < start_version or v > end_version:
+            continue
+        cdc_paths, add_paths, rm_paths = [], [], []
+        ts = None
+        dv_delete = False
+        with open(os.path.join(log, f"{v:020d}.json")) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                act = json.loads(line)
+                if "commitInfo" in act:
+                    ts = act["commitInfo"].get("timestamp")
+                elif "cdc" in act:
+                    cdc_paths.append(act["cdc"]["path"])
+                elif "add" in act:
+                    if act["add"].get("dataChange", True):
+                        add_paths.append(act["add"]["path"])
+                    elif act["add"].get("deletionVector"):
+                        dv_delete = True
+                elif "remove" in act:
+                    if act["remove"].get("dataChange", True):
+                        rm_paths.append(act["remove"]["path"])
+        frames = []
+        if cdc_paths:
+            cdc_schema = StructType(
+                list(read_schema.fields)
+                + [f for f in logical.fields if f.name in part_cols]
+            ).add("_change_type", "string")
+            cdf = spark.read.schema(cdc_schema)
+            if part_cols:
+                cdf = cdf.option("basePath", table_path)
+            frames.append(cdf.parquet(*[_abs(p) for p in cdc_paths]))
+        else:
+            if dv_delete:
+                raise ValueError(
+                    f"commit {v} deletes rows via deletion vectors "
+                    "without cdc actions — the change set is not "
+                    "derivable; enable CDF on the writer"
+                )
+
+            def _scan(paths):
+                full = StructType(
+                    list(read_schema.fields)
+                    + [f for f in logical.fields if f.name in part_cols]
+                )
+                r = spark.read.schema(full)
+                if part_cols:
+                    r = r.option("basePath", table_path)
+                return r.parquet(*[_abs(p) for p in paths])
+
+            if add_paths:
+                frames.append(
+                    _scan(add_paths).withColumn(
+                        "_change_type", F.lit("insert")
+                    )
+                )
+            if rm_paths:
+                frames.append(
+                    _scan(rm_paths).withColumn(
+                        "_change_type", F.lit("delete")
+                    )
+                )
+        for fr in frames:
+            fr = fr.withColumn(
+                "_commit_version", F.lit(v).cast("long")
+            ).withColumn(
+                "_commit_timestamp",
+                F.lit(ts).cast("long"),
+            )
+            out = fr if out is None else out.unionByName(
+                fr, allowMissingColumns=True
+            )
+    if out is None:
+        raise ValueError(
+            f"no changes in versions [{start_version}, {end_version}]"
+        )
+    return out
 
 
 def delta_history(table_path: str) -> list[dict]:
