@@ -4534,6 +4534,59 @@ def sink_iceberg_roundtrip(spark, sf_dir):
 
 
 @_q(
+    "join_bucketed_colocated",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_bucketed_colocated(spark, sf_dir):
+    """The pre-paid-exchange SCALE pattern end-to-end: both join sides
+    written ``bucketBy(key)+sortBy(key)`` into catalog tables, then
+    joined THROUGH the bucketed layout
+    (operators/joins.py::bucketed_colocated_join).  At 100 TB this is
+    how fact-to-fact joins amortize: the shuffle runs ONCE at ingest
+    (where the data was being rewritten anyway) and every later join/
+    group-by/dedup on the bucket key is exchange-free — bucket i of
+    each side zips straight into the merge, pre-sorted.  The
+    shuffle-free plan property (SortMergeJoin, Bucketed: true, zero
+    hashpartitioning on the key, broadcast disabled so the planner
+    can't sidestep it) is pinned in tests/test_plans.py; this query
+    certifies the RESULTS of the write-bucketed-read-join path under
+    the default planner against the declarative oracle."""
+    import shutil as _sh
+
+    from kafka_delta_ingest_spark.operators.joins import (
+        bucketed_colocated_join,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    joined, cleanup = bucketed_colocated_join(
+        spark, o, c, "custkey", n_buckets=8
+    )
+    try:
+        out = joined.groupBy("c_mktsegment").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        # materialize before the bucketed tables are dropped
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        cleanup()
+
+
+@_q(
     "delta_read_cdf",
     """
     SELECT doc_id, lang, 'insert' AS change_type,
@@ -8256,6 +8309,7 @@ _SWEEP_ORDER: list[str] = [
     "ingest_delta_standard",
     "delta_read_dv",
     "delta_read_cdf",
+    "join_bucketed_colocated",
     "sink_iceberg_roundtrip",
     "hudi_read_mor",
     "hudi_read_incremental",

@@ -128,6 +128,7 @@ HEADLINE = [
     "ingest_delta_standard",
     "delta_read_dv",
     "delta_read_cdf",
+    "join_bucketed_colocated",
     "sink_iceberg_roundtrip",
     "hudi_read_mor",
     "hudi_read_incremental",

@@ -373,3 +373,64 @@ def test_paragraph_dedup_shuffles_on_hash_no_global_sort(spark):
     sorts = [ln for ln in p.splitlines() if "Sort [" in ln]
     # every sort is the window's local one: global flag must be false
     assert sorts and all(", false," in ln for ln in sorts), p
+
+
+def test_bucketed_colocated_join_has_no_exchange_on_key(spark):
+    """The pre-paid-exchange pattern: both sides bucketed+sorted by
+    the join key at write time → the join itself needs NO shuffle and
+    NO sort (bucket i of each side zips straight into the merge).
+    Broadcast is disabled so the planner can't sidestep the property
+    being certified; with broadcast on, Spark rightly prefers it for
+    a dimension-sized side (also asserted)."""
+    from kafka_delta_ingest_spark.operators.joins import (
+        bucketed_colocated_join,
+    )
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    o = orders.select(F.col("o_custkey").alias("custkey"), "o_totalprice")
+    c = cust.select(F.col("c_custkey").alias("custkey"), "c_mktsegment")
+
+    def plan_of(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted")
+        )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"
+        )
+        joined, cleanup = bucketed_colocated_join(
+            spark, o, c, "custkey", n_buckets=4
+        )
+        try:
+            plan = plan_of(joined)
+            assert "SortMergeJoin" in plan
+            assert "Bucketed: true" in plan
+            # the join key is never exchanged: bucket layout IS the
+            # partitioning
+            assert "hashpartitioning(custkey" not in plan
+            # results match the plain join
+            got = sorted(
+                (r.custkey, round(r.o_totalprice, 2), r.c_mktsegment)
+                for r in joined.collect()
+            )
+            want = sorted(
+                (r.custkey, round(r.o_totalprice, 2), r.c_mktsegment)
+                for r in o.join(c, "custkey").collect()
+            )
+            assert got == want
+        finally:
+            cleanup()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe
+        )
