@@ -1321,6 +1321,135 @@ class DeltaStandardWriter:
             self._write_checkpoint(version)
         return version
 
+    # -- OPTIMIZE (bin-packing compaction) -------------------------------
+
+    def optimize(self, spark, target_file_bytes: int = 134_217_728) -> int:
+        """Bin-pack small files and MATERIALIZE deletion vectors: per
+        partition, every live file under ``target_file_bytes`` (plus
+        every DV-carrying file, whose tombstoned rows get physically
+        dropped here) is rewritten into coalesced files; the commit
+        removes the inputs and adds the outputs with
+        ``dataChange=false`` — the standard OPTIMIZE action stream, so
+        any reader sees identical rows before and after. Returns the
+        committed version (or the current one when nothing qualifies).
+
+        Scale: each partition group is one coalesced Spark job over
+        only the files being compacted; the commit is metadata."""
+        import shutil
+        import time
+        import uuid
+
+        from pyspark.sql import functions as F
+
+        from kafka_delta_ingest_spark.sinks.delta_like import (
+            _parquet_stats,
+        )
+
+        state = self._py_replay()
+        if state["meta"] is None:
+            return self.latest_version()
+        groups: dict[tuple, list[tuple[str, dict]]] = {}
+        for rel, a in state["adds"].items():
+            if a.get("size", 0) >= target_file_bytes and not a.get(
+                "deletionVector"
+            ):
+                continue
+            pv = tuple(sorted((a.get("partitionValues") or {}).items()))
+            groups.setdefault(pv, []).append((rel, a))
+        # a group of one small DV-free file gains nothing from rewrite
+        groups = {
+            pv: files
+            for pv, files in groups.items()
+            if len(files) > 1
+            or any(a.get("deletionVector") for _, a in files)
+        }
+        if not groups:
+            return self.latest_version()
+        now_ms = int(time.time() * 1000)
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "operation": "OPTIMIZE",
+                    "operationParameters": {
+                        "targetSize": str(target_file_bytes)
+                    },
+                    "timestamp": now_ms,
+                }
+            }
+        ]
+        for pv, files in sorted(groups.items()):
+            rels = [rel for rel, _ in files]
+            dv_in = [a for _, a in files if a.get("deletionVector")]
+            paths = [
+                os.path.join(self.root, urllib.parse.unquote(r))
+                for r in rels
+            ]
+            df = spark.read.parquet(*paths)
+            if dv_in:
+                df = df.select(
+                    "*",
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), "^file:(//)?", ""
+                    ).alias("_kdi_fp"),
+                    F.col("_metadata.row_index").alias("_kdi_pos"),
+                )
+                df = _apply_deletion_vectors(
+                    spark, self.root, df, dv_in,
+                    lambda p: os.path.join(
+                        self.root, urllib.parse.unquote(p)
+                    ),
+                )
+            staging = os.path.join(
+                self.root, f"_staging-{uuid.uuid4().hex}"
+            )
+            df.coalesce(1).write.mode("overwrite").parquet(staging)
+            rel_dir = os.path.dirname(rels[0])
+            for fname in sorted(os.listdir(staging)):
+                if not fname.endswith(".parquet"):
+                    continue
+                src = os.path.join(staging, fname)
+                stats = _parquet_stats(src)
+                if stats["numRecords"] == 0:
+                    continue
+                dest_dir = os.path.join(self.root, rel_dir)
+                os.makedirs(dest_dir, exist_ok=True)
+                new_name = f"part-opt-{uuid.uuid4().hex}.parquet"
+                shutil.move(src, os.path.join(dest_dir, new_name))
+                new_rel = (
+                    os.path.join(rel_dir, new_name).replace(os.sep, "/")
+                    if rel_dir
+                    else new_name
+                )
+                actions.append(
+                    {
+                        "add": {
+                            "path": new_rel,
+                            "partitionValues": dict(pv),
+                            "size": os.path.getsize(
+                                os.path.join(dest_dir, new_name)
+                            ),
+                            "modificationTime": now_ms,
+                            "dataChange": False,
+                            "stats": json.dumps(stats),
+                        }
+                    }
+                )
+            shutil.rmtree(staging, ignore_errors=True)
+            actions += [
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": False,
+                    }
+                }
+                for rel in rels
+            ]
+        version = self._atomic_commit(actions)
+        if version > 0 and version % self.checkpoint_every == 0:
+            self._write_checkpoint(version)
+        return version
+
     # -- checkpoint ------------------------------------------------------
 
     def _write_checkpoint(self, version: int) -> None:
@@ -1444,10 +1573,9 @@ class DeltaStandardSink:
     detection, offset bootstrap), ``table_schema()`` (runtime schema
     adoption), ``write_batch(df, partition_by, txn)`` (append +
     exactly-once txn actions, empty-batch suppression), ``_commit``
-    (raw txn-action commits for --seek_offsets bootstrap), and
-    ``read``. ``optimize`` raises: OPTIMIZE is a layout service of the
-    kdi sink; on the standard layout run a real Delta OPTIMIZE engine
-    against the table instead.
+    (raw txn-action commits for --seek_offsets bootstrap), ``read``,
+    and ``optimize`` (the writer's bin-packing compaction, so
+    ``--auto_optimize_interval`` works identically on both layouts).
     """
 
     def __init__(self, path: str):
@@ -1504,12 +1632,9 @@ class DeltaStandardSink:
     def read(self, spark, as_of=None):
         return read_delta(spark, self.path, version=as_of)
 
-    def optimize(self, *args, **kwargs):
-        raise NotImplementedError(
-            "OPTIMIZE on the standard layout: run a real Delta engine's "
-            "OPTIMIZE against this table (the log is fully standard), "
-            "or ingest with log_format='kdi' for the built-in bin-packer"
-        )
+    def optimize(self, spark, target_file_bytes: int = 134_217_728,
+                 **_kwargs):
+        return self.w.optimize(spark, target_file_bytes)
 
 
 def table_changes(spark, table_path: str, start_version: int,

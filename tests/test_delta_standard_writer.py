@@ -258,3 +258,38 @@ def test_dv_descriptors_survive_writer_checkpoint(spark, tmp_path):
         os.remove(os.path.join(t, "_delta_log", "%020d.json" % v))
     got = sorted(r.doc_id for r in read_delta(spark, t).collect())
     assert got == list(range(3, 10)) + [90]
+
+
+def test_optimize_compacts_and_materializes_dvs(spark, tmp_path):
+    t = str(tmp_path / "opt")
+    w = DeltaStandardWriter(t)
+    # three small appends → three small files per partition
+    for k in range(3):
+        w.write(
+            spark.createDataFrame(
+                [(k * 10 + i, str(i % 2), i) for i in range(4)],
+                "doc_id long, grp string, val long",
+            ),
+            partition_by=["grp"],
+        )
+    w.delete_where(spark, "doc_id = 0")  # attach a DV
+    before = sorted(r.doc_id for r in read_delta(spark, t).collect())
+    v = w.optimize(spark, target_file_bytes=1 << 20)
+    after = sorted(r.doc_id for r in read_delta(spark, t).collect())
+    assert after == before  # identical rows pre/post compaction
+    # post-optimize state: one file per partition, no deletion vectors
+    # (tombstoned rows physically dropped), all actions dataChange=false
+    state = w._py_replay()
+    assert len(state["adds"]) == 2
+    assert not any(a.get("deletionVector") for a in state["adds"].values())
+    acts = [
+        json.loads(x)
+        for x in open(os.path.join(t, "_delta_log", "%020d.json" % v))
+    ]
+    assert all(
+        not a["add"]["dataChange"] for a in acts if "add" in a
+    ) and all(
+        not a["remove"]["dataChange"] for a in acts if "remove" in a
+    )
+    # second optimize is a no-op (single compacted file per partition)
+    assert w.optimize(spark, target_file_bytes=1 << 20) == v
