@@ -599,21 +599,27 @@ class IcebergWriter:
     def append(self, df, ts_ms: int | None = None,
                attempts: int = 100) -> int:
         """Append ``df`` as one Iceberg snapshot; returns snapshot id."""
-        import shutil
         import time
+
+        if ts_ms is None:
+            ts_ms = int(time.time() * 1000)
+        new_files = self._write_data_files(df)
+        if not new_files:
+            raise ValueError("append with zero non-empty data files")
+        return self._commit_snapshot([(new_files, 0)], "append", ts_ms,
+                                     attempts)
+
+    def _write_data_files(self, df) -> list[dict]:
+        """Spark-write ``df`` to staging and promote under ``data/``;
+        returns content=0 data_file dicts."""
+        import shutil
         import uuid
 
         import pyarrow.parquet as pq
 
-        from kafka_delta_ingest_spark.avro_python import write_container
-
-        if ts_ms is None:
-            ts_ms = int(time.time() * 1000)
-
-        # 1. data files: one Spark job into staging, promote under data/
         staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(staging)
-        new_files = []
+        out = []
         for fname in sorted(os.listdir(staging)):
             if not fname.endswith(".parquet"):
                 continue
@@ -625,7 +631,7 @@ class IcebergWriter:
                 self.data_dir, f"{uuid.uuid4().hex}-{fname}"
             )
             shutil.move(src, dest)
-            new_files.append(
+            out.append(
                 {
                     "content": 0,
                     "file_path": dest,
@@ -637,10 +643,51 @@ class IcebergWriter:
                 }
             )
         shutil.rmtree(staging, ignore_errors=True)
-        if not new_files:
-            raise ValueError("append with zero non-empty data files")
-        return self._commit_snapshot(new_files, 0, "append", ts_ms,
-                                     attempts)
+        return out
+
+    def upsert(self, df, key_cols: list[str],
+               ts_ms: int | None = None, attempts: int = 100) -> int:
+        """UPSERT as ONE snapshot holding an EQUALITY-DELETE manifest
+        (the incoming keys) plus a data manifest (the incoming rows) —
+        the Flink-CDC-style Iceberg upsert shape. Sequence-number
+        scoping makes it exact: the equality delete applies only to
+        STRICTLY older data files, so the same-commit inserts survive
+        while every prior version of the keys is masked."""
+        import time
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if ts_ms is None:
+            ts_ms = int(time.time() * 1000)
+        ids_by_name = {f["name"]: f["id"] for f in self.fields}
+        missing = [c for c in key_cols if c not in ids_by_name]
+        if missing:
+            raise ValueError(f"unknown key columns {missing}")
+        # equality-delete file: the DISTINCT incoming key tuples
+        keys = df.select(*key_cols).dropDuplicates().toPandas()
+        del_path = os.path.join(
+            self.data_dir, f"eqdelete-{uuid.uuid4().hex}.parquet"
+        )
+        pq.write_table(pa.Table.from_pandas(keys, preserve_index=False),
+                       del_path)
+        delete_file = {
+            "content": 2,
+            "file_path": del_path,
+            "file_format": "PARQUET",
+            "partition": {},
+            "record_count": len(keys),
+            "file_size_in_bytes": os.path.getsize(del_path),
+            "equality_ids": [ids_by_name[c] for c in key_cols],
+        }
+        data_files = self._write_data_files(df)
+        if not data_files:
+            raise ValueError("upsert with zero non-empty data files")
+        return self._commit_snapshot(
+            [([delete_file], 1), (data_files, 0)], "overwrite", ts_ms,
+            attempts,
+        )
 
     def delete_where(self, spark, predicate: str,
                      ts_ms: int | None = None,
@@ -707,17 +754,18 @@ class IcebergWriter:
         if not delete_files:
             _, meta = self._current()
             return (meta or {}).get("current-snapshot-id")  # no-op
-        return self._commit_snapshot(delete_files, 1, "delete", ts_ms,
-                                     attempts)
+        return self._commit_snapshot([(delete_files, 1)], "delete",
+                                     ts_ms, attempts)
 
-    def _commit_snapshot(self, new_files: list[dict], content: int,
+    def _commit_snapshot(self, manifests: list[tuple[list[dict], int]],
                          operation: str, ts_ms: int,
                          attempts: int) -> int:
-        """Optimistic snapshot commit: ONE new manifest holding only
-        ``new_files`` (explicit sequence number), prior manifests
-        carried forward in the manifest list, v<N+1>.metadata.json
-        claimed with O_CREAT|O_EXCL, version-hint swapped atomically.
-        Retries from fresh state on a version race."""
+        """Optimistic snapshot commit: one new manifest per
+        ``(files, content)`` pair (entries carry explicit sequence
+        numbers), prior manifests carried forward in the manifest
+        list, v<N+1>.metadata.json claimed with O_CREAT|O_EXCL,
+        version-hint swapped atomically. Retries from fresh state on a
+        version race."""
         import uuid
 
         from kafka_delta_ingest_spark.avro_python import write_container
@@ -728,24 +776,38 @@ class IcebergWriter:
             snaps = list((meta or {}).get("snapshots", []))
             seq = last_seq + 1
             snap_id = 1000 + len(snaps) + 1
-            # one NEW manifest: only the new entries, explicit seq
-            entries = [
-                {
-                    "status": 1,
-                    "snapshot_id": snap_id,
-                    "sequence_number": seq,
-                    "data_file": f,
-                }
-                for f in new_files
-            ]
-            man_path = os.path.join(
-                self.meta_dir, f"manifest-{uuid.uuid4().hex}.avro"
-            )
-            blob = write_container(entries, _MANIFEST_ENTRY_SCHEMA)
-            with open(man_path, "wb") as f:
-                f.write(blob)
+            new_rows = []
+            written = []
+            for new_files, content in manifests:
+                entries = [
+                    {
+                        "status": 1,
+                        "snapshot_id": snap_id,
+                        "sequence_number": seq,
+                        "data_file": f,
+                    }
+                    for f in new_files
+                ]
+                man_path = os.path.join(
+                    self.meta_dir, f"manifest-{uuid.uuid4().hex}.avro"
+                )
+                blob = write_container(entries, _MANIFEST_ENTRY_SCHEMA)
+                with open(man_path, "wb") as f:
+                    f.write(blob)
+                written.append(man_path)
+                new_rows.append(
+                    {
+                        "manifest_path": man_path,
+                        "manifest_length": len(blob),
+                        "partition_spec_id": 0,
+                        "content": content,
+                        "sequence_number": seq,
+                        "min_sequence_number": seq,
+                        "added_snapshot_id": snap_id,
+                    }
+                )
             # manifest list: prior snapshot's manifests carried forward
-            # + the new one — O(new files) commit work
+            # + the new ones — O(new files) commit work
             prior_manifests = []
             if snaps:
                 cur_snap = None
@@ -757,17 +819,7 @@ class IcebergWriter:
                     with open(_norm_path(cur_snap["manifest-list"]),
                               "rb") as f:
                         _, prior_manifests = read_container(f.read())
-            mlist_rows = list(prior_manifests) + [
-                {
-                    "manifest_path": man_path,
-                    "manifest_length": len(blob),
-                    "partition_spec_id": 0,
-                    "content": content,
-                    "sequence_number": seq,
-                    "min_sequence_number": seq,
-                    "added_snapshot_id": snap_id,
-                }
-            ]
+            mlist_rows = list(prior_manifests) + new_rows
             mlist_path = os.path.join(
                 self.meta_dir, f"snap-{snap_id}-{uuid.uuid4().hex}.avro"
             )
@@ -806,7 +858,8 @@ class IcebergWriter:
             except FileExistsError:
                 # another writer claimed v<N+1>: clean our manifest
                 # files and recompute from the fresh state
-                os.unlink(man_path)
+                for p in written:
+                    os.unlink(p)
                 os.unlink(mlist_path)
                 continue
             with os.fdopen(fd, "w") as f:

@@ -412,3 +412,45 @@ def test_iceberg_writer_delete_where(spark, tmp_path):
     )
     got = sorted(r.doc_id for r in read_iceberg(spark, t).collect())
     assert got == [1, 5, 7, 100, 101, 102]
+
+
+def test_iceberg_writer_upsert(spark, tmp_path):
+    # one snapshot = equality-delete manifest (incoming keys) + data
+    # manifest (incoming rows); sequence scoping keeps the same-commit
+    # inserts alive while masking every prior key version
+    from pyspark.sql import functions as F
+
+    from kafka_delta_ingest_spark.iceberg import IcebergWriter
+
+    t = str(tmp_path / "up")
+    w = IcebergWriter(t, _FIELDS)
+    w.append(
+        spark.range(6).select(
+            F.col("id").alias("doc_id"), F.lit("v1").alias("grp")
+        ),
+        ts_ms=1000,
+    )
+    # upsert: update 2 and 4, insert 100
+    w.upsert(
+        spark.createDataFrame(
+            [(2, "v2"), (4, "v2"), (100, "v2")], "doc_id long, grp string"
+        ),
+        key_cols=["doc_id"],
+        ts_ms=2000,
+    )
+    got = {r.doc_id: r.grp for r in read_iceberg(spark, t).collect()}
+    assert got == {0: "v1", 1: "v1", 2: "v2", 3: "v1", 4: "v2",
+                   5: "v1", 100: "v2"}
+    # a second upsert of the SAME key wins again (stacked eq deletes)
+    w.upsert(
+        spark.createDataFrame([(2, "v3")], "doc_id long, grp string"),
+        key_cols=["doc_id"],
+        ts_ms=3000,
+    )
+    got = {r.doc_id: r.grp for r in read_iceberg(spark, t).collect()}
+    assert got[2] == "v3" and got[4] == "v2"
+    with pytest.raises(ValueError, match="unknown key"):
+        w.upsert(
+            spark.createDataFrame([(1, "x")], "doc_id long, grp string"),
+            key_cols=["nope"],
+        )
