@@ -499,3 +499,43 @@ def test_auto_optimize_compacts_during_ingest(spark, tmp_path):
     # compaction actually fired: fewer live files than the plain run
     assert live_files(t_plain) >= 4
     assert live_files(t_auto) < live_files(t_plain)
+
+
+def test_stream_into_standard_delta_log(spark, tmp_path):
+    """The full streaming loop (X8 availableNow + X1 txn ledger +
+    checkpointed restart) against a STANDARD _delta_log destination
+    (log_format='delta'): the output table is consumable by any Delta
+    reader, and exactly-once holds across a restart with new data —
+    the reference daemon's complete contract on the standard layout."""
+    from kafka_delta_ingest_spark.delta_standard import (
+        DeltaStandardSink,
+        read_delta,
+    )
+
+    src = str(tmp_path / "src")
+    table_dir = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_raw(spark, _rows(0, 20), src)
+    opts = IngestOptions(
+        topic="t", table_uri=table_dir, app_id="std_app",
+        ends_at_latest_offsets=True, log_format="delta",
+    )
+    job = IngestJob(opts, TABLE_SCHEMA)
+    q = job.run_stream(spark, ckpt, raw_stream=_stream(spark, src))
+    q.awaitTermination(120)
+
+    got = {r["id"] for r in read_delta(spark, table_dir).collect()}
+    assert got == set(range(20))
+    sink = DeltaStandardSink(table_dir)
+    assert sink.w.txn_version("std_app-0") == 18
+    assert sink.w.txn_version("std_app-1") == 19
+
+    # restart with MORE files: only the new ones are processed
+    _write_raw(spark, _rows(20, 10), src)
+    job2 = IngestJob(opts, TABLE_SCHEMA)
+    q2 = job2.run_stream(spark, ckpt, raw_stream=_stream(spark, src))
+    q2.awaitTermination(120)
+    got2 = sorted(r["id"] for r in read_delta(spark, table_dir).collect())
+    assert got2 == list(range(30))  # no duplicates, no loss
+    assert sink.w.txn_version("std_app-1") == 29
