@@ -399,8 +399,11 @@ def test_bucketed_colocated_join_has_no_exchange_on_key(spark):
         )
 
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # None ⇒ the conf was UNSET (falls back to the non-adaptive
+    # threshold); restoring it as "-1" would disable AQE broadcasts
+    # for every later test in the session (full-suite flake).
     old_aqe = spark.conf.get(
-        "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", None
     )
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -431,6 +434,11 @@ def test_bucketed_colocated_join_has_no_exchange_on_key(spark):
             cleanup()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-        spark.conf.set(
-            "spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe
-        )
+        if old_aqe is None:
+            spark.conf.unset(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold"
+            )
+        else:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe
+            )
