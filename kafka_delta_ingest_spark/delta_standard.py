@@ -976,9 +976,10 @@ class DeltaStandardWriter:
         versions = _commit_versions(self.log)
         return max(versions) if versions else -1
 
-    def _py_replay(self) -> dict:
-        """Driver-side replay of own log (checkpoint-aware) — used for
-        overwrite remove-sets, txn ledger lookups, and checkpoint
+    def _py_replay(self, target: int | None = None) -> dict:
+        """Driver-side replay of own log (checkpoint-aware) to
+        ``target`` (default: latest) — used for overwrite remove-sets,
+        txn ledger lookups, RESTORE diffs, and checkpoint
         consolidation. O(live files) memory, the same model delta-rs
         uses when checkpointing."""
         adds: dict[str, dict] = {}
@@ -986,7 +987,8 @@ class DeltaStandardWriter:
         meta = None
         protocol = None
         start = 0
-        target = self.latest_version()
+        if target is None:
+            target = self.latest_version()
         if target < 0:
             return {"adds": adds, "meta": meta, "protocol": protocol,
                     "txn": txn}
@@ -1320,6 +1322,133 @@ class DeltaStandardWriter:
         if version > 0 and version % self.checkpoint_every == 0:
             self._write_checkpoint(version)
         return version
+
+    # -- RESTORE / VACUUM -------------------------------------------------
+
+    def restore(self, version: int) -> int:
+        """RESTORE TO VERSION AS OF ``version``: commits the forward
+        diff — remove every file live now but not then, re-add every
+        file live then but not now (a path whose DV descriptor differs
+        is re-added with the target's descriptor). History is
+        preserved: this lands as a NEW version; the rolled-back
+        commits stay time-travelable. Pure log metadata, O(diff) not
+        O(table) — restoring a 100 TB table after a bad batch is
+        instant. Raises if a file the restore resurrects was already
+        vacuumed."""
+        import time
+
+        cur_v = self.latest_version()
+        if version < 0 or version > cur_v:
+            raise ValueError(f"version {version} does not exist")
+        if version == cur_v:
+            return cur_v
+        cur = self._py_replay()
+        tgt = self._py_replay(target=version)
+
+        def dv_key(a):
+            d = a.get("deletionVector") or {}
+            return (d.get("pathOrInlineDv"), d.get("offset"))
+
+        now_ms = int(time.time() * 1000)
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "operation": "RESTORE",
+                    "operationParameters": {"version": str(version)},
+                    "timestamp": now_ms,
+                }
+            }
+        ]
+        if tgt["meta"] != cur["meta"] and tgt["meta"] is not None:
+            actions.append({"metaData": tgt["meta"]})
+        for rel, a in cur["adds"].items():
+            t = tgt["adds"].get(rel)
+            if t is None or dv_key(t) != dv_key(a):
+                actions.append(
+                    {
+                        "remove": {
+                            "path": rel,
+                            "deletionTimestamp": now_ms,
+                            "dataChange": True,
+                        }
+                    }
+                )
+        for rel, t in tgt["adds"].items():
+            c = cur["adds"].get(rel)
+            if c is None or dv_key(c) != dv_key(t):
+                ap = urllib.parse.unquote(rel)
+                if not os.path.isabs(ap):
+                    ap = os.path.join(self.root, ap)
+                if not os.path.exists(ap):
+                    raise ValueError(
+                        f"cannot restore to {version}: {rel} was "
+                        "already vacuumed"
+                    )
+                actions.append({"add": {**t, "dataChange": True}})
+        version_out = self._atomic_commit(actions)
+        if version_out > 0 and version_out % self.checkpoint_every == 0:
+            self._write_checkpoint(version_out)
+        return version_out
+
+    def vacuum(self, retention_ms: int = 7 * 24 * 3600 * 1000,
+               now_ms: int | None = None) -> list[str]:
+        """Physically delete tombstoned data files (and DV ``.bin``
+        files no live add references) whose remove timestamp is older
+        than ``retention_ms``. Returns deleted relative paths. No
+        commit — vacuum reclaims storage, it does not change state;
+        time travel past the retention window stops working, exactly
+        Delta's contract."""
+        import time
+
+        if now_ms is None:
+            now_ms = int(time.time() * 1000)
+        cutoff = now_ms - retention_ms
+        state = self._py_replay()
+        live = set(state["adds"])
+        live_dvs = set()
+        for a in state["adds"].values():
+            d = a.get("deletionVector")
+            if d and d.get("storageType") == "u":
+                import uuid as _uuid
+
+                from kafka_delta_ingest_spark.roaring import z85_decode
+
+                u = _uuid.UUID(bytes=z85_decode(d["pathOrInlineDv"][-20:]))
+                live_dvs.add(f"deletion_vector_{u}.bin")
+        # candidate tombstones from the JSON log (removed paths that
+        # never came back)
+        victims: dict[str, int] = {}
+        for v in _commit_versions(self.log):
+            with open(os.path.join(self.log, f"{v:020d}.json")) as f:
+                for line in f:
+                    act = json.loads(line)
+                    if "remove" in act:
+                        r = act["remove"]
+                        victims[r["path"]] = r.get(
+                            "deletionTimestamp", 0
+                        )
+                    elif "add" in act:
+                        victims.pop(act["add"]["path"], None)
+        deleted = []
+        for rel, ts in victims.items():
+            if rel in live or ts > cutoff:
+                continue
+            ap = urllib.parse.unquote(rel)
+            if not os.path.isabs(ap):
+                ap = os.path.join(self.root, ap)
+            if os.path.exists(ap):
+                os.remove(ap)
+                deleted.append(rel)
+        # orphaned DV sidecars (superseded by cumulative descriptors)
+        for fname in os.listdir(self.root):
+            if (
+                fname.startswith("deletion_vector_")
+                and fname.endswith(".bin")
+                and fname not in live_dvs
+            ):
+                os.remove(os.path.join(self.root, fname))
+                deleted.append(fname)
+        return deleted
 
     # -- OPTIMIZE (bin-packing compaction) -------------------------------
 

@@ -293,3 +293,45 @@ def test_optimize_compacts_and_materializes_dvs(spark, tmp_path):
     )
     # second optimize is a no-op (single compacted file per partition)
     assert w.optimize(spark, target_file_bytes=1 << 20) == v
+
+
+def test_restore_to_version(spark, tmp_path):
+    t = str(tmp_path / "rst")
+    w = DeltaStandardWriter(t)
+    w.write(_docs(spark, 10))                       # v0
+    w.write(_docs(spark, 3), mode="overwrite")      # v1
+    w.delete_where(spark, "doc_id = 1")             # v2 (DV)
+    v = w.restore(0)                                # v3
+    assert v == 3
+    assert read_delta(spark, t).count() == 10
+    # history preserved: the rolled-back states stay travelable
+    assert read_delta(spark, t, version=1).count() == 3
+    assert read_delta(spark, t, version=2).count() == 2
+    # restoring to a DV'd version brings the descriptor back
+    w.restore(2)
+    assert sorted(
+        r.doc_id for r in read_delta(spark, t).collect()
+    ) == [0, 2]
+    with pytest.raises(ValueError, match="does not exist"):
+        w.restore(99)
+
+
+def test_vacuum_reclaims_tombstones(spark, tmp_path):
+    t = str(tmp_path / "vac")
+    w = DeltaStandardWriter(t)
+    w.write(_docs(spark, 10))                       # v0
+    w.write(_docs(spark, 3), mode="overwrite")      # v1
+    n_files_before = len(glob.glob(t + "/part-*.parquet"))
+    deleted = w.vacuum(retention_ms=0)
+    assert deleted
+    assert len(glob.glob(t + "/part-*.parquet")) < n_files_before
+    # live state unaffected
+    assert read_delta(spark, t).count() == 3
+    # time travel to the vacuumed version now fails at scan time
+    # (the protocol contract); restore refuses up front
+    with pytest.raises(ValueError, match="already vacuumed"):
+        w.restore(0)
+    # retention respected: fresh tombstones survive a default vacuum
+    w.write(_docs(spark, 2), mode="overwrite")      # v2
+    assert w.vacuum() == []  # 7-day retention keeps v1's files
+    assert read_delta(spark, t, version=2).count() == 2
