@@ -4784,7 +4784,15 @@ def ingest_delta_standard(spark, sf_dir):
     try:
         t = root + "/t"
         w = DeltaStandardWriter(t)
-        v1 = w.write(good, partition_by=["kafka_partition"], txn=offsets)
+        # one file per hive partition per batch (repartition on the
+        # partition column), not shuffle-partitions x dirs small files
+        # — the layout a real ingest wants AND what keeps the commit's
+        # footer-stats pass O(partitions)
+        v1 = w.write(
+            good.repartition("kafka_partition"),
+            partition_by=["kafka_partition"],
+            txn=offsets,
+        )
         v2 = w.write(good, txn=offsets)  # identical batch → replay
         back = read_delta(spark, t)
         replay_ok = bool(v2 == v1) and back.count() == good.count()
@@ -4843,10 +4851,16 @@ def sink_delta_standard_roundtrip(spark, sf_dir):
         t = root + "/t"
         w = DeltaStandardWriter(t, checkpoint_every=2)
         evens = docs.filter(F.col("doc_id") % 2 == 0)
-        w.write(evens, partition_by=["lang"])                    # v0
-        w.write(docs.filter(F.col("doc_id") % 2 == 1))           # v1
-        w.write(docs.filter(F.col("lang") != "de"),
-                mode="overwrite")                                # v2 + cp
+        # one file per lang partition per commit (see
+        # ingest_delta_standard for why)
+        w.write(evens.repartition("lang"), partition_by=["lang"])  # v0
+        w.write(
+            docs.filter(F.col("doc_id") % 2 == 1).repartition("lang")
+        )                                                          # v1
+        w.write(
+            docs.filter(F.col("lang") != "de").repartition("lang"),
+            mode="overwrite",
+        )                                                          # v2+cp
         # v3: row-level DELETE via deletion vectors (no rewrite) —
         # the writer's full DML surface on one history
         w.delete_where(spark, "doc_id % 9 = 0")
