@@ -4460,6 +4460,69 @@ def hudi_read_incremental(spark, sf_dir):
 
 
 @_q(
+    "ingest_iceberg",
+    """
+    SELECT event_id, user_id, event_type, value, props, ts,
+      strftime(ts, '%Y-%m-%d') AS date,
+      event_id AS kafka_offset,
+      CAST(user_id % 8 AS INT) AS kafka_partition,
+      TRUE AS replay_ok
+    FROM events
+    """,
+)
+def ingest_iceberg(spark, sf_dir):
+    """The reference pipeline end-to-end into an Apache ICEBERG
+    destination: Kafka-shaped messages → the same single-projection
+    deserialize/transform/coerce/split plan → IcebergSink, with
+    per-Kafka-partition offsets stored in the snapshot SUMMARY
+    (``kdi.offsets.<appId>`` — the bookkeeping channel the Flink
+    Iceberg connector uses for its committed checkpoint id; Iceberg
+    has no Delta-style txn action).  The SAME batch written again must
+    be recognized as a replay from the stored summary offsets and
+    SKIPPED (no second snapshot, no duplicate rows).  Read-back goes
+    through the independent read_iceberg metadata walk; replay_ok
+    pins the skip plus the single-snapshot invariant.  With this the
+    engine streams exactly-once into all three open table formats
+    (kdi-Delta, standard Delta, Iceberg)."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from kafka_delta_ingest_spark.config import IngestOptions
+    from kafka_delta_ingest_spark.iceberg import read_iceberg, snapshots
+    from kafka_delta_ingest_spark.ingest import IngestJob
+
+    raw = _kafka_raw(spark, sf_dir)
+    plan_job = _ingest_job()
+    good, _dlq = plan_job.split(plan_job.plan(raw))
+    root = _tf.mkdtemp(prefix="kdi-iceing-")
+    try:
+        t = root + "/t"
+        opts = IngestOptions(
+            topic="events", table_uri=t, app_id="kdi-q",
+            transforms=plan_job.opts.transforms,
+            log_format="iceberg",
+        )
+        job = IngestJob(opts, good.schema)
+        m1 = job.run_batch(raw)
+        m2 = job.run_batch(raw)  # identical batch → replay
+        back = read_iceberg(spark, t)
+        replay_ok = (
+            bool(m2.skipped)
+            and not m1.skipped
+            and len(snapshots(t)) == 1
+            and back.count() == good.count()
+        )
+        out = back.select(
+            "event_id", "user_id", "event_type", "value", "props",
+            "ts", "date", "kafka_offset", "kafka_partition",
+        ).withColumn("replay_ok", F.lit(replay_ok))
+        # materialize before the temp table is removed
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
+@_q(
     "sink_iceberg_roundtrip",
     """
     SELECT doc_id, lang, LENGTH(text) AS n_chars, TRUE AS travel_ok
@@ -8324,6 +8387,7 @@ _SWEEP_ORDER: list[str] = [
     "delta_read_dv",
     "delta_read_cdf",
     "join_bucketed_colocated",
+    "ingest_iceberg",
     "sink_iceberg_roundtrip",
     "hudi_read_mor",
     "hudi_read_incremental",

@@ -129,6 +129,7 @@ HEADLINE = [
     "delta_read_dv",
     "delta_read_cdf",
     "join_bucketed_colocated",
+    "ingest_iceberg",
     "sink_iceberg_roundtrip",
     "hudi_read_mor",
     "hudi_read_incremental",

@@ -73,12 +73,14 @@ def build_parser() -> argparse.ArgumentParser:
                           "after every N ingest commits (0 = off) — the "
                           "Spark substitute for the reference's held-open "
                           "file-size management")
-    ing.add_argument("--log_format", choices=("kdi", "delta"),
+    ing.add_argument("--log_format", choices=("kdi", "delta", "iceberg"),
                      default="kdi",
-                     help="destination transaction-log layout: 'kdi' "
-                          "(the engine's own log, full DML/OPTIMIZE "
-                          "surface) or 'delta' (a STANDARD _delta_log "
-                          "any Delta reader consumes)")
+                     help="destination table format: 'kdi' (the "
+                          "engine's own Delta-protocol log, full "
+                          "DML/OPTIMIZE surface), 'delta' (a STANDARD "
+                          "_delta_log any Delta reader consumes), or "
+                          "'iceberg' (an Apache Iceberg v2 table; "
+                          "exactly-once offsets in snapshot summaries)")
     ing.add_argument("--transform", "-t", action="append", default=[],
                      help="PROPERTY: SOURCE transform pairs")
     ing.add_argument("--dlq_table_location", "-d", default=None,

@@ -597,8 +597,13 @@ class IcebergWriter:
     # -- append ------------------------------------------------------------
 
     def append(self, df, ts_ms: int | None = None,
-               attempts: int = 100) -> int:
-        """Append ``df`` as one Iceberg snapshot; returns snapshot id."""
+               attempts: int = 100,
+               summary: dict[str, str] | None = None) -> int:
+        """Append ``df`` as one Iceberg snapshot; returns snapshot id.
+        ``summary`` entries are merged into the snapshot's summary map
+        — the channel engines use for exactly-once bookkeeping (the
+        Flink connector stores its max committed checkpoint id there;
+        the ingest adapter stores per-Kafka-partition offsets)."""
         import time
 
         if ts_ms is None:
@@ -607,7 +612,22 @@ class IcebergWriter:
         if not new_files:
             raise ValueError("append with zero non-empty data files")
         return self._commit_snapshot([(new_files, 0)], "append", ts_ms,
-                                     attempts)
+                                     attempts, summary=summary)
+
+    def summary_value(self, key: str) -> str | None:
+        """Latest snapshot-summary value for ``key`` (walking
+        snapshots newest-first) — the read side of the exactly-once
+        bookkeeping channel."""
+        _, meta = self._current()
+        for s in sorted(
+            (meta or {}).get("snapshots", []),
+            key=lambda s: s["timestamp-ms"],
+            reverse=True,
+        ):
+            v = (s.get("summary") or {}).get(key)
+            if v is not None:
+                return v
+        return None
 
     def _write_data_files(self, df) -> list[dict]:
         """Spark-write ``df`` to staging and promote under ``data/``;
@@ -759,7 +779,8 @@ class IcebergWriter:
 
     def _commit_snapshot(self, manifests: list[tuple[list[dict], int]],
                          operation: str, ts_ms: int,
-                         attempts: int) -> int:
+                         attempts: int,
+                         summary: dict[str, str] | None = None) -> int:
         """Optimistic snapshot commit: one new manifest per
         ``(files, content)`` pair (entries carry explicit sequence
         numbers), prior manifests carried forward in the manifest
@@ -831,7 +852,8 @@ class IcebergWriter:
                     "timestamp-ms": ts_ms,
                     "sequence-number": seq,
                     "manifest-list": mlist_path,
-                    "summary": {"operation": operation},
+                    "summary": {"operation": operation,
+                                **(summary or {})},
                 }
             )
             new_meta = {
@@ -871,3 +893,153 @@ class IcebergWriter:
             os.replace(tmp, hint)
             return snap_id
         raise RuntimeError("exhausted Iceberg commit attempts")
+
+
+def _spark_type_to_iceberg(dt) -> object:
+    """Spark DataType → Iceberg schema-JSON type (primitives by name,
+    structs recursively with synthetic field ids assigned by the
+    caller)."""
+    from pyspark.sql import types as T
+
+    simple = {
+        T.LongType: "long",
+        T.IntegerType: "int",
+        T.StringType: "string",
+        T.DoubleType: "double",
+        T.FloatType: "float",
+        T.BooleanType: "boolean",
+        T.DateType: "date",
+        T.TimestampType: "timestamptz",
+        T.TimestampNTZType: "timestamp",
+        T.BinaryType: "binary",
+    }
+    for cls, name in simple.items():
+        if isinstance(dt, cls):
+            return name
+    return None  # handled by the caller (struct) or mapped to string
+
+
+class IcebergSink:
+    """``DeltaLikeTable``-surface adapter over :class:`IcebergWriter`
+    so ``IngestJob`` can stream INTO an Apache Iceberg table
+    (``IngestOptions.log_format == "iceberg"``) with exactly-once
+    semantics — per-Kafka-partition offsets ride in the snapshot
+    SUMMARY (``kdi.offsets.<appId>`` keys), the same bookkeeping
+    channel the Flink Iceberg connector uses for its committed
+    checkpoint id (Iceberg has no Delta-style txn action; the summary
+    map is the spec's engine-metadata slot).
+
+    Scope: unpartitioned append streams (Iceberg hidden partitioning
+    is a spec-transform feature the writer does not implement —
+    ``partition_by`` raises). ``optimize`` raises (compaction =
+    rewrite/replacecommit territory)."""
+
+    def __init__(self, path: str, target_schema):
+        self.path = path
+        self._next_id = [0]
+
+        def conv(dt):
+            from pyspark.sql import types as T
+
+            if isinstance(dt, T.StructType):
+                fields = []
+                for f in dt.fields:
+                    self._next_id[0] += 1
+                    fields.append(
+                        {
+                            "id": self._next_id[0],
+                            "name": f.name,
+                            "type": conv(f.dataType),
+                            "required": False,
+                        }
+                    )
+                return {"type": "struct", "fields": fields}
+            prim = _spark_type_to_iceberg(dt)
+            return prim if prim is not None else "string"
+
+        struct = conv(target_schema)
+        self.w = IcebergWriter(path, struct["fields"])
+
+    # -- surface the ingest loop touches --------------------------------
+
+    def _stored_txn(self) -> dict[str, int]:
+        out = {}
+        _, meta = self.w._current()
+        for s in sorted(
+            (meta or {}).get("snapshots", []),
+            key=lambda s: s["timestamp-ms"],
+        ):
+            for k, v in (s.get("summary") or {}).items():
+                if k.startswith("kdi.offsets."):
+                    out[k[len("kdi.offsets."):]] = int(v)
+        return out
+
+    def snapshot(self) -> dict:
+        _, meta = self.w._current()
+        return {
+            "txn": self._stored_txn(),
+            "version": (meta or {}).get("current-snapshot-id", -1),
+            "metaData": meta,
+        }
+
+    def table_schema(self):
+        return None  # schema evolution flows from the caller's schema
+
+    def write_batch(self, df, partition_by=None, txn=None,
+                    operation: str = "STREAMING UPDATE"):
+        from kafka_delta_ingest_spark.sinks.delta_like import CommitResult
+
+        if partition_by:
+            raise ValueError(
+                "IcebergSink streams unpartitioned tables (hidden "
+                "partitioning is a documented writer seam)"
+            )
+        txn = dict(txn or {})
+        stored = self._stored_txn()
+        if txn and all(
+            a in stored and stored[a] >= v for a, v in txn.items()
+        ):
+            return CommitResult(
+                self.snapshot()["version"], 0, 0, skipped=True
+            )
+        # emptiness is detected from the written files (no extra pass
+        # over the batch): zero non-empty data files = skip, per the
+        # empty-flush suppression contract (B5)
+        new_files = self.w._write_data_files(df)
+        if not new_files:
+            return CommitResult(
+                self.snapshot()["version"], 0, 0, skipped=True
+            )
+        import time
+
+        snap_id = self.w._commit_snapshot(
+            [(new_files, 0)], "append", int(time.time() * 1000), 100,
+            summary={f"kdi.offsets.{a}": str(v) for a, v in txn.items()},
+        )
+        n = sum(f["record_count"] for f in new_files)
+        return CommitResult(snap_id, len(new_files), n)
+
+    def _commit(self, actions: list[dict]) -> int:
+        """--seek_offsets bootstrap: translate the txn actions into an
+        empty snapshot whose summary carries the offsets."""
+        import time
+
+        txn = {
+            a["txn"]["appId"]: a["txn"]["version"]
+            for a in actions
+            if "txn" in a
+        }
+        return self.w._commit_snapshot(
+            [], "set-offsets", int(time.time() * 1000), 100,
+            summary={f"kdi.offsets.{a}": str(v) for a, v in txn.items()},
+        )
+
+    def read(self, spark, as_of=None):
+        return read_iceberg(spark, self.path, snapshot_id=as_of)
+
+    def optimize(self, *args, **kwargs):
+        raise NotImplementedError(
+            "Iceberg compaction (rewrite/replacecommit) is not "
+            "implemented by this writer — run an Iceberg maintenance "
+            "engine against the table"
+        )

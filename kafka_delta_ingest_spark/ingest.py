@@ -82,7 +82,8 @@ class IngestJob:
                 "timestamp_type": META["timestamp_type"],
             },
         )
-        if getattr(opts, "log_format", "kdi") == "delta":
+        fmt = getattr(opts, "log_format", "kdi")
+        if fmt == "delta":
             # standard _delta_log destination: any Delta reader can
             # consume the output (reference src/delta_helpers.rs:15-40)
             from kafka_delta_ingest_spark.delta_standard import (
@@ -90,6 +91,13 @@ class IngestJob:
             )
 
             self.table = DeltaStandardSink(opts.table_uri)
+        elif fmt == "iceberg":
+            # Apache Iceberg destination: exactly-once offsets ride in
+            # the snapshot summary (the Flink-connector bookkeeping
+            # channel)
+            from kafka_delta_ingest_spark.iceberg import IcebergSink
+
+            self.table = IcebergSink(opts.table_uri, target_schema)
         else:
             self.table = DeltaLikeTable(opts.table_uri)
         self.dlq = DeadLetterQueue(

@@ -461,3 +461,57 @@ def test_web_requests_e2e_standard_delta_log(spark, tmp_path):
             kind = next(iter(json.loads(line)))
             assert kind in {"commitInfo", "protocol", "metaData",
                             "add", "remove", "txn"}
+
+
+def test_web_requests_e2e_iceberg_destination(spark, tmp_path):
+    """The reference pipeline into an Apache ICEBERG destination
+    (IngestOptions.log_format='iceberg'): same transforms, exactly-
+    once via per-partition offsets in the snapshot SUMMARY (the Flink
+    connector's bookkeeping channel), read back through the
+    independent read_iceberg metadata walk."""
+    from kafka_delta_ingest_spark.iceberg import (
+        IcebergSink,
+        read_iceberg,
+        snapshots,
+    )
+
+    table = str(tmp_path / "web_requests_ice")
+    opts = IngestOptions(
+        topic="web_requests",
+        table_uri=table,
+        app_id="wr",
+        transforms=WEB_REQUESTS_TRANSFORMS,
+        log_format="iceberg",
+    )
+    job = IngestJob(opts, WEB_REQUESTS_SCHEMA)
+    raw = _raw_df(spark, [_msg(i, i % 2) for i in range(20)])
+    m = job.run_batch(raw)
+    assert m.delta_write_num_records == 20
+
+    back = read_iceberg(spark, table)
+    assert back.count() == 20
+    r = back.filter(F.col("uuid") == "uuid-3").collect()[0]
+    assert r.date == "2021-03-24"
+    assert r.meta.kafka.offset == "3"
+    assert r.status == 404
+
+    # offsets live in the snapshot summary and drive replay-skip
+    snap = snapshots(table)[-1]
+    assert snap["summary"]["kdi.offsets.wr-0"] == "18"
+    assert snap["summary"]["kdi.offsets.wr-1"] == "19"
+    m2 = job.run_batch(raw)
+    assert m2.skipped
+    assert read_iceberg(spark, table).count() == 20
+    assert len(snapshots(table)) == 1  # no second snapshot
+
+
+def test_iceberg_destination_rejects_partitioning(spark, tmp_path):
+    opts = IngestOptions(
+        topic="t", table_uri=str(tmp_path / "x"), app_id="a",
+        transforms=WEB_REQUESTS_TRANSFORMS,
+        partition_by=["date"], log_format="iceberg",
+    )
+    job = IngestJob(opts, WEB_REQUESTS_SCHEMA)
+    raw = _raw_df(spark, [_msg(0, 0)])
+    with pytest.raises(ValueError, match="unpartitioned"):
+        job.run_batch(raw)
