@@ -1400,24 +1400,32 @@ class DeltaStandardWriter:
         Delta's contract."""
         import time
 
+        import uuid as _uuid
+
+        from kafka_delta_ingest_spark.roaring import z85_decode
+
         if now_ms is None:
             now_ms = int(time.time() * 1000)
         cutoff = now_ms - retention_ms
         state = self._py_replay()
         live = set(state["adds"])
-        live_dvs = set()
-        for a in state["adds"].values():
+
+        def dv_bin_of(a) -> str | None:
             d = a.get("deletionVector")
             if d and d.get("storageType") == "u":
-                import uuid as _uuid
+                u = _uuid.UUID(
+                    bytes=z85_decode(d["pathOrInlineDv"][-20:])
+                )
+                return f"deletion_vector_{u}.bin"
+            return None
 
-                from kafka_delta_ingest_spark.roaring import z85_decode
-
-                u = _uuid.UUID(bytes=z85_decode(d["pathOrInlineDv"][-20:]))
-                live_dvs.add(f"deletion_vector_{u}.bin")
         # candidate tombstones from the JSON log (removed paths that
-        # never came back)
+        # never came back); DV bins stay referenced by ANY add action
+        # in the retained log — a superseded descriptor is still
+        # needed to time-travel to the version that wrote it, so only
+        # truly unreferenced bins (crashed writes) are reclaimed.
         victims: dict[str, int] = {}
+        referenced_dvs: set[str] = set()
         for v in _commit_versions(self.log):
             with open(os.path.join(self.log, f"{v:020d}.json")) as f:
                 for line in f:
@@ -1429,6 +1437,15 @@ class DeltaStandardWriter:
                         )
                     elif "add" in act:
                         victims.pop(act["add"]["path"], None)
+                        b = dv_bin_of(act["add"])
+                        if b:
+                            referenced_dvs.add(b)
+        cp = _best_checkpoint(self.log, self.latest_version())
+        if cp is not None:
+            for a in state["adds"].values():
+                b = dv_bin_of(a)
+                if b:
+                    referenced_dvs.add(b)
         deleted = []
         for rel, ts in victims.items():
             if rel in live or ts > cutoff:
@@ -1439,12 +1456,11 @@ class DeltaStandardWriter:
             if os.path.exists(ap):
                 os.remove(ap)
                 deleted.append(rel)
-        # orphaned DV sidecars (superseded by cumulative descriptors)
         for fname in os.listdir(self.root):
             if (
                 fname.startswith("deletion_vector_")
                 and fname.endswith(".bin")
-                and fname not in live_dvs
+                and fname not in referenced_dvs
             ):
                 os.remove(os.path.join(self.root, fname))
                 deleted.append(fname)

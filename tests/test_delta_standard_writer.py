@@ -335,3 +335,25 @@ def test_vacuum_reclaims_tombstones(spark, tmp_path):
     w.write(_docs(spark, 2), mode="overwrite")      # v2
     assert w.vacuum() == []  # 7-day retention keeps v1's files
     assert read_delta(spark, t, version=2).count() == 2
+
+
+def test_vacuum_keeps_superseded_dvs_within_retained_log(spark, tmp_path):
+    # r7 self-review fix: a cumulative second DV supersedes the first,
+    # but the FIRST descriptor is still needed to time-travel to the
+    # version that wrote it — vacuum must keep any DV bin referenced
+    # by a retained log action, reclaiming only unreferenced strays.
+    t = str(tmp_path / "vdv")
+    w = DeltaStandardWriter(t)
+    w.write(_docs(spark, 6))                         # v0
+    w.delete_where(spark, "doc_id = 0")              # v1 → DV A
+    w.delete_where(spark, "doc_id = 1")              # v2 → DV B ⊇ A
+    # a stray bin from a crashed write IS reclaimable
+    stray = os.path.join(
+        t, "deletion_vector_00000000-0000-0000-0000-00000000dead.bin"
+    )
+    open(stray, "wb").write(b"x")
+    deleted = w.vacuum(retention_ms=0)
+    assert os.path.basename(stray) in deleted
+    # both real descriptors survive; v1 stays travelable
+    assert read_delta(spark, t, version=1).count() == 5
+    assert read_delta(spark, t).count() == 4
