@@ -515,3 +515,33 @@ def test_iceberg_destination_rejects_partitioning(spark, tmp_path):
     raw = _raw_df(spark, [_msg(0, 0)])
     with pytest.raises(ValueError, match="unpartitioned"):
         job.run_batch(raw)
+
+
+def test_iceberg_seek_offsets_bootstrap(spark, tmp_path):
+    """--seek_offsets against an Iceberg destination: the offsets land
+    in an EMPTY bootstrap snapshot's summary, the ledger floor guard
+    then drops already-covered rows from the first real batch."""
+    from kafka_delta_ingest_spark.iceberg import read_iceberg
+
+    table = str(tmp_path / "seek_ice")
+    opts = IngestOptions(
+        topic="web_requests", table_uri=table, app_id="wr",
+        transforms=WEB_REQUESTS_TRANSFORMS,
+        seek_offsets={0: 9, 1: 9}, log_format="iceberg",
+    )
+    from kafka_delta_ingest_spark.offsets import write_offsets_to_table
+
+    job = IngestJob(opts, WEB_REQUESTS_SCHEMA)
+    # --seek_offsets bootstrap: an EMPTY snapshot carrying the offsets
+    write_offsets_to_table(job.table, opts.app_id, opts.seek_offsets)
+    stored = job.table.snapshot()["txn"]
+    assert stored == {"wr-0": 9, "wr-1": 9}
+    # rows at or below the stored floors are replay-dropped
+    raw = _raw_df(spark, [_msg(i, i % 2) for i in range(20)])
+    m = job.run_batch(raw)
+    assert m.delta_write_num_records == 10
+    got = sorted(
+        int(r.uuid.split("-")[1])
+        for r in read_iceberg(spark, table).collect()
+    )
+    assert got == list(range(10, 20))
