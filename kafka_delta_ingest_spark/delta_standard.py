@@ -110,6 +110,39 @@ def _checkpoint_files(log: str, version: int) -> list[str]:
     return [seen[i] for i in range(1, total + 1)]
 
 
+def _dv_uid(dv: dict | None) -> str:
+    """Deletion-vector unique id per the Delta protocol: storageType +
+    pathOrInlineDv (+ ``@offset`` when present); ``""`` for no DV.
+
+    Log/checkpoint reconciliation keys add/remove actions on
+    **(path, dv uid)** — NOT path alone: a delta-spark checkpoint taken
+    after a DV DELETE retains a ``remove(path)`` tombstone for the
+    pre-DV file alongside the live ``add(path, dv)``; a path-only
+    anti-join would drop the live add and silently lose every
+    surviving row of that file (r8 ADVICE, high)."""
+    if not dv:
+        return ""
+    uid = (dv.get("storageType") or "") + (dv.get("pathOrInlineDv") or "")
+    off = dv.get("offset")
+    if off is not None:
+        uid += f"@{off}"
+    return uid
+
+
+def _reconcile_remove(adds: dict, remove: dict) -> None:
+    """Drop the stored add for ``remove["path"]`` only when its DV uid
+    matches the remove's — the protocol's (path, dvId) keying. The
+    state dict stays path-keyed (a consistent table has one live add
+    per path); matching makes the pop order-independent: a tombstone
+    for the superseded (path, dv_old) never cancels the live
+    (path, dv_new) add, whichever is seen first."""
+    cur = adds.get(remove["path"])
+    if cur is not None and _dv_uid(cur.get("deletionVector")) == _dv_uid(
+        remove.get("deletionVector")
+    ):
+        adds.pop(remove["path"], None)
+
+
 def _best_checkpoint(log: str, target: int) -> int | None:
     """Newest checkpoint version ≤ target, preferring _last_checkpoint
     when it qualifies."""
@@ -172,7 +205,7 @@ def _replay(spark, table_path: str, target: int) -> dict:
                     elif "add" in act:
                         adds[act["add"]["path"]] = act["add"]
                     elif "remove" in act:
-                        adds.pop(act["remove"]["path"], None)
+                        _reconcile_remove(adds, act["remove"])
         else:
             cpdf = spark.read.parquet(*cp_files)
             cols = set(cpdf.columns)
@@ -208,25 +241,50 @@ def _replay(spark, table_path: str, target: int) -> dict:
                       for p in sidecars]
                 )
             )
+        def _uid_col(fr, prefix):
+            # protocol reconciliation key: (path, dv uid) — see
+            # _dv_uid. "" when the struct has no deletionVector field
+            # (pre-DV checkpoints) or the row carries none.
+            fields = fr.schema[prefix].dataType.fieldNames()
+            if "deletionVector" not in fields:
+                return F.lit("")
+            dv = F.col(f"{prefix}.deletionVector")
+            base = F.concat(
+                F.coalesce(dv["storageType"], F.lit("")),
+                F.coalesce(dv["pathOrInlineDv"], F.lit("")),
+            )
+            with_off = F.when(
+                dv["offset"].isNotNull(),
+                F.concat(base, F.lit("@"),
+                         dv["offset"].cast("string")),
+            ).otherwise(base)
+            return F.when(
+                dv["storageType"].isNotNull(), with_off
+            ).otherwise(F.lit(""))
+
         adds_df = None
         rm = None
         for fr in frames:
             fcols = set(fr.columns)
             if "add" in fcols:
-                a = fr.filter(F.col("add.path").isNotNull()).select("add")
+                a = fr.filter(F.col("add.path").isNotNull()).select(
+                    "add", _uid_col(fr, "add").alias("_add_uid")
+                )
                 adds_df = a if adds_df is None else adds_df.unionByName(
                     a, allowMissingColumns=True
                 )
             if "remove" in fcols:
                 r = fr.filter(F.col("remove.path").isNotNull()).select(
-                    F.col("remove.path").alias("_rm_path")
+                    F.col("remove.path").alias("_rm_path"),
+                    _uid_col(fr, "remove").alias("_rm_uid"),
                 )
                 rm = r if rm is None else rm.unionByName(r)
         if adds_df is not None:
             if rm is not None:
                 adds_df = adds_df.join(
                     rm,
-                    adds_df["add"]["path"] == rm["_rm_path"],
+                    (adds_df["add"]["path"] == rm["_rm_path"])
+                    & (adds_df["_add_uid"] == rm["_rm_uid"]),
                     "left_anti",
                 )
             for row in adds_df.collect():
@@ -249,7 +307,7 @@ def _replay(spark, table_path: str, target: int) -> dict:
                 elif "add" in act:
                     adds[act["add"]["path"]] = act["add"]
                 elif "remove" in act:
-                    adds.pop(act["remove"]["path"], None)
+                    _reconcile_remove(adds, act["remove"])
     if meta is None:
         raise ValueError("log replay found no metaData action")
     return {"adds": list(adds.values()), "meta": meta,
@@ -290,23 +348,89 @@ def _resolve_version(log: str, version=None, timestamp_ms=None) -> int:
     return max(versions)
 
 
-def _schema_mapping(meta: dict):
-    """(logical StructType, physical→logical rename map or None,
-    partition columns, logical→parquet-field-id map or None).
+def _phys_type_json(t):
+    """Recursively apply ``physicalName`` renames inside nested
+    struct/array/map types (name-mode column mapping maps EVERY
+    level's names, not just the top — r8 ADVICE, low)."""
+    if isinstance(t, dict):
+        k = t.get("type")
+        if k == "struct":
+            return {
+                "type": "struct",
+                "fields": [_phys_field_json(f) for f in t["fields"]],
+            }
+        if k == "array":
+            return {**t, "elementType": _phys_type_json(t["elementType"])}
+        if k == "map":
+            return {
+                **t,
+                "keyType": _phys_type_json(t["keyType"]),
+                "valueType": _phys_type_json(t["valueType"]),
+            }
+    return t
 
-    Mapping modes: ``name`` resolves physical file-column names to
-    logical via the schema metadata's ``physicalName``; ``id`` (r7)
-    additionally returns the ``columnMapping.id`` map so the scan can
-    use Spark's NATIVE parquet field-id matching — the reader then
-    never touches the random physical column names at all."""
-    from pyspark.sql.types import StructType
+
+def _phys_field_json(f):
+    phys = (f.get("metadata") or {}).get(
+        "delta.columnMapping.physicalName"
+    ) or f["name"]
+    return {**f, "name": phys, "metadata": {},
+            "type": _phys_type_json(f["type"])}
+
+
+def _id_type_json(t):
+    """Recursively rewrite field metadata to ``parquet.field.id`` so
+    Spark's native field-id matching resolves NESTED columns too."""
+    if isinstance(t, dict):
+        k = t.get("type")
+        if k == "struct":
+            return {
+                "type": "struct",
+                "fields": [_id_field_json(f) for f in t["fields"]],
+            }
+        if k == "array":
+            return {**t, "elementType": _id_type_json(t["elementType"])}
+        if k == "map":
+            return {
+                **t,
+                "keyType": _id_type_json(t["keyType"]),
+                "valueType": _id_type_json(t["valueType"]),
+            }
+    return t
+
+
+def _id_field_json(f):
+    fid = (f.get("metadata") or {}).get("delta.columnMapping.id")
+    if fid is None:
+        raise ValueError(
+            f"columnMapping mode 'id' but field {f['name']!r} "
+            "has no delta.columnMapping.id"
+        )
+    return {
+        **f,
+        "metadata": {"parquet.field.id": int(fid)},
+        "type": _id_type_json(f["type"]),
+    }
+
+
+def _schema_mapping(meta: dict):
+    """(logical StructType, physical→logical top-level rename map or
+    None, partition columns, id-mode flag, read_fields).
+
+    ``read_fields`` maps each LOGICAL top-level column to the
+    StructField the parquet SCAN should request: recursive physical
+    names under mode ``name``; logical names annotated with
+    ``parquet.field.id`` at every nesting level under mode ``id`` (the
+    scan then uses Spark's NATIVE field-id matching and never touches
+    the random physical names); the logical field itself otherwise."""
+    from pyspark.sql.types import StructField, StructType
 
     schema_json = json.loads(meta["schemaString"])
     logical = StructType.fromJson(schema_json)
     conf = meta.get("configuration") or {}
     mode = conf.get("delta.columnMapping.mode", "none")
     rename = None
-    field_ids = None
+    read_fields = {f.name: f for f in logical.fields}
     if mode in ("name", "id"):
         rename = {}
         for f in schema_json.get("fields", []):
@@ -315,22 +439,22 @@ def _schema_mapping(meta: dict):
             )
             if phys:
                 rename[phys] = f["name"]
-    if mode == "id":
-        field_ids = {}
-        for f in schema_json.get("fields", []):
-            fid = (f.get("metadata") or {}).get("delta.columnMapping.id")
-            if fid is None:
-                raise ValueError(
-                    f"columnMapping mode 'id' but field {f['name']!r} "
-                    "has no delta.columnMapping.id"
-                )
-            field_ids[f["name"]] = int(fid)
+    if mode == "name":
+        read_fields = {
+            f["name"]: StructField.fromJson(_phys_field_json(f))
+            for f in schema_json.get("fields", [])
+        }
+    elif mode == "id":
+        read_fields = {
+            f["name"]: StructField.fromJson(_id_field_json(f))
+            for f in schema_json.get("fields", [])
+        }
     parts = list(meta.get("partitionColumns") or [])
     if rename:
         # the protocol tracks partitionColumns AND add.partitionValues
         # under PHYSICAL names in mapping mode — resolve to logical.
         parts = [rename.get(c, c) for c in parts]
-    return logical, rename, parts, field_ids
+    return logical, rename, parts, mode == "id", read_fields
 
 
 def read_delta(spark, table_path: str, version=None, timestamp_ms=None):
@@ -346,8 +470,10 @@ def read_delta(spark, table_path: str, version=None, timestamp_ms=None):
     if not adds:
         raise ValueError(f"no live files at version {target}")
     dv_adds = [a for a in adds if a.get("deletionVector")]
-    logical, rename, part_cols, field_ids = _schema_mapping(state["meta"])
-    if field_ids:
+    logical, rename, part_cols, id_mode, read_fields = _schema_mapping(
+        state["meta"]
+    )
+    if id_mode:
         # id mode: Spark's parquet reader matches columns BY FIELD ID
         # when the requested schema carries `parquet.field.id`
         # metadata — set logical names directly, no physical renames.
@@ -369,27 +495,14 @@ def read_delta(spark, table_path: str, version=None, timestamp_ms=None):
     else:
         phys_of = {f.name: f.name for f in logical.fields}
 
-    from pyspark.sql.types import StructField, StructType
+    from pyspark.sql.types import StructType
 
-    if field_ids:
-        # logical names + field-id metadata: the scan resolves file
-        # columns by id, so the frame is born with logical names
-        read_schema = StructType(
-            [
-                StructField(
-                    f.name, f.dataType, f.nullable,
-                    {"parquet.field.id": field_ids[f.name]},
-                )
-                for f in data_fields
-            ]
-        )
-    else:
-        read_schema = StructType(
-            [
-                StructField(phys_of[f.name], f.dataType, f.nullable)
-                for f in data_fields
-            ]
-        )
+    # read_fields carries the scan-side shape per mapping mode:
+    # recursive physical names (name), field-id-annotated logical
+    # names at every level (id), or the logical field itself (none).
+    read_schema = StructType(
+        [read_fields[f.name] for f in data_fields]
+    )
 
     def _has_hive_segment(path: str, col: str) -> bool:
         # match whole directory segments ("lang=en"), not substrings —
@@ -468,6 +581,18 @@ def read_delta(spark, table_path: str, version=None, timestamp_ms=None):
         for phys, logic in rename.items():
             if phys != logic:
                 df = df.withColumnRenamed(phys, logic)
+    if rename and not id_mode:
+        # name mode: nested fields still carry physical names after
+        # the top-level rename — a positional cast to the logical type
+        # restores logical names at every nesting level (types are
+        # identical, so the cast is a pure rename). id mode reads
+        # logical names natively via field-id matching.
+        return df.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in logical.fields
+            ]
+        )
     return df.select(*[f.name for f in logical.fields])
 
 
@@ -626,16 +751,37 @@ class DeltaFixtureWriter:
             )
         return self._commit(actions, "WRITE", timestamp_ms)
 
+    def _live_add(self, rel_path: str) -> dict | None:
+        """The path's current add action from own (JSON-only) log."""
+        cur = None
+        for v in _commit_versions(self.log):
+            with open(os.path.join(self.log, f"{v:020d}.json")) as f:
+                for line in f:
+                    act = json.loads(line)
+                    if "add" in act and act["add"]["path"] == rel_path:
+                        cur = act["add"]
+                    elif ("remove" in act
+                          and act["remove"]["path"] == rel_path):
+                        cur = None
+        return cur
+
+    def _remove_action(self, rel_path: str, timestamp_ms: int,
+                       data_change: bool = True) -> dict:
+        # carry the live add's DV so (path, dv uid) reconciliation
+        # tombstones the right entry
+        a = self._live_add(rel_path) or {}
+        r = {
+            "path": rel_path,
+            "deletionTimestamp": timestamp_ms,
+            "dataChange": data_change,
+        }
+        if a.get("deletionVector"):
+            r["deletionVector"] = a["deletionVector"]
+        return {"remove": r}
+
     def remove_files(self, rel_paths: list[str], timestamp_ms: int) -> int:
         actions = [
-            {
-                "remove": {
-                    "path": p,
-                    "deletionTimestamp": timestamp_ms,
-                    "dataChange": True,
-                }
-            }
-            for p in rel_paths
+            self._remove_action(p, timestamp_ms) for p in rel_paths
         ]
         return self._commit(actions, "DELETE", timestamp_ms)
 
@@ -658,13 +804,7 @@ class DeltaFixtureWriter:
             os.path.join(self.root, rel),
         )
         actions = [
-            {
-                "remove": {
-                    "path": p,
-                    "deletionTimestamp": timestamp_ms,
-                    "dataChange": True,
-                }
-            }
+            self._remove_action(p, timestamp_ms)
             for p in remove_rel_paths
         ]
         actions.append(
@@ -733,24 +873,31 @@ class DeltaFixtureWriter:
             "cardinality": metas[0]["cardinality"],
         }
         new_add["dataChange"] = False
+        old_dv = (
+            {"deletionVector": cur["deletionVector"]}
+            if cur.get("deletionVector") else {}
+        )
         actions = [
             {
                 "remove": {
                     "path": rel_path,
                     "deletionTimestamp": timestamp_ms,
                     "dataChange": False,
+                    **old_dv,
                 }
             },
             {"add": new_add},
         ]
         return self._commit(actions, "DELETE", timestamp_ms)
 
-    def checkpoint(self, tombstones: list[str] | None = None) -> None:
+    def checkpoint(self, tombstones: list | None = None) -> None:
         """Consolidate current state into a checkpoint parquet +
         ``_last_checkpoint`` pointer (protocol layout: one action per
-        row, struct columns). ``tombstones`` adds remove rows for the
-        given paths (real checkpoints retain recent removes for
-        VACUUM; a reader must reconcile them against adds)."""
+        row, struct columns). ``tombstones`` adds remove rows — each a
+        rel path (str) or a full remove-action dict (real checkpoints
+        retain recent removes for VACUUM, INCLUDING dv-less tombstones
+        for paths whose live add now carries a DV; a reader must
+        reconcile on (path, dv uid), not path)."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -769,18 +916,28 @@ class DeltaFixtureWriter:
                     elif "add" in act:
                         adds[act["add"]["path"]] = act["add"]
                     elif "remove" in act:
-                        adds.pop(act["remove"]["path"], None)
+                        _reconcile_remove(adds, act["remove"])
         rows = [{"protocol": protocol, "metaData": meta, "add": None,
                  "remove": None}]
         rows += [{"protocol": None, "metaData": None, "add": a,
                   "remove": None} for a in adds.values()]
         rows += [
             {"protocol": None, "metaData": None, "add": None,
-             "remove": {"path": p, "deletionTimestamp": 0,
-                        "dataChange": True}}
-            for p in (tombstones or [])
+             "remove": (
+                 t if isinstance(t, dict)
+                 else {"path": t, "deletionTimestamp": 0,
+                       "dataChange": True}
+             )}
+            for t in (tombstones or [])
         ]
         map_ss = pa.map_(pa.string(), pa.string())
+        dv_struct = pa.struct(
+            [("storageType", pa.string()),
+             ("pathOrInlineDv", pa.string()),
+             ("offset", pa.int32()),
+             ("sizeInBytes", pa.int32()),
+             ("cardinality", pa.int64())]
+        )
         cp_schema = pa.schema(
             [
                 ("protocol", pa.struct(
@@ -803,12 +960,14 @@ class DeltaFixtureWriter:
                      ("partitionValues", map_ss),
                      ("size", pa.int64()),
                      ("modificationTime", pa.int64()),
-                     ("dataChange", pa.bool_())]
+                     ("dataChange", pa.bool_()),
+                     ("deletionVector", dv_struct)]
                 )),
                 ("remove", pa.struct(
                     [("path", pa.string()),
                      ("deletionTimestamp", pa.int64()),
-                     ("dataChange", pa.bool_())]
+                     ("dataChange", pa.bool_()),
+                     ("deletionVector", dv_struct)]
                 )),
             ]
         )
@@ -846,7 +1005,7 @@ class DeltaFixtureWriter:
                     elif "add" in act:
                         adds[act["add"]["path"]] = act["add"]
                     elif "remove" in act:
-                        adds.pop(act["remove"]["path"], None)
+                        _reconcile_remove(adds, act["remove"])
         sc_dir = os.path.join(self.log, "_sidecars")
         os.makedirs(sc_dir, exist_ok=True)
         sc_name = f"{_uuid.uuid4().hex}.parquet"
@@ -1009,7 +1168,7 @@ class DeltaStandardWriter:
                         adds[a["path"]] = a
                     r = row.get("remove")
                     if r and r.get("path"):
-                        adds.pop(r["path"], None)
+                        _reconcile_remove(adds, r)
                     t = row.get("txn")
                     if t and t.get("appId"):
                         txn[t["appId"]] = t["version"]
@@ -1030,7 +1189,7 @@ class DeltaStandardWriter:
                     elif "add" in act:
                         adds[act["add"]["path"]] = act["add"]
                     elif "remove" in act:
-                        adds.pop(act["remove"]["path"], None)
+                        _reconcile_remove(adds, act["remove"])
                     elif "txn" in act:
                         txn[act["txn"]["appId"]] = act["txn"]["version"]
         return {"adds": adds, "meta": meta, "protocol": protocol,
@@ -1189,15 +1348,22 @@ class DeltaStandardWriter:
                 }
             )
         if mode == "overwrite":
+            # removes carry the superseded add's DV descriptor — the
+            # protocol keys reconciliation on (path, dv uid), so a
+            # dv-less remove would fail to tombstone a DV-carrying add
             actions += [
                 {
                     "remove": {
                         "path": p,
                         "deletionTimestamp": now_ms,
                         "dataChange": True,
+                        **(
+                            {"deletionVector": a["deletionVector"]}
+                            if a.get("deletionVector") else {}
+                        ),
                     }
                 }
-                for p in state["adds"]
+                for p, a in state["adds"].items()
             ]
         actions += [
             {"txn": {"appId": a, "version": v, "lastUpdated": now_ms}}
@@ -1309,6 +1475,11 @@ class DeltaStandardWriter:
                         "path": rel,
                         "deletionTimestamp": now_ms,
                         "dataChange": False,
+                        # tombstone the (path, old dv uid) entry only
+                        **(
+                            {"deletionVector": a["deletionVector"]}
+                            if a.get("deletionVector") else {}
+                        ),
                     }
                 }
             )
@@ -1370,6 +1541,11 @@ class DeltaStandardWriter:
                             "path": rel,
                             "deletionTimestamp": now_ms,
                             "dataChange": True,
+                            # key the tombstone to the CURRENT add's dv
+                            **(
+                                {"deletionVector": a["deletionVector"]}
+                                if a.get("deletionVector") else {}
+                            ),
                         }
                     }
                 )
@@ -1462,7 +1638,14 @@ class DeltaStandardWriter:
                 and fname.endswith(".bin")
                 and fname not in referenced_dvs
             ):
-                os.remove(os.path.join(self.root, fname))
+                ap = os.path.join(self.root, fname)
+                # age-gate unreferenced bins like data tombstones: an
+                # in-flight delete_where writes the .bin BEFORE its
+                # commit — deleting a young bin races that commit and
+                # leaves its descriptor dangling (r8 ADVICE, medium)
+                if int(os.path.getmtime(ap) * 1000) > cutoff:
+                    continue
+                os.remove(ap)
                 deleted.append(fname)
         return deleted
 
@@ -1586,9 +1769,15 @@ class DeltaStandardWriter:
                         "path": rel,
                         "deletionTimestamp": now_ms,
                         "dataChange": False,
+                        # compacted inputs may carry DVs — key the
+                        # tombstone to the input add's descriptor
+                        **(
+                            {"deletionVector": a["deletionVector"]}
+                            if a.get("deletionVector") else {}
+                        ),
                     }
                 }
-                for rel in rels
+                for rel, a in files
             ]
         version = self._atomic_commit(actions)
         if version > 0 and version % self.checkpoint_every == 0:
@@ -1810,7 +1999,9 @@ def table_changes(spark, table_path: str, start_version: int,
     if end_version is None:
         end_version = last
     state = _replay(spark, table_path, min(end_version, last))
-    logical, rename, part_cols, _fids = _schema_mapping(state["meta"])
+    logical, rename, part_cols, _id_mode, _rf = _schema_mapping(
+        state["meta"]
+    )
     if part_cols and rename:
         raise ValueError(
             "table_changes on column-mapped partitioned tables is "

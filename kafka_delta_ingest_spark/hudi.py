@@ -412,10 +412,14 @@ def decode_delete_block_content(content: bytes) -> list[dict]:
     )
 
 
-def _log_records_df(spark, log_specs: list[tuple[str, str, int]],
+def _log_records_df(spark, log_specs: list[tuple[str, str, int, str]],
                     base_schema):
     """Parse MOR log files into a DataFrame shaped for the merge:
     META_COLS + data columns + (_kdi_instant, _kdi_pos, _kdi_del).
+    Every row carries ``_hoodie_partition_path`` (the record's own, or
+    the owning file group's) — Hudi's default non-global index scopes
+    record keys PER PARTITION, so the merge must never collapse
+    same-key rows across partitions (r8 ADVICE, medium).
 
     ``log_specs``: (path, append_instant, log_seq). One task per log
     file (a paths DataFrame → mapInPandas that opens the file
@@ -452,8 +456,8 @@ def _log_records_df(spark, log_specs: list[tuple[str, str, int]],
     def run(batches):
         for pdf in batches:
             rows = []
-            for path, instant, seq in zip(
-                pdf["path"], pdf["instant"], pdf["seq"]
+            for path, instant, seq, part in zip(
+                pdf["path"], pdf["instant"], pdf["seq"], pdf["part"]
             ):
                 with open(path, "rb") as f:
                     blocks = parse_log_file(f.read())
@@ -474,6 +478,9 @@ def _log_records_df(spark, log_specs: list[tuple[str, str, int]],
                             row["_hoodie_record_key"] = str(
                                 r.get("_hoodie_record_key")
                             )
+                            row["_hoodie_partition_path"] = (
+                                r.get("_hoodie_partition_path") or part
+                            )
                             for c in data_names:
                                 row[c] = r.get(c)
                             row["_kdi_instant"] = binst
@@ -490,6 +497,11 @@ def _log_records_df(spark, log_specs: list[tuple[str, str, int]],
                         for ri, r in enumerate(recs):
                             row = {c: None for c in names}
                             row["_hoodie_record_key"] = r["recordKey"]
+                            # a delete record tombstones (key, PARTITION)
+                            # — never the same key in other partitions
+                            row["_hoodie_partition_path"] = (
+                                r.get("partitionPath") or part
+                            )
                             row["_kdi_instant"] = binst
                             row["_kdi_pos"] = base_pos | ri
                             row["_kdi_del"] = True
@@ -503,8 +515,8 @@ def _log_records_df(spark, log_specs: list[tuple[str, str, int]],
             yield pd.DataFrame(rows, columns=names)
 
     paths_df = spark.createDataFrame(
-        [(p, i, s) for p, i, s in log_specs],
-        "path string, instant string, seq long",
+        [(p, i, s, pt) for p, i, s, pt in log_specs],
+        "path string, instant string, seq long, part string",
     ).repartition(max(1, min(len(log_specs), 64)))
     return paths_df.mapInPandas(run, schema=out_schema)
 
@@ -545,8 +557,8 @@ def read_hudi(
         raise ValueError("snapshot plan has no data files")
     df = spark.read.option("mergeSchema", "true").parquet(*base_files)
     log_specs = [
-        (path, inst, seq)
-        for g in groups.values()
+        (path, inst, seq, part)
+        for (part, _fid), g in groups.items()
         for seq, (inst, path) in enumerate(g["logs"])
     ]
     if log_specs:
@@ -563,17 +575,21 @@ def read_hudi(
         cols = merged.columns
         # latest-wins via max_by on the (instant, position) order key:
         # instants are fixed-width digit strings, so struct ordering is
-        # the timeline order; (instant, pos) is unique per row.
+        # the timeline order; (instant, pos) is unique per row. Keys
+        # are scoped PER PARTITION (Hudi's default non-global index
+        # allows the same record key in different partitions), so the
+        # merge groups on (partition_path, record_key).
+        merge_keys = ["_hoodie_partition_path", "_hoodie_record_key"]
         latest = (
-            merged.groupBy("_hoodie_record_key")
+            merged.groupBy(*merge_keys)
             .agg(
                 F.max_by(
                     F.struct(*[c for c in cols
-                               if c != "_hoodie_record_key"]),
+                               if c not in merge_keys]),
                     F.struct(F.col("_kdi_instant"), F.col("_kdi_pos")),
                 ).alias("_r")
             )
-            .select("_hoodie_record_key", "_r.*")
+            .select(*merge_keys, "_r.*")
         )
         df = (
             latest.filter(~F.col("_kdi_del"))
@@ -991,13 +1007,18 @@ class HudiMorFixtureWriter(HudiFixtureWriter):
         return self._commit(stats, instant, "upsert",
                             action="deltacommit")
 
-    def delete_log(self, keys: list, ts_ms: int) -> str:
+    def delete_log(self, keys: list, ts_ms: int,
+                   partition: str | None = None) -> str:
         """DELETE delta commit: delete blocks appended to affected
-        groups' logs."""
+        groups' logs. ``partition`` scopes the delete to one partition
+        (Hudi's non-global index: a delete record tombstones
+        (recordKey, partitionPath), never the key table-wide)."""
         instant = self._instant(ts_ms)
         victims = {str(k) for k in keys}
         stats: dict[str, list[dict]] = {}
         for (part, fid), grows in sorted(self._groups.items()):
+            if partition is not None and part != partition:
+                continue
             hits = [r for _, r in grows if str(r[self.key]) in victims]
             if not hits:
                 continue

@@ -120,7 +120,9 @@ def _deserialize_roaring32(buf: bytes, pos: int) -> tuple[list[int], int]:
     (sorted values, position after the bitmap)."""
     (cookie16,) = struct.unpack_from("<H", buf, pos)
     if cookie16 == _COOKIE_RUN:
-        (word,) = struct.unpack_from("<i", buf, pos)
+        # Unsigned: with >=32769 containers the high half-word sets the
+        # int32 sign bit and a signed unpack yields a negative count.
+        (word,) = struct.unpack_from("<I", buf, pos)
         n = (word >> 16) + 1
         pos += 4
         flag_bytes = (n + 7) // 8

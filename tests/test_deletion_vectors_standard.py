@@ -210,3 +210,60 @@ def test_dv_on_partitioned_table(spark, tmp_path):
     got = sorted((r.doc_id, r.grp) for r in read_delta(spark, t).collect())
     assert got == [(0, "a"), (3, "a"), (4, "a"), (5, "a"),
                    (6, "b"), (7, "b"), (8, "b")]
+
+
+def test_roaring_run_cookie_unsigned_container_count():
+    # r8 ADVICE (low): the run cookie packs (container_count - 1) in
+    # the upper 16 bits of one 32-bit word; with >= 32769 containers a
+    # SIGNED unpack goes negative and corrupts the parse.
+    import struct
+
+    n = 32770
+    out = bytearray()
+    out += struct.pack("<I", 12347 | ((n - 1) << 16))
+    out += b"\xff" * ((n + 7) // 8)  # every container is a run
+    for k in range(n):
+        out += struct.pack("<HH", k, 0)  # cardinality 1
+    out += b"\x00" * (4 * n)  # offsets (skipped by sequential parse)
+    out += struct.pack("<HHH", 1, 5, 0) * n  # one run: [5, 5]
+    blob = struct.pack("<iq", 1681511377, 1) + bytes(out)
+    got = deserialize_rbm_array(blob)
+    assert len(got) == n
+    assert got[0] == 5 and got[-1] == ((n - 1) << 16) + 5
+
+
+def test_vacuum_age_gates_unreferenced_dv_bins(tmp_path):
+    # r8 ADVICE (medium): an in-flight delete_where writes its .bin
+    # BEFORE committing the descriptor — vacuum must age-gate
+    # unreferenced bins like data tombstones, not delete them on sight.
+    import time
+
+    from kafka_delta_ingest_spark.delta_standard import (
+        DeltaStandardWriter,
+    )
+
+    t = str(tmp_path / "vage")
+    w = DeltaStandardWriter(t)
+    os.makedirs(t, exist_ok=True)
+    young = os.path.join(
+        t, "deletion_vector_00000000-0000-0000-0000-0000000000aa.bin"
+    )
+    old = os.path.join(
+        t, "deletion_vector_00000000-0000-0000-0000-0000000000bb.bin"
+    )
+    open(young, "wb").write(b"x")
+    open(old, "wb").write(b"x")
+    day_ms = 24 * 3600 * 1000
+    past = time.time() - 3 * 24 * 3600
+    os.utime(old, (past, past))
+    # empty log: make one commit so replay has a metaData
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    w.write(
+        spark.range(1).selectExpr("id as doc_id")
+    )
+    deleted = w.vacuum(retention_ms=day_ms)
+    assert os.path.basename(old) in deleted
+    assert os.path.basename(young) not in deleted
+    assert os.path.exists(young) and not os.path.exists(old)

@@ -435,3 +435,169 @@ def test_replay_scales_to_large_checkpoint(spark, tmp_path):
     paths = {a["path"] for a in state["adds"]}
     assert f"p{dead:06d}.parquet" in paths
     assert f"p{dead - 1:06d}.parquet" not in paths
+
+
+def test_checkpoint_dv_tombstone_keeps_live_dv_add(spark, tmp_path):
+    # r8 ADVICE (high): reconciliation keys on (path, dv uniqueId).
+    # A checkpoint after a DV DELETE retains the dv-LESS remove
+    # tombstone for the pre-delete file alongside the live
+    # add(path, dv); path-only reconciliation would drop the live add
+    # and lose every surviving row of the file.
+    t = str(tmp_path / "dvt")
+    w = DeltaFixtureWriter(t, _SCHEMA)
+    w.add_files(
+        [({}, [{"doc_id": i, "grp": "a", "val": i} for i in range(4)])],
+        timestamp_ms=1000,
+    )
+    rel = os.path.relpath(glob.glob(t + "/part-*.parquet")[0], t)
+    w.delete_rows(rel, [1], timestamp_ms=2000)  # v1: remove + add(dv)
+    # tombstone carries NO dv (the pre-delete add had none), exactly
+    # what delta-spark retains in its checkpoint
+    w.checkpoint(tombstones=[rel])
+    # force replay to start FROM the checkpoint
+    os.remove(os.path.join(t, "_delta_log", "%020d.json" % 0))
+    got = sorted(r.doc_id for r in read_delta(spark, t).collect())
+    assert got == [0, 2, 3]
+    # the writer's driver-side replay must agree (same keying)
+    from kafka_delta_ingest_spark.delta_standard import (
+        DeltaStandardWriter,
+    )
+
+    st = DeltaStandardWriter(t)._py_replay()
+    assert rel in st["adds"]
+    assert st["adds"][rel].get("deletionVector")
+
+
+def test_column_mapping_nested_struct_name_mode(spark, tmp_path):
+    # r8 ADVICE (low): name-mode mapping renames EVERY nesting level;
+    # requesting logical nested names against physical file columns
+    # silently nulls the nested fields.
+    t = str(tmp_path / "cmn")
+    schema = StructType(
+        [
+            StructField(
+                "doc_id", LongType(), True,
+                {"delta.columnMapping.physicalName": "col-a"},
+            ),
+            StructField(
+                "payload",
+                StructType(
+                    [
+                        StructField(
+                            "score", LongType(), True,
+                            {"delta.columnMapping.physicalName": "col-s"},
+                        ),
+                        StructField(
+                            "tag", StringType(), True,
+                            {"delta.columnMapping.physicalName": "col-t"},
+                        ),
+                    ]
+                ),
+                True,
+                {"delta.columnMapping.physicalName": "col-p"},
+            ),
+        ]
+    )
+    w = DeltaFixtureWriter(
+        t, schema, configuration={"delta.columnMapping.mode": "name"}
+    )
+    # rows carry the PHYSICAL nested shape (what's in the file);
+    # add_files maps the top level via physical_names
+    w.add_files(
+        [({}, [
+            {"doc_id": 1, "payload": {"col-s": 7, "col-t": "x"}},
+            {"doc_id": 2, "payload": {"col-s": 9, "col-t": "y"}},
+        ])],
+        timestamp_ms=1000,
+        physical_names={"doc_id": "col-a", "payload": "col-p"},
+    )
+    df = read_delta(spark, t)
+    assert df.schema["payload"].dataType.fieldNames() == ["score", "tag"]
+    got = sorted(
+        (r.doc_id, r.payload.score, r.payload.tag) for r in df.collect()
+    )
+    assert got == [(1, 7, "x"), (2, 9, "y")]
+
+
+def test_id_mapping_nested_fields(spark, tmp_path):
+    # r8 ADVICE (low): id mode must annotate NESTED fields with
+    # parquet.field.id too, or nested columns read back as nulls.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = str(tmp_path / "idn")
+    schema = StructType(
+        [
+            StructField(
+                "doc_id", LongType(), True,
+                {"delta.columnMapping.id": 1,
+                 "delta.columnMapping.physicalName": "col-a"},
+            ),
+            StructField(
+                "payload",
+                StructType(
+                    [
+                        StructField(
+                            "score", LongType(), True,
+                            {"delta.columnMapping.id": 3,
+                             "delta.columnMapping.physicalName": "col-s"},
+                        ),
+                        StructField(
+                            "tag", StringType(), True,
+                            {"delta.columnMapping.id": 4,
+                             "delta.columnMapping.physicalName": "col-t"},
+                        ),
+                    ]
+                ),
+                True,
+                {"delta.columnMapping.id": 2,
+                 "delta.columnMapping.physicalName": "col-p"},
+            ),
+        ]
+    )
+    os.makedirs(t, exist_ok=True)
+    inner = pa.struct(
+        [
+            pa.field("col-s", pa.int64(),
+                     metadata={b"PARQUET:field_id": b"3"}),
+            pa.field("col-t", pa.string(),
+                     metadata={b"PARQUET:field_id": b"4"}),
+        ]
+    )
+    pa_schema = pa.schema(
+        [
+            pa.field("col-a", pa.int64(),
+                     metadata={b"PARQUET:field_id": b"1"}),
+            pa.field("col-p", inner,
+                     metadata={b"PARQUET:field_id": b"2"}),
+        ]
+    )
+    fp = os.path.join(t, "part-00001.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "col-a": [1, 2],
+                "col-p": [
+                    {"col-s": 7, "col-t": "x"},
+                    {"col-s": 9, "col-t": "y"},
+                ],
+            },
+            schema=pa_schema,
+        ),
+        fp,
+    )
+    w = DeltaFixtureWriter(
+        t, schema, configuration={"delta.columnMapping.mode": "id"}
+    )
+    w._commit(
+        [{"add": {"path": "part-00001.parquet", "partitionValues": {},
+                  "size": os.path.getsize(fp), "modificationTime": 1,
+                  "dataChange": True}}],
+        "WRITE", 1,
+    )
+    df = read_delta(spark, t)
+    assert df.schema["payload"].dataType.fieldNames() == ["score", "tag"]
+    got = sorted(
+        (r.doc_id, r.payload.score, r.payload.tag) for r in df.collect()
+    )
+    assert got == [(1, 7, "x"), (2, 9, "y")]

@@ -205,3 +205,35 @@ def test_mor_keep_meta_exposes_record_key(spark, mor):
     assert "_hoodie_record_key" in df.columns
     keys = {r._hoodie_record_key for r in df.collect()}
     assert "4" in keys and "7" not in keys
+
+
+def test_same_key_in_two_partitions_not_collapsed(spark, tmp_path):
+    # r8 ADVICE (medium): Hudi's default non-global index scopes
+    # record keys PER PARTITION — the MOR merge must group on
+    # (partition_path, record_key), and a delete block tombstones only
+    # its own partition's row.
+    t = str(tmp_path / "np")
+    w = HudiMorFixtureWriter(
+        t, record_key="id", schema=_SCHEMA, partition_field="lang",
+    )
+    w.insert(
+        [
+            {"id": 1, "lang": "en", "text": "english 1"},
+            {"id": 1, "lang": "fr", "text": "french 1"},
+            {"id": 2, "lang": "en", "text": "english 2"},
+            {"id": 2, "lang": "fr", "text": "french 2"},
+        ],
+        ts_ms=1000,
+    )
+    # update id=1 ONLY in fr (upsert_log appends a data block to every
+    # group holding the key — scope via a one-partition delete next)
+    w.delete_log([2], ts_ms=2000, partition="lang=en")
+    got = sorted(
+        (r.id, r.lang, r.text) for r in read_hudi(spark, t).collect()
+    )
+    # both id=1 rows survive (distinct partitions); id=2 survives in fr
+    assert got == [
+        (1, "en", "english 1"),
+        (1, "fr", "french 1"),
+        (2, "fr", "french 2"),
+    ]
