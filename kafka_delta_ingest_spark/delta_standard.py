@@ -46,6 +46,12 @@ import urllib.parse
 _LOG = "_delta_log"
 
 
+class ConcurrentDeltaWriteError(RuntimeError):
+    """A concurrent writer invalidated this operation's snapshot —
+    the operation must be re-run against fresh state (the reference's
+    conflict-detection outcome, src/lib.rs:948-1024)."""
+
+
 def _log_path(table_path: str) -> str:
     p = os.path.join(table_path, _LOG)
     if not os.path.isdir(p):
@@ -1123,11 +1129,24 @@ class DeltaStandardWriter:
     (tests + the ``sink_delta_standard_roundtrip`` driver query).
     """
 
-    def __init__(self, table_path: str, checkpoint_every: int = 10):
+    def __init__(self, table_path: str, checkpoint_every: int = 10,
+                 enable_cdf: bool = False):
+        """``enable_cdf`` stamps ``delta.enableChangeDataFeed=true``
+        into the first commit's metaData configuration (delta-spark's
+        table property); with CDF on, :meth:`delete_where` also writes
+        the deleted rows as ``_change_data/`` cdc parquet + a ``cdc``
+        action, so ``table_changes`` serves the DV DELETE's change set
+        exactly (without CDF a DV delete's changes are underivable
+        from the log — the read side raises)."""
         self.root = table_path
         self.log = os.path.join(table_path, _LOG)
         os.makedirs(self.log, exist_ok=True)
         self.checkpoint_every = checkpoint_every
+        self.enable_cdf = enable_cdf
+
+    def _cdf_enabled(self, meta: dict | None) -> bool:
+        conf = (meta or {}).get("configuration") or {}
+        return conf.get("delta.enableChangeDataFeed") == "true"
 
     # -- state ---------------------------------------------------------
 
@@ -1195,6 +1214,127 @@ class DeltaStandardWriter:
         return {"adds": adds, "meta": meta, "protocol": protocol,
                 "txn": txn}
 
+    # safe implicit upcasts on write (delta-spark's ANSI store
+    # assignment): the frame value range embeds in the table type
+    _SAFE_UPCASTS = {
+        ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+        ("short", "integer"), ("short", "long"),
+        ("integer", "long"),
+        ("float", "double"),
+    }
+
+    @staticmethod
+    def _conform_frame(df, meta: dict):
+        """Refuse writes whose frame drifts from the committed
+        ``metaData.schemaString``: a frame column the table does not
+        declare, or a shared column at an incompatible type, lands
+        parquet bytes every protocol reader then silently misdecodes
+        (new columns null out, retyped columns corrupt). Safe numeric
+        upcasts are applied to the frame (delta-spark's implicit ANSI
+        store assignment); a frame may OMIT nullable table columns
+        (they read back as null — standard Delta append semantics).
+        Widening the table is an explicit :meth:`evolve_schema`
+        commit, never an implicit side effect — the reference's
+        update_schema contract (src/writer.rs:370-387,
+        tests/schema_update_tests.rs:23-113). Returns the (possibly
+        cast) frame."""
+        from pyspark.sql import functions as F
+
+        stored = {
+            f["name"]: f["type"]
+            for f in json.loads(meta["schemaString"])["fields"]
+        }
+        cols = []
+        needs_cast = False
+        for f in json.loads(df.schema.json())["fields"]:
+            name = f["name"]
+            if name not in stored:
+                raise ValueError(
+                    f"column {name!r} is not in the table schema; "
+                    "call evolve_schema() first (appends never evolve "
+                    "the schema implicitly)"
+                )
+            if stored[name] == f["type"]:
+                cols.append(F.col(name))
+            elif (
+                isinstance(f["type"], str)
+                and isinstance(stored[name], str)
+                and (f["type"], stored[name])
+                in DeltaStandardWriter._SAFE_UPCASTS
+            ):
+                needs_cast = True
+                cols.append(F.col(name).cast(stored[name]).alias(name))
+            else:
+                raise ValueError(
+                    f"column {name!r}: frame type {f['type']!r} != "
+                    f"table type {stored[name]!r}; type changes "
+                    "require a rewrite"
+                )
+        return df.select(*cols) if needs_cast else df
+
+    def evolve_schema(self, schema) -> int:
+        """Commit a new ``metaData`` action widening the table schema
+        (ALTER TABLE ADD COLUMNS analog) — ADD-ONLY, like the kdi
+        sink's evolve_schema (sinks/delta_like.py): existing columns
+        must keep their exact types and none may be omitted, so old
+        files stay readable (missing new columns read as null) and no
+        name can silently resurrect stale bytes. Returns the committed
+        version (current version if the schema is already identical)."""
+        import time
+
+        read_v = self.latest_version()
+        state = self._py_replay(target=read_v if read_v >= 0 else None)
+        if state["meta"] is None:
+            raise ValueError("evolve_schema on an empty table — the "
+                             "first write() declares the schema")
+        old_fields = json.loads(state["meta"]["schemaString"])["fields"]
+        old_types = {f["name"]: f["type"] for f in old_fields}
+        new_fields = json.loads(schema.json())["fields"]
+        new_names = {f["name"] for f in new_fields}
+        for f in new_fields:
+            if f["name"] in old_types and old_types[f["name"]] != f["type"]:
+                raise ValueError(
+                    f"column {f['name']!r}: type change "
+                    f"{old_types[f['name']]!r} -> {f['type']!r} cannot "
+                    "be applied to already-written files"
+                )
+        missing = sorted(n for n in old_types if n not in new_names)
+        if missing:
+            raise ValueError(
+                f"evolved schema omits existing column(s) {missing}; "
+                "schema evolution is add-only"
+            )
+        for c in state["meta"].get("partitionColumns") or []:
+            if c not in new_names:
+                raise ValueError(
+                    f"evolved schema omits partition column {c!r}"
+                )
+        if json.loads(schema.json()) == json.loads(
+            state["meta"]["schemaString"]
+        ):
+            return read_v
+        now_ms = int(time.time() * 1000)
+        new_meta = dict(state["meta"])
+        new_meta["schemaString"] = schema.json()
+        version = self._atomic_commit(
+            [
+                {
+                    "commitInfo": {
+                        "operation": "ADD COLUMNS",
+                        "operationParameters": {},
+                        "timestamp": now_ms,
+                    }
+                },
+                {"metaData": new_meta},
+            ],
+            # concurrent APPENDS are fine under add-only widening;
+            # a concurrent metadata change raises (checked always)
+            read_version=read_v,
+        )
+        if version > 0 and version % self.checkpoint_every == 0:
+            self._write_checkpoint(version)
+        return version
+
     def txn_version(self, app_id: str) -> int | None:
         """Highest committed ``txn`` version for ``app_id`` — the
         Delta protocol's application-transaction ledger (what the
@@ -1204,10 +1344,52 @@ class DeltaStandardWriter:
 
     # -- commit primitive ----------------------------------------------
 
-    def _atomic_commit(self, actions: list[dict], attempts: int = 100) -> int:
+    def _atomic_commit(
+        self,
+        actions: list[dict],
+        attempts: int = 100,
+        read_version: int | None = None,
+        read_files: set[str] | None = None,
+        conflict_on_any_change: bool = False,
+        txn: dict[str, int] | None = None,
+    ) -> int:
+        """Claim the next version via O_CREAT|O_EXCL and write the
+        payload — with the reference's optimistic-concurrency CONFLICT
+        CHECK (src/lib.rs:948-1024): when the action set was derived
+        from a snapshot (``read_version``), every commit that landed
+        after that snapshot is inspected before claiming:
+
+        * ``conflict_on_any_change`` (overwrite/restore — ops whose
+          read set is the whole table): ANY intervening data or
+          metadata action raises :class:`ConcurrentDeltaWriteError`;
+        * ``read_files`` (delete_where/optimize — ops that rewrite
+          specific files): an intervening add/remove touching one of
+          those paths, or a metaData/protocol change, raises; blind
+          appends of NEW files rebase silently (WriteSerializable);
+        * ``txn``: if an intervening commit already carried every
+          appId at-or-beyond its version (another worker won the
+          race with the SAME batch), the commit is SKIPPED and the
+          current version returned — exactly-once under races.
+
+        Blind appends (no read_version) retry unconditionally: they
+        are serializable against anything by construction."""
         payload = "\n".join(json.dumps(a) for a in actions) + "\n"
+        checked_through = read_version
         for _ in range(attempts):
             version = self.latest_version() + 1
+            if checked_through is not None and version > checked_through + 1:
+                if txn:
+                    stored = self._py_replay(target=version - 1)["txn"]
+                    if all(
+                        app in stored and stored[app] >= ver
+                        for app, ver in txn.items()
+                    ):
+                        return version - 1  # replay — other writer won
+                self._raise_on_conflict(
+                    checked_through + 1, version - 1,
+                    read_files, conflict_on_any_change,
+                )
+                checked_through = version - 1
             try:
                 fd = os.open(
                     os.path.join(self.log, f"{version:020d}.json"),
@@ -1219,6 +1401,47 @@ class DeltaStandardWriter:
                 f.write(payload)
             return version
         raise RuntimeError("exhausted commit attempts (version race)")
+
+    def _raise_on_conflict(
+        self,
+        lo: int,
+        hi: int,
+        read_files: set[str] | None,
+        conflict_on_any_change: bool,
+    ) -> None:
+        for v in range(lo, hi + 1):
+            path = os.path.join(self.log, f"{v:020d}.json")
+            if not os.path.exists(path):
+                continue
+            with open(path) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    act = json.loads(line)
+                    if "metaData" in act or "protocol" in act:
+                        raise ConcurrentDeltaWriteError(
+                            f"version {v} changed table metadata after "
+                            "this operation's snapshot"
+                        )
+                    hit = None
+                    if "add" in act:
+                        hit = act["add"]["path"]
+                    elif "remove" in act:
+                        hit = act["remove"]["path"]
+                    if hit is None:
+                        continue
+                    if conflict_on_any_change:
+                        raise ConcurrentDeltaWriteError(
+                            f"version {v} committed a data change "
+                            "after this operation's whole-table "
+                            "snapshot"
+                        )
+                    if read_files is not None and hit in read_files:
+                        raise ConcurrentDeltaWriteError(
+                            f"version {v} touched {hit!r}, which this "
+                            "operation read and rewrites"
+                        )
 
     # -- write ----------------------------------------------------------
 
@@ -1253,15 +1476,17 @@ class DeltaStandardWriter:
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unsupported mode {mode!r}")
         txn = dict(txn or {})
-        state = self._py_replay()
+        read_v = self.latest_version()
+        state = self._py_replay(target=read_v if read_v >= 0 else None)
         if txn:
             stored = state["txn"]
             if all(
                 app in stored and stored[app] >= ver
                 for app, ver in txn.items()
             ):
-                return self.latest_version()  # replay — already applied
+                return read_v  # replay — already applied
         if state["meta"] is not None:
+            df = self._conform_frame(df, state["meta"])
             declared = state["meta"].get("partitionColumns") or []
             if partition_by is None:
                 partition_by = list(declared)
@@ -1342,7 +1567,10 @@ class DeltaStandardWriter:
                         "format": {"provider": "parquet", "options": {}},
                         "schemaString": df.schema.json(),
                         "partitionColumns": partition_by,
-                        "configuration": {},
+                        "configuration": (
+                            {"delta.enableChangeDataFeed": "true"}
+                            if self.enable_cdf else {}
+                        ),
                         "createdTime": now_ms,
                     }
                 }
@@ -1370,7 +1598,12 @@ class DeltaStandardWriter:
             for a, v in sorted(txn.items())
         ]
         actions += [{"add": a} for a in adds]
-        version = self._atomic_commit(actions)
+        version = self._atomic_commit(
+            actions,
+            read_version=read_v if read_v >= 0 else None,
+            conflict_on_any_change=(mode == "overwrite"),
+            txn=txn or None,
+        )
         if version > 0 and version % self.checkpoint_every == 0:
             self._write_checkpoint(version)
         return version
@@ -1405,10 +1638,11 @@ class DeltaStandardWriter:
             z85_encode,
         )
 
-        state = self._py_replay()
+        read_v = self.latest_version()
+        state = self._py_replay(target=read_v if read_v >= 0 else None)
         if state["meta"] is None:
             raise ValueError("delete_where on an empty table")
-        live = read_delta(spark, self.root)
+        live = read_delta(spark, self.root, version=read_v)
         matches = (
             live.select(
                 F.regexp_replace(
@@ -1436,6 +1670,42 @@ class DeltaStandardWriter:
                 }
             }
         ]
+        if self._cdf_enabled(state["meta"]):
+            # CDF: the deleted rows land as _change_data/ cdc parquet
+            # (one executor-parallel job over only the matching rows)
+            # + cdc actions — delta-spark's DELETE-with-CDF shape, the
+            # only way a DV delete's change set is servable later
+            # (table_changes raises without it).
+            import shutil as _shutil
+
+            cd_dir = os.path.join(self.root, "_change_data")
+            os.makedirs(cd_dir, exist_ok=True)
+            staging = os.path.join(
+                self.root, f"_staging-{_uuid.uuid4().hex}"
+            )
+            live.filter(predicate).withColumn(
+                "_change_type", F.lit("delete")
+            ).write.mode("overwrite").parquet(staging)
+            for fname in sorted(os.listdir(staging)):
+                if not fname.endswith(".parquet"):
+                    continue
+                src = os.path.join(staging, fname)
+                dest_name = f"cdc-{_uuid.uuid4().hex}.parquet"
+                _shutil.move(src, os.path.join(cd_dir, dest_name))
+                rel_cdc = f"_change_data/{dest_name}"
+                actions.append(
+                    {
+                        "cdc": {
+                            "path": rel_cdc,
+                            "partitionValues": {},
+                            "size": os.path.getsize(
+                                os.path.join(cd_dir, dest_name)
+                            ),
+                            "dataChange": False,
+                        }
+                    }
+                )
+            _shutil.rmtree(staging, ignore_errors=True)
         n_hit = 0
         for rel, a in state["adds"].items():
             ap = rel
@@ -1489,7 +1759,15 @@ class DeltaStandardWriter:
                 "matched files missing from the log snapshot "
                 f"({len(by_abs)} matched, {n_hit} resolved)"
             )
-        version = self._atomic_commit(actions)
+        version = self._atomic_commit(
+            actions,
+            read_version=read_v,
+            # conflict = someone touched a file we re-add with a DV;
+            # blind appends of new files rebase safely
+            read_files={
+                a["remove"]["path"] for a in actions if "remove" in a
+            },
+        )
         if version > 0 and version % self.checkpoint_every == 0:
             self._write_checkpoint(version)
         return version
@@ -1513,7 +1791,7 @@ class DeltaStandardWriter:
             raise ValueError(f"version {version} does not exist")
         if version == cur_v:
             return cur_v
-        cur = self._py_replay()
+        cur = self._py_replay(target=cur_v)
         tgt = self._py_replay(target=version)
 
         def dv_key(a):
@@ -1561,7 +1839,13 @@ class DeltaStandardWriter:
                         "already vacuumed"
                     )
                 actions.append({"add": {**t, "dataChange": True}})
-        version_out = self._atomic_commit(actions)
+        version_out = self._atomic_commit(
+            actions,
+            # restore's read set is the WHOLE table diff — any
+            # concurrent data change invalidates it
+            read_version=cur_v,
+            conflict_on_any_change=True,
+        )
         if version_out > 0 and version_out % self.checkpoint_every == 0:
             self._write_checkpoint(version_out)
         return version_out
@@ -1673,7 +1957,8 @@ class DeltaStandardWriter:
             _parquet_stats,
         )
 
-        state = self._py_replay()
+        read_v = self.latest_version()
+        state = self._py_replay(target=read_v if read_v >= 0 else None)
         if state["meta"] is None:
             return self.latest_version()
         groups: dict[tuple, list[tuple[str, dict]]] = {}
@@ -1779,7 +2064,15 @@ class DeltaStandardWriter:
                 }
                 for rel, a in files
             ]
-        version = self._atomic_commit(actions)
+        version = self._atomic_commit(
+            actions,
+            read_version=read_v,
+            # conflict = someone touched a compaction input; appends
+            # of new files rebase safely (they were not compacted)
+            read_files={
+                a["remove"]["path"] for a in actions if "remove" in a
+            },
+        )
         if version > 0 and version % self.checkpoint_every == 0:
             self._write_checkpoint(version)
         return version

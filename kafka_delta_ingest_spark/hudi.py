@@ -461,8 +461,16 @@ def _log_records_df(spark, log_specs: list[tuple[str, str, int, str]],
             ):
                 with open(path, "rb") as f:
                     blocks = parse_log_file(f.read())
+                # kept: (block_instant, rows) per surviving block — a
+                # ROLLBACK command block invalidates every PRIOR block
+                # of its target instant within this log file (Hudi's
+                # crash-recovery marker: a failed write's orphan
+                # blocks are neutralized by the next writer, the
+                # HoodieLogRecordReader contract).
+                kept: list[tuple[str, list]] = []
                 for bi, blk in enumerate(blocks):
                     base_pos = (int(seq) << 40) | (bi << 20)
+                    brows: list[dict] = []
                     if blk["type"] == BLOCK_AVRO_DATA:
                         schema = json.loads(
                             blk["header"][HDR_SCHEMA]
@@ -486,7 +494,8 @@ def _log_records_df(spark, log_specs: list[tuple[str, str, int, str]],
                             row["_kdi_instant"] = binst
                             row["_kdi_pos"] = base_pos | ri
                             row["_kdi_del"] = False
-                            rows.append(row)
+                            brows.append(row)
+                        kept.append((binst, brows))
                     elif blk["type"] == BLOCK_DELETE:
                         binst = blk["header"].get(
                             HDR_INSTANT_TIME, instant
@@ -505,13 +514,26 @@ def _log_records_df(spark, log_specs: list[tuple[str, str, int, str]],
                             row["_kdi_instant"] = binst
                             row["_kdi_pos"] = base_pos | ri
                             row["_kdi_del"] = True
-                            rows.append(row)
+                            brows.append(row)
+                        kept.append((binst, brows))
                     elif blk["type"] == BLOCK_COMMAND:
-                        continue  # rollback handling is a seam
+                        cmd = blk["header"].get(
+                            HDR_COMMAND_BLOCK_TYPE, "0"
+                        )
+                        if str(cmd) != "0":
+                            raise ValueError(
+                                f"unsupported command block type {cmd}"
+                            )
+                        target = blk["header"].get(
+                            HDR_TARGET_INSTANT_TIME
+                        )
+                        kept = [e for e in kept if e[0] != target]
                     else:
                         raise ValueError(
                             f"unsupported log block type {blk['type']}"
                         )
+                for _binst, brows in kept:
+                    rows.extend(brows)
             yield pd.DataFrame(rows, columns=names)
 
     paths_df = spark.createDataFrame(

@@ -198,6 +198,72 @@ def plan_files(
     return data_files, pos_deletes, eq_deletes, meta
 
 
+def _iceberg_type_to_spark(t):
+    """Iceberg schema-JSON type → Spark DataType (primitives + nested
+    struct/list/map — enough to declare a read schema for tables this
+    repo writes and reads)."""
+    from pyspark.sql import types as T
+
+    if isinstance(t, dict):
+        k = t.get("type")
+        if k == "struct":
+            return T.StructType(
+                [
+                    T.StructField(
+                        f["name"], _iceberg_type_to_spark(f["type"]),
+                        not f.get("required", False),
+                    )
+                    for f in t["fields"]
+                ]
+            )
+        if k == "list":
+            return T.ArrayType(_iceberg_type_to_spark(t["element"]))
+        if k == "map":
+            return T.MapType(
+                _iceberg_type_to_spark(t["key"]),
+                _iceberg_type_to_spark(t["value"]),
+            )
+        raise ValueError(f"unsupported iceberg type {t!r}")
+    prim = {
+        "long": T.LongType(), "int": T.IntegerType(),
+        "string": T.StringType(), "double": T.DoubleType(),
+        "float": T.FloatType(), "boolean": T.BooleanType(),
+        "date": T.DateType(), "timestamptz": T.TimestampType(),
+        "timestamp": T.TimestampNTZType(), "binary": T.BinaryType(),
+        "uuid": T.StringType(),
+    }
+    if t in prim:
+        return prim[t]
+    if isinstance(t, str) and t.startswith("decimal"):
+        import re as _re
+
+        m = _re.match(r"decimal\((\d+),\s*(\d+)\)", t)
+        if m:
+            return T.DecimalType(int(m.group(1)), int(m.group(2)))
+    raise ValueError(f"unsupported iceberg type {t!r}")
+
+
+def _identity_partition_fields(meta: dict) -> list[str]:
+    """Names of the default spec's identity partition fields; raises
+    on non-identity transforms (hidden partitioning is a reader seam
+    this repo does not claim)."""
+    specs = meta.get("partition-specs") or []
+    sid = meta.get("default-spec-id", 0)
+    spec = next(
+        (s for s in specs if s.get("spec-id") == sid),
+        specs[0] if specs else None,
+    )
+    out = []
+    for pf in (spec or {}).get("fields") or []:
+        if pf.get("transform") != "identity":
+            raise ValueError(
+                f"unsupported partition transform "
+                f"{pf.get('transform')!r} (identity only)"
+            )
+        out.append(pf["name"])
+    return out
+
+
 def read_iceberg(
     spark,
     table_path: str,
@@ -208,25 +274,75 @@ def read_iceberg(
     """Read an Iceberg table into a DataFrame at the current snapshot,
     an explicit ``snapshot_id``, or a time-travel timestamp, applying
     v2 position/equality deletes Spark-natively with spec-exact
-    sequence-number scoping. See module docstring for semantics."""
+    sequence-number scoping. See module docstring for semantics.
+
+    Identity-partitioned tables (the writer's ``partition_by``): data
+    files carry only the data columns; partition values are
+    reconstructed by Spark from the hive directory layout under ONE
+    scan with a declared schema (types from the Iceberg schema — no
+    partition-type inference, so "0123" stays a string)."""
     from functools import reduce
 
     from pyspark.sql import functions as F
 
-    data_files, pos_deletes, eq_deletes, _ = plan_files(
+    data_files, pos_deletes, eq_deletes, meta = plan_files(
         table_path, snapshot_id, as_of_timestamp_ms, partition_filter
     )
     if not data_files:
         raise ValueError("scan plan has no data files")
-    # mergeSchema unions parquet footers across the live file set, so
-    # additively-evolved tables (column added after early snapshots)
-    # surface every column instead of whichever file Spark samples
-    # first. Full Iceberg-schema-driven typing (rename/reorder field
-    # ids) is a documented seam.
-    if not pos_deletes and not eq_deletes:
-        return spark.read.option("mergeSchema", "true").parquet(
-            *[p for p, _ in data_files]
+    part_cols = _identity_partition_fields(meta)
+
+    if part_cols:
+        # declared schema from the Iceberg metadata (data + partition
+        # columns) + basePath: one scan, typed partition
+        # reconstruction, no footer sampling
+        from pyspark.sql.types import StructField, StructType
+
+        sid = meta.get("current-schema-id", 0)
+        schema_fields = next(
+            (s for s in meta.get("schemas", [])
+             if s.get("schema-id") == sid),
+            {"fields": []},
+        )["fields"]
+        full = StructType(
+            [
+                StructField(
+                    f["name"], _iceberg_type_to_spark(f["type"]),
+                    not f.get("required", False),
+                )
+                for f in schema_fields
+                if f["name"] not in part_cols
+            ]
+            + [
+                StructField(
+                    f["name"], _iceberg_type_to_spark(f["type"]),
+                    not f.get("required", False),
+                )
+                for f in schema_fields
+                if f["name"] in part_cols
+            ]
         )
+        base = os.path.join(table_path, "data")
+
+        def _scan(paths):
+            return (
+                spark.read.schema(full)
+                .option("basePath", base)
+                .parquet(*paths)
+            )
+    else:
+        # mergeSchema unions parquet footers across the live file set,
+        # so additively-evolved tables (column added after early
+        # snapshots) surface every column instead of whichever file
+        # Spark samples first. Full Iceberg-schema-driven typing
+        # (rename/reorder field ids) is a documented seam.
+        def _scan(paths):
+            return spark.read.option("mergeSchema", "true").parquet(
+                *paths
+            )
+
+    if not pos_deletes and not eq_deletes:
+        return _scan([p for p, _ in data_files])
     # deletes present: data files scan grouped by data sequence number
     # so each delete applies only to its in-scope files. Group count =
     # number of data commits in the snapshot (metadata-scale), each
@@ -237,8 +353,7 @@ def read_iceberg(
     df = None
     for seq in sorted(by_seq):
         g = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*by_seq[seq])
+            _scan(by_seq[seq])
             .select(
                 "*",
                 F.regexp_replace(
@@ -564,18 +679,32 @@ class IcebergWriter:
     ``version-hint.text`` is swapped via atomic rename. On a version
     race the writer re-reads the table state and retries.
 
-    Scope: unpartitioned spec (spec-id 0, no partition fields) and
-    append-only commits; row-level deletes are served read-side via
-    the v2 position/equality delete files the reader already applies.
+    Partitioning: IDENTITY transforms (``partition_by`` columns, the
+    reference's Hive-partitioned output shape, src/writer.rs:390-427)
+    — the spec's partition fields land in ``partition-specs`` with
+    their source field ids, data files are written per-partition
+    (hive directory layout under ``data/``), and each manifest entry
+    carries its typed partition values so the reader prunes at PLAN
+    time from metadata alone. Non-identity transforms (bucket,
+    truncate, day/hour — Iceberg's hidden partitioning) remain a
+    documented seam. Row-level deletes are served read-side via the
+    v2 position/equality delete files the reader already applies
+    (delete files are written spec-global and never pruned).
     """
 
-    def __init__(self, table_path: str, schema_fields: list[dict]):
+    def __init__(self, table_path: str, schema_fields: list[dict],
+                 partition_by: list[str] | None = None):
         self.root = table_path
         self.data_dir = os.path.join(table_path, "data")
         self.meta_dir = os.path.join(table_path, "metadata")
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.meta_dir, exist_ok=True)
         self.fields = schema_fields
+        self.partition_by = list(partition_by or [])
+        names = {f["name"] for f in schema_fields}
+        bad = [c for c in self.partition_by if c not in names]
+        if bad:
+            raise ValueError(f"partition columns {bad} not in schema")
 
     # -- state -----------------------------------------------------------
 
@@ -630,38 +759,62 @@ class IcebergWriter:
         return None
 
     def _write_data_files(self, df) -> list[dict]:
-        """Spark-write ``df`` to staging and promote under ``data/``;
-        returns content=0 data_file dicts."""
+        """Spark-write ``df`` to staging and promote under ``data/``
+        (hive directory layout when partitioned); returns content=0
+        data_file dicts whose ``partition`` map carries the TYPED
+        identity values (long for long/int source columns, string
+        otherwise, null for the hive default partition)."""
         import shutil
         import uuid
 
         import pyarrow.parquet as pq
 
+        from kafka_delta_ingest_spark.sinks.delta_like import (
+            _parse_partition_values,
+        )
+
+        types_by_name = {f["name"]: f["type"] for f in self.fields}
         staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(staging)
+        writer = df.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(staging)
         out = []
-        for fname in sorted(os.listdir(staging)):
-            if not fname.endswith(".parquet"):
-                continue
-            src = os.path.join(staging, fname)
-            md = pq.ParquetFile(src).metadata
-            if md.num_rows == 0:
-                continue
-            dest = os.path.join(
-                self.data_dir, f"{uuid.uuid4().hex}-{fname}"
-            )
-            shutil.move(src, dest)
-            out.append(
-                {
-                    "content": 0,
-                    "file_path": dest,
-                    "file_format": "PARQUET",
-                    "partition": {},
-                    "record_count": md.num_rows,
-                    "file_size_in_bytes": os.path.getsize(dest),
-                    "equality_ids": None,
-                }
-            )
+        for dirpath, _dirs, files in os.walk(staging):
+            rel = os.path.relpath(dirpath, staging)
+            rel_dir = "" if rel == "." else rel
+            pv_raw = _parse_partition_values(rel_dir)
+            pv = {}
+            for c, v in pv_raw.items():
+                if v is not None and types_by_name.get(c) in (
+                    "long", "int"
+                ):
+                    v = int(v)
+                pv[c] = v
+            for fname in sorted(files):
+                if not fname.endswith(".parquet"):
+                    continue
+                src = os.path.join(dirpath, fname)
+                md = pq.ParquetFile(src).metadata
+                if md.num_rows == 0:
+                    continue
+                dest_dir = os.path.join(self.data_dir, rel_dir)
+                os.makedirs(dest_dir, exist_ok=True)
+                dest = os.path.join(
+                    dest_dir, f"{uuid.uuid4().hex}-{fname}"
+                )
+                shutil.move(src, dest)
+                out.append(
+                    {
+                        "content": 0,
+                        "file_path": dest,
+                        "file_format": "PARQUET",
+                        "partition": pv,
+                        "record_count": md.num_rows,
+                        "file_size_in_bytes": os.path.getsize(dest),
+                        "equality_ids": None,
+                    }
+                )
         shutil.rmtree(staging, ignore_errors=True)
         return out
 
@@ -856,6 +1009,16 @@ class IcebergWriter:
                                 **(summary or {})},
                 }
             )
+            ids_by_name = {f["name"]: f["id"] for f in self.fields}
+            spec_fields = [
+                {
+                    "name": c,
+                    "transform": "identity",
+                    "source-id": ids_by_name[c],
+                    "field-id": 1000 + i,
+                }
+                for i, c in enumerate(self.partition_by)
+            ]
             new_meta = {
                 "format-version": 2,
                 "table-uuid": (meta or {}).get(
@@ -868,7 +1031,11 @@ class IcebergWriter:
                     {"schema-id": 0, "type": "struct",
                      "fields": self.fields}
                 ],
-                "partition-specs": [{"spec-id": 0, "fields": []}],
+                "partition-specs": [
+                    {"spec-id": 0, "fields": spec_fields}
+                ],
+                "default-spec-id": 0,
+                "last-partition-id": 999 + len(spec_fields),
                 "current-snapshot-id": snap_id,
                 "snapshots": snaps,
             }
@@ -929,10 +1096,12 @@ class IcebergSink:
     checkpoint id (Iceberg has no Delta-style txn action; the summary
     map is the spec's engine-metadata slot).
 
-    Scope: unpartitioned append streams (Iceberg hidden partitioning
-    is a spec-transform feature the writer does not implement —
-    ``partition_by`` raises). ``optimize`` raises (compaction =
-    rewrite/replacecommit territory)."""
+    Partitioning: IDENTITY transforms via ``partition_by`` (the
+    reference's Hive-partitioned output, src/writer.rs:390-427) — the
+    first write pins the spec; later batches must match it. Hidden
+    partitioning (bucket/truncate/day) stays a documented writer seam.
+    ``optimize`` raises (compaction = rewrite/replacecommit
+    territory)."""
 
     def __init__(self, path: str, target_schema):
         self.path = path
@@ -989,11 +1158,24 @@ class IcebergSink:
                     operation: str = "STREAMING UPDATE"):
         from kafka_delta_ingest_spark.sinks.delta_like import CommitResult
 
+        partition_by = list(partition_by or [])
+        _, cur_meta = self.w._current()
+        if cur_meta is not None:
+            declared = _identity_partition_fields(cur_meta)
+            if partition_by and partition_by != declared:
+                raise ValueError(
+                    f"partition_by {partition_by} != table's declared "
+                    f"identity spec {declared}"
+                )
+            partition_by = declared or partition_by
         if partition_by:
-            raise ValueError(
-                "IcebergSink streams unpartitioned tables (hidden "
-                "partitioning is a documented writer seam)"
-            )
+            names = {f["name"] for f in self.w.fields}
+            bad = [c for c in partition_by if c not in names]
+            if bad:
+                raise ValueError(
+                    f"partition columns {bad} not in schema"
+                )
+        self.w.partition_by = partition_by
         txn = dict(txn or {})
         stored = self._stored_txn()
         if txn and all(

@@ -243,3 +243,243 @@ def test_update_racing_delete_conflicts_then_retry_lands(spark):
         assert all(got[i] == i * 10 for i in range(10, 90))
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# standard-layout writer (DeltaStandardWriter): schema guard, add-only
+# evolution, snapshot-conflict detection (r8 verdict items 1 and 2)
+
+
+def _std_docs(spark, n=12, lo=0):
+    from pyspark.sql import functions as F
+
+    return spark.range(lo, lo + n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("grp"),
+        (F.col("id") * 10).alias("val"),
+    )
+
+
+def test_standard_writer_schema_drift_raises(spark, tmp_path):
+    import pytest
+
+    from kafka_delta_ingest_spark.delta_standard import (
+        DeltaStandardWriter,
+        read_delta,
+    )
+
+    t = str(tmp_path / "sg")
+    w = DeltaStandardWriter(t)
+    w.write(_std_docs(spark))
+    # extra column: refused (evolution is explicit)
+    from pyspark.sql import functions as F
+
+    with pytest.raises(ValueError, match="evolve_schema"):
+        w.write(_std_docs(spark).withColumn("extra", F.lit(1)))
+    # retyped column: refused
+    with pytest.raises(ValueError, match="type"):
+        w.write(
+            _std_docs(spark).withColumn(
+                "val", F.col("val").cast("string")
+            )
+        )
+    # SUBSET append is legal: the omitted nullable column reads null
+    w.write(_std_docs(spark, n=2, lo=100).drop("val"))
+    got = {r.doc_id: r.val for r in read_delta(spark, t).collect()}
+    assert got[100] is None and got[0] == 0 and len(got) == 14
+
+
+def test_standard_writer_evolve_schema_add_only(spark, tmp_path):
+    import pytest
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from kafka_delta_ingest_spark.delta_standard import (
+        DeltaStandardWriter,
+        delta_history,
+        read_delta,
+    )
+
+    t = str(tmp_path / "ev")
+    w = DeltaStandardWriter(t)
+    w.write(_std_docs(spark, n=4))
+    evolved = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("grp", StringType()),
+            StructField("val", LongType()),
+            StructField("score", LongType()),
+        ]
+    )
+    v = w.evolve_schema(evolved)
+    assert delta_history(t)[v]["operation"] == "ADD COLUMNS"
+    # post-evolution write carries the new column
+    w.write(
+        _std_docs(spark, n=2, lo=50).withColumn(
+            "score", F.col("doc_id") * 2
+        )
+    )
+    df = read_delta(spark, t)
+    assert "score" in df.columns
+    got = {r.doc_id: r.score for r in df.collect()}
+    # pre-evolution rows read back with NULL in the new column
+    assert got[0] is None and got[50] == 100 and len(got) == 6
+    # omission / retype refused
+    with pytest.raises(ValueError, match="add-only"):
+        w.evolve_schema(
+            StructType([StructField("doc_id", LongType())])
+        )
+    bad = StructType(
+        [
+            StructField("doc_id", StringType()),
+            StructField("grp", StringType()),
+            StructField("val", LongType()),
+            StructField("score", LongType()),
+        ]
+    )
+    with pytest.raises(ValueError, match="type change"):
+        w.evolve_schema(bad)
+    # idempotent: same schema → no new commit
+    assert w.evolve_schema(evolved) == w.latest_version()
+
+
+def _inject_before_commit(monkeypatch, race):
+    """Run ``race()`` after a mutating op derived its action set but
+    BEFORE it commits — by wrapping the DV-file writer it calls."""
+    import kafka_delta_ingest_spark.roaring as roaring
+
+    real = roaring.write_dv_file
+    fired = {"done": False}
+
+    def wrapper(*a, **k):
+        if not fired["done"]:
+            fired["done"] = True
+            race()
+        return real(*a, **k)
+
+    monkeypatch.setattr(roaring, "write_dv_file", wrapper)
+
+
+def test_standard_raced_delete_conflicts(spark, tmp_path, monkeypatch):
+    # another writer DV-deletes from the same file between our
+    # snapshot and our commit → ConcurrentDeltaWriteError, never a
+    # lost update
+    import pytest
+
+    from kafka_delta_ingest_spark.delta_standard import (
+        ConcurrentDeltaWriteError,
+        DeltaStandardWriter,
+        read_delta,
+    )
+
+    t = str(tmp_path / "race1")
+    w1 = DeltaStandardWriter(t)
+    w1.write(_std_docs(spark).coalesce(1))
+
+    def race():
+        import kafka_delta_ingest_spark.roaring as roaring
+
+        monkeypatch.undo()  # the racer must use the REAL dv writer
+        DeltaStandardWriter(t).delete_where(spark, "doc_id = 1")
+
+    _inject_before_commit(monkeypatch, race)
+    with pytest.raises(ConcurrentDeltaWriteError):
+        w1.delete_where(spark, "doc_id = 2")
+    # the racer's delete survives; ours never landed
+    got = sorted(r.doc_id for r in read_delta(spark, t).collect())
+    assert got == [0] + list(range(2, 12))
+
+
+def test_standard_raced_delete_rebases_over_blind_append(
+    spark, tmp_path, monkeypatch
+):
+    # an append of NEW files between snapshot and commit is not a
+    # conflict — the delete rebases to the next version
+    from kafka_delta_ingest_spark.delta_standard import (
+        DeltaStandardWriter,
+        read_delta,
+    )
+
+    t = str(tmp_path / "race2")
+    w1 = DeltaStandardWriter(t)
+    w1.write(_std_docs(spark).coalesce(1))
+
+    def race():
+        monkeypatch.undo()
+        DeltaStandardWriter(t).write(_std_docs(spark, n=2, lo=200))
+
+    _inject_before_commit(monkeypatch, race)
+    w1.delete_where(spark, "doc_id = 2")
+    got = sorted(r.doc_id for r in read_delta(spark, t).collect())
+    assert got == [0, 1] + list(range(3, 12)) + [200, 201]
+
+
+def test_standard_raced_overwrite_conflicts(spark, tmp_path, monkeypatch):
+    # overwrite's read set is the whole table: ANY concurrent data
+    # commit invalidates it
+    import pytest
+
+    import kafka_delta_ingest_spark.sinks.delta_like as dl
+    from kafka_delta_ingest_spark.delta_standard import (
+        ConcurrentDeltaWriteError,
+        DeltaStandardWriter,
+        read_delta,
+    )
+
+    t = str(tmp_path / "race3")
+    w1 = DeltaStandardWriter(t)
+    w1.write(_std_docs(spark))
+
+    real_stats = dl._parquet_stats
+    fired = {"done": False}
+
+    def stats_wrapper(path):
+        if not fired["done"]:
+            fired["done"] = True
+            monkeypatch.undo()
+            DeltaStandardWriter(t).write(_std_docs(spark, n=1, lo=500))
+        return real_stats(path)
+
+    monkeypatch.setattr(dl, "_parquet_stats", stats_wrapper)
+    with pytest.raises(ConcurrentDeltaWriteError):
+        w1.write(_std_docs(spark, n=3), mode="overwrite")
+    # the concurrent append survives, the overwrite never landed
+    assert read_delta(spark, t).count() == 13
+
+
+def test_standard_raced_same_txn_skips(spark, tmp_path, monkeypatch):
+    # two workers race the SAME batch (same txn appId/version): the
+    # loser must skip, not double-append — exactly-once under races
+    import kafka_delta_ingest_spark.sinks.delta_like as dl
+    from kafka_delta_ingest_spark.delta_standard import (
+        DeltaStandardWriter,
+        read_delta,
+    )
+
+    t = str(tmp_path / "race4")
+    w1 = DeltaStandardWriter(t)
+    w1.write(_std_docs(spark, n=4))
+
+    real_stats = dl._parquet_stats
+    fired = {"done": False}
+
+    def stats_wrapper(path):
+        if not fired["done"]:
+            fired["done"] = True
+            monkeypatch.undo()
+            DeltaStandardWriter(t).write(
+                _std_docs(spark, n=3, lo=100), txn={"app-0": 7}
+            )
+        return real_stats(path)
+
+    monkeypatch.setattr(dl, "_parquet_stats", stats_wrapper)
+    v = w1.write(_std_docs(spark, n=3, lo=100), txn={"app-0": 7})
+    assert v == w1.latest_version()  # skipped to the winner's commit
+    got = sorted(r.doc_id for r in read_delta(spark, t).collect())
+    assert got == [0, 1, 2, 3, 100, 101, 102]  # no duplicates

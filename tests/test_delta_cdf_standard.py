@@ -123,3 +123,51 @@ def test_partitioned_table_changes(spark, tmp_path):
     ch = table_changes(spark, t, 0)
     got = sorted((r.doc_id, r.grp) for r in ch.collect())
     assert got == [(0, "a"), (1, "a"), (2, "a"), (9, "b")]
+
+
+def test_writer_dv_delete_emits_cdc_when_cdf_enabled(spark, tmp_path):
+    """r8: DeltaStandardWriter(enable_cdf=True) — a DV delete_where
+    writes the deleted rows as _change_data/ cdc parquet + cdc
+    actions, so table_changes serves the exact change set (without
+    CDF the same commit raises, pinned below)."""
+    from pyspark.sql import functions as F
+
+    from kafka_delta_ingest_spark.delta_standard import (
+        DeltaStandardWriter,
+        read_delta,
+    )
+
+    t = str(tmp_path / "wcdf")
+    w = DeltaStandardWriter(t, enable_cdf=True)
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 2).cast("string").alias("grp"),
+        (F.col("id") * 10).alias("val"),
+    )
+    w.write(df)                                   # v0
+    v = w.delete_where(spark, "doc_id % 3 = 0")   # v1: DV + cdc
+    # live view: DV applied
+    assert sorted(
+        r.doc_id for r in read_delta(spark, t).collect()
+    ) == [i for i in range(10) if i % 3 != 0]
+    # CDF serves the DELETE's exact change set
+    ch = table_changes(spark, t, v, v)
+    got = sorted(
+        (r.doc_id, r._change_type) for r in ch.collect()
+    )
+    assert got == [(i, "delete") for i in range(10) if i % 3 == 0]
+    assert {r._commit_version for r in ch.collect()} == {v}
+    # metaData carries the table property
+    from kafka_delta_ingest_spark.delta_standard import (
+        DeltaStandardSink,
+    )
+
+    meta = DeltaStandardSink(t).snapshot()["metaData"]
+    assert meta["configuration"]["delta.enableChangeDataFeed"] == "true"
+    # contrast: a CDF-OFF writer's DV delete stays underivable
+    t2 = str(tmp_path / "nocdf")
+    w2 = DeltaStandardWriter(t2)
+    w2.write(df)
+    v2 = w2.delete_where(spark, "doc_id = 1")
+    with pytest.raises(ValueError, match="enable CDF"):
+        table_changes(spark, t2, v2, v2).collect()

@@ -237,3 +237,63 @@ def test_same_key_in_two_partitions_not_collapsed(spark, tmp_path):
         (1, "fr", "french 1"),
         (2, "fr", "french 2"),
     ]
+
+
+def test_rollback_command_block_invalidates_target_instant(spark, mor):
+    """r8 (closes the r7 seam): a ROLLBACK command block neutralizes
+    every PRIOR block of its target instant within the same log file —
+    Hudi's crash-recovery marker for a failed write's orphan blocks
+    (HoodieLogRecordReader contract). Orphan rows must not surface;
+    unrelated blocks survive."""
+    import glob
+    import json as _json
+
+    from kafka_delta_ingest_spark.hudi import (
+        HDR_COMMAND_BLOCK_TYPE,
+        HDR_TARGET_INSTANT_TIME,
+        encode_avro_data_block_content,
+        encode_log_block,
+    )
+
+    t, w, _instants = mor
+    before = sorted(
+        (r.id, r.text) for r in read_hudi(spark, t).collect()
+    )
+    # a failed write appended orphan data blocks (instant never
+    # completed), then the next writer appended the rollback marker
+    log = sorted(glob.glob(t + "/*/.*.log.*"))[0]
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "_hoodie_record_key", "type": ["null", "string"]},
+            {"name": "id", "type": ["null", "long"]},
+            {"name": "lang", "type": ["null", "string"]},
+            {"name": "text", "type": ["null", "string"]},
+        ],
+    }
+    bad_instant = "99999999999999999"
+    orphan = encode_log_block(
+        BLOCK_AVRO_DATA,
+        {HDR_INSTANT_TIME: bad_instant,
+         HDR_SCHEMA: _json.dumps(schema)},
+        encode_avro_data_block_content(
+            [{"_hoodie_record_key": "0", "id": 0, "lang": "en",
+              "text": "ORPHAN MUST NOT SURFACE"}],
+            schema,
+        ),
+    )
+    rollback = encode_log_block(
+        0,  # BLOCK_COMMAND
+        {HDR_TARGET_INSTANT_TIME: bad_instant,
+         HDR_COMMAND_BLOCK_TYPE: "0"},
+        b"",
+    )
+    with open(log, "ab") as f:
+        f.write(orphan)
+        f.write(rollback)
+    after = sorted(
+        (r.id, r.text) for r in read_hudi(spark, t).collect()
+    )
+    assert after == before  # orphan invalidated, nothing else changed
+    assert all("ORPHAN" not in txt for _, txt in after)

@@ -6,6 +6,8 @@ discovery, and malformed-input errors."""
 import json
 import os
 
+from pyspark.sql import functions as F
+
 import pytest
 
 from kafka_delta_ingest_spark.iceberg import (
@@ -454,3 +456,95 @@ def test_iceberg_writer_upsert(spark, tmp_path):
             spark.createDataFrame([(1, "x")], "doc_id long, grp string"),
             key_cols=["nope"],
         )
+
+
+def test_iceberg_writer_identity_partitioned_roundtrip(spark, tmp_path):
+    """r8: identity-partitioned writes — spec fields in metadata, hive
+    layout under data/, typed partition values in manifest entries,
+    plan-time pruning, typed reconstruction on read (including a
+    digit-leading string partition value that must NOT be inferred
+    into an int)."""
+    from kafka_delta_ingest_spark.avro_python import read_container
+    from kafka_delta_ingest_spark.iceberg import (
+        IcebergWriter,
+        load_metadata,
+        read_iceberg,
+    )
+
+    t = str(tmp_path / "pw")
+    fields = [
+        {"id": 1, "name": "doc_id", "type": "long", "required": False},
+        {"id": 2, "name": "lang", "type": "string", "required": False},
+        {"id": 3, "name": "bucket", "type": "long", "required": False},
+    ]
+    w = IcebergWriter(t, fields, partition_by=["lang", "bucket"])
+    df = spark.range(12).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en")
+        .otherwise("0123")  # leading zero: stays a STRING
+        .alias("lang"),
+        (F.col("id") % 3).alias("bucket"),
+    )
+    w.append(df, ts_ms=1000)
+    meta = load_metadata(t)
+    assert [
+        (f["name"], f["transform"], f["source-id"])
+        for f in meta["partition-specs"][0]["fields"]
+    ] == [("lang", "identity", 2), ("bucket", "identity", 3)]
+    # manifest entries carry TYPED partition values
+    snap = meta["snapshots"][-1]
+    with open(snap["manifest-list"], "rb") as f:
+        _, manifests = read_container(f.read())
+    with open(manifests[0]["manifest_path"], "rb") as f:
+        _, entries = read_container(f.read())
+    parts = {tuple(sorted(e["data_file"]["partition"].items()))
+             for e in entries}
+    assert (("bucket", 0), ("lang", "en")) in parts
+    assert (("bucket", 1), ("lang", "0123")) in parts
+    back = read_iceberg(spark, t)
+    assert dict(back.dtypes)["bucket"] == "bigint"
+    assert dict(back.dtypes)["lang"] == "string"
+    got = sorted(
+        (r.doc_id, r.lang, r.bucket) for r in back.collect()
+    )
+    assert got == [
+        (i, "en" if i % 2 == 0 else "0123", i % 3) for i in range(12)
+    ]
+    # plan-time partition pruning: only matching data files are read
+    en_only = read_iceberg(
+        spark, t, partition_filter=lambda p: p.get("lang") == "en"
+    )
+    assert sorted(r.doc_id for r in en_only.collect()) == [
+        i for i in range(12) if i % 2 == 0
+    ]
+    assert all("lang=en" in f for f in en_only.inputFiles())
+
+
+def test_iceberg_writer_partitioned_delete_where(spark, tmp_path):
+    """Row-level MoR deletes on an identity-partitioned table: the
+    position-delete file is spec-global (never pruned) and the live
+    view stays exact."""
+    from kafka_delta_ingest_spark.iceberg import (
+        IcebergWriter,
+        read_iceberg,
+    )
+
+    t = str(tmp_path / "pd")
+    fields = [
+        {"id": 1, "name": "doc_id", "type": "long", "required": False},
+        {"id": 2, "name": "lang", "type": "string", "required": False},
+    ]
+    w = IcebergWriter(t, fields, partition_by=["lang"])
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("fr").alias("lang"),
+    )
+    w.append(df, ts_ms=1000)
+    w.delete_where(spark, "doc_id % 3 = 0", ts_ms=2000)
+    got = sorted(r.doc_id for r in read_iceberg(spark, t).collect())
+    assert got == [i for i in range(10) if i % 3 != 0]
+    # pruning keeps the delete in scope: 'fr' rows %3 stay deleted
+    fr = read_iceberg(
+        spark, t, partition_filter=lambda p: p.get("lang") == "fr"
+    )
+    assert sorted(r.doc_id for r in fr.collect()) == [1, 5, 7]

@@ -505,16 +505,51 @@ def test_web_requests_e2e_iceberg_destination(spark, tmp_path):
     assert len(snapshots(table)) == 1  # no second snapshot
 
 
-def test_iceberg_destination_rejects_partitioning(spark, tmp_path):
+def test_iceberg_destination_identity_partitioning(spark, tmp_path):
+    """r8: IngestOptions.partition_by on the Iceberg destination lands
+    as an IDENTITY partition spec (the reference's Hive-partitioned
+    output, src/writer.rs:390-427): spec fields in metadata, hive
+    directory layout under data/, typed partition values in manifest
+    entries, partition columns reconstructed on read."""
+    from kafka_delta_ingest_spark.iceberg import (
+        load_metadata,
+        plan_files,
+        read_iceberg,
+    )
+
+    table = str(tmp_path / "x")
     opts = IngestOptions(
-        topic="t", table_uri=str(tmp_path / "x"), app_id="a",
+        topic="web_requests", table_uri=table, app_id="a",
         transforms=WEB_REQUESTS_TRANSFORMS,
         partition_by=["date"], log_format="iceberg",
     )
     job = IngestJob(opts, WEB_REQUESTS_SCHEMA)
-    raw = _raw_df(spark, [_msg(0, 0)])
-    with pytest.raises(ValueError, match="unpartitioned"):
-        job.run_batch(raw)
+    raw = _raw_df(
+        spark,
+        [_msg(0, 0), _msg(1, 1, ts="2021-03-25T01:00:00.000000+00:00")],
+    )
+    m = job.run_batch(raw)
+    assert m.delta_write_num_records == 2
+    meta = load_metadata(table)
+    spec = meta["partition-specs"][0]["fields"]
+    assert [(f["name"], f["transform"]) for f in spec] == [
+        ("date", "identity")
+    ]
+    # manifest entries carry the partition values (plan-time pruning)
+    data_files, _, _, _ = plan_files(table)
+    assert data_files
+    back = read_iceberg(spark, table)
+    got = {r.uuid: r.date for r in back.collect()}
+    assert got == {"uuid-0": "2021-03-24", "uuid-1": "2021-03-25"}
+    # a later batch with a DIFFERENT partitioning is refused
+    opts2 = IngestOptions(
+        topic="web_requests", table_uri=table, app_id="a",
+        transforms=WEB_REQUESTS_TRANSFORMS,
+        partition_by=["status"], log_format="iceberg",
+    )
+    job2 = IngestJob(opts2, WEB_REQUESTS_SCHEMA)
+    with pytest.raises(ValueError, match="declared identity spec"):
+        job2.run_batch(_raw_df(spark, [_msg(2, 0)]))
 
 
 def test_iceberg_seek_offsets_bootstrap(spark, tmp_path):
@@ -545,3 +580,77 @@ def test_iceberg_seek_offsets_bootstrap(spark, tmp_path):
         for r in read_iceberg(spark, table).collect()
     )
     assert got == list(range(10, 20))
+
+
+def test_schema_evolution_mid_stream_standard_log(spark, tmp_path):
+    """The reference's evolve-while-streaming scenario
+    (tests/schema_update_tests.rs:23-113, src/writer.rs:370-387) on the
+    STANDARD _delta_log destination: an external ALTER (evolve_schema)
+    lands between batches; the running job adopts it via sync_schema;
+    pre-evolution rows read back with NULL in the new column through
+    the independent protocol reader."""
+    from kafka_delta_ingest_spark.delta_standard import (
+        DeltaStandardWriter,
+        delta_history,
+        read_delta,
+    )
+
+    table = str(tmp_path / "std_evolve")
+    opts = IngestOptions(
+        topic="t", table_uri=table, app_id="ev", transforms={},
+        log_format="delta",
+    )
+    v1 = StructType(
+        [StructField("id", StringType()), StructField("color", StringType())]
+    )
+    job = IngestJob(opts, v1)
+
+    def raw(lo, n, extra=None):
+        rows = []
+        for i in range(lo, lo + n):
+            payload = {"id": str(i), "color": "red"}
+            if extra:
+                payload.update(extra(i))
+            rows.append(
+                Row(
+                    value=bytearray(json.dumps(payload).encode()),
+                    partition=0,
+                    offset=i,
+                    topic="t",
+                    timestamp=None,
+                    timestampType=0,
+                )
+            )
+        return _raw_df(spark, rows)
+
+    job.run_batch(raw(0, 3))
+
+    # a stray column in the frame is REFUSED until the table evolves
+    w = DeltaStandardWriter(table)
+    with pytest.raises(ValueError, match="evolve_schema"):
+        w.write(
+            spark.createDataFrame(
+                [("x", "blue", 1)], "id string, color string, size int"
+            )
+        )
+
+    # ALTER TABLE ADD COLUMN size (external, standard metaData commit)
+    v2 = StructType(
+        list(v1.fields) + [StructField("size", IntegerType())]
+    )
+    ev = w.evolve_schema(v2)
+    assert delta_history(table)[ev]["operation"] == "ADD COLUMNS"
+
+    # same job keeps running; next batch adopts the evolved schema
+    job.run_batch(raw(3, 3, extra=lambda i: {"size": i * 10}))
+    assert job.target_schema == v2
+
+    out = {
+        r.id: (r.color, r.size)
+        for r in read_delta(spark, table).collect()
+    }
+    assert len(out) == 6
+    assert out["1"] == ("red", None)   # pre-evolution: NULL fill
+    assert out["4"] == ("red", 40)     # post-evolution: value lands
+    # exactly-once survives evolution: replay of batch 2 is skipped
+    assert job.run_batch(raw(3, 3, extra=lambda i: {"size": i * 10})).skipped

@@ -539,3 +539,49 @@ def test_stream_into_standard_delta_log(spark, tmp_path):
     got2 = sorted(r["id"] for r in read_delta(spark, table_dir).collect())
     assert got2 == list(range(30))  # no duplicates, no loss
     assert sink.w.txn_version("std_app-1") == 29
+
+
+def test_stream_into_iceberg_with_checkpointed_restart(spark, tmp_path):
+    """r8 (mirrors test_stream_into_standard_delta_log for
+    log_format='iceberg', the r7 commit 0b34baa pattern): availableNow
+    streaming into an Apache Iceberg destination, per-Kafka-partition
+    offsets in the snapshot summaries, then a checkpointed RESTART
+    with new data — no duplicates, no loss, one snapshot per
+    successful batch."""
+    from kafka_delta_ingest_spark.iceberg import (
+        IcebergSink,
+        read_iceberg,
+        snapshots,
+    )
+
+    src = str(tmp_path / "src")
+    table_dir = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_raw(spark, _rows(0, 20), src)
+    opts = IngestOptions(
+        topic="t", table_uri=table_dir, app_id="ice_app",
+        ends_at_latest_offsets=True, log_format="iceberg",
+    )
+    job = IngestJob(opts, TABLE_SCHEMA)
+    q = job.run_stream(spark, ckpt, raw_stream=_stream(spark, src))
+    q.awaitTermination(120)
+
+    got = {r["id"] for r in read_iceberg(spark, table_dir).collect()}
+    assert got == set(range(20))
+    sink = IcebergSink(table_dir, TABLE_SCHEMA)
+    assert sink.snapshot()["txn"] == {"ice_app-0": 18, "ice_app-1": 19}
+    n_snaps_run1 = len(snapshots(table_dir))
+
+    # restart with MORE files: only the new ones are processed
+    _write_raw(spark, _rows(20, 10), src)
+    job2 = IngestJob(opts, TABLE_SCHEMA)
+    q2 = job2.run_stream(spark, ckpt, raw_stream=_stream(spark, src))
+    q2.awaitTermination(120)
+    got2 = sorted(
+        r["id"] for r in read_iceberg(spark, table_dir).collect()
+    )
+    assert got2 == list(range(30))  # no duplicates, no loss
+    assert sink.snapshot()["txn"]["ice_app-1"] == 29
+    # one snapshot per successful batch: exactly one more landed
+    assert len(snapshots(table_dir)) == n_snaps_run1 + 1
