@@ -4535,6 +4535,84 @@ def _ingest_iceberg_fixture(spark, sf_dir: str) -> tuple:
 
 
 @_q(
+    "ingest_hudi",
+    """
+    SELECT event_id, user_id, event_type, value, props, ts,
+      strftime(ts, '%Y-%m-%d') AS date,
+      event_id AS kafka_offset,
+      CAST(user_id % 8 AS INT) AS kafka_partition,
+      TRUE AS replay_ok
+    FROM events
+    """,
+)
+def ingest_hudi(spark, sf_dir):
+    """The reference pipeline end-to-end into an Apache HUDI
+    COPY_ON_WRITE destination (r8 — the fourth write target, making
+    every table format the engine reads also writable): Kafka-shaped
+    messages → the same single-projection plan → HudiSink, with
+    per-Kafka-partition offsets stored in the completed commit's
+    ``extraMetadata`` (``kdi.offsets.<appId>`` — the slot Hudi's own
+    DeltaStreamer uses for its checkpoint string). The SAME batch
+    written again must be recognized as a replay from the stored
+    extraMetadata offsets and SKIPPED (no second commit, no duplicate
+    rows). Read-back goes through the independent read_hudi timeline
+    walk; replay_ok pins the skip plus the single-commit invariant.
+    Scale: the data write is one executor-parallel parquet job; the
+    commit is O(new files) JSON; planning stays O(commits)."""
+    from kafka_delta_ingest_spark.hudi import read_hudi
+
+    t, replay_ok = _ingest_hudi_fixture(spark, sf_dir)
+    return read_hudi(spark, t).select(
+        "event_id", "user_id", "event_type", "value", "props",
+        "ts", "date", "kafka_offset", "kafka_partition",
+    ).withColumn("replay_ok", F.lit(bool(replay_ok)))
+
+
+def _ingest_hudi_fixture(spark, sf_dir: str) -> tuple:
+    """Run (once per process per sf_dir) the Hudi-destination ingest
+    e2e — including the double-run replay proof — and memoize the
+    table path + replay flag (see _TBLFMT_FIXTURES)."""
+    import atexit
+    import shutil as _sh
+    import tempfile as _tf
+
+    from kafka_delta_ingest_spark.config import IngestOptions
+    from kafka_delta_ingest_spark.hudi import (
+        completed_commits,
+        read_hudi,
+    )
+    from kafka_delta_ingest_spark.ingest import IngestJob
+
+    key = ("hudiing", sf_dir)
+    hit = _TBLFMT_FIXTURES.get(key)
+    if hit and os.path.isdir(hit[0]):
+        return hit
+    raw = _kafka_raw(spark, sf_dir)
+    plan_job = _ingest_job()
+    good, _dlq = plan_job.split(plan_job.plan(raw))
+    root = _tf.mkdtemp(prefix="kdi-hudiing-")
+    t = root + "/t"
+    opts = IngestOptions(
+        topic="events", table_uri=t, app_id="kdi-q",
+        transforms=plan_job.opts.transforms,
+        log_format="hudi",
+    )
+    job = IngestJob(opts, good.schema)
+    m1 = job.run_batch(raw)
+    m2 = job.run_batch(raw)  # identical batch → replay
+    replay_ok = (
+        bool(m2.skipped)
+        and not m1.skipped
+        and len(completed_commits(t)) == 1
+        and read_hudi(spark, t).count() == good.count()
+    )
+    out = (t, replay_ok)
+    _TBLFMT_FIXTURES[key] = out
+    atexit.register(_sh.rmtree, root, ignore_errors=True)
+    return out
+
+
+@_q(
     "sink_iceberg_roundtrip",
     """
     SELECT doc_id, lang, LENGTH(text) AS n_chars, TRUE AS travel_ok
@@ -8578,6 +8656,7 @@ _SWEEP_ORDER: list[str] = [
     "hudi_read_snapshot",
     "hudi_read_mor",
     "hudi_read_incremental",
+    "ingest_hudi",
     "sim_pool_embeddings",
     "multimodal_features",
     "agg_approx_percentiles",
@@ -8615,10 +8694,10 @@ _SWEEP_ORDER: list[str] = [
     "sim_semdedup",
     "embedding_neardup_lsh",
     "multimodal_jpeg_roundtrip",
-    "multimodal_wav_roundtrip",
     # --- tail: certified in r7 (TPC/window/agg/pivot block,
     # web funnel, dedup-admit) or the cumulative r1-r7 record;
     # next rotation re-certifies these.
+    "multimodal_wav_roundtrip",
     "scan_filter_project",
     "join_bucketed_colocated",
     "pipeline_web_extraction",

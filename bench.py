@@ -133,6 +133,10 @@ HEADLINE = [
     "sink_iceberg_roundtrip",
     "hudi_read_mor",
     "hudi_read_incremental",
+    # r8: mid-stream schema evolution on the standard log;
+    # Hudi as a write destination
+    "ingest_delta_standard_evolve",
+    "ingest_hudi",
 ]
 
 

@@ -73,7 +73,7 @@ def build_parser() -> argparse.ArgumentParser:
                           "after every N ingest commits (0 = off) — the "
                           "Spark substitute for the reference's held-open "
                           "file-size management")
-    ing.add_argument("--log_format", choices=("kdi", "delta", "iceberg"),
+    ing.add_argument("--log_format", choices=("kdi", "delta", "iceberg", "hudi"),
                      default="kdi",
                      help="destination table format: 'kdi' (the "
                           "engine's own Delta-protocol log, full "

@@ -198,51 +198,6 @@ def plan_files(
     return data_files, pos_deletes, eq_deletes, meta
 
 
-def _iceberg_type_to_spark(t):
-    """Iceberg schema-JSON type → Spark DataType (primitives + nested
-    struct/list/map — enough to declare a read schema for tables this
-    repo writes and reads)."""
-    from pyspark.sql import types as T
-
-    if isinstance(t, dict):
-        k = t.get("type")
-        if k == "struct":
-            return T.StructType(
-                [
-                    T.StructField(
-                        f["name"], _iceberg_type_to_spark(f["type"]),
-                        not f.get("required", False),
-                    )
-                    for f in t["fields"]
-                ]
-            )
-        if k == "list":
-            return T.ArrayType(_iceberg_type_to_spark(t["element"]))
-        if k == "map":
-            return T.MapType(
-                _iceberg_type_to_spark(t["key"]),
-                _iceberg_type_to_spark(t["value"]),
-            )
-        raise ValueError(f"unsupported iceberg type {t!r}")
-    prim = {
-        "long": T.LongType(), "int": T.IntegerType(),
-        "string": T.StringType(), "double": T.DoubleType(),
-        "float": T.FloatType(), "boolean": T.BooleanType(),
-        "date": T.DateType(), "timestamptz": T.TimestampType(),
-        "timestamp": T.TimestampNTZType(), "binary": T.BinaryType(),
-        "uuid": T.StringType(),
-    }
-    if t in prim:
-        return prim[t]
-    if isinstance(t, str) and t.startswith("decimal"):
-        import re as _re
-
-        m = _re.match(r"decimal\((\d+),\s*(\d+)\)", t)
-        if m:
-            return T.DecimalType(int(m.group(1)), int(m.group(2)))
-    raise ValueError(f"unsupported iceberg type {t!r}")
-
-
 def _identity_partition_fields(meta: dict) -> list[str]:
     """Names of the default spec's identity partition fields; raises
     on non-identity transforms (hidden partitioning is a reader seam
@@ -270,17 +225,23 @@ def read_iceberg(
     snapshot_id=None,
     as_of_timestamp_ms=None,
     partition_filter: Callable[[dict], bool] | None = None,
+    _file_subset: set | None = None,
 ):
     """Read an Iceberg table into a DataFrame at the current snapshot,
     an explicit ``snapshot_id``, or a time-travel timestamp, applying
     v2 position/equality deletes Spark-natively with spec-exact
     sequence-number scoping. See module docstring for semantics.
 
-    Identity-partitioned tables (the writer's ``partition_by``): data
-    files carry only the data columns; partition values are
-    reconstructed by Spark from the hive directory layout under ONE
-    scan with a declared schema (types from the Iceberg schema — no
-    partition-type inference, so "0123" stays a string)."""
+    Identity-partitioned tables need no special read path: like real
+    Iceberg writers, this repo's writer stores the partition COLUMNS
+    in the data files (the hive directory layout is organizational;
+    manifest partition values drive plan-time pruning), so the plain
+    scan surfaces them — and external tables with non-identity
+    (hidden) partition transforms keep reading unchanged.
+
+    ``_file_subset`` (internal, compaction): restrict the DATA file
+    set to these paths after planning — deletes still plan and apply
+    normally, so the result is the live view of exactly those files."""
     from functools import reduce
 
     from pyspark.sql import functions as F
@@ -288,58 +249,22 @@ def read_iceberg(
     data_files, pos_deletes, eq_deletes, meta = plan_files(
         table_path, snapshot_id, as_of_timestamp_ms, partition_filter
     )
+    if _file_subset is not None:
+        data_files = [
+            (p, s) for p, s in data_files if p in _file_subset
+        ]
     if not data_files:
         raise ValueError("scan plan has no data files")
-    part_cols = _identity_partition_fields(meta)
 
-    if part_cols:
-        # declared schema from the Iceberg metadata (data + partition
-        # columns) + basePath: one scan, typed partition
-        # reconstruction, no footer sampling
-        from pyspark.sql.types import StructField, StructType
-
-        sid = meta.get("current-schema-id", 0)
-        schema_fields = next(
-            (s for s in meta.get("schemas", [])
-             if s.get("schema-id") == sid),
-            {"fields": []},
-        )["fields"]
-        full = StructType(
-            [
-                StructField(
-                    f["name"], _iceberg_type_to_spark(f["type"]),
-                    not f.get("required", False),
-                )
-                for f in schema_fields
-                if f["name"] not in part_cols
-            ]
-            + [
-                StructField(
-                    f["name"], _iceberg_type_to_spark(f["type"]),
-                    not f.get("required", False),
-                )
-                for f in schema_fields
-                if f["name"] in part_cols
-            ]
+    # mergeSchema unions parquet footers across the live file set,
+    # so additively-evolved tables (column added after early
+    # snapshots) surface every column instead of whichever file
+    # Spark samples first. Full Iceberg-schema-driven typing
+    # (rename/reorder field ids) is a documented seam.
+    def _scan(paths):
+        return spark.read.option("mergeSchema", "true").parquet(
+            *paths
         )
-        base = os.path.join(table_path, "data")
-
-        def _scan(paths):
-            return (
-                spark.read.schema(full)
-                .option("basePath", base)
-                .parquet(*paths)
-            )
-    else:
-        # mergeSchema unions parquet footers across the live file set,
-        # so additively-evolved tables (column added after early
-        # snapshots) surface every column instead of whichever file
-        # Spark samples first. Full Iceberg-schema-driven typing
-        # (rename/reorder field ids) is a documented seam.
-        def _scan(paths):
-            return spark.read.option("mergeSchema", "true").parquet(
-                *paths
-            )
 
     if not pos_deletes and not eq_deletes:
         return _scan([p for p, _ in data_files])
@@ -763,11 +688,20 @@ class IcebergWriter:
         (hive directory layout when partitioned); returns content=0
         data_file dicts whose ``partition`` map carries the TYPED
         identity values (long for long/int source columns, string
-        otherwise, null for the hive default partition)."""
+        otherwise, null for the hive default partition).
+
+        Iceberg stores EVERY column in the data files (partition
+        fields included) — so the staging job partitions by CLONES of
+        the partition columns, which Spark drops from the data pages,
+        keeping the real columns intact; the reader then needs no
+        directory-derived reconstruction and non-identity external
+        tables keep reading unchanged."""
         import shutil
         import uuid
 
         import pyarrow.parquet as pq
+
+        from pyspark.sql import functions as F
 
         from kafka_delta_ingest_spark.sinks.delta_like import (
             _parse_partition_values,
@@ -775,14 +709,25 @@ class IcebergWriter:
 
         types_by_name = {f["name"]: f["type"] for f in self.fields}
         staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex}")
-        writer = df.write.mode("overwrite")
         if self.partition_by:
-            writer = writer.partitionBy(*self.partition_by)
+            clones = [f"__kdi_pp_{c}" for c in self.partition_by]
+            staged = df
+            for c, cl in zip(self.partition_by, clones):
+                staged = staged.withColumn(cl, F.col(c))
+            writer = staged.write.mode("overwrite").partitionBy(*clones)
+        else:
+            writer = df.write.mode("overwrite")
         writer.parquet(staging)
         out = []
         for dirpath, _dirs, files in os.walk(staging):
             rel = os.path.relpath(dirpath, staging)
-            rel_dir = "" if rel == "." else rel
+            raw_dir = "" if rel == "." else rel
+            # "__kdi_pp_<col>=<v>" segments → real "<col>=<v>" dirs
+            rel_dir = "/".join(
+                seg.replace("__kdi_pp_", "", 1)
+                for seg in raw_dir.replace(os.sep, "/").split("/")
+                if seg
+            )
             pv_raw = _parse_partition_values(rel_dir)
             pv = {}
             for c, v in pv_raw.items():
@@ -862,6 +807,165 @@ class IcebergWriter:
             attempts,
         )
 
+    def optimize(self, spark, target_file_bytes: int = 134_217_728,
+                 ts_ms: int | None = None, attempts: int = 100) -> int:
+        """Bin-packing COMPACTION as one ``replace`` snapshot (closes
+        the r7 seam): per partition tuple, every live data file under
+        ``target_file_bytes`` is read THROUGH the delete-applying path
+        (position/equality deletes materialize here) and rewritten
+        into coalesced files. The commit rewrites each prior DATA
+        manifest without the compacted entries (surviving entries kept
+        as EXISTING with their ORIGINAL data sequence numbers, so
+        older equality deletes still scope over them), keeps delete
+        manifests as-is, and adds one manifest with the compacted
+        outputs at the NEW sequence number — which existing deletes
+        therefore never re-mask (their rows were just materialized).
+        Returns the new snapshot id, or the current one when nothing
+        qualifies.
+
+        Scale: each partition group is one coalesced Spark job over
+        only the files being compacted; manifest rewrites are
+        O(manifest entries) metadata — the same work a real Iceberg
+        RewriteDataFiles action does."""
+        import time
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        from kafka_delta_ingest_spark.avro_python import (
+            read_container,
+            write_container,
+        )
+
+        if ts_ms is None:
+            ts_ms = int(time.time() * 1000)
+        _, meta = self._current()
+        if meta is None:
+            raise ValueError("optimize on an empty table")
+        cur_id = meta.get("current-snapshot-id")
+        snap = next(
+            s for s in meta["snapshots"] if s["snapshot-id"] == cur_id
+        )
+        with open(_norm_path(snap["manifest-list"]), "rb") as f:
+            _, manifests = read_container(f.read())
+        # collect live small data files per partition tuple
+        groups: dict[tuple, list[str]] = {}
+        for m in manifests:
+            if m.get("content", 0) != 0:
+                continue
+            with open(_norm_path(m["manifest_path"]), "rb") as f:
+                _, entries = read_container(f.read())
+            for e in entries:
+                if e.get("status") == 2:
+                    continue
+                df_ = e["data_file"]
+                if df_.get("content", 0) != 0:
+                    continue
+                if df_["file_size_in_bytes"] >= target_file_bytes:
+                    continue
+                key = tuple(sorted((df_.get("partition") or {}).items()))
+                groups.setdefault(key, []).append(
+                    _norm_path(df_["file_path"])
+                )
+        groups = {k: v for k, v in groups.items() if len(v) > 1}
+        if not groups:
+            return cur_id
+        compacted = {p for paths in groups.values() for p in paths}
+        # rewrite each compaction group through the DELETE-APPLYING
+        # read path (live view of exactly those files)
+        new_files = []
+        for key, paths in sorted(groups.items()):
+            live = read_iceberg(
+                spark, self.root, _file_subset=set(paths)
+            )
+            staging = os.path.join(
+                self.root, f"_staging-{uuid.uuid4().hex}"
+            )
+            live.coalesce(1).write.mode("overwrite").parquet(staging)
+            import shutil
+
+            rel_dir = "/".join(
+                f"{c}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
+                for c, v in key
+            )
+            for fname in sorted(os.listdir(staging)):
+                if not fname.endswith(".parquet"):
+                    continue
+                src = os.path.join(staging, fname)
+                md = pq.ParquetFile(src).metadata
+                if md.num_rows == 0:
+                    continue
+                dest_dir = os.path.join(self.data_dir, rel_dir)
+                os.makedirs(dest_dir, exist_ok=True)
+                dest = os.path.join(
+                    dest_dir, f"opt-{uuid.uuid4().hex}.parquet"
+                )
+                shutil.move(src, dest)
+                new_files.append(
+                    {
+                        "content": 0,
+                        "file_path": dest,
+                        "file_format": "PARQUET",
+                        "partition": dict(key),
+                        "record_count": md.num_rows,
+                        "file_size_in_bytes": os.path.getsize(dest),
+                        "equality_ids": None,
+                    }
+                )
+            shutil.rmtree(staging, ignore_errors=True)
+        # base manifests: prior DATA manifests rewritten without the
+        # compacted entries (EXISTING status, original seqs); delete
+        # manifests carried forward untouched
+        base = []
+        for m in manifests:
+            if m.get("content", 0) != 0:
+                base.append(m)
+                continue
+            man_seq = m.get("sequence_number") or 0
+            with open(_norm_path(m["manifest_path"]), "rb") as f:
+                _, entries = read_container(f.read())
+            kept = []
+            for e in entries:
+                if e.get("status") == 2:
+                    continue
+                df_ = e["data_file"]
+                if _norm_path(df_["file_path"]) in compacted:
+                    continue
+                seq = e.get("sequence_number")
+                kept.append(
+                    {
+                        "status": 0,  # EXISTING
+                        "snapshot_id": e.get("snapshot_id"),
+                        "sequence_number": (
+                            seq if seq is not None else man_seq
+                        ),
+                        "data_file": df_,
+                    }
+                )
+            if not kept:
+                continue
+            man_path = os.path.join(
+                self.meta_dir, f"manifest-{uuid.uuid4().hex}.avro"
+            )
+            blob = write_container(kept, _MANIFEST_ENTRY_SCHEMA)
+            with open(man_path, "wb") as f:
+                f.write(blob)
+            base.append(
+                {
+                    "manifest_path": man_path,
+                    "manifest_length": len(blob),
+                    "partition_spec_id": 0,
+                    "content": 0,
+                    "sequence_number": m.get("sequence_number"),
+                    "min_sequence_number": m.get("min_sequence_number"),
+                    "added_snapshot_id": m.get("added_snapshot_id"),
+                }
+            )
+        return self._commit_snapshot(
+            [(new_files, 0)], "replace", ts_ms, attempts,
+            base_manifests=base,
+        )
+
     def delete_where(self, spark, predicate: str,
                      ts_ms: int | None = None,
                      attempts: int = 100) -> int:
@@ -933,13 +1037,17 @@ class IcebergWriter:
     def _commit_snapshot(self, manifests: list[tuple[list[dict], int]],
                          operation: str, ts_ms: int,
                          attempts: int,
-                         summary: dict[str, str] | None = None) -> int:
+                         summary: dict[str, str] | None = None,
+                         base_manifests: list[dict] | None = None) -> int:
         """Optimistic snapshot commit: one new manifest per
         ``(files, content)`` pair (entries carry explicit sequence
         numbers), prior manifests carried forward in the manifest
         list, v<N+1>.metadata.json claimed with O_CREAT|O_EXCL,
         version-hint swapped atomically. Retries from fresh state on a
-        version race."""
+        version race. ``base_manifests`` REPLACES the carry-forward
+        set (compaction's rewritten manifest list) — such commits do
+        not survive a version race and raise instead of silently
+        rebasing onto state they did not rewrite."""
         import uuid
 
         from kafka_delta_ingest_spark.avro_python import write_container
@@ -981,18 +1089,22 @@ class IcebergWriter:
                     }
                 )
             # manifest list: prior snapshot's manifests carried forward
-            # + the new ones — O(new files) commit work
-            prior_manifests = []
-            if snaps:
-                cur_snap = None
-                cur_id = (meta or {}).get("current-snapshot-id")
-                for s in snaps:
-                    if s["snapshot-id"] == cur_id:
-                        cur_snap = s
-                if cur_snap is not None:
-                    with open(_norm_path(cur_snap["manifest-list"]),
-                              "rb") as f:
-                        _, prior_manifests = read_container(f.read())
+            # + the new ones — O(new files) commit work. Compaction
+            # passes its own rewritten base set instead.
+            if base_manifests is not None:
+                prior_manifests = list(base_manifests)
+            else:
+                prior_manifests = []
+                if snaps:
+                    cur_snap = None
+                    cur_id = (meta or {}).get("current-snapshot-id")
+                    for s in snaps:
+                        if s["snapshot-id"] == cur_id:
+                            cur_snap = s
+                    if cur_snap is not None:
+                        with open(_norm_path(cur_snap["manifest-list"]),
+                                  "rb") as f:
+                            _, prior_manifests = read_container(f.read())
             mlist_rows = list(prior_manifests) + new_rows
             mlist_path = os.path.join(
                 self.meta_dir, f"snap-{snap_id}-{uuid.uuid4().hex}.avro"
@@ -1050,6 +1162,12 @@ class IcebergWriter:
                 for p in written:
                     os.unlink(p)
                 os.unlink(mlist_path)
+                if base_manifests is not None:
+                    raise RuntimeError(
+                        "concurrent commit raced a compaction whose "
+                        "manifest rewrite derives from the old "
+                        "snapshot — rerun optimize() on fresh state"
+                    )
                 continue
             with os.fdopen(fd, "w") as f:
                 json.dump(new_meta, f)
@@ -1100,8 +1218,9 @@ class IcebergSink:
     reference's Hive-partitioned output, src/writer.rs:390-427) — the
     first write pins the spec; later batches must match it. Hidden
     partitioning (bucket/truncate/day) stays a documented writer seam.
-    ``optimize`` raises (compaction = rewrite/replacecommit
-    territory)."""
+    ``optimize`` runs bin-packing compaction as a ``replace``
+    snapshot (r8; ``--auto_optimize_interval`` parity with the Delta
+    destinations)."""
 
     def __init__(self, path: str, target_schema):
         self.path = path
@@ -1219,9 +1338,9 @@ class IcebergSink:
     def read(self, spark, as_of=None):
         return read_iceberg(spark, self.path, snapshot_id=as_of)
 
-    def optimize(self, *args, **kwargs):
-        raise NotImplementedError(
-            "Iceberg compaction (rewrite/replacecommit) is not "
-            "implemented by this writer — run an Iceberg maintenance "
-            "engine against the table"
-        )
+    def optimize(self, spark, target_file_bytes: int = 134_217_728,
+                 **_kwargs):
+        """Bin-packing compaction (``--auto_optimize_interval`` parity
+        with the Delta destinations) — one ``replace`` snapshot, see
+        IcebergWriter.optimize."""
+        return self.w.optimize(spark, target_file_bytes)

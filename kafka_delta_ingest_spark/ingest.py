@@ -98,6 +98,12 @@ class IngestJob:
             from kafka_delta_ingest_spark.iceberg import IcebergSink
 
             self.table = IcebergSink(opts.table_uri, target_schema)
+        elif fmt == "hudi":
+            # Apache Hudi CoW destination: exactly-once offsets ride
+            # in commit extraMetadata (DeltaStreamer's checkpoint slot)
+            from kafka_delta_ingest_spark.hudi import HudiSink
+
+            self.table = HudiSink(opts.table_uri)
         else:
             self.table = DeltaLikeTable(opts.table_uri)
         self.dlq = DeadLetterQueue(

@@ -548,3 +548,95 @@ def test_iceberg_writer_partitioned_delete_where(spark, tmp_path):
         spark, t, partition_filter=lambda p: p.get("lang") == "fr"
     )
     assert sorted(r.doc_id for r in fr.collect()) == [1, 5, 7]
+
+
+def test_iceberg_writer_optimize_compacts_and_materializes_deletes(
+    spark, tmp_path
+):
+    """r8 (closes the r7 seam): optimize() bin-packs small data files
+    into one ``replace`` snapshot — compacted inputs leave the plan,
+    surviving files keep their ORIGINAL sequence numbers (older
+    equality deletes still scope over them), position/equality deletes
+    touching the inputs are MATERIALIZED into the rewritten output,
+    and the live view is row-identical before and after."""
+    from kafka_delta_ingest_spark.avro_python import read_container
+    from kafka_delta_ingest_spark.iceberg import (
+        IcebergWriter,
+        load_metadata,
+        plan_files,
+        read_iceberg,
+    )
+
+    t = str(tmp_path / "opt")
+    fields = [
+        {"id": 1, "name": "doc_id", "type": "long", "required": False},
+        {"id": 2, "name": "grp", "type": "string", "required": False},
+    ]
+    w = IcebergWriter(t, fields)
+    mk = lambda lo, n: spark.range(lo, lo + n).select(  # noqa: E731
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 2).cast("string").alias("grp"),
+    )
+    w.append(mk(0, 5).coalesce(1), ts_ms=1000)
+    w.append(mk(5, 5).coalesce(1), ts_ms=2000)
+    w.append(mk(10, 5).coalesce(1), ts_ms=3000)
+    w.delete_where(spark, "doc_id % 4 = 0", ts_ms=4000)  # MoR delete
+    before = sorted(r.doc_id for r in read_iceberg(spark, t).collect())
+    n_files_before = len(plan_files(t)[0])
+    snap = w.optimize(spark)  # everything is tiny -> one output file
+    after = sorted(r.doc_id for r in read_iceberg(spark, t).collect())
+    assert after == before  # row-identical live view
+    data_files, pos_del, _eq, meta = plan_files(t)
+    assert len(data_files) == 1 < n_files_before
+    # the compacted output's sequence number is NEWER than the delete's
+    out_seq = data_files[0][1]
+    assert all(out_seq > dseq for _p, dseq in pos_del)
+    # operation recorded as replace
+    cur = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    assert cur["summary"]["operation"] == "replace"
+    assert snap == meta["current-snapshot-id"]
+    # deleted rows stay deleted (materialized, not resurrected)
+    assert all(d % 4 != 0 for d in after)
+    # time travel to the pre-compaction snapshot still works
+    assert sorted(
+        r.doc_id
+        for r in read_iceberg(spark, t, as_of_timestamp_ms=3500).collect()
+    ) == list(range(15))
+
+
+def test_iceberg_optimize_partitioned_and_noop(spark, tmp_path):
+    from kafka_delta_ingest_spark.iceberg import (
+        IcebergWriter,
+        plan_files,
+        read_iceberg,
+    )
+
+    t = str(tmp_path / "optp")
+    fields = [
+        {"id": 1, "name": "doc_id", "type": "long", "required": False},
+        {"id": 2, "name": "lang", "type": "string", "required": False},
+    ]
+    w = IcebergWriter(t, fields, partition_by=["lang"])
+    df = spark.range(8).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("fr").alias("lang"),
+    )
+    w.append(df, ts_ms=1000)
+    w.append(df.withColumn("doc_id", F.col("doc_id") + 100), ts_ms=2000)
+    w.optimize(spark)
+    data_files, _, _, _ = plan_files(t)
+    # one compacted file per partition
+    assert len(data_files) == 2
+    got = sorted(
+        (r.doc_id, r.lang) for r in read_iceberg(spark, t).collect()
+    )
+    assert got == sorted(
+        [(i, "en" if i % 2 == 0 else "fr") for i in range(8)]
+        + [(i + 100, "en" if i % 2 == 0 else "fr") for i in range(8)]
+    )
+    # second optimize: single file per partition -> no-op, same snapshot
+    cur = w._current()[1]["current-snapshot-id"]
+    assert w.optimize(spark) == cur

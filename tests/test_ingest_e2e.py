@@ -4,6 +4,7 @@ assert exact rows, partitions, stats, and txn offsets."""
 
 import datetime
 import json
+import os
 
 import pytest
 from pyspark.sql import Row, functions as F
@@ -654,3 +655,117 @@ def test_schema_evolution_mid_stream_standard_log(spark, tmp_path):
     assert out["4"] == ("red", 40)     # post-evolution: value lands
     # exactly-once survives evolution: replay of batch 2 is skipped
     assert job.run_batch(raw(3, 3, extra=lambda i: {"size": i * 10})).skipped
+
+
+def test_web_requests_e2e_hudi_destination(spark, tmp_path):
+    """The reference pipeline into an Apache HUDI CoW destination
+    (IngestOptions.log_format='hudi'): same transforms, exactly-once
+    offsets in commit extraMetadata (DeltaStreamer's checkpoint slot),
+    read-back through the independent read_hudi timeline walk."""
+    from kafka_delta_ingest_spark.hudi import (
+        HudiSink,
+        completed_commits,
+        read_hudi,
+    )
+
+    table = str(tmp_path / "web_requests_hudi")
+    opts = IngestOptions(
+        topic="web_requests",
+        table_uri=table,
+        app_id="wr",
+        transforms=WEB_REQUESTS_TRANSFORMS,
+        partition_by=["date"],
+        log_format="hudi",
+    )
+    job = IngestJob(opts, WEB_REQUESTS_SCHEMA)
+    raw = _raw_df(spark, [_msg(i, i % 2) for i in range(20)])
+    m = job.run_batch(raw)
+    assert not m.skipped and m.delta_write_num_records == 20
+
+    back = read_hudi(spark, table)
+    assert back.count() == 20
+    r = back.filter(F.col("uuid") == "uuid-3").collect()[0]
+    assert r.date == "2021-03-24"
+    assert r.meta.kafka.offset == "3"
+    assert r.status == 404
+    # hive partition layout + hudi file naming
+    import glob as _glob
+
+    files = _glob.glob(table + "/date=2021-03-24/*.parquet")
+    assert files and all("_0-1-0_" in os.path.basename(f) for f in files)
+    # meta columns present in the files, dropped by the reader
+    assert "_hoodie_commit_time" not in back.columns
+    got_meta = read_hudi(spark, table, keep_meta=True)
+    assert "_hoodie_record_key" in got_meta.columns
+
+    # exactly-once: ledger in extraMetadata drives replay-skip
+    snap = HudiSink(table).snapshot()
+    assert snap["txn"] == {"wr-0": 18, "wr-1": 19}
+    m2 = job.run_batch(raw)
+    assert m2.skipped
+    assert read_hudi(spark, table).count() == 20
+    assert len(completed_commits(table)) == 1  # one commit per batch
+
+
+def test_hudi_seek_offsets_bootstrap(spark, tmp_path):
+    """--seek_offsets against a Hudi destination: offsets land in an
+    EMPTY bootstrap commit's extraMetadata; the floor guard then drops
+    already-covered rows."""
+    from kafka_delta_ingest_spark.hudi import read_hudi
+    from kafka_delta_ingest_spark.offsets import write_offsets_to_table
+
+    table = str(tmp_path / "seek_hudi")
+    opts = IngestOptions(
+        topic="web_requests", table_uri=table, app_id="wr",
+        transforms=WEB_REQUESTS_TRANSFORMS,
+        seek_offsets={0: 9, 1: 9}, log_format="hudi",
+    )
+    job = IngestJob(opts, WEB_REQUESTS_SCHEMA)
+    write_offsets_to_table(job.table, opts.app_id, opts.seek_offsets)
+    assert job.table.snapshot()["txn"] == {"wr-0": 9, "wr-1": 9}
+    raw = _raw_df(spark, [_msg(i, i % 2) for i in range(20)])
+    m = job.run_batch(raw)
+    assert m.delta_write_num_records == 10
+    got = sorted(
+        int(r.uuid.split("-")[1])
+        for r in read_hudi(spark, table).collect()
+    )
+    assert got == list(range(10, 20))
+
+
+def test_hudi_destination_clustering_optimize(spark, tmp_path):
+    """auto-OPTIMIZE parity on the Hudi destination: small file
+    groups cluster into one group per partition via replacecommit;
+    rows and commit times survive."""
+    from kafka_delta_ingest_spark.hudi import (
+        HudiSink,
+        plan_file_groups,
+        read_hudi,
+    )
+
+    table = str(tmp_path / "hudi_clust")
+    opts = IngestOptions(
+        topic="web_requests", table_uri=table, app_id="wr",
+        transforms=WEB_REQUESTS_TRANSFORMS, log_format="hudi",
+    )
+    job = IngestJob(opts, WEB_REQUESTS_SCHEMA)
+    for b in range(3):
+        job.run_batch(
+            _raw_df(
+                spark,
+                [_msg(b * 10 + i, (b * 10 + i) % 2) for i in range(10)],
+            )
+        )
+    groups_before, _ = plan_file_groups(table)
+    sink = HudiSink(table)
+    instant = sink.optimize(spark)
+    assert instant is not None
+    groups_after, _ = plan_file_groups(table)
+    assert len(groups_after) < len(groups_before)
+    back = read_hudi(spark, table)
+    assert back.count() == 30
+    assert {r.uuid for r in back.collect()} == {
+        f"uuid-{i}" for i in range(30)
+    }
+    # clustering is a table service: a second run is a no-op
+    assert sink.optimize(spark) is None
