@@ -354,69 +354,73 @@ def _resolve_version(log: str, version=None, timestamp_ms=None) -> int:
     return max(versions)
 
 
-def _phys_type_json(t):
-    """Recursively apply ``physicalName`` renames inside nested
-    struct/array/map types (name-mode column mapping maps EVERY
-    level's names, not just the top — r8 ADVICE, low)."""
+def _nullable_schema_json(schema) -> str:
+    """Schema JSON with every field (at every level) nullable — what
+    delta-spark stores for DataFrame writes without explicit NOT NULL
+    constraints. Freezing Spark's incidental non-nullability (range(),
+    literals) into schemaString would make ordinary subset appends
+    illegal forever; NOT NULL is an explicit-constraint feature, not a
+    side effect of the first frame."""
+    j = json.loads(schema.json())
+    nullable = lambda f: {**f, "nullable": True}  # noqa: E731
+    return json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {**nullable(f), "type": _map_type_json(f["type"], nullable)}
+                for f in j["fields"]
+            ],
+        }
+    )
+
+
+def _map_type_json(t, field_fn):
+    """Recursively rewrite every field of a schema-JSON type through
+    ``field_fn`` — column mapping applies at EVERY nesting level
+    (struct/array/map), not just the top (r8 ADVICE, low)."""
     if isinstance(t, dict):
         k = t.get("type")
         if k == "struct":
             return {
                 "type": "struct",
-                "fields": [_phys_field_json(f) for f in t["fields"]],
+                "fields": [
+                    {**field_fn(f),
+                     "type": _map_type_json(f["type"], field_fn)}
+                    for f in t["fields"]
+                ],
             }
         if k == "array":
-            return {**t, "elementType": _phys_type_json(t["elementType"])}
+            return {
+                **t,
+                "elementType": _map_type_json(t["elementType"], field_fn),
+            }
         if k == "map":
             return {
                 **t,
-                "keyType": _phys_type_json(t["keyType"]),
-                "valueType": _phys_type_json(t["valueType"]),
+                "keyType": _map_type_json(t["keyType"], field_fn),
+                "valueType": _map_type_json(t["valueType"], field_fn),
             }
     return t
 
 
 def _phys_field_json(f):
+    """Name-mode leaf transform: physicalName rename, metadata cleared."""
     phys = (f.get("metadata") or {}).get(
         "delta.columnMapping.physicalName"
     ) or f["name"]
-    return {**f, "name": phys, "metadata": {},
-            "type": _phys_type_json(f["type"])}
+    return {**f, "name": phys, "metadata": {}}
 
 
-def _id_type_json(t):
-    """Recursively rewrite field metadata to ``parquet.field.id`` so
-    Spark's native field-id matching resolves NESTED columns too."""
-    if isinstance(t, dict):
-        k = t.get("type")
-        if k == "struct":
-            return {
-                "type": "struct",
-                "fields": [_id_field_json(f) for f in t["fields"]],
-            }
-        if k == "array":
-            return {**t, "elementType": _id_type_json(t["elementType"])}
-        if k == "map":
-            return {
-                **t,
-                "keyType": _id_type_json(t["keyType"]),
-                "valueType": _id_type_json(t["valueType"]),
-            }
-    return t
-
-
-def _id_field_json(f):
+def _id_leaf_json(f):
+    """Id-mode leaf transform: parquet.field.id metadata (Spark's
+    native field-id matching then resolves nested columns too)."""
     fid = (f.get("metadata") or {}).get("delta.columnMapping.id")
     if fid is None:
         raise ValueError(
             f"columnMapping mode 'id' but field {f['name']!r} "
             "has no delta.columnMapping.id"
         )
-    return {
-        **f,
-        "metadata": {"parquet.field.id": int(fid)},
-        "type": _id_type_json(f["type"]),
-    }
+    return {**f, "metadata": {"parquet.field.id": int(fid)}}
 
 
 def _schema_mapping(meta: dict):
@@ -447,12 +451,18 @@ def _schema_mapping(meta: dict):
                 rename[phys] = f["name"]
     if mode == "name":
         read_fields = {
-            f["name"]: StructField.fromJson(_phys_field_json(f))
+            f["name"]: StructField.fromJson(
+                {**_phys_field_json(f),
+                 "type": _map_type_json(f["type"], _phys_field_json)}
+            )
             for f in schema_json.get("fields", [])
         }
     elif mode == "id":
         read_fields = {
-            f["name"]: StructField.fromJson(_id_field_json(f))
+            f["name"]: StructField.fromJson(
+                {**_id_leaf_json(f),
+                 "type": _map_type_json(f["type"], _id_leaf_json)}
+            )
             for f in schema_json.get("fields", [])
         }
     parts = list(meta.get("partitionColumns") or [])
@@ -757,38 +767,43 @@ class DeltaFixtureWriter:
             )
         return self._commit(actions, "WRITE", timestamp_ms)
 
-    def _live_add(self, rel_path: str) -> dict | None:
-        """The path's current add action from own (JSON-only) log."""
-        cur = None
+    def _live_adds(self) -> dict[str, dict]:
+        """path → current add action, one pass over the JSON log."""
+        adds: dict[str, dict] = {}
         for v in _commit_versions(self.log):
             with open(os.path.join(self.log, f"{v:020d}.json")) as f:
                 for line in f:
                     act = json.loads(line)
-                    if "add" in act and act["add"]["path"] == rel_path:
-                        cur = act["add"]
-                    elif ("remove" in act
-                          and act["remove"]["path"] == rel_path):
-                        cur = None
-        return cur
+                    if "add" in act:
+                        adds[act["add"]["path"]] = act["add"]
+                    elif "remove" in act:
+                        _reconcile_remove(adds, act["remove"])
+        return adds
 
-    def _remove_action(self, rel_path: str, timestamp_ms: int,
-                       data_change: bool = True) -> dict:
-        # carry the live add's DV so (path, dv uid) reconciliation
-        # tombstones the right entry
-        a = self._live_add(rel_path) or {}
-        r = {
-            "path": rel_path,
-            "deletionTimestamp": timestamp_ms,
-            "dataChange": data_change,
-        }
-        if a.get("deletionVector"):
-            r["deletionVector"] = a["deletionVector"]
-        return {"remove": r}
+    def _live_add(self, rel_path: str) -> dict | None:
+        """The path's current add action from own (JSON-only) log."""
+        return self._live_adds().get(rel_path)
+
+    def _remove_actions(self, rel_paths: list[str], timestamp_ms: int,
+                        data_change: bool = True) -> list[dict]:
+        # carry each live add's DV so (path, dv uid) reconciliation
+        # tombstones the right entry — ONE log pass for the batch
+        live = self._live_adds()
+        out = []
+        for p in rel_paths:
+            r = {
+                "path": p,
+                "deletionTimestamp": timestamp_ms,
+                "dataChange": data_change,
+            }
+            dv = (live.get(p) or {}).get("deletionVector")
+            if dv:
+                r["deletionVector"] = dv
+            out.append({"remove": r})
+        return out
 
     def remove_files(self, rel_paths: list[str], timestamp_ms: int) -> int:
-        actions = [
-            self._remove_action(p, timestamp_ms) for p in rel_paths
-        ]
+        actions = self._remove_actions(rel_paths, timestamp_ms)
         return self._commit(actions, "DELETE", timestamp_ms)
 
     def commit_with_cdc(self, remove_rel_paths: list[str],
@@ -809,10 +824,7 @@ class DeltaFixtureWriter:
             pa.table({c: [r[c] for r in cdc_rows] for c in cols}),
             os.path.join(self.root, rel),
         )
-        actions = [
-            self._remove_action(p, timestamp_ms)
-            for p in remove_rel_paths
-        ]
+        actions = self._remove_actions(remove_rel_paths, timestamp_ms)
         actions.append(
             {
                 "cdc": {
@@ -846,16 +858,7 @@ class DeltaFixtureWriter:
         )
 
         # find the file's current add action in own (JSON-only) log
-        cur = None
-        for v in _commit_versions(self.log):
-            with open(os.path.join(self.log, f"{v:020d}.json")) as f:
-                for line in f:
-                    act = json.loads(line)
-                    if "add" in act and act["add"]["path"] == rel_path:
-                        cur = act["add"]
-                    elif ("remove" in act
-                          and act["remove"]["path"] == rel_path):
-                        cur = None
+        cur = self._live_add(rel_path)
         if cur is None:
             raise ValueError(f"{rel_path} is not a live file")
         all_pos = set(positions)
@@ -1240,13 +1243,25 @@ class DeltaStandardWriter:
         cast) frame."""
         from pyspark.sql import functions as F
 
-        stored = {
-            f["name"]: f["type"]
-            for f in json.loads(meta["schemaString"])["fields"]
-        }
+        stored_fields = json.loads(meta["schemaString"])["fields"]
+        stored = {f["name"]: f["type"] for f in stored_fields}
+        frame_fields = json.loads(df.schema.json())["fields"]
+        frame_names = {f["name"] for f in frame_fields}
+        required_missing = sorted(
+            f["name"]
+            for f in stored_fields
+            if not f.get("nullable", True)
+            and f["name"] not in frame_names
+        )
+        if required_missing:
+            raise ValueError(
+                f"frame omits non-nullable table column(s) "
+                f"{required_missing}; only nullable columns may be "
+                "omitted (they read back as null)"
+            )
         cols = []
         needs_cast = False
-        for f in json.loads(df.schema.json())["fields"]:
+        for f in frame_fields:
             name = f["name"]
             if name not in stored:
                 raise ValueError(
@@ -1309,13 +1324,13 @@ class DeltaStandardWriter:
                 raise ValueError(
                     f"evolved schema omits partition column {c!r}"
                 )
-        if json.loads(schema.json()) == json.loads(
+        if json.loads(_nullable_schema_json(schema)) == json.loads(
             state["meta"]["schemaString"]
         ):
             return read_v
         now_ms = int(time.time() * 1000)
         new_meta = dict(state["meta"])
-        new_meta["schemaString"] = schema.json()
+        new_meta["schemaString"] = _nullable_schema_json(schema)
         version = self._atomic_commit(
             [
                 {
@@ -1372,35 +1387,51 @@ class DeltaStandardWriter:
           current version returned — exactly-once under races.
 
         Blind appends (no read_version) retry unconditionally: they
-        are serializable against anything by construction."""
+        are serializable against anything by construction.
+
+        The claim itself is ``os.link`` of a FULLY-WRITTEN temp file
+        onto the version name — put-if-absent WITH content, never
+        create-then-write: a racer's conflict check (or any reader)
+        can never observe a claimed-but-empty commit file."""
+        import uuid as _uuid
+
         payload = "\n".join(json.dumps(a) for a in actions) + "\n"
-        checked_through = read_version
-        for _ in range(attempts):
-            version = self.latest_version() + 1
-            if checked_through is not None and version > checked_through + 1:
-                if txn:
-                    stored = self._py_replay(target=version - 1)["txn"]
-                    if all(
-                        app in stored and stored[app] >= ver
-                        for app, ver in txn.items()
-                    ):
-                        return version - 1  # replay — other writer won
-                self._raise_on_conflict(
-                    checked_through + 1, version - 1,
-                    read_files, conflict_on_any_change,
-                )
-                checked_through = version - 1
-            try:
-                fd = os.open(
-                    os.path.join(self.log, f"{version:020d}.json"),
-                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-                )
-            except FileExistsError:
-                continue  # another writer claimed this version
-            with os.fdopen(fd, "w") as f:
-                f.write(payload)
-            return version
-        raise RuntimeError("exhausted commit attempts (version race)")
+        tmp = os.path.join(self.log, f".commit-{_uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            f.write(payload)
+        try:
+            checked_through = read_version
+            for _ in range(attempts):
+                version = self.latest_version() + 1
+                if (
+                    checked_through is not None
+                    and version > checked_through + 1
+                ):
+                    if txn:
+                        stored = self._py_replay(
+                            target=version - 1
+                        )["txn"]
+                        if all(
+                            app in stored and stored[app] >= ver
+                            for app, ver in txn.items()
+                        ):
+                            return version - 1  # replay — racer won
+                    self._raise_on_conflict(
+                        checked_through + 1, version - 1,
+                        read_files, conflict_on_any_change,
+                    )
+                    checked_through = version - 1
+                try:
+                    os.link(
+                        tmp,
+                        os.path.join(self.log, f"{version:020d}.json"),
+                    )
+                except FileExistsError:
+                    continue  # another writer claimed this version
+                return version
+            raise RuntimeError("exhausted commit attempts (version race)")
+        finally:
+            os.unlink(tmp)
 
     def _raise_on_conflict(
         self,
@@ -1476,8 +1507,10 @@ class DeltaStandardWriter:
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unsupported mode {mode!r}")
         txn = dict(txn or {})
-        read_v = self.latest_version()
-        state = self._py_replay(target=read_v if read_v >= 0 else None)
+        read_v = self.latest_version()  # -1 on a brand-new table: the
+        # conflict/replay checks then cover EVERY commit that lands
+        # before ours, incl. a racer bootstrapping the same first batch
+        state = self._py_replay(target=read_v)
         if txn:
             stored = state["txn"]
             if all(
@@ -1565,7 +1598,9 @@ class DeltaStandardWriter:
                     "metaData": {
                         "id": str(uuid.uuid4()),
                         "format": {"provider": "parquet", "options": {}},
-                        "schemaString": df.schema.json(),
+                        "schemaString": _nullable_schema_json(
+                            df.schema
+                        ),
                         "partitionColumns": partition_by,
                         "configuration": (
                             {"delta.enableChangeDataFeed": "true"}
@@ -1600,7 +1635,7 @@ class DeltaStandardWriter:
         actions += [{"add": a} for a in adds]
         version = self._atomic_commit(
             actions,
-            read_version=read_v if read_v >= 0 else None,
+            read_version=read_v,
             conflict_on_any_change=(mode == "overwrite"),
             txn=txn or None,
         )
@@ -2082,11 +2117,14 @@ class DeltaStandardWriter:
     def _write_checkpoint(self, version: int) -> None:
         """Single-part parquet checkpoint of the reconciled state at
         ``version`` + ``_last_checkpoint`` pointer (protocol layout:
-        one action per row, struct columns, stats as JSON string)."""
+        one action per row, struct columns, stats as JSON string).
+        Replay is PINNED to ``version`` — a concurrent writer's later
+        commit must never leak into a checkpoint named for an earlier
+        version (time travel / RESTORE would silently read the future)."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        state = self._py_replay()
+        state = self._py_replay(target=version)
         rows = [
             {
                 "protocol": state["protocol"]

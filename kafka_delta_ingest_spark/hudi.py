@@ -1177,9 +1177,20 @@ class HudiCowWriter:
 
     # -- write ------------------------------------------------------------
 
-    def insert_batch(self, df, extra_metadata: dict | None = None):
+    def insert_batch(self, df, extra_metadata: dict | None = None,
+                     skip_if_stored: dict | None = None):
         """Append ``df`` as one CoW insert commit; returns
-        (instant, n_files, n_records)."""
+        (instant, n_files, n_records) — (None, 0, 0) when the batch is
+        empty or ``skip_if_stored`` offsets turn out already committed.
+
+        ``skip_if_stored`` (``kdi.offsets.*`` key → int) re-checks the
+        stored ledger AFTER the instant claim: the common exactly-once
+        race (a sibling worker finished the same batch before our
+        claim) skips instead of double-appending. A racer still
+        IN FLIGHT at our claim is not detectable from the timeline
+        alone — Hudi itself requires a lock provider for true
+        multi-writer; this destination's contract is single-writer
+        plus replay, same as Hudi DeltaStreamer's default."""
         import shutil
         import uuid as _uuid
 
@@ -1189,6 +1200,18 @@ class HudiCowWriter:
 
         hoodie = os.path.join(self.path, ".hoodie")
         instant = self._claim_instant("commit")
+        if skip_if_stored:
+            stored = self.stored_extra_metadata()
+            if all(
+                k in stored and int(stored[k]) >= int(v)
+                for k, v in skip_if_stored.items()
+            ):
+                os.remove(
+                    os.path.join(
+                        hoodie, f"{instant}.commit.requested"
+                    )
+                )
+                return None, 0, 0
         open(os.path.join(hoodie, f"{instant}.commit.inflight"),
              "w").close()
         if self.parts:
@@ -1410,6 +1433,10 @@ class HudiSink:
     def __init__(self, path: str):
         self.path = path
         self._w: HudiCowWriter | None = None
+        # ledger cache keyed by the latest completed instant: without
+        # it every batch re-parses EVERY commit JSON (O(commits) I/O
+        # per batch, quadratic over a stream's life)
+        self._txn_cache: tuple[str | None, dict[str, int]] | None = None
 
     def _writer(self, partition_by=None) -> HudiCowWriter:
         if self._w is None:
@@ -1428,10 +1455,14 @@ class HudiSink:
     def _stored_txn(self) -> dict[str, int]:
         if not os.path.isdir(os.path.join(self.path, ".hoodie")):
             return {}
+        latest = self._writer().latest_instant()
+        if self._txn_cache is not None and self._txn_cache[0] == latest:
+            return dict(self._txn_cache[1])
         out = {}
         for k, v in self._writer().stored_extra_metadata().items():
             if k.startswith("kdi.offsets."):
                 out[k[len("kdi.offsets."):]] = int(v)
+        self._txn_cache = (latest, dict(out))
         return out
 
     def snapshot(self) -> dict:
@@ -1460,11 +1491,13 @@ class HudiSink:
                 self.snapshot()["version"], 0, 0, skipped=True
             )
         w = self._writer(partition_by)
+        offsets = {f"kdi.offsets.{a}": str(v) for a, v in txn.items()}
         instant, n_files, n_records = w.insert_batch(
             df,
-            extra_metadata={
-                f"kdi.offsets.{a}": str(v) for a, v in txn.items()
-            },
+            extra_metadata=offsets,
+            # post-claim re-check: a sibling worker that committed the
+            # SAME batch before our instant claim makes this a skip
+            skip_if_stored=offsets or None,
         )
         if instant is None:
             return CommitResult(

@@ -707,6 +707,18 @@ class IcebergWriter:
             _parse_partition_values,
         )
 
+        _, cur_meta = self._current()
+        if cur_meta is not None:
+            declared = _identity_partition_fields(cur_meta)
+            if declared and not self.partition_by:
+                # adopt the table's spec — a maintenance/bootstrap
+                # writer instance must not write spec-violating files
+                self.partition_by = declared
+            elif self.partition_by != declared:
+                raise ValueError(
+                    f"partition_by {self.partition_by} != table's "
+                    f"declared identity spec {declared}"
+                )
         types_by_name = {f["name"]: f["type"] for f in self.fields}
         staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex}")
         if self.partition_by:
@@ -1121,16 +1133,32 @@ class IcebergWriter:
                                 **(summary or {})},
                 }
             )
-            ids_by_name = {f["name"]: f["id"] for f in self.fields}
-            spec_fields = [
-                {
-                    "name": c,
-                    "transform": "identity",
-                    "source-id": ids_by_name[c],
-                    "field-id": 1000 + i,
-                }
-                for i, c in enumerate(self.partition_by)
-            ]
+            if meta is not None:
+                # NEVER rebuild an existing table's partition spec
+                # from this writer instance's (possibly-default-empty)
+                # partition_by — a spec-less bootstrap/maintenance
+                # commit would silently wipe a partitioned table's
+                # identity spec and brick subsequent writes.
+                spec_fields = next(
+                    (
+                        s["fields"]
+                        for s in meta.get("partition-specs") or []
+                        if s.get("spec-id")
+                        == meta.get("default-spec-id", 0)
+                    ),
+                    [],
+                )
+            else:
+                ids_by_name = {f["name"]: f["id"] for f in self.fields}
+                spec_fields = [
+                    {
+                        "name": c,
+                        "transform": "identity",
+                        "source-id": ids_by_name[c],
+                        "field-id": 1000 + i,
+                    }
+                    for i, c in enumerate(self.partition_by)
+                ]
             new_meta = {
                 "format-version": 2,
                 "table-uuid": (meta or {}).get(
@@ -1222,7 +1250,8 @@ class IcebergSink:
     snapshot (r8; ``--auto_optimize_interval`` parity with the Delta
     destinations)."""
 
-    def __init__(self, path: str, target_schema):
+    def __init__(self, path: str, target_schema,
+                 partition_by: list[str] | None = None):
         self.path = path
         self._next_id = [0]
 
@@ -1246,7 +1275,12 @@ class IcebergSink:
             return prim if prim is not None else "string"
 
         struct = conv(target_schema)
-        self.w = IcebergWriter(path, struct["fields"])
+        # partition_by here (vs first write_batch) matters when the
+        # FIRST commit is a --seek_offsets bootstrap: the spec is
+        # frozen by whichever commit writes the first metadata
+        self.w = IcebergWriter(
+            path, struct["fields"], partition_by=partition_by
+        )
 
     # -- surface the ingest loop touches --------------------------------
 

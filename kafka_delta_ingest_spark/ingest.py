@@ -97,7 +97,10 @@ class IngestJob:
             # channel)
             from kafka_delta_ingest_spark.iceberg import IcebergSink
 
-            self.table = IcebergSink(opts.table_uri, target_schema)
+            self.table = IcebergSink(
+                opts.table_uri, target_schema,
+                partition_by=getattr(opts, "partition_by", None),
+            )
         elif fmt == "hudi":
             # Apache Hudi CoW destination: exactly-once offsets ride
             # in commit extraMetadata (DeltaStreamer's checkpoint slot)

@@ -483,3 +483,105 @@ def test_standard_raced_same_txn_skips(spark, tmp_path, monkeypatch):
     assert v == w1.latest_version()  # skipped to the winner's commit
     got = sorted(r.doc_id for r in read_delta(spark, t).collect())
     assert got == [0, 1, 2, 3, 100, 101, 102]  # no duplicates
+
+
+def test_standard_first_commit_same_txn_race_skips(spark, tmp_path):
+    # r8 review: the exactly-once re-check must also cover the FIRST
+    # commit of a brand-new table (read_version=-1 previously disabled
+    # it): two workers bootstrapping the same batch → one commit.
+    import kafka_delta_ingest_spark.sinks.delta_like as dl
+    from kafka_delta_ingest_spark.delta_standard import (
+        DeltaStandardWriter,
+        read_delta,
+    )
+
+    t = str(tmp_path / "boot")
+    w1 = DeltaStandardWriter(t)
+
+    real_stats = dl._parquet_stats
+    fired = {"done": False}
+
+    def stats_wrapper(path, monkey=None):
+        if not fired["done"]:
+            fired["done"] = True
+            DeltaStandardWriter(t).write(
+                _std_docs(spark, n=4), txn={"app-0": 3}
+            )
+        return real_stats(path)
+
+    import pytest as _pytest
+
+    mp = _pytest.MonkeyPatch()
+    try:
+        mp.setattr(dl, "_parquet_stats", stats_wrapper)
+        v = w1.write(_std_docs(spark, n=4), txn={"app-0": 3})
+    finally:
+        mp.undo()
+    assert v == w1.latest_version() == 0  # single commit
+    assert read_delta(spark, t).count() == 4  # no duplicates
+
+
+def test_standard_checkpoint_pinned_to_version(spark, tmp_path):
+    # r8 review: a checkpoint named for version N must hold N's state,
+    # never a later concurrent commit's.
+    from kafka_delta_ingest_spark.delta_standard import (
+        DeltaStandardWriter,
+        read_delta,
+    )
+
+    t = str(tmp_path / "ckpin")
+    w = DeltaStandardWriter(t)
+    w.write(_std_docs(spark, n=3))            # v0
+    w.write(_std_docs(spark, n=2, lo=100))    # v1
+    w.write(_std_docs(spark, n=2, lo=200))    # v2
+    # checkpoint written for v1 while v2 already exists (the
+    # concurrent-writer interleaving)
+    w._write_checkpoint(1)
+    got = sorted(
+        r.doc_id for r in read_delta(spark, t, version=1).collect()
+    )
+    assert got == [0, 1, 2, 100, 101]  # v2's rows must NOT leak in
+    assert read_delta(spark, t).count() == 7
+
+
+def test_conform_frame_refuses_omitting_required_column(spark, tmp_path):
+    # r8 review: omitting a NON-NULLABLE table column is a
+    # table-corrupting write and must be refused (nullable columns may
+    # be omitted — they read back as null).
+    import json as _json
+
+    import pytest as _pytest
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from kafka_delta_ingest_spark.delta_standard import (
+        DeltaFixtureWriter,
+        DeltaStandardWriter,
+    )
+
+    t = str(tmp_path / "req")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), nullable=False),
+            StructField("grp", StringType(), nullable=True),
+        ]
+    )
+    fw = DeltaFixtureWriter(t, schema)
+    fw.add_files(
+        [({}, [{"doc_id": 1, "grp": "a"}])], timestamp_ms=1000
+    )
+    meta = _json.loads(
+        open(t + "/_delta_log/" + "0".zfill(20) + ".json").readline()
+    )
+    w = DeltaStandardWriter(t)
+    with _pytest.raises(ValueError, match="non-nullable"):
+        w.write(
+            spark.createDataFrame([("x",)], "grp string")
+        )
+    # omitting the NULLABLE column stays legal
+    w.write(spark.createDataFrame([(7,)], "doc_id long"))

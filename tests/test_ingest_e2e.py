@@ -769,3 +769,77 @@ def test_hudi_destination_clustering_optimize(spark, tmp_path):
     }
     # clustering is a table service: a second run is a no-op
     assert sink.optimize(spark) is None
+
+
+def test_iceberg_seek_bootstrap_preserves_partition_spec(spark, tmp_path):
+    """r8 review: a --seek_offsets bootstrap commit (first commit on
+    the table) must freeze the INTENDED identity spec, and later
+    maintenance commits must never rebuild the spec from a
+    default-empty writer instance."""
+    from kafka_delta_ingest_spark.iceberg import (
+        load_metadata,
+        read_iceberg,
+    )
+    from kafka_delta_ingest_spark.offsets import write_offsets_to_table
+
+    table = str(tmp_path / "seek_part_ice")
+    opts = IngestOptions(
+        topic="web_requests", table_uri=table, app_id="wr",
+        transforms=WEB_REQUESTS_TRANSFORMS,
+        partition_by=["date"], seek_offsets={0: 3, 1: 3},
+        log_format="iceberg",
+    )
+    job = IngestJob(opts, WEB_REQUESTS_SCHEMA)
+    write_offsets_to_table(job.table, opts.app_id, opts.seek_offsets)
+    spec = load_metadata(table)["partition-specs"][0]["fields"]
+    assert [(f["name"], f["transform"]) for f in spec] == [
+        ("date", "identity")
+    ]
+    # the partitioned stream then writes normally over the bootstrap
+    raw = _raw_df(spark, [_msg(i, i % 2) for i in range(10)])
+    m = job.run_batch(raw)
+    assert m.delta_write_num_records == 6  # offsets 0-3 floored per part
+    spec2 = load_metadata(table)["partition-specs"][0]["fields"]
+    assert [(f["name"], f["transform"]) for f in spec2] == [
+        ("date", "identity")
+    ]
+    assert read_iceberg(spark, table).count() == 6
+
+
+def test_hudi_raced_same_batch_skips(spark, tmp_path, monkeypatch):
+    """r8 review: a sibling worker committing the SAME batch before
+    our instant claim makes our commit a SKIP (post-claim ledger
+    re-check), never a double-append."""
+    from kafka_delta_ingest_spark.hudi import (
+        HudiCowWriter,
+        HudiSink,
+        completed_commits,
+        read_hudi,
+    )
+
+    table = str(tmp_path / "hudi_race")
+    opts = IngestOptions(
+        topic="web_requests", table_uri=table, app_id="wr",
+        transforms=WEB_REQUESTS_TRANSFORMS, log_format="hudi",
+    )
+    raw = _raw_df(spark, [_msg(i, i % 2) for i in range(8)])
+    job = IngestJob(opts, WEB_REQUESTS_SCHEMA)
+
+    real_claim = HudiCowWriter._claim_instant
+    fired = {"done": False}
+
+    def claim_wrapper(self, action, attempts=100):
+        if not fired["done"]:
+            fired["done"] = True
+            # the sibling lands the SAME batch first
+            sibling = IngestJob(opts, WEB_REQUESTS_SCHEMA)
+            sibling.run_batch(raw)
+        return real_claim(self, action, attempts)
+
+    monkeypatch.setattr(HudiCowWriter, "_claim_instant", claim_wrapper)
+    m = job.run_batch(raw)
+    assert m.skipped
+    assert read_hudi(spark, table).count() == 8  # once, not twice
+    assert len(completed_commits(table)) == 1
+    snap = HudiSink(table).snapshot()
+    assert snap["txn"] == {"wr-0": 6, "wr-1": 7}
