@@ -7106,6 +7106,96 @@ def multimodal_png_roundtrip(spark, sf_dir):
 
 
 @_q(
+    "multimodal_tiff_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(9 + doc_id % 6 AS INT) AS width,
+           CAST(7 + doc_id % 4 AS INT) AS height,
+           CAST(list_sum(list_transform(
+             range(0, (9 + doc_id % 6) * (7 + doc_id % 4)),
+             i -> (length(text) % 256
+                   + 3 * (i % (9 + doc_id % 6))
+                   + i // (9 + doc_id % 6)) % 256
+           )) AS BIGINT) AS px_sum,
+           TRUE AS exact_ok
+    FROM documents
+    """,
+)
+def multimodal_tiff_roundtrip(spark, sf_dir):
+    """Baseline TIFF 6.0 certification (operators/tiff.py — IFD tag
+    parsing, strip layout, PackBits, both byte orders, written from
+    the public Adobe spec): per document, plant a gray gradient
+    ((g0 + 3x + y) mod 256, geometry from the doc id), encode it FOUR
+    ways (PackBits and uncompressed × little- and big-endian, multi-
+    strip), decode each back, and assert all four decode bit-exactly
+    (TIFF is lossless → exact_ok) with closed-form decoded dims and
+    pixel sum the DuckDB oracle replays without a decoder. Plan shape:
+    one narrow mapInPandas over (doc_id, length); blobs never leave
+    the task."""
+    import pandas as pd
+    from pyspark.sql.types import BooleanType
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("px_sum", LongType()),
+            StructField("exact_ok", BooleanType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from kafka_delta_ingest_spark.operators.tiff import (
+            decode_tiff,
+            encode_tiff,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, n in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = int(9 + doc_id % 6)
+                h = int(7 + doc_id % 4)
+                g0 = int(n % 256)
+                y, x = np.mgrid[0:h, 0:w]
+                img = ((g0 + 3 * x + y) % 256).astype(np.uint8)
+                decs = [
+                    decode_tiff(
+                        encode_tiff(
+                            img, compression=comp,
+                            rows_per_strip=3, byte_order=bo,
+                        )
+                    )
+                    for comp in (1, 32773)
+                    for bo in ("little", "big")
+                ]
+                ok = all(np.array_equal(dv, img) for dv in decs)
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(decs[0].shape[1]),
+                        int(decs[0].shape[0]),
+                        int(decs[0].astype(np.int64).sum()),
+                        bool(ok),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "px_sum",
+                         "exact_ok"],
+            )
+
+    from kafka_delta_ingest_spark.operators.util import spread
+
+    return spread(d).mapInPandas(run, schema=out_schema)
+
+
+@_q(
     "pack_concat_chunk",
     r"""
     WITH t AS (
@@ -8679,6 +8769,7 @@ _SWEEP_ORDER: list[str] = [
     "pipeline_pdf_extraction",
     "ingest_compressed_path",
     "multimodal_apng_roundtrip",
+    "multimodal_tiff_roundtrip",
     "text_bpe_train_probe",
     "ingest_orc_path",
     "ingest_csv_path",
@@ -8693,10 +8784,10 @@ _SWEEP_ORDER: list[str] = [
     "sim_ivfpq_topk",
     "sim_semdedup",
     "embedding_neardup_lsh",
-    "multimodal_jpeg_roundtrip",
     # --- tail: certified in r7 (TPC/window/agg/pivot block,
     # web funnel, dedup-admit) or the cumulative r1-r7 record;
     # next rotation re-certifies these.
+    "multimodal_jpeg_roundtrip",
     "multimodal_wav_roundtrip",
     "scan_filter_project",
     "join_bucketed_colocated",

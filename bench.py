@@ -137,6 +137,7 @@ HEADLINE = [
     # Hudi as a write destination
     "ingest_delta_standard_evolve",
     "ingest_hudi",
+    "multimodal_tiff_roundtrip",
 ]
 
 
