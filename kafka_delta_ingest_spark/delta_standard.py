@@ -1970,7 +1970,8 @@ class DeltaStandardWriter:
 
     # -- OPTIMIZE (bin-packing compaction) -------------------------------
 
-    def optimize(self, spark, target_file_bytes: int = 134_217_728) -> int:
+    def optimize(self, spark, target_file_bytes: int = 134_217_728,
+                 zorder_by: list[str] | None = None) -> int:
         """Bin-pack small files and MATERIALIZE deletion vectors: per
         partition, every live file under ``target_file_bytes`` (plus
         every DV-carrying file, whose tombstoned rows get physically
@@ -1980,8 +1981,17 @@ class DeltaStandardWriter:
         any reader sees identical rows before and after. Returns the
         committed version (or the current one when nothing qualifies).
 
-        Scale: each partition group is one coalesced Spark job over
-        only the files being compacted; the commit is metadata."""
+        ``zorder_by`` (delta-spark's OPTIMIZE ... ZORDER BY on the
+        standard log): EVERY live file rewrites; rows range-partition
+        on the Morton interleave of the columns' normalized ranks
+        (sinks.delta_like.zorder_value) into ~target-sized files, each
+        sorted within — every output file then carries a narrow
+        min/max window on EVERY clustered column in its add-action
+        stats, so any protocol reader's data skipping prunes on all of
+        them at once.
+
+        Scale: each partition group is one Spark job over only the
+        files being rewritten; the commit is metadata."""
         import shutil
         import time
         import uuid
@@ -1990,6 +2000,7 @@ class DeltaStandardWriter:
 
         from kafka_delta_ingest_spark.sinks.delta_like import (
             _parquet_stats,
+            zorder_value,
         )
 
         read_v = self.latest_version()
@@ -1998,19 +2009,24 @@ class DeltaStandardWriter:
             return self.latest_version()
         groups: dict[tuple, list[tuple[str, dict]]] = {}
         for rel, a in state["adds"].items():
-            if a.get("size", 0) >= target_file_bytes and not a.get(
-                "deletionVector"
+            if (
+                not zorder_by  # ZORDER re-clusters EVERY live file
+                and a.get("size", 0) >= target_file_bytes
+                and not a.get("deletionVector")
             ):
                 continue
             pv = tuple(sorted((a.get("partitionValues") or {}).items()))
             groups.setdefault(pv, []).append((rel, a))
-        # a group of one small DV-free file gains nothing from rewrite
-        groups = {
-            pv: files
-            for pv, files in groups.items()
-            if len(files) > 1
-            or any(a.get("deletionVector") for _, a in files)
-        }
+        if not zorder_by:
+            # a group of one small DV-free file gains nothing from
+            # rewrite (a zorder pass rewrites it anyway: the point is
+            # the ORDER, not the size)
+            groups = {
+                pv: files
+                for pv, files in groups.items()
+                if len(files) > 1
+                or any(a.get("deletionVector") for _, a in files)
+            }
         if not groups:
             return self.latest_version()
         now_ms = int(time.time() * 1000)
@@ -2019,7 +2035,11 @@ class DeltaStandardWriter:
                 "commitInfo": {
                     "operation": "OPTIMIZE",
                     "operationParameters": {
-                        "targetSize": str(target_file_bytes)
+                        "targetSize": str(target_file_bytes),
+                        **(
+                            {"zOrderBy": json.dumps(zorder_by)}
+                            if zorder_by else {}
+                        ),
                     },
                     "timestamp": now_ms,
                 }
@@ -2050,7 +2070,21 @@ class DeltaStandardWriter:
             staging = os.path.join(
                 self.root, f"_staging-{uuid.uuid4().hex}"
             )
-            df.coalesce(1).write.mode("overwrite").parquet(staging)
+            if zorder_by:
+                # range-split on the Morton key into ~target-sized
+                # files, each sorted within: every output file gets a
+                # narrow stats window on EVERY clustered column
+                total = sum(a.get("size", 0) for _, a in files)
+                n_out = max(1, -(-total // target_file_bytes))
+                df = (
+                    df.withColumn("_kdi_zv", zorder_value(df, zorder_by))
+                    .repartitionByRange(n_out, "_kdi_zv")
+                    .sortWithinPartitions("_kdi_zv")
+                    .drop("_kdi_zv")
+                )
+                df.write.mode("overwrite").parquet(staging)
+            else:
+                df.coalesce(1).write.mode("overwrite").parquet(staging)
             rel_dir = os.path.dirname(rels[0])
             for fname in sorted(os.listdir(staging)):
                 if not fname.endswith(".parquet"):

@@ -357,3 +357,53 @@ def test_vacuum_keeps_superseded_dvs_within_retained_log(spark, tmp_path):
     # both real descriptors survive; v1 stays travelable
     assert read_delta(spark, t, version=1).count() == 5
     assert read_delta(spark, t).count() == 4
+
+
+def test_optimize_zorder_clusters_standard_log(spark, tmp_path):
+    """r8: OPTIMIZE ... ZORDER BY on the standard log — every live
+    file rewrites range-split on the Morton key; each output file's
+    add-action stats carry a NARROW window on every clustered column
+    (the property any protocol reader's data skipping consumes), and
+    the live rows are identical before and after (dataChange=false)."""
+    import json as _json
+
+    t = str(tmp_path / "zo")
+    w = DeltaStandardWriter(t)
+    # interleaved appends: arrival order correlates with NEITHER column
+    df = spark.range(6000).select(
+        ((F.col("id") * 769) % 6000).alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("grp"),
+        ((F.col("id") * 31) % 500).alias("val"),
+    )
+    w.write(df.repartition(6))
+    before = sorted(r.doc_id for r in read_delta(spark, t).collect())
+
+    def spans_of(version):
+        log = os.path.join(t, "_delta_log", f"{version:020d}.json")
+        out = []
+        for line in open(log):
+            act = _json.loads(line)
+            if "add" in act:
+                st = _json.loads(act["add"]["stats"])
+                out.append(
+                    (st["minValues"]["doc_id"],
+                     st["maxValues"]["doc_id"])
+                )
+        return out
+
+    pre = spans_of(0)
+    v = w.optimize(
+        spark, target_file_bytes=4_000, zorder_by=["doc_id", "val"]
+    )
+    hist = delta_history(t)
+    assert hist[v]["operation"] == "OPTIMIZE"
+    after = read_delta(spark, t)
+    assert sorted(r.doc_id for r in after.collect()) == before
+    post = spans_of(v)
+    assert len(post) >= 6
+    # the data-skipping property zorder exists for: the average
+    # per-file doc_id stats window shrinks vs the arrival-ordered
+    # input files (which each span ~the whole key space)
+    avg_pre = sum(hi - lo for lo, hi in pre) / len(pre)
+    avg_post = sum(hi - lo for lo, hi in post) / len(post)
+    assert avg_post < 0.6 * avg_pre

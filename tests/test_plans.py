@@ -442,3 +442,51 @@ def test_bucketed_colocated_join_has_no_exchange_on_key(spark):
             spark.conf.set(
                 "spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe
             )
+
+
+def test_iceberg_identity_partition_pruning_is_plan_time(spark, tmp_path):
+    """r8 (verdict item 5's 'done' bar): an identity-partitioned
+    Iceberg table prunes at PLAN time from manifest partition values —
+    the filtered read's scan lists ONLY the matching partition's
+    files, and pruning is file-set-level (no extra data file opened),
+    not a post-scan row filter."""
+    from pyspark.sql import functions as F
+
+    from kafka_delta_ingest_spark.iceberg import (
+        IcebergWriter,
+        read_iceberg,
+    )
+
+    t = str(tmp_path / "prune")
+    w = IcebergWriter(
+        t,
+        [
+            {"id": 1, "name": "doc_id", "type": "long",
+             "required": False},
+            {"id": 2, "name": "lang", "type": "string",
+             "required": False},
+        ],
+        partition_by=["lang"],
+    )
+    df = spark.read.parquet(SF + "/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    w.append(df, ts_ms=1000)
+    langs = {r.lang for r in df.select("lang").distinct().collect()}
+    assert len(langs) > 2
+    full = read_iceberg(spark, t)
+    pruned = read_iceberg(
+        spark, t, partition_filter=lambda p: p.get("lang") == "en"
+    )
+    # strictly fewer files planned, all from the en partition
+    assert 0 < len(pruned.inputFiles()) < len(full.inputFiles())
+    assert all("lang=en" in f for f in pruned.inputFiles())
+    # and NO lang filter in the physical plan: the cut happened at
+    # metadata level, not as a post-scan Filter
+    p = plan(pruned, mode="simple")
+    # (the FileScan line's "PushedFilters: []" metadata is fine; a
+    # Filter OPERATOR node is not)
+    assert "+- Filter" not in p and not any(
+        ln.strip().startswith("Filter ") for ln in p.splitlines()
+    )
+    assert pruned.count() == full.filter(F.col("lang") == "en").count()
