@@ -354,20 +354,51 @@ def _resolve_version(log: str, version=None, timestamp_ms=None) -> int:
     return max(versions)
 
 
+def _relax_type(t):
+    """Recursively relax EVERY nullability flag in a schema-JSON type:
+    struct-field ``nullable``, array ``containsNull``, map
+    ``valueContainsNull``."""
+    if isinstance(t, dict):
+        k = t.get("type")
+        if k == "struct":
+            return {
+                "type": "struct",
+                "fields": [
+                    {**f, "nullable": True,
+                     "type": _relax_type(f["type"])}
+                    for f in t["fields"]
+                ],
+            }
+        if k == "array":
+            return {
+                **t,
+                "containsNull": True,
+                "elementType": _relax_type(t["elementType"]),
+            }
+        if k == "map":
+            return {
+                **t,
+                "valueContainsNull": True,
+                "keyType": _relax_type(t["keyType"]),
+                "valueType": _relax_type(t["valueType"]),
+            }
+    return t
+
+
 def _nullable_schema_json(schema) -> str:
-    """Schema JSON with every field (at every level) nullable — what
-    delta-spark stores for DataFrame writes without explicit NOT NULL
-    constraints. Freezing Spark's incidental non-nullability (range(),
-    literals) into schemaString would make ordinary subset appends
-    illegal forever; NOT NULL is an explicit-constraint feature, not a
-    side effect of the first frame."""
+    """Schema JSON with every field (at every level, incl. array
+    containsNull / map valueContainsNull) nullable — what delta-spark
+    stores for DataFrame writes without explicit NOT NULL constraints.
+    Freezing Spark's incidental non-nullability (range(), literals)
+    into schemaString would make ordinary subset appends illegal
+    forever; NOT NULL is an explicit-constraint feature, not a side
+    effect of the first frame."""
     j = json.loads(schema.json())
-    nullable = lambda f: {**f, "nullable": True}  # noqa: E731
     return json.dumps(
         {
             "type": "struct",
             "fields": [
-                {**nullable(f), "type": _map_type_json(f["type"], nullable)}
+                {**f, "nullable": True, "type": _relax_type(f["type"])}
                 for f in j["fields"]
             ],
         }
@@ -1269,7 +1300,10 @@ class DeltaStandardWriter:
                     "call evolve_schema() first (appends never evolve "
                     "the schema implicitly)"
                 )
-            if stored[name] == f["type"]:
+            # nullability-relaxed comparison on BOTH sides: a frame's
+            # incidental non-null struct/array/map flags must not read
+            # as a type change against the (normalized) stored schema
+            if _relax_type(stored[name]) == _relax_type(f["type"]):
                 cols.append(F.col(name))
             elif (
                 isinstance(f["type"], str)
@@ -1303,17 +1337,20 @@ class DeltaStandardWriter:
             raise ValueError("evolve_schema on an empty table — the "
                              "first write() declares the schema")
         old_fields = json.loads(state["meta"]["schemaString"])["fields"]
-        old_types = {f["name"]: f["type"] for f in old_fields}
+        old_by_name = {f["name"]: f for f in old_fields}
         new_fields = json.loads(schema.json())["fields"]
         new_names = {f["name"] for f in new_fields}
         for f in new_fields:
-            if f["name"] in old_types and old_types[f["name"]] != f["type"]:
+            old = old_by_name.get(f["name"])
+            if old is not None and _relax_type(old["type"]) != _relax_type(
+                f["type"]
+            ):
                 raise ValueError(
                     f"column {f['name']!r}: type change "
-                    f"{old_types[f['name']]!r} -> {f['type']!r} cannot "
+                    f"{old['type']!r} -> {f['type']!r} cannot "
                     "be applied to already-written files"
                 )
-        missing = sorted(n for n in old_types if n not in new_names)
+        missing = sorted(n for n in old_by_name if n not in new_names)
         if missing:
             raise ValueError(
                 f"evolved schema omits existing column(s) {missing}; "
@@ -1324,13 +1361,27 @@ class DeltaStandardWriter:
                 raise ValueError(
                     f"evolved schema omits partition column {c!r}"
                 )
-        if json.loads(_nullable_schema_json(schema)) == json.loads(
+        # EXISTING columns keep their stored field json verbatim
+        # (incl. explicit NOT NULL from external writers — evolution
+        # must never silently relax a constraint); only NEW columns
+        # get the nullable normalization.
+        merged_fields = [
+            old_by_name[f["name"]]
+            if f["name"] in old_by_name
+            else {**f, "nullable": True,
+                  "type": _relax_type(f["type"])}
+            for f in new_fields
+        ]
+        new_schema_str = json.dumps(
+            {"type": "struct", "fields": merged_fields}
+        )
+        if json.loads(new_schema_str) == json.loads(
             state["meta"]["schemaString"]
         ):
             return read_v
         now_ms = int(time.time() * 1000)
         new_meta = dict(state["meta"])
-        new_meta["schemaString"] = _nullable_schema_json(schema)
+        new_meta["schemaString"] = new_schema_str
         version = self._atomic_commit(
             [
                 {
@@ -1397,9 +1448,9 @@ class DeltaStandardWriter:
 
         payload = "\n".join(json.dumps(a) for a in actions) + "\n"
         tmp = os.path.join(self.log, f".commit-{_uuid.uuid4().hex}.tmp")
-        with open(tmp, "w") as f:
-            f.write(payload)
         try:
+            with open(tmp, "w") as f:
+                f.write(payload)
             checked_through = read_version
             for _ in range(attempts):
                 version = self.latest_version() + 1
@@ -1431,7 +1482,8 @@ class DeltaStandardWriter:
                 return version
             raise RuntimeError("exhausted commit attempts (version race)")
         finally:
-            os.unlink(tmp)
+            if os.path.exists(tmp):
+                os.unlink(tmp)
 
     def _raise_on_conflict(
         self,

@@ -1178,7 +1178,8 @@ class HudiCowWriter:
     # -- write ------------------------------------------------------------
 
     def insert_batch(self, df, extra_metadata: dict | None = None,
-                     skip_if_stored: dict | None = None):
+                     skip_if_stored: dict | None = None,
+                     ledger_observed_instant: str | None = None):
         """Append ``df`` as one CoW insert commit; returns
         (instant, n_files, n_records) — (None, 0, 0) when the batch is
         empty or ``skip_if_stored`` offsets turn out already committed.
@@ -1200,7 +1201,13 @@ class HudiCowWriter:
 
         hoodie = os.path.join(self.path, ".hoodie")
         instant = self._claim_instant("commit")
-        if skip_if_stored:
+        if skip_if_stored and self.latest_instant() != (
+            ledger_observed_instant
+        ):
+            # re-parse the ledger only when a commit actually landed
+            # since the caller's pre-check (``ledger_observed_instant``
+            # is the latest instant that pre-check saw) — keeps the
+            # re-check O(1) on the no-race fast path
             stored = self.stored_extra_metadata()
             if all(
                 k in stored and int(stored[k]) >= int(v)
@@ -1492,12 +1499,17 @@ class HudiSink:
             )
         w = self._writer(partition_by)
         offsets = {f"kdi.offsets.{a}": str(v) for a, v in txn.items()}
+        observed = (
+            self._txn_cache[0] if self._txn_cache is not None
+            else w.latest_instant()
+        )
         instant, n_files, n_records = w.insert_batch(
             df,
             extra_metadata=offsets,
             # post-claim re-check: a sibling worker that committed the
             # SAME batch before our instant claim makes this a skip
             skip_if_stored=offsets or None,
+            ledger_observed_instant=observed,
         )
         if instant is None:
             return CommitResult(

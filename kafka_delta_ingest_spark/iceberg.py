@@ -1138,16 +1138,20 @@ class IcebergWriter:
                 # from this writer instance's (possibly-default-empty)
                 # partition_by — a spec-less bootstrap/maintenance
                 # commit would silently wipe a partitioned table's
-                # identity spec and brick subsequent writes.
-                spec_fields = next(
+                # identity spec and brick subsequent writes. Fallback
+                # to specs[0] mirrors _identity_partition_fields for
+                # foreign metadata without a matching spec-id.
+                specs = meta.get("partition-specs") or []
+                spec = next(
                     (
-                        s["fields"]
-                        for s in meta.get("partition-specs") or []
+                        s
+                        for s in specs
                         if s.get("spec-id")
                         == meta.get("default-spec-id", 0)
                     ),
-                    [],
+                    specs[0] if specs else None,
                 )
+                spec_fields = (spec or {}).get("fields") or []
             else:
                 ids_by_name = {f["name"]: f["id"] for f in self.fields}
                 spec_fields = [

@@ -96,9 +96,13 @@ def packbits_decode(data: bytes, expected: int) -> bytes:
         if h == 128:  # -128: no-op
             continue
         if h < 128:  # h+1 literal bytes
+            if i + h + 1 > n:
+                raise ValueError("truncated PackBits literal packet")
             out += data[i:i + h + 1]
             i += h + 1
         else:  # repeat next byte 257-h times
+            if i >= n:
+                raise ValueError("truncated PackBits repeat packet")
             out += bytes([data[i]]) * (257 - h)
             i += 1
     if len(out) < expected:
@@ -132,12 +136,19 @@ def encode_tiff(
         )
     n_strips = len(strips)
 
-    # layout: header(8) | strip data | [offset/count arrays] | IFD
+    # layout: header(8) | strip data | [offset/count arrays] | IFD.
+    # TIFF 6.0 requires value offsets and the IFD on WORD boundaries —
+    # odd-length strips get a pad byte (offsets skip it; byte counts
+    # stay the true strip length).
     pos = 8
     strip_offsets = []
+    pads = []
     for s in strips:
         strip_offsets.append(pos)
         pos += len(s)
+        pad = pos % 2
+        pads.append(pad)
+        pos += pad
 
     def arr_or_inline(values, typ):
         """IFD value packing: counts whose payload fits in 4 bytes go
@@ -177,8 +188,10 @@ def encode_tiff(
     out += (b"II" if byte_order == "little" else b"MM")
     out += struct.pack(f"{e}H", 42)
     out += struct.pack(f"{e}I", ifd_offset)
-    for s in strips:
+    for s, pad in zip(strips, pads):
         out += s
+        if pad:
+            out += b"\x00"
     for x in extras:
         out += x
     out += struct.pack(f"{e}H", len(entries))

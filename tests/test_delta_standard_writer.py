@@ -407,3 +407,68 @@ def test_optimize_zorder_clusters_standard_log(spark, tmp_path):
     avg_pre = sum(hi - lo for lo, hi in pre) / len(pre)
     avg_post = sum(hi - lo for lo, hi in post) / len(post)
     assert avg_post < 0.6 * avg_pre
+
+
+def test_struct_and_array_appends_conform_across_nullability(
+    spark, tmp_path
+):
+    """r8 review: appending the SAME frame twice must never read as a
+    type change just because Spark's struct/array nullability flags
+    are incidentally non-null (range(), F.array)."""
+    t = str(tmp_path / "nest")
+    w = DeltaStandardWriter(t)
+    df = spark.range(3).select(
+        F.col("id").alias("doc_id"),
+        F.struct(F.col("id").alias("a"),
+                 F.lit("x").alias("b")).alias("s"),
+        F.array(F.col("id"), F.col("id") * 2).alias("xs"),
+    )
+    w.write(df)
+    w.write(df)  # identical second append: must not raise
+    back = read_delta(spark, t)
+    assert back.count() == 6
+    assert back.select("s.a").distinct().count() == 3
+
+
+def test_evolve_schema_preserves_explicit_not_null(spark, tmp_path):
+    """r8 review: evolution must not silently relax an externally
+    declared NOT NULL — existing columns keep their stored field json
+    verbatim; only NEW columns are normalized nullable."""
+    import json as _json
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from kafka_delta_ingest_spark.delta_standard import (
+        DeltaFixtureWriter,
+    )
+
+    t = str(tmp_path / "nn")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), nullable=False),
+            StructField("grp", StringType(), nullable=True),
+        ]
+    )
+    fw = DeltaFixtureWriter(t, schema)
+    fw.add_files([({}, [{"doc_id": 1, "grp": "a"}])], timestamp_ms=1000)
+    w = DeltaStandardWriter(t)
+    evolved = StructType(
+        list(schema.fields) + [StructField("score", LongType())]
+    )
+    v = w.evolve_schema(evolved)
+    stored = _json.loads(
+        w._py_replay(target=v)["meta"]["schemaString"]
+    )["fields"]
+    by_name = {f["name"]: f for f in stored}
+    assert by_name["doc_id"]["nullable"] is False  # preserved
+    assert by_name["score"]["nullable"] is True    # new col normalized
+    # and the non-nullable omission guard still fires post-evolution
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-nullable"):
+        w.write(spark.createDataFrame([("x", 1)], "grp string, score long"))

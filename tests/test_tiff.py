@@ -84,3 +84,31 @@ def test_tiff_cross_endian_identical_pixels():
     le = decode_tiff(encode_tiff(img, byte_order="little"))
     be = decode_tiff(encode_tiff(img, byte_order="big"))
     assert np.array_equal(le, be) and np.array_equal(le, img)
+
+
+def test_tiff_word_alignment():
+    import struct as _struct
+
+    # odd-width uncompressed image → odd strip lengths must be padded
+    # so the offset/count arrays and the IFD land on word boundaries
+    img = (np.arange(5 * 3) % 256).astype(np.uint8).reshape(3, 5)
+    for comp in (1, 32773):
+        blob = encode_tiff(img, compression=comp, rows_per_strip=1)
+        (ifd,) = _struct.unpack_from("<I", blob, 4)
+        assert ifd % 2 == 0
+        (n,) = _struct.unpack_from("<H", blob, ifd)
+        for i in range(n):
+            base = ifd + 2 + 12 * i
+            tag, typ, cnt = _struct.unpack_from("<HHI", blob, base)
+            size = {3: 2, 4: 4}[typ] * cnt
+            if size > 4:
+                (off,) = _struct.unpack_from("<I", blob, base + 8)
+                assert off % 2 == 0, f"tag {tag} value at odd offset"
+        assert np.array_equal(decode_tiff(blob), img)
+
+
+def test_packbits_truncated_packets_raise():
+    with pytest.raises(ValueError, match="repeat"):
+        packbits_decode(b"\xfe", 3)  # repeat header, no payload byte
+    with pytest.raises(ValueError, match="literal"):
+        packbits_decode(b"\x04AB", 5)  # promises 5 literals, has 2
