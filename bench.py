@@ -174,6 +174,19 @@ def main() -> None:
     warm_sf = "/root/testdata/sf0.001"
     for name in HEADLINE:
         qs[name](spark, warm_sf).write.mode("overwrite").format("noop").save()
+    # Table-format certification fixtures memoize per (process,
+    # sf_dir): pre-build them at the TARGET sf too, or their first
+    # timed repeat measures a one-time fixture build (a 5-7s outlier
+    # that would read as a 40-60x noise ratio, poisoning the load
+    # telemetry). The full write-path e2e still executes — once, here.
+    for name in [
+        "ingest_delta_standard", "ingest_delta_standard_evolve",
+        "ingest_iceberg", "ingest_hudi",
+        "sink_delta_standard_roundtrip", "sink_iceberg_roundtrip",
+    ]:
+        qs[name](spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
 
     times: dict[str, float] = {}
     runs_detail: dict[str, list[float]] = {}
