@@ -4987,6 +4987,92 @@ def _ingest_delta_standard_fixture(spark, sf_dir: str) -> tuple:
 
 
 @_q(
+    "sink_delta_standard_zorder",
+    """
+    SELECT doc_id, LENGTH(text) AS n_chars, TRUE AS zorder_ok
+    FROM documents
+    """,
+)
+def sink_delta_standard_zorder(spark, sf_dir):
+    """OPTIMIZE ... ZORDER BY on the STANDARD log (r8): documents land
+    in arrival order (each input file spans ~the whole doc_id range),
+    then `optimize(zorder_by=["doc_id","n_chars"])` rewrites every
+    live file range-split on the Morton interleave. zorder_ok pins the
+    data-skipping property protocol readers consume: the average
+    per-file doc_id stats window in the OPTIMIZE commit's add actions
+    shrinks below 0.6x the pre-optimize windows, while the live rows
+    read back identical through the independent replay path (the
+    value-hash covers every row). Scale: the rewrite is one
+    range-partitioned Spark job; the commit is metadata."""
+    from kafka_delta_ingest_spark.delta_standard import read_delta
+
+    t, zorder_ok = _zorder_std_fixture(spark, sf_dir)
+    return read_delta(spark, t).select(
+        "doc_id", "n_chars"
+    ).withColumn("zorder_ok", F.lit(bool(zorder_ok)))
+
+
+def _zorder_std_fixture(spark, sf_dir: str) -> tuple:
+    """Build (once per process per sf_dir) the standard-log ZORDER
+    certification table; memoized (see _TBLFMT_FIXTURES)."""
+    import atexit
+    import json as _json
+    import shutil as _sh
+    import tempfile as _tf
+
+    from kafka_delta_ingest_spark.delta_standard import (
+        DeltaStandardWriter,
+    )
+
+    key = ("dszo", sf_dir)
+    hit = _TBLFMT_FIXTURES.get(key)
+    if hit and os.path.isdir(hit[0]):
+        return hit
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    root = _tf.mkdtemp(prefix="kdi-dszo-")
+    t = root + "/t"
+    w = DeltaStandardWriter(t)
+    w.write(docs.repartition(6))  # arrival order: wide per-file spans
+    v = w.optimize(
+        spark, target_file_bytes=2_048,
+        zorder_by=["doc_id", "n_chars"],
+    )
+
+    def areas(version):
+        # per-file joint stats AREA (doc_id span x n_chars span):
+        # the quantity a 2-D z-order shrinks ~1/n_files per file
+        # regardless of where the curve crosses bit boundaries —
+        # single-column spans stay wide on boundary-crossing files
+        out = []
+        log = os.path.join(t, "_delta_log", f"{version:020d}.json")
+        with open(log) as f:
+            for line in f:
+                act = _json.loads(line)
+                if "add" in act:
+                    st = _json.loads(act["add"]["stats"])
+                    out.append(
+                        (st["maxValues"]["doc_id"]
+                         - st["minValues"]["doc_id"])
+                        * (st["maxValues"]["n_chars"]
+                           - st["minValues"]["n_chars"])
+                    )
+        return out
+
+    pre, post = areas(0), areas(v)
+    zorder_ok = (
+        v > 0
+        and len(post) >= 3
+        and sum(post) / len(post) < 0.5 * (sum(pre) / len(pre))
+    )
+    out = (t, zorder_ok)
+    _TBLFMT_FIXTURES[key] = out
+    atexit.register(_sh.rmtree, root, ignore_errors=True)
+    return out
+
+
+@_q(
     "ingest_delta_standard_evolve",
     """
     SELECT event_id, user_id, event_type,
@@ -8787,6 +8873,7 @@ _SWEEP_ORDER: list[str] = [
     # --- tail: certified in r7 (TPC/window/agg/pivot block,
     # web funnel, dedup-admit) or the cumulative r1-r7 record;
     # next rotation re-certifies these.
+    "sink_delta_standard_zorder",
     "multimodal_jpeg_roundtrip",
     "multimodal_wav_roundtrip",
     "scan_filter_project",

@@ -138,6 +138,7 @@ HEADLINE = [
     "ingest_delta_standard_evolve",
     "ingest_hudi",
     "multimodal_tiff_roundtrip",
+    "sink_delta_standard_zorder",
 ]
 
 
@@ -183,6 +184,7 @@ def main() -> None:
         "ingest_delta_standard", "ingest_delta_standard_evolve",
         "ingest_iceberg", "ingest_hudi",
         "sink_delta_standard_roundtrip", "sink_iceberg_roundtrip",
+        "sink_delta_standard_zorder",
     ]:
         qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"
