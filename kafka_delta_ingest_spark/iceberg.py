@@ -198,6 +198,164 @@ def plan_files(
     return data_files, pos_deletes, eq_deletes, meta
 
 
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """murmurhash3_x86_32 (public domain algorithm, the hash the
+    Iceberg spec's bucket transform mandates). Returns unsigned 32-bit.
+    Pinned against the spec's own appendix test vectors
+    (int/long 34 → 2017239379, "iceberg" → 1210000089) in tests."""
+    import struct as _struct
+
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed
+    n = len(data)
+    rounded = n - (n % 4)
+    for i in range(0, rounded, 4):
+        (k,) = _struct.unpack_from("<I", data, i)
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[rounded:]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def iceberg_bucket(value, n: int) -> int | None:
+    """The spec's bucket transform: (murmur3 of the value's spec
+    encoding & Int.MAX) % n. ints/longs hash as 8-byte little-endian
+    longs; strings as UTF-8 bytes; null → null."""
+    import struct as _struct
+
+    if value is None:
+        return None
+    if isinstance(value, bool):
+        raise ValueError("bucket transform is not defined for boolean")
+    if isinstance(value, int):
+        data = _struct.pack("<q", value)
+    elif isinstance(value, str):
+        data = value.encode("utf-8")
+    else:
+        raise ValueError(
+            f"bucket transform unsupported for {type(value).__name__}"
+        )
+    return (murmur3_32(data) & 0x7FFFFFFF) % n
+
+
+_TRANSFORM_RE = None
+
+
+def parse_partition_spec_entry(entry: str) -> dict:
+    """``"col"`` / ``"bucket(4, col)"`` / ``"truncate(3, col)"`` /
+    ``"day(col)"`` → {"source": col, "transform": iceberg transform
+    string, "name": partition field name (Iceberg's conventions:
+    col_bucket / col_trunc / col_day)}."""
+    import re as _re
+
+    e = entry.strip()
+    m = _re.fullmatch(r"bucket\(\s*(\d+)\s*,\s*(\w+)\s*\)", e)
+    if m:
+        return {"source": m.group(2),
+                "transform": f"bucket[{m.group(1)}]",
+                "name": f"{m.group(2)}_bucket"}
+    m = _re.fullmatch(r"truncate\(\s*(\d+)\s*,\s*(\w+)\s*\)", e)
+    if m:
+        return {"source": m.group(2),
+                "transform": f"truncate[{m.group(1)}]",
+                "name": f"{m.group(2)}_trunc"}
+    m = _re.fullmatch(r"day\(\s*(\w+)\s*\)", e)
+    if m:
+        return {"source": m.group(1), "transform": "day",
+                "name": f"{m.group(1)}_day"}
+    if _re.fullmatch(r"\w+", e):
+        return {"source": e, "transform": "identity", "name": e}
+    raise ValueError(f"unsupported partition spec entry {entry!r}")
+
+
+def _declared_spec_grammar(meta: dict) -> list[str]:
+    """The default spec rendered back into this writer's partition
+    grammar (identity name / bucket(n, col) / truncate(w, col) /
+    day(col)) — used to adopt/validate an existing table's spec."""
+    import re as _re
+
+    specs = meta.get("partition-specs") or []
+    sid = meta.get("default-spec-id", 0)
+    spec = next(
+        (s for s in specs if s.get("spec-id") == sid),
+        specs[0] if specs else None,
+    )
+    names = _schema_field_names(meta)
+    out = []
+    for pf in (spec or {}).get("fields") or []:
+        src = names.get(pf["source-id"], pf["name"])
+        tr = pf.get("transform", "identity")
+        if tr == "identity":
+            out.append(src)
+            continue
+        m = _re.fullmatch(r"bucket\[(\d+)\]", tr)
+        if m:
+            out.append(f"bucket({m.group(1)}, {src})")
+            continue
+        m = _re.fullmatch(r"truncate\[(\d+)\]", tr)
+        if m:
+            out.append(f"truncate({m.group(1)}, {src})")
+            continue
+        if tr == "day":
+            out.append(f"day({src})")
+            continue
+        raise ValueError(f"unsupported partition transform {tr!r}")
+    return out
+
+
+def _murmur3_32_longs(vals):
+    """Vectorized murmur3_x86_32 over int64 values encoded as 8-byte
+    little-endian longs (the spec's int/long bucket encoding) — pure
+    numpy uint32 arithmetic, no per-row Python."""
+    import numpy as np
+
+    v = np.asarray(vals, dtype=np.int64).view(np.uint64)
+    lo = (v & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (v >> np.uint64(32)).astype(np.uint32)
+    c1 = np.uint32(0xCC9E2D51)
+    c2 = np.uint32(0x1B873593)
+
+    def mix(h, k):
+        k = k * c1
+        k = (k << np.uint32(15)) | (k >> np.uint32(17))
+        k = k * c2
+        h = h ^ k
+        h = (h << np.uint32(13)) | (h >> np.uint32(19))
+        return h * np.uint32(5) + np.uint32(0xE6546B64)
+
+    h = np.zeros(len(v), dtype=np.uint32)
+    h = mix(h, lo)
+    h = mix(h, hi)
+    h = h ^ np.uint32(8)  # length
+    h ^= h >> np.uint32(16)
+    h = h * np.uint32(0x85EBCA6B)
+    h ^= h >> np.uint32(13)
+    h = h * np.uint32(0xC2B2AE35)
+    h ^= h >> np.uint32(16)
+    return h
+
+
 def _identity_partition_fields(meta: dict) -> list[str]:
     """Names of the default spec's identity partition fields; raises
     on non-identity transforms (hidden partitioning is a reader seam
@@ -610,9 +768,13 @@ class IcebergWriter:
     their source field ids, data files are written per-partition
     (hive directory layout under ``data/``), and each manifest entry
     carries its typed partition values so the reader prunes at PLAN
-    time from metadata alone. Non-identity transforms (bucket,
-    truncate, day/hour — Iceberg's hidden partitioning) remain a
-    documented seam. Row-level deletes are served read-side via the
+    time from metadata alone. HIDDEN partitioning (r8): ``bucket(n,
+    col)`` (spec murmur3 over the value's long/UTF-8 encoding),
+    ``truncate(w, col)``, and ``day(col)`` transforms — spec fields
+    carry the transform string, data files keep the SOURCE columns,
+    and manifest entries carry the transformed values so readers
+    prune on them at plan time. Remaining out: month/hour/year
+    transforms (same shape, add on demand). Row-level deletes are served read-side via the
     v2 position/equality delete files the reader already applies
     (delete files are written spec-global and never pruned).
     """
@@ -625,9 +787,17 @@ class IcebergWriter:
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.meta_dir, exist_ok=True)
         self.fields = schema_fields
+        # entries are plain column names (identity) or the transform
+        # grammar "bucket(4, col)" / "truncate(3, col)" / "day(col)" —
+        # Iceberg's HIDDEN partitioning (r8; closes the bucket/
+        # truncate/day writer seam; month/hour etc. remain out)
         self.partition_by = list(partition_by or [])
         names = {f["name"] for f in schema_fields}
-        bad = [c for c in self.partition_by if c not in names]
+        bad = [
+            e["source"]
+            for e in map(parse_partition_spec_entry, self.partition_by)
+            if e["source"] not in names
+        ]
         if bad:
             raise ValueError(f"partition columns {bad} not in schema")
 
@@ -709,32 +879,117 @@ class IcebergWriter:
 
         _, cur_meta = self._current()
         if cur_meta is not None:
-            declared = _identity_partition_fields(cur_meta)
-            if declared and not self.partition_by:
+            declared = _declared_spec_grammar(cur_meta)
+            decl_parsed = [
+                parse_partition_spec_entry(e) for e in declared
+            ]
+            mine_parsed = [
+                parse_partition_spec_entry(e) for e in self.partition_by
+            ]
+            if decl_parsed and not mine_parsed:
                 # adopt the table's spec — a maintenance/bootstrap
                 # writer instance must not write spec-violating files
                 self.partition_by = declared
-            elif self.partition_by != declared:
+            elif mine_parsed != decl_parsed:
                 raise ValueError(
                     f"partition_by {self.partition_by} != table's "
                     f"declared identity spec {declared}"
                 )
+        spec = [
+            parse_partition_spec_entry(e) for e in self.partition_by
+        ]
         types_by_name = {f["name"]: f["type"] for f in self.fields}
+
+        def _transform_col(e):
+            src = e["source"]
+            tr = e["transform"]
+            if tr == "identity":
+                return F.col(src)
+            if tr == "day":
+                return F.datediff(
+                    F.col(src).cast("date"),
+                    F.to_date(F.lit("1970-01-01")),
+                )
+            import re as _re
+
+            m = _re.fullmatch(r"truncate\[(\d+)\]", tr)
+            if m:
+                w = int(m.group(1))
+                if types_by_name.get(src) == "string":
+                    return F.substring(F.col(src), 1, w)
+                # spec: v - (((v % W) + W) % W) — floors negatives
+                return (
+                    F.col(src)
+                    - (((F.col(src) % w) + w) % w)
+                )
+            m = _re.fullmatch(r"bucket\[(\d+)\]", tr)
+            if m:
+                n = int(m.group(1))
+                if types_by_name.get(src) in ("int", "long"):
+                    from pyspark.sql.functions import pandas_udf
+
+                    @pandas_udf("int")
+                    def _bucket_long(s):
+                        import numpy as np
+                        import pandas as pd
+
+                        mask = s.isna()
+                        h = _murmur3_32_longs(
+                            s.fillna(0).astype("int64").to_numpy()
+                        )
+                        b = ((h & np.uint32(0x7FFFFFFF)) % np.uint32(n)
+                             ).astype("int32")
+                        out = pd.Series(b, index=s.index, dtype="Int32")
+                        out[mask] = None
+                        return out
+
+                    return _bucket_long(F.col(src))
+                from pyspark.sql.functions import pandas_udf
+
+                @pandas_udf("int")
+                def _bucket_str(s):
+                    return s.map(
+                        lambda v: None if v is None
+                        else iceberg_bucket(v, n)
+                    )
+
+                return _bucket_str(F.col(src))
+            raise ValueError(f"unsupported transform {tr!r}")
+
         staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex}")
-        if self.partition_by:
-            clones = [f"__kdi_pp_{c}" for c in self.partition_by]
+        if spec:
             staged = df
-            for c, cl in zip(self.partition_by, clones):
-                staged = staged.withColumn(cl, F.col(c))
-            writer = staged.write.mode("overwrite").partitionBy(*clones)
+            for e in spec:
+                staged = staged.withColumn(
+                    f"__kdi_pp_{e['name']}", _transform_col(e)
+                )
+            writer = staged.write.mode("overwrite").partitionBy(
+                *[f"__kdi_pp_{e['name']}" for e in spec]
+            )
         else:
             writer = df.write.mode("overwrite")
         writer.parquet(staging)
+
+        def _ptype(name):
+            # manifest value typing per partition FIELD
+            for e in spec:
+                if e["name"] != name:
+                    continue
+                tr = e["transform"]
+                if tr == "identity":
+                    return types_by_name.get(e["source"])
+                if tr.startswith("truncate") and types_by_name.get(
+                    e["source"]
+                ) == "string":
+                    return "string"
+                return "int"  # bucket / day / int truncate
+            return None
+
         out = []
         for dirpath, _dirs, files in os.walk(staging):
             rel = os.path.relpath(dirpath, staging)
             raw_dir = "" if rel == "." else rel
-            # "__kdi_pp_<col>=<v>" segments → real "<col>=<v>" dirs
+            # "__kdi_pp_<field>=<v>" segments → real "<field>=<v>" dirs
             rel_dir = "/".join(
                 seg.replace("__kdi_pp_", "", 1)
                 for seg in raw_dir.replace(os.sep, "/").split("/")
@@ -743,9 +998,7 @@ class IcebergWriter:
             pv_raw = _parse_partition_values(rel_dir)
             pv = {}
             for c, v in pv_raw.items():
-                if v is not None and types_by_name.get(c) in (
-                    "long", "int"
-                ):
+                if v is not None and _ptype(c) in ("long", "int"):
                     v = int(v)
                 pv[c] = v
             for fname in sorted(files):
@@ -1156,12 +1409,15 @@ class IcebergWriter:
                 ids_by_name = {f["name"]: f["id"] for f in self.fields}
                 spec_fields = [
                     {
-                        "name": c,
-                        "transform": "identity",
-                        "source-id": ids_by_name[c],
+                        "name": e["name"],
+                        "transform": e["transform"],
+                        "source-id": ids_by_name[e["source"]],
                         "field-id": 1000 + i,
                     }
-                    for i, c in enumerate(self.partition_by)
+                    for i, e in enumerate(
+                        parse_partition_spec_entry(x)
+                        for x in self.partition_by
+                    )
                 ]
             new_meta = {
                 "format-version": 2,
@@ -1249,7 +1505,8 @@ class IcebergSink:
     Partitioning: IDENTITY transforms via ``partition_by`` (the
     reference's Hive-partitioned output, src/writer.rs:390-427) — the
     first write pins the spec; later batches must match it. Hidden
-    partitioning (bucket/truncate/day) stays a documented writer seam.
+    partitioning (bucket/truncate/day) is available on the direct
+    IcebergWriter API; the streaming sink keeps identity specs.
     ``optimize`` runs bin-packing compaction as a ``replace``
     snapshot (r8; ``--auto_optimize_interval`` parity with the Delta
     destinations)."""

@@ -640,3 +640,116 @@ def test_iceberg_optimize_partitioned_and_noop(spark, tmp_path):
     # second optimize: single file per partition -> no-op, same snapshot
     cur = w._current()[1]["current-snapshot-id"]
     assert w.optimize(spark) == cur
+
+
+def test_murmur3_spec_vectors():
+    # the Iceberg spec appendix's own bucket-hash test vectors
+    import struct as _struct
+
+    from kafka_delta_ingest_spark.iceberg import (
+        iceberg_bucket,
+        murmur3_32,
+    )
+
+    def i32(u):
+        return u - (1 << 32) if u >= (1 << 31) else u
+
+    assert i32(murmur3_32(_struct.pack("<q", 34))) == 2017239379
+    assert i32(murmur3_32("iceberg".encode())) == 1210000089
+    assert iceberg_bucket(34, 16) == 2017239379 % 16
+    assert iceberg_bucket("iceberg", 16) == 1210000089 % 16
+    assert iceberg_bucket(None, 16) is None
+
+
+def test_iceberg_hidden_partitioning_bucket_truncate_day(
+    spark, tmp_path
+):
+    """r8: HIDDEN partitioning in the writer — bucket (spec murmur3),
+    truncate, and day transforms land as spec fields with transform
+    strings, data files keep the SOURCE columns, manifest entries
+    carry the transformed values (plan-time pruning on them), and a
+    spec-less second writer adopts the declared transforms."""
+    import datetime
+
+    from kafka_delta_ingest_spark.iceberg import (
+        IcebergWriter,
+        iceberg_bucket,
+        load_metadata,
+        read_iceberg,
+    )
+
+    t = str(tmp_path / "hp")
+    fields = [
+        {"id": 1, "name": "doc_id", "type": "long", "required": False},
+        {"id": 2, "name": "lang", "type": "string", "required": False},
+        {"id": 3, "name": "ts", "type": "timestamp", "required": False},
+    ]
+    w = IcebergWriter(
+        t, fields,
+        partition_by=["bucket(4, doc_id)", "truncate(2, lang)",
+                      "day(ts)"],
+    )
+    rows = [
+        (i, ["english", "french", "german"][i % 3],
+         datetime.datetime(2024, 1, 1 + i % 2, 12, 0, 0))
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, ts timestamp_ntz"
+    )
+    w.append(df, ts_ms=1000)
+    meta = load_metadata(t)
+    assert [
+        (f["name"], f["transform"])
+        for f in meta["partition-specs"][0]["fields"]
+    ] == [
+        ("doc_id_bucket", "bucket[4]"),
+        ("lang_trunc", "truncate[2]"),
+        ("ts_day", "day"),
+    ]
+    # data files keep the source columns; rows roundtrip exactly
+    back = read_iceberg(spark, t)
+    got = sorted((r.doc_id, r.lang, r.ts) for r in back.collect())
+    assert got == sorted(rows)
+    # manifest partition values == spec-defined transform outputs
+    from kafka_delta_ingest_spark.avro_python import read_container
+
+    snap = meta["snapshots"][-1]
+    with open(snap["manifest-list"], "rb") as f:
+        _, manifests = read_container(f.read())
+    with open(manifests[0]["manifest_path"], "rb") as f:
+        _, entries = read_container(f.read())
+    epoch_day = (datetime.date(2024, 1, 1)
+                 - datetime.date(1970, 1, 1)).days
+    for e in entries:
+        p = e["data_file"]["partition"]
+        assert p["doc_id_bucket"] in {
+            iceberg_bucket(i, 4) for i in range(24)
+        }
+        assert p["lang_trunc"] in {"en", "fr", "ge"}
+        assert p["ts_day"] in (epoch_day, epoch_day + 1)
+    # plan-time pruning on the HIDDEN values
+    b0 = read_iceberg(
+        spark, t,
+        partition_filter=lambda p: p.get("doc_id_bucket") == 0,
+    )
+    expect_b0 = sorted(
+        i for i in range(24) if iceberg_bucket(i, 4) == 0
+    )
+    assert sorted(r.doc_id for r in b0.collect()) == expect_b0
+    assert len(b0.inputFiles()) < len(back.inputFiles())
+    # a spec-less writer instance adopts the declared transforms
+    w2 = IcebergWriter(t, fields)
+    w2.append(
+        spark.createDataFrame(
+            [(100, "english",
+              datetime.datetime(2024, 1, 1, 1, 0, 0))],
+            "doc_id long, lang string, ts timestamp_ntz",
+        ),
+        ts_ms=2000,
+    )
+    assert read_iceberg(spark, t).count() == 25
+    meta2 = load_metadata(t)
+    assert meta2["partition-specs"][0]["fields"][0]["transform"] == (
+        "bucket[4]"
+    )
