@@ -5000,7 +5000,7 @@ def sink_delta_standard_zorder(spark, sf_dir):
     live file range-split on the Morton interleave. zorder_ok pins the
     data-skipping property protocol readers consume: the average
     per-file doc_id stats window in the OPTIMIZE commit's add actions
-    shrinks below 0.6x the pre-optimize windows, while the live rows
+    shrinks below 0.5x the pre-optimize windows, while the live rows
     read back identical through the independent replay path (the
     value-hash covers every row). Scale: the rewrite is one
     range-partitioned Spark job; the commit is metadata."""

@@ -1757,6 +1757,7 @@ class DeltaStandardWriter:
                 }
             }
         ]
+        cdc_written: list[str] = []  # cleaned up if the commit aborts
         if self._cdf_enabled(state["meta"]):
             # CDF: the deleted rows land as _change_data/ cdc parquet
             # (one executor-parallel job over only the matching rows)
@@ -1779,6 +1780,7 @@ class DeltaStandardWriter:
                 src = os.path.join(staging, fname)
                 dest_name = f"cdc-{_uuid.uuid4().hex}.parquet"
                 _shutil.move(src, os.path.join(cd_dir, dest_name))
+                cdc_written.append(os.path.join(cd_dir, dest_name))
                 rel_cdc = f"_change_data/{dest_name}"
                 actions.append(
                     {
@@ -1846,15 +1848,27 @@ class DeltaStandardWriter:
                 "matched files missing from the log snapshot "
                 f"({len(by_abs)} matched, {n_hit} resolved)"
             )
-        version = self._atomic_commit(
-            actions,
-            read_version=read_v,
-            # conflict = someone touched a file we re-add with a DV;
-            # blind appends of new files rebase safely
-            read_files={
-                a["remove"]["path"] for a in actions if "remove" in a
-            },
-        )
+        try:
+            version = self._atomic_commit(
+                actions,
+                read_version=read_v,
+                # conflict = someone touched a file we re-add with a
+                # DV; blind appends of new files rebase safely
+                read_files={
+                    a["remove"]["path"] for a in actions
+                    if "remove" in a
+                },
+            )
+        except BaseException:
+            # an aborted commit must not orphan its cdc parquet —
+            # nothing references these paths, and vacuum's log scan
+            # would otherwise never reclaim them
+            for p in cdc_written:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+            raise
         if version > 0 and version % self.checkpoint_every == 0:
             self._write_checkpoint(version)
         return version
@@ -1973,7 +1987,10 @@ class DeltaStandardWriter:
         # truly unreferenced bins (crashed writes) are reclaimed.
         victims: dict[str, int] = {}
         referenced_dvs: set[str] = set()
+        cdc_refs: dict[str, int] = {}  # cdc rel path -> commit ts
         for v in _commit_versions(self.log):
+            commit_ts = 0
+            commit_cdc: list[str] = []
             with open(os.path.join(self.log, f"{v:020d}.json")) as f:
                 for line in f:
                     act = json.loads(line)
@@ -1987,6 +2004,14 @@ class DeltaStandardWriter:
                         b = dv_bin_of(act["add"])
                         if b:
                             referenced_dvs.add(b)
+                    elif "cdc" in act:
+                        commit_cdc.append(act["cdc"]["path"])
+                    elif "commitInfo" in act:
+                        commit_ts = act["commitInfo"].get(
+                            "timestamp", 0
+                        )
+            for p in commit_cdc:
+                cdc_refs[p] = commit_ts
         cp = _best_checkpoint(self.log, self.latest_version())
         if cp is not None:
             for a in state["adds"].values():
@@ -2018,6 +2043,27 @@ class DeltaStandardWriter:
                     continue
                 os.remove(ap)
                 deleted.append(fname)
+        # _change_data: cdc parquet is only servable through
+        # table_changes while its commit sits inside the retention
+        # window — delta-spark's vacuum ages CDF out on the same
+        # clock as data tombstones. Unreferenced files (a crashed or
+        # aborted delete_where) reclaim on the same age gate, keyed
+        # on mtime since no commit ever named them.
+        cd_dir = os.path.join(self.root, "_change_data")
+        if os.path.isdir(cd_dir):
+            for fname in sorted(os.listdir(cd_dir)):
+                rel = f"_change_data/{fname}"
+                ap = os.path.join(cd_dir, fname)
+                ref_ts = cdc_refs.get(rel)
+                age_ts = (
+                    ref_ts
+                    if ref_ts is not None
+                    else int(os.path.getmtime(ap) * 1000)
+                )
+                if age_ts > cutoff:
+                    continue
+                os.remove(ap)
+                deleted.append(rel)
         return deleted
 
     # -- OPTIMIZE (bin-packing compaction) -------------------------------
@@ -2097,6 +2143,29 @@ class DeltaStandardWriter:
                 }
             }
         ]
+        # Compaction inputs MUST read under the table's current
+        # metaData.schemaString, not a sampled footer: after
+        # evolve_schema() a group can mix old- and new-schema files,
+        # and a bare spark.read.parquet would silently drop the
+        # evolved column from the rewritten file while tombstoning
+        # the originals (permanent data loss). Explicit schema
+        # null-fills files that predate the column — exactly the
+        # protocol's read semantics. Partition columns never live in
+        # the data files, so they are excluded from the read schema.
+        from pyspark.sql.types import StructType
+
+        part_cols = set(state["meta"].get("partitionColumns") or [])
+        table_fields = json.loads(
+            state["meta"]["schemaString"]
+        )["fields"]
+        read_schema = StructType.fromJson(
+            {
+                "type": "struct",
+                "fields": [
+                    f for f in table_fields if f["name"] not in part_cols
+                ],
+            }
+        )
         for pv, files in sorted(groups.items()):
             rels = [rel for rel, _ in files]
             dv_in = [a for _, a in files if a.get("deletionVector")]
@@ -2104,7 +2173,7 @@ class DeltaStandardWriter:
                 os.path.join(self.root, urllib.parse.unquote(r))
                 for r in rels
             ]
-            df = spark.read.parquet(*paths)
+            df = spark.read.schema(read_schema).parquet(*paths)
             if dv_in:
                 df = df.select(
                     "*",

@@ -1380,7 +1380,14 @@ class HudiCowWriter:
         replaced: dict[str, list[str]] = {}
         for part, pairs in sorted(victims.items()):
             paths = [b for _fid, b in pairs]
-            df = spark.read.parquet(*paths)
+            # The CoW sink accepts per-batch schema drift
+            # (table_schema() is None) and read_hudi itself merges
+            # footer schemas — clustering heterogeneous file groups
+            # without mergeSchema would silently drop the newer
+            # columns from the replacement file group.
+            df = spark.read.option("mergeSchema", "true").parquet(
+                *paths
+            )
             staging = os.path.join(
                 self.path, f"_staging-{_uuid.uuid4().hex}"
             )
