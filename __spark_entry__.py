@@ -4418,6 +4418,86 @@ def iceberg_read_snapshot(spark, sf_dir):
 
 
 @_q(
+    "iceberg_read_incremental",
+    """
+    SELECT doc_id, lang, TRUE AS window_ok, TRUE AS files_ok
+    FROM documents
+    WHERE doc_id % 2 = 1
+    """,
+)
+def iceberg_read_incremental(spark, sf_dir):
+    """Iceberg INCREMENTAL scan certification — the snapshot-diff
+    surface a CDC-style consumer polls (records in data files added
+    in a snapshot window; iceberg.read_iceberg_incremental), matching
+    Spark's Iceberg start/end-snapshot-id incremental read and
+    completing the trio with hudi_read_incremental and Delta CDF.
+    History: snapshot 1 appends the even-id documents, snapshot 2 the
+    odd ids divisible by 3, snapshot 3 the remaining odds. The pull
+    over (s1, s3] must return EXACTLY the odd ids (never the evens);
+    window_ok pins the sub-window (s2, s3] census; files_ok pins the
+    100 TB property — the scan plan contains ONLY the two added data
+    files (a metadata-only manifest set-diff, never a diff of row
+    sets), verified via inputFiles(). Lineage is walked over
+    parent-snapshot-id, and non-append snapshots in the window raise
+    unless the caller opts into the live view."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from kafka_delta_ingest_spark.iceberg import (
+        IcebergFixtureWriter,
+        read_iceberg_incremental,
+    )
+
+    rows = sorted(
+        (int(r.doc_id), r.lang)
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    )
+    evens = [{"doc_id": i, "lang": g} for i, g in rows if i % 2 == 0]
+    odd3 = [
+        {"doc_id": i, "lang": g}
+        for i, g in rows
+        if i % 2 == 1 and i % 3 == 0
+    ]
+    odd_rest = [
+        {"doc_id": i, "lang": g}
+        for i, g in rows
+        if i % 2 == 1 and i % 3 != 0
+    ]
+    root = _tf.mkdtemp(prefix="kdi-iceinc-")
+    try:
+        w = IcebergFixtureWriter(
+            root + "/t",
+            [
+                {"id": 1, "name": "doc_id", "type": "long",
+                 "required": False},
+                {"id": 2, "name": "lang", "type": "string",
+                 "required": False},
+            ],
+        )
+        s1 = w.append(evens, ts_ms=1000)
+        s2 = w.append(odd3, ts_ms=2000)
+        w.append(odd_rest, ts_ms=3000)
+        t = root + "/t"
+        inc = read_iceberg_incremental(spark, t, s1)
+        window_ok = (
+            read_iceberg_incremental(spark, t, s2).count()
+            == len(odd_rest)
+        )
+        files_ok = len(inc.inputFiles()) == 2
+        out = inc.select("doc_id", "lang").withColumns(
+            {
+                "window_ok": F.lit(bool(window_ok)),
+                "files_ok": F.lit(bool(files_ok)),
+            }
+        )
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
+@_q(
     "hudi_read_incremental",
     """
     SELECT doc_id, lang,
@@ -8808,18 +8888,66 @@ def events_funnel(spark, sf_dir):
 # Sweep order for the driver's correctness gate. CORRECTNESS_r01/r02 both
 # recorded exactly the first 50 dict entries, so ordering is load-bearing.
 _SWEEP_ORDER: list[str] = [
-    # --- round-8 first-50 window. The driver records exactly the first
-    # 50 dict entries in CORRECTNESS_r{N}.json. This round the window
-    # leads with the NEW evolution e2e (ingest_delta_standard_evolve),
-    # every table-format query whose implementation changed in r8
-    # (reconciliation keyed on (path, dv uid); schema guard +
-    # conflict-safe commits on the standard writer; Hudi partition-
-    # scoped MOR merge; memoized certification fixtures), and then
-    # re-certifies the LONGEST-STALE block: the sim_*/multimodal_*/
-    # pack_*/text_*/split_* LLM-operator families, driver-checked last
-    # in r5/r6 (the r7 window spent its slots on TPC + r7-new
-    # surfaces). tools/check_oracle.py verifies the full set
-    # regardless of cap.
+    # --- round-9 first-50 window. Head = sink_delta_standard_zorder:
+    # the single registry query never driver-certified (r8 verdict
+    # "what's wrong" #1) — followed by the NEW Iceberg incremental
+    # scan, then the longest-stale block: the full TPC battery,
+    # window/agg/pivot/set-ops/subquery relational surface and the
+    # events family (all last driver-checked r7), closing with the
+    # streaming-ingest parity headliners. tools/check_oracle.py
+    # verifies the full registry regardless of the driver's cap.
+    "sink_delta_standard_zorder",
+    "iceberg_read_incremental",
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_nation_year_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_conditional",
+    "q13_customer_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_volume_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "win_lead_lag",
+    "win_top_orders_per_customer",
+    "win_running_spend",
+    "win_moving_avg_range",
+    "win_rank_family",
+    "agg_distinct_users",
+    "agg_cube_lineitem",
+    "agg_rollup_orders",
+    "agg_grouping_sets",
+    "agg_percentiles",
+    "pivot_event_matrix",
+    "join_semi_anti_suppliers",
+    "join_bucketed_colocated",
+    "set_ops_active_customers",
+    "sql_correlated_subquery",
+    "sql_recursive_calendar",
+    "events_tumbling_counts",
+    "events_range_join",
+    "events_interval_join",
+    "events_enrich_users",
+    "events_sessionize",
+    "events_asof_join",
+    "events_funnel",
+    "ingest_message_path",
+    "ingest_avro_path",
+    "stream_offset_dedup",
+    # --- tail: certified r8 (table formats, LLM-operator families)
+    # or the cumulative r1-r8 record; next rotation re-certifies.
     "ingest_delta_standard_evolve",
     "sink_delta_standard_roundtrip",
     "ingest_delta_standard",
@@ -8870,64 +8998,16 @@ _SWEEP_ORDER: list[str] = [
     "sim_ivfpq_topk",
     "sim_semdedup",
     "embedding_neardup_lsh",
-    # --- tail: certified in r7 (TPC/window/agg/pivot block,
-    # web funnel, dedup-admit) or the cumulative r1-r7 record;
-    # next rotation re-certifies these.
-    "sink_delta_standard_zorder",
     "multimodal_jpeg_roundtrip",
     "multimodal_wav_roundtrip",
     "scan_filter_project",
-    "join_bucketed_colocated",
     "pipeline_web_extraction",
     "web_url_normalize",
     "web_robots_filter",
     "dedup_incremental_admit",
     "dedup_incremental_indexed",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_nation_year_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_conditional",
-    "q13_customer_distribution",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_volume_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    "win_lead_lag",
-    "win_top_orders_per_customer",
-    "win_running_spend",
-    "win_moving_avg_range",
-    "win_rank_family",
-    "agg_distinct_users",
-    "agg_cube_lineitem",
-    "agg_rollup_orders",
-    "agg_grouping_sets",
-    "agg_percentiles",
-    "pivot_event_matrix",
-    "join_semi_anti_suppliers",
-    "set_ops_active_customers",
-    "sql_correlated_subquery",
-    "sql_recursive_calendar",
-    "events_tumbling_counts",
-    "events_range_join",
-    "events_interval_join",
-    "events_enrich_users",
-    "ingest_message_path",
-    "ingest_avro_path",
     "ingest_dlq_split",
-    "stream_offset_dedup",
     "sink_dml_cdf",
-    "q1_pricing_summary",
     "pipeline_pretrain_curation",
     "pipeline_fuzzy_curation",
     "pipeline_rag_retrieval",
@@ -8950,9 +9030,6 @@ _SWEEP_ORDER: list[str] = [
     "decontam_overlap_report",
     "decontam_fuzzy",
     "search_hybrid_rrf",
-    "events_sessionize",
-    "events_asof_join",
-    "q3_shipping_priority",
     "corpus_card",
     "sim_pq_topk",
     "decontam_semantic",
@@ -8964,7 +9041,6 @@ _SWEEP_ORDER: list[str] = [
     "split_shuffle_order",
     "split_quality_curriculum",
     "sample_stratified",
-    "events_funnel",
     "sim_ivf_topk",
     "sim_quantize_fidelity",
     "dedup_canonical_keep",

@@ -484,6 +484,97 @@ def read_iceberg(
     return df.drop("_kdi_fp", "_kdi_pos", "_kdi_seq")
 
 
+def read_iceberg_incremental(
+    spark,
+    table_path: str,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+    strict_append_only: bool = True,
+):
+    """Iceberg INCREMENTAL scan: the records in data files ADDED
+    after ``from_snapshot_id`` (exclusive) up to ``to_snapshot_id``
+    (inclusive, default current) — the snapshot-diff surface a
+    CDC-style consumer polls, matching Spark's Iceberg
+    ``start-snapshot-id``/``end-snapshot-id`` incremental read and
+    completing the destination trio (``read_hudi_incremental`` and
+    Delta CDF already exist).
+
+    Lineage is walked via ``parent-snapshot-id``: ``from`` must be an
+    ancestor of ``to`` or this raises (a diff across a rollback fork
+    is meaningless). ``strict_append_only=True`` (Spark's behavior)
+    raises if any snapshot in the window has a summary operation
+    other than ``append``; with it off, the result is the LIVE view
+    of the added files (the end snapshot's position/equality deletes
+    still apply, scoped by sequence number as in :func:`read_iceberg`).
+
+    Scale: planning is a metadata-only set-diff of two manifest walks
+    — the scan itself touches ONLY the added data files, never the
+    start snapshot's. An empty window returns an empty DataFrame with
+    the table schema (no files scanned)."""
+    meta = load_metadata(table_path)
+    by_id = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if from_snapshot_id not in by_id:
+        raise ValueError(f"snapshot {from_snapshot_id} not found")
+    end = _select_snapshot(meta, to_snapshot_id)
+    # ancestry walk from end back to from (exclusive), collecting the
+    # window's snapshots for the append-only gate. Snapshots written
+    # by this repo carry parent-snapshot-id; for external tables that
+    # omit the (spec-optional) field, fall back to metadata order.
+    ordered = list(meta.get("snapshots", []))
+
+    def _parent(s: dict) -> dict | None:
+        pid = s.get("parent-snapshot-id")
+        if pid is not None:
+            return by_id.get(pid)
+        idx = next(
+            i
+            for i, x in enumerate(ordered)
+            if x["snapshot-id"] == s["snapshot-id"]
+        )
+        return ordered[idx - 1] if idx > 0 else None
+
+    window: list[dict] = []
+    cur = end
+    while cur is not None and cur["snapshot-id"] != from_snapshot_id:
+        window.append(cur)
+        cur = _parent(cur)
+    if cur is None:
+        raise ValueError(
+            f"snapshot {from_snapshot_id} is not an ancestor of "
+            f"{end['snapshot-id']}"
+        )
+    if strict_append_only:
+        for s in window:
+            op = (s.get("summary") or {}).get("operation", "append")
+            if op != "append":
+                raise ValueError(
+                    f"incremental read over non-append snapshot "
+                    f"{s['snapshot-id']} (operation={op!r}); pass "
+                    "strict_append_only=False for the live view of "
+                    "the added files"
+                )
+    start_files = {
+        p
+        for p, _seq in plan_files(
+            table_path, snapshot_id=from_snapshot_id
+        )[0]
+    }
+    end_data = plan_files(
+        table_path, snapshot_id=end["snapshot-id"]
+    )[0]
+    new_files = {p for p, _seq in end_data if p not in start_files}
+    if not new_files:
+        return read_iceberg(
+            spark, table_path, snapshot_id=end["snapshot-id"]
+        ).limit(0)
+    return read_iceberg(
+        spark,
+        table_path,
+        snapshot_id=end["snapshot-id"],
+        _file_subset=new_files,
+    )
+
+
 # ---------------------------------------------------------------------------
 # fixture writer: real two-level Avro manifests + parquet via pyarrow
 
@@ -647,7 +738,24 @@ class IcebergFixtureWriter:
                 "snapshot-id": snap_id,
                 "timestamp-ms": ts_ms,
                 "manifest-list": mlist_path,
-                "summary": {"operation": "append"},
+                # spec operation: delete-file commits are "delete"
+                # (the incremental reader's append-only gate keys on
+                # this, like Spark's Iceberg source)
+                "summary": {
+                    "operation": (
+                        "delete"
+                        if any(
+                            f.get("content", 0) != 0
+                            for f in new_entries
+                        )
+                        else "append"
+                    )
+                },
+                **(
+                    {"parent-snapshot-id":
+                     self.snaps[-1]["snapshot-id"]}
+                    if self.snaps else {}
+                ),
             }
         )
         self.version += 1
@@ -1319,6 +1427,7 @@ class IcebergWriter:
 
         for _ in range(attempts):
             cur_v, meta = self._current()
+            parent_id = (meta or {}).get("current-snapshot-id")
             last_seq = (meta or {}).get("last-sequence-number", 0)
             snaps = list((meta or {}).get("snapshots", []))
             seq = last_seq + 1
@@ -1384,6 +1493,10 @@ class IcebergWriter:
                     "manifest-list": mlist_path,
                     "summary": {"operation": operation,
                                 **(summary or {})},
+                    **(
+                        {"parent-snapshot-id": parent_id}
+                        if parent_id is not None else {}
+                    ),
                 }
             )
             if meta is not None:

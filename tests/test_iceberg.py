@@ -753,3 +753,61 @@ def test_iceberg_hidden_partitioning_bucket_truncate_day(
     assert meta2["partition-specs"][0]["fields"][0]["transform"] == (
         "bucket[4]"
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental scan (snapshot diff)
+
+
+def test_incremental_returns_only_added_files(spark, tmp_path):
+    from kafka_delta_ingest_spark.iceberg import (
+        read_iceberg_incremental,
+    )
+
+    t = str(tmp_path / "inc")
+    w = IcebergFixtureWriter(t, _FIELDS)
+    s1 = w.append(
+        [{"doc_id": i, "grp": "a"} for i in range(5)], ts_ms=1000
+    )
+    s2 = w.append(
+        [{"doc_id": i, "grp": "b"} for i in range(5, 8)], ts_ms=2000
+    )
+    s3 = w.append(
+        [{"doc_id": i, "grp": "c"} for i in range(8, 12)], ts_ms=3000
+    )
+    inc = read_iceberg_incremental(spark, t, s1)
+    assert sorted(r.doc_id for r in inc.collect()) == list(range(5, 12))
+    # pruning: ONLY the two added data files are in the scan
+    full = read_iceberg(spark, t)
+    assert len(inc.inputFiles()) == 2
+    assert len(full.inputFiles()) == 3
+    # sub-window (s1, s2]
+    mid = read_iceberg_incremental(spark, t, s1, to_snapshot_id=s2)
+    assert sorted(r.doc_id for r in mid.collect()) == [5, 6, 7]
+    # empty window
+    assert read_iceberg_incremental(spark, t, s3).count() == 0
+
+
+def test_incremental_gates_and_live_view(spark, tmp_path):
+    from kafka_delta_ingest_spark.iceberg import (
+        read_iceberg_incremental,
+    )
+
+    t = str(tmp_path / "incd")
+    w = IcebergFixtureWriter(t, _FIELDS)
+    s1 = w.append(
+        [{"doc_id": i, "grp": "a"} for i in range(4)], ts_ms=1000
+    )
+    w.append([{"doc_id": i, "grp": "b"} for i in range(4, 8)], ts_ms=2000)
+    w.equality_delete([{"grp": "b"}], field_ids=[2], ts_ms=3000)
+    # strict (Spark's default): a delete snapshot in the window raises
+    with pytest.raises(ValueError, match="non-append"):
+        read_iceberg_incremental(spark, t, s1)
+    # live view: the added files, with the delete applied
+    live = read_iceberg_incremental(
+        spark, t, s1, strict_append_only=False
+    )
+    assert live.count() == 0  # every added row was grp='b'
+    # unknown / non-ancestor snapshots raise
+    with pytest.raises(ValueError, match="not found"):
+        read_iceberg_incremental(spark, t, 999999)

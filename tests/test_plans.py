@@ -490,3 +490,38 @@ def test_iceberg_identity_partition_pruning_is_plan_time(spark, tmp_path):
         ln.strip().startswith("Filter ") for ln in p.splitlines()
     )
     assert pruned.count() == full.filter(F.col("lang") == "en").count()
+
+
+def test_iceberg_incremental_scans_only_added_files(spark, tmp_path):
+    """Incremental scan (r9): the snapshot-diff is a metadata-only
+    manifest set-diff — the physical plan contains ONLY the data
+    files added inside the window, never the start snapshot's."""
+    from kafka_delta_ingest_spark.iceberg import (
+        IcebergFixtureWriter,
+        read_iceberg,
+        read_iceberg_incremental,
+    )
+
+    t = str(tmp_path / "incpr")
+    w = IcebergFixtureWriter(
+        t,
+        [
+            {"id": 1, "name": "doc_id", "type": "long",
+             "required": False},
+            {"id": 2, "name": "grp", "type": "string",
+             "required": False},
+        ],
+    )
+    s1 = w.append(
+        [{"doc_id": i, "grp": "a"} for i in range(6)], ts_ms=1000
+    )
+    w.append([{"doc_id": i, "grp": "b"} for i in range(6, 9)],
+             ts_ms=2000)
+    inc = read_iceberg_incremental(spark, t, s1)
+    base_files = set(
+        read_iceberg(spark, t, snapshot_id=s1).inputFiles()
+    )
+    inc_files = set(inc.inputFiles())
+    assert len(inc_files) == 1
+    assert not (inc_files & base_files)
+    assert inc.count() == 3
