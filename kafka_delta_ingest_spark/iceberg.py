@@ -356,6 +356,82 @@ def _murmur3_32_longs(vals):
     return h
 
 
+def _murmur3_32_bytes_fixed(mat):
+    """Vectorized murmur3_x86_32 over a (rows, L) uint8 matrix — every
+    row is an L-byte message. The block loop runs L//4 times (message
+    length, not row count); all arithmetic is numpy uint32 across the
+    row axis, no per-row Python."""
+    import numpy as np
+
+    n_rows, length = mat.shape
+    c1 = np.uint32(0xCC9E2D51)
+    c2 = np.uint32(0x1B873593)
+    h = np.zeros(n_rows, dtype=np.uint32)
+    nblocks = length // 4
+    if nblocks:
+        w = mat[:, : nblocks * 4].reshape(
+            n_rows, nblocks, 4
+        ).astype(np.uint32)
+        words = (
+            w[:, :, 0]
+            | (w[:, :, 1] << np.uint32(8))
+            | (w[:, :, 2] << np.uint32(16))
+            | (w[:, :, 3] << np.uint32(24))
+        )
+        for i in range(nblocks):
+            k = words[:, i]
+            k = k * c1
+            k = (k << np.uint32(15)) | (k >> np.uint32(17))
+            k = k * c2
+            h = h ^ k
+            h = (h << np.uint32(13)) | (h >> np.uint32(19))
+            h = h * np.uint32(5) + np.uint32(0xE6546B64)
+    tail = length & 3
+    if tail:
+        k1 = np.zeros(n_rows, dtype=np.uint32)
+        for i in range(tail - 1, -1, -1):
+            k1 = (k1 << np.uint32(8)) | mat[
+                :, nblocks * 4 + i
+            ].astype(np.uint32)
+        k1 = k1 * c1
+        k1 = (k1 << np.uint32(15)) | (k1 >> np.uint32(17))
+        k1 = k1 * c2
+        h = h ^ k1
+    h = h ^ np.uint32(length)
+    h ^= h >> np.uint32(16)
+    h = h * np.uint32(0x85EBCA6B)
+    h ^= h >> np.uint32(13)
+    h = h * np.uint32(0xC2B2AE35)
+    h ^= h >> np.uint32(16)
+    return h
+
+
+def _murmur3_32_utf8(byte_values):
+    """Vectorized murmur3_x86_32 over a sequence of ``bytes`` values
+    (the spec's string bucket encoding): rows batch by byte length so
+    each class hashes as one fixed-width uint8 matrix; the only
+    Python-level loop is over DISTINCT lengths, and the per-class
+    concat is a C-level bytes join."""
+    import numpy as np
+
+    vals = list(byte_values)
+    lens = np.fromiter(
+        (len(v) for v in vals), dtype=np.int64, count=len(vals)
+    )
+    out = np.zeros(len(vals), dtype=np.uint32)
+    for length in np.unique(lens):
+        idx = np.nonzero(lens == length)[0]
+        if length == 0:
+            out[idx] = np.uint32(murmur3_32(b""))
+            continue
+        blob = b"".join(vals[i] for i in idx)
+        mat = np.frombuffer(blob, dtype=np.uint8).reshape(
+            len(idx), int(length)
+        )
+        out[idx] = _murmur3_32_bytes_fixed(mat)
+    return out
+
+
 def _identity_partition_fields(meta: dict) -> list[str]:
     """Names of the default spec's identity partition fields; raises
     on non-identity transforms (hidden partitioning is a reader seam
@@ -1056,10 +1132,19 @@ class IcebergWriter:
 
                 @pandas_udf("int")
                 def _bucket_str(s):
-                    return s.map(
-                        lambda v: None if v is None
-                        else iceberg_bucket(v, n)
+                    import numpy as np
+                    import pandas as pd
+
+                    mask = s.isna()
+                    h = _murmur3_32_utf8(
+                        s.fillna("").str.encode("utf-8")
                     )
+                    b = (
+                        (h & np.uint32(0x7FFFFFFF)) % np.uint32(n)
+                    ).astype("int32")
+                    out = pd.Series(b, index=s.index, dtype="Int32")
+                    out[mask] = None
+                    return out
 
                 return _bucket_str(F.col(src))
             raise ValueError(f"unsupported transform {tr!r}")

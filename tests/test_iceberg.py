@@ -811,3 +811,58 @@ def test_incremental_gates_and_live_view(spark, tmp_path):
     # unknown / non-ancestor snapshots raise
     with pytest.raises(ValueError, match="not found"):
         read_iceberg_incremental(spark, t, 999999)
+
+
+def test_vectorized_string_murmur_matches_scalar():
+    """r9 (r8 advice #3): the batched string-bucket hash must equal
+    the scalar spec implementation byte-for-byte — unicode,
+    empty, all tail lengths, and long strings."""
+    import numpy as np
+
+    from kafka_delta_ingest_spark.iceberg import (
+        _murmur3_32_utf8,
+        iceberg_bucket,
+        murmur3_32,
+    )
+
+    vals = [
+        "", "a", "ab", "abc", "abcd", "abcde",
+        "iceberg", "iceéberg", "日本語",
+        "x" * 37, "y" * 128, "mixed üñî 123",
+    ]
+    enc = [v.encode("utf-8") for v in vals]
+    got = _murmur3_32_utf8(enc)
+    want = np.array(
+        [murmur3_32(b) & 0xFFFFFFFF for b in enc], dtype=np.uint32
+    )
+    assert (got == want).all()
+    # and the bucket law holds end to end
+    for v, h in zip(vals, got):
+        assert int(h & np.uint32(0x7FFFFFFF)) % 16 == iceberg_bucket(
+            v, 16
+        )
+
+
+def test_vectorized_string_murmur_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import numpy as np
+
+    from kafka_delta_ingest_spark.iceberg import (
+        _murmur3_32_utf8,
+        murmur3_32,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.text(max_size=64), min_size=1, max_size=40))
+    def check(texts):
+        enc = [t.encode("utf-8") for t in texts]
+        got = _murmur3_32_utf8(enc)
+        want = np.array(
+            [murmur3_32(b) & 0xFFFFFFFF for b in enc],
+            dtype=np.uint32,
+        )
+        assert (got == want).all()
+
+    check()

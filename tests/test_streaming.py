@@ -585,3 +585,54 @@ def test_stream_into_iceberg_with_checkpointed_restart(spark, tmp_path):
     assert sink.snapshot()["txn"]["ice_app-1"] == 29
     # one snapshot per successful batch: exactly one more landed
     assert len(snapshots(table_dir)) == n_snaps_run1 + 1
+
+
+def test_stream_into_hudi_with_checkpointed_restart(spark, tmp_path):
+    """r9 (completes the destination matrix: the kdi-Delta, standard
+    Delta, and Iceberg legs have this e2e from r7/r8): availableNow
+    streaming into an Apache Hudi CoW destination, per-Kafka-partition
+    offsets in the completed commits' extraMetadata, then a
+    checkpointed RESTART with new data — no duplicates, no loss, one
+    completed instant per successful batch (the reference exactly-once
+    scenario, tests/emails_s3_tests.rs:33-77)."""
+    import os as _os
+
+    from kafka_delta_ingest_spark.hudi import HudiSink, read_hudi
+
+    def completed_instants(table_dir):
+        hoodie = _os.path.join(table_dir, ".hoodie")
+        return sorted(
+            f for f in _os.listdir(hoodie) if f.endswith(".commit")
+        )
+
+    src = str(tmp_path / "src")
+    table_dir = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_raw(spark, _rows(0, 20), src)
+    opts = IngestOptions(
+        topic="t", table_uri=table_dir, app_id="hudi_app",
+        ends_at_latest_offsets=True, log_format="hudi",
+    )
+    job = IngestJob(opts, TABLE_SCHEMA)
+    q = job.run_stream(spark, ckpt, raw_stream=_stream(spark, src))
+    q.awaitTermination(120)
+
+    got = {r["id"] for r in read_hudi(spark, table_dir).collect()}
+    assert got == set(range(20))
+    sink = HudiSink(table_dir)
+    assert sink.snapshot()["txn"] == {"hudi_app-0": 18, "hudi_app-1": 19}
+    n_run1 = len(completed_instants(table_dir))
+
+    # restart with MORE files: only the new ones are processed
+    _write_raw(spark, _rows(20, 10), src)
+    job2 = IngestJob(opts, TABLE_SCHEMA)
+    q2 = job2.run_stream(spark, ckpt, raw_stream=_stream(spark, src))
+    q2.awaitTermination(120)
+    got2 = sorted(
+        r["id"] for r in read_hudi(spark, table_dir).collect()
+    )
+    assert got2 == list(range(30))  # no duplicates, no loss
+    assert sink.snapshot()["txn"]["hudi_app-1"] == 29
+    # one completed instant per successful batch: exactly one more
+    assert len(completed_instants(table_dir)) == n_run1 + 1
