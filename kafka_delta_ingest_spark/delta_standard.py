@@ -59,15 +59,16 @@ def _log_path(table_path: str) -> str:
     return p
 
 
-def _commit_versions(log: str) -> list[int]:
+def _commit_versions(log: str, store=None) -> list[int]:
+    names = store.list_dir(log) if store is not None else os.listdir(log)
     out = []
-    for f in os.listdir(log):
+    for f in names:
         if f.endswith(".json") and f[:20].isdigit() and len(f) == 25:
             out.append(int(f[:20]))
     return sorted(out)
 
 
-def _checkpoint_files(log: str, version: int) -> list[str]:
+def _checkpoint_files(log: str, version: int, store=None) -> list[str]:
     """Files of a COMPLETE checkpoint at ``version``, else [].
 
     Three layouts (protocol):
@@ -81,11 +82,17 @@ def _checkpoint_files(log: str, version: int) -> list[str]:
       self-contained manifest (each uuid file is a complete
       checkpoint; adds/removes may live in ``sidecar``-referenced
       files under ``_sidecars/``). Any one qualifies."""
-    single = os.path.join(log, f"{version:020d}.checkpoint.parquet")
-    if os.path.exists(single):
+    names = (
+        store.list_dir(log) if store is not None else os.listdir(log)
+    )
+    single_name = f"{version:020d}.checkpoint.parquet"
+    single = os.path.join(log, single_name)
+    if single_name in names:
         return [single]
     cands = sorted(
-        glob.glob(os.path.join(log, f"{version:020d}.checkpoint.*"))
+        os.path.join(log, n)
+        for n in names
+        if n.startswith(f"{version:020d}.checkpoint.")
     )
     v2 = [
         p for p in cands
@@ -149,22 +156,37 @@ def _reconcile_remove(adds: dict, remove: dict) -> None:
         adds.pop(remove["path"], None)
 
 
-def _best_checkpoint(log: str, target: int) -> int | None:
+def _best_checkpoint(log: str, target: int, store=None) -> int | None:
     """Newest checkpoint version ≤ target, preferring _last_checkpoint
     when it qualifies."""
     ptr = os.path.join(log, "_last_checkpoint")
     best = None
-    if os.path.exists(ptr):
-        with open(ptr) as f:
-            v = json.load(f).get("version")
-        if v is not None and v <= target and _checkpoint_files(log, v):
+    ptr_exists = (
+        store.exists(ptr) if store is not None else os.path.exists(ptr)
+    )
+    if ptr_exists:
+        if store is not None:
+            v = json.loads(store.read_bytes(ptr)).get("version")
+        else:
+            with open(ptr) as f:
+                v = json.load(f).get("version")
+        if v is not None and v <= target and _checkpoint_files(
+            log, v, store
+        ):
             best = v
     if best is None:
+        names = (
+            store.list_dir(log) if store is not None
+            else os.listdir(log)
+        )
         cands = set()
-        for f in os.listdir(log):
+        for f in names:
             if ".checkpoint." in f and f[:20].isdigit():
                 cands.add(int(f[:20]))
-        ok = [v for v in cands if v <= target and _checkpoint_files(log, v)]
+        ok = [
+            v for v in cands
+            if v <= target and _checkpoint_files(log, v, store)
+        ]
         best = max(ok) if ok else None
     return best
 
@@ -1164,17 +1186,26 @@ class DeltaStandardWriter:
     """
 
     def __init__(self, table_path: str, checkpoint_every: int = 10,
-                 enable_cdf: bool = False):
+                 enable_cdf: bool = False, store=None):
         """``enable_cdf`` stamps ``delta.enableChangeDataFeed=true``
         into the first commit's metaData configuration (delta-spark's
         table property); with CDF on, :meth:`delete_where` also writes
         the deleted rows as ``_change_data/`` cdc parquet + a ``cdc``
         action, so ``table_changes`` serves the DV DELETE's change set
         exactly (without CDF a DV delete's changes are underivable
-        from the log — the read side raises)."""
+        from the log — the read side raises).
+
+        ``store`` injects a :class:`~kafka_delta_ingest_spark.logstore
+        .LogStore` for the commit-protocol IO (claims, conflict scans,
+        checkpoint publishes); default resolves from the table URI —
+        local disk here, with the object-store contract documented in
+        logstore.py."""
+        from kafka_delta_ingest_spark.logstore import get_log_store
+
         self.root = table_path
         self.log = os.path.join(table_path, _LOG)
-        os.makedirs(self.log, exist_ok=True)
+        self.store = store or get_log_store(table_path)
+        self.store.makedirs(self.log)
         self.checkpoint_every = checkpoint_every
         self.enable_cdf = enable_cdf
 
@@ -1185,7 +1216,11 @@ class DeltaStandardWriter:
     # -- state ---------------------------------------------------------
 
     def latest_version(self) -> int:
-        versions = _commit_versions(self.log)
+        versions = [
+            int(f[:20])
+            for f in self.store.list_dir(self.log)
+            if f.endswith(".json") and f[:20].isdigit() and len(f) == 25
+        ]
         return max(versions) if versions else -1
 
     def _py_replay(self, target: int | None = None) -> dict:
@@ -1204,12 +1239,16 @@ class DeltaStandardWriter:
         if target < 0:
             return {"adds": adds, "meta": meta, "protocol": protocol,
                     "txn": txn}
-        cp = _best_checkpoint(self.log, target)
+        cp = _best_checkpoint(self.log, target, self.store)
         if cp is not None:
+            import io as _io
+
             import pyarrow.parquet as pq
 
-            for f in _checkpoint_files(self.log, cp):
-                for row in pq.read_table(f).to_pylist():
+            for f in _checkpoint_files(self.log, cp, self.store):
+                for row in pq.read_table(
+                    _io.BytesIO(self.store.read_bytes(f))
+                ).to_pylist():
                     if row.get("metaData") and row["metaData"].get("id"):
                         meta = row["metaData"]
                     if row.get("protocol") and row["protocol"].get(
@@ -1226,11 +1265,13 @@ class DeltaStandardWriter:
                     if t and t.get("appId"):
                         txn[t["appId"]] = t["version"]
             start = cp + 1
-        for v in _commit_versions(self.log):
+        for v in _commit_versions(self.log, self.store):
             if v < start or v > target:
                 continue
-            with open(os.path.join(self.log, f"{v:020d}.json")) as f:
-                for line in f:
+            body = self.store.read_bytes(
+                os.path.join(self.log, f"{v:020d}.json")
+            ).decode()
+            for line in body.splitlines():
                     line = line.strip()
                     if not line:
                         continue
@@ -1440,50 +1481,43 @@ class DeltaStandardWriter:
         Blind appends (no read_version) retry unconditionally: they
         are serializable against anything by construction.
 
-        The claim itself is ``os.link`` of a FULLY-WRITTEN temp file
-        onto the version name — put-if-absent WITH content, never
-        create-then-write: a racer's conflict check (or any reader)
-        can never observe a claimed-but-empty commit file."""
-        import uuid as _uuid
-
-        payload = "\n".join(json.dumps(a) for a in actions) + "\n"
-        tmp = os.path.join(self.log, f".commit-{_uuid.uuid4().hex}.tmp")
-        try:
-            with open(tmp, "w") as f:
-                f.write(payload)
-            checked_through = read_version
-            for _ in range(attempts):
-                version = self.latest_version() + 1
-                if (
-                    checked_through is not None
-                    and version > checked_through + 1
-                ):
-                    if txn:
-                        stored = self._py_replay(
-                            target=version - 1
-                        )["txn"]
-                        if all(
-                            app in stored and stored[app] >= ver
-                            for app, ver in txn.items()
-                        ):
-                            return version - 1  # replay — racer won
-                    self._raise_on_conflict(
-                        checked_through + 1, version - 1,
-                        read_files, conflict_on_any_change,
-                    )
-                    checked_through = version - 1
-                try:
-                    os.link(
-                        tmp,
-                        os.path.join(self.log, f"{version:020d}.json"),
-                    )
-                except FileExistsError:
-                    continue  # another writer claimed this version
+        The claim itself is ``LogStore.put_if_absent`` of the FULLY
+        built payload onto the version name — put-if-absent WITH
+        content, never create-then-write: a racer's conflict check (or
+        any reader) can never observe a claimed-but-empty commit file.
+        (Local backend: hard-link-from-temp; object stores: one
+        conditional PUT — see logstore.py.)"""
+        payload = (
+            "\n".join(json.dumps(a) for a in actions) + "\n"
+        ).encode()
+        checked_through = read_version
+        for _ in range(attempts):
+            version = self.latest_version() + 1
+            if (
+                checked_through is not None
+                and version > checked_through + 1
+            ):
+                if txn:
+                    stored = self._py_replay(
+                        target=version - 1
+                    )["txn"]
+                    if all(
+                        app in stored and stored[app] >= ver
+                        for app, ver in txn.items()
+                    ):
+                        return version - 1  # replay — racer won
+                self._raise_on_conflict(
+                    checked_through + 1, version - 1,
+                    read_files, conflict_on_any_change,
+                )
+                checked_through = version - 1
+            if self.store.put_if_absent(
+                os.path.join(self.log, f"{version:020d}.json"),
+                payload,
+            ):
                 return version
-            raise RuntimeError("exhausted commit attempts (version race)")
-        finally:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
+            # another writer claimed this version — retry
+        raise RuntimeError("exhausted commit attempts (version race)")
 
     def _raise_on_conflict(
         self,
@@ -1494,10 +1528,9 @@ class DeltaStandardWriter:
     ) -> None:
         for v in range(lo, hi + 1):
             path = os.path.join(self.log, f"{v:020d}.json")
-            if not os.path.exists(path):
+            if not self.store.exists(path):
                 continue
-            with open(path) as f:
-                for line in f:
+            for line in self.store.read_bytes(path).decode().splitlines():
                     line = line.strip()
                     if not line:
                         continue
@@ -1988,11 +2021,13 @@ class DeltaStandardWriter:
         victims: dict[str, int] = {}
         referenced_dvs: set[str] = set()
         cdc_refs: dict[str, int] = {}  # cdc rel path -> commit ts
-        for v in _commit_versions(self.log):
+        for v in _commit_versions(self.log, self.store):
             commit_ts = 0
             commit_cdc: list[str] = []
-            with open(os.path.join(self.log, f"{v:020d}.json")) as f:
-                for line in f:
+            body = self.store.read_bytes(
+                os.path.join(self.log, f"{v:020d}.json")
+            ).decode()
+            for line in body.splitlines():
                     act = json.loads(line)
                     if "remove" in act:
                         r = act["remove"]
@@ -2366,18 +2401,22 @@ class DeltaStandardWriter:
                 )),
             ]
         )
+        import io as _io
+
         table = pa.Table.from_pylist(rows, schema=cp_schema)
         path = os.path.join(
             self.log, f"{version:020d}.checkpoint.parquet"
         )
-        tmp = path + ".tmp"
-        pq.write_table(table, tmp)
-        os.replace(tmp, path)
+        buf = _io.BytesIO()
+        pq.write_table(table, buf)
+        self.store.put_atomic(path, buf.getvalue())
         ptr = os.path.join(self.log, "_last_checkpoint")
-        tmp = ptr + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"version": version, "size": len(rows)}, f)
-        os.replace(tmp, ptr)
+        self.store.put_atomic(
+            ptr,
+            json.dumps(
+                {"version": version, "size": len(rows)}
+            ).encode(),
+        )
 
 
 class DeltaStandardSink:
@@ -2433,10 +2472,10 @@ class DeltaStandardSink:
             # replay-skip (txn already stored) or empty batch
             return CommitResult(version, 0, 0, skipped=True)
         n_files = n_records = 0
-        with open(
+        body = self.w.store.read_bytes(
             os.path.join(self.w.log, f"{version:020d}.json")
-        ) as f:
-            for line in f:
+        ).decode()
+        for line in body.splitlines():
                 act = json.loads(line)
                 if "add" in act:
                     n_files += 1

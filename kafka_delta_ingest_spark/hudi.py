@@ -1119,17 +1119,25 @@ class HudiCowWriter:
     """
 
     def __init__(self, table_path: str,
-                 partition_by: list[str] | None = None):
+                 partition_by: list[str] | None = None, store=None):
+        from kafka_delta_ingest_spark.logstore import get_log_store
+
         self.path = table_path
         self.parts = list(partition_by or [])
+        # timeline (commit-protocol) IO routes through the LogStore
+        # seam: instant claims, inflight markers, completed-commit
+        # publishes, and ledger reads. Data parquet is Spark-side.
+        self.store = store or get_log_store(table_path)
         hoodie = os.path.join(table_path, ".hoodie")
-        os.makedirs(hoodie, exist_ok=True)
+        self.store.makedirs(hoodie)
         props = os.path.join(hoodie, "hoodie.properties")
-        if not os.path.exists(props):
-            with open(props, "w", encoding="utf-8") as f:
-                f.write("hoodie.table.name=kdi_out\n")
-                f.write("hoodie.table.type=COPY_ON_WRITE\n")
-                f.write("hoodie.table.version=6\n")
+        if not self.store.exists(props):
+            self.store.put_atomic(
+                props,
+                b"hoodie.table.name=kdi_out\n"
+                b"hoodie.table.type=COPY_ON_WRITE\n"
+                b"hoodie.table.version=6\n",
+            )
 
     # -- timeline ---------------------------------------------------------
 
@@ -1149,7 +1157,7 @@ class HudiCowWriter:
             m.group(1)
             for m in (
                 re.match(r"^(\d{14,17})\.", n)
-                for n in os.listdir(hoodie)
+                for n in self.store.list_dir(hoodie)
             )
             if m
         ]
@@ -1160,19 +1168,15 @@ class HudiCowWriter:
             if instant <= floor:
                 # clock at or behind the last instant: bump past it
                 instant = str(int(floor) + 1).zfill(len(floor))
-            try:
-                fd = os.open(
-                    os.path.join(
-                        hoodie, f"{instant}.{action}.requested"
-                    ),
-                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-                )
-                os.close(fd)
+            if self.store.put_if_absent(
+                os.path.join(
+                    hoodie, f"{instant}.{action}.requested"
+                ),
+                b"",
+            ):
                 return instant
-            except FileExistsError:
-                floor = max(floor, instant)
-                time.sleep(0.001)
-                continue
+            floor = max(floor, instant)
+            time.sleep(0.001)
         raise RuntimeError("exhausted Hudi instant claims")
 
     # -- write ------------------------------------------------------------
@@ -1219,8 +1223,9 @@ class HudiCowWriter:
                     )
                 )
                 return None, 0, 0
-        open(os.path.join(hoodie, f"{instant}.commit.inflight"),
-             "w").close()
+        self.store.put_atomic(
+            os.path.join(hoodie, f"{instant}.commit.inflight"), b""
+        )
         if self.parts:
             part_path = F.concat_ws(
                 "/",
@@ -1310,10 +1315,10 @@ class HudiCowWriter:
         shutil.rmtree(staging, ignore_errors=True)
         if not n_files:
             # empty batch: withdraw the reserved instant (no commit)
-            os.remove(
+            self.store.remove(
                 os.path.join(hoodie, f"{instant}.commit.requested")
             )
-            os.remove(
+            self.store.remove(
                 os.path.join(hoodie, f"{instant}.commit.inflight")
             )
             return None, 0, 0
@@ -1322,10 +1327,10 @@ class HudiCowWriter:
             "operationType": "INSERT",
             "extraMetadata": dict(extra_metadata or {}),
         }
-        tmp = os.path.join(hoodie, f".{instant}.commit.tmp")
-        with open(tmp, "w", encoding="utf-8") as f:
-            json.dump(meta, f)
-        os.replace(tmp, os.path.join(hoodie, f"{instant}.commit"))
+        self.store.put_atomic(
+            os.path.join(hoodie, f"{instant}.commit"),
+            json.dumps(meta).encode(),
+        )
         return instant, n_files, n_records
 
     def stored_extra_metadata(self) -> dict:
@@ -1333,12 +1338,11 @@ class HudiCowWriter:
         winning per key — the exactly-once bookkeeping read side."""
         out: dict = {}
         for instant, action in completed_commits(self.path):
-            meta = json.load(
-                open(
+            meta = json.loads(
+                self.store.read_bytes(
                     os.path.join(
                         _hoodie_dir(self.path), f"{instant}.{action}"
-                    ),
-                    encoding="utf-8",
+                    )
                 )
             )
             for k, v in (meta.get("extraMetadata") or {}).items():
@@ -1372,10 +1376,10 @@ class HudiCowWriter:
             return None
         hoodie = os.path.join(self.path, ".hoodie")
         instant = self._claim_instant("replacecommit")
-        open(
+        self.store.put_atomic(
             os.path.join(hoodie, f"{instant}.replacecommit.inflight"),
-            "w",
-        ).close()
+            b"",
+        )
         stats: dict[str, list[dict]] = {}
         replaced: dict[str, list[str]] = {}
         for part, pairs in sorted(victims.items()):
@@ -1425,11 +1429,9 @@ class HudiCowWriter:
             "partitionToReplaceFileIds": replaced,
             "operationType": "CLUSTER",
         }
-        tmp = os.path.join(hoodie, f".{instant}.replacecommit.tmp")
-        with open(tmp, "w", encoding="utf-8") as f:
-            json.dump(meta, f)
-        os.replace(
-            tmp, os.path.join(hoodie, f"{instant}.replacecommit")
+        self.store.put_atomic(
+            os.path.join(hoodie, f"{instant}.replacecommit"),
+            json.dumps(meta).encode(),
         )
         return instant
 
@@ -1535,8 +1537,9 @@ class HudiSink:
         w = self._writer()
         hoodie = os.path.join(self.path, ".hoodie")
         instant = w._claim_instant("commit")
-        open(os.path.join(hoodie, f"{instant}.commit.inflight"),
-             "w").close()
+        w.store.put_atomic(
+            os.path.join(hoodie, f"{instant}.commit.inflight"), b""
+        )
         meta = {
             "partitionToWriteStats": {},
             "operationType": "SET_OFFSETS",
@@ -1544,10 +1547,10 @@ class HudiSink:
                 f"kdi.offsets.{a}": str(v) for a, v in txn.items()
             },
         }
-        tmp = os.path.join(hoodie, f".{instant}.commit.tmp")
-        with open(tmp, "w", encoding="utf-8") as f:
-            json.dump(meta, f)
-        os.replace(tmp, os.path.join(hoodie, f"{instant}.commit"))
+        w.store.put_atomic(
+            os.path.join(hoodie, f"{instant}.commit"),
+            json.dumps(meta).encode(),
+        )
         return instant
 
     def read(self, spark, as_of=None):

@@ -964,12 +964,19 @@ class IcebergWriter:
     """
 
     def __init__(self, table_path: str, schema_fields: list[dict],
-                 partition_by: list[str] | None = None):
+                 partition_by: list[str] | None = None, store=None):
+        from kafka_delta_ingest_spark.logstore import get_log_store
+
         self.root = table_path
         self.data_dir = os.path.join(table_path, "data")
         self.meta_dir = os.path.join(table_path, "metadata")
+        # commit-protocol IO (metadata claim, version hint, current-
+        # state reads) routes through the LogStore seam; the parquet
+        # data files and Avro manifests are content-addressed (uuid
+        # names, no races) and still write locally here.
+        self.store = store or get_log_store(table_path)
         os.makedirs(self.data_dir, exist_ok=True)
-        os.makedirs(self.meta_dir, exist_ok=True)
+        self.store.makedirs(self.meta_dir)
         self.fields = schema_fields
         # entries are plain column names (identity) or the transform
         # grammar "bucket(4, col)" / "truncate(3, col)" / "day(col)" —
@@ -990,17 +997,21 @@ class IcebergWriter:
     def _current(self) -> tuple[int, dict | None]:
         """(current metadata version, metadata dict or None)."""
         versions = []
-        for p in glob.glob(os.path.join(self.meta_dir, "v*.metadata.json")):
-            base = os.path.basename(p)
+        for base in self.store.list_dir(self.meta_dir):
+            if not (base.startswith("v")
+                    and base.endswith(".metadata.json")):
+                continue
             try:
-                versions.append((int(base[1:].split(".")[0]), p))
+                versions.append(
+                    (int(base[1:].split(".")[0]),
+                     os.path.join(self.meta_dir, base))
+                )
             except ValueError:
                 continue
         if not versions:
             return 0, None
         v, path = max(versions)
-        with open(path) as f:
-            return v, json.load(f)
+        return v, json.loads(self.store.read_bytes(path))
 
     # -- append ------------------------------------------------------------
 
@@ -1640,9 +1651,14 @@ class IcebergWriter:
             target = os.path.join(
                 self.meta_dir, f"v{cur_v + 1}.metadata.json"
             )
-            try:
-                fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
+            # content-complete put-if-absent (LogStore): the claim
+            # and the full metadata body land as ONE atomic publish —
+            # a racer (or reader) can never observe a claimed-but-
+            # empty metadata file, which the previous create-then-
+            # write O_EXCL sequence briefly allowed.
+            if not self.store.put_if_absent(
+                target, json.dumps(new_meta).encode()
+            ):
                 # another writer claimed v<N+1>: clean our manifest
                 # files and recompute from the fresh state
                 for p in written:
@@ -1655,13 +1671,8 @@ class IcebergWriter:
                         "snapshot — rerun optimize() on fresh state"
                     )
                 continue
-            with os.fdopen(fd, "w") as f:
-                json.dump(new_meta, f)
             hint = os.path.join(self.meta_dir, "version-hint.text")
-            tmp = hint + f".tmp-{uuid.uuid4().hex}"
-            with open(tmp, "w") as f:
-                f.write(str(cur_v + 1))
-            os.replace(tmp, hint)
+            self.store.put_atomic(hint, str(cur_v + 1).encode())
             return snap_id
         raise RuntimeError("exhausted Iceberg commit attempts")
 

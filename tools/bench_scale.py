@@ -38,6 +38,14 @@ QUERIES = [
     # each repeat measures the full write+read e2e.
     "ingest_delta_standard",
     "ingest_iceberg",
+    # r9 (r8 verdict task 7): the pair-mining family — the only
+    # quadratic worst cases in the repo. Banding/bucketing must keep
+    # them sub-linear-in-pairs at 10x data; embeddings replicate with
+    # per-replica dimension PERMUTATIONS (norms and intra-replica
+    # geometry preserved, cross-replica collisions not manufactured).
+    "dedup_minhash_pairs",
+    "embedding_neardup_lsh",
+    "sim_ivfpq_topk",
 ]
 
 INGEST_QUERIES = {"ingest_delta_standard", "ingest_iceberg"}
@@ -115,6 +123,49 @@ def build_scaled_events(src_dir: str, out_dir: str) -> str:
     return out
 
 
+def build_scaled_embeddings(src_dir: str, out_dir: str) -> str:
+    """10x ``embeddings``: replicas with vec_ids shifted into disjoint
+    ranges and DIMENSIONS PERMUTED per replica (seeded, deterministic).
+    Permutation preserves each vector's norm and the intra-replica
+    neighbor structure while decorrelating replicas — the honest 10x
+    for LSH/IVF ops (10 identical copies would flood every bucket with
+    manufactured 45x near-dup pairs)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    out = os.path.join(out_dir, "embeddings.parquet")
+    if os.path.exists(out):
+        return out
+    t = pq.read_table(os.path.join(src_dir, "embeddings.parquet"))
+    max_id = pc.max(t["vec_id"]).as_py() + 1
+    flat = np.asarray(
+        t["embedding"].combine_chunks().flatten(), dtype=np.float32
+    )
+    n = t.num_rows
+    dim = len(flat) // n
+    mat = flat.reshape(n, dim)
+    chunks = []
+    for k in range(REPLICAS):
+        ids = pc.add(t["vec_id"], k * max_id)
+        if k == 0:
+            emb = t["embedding"]
+        else:
+            perm = np.random.RandomState(k).permutation(dim)
+            emb = pa.FixedSizeListArray.from_arrays(
+                pa.array(mat[:, perm].reshape(-1)), dim
+            ).cast(pa.list_(pa.float32()))
+        chunks.append(
+            pa.table(
+                {"vec_id": ids, "embedding": emb, "label": t["label"]}
+            )
+        )
+    pq.write_table(pa.concat_tables(chunks), out)
+    return out
+
+
 def main() -> None:
     import __spark_entry__ as E
     from kafka_delta_ingest_spark.session import get_spark
@@ -125,6 +176,7 @@ def main() -> None:
     scaled = os.environ.get("KDI_SCALE_DIR", "/tmp/kdi-sf1")
     build_scaled_documents(sf01, scaled)
     build_scaled_events(sf01, scaled)
+    build_scaled_embeddings(sf01, scaled)
 
     spark = get_spark("kdi-bench-scale")
     spark.sparkContext.setLogLevel("ERROR")
