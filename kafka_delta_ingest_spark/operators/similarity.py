@@ -228,11 +228,30 @@ def _unit(col: Column) -> Column:
     )
 
 
+def _pivot_rows(df: DataFrame, id_col: str, mod: int,
+                max_count: int | None) -> DataFrame:
+    """Deterministic pivot selection: every ``mod``-th id, CAPPED at
+    ``max_count`` (smallest ids win; ``None`` = uncapped). The cap is
+    the scale guard the r9 10x capture demanded: without it the pivot
+    count grows WITH the corpus and every pivot-dependent stage
+    (cell assignment, PQ training/encoding) turns O(N^2/mod) — the
+    measured 21.9x-at-10x on the IVFPQ composite. With a fixed cap
+    the stages are O(N x cap): pick the cap ~ sqrt(expected corpus)
+    at deployment (the FAISS n_list guideline), or plug
+    :func:`kmeans_centroids` output into the same plan. SQL twin:
+    ``WHERE id % mod = 0 ORDER BY id LIMIT max_count``."""
+    p = df.filter(F.col(id_col) % mod == 0)
+    if max_count is not None:
+        p = p.orderBy(F.col(id_col)).limit(max_count)
+    return p
+
+
 def ivf_build_index(
     corpus: DataFrame,
     centroid_mod: int = 10,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    max_centroids: int | None = 128,
 ) -> tuple[DataFrame, DataFrame]:
     """Build the IVF index as two plain DataFrames — the PERSISTED
     production shape: write both to parquet (assignments bucketed or
@@ -252,7 +271,9 @@ def ivf_build_index(
         F.col(corpus_id).alias("vec_id"),
         _unit(_as_double(F.col(corpus_vec))).alias("vec"),
     )
-    cents = corpus.filter(F.col(corpus_id) % centroid_mod == 0).select(
+    cents = _pivot_rows(
+        corpus, corpus_id, centroid_mod, max_centroids
+    ).select(
         F.col(corpus_id).alias("cent_id"),
         _unit(_as_double(F.col(corpus_vec))).alias("cvec"),
     )
@@ -503,6 +524,7 @@ def ivf_topk(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "embedding",
+    max_centroids: int | None = 128,
 ) -> DataFrame:
     """IVF-style ANN: partition the corpus into centroid cells, search
     only the ``n_probe`` cells nearest each query, exact re-rank inside.
@@ -517,6 +539,7 @@ def ivf_topk(
     cents, assigned = ivf_build_index(
         corpus, centroid_mod=centroid_mod,
         corpus_id=corpus_id, corpus_vec=corpus_vec,
+        max_centroids=max_centroids,
     )
     return ivf_query_index(
         cents, assigned, queries, k=k, n_probe=n_probe,
@@ -754,6 +777,7 @@ def pq_topk(
     query_id: str = "query_id",
     query_vec: str = "embedding",
     codebooks: DataFrame | None = None,
+    max_centroids: int | None = 256,
 ) -> DataFrame:
     """Product-quantization ANN with asymmetric distance (ADC).
 
@@ -792,7 +816,7 @@ def pq_topk(
         piv_sub = codebooks.select("cent_id", "j", "cv")
     else:
         piv_sub = (
-            corpus.filter(F.col(corpus_id) % centroid_mod == 0)
+            _pivot_rows(corpus, corpus_id, centroid_mod, max_centroids)
             .select(
                 F.col(corpus_id).alias("cent_id"),
                 _pq_subspaces(_unit(_as_double(F.col(corpus_vec))), m, sub_dim).alias("s"),
@@ -862,6 +886,7 @@ def semdedup(
     centroid_mod: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_centroids: int | None = 128,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication of an
     embedding corpus by within-cluster cosine similarity.
@@ -893,7 +918,7 @@ def semdedup(
         F.col(id_col).alias("vec_id"),
         _unit(_as_double(F.col(vec_col))).alias("vec"),
     )
-    cents = df.filter(F.col(id_col) % centroid_mod == 0).select(
+    cents = _pivot_rows(df, id_col, centroid_mod, max_centroids).select(
         F.col(id_col).alias("cent_id"),
         _unit(_as_double(F.col(vec_col))).alias("cvec"),
     )
@@ -937,6 +962,8 @@ def ivfpq_topk(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "embedding",
+    max_coarse: int | None = 64,
+    max_centroids: int | None = 256,
 ) -> DataFrame:
     """IVF-PQ composite index (the FAISS IVFPQ layout, Jegou et al.):
     coarse cells restrict WHICH vectors each query scores (``n_probe``
@@ -964,7 +991,7 @@ def ivfpq_topk(
         F.col(query_id).alias("query_id"),
         _unit(_as_double(F.col(query_vec))).alias("_qv"),
     )
-    coarse = corpus.filter(F.col(corpus_id) % coarse_mod == 0).select(
+    coarse = _pivot_rows(corpus, corpus_id, coarse_mod, max_coarse).select(
         F.col(corpus_id).alias("cell_id"),
         _unit(_as_double(F.col(corpus_vec))).alias("_cell"),
     )
@@ -988,7 +1015,7 @@ def ivfpq_topk(
     )
 
     piv_sub = (
-        corpus.filter(F.col(corpus_id) % centroid_mod == 0)
+        _pivot_rows(corpus, corpus_id, centroid_mod, max_centroids)
         .select(
             F.col(corpus_id).alias("cent_id"),
             _pq_subspaces(_unit(_as_double(F.col(corpus_vec))), m, sub_dim).alias("s"),

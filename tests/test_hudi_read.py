@@ -184,3 +184,76 @@ def test_delete_emptying_a_file_group_writes_zero_record_slice(
     assert "v" in t.schema.names  # typed data column survives
     got = read_hudi(spark, root)
     assert got.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# clean (table service, r9)
+
+
+def test_clean_reclaims_superseded_slices(spark, tmp_path):
+    """KEEP_LATEST_COMMITS: a CoW upsert rewrites its file group —
+    after clean, the superseded base file is gone, the snapshot is
+    byte-identical, and the .clean marker records the deletion."""
+    from kafka_delta_ingest_spark.hudi import HudiCowWriter
+
+    t = str(tmp_path / "cl")
+    w = HudiFixtureWriter(t, record_key="id")
+    rows = [{"id": i, "text": f"doc {i}"} for i in range(8)]
+    w.insert(rows, ts_ms=1000, groups_per_partition=1)
+    w.upsert([{"id": 2, "text": "U1"}], ts_ms=2000)
+    w.upsert([{"id": 3, "text": "U2"}], ts_ms=3000)
+    before = read_hudi(spark, t).collect()
+    n_files_before = sum(
+        1 for f in os.listdir(t) if f.endswith(".parquet")
+    )
+    cw = HudiCowWriter(t)
+    deleted = cw.clean(retain_last=1)
+    assert deleted  # the two superseded slices of the rewritten group
+    n_files_after = sum(
+        1 for f in os.listdir(t) if f.endswith(".parquet")
+    )
+    assert n_files_after == n_files_before - len(deleted)
+    after = read_hudi(spark, t).collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+    # marker on the timeline, ignored by planning
+    markers = [f for f in os.listdir(os.path.join(t, ".hoodie"))
+               if f.endswith(".clean")]
+    assert len(markers) == 1
+    meta = json.load(
+        open(os.path.join(t, ".hoodie", markers[0]))
+    )
+    assert sorted(meta["deleted"]) == sorted(deleted)
+
+
+def test_clean_reclaims_replaced_groups(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from kafka_delta_ingest_spark.hudi import HudiCowWriter
+
+    t = str(tmp_path / "clr")
+    w = HudiCowWriter(t)
+    df = spark.range(4).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 2).alias("val")
+    )
+    w.insert_batch(df.coalesce(1))
+    w.insert_batch(df.coalesce(1))
+    assert w.cluster(spark, target_file_bytes=1 << 20) is not None
+    w.insert_batch(df.coalesce(1))  # push the boundary past the replace
+    w.insert_batch(df.coalesce(1))
+    deleted = w.clean(retain_last=2)
+    assert len(deleted) == 2  # both pre-cluster group files
+    assert read_hudi(spark, t).count() == 16
+
+
+def test_clean_noop_inside_retention(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from kafka_delta_ingest_spark.hudi import HudiCowWriter
+
+    t = str(tmp_path / "cln")
+    w = HudiCowWriter(t)
+    df = spark.range(3).select(F.col("id").alias("doc_id"))
+    w.insert_batch(df.coalesce(1))
+    w.insert_batch(df.coalesce(1))
+    assert w.clean(retain_last=5) == []
+    assert read_hudi(spark, t).count() == 6

@@ -866,3 +866,71 @@ def test_vectorized_string_murmur_hypothesis():
         assert (got == want).all()
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# expire_snapshots (table service)
+
+
+def _ice_writer(spark, tmp_path, name):
+    from kafka_delta_ingest_spark.iceberg import IcebergWriter
+
+    fields = [
+        {"id": 1, "name": "doc_id", "type": "long", "required": False},
+        {"id": 2, "name": "grp", "type": "string", "required": False},
+    ]
+    t = str(tmp_path / name)
+    w = IcebergWriter(t, fields)
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(6)], "doc_id long, grp string"
+    )
+    return t, w, df
+
+
+def test_expire_reclaims_compacted_files(spark, tmp_path):
+    from kafka_delta_ingest_spark.iceberg import (
+        read_iceberg,
+        snapshots,
+    )
+
+    t, w, df = _ice_writer(spark, tmp_path, "exp")
+    w.append(df.coalesce(1), ts_ms=1000)
+    w.append(df.coalesce(1), ts_ms=2000)
+    w.optimize(spark, ts_ms=3000)  # rewrites both small files
+    n_data_before = len(os.listdir(os.path.join(t, "data")))
+    assert read_iceberg(spark, t).count() == 12
+    deleted = w.expire_snapshots(older_than_ms=2500)
+    # the two pre-compaction snapshots are gone; their exclusive
+    # data files are physically reclaimed
+    assert len(snapshots(t)) == 1
+    assert any(p.endswith(".parquet") and "/data/" in p for p in deleted)
+    assert len(os.listdir(os.path.join(t, "data"))) < n_data_before
+    # the live view is untouched
+    assert read_iceberg(spark, t).count() == 12
+    # time travel to expired history raises
+    with pytest.raises(ValueError):
+        read_iceberg(spark, t, as_of_timestamp_ms=1500)
+
+
+def test_expire_pure_append_deletes_no_data(spark, tmp_path):
+    from kafka_delta_ingest_spark.iceberg import (
+        read_iceberg,
+        snapshots,
+    )
+
+    t, w, df = _ice_writer(spark, tmp_path, "expa")
+    w.append(df.coalesce(1), ts_ms=1000)
+    w.append(df.coalesce(1), ts_ms=2000)
+    w.append(df.coalesce(1), ts_ms=3000)
+    deleted = w.expire_snapshots(older_than_ms=2500)
+    # appends carry manifests forward: every data file is still
+    # referenced by the kept snapshot — only metadata reclaims
+    assert not any("/data/" in p for p in deleted)
+    assert len(snapshots(t)) == 1
+    assert read_iceberg(spark, t).count() == 18
+
+
+def test_expire_noop_when_nothing_qualifies(spark, tmp_path):
+    t, w, df = _ice_writer(spark, tmp_path, "expn")
+    w.append(df.coalesce(1), ts_ms=1000)
+    assert w.expire_snapshots(older_than_ms=500) == []
