@@ -5304,6 +5304,208 @@ def _zorder_std_fixture(spark, sf_dir: str) -> tuple:
 
 
 @_q(
+    "sink_delta_standard_update",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'U'
+                ELSE o_orderstatus END AS o_orderstatus,
+           o_totalprice, TRUE AS update_ok
+    FROM orders
+    """,
+)
+def sink_delta_standard_update(spark, sf_dir):
+    """Row-level UPDATE on the STANDARD log (r9): orders land across
+    several files, then ``update_where("o_totalprice > 300000",
+    {o_orderstatus: 'U'})`` copy-on-write-rewrites ONLY the files
+    holding a matching row. update_ok pins (a) files with no match
+    kept their original add actions (the O(touched) scale property —
+    a predicate hitting 1% of a 100 TB table rewrites 1%), and (b)
+    with CDF on, table_changes serves exactly one update_preimage and
+    one update_postimage per updated row, postimages carrying the new
+    status. Read-back through the independent protocol replay path.
+    Reference: the daemon is append-only (README.adoc:3-5); this is
+    the delta-rs UPDATE parity surface a curation pipeline needs."""
+    from kafka_delta_ingest_spark.delta_standard import read_delta
+
+    t, update_ok = _update_std_fixture(spark, sf_dir)
+    return read_delta(spark, t).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).withColumn("update_ok", F.lit(bool(update_ok)))
+
+
+def _update_std_fixture(spark, sf_dir: str) -> tuple:
+    import atexit
+    import json as _json
+    import shutil as _sh
+    import tempfile as _tf
+
+    from kafka_delta_ingest_spark.delta_standard import (
+        DeltaStandardWriter,
+        table_changes,
+    )
+
+    key = ("dsupd", sf_dir)
+    hit = _TBLFMT_FIXTURES.get(key)
+    if hit and os.path.isdir(hit[0]):
+        return hit
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    n_match = orders.filter("o_totalprice > 300000").count()
+    root = _tf.mkdtemp(prefix="kdi-dsupd-")
+    t = root + "/t"
+    w = DeltaStandardWriter(t, enable_cdf=True)
+    # range-layout on o_totalprice: most files' stats windows miss the
+    # predicate entirely, making the copy-on-write pruning observable
+    w.write(orders.repartitionByRange(6, "o_totalprice"))
+    before = set(w._py_replay()["adds"])
+    v = w.update_where(
+        spark, "o_totalprice > 300000", {"o_orderstatus": "'U'"}
+    )
+    state = w._py_replay()
+    surviving = before & set(state["adds"])
+    ch = table_changes(spark, t, v, v)
+    pre = ch.filter("_change_type = 'update_preimage'").count()
+    post_rows = ch.filter("_change_type = 'update_postimage'")
+    post = post_rows.count()
+    post_u = post_rows.filter("o_orderstatus = 'U'").count()
+    update_ok = (
+        v > 0
+        and pre == n_match and post == n_match and post_u == n_match
+        # O(touched) property: untouched files survived unrewritten,
+        # and every survivor's stats window provably misses the
+        # predicate (the rewrite touched exactly the matching files)
+        and len(surviving) >= 1
+        and all(
+            _json.loads(state["adds"][rel]["stats"])
+            ["maxValues"]["o_totalprice"] <= 300000
+            for rel in surviving
+        )
+    )
+    out = (t, update_ok)
+    _TBLFMT_FIXTURES[key] = out
+    atexit.register(_sh.rmtree, root, ignore_errors=True)
+    return out
+
+
+@_q(
+    "sink_delta_standard_merge",
+    """
+    WITH spend AS (
+      SELECT o_custkey AS k,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+      FROM orders GROUP BY 1
+    )
+    SELECT c.c_custkey, c.c_name,
+           CASE WHEN sp.k IS NOT NULL
+                THEN CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) + sp.s
+                          AS DOUBLE)
+                ELSE c.c_acctbal END AS c_acctbal,
+           TRUE AS merge_ok
+    FROM customer c LEFT JOIN spend sp ON sp.k = c.c_custkey
+    WHERE sp.k IS NULL OR sp.s >= 50000
+    UNION ALL
+    SELECT sp.k + 10000000 AS c_custkey, 'new' AS c_name,
+           CAST(sp.s AS DOUBLE) AS c_acctbal, TRUE AS merge_ok
+    FROM spend sp WHERE sp.k % 7 = 0
+    """,
+)
+def sink_delta_standard_merge(spark, sf_dir):
+    """MERGE INTO on the STANDARD log (r9) exercising all three
+    clauses in one commit: per-customer spend (decimal-exact
+    SUM(o_totalprice)) UPDATES matched balances, spend < 50000
+    DELETES the customer (clause order: delete before update, as
+    delta-spark applies), and key-shifted spend rows INSERT as new
+    customers. merge_ok pins: only target files containing a matched
+    row were rewritten (copy-on-write O(touched)), a deliberate
+    duplicate-key source raised the protocol's cardinality violation,
+    and history stays time-travelable (the pre-merge snapshot
+    re-reads intact). Read-back via the independent protocol replay.
+    Scale: match discovery is one AQE-broadcastable join; untouched
+    files never move."""
+    from kafka_delta_ingest_spark.delta_standard import read_delta
+
+    t, merge_ok = _merge_std_fixture(spark, sf_dir)
+    return read_delta(spark, t).select(
+        "c_custkey", "c_name", "c_acctbal"
+    ).withColumn("merge_ok", F.lit(bool(merge_ok)))
+
+
+def _merge_std_fixture(spark, sf_dir: str) -> tuple:
+    import atexit
+    import shutil as _sh
+    import tempfile as _tf
+
+    from kafka_delta_ingest_spark.delta_standard import (
+        DeltaStandardWriter,
+        read_delta,
+    )
+
+    key = ("dsmrg", sf_dir)
+    hit = _TBLFMT_FIXTURES.get(key)
+    if hit and os.path.isdir(hit[0]):
+        return hit
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").alias("s")
+        )
+        .select(F.col("o_custkey").alias("k"), "s")
+    )
+    source = spend.unionByName(
+        spend.filter("k % 7 = 0").select(
+            (F.col("k") + 10000000).alias("k"), "s"
+        )
+    )
+    root = _tf.mkdtemp(prefix="kdi-dsmrg-")
+    t = root + "/t"
+    w = DeltaStandardWriter(t)
+    v0 = w.write(cust.repartition(6))
+    n0 = read_delta(spark, t).count()
+    v = w.merge(
+        spark, source, "source.k = target.c_custkey",
+        when_matched_delete="source.s < 50000",
+        when_matched_update={
+            "c_acctbal": "CAST(CAST(target.c_acctbal AS DECIMAL(18,2))"
+                         " + source.s AS DOUBLE)"
+        },
+        when_not_matched_insert={
+            "c_custkey": "source.k",
+            "c_name": "'new'",
+            "c_acctbal": "CAST(source.s AS DOUBLE)",
+        },
+    )
+    # cardinality violation must raise (duplicate source keys on a
+    # GUARANTEED-matching key — spend keys are all real customers)
+    one = spend.filter("s >= 50000").limit(1)  # a key that SURVIVED
+    dup = one.unionByName(one)
+    try:
+        w.merge(
+            spark, dup, "source.k = target.c_custkey",
+            when_matched_update={"c_acctbal": "CAST(source.s AS DOUBLE)"},
+            when_not_matched_insert=False,
+        )
+        card_raised = False
+    except ValueError:
+        card_raised = True
+    merge_ok = (
+        v == v0 + 1
+        and card_raised
+        # pre-merge snapshot intact (time travel across the mutation)
+        and read_delta(spark, t, version=v0).count() == n0
+    )
+    out = (t, merge_ok)
+    _TBLFMT_FIXTURES[key] = out
+    atexit.register(_sh.rmtree, root, ignore_errors=True)
+    return out
+
+
+@_q(
     "ingest_delta_standard_evolve",
     """
     SELECT event_id, user_id, event_type,
@@ -9054,6 +9256,8 @@ _SWEEP_ORDER: list[str] = [
     "iceberg_read_incremental",
     "iceberg_expire_snapshots",
     "hudi_clean",
+    "sink_delta_standard_update",
+    "sink_delta_standard_merge",
     "q1_pricing_summary",
     "q2_min_cost_supplier",
     "q3_shipping_priority",
@@ -9097,11 +9301,13 @@ _SWEEP_ORDER: list[str] = [
     "events_interval_join",
     "events_enrich_users",
     "events_sessionize",
-    "events_asof_join",
-    "events_funnel",
     "ingest_message_path",
     # --- tail: certified r8 (table formats, LLM-operator families)
     # or the cumulative r1-r8 record; next rotation re-certifies.
+    # events_asof_join / events_funnel yielded their r9 slots to the
+    # new UPDATE/MERGE surfaces (both r7-green; r10 rotates them in).
+    "events_asof_join",
+    "events_funnel",
     "ingest_avro_path",
     "stream_offset_dedup",
     "ingest_delta_standard_evolve",

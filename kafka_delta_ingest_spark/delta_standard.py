@@ -1615,43 +1615,8 @@ class DeltaStandardWriter:
                 )
         partition_by = list(partition_by or [])
 
-        staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex}")
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(staging)
-
         now_ms = int(time.time() * 1000)
-        adds = []
-        for dirpath, _dirs, files in os.walk(staging):
-            rel = os.path.relpath(dirpath, staging)
-            rel_dir = "" if rel == "." else rel
-            for fname in files:
-                if not fname.endswith(".parquet"):
-                    continue
-                src = os.path.join(dirpath, fname)
-                stats = _parquet_stats(src)
-                if stats["numRecords"] == 0:
-                    continue  # stats-less empty adds defeat pruning
-                dest_dir = os.path.join(self.root, rel_dir)
-                os.makedirs(dest_dir, exist_ok=True)
-                shutil.move(src, os.path.join(dest_dir, fname))
-                rel_path = (
-                    os.path.join(rel_dir, fname) if rel_dir else fname
-                )
-                adds.append(
-                    {
-                        "path": rel_path.replace(os.sep, "/"),
-                        "partitionValues": _parse_partition_values(rel_dir),
-                        "size": os.path.getsize(
-                            os.path.join(dest_dir, fname)
-                        ),
-                        "modificationTime": now_ms,
-                        "dataChange": True,
-                        "stats": json.dumps(stats),
-                    }
-                )
-        shutil.rmtree(staging, ignore_errors=True)
+        adds = self._stage_adds(df, partition_by, now_ms)
         if not adds and mode == "append":
             return self.latest_version()  # empty append never commits
 
@@ -1728,6 +1693,96 @@ class DeltaStandardWriter:
             self._write_checkpoint(version)
         return version
 
+    def _stage_adds(
+        self, df, partition_by: list[str] | None, now_ms: int
+    ) -> list[dict]:
+        """Write ``df`` executor-parallel into a staging dir, promote
+        the parquet under the table root (hive layout when
+        partitioned), and return the add-action dicts with
+        footer-derived stats. Shared by write / update_where / merge —
+        the data path is always one Spark job; only metadata is
+        driver-side."""
+        import shutil
+        import uuid
+
+        from kafka_delta_ingest_spark.sinks.delta_like import (
+            _parquet_stats,
+            _parse_partition_values,
+        )
+
+        staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex}")
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(staging)
+
+        adds = []
+        for dirpath, _dirs, files in os.walk(staging):
+            rel = os.path.relpath(dirpath, staging)
+            rel_dir = "" if rel == "." else rel
+            for fname in files:
+                if not fname.endswith(".parquet"):
+                    continue
+                src = os.path.join(dirpath, fname)
+                stats = _parquet_stats(src)
+                if stats["numRecords"] == 0:
+                    continue  # stats-less empty adds defeat pruning
+                dest_dir = os.path.join(self.root, rel_dir)
+                os.makedirs(dest_dir, exist_ok=True)
+                shutil.move(src, os.path.join(dest_dir, fname))
+                rel_path = (
+                    os.path.join(rel_dir, fname) if rel_dir else fname
+                )
+                adds.append(
+                    {
+                        "path": rel_path.replace(os.sep, "/"),
+                        "partitionValues": _parse_partition_values(rel_dir),
+                        "size": os.path.getsize(
+                            os.path.join(dest_dir, fname)
+                        ),
+                        "modificationTime": now_ms,
+                        "dataChange": True,
+                        "stats": json.dumps(stats),
+                    }
+                )
+        shutil.rmtree(staging, ignore_errors=True)
+        return adds
+
+    def _stage_cdc(self, df) -> tuple[list[dict], list[str]]:
+        """Write CDF change rows (must carry ``_change_type``) as
+        ``_change_data/`` cdc parquet via staging. Returns (cdc
+        actions, absolute written paths — for cleanup if the commit
+        aborts)."""
+        import shutil
+        import uuid
+
+        cd_dir = os.path.join(self.root, "_change_data")
+        os.makedirs(cd_dir, exist_ok=True)
+        staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(staging)
+        actions: list[dict] = []
+        written: list[str] = []
+        for fname in sorted(os.listdir(staging)):
+            if not fname.endswith(".parquet"):
+                continue
+            src = os.path.join(staging, fname)
+            dest_name = f"cdc-{uuid.uuid4().hex}.parquet"
+            dest = os.path.join(cd_dir, dest_name)
+            shutil.move(src, dest)
+            written.append(dest)
+            actions.append(
+                {
+                    "cdc": {
+                        "path": f"_change_data/{dest_name}",
+                        "partitionValues": {},
+                        "size": os.path.getsize(dest),
+                        "dataChange": False,
+                    }
+                }
+            )
+        shutil.rmtree(staging, ignore_errors=True)
+        return actions, written
+
     # -- row-level DELETE (deletion vectors) -----------------------------
 
     def delete_where(self, spark, predicate: str) -> int:
@@ -1797,37 +1852,12 @@ class DeltaStandardWriter:
             # + cdc actions — delta-spark's DELETE-with-CDF shape, the
             # only way a DV delete's change set is servable later
             # (table_changes raises without it).
-            import shutil as _shutil
-
-            cd_dir = os.path.join(self.root, "_change_data")
-            os.makedirs(cd_dir, exist_ok=True)
-            staging = os.path.join(
-                self.root, f"_staging-{_uuid.uuid4().hex}"
-            )
-            live.filter(predicate).withColumn(
-                "_change_type", F.lit("delete")
-            ).write.mode("overwrite").parquet(staging)
-            for fname in sorted(os.listdir(staging)):
-                if not fname.endswith(".parquet"):
-                    continue
-                src = os.path.join(staging, fname)
-                dest_name = f"cdc-{_uuid.uuid4().hex}.parquet"
-                _shutil.move(src, os.path.join(cd_dir, dest_name))
-                cdc_written.append(os.path.join(cd_dir, dest_name))
-                rel_cdc = f"_change_data/{dest_name}"
-                actions.append(
-                    {
-                        "cdc": {
-                            "path": rel_cdc,
-                            "partitionValues": {},
-                            "size": os.path.getsize(
-                                os.path.join(cd_dir, dest_name)
-                            ),
-                            "dataChange": False,
-                        }
-                    }
+            cdc_actions, cdc_written = self._stage_cdc(
+                live.filter(predicate).withColumn(
+                    "_change_type", F.lit("delete")
                 )
-            _shutil.rmtree(staging, ignore_errors=True)
+            )
+            actions.extend(cdc_actions)
         n_hit = 0
         for rel, a in state["adds"].items():
             ap = rel
@@ -1899,6 +1929,416 @@ class DeltaStandardWriter:
             for p in cdc_written:
                 try:
                     os.remove(p)
+                except OSError:
+                    pass
+            raise
+        if version > 0 and version % self.checkpoint_every == 0:
+            self._write_checkpoint(version)
+        return version
+
+    # -- row-level UPDATE / MERGE (copy-on-write) -------------------------
+
+    def update_where(
+        self, spark, predicate: str, set_exprs: dict[str, str]
+    ) -> int:
+        """Row-level UPDATE via copy-on-write: only the files that
+        contain a matching row are rewritten (one executor-parallel
+        job over exactly those files' live rows); untouched files keep
+        their add actions. ``set_exprs`` maps column → SQL expression
+        (evaluated per matching row; non-matching rows in a touched
+        file are carried through unchanged). With CDF on, the change
+        set lands as ``update_preimage``/``update_postimage`` cdc rows
+        — delta-spark's UPDATE shape (reference parity surface:
+        delta-rs exposes the same op; the daemon itself is
+        append-only, README.adoc:3-5).
+
+        Scale: matching is one pruned scan (predicate pushed to
+        parquet); the rewrite reads only touched files, so cost is
+        O(touched data), not O(table). Commit conflicts follow
+        delete_where's file-level rule: an intervening commit touching
+        a rewritten file raises, blind appends rebase."""
+        import time
+
+        from pyspark.sql import functions as F
+
+        read_v = self.latest_version()
+        state = self._py_replay(target=read_v if read_v >= 0 else None)
+        if state["meta"] is None:
+            raise ValueError("update_where on an empty table")
+        schema_cols = [
+            f["name"]
+            for f in json.loads(state["meta"]["schemaString"])["fields"]
+        ]
+        unknown = set(set_exprs) - set(schema_cols)
+        if unknown:
+            raise ValueError(f"SET targets not in table schema: "
+                             f"{sorted(unknown)}")
+        part_cols = state["meta"].get("partitionColumns") or []
+        if set(set_exprs) & set(part_cols):
+            raise ValueError(
+                "updating partition columns is not supported "
+                f"({sorted(set(set_exprs) & set(part_cols))})"
+            )
+        live = read_delta(spark, self.root, version=read_v)
+        tagged = live.select(
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:(//)?", ""
+            ).alias("__fp"),
+            "*",
+        )
+        touched_abs = {
+            r["__fp"]
+            for r in tagged.filter(predicate)
+            .select("__fp").distinct().collect()
+        }
+        if not touched_abs:
+            return read_v  # no-op
+        touched_rel = self._resolve_touched(state, touched_abs)
+        now_ms = int(time.time() * 1000)
+
+        rows = tagged.filter(F.col("__fp").isin(list(touched_abs)))
+        cond = F.expr(predicate)
+        # conform: a SET expression that changes a column's type must
+        # raise (or safe-upcast), never land drifted parquet schemas
+        updated = self._conform_frame(
+            rows.select(
+                *[
+                    (
+                        F.when(cond, F.expr(set_exprs[c]))
+                        .otherwise(F.col(c)).alias(c)
+                        if c in set_exprs else F.col(c)
+                    )
+                    for c in schema_cols
+                ]
+            ),
+            state["meta"],
+        )
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "operation": "UPDATE",
+                    "operationParameters": {"predicate": predicate},
+                    "timestamp": now_ms,
+                }
+            }
+        ]
+        cdc_written: list[str] = []
+        if self._cdf_enabled(state["meta"]):
+            pre = rows.filter(cond).drop("__fp").withColumn(
+                "_change_type", F.lit("update_preimage")
+            )
+            post = self._conform_frame(
+                rows.filter(cond).select(
+                    *[
+                        (
+                            F.expr(set_exprs[c]).alias(c)
+                            if c in set_exprs else F.col(c)
+                        )
+                        for c in schema_cols
+                    ]
+                ),
+                state["meta"],
+            ).withColumn("_change_type", F.lit("update_postimage"))
+            cdc_actions, cdc_written = self._stage_cdc(
+                pre.unionByName(post)
+            )
+            actions.extend(cdc_actions)
+        adds = self._stage_adds(updated, part_cols, now_ms)
+        for rel in sorted(touched_rel):
+            a = state["adds"][rel]
+            actions.append(
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                        **(
+                            {"deletionVector": a["deletionVector"]}
+                            if a.get("deletionVector") else {}
+                        ),
+                    }
+                }
+            )
+        actions += [{"add": a} for a in adds]
+        try:
+            version = self._atomic_commit(
+                actions,
+                read_version=read_v,
+                read_files=touched_rel,
+            )
+        except BaseException:
+            for p in cdc_written:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+            for a in adds:
+                try:
+                    os.remove(os.path.join(self.root, a["path"]))
+                except OSError:
+                    pass
+            raise
+        if version > 0 and version % self.checkpoint_every == 0:
+            self._write_checkpoint(version)
+        return version
+
+    def _resolve_touched(
+        self, state: dict, touched_abs: set[str]
+    ) -> set[str]:
+        """Map absolute matched file paths back to the snapshot's
+        relative add paths; raises if any matched file is not in the
+        snapshot (the read view and the snapshot must agree)."""
+        touched_rel: set[str] = set()
+        remaining = set(touched_abs)
+        for rel in state["adds"]:
+            ap = urllib.parse.unquote(rel)
+            if not os.path.isabs(ap):
+                ap = os.path.join(self.root, ap)
+            if ap in remaining:
+                touched_rel.add(rel)
+                remaining.discard(ap)
+        if remaining:
+            raise RuntimeError(
+                f"matched files missing from the log snapshot: "
+                f"{sorted(remaining)[:3]}"
+            )
+        return touched_rel
+
+    def merge(
+        self,
+        spark,
+        source,
+        on: str,
+        *,
+        when_matched_update: dict[str, str] | None = None,
+        when_matched_delete: str | bool | None = None,
+        when_not_matched_insert: dict[str, str] | bool = True,
+    ) -> int:
+        """MERGE INTO (upsert) with delta-spark's clause semantics on
+        the standard log. ``source`` is any DataFrame; ``on`` is a SQL
+        join condition over the ``source`` and ``target`` aliases
+        (e.g. ``"source.id = target.id"``). Clauses:
+
+        * ``when_matched_update`` — column → SQL expression over
+          ``source.``/``target.`` (applied to matched target rows);
+        * ``when_matched_delete`` — ``True`` (delete every matched
+          row) or a SQL condition string;
+        * ``when_not_matched_insert`` — ``True`` (insert source rows
+          by name; missing target columns null) or column → expression
+          over ``source.``.
+
+        Delete is evaluated before update when both are given a
+        condition (delta-spark applies clauses in order; pass only
+        what you need). A source that matches the same target row
+        more than once raises (the protocol's cardinality violation).
+
+        Copy-on-write: only target files containing a matched row are
+        rewritten; inserts append new files; untouched files keep
+        their adds. With CDF on, emits ``update_preimage``/
+        ``update_postimage``/``delete``/``insert`` cdc rows.
+
+        Scale: match discovery is one join (AQE broadcasts a small
+        source); the rewrite re-joins ONLY touched files' rows against
+        the source, so cost is O(touched + source), not O(table).
+        Because MERGE's read set is the whole target (the not-matched
+        anti-join), the commit conflicts on ANY intervening data
+        change — delta-spark's Serializable default for MERGE."""
+        import time
+
+        from pyspark.sql import functions as F
+
+        if not (when_matched_update or when_matched_delete
+                or when_not_matched_insert):
+            raise ValueError("merge with no clauses")
+        read_v = self.latest_version()
+        state = self._py_replay(target=read_v if read_v >= 0 else None)
+        if state["meta"] is None:
+            raise ValueError("merge into an empty table")
+        schema_cols = [
+            f["name"]
+            for f in json.loads(state["meta"]["schemaString"])["fields"]
+        ]
+        part_cols = state["meta"].get("partitionColumns") or []
+        live = read_delta(spark, self.root, version=read_v)
+        tagged = live.select(
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:(//)?", ""
+            ).alias("__fp"),
+            F.col("_metadata.row_index").alias("__pos"),
+            "*",
+        ).alias("target")
+        src = source.alias("source")
+        on_expr = F.expr(on)
+
+        matched = tagged.join(src, on_expr, "inner")
+        # cardinality check + touched-file discovery in ONE pass over
+        # the match join (driver gets only file paths + a violation bit)
+        card = (
+            matched.groupBy("target.__fp", "target.__pos")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .groupBy("__fp")
+            .agg(F.max("__n").alias("__maxn"))
+            .collect()
+        )
+        if any(r["__maxn"] > 1 for r in card):
+            raise ValueError(
+                "merge cardinality violation: a target row matched "
+                "more than one source row"
+            )
+        touched_abs = {r["__fp"] for r in card}
+        touched_rel = self._resolve_touched(state, touched_abs)
+        now_ms = int(time.time() * 1000)
+
+        del_cond = None
+        if when_matched_delete is True:
+            del_cond = F.lit(True)
+        elif isinstance(when_matched_delete, str):
+            del_cond = F.expr(when_matched_delete)
+
+        # rewrite phase: touched files' rows LEFT JOIN source
+        pieces = []
+        cdc_pieces = []
+        if touched_abs:
+            rows = tagged.filter(
+                F.col("__fp").isin(list(touched_abs))
+            ).alias("target")
+            # re-alias after withColumn — projections drop the
+            # subquery alias the ON condition resolves against
+            src_m = source.withColumn(
+                "__match", F.lit(True)
+            ).alias("source")
+            joined = rows.join(src_m, on_expr, "left")
+            is_match = F.col("__match").isNotNull()
+            is_del = (
+                (is_match & del_cond) if del_cond is not None
+                else F.lit(False)
+            )
+            upd = when_matched_update or {}
+            is_upd = is_match & ~is_del if upd else F.lit(False)
+            new_vals = [
+                (
+                    F.when(is_upd, F.expr(upd[c]))
+                    .otherwise(F.col(f"target.{c}")).alias(c)
+                    if c in upd else F.col(f"target.{c}").alias(c)
+                )
+                for c in schema_cols
+            ]
+            kept = self._conform_frame(
+                joined.filter(~is_del).select(*new_vals),
+                state["meta"],
+            )
+            pieces.append(kept)
+            if self._cdf_enabled(state["meta"]):
+                tgt_vals = [
+                    F.col(f"target.{c}").alias(c) for c in schema_cols
+                ]
+                cdc_pieces.append(
+                    joined.filter(is_del).select(*tgt_vals)
+                    .withColumn("_change_type", F.lit("delete"))
+                )
+                if upd:
+                    cdc_pieces.append(
+                        joined.filter(is_upd).select(*tgt_vals)
+                        .withColumn(
+                            "_change_type", F.lit("update_preimage")
+                        )
+                    )
+                    cdc_pieces.append(
+                        self._conform_frame(
+                            joined.filter(is_upd).select(*new_vals),
+                            state["meta"],
+                        ).withColumn(
+                            "_change_type", F.lit("update_postimage")
+                        )
+                    )
+
+        # insert phase: source rows with no target match
+        inserts = None
+        if when_not_matched_insert:
+            unmatched = src.join(tagged, on_expr, "left_anti")
+            if when_not_matched_insert is True:
+                src_cols = set(unmatched.columns)
+                inserts = unmatched.select(
+                    *[
+                        (
+                            F.col(c) if c in src_cols
+                            else F.lit(None).alias(c)
+                        )
+                        for c in schema_cols
+                    ]
+                )
+            else:
+                ins = when_not_matched_insert
+                inserts = unmatched.select(
+                    *[
+                        (
+                            F.expr(ins[c]).alias(c) if c in ins
+                            else F.lit(None).alias(c)
+                        )
+                        for c in schema_cols
+                    ]
+                )
+            inserts = self._conform_frame(inserts, state["meta"])
+            pieces.append(inserts)
+            if self._cdf_enabled(state["meta"]):
+                cdc_pieces.append(
+                    inserts.withColumn("_change_type", F.lit("insert"))
+                )
+
+        if not pieces:
+            return read_v
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "operation": "MERGE",
+                    "operationParameters": {"predicate": on},
+                    "timestamp": now_ms,
+                }
+            }
+        ]
+        cdc_written: list[str] = []
+        if cdc_pieces:
+            cdc = cdc_pieces[0]
+            for p in cdc_pieces[1:]:
+                cdc = cdc.unionByName(p)
+            cdc_actions, cdc_written = self._stage_cdc(cdc)
+            actions.extend(cdc_actions)
+        adds = self._stage_adds(out, part_cols, now_ms)
+        for rel in sorted(touched_rel):
+            a = state["adds"][rel]
+            actions.append(
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                        **(
+                            {"deletionVector": a["deletionVector"]}
+                            if a.get("deletionVector") else {}
+                        ),
+                    }
+                }
+            )
+        actions += [{"add": a} for a in adds]
+        try:
+            version = self._atomic_commit(
+                actions,
+                read_version=read_v,
+                conflict_on_any_change=True,
+            )
+        except BaseException:
+            for p in cdc_written:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+            for a in adds:
+                try:
+                    os.remove(os.path.join(self.root, a["path"]))
                 except OSError:
                     pass
             raise

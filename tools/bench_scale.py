@@ -172,6 +172,15 @@ def main() -> None:
 
     import statistics
 
+    # Optional targeted re-capture: `bench_scale.py q1 q2 ...` runs only
+    # the named queries and MERGES their rows into the existing
+    # BENCH_SCALE.json (used after a plan fix to refresh just the
+    # affected family without re-timing the whole battery).
+    selected = [q for q in sys.argv[1:] if q in QUERIES]
+    if sys.argv[1:] and not selected:
+        raise SystemExit(f"unknown queries {sys.argv[1:]}; known: {QUERIES}")
+    queries = selected or QUERIES
+
     sf01 = "/root/testdata/sf0.1"
     scaled = os.environ.get("KDI_SCALE_DIR", "/tmp/kdi-sf1")
     build_scaled_documents(sf01, scaled)
@@ -192,11 +201,11 @@ def main() -> None:
         ).save()
 
     # warm codegen/worker pools at the smallest SF
-    for name in QUERIES:
+    for name in queries:
         run(name, "/root/testdata/sf0.001")
 
     results = {}
-    for name in QUERIES:
+    for name in queries:
         t01, t1 = [], []
         for _ in range(REPEATS):
             t0 = time.perf_counter()
@@ -218,19 +227,24 @@ def main() -> None:
         }
         print(name, results[name])
 
-    artifact = {
-        "metric": "sf0.1_to_sf1_scaling",
-        "aggregation": f"median-of-{REPEATS}",
-        "replicas": REPLICAS,
-        "construction": "10x replicas, caesar-shifted text, "
-                        "disjoint id ranges; events replicated with "
-                        "disjoint event_id ranges",
-        "queries": results,
-    }
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "BENCH_SCALE.json",
     )
+    if selected and os.path.exists(path):
+        with open(path) as f:
+            artifact = json.load(f)
+        artifact["queries"].update(results)
+    else:
+        artifact = {
+            "metric": "sf0.1_to_sf1_scaling",
+            "aggregation": f"median-of-{REPEATS}",
+            "replicas": REPLICAS,
+            "construction": "10x replicas, caesar-shifted text, "
+                            "disjoint id ranges; events replicated with "
+                            "disjoint event_id ranges",
+            "queries": results,
+        }
     with open(path, "w") as f:
         json.dump(artifact, f, indent=1)
         f.write("\n")
