@@ -4649,6 +4649,116 @@ def hudi_clean(spark, sf_dir):
 
 
 @_q(
+    "hudi_upsert_cow",
+    """
+    WITH spend AS (
+      SELECT o_custkey AS k,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+      FROM orders GROUP BY 1
+    )
+    SELECT c.c_custkey,
+           CASE WHEN sp.k IS NOT NULL THEN 'upd'
+                ELSE c.c_name END AS c_name,
+           CASE WHEN sp.k IS NOT NULL THEN CAST(sp.s AS DOUBLE)
+                ELSE c.c_acctbal END AS c_acctbal,
+           c.c_mktsegment, TRUE AS upsert_ok
+    FROM customer c LEFT JOIN spend sp ON sp.k = c.c_custkey
+    UNION ALL
+    SELECT sp.k + 10000000 AS c_custkey, 'new' AS c_name,
+           CAST(sp.s AS DOUBLE) AS c_acctbal,
+           'NEWSEG' AS c_mktsegment, TRUE AS upsert_ok
+    FROM spend sp WHERE sp.k % 5 = 0
+    """,
+)
+def hudi_upsert_cow(spark, sf_dir):
+    """Hudi's signature op (r9): CoW UPSERT of a DataFrame into a
+    mktsegment-partitioned table with record_key=c_custkey. Customers
+    with orders get their whole row replaced IN their existing file
+    group (same fileId, new base-file slice at the upsert instant —
+    decimal-exact spend as the new balance); key-shifted spend rows
+    insert as new file groups in a brand-new partition. upsert_ok
+    pins: operationType UPSERT on the timeline, every rewritten
+    group's write stat chains prevCommit to the replaced slice's
+    instant, at least one update and one insert leg ran, and the
+    non-global-index contract held (the NEWSEG partition contains
+    only inserted keys). Match discovery reads ONLY the key +
+    partition-path columns (Hudi's bloom-index analog as a
+    column-pruned scan + AQE-broadcast join); the rewrite reads only
+    matched groups — O(touched + source), never O(table).
+    Reference: the daemon is append-only (README.adoc:3-5); this is
+    DeltaStreamer's UPSERT operation re-expressed Spark-first."""
+    import json as _json
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from kafka_delta_ingest_spark.hudi import HudiCowWriter, read_hudi
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").alias("s")
+        )
+        .select(F.col("o_custkey").alias("k"), "s")
+    )
+    upd_src = spend.join(
+        cust, spend.k == cust.c_custkey, "inner"
+    ).select(
+        "c_custkey",
+        F.lit("upd").alias("c_name"),
+        F.col("s").cast("double").alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    ins_src = spend.filter("k % 5 = 0").select(
+        (F.col("k") + 10_000_000).alias("c_custkey"),
+        F.lit("new").alias("c_name"),
+        F.col("s").cast("double").alias("c_acctbal"),
+        F.lit("NEWSEG").alias("c_mktsegment"),
+    )
+    root = _tf.mkdtemp(prefix="kdi-hudiup-")
+    try:
+        t = root + "/t"
+        w = HudiCowWriter(
+            t, partition_by=["c_mktsegment"], record_key="c_custkey"
+        )
+        w.insert_batch(cust.repartition("c_mktsegment"))
+        instant, n_upd, n_ins = w.upsert_batch(
+            upd_src.unionByName(ins_src)
+        )
+        meta = _json.load(
+            open(_os.path.join(t, ".hoodie", f"{instant}.commit"))
+        )
+        upd_stats = [
+            st
+            for stats in meta["partitionToWriteStats"].values()
+            for st in stats
+            if st["prevCommit"] != "null"
+        ]
+        live = read_hudi(spark, t)
+        newseg_ok = (
+            live.filter("c_mktsegment = 'NEWSEG'")
+            .filter("c_custkey < 10000000").count() == 0
+        )
+        upsert_ok = (
+            meta["operationType"] == "UPSERT"
+            and n_upd > 0 and n_ins > 0
+            and len(upd_stats) == n_upd
+            and newseg_ok
+        )
+        out = live.select(
+            "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+        ).withColumn("upsert_ok", F.lit(bool(upsert_ok)))
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
+@_q(
     "hudi_read_incremental",
     """
     SELECT doc_id, lang,
@@ -9256,6 +9366,7 @@ _SWEEP_ORDER: list[str] = [
     "iceberg_read_incremental",
     "iceberg_expire_snapshots",
     "hudi_clean",
+    "hudi_upsert_cow",
     "sink_delta_standard_update",
     "sink_delta_standard_merge",
     "q1_pricing_summary",
@@ -9300,12 +9411,13 @@ _SWEEP_ORDER: list[str] = [
     "events_range_join",
     "events_interval_join",
     "events_enrich_users",
-    "events_sessionize",
     "ingest_message_path",
     # --- tail: certified r8 (table formats, LLM-operator families)
     # or the cumulative r1-r8 record; next rotation re-certifies.
-    # events_asof_join / events_funnel yielded their r9 slots to the
-    # new UPDATE/MERGE surfaces (both r7-green; r10 rotates them in).
+    # events_sessionize / events_asof_join / events_funnel yielded
+    # their r9 slots to the new UPDATE/MERGE/UPSERT surfaces (all
+    # r7-green; r10 rotates them back in).
+    "events_sessionize",
     "events_asof_join",
     "events_funnel",
     "ingest_avro_path",

@@ -1119,11 +1119,17 @@ class HudiCowWriter:
     """
 
     def __init__(self, table_path: str,
-                 partition_by: list[str] | None = None, store=None):
+                 partition_by: list[str] | None = None, store=None,
+                 record_key: str | None = None):
         from kafka_delta_ingest_spark.logstore import get_log_store
 
         self.path = table_path
         self.parts = list(partition_by or [])
+        # hoodie.datasource.write.recordkey.field: when set, inserts
+        # stamp _hoodie_record_key from this column (string-cast) and
+        # upsert_batch becomes available; unset keeps the synthetic
+        # seqno key (append-only ingest, Hudi's NONE key-gen analog)
+        self.record_key = record_key
         # timeline (commit-protocol) IO routes through the LogStore
         # seam: instant claims, inflight markers, completed-commit
         # publishes, and ledger reads. Data parquet is Spark-side.
@@ -1248,14 +1254,75 @@ class HudiCowWriter:
             F.spark_partition_id().cast("string"),
             F.monotonically_increasing_id().cast("string"),
         )
+        rec_key = (
+            F.col(self.record_key).cast("string")
+            if self.record_key else seqno
+        )
         meta_df = df.select(
             F.lit(instant).alias("_hoodie_commit_time"),
             seqno.alias("_hoodie_commit_seqno"),
-            seqno.alias("_hoodie_record_key"),
+            rec_key.alias("_hoodie_record_key"),
             part_path.alias("_hoodie_partition_path"),
             F.lit("").alias("_hoodie_file_name"),
             "*",
         )
+        stats, n_files, n_records = self._stage_new_groups(
+            meta_df, instant
+        )
+        if not n_files:
+            # empty batch: withdraw the reserved instant (no commit)
+            self.store.remove(
+                os.path.join(hoodie, f"{instant}.commit.requested")
+            )
+            self.store.remove(
+                os.path.join(hoodie, f"{instant}.commit.inflight")
+            )
+            return None, 0, 0
+        meta = {
+            "partitionToWriteStats": stats,
+            "operationType": "INSERT",
+            "extraMetadata": dict(extra_metadata or {}),
+        }
+        self.store.put_atomic(
+            os.path.join(hoodie, f"{instant}.commit"),
+            json.dumps(meta).encode(),
+        )
+        return instant, n_files, n_records
+
+    def _part_path_col(self):
+        from pyspark.sql import functions as F
+
+        if not self.parts:
+            return F.lit("")
+        return F.concat_ws(
+            "/",
+            *[
+                F.concat(
+                    F.lit(f"{c}="),
+                    F.coalesce(
+                        F.col(c).cast("string"),
+                        F.lit("__HIVE_DEFAULT_PARTITION__"),
+                    ),
+                )
+                for c in self.parts
+            ],
+        )
+
+    def _stage_new_groups(
+        self, meta_df, instant: str
+    ) -> tuple[dict, int, int]:
+        """Executor-parallel write of NEW file groups (one fileId per
+        output file) into their hive partition dirs; returns
+        (partitionToWriteStats, n_files, n_records). Shared by the
+        insert path and upsert's not-matched leg."""
+        import shutil
+        import urllib.parse as _up
+        import uuid as _uuid
+
+        import pyarrow.parquet as pq
+
+        from pyspark.sql import functions as F
+
         staging = os.path.join(self.path, f"_staging-{_uuid.uuid4().hex}")
         if self.parts:
             # Hudi stores EVERY column in the data files (partition
@@ -1272,7 +1339,6 @@ class HudiCowWriter:
         else:
             writer = meta_df.write.mode("overwrite")
         writer.parquet(staging)
-        import urllib.parse as _up
 
         stats: dict[str, list[dict]] = {}
         n_files = n_records = 0
@@ -1313,8 +1379,265 @@ class HudiCowWriter:
                 n_files += 1
                 n_records += md.num_rows
         shutil.rmtree(staging, ignore_errors=True)
-        if not n_files:
-            # empty batch: withdraw the reserved instant (no commit)
+        return stats, n_files, n_records
+
+    def upsert_batch(self, df, precombine: str | None = None,
+                     extra_metadata: dict | None = None):
+        """Hudi's signature operation — CoW UPSERT of a DataFrame:
+        matched records (same ``(partition path, record key)`` — the
+        NON-GLOBAL index contract, like the MoR merge side) replace
+        their rows inside their EXISTING file group, which gets a new
+        base-file slice (same fileId, this instant); unmatched records
+        insert as new file groups. Returns (instant, n_updated_groups,
+        n_inserted_files) — (None, 0, 0) on an empty batch.
+
+        ``precombine`` names the dedup-ordering field (Hudi's
+        ``precombine.field``): per key, the source row with the
+        highest value wins. Without it, duplicate source keys raise.
+
+        Scale contract: match discovery is a column-pruned scan of the
+        key + partition-path columns only over live base files,
+        equi-joined against the (distinct, AQE-broadcastable) source
+        keys — the Spark-native analog of Hudi's bloom-index lookup;
+        the rewrite then reads ONLY the matched file groups. Cost is
+        O(touched groups + source), never O(table). One slice per
+        group: the rewrite repartitions on fileId so each group lands
+        as exactly one new base file.
+
+        Reference: the daemon is append-only; this is the
+        DeltaStreamer UPSERT-mode parity surface (operationType
+        UPSERT in the completed commit, replayed by
+        plan_file_groups' later-base-wins slice rule)."""
+        import shutil
+        import urllib.parse as _up
+        import uuid as _uuid
+
+        import pyarrow.parquet as pq
+
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        if not self.record_key:
+            raise ValueError(
+                "upsert_batch requires the writer's record_key field "
+                "(HudiCowWriter(record_key=...))"
+            )
+        if df.isEmpty():
+            return None, 0, 0
+        spark = df.sparkSession
+        key = self.record_key
+
+        src = df.withColumn("__pp", self._part_path_col()).withColumn(
+            "__rk", F.col(key).cast("string")
+        )
+        if precombine is not None:
+            w = Window.partitionBy("__pp", "__rk").orderBy(
+                F.col(precombine).desc()
+            )
+            src = (
+                src.withColumn("__rn", F.row_number().over(w))
+                .filter("__rn = 1").drop("__rn")
+            )
+        else:
+            dup = (
+                src.groupBy("__pp", "__rk")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter("n > 1").limit(1).collect()
+            )
+            if dup:
+                raise ValueError(
+                    "duplicate record keys in upsert source and no "
+                    "precombine field given"
+                )
+
+        hoodie = os.path.join(self.path, ".hoodie")
+        try:
+            groups, _ = plan_file_groups(self.path)
+        except ValueError:
+            groups = {}  # brand-new table: pure insert
+        if any(g["logs"] for g in groups.values()):
+            raise ValueError("CoW upsert on a table with MoR logs")
+        # driver map: abs base path -> (partition, fileId, sliceInstant)
+        by_base: dict[str, tuple[str, str, str]] = {}
+        for (part, fid), g in groups.items():
+            if g["base"]:
+                slice_instant = os.path.basename(
+                    g["base"]
+                )[: -len(".parquet")].split("_")[-1]
+                by_base[g["base"]] = (part, fid, slice_instant)
+
+        instant = self._claim_instant("commit")
+        self.store.put_atomic(
+            os.path.join(hoodie, f"{instant}.commit.inflight"), b""
+        )
+
+        upd_stats: dict[str, list[dict]] = {}
+        n_updated_groups = 0
+        matched_keys = None
+        if by_base:
+            # bloom-index analog: key + partition-path columns ONLY
+            live_keys = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(*sorted(by_base))
+                .select(
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), "^file:(//)?", ""
+                    ).alias("__fp"),
+                    F.col("_hoodie_partition_path").alias("__pp"),
+                    F.col("_hoodie_record_key").alias("__rk"),
+                )
+            )
+            src_keys = src.select("__pp", "__rk").distinct()
+            touched = {
+                r["__fp"]
+                for r in live_keys.join(
+                    src_keys, ["__pp", "__rk"], "inner"
+                ).select("__fp").distinct().collect()
+            }
+            matched_keys = live_keys.drop("__fp").distinct()
+            if touched:
+                n_updated_groups = len(touched)
+                fid_rows = [
+                    (p, *by_base[p]) for p in sorted(touched)
+                ]
+                fid_map = spark.createDataFrame(
+                    fid_rows, "__fp string, __part string, "
+                    "__fid string, __prev string"
+                )
+                tgt = spark.read.option("mergeSchema", "true").parquet(
+                    *sorted(touched)
+                ).select(
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), "^file:(//)?", ""
+                    ).alias("__fp"),
+                    F.col("_hoodie_partition_path").alias("__pp"),
+                    F.col("_hoodie_record_key").alias("__rk"),
+                    "*",
+                )
+                src_m = src.withColumn("__m", F.lit(True))
+                joined = tgt.alias("t").join(
+                    src_m.alias("s"), ["__pp", "__rk"], "left"
+                )
+                is_m = F.col("__m").isNotNull()
+                data_cols = [
+                    c for c in tgt.columns
+                    if c not in ("__fp", "__pp", "__rk")
+                    and not c.startswith("_hoodie_")
+                ]
+                src_cols = set(df.columns)
+                seqno = F.concat_ws(
+                    "_",
+                    F.lit(instant),
+                    F.spark_partition_id().cast("string"),
+                    F.monotonically_increasing_id().cast("string"),
+                )
+                out_cols = [
+                    F.when(is_m, F.lit(instant))
+                    .otherwise(F.col("t._hoodie_commit_time"))
+                    .alias("_hoodie_commit_time"),
+                    F.when(is_m, seqno)
+                    .otherwise(F.col("t._hoodie_commit_seqno"))
+                    .alias("_hoodie_commit_seqno"),
+                    F.col("__rk").alias("_hoodie_record_key"),
+                    F.col("__pp").alias("_hoodie_partition_path"),
+                    F.lit("").alias("_hoodie_file_name"),
+                ]
+                for c in data_cols:
+                    if c in src_cols:
+                        out_cols.append(
+                            F.when(is_m, F.col(f"s.{c}"))
+                            .otherwise(F.col(f"t.{c}")).alias(c)
+                        )
+                    else:
+                        # column the source batch doesn't carry:
+                        # replaced rows surface NULL (whole-row
+                        # payload replace, Hudi's default payload)
+                        out_cols.append(
+                            F.when(is_m, F.lit(None))
+                            .otherwise(F.col(f"t.{c}")).alias(c)
+                        )
+                merged = joined.join(
+                    F.broadcast(fid_map), "__fp"
+                ).select(F.col("__fid").alias("__kdi_fid"), *out_cols)
+                staging = os.path.join(
+                    self.path, f"_staging-{_uuid.uuid4().hex}"
+                )
+                # one task per fileId -> exactly one new base file
+                # per rewritten group (a slice is ONE base file)
+                merged.repartition("__kdi_fid").write.mode(
+                    "overwrite"
+                ).partitionBy("__kdi_fid").parquet(staging)
+                fid_meta = {
+                    fid: (part, prev)
+                    for _p, (part, fid, prev) in by_base.items()
+                }
+                for dirpath, _dirs, files in os.walk(staging):
+                    rel = os.path.relpath(dirpath, staging)
+                    if rel == ".":
+                        continue
+                    fid = _up.unquote(rel.split("=", 1)[1])
+                    parquets = [
+                        f for f in sorted(files)
+                        if f.endswith(".parquet")
+                    ]
+                    if len(parquets) != 1:
+                        shutil.rmtree(staging, ignore_errors=True)
+                        raise RuntimeError(
+                            f"file group {fid}: expected one slice "
+                            f"file, got {len(parquets)}"
+                        )
+                    part, prev = fid_meta[fid]
+                    src_f = os.path.join(dirpath, parquets[0])
+                    md = pq.ParquetFile(src_f).metadata
+                    new_name = f"{fid}_0-1-0_{instant}.parquet"
+                    dest_dir = os.path.join(self.path, part)
+                    os.makedirs(dest_dir, exist_ok=True)
+                    shutil.move(
+                        src_f, os.path.join(dest_dir, new_name)
+                    )
+                    rel_path = (
+                        os.path.join(part, new_name) if part
+                        else new_name
+                    ).replace(os.sep, "/")
+                    upd_stats.setdefault(part, []).append(
+                        {
+                            "fileId": fid,
+                            "path": rel_path,
+                            "prevCommit": prev,
+                            "numWrites": md.num_rows,
+                            "fileSizeInBytes": os.path.getsize(
+                                os.path.join(dest_dir, new_name)
+                            ),
+                        }
+                    )
+                shutil.rmtree(staging, ignore_errors=True)
+
+        # not-matched leg: new file groups, real record keys
+        ins = src
+        if matched_keys is not None:
+            ins = src.join(matched_keys, ["__pp", "__rk"], "left_anti")
+        seqno_i = F.concat_ws(
+            "_",
+            F.lit(instant),
+            F.spark_partition_id().cast("string"),
+            F.monotonically_increasing_id().cast("string"),
+        )
+        ins_meta = ins.select(
+            F.lit(instant).alias("_hoodie_commit_time"),
+            seqno_i.alias("_hoodie_commit_seqno"),
+            F.col("__rk").alias("_hoodie_record_key"),
+            F.col("__pp").alias("_hoodie_partition_path"),
+            F.lit("").alias("_hoodie_file_name"),
+            *[F.col(c) for c in df.columns],
+        )
+        ins_stats, n_ins_files, _n_ins = self._stage_new_groups(
+            ins_meta, instant
+        )
+
+        stats: dict[str, list[dict]] = {}
+        for part, lst in (*upd_stats.items(), *ins_stats.items()):
+            stats.setdefault(part, []).extend(lst)
+        if not stats:
             self.store.remove(
                 os.path.join(hoodie, f"{instant}.commit.requested")
             )
@@ -1324,14 +1647,14 @@ class HudiCowWriter:
             return None, 0, 0
         meta = {
             "partitionToWriteStats": stats,
-            "operationType": "INSERT",
+            "operationType": "UPSERT",
             "extraMetadata": dict(extra_metadata or {}),
         }
         self.store.put_atomic(
             os.path.join(hoodie, f"{instant}.commit"),
             json.dumps(meta).encode(),
         )
-        return instant, n_files, n_records
+        return instant, n_updated_groups, n_ins_files
 
     def stored_extra_metadata(self) -> dict:
         """Union of extraMetadata over completed commits, newest
