@@ -139,6 +139,16 @@ HEADLINE = [
     "ingest_hudi",
     "multimodal_tiff_roundtrip",
     "sink_delta_standard_zorder",
+    # r9: Iceberg incremental scan + maintenance trio completion;
+    # UPDATE/MERGE on the standard log; Hudi CoW upsert. The three
+    # un-memoized ops (expire/clean/upsert) time the FULL write e2e
+    # per repeat — they are write operations; that is their cost.
+    "iceberg_read_incremental",
+    "iceberg_expire_snapshots",
+    "hudi_clean",
+    "sink_delta_standard_update",
+    "sink_delta_standard_merge",
+    "hudi_upsert_cow",
 ]
 
 
@@ -185,6 +195,7 @@ def main() -> None:
         "ingest_iceberg", "ingest_hudi",
         "sink_delta_standard_roundtrip", "sink_iceberg_roundtrip",
         "sink_delta_standard_zorder",
+        "sink_delta_standard_update", "sink_delta_standard_merge",
     ]:
         qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"
