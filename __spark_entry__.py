@@ -4649,6 +4649,119 @@ def hudi_clean(spark, sf_dir):
 
 
 @_q(
+    "iceberg_upsert",
+    """
+    WITH spend AS (
+      SELECT o_custkey AS k,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+      FROM orders GROUP BY 1
+    )
+    SELECT c.c_custkey,
+           CASE WHEN sp.k IS NOT NULL THEN 'upd'
+                ELSE c.c_name END AS c_name,
+           CASE WHEN sp.k IS NOT NULL THEN CAST(sp.s AS DOUBLE)
+                ELSE c.c_acctbal END AS c_acctbal,
+           c.c_mktsegment, TRUE AS upsert_ok
+    FROM customer c LEFT JOIN spend sp ON sp.k = c.c_custkey
+    UNION ALL
+    SELECT sp.k + 10000000 AS c_custkey, 'new' AS c_name,
+           CAST(sp.s AS DOUBLE) AS c_acctbal,
+           'NEWSEG' AS c_mktsegment, TRUE AS upsert_ok
+    FROM spend sp WHERE sp.k % 5 = 0
+    """,
+)
+def iceberg_upsert(spark, sf_dir):
+    """Iceberg UPSERT certification (r9) — the Flink-CDC shape:
+    IcebergWriter.upsert commits ONE snapshot holding an
+    EQUALITY-DELETE manifest (the incoming key tuples) plus a data
+    manifest (the incoming rows); sequence-number scoping makes the
+    delete apply only to STRICTLY older files, so the same-commit
+    inserts survive while every prior version of the keys is masked.
+    Same business history as hudi_upsert_cow (spend replaces matched
+    customers, key-shifted spend inserts) so the two formats'
+    upsert semantics are certified against the SAME declarative
+    oracle. upsert_ok pins: exactly one new snapshot, an
+    equality-delete entry in its manifests (content=2), and the
+    independent MoR read path (read_iceberg applies the deletes)
+    serving each key exactly once. Scale: the delete file is the
+    distinct keys only — O(source), no target read at write time; the
+    masking cost moves to the MoR read, reclaimed by optimize()."""
+    import glob as _glob
+    import shutil as _sh
+    import tempfile as _tf
+
+    from kafka_delta_ingest_spark.iceberg import (
+        IcebergWriter,
+        read_iceberg,
+        snapshots,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").alias("s")
+        )
+        .select(F.col("o_custkey").alias("k"), "s")
+    )
+    upd_src = spend.join(
+        cust, spend.k == cust.c_custkey, "inner"
+    ).select(
+        "c_custkey",
+        F.lit("upd").alias("c_name"),
+        F.col("s").cast("double").alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    ins_src = spend.filter("k % 5 = 0").select(
+        (F.col("k") + 10_000_000).alias("c_custkey"),
+        F.lit("new").alias("c_name"),
+        F.col("s").cast("double").alias("c_acctbal"),
+        F.lit("NEWSEG").alias("c_mktsegment"),
+    )
+    root = _tf.mkdtemp(prefix="kdi-iceup-")
+    try:
+        t = root + "/t"
+        w = IcebergWriter(
+            t,
+            [
+                {"id": 1, "name": "c_custkey", "type": "long",
+                 "required": False},
+                {"id": 2, "name": "c_name", "type": "string",
+                 "required": False},
+                {"id": 3, "name": "c_acctbal", "type": "double",
+                 "required": False},
+                {"id": 4, "name": "c_mktsegment", "type": "string",
+                 "required": False},
+            ],
+        )
+        w.append(cust.coalesce(2), ts_ms=1000)
+        w.upsert(
+            upd_src.unionByName(ins_src), ["c_custkey"], ts_ms=2000
+        )
+        live = read_iceberg(spark, t)
+        n_keys = live.count()
+        n_distinct = live.select("c_custkey").distinct().count()
+        has_eqdel = bool(
+            _glob.glob(os.path.join(t, "data", "eqdelete-*.parquet"))
+        )
+        upsert_ok = (
+            len(snapshots(t)) == 2
+            and has_eqdel  # the commit really is delete+insert
+            and n_keys == n_distinct  # every prior version masked
+        )
+        out = live.select(
+            "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+        ).withColumn("upsert_ok", F.lit(bool(upsert_ok)))
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
+@_q(
     "hudi_upsert_cow",
     """
     WITH spend AS (
@@ -9365,6 +9478,7 @@ _SWEEP_ORDER: list[str] = [
     "sink_delta_standard_zorder",
     "iceberg_read_incremental",
     "iceberg_expire_snapshots",
+    "iceberg_upsert",
     "hudi_clean",
     "hudi_upsert_cow",
     "sink_delta_standard_update",
@@ -9410,13 +9524,14 @@ _SWEEP_ORDER: list[str] = [
     "events_tumbling_counts",
     "events_range_join",
     "events_interval_join",
-    "events_enrich_users",
     "ingest_message_path",
     # --- tail: certified r8 (table formats, LLM-operator families)
     # or the cumulative r1-r8 record; next rotation re-certifies.
-    # events_sessionize / events_asof_join / events_funnel yielded
-    # their r9 slots to the new UPDATE/MERGE/UPSERT surfaces (all
-    # r7-green; r10 rotates them back in).
+    # events_enrich_users / events_sessionize / events_asof_join /
+    # events_funnel yielded their r9 slots to the new UPDATE / MERGE /
+    # Hudi-UPSERT / Iceberg-UPSERT surfaces (all r7-green; r10
+    # rotates them back in).
+    "events_enrich_users",
     "events_sessionize",
     "events_asof_join",
     "events_funnel",

@@ -145,6 +145,7 @@ HEADLINE = [
     # per repeat — they are write operations; that is their cost.
     "iceberg_read_incremental",
     "iceberg_expire_snapshots",
+    "iceberg_upsert",
     "hudi_clean",
     "sink_delta_standard_update",
     "sink_delta_standard_merge",
