@@ -4649,6 +4649,90 @@ def hudi_clean(spark, sf_dir):
 
 
 @_q(
+    "iceberg_data_skipping",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice, TRUE AS skip_ok
+    FROM orders WHERE o_totalprice > 310000
+    """,
+)
+def iceberg_data_skipping(spark, sf_dir):
+    """Iceberg column-metrics data skipping (r9) — the Iceberg leg's
+    analog of Delta's add-action stats (P8). The writer stamps every
+    manifest data_file with null_value_counts / lower_bounds /
+    upper_bounds from the parquet FOOTERS (spec Appendix D
+    single-value binary serialization; string bounds truncated to 16
+    code points with the upper bound INCREMENTED so it stays an upper
+    bound). History: orders land as three price-banded appends (tight
+    per-file bounds), then a read with
+    ``row_filter=[("o_totalprice", ">", 310000)]`` must plan ONLY the
+    high band's file — skip_ok pins that the pruned plan scans
+    strictly fewer files than the table holds, that inputFiles() is
+    exactly the surviving plan, and that the pruned read's rows equal
+    the unpruned read's filtered rows. At 100 TB this is the
+    difference between a manifest walk + one band scan and a
+    full-table scan — pruning costs O(manifest entries), zero data
+    IO."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from kafka_delta_ingest_spark.iceberg import (
+        IcebergWriter,
+        plan_files,
+        read_iceberg,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = _tf.mkdtemp(prefix="kdi-iceskip-")
+    try:
+        t = root + "/t"
+        w = IcebergWriter(
+            t,
+            [
+                {"id": 1, "name": "o_orderkey", "type": "long",
+                 "required": False},
+                {"id": 2, "name": "o_orderstatus", "type": "string",
+                 "required": False},
+                {"id": 3, "name": "o_totalprice", "type": "double",
+                 "required": False},
+            ],
+        )
+        bands = [
+            orders.filter("o_totalprice < 150000"),
+            orders.filter(
+                "o_totalprice >= 150000 AND o_totalprice <= 310000"
+            ),
+            orders.filter("o_totalprice > 310000"),
+        ]
+        for i, band in enumerate(bands):
+            w.append(band.coalesce(1), ts_ms=1000 + i)
+        flt = [("o_totalprice", ">", 310000)]
+        all_files, _, _, _ = plan_files(t)
+        kept, _, _, _ = plan_files(t, row_filter=flt)
+        pruned = read_iceberg(spark, t, row_filter=flt)
+        scanned = {
+            p.replace("file://", "").replace("file:", "")
+            for p in pruned.inputFiles()
+        }
+        full_count = read_iceberg(spark, t).filter(
+            "o_totalprice > 310000"
+        ).count()
+        skip_ok = (
+            len(all_files) == 3
+            and len(kept) == 1
+            and scanned == {p for p, _ in kept}
+            and pruned.count() == full_count
+        )
+        out = pruned.select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        ).withColumn("skip_ok", F.lit(bool(skip_ok)))
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
+@_q(
     "iceberg_upsert",
     """
     WITH spend AS (
@@ -9479,6 +9563,7 @@ _SWEEP_ORDER: list[str] = [
     "iceberg_read_incremental",
     "iceberg_expire_snapshots",
     "iceberg_upsert",
+    "iceberg_data_skipping",
     "hudi_clean",
     "hudi_upsert_cow",
     "sink_delta_standard_update",
@@ -9523,14 +9608,14 @@ _SWEEP_ORDER: list[str] = [
     "sql_recursive_calendar",
     "events_tumbling_counts",
     "events_range_join",
-    "events_interval_join",
     "ingest_message_path",
     # --- tail: certified r8 (table formats, LLM-operator families)
     # or the cumulative r1-r8 record; next rotation re-certifies.
-    # events_enrich_users / events_sessionize / events_asof_join /
-    # events_funnel yielded their r9 slots to the new UPDATE / MERGE /
-    # Hudi-UPSERT / Iceberg-UPSERT surfaces (all r7-green; r10
-    # rotates them back in).
+    # events_interval_join / events_enrich_users / events_sessionize /
+    # events_asof_join / events_funnel yielded their r9 slots to the
+    # new UPDATE / MERGE / UPSERT×2 / data-skipping surfaces (all
+    # r7-green; r10 rotates them back in).
+    "events_interval_join",
     "events_enrich_users",
     "events_sessionize",
     "events_asof_join",

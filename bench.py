@@ -146,6 +146,7 @@ HEADLINE = [
     "iceberg_read_incremental",
     "iceberg_expire_snapshots",
     "iceberg_upsert",
+    "iceberg_data_skipping",
     "hudi_clean",
     "sink_delta_standard_update",
     "sink_delta_standard_merge",

@@ -267,7 +267,19 @@ def _encode(out: bytearray, schema, value) -> None:
     t = schema["type"]
     if t == "record":
         for f in schema["fields"]:
-            _encode(out, f["type"], value[f["name"]])
+            if f["name"] in value:
+                fv = value[f["name"]]
+            elif "default" in f:
+                # spec: a writer may omit a field only when the schema
+                # declares a default (schema-evolution ergonomics —
+                # producers predating an additive field keep encoding)
+                fv = f["default"]
+            else:
+                raise KeyError(
+                    f"record field {f['name']!r} missing and has "
+                    "no default"
+                )
+            _encode(out, f["type"], fv)
         return
     if t == "enum":
         _write_long(out, _zigzag(schema["symbols"].index(value)))

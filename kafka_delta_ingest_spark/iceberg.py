@@ -114,19 +114,19 @@ def _select_snapshot(meta: dict, snapshot_id=None, as_of_timestamp_ms=None):
     return max(snaps, key=lambda s: s["timestamp-ms"])
 
 
-def _schema_field_names(meta: dict) -> dict[int, str]:
-    """field-id → name map from the current table schema."""
+def _current_schema(meta: dict) -> dict | None:
     schemas = meta.get("schemas") or []
     cur = meta.get("current-schema-id")
-    schema = None
     for s in schemas:
         if s.get("schema-id") == cur:
-            schema = s
-            break
-    if schema is None:
-        schema = meta.get("schema") or (schemas[0] if schemas else None)
+            return s
+    return meta.get("schema") or (schemas[0] if schemas else None)
+
+
+def _schema_field_names(meta: dict) -> dict[int, str]:
+    """field-id → name map from the current table schema."""
     out = {}
-    for f in (schema or {}).get("fields", []):
+    for f in (_current_schema(meta) or {}).get("fields", []):
         out[f["id"]] = f["name"]
     return out
 
@@ -136,6 +136,7 @@ def plan_files(
     snapshot_id=None,
     as_of_timestamp_ms=None,
     partition_filter: Callable[[dict], bool] | None = None,
+    row_filter: list[tuple] | None = None,
 ):
     """Walk the metadata tree and return the scan plan:
     ``(data_files, position_delete_files, equality_deletes, meta)``
@@ -143,6 +144,12 @@ def plan_files(
     ``position_delete_files`` of (path, seq), and ``equality_deletes``
     of (path, [column names], seq). Metadata-only: no data file is
     opened.
+
+    ``row_filter`` — a conjunction of ``(column, op, literal)`` with
+    op in <, <=, >, >=, = — prunes DATA files whose manifest
+    lower/upper bounds provably exclude every matching row (the
+    add-action-stats data-skipping analog; files without bounds are
+    kept). Like partition pruning, it never touches delete files.
 
     Sequence-number inheritance per the v2 spec: a manifest entry's
     null ``sequence_number`` inherits the manifest's sequence number
@@ -153,6 +160,11 @@ def plan_files(
     with open(mlist_path, "rb") as f:
         _, manifests = read_container(f.read())
     ids = _schema_field_names(meta)
+    id_of = {v: k for k, v in ids.items()}
+    type_of = {
+        f["id"]: f["type"]
+        for f in (_current_schema(meta) or {}).get("fields", [])
+    }
     data_files, pos_deletes, eq_deletes = [], [], []
     for m in manifests:
         man_seq = m.get("sequence_number") or 0
@@ -176,6 +188,12 @@ def plan_files(
                 and not partition_filter(df.get("partition") or {})
             ):
                 continue
+            if (
+                content == 0
+                and row_filter
+                and not _file_may_match(df, row_filter, id_of, type_of)
+            ):
+                continue
             path = _norm_path(df["file_path"])
             if str(df.get("file_format", "PARQUET")).upper() != "PARQUET":
                 raise ValueError(
@@ -196,6 +214,183 @@ def plan_files(
             else:
                 raise ValueError(f"unknown data_file content {content}")
     return data_files, pos_deletes, eq_deletes, meta
+
+
+def bound_to_bytes(value, ice_type: str) -> bytes | None:
+    """Iceberg single-value SERIALIZATION (spec Appendix D) for
+    manifest ``lower_bounds``/``upper_bounds``: little-endian
+    fixed-width numerics, UTF-8 strings, 1-byte booleans. Returns
+    None for types bounds are not emitted for."""
+    import struct as _struct
+
+    if value is None:
+        return None
+    if ice_type == "int":
+        return _struct.pack("<i", int(value))
+    if ice_type == "long":
+        return _struct.pack("<q", int(value))
+    if ice_type == "float":
+        return _struct.pack("<f", float(value))
+    if ice_type == "double":
+        return _struct.pack("<d", float(value))
+    if ice_type == "boolean":
+        return b"\x01" if value else b"\x00"
+    if ice_type == "string":
+        return str(value).encode("utf-8")
+    return None
+
+
+def bound_from_bytes(b: bytes, ice_type: str):
+    import struct as _struct
+
+    if b is None:
+        return None
+    b = bytes(b)
+    if ice_type == "int":
+        return _struct.unpack("<i", b)[0]
+    if ice_type == "long":
+        return _struct.unpack("<q", b)[0]
+    if ice_type == "float":
+        return _struct.unpack("<f", b)[0]
+    if ice_type == "double":
+        return _struct.unpack("<d", b)[0]
+    if ice_type == "boolean":
+        return b != b"\x00"
+    if ice_type == "string":
+        return b.decode("utf-8")
+    return None
+
+
+_BOUND_TRUNC = 16  # write.metadata.metrics default: truncate(16)
+
+
+def _truncate_bounds_str(lo: str, hi: str):
+    """Iceberg's string-bound truncation: the LOWER bound may be any
+    prefix (≤ true min — always safe); the UPPER bound prefix must be
+    INCREMENTED at its last code point so it stays ≥ the true max.
+    Returns (lo', hi') with hi'=None when no incrementable code point
+    exists (bounds then omitted for the upper side)."""
+    lo_t = lo[:_BOUND_TRUNC]
+    if len(hi) <= _BOUND_TRUNC:
+        return lo_t, hi
+    pre = hi[:_BOUND_TRUNC]
+    chars = list(pre)
+    for i in range(len(chars) - 1, -1, -1):
+        cp = ord(chars[i])
+        if cp < 0x10FFFF:
+            chars[i] = chr(cp + 1)
+            return lo_t, "".join(chars[: i + 1])
+    return lo_t, None
+
+
+def footer_bounds(path: str, fields: list[dict]):
+    """Per-column (null_value_counts, lower_bounds, upper_bounds) for
+    one parquet data file, from its FOOTER statistics only (no data
+    read) — the add-action-stats analog on the Iceberg leg, in the
+    manifest's key/value-record shape keyed by FIELD ID. Columns
+    without usable stats are simply absent (readers must treat
+    missing bounds as unbounded)."""
+    import pyarrow.parquet as pq
+
+    info = {f["name"]: (f["id"], f["type"]) for f in fields}
+    md = pq.ParquetFile(path).metadata
+    mins: dict[int, object] = {}
+    maxs: dict[int, object] = {}
+    nulls: dict[int, int] = {}
+    types: dict[int, str] = {}
+    ok: dict[int, bool] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if name not in info or "." in name:
+                continue
+            fid, ice_t = info[name]
+            types[fid] = ice_t
+            st = col.statistics
+            if st is None or not st.has_null_count:
+                ok[fid] = False
+                continue
+            nulls[fid] = nulls.get(fid, 0) + st.null_count
+            if not st.has_min_max:
+                # an ALL-null chunk legitimately has no min/max (the
+                # null count stands); non-null values without stats
+                # make the column's bounds unusable for this file
+                if st.null_count < g.num_rows:
+                    ok[fid] = False
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes):
+                try:
+                    lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
+                except UnicodeDecodeError:
+                    ok[fid] = False
+                    continue
+            mins[fid] = lo if fid not in mins else min(mins[fid], lo)
+            maxs[fid] = hi if fid not in maxs else max(maxs[fid], hi)
+            ok.setdefault(fid, True)
+    nvc, lowers, uppers = [], [], []
+    for fid, good in ok.items():
+        if not good:
+            continue
+        if fid in nulls:
+            nvc.append({"key": fid, "value": int(nulls[fid])})
+        if fid not in mins:
+            continue
+        lo, hi = mins[fid], maxs[fid]
+        ice_t = types[fid]
+        if ice_t == "string":
+            lo, hi = _truncate_bounds_str(str(lo), str(hi))
+        lb = bound_to_bytes(lo, ice_t)
+        ub = bound_to_bytes(hi, ice_t) if hi is not None else None
+        if lb is not None:
+            lowers.append({"key": fid, "value": lb})
+        if ub is not None:
+            uppers.append({"key": fid, "value": ub})
+    return nvc or None, lowers or None, uppers or None
+
+
+_SKIP_OPS = {"<", "<=", ">", ">=", "="}
+
+
+def _file_may_match(df_entry: dict, preds, id_of, type_of) -> bool:
+    """Can this data file contain a row satisfying ALL of ``preds``
+    (a conjunction of (column, op, literal))? Missing bounds for a
+    referenced column ⇒ unbounded ⇒ may match. The upper string bound
+    is stored incremented (see _truncate_bounds_str), so every
+    comparison below stays conservative."""
+    lbs = {
+        kv["key"]: kv["value"]
+        for kv in (df_entry.get("lower_bounds") or [])
+    }
+    ubs = {
+        kv["key"]: kv["value"]
+        for kv in (df_entry.get("upper_bounds") or [])
+    }
+    for col, op, val in preds:
+        fid = id_of.get(col)
+        if fid is None:
+            raise ValueError(f"unknown filter column {col!r}")
+        if op not in _SKIP_OPS:
+            raise ValueError(f"unsupported filter op {op!r}")
+        t = type_of[fid]
+        lb = bound_from_bytes(lbs.get(fid), t) if fid in lbs else None
+        ub = bound_from_bytes(ubs.get(fid), t) if fid in ubs else None
+        if op == ">" and ub is not None and ub <= val:
+            return False
+        if op == ">=" and ub is not None and ub < val:
+            return False
+        if op == "<" and lb is not None and lb >= val:
+            return False
+        if op == "<=" and lb is not None and lb > val:
+            return False
+        if op == "=" and (
+            (lb is not None and lb > val)
+            or (ub is not None and ub < val)
+        ):
+            return False
+    return True
 
 
 def murmur3_32(data: bytes, seed: int = 0) -> int:
@@ -460,6 +655,7 @@ def read_iceberg(
     as_of_timestamp_ms=None,
     partition_filter: Callable[[dict], bool] | None = None,
     _file_subset: set | None = None,
+    row_filter: list[tuple] | None = None,
 ):
     """Read an Iceberg table into a DataFrame at the current snapshot,
     an explicit ``snapshot_id``, or a time-travel timestamp, applying
@@ -481,7 +677,8 @@ def read_iceberg(
     from pyspark.sql import functions as F
 
     data_files, pos_deletes, eq_deletes, meta = plan_files(
-        table_path, snapshot_id, as_of_timestamp_ms, partition_filter
+        table_path, snapshot_id, as_of_timestamp_ms, partition_filter,
+        row_filter,
     )
     if _file_subset is not None:
         data_files = [
@@ -489,6 +686,20 @@ def read_iceberg(
         ]
     if not data_files:
         raise ValueError("scan plan has no data files")
+
+    def _residual(out):
+        # bounds pruning is per-file; the row-level residual still
+        # applies (and Spark pushes it into the pruned scan)
+        if not row_filter:
+            return out
+        import operator as _op
+
+        ops = {
+            "<": _op.lt, "<=": _op.le, ">": _op.gt,
+            ">=": _op.ge, "=": _op.eq,
+        }
+        conds = [ops[op](F.col(c), F.lit(v)) for c, op, v in row_filter]
+        return out.filter(reduce(lambda a, b: a & b, conds))
 
     # mergeSchema unions parquet footers across the live file set,
     # so additively-evolved tables (column added after early
@@ -501,7 +712,7 @@ def read_iceberg(
         )
 
     if not pos_deletes and not eq_deletes:
-        return _scan([p for p, _ in data_files])
+        return _residual(_scan([p for p, _ in data_files]))
     # deletes present: data files scan grouped by data sequence number
     # so each delete applies only to its in-scope files. Group count =
     # number of data commits in the snapshot (metadata-scale), each
@@ -557,7 +768,7 @@ def read_iceberg(
             [df[c].eqNullSafe(dels[c]) for c in cols],
         ) & (df["_kdi_seq"] < F.lit(dseq))
         df = df.join(dels, cond, "left_anti")
-    return df.drop("_kdi_fp", "_kdi_pos", "_kdi_seq")
+    return _residual(df.drop("_kdi_fp", "_kdi_pos", "_kdi_seq"))
 
 
 def read_iceberg_incremental(
@@ -699,6 +910,55 @@ _MANIFEST_ENTRY_SCHEMA = {
                     {
                         "name": "equality_ids",
                         "type": ["null", {"type": "array", "items": "int"}],
+                        "default": None,
+                    },
+                    # column metrics (spec: map<field id, ...> encoded
+                    # as Avro key/value record arrays, values in
+                    # single-value binary serialization) — the
+                    # add-action-stats analog driving file skipping
+                    {
+                        "name": "null_value_counts",
+                        "type": ["null", {
+                            "type": "array",
+                            "items": {
+                                "type": "record",
+                                "name": "k_v_long",
+                                "fields": [
+                                    {"name": "key", "type": "int"},
+                                    {"name": "value", "type": "long"},
+                                ],
+                            },
+                        }],
+                        "default": None,
+                    },
+                    {
+                        "name": "lower_bounds",
+                        "type": ["null", {
+                            "type": "array",
+                            "items": {
+                                "type": "record",
+                                "name": "k_v_lower",
+                                "fields": [
+                                    {"name": "key", "type": "int"},
+                                    {"name": "value", "type": "bytes"},
+                                ],
+                            },
+                        }],
+                        "default": None,
+                    },
+                    {
+                        "name": "upper_bounds",
+                        "type": ["null", {
+                            "type": "array",
+                            "items": {
+                                "type": "record",
+                                "name": "k_v_upper",
+                                "fields": [
+                                    {"name": "key", "type": "int"},
+                                    {"name": "value", "type": "bytes"},
+                                ],
+                            },
+                        }],
                         "default": None,
                     },
                 ],
@@ -1218,6 +1478,7 @@ class IcebergWriter:
                     dest_dir, f"{uuid.uuid4().hex}-{fname}"
                 )
                 shutil.move(src, dest)
+                nvc, lowers, uppers = footer_bounds(dest, self.fields)
                 out.append(
                     {
                         "content": 0,
@@ -1227,6 +1488,9 @@ class IcebergWriter:
                         "record_count": md.num_rows,
                         "file_size_in_bytes": os.path.getsize(dest),
                         "equality_ids": None,
+                        "null_value_counts": nvc,
+                        "lower_bounds": lowers,
+                        "upper_bounds": uppers,
                     }
                 )
         shutil.rmtree(staging, ignore_errors=True)
