@@ -5936,6 +5936,127 @@ def _evolve_std_fixture(spark, sf_dir: str) -> tuple:
 
 
 @_q(
+    "ingest_iceberg_evolve",
+    """
+    SELECT event_id, user_id, event_type,
+      CASE WHEN event_id > (SELECT MAX(event_id) // 2 FROM events)
+           THEN event_id * 3 END AS score,
+      TRUE AS evolve_ok
+    FROM events
+    """,
+)
+def ingest_iceberg_evolve(spark, sf_dir):
+    """The reference's evolve-while-streaming scenario
+    (tests/schema_update_tests.rs:23-113, src/writer.rs:370-387) on
+    the ICEBERG destination (r9) — completing the trio with the kdi
+    and standard-Delta legs: batch 1 ingests the low-offset half; an
+    external ALTER lands as an ``evolve_schema`` metadata-only
+    version (new schema-id, last-column-id advanced — ids never
+    reused, so old files stay readable forever); the SAME running job
+    adopts it via sync_schema (IcebergSink.table_schema reconstructs
+    the declared schema once evolution happened) and batch 2 carries
+    the new ``score`` field. evolve_ok pins: both batches landed, a
+    pre-evolution frame with the stray column was REFUSED, replay of
+    batch 2 after evolution is SKIPPED (exactly-once survives the
+    metadata version), and the job's target schema is the evolved
+    one. Read-back through the independent read_iceberg scan:
+    pre-evolution rows MUST surface score=NULL. Scale: evolution is
+    one metadata JSON — zero data bytes move on a 100 TB table."""
+    from kafka_delta_ingest_spark.iceberg import read_iceberg
+
+    t, evolve_ok = _evolve_ice_fixture(spark, sf_dir)
+    return read_iceberg(spark, t).select(
+        "event_id", "user_id", "event_type", "score",
+    ).withColumn("evolve_ok", F.lit(bool(evolve_ok)))
+
+
+def _evolve_ice_fixture(spark, sf_dir: str) -> tuple:
+    """Run (once per process per sf_dir) the mid-stream evolution e2e
+    on the Iceberg destination; memoized (see _TBLFMT_FIXTURES)."""
+    import atexit
+    import shutil as _sh
+    import tempfile as _tf
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from kafka_delta_ingest_spark.config import IngestOptions
+    from kafka_delta_ingest_spark.iceberg import (
+        IcebergWriter,
+        read_iceberg,
+    )
+    from kafka_delta_ingest_spark.ingest import IngestJob
+
+    key = ("icevo", sf_dir)
+    hit = _TBLFMT_FIXTURES.get(key)
+    if hit and os.path.isdir(hit[0]):
+        return hit
+    ev = load_table(spark, sf_dir, "events")
+    half = ev.agg(F.max("event_id")).collect()[0][0] // 2
+    raw = _kafka_raw(spark, sf_dir)
+    raw1 = raw.filter(F.col("src_event_id") <= half)
+    iso = F.concat(F.date_format("ts", _ISO_MICROS), F.lit("Z"))
+    raw2 = ev.filter(F.col("event_id") > half).select(
+        F.col("event_id").alias("src_event_id"),
+        F.encode(
+            F.to_json(
+                F.struct(
+                    F.col("event_id"),
+                    iso.alias("ts"),
+                    F.col("user_id"),
+                    F.col("event_type"),
+                    F.col("value"),
+                    F.col("props"),
+                    (F.col("event_id") * 3).alias("score"),
+                )
+            ),
+            "utf-8",
+        ).alias("value"),
+        (F.col("user_id") % 8).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.lit("events").alias("topic"),
+        F.col("ts").cast("timestamp").alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+    root = _tf.mkdtemp(prefix="kdi-icevo-")
+    t = root + "/t"
+    plan_job = _ingest_job()
+    opts = IngestOptions(
+        topic="events", table_uri=t, app_id="kdi-q",
+        transforms=plan_job.opts.transforms, log_format="iceberg",
+    )
+    job = IngestJob(opts, INGEST_SCHEMA)
+    m1 = job.run_batch(raw1)
+    # pre-evolution drift is REFUSED by the writer's guard
+    guard_ok = False
+    try:
+        IcebergWriter(t, []).append(
+            read_iceberg(spark, t).limit(1).withColumn(
+                "score", F.lit(0).cast("long")
+            )
+        )
+    except ValueError:
+        guard_ok = True
+    v2_schema = StructType(
+        list(INGEST_SCHEMA.fields) + [StructField("score", LongType())]
+    )
+    job.table.evolve_schema(v2_schema)
+    m2 = job.run_batch(raw2)
+    m3 = job.run_batch(raw2)  # replay after evolution → skip
+    evolve_ok = (
+        not m1.skipped
+        and not m2.skipped
+        and bool(m3.skipped)
+        and guard_ok
+        and job.target_schema == v2_schema
+        and read_iceberg(spark, t).count() == ev.count()
+    )
+    out = (t, evolve_ok)
+    _TBLFMT_FIXTURES[key] = out
+    atexit.register(_sh.rmtree, root, ignore_errors=True)
+    return out
+
+
+@_q(
     "sink_delta_standard_roundtrip",
     """
     SELECT doc_id, lang, LENGTH(text) AS n_chars, TRUE AS travel_ok
@@ -9564,6 +9685,7 @@ _SWEEP_ORDER: list[str] = [
     "iceberg_expire_snapshots",
     "iceberg_upsert",
     "iceberg_data_skipping",
+    "ingest_iceberg_evolve",
     "hudi_clean",
     "hudi_upsert_cow",
     "sink_delta_standard_update",
@@ -9607,14 +9729,15 @@ _SWEEP_ORDER: list[str] = [
     "sql_correlated_subquery",
     "sql_recursive_calendar",
     "events_tumbling_counts",
-    "events_range_join",
     "ingest_message_path",
     # --- tail: certified r8 (table formats, LLM-operator families)
     # or the cumulative r1-r8 record; next rotation re-certifies.
-    # events_interval_join / events_enrich_users / events_sessionize /
-    # events_asof_join / events_funnel yielded their r9 slots to the
-    # new UPDATE / MERGE / UPSERT×2 / data-skipping surfaces (all
-    # r7-green; r10 rotates them back in).
+    # events_range_join / events_interval_join / events_enrich_users /
+    # events_sessionize / events_asof_join / events_funnel yielded
+    # their r9 slots to the new UPDATE / MERGE / UPSERT×2 /
+    # data-skipping / Iceberg-evolve surfaces (all r7-green; r10
+    # rotates them back in).
+    "events_range_join",
     "events_interval_join",
     "events_enrich_users",
     "events_sessionize",

@@ -147,6 +147,7 @@ HEADLINE = [
     "iceberg_expire_snapshots",
     "iceberg_upsert",
     "iceberg_data_skipping",
+    "ingest_iceberg_evolve",
     "hudi_clean",
     "sink_delta_standard_update",
     "sink_delta_standard_merge",
@@ -198,6 +199,7 @@ def main() -> None:
         "sink_delta_standard_roundtrip", "sink_iceberg_roundtrip",
         "sink_delta_standard_zorder",
         "sink_delta_standard_update", "sink_delta_standard_merge",
+        "ingest_iceberg_evolve",
     ]:
         qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"

@@ -1334,6 +1334,23 @@ class IcebergWriter:
 
         _, cur_meta = self._current()
         if cur_meta is not None:
+            cur_schema = _current_schema(cur_meta)
+            if cur_schema and cur_schema.get("fields"):
+                # adopt the table's CURRENT schema (field ids, types,
+                # evolved columns) — a writer instance constructed
+                # before an evolve_schema() must stamp bounds and
+                # transforms against the evolved ids
+                self.fields = cur_schema["fields"]
+            declared_names = {f["name"] for f in self.fields}
+            stray = [
+                c for c in df.columns if c not in declared_names
+            ]
+            if stray:
+                raise ValueError(
+                    f"column(s) {stray} are not in the table schema; "
+                    "call evolve_schema() first (appends never evolve "
+                    "the schema implicitly)"
+                )
             declared = _declared_spec_grammar(cur_meta)
             decl_parsed = [
                 parse_partition_spec_entry(e) for e in declared
@@ -1539,6 +1556,96 @@ class IcebergWriter:
             [([delete_file], 1), (data_files, 0)], "overwrite", ts_ms,
             attempts,
         )
+
+    def evolve_schema(self, schema, attempts: int = 100) -> int:
+        """ALTER TABLE ADD COLUMNS analog — commit a NEW schema
+        (fresh ``schema-id``, ``current-schema-id`` updated,
+        ``last-column-id`` advanced) as a metadata-only version:
+        snapshots, manifests and data files are untouched, so
+        evolution costs zero data bytes at any table size. ADD-ONLY
+        like the Delta legs' evolve_schema: existing columns keep
+        their ids and exact types, none may be omitted; new columns
+        get ids above ``last-column-id`` (the spec's id-allocation
+        rule — ids are never reused, which is what makes old files
+        readable forever). ``schema`` is a Spark StructType (new
+        columns of unmappable Spark types are refused). Returns the
+        new metadata version."""
+        from pyspark.sql import types as T
+
+        if not isinstance(schema, T.StructType):
+            raise TypeError("evolve_schema takes a Spark StructType")
+        for _ in range(attempts):
+            cur_v, meta = self._current()
+            if meta is None:
+                raise ValueError(
+                    "evolve_schema on an empty table — the first "
+                    "append declares the schema"
+                )
+            cur_schema = _current_schema(meta) or {"fields": []}
+            old_fields = cur_schema.get("fields", [])
+            old_by_name = {f["name"]: f for f in old_fields}
+            new_names = {f.name for f in schema.fields}
+            missing = sorted(
+                n for n in old_by_name if n not in new_names
+            )
+            if missing:
+                raise ValueError(
+                    f"evolved schema omits existing column(s) "
+                    f"{missing}; schema evolution is add-only"
+                )
+            last_col = meta.get("last-column-id") or max(
+                (f["id"] for f in old_fields), default=0
+            )
+            merged = list(old_fields)
+            changed = False
+            for f in schema.fields:
+                old = old_by_name.get(f.name)
+                ice_t = _spark_type_to_iceberg(f.dataType)
+                if old is not None:
+                    if ice_t is not None and old["type"] != ice_t:
+                        raise ValueError(
+                            f"column {f.name!r}: type change "
+                            f"{old['type']!r} -> {ice_t!r} cannot be "
+                            "applied to already-written files"
+                        )
+                    continue
+                if ice_t is None:
+                    raise ValueError(
+                        f"new column {f.name!r}: Spark type "
+                        f"{f.dataType} has no Iceberg mapping"
+                    )
+                last_col += 1
+                merged.append(
+                    {"id": last_col, "name": f.name, "type": ice_t,
+                     "required": False}
+                )
+                changed = True
+            if not changed:
+                return cur_v  # already identical
+            schemas = list(meta.get("schemas") or [])
+            new_id = max(
+                (s.get("schema-id", 0) for s in schemas), default=-1
+            ) + 1
+            schemas.append(
+                {"schema-id": new_id, "type": "struct",
+                 "fields": merged}
+            )
+            new_meta = dict(meta)
+            new_meta["schemas"] = schemas
+            new_meta["current-schema-id"] = new_id
+            new_meta["last-column-id"] = last_col
+            target = os.path.join(
+                self.meta_dir, f"v{cur_v + 1}.metadata.json"
+            )
+            if not self.store.put_if_absent(
+                target, json.dumps(new_meta).encode()
+            ):
+                continue  # version race: recompute from fresh state
+            hint = os.path.join(self.meta_dir, "version-hint.text")
+            self.store.put_atomic(hint, str(cur_v + 1).encode())
+            self.fields = merged
+            return cur_v + 1
+        raise RuntimeError("exhausted Iceberg commit attempts")
 
     def optimize(self, spark, target_file_bytes: int = 134_217_728,
                  ts_ms: int | None = None, attempts: int = 100) -> int:
@@ -1978,6 +2085,20 @@ class IcebergWriter:
                     specs[0] if specs else None,
                 )
                 spec_fields = (spec or {}).get("fields") or []
+                # same preservation rule for the SCHEMA: an existing
+                # table's schemas/current-schema-id carry forward
+                # verbatim — a stale writer instance must never roll
+                # back an evolve_schema() someone else committed.
+                schemas = meta.get("schemas") or [
+                    {"schema-id": 0, "type": "struct",
+                     "fields": self.fields}
+                ]
+                cur_schema_id = meta.get("current-schema-id", 0)
+                last_col = meta.get("last-column-id") or max(
+                    (f["id"] for s in schemas
+                     for f in s.get("fields", [])),
+                    default=0,
+                )
             else:
                 ids_by_name = {f["name"]: f["id"] for f in self.fields}
                 spec_fields = [
@@ -1992,6 +2113,14 @@ class IcebergWriter:
                         for x in self.partition_by
                     )
                 ]
+                schemas = [
+                    {"schema-id": 0, "type": "struct",
+                     "fields": self.fields}
+                ]
+                cur_schema_id = 0
+                last_col = max(
+                    (f["id"] for f in self.fields), default=0
+                )
             new_meta = {
                 "format-version": 2,
                 "table-uuid": (meta or {}).get(
@@ -1999,11 +2128,9 @@ class IcebergWriter:
                 ),
                 "last-sequence-number": seq,
                 "location": self.root,
-                "current-schema-id": 0,
-                "schemas": [
-                    {"schema-id": 0, "type": "struct",
-                     "fields": self.fields}
-                ],
+                "current-schema-id": cur_schema_id,
+                "schemas": schemas,
+                "last-column-id": last_col,
                 "partition-specs": [
                     {"spec-id": 0, "fields": spec_fields}
                 ],
@@ -2065,6 +2192,56 @@ def _spark_type_to_iceberg(dt) -> object:
     return None  # handled by the caller (struct) or mapped to string
 
 
+def _iceberg_type_to_spark(t):
+    """Iceberg schema-JSON type → Spark DataType; None when the type
+    has no exact inverse (callers then fall back to caller-schema
+    flow rather than adopt a lossy reconstruction)."""
+    from pyspark.sql import types as T
+
+    if isinstance(t, dict) and t.get("type") == "struct":
+        fields = []
+        for f in t.get("fields", []):
+            inner = _iceberg_type_to_spark(f["type"])
+            if inner is None:
+                return None
+            fields.append(
+                T.StructField(f["name"], inner,
+                              not f.get("required", False))
+            )
+        return T.StructType(fields)
+    if isinstance(t, dict) and t.get("type") == "list":
+        el = _iceberg_type_to_spark(t.get("element"))
+        if el is None:
+            return None
+        return T.ArrayType(el, not t.get("element-required", False))
+    if isinstance(t, dict) and t.get("type") == "map":
+        k = _iceberg_type_to_spark(t.get("key"))
+        v = _iceberg_type_to_spark(t.get("value"))
+        if k is None or v is None:
+            return None
+        return T.MapType(k, v, not t.get("value-required", False))
+    if isinstance(t, str) and t.startswith("decimal("):
+        import re as _re
+
+        m = _re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", t)
+        if m:
+            return T.DecimalType(int(m.group(1)), int(m.group(2)))
+        return None
+    simple = {
+        "long": T.LongType(),
+        "int": T.IntegerType(),
+        "string": T.StringType(),
+        "double": T.DoubleType(),
+        "float": T.FloatType(),
+        "boolean": T.BooleanType(),
+        "date": T.DateType(),
+        "timestamptz": T.TimestampType(),
+        "timestamp": T.TimestampNTZType(),
+        "binary": T.BinaryType(),
+    }
+    return simple.get(t) if isinstance(t, str) else None
+
+
 class IcebergSink:
     """``DeltaLikeTable``-surface adapter over :class:`IcebergWriter`
     so ``IngestJob`` can stream INTO an Apache Iceberg table
@@ -2105,6 +2282,30 @@ class IcebergSink:
                         }
                     )
                 return {"type": "struct", "fields": fields}
+            if isinstance(dt, T.ArrayType):
+                self._next_id[0] += 1
+                eid = self._next_id[0]
+                return {
+                    "type": "list",
+                    "element-id": eid,
+                    "element": conv(dt.elementType),
+                    "element-required": not dt.containsNull,
+                }
+            if isinstance(dt, T.MapType):
+                self._next_id[0] += 1
+                kid = self._next_id[0]
+                self._next_id[0] += 1
+                vid = self._next_id[0]
+                return {
+                    "type": "map",
+                    "key-id": kid,
+                    "key": conv(dt.keyType),
+                    "value-id": vid,
+                    "value": conv(dt.valueType),
+                    "value-required": not dt.valueContainsNull,
+                }
+            if isinstance(dt, T.DecimalType):
+                return f"decimal({dt.precision}, {dt.scale})"
             prim = _spark_type_to_iceberg(dt)
             return prim if prim is not None else "string"
 
@@ -2139,7 +2340,32 @@ class IcebergSink:
         }
 
     def table_schema(self):
-        return None  # schema evolution flows from the caller's schema
+        """Declared schema as a Spark StructType, so
+        ``IngestJob.sync_schema`` adopts an external
+        ``evolve_schema()`` mid-stream (the reference's update_schema
+        contract on the Iceberg leg). Falls back to None — the
+        caller-schema flow, today's exact behavior — until an
+        evolution actually lands (a single-schema table never needs
+        adoption, and a bootstrap-era exotic type whose stored form
+        is the "string" fallback must not be reconstructed into the
+        job's coercions), or when a column type has no exact Spark
+        inverse."""
+        _, meta = self.w._current()
+        if meta is None:
+            return None
+        if len(meta.get("schemas") or []) < 2:
+            return None  # never evolved: caller-schema flow
+        cur = _current_schema(meta)
+        if not cur:
+            return None
+        struct = _iceberg_type_to_spark(
+            {"type": "struct", "fields": cur.get("fields", [])}
+        )
+        return struct
+
+    def evolve_schema(self, schema):
+        """ALTER TABLE ADD COLUMNS passthrough (metadata-only)."""
+        return self.w.evolve_schema(schema)
 
     def write_batch(self, df, partition_by=None, txn=None,
                     operation: str = "STREAMING UPDATE"):
