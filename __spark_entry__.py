@@ -5813,6 +5813,129 @@ def _merge_std_fixture(spark, sf_dir: str) -> tuple:
 
 
 @_q(
+    "ingest_delta_standard_cdc",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 0
+                 AND o_orderkey <= 2*(SELECT MAX(o_orderkey)//3
+                                      FROM orders)
+                THEN 'C' ELSE o_orderstatus END AS o_orderstatus,
+           CASE WHEN o_orderkey % 10 = 0
+                 AND o_orderkey <= 2*(SELECT MAX(o_orderkey)//3
+                                      FROM orders)
+                THEN o_totalprice + 1 ELSE o_totalprice
+           END AS o_totalprice,
+           TRUE AS cdc_ok
+    FROM orders
+    """,
+)
+def ingest_delta_standard_cdc(spark, sf_dir):
+    """CDC-APPLY streaming into the standard log (r9): an ordered
+    change stream (three offset-ranged batches of orders; batches 2-3
+    also carry CORRECTIONS to every 10th key of the previous range)
+    is applied with ``merge(txn=...)`` — inserts for new keys, whole-
+    row updates for corrected ones — and each merge carries the
+    batch's high offset in the txn ledger. cdc_ok pins the
+    exactly-once contract on the MUTATING path: a replay of batch 3
+    is SKIPPED (no new version), a fresh writer instance replaying
+    batches 2-3 after a simulated restart skips BOTH, and the ledger
+    floor equals the stream's high watermark. This is the reference's
+    offset-ledger mechanism (src/lib.rs:1087-1100) extended from
+    append-only ingest to upsert ingestion — the Debezium/CDC
+    consumption shape delta-rs users run. Scale: each merge rewrites
+    only the files holding corrected keys (O(touched + batch)), and
+    replay detection is one ledger lookup."""
+    from kafka_delta_ingest_spark.delta_standard import read_delta
+
+    t, cdc_ok = _cdc_std_fixture(spark, sf_dir)
+    return read_delta(spark, t).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).withColumn("cdc_ok", F.lit(bool(cdc_ok)))
+
+
+def _cdc_std_fixture(spark, sf_dir: str) -> tuple:
+    import atexit
+    import shutil as _sh
+    import tempfile as _tf
+
+    from kafka_delta_ingest_spark.delta_standard import (
+        DeltaStandardWriter,
+    )
+
+    key = ("dscdc", sf_dir)
+    hit = _TBLFMT_FIXTURES.get(key)
+    if hit and os.path.isdir(hit[0]):
+        return hit
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    mx = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    m = mx // 3
+
+    def corrections(lo, hi):
+        return (
+            orders.filter(
+                (F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= hi)
+                & (F.col("o_orderkey") % 10 == 0)
+            )
+            .select(
+                "o_orderkey",
+                F.lit("C").alias("o_orderstatus"),
+                (F.col("o_totalprice") + 1).alias("o_totalprice"),
+            )
+        )
+
+    b1 = orders.filter(F.col("o_orderkey") <= m)
+    b2 = orders.filter(
+        (F.col("o_orderkey") > m) & (F.col("o_orderkey") <= 2 * m)
+    ).unionByName(corrections(-1, m))  # lo exclusive; key 0 exists
+    b3 = orders.filter(F.col("o_orderkey") > 2 * m).unionByName(
+        corrections(m, 2 * m)
+    )
+    root = _tf.mkdtemp(prefix="kdi-dscdc-")
+    t = root + "/t"
+    w = DeltaStandardWriter(t)
+    w.write(b1.repartition(4), txn={"cdc-0": m})
+    upd = {
+        "o_orderstatus": "source.o_orderstatus",
+        "o_totalprice": "source.o_totalprice",
+    }
+    v2 = w.merge(
+        spark, b2, "source.o_orderkey = target.o_orderkey",
+        when_matched_update=upd, txn={"cdc-0": 2 * m},
+    )
+    v3 = w.merge(
+        spark, b3, "source.o_orderkey = target.o_orderkey",
+        when_matched_update=upd, txn={"cdc-0": mx},
+    )
+    # replay of batch 3 on the live writer -> skip, no new version
+    r3 = w.merge(
+        spark, b3, "source.o_orderkey = target.o_orderkey",
+        when_matched_update=upd, txn={"cdc-0": mx},
+    )
+    # simulated restart: a FRESH writer replays batches 2 and 3
+    w2 = DeltaStandardWriter(t)
+    r2b = w2.merge(
+        spark, b2, "source.o_orderkey = target.o_orderkey",
+        when_matched_update=upd, txn={"cdc-0": 2 * m},
+    )
+    r3b = w2.merge(
+        spark, b3, "source.o_orderkey = target.o_orderkey",
+        when_matched_update=upd, txn={"cdc-0": mx},
+    )
+    cdc_ok = (
+        v2 == 1 and v3 == 2
+        and r3 == 2 and r2b == 2 and r3b == 2
+        and w.latest_version() == 2
+        and w._py_replay()["txn"].get("cdc-0") == mx
+    )
+    out = (t, cdc_ok)
+    _TBLFMT_FIXTURES[key] = out
+    atexit.register(_sh.rmtree, root, ignore_errors=True)
+    return out
+
+
+@_q(
     "ingest_delta_standard_evolve",
     """
     SELECT event_id, user_id, event_type,
@@ -9690,6 +9813,7 @@ _SWEEP_ORDER: list[str] = [
     "hudi_upsert_cow",
     "sink_delta_standard_update",
     "sink_delta_standard_merge",
+    "ingest_delta_standard_cdc",
     "q1_pricing_summary",
     "q2_min_cost_supplier",
     "q3_shipping_priority",
@@ -9728,15 +9852,13 @@ _SWEEP_ORDER: list[str] = [
     "set_ops_active_customers",
     "sql_correlated_subquery",
     "sql_recursive_calendar",
-    "events_tumbling_counts",
     "ingest_message_path",
     # --- tail: certified r8 (table formats, LLM-operator families)
     # or the cumulative r1-r8 record; next rotation re-certifies.
-    # events_range_join / events_interval_join / events_enrich_users /
-    # events_sessionize / events_asof_join / events_funnel yielded
-    # their r9 slots to the new UPDATE / MERGE / UPSERT×2 /
-    # data-skipping / Iceberg-evolve surfaces (all r7-green; r10
-    # rotates them back in).
+    # the events family (all r7-green) yielded its r9 slots to the
+    # ELEVEN new r9 surfaces at the head of the window; r10 rotates
+    # it back in.
+    "events_tumbling_counts",
     "events_range_join",
     "events_interval_join",
     "events_enrich_users",

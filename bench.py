@@ -151,6 +151,7 @@ HEADLINE = [
     "hudi_clean",
     "sink_delta_standard_update",
     "sink_delta_standard_merge",
+    "ingest_delta_standard_cdc",
     "hudi_upsert_cow",
 ]
 
@@ -199,7 +200,7 @@ def main() -> None:
         "sink_delta_standard_roundtrip", "sink_iceberg_roundtrip",
         "sink_delta_standard_zorder",
         "sink_delta_standard_update", "sink_delta_standard_merge",
-        "ingest_iceberg_evolve",
+        "ingest_iceberg_evolve", "ingest_delta_standard_cdc",
     ]:
         qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"

@@ -2113,6 +2113,7 @@ class DeltaStandardWriter:
         when_matched_update: dict[str, str] | None = None,
         when_matched_delete: str | bool | None = None,
         when_not_matched_insert: dict[str, str] | bool = True,
+        txn: dict[str, int] | None = None,
     ) -> int:
         """MERGE INTO (upsert) with delta-spark's clause semantics on
         the standard log. ``source`` is any DataFrame; ``on`` is a SQL
@@ -2142,7 +2143,15 @@ class DeltaStandardWriter:
         the source, so cost is O(touched + source), not O(table).
         Because MERGE's read set is the whole target (the not-matched
         anti-join), the commit conflicts on ANY intervening data
-        change — delta-spark's Serializable default for MERGE."""
+        change — delta-spark's Serializable default for MERGE.
+
+        ``txn`` (appId → version) makes the merge EXACTLY-ONCE like
+        :meth:`write`: if every supplied appId is already at-or-beyond
+        its version in the log the merge is SKIPPED (replay after a
+        crash/restart), the committed version carries the txn actions,
+        and a racer landing the same batch first is re-detected at
+        claim time — the reference's offset-ledger mechanism applied
+        to CDC-apply streams."""
         import time
 
         from pyspark.sql import functions as F
@@ -2150,10 +2159,18 @@ class DeltaStandardWriter:
         if not (when_matched_update or when_matched_delete
                 or when_not_matched_insert):
             raise ValueError("merge with no clauses")
+        txn = dict(txn or {})
         read_v = self.latest_version()
         state = self._py_replay(target=read_v if read_v >= 0 else None)
         if state["meta"] is None:
             raise ValueError("merge into an empty table")
+        if txn:
+            stored = state["txn"]
+            if all(
+                app in stored and stored[app] >= ver
+                for app, ver in txn.items()
+            ):
+                return read_v  # replay — this merge already applied
         schema_cols = [
             f["name"]
             for f in json.loads(state["meta"]["schemaString"])["fields"]
@@ -2323,12 +2340,17 @@ class DeltaStandardWriter:
                     }
                 }
             )
+        actions += [
+            {"txn": {"appId": a, "version": v, "lastUpdated": now_ms}}
+            for a, v in sorted(txn.items())
+        ]
         actions += [{"add": a} for a in adds]
         try:
             version = self._atomic_commit(
                 actions,
                 read_version=read_v,
                 conflict_on_any_change=True,
+                txn=txn or None,
             )
         except BaseException:
             for p in cdc_written:

@@ -223,6 +223,54 @@ def test_update_set_expr_type_drift_raises(spark):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def test_merge_txn_replay_skips(spark):
+    """merge(txn=...) is exactly-once: a replay of the same CDC batch
+    (same appId floors) returns the current version without touching
+    the table — crash/restart semantics for streaming CDC-apply."""
+    root = tempfile.mkdtemp(prefix="kdi-stdmerge6-") + "/t"
+    try:
+        w = DeltaStandardWriter(root)
+        _seed(w, spark, batches=1)
+        src = spark.createDataFrame(
+            [(5, "upd", -1), (100, "ins", 1)],
+            "id long, s string, val long",
+        )
+        v = w.merge(
+            spark, src, "source.id = target.id",
+            when_matched_update={"s": "source.s", "val": "source.val"},
+            txn={"cdc-0": 9},
+        )
+        assert v == 1
+        # replay: same floors -> skipped, no new version
+        v2 = w.merge(
+            spark, src, "source.id = target.id",
+            when_matched_update={"s": "source.s", "val": "source.val"},
+            txn={"cdc-0": 9},
+        )
+        assert v2 == 1 and w.latest_version() == 1
+        # a NEW writer instance replays the same batch after "restart"
+        assert DeltaStandardWriter(root).merge(
+            spark, src, "source.id = target.id",
+            when_matched_update={"s": "source.s", "val": "source.val"},
+            txn={"cdc-0": 9},
+        ) == 1
+        # higher floor -> applies
+        src2 = spark.createDataFrame(
+            [(6, "upd6", -2)], "id long, s string, val long"
+        )
+        v3 = w.merge(
+            spark, src2, "source.id = target.id",
+            when_matched_update={"s": "source.s", "val": "source.val"},
+            txn={"cdc-0": 10},
+        )
+        assert v3 == 2
+        got = _rows(spark, root)
+        assert got[5] == ("upd", -1) and got[6] == ("upd6", -2)
+        assert got[100] == ("ins", 1) and len(got) == 11
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_merge_on_empty_match_keeps_table_identical(spark):
     root = tempfile.mkdtemp(prefix="kdi-stdmerge5-") + "/t"
     try:
