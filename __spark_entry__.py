@@ -5813,6 +5813,103 @@ def _merge_std_fixture(spark, sf_dir: str) -> tuple:
 
 
 @_q(
+    "sink_delta_standard_constraints",
+    """
+    SELECT o_orderkey, o_totalprice, TRUE AS constraint_ok
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey + 10000000 AS o_orderkey,
+           o_totalprice + 1 AS o_totalprice, TRUE AS constraint_ok
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+)
+def sink_delta_standard_constraints(spark, sf_dir):
+    """CHECK constraints on the standard log (r9): ALTER TABLE ADD
+    CONSTRAINT lands as metaData configuration
+    (``delta.constraints.*`` — the channel delta-spark itself
+    enforces) plus the protocol bump to minWriterVersion 3. History:
+    orders land, ``totalprice_positive CHECK (o_totalprice > 0)`` is
+    accepted (existing rows scanned first), a violating append is
+    REFUSED atomically (nothing lands), then a valid key-shifted
+    batch commits. constraint_ok pins: the refusal, the untouched
+    row count after it, the stored constraint text, and the protocol
+    action in the DDL commit. Scale: enforcement is one
+    short-circuited filter over the incoming batch only — never a
+    table scan (only the one-time DDL validates existing rows)."""
+    import json as _json
+
+    from kafka_delta_ingest_spark.delta_standard import read_delta
+
+    t, constraint_ok = _constraints_std_fixture(spark, sf_dir)
+    return read_delta(spark, t).select(
+        "o_orderkey", "o_totalprice"
+    ).withColumn("constraint_ok", F.lit(bool(constraint_ok)))
+
+
+def _constraints_std_fixture(spark, sf_dir: str) -> tuple:
+    import atexit
+    import json as _json
+    import shutil as _sh
+    import tempfile as _tf
+
+    from kafka_delta_ingest_spark.delta_standard import (
+        DeltaStandardWriter,
+        read_delta,
+    )
+    from kafka_delta_ingest_spark.sinks.delta_like import (
+        ConstraintViolation,
+    )
+
+    key = ("dscon", sf_dir)
+    hit = _TBLFMT_FIXTURES.get(key)
+    if hit and os.path.isdir(hit[0]):
+        return hit
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = _tf.mkdtemp(prefix="kdi-dscon-")
+    t = root + "/t"
+    w = DeltaStandardWriter(t)
+    w.write(orders.repartition(4))
+    ddl_v = w.add_constraint(
+        spark, "totalprice_positive", "o_totalprice > 0"
+    )
+    with open(
+        os.path.join(t, "_delta_log", f"{ddl_v:020d}.json")
+    ) as f:
+        acts = [_json.loads(line) for line in f]
+    protocol_ok = {"minReaderVersion": 1, "minWriterVersion": 3} in [
+        a.get("protocol") for a in acts
+    ]
+    n0 = read_delta(spark, t).count()
+    refused = False
+    try:
+        w.write(
+            orders.limit(3).select(
+                "o_orderkey", F.lit(-1.0).alias("o_totalprice")
+            )
+        )
+    except ConstraintViolation:
+        refused = True
+    extra = orders.filter("o_orderkey % 100 = 0").select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        (F.col("o_totalprice") + 1).alias("o_totalprice"),
+    )
+    w.write(extra)
+    constraint_ok = (
+        protocol_ok
+        and refused
+        and read_delta(spark, t).count() == n0 + extra.count()
+        and w.constraints()
+        == {"totalprice_positive": "o_totalprice > 0"}
+    )
+    out = (t, constraint_ok)
+    _TBLFMT_FIXTURES[key] = out
+    atexit.register(_sh.rmtree, root, ignore_errors=True)
+    return out
+
+
+@_q(
     "ingest_delta_standard_cdc",
     """
     SELECT o_orderkey,
@@ -9857,7 +9954,9 @@ _SWEEP_ORDER: list[str] = [
     # or the cumulative r1-r8 record; next rotation re-certifies.
     # the events family (all r7-green) yielded its r9 slots to the
     # ELEVEN new r9 surfaces at the head of the window; r10 rotates
-    # it back in.
+    # it back in along with sink_delta_standard_constraints (new r9,
+    # first tail slot — the window was full).
+    "sink_delta_standard_constraints",
     "events_tumbling_counts",
     "events_range_join",
     "events_interval_join",

@@ -152,6 +152,7 @@ HEADLINE = [
     "sink_delta_standard_update",
     "sink_delta_standard_merge",
     "ingest_delta_standard_cdc",
+    "sink_delta_standard_constraints",
     "hudi_upsert_cow",
 ]
 
@@ -201,6 +202,7 @@ def main() -> None:
         "sink_delta_standard_zorder",
         "sink_delta_standard_update", "sink_delta_standard_merge",
         "ingest_iceberg_evolve", "ingest_delta_standard_cdc",
+        "sink_delta_standard_constraints",
     ]:
         qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"

@@ -1605,6 +1605,7 @@ class DeltaStandardWriter:
                 return read_v  # replay — already applied
         if state["meta"] is not None:
             df = self._conform_frame(df, state["meta"])
+            self._enforce_constraints(df, state["meta"])
             declared = state["meta"].get("partitionColumns") or []
             if partition_by is None:
                 partition_by = list(declared)
@@ -1936,6 +1937,137 @@ class DeltaStandardWriter:
             self._write_checkpoint(version)
         return version
 
+    # -- CHECK constraints (ALTER TABLE ADD CONSTRAINT parity) ------------
+
+    def constraints(self, meta: dict | None = None) -> dict[str, str]:
+        """name → CHECK expression, from ``delta.constraints.*``
+        table configuration (the protocol's constraint channel —
+        delta-spark enforces the same keys)."""
+        if meta is None:
+            meta = self._py_replay()["meta"]
+        cfg = (meta or {}).get("configuration") or {}
+        pre = "delta.constraints."
+        return {
+            k[len(pre):]: v for k, v in cfg.items() if k.startswith(pre)
+        }
+
+    def add_constraint(self, spark, name: str, expr: str) -> int:
+        """ALTER TABLE ADD CONSTRAINT <name> CHECK (<expr>) on the
+        standard log: existing rows are validated first (Delta scans
+        the table before accepting a constraint), then one commit
+        carries the updated metaData configuration plus the protocol
+        bump to minWriterVersion 3 (the version that obliges writers
+        to enforce CHECK constraints — delta-spark refuses to write
+        tables it cannot enforce). NULL results satisfy the check
+        (SQL standard), matching the kdi sink's semantics."""
+        import time
+
+        from pyspark.sql import functions as F
+
+        from kafka_delta_ingest_spark.sinks.delta_like import (
+            ConstraintViolation,
+        )
+
+        read_v = self.latest_version()
+        state = self._py_replay(target=read_v if read_v >= 0 else None)
+        meta = state["meta"]
+        if meta is None:
+            raise ValueError("table has no schema yet")
+        if name in self.constraints(meta):
+            raise ValueError(f"constraint {name!r} already exists")
+        existing = read_delta(spark, self.root, version=read_v)
+        n_bad = existing.filter(
+            ~F.coalesce(F.expr(expr), F.lit(True))
+        ).count()
+        if n_bad:
+            raise ConstraintViolation(
+                f"cannot add constraint {name!r}: {n_bad} existing "
+                f"row(s) violate CHECK ({expr})"
+            )
+        new_meta = dict(meta)
+        cfg = dict(meta.get("configuration") or {})
+        cfg[f"delta.constraints.{name}"] = expr
+        new_meta["configuration"] = cfg
+        return self._atomic_commit(
+            [
+                {
+                    "commitInfo": {
+                        "operation": f"ADD CONSTRAINT {name}",
+                        "timestamp": int(time.time() * 1000),
+                    }
+                },
+                {
+                    "protocol": {
+                        "minReaderVersion": 1,
+                        "minWriterVersion": 3,
+                    }
+                },
+                {"metaData": new_meta},
+            ],
+            read_version=read_v,
+            conflict_on_any_change=True,
+        )
+
+    def drop_constraint(self, name: str) -> int:
+        import time
+
+        read_v = self.latest_version()
+        state = self._py_replay(target=read_v if read_v >= 0 else None)
+        meta = state["meta"]
+        key = f"delta.constraints.{name}"
+        if meta is None or key not in (meta.get("configuration") or {}):
+            raise ValueError(f"no such constraint: {name!r}")
+        new_meta = dict(meta)
+        cfg = dict(meta["configuration"])
+        del cfg[key]
+        new_meta["configuration"] = cfg
+        return self._atomic_commit(
+            [
+                {
+                    "commitInfo": {
+                        "operation": f"DROP CONSTRAINT {name}",
+                        "timestamp": int(time.time() * 1000),
+                    }
+                },
+                {"metaData": new_meta},
+            ],
+            read_version=read_v,
+            conflict_on_any_change=True,
+        )
+
+    def _enforce_constraints(self, df, meta: dict) -> None:
+        """Raise :class:`ConstraintViolation` when any row of ``df``
+        fails a stored CHECK constraint — one combined pass (a single
+        filter over the frame, short-circuited at the first hit),
+        then the violated names identified on the sample row."""
+        from pyspark.sql import functions as F
+
+        from kafka_delta_ingest_spark.sinks.delta_like import (
+            ConstraintViolation,
+        )
+
+        cons = self.constraints(meta)
+        if not cons:
+            return
+        checks = {
+            n: F.coalesce(F.expr(e), F.lit(True))
+            for n, e in cons.items()
+        }
+        viol = None
+        for c in checks.values():
+            viol = ~c if viol is None else (viol | ~c)
+        rows = (
+            df.filter(viol).limit(1)
+            .select(*[(~c).alias(n) for n, c in checks.items()])
+            .collect()
+        )
+        if rows:
+            violated = [n for n in checks if rows[0][n]]
+            raise ConstraintViolation(
+                f"CHECK constraint(s) {violated} violated by write "
+                f"({ {n: cons[n] for n in violated} })"
+            )
+
     # -- row-level UPDATE / MERGE (copy-on-write) -------------------------
 
     def update_where(
@@ -2013,6 +2145,7 @@ class DeltaStandardWriter:
             ),
             state["meta"],
         )
+        self._enforce_constraints(updated, state["meta"])
         actions: list[dict] = [
             {
                 "commitInfo": {
@@ -2307,6 +2440,7 @@ class DeltaStandardWriter:
         out = pieces[0]
         for p in pieces[1:]:
             out = out.unionByName(p)
+        self._enforce_constraints(out, state["meta"])
 
         actions: list[dict] = [
             {
