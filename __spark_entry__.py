@@ -5813,6 +5813,92 @@ def _merge_std_fixture(spark, sf_dir: str) -> tuple:
 
 
 @_q(
+    "delta_read_time_travel",
+    """
+    SELECT event_id, event_type, TRUE AS travel_ok
+    FROM events WHERE event_id % 2 = 0
+    """,
+)
+def delta_read_time_travel(spark, sf_dir):
+    """TIMESTAMP-based time travel on the standard log (r9) —
+    delta-spark's ``timestampAsOf``: the reader resolves the greatest
+    version whose commitInfo timestamp is at-or-before the asked
+    instant (file mtime fallback for commitInfo-less logs) and
+    replays to it. History: evens land (v0), odds append (v1), a
+    DV delete removes every 4th id (v2); the returned rows are the
+    READ AT v0's COMMIT TIMESTAMP — exactly the evens, proving the
+    resolution picked v0, not a later commit landing in the same
+    clock second. travel_ok additionally pins: the timestamp read
+    row-matches the version-0 read, a pre-table timestamp raises,
+    and the latest read reflects the delete. Resolution is O(log
+    versions) driver metadata — no data IO until the replay scan."""
+    from kafka_delta_ingest_spark.delta_standard import read_delta
+
+    t, travel_ok, ts_v0 = _travel_std_fixture(spark, sf_dir)
+    return read_delta(spark, t, timestamp_ms=ts_v0).select(
+        "event_id", "event_type"
+    ).withColumn("travel_ok", F.lit(bool(travel_ok)))
+
+
+def _travel_std_fixture(spark, sf_dir: str) -> tuple:
+    import atexit
+    import json as _json
+    import shutil as _sh
+    import tempfile as _tf
+    import time as _time
+
+    from kafka_delta_ingest_spark.delta_standard import (
+        DeltaStandardWriter,
+        read_delta,
+    )
+
+    key = ("dstrv", sf_dir)
+    hit = _TBLFMT_FIXTURES.get(key)
+    if hit and os.path.isdir(hit[0]):
+        return hit
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type"
+    )
+    root = _tf.mkdtemp(prefix="kdi-dstrv-")
+    t = root + "/t"
+    w = DeltaStandardWriter(t)
+    w.write(ev.filter("event_id % 2 = 0").coalesce(2))
+    _time.sleep(0.05)  # commits get distinct clock milliseconds
+    w.write(ev.filter("event_id % 2 = 1").coalesce(2))
+    _time.sleep(0.05)
+    w.delete_where(spark, "event_id % 4 = 0")
+
+    def commit_ts(v):
+        with open(
+            os.path.join(t, "_delta_log", f"{v:020d}.json")
+        ) as f:
+            for line in f:
+                act = _json.loads(line)
+                if "commitInfo" in act:
+                    return act["commitInfo"]["timestamp"]
+
+    ts_v0 = commit_ts(0)
+    n_even = ev.filter("event_id % 2 = 0").count()
+    n_all = ev.count()
+    pre_raises = False
+    try:
+        read_delta(spark, t, timestamp_ms=ts_v0 - 10_000)
+    except ValueError:
+        pre_raises = True
+    travel_ok = (
+        read_delta(spark, t, timestamp_ms=ts_v0).count() == n_even
+        and read_delta(spark, t, version=0).count() == n_even
+        and read_delta(spark, t).count()
+        == n_all - ev.filter("event_id % 4 = 0").count()
+        and pre_raises
+    )
+    out = (t, travel_ok, ts_v0)
+    _TBLFMT_FIXTURES[key] = out
+    atexit.register(_sh.rmtree, root, ignore_errors=True)
+    return out
+
+
+@_q(
     "sink_delta_standard_constraints",
     """
     SELECT o_orderkey, o_totalprice, TRUE AS constraint_ok
@@ -9957,6 +10043,7 @@ _SWEEP_ORDER: list[str] = [
     # it back in along with sink_delta_standard_constraints (new r9,
     # first tail slot — the window was full).
     "sink_delta_standard_constraints",
+    "delta_read_time_travel",
     "events_tumbling_counts",
     "events_range_join",
     "events_interval_join",

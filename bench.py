@@ -153,6 +153,7 @@ HEADLINE = [
     "sink_delta_standard_merge",
     "ingest_delta_standard_cdc",
     "sink_delta_standard_constraints",
+    "delta_read_time_travel",
     "hudi_upsert_cow",
 ]
 
@@ -202,7 +203,7 @@ def main() -> None:
         "sink_delta_standard_zorder",
         "sink_delta_standard_update", "sink_delta_standard_merge",
         "ingest_iceberg_evolve", "ingest_delta_standard_cdc",
-        "sink_delta_standard_constraints",
+        "sink_delta_standard_constraints", "delta_read_time_travel",
     ]:
         qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"

@@ -475,10 +475,10 @@ def parse_partition_spec_entry(entry: str) -> dict:
         return {"source": m.group(2),
                 "transform": f"truncate[{m.group(1)}]",
                 "name": f"{m.group(2)}_trunc"}
-    m = _re.fullmatch(r"day\(\s*(\w+)\s*\)", e)
+    m = _re.fullmatch(r"(day|month|year|hour)\(\s*(\w+)\s*\)", e)
     if m:
-        return {"source": m.group(1), "transform": "day",
-                "name": f"{m.group(1)}_day"}
+        return {"source": m.group(2), "transform": m.group(1),
+                "name": f"{m.group(2)}_{m.group(1)}"}
     if _re.fullmatch(r"\w+", e):
         return {"source": e, "transform": "identity", "name": e}
     raise ValueError(f"unsupported partition spec entry {entry!r}")
@@ -512,8 +512,8 @@ def _declared_spec_grammar(meta: dict) -> list[str]:
         if m:
             out.append(f"truncate({m.group(1)}, {src})")
             continue
-        if tr == "day":
-            out.append(f"day({src})")
+        if tr in ("day", "month", "year", "hour"):
+            out.append(f"{tr}({src})")
             continue
         raise ValueError(f"unsupported partition transform {tr!r}")
     return out
@@ -1214,11 +1214,11 @@ class IcebergWriter:
     carries its typed partition values so the reader prunes at PLAN
     time from metadata alone. HIDDEN partitioning (r8): ``bucket(n,
     col)`` (spec murmur3 over the value's long/UTF-8 encoding),
-    ``truncate(w, col)``, and ``day(col)`` transforms — spec fields
-    carry the transform string, data files keep the SOURCE columns,
-    and manifest entries carry the transformed values so readers
-    prune on them at plan time. Remaining out: month/hour/year
-    transforms (same shape, add on demand). Row-level deletes are served read-side via the
+    ``truncate(w, col)``, ``day(col)``, and (r9) ``month/year/hour``
+    transforms — spec fields carry the transform string, data files
+    keep the SOURCE columns, and manifest entries carry the
+    transformed values so readers prune on them at plan time.
+    Row-level deletes are served read-side via the
     v2 position/equality delete files the reader already applies
     (delete files are written spec-global and never pruned).
     """
@@ -1382,6 +1382,20 @@ class IcebergWriter:
                     F.col(src).cast("date"),
                     F.to_date(F.lit("1970-01-01")),
                 )
+            if tr == "month":
+                # spec: months from 1970-01
+                return (
+                    (F.year(F.col(src)) - 1970) * 12
+                    + F.month(F.col(src)) - 1
+                )
+            if tr == "year":
+                return F.year(F.col(src)) - 1970
+            if tr == "hour":
+                # spec: hours from 1970-01-01 00:00:00 UTC
+                return (
+                    F.unix_timestamp(F.col(src).cast("timestamp"))
+                    / 3600
+                ).cast("int")
             import re as _re
 
             m = _re.fullmatch(r"truncate\[(\d+)\]", tr)

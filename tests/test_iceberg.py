@@ -934,3 +934,69 @@ def test_expire_noop_when_nothing_qualifies(spark, tmp_path):
     t, w, df = _ice_writer(spark, tmp_path, "expn")
     w.append(df.coalesce(1), ts_ms=1000)
     assert w.expire_snapshots(older_than_ms=500) == []
+
+
+def test_iceberg_hidden_partitioning_month_year_hour(spark, tmp_path):
+    """r9: the remaining time transforms — month (months from
+    1970-01), year (years from 1970), hour (hours from epoch) — land
+    as spec fields with transform strings and spec-exact manifest
+    partition values; rows roundtrip with source columns intact."""
+    import datetime
+
+    from kafka_delta_ingest_spark.avro_python import read_container
+    from kafka_delta_ingest_spark.iceberg import (
+        IcebergWriter,
+        load_metadata,
+        read_iceberg,
+    )
+
+    t = str(tmp_path / "hp2")
+    fields = [
+        {"id": 1, "name": "doc_id", "type": "long", "required": False},
+        {"id": 2, "name": "ts", "type": "timestamp", "required": False},
+    ]
+    w = IcebergWriter(
+        t, fields, partition_by=["month(ts)", "year(ts)", "hour(ts)"]
+    )
+    rows = [
+        (0, datetime.datetime(1970, 1, 1, 0, 0, 0)),
+        (1, datetime.datetime(1970, 2, 1, 5, 0, 0)),
+        (2, datetime.datetime(2024, 3, 15, 7, 30, 0)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, ts timestamp_ntz")
+    w.append(df, ts_ms=1000)
+    meta = load_metadata(t)
+    assert [
+        (f["name"], f["transform"])
+        for f in meta["partition-specs"][0]["fields"]
+    ] == [("ts_month", "month"), ("ts_year", "year"),
+          ("ts_hour", "hour")]
+    back = read_iceberg(spark, t)
+    assert sorted((r.doc_id, r.ts) for r in back.collect()) == rows
+    snap = meta["snapshots"][-1]
+    with open(snap["manifest-list"], "rb") as f:
+        _, manifests = read_container(f.read())
+    vals = {}
+    for m in manifests:
+        with open(m["manifest_path"], "rb") as f:
+            _, entries = read_container(f.read())
+        for e in entries:
+            p = e["data_file"]["partition"]
+            vals[(p["ts_month"], p["ts_year"], p["ts_hour"])] = True
+    # spec-exact: 1970-01-01T00 -> (0,0,0); 1970-02-01T05 ->
+    # (1,0,31*24+5); 2024-03-15T07:30 -> (650, 54, hours from epoch)
+    h3 = int(datetime.datetime(
+        2024, 3, 15, 7, tzinfo=datetime.timezone.utc
+    ).timestamp() // 3600)
+    assert set(vals) == {(0, 0, 0), (1, 0, 31 * 24 + 5),
+                         ((2024 - 1970) * 12 + 2, 54, h3)}
+    # a spec-less writer instance adopts the declared transforms
+    w2 = IcebergWriter(t, fields)
+    w2.append(
+        spark.createDataFrame(
+            [(3, datetime.datetime(2024, 3, 15, 9, 0, 0))],
+            "doc_id long, ts timestamp_ntz",
+        ),
+        ts_ms=2000,
+    )
+    assert read_iceberg(spark, t).count() == 4
