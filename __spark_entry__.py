@@ -4956,6 +4956,126 @@ def hudi_upsert_cow(spark, sf_dir):
 
 
 @_q(
+    "hudi_upsert_mor",
+    """
+    WITH spend AS (
+      SELECT o_custkey AS k,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+      FROM orders GROUP BY 1
+    )
+    SELECT c.c_custkey,
+           CASE WHEN sp.k IS NOT NULL THEN 'upd'
+                ELSE c.c_name END AS c_name,
+           CASE WHEN sp.k IS NOT NULL THEN CAST(sp.s AS DOUBLE)
+                ELSE c.c_acctbal END AS c_acctbal,
+           c.c_mktsegment, TRUE AS mor_ok
+    FROM customer c LEFT JOIN spend sp ON sp.k = c.c_custkey
+    UNION ALL
+    SELECT sp.k + 10000000 AS c_custkey, 'new' AS c_name,
+           CAST(sp.s AS DOUBLE) AS c_acctbal,
+           'NEWSEG' AS c_mktsegment, TRUE AS mor_ok
+    FROM spend sp WHERE sp.k % 5 = 0
+    """,
+)
+def hudi_upsert_mor(spark, sf_dir):
+    """Hudi MERGE_ON_READ write path (r9) — the THIRD upsert
+    certification against the SAME declarative oracle as
+    hudi_upsert_cow and iceberg_upsert: updates append HoodieLogFormat
+    Avro blocks to their owning file groups (encoded EXECUTOR-SIDE,
+    one applyInPandas task per touched group — log-write parallelism
+    scales with group count), key-shifted inserts land as new base
+    groups in the same deltacommit, the independent read_hudi log
+    merge serves latest-wins, and ``compact()`` then folds the blocks
+    into new base slices with the snapshot PINNED byte-identical
+    across compaction. mor_ok: table type MERGE_ON_READ on
+    hoodie.properties, a real .log. file per touched group before
+    compaction, zero after, pre/post-compact row counts equal, and
+    the UPSERT deltacommit chains prevCommit to the base slices.
+    Write cost: O(updated rows) appended — no base rewrite until
+    compaction, Hudi's write-optimized trade."""
+    import json as _json
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from kafka_delta_ingest_spark.hudi import HudiMorWriter, read_hudi
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").alias("s")
+        )
+        .select(F.col("o_custkey").alias("k"), "s")
+    )
+    upd_src = spend.join(
+        cust, spend.k == cust.c_custkey, "inner"
+    ).select(
+        "c_custkey",
+        F.lit("upd").alias("c_name"),
+        F.col("s").cast("double").alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    ins_src = spend.filter("k % 5 = 0").select(
+        (F.col("k") + 10_000_000).alias("c_custkey"),
+        F.lit("new").alias("c_name"),
+        F.col("s").cast("double").alias("c_acctbal"),
+        F.lit("NEWSEG").alias("c_mktsegment"),
+    )
+    root = _tf.mkdtemp(prefix="kdi-hudimor-")
+    try:
+        t = root + "/t"
+        w = HudiMorWriter(
+            t, partition_by=["c_mktsegment"], record_key="c_custkey"
+        )
+        w.insert_batch(cust.repartition("c_mktsegment"))
+        instant, n_log, n_ins = w.upsert_log_batch(
+            upd_src.unionByName(ins_src)
+        )
+        props = open(
+            _os.path.join(t, ".hoodie", "hoodie.properties")
+        ).read()
+        logs_before = sum(
+            ".log." in f
+            for _d, _s, fs in _os.walk(t) for f in fs
+        )
+        pre = read_hudi(spark, t).count()
+        meta = _json.load(
+            open(_os.path.join(t, ".hoodie", f"{instant}.deltacommit"))
+        )
+        chained = [
+            st
+            for stats in meta["partitionToWriteStats"].values()
+            for st in stats
+            if st["prevCommit"] != "null"
+        ]
+        w.compact(spark)
+        logs_after = sum(
+            ".log." in f
+            for _d, _s, fs in _os.walk(t) for f in fs
+        )
+        live = read_hudi(spark, t)
+        mor_ok = (
+            "MERGE_ON_READ" in props
+            and n_log > 0 and n_ins > 0
+            and len(chained) == n_log
+            and logs_before == n_log and logs_after == 0
+            and live.count() == pre
+            and meta["operationType"] == "UPSERT"
+        )
+        out = live.select(
+            "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+        ).withColumn("mor_ok", F.lit(bool(mor_ok)))
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
+@_q(
     "hudi_read_incremental",
     """
     SELECT doc_id, lang,
@@ -10044,6 +10164,7 @@ _SWEEP_ORDER: list[str] = [
     # first tail slot — the window was full).
     "sink_delta_standard_constraints",
     "delta_read_time_travel",
+    "hudi_upsert_mor",
     "events_tumbling_counts",
     "events_range_join",
     "events_interval_join",

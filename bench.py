@@ -155,6 +155,7 @@ HEADLINE = [
     "sink_delta_standard_constraints",
     "delta_read_time_travel",
     "hudi_upsert_cow",
+    "hudi_upsert_mor",
 ]
 
 

@@ -1118,6 +1118,11 @@ class HudiCowWriter:
     clustering action :func:`plan_file_groups` already replays.
     """
 
+    # data commits are plain .commit on CoW tables; the MERGE_ON_READ
+    # subclass overrides both (deltacommit timeline actions)
+    TABLE_TYPE = "COPY_ON_WRITE"
+    ACTION = "commit"
+
     def __init__(self, table_path: str,
                  partition_by: list[str] | None = None, store=None,
                  record_key: str | None = None):
@@ -1141,8 +1146,8 @@ class HudiCowWriter:
             self.store.put_atomic(
                 props,
                 b"hoodie.table.name=kdi_out\n"
-                b"hoodie.table.type=COPY_ON_WRITE\n"
-                b"hoodie.table.version=6\n",
+                + f"hoodie.table.type={self.TABLE_TYPE}\n".encode()
+                + b"hoodie.table.version=6\n",
             )
 
     # -- timeline ---------------------------------------------------------
@@ -1210,7 +1215,7 @@ class HudiCowWriter:
         from pyspark.sql import functions as F
 
         hoodie = os.path.join(self.path, ".hoodie")
-        instant = self._claim_instant("commit")
+        instant = self._claim_instant(self.ACTION)
         if skip_if_stored and self.latest_instant() != (
             ledger_observed_instant
         ):
@@ -1225,12 +1230,12 @@ class HudiCowWriter:
             ):
                 os.remove(
                     os.path.join(
-                        hoodie, f"{instant}.commit.requested"
+                        hoodie, f"{instant}.{self.ACTION}.requested"
                     )
                 )
                 return None, 0, 0
         self.store.put_atomic(
-            os.path.join(hoodie, f"{instant}.commit.inflight"), b""
+            os.path.join(hoodie, f"{instant}.{self.ACTION}.inflight"), b""
         )
         if self.parts:
             part_path = F.concat_ws(
@@ -1272,10 +1277,10 @@ class HudiCowWriter:
         if not n_files:
             # empty batch: withdraw the reserved instant (no commit)
             self.store.remove(
-                os.path.join(hoodie, f"{instant}.commit.requested")
+                os.path.join(hoodie, f"{instant}.{self.ACTION}.requested")
             )
             self.store.remove(
-                os.path.join(hoodie, f"{instant}.commit.inflight")
+                os.path.join(hoodie, f"{instant}.{self.ACTION}.inflight")
             )
             return None, 0, 0
         meta = {
@@ -1284,7 +1289,7 @@ class HudiCowWriter:
             "extraMetadata": dict(extra_metadata or {}),
         }
         self.store.put_atomic(
-            os.path.join(hoodie, f"{instant}.commit"),
+            os.path.join(hoodie, f"{instant}.{self.ACTION}"),
             json.dumps(meta).encode(),
         )
         return instant, n_files, n_records
@@ -1466,9 +1471,9 @@ class HudiCowWriter:
                 )[: -len(".parquet")].split("_")[-1]
                 by_base[g["base"]] = (part, fid, slice_instant)
 
-        instant = self._claim_instant("commit")
+        instant = self._claim_instant(self.ACTION)
         self.store.put_atomic(
-            os.path.join(hoodie, f"{instant}.commit.inflight"), b""
+            os.path.join(hoodie, f"{instant}.{self.ACTION}.inflight"), b""
         )
 
         upd_stats: dict[str, list[dict]] = {}
@@ -1639,10 +1644,10 @@ class HudiCowWriter:
             stats.setdefault(part, []).extend(lst)
         if not stats:
             self.store.remove(
-                os.path.join(hoodie, f"{instant}.commit.requested")
+                os.path.join(hoodie, f"{instant}.{self.ACTION}.requested")
             )
             self.store.remove(
-                os.path.join(hoodie, f"{instant}.commit.inflight")
+                os.path.join(hoodie, f"{instant}.{self.ACTION}.inflight")
             )
             return None, 0, 0
         meta = {
@@ -1651,7 +1656,7 @@ class HudiCowWriter:
             "extraMetadata": dict(extra_metadata or {}),
         }
         self.store.put_atomic(
-            os.path.join(hoodie, f"{instant}.commit"),
+            os.path.join(hoodie, f"{instant}.{self.ACTION}"),
             json.dumps(meta).encode(),
         )
         return instant, n_updated_groups, n_ins_files
@@ -1836,6 +1841,525 @@ class HudiCowWriter:
             os.path.join(hoodie, f"{instant}.replacecommit"),
             json.dumps(meta).encode(),
         )
+        return instant
+
+
+class HudiMorWriter(HudiCowWriter):
+    """Production-shape Apache Hudi MERGE_ON_READ writer — inserts
+    land as base parquet file groups (inherited ``insert_batch``, now
+    a ``deltacommit``); UPDATES and DELETES append HoodieLogFormat
+    blocks to the owning file group's log (``upsert_log_batch`` /
+    ``delete_log_batch``), deferring the merge cost to read time —
+    Hudi's write-optimized mode; ``compact()`` folds each log-bearing
+    group's blocks into a new base-file slice as a ``.commit`` (the
+    slice reset :func:`plan_file_groups` already replays).
+
+    Log blocks are encoded EXECUTOR-SIDE: the matched updates
+    repartition on fileId and one ``applyInPandas`` task per group
+    encodes its Avro data block (the pure-Python HoodieLogFormat
+    codec runs inside the Arrow worker) and writes the
+    ``.<fileId>_<baseInstant>.log.<version>_<token>`` file directly —
+    log-write parallelism scales with the touched-group count, no
+    driver row work. The driver only claims the instant, plans the
+    per-group (baseInstant, next version) map, and publishes the
+    completed deltacommit.
+
+    Scope note: log-block updates target keys that live in a base
+    file (inserts always go to base, so every live key does);
+    a key deleted by a prior log block and upserted again is
+    RESURRECTED in place (latest-wins merge) — equivalent read-side
+    to Hudi's re-insert into a new group. Avro-mapped column types:
+    long/int/double/float/string/boolean (others raise — the codec's
+    documented envelope, same as the MoR fixture writer)."""
+
+    TABLE_TYPE = "MERGE_ON_READ"
+    ACTION = "deltacommit"
+
+    _AVRO_OF = {
+        "bigint": "long", "int": "long", "smallint": "long",
+        "double": "double", "float": "double",
+        "string": "string", "boolean": "boolean",
+    }
+
+    def _avro_schema_of(self, df) -> dict:
+        cols = {}
+        for f in df.schema.fields:
+            t = self._AVRO_OF.get(f.dataType.simpleString())
+            if t is None:
+                raise ValueError(
+                    f"column {f.name!r}: type {f.dataType.simpleString()!r} "
+                    "has no HoodieLogFormat Avro mapping"
+                )
+            cols[f.name] = t
+        return {
+            "type": "record",
+            "name": "HoodieRecord",
+            "fields": [
+                {"name": "_hoodie_record_key", "type": "string"},
+            ] + [
+                {"name": n, "type": ["null", t], "default": None}
+                for n, t in cols.items()
+            ],
+        }
+
+    def _group_plan(self):
+        """(abs base path → (partition, fileId)), plus per-fileId
+        (partition, baseInstant, next log version) — the driver-side
+        metadata the executor log writers need."""
+        try:
+            groups, _ = plan_file_groups(self.path)
+        except ValueError:
+            return {}, {}
+        by_base, fid_meta = {}, {}
+        for (part, fid), g in groups.items():
+            if not g["base"]:
+                continue
+            base_instant = os.path.basename(
+                g["base"]
+            )[: -len(".parquet")].split("_")[-1]
+            by_base[g["base"]] = (part, fid)
+            fid_meta[fid] = (part, base_instant, len(g["logs"]) + 1)
+        return by_base, fid_meta
+
+    def _split_matched(self, df, precombine):
+        """(matched rows tagged __fid/__pp/__rk, unmatched rows,
+        fid_meta) — match discovery is the CoW upsert's column-pruned
+        key scan over live base files."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        spark = df.sparkSession
+        src = df.withColumn("__pp", self._part_path_col()).withColumn(
+            "__rk", F.col(self.record_key).cast("string")
+        )
+        if precombine is not None:
+            w = Window.partitionBy("__pp", "__rk").orderBy(
+                F.col(precombine).desc()
+            )
+            src = (
+                src.withColumn("__rn", F.row_number().over(w))
+                .filter("__rn = 1").drop("__rn")
+            )
+        else:
+            dup = (
+                src.groupBy("__pp", "__rk")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter("n > 1").limit(1).collect()
+            )
+            if dup:
+                raise ValueError(
+                    "duplicate record keys in source and no "
+                    "precombine field given"
+                )
+        by_base, fid_meta = self._group_plan()
+        if not by_base:
+            return None, src, fid_meta
+        live_keys = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*sorted(by_base))
+            .select(
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:(//)?", ""
+                ).alias("__fp"),
+                F.col("_hoodie_partition_path").alias("__pp"),
+                F.col("_hoodie_record_key").alias("__rk"),
+            )
+        )
+        fid_rows = [(p, *by_base[p]) for p in sorted(by_base)]
+        fid_map = spark.createDataFrame(
+            fid_rows, "__fp string, __part string, __fid string"
+        )
+        keyed = live_keys.join(F.broadcast(fid_map), "__fp").select(
+            "__pp", "__rk", "__fid"
+        )
+        matched = src.join(keyed, ["__pp", "__rk"], "inner")
+        unmatched = src.join(keyed, ["__pp", "__rk"], "left_anti")
+        return matched, unmatched, fid_meta
+
+    def upsert_log_batch(self, df, precombine: str | None = None,
+                         extra_metadata: dict | None = None):
+        """MoR UPSERT: updates append one Avro data block per owning
+        file group (executor-parallel); brand-new keys insert as new
+        base file groups in the same deltacommit. Returns (instant,
+        n_logged_groups, n_inserted_files)."""
+        import pandas as pd
+
+        from pyspark.sql import functions as F
+
+        if not self.record_key:
+            raise ValueError(
+                "upsert_log_batch requires the writer's record_key "
+                "field (HudiMorWriter(record_key=...))"
+            )
+        if df.isEmpty():
+            return None, 0, 0
+        avro_schema = self._avro_schema_of(df)
+        data_cols = list(df.columns)
+        matched, unmatched, fid_meta = self._split_matched(
+            df, precombine
+        )
+
+        hoodie = os.path.join(self.path, ".hoodie")
+        instant = self._claim_instant(self.ACTION)
+        self.store.put_atomic(
+            os.path.join(hoodie, f"{instant}.{self.ACTION}.inflight"),
+            b"",
+        )
+        table_path = self.path
+        key_col = self.record_key
+
+        def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            fid = pdf["__fid"].iloc[0]
+            part, base_instant, version = fid_meta[fid]
+            recs = [
+                {
+                    "_hoodie_record_key": str(row[key_col]),
+                    **{
+                        c: (None if pd.isna(row[c]) else row[c])
+                        for c in data_cols
+                    },
+                }
+                for _, row in pdf.iterrows()
+            ]
+            block = encode_log_block(
+                BLOCK_AVRO_DATA,
+                {
+                    HDR_INSTANT_TIME: instant,
+                    HDR_SCHEMA: json.dumps(avro_schema),
+                },
+                encode_avro_data_block_content(recs, avro_schema),
+            )
+            fname = f".{fid}_{base_instant}.log.{version}_0-1-0"
+            rel = os.path.join(part, fname) if part else fname
+            full = os.path.join(table_path, rel)
+            os.makedirs(os.path.dirname(full), exist_ok=True)
+            with open(full, "wb") as f:
+                f.write(block)
+            return pd.DataFrame(
+                [
+                    {
+                        "part": part,
+                        "fileId": fid,
+                        "path": rel.replace(os.sep, "/"),
+                        "prevCommit": base_instant,
+                        "numWrites": len(recs),
+                        "fileSizeInBytes": os.path.getsize(full),
+                    }
+                ]
+            )
+
+        log_stats: list = []
+        if matched is not None:
+            log_stats = (
+                matched
+                .groupBy("__fid")
+                .applyInPandas(
+                    write_group,
+                    "part string, fileId string, path string, "
+                    "prevCommit string, numWrites long, "
+                    "fileSizeInBytes long",
+                )
+                .collect()
+            )
+
+        # not-matched leg: new base file groups (MoR inserts go to
+        # base parquet), real record keys
+        seqno = F.concat_ws(
+            "_",
+            F.lit(instant),
+            F.spark_partition_id().cast("string"),
+            F.monotonically_increasing_id().cast("string"),
+        )
+        ins_meta = unmatched.select(
+            F.lit(instant).alias("_hoodie_commit_time"),
+            seqno.alias("_hoodie_commit_seqno"),
+            F.col("__rk").alias("_hoodie_record_key"),
+            F.col("__pp").alias("_hoodie_partition_path"),
+            F.lit("").alias("_hoodie_file_name"),
+            *[F.col(c) for c in data_cols],
+        )
+        ins_stats, n_ins_files, _ = self._stage_new_groups(
+            ins_meta, instant
+        )
+
+        stats: dict[str, list[dict]] = dict(ins_stats)
+        for r in log_stats:
+            stats.setdefault(r["part"], []).append(
+                {
+                    "fileId": r["fileId"],
+                    "path": r["path"],
+                    "prevCommit": r["prevCommit"],
+                    "numWrites": r["numWrites"],
+                    "fileSizeInBytes": r["fileSizeInBytes"],
+                }
+            )
+        if not stats:
+            self.store.remove(
+                os.path.join(
+                    hoodie, f"{instant}.{self.ACTION}.requested"
+                )
+            )
+            self.store.remove(
+                os.path.join(
+                    hoodie, f"{instant}.{self.ACTION}.inflight"
+                )
+            )
+            return None, 0, 0
+        meta = {
+            "partitionToWriteStats": stats,
+            "operationType": "UPSERT",
+            "extraMetadata": dict(extra_metadata or {}),
+        }
+        self.store.put_atomic(
+            os.path.join(hoodie, f"{instant}.{self.ACTION}"),
+            json.dumps(meta).encode(),
+        )
+        return instant, len(log_stats), n_ins_files
+
+    def delete_log_batch(self, df, extra_metadata: dict | None = None):
+        """MoR DELETE: one delete block per owning file group
+        (executor-parallel), tombstoning (recordKey, partitionPath) —
+        the non-global-index contract. ``df`` carries the record-key
+        column plus the partition columns; keys with no live record
+        are ignored (delete is idempotent). Returns (instant,
+        n_logged_groups)."""
+        import pandas as pd
+
+        if not self.record_key:
+            raise ValueError(
+                "delete_log_batch requires the writer's record_key"
+            )
+        if df.isEmpty():
+            return None, 0
+        matched, _unmatched, fid_meta = self._split_matched(
+            df.dropDuplicates(), None
+        )
+        if matched is None:
+            return None, 0
+
+        hoodie = os.path.join(self.path, ".hoodie")
+        instant = self._claim_instant(self.ACTION)
+        self.store.put_atomic(
+            os.path.join(hoodie, f"{instant}.{self.ACTION}.inflight"),
+            b"",
+        )
+        table_path = self.path
+
+        def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            fid = pdf["__fid"].iloc[0]
+            part, base_instant, version = fid_meta[fid]
+            block = encode_log_block(
+                BLOCK_DELETE,
+                {HDR_INSTANT_TIME: instant},
+                encode_delete_block_content(
+                    [(rk, part) for rk in pdf["__rk"]]
+                ),
+            )
+            fname = f".{fid}_{base_instant}.log.{version}_0-1-0"
+            rel = os.path.join(part, fname) if part else fname
+            full = os.path.join(table_path, rel)
+            os.makedirs(os.path.dirname(full), exist_ok=True)
+            with open(full, "wb") as f:
+                f.write(block)
+            return pd.DataFrame(
+                [
+                    {
+                        "part": part,
+                        "fileId": fid,
+                        "path": rel.replace(os.sep, "/"),
+                        "prevCommit": base_instant,
+                        "numWrites": len(pdf),
+                        "fileSizeInBytes": os.path.getsize(full),
+                    }
+                ]
+            )
+
+        log_stats = (
+            matched.select("__fid", "__rk").dropDuplicates()
+            .groupBy("__fid")
+            .applyInPandas(
+                write_group,
+                "part string, fileId string, path string, "
+                "prevCommit string, numWrites long, "
+                "fileSizeInBytes long",
+            )
+            .collect()
+        )
+        if not log_stats:
+            self.store.remove(
+                os.path.join(
+                    hoodie, f"{instant}.{self.ACTION}.requested"
+                )
+            )
+            self.store.remove(
+                os.path.join(
+                    hoodie, f"{instant}.{self.ACTION}.inflight"
+                )
+            )
+            return None, 0
+        stats: dict[str, list[dict]] = {}
+        for r in log_stats:
+            stats.setdefault(r["part"], []).append(
+                {
+                    "fileId": r["fileId"],
+                    "path": r["path"],
+                    "prevCommit": r["prevCommit"],
+                    "numWrites": r["numWrites"],
+                    "fileSizeInBytes": r["fileSizeInBytes"],
+                }
+            )
+        meta = {
+            "partitionToWriteStats": stats,
+            "operationType": "DELETE",
+            "extraMetadata": dict(extra_metadata or {}),
+        }
+        self.store.put_atomic(
+            os.path.join(hoodie, f"{instant}.{self.ACTION}"),
+            json.dumps(meta).encode(),
+        )
+        return instant, len(log_stats)
+
+    def compact(self, spark):
+        """COMPACTION: every log-bearing file group's blocks fold into
+        a new base-file slice (same fileId, this instant) committed as
+        a ``.commit`` — exactly the later-base-wins slice reset
+        :func:`plan_file_groups` replays, so snapshots are
+        byte-identical before and after while subsequent reads skip
+        the log merge. One Spark job: base ∪ decoded log records,
+        latest-wins per (partition, key) via map-side max_by, one
+        output file per group (repartition on fileId). Returns the
+        instant (None when no group carries logs)."""
+        import shutil
+        import uuid as _uuid
+
+        import pyarrow.parquet as pq
+
+        from pyspark.sql import functions as F
+
+        groups, _ = plan_file_groups(self.path)
+        victims = {
+            (part, fid): g
+            for (part, fid), g in groups.items()
+            if g["logs"] and g["base"]
+        }
+        if not victims:
+            return None
+        hoodie = os.path.join(self.path, ".hoodie")
+        instant = self._claim_instant("commit")
+        self.store.put_atomic(
+            os.path.join(hoodie, f"{instant}.commit.inflight"), b""
+        )
+        base_paths = sorted(g["base"] for g in victims.values())
+        base_df = spark.read.option("mergeSchema", "true").parquet(
+            *base_paths
+        )
+        fid_map = spark.createDataFrame(
+            [(g["base"], fid) for (p, fid), g in victims.items()],
+            "__fp string, __fid string",
+        )
+        base = (
+            base_df.select(
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:(//)?", ""
+                ).alias("__fp"),
+                "*",
+                F.col("_hoodie_commit_time").alias("_kdi_instant"),
+                F.lit(-1).cast("long").alias("_kdi_pos"),
+                F.lit(False).alias("_kdi_del"),
+            )
+            .join(F.broadcast(fid_map), "__fp")
+            .drop("__fp")
+        )
+        log_specs = [
+            (path, inst, seq, part)
+            for (part, fid), g in victims.items()
+            for seq, (inst, path) in enumerate(g["logs"])
+        ]
+        logs = _log_records_df(spark, log_specs, base_df.schema)
+        merged = base.unionByName(
+            logs, allowMissingColumns=True
+        )
+        merge_keys = ["_hoodie_partition_path", "_hoodie_record_key"]
+        cols = [c for c in merged.columns if c not in merge_keys]
+        latest = (
+            merged.groupBy(*merge_keys)
+            .agg(
+                F.max_by(
+                    F.struct(*[c for c in cols if c != "__fid"]),
+                    F.struct(F.col("_kdi_instant"), F.col("_kdi_pos")),
+                ).alias("_r"),
+                F.max("__fid").alias("__kdi_fid"),
+            )
+            .select(*merge_keys, "__kdi_fid", "_r.*")
+        )
+        out = (
+            latest.filter(~F.col("_kdi_del"))
+            .withColumn("_hoodie_commit_time", F.col("_kdi_instant"))
+            .drop("_kdi_instant", "_kdi_pos", "_kdi_del")
+        )
+        staging = os.path.join(
+            self.path, f"_staging-{_uuid.uuid4().hex}"
+        )
+        out.repartition("__kdi_fid").write.mode(
+            "overwrite"
+        ).partitionBy("__kdi_fid").parquet(staging)
+        part_of = {fid: part for (part, fid) in victims}
+        stats: dict[str, list[dict]] = {}
+        import urllib.parse as _up
+
+        for dirpath, _dirs, files in os.walk(staging):
+            rel = os.path.relpath(dirpath, staging)
+            if rel == ".":
+                continue
+            fid = _up.unquote(rel.split("=", 1)[1])
+            parquets = [
+                f for f in sorted(files) if f.endswith(".parquet")
+            ]
+            if len(parquets) != 1:
+                shutil.rmtree(staging, ignore_errors=True)
+                raise RuntimeError(
+                    f"file group {fid}: expected one compacted base, "
+                    f"got {len(parquets)}"
+                )
+            part = part_of[fid]
+            src_f = os.path.join(dirpath, parquets[0])
+            md = pq.ParquetFile(src_f).metadata
+            new_name = f"{fid}_0-1-0_{instant}.parquet"
+            dest_dir = os.path.join(self.path, part)
+            os.makedirs(dest_dir, exist_ok=True)
+            shutil.move(src_f, os.path.join(dest_dir, new_name))
+            rel_path = (
+                os.path.join(part, new_name) if part else new_name
+            ).replace(os.sep, "/")
+            stats.setdefault(part, []).append(
+                {
+                    "fileId": fid,
+                    "path": rel_path,
+                    "prevCommit": "null",
+                    "numWrites": md.num_rows,
+                    "fileSizeInBytes": os.path.getsize(
+                        os.path.join(dest_dir, new_name)
+                    ),
+                }
+            )
+        shutil.rmtree(staging, ignore_errors=True)
+        meta = {
+            "partitionToWriteStats": stats,
+            "operationType": "COMPACT",
+        }
+        self.store.put_atomic(
+            os.path.join(hoodie, f"{instant}.commit"),
+            json.dumps(meta).encode(),
+        )
+        # the folded log files are superseded by the new slice (the
+        # plan walk resets the chain); physically reclaim them now —
+        # Hudi leaves this to the cleaner, but nothing references them
+        for g in victims.values():
+            for _inst, p in g["logs"]:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
         return instant
 
 

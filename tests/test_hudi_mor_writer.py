@@ -1,0 +1,182 @@
+"""HudiMorWriter — production MERGE_ON_READ write path.
+
+Inserts land as base parquet (deltacommit); updates/deletes append
+HoodieLogFormat blocks EXECUTOR-SIDE (one applyInPandas task per
+touched file group encodes its Avro/delete block with the pure-Python
+codec); compact() folds the blocks into new base slices as a .commit.
+Every read goes through the independent read_hudi timeline walk + log
+merge — the same path that reads the fixture writer's MoR tables, so
+the production writer is certified against the established reader.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_delta_ingest_spark.hudi import (
+    HudiMorWriter,
+    parse_log_file,
+    plan_file_groups,
+    read_hudi,
+    read_hudi_incremental,
+)
+
+
+def _df(spark, rows, schema="id long, s string, v double"):
+    return spark.createDataFrame(rows, schema)
+
+
+def _seed(spark, t, partitioned=False):
+    if partitioned:
+        w = HudiMorWriter(t, partition_by=["p"], record_key="id")
+        w.insert_batch(
+            spark.createDataFrame(
+                [(1, "a", "x"), (2, "a", "y"), (3, "b", "z")],
+                "id long, p string, s string",
+            ).coalesce(1)
+        )
+        return w
+    w = HudiMorWriter(t, record_key="id")
+    w.insert_batch(
+        _df(spark, [(i, f"old{i}", float(i)) for i in range(10)])
+        .coalesce(1)
+    )
+    w.insert_batch(
+        _df(spark, [(i, f"old{i}", float(i)) for i in range(10, 20)])
+        .coalesce(1)
+    )
+    return w
+
+
+def test_mor_table_properties_and_deltacommit(spark, tmp_path):
+    t = str(tmp_path / "m0")
+    _seed(spark, t)
+    props = open(os.path.join(t, ".hoodie", "hoodie.properties")).read()
+    assert "MERGE_ON_READ" in props
+    actions = [
+        f for f in os.listdir(os.path.join(t, ".hoodie"))
+        if f.endswith(".deltacommit")
+    ]
+    assert len(actions) == 2  # inserts commit as deltacommits
+
+
+def test_upsert_log_appends_blocks_not_base_rewrites(spark, tmp_path):
+    t = str(tmp_path / "m1")
+    w = _seed(spark, t)
+    bases_before = {
+        f for f in os.listdir(t) if f.endswith(".parquet")
+    }
+    instant, n_log, n_ins = w.upsert_log_batch(
+        _df(spark, [(3, "NEW3", -3.0), (13, "NEW13", -13.0),
+                    (100, "ins", 100.0)])
+    )
+    assert n_log == 2 and n_ins == 1
+    # base files of the touched groups were NOT rewritten
+    assert bases_before <= {
+        f for f in os.listdir(t) if f.endswith(".parquet")
+    }
+    logs = [f for f in os.listdir(t) if ".log." in f]
+    assert len(logs) == 2
+    # the log files really are HoodieLogFormat avro data blocks
+    blocks = parse_log_file(
+        open(os.path.join(t, logs[0]), "rb").read()
+    )
+    assert blocks[0]["type"] == 3  # BLOCK_AVRO_DATA
+    # read-back merges latest-wins through the independent reader
+    got = {
+        r["id"]: (r["s"], r["v"])
+        for r in read_hudi(spark, t).collect()
+    }
+    assert len(got) == 21
+    assert got[3] == ("NEW3", -3.0)
+    assert got[13] == ("NEW13", -13.0)
+    assert got[100] == ("ins", 100.0)
+    assert got[4] == ("old4", 4.0)
+
+
+def test_second_upsert_bumps_log_version(spark, tmp_path):
+    t = str(tmp_path / "m2")
+    w = _seed(spark, t)
+    w.upsert_log_batch(_df(spark, [(3, "U1", 1.0)]))
+    w.upsert_log_batch(_df(spark, [(3, "U2", 2.0)]))
+    logs = sorted(f for f in os.listdir(t) if ".log." in f)
+    assert len(logs) == 2
+    assert logs[0].split(".log.")[1][0] == "1"
+    assert logs[1].split(".log.")[1][0] == "2"
+    got = {r["id"]: r["s"] for r in read_hudi(spark, t).collect()}
+    assert got[3] == "U2"  # latest log version wins
+
+
+def test_delete_log_tombstones_per_partition(spark, tmp_path):
+    t = str(tmp_path / "m3")
+    w = _seed(spark, t, partitioned=True)
+    instant, n_log = w.delete_log_batch(
+        spark.createDataFrame([(1, "a")], "id long, p string")
+    )
+    assert n_log == 1
+    got = {(r["id"], r["p"]) for r in read_hudi(spark, t).collect()}
+    # (1,a) gone; same-key-other-partition untouched (non-global index)
+    assert got == {(2, "a"), (3, "b")}
+    # deleting a key with no live record is a no-op
+    assert w.delete_log_batch(
+        spark.createDataFrame([(99, "a")], "id long, p string")
+    ) == (None, 0)
+
+
+def test_compact_folds_logs_into_new_slices(spark, tmp_path):
+    t = str(tmp_path / "m4")
+    w = _seed(spark, t)
+    w.upsert_log_batch(_df(spark, [(3, "U1", 1.0), (13, "U13", 2.0)]))
+    w.delete_log_batch(_df(spark, [(5, "x", 0.0)]).select("id"))
+    before = sorted(
+        map(tuple, read_hudi(spark, t).collect())
+    )
+    instant = w.compact(spark)
+    assert instant is not None
+    # snapshots byte-identical across compaction
+    after = sorted(map(tuple, read_hudi(spark, t).collect()))
+    assert before == after
+    # log chains reset: no group carries logs anymore, and the
+    # folded log files are physically reclaimed
+    groups, _ = plan_file_groups(t)
+    assert all(not g["logs"] for g in groups.values())
+    assert not [f for f in os.listdir(t) if ".log." in f]
+    # the compacted groups kept their fileIds at the new instant
+    meta = json.load(
+        open(os.path.join(t, ".hoodie", f"{instant}.commit"))
+    )
+    assert meta["operationType"] == "COMPACT"
+    assert all(
+        st["path"].endswith(f"_{instant}.parquet")
+        for stats in meta["partitionToWriteStats"].values()
+        for st in stats
+    )
+    # compaction with nothing to fold is a no-op
+    assert w.compact(spark) is None
+
+
+def test_mor_incremental_serves_log_updates(spark, tmp_path):
+    t = str(tmp_path / "m5")
+    w = _seed(spark, t)
+    first = sorted(
+        f[: -len(".deltacommit")]
+        for f in os.listdir(os.path.join(t, ".hoodie"))
+        if f.endswith(".deltacommit")
+    )[-1]
+    w.upsert_log_batch(_df(spark, [(3, "NEW3", -3.0)]))
+    inc = read_hudi_incremental(spark, t, begin_instant=first)
+    rows = {r["id"]: r["s"] for r in inc.collect()}
+    assert rows == {3: "NEW3"}
+
+
+def test_unmappable_column_type_raises(spark, tmp_path):
+    t = str(tmp_path / "m6")
+    w = _seed(spark, t)
+    with pytest.raises(ValueError, match="Avro mapping"):
+        w.upsert_log_batch(
+            spark.createDataFrame(
+                [(3, bytearray(b"x"))], "id long, blob binary"
+            )
+        )
