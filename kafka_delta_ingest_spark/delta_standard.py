@@ -1803,16 +1803,8 @@ class DeltaStandardWriter:
         large fraction of the table, at which point rewrite (overwrite)
         wins anyway."""
         import time
-        import uuid as _uuid
 
         from pyspark.sql import functions as F
-
-        from kafka_delta_ingest_spark.roaring import (
-            deserialize_rbm_array,
-            dv_descriptor_bytes,
-            write_dv_file,
-            z85_encode,
-        )
 
         read_v = self.latest_version()
         state = self._py_replay(target=read_v if read_v >= 0 else None)
@@ -1859,6 +1851,53 @@ class DeltaStandardWriter:
                 )
             )
             actions.extend(cdc_actions)
+        try:
+            n_hit, actions = self._dv_delete_actions(
+                state, by_abs, actions, now_ms
+            )
+            if n_hit != len(by_abs):
+                raise RuntimeError(
+                    "matched files missing from the log snapshot "
+                    f"({len(by_abs)} matched, {n_hit} resolved)"
+                )
+            version = self._atomic_commit(
+                actions,
+                read_version=read_v,
+                # conflict = someone touched a file we re-add with a
+                # DV; blind appends of new files rebase safely
+                read_files={
+                    a["remove"]["path"] for a in actions
+                    if "remove" in a
+                },
+            )
+        except BaseException:
+            # an abort anywhere after cdc staging (a failed DV write,
+            # the conflict check, a refused claim) must not orphan
+            # the cdc parquet — nothing references these paths, and
+            # vacuum's log scan would otherwise never reclaim them
+            for p in cdc_written:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+            raise
+        if version > 0 and version % self.checkpoint_every == 0:
+            self._write_checkpoint(version)
+        return version
+
+    def _dv_delete_actions(self, state, by_abs, actions, now_ms):
+        """Per touched file: union the new positions with the file's
+        existing DV, write the roaring bitmap sidecar, and append the
+        (remove, re-add-with-descriptor) action pair."""
+        import uuid as _uuid
+
+        from kafka_delta_ingest_spark.roaring import (
+            deserialize_rbm_array,
+            dv_descriptor_bytes,
+            write_dv_file,
+            z85_encode,
+        )
+
         n_hit = 0
         for rel, a in state["adds"].items():
             ap = rel
@@ -1907,35 +1946,7 @@ class DeltaStandardWriter:
                 }
             )
             actions.append({"add": new_add})
-        if n_hit != len(by_abs):
-            raise RuntimeError(
-                "matched files missing from the log snapshot "
-                f"({len(by_abs)} matched, {n_hit} resolved)"
-            )
-        try:
-            version = self._atomic_commit(
-                actions,
-                read_version=read_v,
-                # conflict = someone touched a file we re-add with a
-                # DV; blind appends of new files rebase safely
-                read_files={
-                    a["remove"]["path"] for a in actions
-                    if "remove" in a
-                },
-            )
-        except BaseException:
-            # an aborted commit must not orphan its cdc parquet —
-            # nothing references these paths, and vacuum's log scan
-            # would otherwise never reclaim them
-            for p in cdc_written:
-                try:
-                    os.remove(p)
-                except OSError:
-                    pass
-            raise
-        if version > 0 and version % self.checkpoint_every == 0:
-            self._write_checkpoint(version)
-        return version
+        return n_hit, actions
 
     # -- CHECK constraints (ALTER TABLE ADD CONSTRAINT parity) ------------
 
@@ -2176,24 +2187,28 @@ class DeltaStandardWriter:
                 pre.unionByName(post)
             )
             actions.extend(cdc_actions)
-        adds = self._stage_adds(updated, part_cols, now_ms)
-        for rel in sorted(touched_rel):
-            a = state["adds"][rel]
-            actions.append(
-                {
-                    "remove": {
-                        "path": rel,
-                        "deletionTimestamp": now_ms,
-                        "dataChange": True,
-                        **(
-                            {"deletionVector": a["deletionVector"]}
-                            if a.get("deletionVector") else {}
-                        ),
-                    }
-                }
-            )
-        actions += [{"add": a} for a in adds]
+        # everything from data staging through the commit claim is
+        # all-or-nothing: a failed staging job or a refused claim must
+        # not orphan the already-written cdc parquet or promoted adds
+        adds: list[dict] = []
         try:
+            adds = self._stage_adds(updated, part_cols, now_ms)
+            for rel in sorted(touched_rel):
+                a = state["adds"][rel]
+                actions.append(
+                    {
+                        "remove": {
+                            "path": rel,
+                            "deletionTimestamp": now_ms,
+                            "dataChange": True,
+                            **(
+                                {"deletionVector": a["deletionVector"]}
+                                if a.get("deletionVector") else {}
+                            ),
+                        }
+                    }
+                )
+            actions += [{"add": a} for a in adds]
             version = self._atomic_commit(
                 actions,
                 read_version=read_v,
@@ -2458,28 +2473,31 @@ class DeltaStandardWriter:
                 cdc = cdc.unionByName(p)
             cdc_actions, cdc_written = self._stage_cdc(cdc)
             actions.extend(cdc_actions)
-        adds = self._stage_adds(out, part_cols, now_ms)
-        for rel in sorted(touched_rel):
-            a = state["adds"][rel]
-            actions.append(
-                {
-                    "remove": {
-                        "path": rel,
-                        "deletionTimestamp": now_ms,
-                        "dataChange": True,
-                        **(
-                            {"deletionVector": a["deletionVector"]}
-                            if a.get("deletionVector") else {}
-                        ),
-                    }
-                }
-            )
-        actions += [
-            {"txn": {"appId": a, "version": v, "lastUpdated": now_ms}}
-            for a, v in sorted(txn.items())
-        ]
-        actions += [{"add": a} for a in adds]
+        # staging-through-claim is all-or-nothing (see update_where)
+        adds: list[dict] = []
         try:
+            adds = self._stage_adds(out, part_cols, now_ms)
+            for rel in sorted(touched_rel):
+                a = state["adds"][rel]
+                actions.append(
+                    {
+                        "remove": {
+                            "path": rel,
+                            "deletionTimestamp": now_ms,
+                            "dataChange": True,
+                            **(
+                                {"deletionVector": a["deletionVector"]}
+                                if a.get("deletionVector") else {}
+                            ),
+                        }
+                    }
+                )
+            actions += [
+                {"txn": {"appId": a, "version": v,
+                         "lastUpdated": now_ms}}
+                for a, v in sorted(txn.items())
+            ]
+            actions += [{"add": a} for a in adds]
             version = self._atomic_commit(
                 actions,
                 read_version=read_v,
