@@ -4733,6 +4733,77 @@ def iceberg_data_skipping(spark, sf_dir):
 
 
 @_q(
+    "iceberg_delete_where",
+    """
+    SELECT doc_id, lang, TRUE AS delete_ok
+    FROM documents WHERE doc_id % 7 <> 0
+    """,
+)
+def iceberg_delete_where(spark, sf_dir):
+    """Row-level DELETE on the Iceberg leg (r9 certification):
+    ``delete_where`` commits the matching LIVE rows as one sorted
+    (file_path, pos) POSITION-DELETE file under a content=1 manifest —
+    Iceberg's streaming-delete shape; NO data file is rewritten (the
+    DV-delete analog, applied read-side with sequence-number scoping).
+    delete_ok pins: the data-file set is unchanged across the delete
+    (metadata-only mutation), exactly one delete file landed, and a
+    REPEATED delete with the same predicate is a no-op (matching runs
+    against the live view, so already-tombstoned rows never
+    re-tombstone — no snapshot, no delete file). Scale: the write
+    cost is O(matched positions); the table's data bytes never move
+    until optimize() materializes the deletes."""
+    import glob as _glob
+    import shutil as _sh
+    import tempfile as _tf
+
+    from kafka_delta_ingest_spark.iceberg import (
+        IcebergWriter,
+        plan_files,
+        read_iceberg,
+        snapshots,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang"
+    )
+    root = _tf.mkdtemp(prefix="kdi-icedel-")
+    try:
+        t = root + "/t"
+        w = IcebergWriter(
+            t,
+            [
+                {"id": 1, "name": "doc_id", "type": "long",
+                 "required": False},
+                {"id": 2, "name": "lang", "type": "string",
+                 "required": False},
+            ],
+        )
+        w.append(docs.filter("doc_id % 2 = 0").coalesce(1), ts_ms=1000)
+        w.append(docs.filter("doc_id % 2 = 1").coalesce(1), ts_ms=2000)
+        data_before = {
+            p for p, _ in plan_files(t)[0]
+        }
+        w.delete_where(spark, "doc_id % 7 = 0", ts_ms=3000)
+        n_snaps = len(snapshots(t))
+        w.delete_where(spark, "doc_id % 7 = 0", ts_ms=4000)  # no-op
+        data_after, pos_deletes, _eq, _m = plan_files(t)
+        delete_ok = (
+            {p for p, _ in data_after} == data_before
+            and len(pos_deletes) == 1
+            and len(snapshots(t)) == n_snaps == 3
+            and len(
+                _glob.glob(os.path.join(t, "data", "delete-*.parquet"))
+            ) == 1
+        )
+        out = read_iceberg(spark, t).select(
+            "doc_id", "lang"
+        ).withColumn("delete_ok", F.lit(bool(delete_ok)))
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
+@_q(
     "iceberg_upsert",
     """
     WITH spend AS (
@@ -10165,6 +10236,7 @@ _SWEEP_ORDER: list[str] = [
     "sink_delta_standard_constraints",
     "delta_read_time_travel",
     "hudi_upsert_mor",
+    "iceberg_delete_where",
     "events_tumbling_counts",
     "events_range_join",
     "events_interval_join",

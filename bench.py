@@ -146,6 +146,7 @@ HEADLINE = [
     "iceberg_read_incremental",
     "iceberg_expire_snapshots",
     "iceberg_upsert",
+    "iceberg_delete_where",
     "iceberg_data_skipping",
     "ingest_iceberg_evolve",
     "hudi_clean",

@@ -656,6 +656,7 @@ def read_iceberg(
     partition_filter: Callable[[dict], bool] | None = None,
     _file_subset: set | None = None,
     row_filter: list[tuple] | None = None,
+    _keep_lineage: bool = False,
 ):
     """Read an Iceberg table into a DataFrame at the current snapshot,
     an explicit ``snapshot_id``, or a time-travel timestamp, applying
@@ -712,7 +713,17 @@ def read_iceberg(
         )
 
     if not pos_deletes and not eq_deletes:
-        return _residual(_scan([p for p, _ in data_files]))
+        plain = _scan([p for p, _ in data_files])
+        if _keep_lineage:
+            # (file, pos) row lineage for write-side position deletes
+            plain = plain.select(
+                "*",
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:(//)?", ""
+                ).alias("_kdi_fp"),
+                F.col("_metadata.row_index").alias("_kdi_pos"),
+            )
+        return _residual(plain)
     # deletes present: data files scan grouped by data sequence number
     # so each delete applies only to its in-scope files. Group count =
     # number of data commits in the snapshot (metadata-scale), each
@@ -768,7 +779,11 @@ def read_iceberg(
             [df[c].eqNullSafe(dels[c]) for c in cols],
         ) & (df["_kdi_seq"] < F.lit(dseq))
         df = df.join(dels, cond, "left_anti")
-    return _residual(df.drop("_kdi_fp", "_kdi_pos", "_kdi_seq"))
+    dropped = (
+        ["_kdi_seq"] if _keep_lineage
+        else ["_kdi_fp", "_kdi_pos", "_kdi_seq"]
+    )
+    return _residual(df.drop(*dropped))
 
 
 def read_iceberg_incremental(
@@ -1841,17 +1856,16 @@ class IcebergWriter:
 
         if ts_ms is None:
             ts_ms = int(time.time() * 1000)
+        # _keep_lineage carries (file, pos) through the delete-applying
+        # merge — plain _metadata would not survive those joins, so a
+        # second delete on an already-deleting table needs this path
         matches = (
-            read_iceberg(spark, self.root)
-            .select(
-                "*",
-                F.regexp_replace(
-                    F.col("_metadata.file_path"), "^file:(//)?", ""
-                ).alias("file_path"),
-                F.col("_metadata.row_index").alias("pos"),
-            )
+            read_iceberg(spark, self.root, _keep_lineage=True)
             .filter(predicate)
-            .select("file_path", "pos")
+            .select(
+                F.col("_kdi_fp").alias("file_path"),
+                F.col("_kdi_pos").alias("pos"),
+            )
             .orderBy("file_path", "pos")  # spec: delete files sorted
         )
         staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex}")
