@@ -5104,7 +5104,7 @@ def hudi_upsert_mor(spark, sf_dir):
             t, partition_by=["c_mktsegment"], record_key="c_custkey"
         )
         w.insert_batch(cust.repartition("c_mktsegment"))
-        instant, n_log, n_ins = w.upsert_log_batch(
+        instant, n_log, n_ins, _n_rec = w.upsert_log_batch(
             upd_src.unionByName(ins_src)
         )
         props = open(
@@ -5336,6 +5336,126 @@ def _ingest_hudi_fixture(spark, sf_dir: str) -> tuple:
         and read_hudi(spark, t).count() == good.count()
     )
     out = (t, replay_ok)
+    _TBLFMT_FIXTURES[key] = out
+    atexit.register(_sh.rmtree, root, ignore_errors=True)
+    return out
+
+
+@_q(
+    "ingest_hudi_mor",
+    """
+    SELECT event_id, user_id, event_type,
+      CASE WHEN event_id % 9 = 0
+            AND event_id <= (SELECT MAX(event_id) // 2 FROM events)
+           THEN value + 1000 ELSE value END AS value,
+      TRUE AS mor_ok
+    FROM events
+    """,
+)
+def ingest_hudi_mor(spark, sf_dir):
+    """STREAMING UPSERT ingestion — Hudi DeltaStreamer's continuous
+    UPSERT operation on a MERGE_ON_READ destination (r9, the fifth
+    write target): batch 1 streams the low-offset half; batch 2
+    streams the high half PLUS corrections (every 9th low-half event
+    re-sent at a higher offset with value+1000). With
+    ``log_format='hudi_mor'`` + ``record_key='event_id'``, the
+    corrections append HoodieLogFormat blocks to their owning file
+    groups while the new keys base-insert — in ONE deltacommit whose
+    extraMetadata carries the exactly-once offsets. mor_ok pins: a
+    replay of batch 2 SKIPS (the post-claim ledger re-check), real
+    .log. files existed after batch 2, exactly one deltacommit per
+    applied batch, and the independent read_hudi log merge serves
+    latest-wins. Write cost of a correction batch: O(corrected rows)
+    appended — no base rewrite, the write-optimized trade a CDC
+    consumer wants."""
+    from kafka_delta_ingest_spark.hudi import read_hudi
+
+    t, mor_ok = _ingest_hudi_mor_fixture(spark, sf_dir)
+    return read_hudi(spark, t).select(
+        "event_id", "user_id", "event_type", "value",
+    ).withColumn("mor_ok", F.lit(bool(mor_ok)))
+
+
+def _ingest_hudi_mor_fixture(spark, sf_dir: str) -> tuple:
+    import atexit
+    import shutil as _sh
+    import tempfile as _tf
+
+    from kafka_delta_ingest_spark.config import IngestOptions
+    from kafka_delta_ingest_spark.hudi import completed_commits
+    from kafka_delta_ingest_spark.ingest import IngestJob
+
+    key = ("hudimoring", sf_dir)
+    hit = _TBLFMT_FIXTURES.get(key)
+    if hit and os.path.isdir(hit[0]):
+        return hit
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("event_id")).collect()[0][0]
+    half = mx // 2
+    raw = _kafka_raw(spark, sf_dir)
+    raw1 = raw.filter(F.col("src_event_id") <= half)
+    iso = F.concat(F.date_format("ts", _ISO_MICROS), F.lit("Z"))
+
+    def payload(value_col):
+        return F.encode(
+            F.to_json(
+                F.struct(
+                    F.col("event_id"),
+                    iso.alias("ts"),
+                    F.col("user_id"),
+                    F.col("event_type"),
+                    value_col.alias("value"),
+                    F.col("props"),
+                )
+            ),
+            "utf-8",
+        )
+
+    def as_raw(df, offset_col):
+        return df.select(
+            F.col("event_id").alias("src_event_id"),
+            payload(F.col("_v")).alias("value"),
+            (F.col("user_id") % 8).cast("int").alias("partition"),
+            offset_col.alias("offset"),
+            F.lit("events").alias("topic"),
+            F.col("ts").cast("timestamp").alias("timestamp"),
+            F.lit(0).alias("timestampType"),
+        )
+
+    high = ev.filter(F.col("event_id") > half).withColumn(
+        "_v", F.col("value")
+    )
+    corr = ev.filter(
+        (F.col("event_id") <= half) & (F.col("event_id") % 9 == 0)
+    ).withColumn("_v", F.col("value") + 1000)
+    raw2 = as_raw(high, F.col("event_id")).unionByName(
+        # corrections re-sent at offsets ABOVE the stream head
+        as_raw(corr, F.col("event_id") + mx + 1)
+    )
+    root = _tf.mkdtemp(prefix="kdi-hudimoring-")
+    t = root + "/t"
+    plan_job = _ingest_job()
+    opts = IngestOptions(
+        topic="events", table_uri=t, app_id="kdi-q",
+        transforms=plan_job.opts.transforms,
+        log_format="hudi_mor", record_key="event_id",
+    )
+    job = IngestJob(opts, INGEST_SCHEMA)
+    m1 = job.run_batch(raw1)
+    m2 = job.run_batch(raw2)
+    logs_present = any(
+        ".log." in f for _d, _s, fs in os.walk(t) for f in fs
+    )
+    m3 = job.run_batch(raw2)  # replay → skip
+    from kafka_delta_ingest_spark.hudi import read_hudi as _rh
+
+    mor_ok = (
+        not m1.skipped and not m2.skipped and bool(m3.skipped)
+        and logs_present
+        and len(completed_commits(t)) == 2
+        and _rh(spark, t).count() == ev.count()
+    )
+    out = (t, mor_ok)
     _TBLFMT_FIXTURES[key] = out
     atexit.register(_sh.rmtree, root, ignore_errors=True)
     return out
@@ -10237,6 +10357,7 @@ _SWEEP_ORDER: list[str] = [
     "delta_read_time_travel",
     "hudi_upsert_mor",
     "iceberg_delete_where",
+    "ingest_hudi_mor",
     "events_tumbling_counts",
     "events_range_join",
     "events_interval_join",

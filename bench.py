@@ -157,6 +157,7 @@ HEADLINE = [
     "delta_read_time_travel",
     "hudi_upsert_cow",
     "hudi_upsert_mor",
+    "ingest_hudi_mor",
 ]
 
 
@@ -206,6 +207,7 @@ def main() -> None:
         "sink_delta_standard_update", "sink_delta_standard_merge",
         "ingest_iceberg_evolve", "ingest_delta_standard_cdc",
         "sink_delta_standard_constraints", "delta_read_time_travel",
+        "ingest_hudi_mor",
     ]:
         qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"

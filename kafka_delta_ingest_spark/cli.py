@@ -73,14 +73,23 @@ def build_parser() -> argparse.ArgumentParser:
                           "after every N ingest commits (0 = off) — the "
                           "Spark substitute for the reference's held-open "
                           "file-size management")
-    ing.add_argument("--log_format", choices=("kdi", "delta", "iceberg", "hudi"),
+    ing.add_argument("--log_format",
+                     choices=("kdi", "delta", "iceberg", "hudi",
+                              "hudi_mor"),
                      default="kdi",
                      help="destination table format: 'kdi' (the "
                           "engine's own Delta-protocol log, full "
                           "DML/OPTIMIZE surface), 'delta' (a STANDARD "
-                          "_delta_log any Delta reader consumes), or "
+                          "_delta_log any Delta reader consumes), "
                           "'iceberg' (an Apache Iceberg v2 table; "
-                          "exactly-once offsets in snapshot summaries)")
+                          "exactly-once offsets in snapshot summaries), "
+                          "'hudi' (CoW inserts), or 'hudi_mor' "
+                          "(MERGE_ON_READ; with --record_key every "
+                          "batch streams as an UPSERT)")
+    ing.add_argument("--record_key", default=None,
+                     help="Hudi recordkey.field: the column Hudi "
+                          "destinations key records on (enables "
+                          "hudi_mor upsert streaming)")
     ing.add_argument("--transform", "-t", action="append", default=[],
                      help="PROPERTY: SOURCE transform pairs")
     ing.add_argument("--dlq_table_location", "-d", default=None,
@@ -374,6 +383,7 @@ def options_from_args(args: argparse.Namespace) -> IngestOptions:
         soe_schemas=soe_schemas,
         schema_registry_url=schema_registry_url,
         log_format=args.log_format,
+        record_key=args.record_key,
     )
 
 

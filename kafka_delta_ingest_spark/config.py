@@ -85,4 +85,11 @@ class IngestOptions:
     # reader — the reference daemon's interop property
     # (src/delta_helpers.rs:15-40). The exactly-once txn ledger works
     # identically on both.
+    # "hudi" = CoW insert destination; "hudi_mor" = MERGE_ON_READ —
+    # with record_key set, every batch streams as an UPSERT
+    # (DeltaStreamer's continuous upsert operation).
     log_format: str = "kdi"
+    # hoodie.datasource.write.recordkey.field analog: the column
+    # Hudi destinations key records on (enables MoR upsert streaming;
+    # unset = synthetic seqno keys, append-only ingest)
+    record_key: str | None = None

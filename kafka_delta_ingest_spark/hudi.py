@@ -452,6 +452,17 @@ def _log_records_df(spark, log_specs: list[tuple[str, str, int, str]],
     )
     names = [f.name for f in out_schema.fields]
     data_names = [f.name for f in data_fields]
+    # temporal columns arrive from log blocks as Avro longs
+    # (timestamp-micros / date-days); convert back by the BASE
+    # schema's field type so the Arrow batch matches out_schema
+    ts_names = [
+        f.name for f in data_fields
+        if f.dataType.simpleString() in ("timestamp", "timestamp_ntz")
+    ]
+    date_names = [
+        f.name for f in data_fields
+        if f.dataType.simpleString() == "date"
+    ]
 
     def run(batches):
         for pdf in batches:
@@ -534,7 +545,16 @@ def _log_records_df(spark, log_specs: list[tuple[str, str, int, str]],
                         )
                 for _binst, brows in kept:
                     rows.extend(brows)
-            yield pd.DataFrame(rows, columns=names)
+            out = pd.DataFrame(rows, columns=names)
+            for c in ts_names:
+                if c in out.columns:
+                    out[c] = pd.to_datetime(out[c], unit="us")
+            for c in date_names:
+                if c in out.columns:
+                    out[c] = pd.to_datetime(
+                        out[c], unit="D"
+                    ).dt.date
+            yield out
 
     paths_df = spark.createDataFrame(
         [(p, i, s, pt) for p, i, s, pt in log_specs],
@@ -1879,6 +1899,10 @@ class HudiMorWriter(HudiCowWriter):
         "bigint": "long", "int": "long", "smallint": "long",
         "double": "double", "float": "double",
         "string": "string", "boolean": "boolean",
+        # temporal types ride as Avro longs (timestamp-micros /
+        # date-days, the Avro logical-type encodings); the log reader
+        # converts back by the BASE schema's field type
+        "timestamp": "long", "timestamp_ntz": "long", "date": "long",
     }
 
     def _avro_schema_of(self, df) -> dict:
@@ -1901,6 +1925,19 @@ class HudiMorWriter(HudiCowWriter):
                 for n, t in cols.items()
             ],
         }
+
+    @staticmethod
+    def _temporal_cols(schema) -> tuple[set, set]:
+        """(timestamp column names, date column names) of a Spark
+        schema — the columns the log codec longs-encodes."""
+        ts, dt = set(), set()
+        for f in schema.fields:
+            s = f.dataType.simpleString()
+            if s in ("timestamp", "timestamp_ntz"):
+                ts.add(f.name)
+            elif s == "date":
+                dt.add(f.name)
+        return ts, dt
 
     def _group_plan(self):
         """(abs base path → (partition, fileId)), plus per-fileId
@@ -1977,11 +2014,18 @@ class HudiMorWriter(HudiCowWriter):
         return matched, unmatched, fid_meta
 
     def upsert_log_batch(self, df, precombine: str | None = None,
-                         extra_metadata: dict | None = None):
+                         extra_metadata: dict | None = None,
+                         skip_if_stored: dict | None = None,
+                         ledger_observed_instant: str | None = None):
         """MoR UPSERT: updates append one Avro data block per owning
         file group (executor-parallel); brand-new keys insert as new
         base file groups in the same deltacommit. Returns (instant,
-        n_logged_groups, n_inserted_files)."""
+        n_logged_groups, n_inserted_files, n_records).
+
+        ``skip_if_stored``/``ledger_observed_instant``: the
+        exactly-once post-claim re-check, identical to
+        :meth:`insert_batch` — a sibling worker that committed the
+        SAME batch before our instant claim makes this a skip."""
         import pandas as pd
 
         from pyspark.sql import functions as F
@@ -1992,15 +2036,30 @@ class HudiMorWriter(HudiCowWriter):
                 "field (HudiMorWriter(record_key=...))"
             )
         if df.isEmpty():
-            return None, 0, 0
+            return None, 0, 0, 0
         avro_schema = self._avro_schema_of(df)
         data_cols = list(df.columns)
+        ts_cols, date_cols = self._temporal_cols(df.schema)
         matched, unmatched, fid_meta = self._split_matched(
             df, precombine
         )
 
         hoodie = os.path.join(self.path, ".hoodie")
         instant = self._claim_instant(self.ACTION)
+        if skip_if_stored and self.latest_instant() != (
+            ledger_observed_instant
+        ):
+            stored = self.stored_extra_metadata()
+            if all(
+                k in stored and int(stored[k]) >= int(v)
+                for k, v in skip_if_stored.items()
+            ):
+                os.remove(
+                    os.path.join(
+                        hoodie, f"{instant}.{self.ACTION}.requested"
+                    )
+                )
+                return None, 0, 0, 0
         self.store.put_atomic(
             os.path.join(hoodie, f"{instant}.{self.ACTION}.inflight"),
             b"",
@@ -2008,16 +2067,26 @@ class HudiMorWriter(HudiCowWriter):
         table_path = self.path
         key_col = self.record_key
 
+        def _cell(row, c):
+            v = row[c]
+            if pd.isna(v):
+                return None
+            if c in ts_cols:
+                # pandas Timestamp .value is ns since epoch
+                return int(pd.Timestamp(v).value // 1000)
+            if c in date_cols:
+                return int(
+                    (pd.Timestamp(v) - pd.Timestamp(1970, 1, 1)).days
+                )
+            return v
+
         def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
             fid = pdf["__fid"].iloc[0]
             part, base_instant, version = fid_meta[fid]
             recs = [
                 {
                     "_hoodie_record_key": str(row[key_col]),
-                    **{
-                        c: (None if pd.isna(row[c]) else row[c])
-                        for c in data_cols
-                    },
+                    **{c: _cell(row, c) for c in data_cols},
                 }
                 for _, row in pdf.iterrows()
             ]
@@ -2104,7 +2173,7 @@ class HudiMorWriter(HudiCowWriter):
                     hoodie, f"{instant}.{self.ACTION}.inflight"
                 )
             )
-            return None, 0, 0
+            return None, 0, 0, 0
         meta = {
             "partitionToWriteStats": stats,
             "operationType": "UPSERT",
@@ -2114,7 +2183,10 @@ class HudiMorWriter(HudiCowWriter):
             os.path.join(hoodie, f"{instant}.{self.ACTION}"),
             json.dumps(meta).encode(),
         )
-        return instant, len(log_stats), n_ins_files
+        n_records = sum(
+            st["numWrites"] for lst in stats.values() for st in lst
+        )
+        return instant, len(log_stats), n_ins_files, n_records
 
     def delete_log_batch(self, df, extra_metadata: dict | None = None):
         """MoR DELETE: one delete block per owning file group
@@ -2373,8 +2445,17 @@ class HudiSink:
     ``extraMetadata`` (``kdi.offsets.<appId>`` keys — the slot Hudi's
     DeltaStreamer uses for its own checkpoint string)."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, mor: bool = False,
+                 record_key: str | None = None):
+        """``mor=True`` makes the destination a MERGE_ON_READ table
+        (HudiMorWriter, deltacommit timeline); with ``record_key``
+        also set, every batch streams as an UPSERT — existing keys
+        append log blocks, new keys insert as base groups — Hudi
+        DeltaStreamer's continuous UPSERT operation. Without
+        ``record_key`` both modes are append-only ingest."""
         self.path = path
+        self.mor = mor
+        self.record_key = record_key
         self._w: HudiCowWriter | None = None
         # ledger cache keyed by the latest completed instant: without
         # it every batch re-parses EVERY commit JSON (O(commits) I/O
@@ -2383,8 +2464,10 @@ class HudiSink:
 
     def _writer(self, partition_by=None) -> HudiCowWriter:
         if self._w is None:
-            self._w = HudiCowWriter(
-                self.path, partition_by=partition_by
+            cls = HudiMorWriter if self.mor else HudiCowWriter
+            self._w = cls(
+                self.path, partition_by=partition_by,
+                record_key=self.record_key,
             )
         elif partition_by and list(partition_by) != self._w.parts:
             if self._w.parts:
@@ -2439,14 +2522,27 @@ class HudiSink:
             self._txn_cache[0] if self._txn_cache is not None
             else w.latest_instant()
         )
-        instant, n_files, n_records = w.insert_batch(
-            df,
-            extra_metadata=offsets,
-            # post-claim re-check: a sibling worker that committed the
-            # SAME batch before our instant claim makes this a skip
-            skip_if_stored=offsets or None,
-            ledger_observed_instant=observed,
-        )
+        if self.mor and self.record_key and w.latest_instant():
+            # UPSERT streaming (DeltaStreamer's upsert operation):
+            # existing keys log-update, new keys base-insert. The
+            # FIRST batch bootstraps via the insert path below (no
+            # live keys to match yet).
+            instant, n_log, n_ins, n_records = w.upsert_log_batch(
+                df,
+                extra_metadata=offsets,
+                skip_if_stored=offsets or None,
+                ledger_observed_instant=observed,
+            )
+            n_files = n_log + n_ins
+        else:
+            instant, n_files, n_records = w.insert_batch(
+                df,
+                extra_metadata=offsets,
+                # post-claim re-check: a sibling worker that committed
+                # the SAME batch before our instant claim → skip
+                skip_if_stored=offsets or None,
+                ledger_observed_instant=observed,
+            )
         if instant is None:
             return CommitResult(
                 self.snapshot()["version"], 0, 0, skipped=True
@@ -2485,5 +2581,10 @@ class HudiSink:
 
     def optimize(self, spark, target_file_bytes: int = 134_217_728,
                  **_kwargs):
-        """--auto_optimize_interval parity: clustering replacecommit."""
-        return self._writer().cluster(spark, target_file_bytes)
+        """--auto_optimize_interval parity: clustering replacecommit
+        (CoW) or log compaction (MoR — fold blocks into new slices
+        first, Hudi's async-compaction cadence analog)."""
+        w = self._writer()
+        if self.mor:
+            return w.compact(spark)
+        return w.cluster(spark, target_file_bytes)

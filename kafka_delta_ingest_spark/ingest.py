@@ -101,12 +101,19 @@ class IngestJob:
                 opts.table_uri, target_schema,
                 partition_by=getattr(opts, "partition_by", None),
             )
-        elif fmt == "hudi":
-            # Apache Hudi CoW destination: exactly-once offsets ride
-            # in commit extraMetadata (DeltaStreamer's checkpoint slot)
+        elif fmt in ("hudi", "hudi_mor"):
+            # Apache Hudi destination: exactly-once offsets ride in
+            # commit extraMetadata (DeltaStreamer's checkpoint slot).
+            # "hudi_mor" + record_key streams every batch as an
+            # UPSERT (DeltaStreamer's continuous upsert operation):
+            # existing keys append log blocks, new keys base-insert.
             from kafka_delta_ingest_spark.hudi import HudiSink
 
-            self.table = HudiSink(opts.table_uri)
+            self.table = HudiSink(
+                opts.table_uri,
+                mor=(fmt == "hudi_mor"),
+                record_key=getattr(opts, "record_key", None),
+            )
         else:
             self.table = DeltaLikeTable(opts.table_uri)
         self.dlq = DeadLetterQueue(

@@ -68,7 +68,7 @@ def test_upsert_log_appends_blocks_not_base_rewrites(spark, tmp_path):
     bases_before = {
         f for f in os.listdir(t) if f.endswith(".parquet")
     }
-    instant, n_log, n_ins = w.upsert_log_batch(
+    instant, n_log, n_ins, n_rec = w.upsert_log_batch(
         _df(spark, [(3, "NEW3", -3.0), (13, "NEW13", -13.0),
                     (100, "ins", 100.0)])
     )
@@ -180,3 +180,70 @@ def test_unmappable_column_type_raises(spark, tmp_path):
                 [(3, bytearray(b"x"))], "id long, blob binary"
             )
         )
+
+
+def test_streaming_upsert_into_mor_destination(spark, tmp_path):
+    """DeltaStreamer's continuous UPSERT operation re-expressed: the
+    ingest loop streams into log_format='hudi_mor' with a record key —
+    batch 2's corrections append log blocks to the owning group while
+    its new keys base-insert, exactly-once offsets ride in the
+    deltacommit extraMetadata, and a replay of batch 2 skips."""
+    import json as _json
+
+    from pyspark.sql import Row
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from kafka_delta_ingest_spark.ingest import IngestJob, IngestOptions
+
+    table = str(tmp_path / "mor_stream")
+    opts = IngestOptions(
+        topic="t", table_uri=table, app_id="ms", transforms={},
+        log_format="hudi_mor", record_key="id",
+    )
+    schema = StructType(
+        [StructField("id", StringType()),
+         StructField("color", StringType())]
+    )
+    job = IngestJob(opts, schema)
+
+    def raw(rows, lo):
+        return spark.createDataFrame(
+            [
+                Row(
+                    value=bytearray(_json.dumps(p).encode()),
+                    partition=0,
+                    offset=lo + i,
+                    topic="t",
+                    timestamp=None,
+                    timestampType=0,
+                )
+                for i, p in enumerate(rows)
+            ],
+            "value binary, partition int, offset long, topic string, "
+            "timestamp timestamp, timestampType int",
+        )
+
+    b1 = raw([{"id": str(i), "color": "red"} for i in range(10)], 0)
+    m1 = job.run_batch(b1)
+    assert not m1.skipped and m1.delta_write_num_records == 10
+
+    b2 = raw(
+        [{"id": "3", "color": "BLUE"}, {"id": "7", "color": "GREEN"},
+         {"id": "10", "color": "new"}],
+        10,
+    )
+    m2 = job.run_batch(b2)
+    assert not m2.skipped
+    # corrections hit the log; the new key base-inserted
+    assert [f for f in os.listdir(table) if ".log." in f]
+    got = {r["id"]: r["color"] for r in read_hudi(spark, table).collect()}
+    assert len(got) == 11
+    assert got["3"] == "BLUE" and got["7"] == "GREEN"
+    assert got["10"] == "new" and got["4"] == "red"
+    # exactly-once: replaying batch 2 skips
+    assert job.run_batch(b2).skipped
+    # auto-optimize on the MoR leg = log compaction
+    assert job.table.optimize(spark) is not None
+    assert not [f for f in os.listdir(table) if ".log." in f]
+    got2 = {r["id"]: r["color"] for r in read_hudi(spark, table).collect()}
+    assert got2 == got
