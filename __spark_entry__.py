@@ -10289,84 +10289,106 @@ def events_funnel(spark, sf_dir):
 # Sweep order for the driver's correctness gate. CORRECTNESS_r01/r02 both
 # recorded exactly the first 50 dict entries, so ordering is load-bearing.
 _SWEEP_ORDER: list[str] = [
-    # --- round-9 first-50 window. Head = sink_delta_standard_zorder
-    # (the single registry query never driver-certified, r8 verdict
-    # item 1), then the NEW r9 surfaces (Iceberg incremental scan,
-    # Iceberg expire_snapshots, Hudi clean), then the longest-stale
-    # block: the full TPC battery, window/agg/pivot/set-ops/subquery
-    # relational surface and the events family (all last checked r7),
-    # closing with the flagship ingest path. tools/check_oracle.py
-    # verifies the full registry regardless of the driver's 50 cap.
-    "sink_delta_standard_zorder",
-    "iceberg_read_incremental",
-    "iceberg_expire_snapshots",
-    "iceberg_upsert",
-    "iceberg_data_skipping",
-    "ingest_iceberg_evolve",
-    "hudi_clean",
-    "hudi_upsert_cow",
-    "sink_delta_standard_update",
-    "sink_delta_standard_merge",
-    "ingest_delta_standard_cdc",
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_nation_year_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_conditional",
-    "q13_customer_distribution",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_volume_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    "win_lead_lag",
-    "win_top_orders_per_customer",
-    "win_running_spend",
-    "win_moving_avg_range",
-    "win_rank_family",
-    "agg_distinct_users",
-    "agg_cube_lineitem",
-    "agg_rollup_orders",
-    "agg_grouping_sets",
-    "agg_percentiles",
-    "pivot_event_matrix",
-    "join_semi_anti_suppliers",
-    "join_bucketed_colocated",
-    "set_ops_active_customers",
-    "sql_correlated_subquery",
-    "sql_recursive_calendar",
-    "ingest_message_path",
-    # --- tail: certified r8 (table formats, LLM-operator families)
-    # or the cumulative r1-r8 record; next rotation re-certifies.
-    # the events family (all r7-green) yielded its r9 slots to the
-    # ELEVEN new r9 surfaces at the head of the window; r10 rotates
-    # it back in along with sink_delta_standard_constraints (new r9,
-    # first tail slot — the window was full).
-    "sink_delta_standard_constraints",
-    "delta_read_time_travel",
+    # --- round-10 first-50 window (driver caps at 50). Head = the five
+    # r9 queries that landed past the frozen r9 window and were therefore
+    # mirror-certified only (r9 verdict item 1): hudi_upsert_mor,
+    # iceberg_delete_where, ingest_hudi_mor, delta_read_time_travel,
+    # sink_delta_standard_constraints. The rest of the window is the
+    # stalest cumulative record: the r2-checked block (events tumbling/
+    # range/interval joins, exact embedding near-dup), the full r3 block
+    # (transform/coercion surface, splits/sampling, text-analysis tail,
+    # events sessionize/asof), the r4 block (events enrich/funnel, codec
+    # roundtrips, corpus stats), and dedup_simhash_pairs (r5-checked;
+    # also gets a 10x BENCH_SCALE datapoint this round). Green here
+    # restores 181/181 queries ever driver-checked.
     "hudi_upsert_mor",
     "iceberg_delete_where",
     "ingest_hudi_mor",
+    "delta_read_time_travel",
+    "sink_delta_standard_constraints",
     "events_tumbling_counts",
     "events_range_join",
     "events_interval_join",
-    "events_enrich_users",
+    "embedding_neardup_exact",
     "events_sessionize",
     "events_asof_join",
+    "sim_pq_topk",
+    "sim_ivf_topk",
+    "sim_quantize_fidelity",
+    "dedup_canonical_keep",
+    "transform_substr",
+    "coerce_tostring",
+    "coerce_timestamp_strict",
+    "transform_kafka_meta",
+    "transform_epoch_functions",
+    "split_train_holdout",
+    "sample_exact_k",
+    "split_source_mix",
+    "split_pack_sequences",
+    "split_domain_cap",
+    "multimodal_frame_plan",
+    "multimodal_dedup_exact",
+    "text_token_counts",
+    "text_chunk_sliding",
+    "text_repetition_profile",
+    "text_gopher_quality",
+    "text_bpe_pair_census",
+    "text_tfidf_top_terms",
+    "text_bm25_search",
+    "text_shared_passages",
+    "events_enrich_users",
     "events_funnel",
+    "multimodal_jpeg_roundtrip",
+    "multimodal_wav_roundtrip",
+    "corpus_card",
+    "decontam_semantic",
+    "scan_variant_props",
+    "text_top_ngrams",
+    "text_fingerprint_rolling",
+    "text_domain_census",
+    "corpus_length_histogram",
+    "split_shuffle_order",
+    "split_quality_curriculum",
+    "sample_stratified",
+    "dedup_simhash_pairs",
+    # --- tail: ordered by staleness of the cumulative driver record
+    # (r5 remainder, r6, r7, then the r8- and r9-certified windows).
+    # All 181 stay green on the per-round oracle mirror
+    # (tools/check_oracle.py) regardless of the driver's 50-slot cap.
+    # Standing rule: queries added after this round's window head was
+    # frozen join the FRONT of the r11 window and are labelled
+    # "mirror-certified" until then.
+    "dedup_ngram_jaccard",
+    "dedup_winnow_pairs",
+    "dedup_clusters_cc",
+    "text_profile",
+    "text_lm_perplexity",
+    "text_dsir_weights",
+    "text_quality_classifier",
+    "text_remove_boilerplate",
+    "split_ccnet_buckets",
+    "split_temperature_mix",
+    "sample_token_budget",
+    "pii_scrub",
+    "decontam_overlap_report",
+    "decontam_fuzzy",
+    "search_hybrid_rrf",
     "ingest_avro_path",
     "stream_offset_dedup",
+    "ingest_dlq_split",
+    "sink_dml_cdf",
+    "pipeline_pretrain_curation",
+    "pipeline_fuzzy_curation",
+    "pipeline_rag_retrieval",
+    "pipeline_corpus_curation",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "scan_filter_project",
+    "pipeline_web_extraction",
+    "web_url_normalize",
+    "web_robots_filter",
+    "dedup_incremental_admit",
+    "dedup_incremental_indexed",
     "ingest_delta_standard_evolve",
     "sink_delta_standard_roundtrip",
     "ingest_delta_standard",
@@ -10417,73 +10439,56 @@ _SWEEP_ORDER: list[str] = [
     "sim_ivfpq_topk",
     "sim_semdedup",
     "embedding_neardup_lsh",
-    "multimodal_jpeg_roundtrip",
-    "multimodal_wav_roundtrip",
-    "scan_filter_project",
-    "pipeline_web_extraction",
-    "web_url_normalize",
-    "web_robots_filter",
-    "dedup_incremental_admit",
-    "dedup_incremental_indexed",
-    "ingest_dlq_split",
-    "sink_dml_cdf",
-    "pipeline_pretrain_curation",
-    "pipeline_fuzzy_curation",
-    "pipeline_rag_retrieval",
-    "pipeline_corpus_curation",
-    "dedup_exact",
-    "dedup_minhash_pairs",
-    "dedup_simhash_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_winnow_pairs",
-    "dedup_clusters_cc",
-    "text_profile",
-    "text_lm_perplexity",
-    "text_dsir_weights",
-    "text_quality_classifier",
-    "text_remove_boilerplate",
-    "split_ccnet_buckets",
-    "split_temperature_mix",
-    "sample_token_budget",
-    "pii_scrub",
-    "decontam_overlap_report",
-    "decontam_fuzzy",
-    "search_hybrid_rrf",
-    "corpus_card",
-    "sim_pq_topk",
-    "decontam_semantic",
-    "scan_variant_props",
-    "text_top_ngrams",
-    "text_fingerprint_rolling",
-    "text_domain_census",
-    "corpus_length_histogram",
-    "split_shuffle_order",
-    "split_quality_curriculum",
-    "sample_stratified",
-    "sim_ivf_topk",
-    "sim_quantize_fidelity",
-    "dedup_canonical_keep",
-    "embedding_neardup_exact",
-    "transform_substr",
-    "coerce_tostring",
-    "coerce_timestamp_strict",
-    "transform_kafka_meta",
-    "transform_epoch_functions",
-    "split_train_holdout",
-    "sample_exact_k",
-    "split_source_mix",
-    "split_pack_sequences",
-    "split_domain_cap",
-    "multimodal_frame_plan",
-    "multimodal_dedup_exact",
-    "text_token_counts",
-    "text_chunk_sliding",
-    "text_repetition_profile",
-    "text_gopher_quality",
-    "text_bpe_pair_census",
-    "text_tfidf_top_terms",
-    "text_bm25_search",
-    "text_shared_passages",
+    "sink_delta_standard_zorder",
+    "iceberg_read_incremental",
+    "iceberg_expire_snapshots",
+    "iceberg_upsert",
+    "iceberg_data_skipping",
+    "ingest_iceberg_evolve",
+    "hudi_clean",
+    "hudi_upsert_cow",
+    "sink_delta_standard_update",
+    "sink_delta_standard_merge",
+    "ingest_delta_standard_cdc",
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_nation_year_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_conditional",
+    "q13_customer_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_volume_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "win_lead_lag",
+    "win_top_orders_per_customer",
+    "win_running_spend",
+    "win_moving_avg_range",
+    "win_rank_family",
+    "agg_distinct_users",
+    "agg_cube_lineitem",
+    "agg_rollup_orders",
+    "agg_grouping_sets",
+    "agg_percentiles",
+    "pivot_event_matrix",
+    "join_semi_anti_suppliers",
+    "join_bucketed_colocated",
+    "set_ops_active_customers",
+    "sql_correlated_subquery",
+    "sql_recursive_calendar",
+    "ingest_message_path",
 ]
 
 
