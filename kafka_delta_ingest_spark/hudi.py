@@ -2067,29 +2067,36 @@ class HudiMorWriter(HudiCowWriter):
         table_path = self.path
         key_col = self.record_key
 
-        def _cell(row, c):
-            v = row[c]
-            if pd.isna(v):
-                return None
-            if c in ts_cols:
-                # pandas Timestamp .value is ns since epoch
-                return int(pd.Timestamp(v).value // 1000)
-            if c in date_cols:
-                return int(
-                    (pd.Timestamp(v) - pd.Timestamp(1970, 1, 1)).days
-                )
-            return v
+        def _records(pdf: pd.DataFrame) -> list[dict]:
+            """Column-wise Avro record build: ts -> epoch-µs and date
+            -> epoch-days as whole-column int64 ops, NaN/NaT -> None
+            in one mask pass, then a single to_dict("records") — no
+            iterrows, no per-cell Python call (r9 verdict item 2;
+            this is the MoR upsert hot path)."""
+            work = pdf[data_cols].copy()
+            for c in ts_cols:
+                # normalize to ns (Arrow may hand us datetime64[us])
+                s = pd.to_datetime(work[c]).astype("datetime64[ns]")
+                vals = s.to_numpy(dtype="int64") // 1000
+                col = pd.Series(vals, index=work.index, dtype=object)
+                col[s.isna().to_numpy()] = None
+                work[c] = col
+            for c in date_cols:
+                s = pd.to_datetime(work[c]).astype("datetime64[ns]")
+                vals = s.to_numpy(dtype="int64") // 86_400_000_000_000
+                col = pd.Series(vals, index=work.index, dtype=object)
+                col[s.isna().to_numpy()] = None
+                work[c] = col
+            work = work.astype(object).where(pd.notna(work), None)
+            recs = work.to_dict("records")
+            for rec, rk in zip(recs, pdf[key_col].astype(str)):
+                rec["_hoodie_record_key"] = rk
+            return recs
 
         def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
             fid = pdf["__fid"].iloc[0]
             part, base_instant, version = fid_meta[fid]
-            recs = [
-                {
-                    "_hoodie_record_key": str(row[key_col]),
-                    **{c: _cell(row, c) for c in data_cols},
-                }
-                for _, row in pdf.iterrows()
-            ]
+            recs = _records(pdf)
             block = encode_log_block(
                 BLOCK_AVRO_DATA,
                 {
