@@ -1550,10 +1550,10 @@ class IcebergWriter:
         scoping makes it exact: the equality delete applies only to
         STRICTLY older data files, so the same-commit inserts survive
         while every prior version of the keys is masked."""
+        import shutil
         import time
         import uuid
 
-        import pyarrow as pa
         import pyarrow.parquet as pq
 
         if ts_ms is None:
@@ -1562,29 +1562,51 @@ class IcebergWriter:
         missing = [c for c in key_cols if c not in ids_by_name]
         if missing:
             raise ValueError(f"unknown key columns {missing}")
-        # equality-delete file: the DISTINCT incoming key tuples
-        keys = df.select(*key_cols).dropDuplicates().toPandas()
-        del_path = os.path.join(
-            self.data_dir, f"eqdelete-{uuid.uuid4().hex}.parquet"
+        # equality-delete file: the DISTINCT incoming key tuples,
+        # written EXECUTOR-side via the same staging-promote shape as
+        # delete_where below — driver memory stays O(1) in the batch
+        # key count (previously toPandas() + a driver pyarrow write,
+        # O(distinct keys) on the driver).
+        staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex}")
+        (
+            df.select(*key_cols)
+            .dropDuplicates()
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(staging)
         )
-        pq.write_table(pa.Table.from_pandas(keys, preserve_index=False),
-                       del_path)
-        delete_file = {
-            "content": 2,
-            "file_path": del_path,
-            "file_format": "PARQUET",
-            "partition": {},
-            "record_count": len(keys),
-            "file_size_in_bytes": os.path.getsize(del_path),
-            "equality_ids": [ids_by_name[c] for c in key_cols],
-        }
+        eq_ids = [ids_by_name[c] for c in key_cols]
+        delete_files = []
+        for fname in sorted(os.listdir(staging)):
+            if not fname.endswith(".parquet"):
+                continue
+            src = os.path.join(staging, fname)
+            md = pq.ParquetFile(src).metadata
+            if md.num_rows == 0:
+                continue
+            del_path = os.path.join(
+                self.data_dir, f"eqdelete-{uuid.uuid4().hex}.parquet"
+            )
+            shutil.move(src, del_path)
+            delete_files.append(
+                {
+                    "content": 2,
+                    "file_path": del_path,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": md.num_rows,
+                    "file_size_in_bytes": os.path.getsize(del_path),
+                    "equality_ids": eq_ids,
+                }
+            )
+        shutil.rmtree(staging, ignore_errors=True)
         data_files = self._write_data_files(df)
         if not data_files:
             raise ValueError("upsert with zero non-empty data files")
-        return self._commit_snapshot(
-            [([delete_file], 1), (data_files, 0)], "overwrite", ts_ms,
-            attempts,
-        )
+        legs = [(data_files, 0)]
+        if delete_files:
+            legs.insert(0, (delete_files, 1))
+        return self._commit_snapshot(legs, "overwrite", ts_ms, attempts)
 
     def evolve_schema(self, schema, attempts: int = 100) -> int:
         """ALTER TABLE ADD COLUMNS analog — commit a NEW schema

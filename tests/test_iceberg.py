@@ -419,7 +419,10 @@ def test_iceberg_writer_delete_where(spark, tmp_path):
 def test_iceberg_writer_upsert(spark, tmp_path):
     # one snapshot = equality-delete manifest (incoming keys) + data
     # manifest (incoming rows); sequence scoping keeps the same-commit
-    # inserts alive while masking every prior key version
+    # inserts alive while masking every prior key version.
+    # The equality-delete key file is written executor-side via the
+    # delete_where staging-promote shape — driver memory is O(1) in
+    # the batch key count, not O(distinct incoming keys).
     from pyspark.sql import functions as F
 
     from kafka_delta_ingest_spark.iceberg import IcebergWriter
