@@ -636,3 +636,114 @@ def test_stream_into_hudi_with_checkpointed_restart(spark, tmp_path):
     assert sink.snapshot()["txn"]["hudi_app-1"] == 29
     # one completed instant per successful batch: exactly one more
     assert len(completed_instants(table_dir)) == n_run1 + 1
+
+
+def test_stream_into_hudi_mor_with_checkpointed_restart(spark, tmp_path):
+    """r10 (r9 verdict item 5 — the MoR destination had batch-level
+    replay-skip + compaction tests but no kill-and-restart e2e like
+    the CoW/Delta/Iceberg legs): availableNow streaming into a Hudi
+    MERGE_ON_READ destination with record_key (DeltaStreamer's
+    continuous UPSERT operation), then a checkpointed RESTART whose
+    new data holds both CORRECTIONS to live keys and brand-new keys —
+    no duplicates, no loss, exactly one deltacommit per successful
+    batch, corrections land as HoodieLogFormat blocks (no base
+    rewrite), inserts land as new base parquet file groups (the
+    reference exactly-once scenario, tests/emails_s3_tests.rs:33-77,
+    on the write-optimized table shape)."""
+    import glob as _glob
+    import os as _os
+
+    from kafka_delta_ingest_spark.hudi import read_hudi
+
+    def completed_deltacommits(table_dir):
+        hoodie = _os.path.join(table_dir, ".hoodie")
+        return sorted(
+            f for f in _os.listdir(hoodie) if f.endswith(".deltacommit")
+        )
+
+    def log_files(table_dir):
+        return [
+            p for p in _glob.glob(_os.path.join(table_dir, "**", ".*"),
+                                  recursive=True)
+            if ".log." in _os.path.basename(p)
+        ]
+
+    def base_files(table_dir):
+        return [
+            p for p in _glob.glob(
+                _os.path.join(table_dir, "**", "*.parquet"),
+                recursive=True,
+            )
+            if "/.hoodie/" not in p
+        ]
+
+    src = str(tmp_path / "src")
+    table_dir = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_raw(spark, _rows(0, 20), src)
+    opts = IngestOptions(
+        topic="t", table_uri=table_dir, app_id="mor_app",
+        ends_at_latest_offsets=True, log_format="hudi_mor",
+        record_key="id",
+    )
+    job = IngestJob(opts, TABLE_SCHEMA)
+    q = job.run_stream(spark, ckpt, raw_stream=_stream(spark, src))
+    q.awaitTermination(120)
+
+    got = {r["id"] for r in read_hudi(spark, table_dir).collect()}
+    assert got == set(range(20))
+    from kafka_delta_ingest_spark.hudi import HudiSink
+
+    sink = HudiSink(table_dir, mor=True, record_key="id")
+    assert sink.snapshot()["txn"] == {"mor_app-0": 18, "mor_app-1": 19}
+    n_run1 = len(completed_deltacommits(table_dir))
+    assert n_run1 >= 1
+    assert log_files(table_dir) == []  # bootstrap batch = pure insert
+    n_base_run1 = len(base_files(table_dir))
+
+    # restart (fresh IngestJob, same checkpoint) with MORE files:
+    # corrections for live keys 5 and 7 at offsets past the ledger
+    # floor, plus new keys 20..29 — only the new file is processed
+    corrections = [
+        Row(
+            value=bytearray(
+                json.dumps({"id": i, "color": "green"}).encode()
+            ),
+            partition=off % 2,
+            offset=off,
+            topic="t",
+            timestamp=datetime.datetime(2024, 1, 1, 0, 1, 0),
+            timestampType=0,
+        )
+        for i, off in [(5, 30), (7, 31)]
+    ]
+    _write_raw(spark, _rows(20, 10) + corrections, src)
+    job2 = IngestJob(opts, TABLE_SCHEMA)
+    q2 = job2.run_stream(spark, ckpt, raw_stream=_stream(spark, src))
+    q2.awaitTermination(120)
+
+    rows2 = {
+        r["id"]: r["color"]
+        for r in read_hudi(spark, table_dir).collect()
+    }
+    assert sorted(rows2) == list(range(30))  # no duplicates, no loss
+    # latest-wins served through the independent log-merge read
+    assert rows2[5] == "green" and rows2[7] == "green"
+    assert rows2[4] == "red" and rows2[9] == "blue"  # untouched keys
+    assert sink.snapshot()["txn"] == {"mor_app-0": 30, "mor_app-1": 31}
+    # exactly one more deltacommit for the one new batch
+    assert len(completed_deltacommits(table_dir)) == n_run1 + 1
+    # corrections appended as log blocks; inserts as NEW base groups
+    assert len(log_files(table_dir)) >= 1
+    assert len(base_files(table_dir)) > n_base_run1
+
+    # replayed restart with NO new data: ledger floor + checkpoint
+    # mean zero new instants
+    job3 = IngestJob(opts, TABLE_SCHEMA)
+    q3 = job3.run_stream(spark, ckpt, raw_stream=_stream(spark, src))
+    q3.awaitTermination(120)
+    assert len(completed_deltacommits(table_dir)) == n_run1 + 1
+    assert sorted(
+        r["id"] for r in read_hudi(spark, table_dir).collect()
+    ) == list(range(30))
