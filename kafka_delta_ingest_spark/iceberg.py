@@ -1737,15 +1737,17 @@ class IcebergWriter:
         snap = next(
             s for s in meta["snapshots"] if s["snapshot-id"] == cur_id
         )
-        with open(_norm_path(snap["manifest-list"]), "rb") as f:
-            _, manifests = read_container(f.read())
+        _, manifests = read_container(
+            self.store.read_bytes(_norm_path(snap["manifest-list"]))
+        )
         # collect live small data files per partition tuple
         groups: dict[tuple, list[str]] = {}
         for m in manifests:
             if m.get("content", 0) != 0:
                 continue
-            with open(_norm_path(m["manifest_path"]), "rb") as f:
-                _, entries = read_container(f.read())
+            _, entries = read_container(
+                self.store.read_bytes(_norm_path(m["manifest_path"]))
+            )
             for e in entries:
                 if e.get("status") == 2:
                     continue
@@ -1813,8 +1815,9 @@ class IcebergWriter:
                 base.append(m)
                 continue
             man_seq = m.get("sequence_number") or 0
-            with open(_norm_path(m["manifest_path"]), "rb") as f:
-                _, entries = read_container(f.read())
+            _, entries = read_container(
+                self.store.read_bytes(_norm_path(m["manifest_path"]))
+            )
             kept = []
             for e in entries:
                 if e.get("status") == 2:
@@ -1839,8 +1842,7 @@ class IcebergWriter:
                 self.meta_dir, f"manifest-{uuid.uuid4().hex}.avro"
             )
             blob = write_container(kept, _MANIFEST_ENTRY_SCHEMA)
-            with open(man_path, "wb") as f:
-                f.write(blob)
+            self.store.put_atomic(man_path, blob)
             base.append(
                 {
                     "manifest_path": man_path,
@@ -1970,14 +1972,12 @@ class IcebergWriter:
 
         def walk(s):
             mlist = _norm_path(s["manifest-list"])
-            with open(mlist, "rb") as f:
-                _, manifests = read_container(f.read())
+            _, manifests = read_container(self.store.read_bytes(mlist))
             mpaths, dpaths = set(), set()
             for m in manifests:
                 mp = _norm_path(m["manifest_path"])
                 mpaths.add(mp)
-                with open(mp, "rb") as f:
-                    _, entries = read_container(f.read())
+                _, entries = read_container(self.store.read_bytes(mp))
                 for e in entries:
                     if e.get("status") == 2:
                         continue
@@ -2065,8 +2065,7 @@ class IcebergWriter:
                     self.meta_dir, f"manifest-{uuid.uuid4().hex}.avro"
                 )
                 blob = write_container(entries, _MANIFEST_ENTRY_SCHEMA)
-                with open(man_path, "wb") as f:
-                    f.write(blob)
+                self.store.put_atomic(man_path, blob)
                 written.append(man_path)
                 new_rows.append(
                     {
@@ -2093,15 +2092,19 @@ class IcebergWriter:
                         if s["snapshot-id"] == cur_id:
                             cur_snap = s
                     if cur_snap is not None:
-                        with open(_norm_path(cur_snap["manifest-list"]),
-                                  "rb") as f:
-                            _, prior_manifests = read_container(f.read())
+                        _, prior_manifests = read_container(
+                            self.store.read_bytes(
+                                _norm_path(cur_snap["manifest-list"])
+                            )
+                        )
             mlist_rows = list(prior_manifests) + new_rows
             mlist_path = os.path.join(
                 self.meta_dir, f"snap-{snap_id}-{uuid.uuid4().hex}.avro"
             )
-            with open(mlist_path, "wb") as f:
-                f.write(write_container(mlist_rows, _MANIFEST_LIST_SCHEMA))
+            self.store.put_atomic(
+                mlist_path,
+                write_container(mlist_rows, _MANIFEST_LIST_SCHEMA),
+            )
             snaps.append(
                 {
                     "snapshot-id": snap_id,

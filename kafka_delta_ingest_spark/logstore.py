@@ -35,8 +35,9 @@ Primitives and the invariants the writers rely on
     object stores a "directory" is a key prefix and has no existence
     of its own.
 
-Object-store contract (documented seam; no backend shipped here
-because this environment has no cloud SDKs or network):
+Object-store contract (shipped here as :class:`HttpConditionalLogStore`
+speaking it over plain HTTP; the cloud-SDK spellings of the same call
+are):
 
 * **S3**: ``put_if_absent`` = ``PutObject`` with ``If-None-Match: *``
   (conditional writes, GA since 2024-08) — a lost race returns HTTP
@@ -143,18 +144,158 @@ class LocalLogStore(LogStore):
         os.remove(path)
 
 
+class HttpConditionalLogStore(LogStore):
+    """Object-store backend speaking the conditional-PUT contract
+    documented above over plain HTTP with stdlib ``urllib`` — the
+    wire shape is S3's (``PutObject`` + ``If-None-Match: *``, GA
+    2024-08; Azure's etag and GCS's generation-match preconditions
+    are the same call with a different header):
+
+    * ``put_if_absent`` = ``PUT`` with ``If-None-Match: *``; the
+      server answers **412 Precondition Failed** when the key exists
+      (a lost race -> False, never raises).  Conditional PUTs are
+      content-complete by construction: the object materializes only
+      with the full body, so no racer can observe a torn commit.
+    * ``put_atomic`` = unconditional ``PUT`` (single-key object PUTs
+      are atomic).
+    * ``read_bytes``/``exists`` = ``GET``/``HEAD`` (404 -> missing).
+    * ``list_dir`` = ``GET <dir>?list-type=2`` returning one key
+      basename per line (ListObjectsV2's prefix listing, minus the
+      XML); a missing prefix lists empty — object-store directories
+      are prefixes with no existence of their own.
+    * ``remove`` = ``DELETE``; ``makedirs`` is a no-op (prefixes).
+
+    Ambiguous failures (timeout after the object may have landed)
+    surface as exceptions to the writer, whose retry loop re-checks
+    its own claim via ``exists``/``read_bytes`` — the exact recovery
+    exercised by the remote-semantics fakes in tests/test_logstore.py
+    and, for this backend, against a real in-process HTTP server in
+    tests/test_http_logstore.py.
+
+    ``endpoint`` is the server base URL (``http://127.0.0.1:<port>``);
+    the writer-supplied filesystem-style path becomes the object key
+    verbatim (URL-quoted), mirroring how a real deployment keys the
+    log under the table prefix."""
+
+    def __init__(self, endpoint: str, timeout: float = 30.0):
+        self.endpoint = endpoint.rstrip("/")
+        self.timeout = timeout
+
+    def _url(self, path: str) -> str:
+        from urllib.parse import quote, urlsplit
+
+        if path.startswith(("http://", "https://")):
+            # table_uri-is-the-endpoint wiring: the writers build
+            # full URLs by joining onto the table URI
+            sp = urlsplit(path)
+            return f"{sp.scheme}://{sp.netloc}" + quote(sp.path)
+        return self.endpoint + quote(path)
+
+    def _request(self, method: str, path: str, data: bytes | None
+                 = None, headers: dict | None = None, query: str = ""):
+        from urllib.request import Request, urlopen
+
+        req = Request(
+            self._url(path) + query, data=data, method=method,
+            headers=dict(headers or {}),
+        )
+        return urlopen(req, timeout=self.timeout)
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        from urllib.error import HTTPError
+
+        try:
+            self._request(
+                "PUT", path, data=data,
+                headers={"If-None-Match": "*"},
+            ).close()
+            return True
+        except HTTPError as e:
+            if e.code in (409, 412):  # exists: S3 412, Azure 409
+                return False
+            raise
+
+    def put_atomic(self, path: str, data: bytes) -> None:
+        self._request("PUT", path, data=data).close()
+
+    def read_bytes(self, path: str) -> bytes:
+        from urllib.error import HTTPError
+
+        try:
+            with self._request("GET", path) as resp:
+                return resp.read()
+        except HTTPError as e:
+            if e.code == 404:
+                raise FileNotFoundError(path) from None
+            raise
+
+    def list_dir(self, dirpath: str) -> list[str]:
+        from urllib.error import HTTPError
+
+        try:
+            with self._request(
+                "GET", dirpath.rstrip("/"), query="?list-type=2"
+            ) as resp:
+                body = resp.read().decode()
+        except HTTPError as e:
+            if e.code == 404:
+                return []
+            raise
+        return [line for line in body.splitlines() if line]
+
+    def exists(self, path: str) -> bool:
+        from urllib.error import HTTPError
+
+        try:
+            self._request("HEAD", path).close()
+            return True
+        except HTTPError as e:
+            if e.code == 404:
+                return False
+            raise
+
+    def makedirs(self, dirpath: str) -> None:
+        return None  # prefixes need no creation
+
+    def remove(self, path: str) -> None:
+        from urllib.error import HTTPError
+
+        try:
+            self._request("DELETE", path).close()
+        except HTTPError as e:
+            if e.code == 404:
+                raise FileNotFoundError(path) from None
+            raise
+
+
 _REMOTE_SCHEMES = ("s3://", "s3a://", "s3n://", "abfss://", "abfs://",
                    "wasbs://", "gs://", "azure://")
+
+# Test-only wiring: when set (an http://host:port endpoint), every
+# local table's commit protocol routes through HttpConditionalLogStore
+# while the DATA path stays on the local filesystem — the same split a
+# jarred cluster has (executors write parquet via Hadoop FS, the
+# driver commits via the object store's conditional API). Lets the
+# full writer test suites prove the claim semantics off POSIX.
+_HTTP_ENDPOINT_ENV = "KDI_LOGSTORE_HTTP_ENDPOINT"
 
 
 def get_log_store(table_uri: str) -> LogStore:
     """Backend for a table URI.  Local paths (and ``file:`` URIs) get
-    :class:`LocalLogStore`; object-store schemes raise with a pointer
-    to the documented contract above — wiring a real S3/Azure/GCS
-    backend is SDK plumbing against that contract, not a protocol
-    change (the claim/publish semantics are already exercised against
-    a fault-injecting remote-semantics fake in tests)."""
+    :class:`LocalLogStore`.  ``http(s)://`` URIs — or any table when
+    ``KDI_LOGSTORE_HTTP_ENDPOINT`` is set — get
+    :class:`HttpConditionalLogStore`, the real conditional-PUT
+    backend (exercised in tests against an in-process object-store
+    server).  Cloud-SDK schemes (s3/abfss/gs) still raise with a
+    pointer to the documented contract: wiring them is the same
+    conditional-PUT call through the vendor SDK, which this
+    environment doesn't ship."""
     low = table_uri.lower()
+    if low.startswith(("http://", "https://")):
+        return HttpConditionalLogStore(table_uri)
+    endpoint = os.environ.get(_HTTP_ENDPOINT_ENV)
+    if endpoint:
+        return HttpConditionalLogStore(endpoint)
     for scheme in _REMOTE_SCHEMES:
         if low.startswith(scheme):
             raise NotImplementedError(
