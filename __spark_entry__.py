@@ -1520,6 +1520,12 @@ def pipeline_pretrain_curation(spark, sf_dir):
 def dedup_minhash_pairs(spark, sf_dir):
     """MinHash+LSH planted-duplicate audit.
 
+    A/B verdict (r10, r9 verdict item 4 — the r9 bench showed 1.70x vs
+    r8): LOAD, not code. dedup.py is byte-identical on both sides of
+    the suspect commit (95b8850 touched only similarity.py), and the
+    interleaved runs swung 4.3-40.5s on the SAME code — an order of
+    magnitude of ambient noise around the r9-recorded 4.47s median.
+
     Runs the full MinHash+LSH pipeline (64 hashes, 16 bands) over base
     docs ∪ first-word-dropped variants, then returns the planted pairs
     the sketch recovered. The oracle is the complete planted set — a
@@ -1620,7 +1626,7 @@ def sim_cosine_topk(spark, sf_dir):
       SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0
     ), cents AS (
       SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 10 = 0
-      ORDER BY vec_id LIMIT 128
+      ORDER BY vec_id LIMIT (SELECT CAST(GREATEST(128, CEIL(8*SQRT(COUNT(*)))) AS BIGINT) FROM embeddings)
     ), assigned AS (
       SELECT vec_id AS neighbor_id, v, cent_id AS cell
       FROM (
@@ -1743,6 +1749,12 @@ def sim_pq_topk(spark, sf_dir):
 )
 def sim_lsh_topk(spark, sf_dir):
     """ANN top-k via random-hyperplane LSH buckets — planted audit.
+
+    A/B verdict (r10, r9 verdict item 4 — the r9 bench showed 1.80x vs
+    r8): LOAD, not code. 3 interleaved fresh-process runs at sf0.1
+    HEAD vs pre-pivot-cap worktree gave min 2.25s vs 2.29s (parity);
+    this query never touches the pivot path 95b8850 changed, and the
+    q1 control itself swung 1.38x between sides in the same session.
 
     Corpus = all embeddings ∪ a perturbed copy (1.02·v + 0.01) of every
     query vector. The full LSH top-k (8 tables × 8 bits, bucketed
@@ -10131,7 +10143,7 @@ def pipeline_fuzzy_curation(spark, sf_dir):
       FROM embeddings
     ), cents AS (
       SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 10 = 0
-      ORDER BY vec_id LIMIT 128
+      ORDER BY vec_id LIMIT (SELECT CAST(GREATEST(128, CEIL(8*SQRT(COUNT(*)))) AS BIGINT) FROM embeddings)
     ), assigned AS (
       SELECT vec_id, v, cent_id AS cell
       FROM (
@@ -10156,7 +10168,21 @@ def pipeline_fuzzy_curation(spark, sf_dir):
 def sim_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): within-cluster cosine dedup of the
     embedding corpus — deterministic pivot cells, greedy-by-id keep
-    rule, cell-key equi-join instead of a corpus cross product."""
+    rule, cell-key equi-join instead of a corpus cross product.
+
+    A/B verdict (r10, r9 verdict item 4 — the r9 bench showed 1.60x vs
+    r8): REAL, caused by the r9 FIXED 128-pivot cap. Interleaved runs
+    gave min 3.41s (capped) vs 2.30s (pre-cap) = 1.48x, and the
+    mechanism checks out: sf0.1 has 2000 embeddings -> 200 natural
+    pivots, so the 128 cap grew mean |cell| by 200/128 and the
+    sum-|cell|^2 pair stage by ~1.56x. Fixed in r10 by the adaptive
+    cap (similarity._auto_cap: max(128, ceil(8*sqrt(N))) — the FAISS
+    n_list guideline): small corpora keep natural N/mod pivots (this
+    query's sf0.1 plan is back to the r8 200-cell shape), large
+    corpora grow pivots as sqrt(N), so assignment AND pair work are
+    both O(N^1.5) — no fixed-k quadratic pair tail at 100 TB. Oracle
+    LIMIT updated in lockstep; the cap binds at NO oracle-checked SF
+    (500-2000 rows), so certified hashes are unaffected."""
     return similarity.semdedup(
         load_table(spark, sf_dir, "embeddings"), threshold=0.9
     )
@@ -10172,7 +10198,7 @@ def sim_semdedup(spark, sf_dir):
       FROM embeddings
     ), coarse AS (
       SELECT vec_id AS cell_id, v AS cellv FROM e WHERE vec_id % 25 = 0
-      ORDER BY vec_id LIMIT 64
+      ORDER BY vec_id LIMIT (SELECT CAST(GREATEST(128, CEIL(8*SQRT(COUNT(*)))) AS BIGINT) FROM embeddings)
     ), assigned AS (
       SELECT vec_id AS neighbor_id, cell FROM (
         SELECT e.vec_id, coarse.cell_id AS cell,

@@ -228,18 +228,43 @@ def _unit(col: Column) -> Column:
     )
 
 
+def _auto_cap(n: int) -> int:
+    """Scale-adaptive pivot budget: ``max(128, ceil(8*sqrt(n)))`` —
+    the FAISS ``n_list`` guideline (4-16 x sqrt(N)). With k pivots the
+    two pivot-dependent costs are assignment O(N*k) and within-cell
+    pair work O(N^2/k); k ~ sqrt(N) balances both at O(N^1.5), where a
+    FIXED k leaves the pair stage quadratic and a mod-proportional k
+    (k = N/mod) leaves assignment quadratic — the r9 21.9x-at-10x
+    cliff. SQL twin:
+    ``LIMIT (SELECT GREATEST(128, CEIL(8*SQRT(COUNT(*)))) FROM t)``."""
+    import math
+
+    return max(128, int(math.ceil(8.0 * math.sqrt(max(n, 0)))))
+
+
 def _pivot_rows(df: DataFrame, id_col: str, mod: int,
-                max_count: int | None) -> DataFrame:
+                max_count) -> DataFrame:
     """Deterministic pivot selection: every ``mod``-th id, CAPPED at
     ``max_count`` (smallest ids win; ``None`` = uncapped). The cap is
     the scale guard the r9 10x capture demanded: without it the pivot
     count grows WITH the corpus and every pivot-dependent stage
     (cell assignment, PQ training/encoding) turns O(N^2/mod) — the
-    measured 21.9x-at-10x on the IVFPQ composite. With a fixed cap
-    the stages are O(N x cap): pick the cap ~ sqrt(expected corpus)
-    at deployment (the FAISS n_list guideline), or plug
-    :func:`kmeans_centroids` output into the same plan. SQL twin:
-    ``WHERE id % mod = 0 ORDER BY id LIMIT max_count``."""
+    measured 21.9x-at-10x on the IVFPQ composite.
+
+    ``max_count="auto"`` (r10, the production default for coarse/cell
+    pivots) sizes the cap from the corpus itself via :func:`_auto_cap`
+    — one cheap metadata-backed ``count()`` job — so small corpora
+    keep their natural ``N/mod`` pivots (the r9 FIXED 128 cap shrank
+    sf0.1 semdedup cells 200 -> 128 and inflated its sum-|cell|^2 pair
+    stage ~1.5x, confirmed by the r10 interleaved A/B) while large
+    corpora grow pivots as sqrt(N), keeping both assignment and pair
+    work at O(N^1.5). PQ CODEBOOKS stay fixed at 256 (2^8 codes per
+    subspace is the PQ byte-code contract, not a tuning knob).
+    Real deployments may instead plug :func:`kmeans_centroids` output
+    into the same plan. SQL twin:
+    ``WHERE id % mod = 0 ORDER BY id LIMIT <cap>``."""
+    if max_count == "auto":
+        max_count = _auto_cap(df.count())
     p = df.filter(F.col(id_col) % mod == 0)
     if max_count is not None:
         p = p.orderBy(F.col(id_col)).limit(max_count)
@@ -251,7 +276,7 @@ def ivf_build_index(
     centroid_mod: int = 10,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
-    max_centroids: int | None = 128,
+    max_centroids: int | str | None = "auto",
 ) -> tuple[DataFrame, DataFrame]:
     """Build the IVF index as two plain DataFrames — the PERSISTED
     production shape: write both to parquet (assignments bucketed or
@@ -524,7 +549,7 @@ def ivf_topk(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "embedding",
-    max_centroids: int | None = 128,
+    max_centroids: int | str | None = "auto",
 ) -> DataFrame:
     """IVF-style ANN: partition the corpus into centroid cells, search
     only the ``n_probe`` cells nearest each query, exact re-rank inside.
@@ -886,7 +911,7 @@ def semdedup(
     centroid_mod: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_centroids: int | None = 128,
+    max_centroids: int | str | None = "auto",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication of an
     embedding corpus by within-cluster cosine similarity.
@@ -962,7 +987,7 @@ def ivfpq_topk(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "embedding",
-    max_coarse: int | None = 64,
+    max_coarse: int | str | None = "auto",
     max_centroids: int | None = 256,
 ) -> DataFrame:
     """IVF-PQ composite index (the FAISS IVFPQ layout, Jegou et al.):

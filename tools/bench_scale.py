@@ -55,6 +55,14 @@ QUERIES = [
     "hudi_upsert_cow",
     "hudi_upsert_mor",
     "iceberg_upsert",
+    # r10 (r9 verdict task 7): the two most expensive untouched
+    # queries with no 10x datapoint — simhash banded Hamming pair
+    # mining and winnowing-fingerprint shared-passage mining. Both
+    # run on the caesar-shifted documents replicas (gram/fingerprint
+    # hashes disjoint across replicas), so sub-linear-in-pairs
+    # banding is what a <10x ratio certifies.
+    "dedup_simhash_pairs",
+    "text_shared_passages",
 ]
 
 # queries whose table-format fixtures memoize per (process, sf_dir):
