@@ -6222,6 +6222,100 @@ def _travel_std_fixture(spark, sf_dir: str) -> tuple:
 
 
 @_q(
+    "table_convert_delta_iceberg",
+    """
+    SELECT event_id, event_type, user_id,
+      CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END
+        AS value,
+      TRUE AS conv_ok
+    FROM events
+    """,
+)
+def table_convert_delta_iceberg(spark, sf_dir):
+    """Metadata-only Delta -> Iceberg conversion (r10, convert.py —
+    the XTable / Delta-UniForm capability): a standard-Delta table is
+    built in two commits plus an UPDATE (so the live set differs from
+    everything-ever-written), then ONE Iceberg snapshot is committed
+    whose data manifest references the Delta parquet files IN PLACE —
+    zero data bytes rewritten, O(live files) executor-side footer
+    work, so a 100 TB table converts at metadata speed. The returned
+    rows are the INDEPENDENT read_iceberg view of the converted
+    metadata; the oracle is the logical table content, so a match
+    certifies the whole chain (Delta log replay -> schema/partition
+    translation -> manifest stats -> Iceberg scan). conv_ok pins:
+    no parquet under the Iceberg root's data/ dir (nothing was
+    copied), Delta and Iceberg reads row-identical both ways, and the
+    converted manifests carry usable column bounds (an out-of-range
+    row_filter plans ZERO data files)."""
+    from kafka_delta_ingest_spark.iceberg import read_iceberg
+
+    t_ice, conv_ok = _convert_di_fixture(spark, sf_dir)
+    return read_iceberg(spark, t_ice).select(
+        "event_id", "event_type", "user_id", "value"
+    ).withColumn("conv_ok", F.lit(bool(conv_ok)))
+
+
+def _convert_di_fixture(spark, sf_dir: str) -> tuple:
+    import atexit
+    import shutil as _sh
+    import tempfile as _tf
+
+    from kafka_delta_ingest_spark.convert import (
+        convert_delta_to_iceberg,
+    )
+    from kafka_delta_ingest_spark.delta_standard import (
+        DeltaStandardWriter,
+        read_delta,
+    )
+    from kafka_delta_ingest_spark.iceberg import read_iceberg
+
+    key = ("convdi", sf_dir)
+    hit = _TBLFMT_FIXTURES.get(key)
+    if hit and os.path.isdir(hit[0]):
+        return hit
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    root = _tf.mkdtemp(prefix="kdi-convdi-")
+    t = root + "/t"
+    ice = root + "/ice"
+    w = DeltaStandardWriter(t)
+    w.write(ev.filter("event_id % 2 = 0").repartition(4))
+    w.write(ev.filter("event_id % 2 = 1").repartition(2))
+    w.update_where(spark, "event_id % 10 = 0", {"value": "value + 1000"})
+    convert_delta_to_iceberg(spark, t, ice, ts_ms=1000)
+
+    ice_data = os.path.join(ice, "data")
+    copied = os.path.isdir(ice_data) and any(
+        f.endswith(".parquet") for f in os.listdir(ice_data)
+    )
+    d = read_delta(spark, t).select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    i = read_iceberg(spark, ice).select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    mx = ev.agg(F.max("event_id")).collect()[0][0]
+    skipped = False
+    try:
+        read_iceberg(
+            spark, ice, row_filter=[("event_id", ">", int(mx) + 1)]
+        )
+    except ValueError:
+        skipped = True  # bounds pruned every data file at plan time
+    conv_ok = (
+        not copied
+        and i.exceptAll(d).isEmpty()
+        and d.exceptAll(i).isEmpty()
+        and skipped
+    )
+    out = (ice, conv_ok)
+    _TBLFMT_FIXTURES[key] = out
+    atexit.register(_sh.rmtree, root, ignore_errors=True)
+    return out
+
+
+@_q(
     "sink_delta_standard_constraints",
     """
     SELECT o_orderkey, o_totalprice, TRUE AS constraint_ok
@@ -10189,6 +10283,105 @@ def sim_semdedup(spark, sf_dir):
 
 
 @_q(
+    "sim_kmeans_refine",
+    """
+    WITH e AS (
+      SELECT vec_id,
+        list_transform(CAST(embedding AS DOUBLE[]),
+          x -> x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), y -> y*y)))) AS v
+      FROM embeddings
+    ), init AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cent_id,
+        v AS cvec
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)
+    ), a1 AS (
+      SELECT vec_id, v, cent_id AS cell FROM (
+        SELECT e.vec_id, e.v, c.cent_id,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY list_sum(list_transform(list_zip(e.v, c.cvec), p -> p[1]*p[2])) DESC,
+              c.cent_id ASC) AS r
+        FROM e CROSS JOIN init c
+      ) WHERE r = 1
+    ), ex1 AS (
+      SELECT cell, unnest(v) AS x, unnest(range(len(v))) AS pos FROM a1
+    ), mv1 AS (
+      SELECT cent_id, list(m ORDER BY pos) AS mvec FROM (
+        SELECT cell AS cent_id, pos,
+          CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+        FROM ex1 GROUP BY 1, 2
+      ) GROUP BY cent_id
+    ), c1 AS (
+      SELECT cent_id,
+        CASE WHEN nrm > 0 THEN list_transform(vv, x -> x / nrm)
+             ELSE cvec END AS cvec
+      FROM (
+        SELECT i.cent_id, i.cvec, COALESCE(mv1.mvec, i.cvec) AS vv,
+          sqrt(list_sum(list_transform(
+            COALESCE(mv1.mvec, i.cvec), x -> x*x))) AS nrm
+        FROM init i LEFT JOIN mv1 USING (cent_id)
+      )
+    ), a2 AS (
+      SELECT vec_id, v, cent_id AS cell FROM (
+        SELECT e.vec_id, e.v, c.cent_id,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY list_sum(list_transform(list_zip(e.v, c.cvec), p -> p[1]*p[2])) DESC,
+              c.cent_id ASC) AS r
+        FROM e CROSS JOIN c1 c
+      ) WHERE r = 1
+    ), ex2 AS (
+      SELECT cell, unnest(v) AS x, unnest(range(len(v))) AS pos FROM a2
+    ), mv2 AS (
+      SELECT cent_id, list(m ORDER BY pos) AS mvec FROM (
+        SELECT cell AS cent_id, pos,
+          CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+        FROM ex2 GROUP BY 1, 2
+      ) GROUP BY cent_id
+    ), c2 AS (
+      SELECT cent_id,
+        CASE WHEN nrm > 0 THEN list_transform(vv, x -> x / nrm)
+             ELSE cvec END AS cvec
+      FROM (
+        SELECT c1.cent_id, c1.cvec, COALESCE(mv2.mvec, c1.cvec) AS vv,
+          sqrt(list_sum(list_transform(
+            COALESCE(mv2.mvec, c1.cvec), x -> x*x))) AS nrm
+        FROM c1 LEFT JOIN mv2 USING (cent_id)
+      )
+    )
+    SELECT cent_id, CAST(pos AS INT) AS pos, round(cval, 6) AS cval
+    FROM (
+      SELECT cent_id, unnest(range(len(cvec))) AS pos,
+        unnest(cvec) AS cval
+      FROM c2
+    )
+    """,
+)
+def sim_kmeans_refine(spark, sf_dir):
+    """Spherical k-means training (Lloyd), 16 centroids x 2
+    iterations over the embedding corpus — the trainer that replaces
+    the deterministic-pivot centroids in every IVF/IVFPQ plan
+    (similarity.kmeans_centroids). Exposed as a certified query (r10):
+    the operator had pytest coverage but no oracle row. The oracle
+    unrolls both Lloyd iterations in SQL: deterministic init (the 16
+    lowest-id unit vectors), argmax-dot assignment with ties to the
+    lowest cent_id, per-dimension DECIMAL(28,12)-exact means (the
+    partitioning-independence guarantee _lloyd_means makes), empty
+    cells keep their previous centroid, renormalize each round.
+    Scale shape per iteration: centroids broadcast (corpus never
+    shuffles for assignment), mean update is one map-side-combined
+    hash agg over (cell, dim) — k x dim cells; driver holds k rows.
+    Output = exploded (cent_id, pos, cval) rounded to 6dp."""
+    cents = similarity.kmeans_centroids(
+        load_table(spark, sf_dir, "embeddings"),
+        n_centroids=16, n_iters=2,
+    )
+    return cents.select(
+        "cent_id", F.posexplode("cvec").alias("pos", "cval")
+    ).select(
+        "cent_id", "pos", F.round("cval", 6).alias("cval")
+    )
+
+
+@_q(
     "sim_ivfpq_topk",
     """
     WITH e AS (
@@ -10384,6 +10577,8 @@ _SWEEP_ORDER: list[str] = [
     # Standing rule: queries added after this round's window head was
     # frozen join the FRONT of the r11 window and are labelled
     # "mirror-certified" until then.
+    "sim_kmeans_refine",  # NEW r10 — mirror-certified, front of r11
+    "table_convert_delta_iceberg",  # NEW r10 — mirror-certified
     "dedup_ngram_jaccard",
     "dedup_winnow_pairs",
     "dedup_clusters_cc",

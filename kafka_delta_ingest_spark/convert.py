@@ -1,0 +1,227 @@
+"""Metadata-only table-format conversion (the XTable / Delta-UniForm
+capability): generate Apache Iceberg metadata over a standard Delta
+table's LIVE parquet files — zero data bytes rewritten, so the cost
+is O(live files) metadata work at ANY table size (a 100 TB table
+converts in the time it takes to read its footers).
+
+Shape (what Apache XTable's IncrementalSync and Delta UniForm both
+do): replay the source log to the live file set, translate the
+schema, then commit one Iceberg snapshot whose data manifest points
+at the SOURCE table's parquet files in place. Readers of the Iceberg
+metadata and readers of the Delta log see byte-identical rows
+forever after (for the converted snapshot).
+
+Scale notes:
+
+* The Delta replay is the same Spark-side add/remove reconciliation
+  ``read_delta`` uses — tombstones never reach the driver.
+* Per-file footer statistics (record counts, null counts, bounds)
+  are computed EXECUTOR-side via ``mapInPandas`` over the file list;
+  the driver only collects the manifest-sized result (it must hold
+  the manifest entries regardless).
+* Refused inputs (v1, explicit errors): tables with live deletion
+  vectors (their masked rows exist in the parquet, so a metadata-only
+  translation would resurrect them — Iceberg position-delete
+  materialization is a data-dependent operation, not a metadata one)
+  and column-mapping tables (the parquet physical names differ from
+  the logical schema; Iceberg name-based reads would miss every
+  column).
+
+Reference seam: the reference writes one format (delta-rs log,
+writer.rs); this engine reads AND writes Delta/Iceberg/Hudi, which is
+what makes a metadata-only bridge between them possible at all.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+__all__ = ["convert_delta_to_iceberg"]
+
+
+def convert_delta_to_iceberg(
+    spark,
+    delta_path: str,
+    iceberg_root: str,
+    ts_ms: int | None = None,
+    version: int | None = None,
+) -> int:
+    """Create a NEW Iceberg table at ``iceberg_root`` whose single
+    snapshot references the live parquet files of the standard Delta
+    table at ``delta_path`` (optionally at an explicit Delta
+    ``version``). Returns the Iceberg metadata version committed.
+
+    The Iceberg ``data_file`` entries carry absolute paths into the
+    Delta table directory — Iceberg has no same-directory requirement
+    (manifests routinely span buckets), and the entries get the same
+    footer-derived column metrics ``IcebergWriter`` stamps on its own
+    writes, so data skipping works identically on the converted
+    table."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from kafka_delta_ingest_spark.delta_standard import (
+        _log_path,
+        _replay,
+        _resolve_version,
+        _schema_mapping,
+    )
+    from kafka_delta_ingest_spark.iceberg import (
+        IcebergWriter,
+        _spark_type_to_iceberg,
+        footer_bounds,
+    )
+
+    if ts_ms is None:
+        ts_ms = int(time.time() * 1000)
+    log = _log_path(delta_path)
+    target = _resolve_version(log, version, None)
+    state = _replay(spark, delta_path, target)
+    meta = state["meta"]
+    adds = state["adds"]
+    if meta is None:
+        raise ValueError(f"{delta_path} has no table metadata")
+    dv = [a["path"] for a in adds if a.get("deletionVector")]
+    if dv:
+        raise ValueError(
+            f"{len(dv)} live file(s) carry deletion vectors; a "
+            "metadata-only conversion would resurrect their masked "
+            "rows — compact the DVs away first (OPTIMIZE rewrites "
+            "the affected files)"
+        )
+    logical, rename, part_cols, id_mode, _rf = _schema_mapping(meta)
+    if rename or id_mode:
+        raise ValueError(
+            "column-mapping tables are not convertible metadata-only: "
+            "the parquet physical names differ from the logical "
+            "schema, so Iceberg's name-based column resolution would "
+            "miss every mapped column"
+        )
+
+    # schema translation: logical Spark fields -> Iceberg ids 1..n
+    fields = []
+    for i, f in enumerate(logical.fields, start=1):
+        ice_t = _spark_type_to_iceberg(f.dataType)
+        if ice_t is None:
+            raise ValueError(
+                f"column {f.name!r}: Spark type {f.dataType} has no "
+                "Iceberg translation"
+            )
+        fields.append(
+            {"id": i, "name": f.name, "required": False, "type": ice_t}
+        )
+    types_by_name = {f["name"]: f["type"] for f in fields}
+
+    # partition translation: Delta partitionColumns are identity
+    # transforms; add.partitionValues strings -> typed manifest values.
+    # Hive-layout Delta writers DROP partition columns from the data
+    # pages (the directory name is the only copy); this repo's Iceberg
+    # reader — like its writer — expects every column IN the file
+    # (iceberg.py read_iceberg docstring). Converting such a table
+    # metadata-only would surface nulls for the partition column, so
+    # refuse unless the files really carry it. (The Iceberg spec's
+    # reader-side identity-from-metadata fallback is the seam that
+    # would lift this.)
+    if part_cols and adds:
+        import pyarrow.parquet as pq
+
+        probe = os.path.join(delta_path, adds[0]["path"])
+        have = set(pq.ParquetFile(probe).schema_arrow.names)
+        gone = [c for c in part_cols if c not in have]
+        if gone:
+            raise ValueError(
+                f"partition column(s) {gone} exist only in the hive "
+                "directory layout, not in the parquet data pages; a "
+                "metadata-only conversion would read them as null. "
+                "Rewrite via OPTIMIZE into an unpartitioned layout "
+                "first, or use a writer that clones partition columns "
+                "into the files (as this repo's Iceberg writer does)"
+            )
+
+    def _typed_pv(raw: dict) -> dict:
+        pv = {}
+        for c in part_cols:
+            v = raw.get(c)
+            if v is not None and types_by_name.get(c) in ("int", "long"):
+                v = int(v)
+            pv[c] = v
+        return pv
+
+    # executor-side footer statistics over the live file list; the
+    # driver collects only manifest-sized dicts
+    entries = [
+        (
+            os.path.join(delta_path, a["path"]),
+            json.dumps(_typed_pv(a.get("partitionValues") or {})),
+        )
+        for a in adds
+    ]
+    flist = spark.createDataFrame(entries, "path string, pv string")
+    n_slices = max(1, min(len(entries), 256))
+
+    def _stats(batches):
+        # pickle transport: manifest bounds legitimately carry bytes /
+        # Decimal / date values parquet footers surface, which JSON
+        # cannot round-trip
+        import base64
+        import pickle
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for path, pv in zip(pdf["path"], pdf["pv"]):
+                import pyarrow.parquet as pq
+
+                md = pq.ParquetFile(path).metadata
+                if md.num_rows == 0:
+                    continue
+                nvc, lowers, uppers = footer_bounds(path, fields)
+                rows.append(
+                    base64.b64encode(
+                        pickle.dumps(
+                            {
+                                "content": 0,
+                                "file_path": path,
+                                "file_format": "PARQUET",
+                                "partition": json.loads(pv),
+                                "record_count": md.num_rows,
+                                "file_size_in_bytes": os.path.getsize(
+                                    path
+                                ),
+                                "equality_ids": None,
+                                "null_value_counts": nvc,
+                                "lower_bounds": lowers,
+                                "upper_bounds": uppers,
+                            }
+                        )
+                    ).decode("ascii")
+                )
+            yield pd.DataFrame({"j": rows})
+
+    import base64
+    import pickle
+
+    data_files = [
+        pickle.loads(base64.b64decode(r.j))
+        for r in flist.repartition(n_slices)
+        .mapInPandas(_stats, "j string")
+        .collect()
+    ]
+    if not data_files:
+        raise ValueError(f"{delta_path} has no live rows to convert")
+
+    w = IcebergWriter(
+        iceberg_root, fields, partition_by=list(part_cols)
+    )
+    cur_v, cur_meta = w._current()
+    if cur_meta is not None:
+        raise ValueError(
+            f"{iceberg_root} already holds an Iceberg table; "
+            "conversion only bootstraps fresh metadata"
+        )
+    return w._commit_snapshot(
+        [(data_files, 0)], "append", ts_ms, attempts=100
+    )

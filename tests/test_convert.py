@@ -1,0 +1,123 @@
+"""Metadata-only Delta -> Iceberg conversion (convert.py): the
+XTable / UniForm capability — one Iceberg snapshot referencing the
+Delta table's live parquet files in place, zero data bytes
+rewritten."""
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kafka_delta_ingest_spark.convert import convert_delta_to_iceberg
+from kafka_delta_ingest_spark.delta_standard import (
+    DeltaStandardWriter,
+    read_delta,
+)
+from kafka_delta_ingest_spark.iceberg import read_iceberg
+
+
+def _docs(spark, n=40, lo=0):
+    return spark.range(lo, lo + n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 5).cast("string").alias("grp"),
+        (F.col("id") * 1.5).alias("val"),
+    )
+
+
+def test_convert_reads_identically_and_rewrites_nothing(
+    spark, tmp_path
+):
+    t = str(tmp_path / "delta")
+    ice = str(tmp_path / "ice")
+    w = DeltaStandardWriter(t)
+    w.write(_docs(spark, 40).repartition(4))
+    w.write(_docs(spark, 20, lo=100).repartition(2))  # second commit
+    # churn: an UPDATE rewrites some files (remove+add in the log) so
+    # the LIVE set differs from everything-ever-written
+    w.update_where(spark, "doc_id % 10 = 0", {"val": "val + 1000"})
+
+    before = {
+        p: os.path.getmtime(os.path.join(dp, p))
+        for dp, _, fs in os.walk(t)
+        for p in fs
+        if p.endswith(".parquet")
+    }
+    v = convert_delta_to_iceberg(spark, t, ice, ts_ms=1000)
+    assert v >= 1
+    # no data file was rewritten or added
+    after = {
+        p: os.path.getmtime(os.path.join(dp, p))
+        for dp, _, fs in os.walk(t)
+        for p in fs
+        if p.endswith(".parquet")
+    }
+    assert after == before
+    assert not os.path.isdir(os.path.join(ice, "data")) or not any(
+        f.endswith(".parquet")
+        for f in os.listdir(os.path.join(ice, "data"))
+    )
+
+    d = read_delta(spark, t).select("doc_id", "grp", "val")
+    i = read_iceberg(spark, ice).select("doc_id", "grp", "val")
+    assert i.exceptAll(d).count() == 0 and d.exceptAll(i).count() == 0
+    assert i.count() == 60
+    got = {r.doc_id: r.val for r in i.collect()}
+    assert got[0] == 1000.0 and got[3] == 4.5  # update visible
+
+
+def test_convert_is_a_real_iceberg_table(spark, tmp_path):
+    """The converted metadata must behave like any Iceberg table:
+    follow-up appends commit on top, and the snapshot carries
+    footer-derived column metrics for data skipping."""
+    from kafka_delta_ingest_spark.iceberg import IcebergWriter
+
+    t = str(tmp_path / "delta")
+    ice = str(tmp_path / "ice")
+    w = DeltaStandardWriter(t)
+    w.write(_docs(spark, 30))
+    convert_delta_to_iceberg(spark, t, ice, ts_ms=1000)
+
+    fields = [
+        {"id": 1, "name": "doc_id", "required": False, "type": "long"},
+        {"id": 2, "name": "grp", "required": False, "type": "string"},
+        {"id": 3, "name": "val", "required": False, "type": "double"},
+    ]
+    w2 = IcebergWriter(ice, fields)
+    w2.append(_docs(spark, 5, lo=500), ts_ms=2000)
+    assert read_iceberg(spark, ice).count() == 35
+    # bounds-based skipping: a row_filter outside every file's range
+    # plans zero data files
+    with pytest.raises(ValueError, match="no data files"):
+        read_iceberg(
+            spark, ice, row_filter=[("doc_id", ">", 10_000)]
+        )
+
+
+def test_convert_refuses_deletion_vectors(spark, tmp_path):
+    t = str(tmp_path / "delta")
+    w = DeltaStandardWriter(t)
+    w.write(_docs(spark, 30))
+    w.delete_where(spark, "doc_id % 3 = 0")  # writes a DV
+    with pytest.raises(ValueError, match="deletion vector"):
+        convert_delta_to_iceberg(spark, t, str(tmp_path / "ice"))
+
+
+def test_convert_refuses_hive_dropped_partition_columns(
+    spark, tmp_path
+):
+    t = str(tmp_path / "delta")
+    w = DeltaStandardWriter(t)
+    w.write(_docs(spark, 30), partition_by=["grp"])
+    with pytest.raises(ValueError, match="hive"):
+        convert_delta_to_iceberg(spark, t, str(tmp_path / "ice"))
+
+
+def test_convert_at_explicit_version(spark, tmp_path):
+    t = str(tmp_path / "delta")
+    ice = str(tmp_path / "ice")
+    w = DeltaStandardWriter(t)
+    v0 = w.write(_docs(spark, 10))
+    w.write(_docs(spark, 10, lo=50))
+    convert_delta_to_iceberg(spark, t, ice, ts_ms=1000, version=v0)
+    assert read_iceberg(spark, ice).count() == 10
