@@ -5075,7 +5075,15 @@ def hudi_upsert_mor(spark, sf_dir):
     compaction, zero after, pre/post-compact row counts equal, and
     the UPSERT deltacommit chains prevCommit to the base slices.
     Write cost: O(updated rows) appended — no base rewrite until
-    compaction, Hudi's write-optimized trade."""
+    compaction, Hudi's write-optimized trade.
+
+    r10 (r9 verdict item 2): the Avro record build in the upsert hot
+    path is vectorized — column-wise ts/date conversion + one
+    to_dict('records') replaced iterrows with a per-cell Python call.
+    Bench median dropped 10.17s (r9) -> 6.36s on runs [6.36, 6.29,
+    6.38] — a tight -37% on the same box the rest of that capture
+    shows ambient load on; 10x-data ratio re-measured 3.66x
+    (BENCH_SCALE.json)."""
     import json as _json
     import os as _os
     import shutil as _sh
@@ -6310,6 +6318,88 @@ def _convert_di_fixture(spark, sf_dir: str) -> tuple:
         and skipped
     )
     out = (ice, conv_ok)
+    _TBLFMT_FIXTURES[key] = out
+    atexit.register(_sh.rmtree, root, ignore_errors=True)
+    return out
+
+
+@_q(
+    "table_convert_roundtrip",
+    """
+    SELECT event_id, event_type, user_id,
+      CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END
+        AS value,
+      TRUE AS rt_ok
+    FROM events
+    """,
+)
+def table_convert_roundtrip(spark, sf_dir):
+    """Bidirectional metadata-only conversion (r10, convert.py):
+    Delta -> Iceberg -> Delta. The second hop bootstraps a fresh
+    ``_delta_log`` whose v0 references the ORIGINAL Delta table's
+    parquet files (carried through the Iceberg manifests as absolute
+    paths) — two format translations, zero data bytes moved. Returned
+    rows are the final read_delta view of the second log; the oracle
+    is the logical content, so a match certifies Iceberg scan
+    planning -> Delta add-action/stats translation -> Delta replay.
+    rt_ok pins: the second table dir holds ONLY its log (no parquet
+    copied on either hop), and a snapshot with live Iceberg deletes
+    REFUSES the reverse hop (metadata-only must not resurrect masked
+    rows)."""
+    from kafka_delta_ingest_spark.delta_standard import read_delta
+
+    d2, rt_ok = _convert_rt_fixture(spark, sf_dir)
+    return read_delta(spark, d2).select(
+        "event_id", "event_type", "user_id", "value"
+    ).withColumn("rt_ok", F.lit(bool(rt_ok)))
+
+
+def _convert_rt_fixture(spark, sf_dir: str) -> tuple:
+    import atexit
+    import shutil as _sh
+    import tempfile as _tf
+
+    from kafka_delta_ingest_spark.convert import (
+        convert_iceberg_to_delta,
+    )
+    from kafka_delta_ingest_spark.iceberg import IcebergWriter
+
+    key = ("convrt", sf_dir)
+    hit = _TBLFMT_FIXTURES.get(key)
+    if hit and os.path.isdir(hit[0]):
+        return hit
+    ice, conv_ok = _convert_di_fixture(spark, sf_dir)
+    root = _tf.mkdtemp(prefix="kdi-convrt-")
+    d2 = root + "/d2"
+    convert_iceberg_to_delta(spark, ice, d2, ts_ms=2000)
+    only_log = not [
+        f
+        for dp, _dirs, fs in os.walk(d2)
+        for f in fs
+        if "_delta_log" not in dp
+    ]
+    # live Iceberg deletes must refuse the reverse hop
+    refuse = False
+    try:
+        w = IcebergWriter(ice + "-del", [
+            {"id": 1, "name": "event_id", "required": False,
+             "type": "long"},
+        ])
+        w.append(
+            spark.range(10).select(F.col("id").alias("event_id")),
+            ts_ms=1000,
+        )
+        w.delete_where(spark, "event_id % 2 = 0", ts_ms=2000)
+        try:
+            convert_iceberg_to_delta(
+                spark, ice + "-del", root + "/d3"
+            )
+        except ValueError:
+            refuse = True
+    finally:
+        _sh.rmtree(ice + "-del", ignore_errors=True)
+    rt_ok = bool(conv_ok) and only_log and refuse
+    out = (d2, rt_ok)
     _TBLFMT_FIXTURES[key] = out
     atexit.register(_sh.rmtree, root, ignore_errors=True)
     return out
@@ -10579,6 +10669,7 @@ _SWEEP_ORDER: list[str] = [
     # "mirror-certified" until then.
     "sim_kmeans_refine",  # NEW r10 — mirror-certified, front of r11
     "table_convert_delta_iceberg",  # NEW r10 — mirror-certified
+    "table_convert_roundtrip",  # NEW r10 — mirror-certified
     "dedup_ngram_jaccard",
     "dedup_winnow_pairs",
     "dedup_clusters_cc",
