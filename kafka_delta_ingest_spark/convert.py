@@ -37,7 +37,7 @@ from __future__ import annotations
 import json
 import os
 
-__all__ = ["convert_delta_to_iceberg"]
+__all__ = ["convert_delta_to_iceberg", "convert_iceberg_to_delta"]
 
 
 def convert_delta_to_iceberg(
@@ -225,3 +225,153 @@ def convert_delta_to_iceberg(
     return w._commit_snapshot(
         [(data_files, 0)], "append", ts_ms, attempts=100
     )
+
+
+def convert_iceberg_to_delta(
+    spark,
+    iceberg_root: str,
+    delta_path: str,
+    ts_ms: int | None = None,
+    snapshot_id=None,
+) -> int:
+    """The reverse bridge: bootstrap a standard ``_delta_log`` whose
+    version-0 commit references the Iceberg table's live parquet
+    files in place (optionally at an explicit ``snapshot_id``).
+    Returns the Delta version committed (0).
+
+    Scale/semantics notes mirror :func:`convert_delta_to_iceberg`:
+
+    * O(live files) metadata work, footer stats computed
+      executor-side, no data bytes rewritten. Add actions carry
+      ABSOLUTE paths (the Delta protocol allows absolute file URIs;
+      this repo's reader resolves them untouched).
+    * Snapshots with live position/equality deletes are REFUSED —
+      their masked rows exist in the parquet, so a metadata-only
+      translation would resurrect them (Delta DV materialization from
+      an Iceberg delete file is a data-dependent operation).
+    * Identity-partitioned Iceberg tables convert as UNPARTITIONED
+      Delta metadata: Iceberg data files carry every column in the
+      pages (this repo's writer clones partition columns in), so the
+      unpartitioned view is row-identical; only directory-level
+      partition pruning is lost (manifest bounds -> Delta add-action
+      stats keep file-level skipping).
+    """
+    import time
+
+    from kafka_delta_ingest_spark.delta_standard import (
+        DeltaStandardWriter,
+        _nullable_schema_json,
+    )
+    from kafka_delta_ingest_spark.iceberg import (
+        _current_schema,
+        _iceberg_type_to_spark,
+        plan_files,
+    )
+    from kafka_delta_ingest_spark.sinks.delta_like import _parquet_stats
+
+    if ts_ms is None:
+        ts_ms = int(time.time() * 1000)
+    data_files, pos_deletes, eq_deletes, meta = plan_files(
+        iceberg_root, snapshot_id, None, None, None
+    )
+    if pos_deletes or eq_deletes:
+        raise ValueError(
+            f"snapshot carries {len(pos_deletes)} position-delete and "
+            f"{len(eq_deletes)} equality-delete file(s); a "
+            "metadata-only conversion would resurrect their masked "
+            "rows — compact the deletes away first (compact_files "
+            "rewrites the live view)"
+        )
+    ice_schema = _current_schema(meta) or {"fields": []}
+    if not ice_schema.get("fields"):
+        raise ValueError(f"{iceberg_root} has no schema to convert")
+    from pyspark.sql.types import StructField, StructType
+
+    fields = []
+    for f in ice_schema["fields"]:
+        dt = _iceberg_type_to_spark(f["type"])
+        if dt is None:
+            raise ValueError(
+                f"column {f['name']!r}: Iceberg type {f['type']!r} "
+                "has no exact Spark translation"
+            )
+        fields.append(StructField(f["name"], dt, True))
+    schema = StructType(fields)
+
+    paths = [p for p, _seq in data_files]
+    if not paths:
+        raise ValueError(f"{iceberg_root} has no live data files")
+    flist = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    )
+    n_slices = max(1, min(len(paths), 256))
+
+    def _stats(batches):
+        import base64
+        import pickle
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                st = _parquet_stats(path)
+                if st["numRecords"] == 0:
+                    continue
+                rows.append(
+                    base64.b64encode(
+                        pickle.dumps(
+                            {
+                                "path": path,
+                                "partitionValues": {},
+                                "size": os.path.getsize(path),
+                                "modificationTime": 0,
+                                "dataChange": True,
+                                "stats": json.dumps(st),
+                            }
+                        )
+                    ).decode("ascii")
+                )
+            yield pd.DataFrame({"j": rows})
+
+    import base64
+    import pickle
+
+    adds = [
+        pickle.loads(base64.b64decode(r.j))
+        for r in flist.repartition(n_slices)
+        .mapInPandas(_stats, "j string")
+        .collect()
+    ]
+    if not adds:
+        raise ValueError(f"{iceberg_root} has no live rows to convert")
+
+    w = DeltaStandardWriter(delta_path)
+    if w.latest_version() >= 0:
+        raise ValueError(
+            f"{delta_path} already holds a Delta log; conversion "
+            "only bootstraps fresh metadata"
+        )
+    import uuid
+
+    actions = [
+        {
+            "commitInfo": {
+                "operation": "CONVERT",
+                "operationParameters": {"source": "iceberg"},
+                "timestamp": ts_ms,
+            }
+        },
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": _nullable_schema_json(schema),
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": ts_ms,
+            }
+        },
+    ] + [{"add": a} for a in adds]
+    return w._atomic_commit(actions, read_version=None)

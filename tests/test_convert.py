@@ -121,3 +121,72 @@ def test_convert_at_explicit_version(spark, tmp_path):
     w.write(_docs(spark, 10, lo=50))
     convert_delta_to_iceberg(spark, t, ice, ts_ms=1000, version=v0)
     assert read_iceberg(spark, ice).count() == 10
+
+
+def test_convert_iceberg_to_delta_reads_identically(spark, tmp_path):
+    """Reverse bridge: a native IcebergWriter table (two snapshots)
+    converts to a v0 Delta log referencing the same parquet files;
+    reads match both ways and nothing is rewritten."""
+    from kafka_delta_ingest_spark.convert import convert_iceberg_to_delta
+    from kafka_delta_ingest_spark.iceberg import IcebergWriter
+
+    ice = str(tmp_path / "ice")
+    d2 = str(tmp_path / "delta2")
+    fields = [
+        {"id": 1, "name": "doc_id", "required": False, "type": "long"},
+        {"id": 2, "name": "grp", "required": False, "type": "string"},
+        {"id": 3, "name": "val", "required": False, "type": "double"},
+    ]
+    w = IcebergWriter(ice, fields)
+    w.append(_docs(spark, 30), ts_ms=1000)
+    w.append(_docs(spark, 10, lo=100), ts_ms=2000)
+    v = convert_iceberg_to_delta(spark, ice, d2, ts_ms=3000)
+    assert v == 0
+    i = read_iceberg(spark, ice).select("doc_id", "grp", "val")
+    d = read_delta(spark, d2).select("doc_id", "grp", "val")
+    assert d.exceptAll(i).count() == 0 and i.exceptAll(d).count() == 0
+    assert d.count() == 40
+    # the delta table dir holds ONLY the log — no copied parquet
+    non_log = [
+        f
+        for dp, _, fs in os.walk(d2)
+        for f in fs
+        if "_delta_log" not in dp
+    ]
+    assert non_log == []
+
+
+def test_convert_iceberg_to_delta_refuses_deletes(spark, tmp_path):
+    from kafka_delta_ingest_spark.convert import convert_iceberg_to_delta
+    from kafka_delta_ingest_spark.iceberg import IcebergWriter
+
+    ice = str(tmp_path / "ice")
+    fields = [
+        {"id": 1, "name": "doc_id", "required": False, "type": "long"},
+        {"id": 2, "name": "grp", "required": False, "type": "string"},
+        {"id": 3, "name": "val", "required": False, "type": "double"},
+    ]
+    w = IcebergWriter(ice, fields)
+    w.append(_docs(spark, 30), ts_ms=1000)
+    w.delete_where(spark, "doc_id % 3 = 0", ts_ms=2000)
+    with pytest.raises(ValueError, match="delete"):
+        convert_iceberg_to_delta(spark, ice, str(tmp_path / "d2"))
+
+
+def test_convert_roundtrip_delta_iceberg_delta(spark, tmp_path):
+    """delta -> iceberg -> delta: both hops metadata-only, the final
+    read still matches the original (including an UPDATE applied
+    before the first hop)."""
+    from kafka_delta_ingest_spark.convert import convert_iceberg_to_delta
+
+    t = str(tmp_path / "delta")
+    ice = str(tmp_path / "ice")
+    d2 = str(tmp_path / "delta2")
+    w = DeltaStandardWriter(t)
+    w.write(_docs(spark, 40).repartition(3))
+    w.update_where(spark, "doc_id % 10 = 0", {"val": "val + 1000"})
+    convert_delta_to_iceberg(spark, t, ice, ts_ms=1000)
+    convert_iceberg_to_delta(spark, ice, d2, ts_ms=2000)
+    a = read_delta(spark, t).select("doc_id", "grp", "val")
+    b = read_delta(spark, d2).select("doc_id", "grp", "val")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
