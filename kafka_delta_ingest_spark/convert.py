@@ -37,7 +37,11 @@ from __future__ import annotations
 import json
 import os
 
-__all__ = ["convert_delta_to_iceberg", "convert_iceberg_to_delta"]
+__all__ = [
+    "convert_delta_to_iceberg",
+    "convert_hudi_to_delta",
+    "convert_iceberg_to_delta",
+]
 
 
 def convert_delta_to_iceberg(
@@ -258,16 +262,11 @@ def convert_iceberg_to_delta(
     """
     import time
 
-    from kafka_delta_ingest_spark.delta_standard import (
-        DeltaStandardWriter,
-        _nullable_schema_json,
-    )
     from kafka_delta_ingest_spark.iceberg import (
         _current_schema,
         _iceberg_type_to_spark,
         plan_files,
     )
-    from kafka_delta_ingest_spark.sinks.delta_like import _parquet_stats
 
     if ts_ms is None:
         ts_ms = int(time.time() * 1000)
@@ -301,6 +300,20 @@ def convert_iceberg_to_delta(
     paths = [p for p, _seq in data_files]
     if not paths:
         raise ValueError(f"{iceberg_root} has no live data files")
+    adds = _executor_delta_adds(spark, paths)
+    if not adds:
+        raise ValueError(f"{iceberg_root} has no live rows to convert")
+    return _bootstrap_delta_log(
+        delta_path, schema, adds, ts_ms, source="iceberg"
+    )
+
+
+def _executor_delta_adds(spark, paths: list[str]) -> list[dict]:
+    """Delta add-action dicts (absolute paths, footer stats JSON) for
+    an existing parquet file set — stats computed EXECUTOR-side via
+    mapInPandas; the driver collects only the log-sized result."""
+    from kafka_delta_ingest_spark.sinks.delta_like import _parquet_stats
+
     flist = spark.createDataFrame(
         [(p,) for p in paths], "path string"
     )
@@ -337,14 +350,27 @@ def convert_iceberg_to_delta(
     import base64
     import pickle
 
-    adds = [
+    return [
         pickle.loads(base64.b64decode(r.j))
         for r in flist.repartition(n_slices)
         .mapInPandas(_stats, "j string")
         .collect()
     ]
-    if not adds:
-        raise ValueError(f"{iceberg_root} has no live rows to convert")
+
+
+def _bootstrap_delta_log(
+    delta_path: str, schema, adds: list[dict], ts_ms: int, source: str
+) -> int:
+    """Commit version 0 of a fresh ``_delta_log`` over external
+    files: protocol + metaData + the adds, claimed through the
+    writer's normal atomic-commit path (LogStore put-if-absent), so a
+    racing bootstrap loses cleanly."""
+    import uuid
+
+    from kafka_delta_ingest_spark.delta_standard import (
+        DeltaStandardWriter,
+        _nullable_schema_json,
+    )
 
     w = DeltaStandardWriter(delta_path)
     if w.latest_version() >= 0:
@@ -352,13 +378,11 @@ def convert_iceberg_to_delta(
             f"{delta_path} already holds a Delta log; conversion "
             "only bootstraps fresh metadata"
         )
-    import uuid
-
     actions = [
         {
             "commitInfo": {
                 "operation": "CONVERT",
-                "operationParameters": {"source": "iceberg"},
+                "operationParameters": {"source": source},
                 "timestamp": ts_ms,
             }
         },
@@ -375,3 +399,62 @@ def convert_iceberg_to_delta(
         },
     ] + [{"add": a} for a in adds]
     return w._atomic_commit(actions, read_version=None)
+
+
+def convert_hudi_to_delta(
+    spark,
+    hudi_path: str,
+    delta_path: str,
+    ts_ms: int | None = None,
+    as_of_instant: str | None = None,
+) -> int:
+    """Third bridge: bootstrap a ``_delta_log`` over a Hudi
+    COPY_ON_WRITE table's live base files (optionally at a
+    time-travel instant). Returns the Delta version committed (0).
+
+    Hudi base parquet carries the five ``_hoodie_*`` meta columns in
+    every file; the Delta metaData declares only the DATA columns, and
+    ``read_delta``'s explicit-schema scan prunes the meta columns at
+    the parquet reader — so the converted view is exactly the user
+    rows, no rewrite needed. File groups with PENDING LOG FILES are
+    refused (their latest row versions live in the logs; a
+    metadata-only translation would serve stale bases) — run
+    ``compact()`` first. Partitioned tables convert as unpartitioned
+    Delta metadata (this repo's Hudi writer clones partition columns
+    into the pages, so rows are identical; add-stats keep file-level
+    skipping)."""
+    import time
+
+    from kafka_delta_ingest_spark.hudi import META_COLS, plan_file_groups
+
+    if ts_ms is None:
+        ts_ms = int(time.time() * 1000)
+    groups, _instant = plan_file_groups(hudi_path, as_of_instant, None)
+    pending = sorted(
+        fid for (_p, fid), g in groups.items() if g["logs"]
+    )
+    if pending:
+        raise ValueError(
+            f"{len(pending)} file group(s) have pending log files "
+            "(MERGE_ON_READ deltas); a metadata-only conversion would "
+            "serve their stale base slices — run compact() first"
+        )
+    base_files = sorted(g["base"] for g in groups.values() if g["base"])
+    if not base_files:
+        raise ValueError(f"{hudi_path} has no live base files")
+    full = spark.read.option("mergeSchema", "true").parquet(
+        *base_files
+    ).schema
+    from pyspark.sql.types import StructType
+
+    schema = StructType(
+        [f for f in full.fields if f.name not in META_COLS]
+    )
+    if not schema.fields:
+        raise ValueError(f"{hudi_path} has no data columns")
+    adds = _executor_delta_adds(spark, base_files)
+    if not adds:
+        raise ValueError(f"{hudi_path} has no live rows to convert")
+    return _bootstrap_delta_log(
+        delta_path, schema, adds, ts_ms, source="hudi"
+    )

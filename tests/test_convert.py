@@ -190,3 +190,36 @@ def test_convert_roundtrip_delta_iceberg_delta(spark, tmp_path):
     a = read_delta(spark, t).select("doc_id", "grp", "val")
     b = read_delta(spark, d2).select("doc_id", "grp", "val")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_convert_hudi_cow_to_delta(spark, tmp_path):
+    """Third bridge: Hudi CoW base files -> v0 Delta log. The hoodie
+    meta columns stay in the parquet but the declared Delta schema
+    prunes them; rows match the independent read_hudi view."""
+    from kafka_delta_ingest_spark.convert import convert_hudi_to_delta
+    from kafka_delta_ingest_spark.hudi import HudiCowWriter, read_hudi
+
+    h = str(tmp_path / "hudi")
+    d2 = str(tmp_path / "delta2")
+    w = HudiCowWriter(h, record_key="doc_id")
+    w.insert_batch(_docs(spark, 30))
+    w.upsert_batch(_docs(spark, 10, lo=100))
+    v = convert_hudi_to_delta(spark, h, d2, ts_ms=1000)
+    assert v == 0
+    hv = read_hudi(spark, h).select("doc_id", "grp", "val")
+    dv = read_delta(spark, d2).select("doc_id", "grp", "val")
+    assert dv.exceptAll(hv).count() == 0 and hv.exceptAll(dv).count() == 0
+    assert dv.count() == 40
+    assert "_hoodie_record_key" not in dv.columns
+
+
+def test_convert_hudi_mor_pending_logs_refused(spark, tmp_path):
+    from kafka_delta_ingest_spark.convert import convert_hudi_to_delta
+    from kafka_delta_ingest_spark.hudi import HudiMorWriter
+
+    h = str(tmp_path / "mor")
+    w = HudiMorWriter(h, record_key="doc_id")
+    w.insert_batch(_docs(spark, 20))
+    w.upsert_log_batch(_docs(spark, 5).withColumn("val", F.lit(9.9)))
+    with pytest.raises(ValueError, match="compact"):
+        convert_hudi_to_delta(spark, h, str(tmp_path / "d2"))
