@@ -6354,6 +6354,108 @@ def table_convert_roundtrip(spark, sf_dir):
     ).withColumn("rt_ok", F.lit(bool(rt_ok)))
 
 
+@_q(
+    "table_convert_hudi_delta",
+    """
+    SELECT event_id, event_type, user_id,
+      CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END
+        AS value,
+      TRUE AS hd_ok
+    FROM events
+    """,
+)
+def table_convert_hudi_delta(spark, sf_dir):
+    """Third metadata-only bridge (r10, convert.py): Hudi
+    COPY_ON_WRITE -> Delta. A Hudi table is built with an insert plus
+    a CoW UPSERT (every 10th event's value corrected, so the live
+    base slices differ from the first write), then a v0 ``_delta_log``
+    is bootstrapped over its base parquet files in place. The hoodie
+    meta columns stay physically in the files; the declared Delta
+    schema prunes them at the reader. Returned rows are the
+    read_delta view of the converted log; the oracle is the logical
+    latest-wins content, certifying Hudi timeline planning -> Delta
+    add/stats translation -> Delta replay. hd_ok pins: the Delta dir
+    holds only its log, _hoodie_* absent from the converted view,
+    read_hudi/read_delta row-identical both ways, and a MERGE_ON_READ
+    table with pending log files REFUSES conversion."""
+    from kafka_delta_ingest_spark.delta_standard import read_delta
+
+    d2, hd_ok = _convert_hd_fixture(spark, sf_dir)
+    return read_delta(spark, d2).select(
+        "event_id", "event_type", "user_id", "value"
+    ).withColumn("hd_ok", F.lit(bool(hd_ok)))
+
+
+def _convert_hd_fixture(spark, sf_dir: str) -> tuple:
+    import atexit
+    import shutil as _sh
+    import tempfile as _tf
+
+    from kafka_delta_ingest_spark.convert import convert_hudi_to_delta
+    from kafka_delta_ingest_spark.delta_standard import read_delta
+    from kafka_delta_ingest_spark.hudi import (
+        HudiCowWriter,
+        HudiMorWriter,
+        read_hudi,
+    )
+
+    key = ("convhd", sf_dir)
+    hit = _TBLFMT_FIXTURES.get(key)
+    if hit and os.path.isdir(hit[0]):
+        return hit
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    root = _tf.mkdtemp(prefix="kdi-convhd-")
+    h = root + "/h"
+    d2 = root + "/d2"
+    w = HudiCowWriter(h, record_key="event_id")
+    w.insert_batch(ev.repartition(4))
+    w.upsert_batch(
+        ev.filter("event_id % 10 = 0").withColumn(
+            "value", F.col("value") + 1000
+        )
+    )
+    convert_hudi_to_delta(spark, h, d2, ts_ms=1000)
+
+    only_log = not [
+        f
+        for dp, _dirs, fs in os.walk(d2)
+        for f in fs
+        if "_delta_log" not in dp
+    ]
+    dv = read_delta(spark, d2)
+    hv = read_hudi(spark, h).select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    no_meta = not [c for c in dv.columns if c.startswith("_hoodie")]
+    sel = dv.select("event_id", "event_type", "user_id", "value")
+    refuse = False
+    try:
+        m = HudiMorWriter(root + "/mor", record_key="event_id")
+        m.insert_batch(ev.limit(20))
+        m.upsert_log_batch(
+            ev.limit(5).withColumn("value", F.lit(9.9))
+        )
+        try:
+            convert_hudi_to_delta(spark, root + "/mor", root + "/d3")
+        except ValueError:
+            refuse = True
+    finally:
+        _sh.rmtree(root + "/mor", ignore_errors=True)
+    hd_ok = (
+        only_log
+        and no_meta
+        and sel.exceptAll(hv).isEmpty()
+        and hv.exceptAll(sel).isEmpty()
+        and refuse
+    )
+    out = (d2, hd_ok)
+    _TBLFMT_FIXTURES[key] = out
+    atexit.register(_sh.rmtree, root, ignore_errors=True)
+    return out
+
+
 def _convert_rt_fixture(spark, sf_dir: str) -> tuple:
     import atexit
     import shutil as _sh
@@ -10670,6 +10772,7 @@ _SWEEP_ORDER: list[str] = [
     "sim_kmeans_refine",  # NEW r10 — mirror-certified, front of r11
     "table_convert_delta_iceberg",  # NEW r10 — mirror-certified
     "table_convert_roundtrip",  # NEW r10 — mirror-certified
+    "table_convert_hudi_delta",  # NEW r10 — mirror-certified
     "dedup_ngram_jaccard",
     "dedup_winnow_pairs",
     "dedup_clusters_cc",
