@@ -119,30 +119,15 @@ def convert_delta_to_iceberg(
     types_by_name = {f["name"]: f["type"] for f in fields}
 
     # partition translation: Delta partitionColumns are identity
-    # transforms; add.partitionValues strings -> typed manifest values.
-    # Hive-layout Delta writers DROP partition columns from the data
-    # pages (the directory name is the only copy); this repo's Iceberg
-    # reader — like its writer — expects every column IN the file
-    # (iceberg.py read_iceberg docstring). Converting such a table
-    # metadata-only would surface nulls for the partition column, so
-    # refuse unless the files really carry it. (The Iceberg spec's
-    # reader-side identity-from-metadata fallback is the seam that
-    # would lift this.)
-    if part_cols and adds:
-        import pyarrow.parquet as pq
-
-        probe = os.path.join(delta_path, adds[0]["path"])
-        have = set(pq.ParquetFile(probe).schema_arrow.names)
-        gone = [c for c in part_cols if c not in have]
-        if gone:
-            raise ValueError(
-                f"partition column(s) {gone} exist only in the hive "
-                "directory layout, not in the parquet data pages; a "
-                "metadata-only conversion would read them as null. "
-                "Rewrite via OPTIMIZE into an unpartitioned layout "
-                "first, or use a writer that clones partition columns "
-                "into the files (as this repo's Iceberg writer does)"
-            )
+    # transforms; add.partitionValues strings -> typed manifest
+    # values. Hive-layout Delta writers DROP partition columns from
+    # the data pages (the directory name is the only copy) — the
+    # Iceberg spec covers exactly this: identity values live in the
+    # manifest partition tuple and readers source them from metadata
+    # when the file omits the column (read_iceberg's
+    # _reattach_identity_partitions fallback, r10), so partitioned
+    # tables convert metadata-only with their identity spec AND
+    # partition pruning intact.
 
     def _typed_pv(raw: dict) -> dict:
         pv = {}

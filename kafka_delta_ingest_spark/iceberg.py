@@ -137,10 +137,12 @@ def plan_files(
     as_of_timestamp_ms=None,
     partition_filter: Callable[[dict], bool] | None = None,
     row_filter: list[tuple] | None = None,
+    with_partitions: bool = False,
 ):
     """Walk the metadata tree and return the scan plan:
     ``(data_files, position_delete_files, equality_deletes, meta)``
-    where ``data_files`` is a list of (path, data_sequence_number),
+    where ``data_files`` is a list of (path, data_sequence_number)
+    — or (path, seq, partition_values) with ``with_partitions=True`` —,
     ``position_delete_files`` of (path, seq), and ``equality_deletes``
     of (path, [column names], seq). Metadata-only: no data file is
     opened.
@@ -200,7 +202,12 @@ def plan_files(
                     f"unsupported file format {df.get('file_format')!r}"
                 )
             if content == 0:
-                data_files.append((path, seq))
+                if with_partitions:
+                    data_files.append(
+                        (path, seq, df.get("partition") or {})
+                    )
+                else:
+                    data_files.append((path, seq))
             elif content == 1:
                 pos_deletes.append((path, seq))
             elif content == 2:
@@ -648,6 +655,99 @@ def _identity_partition_fields(meta: dict) -> list[str]:
     return out
 
 
+def _reattach_identity_partitions(spark, frame, meta, data_files,
+                                  fp_col=None):
+    """Iceberg-spec reader fallback: IDENTITY-transform partition
+    values may be omitted from data files, in which case the reader
+    must source them from the manifest partition tuple (spec
+    "Partition Transforms": identity values are stored in metadata
+    and "may be read from the data file or metadata"). Files written
+    by this repo's writer carry the columns in the pages (fast path:
+    nothing to do); converted tables (convert.py) reference foreign
+    hive-layout parquet that doesn't.
+
+    Reconstruction is ONE broadcast join: a (file_path -> values)
+    mapping frame built from the plan's manifest entries attaches the
+    missing columns, then casts them to the schema types — one scan
+    regardless of partition cardinality (no per-partition scan
+    groups). v1 scope: applies when the source column is absent from
+    EVERY scanned footer; a mixed table (converted files later
+    joined by column-carrying native appends under the same identity
+    spec) is a documented seam.
+
+    ``data_files`` must be (path, seq, partition_values) triples
+    (``plan_files(..., with_partitions=True)``). ``fp_col`` names an
+    existing normalized-file-path column; None adds a temporary one.
+    Returns the (possibly unchanged) frame."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast as _bc
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    specs = meta.get("partition-specs") or []
+    sid = meta.get("default-spec-id", 0)
+    spec = next(
+        (s for s in specs if s.get("spec-id") == sid),
+        specs[0] if specs else None,
+    )
+    ids = _schema_field_names(meta)
+    type_of = {
+        f["id"]: f["type"]
+        for f in (_current_schema(meta) or {}).get("fields", [])
+    }
+    missing = []
+    for pf in (spec or {}).get("fields") or []:
+        if pf.get("transform") != "identity":
+            continue
+        src = ids.get(pf.get("source-id")) or pf["name"]
+        if src in frame.columns:
+            continue
+        missing.append(
+            (pf["name"], src,
+             _iceberg_type_to_spark(type_of.get(pf.get("source-id"))))
+        )
+    if not missing:
+        return frame
+    rows = [
+        tuple(
+            [path]
+            + [
+                None if pv.get(pn) is None else str(pv.get(pn))
+                for pn, _src, _dt in missing
+            ]
+        )
+        for path, _seq, pv in data_files
+    ]
+    mp = spark.createDataFrame(
+        rows,
+        StructType(
+            [StructField("_kdi_map_fp", StringType())]
+            + [
+                StructField(src, StringType(), True)
+                for _pn, src, _dt in missing
+            ]
+        ),
+    )
+    added_fp = False
+    if fp_col is None:
+        frame = frame.select(
+            "*",
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:(//)?", ""
+            ).alias("_kdi_map_join_fp"),
+        )
+        fp_col = "_kdi_map_join_fp"
+        added_fp = True
+    frame = frame.join(
+        _bc(mp), frame[fp_col] == mp["_kdi_map_fp"], "left"
+    ).drop("_kdi_map_fp")
+    for _pn, src, dt in missing:
+        if dt is not None:
+            frame = frame.withColumn(src, F.col(src).cast(dt))
+    if added_fp:
+        frame = frame.drop("_kdi_map_join_fp")
+    return frame
+
+
 def read_iceberg(
     spark,
     table_path: str,
@@ -679,11 +779,11 @@ def read_iceberg(
 
     data_files, pos_deletes, eq_deletes, meta = plan_files(
         table_path, snapshot_id, as_of_timestamp_ms, partition_filter,
-        row_filter,
+        row_filter, with_partitions=True,
     )
     if _file_subset is not None:
         data_files = [
-            (p, s) for p, s in data_files if p in _file_subset
+            (p, s, pv) for p, s, pv in data_files if p in _file_subset
         ]
     if not data_files:
         raise ValueError("scan plan has no data files")
@@ -713,7 +813,10 @@ def read_iceberg(
         )
 
     if not pos_deletes and not eq_deletes:
-        plain = _scan([p for p, _ in data_files])
+        plain = _scan([p for p, _s, _pv in data_files])
+        plain = _reattach_identity_partitions(
+            spark, plain, meta, data_files
+        )
         if _keep_lineage:
             # (file, pos) row lineage for write-side position deletes
             plain = plain.select(
@@ -729,7 +832,7 @@ def read_iceberg(
     # number of data commits in the snapshot (metadata-scale), each
     # group is one multi-file parquet scan — no per-file plan blowup.
     by_seq: dict[int, list[str]] = {}
-    for p, seq in data_files:
+    for p, seq, _pv in data_files:
         by_seq.setdefault(seq, []).append(p)
     df = None
     for seq in sorted(by_seq):
@@ -747,6 +850,11 @@ def read_iceberg(
         df = g if df is None else df.unionByName(
             g, allowMissingColumns=True
         )
+    # identity reconstruction BEFORE delete application: equality
+    # deletes may key on an identity partition column
+    df = _reattach_identity_partitions(
+        spark, df, meta, data_files, fp_col="_kdi_fp"
+    )
     if pos_deletes:
         # each pos-delete file carries its own sequence number; a
         # delete applies to data files with data_seq <= delete_seq

@@ -3218,6 +3218,8 @@ def _parquet_stats(path: str) -> dict:
 
 
 def _json_safe(v):
+    import decimal
+
     if isinstance(v, bytes):
         try:
             return v.decode("utf-8")
@@ -3225,4 +3227,9 @@ def _json_safe(v):
             return v.hex()
     if hasattr(v, "isoformat"):
         return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        # decimal stats serialize as plain numeric strings (the
+        # delta-spark convention); without this a DECIMAL column made
+        # every stats-carrying write crash on json.dumps
+        return str(v)
     return v

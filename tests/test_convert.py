@@ -103,14 +103,46 @@ def test_convert_refuses_deletion_vectors(spark, tmp_path):
         convert_delta_to_iceberg(spark, t, str(tmp_path / "ice"))
 
 
-def test_convert_refuses_hive_dropped_partition_columns(
+def test_convert_partitioned_delta_identity_fallback(
     spark, tmp_path
 ):
+    """Hive-layout Delta drops partition columns from the data pages;
+    the converted Iceberg table serves them from the manifest
+    partition tuple (the spec's identity-from-metadata rule,
+    read_iceberg._reattach_identity_partitions) — correct values,
+    correct TYPE, and manifest-level partition pruning."""
     t = str(tmp_path / "delta")
+    ice = str(tmp_path / "ice")
     w = DeltaStandardWriter(t)
     w.write(_docs(spark, 30), partition_by=["grp"])
-    with pytest.raises(ValueError, match="hive"):
-        convert_delta_to_iceberg(spark, t, str(tmp_path / "ice"))
+    convert_delta_to_iceberg(spark, t, ice, ts_ms=1000)
+    d = read_delta(spark, t).select("doc_id", "grp", "val")
+    i = read_iceberg(spark, ice).select("doc_id", "grp", "val")
+    assert i.exceptAll(d).count() == 0 and d.exceptAll(i).count() == 0
+    got = {r.doc_id: r.grp for r in i.collect()}
+    assert got[7] == "2" and got[10] == "0"
+    assert dict(i.dtypes)["grp"] == "string"
+    # plan-time partition pruning still works off the manifests
+    pruned = read_iceberg(
+        spark, ice, partition_filter=lambda pv: pv.get("grp") == "3"
+    )
+    assert sorted(r.doc_id for r in pruned.collect()) == [3, 8, 13, 18, 23, 28]
+
+
+def test_convert_partitioned_delta_int_partition_type(spark, tmp_path):
+    """Long-typed identity partition values reconstruct as LONGS."""
+    t = str(tmp_path / "delta")
+    ice = str(tmp_path / "ice")
+    w = DeltaStandardWriter(t)
+    df = spark.range(20).selectExpr(
+        "id AS doc_id", "id % 3 AS bucket", "CAST(id * 1.5 AS DOUBLE) AS val"
+    )
+    w.write(df, partition_by=["bucket"])
+    convert_delta_to_iceberg(spark, t, ice, ts_ms=1000)
+    i = read_iceberg(spark, ice)
+    assert dict(i.dtypes)["bucket"] == "bigint"
+    assert {r.bucket for r in i.collect()} == {0, 1, 2}
+    assert i.filter("bucket = 1").count() == 7  # ids 1,4,7,10,13,16,19
 
 
 def test_convert_at_explicit_version(spark, tmp_path):

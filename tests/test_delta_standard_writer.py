@@ -472,3 +472,41 @@ def test_evolve_schema_preserves_explicit_not_null(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="non-nullable"):
         w.write(spark.createDataFrame([("x", 1)], "grp string, score long"))
+
+
+def test_write_decimal_column_stats(spark, tmp_path):
+    """DECIMAL columns carry footer min/max as Decimal objects, which
+    json.dumps rejects — every stats-carrying write of a decimal
+    column crashed before _json_safe stringified them (r10; surfaced
+    by an ANSI-mode `id * 1.5` literal in a conversion test). Stats
+    serialize as plain numeric strings (the delta-spark convention)
+    and pruning coerces them toward the probe's type."""
+    import json as _json
+    import os as _os
+
+    from kafka_delta_ingest_spark.delta_standard import (
+        DeltaStandardWriter,
+        read_delta,
+    )
+
+    t = str(tmp_path / "dec")
+    w = DeltaStandardWriter(t)
+    df = spark.range(10).selectExpr(
+        "id AS doc_id", "id * 1.5 AS amt"  # ANSI: DECIMAL(21,1)
+    )
+    w.write(df)
+    got = {r.doc_id: r.amt for r in read_delta(spark, t).collect()}
+    assert len(got) == 10 and str(got[3]) == "4.5"
+    from decimal import Decimal
+
+    log = _os.path.join(t, "_delta_log", f"{0:020d}.json")
+    mins, maxs = [], []
+    with open(log) as f:
+        for line in f:
+            act = _json.loads(line)
+            if "add" in act:
+                s = _json.loads(act["add"]["stats"])
+                mins.append(Decimal(s["minValues"]["amt"]))
+                maxs.append(Decimal(s["maxValues"]["amt"]))
+    assert mins and min(mins) == Decimal("0.0")
+    assert max(maxs) == Decimal("13.5")
