@@ -218,6 +218,25 @@ def build_parser() -> argparse.ArgumentParser:
     tab.add_argument("--cluster_by", default=None, help="optimize: comma-separated")
     tab.add_argument("--zorder_by", default=None, help="optimize: comma-separated")
     tab.add_argument("--target_bytes", type=int, default=134_217_728)
+    conv = sub.add_parser(
+        "convert",
+        help="Metadata-only table-format conversion (XTable/UniForm "
+             "shape): commit new-format metadata over the source "
+             "table's live parquet files in place — no data rewrite",
+    )
+    conv.add_argument(
+        "direction",
+        choices=["delta-to-iceberg", "iceberg-to-delta",
+                 "hudi-to-delta"],
+    )
+    conv.add_argument("source", help="Source table root")
+    conv.add_argument("dest", help="Destination metadata root (fresh)")
+    conv.add_argument("--version", type=int, default=None,
+                      help="delta-to-iceberg: explicit source version")
+    conv.add_argument("--snapshot_id", type=int, default=None,
+                      help="iceberg-to-delta: explicit snapshot id")
+    conv.add_argument("--as_of_instant", default=None,
+                      help="hudi-to-delta: time-travel instant")
     return p
 
 
@@ -225,6 +244,34 @@ def _parse_preds(val: str | None) -> list[tuple] | None:
     if not val:
         return None
     return [tuple(p) for p in json.loads(val)]
+
+
+def run_convert(args: argparse.Namespace) -> int:
+    """One conversion per invocation; prints the committed version in
+    a parse-friendly form."""
+    from kafka_delta_ingest_spark.convert import (
+        convert_delta_to_iceberg,
+        convert_hudi_to_delta,
+        convert_iceberg_to_delta,
+    )
+    from kafka_delta_ingest_spark.session import get_spark
+
+    spark = get_spark("kdi-convert")
+    if args.direction == "delta-to-iceberg":
+        v = convert_delta_to_iceberg(
+            spark, args.source, args.dest, version=args.version
+        )
+    elif args.direction == "iceberg-to-delta":
+        v = convert_iceberg_to_delta(
+            spark, args.source, args.dest, snapshot_id=args.snapshot_id
+        )
+    else:
+        v = convert_hudi_to_delta(
+            spark, args.source, args.dest,
+            as_of_instant=args.as_of_instant,
+        )
+    print(f"converted\t{args.direction}\t{args.dest}\tversion={v}")
+    return 0
 
 
 def run_table(args: argparse.Namespace) -> int:
@@ -644,6 +691,8 @@ def main(argv: list[str] | None = None) -> int:
         return run_curate(args)
     if args.command == "extract-web":
         return run_extract_web(args)
+    if args.command == "convert":
+        return run_convert(args)
     if args.command == "table":
         return run_table(args)
     opts = options_from_args(args)
