@@ -10700,121 +10700,82 @@ def events_funnel(spark, sf_dir):
 # Sweep order for the driver's correctness gate. CORRECTNESS_r01/r02 both
 # recorded exactly the first 50 dict entries, so ordering is load-bearing.
 _SWEEP_ORDER: list[str] = [
-    # --- round-10 first-50 window (driver caps at 50). Head = the five
-    # r9 queries that landed past the frozen r9 window and were therefore
-    # mirror-certified only (r9 verdict item 1): hudi_upsert_mor,
-    # iceberg_delete_where, ingest_hudi_mor, delta_read_time_travel,
-    # sink_delta_standard_constraints. The rest of the window is the
-    # stalest cumulative record: the r2-checked block (events tumbling/
-    # range/interval joins, exact embedding near-dup), the full r3 block
-    # (transform/coercion surface, splits/sampling, text-analysis tail,
-    # events sessionize/asof), the r4 block (events enrich/funnel, codec
-    # roundtrips, corpus stats), and dedup_simhash_pairs (r5-checked;
-    # also gets a 10x BENCH_SCALE datapoint this round). Green here
-    # restores 181/181 queries ever driver-checked.
-    "hudi_upsert_mor",
-    "iceberg_delete_where",
-    "ingest_hudi_mor",
-    "delta_read_time_travel",
-    "sink_delta_standard_constraints",
-    "events_tumbling_counts",
-    "events_range_join",
-    "events_interval_join",
-    "embedding_neardup_exact",
-    "events_sessionize",
-    "events_asof_join",
-    "sim_pq_topk",
-    "sim_ivf_topk",
-    "sim_quantize_fidelity",
-    "dedup_canonical_keep",
-    "transform_substr",
-    "coerce_tostring",
-    "coerce_timestamp_strict",
-    "transform_kafka_meta",
-    "transform_epoch_functions",
-    "split_train_holdout",
-    "sample_exact_k",
-    "split_source_mix",
-    "split_pack_sequences",
-    "split_domain_cap",
-    "multimodal_frame_plan",
-    "multimodal_dedup_exact",
-    "text_token_counts",
-    "text_chunk_sliding",
-    "text_repetition_profile",
-    "text_gopher_quality",
-    "text_bpe_pair_census",
-    "text_tfidf_top_terms",
-    "text_bm25_search",
-    "text_shared_passages",
-    "events_enrich_users",
-    "events_funnel",
-    "multimodal_jpeg_roundtrip",
-    "multimodal_wav_roundtrip",
-    "corpus_card",
-    "decontam_semantic",
-    "scan_variant_props",
-    "text_top_ngrams",
-    "text_fingerprint_rolling",
-    "text_domain_census",
-    "corpus_length_histogram",
-    "split_shuffle_order",
-    "split_quality_curriculum",
-    "sample_stratified",
-    "dedup_simhash_pairs",
-    # --- tail: ordered by staleness of the cumulative driver record
-    # (r5 remainder, r6, r7, then the r8- and r9-certified windows).
-    # All 181 stay green on the per-round oracle mirror
-    # (tools/check_oracle.py) regardless of the driver's 50-slot cap.
-    # Standing rule: queries added after this round's window head was
-    # frozen join the FRONT of the r11 window and are labelled
-    # "mirror-certified" until then.
-    "sim_kmeans_refine",  # NEW r10 — mirror-certified, front of r11
-    "table_convert_delta_iceberg",  # NEW r10 — mirror-certified
-    "table_convert_roundtrip",  # NEW r10 — mirror-certified
-    "table_convert_hudi_delta",  # NEW r10 — mirror-certified
+    # --- round-11 first-50 window (driver caps at 50). Head = the four
+    # r10 queries that landed past the frozen r10 window and were
+    # mirror-certified only (r10 verdict item 1): sim_kmeans_refine and
+    # the three table-format conversion bridges. Green here restores
+    # 185/185 queries ever driver-checked. The rest of the window is the
+    # stalest cumulative record: the full r5 block (decontam, winnowing,
+    # pii, ccnet buckets, lm quality), the full r6 block (pipelines,
+    # exact/minhash dedup, avro/dlq ingest, offset dedup, dml cdf), the
+    # full r7 block (incremental dedup, web extraction), then 15 from
+    # the r8 block chosen where r11 code changes land: the A/B quartet
+    # subjects (dedup_substring_*, text_unigram_train_probe,
+    # pipeline_pretrain_curation is in the r6 block above), the
+    # similarity family carrying the r11 sample-train pivot cap, and the
+    # iceberg/hudi/delta readers around the per-file identity-partition
+    # fallback and the tz-aware MoR fix.
+    "sim_kmeans_refine",
+    "table_convert_delta_iceberg",
+    "table_convert_roundtrip",
+    "table_convert_hudi_delta",
+    "decontam_fuzzy",
+    "decontam_overlap_report",
+    "dedup_clusters_cc",
     "dedup_ngram_jaccard",
     "dedup_winnow_pairs",
-    "dedup_clusters_cc",
-    "text_profile",
-    "text_lm_perplexity",
-    "text_dsir_weights",
-    "text_quality_classifier",
-    "text_remove_boilerplate",
+    "pii_scrub",
+    "sample_token_budget",
+    "search_hybrid_rrf",
     "split_ccnet_buckets",
     "split_temperature_mix",
-    "sample_token_budget",
-    "pii_scrub",
-    "decontam_overlap_report",
-    "decontam_fuzzy",
-    "search_hybrid_rrf",
-    "ingest_avro_path",
-    "stream_offset_dedup",
-    "ingest_dlq_split",
-    "sink_dml_cdf",
-    "pipeline_pretrain_curation",
-    "pipeline_fuzzy_curation",
-    "pipeline_rag_retrieval",
-    "pipeline_corpus_curation",
+    "text_dsir_weights",
+    "text_lm_perplexity",
+    "text_profile",
+    "text_quality_classifier",
+    "text_remove_boilerplate",
     "dedup_exact",
     "dedup_minhash_pairs",
-    "scan_filter_project",
-    "pipeline_web_extraction",
-    "web_url_normalize",
-    "web_robots_filter",
+    "ingest_avro_path",
+    "ingest_dlq_split",
+    "pipeline_corpus_curation",
+    "pipeline_fuzzy_curation",
+    "pipeline_pretrain_curation",
+    "pipeline_rag_retrieval",
+    "sink_dml_cdf",
+    "stream_offset_dedup",
     "dedup_incremental_admit",
     "dedup_incremental_indexed",
-    "ingest_delta_standard_evolve",
-    "sink_delta_standard_roundtrip",
+    "pipeline_web_extraction",
+    "scan_filter_project",
+    "web_robots_filter",
+    "web_url_normalize",
+    "dedup_substring_spans",
+    "dedup_substring_rewrite",
+    "text_unigram_train_probe",
+    "sim_semdedup",
+    "sim_ivfpq_topk",
+    "sim_lsh_topk",
+    "sim_cosine_topk",
+    "iceberg_read_snapshot",
+    "ingest_iceberg",
+    "hudi_read_mor",
+    "hudi_read_snapshot",
     "ingest_delta_standard",
     "delta_read_standard",
+    "ingest_orc_path",
+    "text_bpe_train_probe",
+    # --- tail: ordered by staleness of the cumulative driver record
+    # (r8 remainder, then the r9- and r10-certified windows). All 185
+    # stay green on the per-round oracle mirror (tools/check_oracle.py)
+    # regardless of the driver's 50-slot cap. Standing rule: queries
+    # added after this round's window head was frozen join the FRONT of
+    # the r12 window and are labelled "mirror-certified" until then.
+    "ingest_delta_standard_evolve",
+    "sink_delta_standard_roundtrip",
     "delta_read_dv",
     "delta_read_cdf",
-    "ingest_iceberg",
     "sink_iceberg_roundtrip",
-    "iceberg_read_snapshot",
-    "hudi_read_snapshot",
-    "hudi_read_mor",
     "hudi_read_incremental",
     "ingest_hudi",
     "sim_pool_embeddings",
@@ -10828,8 +10789,6 @@ _SWEEP_ORDER: list[str] = [
     "pack_bins_nfd",
     "text_c4_line_filter",
     "corpus_zipf_fit",
-    "dedup_substring_spans",
-    "dedup_substring_rewrite",
     "multimodal_adpcm_roundtrip",
     "multimodal_mjpeg_roundtrip",
     "multimodal_g711_roundtrip",
@@ -10840,19 +10799,12 @@ _SWEEP_ORDER: list[str] = [
     "ingest_compressed_path",
     "multimodal_apng_roundtrip",
     "multimodal_tiff_roundtrip",
-    "text_bpe_train_probe",
-    "ingest_orc_path",
     "ingest_csv_path",
     "sink_zorder_cluster",
-    "text_unigram_train_probe",
     "dedup_paragraphs_global",
     "text_lang_id",
     "text_unicode_nfc",
     "text_split_sentences",
-    "sim_cosine_topk",
-    "sim_lsh_topk",
-    "sim_ivfpq_topk",
-    "sim_semdedup",
     "embedding_neardup_lsh",
     "sink_delta_standard_zorder",
     "iceberg_read_incremental",
@@ -10904,6 +10856,56 @@ _SWEEP_ORDER: list[str] = [
     "sql_correlated_subquery",
     "sql_recursive_calendar",
     "ingest_message_path",
+    "hudi_upsert_mor",
+    "iceberg_delete_where",
+    "ingest_hudi_mor",
+    "delta_read_time_travel",
+    "sink_delta_standard_constraints",
+    "events_tumbling_counts",
+    "events_range_join",
+    "events_interval_join",
+    "embedding_neardup_exact",
+    "events_sessionize",
+    "events_asof_join",
+    "sim_pq_topk",
+    "sim_ivf_topk",
+    "sim_quantize_fidelity",
+    "dedup_canonical_keep",
+    "transform_substr",
+    "coerce_tostring",
+    "coerce_timestamp_strict",
+    "transform_kafka_meta",
+    "transform_epoch_functions",
+    "split_train_holdout",
+    "sample_exact_k",
+    "split_source_mix",
+    "split_pack_sequences",
+    "split_domain_cap",
+    "multimodal_frame_plan",
+    "multimodal_dedup_exact",
+    "text_token_counts",
+    "text_chunk_sliding",
+    "text_repetition_profile",
+    "text_gopher_quality",
+    "text_bpe_pair_census",
+    "text_tfidf_top_terms",
+    "text_bm25_search",
+    "text_shared_passages",
+    "events_enrich_users",
+    "events_funnel",
+    "multimodal_jpeg_roundtrip",
+    "multimodal_wav_roundtrip",
+    "corpus_card",
+    "decontam_semantic",
+    "scan_variant_props",
+    "text_top_ngrams",
+    "text_fingerprint_rolling",
+    "text_domain_census",
+    "corpus_length_histogram",
+    "split_shuffle_order",
+    "split_quality_curriculum",
+    "sample_stratified",
+    "dedup_simhash_pairs",
 ]
 
 
