@@ -6456,6 +6456,122 @@ def _convert_hd_fixture(spark, sf_dir: str) -> tuple:
     return out
 
 
+@_q(
+    "table_convert_hudi_iceberg",
+    """
+    SELECT event_id, event_type, user_id,
+      CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END
+        AS value,
+      TRUE AS hi_ok
+    FROM events
+    """,
+)
+def table_convert_hudi_iceberg(spark, sf_dir):
+    """Fourth metadata-only bridge (r11, convert.py — completes the
+    Hudi->Iceberg direction of the conversion matrix, r10 verdict item
+    3): Hudi COPY_ON_WRITE -> Iceberg WITHOUT the Delta hop. A Hudi
+    table is built with an insert plus a CoW upsert (every 10th
+    event's value corrected, so the live base slices differ from the
+    first write), then ONE Iceberg snapshot is committed whose data
+    manifest references the Hudi base parquet files IN PLACE — zero
+    data bytes rewritten, O(live base files) executor-side footer
+    stats. The hoodie meta columns stay physically in the files; the
+    declared Iceberg schema omits them and read_iceberg's schema
+    projection prunes them at the scan. Returned rows are the
+    INDEPENDENT read_iceberg view of the converted metadata; the
+    oracle is the logical latest-wins content, certifying Hudi
+    timeline planning -> Iceberg schema/manifest translation ->
+    Iceberg scan. hi_ok pins: no parquet under the Iceberg root's
+    data/ dir (nothing copied), _hoodie_* absent from the converted
+    view, read_hudi/read_iceberg row-identical both ways, converted
+    manifests carry usable column bounds (an out-of-range row_filter
+    plans ZERO data files), and a MERGE_ON_READ table with pending
+    log files REFUSES conversion."""
+    from kafka_delta_ingest_spark.iceberg import read_iceberg
+
+    ice, hi_ok = _convert_hi_fixture(spark, sf_dir)
+    return read_iceberg(spark, ice).select(
+        "event_id", "event_type", "user_id", "value"
+    ).withColumn("hi_ok", F.lit(bool(hi_ok)))
+
+
+def _convert_hi_fixture(spark, sf_dir: str) -> tuple:
+    import atexit
+    import shutil as _sh
+    import tempfile as _tf
+
+    from kafka_delta_ingest_spark.convert import convert_hudi_to_iceberg
+    from kafka_delta_ingest_spark.hudi import (
+        HudiCowWriter,
+        HudiMorWriter,
+        read_hudi,
+    )
+    from kafka_delta_ingest_spark.iceberg import read_iceberg
+
+    key = ("convhi", sf_dir)
+    hit = _TBLFMT_FIXTURES.get(key)
+    if hit and os.path.isdir(hit[0]):
+        return hit
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    root = _tf.mkdtemp(prefix="kdi-convhi-")
+    h = root + "/h"
+    ice = root + "/ice"
+    w = HudiCowWriter(h, record_key="event_id")
+    w.insert_batch(ev.repartition(4))
+    w.upsert_batch(
+        ev.filter("event_id % 10 = 0").withColumn(
+            "value", F.col("value") + 1000
+        )
+    )
+    convert_hudi_to_iceberg(spark, h, ice, ts_ms=1000)
+
+    ice_data = os.path.join(ice, "data")
+    copied = os.path.isdir(ice_data) and any(
+        f.endswith(".parquet") for f in os.listdir(ice_data)
+    )
+    iv = read_iceberg(spark, ice)
+    no_meta = not [c for c in iv.columns if c.startswith("_hoodie")]
+    sel = iv.select("event_id", "event_type", "user_id", "value")
+    hv = read_hudi(spark, h).select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    mx = ev.agg(F.max("event_id")).collect()[0][0]
+    skipped = False
+    try:
+        read_iceberg(
+            spark, ice, row_filter=[("event_id", ">", int(mx) + 1001)]
+        )
+    except ValueError:
+        skipped = True  # bounds pruned every data file at plan time
+    refuse = False
+    try:
+        m = HudiMorWriter(root + "/mor", record_key="event_id")
+        m.insert_batch(ev.limit(20))
+        m.upsert_log_batch(
+            ev.limit(5).withColumn("value", F.lit(9.9))
+        )
+        try:
+            convert_hudi_to_iceberg(spark, root + "/mor", root + "/i3")
+        except ValueError:
+            refuse = True
+    finally:
+        _sh.rmtree(root + "/mor", ignore_errors=True)
+    hi_ok = (
+        not copied
+        and no_meta
+        and sel.exceptAll(hv).isEmpty()
+        and hv.exceptAll(sel).isEmpty()
+        and skipped
+        and refuse
+    )
+    out = (ice, hi_ok)
+    _TBLFMT_FIXTURES[key] = out
+    atexit.register(_sh.rmtree, root, ignore_errors=True)
+    return out
+
+
 def _convert_rt_fixture(spark, sf_dir: str) -> tuple:
     import atexit
     import shutil as _sh
@@ -10906,6 +11022,7 @@ _SWEEP_ORDER: list[str] = [
     "split_quality_curriculum",
     "sample_stratified",
     "dedup_simhash_pairs",
+    "table_convert_hudi_iceberg",  # NEW r11 — mirror-certified, front of r12
 ]
 
 

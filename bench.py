@@ -256,18 +256,38 @@ def main() -> None:
         "agg_approx_distinct", "dedup_clusters_cc",
     ]
     shared_r2 = round(sum(times[k] for k in r2_keys if k in times), 3)
+    # Load self-description (r10 verdict item 5): the r2 stable-key
+    # subtotal measured on a LOAD-COMPARABLE capture last round is the
+    # cross-round normalizer — these queries' code hasn't changed since
+    # r2, so r2sub_vs_prev >> 1.0 means THIS capture ran under external
+    # box load and its per-query deltas are environmental, not plan
+    # regressions (the r10 driver capture read +70% on this control).
+    # Update the constant each round from the capture the round keeps.
+    r2sub_prev = 47.6  # r10 kept capture (r9 driver capture: 46.8)
     detail = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": times,
         "runs": runs_detail,
+        "min_of_runs": {
+            k: round(min(v), 3) for k, v in runs_detail.items()
+        },
         "noise": noise,
         "max_noise": round(max_noise, 3),
         "median_noise": round(med_noise, 3),
         "sf": sf,
         "n_queries": len(times),
         "shared_r2_subtotal": shared_r2,
+        "r2sub_prev_round": r2sub_prev,
+        "r2sub_vs_prev": round(shared_r2 / r2sub_prev, 3),
+        "load_note": (
+            "r2sub_vs_prev is the capture's load state vs the prior "
+            "round's kept capture on identical never-touched plans; "
+            ">1.3 means environmental load dominates cross-round "
+            "per-query deltas — compare min_of_runs and re-capture "
+            "before reading any delta as a regression"
+        ),
     }
     # Full per-query map: printed on an EARLIER stdout line and persisted
     # to a committed file.  The driver captures only the last ~2000 chars

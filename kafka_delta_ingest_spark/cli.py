@@ -227,7 +227,7 @@ def build_parser() -> argparse.ArgumentParser:
     conv.add_argument(
         "direction",
         choices=["delta-to-iceberg", "iceberg-to-delta",
-                 "hudi-to-delta"],
+                 "hudi-to-delta", "hudi-to-iceberg"],
     )
     conv.add_argument("source", help="Source table root")
     conv.add_argument("dest", help="Destination metadata root (fresh)")
@@ -236,7 +236,7 @@ def build_parser() -> argparse.ArgumentParser:
     conv.add_argument("--snapshot_id", type=int, default=None,
                       help="iceberg-to-delta: explicit snapshot id")
     conv.add_argument("--as_of_instant", default=None,
-                      help="hudi-to-delta: time-travel instant")
+                      help="hudi-to-*: time-travel instant")
     return p
 
 
@@ -252,6 +252,7 @@ def run_convert(args: argparse.Namespace) -> int:
     from kafka_delta_ingest_spark.convert import (
         convert_delta_to_iceberg,
         convert_hudi_to_delta,
+        convert_hudi_to_iceberg,
         convert_iceberg_to_delta,
     )
     from kafka_delta_ingest_spark.session import get_spark
@@ -264,6 +265,11 @@ def run_convert(args: argparse.Namespace) -> int:
     elif args.direction == "iceberg-to-delta":
         v = convert_iceberg_to_delta(
             spark, args.source, args.dest, snapshot_id=args.snapshot_id
+        )
+    elif args.direction == "hudi-to-iceberg":
+        v = convert_hudi_to_iceberg(
+            spark, args.source, args.dest,
+            as_of_instant=args.as_of_instant,
         )
     else:
         v = convert_hudi_to_delta(

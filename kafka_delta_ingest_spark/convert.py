@@ -40,6 +40,7 @@ import os
 __all__ = [
     "convert_delta_to_iceberg",
     "convert_hudi_to_delta",
+    "convert_hudi_to_iceberg",
     "convert_iceberg_to_delta",
 ]
 
@@ -64,8 +65,6 @@ def convert_delta_to_iceberg(
     table."""
     import time
 
-    from pyspark.sql import functions as F
-
     from kafka_delta_ingest_spark.delta_standard import (
         _log_path,
         _replay,
@@ -75,7 +74,7 @@ def convert_delta_to_iceberg(
     from kafka_delta_ingest_spark.iceberg import (
         IcebergWriter,
         _spark_type_to_iceberg,
-        footer_bounds,
+        typed_partition_value,
     )
 
     if ts_ms is None:
@@ -129,14 +128,16 @@ def convert_delta_to_iceberg(
     # tables convert metadata-only with their identity spec AND
     # partition pruning intact.
 
+    # typed_partition_value is the SAME helper IcebergWriter's
+    # hive-directory parse uses, so every primitive type (int/long,
+    # float/double, boolean, date/decimal-as-canonical-string) lands in
+    # the converted manifest exactly as a native write would stamp it —
+    # partition_filter callables see one representation either way.
     def _typed_pv(raw: dict) -> dict:
-        pv = {}
-        for c in part_cols:
-            v = raw.get(c)
-            if v is not None and types_by_name.get(c) in ("int", "long"):
-                v = int(v)
-            pv[c] = v
-        return pv
+        return {
+            c: typed_partition_value(raw.get(c), types_by_name.get(c))
+            for c in part_cols
+        }
 
     # executor-side footer statistics over the live file list; the
     # driver collects only manifest-sized dicts
@@ -147,8 +148,42 @@ def convert_delta_to_iceberg(
         )
         for a in adds
     ]
-    flist = spark.createDataFrame(entries, "path string, pv string")
-    n_slices = max(1, min(len(entries), 256))
+    data_files = _executor_iceberg_entries(spark, entries, fields)
+    if not data_files:
+        raise ValueError(f"{delta_path} has no live rows to convert")
+
+    # the property survives every later commit (_commit_snapshot
+    # carries properties forward), so native appends to the converted
+    # table keep the reader's per-file identity-column coalesce active
+    # (mixed converted + column-carrying files read correctly).
+    w = IcebergWriter(
+        iceberg_root, fields, partition_by=list(part_cols),
+        properties={"kdi.files-may-omit-identity-columns": "true"},
+    )
+    cur_v, cur_meta = w._current()
+    if cur_meta is not None:
+        raise ValueError(
+            f"{iceberg_root} already holds an Iceberg table; "
+            "conversion only bootstraps fresh metadata"
+        )
+    return w._commit_snapshot(
+        [(data_files, 0)], "append", ts_ms, attempts=100
+    )
+
+
+def _executor_iceberg_entries(
+    spark, items: list[tuple[str, str]], fields: list[dict]
+) -> list[dict]:
+    """Iceberg ``data_file`` entry dicts (absolute paths, footer
+    column metrics) for an existing parquet file set — record counts
+    and null/lower/upper bounds computed EXECUTOR-side via
+    ``mapInPandas``; the driver collects only the manifest-sized
+    result. ``items`` are (path, partition-values-JSON) pairs;
+    ``fields`` the Iceberg schema fields whose ids key the metrics."""
+    from kafka_delta_ingest_spark.iceberg import footer_bounds
+
+    flist = spark.createDataFrame(items, "path string, pv string")
+    n_slices = max(1, min(len(items), 256))
 
     def _stats(batches):
         # pickle transport: manifest bounds legitimately carry bytes /
@@ -193,27 +228,12 @@ def convert_delta_to_iceberg(
     import base64
     import pickle
 
-    data_files = [
+    return [
         pickle.loads(base64.b64decode(r.j))
         for r in flist.repartition(n_slices)
         .mapInPandas(_stats, "j string")
         .collect()
     ]
-    if not data_files:
-        raise ValueError(f"{delta_path} has no live rows to convert")
-
-    w = IcebergWriter(
-        iceberg_root, fields, partition_by=list(part_cols)
-    )
-    cur_v, cur_meta = w._current()
-    if cur_meta is not None:
-        raise ValueError(
-            f"{iceberg_root} already holds an Iceberg table; "
-            "conversion only bootstraps fresh metadata"
-        )
-    return w._commit_snapshot(
-        [(data_files, 0)], "append", ts_ms, attempts=100
-    )
 
 
 def convert_iceberg_to_delta(
@@ -442,4 +462,84 @@ def convert_hudi_to_delta(
         raise ValueError(f"{hudi_path} has no live rows to convert")
     return _bootstrap_delta_log(
         delta_path, schema, adds, ts_ms, source="hudi"
+    )
+
+
+def convert_hudi_to_iceberg(
+    spark,
+    hudi_path: str,
+    iceberg_root: str,
+    ts_ms: int | None = None,
+    as_of_instant: str | None = None,
+) -> int:
+    """Fourth bridge (completing the conversion matrix one more
+    direction, r10 verdict item 3): Iceberg metadata over a Hudi
+    COPY_ON_WRITE table's live base files — the Hudi live-set replay
+    of :func:`convert_hudi_to_delta` composed with the Iceberg
+    metadata emission of :func:`convert_delta_to_iceberg`, WITHOUT the
+    Delta hop. Returns the committed Iceberg snapshot id.
+
+    Semantics mirror the other bridges: zero data bytes rewritten,
+    O(live base files) executor-side footer stats, file groups with
+    PENDING LOG FILES refused (their latest row versions live in the
+    logs — run ``compact()`` first). The Iceberg schema declares only
+    the DATA columns; the five ``_hoodie_*`` meta columns stay
+    physically in the parquet and ``read_iceberg``'s schema projection
+    prunes them at the scan. Partitioned Hudi tables convert as
+    unpartitioned Iceberg metadata (this repo's Hudi writer clones
+    partition columns into the pages, so rows are identical; manifest
+    bounds keep file-level skipping)."""
+    import time
+
+    from kafka_delta_ingest_spark.hudi import META_COLS, plan_file_groups
+    from kafka_delta_ingest_spark.iceberg import (
+        IcebergWriter,
+        _spark_type_to_iceberg,
+    )
+
+    if ts_ms is None:
+        ts_ms = int(time.time() * 1000)
+    groups, _instant = plan_file_groups(hudi_path, as_of_instant, None)
+    pending = sorted(
+        fid for (_p, fid), g in groups.items() if g["logs"]
+    )
+    if pending:
+        raise ValueError(
+            f"{len(pending)} file group(s) have pending log files "
+            "(MERGE_ON_READ deltas); a metadata-only conversion would "
+            "serve their stale base slices — run compact() first"
+        )
+    base_files = sorted(g["base"] for g in groups.values() if g["base"])
+    if not base_files:
+        raise ValueError(f"{hudi_path} has no live base files")
+    full = spark.read.option("mergeSchema", "true").parquet(
+        *base_files
+    ).schema
+    data_fields = [f for f in full.fields if f.name not in META_COLS]
+    if not data_fields:
+        raise ValueError(f"{hudi_path} has no data columns")
+    fields = []
+    for i, f in enumerate(data_fields, start=1):
+        ice_t = _spark_type_to_iceberg(f.dataType)
+        if ice_t is None:
+            raise ValueError(
+                f"column {f.name!r}: Spark type {f.dataType} has no "
+                "Iceberg translation"
+            )
+        fields.append(
+            {"id": i, "name": f.name, "required": False, "type": ice_t}
+        )
+    entries = [(p, "{}") for p in base_files]
+    data_files = _executor_iceberg_entries(spark, entries, fields)
+    if not data_files:
+        raise ValueError(f"{hudi_path} has no live rows to convert")
+    w = IcebergWriter(iceberg_root, fields)
+    cur_v, cur_meta = w._current()
+    if cur_meta is not None:
+        raise ValueError(
+            f"{iceberg_root} already holds an Iceberg table; "
+            "conversion only bootstraps fresh metadata"
+        )
+    return w._commit_snapshot(
+        [(data_files, 0)], "append", ts_ms, attempts=100
     )

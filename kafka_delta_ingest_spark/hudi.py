@@ -286,6 +286,23 @@ def _read_meta_map(buf, pos: int) -> tuple[dict[int, str], int]:
     return out, pos
 
 
+def _pandas_to_naive_ns(series):
+    """Normalize a pandas datetime-ish series to tz-NAIVE
+    ``datetime64[ns]`` (UTC wall time) for Avro epoch conversion.
+    Arrow may hand executor code datetime64[us] (plain astype
+    suffices) or a TZ-AWARE series (session time-zone configs), where
+    ``.astype("datetime64[ns]")`` raises TypeError on pandas 2.x —
+    convert to UTC and strip the tz first, matching what the per-cell
+    ``pd.Timestamp(v).value`` path this replaced produced for aware
+    values. Runs executor-side on the MoR upsert hot path."""
+    import pandas as pd
+
+    s = pd.to_datetime(series)
+    if getattr(s.dt, "tz", None) is not None:
+        s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+    return s.astype("datetime64[ns]")
+
+
 def encode_log_block(btype: int, header: dict[int, str],
                      content: bytes,
                      footer: dict[int, str] | None = None) -> bytes:
@@ -2075,14 +2092,13 @@ class HudiMorWriter(HudiCowWriter):
             this is the MoR upsert hot path)."""
             work = pdf[data_cols].copy()
             for c in ts_cols:
-                # normalize to ns (Arrow may hand us datetime64[us])
-                s = pd.to_datetime(work[c]).astype("datetime64[ns]")
+                s = _pandas_to_naive_ns(work[c])
                 vals = s.to_numpy(dtype="int64") // 1000
                 col = pd.Series(vals, index=work.index, dtype=object)
                 col[s.isna().to_numpy()] = None
                 work[c] = col
             for c in date_cols:
-                s = pd.to_datetime(work[c]).astype("datetime64[ns]")
+                s = _pandas_to_naive_ns(work[c])
                 vals = s.to_numpy(dtype="int64") // 86_400_000_000_000
                 col = pd.Series(vals, index=work.index, dtype=object)
                 col[s.isna().to_numpy()] = None

@@ -223,6 +223,34 @@ def plan_files(
     return data_files, pos_deletes, eq_deletes, meta
 
 
+def typed_partition_value(v, ice_type):
+    """Manifest partition-tuple typing for IDENTITY transforms, shared
+    by the native writer's hive-directory parse (``_relocate``) and
+    convert.py's Delta-``partitionValues`` translation, so
+    ``partition_filter`` callables and plan-time pruning see ONE
+    representation per type whether the table was written natively or
+    bridged: int/long → int, float/double → float, boolean → bool,
+    date/decimal/string → canonical string. (The Iceberg binary spec
+    stores dates as epoch days and decimals as unscaled ints; this
+    repo's Avro manifests keep the ISO-8601 / plain-decimal string on
+    BOTH write paths — lexicographic ISO order matches date order, and
+    the reader's identity-reattach cast turns the string back into the
+    schema type.) None (``__HIVE_DEFAULT_PARTITION__``) passes
+    through."""
+    if v is None:
+        return None
+    t = ice_type or ""
+    if t in ("int", "long"):
+        return int(v)
+    if t in ("float", "double"):
+        return float(v)
+    if t == "boolean":
+        if isinstance(v, bool):
+            return v
+        return str(v).strip().lower() in ("true", "t", "1", "yes")
+    return v if isinstance(v, str) else str(v)
+
+
 def bound_to_bytes(value, ice_type: str) -> bytes | None:
     """Iceberg single-value SERIALIZATION (spec Appendix D) for
     manifest ``lower_bounds``/``upper_bounds``: little-endian
@@ -670,10 +698,21 @@ def _reattach_identity_partitions(spark, frame, meta, data_files,
     mapping frame built from the plan's manifest entries attaches the
     missing columns, then casts them to the schema types — one scan
     regardless of partition cardinality (no per-partition scan
-    groups). v1 scope: applies when the source column is absent from
-    EVERY scanned footer; a mixed table (converted files later
-    joined by column-carrying native appends under the same identity
-    spec) is a documented seam.
+    groups).
+
+    MIXED tables (converted files later joined by column-carrying
+    native appends under the same identity spec, the r10 seam): when
+    the table carries the ``kdi.files-may-omit-identity-columns``
+    property — convert.py stamps it at bootstrap and _commit_snapshot
+    preserves properties forever after — identity columns PRESENT in
+    the merged scan schema are reconciled per-file as
+    ``coalesce(file value, manifest value)``. That is exact for
+    identity transforms: the manifest partition tuple IS the value for
+    every row of its file, so file-carrying rows keep their (equal)
+    page value, omitting files fill from metadata, and genuinely-null
+    partitions stay null on both sides. Native-only tables (no
+    property, all columns in pages) skip the join entirely, exactly as
+    before.
 
     ``data_files`` must be (path, seq, partition_values) triples
     (``plan_files(..., with_partitions=True)``). ``fp_col`` names an
@@ -694,25 +733,32 @@ def _reattach_identity_partitions(spark, frame, meta, data_files,
         f["id"]: f["type"]
         for f in (_current_schema(meta) or {}).get("fields", [])
     }
-    missing = []
+    may_omit = (
+        (meta.get("properties") or {}).get(
+            "kdi.files-may-omit-identity-columns"
+        ) == "true"
+    )
+    needed = []  # (field name, source column, spark type, present?)
     for pf in (spec or {}).get("fields") or []:
         if pf.get("transform") != "identity":
             continue
         src = ids.get(pf.get("source-id")) or pf["name"]
-        if src in frame.columns:
+        present = src in frame.columns
+        if present and not may_omit:
             continue
-        missing.append(
+        needed.append(
             (pf["name"], src,
-             _iceberg_type_to_spark(type_of.get(pf.get("source-id"))))
+             _iceberg_type_to_spark(type_of.get(pf.get("source-id"))),
+             present)
         )
-    if not missing:
+    if not needed:
         return frame
     rows = [
         tuple(
             [path]
             + [
                 None if pv.get(pn) is None else str(pv.get(pn))
-                for pn, _src, _dt in missing
+                for pn, _src, _dt, _pr in needed
             ]
         )
         for path, _seq, pv in data_files
@@ -722,8 +768,8 @@ def _reattach_identity_partitions(spark, frame, meta, data_files,
         StructType(
             [StructField("_kdi_map_fp", StringType())]
             + [
-                StructField(src, StringType(), True)
-                for _pn, src, _dt in missing
+                StructField(f"_kdi_pv_{src}", StringType(), True)
+                for _pn, src, _dt, _pr in needed
             ]
         ),
     )
@@ -740,9 +786,13 @@ def _reattach_identity_partitions(spark, frame, meta, data_files,
     frame = frame.join(
         _bc(mp), frame[fp_col] == mp["_kdi_map_fp"], "left"
     ).drop("_kdi_map_fp")
-    for _pn, src, dt in missing:
+    for _pn, src, dt, present in needed:
+        mv = F.col(f"_kdi_pv_{src}")
         if dt is not None:
-            frame = frame.withColumn(src, F.col(src).cast(dt))
+            mv = mv.cast(dt)
+        frame = frame.withColumn(
+            src, F.coalesce(F.col(src), mv) if present else mv
+        ).drop(f"_kdi_pv_{src}")
     if added_fp:
         frame = frame.drop("_kdi_map_join_fp")
     return frame
@@ -812,13 +862,37 @@ def read_iceberg(
             *paths
         )
 
+    known = {
+        f["name"]
+        for f in (_current_schema(meta) or {}).get("fields", [])
+    }
+
+    def _project(out):
+        # Iceberg reads are SCHEMA-driven (spec: name-based column
+        # resolution): physical columns absent from the table schema —
+        # the _hoodie_* meta columns of a Hudi-bridged table
+        # (convert_hudi_to_iceberg), or columns dropped by schema
+        # evolution — are not part of the table and must not surface.
+        # Lineage internals (_kdi_*) pass through for the write-side
+        # consumers that requested them.
+        if not known:
+            return out
+        extras = [
+            c for c in out.columns
+            if c not in known and not c.startswith("_kdi_")
+        ]
+        return out.drop(*extras) if extras else out
+
     if not pos_deletes and not eq_deletes:
         plain = _scan([p for p, _s, _pv in data_files])
-        plain = _reattach_identity_partitions(
-            spark, plain, meta, data_files
-        )
         if _keep_lineage:
-            # (file, pos) row lineage for write-side position deletes
+            # (file, pos) row lineage for write-side position deletes.
+            # Captured from _metadata BEFORE the identity-reattach
+            # join: Spark's metadata columns do not reliably resolve
+            # through a join, so selecting them afterwards can raise
+            # AnalysisException on converted identity-partitioned
+            # tables (the reattach path then reuses _kdi_fp as its
+            # join key instead of adding a second temp column).
             plain = plain.select(
                 "*",
                 F.regexp_replace(
@@ -826,7 +900,14 @@ def read_iceberg(
                 ).alias("_kdi_fp"),
                 F.col("_metadata.row_index").alias("_kdi_pos"),
             )
-        return _residual(plain)
+            plain = _reattach_identity_partitions(
+                spark, plain, meta, data_files, fp_col="_kdi_fp"
+            )
+        else:
+            plain = _reattach_identity_partitions(
+                spark, plain, meta, data_files
+            )
+        return _residual(_project(plain))
     # deletes present: data files scan grouped by data sequence number
     # so each delete applies only to its in-scope files. Group count =
     # number of data commits in the snapshot (metadata-scale), each
@@ -891,7 +972,7 @@ def read_iceberg(
         ["_kdi_seq"] if _keep_lineage
         else ["_kdi_fp", "_kdi_pos", "_kdi_seq"]
     )
-    return _residual(df.drop(*dropped))
+    return _residual(_project(df.drop(*dropped)))
 
 
 def read_iceberg_incremental(
@@ -1025,7 +1106,17 @@ _MANIFEST_ENTRY_SCHEMA = {
                         "name": "partition",
                         "type": {
                             "type": "map",
-                            "values": ["null", "string", "long"],
+                            # union order matters only for encode-time
+                            # branch pick; _union_branch_matches keys
+                            # bool before int, so typed boolean/double
+                            # identity values round-trip exactly.
+                            # Readers decode with the writer-embedded
+                            # schema, so pre-r11 3-branch manifests
+                            # keep reading unchanged.
+                            "values": [
+                                "null", "string", "long",
+                                "double", "boolean",
+                            ],
                         },
                     },
                     {"name": "record_count", "type": "long"},
@@ -1347,7 +1438,8 @@ class IcebergWriter:
     """
 
     def __init__(self, table_path: str, schema_fields: list[dict],
-                 partition_by: list[str] | None = None, store=None):
+                 partition_by: list[str] | None = None, store=None,
+                 properties: dict[str, str] | None = None):
         from kafka_delta_ingest_spark.logstore import get_log_store
 
         self.root = table_path
@@ -1366,6 +1458,11 @@ class IcebergWriter:
         # Iceberg's HIDDEN partitioning (r8; closes the bucket/
         # truncate/day writer seam; month/hour etc. remain out)
         self.partition_by = list(partition_by or [])
+        # table properties to merge into the NEXT committed metadata
+        # (existing properties carry forward verbatim; this map only
+        # adds/overrides). Used by convert.py to stamp
+        # "kdi.files-may-omit-identity-columns" on bridged tables.
+        self.properties = dict(properties or {})
         names = {f["name"] for f in schema_fields}
         bad = [
             e["source"]
@@ -1614,11 +1711,10 @@ class IcebergWriter:
                 if seg
             )
             pv_raw = _parse_partition_values(rel_dir)
-            pv = {}
-            for c, v in pv_raw.items():
-                if v is not None and _ptype(c) in ("long", "int"):
-                    v = int(v)
-                pv[c] = v
+            pv = {
+                c: typed_partition_value(v, _ptype(c))
+                for c, v in pv_raw.items()
+            }
             for fname in sorted(files):
                 if not fname.endswith(".parquet"):
                     continue
@@ -2282,11 +2378,18 @@ class IcebergWriter:
                 last_col = max(
                     (f["id"] for f in self.fields), default=0
                 )
+            # properties: existing table properties persist across
+            # every commit (so a converted table keeps its
+            # files-may-omit marker through later native appends);
+            # writer-supplied properties merge on top.
+            props = dict((meta or {}).get("properties") or {})
+            props.update(self.properties)
             new_meta = {
                 "format-version": 2,
                 "table-uuid": (meta or {}).get(
                     "table-uuid", str(uuid.uuid4())
                 ),
+                "properties": props,
                 "last-sequence-number": seq,
                 "location": self.root,
                 "current-schema-id": cur_schema_id,

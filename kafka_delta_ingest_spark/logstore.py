@@ -211,8 +211,24 @@ class HttpConditionalLogStore(LogStore):
             ).close()
             return True
         except HTTPError as e:
-            if e.code in (409, 412):  # exists: S3 412, Azure 409
+            if e.code == 412:
+                # 412 PreconditionFailed is the DEFINITIVE lost-race
+                # signal (S3 conditional-write semantics): the key
+                # exists.
                 return False
+            if e.code == 409:
+                # S3 returns 409 ConditionalRequestConflict when a
+                # CONCURRENT conditional write on the same key is in
+                # flight — the outcome is UNKNOWN (the key may or may
+                # not exist afterwards), so returning False here would
+                # violate the LogStore contract (False = key exists).
+                # Resolve it now: if the key is visible the race is
+                # lost for sure; otherwise surface the ambiguity to
+                # the caller's retry loop (writers re-list state
+                # before every attempt).
+                if self.exists(path):
+                    return False
+                raise
             raise
 
     def put_atomic(self, path: str, data: bytes) -> None:
@@ -293,9 +309,12 @@ def get_log_store(table_uri: str) -> LogStore:
     low = table_uri.lower()
     if low.startswith(("http://", "https://")):
         return HttpConditionalLogStore(table_uri)
-    endpoint = os.environ.get(_HTTP_ENDPOINT_ENV)
-    if endpoint:
-        return HttpConditionalLogStore(endpoint)
+    # the remote-scheme guard is evaluated BEFORE the env override: a
+    # leaked KDI_LOGSTORE_HTTP_ENDPOINT must never silently reroute
+    # s3://abfss://gs:// table logs (previously an explicit
+    # NotImplementedError) to the HTTP backend with the scheme
+    # URL-quoted into the object key. The override is test wiring for
+    # LOCAL paths only.
     for scheme in _REMOTE_SCHEMES:
         if low.startswith(scheme):
             raise NotImplementedError(
@@ -307,6 +326,9 @@ def get_log_store(table_uri: str) -> LogStore:
                 "reference's DynamoDB lock, Azure etag, GCS "
                 "generation-match."
             )
+    endpoint = os.environ.get(_HTTP_ENDPOINT_ENV)
+    if endpoint:
+        return HttpConditionalLogStore(endpoint)
     if low.startswith("file:"):
         table_uri = table_uri[5:].lstrip("/") if low.startswith(
             "file:///"

@@ -228,18 +228,44 @@ def _unit(col: Column) -> Column:
     )
 
 
+# Driver-memory ceiling on pivot/centroid counts (r10 verdict item 7):
+# every pivot path ultimately materializes k × dim doubles driver-side
+# (the packed broadcast row in _assign_cells, the codebook collect in
+# _lloyd_means), so k must be BOUNDED regardless of corpus size. 2^16
+# pivots × 1024 dims × 8 B = 512 MiB worst case — comfortably inside a
+# driver heap, and past the 8*sqrt(N) crossover (N ≈ 67M) FAISS
+# practice is the same: hold n_list at a fixed budget and let cells
+# grow, or move to a two-level coarse quantizer (out of scope, noted).
+_MAX_PIVOTS = 65_536
+
+# Lloyd-iteration training budget (FAISS guideline: ~256 training
+# samples per centroid saturates centroid quality; more rows only add
+# scan cost). Training runs on a deterministic hash-sample of at most
+# this many rows; ASSIGNMENT always runs on the full corpus. At any
+# corpus ≤ the budget the sample is the whole corpus (sampling is a
+# provable no-op, so small-SF oracle hashes are unchanged).
+_KMEANS_TRAIN_BUDGET = 262_144
+
+
 def _auto_cap(n: int) -> int:
-    """Scale-adaptive pivot budget: ``max(128, ceil(8*sqrt(n)))`` —
-    the FAISS ``n_list`` guideline (4-16 x sqrt(N)). With k pivots the
-    two pivot-dependent costs are assignment O(N*k) and within-cell
-    pair work O(N^2/k); k ~ sqrt(N) balances both at O(N^1.5), where a
-    FIXED k leaves the pair stage quadratic and a mod-proportional k
-    (k = N/mod) leaves assignment quadratic — the r9 21.9x-at-10x
-    cliff. SQL twin:
-    ``LIMIT (SELECT GREATEST(128, CEIL(8*SQRT(COUNT(*)))) FROM t)``."""
+    """Scale-adaptive pivot budget:
+    ``min(max(128, ceil(8*sqrt(n))), _MAX_PIVOTS)`` — the FAISS
+    ``n_list`` guideline (4-16 x sqrt(N)) under a fixed driver-memory
+    ceiling. With k pivots the two pivot-dependent costs are
+    assignment O(N*k) and within-cell pair work O(N^2/k); k ~ sqrt(N)
+    balances both at O(N^1.5), where a FIXED k leaves the pair stage
+    quadratic and a mod-proportional k (k = N/mod) leaves assignment
+    quadratic — the r9 21.9x-at-10x cliff. The _MAX_PIVOTS clamp binds
+    only past N ≈ 67M rows (8*sqrt(N) > 2^16), where unbounded k would
+    grow the driver-side packed centroid row without limit. SQL twin:
+    ``LIMIT (SELECT LEAST(GREATEST(128, CEIL(8*SQRT(COUNT(*)))), 65536)
+    FROM t)``."""
     import math
 
-    return max(128, int(math.ceil(8.0 * math.sqrt(max(n, 0)))))
+    return min(
+        max(128, int(math.ceil(8.0 * math.sqrt(max(n, 0))))),
+        _MAX_PIVOTS,
+    )
 
 
 def _pivot_rows(df: DataFrame, id_col: str, mod: int,
@@ -453,6 +479,7 @@ def kmeans_centroids(
     n_iters: int = 5,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    train_budget: int | None = _KMEANS_TRAIN_BUDGET,
 ) -> DataFrame:
     """Train spherical k-means centroids with Lloyd iterations — the
     trainer that replaces the deterministic-pivot centroids every IVF /
@@ -473,7 +500,17 @@ def kmeans_centroids(
     break toward the lowest cent_id, empty cells keep their previous
     centroid — same inputs give the same centroids on any cluster
     size/partitioning (exact decimal accumulation in the mean).
-    """
+
+    ``train_budget`` (r10 verdict item 7, the FAISS sample-train
+    practice): Lloyd iterations run on a DETERMINISTIC hash-sample of
+    at most this many rows — ``pmod(xxhash64(vec_id), m) = 0`` with
+    ``m = ceil(N / budget)`` — so training cost is bounded at any
+    corpus size while the CALLER's assignment still covers the full
+    corpus against the returned centroids. At N ≤ budget, m = 1 and
+    the filter passes every row: the sample IS the corpus, bit-for-bit
+    the pre-r11 behavior (checked-SF oracle hashes unchanged). The
+    default 262,144 ≈ 256 samples per centroid at the 1024-cell scale;
+    ``None`` disables sampling."""
     from kafka_delta_ingest_spark.operators.util import spread
 
     # Persisted: every Lloyd iteration re-reads this frame (assignment
@@ -485,8 +522,19 @@ def kmeans_centroids(
             F.col(corpus_id).alias("vec_id"),
             _unit(_as_double(F.col(corpus_vec))).alias("vec"),
         )
-        .persist()
     )
+    if train_budget is not None:
+        import math
+
+        # count on the RAW corpus: a plain parquet scan answers it
+        # from footer metadata, skipping spread()'s shuffle
+        n = corpus.count()
+        m = max(1, int(math.ceil(n / float(train_budget))))
+        if m > 1:
+            vecs = vecs.filter(
+                F.pmod(F.xxhash64(F.col("vec_id")), F.lit(m)) == 0
+            )
+    vecs = vecs.persist()
     try:
         # Deterministic init: n lowest-id vectors (orderBy+limit plans
         # as TakeOrderedAndProject — distributed top-k, no global sort).

@@ -255,3 +255,189 @@ def test_convert_hudi_mor_pending_logs_refused(spark, tmp_path):
     w.upsert_log_batch(_docs(spark, 5).withColumn("val", F.lit(9.9)))
     with pytest.raises(ValueError, match="compact"):
         convert_hudi_to_delta(spark, h, str(tmp_path / "d2"))
+
+
+def test_convert_hudi_cow_to_iceberg(spark, tmp_path):
+    """Fourth bridge (r11): Hudi CoW base files -> one Iceberg
+    snapshot, no Delta hop. The hoodie meta columns stay physically in
+    the parquet; the declared Iceberg schema omits them and
+    read_iceberg's schema projection prunes them. Rows match the
+    independent read_hudi view; nothing is copied; converted manifests
+    carry usable bounds."""
+    import pytest as _pt
+
+    from kafka_delta_ingest_spark.convert import convert_hudi_to_iceberg
+    from kafka_delta_ingest_spark.hudi import HudiCowWriter, read_hudi
+
+    h = str(tmp_path / "hudi")
+    ice = str(tmp_path / "ice")
+    w = HudiCowWriter(h, record_key="doc_id")
+    w.insert_batch(_docs(spark, 30))
+    w.upsert_batch(_docs(spark, 10, lo=100))
+    convert_hudi_to_iceberg(spark, h, ice, ts_ms=1000)
+    iv = read_iceberg(spark, ice)
+    assert not [c for c in iv.columns if c.startswith("_hoodie")]
+    hv = read_hudi(spark, h).select("doc_id", "grp", "val")
+    sel = iv.select("doc_id", "grp", "val")
+    assert sel.exceptAll(hv).count() == 0
+    assert hv.exceptAll(sel).count() == 0
+    assert sel.count() == 40
+    # nothing copied under the Iceberg root
+    assert not os.path.isdir(os.path.join(ice, "data")) or not any(
+        f.endswith(".parquet")
+        for f in os.listdir(os.path.join(ice, "data"))
+    )
+    # footer bounds made it into the manifests: out-of-range filter
+    # plans ZERO data files
+    with _pt.raises(ValueError, match="no data files"):
+        read_iceberg(spark, ice, row_filter=[("doc_id", ">", 10_000)])
+
+
+def test_convert_hudi_to_iceberg_pending_logs_refused(spark, tmp_path):
+    from kafka_delta_ingest_spark.convert import convert_hudi_to_iceberg
+    from kafka_delta_ingest_spark.hudi import HudiMorWriter
+
+    h = str(tmp_path / "mor")
+    w = HudiMorWriter(h, record_key="doc_id")
+    w.insert_batch(_docs(spark, 20))
+    w.upsert_log_batch(_docs(spark, 5).withColumn("val", F.lit(9.9)))
+    with pytest.raises(ValueError, match="compact"):
+        convert_hudi_to_iceberg(spark, h, str(tmp_path / "ice"))
+
+
+def test_converted_table_survives_native_appends(spark, tmp_path):
+    """The r10 mixed-identity seam, lifted (r10 verdict item 4): a
+    converted identity-partitioned table later receives NATIVE appends
+    whose files DO carry the partition column in the pages. The
+    reader's per-file coalesce (manifest value where the file omits
+    the column, page value where it doesn't) serves both file
+    populations correctly — values, types, and partition pruning."""
+    from kafka_delta_ingest_spark.iceberg import IcebergWriter
+
+    t = str(tmp_path / "delta")
+    ice = str(tmp_path / "ice")
+    w = DeltaStandardWriter(t)
+    w.write(_docs(spark, 30), partition_by=["grp"])  # pages OMIT grp
+    convert_delta_to_iceberg(spark, t, ice, ts_ms=1000)
+    fields = [
+        {"id": 1, "name": "doc_id", "required": False, "type": "long"},
+        {"id": 2, "name": "grp", "required": False, "type": "string"},
+        {"id": 3, "name": "val", "required": False, "type": "double"},
+    ]
+    w2 = IcebergWriter(ice, fields, partition_by=["grp"])
+    w2.append(_docs(spark, 10, lo=500), ts_ms=2000)  # pages CARRY grp
+    i = read_iceberg(spark, ice)
+    assert i.count() == 40
+    got = {r.doc_id: r.grp for r in i.collect()}
+    assert got[7] == "2"      # converted file: grp from manifest
+    assert got[503] == "3"    # native file: grp from pages
+    assert None not in got.values()
+    assert dict(i.dtypes)["grp"] == "string"
+    # partition pruning spans BOTH populations
+    pruned = read_iceberg(
+        spark, ice, partition_filter=lambda pv: pv.get("grp") == "3"
+    )
+    assert sorted(r.doc_id for r in pruned.collect()) == [
+        3, 8, 13, 18, 23, 28, 503, 508,
+    ]
+
+
+def test_converted_partitioned_table_delete_where(spark, tmp_path):
+    """Write-side position deletes over a CONVERTED identity-
+    partitioned table: the _keep_lineage read captures (file, pos)
+    from _metadata BEFORE the identity-reattach join (metadata columns
+    do not resolve through a join — the r10 advice seam), so
+    delete_where works on bridged tables."""
+    from kafka_delta_ingest_spark.iceberg import IcebergWriter
+
+    t = str(tmp_path / "delta")
+    ice = str(tmp_path / "ice")
+    w = DeltaStandardWriter(t)
+    w.write(_docs(spark, 30), partition_by=["grp"])
+    convert_delta_to_iceberg(spark, t, ice, ts_ms=1000)
+    fields = [
+        {"id": 1, "name": "doc_id", "required": False, "type": "long"},
+        {"id": 2, "name": "grp", "required": False, "type": "string"},
+        {"id": 3, "name": "val", "required": False, "type": "double"},
+    ]
+    w2 = IcebergWriter(ice, fields, partition_by=["grp"])
+    w2.delete_where(spark, "doc_id % 3 = 0", ts_ms=2000)
+    i = read_iceberg(spark, ice)
+    assert sorted(r.doc_id for r in i.collect()) == [
+        x for x in range(30) if x % 3 != 0
+    ]
+    # partition values still reconstruct after the delete
+    assert {r.grp for r in i.collect()} == {"0", "1", "2", "3", "4"}
+
+
+def test_convert_typed_partition_values(spark, tmp_path):
+    """Boolean / double / date identity-partition values land TYPED in
+    the converted manifest exactly as the native writer stamps them
+    (shared typed_partition_value helper): partition_filter callables
+    see bool/float/ISO-string, and the reconstructed columns carry the
+    schema types."""
+    t = str(tmp_path / "delta")
+    ice = str(tmp_path / "ice")
+    df = spark.range(20).selectExpr(
+        "id AS doc_id",
+        "id % 2 = 0 AS flag",
+        "CAST(id % 3 AS DOUBLE) / 2 AS ratio",
+        "DATE_ADD(DATE'2024-01-01', CAST(id % 2 AS INT)) AS d",
+    )
+    w = DeltaStandardWriter(t)
+    w.write(df, partition_by=["flag", "ratio", "d"])
+    convert_delta_to_iceberg(spark, t, ice, ts_ms=1000)
+    from kafka_delta_ingest_spark.iceberg import plan_files
+
+    data_files, _pd, _ed, _meta = plan_files(ice, with_partitions=True)
+    pvs = [pv for _p, _s, pv in data_files]
+    assert {type(pv["flag"]) for pv in pvs} == {bool}
+    assert {type(pv["ratio"]) for pv in pvs} == {float}
+    assert {type(pv["d"]) for pv in pvs} == {str}
+    assert {pv["d"] for pv in pvs} == {"2024-01-01", "2024-01-02"}
+    i = read_iceberg(spark, ice)
+    dt = dict(i.dtypes)
+    assert dt["flag"] == "boolean"
+    assert dt["ratio"] == "double"
+    assert dt["d"] == "date"
+    # typed partition_filter pruning
+    pruned = read_iceberg(
+        spark, ice,
+        partition_filter=lambda pv: pv["flag"] is True
+        and pv["ratio"] == 0.5,
+    )
+    assert sorted(r.doc_id for r in pruned.collect()) == [4, 10, 16]
+    d = read_delta(spark, t).select("doc_id", "flag", "ratio", "d")
+    isel = i.select("doc_id", "flag", "ratio", "d")
+    assert isel.exceptAll(d).count() == 0
+    assert d.exceptAll(isel).count() == 0
+
+
+def test_native_writer_typed_partition_values_match_converted(
+    spark, tmp_path
+):
+    """The NATIVE IcebergWriter stamps the same typed representations
+    (bool/float) in its manifest partition tuples as the converter —
+    one representation per type for partition_filter either way."""
+    from kafka_delta_ingest_spark.iceberg import IcebergWriter, plan_files
+
+    ice = str(tmp_path / "ice")
+    fields = [
+        {"id": 1, "name": "doc_id", "required": False, "type": "long"},
+        {"id": 2, "name": "flag", "required": False, "type": "boolean"},
+        {"id": 3, "name": "ratio", "required": False, "type": "double"},
+    ]
+    df = spark.range(12).selectExpr(
+        "id AS doc_id", "id % 2 = 0 AS flag",
+        "CAST(id % 2 AS DOUBLE) / 2 AS ratio",
+    )
+    w = IcebergWriter(ice, fields, partition_by=["flag", "ratio"])
+    w.append(df, ts_ms=1000)
+    data_files, _pd, _ed, _meta = plan_files(ice, with_partitions=True)
+    pvs = [pv for _p, _s, pv in data_files]
+    assert {type(pv["flag"]) for pv in pvs} == {bool}
+    assert {type(pv["ratio"]) for pv in pvs} == {float}
+    pruned = read_iceberg(
+        spark, ice, partition_filter=lambda pv: pv["flag"] is True
+    )
+    assert sorted(r.doc_id for r in pruned.collect()) == [0, 2, 4, 6, 8, 10]

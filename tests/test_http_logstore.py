@@ -271,3 +271,45 @@ def test_http_conform_frame_refuses_omitting_required_column(
     tcw.test_conform_frame_refuses_omitting_required_column(
         spark, tmp_path
     )
+
+
+def test_http_409_is_ambiguous_not_key_exists(object_store, tmp_path):
+    """S3 returns 409 ConditionalRequestConflict when a CONCURRENT
+    conditional write on the same key is in flight — the outcome is
+    unknown, so put_if_absent must not blindly report 'key exists'
+    (the LogStore contract: False = key exists). It resolves via
+    exists(): visible key -> False (race definitively lost), absent
+    key -> the ambiguity surfaces as an exception for the writer's
+    re-list/retry loop (r10 advice, logstore.py)."""
+    from urllib.error import HTTPError
+
+    s = HttpConditionalLogStore(object_store.endpoint)
+    p = str(tmp_path / "amb" / "0.json")
+
+    real_request = s._request
+
+    def flaky_request(method, path, data=None, headers=None, query=""):
+        if method == "PUT" and (headers or {}).get("If-None-Match"):
+            raise HTTPError(path, 409, "ConditionalRequestConflict",
+                            None, None)
+        return real_request(method, path, data=data, headers=headers,
+                            query=query)
+
+    s._request = flaky_request
+    # key absent: ambiguous outcome must raise, not claim existence
+    with pytest.raises(HTTPError):
+        s.put_if_absent(p, b"x")
+    # key visible: the race is definitively lost -> False
+    object_store.put_atomic(p, b"winner")
+    assert s.put_if_absent(p, b"x") is False
+    assert object_store.read_bytes(p) == b"winner"
+
+
+def test_env_override_never_reroutes_remote_schemes(object_store):
+    """A leaked KDI_LOGSTORE_HTTP_ENDPOINT must not silently reroute
+    cloud-scheme table logs to the HTTP backend (r10 advice): the
+    remote-scheme guard wins over the env override."""
+    for uri in ("s3://bucket/t", "abfss://c@a.dfs.core.windows.net/t",
+                "gs://bucket/t"):
+        with pytest.raises(NotImplementedError):
+            get_log_store(uri)

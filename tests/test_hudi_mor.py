@@ -297,3 +297,38 @@ def test_rollback_command_block_invalidates_target_instant(spark, mor):
     )
     assert after == before  # orphan invalidated, nothing else changed
     assert all("ORPHAN" not in txt for _, txt in after)
+
+
+def test_pandas_to_naive_ns_handles_tz_aware_and_us():
+    """The vectorized MoR record build must normalize BOTH the
+    datetime64[us] series Arrow usually hands over AND tz-aware
+    series (session time-zone configs), where a plain
+    .astype('datetime64[ns]') raises TypeError on pandas 2.x (r10
+    advice, hudi.py). Aware values convert as UTC wall time —
+    matching the per-cell pd.Timestamp(v).value path this replaced."""
+    import pandas as pd
+
+    from kafka_delta_ingest_spark.hudi import _pandas_to_naive_ns
+
+    naive_us = pd.Series(
+        pd.to_datetime(["2024-01-01 12:00:00", None]).astype(
+            "datetime64[us]"
+        )
+    )
+    out = _pandas_to_naive_ns(naive_us)
+    assert str(out.dtype) == "datetime64[ns]"
+    assert out.iloc[0] == pd.Timestamp("2024-01-01 12:00:00")
+    assert pd.isna(out.iloc[1])
+
+    aware = pd.Series(
+        pd.to_datetime(
+            ["2024-01-01 12:00:00+05:00", "2024-06-01 00:30:00+05:00"]
+        )
+    )
+    out2 = _pandas_to_naive_ns(aware)
+    assert str(out2.dtype) == "datetime64[ns]"
+    assert out2.iloc[0] == pd.Timestamp("2024-01-01 07:00:00")
+    # epoch-µs equals what pd.Timestamp(v).value // 1000 produced
+    assert out2.to_numpy(dtype="int64")[1] // 1000 == (
+        pd.Timestamp("2024-06-01 00:30:00+05:00").value // 1000
+    )

@@ -107,11 +107,18 @@ def test_partition_pruning_never_drops_delete_files(spark, table):
 
 
 def test_schema_evolution_union_across_files(spark, tmp_path):
-    # additive evolution: a column added after snapshot 1 must surface
-    # (mergeSchema) instead of depending on which file Spark samples.
+    # additive evolution: a column added to the TABLE SCHEMA after
+    # snapshot 1 must surface for every file (mergeSchema unions the
+    # footers; old files read it as null) instead of depending on
+    # which file Spark samples. The evolved commit carries the NEW
+    # schema in its metadata — reads are schema-driven (r11), so a
+    # physical column absent from the schema would NOT surface.
     w = IcebergFixtureWriter(str(tmp_path / "ev"), _FIELDS)
     w.append([{"doc_id": 1, "grp": "a"}], ts_ms=1)
-    w2 = IcebergFixtureWriter(str(tmp_path / "ev"), _FIELDS)
+    evolved = _FIELDS + [
+        {"id": 3, "name": "extra", "required": False, "type": "long"}
+    ]
+    w2 = IcebergFixtureWriter(str(tmp_path / "ev"), evolved)
     w2.snaps = snapshots(str(tmp_path / "ev"))
     w2.version = 1
     w2._file_no = 1
