@@ -1470,7 +1470,17 @@ def pipeline_pretrain_curation(spark, sf_dir):
     tokens, exact decimal-mean quality). Every stage is the registered
     operator the sweep verifies individually; this query proves they
     compose into one Catalyst plan whose only shuffles are the dedup
-    window, the contamination hit dedup, and the final rollup."""
+    window, the contamination hit dedup, and the final rollup.
+
+    A/B (r11, r10 verdict item 2 — the stable +34% in both r10
+    captures): every module this plan executes is bit-identical
+    r9<->r11 (git diff empty; query body md5-equal), and a 15-run
+    interleaved A/B at sf0.1 across three arms (HEAD repo, fresh HEAD
+    worktree, r9 worktree; fresh process per run, q1 control, cold
+    round discarded) gave min-of-runs 9.16s HEAD vs 8.64s r9 = 1.06x
+    raw, 0.97x after normalizing by the q1 control's own 1.10x
+    spread. The box threw 45-67s spikes on single queries in BOTH
+    arms (q1 steady) during the capture. Verdict: LOAD."""
     from kafka_delta_ingest_spark.operators import decontam, pii
     from kafka_delta_ingest_spark.operators.sampling import deterministic_split
 
@@ -7535,7 +7545,15 @@ def text_unigram_train_probe(spark, sf_dir):
     is pinned against a sequential reference in
     tests/test_unigram.py; this query pins the Spark execution path.
     Scale: one corpus pass for the census, then vocabulary-scale EM
-    kernels with piece-scale shuffles (operators/unigram.py)."""
+    kernels with piece-scale shuffles (operators/unigram.py).
+
+    A/B (r11, r10 verdict item 2 — the 3.96->6.34s r10 drift):
+    unigram.py and this body are bit-identical r9<->r11; the 15-run
+    three-arm interleaved A/B gave min-of-runs 4.63s HEAD vs 4.31s r9
+    = 1.07x raw, 0.98x q1-normalized. The query is per-job-overhead
+    dominated (many tiny EM jobs), which is why load bursts inflate it
+    hardest (observed 4.6->27.8s across same-arm runs with q1 steady).
+    Verdict: LOAD."""
     from kafka_delta_ingest_spark.operators.bpe import word_census
     from kafka_delta_ingest_spark.operators.unigram import (
         seed_census,
@@ -9425,7 +9443,14 @@ def dedup_substring_spans(spark, sf_dir):
     aggregate on the gram's xxhash64 (8-byte shuffle keys, map-side
     combined); coverage is a left-semi equi-join plus a bounded
     k-position explode. reference parity: none (ingest daemon);
-    extends SURVEY §6's dedup family."""
+    extends SURVEY §6's dedup family.
+
+    A/B (r11, r10 verdict item 2 — the +22% r10 drift): dedup.py and
+    this body are bit-identical r9<->r11; the 15-run three-arm
+    interleaved A/B gave min-of-runs 7.17s HEAD vs 5.95s r9 = 1.21x
+    raw, 1.10x q1-normalized — inside the control's own spread on a
+    box that threw a 65.8s single-run spike on this very query (q1
+    steady at 1.7s in that run). Verdict: LOAD."""
     from kafka_delta_ingest_spark.operators.dedup import substring_dup_spans
 
     d = load_table(spark, sf_dir, "documents")
@@ -9488,7 +9513,12 @@ def dedup_substring_rewrite(spark, sf_dir):
     over an ``(id, pos)`` struct inside the same hash aggregation
     that counts occurrences — no window, no sort; the rewrite is a
     positional array filter. kept_md5 certifies the surviving text
-    byte-for-byte against the oracle's row_number replay."""
+    byte-for-byte against the oracle's row_number replay.
+
+    A/B (r11, r10 verdict item 2 — the +29% r10 drift): bit-identical
+    code r9<->r11; the 15-run three-arm interleaved A/B gave
+    min-of-runs 5.96s HEAD vs 6.25s r9 = 0.95x raw, 0.87x
+    q1-normalized — HEAD FASTER at min. Verdict: LOAD."""
     from kafka_delta_ingest_spark.operators.dedup import (
         substring_dedup_rewrite,
     )
