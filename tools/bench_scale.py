@@ -63,6 +63,13 @@ QUERIES = [
     # banding is what a <10x ratio certifies.
     "dedup_simhash_pairs",
     "text_shared_passages",
+    # r11 (r10 verdict task 6): the two most expensive remaining
+    # queries with no 10x datapoint — the unigram EM trainer (per-job-
+    # overhead-dominated planted corpus whose size tracks doc count)
+    # and incremental-dedup admit (one gram-equi-join pair pass over
+    # corpus+batch union).
+    "text_unigram_train_probe",
+    "dedup_incremental_admit",
 ]
 
 # queries whose table-format fixtures memoize per (process, sf_dir):
