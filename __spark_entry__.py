@@ -6582,6 +6582,101 @@ def _convert_hi_fixture(spark, sf_dir: str) -> tuple:
     return out
 
 
+@_q(
+    "table_convert_mixed_appends",
+    """
+    SELECT event_id, event_type, user_id, value, TRUE AS mixed_ok
+    FROM events
+    """,
+)
+def table_convert_mixed_appends(spark, sf_dir):
+    """The r10 mixed identity-partition seam, certified in the oracle
+    gate (r11, r10 verdict item 4): a PARTITIONED Delta table (hive
+    layout — partition column absent from the data pages) converts
+    metadata-only to Iceberg, then receives a NATIVE IcebergWriter
+    append whose files DO carry the column in the pages. The reader's
+    per-file reconciliation — coalesce(page value, manifest identity
+    value), active because conversion stamped
+    kdi.files-may-omit-identity-columns and the native commit
+    preserved it — must serve BOTH file populations: converted rows
+    get the column from manifest partition tuples, appended rows from
+    their pages. The oracle is the logical union (all events), so a
+    match certifies values row-exactly across the two populations.
+    mixed_ok pins what the row values can't: plan-time partition
+    pruning spans both populations (a partition_filter scan returns
+    exactly the full scan's filter result), and no reconstructed
+    value is null."""
+    from kafka_delta_ingest_spark.iceberg import read_iceberg
+
+    ice, mixed_ok = _convert_mixed_fixture(spark, sf_dir)
+    return read_iceberg(spark, ice).select(
+        "event_id", "event_type", "user_id", "value"
+    ).withColumn("mixed_ok", F.lit(bool(mixed_ok)))
+
+
+def _convert_mixed_fixture(spark, sf_dir: str) -> tuple:
+    import atexit
+    import shutil as _sh
+    import tempfile as _tf
+
+    from kafka_delta_ingest_spark.convert import (
+        convert_delta_to_iceberg,
+    )
+    from kafka_delta_ingest_spark.iceberg import (
+        IcebergWriter,
+        read_iceberg,
+    )
+
+    key = ("convmx", sf_dir)
+    hit = _TBLFMT_FIXTURES.get(key)
+    if hit and os.path.isdir(hit[0]):
+        return hit
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    root = _tf.mkdtemp(prefix="kdi-convmx-")
+    t = root + "/t"
+    ice = root + "/ice"
+    from kafka_delta_ingest_spark.delta_standard import (
+        DeltaStandardWriter,
+    )
+
+    w = DeltaStandardWriter(t)
+    # hive layout: event_type lives ONLY in directory names
+    w.write(
+        ev.filter("event_id % 2 = 0").repartition(4),
+        partition_by=["event_type"],
+    )
+    convert_delta_to_iceberg(spark, t, ice, ts_ms=1000)
+    fields = [
+        {"id": 1, "name": "event_id", "required": False,
+         "type": "long"},
+        {"id": 2, "name": "event_type", "required": False,
+         "type": "string"},
+        {"id": 3, "name": "user_id", "required": False, "type": "long"},
+        {"id": 4, "name": "value", "required": False, "type": "double"},
+    ]
+    # native append: pages CARRY event_type
+    w2 = IcebergWriter(ice, fields, partition_by=["event_type"])
+    w2.append(ev.filter("event_id % 2 = 1"), ts_ms=2000)
+    full = read_iceberg(spark, ice)
+    pruned = read_iceberg(
+        spark, ice,
+        partition_filter=lambda pv: pv.get("event_type") == "click",
+    ).select("event_id")
+    want = full.filter("event_type = 'click'").select("event_id")
+    no_null = full.filter("event_type IS NULL").isEmpty()
+    mixed_ok = (
+        no_null
+        and pruned.exceptAll(want).isEmpty()
+        and want.exceptAll(pruned).isEmpty()
+    )
+    out = (ice, mixed_ok)
+    _TBLFMT_FIXTURES[key] = out
+    atexit.register(_sh.rmtree, root, ignore_errors=True)
+    return out
+
+
 def _convert_rt_fixture(spark, sf_dir: str) -> tuple:
     import atexit
     import shutil as _sh
@@ -11053,6 +11148,7 @@ _SWEEP_ORDER: list[str] = [
     "sample_stratified",
     "dedup_simhash_pairs",
     "table_convert_hudi_iceberg",  # NEW r11 — mirror-certified, front of r12
+    "table_convert_mixed_appends",  # NEW r11 — mirror-certified, front of r12
 ]
 
 
