@@ -6583,6 +6583,97 @@ def _convert_hi_fixture(spark, sf_dir: str) -> tuple:
 
 
 @_q(
+    "table_bootstrap_delta_hudi",
+    """
+    SELECT event_id, event_type, user_id,
+      CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END
+        AS value,
+      TRUE AS bh_ok
+    FROM events
+    """,
+)
+def table_bootstrap_delta_hudi(spark, sf_dir):
+    """Fifth bridge (r11, completes the Delta->Hudi direction of the
+    conversion matrix): METADATA_ONLY BOOTSTRAP (Hudi RFC-15 shape).
+    A standard-Delta table (two commits + an UPDATE, so the live set
+    differs from everything-ever-written) bootstraps into a Hudi
+    table whose base files are SKELETONS — the five _hoodie_* meta
+    columns only, record keys read from the source executor-side —
+    while the data columns stay in the Delta parquet in place (zero
+    data bytes copied; O(rows) key reads, meta-only bytes written).
+    Returned rows are the INDEPENDENT read_hudi view; the oracle is
+    the logical content, certifying Delta replay -> skeleton
+    generation -> bootstrap index -> Hudi timeline -> snapshot scan.
+    bh_ok pins: every parquet under the Hudi root carries ONLY
+    _hoodie_* columns (skeletons — nothing copied), the keep_meta
+    ZIPPED view's record keys equal the source event_ids row-exactly,
+    and a group-rewriting op (upsert_batch) REFUSES with the
+    FULL_RECORD-ization rationale."""
+    from kafka_delta_ingest_spark.hudi import read_hudi
+
+    h, bh_ok = _bootstrap_dh_fixture(spark, sf_dir)
+    return read_hudi(spark, h).select(
+        "event_id", "event_type", "user_id", "value"
+    ).withColumn("bh_ok", F.lit(bool(bh_ok)))
+
+
+def _bootstrap_dh_fixture(spark, sf_dir: str) -> tuple:
+    import atexit
+    import shutil as _sh
+    import tempfile as _tf
+
+    import pyarrow.parquet as _pq
+
+    from kafka_delta_ingest_spark.convert import bootstrap_delta_to_hudi
+    from kafka_delta_ingest_spark.delta_standard import (
+        DeltaStandardWriter,
+    )
+    from kafka_delta_ingest_spark.hudi import HudiCowWriter, read_hudi
+
+    key = ("bootdh", sf_dir)
+    hit = _TBLFMT_FIXTURES.get(key)
+    if hit and os.path.isdir(hit[0]):
+        return hit
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    root = _tf.mkdtemp(prefix="kdi-bootdh-")
+    t = root + "/t"
+    h = root + "/h"
+    w = DeltaStandardWriter(t)
+    w.write(ev.filter("event_id % 2 = 0").repartition(4))
+    w.write(ev.filter("event_id % 2 = 1").repartition(2))
+    w.update_where(spark, "event_id % 10 = 0", {"value": "value + 1000"})
+    bootstrap_delta_to_hudi(spark, t, h, record_key="event_id")
+
+    skel_only = all(
+        all(
+            c.startswith("_hoodie_")
+            for c in _pq.read_schema(os.path.join(dp, f)).names
+        )
+        for dp, _dirs, fs in os.walk(h)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    km = read_hudi(spark, h, keep_meta=True)
+    keys_match = km.filter(
+        F.col("_hoodie_record_key").cast("long") != F.col("event_id")
+    ).isEmpty() and km.count() == ev.count()
+    refuse = False
+    try:
+        HudiCowWriter(h, record_key="event_id").upsert_batch(
+            ev.limit(3)
+        )
+    except ValueError:
+        refuse = True
+    bh_ok = skel_only and keys_match and refuse
+    out = (h, bh_ok)
+    _TBLFMT_FIXTURES[key] = out
+    atexit.register(_sh.rmtree, root, ignore_errors=True)
+    return out
+
+
+@_q(
     "table_convert_mixed_appends",
     """
     SELECT event_id, event_type, user_id, value, TRUE AS mixed_ok
@@ -11149,6 +11240,7 @@ _SWEEP_ORDER: list[str] = [
     "dedup_simhash_pairs",
     "table_convert_hudi_iceberg",  # NEW r11 — mirror-certified, front of r12
     "table_convert_mixed_appends",  # NEW r11 — mirror-certified, front of r12
+    "table_bootstrap_delta_hudi",  # NEW r11 — mirror-certified, front of r12
 ]
 
 

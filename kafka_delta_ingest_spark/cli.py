@@ -227,7 +227,7 @@ def build_parser() -> argparse.ArgumentParser:
     conv.add_argument(
         "direction",
         choices=["delta-to-iceberg", "iceberg-to-delta",
-                 "hudi-to-delta", "hudi-to-iceberg"],
+                 "hudi-to-delta", "hudi-to-iceberg", "delta-to-hudi"],
     )
     conv.add_argument("source", help="Source table root")
     conv.add_argument("dest", help="Destination metadata root (fresh)")
@@ -237,6 +237,8 @@ def build_parser() -> argparse.ArgumentParser:
                       help="iceberg-to-delta: explicit snapshot id")
     conv.add_argument("--as_of_instant", default=None,
                       help="hudi-to-*: time-travel instant")
+    conv.add_argument("--record_key", default=None,
+                      help="delta-to-hudi bootstrap: record-key column")
     return p
 
 
@@ -250,6 +252,7 @@ def run_convert(args: argparse.Namespace) -> int:
     """One conversion per invocation; prints the committed version in
     a parse-friendly form."""
     from kafka_delta_ingest_spark.convert import (
+        bootstrap_delta_to_hudi,
         convert_delta_to_iceberg,
         convert_hudi_to_delta,
         convert_hudi_to_iceberg,
@@ -258,7 +261,16 @@ def run_convert(args: argparse.Namespace) -> int:
     from kafka_delta_ingest_spark.session import get_spark
 
     spark = get_spark("kdi-convert")
-    if args.direction == "delta-to-iceberg":
+    if args.direction == "delta-to-hudi":
+        if not args.record_key:
+            raise SystemExit(
+                "delta-to-hudi bootstrap requires --record_key"
+            )
+        v = bootstrap_delta_to_hudi(
+            spark, args.source, args.dest, args.record_key,
+            version=args.version,
+        )
+    elif args.direction == "delta-to-iceberg":
         v = convert_delta_to_iceberg(
             spark, args.source, args.dest, version=args.version
         )

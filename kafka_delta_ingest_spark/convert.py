@@ -38,6 +38,7 @@ import json
 import os
 
 __all__ = [
+    "bootstrap_delta_to_hudi",
     "convert_delta_to_iceberg",
     "convert_hudi_to_delta",
     "convert_hudi_to_iceberg",
@@ -430,10 +431,20 @@ def convert_hudi_to_delta(
     skipping)."""
     import time
 
-    from kafka_delta_ingest_spark.hudi import META_COLS, plan_file_groups
+    from kafka_delta_ingest_spark.hudi import (
+        META_COLS,
+        bootstrap_mapping,
+        plan_file_groups,
+    )
 
     if ts_ms is None:
         ts_ms = int(time.time() * 1000)
+    if bootstrap_mapping(hudi_path):
+        raise ValueError(
+            f"{hudi_path} holds METADATA_ONLY-bootstrapped file "
+            "groups (skeletons carry no data columns); bridge from "
+            "the ORIGINAL source table instead"
+        )
     groups, _instant = plan_file_groups(hudi_path, as_of_instant, None)
     pending = sorted(
         fid for (_p, fid), g in groups.items() if g["logs"]
@@ -491,7 +502,11 @@ def convert_hudi_to_iceberg(
     bounds keep file-level skipping)."""
     import time
 
-    from kafka_delta_ingest_spark.hudi import META_COLS, plan_file_groups
+    from kafka_delta_ingest_spark.hudi import (
+        META_COLS,
+        bootstrap_mapping,
+        plan_file_groups,
+    )
     from kafka_delta_ingest_spark.iceberg import (
         IcebergWriter,
         _spark_type_to_iceberg,
@@ -499,6 +514,12 @@ def convert_hudi_to_iceberg(
 
     if ts_ms is None:
         ts_ms = int(time.time() * 1000)
+    if bootstrap_mapping(hudi_path):
+        raise ValueError(
+            f"{hudi_path} holds METADATA_ONLY-bootstrapped file "
+            "groups (skeletons carry no data columns); bridge from "
+            "the ORIGINAL source table instead"
+        )
     groups, _instant = plan_file_groups(hudi_path, as_of_instant, None)
     pending = sorted(
         fid for (_p, fid), g in groups.items() if g["logs"]
@@ -543,3 +564,232 @@ def convert_hudi_to_iceberg(
     return w._commit_snapshot(
         [(data_files, 0)], "append", ts_ms, attempts=100
     )
+
+
+def bootstrap_delta_to_hudi(
+    spark,
+    delta_path: str,
+    hudi_path: str,
+    record_key: str,
+    version: int | None = None,
+) -> str:
+    """Fifth bridge: Delta -> Hudi via METADATA_ONLY BOOTSTRAP (Hudi
+    RFC-15, the mechanism Hudi itself uses to adopt existing parquet
+    without rewriting it). Unlike the other bridges this is not quite
+    zero-write: Hudi's base-file contract REQUIRES the five
+    ``_hoodie_*`` meta columns, so per source file a SKELETON parquet
+    holding only those columns (record keys read from the source's
+    ``record_key`` column, executor-side) lands in the Hudi table —
+    O(rows) key reads but only meta-column bytes written; the data
+    columns are never copied. The skeleton->source pairing is stored
+    in the bootstrap index (JSON here — real Hudi uses HFile, a jar
+    format; everything else follows the public model: skeleton shape,
+    ``<fileId>_<writeToken>_<instant>.parquet`` naming, the reserved
+    ``00000000000001`` bootstrap instant, requested->inflight->
+    completed timeline, ``hoodie.bootstrap.base.path`` in
+    hoodie.properties).
+
+    Reads: plain data queries scan the SOURCE files in place (zero
+    join); ``keep_meta``/incremental reads zip skeleton+source
+    positionally on (fileId, row_index) (``hudi._bootstrap_zip``).
+    Group-REWRITING ops (upsert/cluster/MoR logs) are refused with
+    the FULL_RECORD-ization rationale; ``insert_batch`` works (new
+    normal groups alongside bootstrapped ones).
+
+    Refused inputs: live deletion vectors, column-mapping tables,
+    PARTITIONED Delta sources (hive layout drops partition columns
+    from the pages, and unlike Iceberg, Hudi has no
+    identity-from-metadata read rule to reconstruct them — a
+    documented v1 seam), a missing ``record_key`` column, and a
+    ``hudi_path`` that already holds a table. Returns the bootstrap
+    instant."""
+    from kafka_delta_ingest_spark.delta_standard import (
+        _log_path,
+        _replay,
+        _resolve_version,
+        _schema_mapping,
+    )
+    from kafka_delta_ingest_spark.hudi import (
+        BOOTSTRAP_INDEX_REL,
+        BOOTSTRAP_INSTANT,
+        HudiCowWriter,
+    )
+
+    if os.path.isdir(os.path.join(hudi_path, ".hoodie")):
+        raise ValueError(
+            f"{hudi_path} already holds a Hudi table; bootstrap only "
+            "creates fresh metadata"
+        )
+    log = _log_path(delta_path)
+    target = _resolve_version(log, version, None)
+    state = _replay(spark, delta_path, target)
+    meta = state["meta"]
+    adds = state["adds"]
+    if meta is None:
+        raise ValueError(f"{delta_path} has no table metadata")
+    dv = [a["path"] for a in adds if a.get("deletionVector")]
+    if dv:
+        raise ValueError(
+            f"{len(dv)} live file(s) carry deletion vectors; a "
+            "metadata-only bootstrap would resurrect their masked "
+            "rows — compact the DVs away first"
+        )
+    logical, rename, part_cols, id_mode, _rf = _schema_mapping(meta)
+    if rename or id_mode:
+        raise ValueError(
+            "column-mapping tables are not bootstrappable "
+            "metadata-only: parquet physical names differ from the "
+            "logical schema"
+        )
+    if part_cols:
+        raise ValueError(
+            "partitioned Delta sources are not bootstrappable: hive "
+            "layout drops partition columns from the data pages and "
+            "Hudi has no identity-from-metadata read rule to "
+            "reconstruct them (v1 seam) — convert an unpartitioned "
+            "snapshot or rewrite with the columns in the pages"
+        )
+    if record_key not in {f.name for f in logical.fields}:
+        raise ValueError(
+            f"record_key {record_key!r} is not a column of "
+            f"{delta_path}"
+        )
+
+    w = HudiCowWriter(hudi_path, record_key=record_key)
+    props = os.path.join(hudi_path, ".hoodie", "hoodie.properties")
+    w.store.put_atomic(
+        props,
+        w.store.read_bytes(props)
+        + f"hoodie.bootstrap.base.path={delta_path}\n".encode(),
+    )
+    instant = BOOTSTRAP_INSTANT
+    hoodie = os.path.join(hudi_path, ".hoodie")
+    if not w.store.put_if_absent(
+        os.path.join(hoodie, f"{instant}.commit.requested"), b""
+    ):
+        raise ValueError(
+            f"{hudi_path} already claims the bootstrap instant"
+        )
+    w.store.put_atomic(
+        os.path.join(hoodie, f"{instant}.commit.inflight"), b""
+    )
+
+    import uuid as _uuid
+
+    items = [
+        (os.path.join(delta_path, a["path"]), _uuid.uuid4().hex)
+        for a in adds
+    ]
+    flist = spark.createDataFrame(items, "src string, fid string")
+    n_slices = max(1, min(len(items), 256))
+    table_root = hudi_path
+    key_col = record_key
+
+    def _skeletons(batches):
+        import base64
+        import pickle
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for src, fid in zip(pdf["src"], pdf["fid"]):
+                t = pq.read_table(src, columns=[key_col])
+                n = t.num_rows
+                if n == 0:
+                    continue
+                fname = f"{fid}_0-0-0_{instant}.parquet"
+                keys = [
+                    None if v is None else str(v)
+                    for v in t.column(key_col).to_pylist()
+                ]
+                skel = pa.table(
+                    {
+                        "_hoodie_commit_time": pa.array(
+                            [instant] * n, pa.string()
+                        ),
+                        "_hoodie_commit_seqno": pa.array(
+                            [f"{instant}_{fid}_{i}" for i in range(n)],
+                            pa.string(),
+                        ),
+                        "_hoodie_record_key": pa.array(
+                            keys, pa.string()
+                        ),
+                        "_hoodie_partition_path": pa.array(
+                            [""] * n, pa.string()
+                        ),
+                        "_hoodie_file_name": pa.array(
+                            [fname] * n, pa.string()
+                        ),
+                    }
+                )
+                pq.write_table(
+                    skel, os.path.join(table_root, fname)
+                )
+                rows.append(
+                    base64.b64encode(
+                        pickle.dumps(
+                            {
+                                "fileId": fid,
+                                "path": fname,
+                                "numWrites": n,
+                                "source": src,
+                            }
+                        )
+                    ).decode("ascii")
+                )
+            yield pd.DataFrame({"j": rows})
+
+    import base64
+    import pickle
+
+    stats = [
+        pickle.loads(base64.b64decode(r.j))
+        for r in flist.repartition(n_slices)
+        .mapInPandas(_skeletons, "j string")
+        .collect()
+    ]
+    if not stats:
+        raise ValueError(f"{delta_path} has no live rows to bootstrap")
+    idx_path = os.path.join(hudi_path, BOOTSTRAP_INDEX_REL)
+    os.makedirs(os.path.dirname(idx_path), exist_ok=True)
+    w.store.put_atomic(
+        idx_path,
+        json.dumps(
+            {
+                "instant": instant,
+                "sourceBasePath": delta_path,
+                "mapping": [
+                    {
+                        "fileId": s["fileId"],
+                        "partition": "",
+                        "skeleton": s["path"],
+                        "source": s["source"],
+                    }
+                    for s in stats
+                ],
+            }
+        ).encode(),
+    )
+    w.store.put_atomic(
+        os.path.join(hoodie, f"{instant}.commit"),
+        json.dumps(
+            {
+                "partitionToWriteStats": {
+                    "": [
+                        {
+                            "fileId": s["fileId"],
+                            "path": s["path"],
+                            "numWrites": s["numWrites"],
+                        }
+                        for s in stats
+                    ]
+                },
+                "operationType": "BOOTSTRAP",
+                "extraMetadata": {},
+            }
+        ).encode(),
+    )
+    return instant

@@ -200,6 +200,85 @@ def plan_file_groups(
     return groups, commits[-1][0]
 
 
+# METADATA_ONLY bootstrap (Hudi RFC-15 shape): skeleton base files
+# carry ONLY the five _hoodie_* meta columns; the data columns stay in
+# the external SOURCE parquet, mapped 1:1 skeleton->source by the
+# bootstrap index. Real Hudi stores that index as HFile under
+# .hoodie/.aux/.bootstrap/ — this repo stores the SAME mapping as JSON
+# (documented divergence: HFile is a jar format; everything else —
+# skeleton shape, timeline, commit metadata, file-group naming —
+# follows the public model).
+BOOTSTRAP_INDEX_REL = os.path.join(
+    ".hoodie", ".aux", ".bootstrap", "index.json"
+)
+# Hudi's reserved instant for METADATA_ONLY bootstrap commits
+# (HoodieTimeline.METADATA_BOOTSTRAP_INSTANT_TS)
+BOOTSTRAP_INSTANT = "00000000000001"
+
+
+def bootstrap_mapping(table_path: str) -> dict[str, str]:
+    """fileId -> absolute source-parquet path for METADATA_ONLY
+    bootstrapped file groups; empty for non-bootstrapped tables. One
+    small JSON read — O(bootstrapped files), metadata-scale."""
+    p = os.path.join(table_path, BOOTSTRAP_INDEX_REL)
+    if not os.path.exists(p):
+        return {}
+    with open(p, encoding="utf-8") as f:
+        idx = json.load(f)
+    return {e["fileId"]: e["source"] for e in idx.get("mapping", [])}
+
+
+def _bootstrap_zip(spark, boot_items: list[tuple[str, str]],
+                   bmap: dict[str, str]):
+    """Full-row view of METADATA_ONLY-bootstrapped file groups: the
+    skeleton parquet (meta columns) zipped POSITIONALLY with its
+    source parquet (data columns) — Hudi's bootstrap-relation merge,
+    Spark-shaped. Row i of a skeleton was generated from row i of its
+    source, so the join key is (fileId, _metadata.row_index): exact,
+    shuffle on an 8-byte+string key, no data comparison. Only reads
+    that NEED meta columns pay it (keep_meta / incremental / log
+    merge); plain data queries substitute source paths into the scan
+    instead."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    def _side(paths, fid_of, suffix):
+        mp = spark.createDataFrame(
+            sorted(fid_of.items()),
+            f"_kdi_fp_m{suffix} string, _kdi_fid{suffix} string",
+        )
+        d = spark.read.option("mergeSchema", "true").parquet(
+            *sorted(paths)
+        ).select(
+            "*",
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:(//)?", ""
+            ).alias(f"_kdi_fp{suffix}"),
+            F.col("_metadata.row_index").alias(f"_kdi_pos{suffix}"),
+        )
+        return d.join(
+            broadcast(mp),
+            d[f"_kdi_fp{suffix}"] == mp[f"_kdi_fp_m{suffix}"],
+        ).drop(f"_kdi_fp_m{suffix}", f"_kdi_fp{suffix}")
+
+    sk = _side(
+        [skel for _fid, skel in boot_items],
+        {skel: fid for fid, skel in boot_items},
+        "",
+    )
+    src = _side(
+        [bmap[fid] for fid, _skel in boot_items],
+        {bmap[fid]: fid for fid, _skel in boot_items},
+        "2",
+    )
+    joined = sk.join(
+        src,
+        (sk["_kdi_fid"] == src["_kdi_fid2"])
+        & (sk["_kdi_pos"] == src["_kdi_pos2"]),
+    ).drop("_kdi_fid", "_kdi_pos", "_kdi_fid2", "_kdi_pos2")
+    return joined
+
+
 def plan_snapshot(
     table_path: str,
     as_of_instant: str | None = None,
@@ -609,12 +688,39 @@ def read_hudi(
     groups, _instant = plan_file_groups(
         table_path, as_of_instant, partition_filter
     )
-    base_files = sorted(
-        g["base"] for g in groups.values() if g["base"]
+    bmap = bootstrap_mapping(table_path)
+    boot_items = sorted(
+        (fid, g["base"])
+        for (_p, fid), g in groups.items()
+        if g["base"] and fid in bmap
     )
-    if not base_files:
+    base_files = sorted(
+        g["base"]
+        for (_p, fid), g in groups.items()
+        if g["base"] and fid not in bmap
+    )
+    boot_df = None
+    if boot_items:
+        if keep_meta or any(g["logs"] for g in groups.values()):
+            # meta columns needed: zip skeleton+source per group
+            boot_df = _bootstrap_zip(spark, boot_items, bmap)
+        else:
+            # plain data query: scan the SOURCE files in place (their
+            # rows ARE the group's rows; meta columns are dropped
+            # below anyway) — zero join, zero skeleton read
+            base_files = sorted(
+                base_files + [bmap[fid] for fid, _s in boot_items]
+            )
+    if not base_files and boot_df is None:
         raise ValueError("snapshot plan has no data files")
-    df = spark.read.option("mergeSchema", "true").parquet(*base_files)
+    if base_files:
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *base_files
+        )
+        if boot_df is not None:
+            df = df.unionByName(boot_df, allowMissingColumns=True)
+    else:
+        df = boot_df
     log_specs = [
         (path, inst, seq, part)
         for (part, _fid), g in groups.items()
@@ -1331,6 +1437,24 @@ class HudiCowWriter:
         )
         return instant, n_files, n_records
 
+    def _refuse_bootstrap(self, op: str) -> None:
+        """Group-rewriting operations are refused on tables holding
+        METADATA_ONLY-bootstrapped file groups: a rewrite must merge
+        the skeleton's meta columns with the external source's data
+        columns (Hudi's FULL_RECORD-ization of the group) — a
+        data-dependent lift this v1 documents rather than fakes.
+        Inserts (new groups) and all reads work; real Hudi has the
+        same boundary (bootstrapped groups are FULL_RECORD-ized on
+        first touch)."""
+        if bootstrap_mapping(self.path):
+            raise ValueError(
+                f"{op} over a METADATA_ONLY-bootstrapped table: "
+                "rewriting a bootstrapped file group requires merging "
+                "its skeleton meta columns with the external source "
+                "rows (FULL_RECORD-ization) — not yet implemented; "
+                "reads, incremental queries, and insert_batch all work"
+            )
+
     def _part_path_col(self):
         from pyspark.sql import functions as F
 
@@ -1464,6 +1588,7 @@ class HudiCowWriter:
                 "upsert_batch requires the writer's record_key field "
                 "(HudiCowWriter(record_key=...))"
             )
+        self._refuse_bootstrap("upsert_batch")
         if df.isEmpty():
             return None, 0, 0
         spark = df.sparkSession
@@ -1808,6 +1933,7 @@ class HudiCowWriter:
 
         import pyarrow.parquet as pq
 
+        self._refuse_bootstrap("cluster")
         groups, _ = plan_file_groups(self.path)
         victims: dict[str, list[tuple[str, str]]] = {}
         for (part, fid), g in groups.items():
@@ -2047,6 +2173,8 @@ class HudiMorWriter(HudiCowWriter):
 
         from pyspark.sql import functions as F
 
+        self._refuse_bootstrap("upsert_log_batch")
+
         if not self.record_key:
             raise ValueError(
                 "upsert_log_batch requires the writer's record_key "
@@ -2220,6 +2348,7 @@ class HudiMorWriter(HudiCowWriter):
         n_logged_groups)."""
         import pandas as pd
 
+        self._refuse_bootstrap("delete_log_batch")
         if not self.record_key:
             raise ValueError(
                 "delete_log_batch requires the writer's record_key"

@@ -36,8 +36,13 @@ def test_cli_convert_all_directions(spark, tmp_path, capsys):
                  str(tmp_path / "d3")]) == 0
     assert main(["convert", "hudi-to-iceberg", h,
                  str(tmp_path / "i2")]) == 0
+    assert main(["convert", "delta-to-hudi", t, str(tmp_path / "h2"),
+                 "--record_key", "doc_id"]) == 0
     out = capsys.readouterr().out
     assert "converted\thudi-to-iceberg" in out
+    assert "converted\tdelta-to-hudi" in out
+
+    from kafka_delta_ingest_spark.hudi import read_hudi
 
     base = _docs(spark)
     for view in (
@@ -45,6 +50,7 @@ def test_cli_convert_all_directions(spark, tmp_path, capsys):
         read_delta(spark, str(tmp_path / "d2")),
         read_delta(spark, str(tmp_path / "d3")),
         read_iceberg(spark, str(tmp_path / "i2")),
+        read_hudi(spark, str(tmp_path / "h2")),
     ):
         v = view.select("doc_id", "grp", "val")
         assert v.exceptAll(base).count() == 0

@@ -441,3 +441,106 @@ def test_native_writer_typed_partition_values_match_converted(
         spark, ice, partition_filter=lambda pv: pv["flag"] is True
     )
     assert sorted(r.doc_id for r in pruned.collect()) == [0, 2, 4, 6, 8, 10]
+
+
+def test_bootstrap_delta_to_hudi_reads_identically(spark, tmp_path):
+    """Fifth bridge (r11): Delta -> Hudi via METADATA_ONLY bootstrap.
+    Skeleton base files carry ONLY the meta columns; data stays in the
+    Delta parquet in place. Plain reads scan sources directly;
+    keep_meta reads zip skeleton+source positionally; incremental
+    rides the zip; insert_batch adds normal groups alongside."""
+    from kafka_delta_ingest_spark.convert import bootstrap_delta_to_hudi
+    from kafka_delta_ingest_spark.hudi import (
+        BOOTSTRAP_INSTANT,
+        HudiCowWriter,
+        read_hudi,
+        read_hudi_incremental,
+    )
+
+    t = str(tmp_path / "delta")
+    h = str(tmp_path / "hudi")
+    w = DeltaStandardWriter(t)
+    w.write(_docs(spark, 30).repartition(3))
+    w.update_where(spark, "doc_id % 10 = 0", {"val": "val + 1000"})
+    before = {
+        p: os.path.getmtime(os.path.join(dp, p))
+        for dp, _, fs in os.walk(t)
+        for p in fs
+        if p.endswith(".parquet")
+    }
+    instant = bootstrap_delta_to_hudi(spark, t, h, record_key="doc_id")
+    assert instant == BOOTSTRAP_INSTANT
+    # source untouched; hudi dir holds only skeleton parquet (meta
+    # columns only — no data bytes copied)
+    after = {
+        p: os.path.getmtime(os.path.join(dp, p))
+        for dp, _, fs in os.walk(t)
+        for p in fs
+        if p.endswith(".parquet")
+    }
+    assert after == before
+    import pyarrow.parquet as pq
+
+    for f in os.listdir(h):
+        if f.endswith(".parquet"):
+            names = pq.read_schema(os.path.join(h, f)).names
+            assert all(c.startswith("_hoodie_") for c in names)
+    d = read_delta(spark, t).select("doc_id", "grp", "val")
+    hv = read_hudi(spark, h).select("doc_id", "grp", "val")
+    assert hv.exceptAll(d).count() == 0 and d.exceptAll(hv).count() == 0
+    # keep_meta: zipped view carries record keys matching doc_id
+    km = read_hudi(spark, h, keep_meta=True)
+    assert km.count() == 30
+    got = {int(r._hoodie_record_key): r.doc_id for r in km.collect()}
+    assert all(k == v for k, v in got.items())
+    # incremental from before the bootstrap instant sees everything
+    inc = read_hudi_incremental(spark, h, begin_instant="0" * 14)
+    assert inc.count() == 30
+    # inserts still work: a new NORMAL group lands alongside
+    w2 = HudiCowWriter(h, record_key="doc_id")
+    w2.insert_batch(_docs(spark, 5, lo=900))
+    assert read_hudi(spark, h).count() == 35
+    mixed = read_hudi(spark, h, keep_meta=True)
+    assert mixed.filter("_hoodie_record_key = '902'").count() == 1
+
+
+def test_bootstrap_refusals_and_rewrite_guard(spark, tmp_path):
+    from kafka_delta_ingest_spark.convert import (
+        bootstrap_delta_to_hudi,
+        convert_hudi_to_delta,
+        convert_hudi_to_iceberg,
+    )
+    from kafka_delta_ingest_spark.hudi import HudiCowWriter
+
+    t = str(tmp_path / "delta")
+    w = DeltaStandardWriter(t)
+    w.write(_docs(spark, 20), partition_by=["grp"])
+    # partitioned source refused (hive layout drops the column)
+    with pytest.raises(ValueError, match="partitioned"):
+        bootstrap_delta_to_hudi(
+            spark, t, str(tmp_path / "h0"), record_key="doc_id"
+        )
+    t2 = str(tmp_path / "delta2")
+    DeltaStandardWriter(t2).write(_docs(spark, 20))
+    with pytest.raises(ValueError, match="not a column"):
+        bootstrap_delta_to_hudi(
+            spark, t2, str(tmp_path / "h1"), record_key="nope"
+        )
+    h = str(tmp_path / "h2")
+    bootstrap_delta_to_hudi(spark, t2, h, record_key="doc_id")
+    # group-rewriting ops refuse with the FULL_RECORD rationale
+    w2 = HudiCowWriter(h, record_key="doc_id")
+    with pytest.raises(ValueError, match="FULL_RECORD"):
+        w2.upsert_batch(_docs(spark, 3))
+    with pytest.raises(ValueError, match="FULL_RECORD"):
+        w2.cluster(spark)
+    # chained metadata-only bridges over skeletons refused
+    with pytest.raises(ValueError, match="ORIGINAL source"):
+        convert_hudi_to_delta(spark, h, str(tmp_path / "d3"))
+    with pytest.raises(ValueError, match="ORIGINAL source"):
+        convert_hudi_to_iceberg(spark, h, str(tmp_path / "i3"))
+    # double bootstrap refused
+    with pytest.raises(ValueError, match="already holds"):
+        bootstrap_delta_to_hudi(
+            spark, t2, h, record_key="doc_id"
+        )
