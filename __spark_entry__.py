@@ -6674,6 +6674,117 @@ def _bootstrap_dh_fixture(spark, sf_dir: str) -> tuple:
 
 
 @_q(
+    "table_bootstrap_iceberg_hudi",
+    """
+    SELECT event_id, event_type, user_id, value, TRUE AS bi_ok
+    FROM events
+    """,
+)
+def table_bootstrap_iceberg_hudi(spark, sf_dir):
+    """Sixth bridge (r11) — the 3x3 conversion matrix is COMPLETE:
+    Iceberg -> Hudi via the same METADATA_ONLY bootstrap as the Delta
+    leg (skeleton meta-column files + bootstrap index over the
+    Iceberg data files in place). The source here is a NATIVE
+    IcebergWriter table PARTITIONED by event_type — Iceberg files
+    carry every column in the pages, so partitioned sources bootstrap
+    without the Delta leg's hive-layout refusal. Returned rows are the
+    independent read_hudi view; the oracle is the logical content,
+    certifying Iceberg scan planning -> skeleton generation -> Hudi
+    timeline -> snapshot scan. bi_ok pins: every parquet under the
+    Hudi root is skeleton-only, the zipped keep_meta record keys equal
+    event_id row-exactly, and a table converted FROM hive-layout
+    Delta (files may omit identity columns) REFUSES this bootstrap."""
+    from kafka_delta_ingest_spark.hudi import read_hudi
+
+    h, bi_ok = _bootstrap_ih_fixture(spark, sf_dir)
+    return read_hudi(spark, h).select(
+        "event_id", "event_type", "user_id", "value"
+    ).withColumn("bi_ok", F.lit(bool(bi_ok)))
+
+
+def _bootstrap_ih_fixture(spark, sf_dir: str) -> tuple:
+    import atexit
+    import shutil as _sh
+    import tempfile as _tf
+
+    import pyarrow.parquet as _pq
+
+    from kafka_delta_ingest_spark.convert import (
+        bootstrap_iceberg_to_hudi,
+    )
+    from kafka_delta_ingest_spark.hudi import read_hudi
+    from kafka_delta_ingest_spark.iceberg import IcebergWriter
+
+    key = ("bootih", sf_dir)
+    hit = _TBLFMT_FIXTURES.get(key)
+    if hit and os.path.isdir(hit[0]):
+        return hit
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    root = _tf.mkdtemp(prefix="kdi-bootih-")
+    ice = root + "/ice"
+    h = root + "/h"
+    fields = [
+        {"id": 1, "name": "event_id", "required": False,
+         "type": "long"},
+        {"id": 2, "name": "event_type", "required": False,
+         "type": "string"},
+        {"id": 3, "name": "user_id", "required": False, "type": "long"},
+        {"id": 4, "name": "value", "required": False, "type": "double"},
+    ]
+    w = IcebergWriter(ice, fields, partition_by=["event_type"])
+    w.append(ev.filter("event_id % 2 = 0"), ts_ms=1000)
+    w.append(ev.filter("event_id % 2 = 1"), ts_ms=2000)
+    bootstrap_iceberg_to_hudi(spark, ice, h, record_key="event_id")
+
+    skel_only = all(
+        all(
+            c.startswith("_hoodie_")
+            for c in _pq.read_schema(os.path.join(dp, f)).names
+        )
+        for dp, _dirs, fs in os.walk(h)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    km = read_hudi(spark, h, keep_meta=True)
+    keys_match = km.filter(
+        F.col("_hoodie_record_key").cast("long") != F.col("event_id")
+    ).isEmpty() and km.count() == ev.count()
+    refuse = False
+    try:
+        from kafka_delta_ingest_spark.convert import (
+            convert_delta_to_iceberg,
+        )
+        from kafka_delta_ingest_spark.delta_standard import (
+            DeltaStandardWriter,
+        )
+
+        dw = DeltaStandardWriter(root + "/d")
+        dw.write(
+            ev.filter("event_id % 97 = 0"),
+            partition_by=["event_type"],
+        )
+        convert_delta_to_iceberg(spark, root + "/d", root + "/i2",
+                                 ts_ms=3000)
+        try:
+            bootstrap_iceberg_to_hudi(
+                spark, root + "/i2", root + "/h2",
+                record_key="event_id",
+            )
+        except ValueError:
+            refuse = True
+    finally:
+        _sh.rmtree(root + "/i2", ignore_errors=True)
+        _sh.rmtree(root + "/d", ignore_errors=True)
+    bi_ok = skel_only and keys_match and refuse
+    out = (h, bi_ok)
+    _TBLFMT_FIXTURES[key] = out
+    atexit.register(_sh.rmtree, root, ignore_errors=True)
+    return out
+
+
+@_q(
     "table_convert_mixed_appends",
     """
     SELECT event_id, event_type, user_id, value, TRUE AS mixed_ok
@@ -11241,6 +11352,7 @@ _SWEEP_ORDER: list[str] = [
     "table_convert_hudi_iceberg",  # NEW r11 — mirror-certified, front of r12
     "table_convert_mixed_appends",  # NEW r11 — mirror-certified, front of r12
     "table_bootstrap_delta_hudi",  # NEW r11 — mirror-certified, front of r12
+    "table_bootstrap_iceberg_hudi",  # NEW r11 — mirror-certified, front of r12
 ]
 
 

@@ -227,7 +227,8 @@ def build_parser() -> argparse.ArgumentParser:
     conv.add_argument(
         "direction",
         choices=["delta-to-iceberg", "iceberg-to-delta",
-                 "hudi-to-delta", "hudi-to-iceberg", "delta-to-hudi"],
+                 "hudi-to-delta", "hudi-to-iceberg", "delta-to-hudi",
+                 "iceberg-to-hudi"],
     )
     conv.add_argument("source", help="Source table root")
     conv.add_argument("dest", help="Destination metadata root (fresh)")
@@ -238,7 +239,7 @@ def build_parser() -> argparse.ArgumentParser:
     conv.add_argument("--as_of_instant", default=None,
                       help="hudi-to-*: time-travel instant")
     conv.add_argument("--record_key", default=None,
-                      help="delta-to-hudi bootstrap: record-key column")
+                      help="*-to-hudi bootstrap: record-key column")
     return p
 
 
@@ -253,6 +254,7 @@ def run_convert(args: argparse.Namespace) -> int:
     a parse-friendly form."""
     from kafka_delta_ingest_spark.convert import (
         bootstrap_delta_to_hudi,
+        bootstrap_iceberg_to_hudi,
         convert_delta_to_iceberg,
         convert_hudi_to_delta,
         convert_hudi_to_iceberg,
@@ -261,15 +263,21 @@ def run_convert(args: argparse.Namespace) -> int:
     from kafka_delta_ingest_spark.session import get_spark
 
     spark = get_spark("kdi-convert")
-    if args.direction == "delta-to-hudi":
+    if args.direction in ("delta-to-hudi", "iceberg-to-hudi"):
         if not args.record_key:
             raise SystemExit(
-                "delta-to-hudi bootstrap requires --record_key"
+                f"{args.direction} bootstrap requires --record_key"
             )
-        v = bootstrap_delta_to_hudi(
-            spark, args.source, args.dest, args.record_key,
-            version=args.version,
-        )
+        if args.direction == "delta-to-hudi":
+            v = bootstrap_delta_to_hudi(
+                spark, args.source, args.dest, args.record_key,
+                version=args.version,
+            )
+        else:
+            v = bootstrap_iceberg_to_hudi(
+                spark, args.source, args.dest, args.record_key,
+                snapshot_id=args.snapshot_id,
+            )
     elif args.direction == "delta-to-iceberg":
         v = convert_delta_to_iceberg(
             spark, args.source, args.dest, version=args.version

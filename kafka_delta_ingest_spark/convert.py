@@ -39,6 +39,7 @@ import os
 
 __all__ = [
     "bootstrap_delta_to_hudi",
+    "bootstrap_iceberg_to_hudi",
     "convert_delta_to_iceberg",
     "convert_hudi_to_delta",
     "convert_hudi_to_iceberg",
@@ -609,11 +610,6 @@ def bootstrap_delta_to_hudi(
         _resolve_version,
         _schema_mapping,
     )
-    from kafka_delta_ingest_spark.hudi import (
-        BOOTSTRAP_INDEX_REL,
-        BOOTSTRAP_INSTANT,
-        HudiCowWriter,
-    )
 
     if os.path.isdir(os.path.join(hudi_path, ".hoodie")):
         raise ValueError(
@@ -654,13 +650,102 @@ def bootstrap_delta_to_hudi(
             f"record_key {record_key!r} is not a column of "
             f"{delta_path}"
         )
+    return _bootstrap_to_hudi(
+        spark, hudi_path, record_key,
+        [os.path.join(delta_path, a["path"]) for a in adds],
+        delta_path,
+    )
 
+
+def bootstrap_iceberg_to_hudi(
+    spark,
+    iceberg_root: str,
+    hudi_path: str,
+    record_key: str,
+    snapshot_id=None,
+) -> str:
+    """Sixth bridge — completes the 3x3 conversion matrix: Iceberg ->
+    Hudi via the same METADATA_ONLY bootstrap as
+    :func:`bootstrap_delta_to_hudi` (skeleton meta-column files +
+    bootstrap index over the Iceberg data files in place). Iceberg
+    data files carry EVERY column in the pages (this repo's writer
+    clones identity-partition columns in), so — unlike the Delta leg —
+    partitioned sources need no refusal; only tables converted FROM
+    hive-layout Delta, whose files may omit identity columns (the
+    kdi.files-may-omit-identity-columns property), are refused: their
+    omitted values live in Iceberg manifests, which Hudi reads have no
+    rule to consult. Snapshots with live position/equality deletes are
+    refused (masked rows exist in the parquet)."""
+    from kafka_delta_ingest_spark.iceberg import (
+        _current_schema,
+        plan_files,
+    )
+
+    data_files, pos_deletes, eq_deletes, meta = plan_files(
+        iceberg_root, snapshot_id, None, None, None
+    )
+    if pos_deletes or eq_deletes:
+        raise ValueError(
+            f"snapshot carries {len(pos_deletes)} position-delete and "
+            f"{len(eq_deletes)} equality-delete file(s); a "
+            "metadata-only bootstrap would resurrect their masked "
+            "rows — compact the deletes away first"
+        )
+    if (meta.get("properties") or {}).get(
+        "kdi.files-may-omit-identity-columns"
+    ) == "true":
+        raise ValueError(
+            f"{iceberg_root} was itself converted from hive-layout "
+            "Delta (files may omit identity-partition columns, served "
+            "from manifests); Hudi reads cannot consult Iceberg "
+            "manifests — bootstrap from the ORIGINAL Delta table "
+            "instead"
+        )
+    names = {
+        f["name"]
+        for f in (_current_schema(meta) or {}).get("fields", [])
+    }
+    if record_key not in names:
+        raise ValueError(
+            f"record_key {record_key!r} is not a column of "
+            f"{iceberg_root}"
+        )
+    paths = [p for p, _seq in data_files]
+    if not paths:
+        raise ValueError(f"{iceberg_root} has no live data files")
+    return _bootstrap_to_hudi(
+        spark, hudi_path, record_key, paths, iceberg_root
+    )
+
+
+def _bootstrap_to_hudi(
+    spark,
+    hudi_path: str,
+    record_key: str,
+    source_paths: list[str],
+    source_base: str,
+) -> str:
+    """Shared METADATA_ONLY bootstrap core: skeleton meta-column
+    parquet per source file (keys read executor-side), JSON bootstrap
+    index, reserved-instant timeline commit. See
+    :func:`bootstrap_delta_to_hudi` for the contract."""
+    from kafka_delta_ingest_spark.hudi import (
+        BOOTSTRAP_INDEX_REL,
+        BOOTSTRAP_INSTANT,
+        HudiCowWriter,
+    )
+
+    if os.path.isdir(os.path.join(hudi_path, ".hoodie")):
+        raise ValueError(
+            f"{hudi_path} already holds a Hudi table; bootstrap only "
+            "creates fresh metadata"
+        )
     w = HudiCowWriter(hudi_path, record_key=record_key)
     props = os.path.join(hudi_path, ".hoodie", "hoodie.properties")
     w.store.put_atomic(
         props,
         w.store.read_bytes(props)
-        + f"hoodie.bootstrap.base.path={delta_path}\n".encode(),
+        + f"hoodie.bootstrap.base.path={source_base}\n".encode(),
     )
     instant = BOOTSTRAP_INSTANT
     hoodie = os.path.join(hudi_path, ".hoodie")
@@ -676,10 +761,7 @@ def bootstrap_delta_to_hudi(
 
     import uuid as _uuid
 
-    items = [
-        (os.path.join(delta_path, a["path"]), _uuid.uuid4().hex)
-        for a in adds
-    ]
+    items = [(p, _uuid.uuid4().hex) for p in source_paths]
     flist = spark.createDataFrame(items, "src string, fid string")
     n_slices = max(1, min(len(items), 256))
     table_root = hudi_path
@@ -752,7 +834,9 @@ def bootstrap_delta_to_hudi(
         .collect()
     ]
     if not stats:
-        raise ValueError(f"{delta_path} has no live rows to bootstrap")
+        raise ValueError(
+            f"{source_base} has no live rows to bootstrap"
+        )
     idx_path = os.path.join(hudi_path, BOOTSTRAP_INDEX_REL)
     os.makedirs(os.path.dirname(idx_path), exist_ok=True)
     w.store.put_atomic(
@@ -760,7 +844,7 @@ def bootstrap_delta_to_hudi(
         json.dumps(
             {
                 "instant": instant,
-                "sourceBasePath": delta_path,
+                "sourceBasePath": source_base,
                 "mapping": [
                     {
                         "fileId": s["fileId"],

@@ -544,3 +544,57 @@ def test_bootstrap_refusals_and_rewrite_guard(spark, tmp_path):
         bootstrap_delta_to_hudi(
             spark, t2, h, record_key="doc_id"
         )
+
+
+def test_bootstrap_iceberg_to_hudi(spark, tmp_path):
+    """Sixth bridge — the 3x3 matrix is complete: Iceberg -> Hudi via
+    METADATA_ONLY bootstrap. Iceberg files carry every column in the
+    pages, so PARTITIONED sources bootstrap fine; a table converted
+    from hive-layout Delta (files may omit identity columns) refuses;
+    live deletes refuse."""
+    from kafka_delta_ingest_spark.convert import (
+        bootstrap_iceberg_to_hudi,
+        convert_delta_to_iceberg,
+    )
+    from kafka_delta_ingest_spark.hudi import read_hudi
+    from kafka_delta_ingest_spark.iceberg import IcebergWriter
+
+    ice = str(tmp_path / "ice")
+    h = str(tmp_path / "h")
+    fields = [
+        {"id": 1, "name": "doc_id", "required": False, "type": "long"},
+        {"id": 2, "name": "grp", "required": False, "type": "string"},
+        {"id": 3, "name": "val", "required": False, "type": "double"},
+    ]
+    w = IcebergWriter(ice, fields, partition_by=["grp"])
+    w.append(_docs(spark, 30), ts_ms=1000)
+    w.append(_docs(spark, 10, lo=100), ts_ms=2000)
+    bootstrap_iceberg_to_hudi(spark, ice, h, record_key="doc_id")
+    iv = read_iceberg(spark, ice).select("doc_id", "grp", "val")
+    hv = read_hudi(spark, h).select("doc_id", "grp", "val")
+    assert hv.exceptAll(iv).count() == 0
+    assert iv.exceptAll(hv).count() == 0
+    assert hv.count() == 40
+    km = read_hudi(spark, h, keep_meta=True)
+    assert km.filter(
+        "CAST(_hoodie_record_key AS LONG) != doc_id"
+    ).count() == 0
+
+    # deletes refuse
+    ice2 = str(tmp_path / "ice2")
+    w2 = IcebergWriter(ice2, fields)
+    w2.append(_docs(spark, 20), ts_ms=1000)
+    w2.delete_where(spark, "doc_id % 3 = 0", ts_ms=2000)
+    with pytest.raises(ValueError, match="delete"):
+        bootstrap_iceberg_to_hudi(
+            spark, ice2, str(tmp_path / "h2"), record_key="doc_id"
+        )
+    # converted-from-hive-Delta tables refuse (omitted identity cols)
+    t = str(tmp_path / "delta")
+    DeltaStandardWriter(t).write(_docs(spark, 20), partition_by=["grp"])
+    ice3 = str(tmp_path / "ice3")
+    convert_delta_to_iceberg(spark, t, ice3, ts_ms=1000)
+    with pytest.raises(ValueError, match="ORIGINAL Delta"):
+        bootstrap_iceberg_to_hudi(
+            spark, ice3, str(tmp_path / "h3"), record_key="doc_id"
+        )
