@@ -6607,8 +6607,10 @@ def table_bootstrap_delta_hudi(spark, sf_dir):
     bh_ok pins: every parquet under the Hudi root carries ONLY
     _hoodie_* columns (skeletons — nothing copied), the keep_meta
     ZIPPED view's record keys equal the source event_ids row-exactly,
-    and a group-rewriting op (upsert_batch) REFUSES with the
-    FULL_RECORD-ization rationale."""
+    a NON-merging group rewrite (cluster) refuses while live groups
+    are skeletons, and upsert_batch FULL_RECORD-izes a touched group
+    through the zipped view (real Hudi's first-touch rule; pinned on
+    a throwaway bootstrap so this oracle table stays pure)."""
     from kafka_delta_ingest_spark.hudi import read_hudi
 
     h, bh_ok = _bootstrap_dh_fixture(spark, sf_dir)
@@ -6659,14 +6661,38 @@ def _bootstrap_dh_fixture(spark, sf_dir: str) -> tuple:
     keys_match = km.filter(
         F.col("_hoodie_record_key").cast("long") != F.col("event_id")
     ).isEmpty() and km.count() == ev.count()
+    # cluster (a non-merging group rewrite) refuses while live groups
+    # are skeletons; upsert FULL_RECORD-izes instead of refusing —
+    # pinned on a THROWAWAY bootstrap so the oracle table stays pure
     refuse = False
     try:
-        HudiCowWriter(h, record_key="event_id").upsert_batch(
-            ev.limit(3)
-        )
+        HudiCowWriter(h, record_key="event_id").cluster(spark)
     except ValueError:
         refuse = True
-    bh_ok = skel_only and keys_match and refuse
+    full_rec = False
+    try:
+        from kafka_delta_ingest_spark.delta_standard import (
+            DeltaStandardWriter as _DW,
+        )
+
+        _DW(root + "/t2").write(ev.limit(50))
+        bootstrap_delta_to_hudi(
+            spark, root + "/t2", root + "/h2", record_key="event_id"
+        )
+        w2 = HudiCowWriter(root + "/h2", record_key="event_id")
+        ist, n_upd, _ni = w2.upsert_batch(
+            ev.limit(3).withColumn("value", F.lit(0.5))
+        )
+        full_rec = (
+            ist is not None
+            and n_upd >= 1
+            and read_hudi(spark, root + "/h2")
+            .filter("value = 0.5").count() == 3
+        )
+    finally:
+        _sh.rmtree(root + "/t2", ignore_errors=True)
+        _sh.rmtree(root + "/h2", ignore_errors=True)
+    bh_ok = skel_only and keys_match and refuse and full_rec
     out = (h, bh_ok)
     _TBLFMT_FIXTURES[key] = out
     atexit.register(_sh.rmtree, root, ignore_errors=True)

@@ -593,9 +593,13 @@ def bootstrap_delta_to_hudi(
     Reads: plain data queries scan the SOURCE files in place (zero
     join); ``keep_meta``/incremental reads zip skeleton+source
     positionally on (fileId, row_index) (``hudi._bootstrap_zip``).
-    Group-REWRITING ops (upsert/cluster/MoR logs) are refused with
-    the FULL_RECORD-ization rationale; ``insert_batch`` works (new
-    normal groups alongside bootstrapped ones).
+    ``upsert_batch`` FULL_RECORD-izes touched skeleton groups through
+    the zipped view (real Hudi's first-touch rule): the group's new
+    slice is a normal full file, later-base-wins makes it ordinary
+    from that instant, and the index entry stays for time-travel.
+    Non-merging group ops (cluster, MoR log blocks) refuse while live
+    groups are skeletons; ``insert_batch`` works (new normal groups
+    alongside).
 
     Refused inputs: live deletion vectors, column-mapping tables,
     PARTITIONED Delta sources (hive layout drops partition columns

@@ -228,8 +228,20 @@ def bootstrap_mapping(table_path: str) -> dict[str, str]:
     return {e["fileId"]: e["source"] for e in idx.get("mapping", [])}
 
 
+def _is_bootstrap_slice(base_path: str) -> bool:
+    """True when a file group's LIVE slice is still its bootstrap
+    skeleton (named ``<fileId>_*_00000000000001.parquet``). A later
+    rewrite (upsert FULL_RECORD-ization) produces a normal slice at a
+    newer instant — later-base-wins makes the group ordinary again,
+    while the bootstrap index entry stays forever so TIME-TRAVEL reads
+    at or before the rewrite keep resolving the skeleton's source."""
+    return os.path.basename(base_path).endswith(
+        f"_{BOOTSTRAP_INSTANT}.parquet"
+    )
+
+
 def _bootstrap_zip(spark, boot_items: list[tuple[str, str]],
-                   bmap: dict[str, str]):
+                   bmap: dict[str, str], fid_alias: str | None = None):
     """Full-row view of METADATA_ONLY-bootstrapped file groups: the
     skeleton parquet (meta columns) zipped POSITIONALLY with its
     source parquet (data columns) — Hudi's bootstrap-relation merge,
@@ -275,8 +287,14 @@ def _bootstrap_zip(spark, boot_items: list[tuple[str, str]],
         src,
         (sk["_kdi_fid"] == src["_kdi_fid2"])
         & (sk["_kdi_pos"] == src["_kdi_pos2"]),
-    ).drop("_kdi_fid", "_kdi_pos", "_kdi_fid2", "_kdi_pos2")
-    return joined
+    )
+    if fid_alias is not None:
+        from pyspark.sql import functions as F
+
+        joined = joined.withColumn(fid_alias, F.col("_kdi_fid"))
+    return joined.drop(
+        "_kdi_fid", "_kdi_pos", "_kdi_fid2", "_kdi_pos2"
+    )
 
 
 def plan_snapshot(
@@ -689,15 +707,21 @@ def read_hudi(
         table_path, as_of_instant, partition_filter
     )
     bmap = bootstrap_mapping(table_path)
+    # bootstrap-backed = the LIVE slice is still the skeleton; a group
+    # FULL_RECORD-ized by a later upsert reads as a normal file even
+    # though its index entry remains (time-travel before the rewrite
+    # still plans the skeleton slice and lands back here).
     boot_items = sorted(
         (fid, g["base"])
         for (_p, fid), g in groups.items()
         if g["base"] and fid in bmap
+        and _is_bootstrap_slice(g["base"])
     )
+    boot_fids = {fid for fid, _b in boot_items}
     base_files = sorted(
         g["base"]
         for (_p, fid), g in groups.items()
-        if g["base"] and fid not in bmap
+        if g["base"] and fid not in boot_fids
     )
     boot_df = None
     if boot_items:
@@ -1437,22 +1461,39 @@ class HudiCowWriter:
         )
         return instant, n_files, n_records
 
+    def _live_bootstrap_fids(self) -> set[str]:
+        """fileIds whose LIVE slice is still a bootstrap skeleton
+        (``_is_bootstrap_slice``); empty for non-bootstrapped tables
+        and for groups already FULL_RECORD-ized by an upsert."""
+        bmap = bootstrap_mapping(self.path)
+        if not bmap:
+            return set()
+        try:
+            groups, _ = plan_file_groups(self.path)
+        except ValueError:
+            return set()
+        return {
+            fid
+            for (_p, fid), g in groups.items()
+            if g["base"] and fid in bmap
+            and _is_bootstrap_slice(g["base"])
+        }
+
     def _refuse_bootstrap(self, op: str) -> None:
-        """Group-rewriting operations are refused on tables holding
-        METADATA_ONLY-bootstrapped file groups: a rewrite must merge
-        the skeleton's meta columns with the external source's data
-        columns (Hudi's FULL_RECORD-ization of the group) — a
-        data-dependent lift this v1 documents rather than fakes.
-        Inserts (new groups) and all reads work; real Hudi has the
-        same boundary (bootstrapped groups are FULL_RECORD-ized on
-        first touch)."""
-        if bootstrap_mapping(self.path):
+        """Operations that rewrite or log against file groups WITHOUT
+        merging skeleton+source refuse while any live group is still
+        bootstrap-backed. ``upsert_batch`` is NOT in this list: it
+        FULL_RECORD-izes touched bootstrapped groups through the
+        zipped view (exactly real Hudi's first-touch behavior);
+        inserts and all reads work throughout."""
+        if self._live_bootstrap_fids():
             raise ValueError(
-                f"{op} over a METADATA_ONLY-bootstrapped table: "
-                "rewriting a bootstrapped file group requires merging "
-                "its skeleton meta columns with the external source "
-                "rows (FULL_RECORD-ization) — not yet implemented; "
-                "reads, incremental queries, and insert_batch all work"
+                f"{op} over METADATA_ONLY-bootstrapped file groups: "
+                "this operation rewrites/logs against group slices "
+                "without merging the skeleton's meta columns with the "
+                "external source rows — upsert_batch (which "
+                "FULL_RECORD-izes the touched groups), inserts, and "
+                "all reads work"
             )
 
     def _part_path_col(self):
@@ -1588,7 +1629,6 @@ class HudiCowWriter:
                 "upsert_batch requires the writer's record_key field "
                 "(HudiCowWriter(record_key=...))"
             )
-        self._refuse_bootstrap("upsert_batch")
         if df.isEmpty():
             return None, 0, 0
         spark = df.sparkSession
@@ -1664,23 +1704,56 @@ class HudiCowWriter:
             matched_keys = live_keys.drop("__fp").distinct()
             if touched:
                 n_updated_groups = len(touched)
-                fid_rows = [
-                    (p, *by_base[p]) for p in sorted(touched)
-                ]
+                # FULL_RECORD-ization (real Hudi's first-touch rule):
+                # a touched group whose live slice is still a
+                # bootstrap SKELETON reads through the zipped
+                # skeleton+source view; its rewrite below produces a
+                # normal full slice, and later-base-wins makes the
+                # group ordinary from this instant on (the bootstrap
+                # index entry stays, serving time-travel reads).
+                bmap = bootstrap_mapping(self.path)
+                boot_paths = sorted(
+                    p for p in touched
+                    if by_base[p][1] in bmap
+                    and _is_bootstrap_slice(p)
+                )
+                norm_paths = sorted(
+                    p for p in touched if p not in set(boot_paths)
+                )
                 fid_map = spark.createDataFrame(
-                    fid_rows, "__fp string, __part string, "
-                    "__fid string, __prev string"
+                    [(p, *by_base[p]) for p in sorted(touched)],
+                    "__fp string, __part string, "
+                    "__fid string, __prev string",
                 )
-                tgt = spark.read.option("mergeSchema", "true").parquet(
-                    *sorted(touched)
-                ).select(
-                    F.regexp_replace(
-                        F.col("_metadata.file_path"), "^file:(//)?", ""
-                    ).alias("__fp"),
-                    F.col("_hoodie_partition_path").alias("__pp"),
-                    F.col("_hoodie_record_key").alias("__rk"),
-                    "*",
-                )
+                tgt = None
+                if norm_paths:
+                    tgt = spark.read.option(
+                        "mergeSchema", "true"
+                    ).parquet(*norm_paths).select(
+                        F.regexp_replace(
+                            F.col("_metadata.file_path"),
+                            "^file:(//)?", ""
+                        ).alias("__fp"),
+                        F.col("_hoodie_partition_path").alias("__pp"),
+                        F.col("_hoodie_record_key").alias("__rk"),
+                        "*",
+                    ).join(F.broadcast(fid_map), "__fp").drop(
+                        "__fp", "__part", "__prev"
+                    )
+                if boot_paths:
+                    bt = _bootstrap_zip(
+                        spark,
+                        [(by_base[p][1], p) for p in boot_paths],
+                        bmap,
+                        fid_alias="__fid",
+                    ).select(
+                        F.col("_hoodie_partition_path").alias("__pp"),
+                        F.col("_hoodie_record_key").alias("__rk"),
+                        "*",
+                    )
+                    tgt = bt if tgt is None else tgt.unionByName(
+                        bt, allowMissingColumns=True
+                    )
                 src_m = src.withColumn("__m", F.lit(True))
                 joined = tgt.alias("t").join(
                     src_m.alias("s"), ["__pp", "__rk"], "left"
@@ -1688,7 +1761,7 @@ class HudiCowWriter:
                 is_m = F.col("__m").isNotNull()
                 data_cols = [
                     c for c in tgt.columns
-                    if c not in ("__fp", "__pp", "__rk")
+                    if c not in ("__fid", "__pp", "__rk")
                     and not c.startswith("_hoodie_")
                 ]
                 src_cols = set(df.columns)
@@ -1723,9 +1796,9 @@ class HudiCowWriter:
                             F.when(is_m, F.lit(None))
                             .otherwise(F.col(f"t.{c}")).alias(c)
                         )
-                merged = joined.join(
-                    F.broadcast(fid_map), "__fp"
-                ).select(F.col("__fid").alias("__kdi_fid"), *out_cols)
+                merged = joined.select(
+                    F.col("__fid").alias("__kdi_fid"), *out_cols
+                )
                 staging = os.path.join(
                     self.path, f"_staging-{_uuid.uuid4().hex}"
                 )

@@ -528,10 +528,8 @@ def test_bootstrap_refusals_and_rewrite_guard(spark, tmp_path):
         )
     h = str(tmp_path / "h2")
     bootstrap_delta_to_hudi(spark, t2, h, record_key="doc_id")
-    # group-rewriting ops refuse with the FULL_RECORD rationale
+    # non-merging group ops refuse while live groups are skeletons
     w2 = HudiCowWriter(h, record_key="doc_id")
-    with pytest.raises(ValueError, match="FULL_RECORD"):
-        w2.upsert_batch(_docs(spark, 3))
     with pytest.raises(ValueError, match="FULL_RECORD"):
         w2.cluster(spark)
     # chained metadata-only bridges over skeletons refused
@@ -598,3 +596,69 @@ def test_bootstrap_iceberg_to_hudi(spark, tmp_path):
         bootstrap_iceberg_to_hudi(
             spark, ice3, str(tmp_path / "h3"), record_key="doc_id"
         )
+
+
+def test_bootstrap_upsert_full_record_izes_touched_groups(
+    spark, tmp_path
+):
+    """upsert_batch over a bootstrapped table (r11): touched skeleton
+    groups are FULL_RECORD-ized through the zipped skeleton+source
+    view — updated rows carry new values, untouched rows keep their
+    source values and original keys, untouched GROUPS keep reading
+    through their skeletons, and time-travel at the bootstrap instant
+    still serves the pre-upsert content via the retained index."""
+    from kafka_delta_ingest_spark.convert import bootstrap_delta_to_hudi
+    from kafka_delta_ingest_spark.hudi import (
+        BOOTSTRAP_INSTANT,
+        HudiCowWriter,
+        _is_bootstrap_slice,
+        plan_file_groups,
+        read_hudi,
+    )
+
+    t = str(tmp_path / "delta")
+    h = str(tmp_path / "hudi")
+    w = DeltaStandardWriter(t)
+    # 3 separate files -> 3 bootstrap groups
+    w.write(_docs(spark, 30).repartition(3))
+    bootstrap_delta_to_hudi(spark, t, h, record_key="doc_id")
+    w2 = HudiCowWriter(h, record_key="doc_id")
+    upd = _docs(spark, 30).filter("doc_id IN (2, 7)").withColumn(
+        "val", F.lit(777.0)
+    )
+    instant, n_upd, n_ins = w2.upsert_batch(upd)
+    assert instant is not None and n_ins == 0 and 1 <= n_upd <= 3
+    got = {r.doc_id: r.val for r in read_hudi(spark, h).collect()}
+    assert got[2] == 777.0 and got[7] == 777.0
+    assert got[3] == 4.5 and len(got) == 30  # untouched rows intact
+    # touched groups now have NORMAL live slices; untouched groups
+    # are still skeleton-backed; index entries remain for all
+    groups, _ = plan_file_groups(h)
+    states = [
+        _is_bootstrap_slice(g["base"]) for g in groups.values()
+    ]
+    assert not all(states)           # something was rewritten
+    assert n_upd == sum(1 for s in states if not s)
+    # keys survive the rewrite (came from the skeleton zip)
+    km = read_hudi(spark, h, keep_meta=True)
+    assert km.filter(
+        "CAST(_hoodie_record_key AS LONG) != doc_id"
+    ).count() == 0
+    # time-travel to the bootstrap instant: pre-upsert content
+    tt = {
+        r.doc_id: r.val
+        for r in read_hudi(
+            spark, h, as_of_instant=BOOTSTRAP_INSTANT
+        ).collect()
+    }
+    assert tt[2] == 3.0 and tt[7] == 10.5
+    # a second upsert on an already-FULL_RECORD-ized group works too
+    w2.upsert_batch(
+        _docs(spark, 30).filter("doc_id = 2").withColumn(
+            "val", F.lit(888.0)
+        )
+    )
+    assert {
+        r.doc_id: r.val
+        for r in read_hudi(spark, h).filter("doc_id = 2").collect()
+    } == {2: 888.0}
