@@ -434,19 +434,31 @@ def convert_hudi_to_delta(
 
     from kafka_delta_ingest_spark.hudi import (
         META_COLS,
-        bootstrap_mapping,
+        _is_bootstrap_slice,
         plan_file_groups,
     )
 
     if ts_ms is None:
         ts_ms = int(time.time() * 1000)
-    if bootstrap_mapping(hudi_path):
-        raise ValueError(
-            f"{hudi_path} holds METADATA_ONLY-bootstrapped file "
-            "groups (skeletons carry no data columns); bridge from "
-            "the ORIGINAL source table instead"
-        )
     groups, _instant = plan_file_groups(hudi_path, as_of_instant, None)
+    # Refuse only when the plan AT THE REQUESTED INSTANT actually
+    # serves a METADATA_ONLY skeleton slice (same per-slice test as
+    # _live_bootstrap_fids) — not on bootstrap_mapping() being
+    # non-empty: the index entry outlives upsert FULL_RECORD-ization
+    # for time-travel, and once every planned group is an ordinary
+    # full file the conversion is safe again.
+    skel = sorted(
+        fid
+        for (_p, fid), g in groups.items()
+        if g["base"] and _is_bootstrap_slice(g["base"])
+    )
+    if skel:
+        raise ValueError(
+            f"{len(skel)} planned file group(s) are still "
+            "METADATA_ONLY bootstrap skeletons (no data columns in "
+            "the base file); bridge from the ORIGINAL source table, "
+            "or rewrite those groups (upsert) first"
+        )
     pending = sorted(
         fid for (_p, fid), g in groups.items() if g["logs"]
     )
@@ -505,7 +517,7 @@ def convert_hudi_to_iceberg(
 
     from kafka_delta_ingest_spark.hudi import (
         META_COLS,
-        bootstrap_mapping,
+        _is_bootstrap_slice,
         plan_file_groups,
     )
     from kafka_delta_ingest_spark.iceberg import (
@@ -515,13 +527,25 @@ def convert_hudi_to_iceberg(
 
     if ts_ms is None:
         ts_ms = int(time.time() * 1000)
-    if bootstrap_mapping(hudi_path):
-        raise ValueError(
-            f"{hudi_path} holds METADATA_ONLY-bootstrapped file "
-            "groups (skeletons carry no data columns); bridge from "
-            "the ORIGINAL source table instead"
-        )
     groups, _instant = plan_file_groups(hudi_path, as_of_instant, None)
+    # Refuse only when the plan AT THE REQUESTED INSTANT actually
+    # serves a METADATA_ONLY skeleton slice (same per-slice test as
+    # _live_bootstrap_fids) — not on bootstrap_mapping() being
+    # non-empty: the index entry outlives upsert FULL_RECORD-ization
+    # for time-travel, and once every planned group is an ordinary
+    # full file the conversion is safe again.
+    skel = sorted(
+        fid
+        for (_p, fid), g in groups.items()
+        if g["base"] and _is_bootstrap_slice(g["base"])
+    )
+    if skel:
+        raise ValueError(
+            f"{len(skel)} planned file group(s) are still "
+            "METADATA_ONLY bootstrap skeletons (no data columns in "
+            "the base file); bridge from the ORIGINAL source table, "
+            "or rewrite those groups (upsert) first"
+        )
     pending = sorted(
         fid for (_p, fid), g in groups.items() if g["logs"]
     )
@@ -722,6 +746,83 @@ def bootstrap_iceberg_to_hudi(
     )
 
 
+def _bootstrap_preflight(
+    spark, source_paths: list[str], record_key: str
+) -> None:
+    """Distributed footer-only validation of bootstrap source files
+    (see :func:`_bootstrap_to_hudi`). One row per offending file comes
+    back; the job reads parquet FOOTERS only unless a file lacks
+    null-count statistics for the key column (then that one column is
+    read). O(files) executor work, commit-metadata-sized collect."""
+    key_col = record_key
+
+    def _probe(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for src in pdf["src"]:
+                pf = pq.ParquetFile(src)
+                names = pf.schema_arrow.names
+                hoodie = sorted(
+                    n for n in names if n.startswith("_hoodie_")
+                )
+                if hoodie:
+                    out.append(
+                        f"{src}: carries Hudi meta column(s) "
+                        f"{', '.join(hoodie)}"
+                    )
+                    continue
+                if key_col not in names:
+                    out.append(
+                        f"{src}: record-key column {key_col!r} absent"
+                    )
+                    continue
+                ci = names.index(key_col)
+                nulls, known = 0, True
+                md = pf.metadata
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is None or st.null_count is None:
+                        known = False
+                        break
+                    nulls += st.null_count
+                if not known:
+                    nulls = pf.read(columns=[key_col]).column(
+                        key_col
+                    ).null_count
+                if nulls:
+                    out.append(
+                        f"{src}: {nulls} null record key(s) in "
+                        f"{key_col!r}"
+                    )
+            yield pd.DataFrame({"bad": out})
+
+    flist = spark.createDataFrame(
+        [(p,) for p in source_paths], "src string"
+    )
+    n_slices = max(1, min(len(source_paths), 256))
+    bad = [
+        r.bad
+        for r in flist.repartition(n_slices)
+        .mapInPandas(_probe, "bad string")
+        .collect()
+    ]
+    if bad:
+        raise ValueError(
+            "bootstrap refused; source files must carry non-null "
+            "record keys and no _hoodie_* columns (bridge from the "
+            "ORIGINAL table, or rewrite first):\n  "
+            + "\n  ".join(sorted(bad)[:20])
+            + (
+                f"\n  ... and {len(bad) - 20} more"
+                if len(bad) > 20
+                else ""
+            )
+        )
+
+
 def _bootstrap_to_hudi(
     spark,
     hudi_path: str,
@@ -732,7 +833,24 @@ def _bootstrap_to_hudi(
     """Shared METADATA_ONLY bootstrap core: skeleton meta-column
     parquet per source file (keys read executor-side), JSON bootstrap
     index, reserved-instant timeline commit. See
-    :func:`bootstrap_delta_to_hudi` for the contract."""
+    :func:`bootstrap_delta_to_hudi` for the contract.
+
+    A footer-only pre-flight job runs BEFORE any metadata is written
+    and refuses two inputs that would otherwise corrupt the table only
+    after the bootstrap commit:
+
+    - source files physically carrying ``_hoodie_*`` columns (tables
+      themselves bridged FROM Hudi via convert.py reference the Hudi
+      base parquet in place): ``_bootstrap_zip``'s skeleton<->source
+      join would yield duplicate meta-column names, breaking
+      keep_meta/incremental reads and upsert FULL_RECORD-ization
+      while plain reads still work;
+    - null record keys (from column-chunk statistics, falling back to
+      reading the key column when a file lacks stats): Hudi record
+      keys are non-null by contract, and a null ``__rk`` never matches
+      upsert_batch's ``['__pp','__rk']`` equi-join, leaving those rows
+      permanently un-upsertable. A missing key column (schema
+      evolution) is refused for the same reason."""
     from kafka_delta_ingest_spark.hudi import (
         BOOTSTRAP_INDEX_REL,
         BOOTSTRAP_INSTANT,
@@ -744,6 +862,7 @@ def _bootstrap_to_hudi(
             f"{hudi_path} already holds a Hudi table; bootstrap only "
             "creates fresh metadata"
         )
+    _bootstrap_preflight(spark, source_paths, record_key)
     w = HudiCowWriter(hudi_path, record_key=record_key)
     props = os.path.join(hudi_path, ".hoodie", "hoodie.properties")
     w.store.put_atomic(

@@ -167,6 +167,33 @@ def plan_files(
         f["id"]: f["type"]
         for f in (_current_schema(meta) or {}).get("fields", [])
     }
+    # Manifest partition tuples changed representation in r11:
+    # typed_partition_value made float/boolean identity values typed
+    # for NEW appends, so a pre-r11 table can hold BOTH eras ("1.5"
+    # and 1.5) across its manifests. Normalize every decoded tuple
+    # through the same function at plan time so partition_filter
+    # callables and with_partitions consumers see exactly one
+    # representation per type regardless of write era. Identity
+    # fields only — non-identity transform outputs (bucket ints,
+    # truncate prefixes) are already canonical.
+    _pt_type = {}
+    for _spec in meta.get("partition-specs") or []:
+        for _pf in _spec.get("fields") or []:
+            if _pf.get("transform") == "identity":
+                _pt_type[_pf["name"]] = type_of.get(_pf.get("source-id"))
+
+    def _norm_pt(pt: dict) -> dict:
+        if not pt or not _pt_type:
+            return pt
+        return {
+            k: (
+                typed_partition_value(v, _pt_type[k])
+                if k in _pt_type
+                else v
+            )
+            for k, v in pt.items()
+        }
+
     data_files, pos_deletes, eq_deletes = [], [], []
     for m in manifests:
         man_seq = m.get("sequence_number") or 0
@@ -187,7 +214,7 @@ def plan_files(
             if (
                 content == 0
                 and partition_filter is not None
-                and not partition_filter(df.get("partition") or {})
+                and not partition_filter(_norm_pt(df.get("partition") or {}))
             ):
                 continue
             if (
@@ -204,7 +231,7 @@ def plan_files(
             if content == 0:
                 if with_partitions:
                     data_files.append(
-                        (path, seq, df.get("partition") or {})
+                        (path, seq, _norm_pt(df.get("partition") or {}))
                     )
                 else:
                     data_files.append((path, seq))

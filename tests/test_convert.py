@@ -662,3 +662,99 @@ def test_bootstrap_upsert_full_record_izes_touched_groups(
         r.doc_id: r.val
         for r in read_hudi(spark, h).filter("doc_id = 2").collect()
     } == {2: 888.0}
+
+
+def test_bootstrap_refuses_null_record_keys(spark, tmp_path):
+    """r12 (advice): Hudi record keys are non-null by contract — a
+    null __rk never matches upsert_batch's ['__pp','__rk'] equi-join,
+    so rows with null keys would be permanently un-upsertable. The
+    footer-only pre-flight refuses BEFORE any metadata is written."""
+    from kafka_delta_ingest_spark.convert import bootstrap_delta_to_hudi
+
+    t = str(tmp_path / "delta")
+    DeltaStandardWriter(t).write(
+        _docs(spark, 20).withColumn(
+            "doc_id",
+            F.when(F.col("doc_id") % 7 == 0, None).otherwise(
+                F.col("doc_id")
+            ),
+        )
+    )
+    h = str(tmp_path / "h")
+    with pytest.raises(ValueError, match="null record key"):
+        bootstrap_delta_to_hudi(spark, t, h, record_key="doc_id")
+    # pre-flight runs before ANY metadata write: target untouched
+    assert not os.path.exists(os.path.join(h, ".hoodie"))
+
+
+def test_bootstrap_refuses_hoodie_meta_columns_in_source(
+    spark, tmp_path
+):
+    """r12 (advice): a table bridged FROM Hudi (convert_hudi_to_iceberg)
+    references the Hudi base parquet in place, whose pages physically
+    carry _hoodie_* columns. Bootstrapping THAT into a new Hudi table
+    would give _bootstrap_zip duplicate meta-column names — refused at
+    pre-flight, before the bootstrap metadata commit."""
+    from kafka_delta_ingest_spark.convert import (
+        bootstrap_iceberg_to_hudi,
+        convert_hudi_to_iceberg,
+    )
+    from kafka_delta_ingest_spark.hudi import HudiCowWriter
+
+    h1 = str(tmp_path / "hudi_src")
+    HudiCowWriter(h1, record_key="doc_id").insert_batch(
+        _docs(spark, 20)
+    )
+    ice = str(tmp_path / "ice")
+    convert_hudi_to_iceberg(spark, h1, ice, ts_ms=1000)
+    h2 = str(tmp_path / "hudi_dst")
+    with pytest.raises(ValueError, match="Hudi meta column"):
+        bootstrap_iceberg_to_hudi(spark, ice, h2, record_key="doc_id")
+    assert not os.path.exists(os.path.join(h2, ".hoodie"))
+
+
+def test_fully_rewritten_bootstrap_table_converts(spark, tmp_path):
+    """r12 (advice): the bridge refusal is plan-based, not
+    index-presence-based. Once upsert has FULL_RECORD-ized EVERY file
+    group, the live plan holds only ordinary full files and
+    convert_hudi_to_delta / convert_hudi_to_iceberg succeed — while a
+    time-travel conversion AT the bootstrap instant (whose plan still
+    serves skeletons via the retained index) keeps refusing."""
+    from kafka_delta_ingest_spark.convert import (
+        bootstrap_delta_to_hudi,
+        convert_hudi_to_delta,
+        convert_hudi_to_iceberg,
+    )
+    from kafka_delta_ingest_spark.hudi import (
+        BOOTSTRAP_INSTANT,
+        HudiCowWriter,
+        read_hudi,
+    )
+
+    t = str(tmp_path / "delta")
+    h = str(tmp_path / "hudi")
+    DeltaStandardWriter(t).write(_docs(spark, 30).repartition(2))
+    bootstrap_delta_to_hudi(spark, t, h, record_key="doc_id")
+    w = HudiCowWriter(h, record_key="doc_id")
+    # touch every group: doc_ids are hash-scattered, update them all
+    w.upsert_batch(
+        _docs(spark, 30).withColumn("val", F.col("val") + 1.0)
+    )
+    # still-skeleton plan at the bootstrap instant keeps refusing
+    with pytest.raises(ValueError, match="skeleton"):
+        convert_hudi_to_delta(
+            spark, h, str(tmp_path / "d_tt"),
+            as_of_instant=BOOTSTRAP_INSTANT,
+        )
+    # but the LIVE plan is all ordinary files now: both bridges work
+    d2 = str(tmp_path / "d2")
+    convert_hudi_to_delta(spark, h, d2)
+    got = read_delta(spark, d2).select("doc_id", "grp", "val")
+    want = read_hudi(spark, h).select("doc_id", "grp", "val")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    i2 = str(tmp_path / "i2")
+    convert_hudi_to_iceberg(spark, h, i2, ts_ms=5000)
+    gi = read_iceberg(spark, i2).select("doc_id", "grp", "val")
+    assert gi.exceptAll(want).count() == 0
+    assert want.exceptAll(gi).count() == 0

@@ -1010,3 +1010,80 @@ def test_iceberg_hidden_partitioning_month_year_hour(spark, tmp_path):
         ts_ms=2000,
     )
     assert read_iceberg(spark, t).count() == 4
+
+
+def test_mixed_era_partition_value_representation(
+    spark, tmp_path, monkeypatch
+):
+    """r12 (advice): typed_partition_value (r11) changed the manifest
+    representation of float/boolean identity partition values from
+    string to typed FOR NEW APPENDS ONLY — a pre-r11 table with such
+    partitions holds both eras across its manifests. plan_files now
+    normalizes every decoded tuple through typed_partition_value at
+    plan time, so a partition_filter like pv['flag'] is True keeps
+    files from BOTH eras instead of silently pruning the old ones."""
+    import kafka_delta_ingest_spark.iceberg as ice
+    from kafka_delta_ingest_spark.iceberg import (
+        IcebergWriter,
+        plan_files,
+        read_iceberg,
+    )
+
+    t = str(tmp_path / "mixed_era")
+    fields = [
+        {"id": 1, "name": "doc_id", "type": "long", "required": False},
+        {"id": 2, "name": "ratio", "type": "double", "required": False},
+        {"id": 3, "name": "flag", "type": "boolean", "required": False},
+    ]
+    w = IcebergWriter(t, fields, partition_by=["ratio", "flag"])
+
+    def df(lo):
+        return spark.range(lo, lo + 8).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 2 == 0, 1.5).otherwise(2.5)
+            .alias("ratio"),
+            (F.col("id") % 2 == 0).alias("flag"),
+        )
+
+    # era 1: pre-r11 writer stamped raw hive-directory STRINGS
+    monkeypatch.setattr(
+        ice, "typed_partition_value", lambda v, _t: v
+    )
+    w.append(df(0), ts_ms=1000)
+    monkeypatch.undo()
+    # era 2: current writer stamps TYPED values
+    w.append(df(100), ts_ms=2000)
+
+    # raw manifests really do hold both representations
+    raw = set()
+    _, _, _, meta = plan_files(t)
+    snap = meta["snapshots"][-1]
+    with open(snap["manifest-list"], "rb") as f:
+        _, manifests = ice.read_container(f.read())
+    for m in manifests:
+        with open(m["manifest_path"], "rb") as f:
+            _, entries = ice.read_container(f.read())
+        for e in entries:
+            raw.add(type(e["data_file"]["partition"]["flag"]).__name__)
+    assert raw == {"str", "bool"}
+
+    # the filter sees ONE typed representation for both eras
+    seen = []
+    data_files, _, _, _ = plan_files(
+        t,
+        partition_filter=lambda pv: seen.append(dict(pv))
+        or (pv["flag"] is True and pv["ratio"] == 1.5),
+    )
+    assert all(
+        isinstance(pv["flag"], bool) and isinstance(pv["ratio"], float)
+        for pv in seen
+    )
+    # both eras' matching files kept: era-1 and era-2 even doc_ids
+    got = sorted(
+        r.doc_id
+        for r in read_iceberg(
+            spark, t,
+            partition_filter=lambda pv: pv["flag"] is True,
+        ).collect()
+    )
+    assert got == [0, 2, 4, 6, 100, 102, 104, 106]
