@@ -6811,6 +6811,147 @@ def _bootstrap_ih_fixture(spark, sf_dir: str) -> tuple:
 
 
 @_q(
+    "table_bootstrap_partitioned",
+    """
+    SELECT event_id, event_type, user_id,
+      CAST(user_id % 4 AS INT) AS ub,
+      CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END
+        AS value,
+      TRUE AS bp_ok
+    FROM events
+    WHERE event_type = 'click'
+    """,
+)
+def table_bootstrap_partitioned(spark, sf_dir):
+    """PARTITIONED Delta -> Hudi METADATA_ONLY bootstrap (r12, lifts
+    the r11 v1 seam — r11 verdict item 3). The source is a hive-layout
+    Delta table partitioned by (event_type, ub int) whose data pages
+    DROP both partition columns; the bootstrap index records each
+    file's partitionValues plus a typed partition schema, skeletons
+    land in hive partition dirs with _hoodie_partition_path stamped,
+    and reads reattach the TYPED values via an index-sized broadcast
+    frame over the in-place source scan (the Hudi-side analog of
+    Delta's P1/P2 partition-value reads, reference
+    src/writer.rs:504-543). The certified output is the
+    partition_filter='event_type=click' read — so a hash match
+    certifies plan-time pruning from the timeline alone, the typed
+    int reconstruction (ub), AND row-exact content through an UPDATE
+    that rewrote files before the bootstrap. bp_ok pins: every
+    parquet under the Hudi root is skeleton-only and lives in a hive
+    partition dir, only click-partition source files are scanned by
+    the pruned read, and upsert FULL_RECORD-ization bakes the
+    partition columns into the rewritten slice's pages (throwaway
+    bootstrap, oracle table stays pure)."""
+    from kafka_delta_ingest_spark.hudi import read_hudi
+
+    h, bp_ok = _bootstrap_part_fixture(spark, sf_dir)
+    return read_hudi(
+        spark, h,
+        partition_filter=lambda p: p.startswith("event_type=click/"),
+    ).select(
+        "event_id", "event_type", "user_id", "ub", "value"
+    ).withColumn("bp_ok", F.lit(bool(bp_ok)))
+
+
+def _bootstrap_part_fixture(spark, sf_dir: str) -> tuple:
+    import atexit
+    import shutil as _sh
+    import tempfile as _tf
+
+    import pyarrow.parquet as _pq
+
+    from kafka_delta_ingest_spark.convert import bootstrap_delta_to_hudi
+    from kafka_delta_ingest_spark.delta_standard import (
+        DeltaStandardWriter,
+    )
+    from kafka_delta_ingest_spark.hudi import HudiCowWriter, read_hudi
+
+    key = ("bootpart", sf_dir)
+    hit = _TBLFMT_FIXTURES.get(key)
+    if hit and os.path.isdir(hit[0]):
+        return hit
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id",
+        (F.col("user_id") % 4).cast("int").alias("ub"), "value",
+    )
+    root = _tf.mkdtemp(prefix="kdi-bootpart-")
+    t = root + "/t"
+    h = root + "/h"
+    w = DeltaStandardWriter(t)
+    w.write(
+        ev.filter("event_id % 2 = 0").repartition(2),
+        partition_by=["event_type", "ub"],
+    )
+    w.write(
+        ev.filter("event_id % 2 = 1").repartition(2),
+        partition_by=["event_type", "ub"],
+    )
+    w.update_where(spark, "event_id % 10 = 0", {"value": "value + 1000"})
+    bootstrap_delta_to_hudi(spark, t, h, record_key="event_id")
+
+    skels = [
+        os.path.join(dp, f)
+        for dp, _dirs, fs in os.walk(h)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    skel_only = bool(skels) and all(
+        all(c.startswith("_hoodie_") for c in _pq.read_schema(p).names)
+        and "event_type=" in p and "ub=" in p
+        for p in skels
+    )
+    pruned = read_hudi(
+        spark, h,
+        partition_filter=lambda p: p.startswith("event_type=click/"),
+    )
+    prune_ok = all(
+        "event_type=click" in f
+        for f in pruned.inputFiles()
+        if f.endswith(".parquet")
+    )
+    full_rec = False
+    try:
+        DeltaStandardWriter(root + "/t2").write(
+            ev.limit(50), partition_by=["event_type"]
+        )
+        bootstrap_delta_to_hudi(
+            spark, root + "/t2", root + "/h2", record_key="event_id"
+        )
+        # writer opened WITHOUT partition_by: fields load from
+        # hoodie.table.partition.fields
+        w2 = HudiCowWriter(root + "/h2", record_key="event_id")
+        up = ev.limit(3).withColumn("value", F.lit(0.5))
+        ist, n_upd, _ni = w2.upsert_batch(up)
+        baked = [
+            os.path.join(dp, f)
+            for dp, _dirs, fs in os.walk(root + "/h2")
+            for f in fs
+            if f.endswith(f"_{ist}.parquet")
+        ]
+        full_rec = (
+            ist is not None
+            and n_upd >= 1
+            and w2.parts == ["event_type"]
+            and bool(baked)
+            and all(
+                {"event_id", "event_type", "value"}
+                <= set(_pq.read_schema(p).names)
+                for p in baked
+            )
+            and read_hudi(spark, root + "/h2")
+            .filter("value = 0.5").count() == 3
+        )
+    finally:
+        _sh.rmtree(root + "/t2", ignore_errors=True)
+        _sh.rmtree(root + "/h2", ignore_errors=True)
+    bp_ok = skel_only and prune_ok and full_rec
+    out = (h, bp_ok)
+    _TBLFMT_FIXTURES[key] = out
+    atexit.register(_sh.rmtree, root, ignore_errors=True)
+    return out
+
+
+@_q(
     "table_convert_mixed_appends",
     """
     SELECT event_id, event_type, user_id, value, TRUE AS mixed_ok
@@ -11233,11 +11374,13 @@ _SWEEP_ORDER: list[str] = [
     "sink_delta_standard_merge",
     "ingest_delta_standard_cdc",
     # --- tail: ordered by staleness of the cumulative driver record
-    # (r9 remainder, then the r10- and r11-certified windows). All 189
-    # stay green on the per-round oracle mirror (tools/check_oracle.py)
-    # regardless of the driver's 50-slot cap. Standing rule: queries
-    # added after this round's window head was frozen join the FRONT of
-    # the r13 window and are labelled "mirror-certified" until then.
+    # (r9 remainder, then the r10- and r11-certified windows). All
+    # registry queries stay green on the per-round oracle mirror
+    # (tools/check_oracle.py) regardless of the driver's 50-slot cap.
+    # Standing rule: queries added after this round's window head was
+    # frozen (r12: table_bootstrap_partitioned, at the very end) join
+    # the FRONT of the r13 window and are labelled "mirror-certified"
+    # until then.
     "q1_pricing_summary",
     "q2_min_cost_supplier",
     "q3_shipping_priority",
@@ -11377,6 +11520,8 @@ _SWEEP_ORDER: list[str] = [
     "delta_read_standard",
     "ingest_orc_path",
     "text_bpe_train_probe",
+    # r12 additions (post-window-freeze; mirror-certified, front of r13)
+    "table_bootstrap_partitioned",
 ]
 
 

@@ -625,13 +625,22 @@ def bootstrap_delta_to_hudi(
     groups are skeletons; ``insert_batch`` works (new normal groups
     alongside).
 
-    Refused inputs: live deletion vectors, column-mapping tables,
-    PARTITIONED Delta sources (hive layout drops partition columns
-    from the pages, and unlike Iceberg, Hudi has no
-    identity-from-metadata read rule to reconstruct them — a
-    documented v1 seam), a missing ``record_key`` column, and a
-    ``hudi_path`` that already holds a table. Returns the bootstrap
-    instant."""
+    PARTITIONED sources (r12): hive layout drops the partition columns
+    from the data pages, so the bootstrap index additionally records
+    each file's ``partitionValues`` (the Delta add-action strings) and
+    a typed partition schema; skeletons land in hive partition dirs
+    with ``_hoodie_partition_path`` stamped, the bootstrap commit keys
+    its write stats by partition (plan-time ``partition_filter``
+    pruning works), and readers/upserts reattach the TYPED values via
+    an index-sized broadcast frame — the Hudi-side analog of Delta's
+    partition-value reads (reference src/writer.rs:504-543).
+
+    Refused inputs: live deletion vectors, column-mapping tables
+    (parquet physical names differ from the logical schema —
+    ``partitionValues`` keys included), a ``record_key`` that is
+    missing or is itself a partition column (hive layout keeps it out
+    of the pages), and a ``hudi_path`` that already holds a table.
+    Returns the bootstrap instant."""
     from kafka_delta_ingest_spark.delta_standard import (
         _log_path,
         _replay,
@@ -665,23 +674,60 @@ def bootstrap_delta_to_hudi(
             "metadata-only: parquet physical names differ from the "
             "logical schema"
         )
-    if part_cols:
-        raise ValueError(
-            "partitioned Delta sources are not bootstrappable: hive "
-            "layout drops partition columns from the data pages and "
-            "Hudi has no identity-from-metadata read rule to "
-            "reconstruct them (v1 seam) — convert an unpartitioned "
-            "snapshot or rewrite with the columns in the pages"
-        )
     if record_key not in {f.name for f in logical.fields}:
         raise ValueError(
             f"record_key {record_key!r} is not a column of "
             f"{delta_path}"
         )
+    partition_ddl = None
+    pv_by_src = None
+    if part_cols:
+        # PARTITIONED source (r12, lifts the r11 v1 seam): hive layout
+        # drops the partition columns from the data pages, so their
+        # VALUES ride in the bootstrap index per file (the same
+        # add.partitionValues strings Delta readers reconstruct from,
+        # reference src/writer.rs:504-543) plus a typed partition
+        # schema. Skeletons land in hive partition dirs, stamp
+        # _hoodie_partition_path, and the commit keys write stats by
+        # partition — so plan-time partition_filter pruning and the
+        # non-global (__pp, __rk) upsert index work exactly as on a
+        # natively partitioned Hudi table. Readers and the upsert
+        # FULL_RECORD rewrite reattach the typed values via an
+        # index-sized broadcast frame (hudi._bootstrap_pv_frame).
+        if record_key in part_cols:
+            raise ValueError(
+                f"record_key {record_key!r} is a partition column of "
+                f"{delta_path}: hive layout keeps it out of the data "
+                "pages, so skeleton keys cannot be read from the "
+                "source files"
+            )
+        types = {f.name: f.dataType for f in logical.fields}
+        partition_ddl = ", ".join(
+            f"`{c}` {types[c].simpleString()}" for c in part_cols
+        )
+        pv_by_src = {}
+        for a in adds:
+            pv = a.get("partitionValues") or {}
+            part = "/".join(
+                f"{c}="
+                + (
+                    "__HIVE_DEFAULT_PARTITION__"
+                    if pv.get(c) is None
+                    else str(pv[c])
+                )
+                for c in part_cols
+            )
+            pv_by_src[os.path.join(delta_path, a["path"])] = (
+                part,
+                {c: pv.get(c) for c in part_cols},
+            )
     return _bootstrap_to_hudi(
         spark, hudi_path, record_key,
         [os.path.join(delta_path, a["path"]) for a in adds],
         delta_path,
+        parts=list(part_cols),
+        partition_ddl=partition_ddl,
+        pv_by_src=pv_by_src,
     )
 
 
@@ -829,6 +875,9 @@ def _bootstrap_to_hudi(
     record_key: str,
     source_paths: list[str],
     source_base: str,
+    parts: list[str] | None = None,
+    partition_ddl: str | None = None,
+    pv_by_src: dict[str, tuple[str, dict]] | None = None,
 ) -> str:
     """Shared METADATA_ONLY bootstrap core: skeleton meta-column
     parquet per source file (keys read executor-side), JSON bootstrap
@@ -863,7 +912,10 @@ def _bootstrap_to_hudi(
             "creates fresh metadata"
         )
     _bootstrap_preflight(spark, source_paths, record_key)
-    w = HudiCowWriter(hudi_path, record_key=record_key)
+    w = HudiCowWriter(
+        hudi_path, record_key=record_key,
+        partition_by=list(parts or []),
+    )
     props = os.path.join(hudi_path, ".hoodie", "hoodie.properties")
     w.store.put_atomic(
         props,
@@ -884,8 +936,17 @@ def _bootstrap_to_hudi(
 
     import uuid as _uuid
 
-    items = [(p, _uuid.uuid4().hex) for p in source_paths]
-    flist = spark.createDataFrame(items, "src string, fid string")
+    items = [
+        (
+            p,
+            _uuid.uuid4().hex,
+            pv_by_src[p][0] if pv_by_src else "",
+        )
+        for p in source_paths
+    ]
+    flist = spark.createDataFrame(
+        items, "src string, fid string, part string"
+    )
     n_slices = max(1, min(len(items), 256))
     table_root = hudi_path
     key_col = record_key
@@ -900,7 +961,9 @@ def _bootstrap_to_hudi(
 
         for pdf in batches:
             rows = []
-            for src, fid in zip(pdf["src"], pdf["fid"]):
+            for src, fid, part in zip(
+                pdf["src"], pdf["fid"], pdf["part"]
+            ):
                 t = pq.read_table(src, columns=[key_col])
                 n = t.num_rows
                 if n == 0:
@@ -923,22 +986,31 @@ def _bootstrap_to_hudi(
                             keys, pa.string()
                         ),
                         "_hoodie_partition_path": pa.array(
-                            [""] * n, pa.string()
+                            [part] * n, pa.string()
                         ),
                         "_hoodie_file_name": pa.array(
                             [fname] * n, pa.string()
                         ),
                     }
                 )
-                pq.write_table(
-                    skel, os.path.join(table_root, fname)
+                dest_dir = (
+                    os.path.join(table_root, part) if part
+                    else table_root
                 )
+                os.makedirs(dest_dir, exist_ok=True)
+                pq.write_table(
+                    skel, os.path.join(dest_dir, fname)
+                )
+                rel = (
+                    os.path.join(part, fname) if part else fname
+                ).replace(os.sep, "/")
                 rows.append(
                     base64.b64encode(
                         pickle.dumps(
                             {
                                 "fileId": fid,
-                                "path": fname,
+                                "path": rel,
+                                "partition": part,
                                 "numWrites": n,
                                 "source": src,
                             }
@@ -962,38 +1034,45 @@ def _bootstrap_to_hudi(
         )
     idx_path = os.path.join(hudi_path, BOOTSTRAP_INDEX_REL)
     os.makedirs(os.path.dirname(idx_path), exist_ok=True)
-    w.store.put_atomic(
-        idx_path,
-        json.dumps(
+    idx = {
+        "instant": instant,
+        "sourceBasePath": source_base,
+        "mapping": [
             {
-                "instant": instant,
-                "sourceBasePath": source_base,
-                "mapping": [
+                "fileId": s["fileId"],
+                "partition": s["partition"],
+                "skeleton": s["path"],
+                "source": s["source"],
+                **(
                     {
-                        "fileId": s["fileId"],
-                        "partition": "",
-                        "skeleton": s["path"],
-                        "source": s["source"],
+                        "partitionValues": pv_by_src[s["source"]][1]
                     }
-                    for s in stats
-                ],
+                    if pv_by_src
+                    else {}
+                ),
             }
-        ).encode(),
-    )
+            for s in stats
+        ],
+    }
+    if partition_ddl:
+        # typed partition schema for readers' value reconstruction
+        # (hudi.bootstrap_partition_info / _bootstrap_pv_frame)
+        idx["partitionSchema"] = partition_ddl
+    w.store.put_atomic(idx_path, json.dumps(idx).encode())
+    stats_by_part: dict[str, list[dict]] = {}
+    for s in stats:
+        stats_by_part.setdefault(s["partition"], []).append(
+            {
+                "fileId": s["fileId"],
+                "path": s["path"],
+                "numWrites": s["numWrites"],
+            }
+        )
     w.store.put_atomic(
         os.path.join(hoodie, f"{instant}.commit"),
         json.dumps(
             {
-                "partitionToWriteStats": {
-                    "": [
-                        {
-                            "fileId": s["fileId"],
-                            "path": s["path"],
-                            "numWrites": s["numWrites"],
-                        }
-                        for s in stats
-                    ]
-                },
+                "partitionToWriteStats": stats_by_part,
                 "operationType": "BOOTSTRAP",
                 "extraMetadata": {},
             }

@@ -228,6 +228,61 @@ def bootstrap_mapping(table_path: str) -> dict[str, str]:
     return {e["fileId"]: e["source"] for e in idx.get("mapping", [])}
 
 
+def bootstrap_partition_info(
+    table_path: str,
+) -> tuple[str, dict[str, dict]] | None:
+    """(partition-schema DDL, fileId -> {col: raw hive string|None})
+    when the bootstrap index carries partition values — written for
+    PARTITIONED Delta sources (r12), whose hive layout drops the
+    partition columns from the data pages so readers must reattach
+    them from metadata (the Hudi-side analog of Delta's P1/P2
+    partition-value reads, reference src/writer.rs:504-543). ``None``
+    for unpartitioned bootstraps and non-bootstrapped tables. One
+    small JSON read, O(bootstrapped files)."""
+    p = os.path.join(table_path, BOOTSTRAP_INDEX_REL)
+    if not os.path.exists(p):
+        return None
+    with open(p, encoding="utf-8") as f:
+        idx = json.load(f)
+    ddl = idx.get("partitionSchema")
+    if not ddl:
+        return None
+    return ddl, {
+        e["fileId"]: e.get("partitionValues") or {}
+        for e in idx.get("mapping", [])
+    }
+
+
+def _bootstrap_pv_frame(spark, ddl: str, rows: list[tuple]):
+    """Small TYPED mapping frame (``__kdi_pvkey string`` + one column
+    per partition field) for broadcast-attaching bootstrap partition
+    values to a scan. ``rows`` are (join key, {col: raw string|None})
+    pairs — raw strings are the hive-directory spellings the Delta log
+    stores; the cast to the source table's types is the same
+    ``F.lit(v).cast(type)`` reconstruction delta_standard's reader
+    uses, so values round-trip identically across engines."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    st = StructType.fromDDL(ddl)
+    data = [
+        (k, *[(vals or {}).get(f.name) for f in st.fields])
+        for k, vals in rows
+    ]
+    mp = spark.createDataFrame(
+        data,
+        "__kdi_pvkey string"
+        + "".join(f", `{f.name}` string" for f in st.fields),
+    )
+    return mp.select(
+        "__kdi_pvkey",
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            for f in st.fields
+        ],
+    )
+
+
 def _is_bootstrap_slice(base_path: str) -> bool:
     """True when a file group's LIVE slice is still its bootstrap
     skeleton (named ``<fileId>_*_00000000000001.parquet``). A later
@@ -241,7 +296,8 @@ def _is_bootstrap_slice(base_path: str) -> bool:
 
 
 def _bootstrap_zip(spark, boot_items: list[tuple[str, str]],
-                   bmap: dict[str, str], fid_alias: str | None = None):
+                   bmap: dict[str, str], fid_alias: str | None = None,
+                   pv_info: tuple[str, dict] | None = None):
     """Full-row view of METADATA_ONLY-bootstrapped file groups: the
     skeleton parquet (meta columns) zipped POSITIONALLY with its
     source parquet (data columns) — Hudi's bootstrap-relation merge,
@@ -288,9 +344,22 @@ def _bootstrap_zip(spark, boot_items: list[tuple[str, str]],
         (sk["_kdi_fid"] == src["_kdi_fid2"])
         & (sk["_kdi_pos"] == src["_kdi_pos2"]),
     )
+    if pv_info is not None:
+        # partitioned-Delta bootstrap: the source pages lack the
+        # partition columns — reattach them TYPED per file group via
+        # one broadcast join on fileId (index-sized mapping frame).
+        # Consumers (keep_meta reads, incremental, upsert
+        # FULL_RECORD-ization) then see full rows, and a rewrite bakes
+        # the values into the new slice's pages.
+        ddl, by_fid = pv_info
+        fids = sorted({fid for fid, _s in boot_items})
+        mp = _bootstrap_pv_frame(
+            spark, ddl, [(f, by_fid.get(f)) for f in fids]
+        )
+        joined = joined.join(
+            broadcast(mp), joined["_kdi_fid"] == mp["__kdi_pvkey"]
+        ).drop("__kdi_pvkey")
     if fid_alias is not None:
-        from pyspark.sql import functions as F
-
         joined = joined.withColumn(fid_alias, F.col("_kdi_fid"))
     return joined.drop(
         "_kdi_fid", "_kdi_pos", "_kdi_fid2", "_kdi_pos2"
@@ -725,16 +794,42 @@ def read_hudi(
     )
     boot_df = None
     if boot_items:
+        pv_info = bootstrap_partition_info(table_path)
         if keep_meta or any(g["logs"] for g in groups.values()):
             # meta columns needed: zip skeleton+source per group
-            boot_df = _bootstrap_zip(spark, boot_items, bmap)
-        else:
+            boot_df = _bootstrap_zip(
+                spark, boot_items, bmap, pv_info=pv_info
+            )
+        elif pv_info is None:
             # plain data query: scan the SOURCE files in place (their
             # rows ARE the group's rows; meta columns are dropped
             # below anyway) — zero join, zero skeleton read
             base_files = sorted(
                 base_files + [bmap[fid] for fid, _s in boot_items]
             )
+        else:
+            # plain data query over a PARTITIONED-source bootstrap:
+            # still zero skeleton read, but the source pages lack the
+            # partition columns (Delta hive layout) — one scan of the
+            # sources plus a broadcast join against the index-sized
+            # typed partition-value frame, keyed by file path.
+            ddl, by_fid = pv_info
+            mp = _bootstrap_pv_frame(
+                spark,
+                ddl,
+                [(bmap[fid], by_fid.get(fid)) for fid, _s in boot_items],
+            )
+            s = spark.read.option("mergeSchema", "true").parquet(
+                *sorted(bmap[fid] for fid, _s in boot_items)
+            ).select(
+                "*",
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:(//)?", ""
+                ).alias("__kdi_bfp"),
+            )
+            boot_df = s.join(
+                F.broadcast(mp), s["__kdi_bfp"] == mp["__kdi_pvkey"]
+            ).drop("__kdi_bfp", "__kdi_pvkey")
     if not base_files and boot_df is None:
         raise ValueError("snapshot plan has no data files")
     if base_files:
@@ -1310,12 +1405,28 @@ class HudiCowWriter:
         self.store.makedirs(hoodie)
         props = os.path.join(hoodie, "hoodie.properties")
         if not self.store.exists(props):
-            self.store.put_atomic(
-                props,
+            body = (
                 b"hoodie.table.name=kdi_out\n"
                 + f"hoodie.table.type={self.TABLE_TYPE}\n".encode()
-                + b"hoodie.table.version=6\n",
+                + b"hoodie.table.version=6\n"
             )
+            if self.parts:
+                # real Hudi persists the partition fields in table
+                # properties (hoodie.table.partition.fields); without
+                # this a later writer opened WITHOUT partition_by
+                # computes _hoodie_partition_path='' and its upsert
+                # keys never match the table's (__pp, __rk) pairs
+                body += (
+                    "hoodie.table.partition.fields="
+                    f"{','.join(self.parts)}\n"
+                ).encode()
+            self.store.put_atomic(props, body)
+        elif not self.parts:
+            stored = table_properties(table_path).get(
+                "hoodie.table.partition.fields"
+            )
+            if stored:
+                self.parts = [c for c in stored.split(",") if c]
 
     # -- timeline ---------------------------------------------------------
 
@@ -1746,6 +1857,12 @@ class HudiCowWriter:
                         [(by_base[p][1], p) for p in boot_paths],
                         bmap,
                         fid_alias="__fid",
+                        # partitioned-source bootstrap: reattach the
+                        # typed partition columns so the FULL_RECORD
+                        # rewrite bakes them into the new slice's
+                        # pages (without this the new base file would
+                        # hold nulls for every partition field)
+                        pv_info=bootstrap_partition_info(self.path),
                     ).select(
                         F.col("_hoodie_partition_path").alias("__pp"),
                         F.col("_hoodie_record_key").alias("__rk"),

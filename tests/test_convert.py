@@ -515,10 +515,12 @@ def test_bootstrap_refusals_and_rewrite_guard(spark, tmp_path):
     t = str(tmp_path / "delta")
     w = DeltaStandardWriter(t)
     w.write(_docs(spark, 20), partition_by=["grp"])
-    # partitioned source refused (hive layout drops the column)
-    with pytest.raises(ValueError, match="partitioned"):
+    # r12 lifted the blanket partitioned refusal (values ride in the
+    # bootstrap index); only a record key that IS a partition column
+    # still refuses — its values aren't in the data pages
+    with pytest.raises(ValueError, match="partition column"):
         bootstrap_delta_to_hudi(
-            spark, t, str(tmp_path / "h0"), record_key="doc_id"
+            spark, t, str(tmp_path / "h0"), record_key="grp"
         )
     t2 = str(tmp_path / "delta2")
     DeltaStandardWriter(t2).write(_docs(spark, 20))
@@ -758,3 +760,123 @@ def test_fully_rewritten_bootstrap_table_converts(spark, tmp_path):
     gi = read_iceberg(spark, i2).select("doc_id", "grp", "val")
     assert gi.exceptAll(want).count() == 0
     assert want.exceptAll(gi).count() == 0
+
+
+def test_bootstrap_partitioned_delta_roundtrip(spark, tmp_path):
+    """r12 (verdict item 3, lifts the r11 v1 seam): PARTITIONED Delta
+    sources bootstrap METADATA_ONLY. Hive layout drops the partition
+    columns from the data pages, so their values ride in the bootstrap
+    index (per-file partitionValues + typed partition schema);
+    skeletons land in hive partition dirs with _hoodie_partition_path
+    stamped, plan-time partition_filter pruning works from the
+    timeline alone, plain reads reattach TYPED values via a broadcast
+    index frame over the source scan, and upsert FULL_RECORD-ization
+    bakes the values into the rewritten slice's pages."""
+    import pyarrow.parquet as pq
+
+    from kafka_delta_ingest_spark.convert import bootstrap_delta_to_hudi
+    from kafka_delta_ingest_spark.hudi import (
+        BOOTSTRAP_INSTANT,
+        HudiCowWriter,
+        read_hudi,
+    )
+
+    t = str(tmp_path / "delta")
+    h = str(tmp_path / "h")
+    # string + int partition columns, plus one NULL partition value
+    df = (
+        _docs(spark, 40)
+        .withColumn("bucket", (F.col("doc_id") % 3).cast("int"))
+        .withColumn(
+            "grp",
+            F.when(F.col("doc_id") == 7, None).otherwise(F.col("grp")),
+        )
+    )
+    w = DeltaStandardWriter(t)
+    w.write(df.repartition(2), partition_by=["grp", "bucket"])
+    w.update_where(spark, "doc_id % 10 = 0", {"val": "val + 1000"})
+
+    # record_key must live in the pages: a partition column refuses
+    with pytest.raises(ValueError, match="partition column"):
+        bootstrap_delta_to_hudi(
+            spark, t, str(tmp_path / "h0"), record_key="bucket"
+        )
+
+    bootstrap_delta_to_hudi(spark, t, h, record_key="doc_id")
+    # skeletons only, placed in hive partition dirs
+    skels = [
+        os.path.join(dp, f)
+        for dp, _dirs, fs in os.walk(h)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert skels
+    assert all(
+        all(
+            c.startswith("_hoodie_")
+            for c in pq.read_schema(p).names
+        )
+        for p in skels
+    )
+    assert any("grp=" in p and "bucket=" in p for p in skels)
+    assert any("__HIVE_DEFAULT_PARTITION__" in p for p in skels)
+
+    want = read_delta(spark, t).select("doc_id", "grp", "bucket", "val")
+    got = read_hudi(spark, h).select("doc_id", "grp", "bucket", "val")
+    # typed reconstruction, not strings
+    assert dict(got.dtypes)["bucket"] == "int"
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # the null partition value round-trips as a real NULL
+    assert got.filter("doc_id = 7").collect()[0].grp is None
+
+    # keep_meta (zip path): partition path stamped AND typed values
+    km = read_hudi(spark, h, keep_meta=True)
+    r = km.filter("doc_id = 11").collect()[0]
+    assert r._hoodie_partition_path == "grp=1/bucket=2"
+    assert r.grp == "1" and r.bucket == 2
+
+    # plan-time pruning: only grp=1 SOURCE files are scanned
+    pruned = read_hudi(
+        spark, h, partition_filter=lambda p: p.startswith("grp=1/")
+    )
+    assert sorted(
+        x.doc_id for x in pruned.select("doc_id").collect()
+    ) == sorted(x.doc_id for x in want.filter("grp = '1'").collect())
+    assert all(
+        "grp=1" in f for f in pruned.inputFiles() if f.endswith(".parquet")
+    )
+
+    # upsert via a writer opened WITHOUT partition_by: the fields load
+    # from hoodie.properties (hoodie.table.partition.fields)
+    w2 = HudiCowWriter(h, record_key="doc_id")
+    assert w2.parts == ["grp", "bucket"]
+    up = df.filter("doc_id in (7, 11)").withColumn("val", F.lit(-1.0))
+    _instant, n_upd, n_ins = w2.upsert_batch(up)
+    assert n_upd >= 1 and n_ins == 0
+    after = read_hudi(spark, h).select("doc_id", "grp", "bucket", "val")
+    assert {
+        x.doc_id: x.val for x in after.filter("doc_id in (7, 11)").collect()
+    } == {7: -1.0, 11: -1.0}
+    assert after.count() == want.count()
+    # FULL_RECORD-ized slices bake data AND partition columns
+    full = [
+        os.path.join(dp, f)
+        for dp, _dirs, fs in os.walk(h)
+        for f in fs
+        if f.endswith(".parquet")
+        and not f.endswith(f"_{BOOTSTRAP_INSTANT}.parquet")
+        and "_staging" not in dp
+    ]
+    assert full
+    for p in full:
+        names = set(pq.read_schema(p).names)
+        assert {"doc_id", "grp", "bucket", "val"} <= names
+
+    # time travel to the bootstrap instant: pre-upsert content via the
+    # partitioned plain fast path over the retained skeleton plan
+    tt = read_hudi(spark, h, as_of_instant=BOOTSTRAP_INSTANT).select(
+        "doc_id", "grp", "bucket", "val"
+    )
+    assert tt.exceptAll(want).count() == 0
+    assert want.exceptAll(tt).count() == 0
