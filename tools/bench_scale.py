@@ -70,6 +70,15 @@ QUERIES = [
     # corpus+batch union).
     "text_unigram_train_probe",
     "dedup_incremental_admit",
+    # r12 (r11 verdict task 6): the conversion/bootstrap bridges claim
+    # O(live files) metadata + O(rows) key reads; the two with
+    # nontrivial executor stages get 10x datapoints — the metadata-only
+    # Delta->Iceberg conversion (per-file footer stats job) and the
+    # Delta->Hudi METADATA_ONLY bootstrap (per-file key-column reads +
+    # skeleton writes). Fixtures memoize; cleared per repeat like the
+    # other table-format e2es.
+    "table_convert_delta_iceberg",
+    "table_bootstrap_delta_hudi",
 ]
 
 # queries whose table-format fixtures memoize per (process, sf_dir):
@@ -78,6 +87,7 @@ QUERIES = [
 INGEST_QUERIES = {
     "ingest_delta_standard", "ingest_iceberg",
     "sink_delta_standard_merge", "ingest_delta_standard_cdc",
+    "table_convert_delta_iceberg", "table_bootstrap_delta_hudi",
 }
 
 REPLICAS = 10
