@@ -6750,8 +6750,11 @@ def table_bootstrap_iceberg_hudi(spark, sf_dir):
     certifying Iceberg scan planning -> skeleton generation -> Hudi
     timeline -> snapshot scan. bi_ok pins: every parquet under the
     Hudi root is skeleton-only, the zipped keep_meta record keys equal
-    event_id row-exactly, and a table converted FROM hive-layout
-    Delta (files may omit identity columns) REFUSES this bootstrap."""
+    event_id row-exactly, a PURE converted-from-hive-Delta table
+    bootstraps row-exactly with manifest partition tuples riding the
+    index (r12 lift of the r11 refusal), and a MIXED population
+    (native appends carrying the identity column in pages alongside
+    omitting converted files) still REFUSES."""
     from kafka_delta_ingest_spark.hudi import read_hudi
 
     h, bi_ok = _bootstrap_ih_fixture(spark, sf_dir)
@@ -6810,6 +6813,7 @@ def _bootstrap_ih_fixture(spark, sf_dir: str) -> tuple:
         F.col("_hoodie_record_key").cast("long") != F.col("event_id")
     ).isEmpty() and km.count() == ev.count()
     refuse = False
+    bridged = False
     try:
         from kafka_delta_ingest_spark.convert import (
             convert_delta_to_iceberg,
@@ -6825,17 +6829,46 @@ def _bootstrap_ih_fixture(spark, sf_dir: str) -> tuple:
         )
         convert_delta_to_iceberg(spark, root + "/d", root + "/i2",
                                  ts_ms=3000)
+        # r12 lift: the PURE converted-from-hive-Delta table
+        # bootstraps — manifest partition tuples ride the index and
+        # the read reattaches them typed, row-exact vs the Iceberg
+        # view
+        bootstrap_iceberg_to_hudi(
+            spark, root + "/i2", root + "/h2",
+            record_key="event_id",
+        )
+        from kafka_delta_ingest_spark.iceberg import read_iceberg
+
+        _ivb = read_iceberg(spark, root + "/i2").select(
+            "event_id", "event_type"
+        )
+        _hvb = read_hudi(spark, root + "/h2").select(
+            "event_id", "event_type"
+        )
+        bridged = (
+            _hvb.exceptAll(_ivb).isEmpty()
+            and _ivb.exceptAll(_hvb).isEmpty()
+        )
+        # MIXED population (a native append carries the identity
+        # column in its pages alongside the omitting converted
+        # files) still refuses
+        from kafka_delta_ingest_spark.iceberg import IcebergWriter
+
+        IcebergWriter(
+            root + "/i2", fields, partition_by=["event_type"]
+        ).append(ev.filter("event_id % 101 = 0"), ts_ms=4000)
         try:
             bootstrap_iceberg_to_hudi(
-                spark, root + "/i2", root + "/h2",
+                spark, root + "/i2", root + "/h2b",
                 record_key="event_id",
             )
         except ValueError:
             refuse = True
     finally:
         _sh.rmtree(root + "/i2", ignore_errors=True)
+        _sh.rmtree(root + "/h2", ignore_errors=True)
         _sh.rmtree(root + "/d", ignore_errors=True)
-    bi_ok = skel_only and keys_match and refuse
+    bi_ok = skel_only and keys_match and bridged and refuse
     out = (h, bi_ok)
     _TBLFMT_FIXTURES[key] = out
     atexit.register(_sh.rmtree, root, ignore_errors=True)

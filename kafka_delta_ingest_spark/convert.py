@@ -744,19 +744,34 @@ def bootstrap_iceberg_to_hudi(
     bootstrap index over the Iceberg data files in place). Iceberg
     data files carry EVERY column in the pages (this repo's writer
     clones identity-partition columns in), so — unlike the Delta leg —
-    partitioned sources need no refusal; only tables converted FROM
-    hive-layout Delta, whose files may omit identity columns (the
-    kdi.files-may-omit-identity-columns property), are refused: their
-    omitted values live in Iceberg manifests, which Hudi reads have no
-    rule to consult. Snapshots with live position/equality deletes are
-    refused (masked rows exist in the parquet)."""
+    partitioned sources need no refusal and bootstrap with the
+    columns in the pages.
+
+    Tables converted FROM hive-layout Delta (the
+    kdi.files-may-omit-identity-columns property) hold files whose
+    pages OMIT the identity-partition columns — their values live in
+    Iceberg manifests, which Hudi reads have no rule to consult. r12
+    lifts the r11 blanket refusal for the PURE case: when EVERY live
+    file omits every identity column (footer-probed, distributed),
+    the manifest partition tuples ride the bootstrap index exactly
+    like the Delta leg's add-action partitionValues (typed partition
+    schema + per-file values; skeletons in hive dirs; readers and
+    upsert FULL_RECORD-ization reattach via the broadcast index
+    frame). MIXED populations — some files carry the columns (native
+    appends after conversion, or a partial optimize rewrite) — still
+    refuse: a table-wide attach would duplicate page columns.
+    Snapshots with live position/equality deletes are refused
+    (masked rows exist in the parquet)."""
     from kafka_delta_ingest_spark.iceberg import (
         _current_schema,
+        _iceberg_type_to_spark,
+        _schema_field_names,
         plan_files,
     )
 
     data_files, pos_deletes, eq_deletes, meta = plan_files(
-        iceberg_root, snapshot_id, None, None, None
+        iceberg_root, snapshot_id, None, None, None,
+        with_partitions=True,
     )
     if pos_deletes or eq_deletes:
         raise ValueError(
@@ -764,16 +779,6 @@ def bootstrap_iceberg_to_hudi(
             f"{len(eq_deletes)} equality-delete file(s); a "
             "metadata-only bootstrap would resurrect their masked "
             "rows — compact the deletes away first"
-        )
-    if (meta.get("properties") or {}).get(
-        "kdi.files-may-omit-identity-columns"
-    ) == "true":
-        raise ValueError(
-            f"{iceberg_root} was itself converted from hive-layout "
-            "Delta (files may omit identity-partition columns, served "
-            "from manifests); Hudi reads cannot consult Iceberg "
-            "manifests — bootstrap from the ORIGINAL Delta table "
-            "instead"
         )
     names = {
         f["name"]
@@ -784,12 +789,123 @@ def bootstrap_iceberg_to_hudi(
             f"record_key {record_key!r} is not a column of "
             f"{iceberg_root}"
         )
-    paths = [p for p, _seq in data_files]
+    paths = [p for p, _seq, _pv in data_files]
     if not paths:
         raise ValueError(f"{iceberg_root} has no live data files")
+    parts, partition_ddl, pv_by_src = [], None, None
+    if (meta.get("properties") or {}).get(
+        "kdi.files-may-omit-identity-columns"
+    ) == "true":
+        ids = _schema_field_names(meta)
+        type_of = {
+            f["id"]: f["type"]
+            for f in (_current_schema(meta) or {}).get("fields", [])
+        }
+        specs = meta.get("partition-specs") or []
+        sid = meta.get("default-spec-id", 0)
+        spec = next(
+            (s for s in specs if s.get("spec-id") == sid),
+            specs[0] if specs else None,
+        )
+        id_fields = [
+            (pf["name"], ids.get(pf.get("source-id")) or pf["name"],
+             _iceberg_type_to_spark(type_of.get(pf.get("source-id"))))
+            for pf in (spec or {}).get("fields") or []
+            if pf.get("transform") == "identity"
+        ]
+        if id_fields:
+            present = _probe_cols_present(
+                spark, paths, [src for _pn, src, _dt in id_fields]
+            )
+            carrying = {p for p, cols in present.items() if cols}
+            if carrying:
+                raise ValueError(
+                    f"{iceberg_root} was converted from hive-layout "
+                    "Delta and holds a MIXED file population "
+                    f"({len(carrying)}/{len(paths)} live files carry "
+                    "identity-partition columns in their pages, the "
+                    "rest serve them from manifests) — bootstrap "
+                    "from the ORIGINAL Delta table instead, or "
+                    "rewrite (optimize) so every file carries the "
+                    "columns"
+                )
+            if any(dt is None for _pn, _src, dt in id_fields):
+                raise ValueError(
+                    "identity-partition column with no exact Spark "
+                    "type inverse; bootstrap from the ORIGINAL Delta "
+                    "table instead"
+                )
+            parts = [src for _pn, src, _dt in id_fields]
+            partition_ddl = ", ".join(
+                f"`{src}` {dt.simpleString()}"
+                for _pn, src, dt in id_fields
+            )
+            pv_by_src = {}
+            for p, _seq, pv in data_files:
+                vals = {
+                    src: _hudi_pv_str(pv.get(pn))
+                    for pn, src, _dt in id_fields
+                }
+                part = "/".join(
+                    f"{src}="
+                    + (
+                        "__HIVE_DEFAULT_PARTITION__"
+                        if vals[src] is None
+                        else vals[src]
+                    )
+                    for _pn, src, _dt in id_fields
+                )
+                pv_by_src[p] = (part, vals)
     return _bootstrap_to_hudi(
-        spark, hudi_path, record_key, paths, iceberg_root
+        spark, hudi_path, record_key, paths, iceberg_root,
+        parts=parts, partition_ddl=partition_ddl, pv_by_src=pv_by_src,
     )
+
+
+def _hudi_pv_str(v):
+    """Typed manifest partition value -> the string spelling Spark's
+    ``cast(col AS string)`` produces — the contract the Delta leg
+    gets for free (its partitionValues strings were written FROM that
+    cast) and that upsert's ``_part_path_col`` match key depends on.
+    Only booleans differ between Python and Spark spellings."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def _probe_cols_present(
+    spark, source_paths: list[str], cols: list[str]
+) -> dict[str, list[str]]:
+    """Distributed footer-only probe: which of ``cols`` each source
+    parquet carries in its pages. O(files) executor work,
+    metadata-sized collect — the same shape as
+    :func:`_bootstrap_preflight`."""
+    want = list(cols)
+
+    def _probe(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            srcs, hits = [], []
+            for src in pdf["src"]:
+                names = set(pq.read_schema(src).names)
+                srcs.append(src)
+                hits.append(",".join(c for c in want if c in names))
+            yield pd.DataFrame({"src": srcs, "hit": hits})
+
+    flist = spark.createDataFrame(
+        [(p,) for p in source_paths], "src string"
+    )
+    n_slices = max(1, min(len(source_paths), 256))
+    return {
+        r.src: [c for c in r.hit.split(",") if c]
+        for r in flist.repartition(n_slices)
+        .mapInPandas(_probe, "src string, hit string")
+        .collect()
+    }
 
 
 def _bootstrap_preflight(

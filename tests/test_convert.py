@@ -549,9 +549,10 @@ def test_bootstrap_refusals_and_rewrite_guard(spark, tmp_path):
 def test_bootstrap_iceberg_to_hudi(spark, tmp_path):
     """Sixth bridge — the 3x3 matrix is complete: Iceberg -> Hudi via
     METADATA_ONLY bootstrap. Iceberg files carry every column in the
-    pages, so PARTITIONED sources bootstrap fine; a table converted
-    from hive-layout Delta (files may omit identity columns) refuses;
-    live deletes refuse."""
+    pages, so PARTITIONED sources bootstrap fine; a PURE
+    converted-from-hive-Delta table bootstraps with manifest partition
+    values riding the index (r12 lift); a MIXED population (converted
+    + native appends) refuses; live deletes refuse."""
     from kafka_delta_ingest_spark.convert import (
         bootstrap_iceberg_to_hudi,
         convert_delta_to_iceberg,
@@ -589,14 +590,33 @@ def test_bootstrap_iceberg_to_hudi(spark, tmp_path):
         bootstrap_iceberg_to_hudi(
             spark, ice2, str(tmp_path / "h2"), record_key="doc_id"
         )
-    # converted-from-hive-Delta tables refuse (omitted identity cols)
+    # converted-from-hive-Delta tables (r12 lift): the PURE case —
+    # every live file omits the identity columns — bootstraps, with
+    # manifest partition tuples riding the index; the read reattaches
+    # typed values and matches the Iceberg view row-exactly
     t = str(tmp_path / "delta")
     DeltaStandardWriter(t).write(_docs(spark, 20), partition_by=["grp"])
     ice3 = str(tmp_path / "ice3")
     convert_delta_to_iceberg(spark, t, ice3, ts_ms=1000)
+    h3 = str(tmp_path / "h3")
+    bootstrap_iceberg_to_hudi(spark, ice3, h3, record_key="doc_id")
+    iv3 = read_iceberg(spark, ice3).select("doc_id", "grp", "val")
+    hv3 = read_hudi(spark, h3).select("doc_id", "grp", "val")
+    assert hv3.exceptAll(iv3).count() == 0
+    assert iv3.exceptAll(hv3).count() == 0
+    assert {r.grp for r in hv3.collect()} == {"0", "1", "2", "3", "4"}
+    # MIXED populations still refuse: a native append carries the
+    # identity column in its pages while converted files don't
+    ice4 = str(tmp_path / "ice4")
+    t4 = str(tmp_path / "delta4")
+    DeltaStandardWriter(t4).write(_docs(spark, 20), partition_by=["grp"])
+    convert_delta_to_iceberg(spark, t4, ice4, ts_ms=1000)
+    IcebergWriter(ice4, fields, partition_by=["grp"]).append(
+        _docs(spark, 5, lo=200), ts_ms=2000
+    )
     with pytest.raises(ValueError, match="ORIGINAL Delta"):
         bootstrap_iceberg_to_hudi(
-            spark, ice3, str(tmp_path / "h3"), record_key="doc_id"
+            spark, ice4, str(tmp_path / "h4"), record_key="doc_id"
         )
 
 
@@ -952,3 +972,39 @@ def test_converted_mixed_table_upsert_update_optimize(spark, tmp_path):
     assert all(
         "grp" in pq.read_schema(p).names for p, _seq in data_files
     )
+
+
+def test_bootstrap_iceberg_partitioned_upsert(spark, tmp_path):
+    """r12: upsert over an Iceberg->Hudi bootstrap whose partition
+    values came from MANIFESTS (pure converted-from-hive-Delta
+    source). The skeleton _hoodie_partition_path spellings
+    (_hudi_pv_str) must equal upsert's _part_path_col cast-to-string
+    keys or the (__pp, __rk) equi-join silently misses — pinned by
+    updating rows in two partitions and checking the FULL_RECORD
+    slices bake the partition column."""
+    from kafka_delta_ingest_spark.convert import (
+        bootstrap_iceberg_to_hudi,
+        convert_delta_to_iceberg,
+    )
+    from kafka_delta_ingest_spark.hudi import HudiCowWriter, read_hudi
+
+    t = str(tmp_path / "delta")
+    ice = str(tmp_path / "ice")
+    h = str(tmp_path / "h")
+    DeltaStandardWriter(t).write(_docs(spark, 30), partition_by=["grp"])
+    convert_delta_to_iceberg(spark, t, ice, ts_ms=1000)
+    bootstrap_iceberg_to_hudi(spark, ice, h, record_key="doc_id")
+    # writer opened WITHOUT partition_by loads the persisted fields
+    w = HudiCowWriter(h, record_key="doc_id")
+    assert w.parts == ["grp"]
+    up = _docs(spark, 30).filter("doc_id in (6, 13)").withColumn(
+        "val", F.lit(-1.0)
+    )
+    _ist, n_upd, n_ins = w.upsert_batch(up)
+    assert n_upd == 2 and n_ins == 0  # both keys matched their groups
+    after = read_hudi(spark, h)
+    assert {
+        r.doc_id: (r.grp, r.val)
+        for r in after.filter("doc_id in (6, 13)").collect()
+    } == {6: ("1", -1.0), 13: ("3", -1.0)}
+    assert after.count() == 30
