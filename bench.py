@@ -271,7 +271,9 @@ def main() -> None:
     # box load and its per-query deltas are environmental, not plan
     # regressions (the r10 driver capture read +70% on this control).
     # Update the constant each round from the capture the round keeps.
-    r2sub_prev = 47.6  # r10 kept capture (r9 driver capture: 46.8)
+    # r11 kept (builder) capture 45.5; the r11 driver capture read
+    # 43.4 on the same code (r10 kept: 47.6, r9 driver: 46.8)
+    r2sub_prev = 45.5
     detail = {
         "metric": "headline_queries_total",
         "value": total,
