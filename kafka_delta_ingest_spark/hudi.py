@@ -1591,20 +1591,22 @@ class HudiCowWriter:
         }
 
     def _refuse_bootstrap(self, op: str) -> None:
-        """Operations that rewrite or log against file groups WITHOUT
-        merging skeleton+source refuse while any live group is still
-        bootstrap-backed. ``upsert_batch`` is NOT in this list: it
-        FULL_RECORD-izes touched bootstrapped groups through the
-        zipped view (exactly real Hudi's first-touch behavior);
-        inserts and all reads work throughout."""
+        """Operations that rewrite file groups WITHOUT merging
+        skeleton+source refuse while any live group is still
+        bootstrap-backed. As of r12 only ``cluster`` remains here:
+        ``upsert_batch`` FULL_RECORD-izes touched groups through the
+        zipped view (real Hudi's first-touch rule), MoR log
+        appends/deletes target the skeleton groups and ``compact()``
+        FULL_RECORD-izes them by folding blocks over the zipped view,
+        and inserts and all reads work throughout."""
         if self._live_bootstrap_fids():
             raise ValueError(
                 f"{op} over METADATA_ONLY-bootstrapped file groups: "
-                "this operation rewrites/logs against group slices "
-                "without merging the skeleton's meta columns with the "
-                "external source rows — upsert_batch (which "
-                "FULL_RECORD-izes the touched groups), inserts, and "
-                "all reads work"
+                "this operation rewrites group slices without merging "
+                "the skeleton's meta columns with the external source "
+                "rows — upsert_batch / MoR log writes + compact "
+                "(which FULL_RECORD-ize the touched groups), inserts, "
+                "and all reads work"
             )
 
     def _part_path_col(self):
@@ -2363,7 +2365,12 @@ class HudiMorWriter(HudiCowWriter):
 
         from pyspark.sql import functions as F
 
-        self._refuse_bootstrap("upsert_log_batch")
+        # r12: log appends over METADATA_ONLY-bootstrapped groups are
+        # allowed (real Hudi's MoR-over-bootstrap model): skeleton
+        # bases carry the (__pp, __rk) keys match discovery scans,
+        # read_hudi already merges log blocks over the zipped
+        # skeleton+source view, and compact() FULL_RECORD-izes the
+        # group by folding blocks over that view into a full slice.
 
         if not self.record_key:
             raise ValueError(
@@ -2535,10 +2542,11 @@ class HudiMorWriter(HudiCowWriter):
         the non-global-index contract. ``df`` carries the record-key
         column plus the partition columns; keys with no live record
         are ignored (delete is idempotent). Returns (instant,
-        n_logged_groups)."""
+        n_logged_groups). Works over METADATA_ONLY-bootstrapped
+        groups (r12) — delete blocks tombstone against the zipped
+        read view; compact() folds them into a full slice."""
         import pandas as pd
 
-        self._refuse_bootstrap("delete_log_batch")
         if not self.record_key:
             raise ValueError(
                 "delete_log_batch requires the writer's record_key"
@@ -2663,33 +2671,78 @@ class HudiMorWriter(HudiCowWriter):
         self.store.put_atomic(
             os.path.join(hoodie, f"{instant}.commit.inflight"), b""
         )
-        base_paths = sorted(g["base"] for g in victims.values())
-        base_df = spark.read.option("mergeSchema", "true").parquet(
-            *base_paths
-        )
-        fid_map = spark.createDataFrame(
-            [(g["base"], fid) for (p, fid), g in victims.items()],
-            "__fp string, __fid string",
-        )
-        base = (
-            base_df.select(
-                F.regexp_replace(
-                    F.col("_metadata.file_path"), "^file:(//)?", ""
-                ).alias("__fp"),
+        # METADATA_ONLY-bootstrapped victims (r12): a skeleton base
+        # holds only meta columns, so the group's full rows come from
+        # the zipped skeleton+source view — compaction then bakes
+        # data (and reattached partition) columns into the new slice:
+        # FULL_RECORD-ization by compaction, real Hudi's
+        # MoR-over-bootstrap model. The index entry stays for
+        # time-travel, exactly like the CoW upsert rewrite.
+        bmap = bootstrap_mapping(self.path)
+        boot_victims = {
+            k: g for k, g in victims.items()
+            if k[1] in bmap and _is_bootstrap_slice(g["base"])
+        }
+        norm_victims = {
+            k: g for k, g in victims.items() if k not in boot_victims
+        }
+        base = None
+        if norm_victims:
+            base_paths = sorted(
+                g["base"] for g in norm_victims.values()
+            )
+            base_df = spark.read.option("mergeSchema", "true").parquet(
+                *base_paths
+            )
+            fid_map = spark.createDataFrame(
+                [
+                    (g["base"], fid)
+                    for (p, fid), g in norm_victims.items()
+                ],
+                "__fp string, __fid string",
+            )
+            base = (
+                base_df.select(
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), "^file:(//)?", ""
+                    ).alias("__fp"),
+                    "*",
+                    F.col("_hoodie_commit_time").alias("_kdi_instant"),
+                    F.lit(-1).cast("long").alias("_kdi_pos"),
+                    F.lit(False).alias("_kdi_del"),
+                )
+                .join(F.broadcast(fid_map), "__fp")
+                .drop("__fp")
+            )
+        if boot_victims:
+            bz = _bootstrap_zip(
+                spark,
+                sorted(
+                    (fid, g["base"])
+                    for (_p, fid), g in boot_victims.items()
+                ),
+                bmap,
+                fid_alias="__fid",
+                pv_info=bootstrap_partition_info(self.path),
+            ).select(
                 "*",
                 F.col("_hoodie_commit_time").alias("_kdi_instant"),
                 F.lit(-1).cast("long").alias("_kdi_pos"),
                 F.lit(False).alias("_kdi_del"),
             )
-            .join(F.broadcast(fid_map), "__fp")
-            .drop("__fp")
-        )
+            base = bz if base is None else base.unionByName(
+                bz, allowMissingColumns=True
+            )
         log_specs = [
             (path, inst, seq, part)
             for (part, fid), g in victims.items()
             for seq, (inst, path) in enumerate(g["logs"])
         ]
-        logs = _log_records_df(spark, log_specs, base_df.schema)
+        logs = _log_records_df(
+            spark, log_specs,
+            base.drop("__fid", "_kdi_instant", "_kdi_pos",
+                      "_kdi_del").schema,
+        )
         merged = base.unionByName(
             logs, allowMissingColumns=True
         )
@@ -2757,6 +2810,62 @@ class HudiMorWriter(HudiCowWriter):
                 }
             )
         shutil.rmtree(staging, ignore_errors=True)
+        # A victim group whose rows were ALL tombstoned by delete
+        # blocks yields ZERO merged rows — partitionBy writes no
+        # directory for it, so without a new slice the group's log
+        # chain would never reset while the log file below is
+        # reclaimed (latent until r12's delete-over-bootstrap test hit
+        # it, but reachable on any fully-deleted MoR group). Write an
+        # EMPTY base slice with the merged schema: later-base-wins
+        # retires the log chain and the scan contributes zero rows.
+        written = {s["fileId"] for lst in stats.values() for s in lst}
+        missing = sorted(
+            fid for (_p, fid) in victims if fid not in written
+        )
+        if missing:
+            import pyarrow as pa
+            import pyarrow.parquet as papq
+
+            empty_dir = os.path.join(
+                self.path, f"_staging-{_uuid.uuid4().hex}"
+            )
+            out.drop("__kdi_fid").limit(0).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(empty_dir)
+            src_empty = next(
+                os.path.join(empty_dir, f)
+                for f in sorted(os.listdir(empty_dir))
+                if f.endswith(".parquet")
+            )
+            schema_empty = papq.read_schema(src_empty)
+            for fid in missing:
+                part = part_of[fid]
+                new_name = f"{fid}_0-1-0_{instant}.parquet"
+                dest_dir = os.path.join(self.path, part)
+                os.makedirs(dest_dir, exist_ok=True)
+                dest = os.path.join(dest_dir, new_name)
+                papq.write_table(
+                    pa.table(
+                        {
+                            f.name: pa.array([], f.type)
+                            for f in schema_empty
+                        }
+                    ),
+                    dest,
+                )
+                rel_path = (
+                    os.path.join(part, new_name) if part else new_name
+                ).replace(os.sep, "/")
+                stats.setdefault(part, []).append(
+                    {
+                        "fileId": fid,
+                        "path": rel_path,
+                        "prevCommit": "null",
+                        "numWrites": 0,
+                        "fileSizeInBytes": os.path.getsize(dest),
+                    }
+                )
+            shutil.rmtree(empty_dir, ignore_errors=True)
         meta = {
             "partitionToWriteStats": stats,
             "operationType": "COMPACT",

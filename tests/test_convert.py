@@ -1008,3 +1008,93 @@ def test_bootstrap_iceberg_partitioned_upsert(spark, tmp_path):
         for r in after.filter("doc_id in (6, 13)").collect()
     } == {6: ("1", -1.0), 13: ("3", -1.0)}
     assert after.count() == 30
+
+
+def test_bootstrap_mor_log_writes_and_compaction(spark, tmp_path):
+    """r12: MoR-over-bootstrap (real Hudi's model). Log upserts and
+    delete blocks append to METADATA_ONLY-bootstrapped file groups
+    (skeleton bases carry the match keys); snapshot reads merge the
+    blocks over the ZIPPED skeleton+source view; compact() then
+    FULL_RECORD-izes each log-bearing group — the compacted slice is
+    a full file whose pages carry the data AND (for partitioned
+    bootstraps) the reattached partition columns, with the snapshot
+    pinned identical across compaction and time-travel at the
+    bootstrap instant still serving the pure source."""
+    import pyarrow.parquet as pq
+
+    from kafka_delta_ingest_spark.convert import bootstrap_delta_to_hudi
+    from kafka_delta_ingest_spark.hudi import (
+        BOOTSTRAP_INSTANT,
+        HudiMorWriter,
+        read_hudi,
+    )
+
+    t = str(tmp_path / "delta")
+    h = str(tmp_path / "h")
+    DeltaStandardWriter(t).write(
+        _docs(spark, 30).withColumn(
+            "bucket", (F.col("doc_id") % 2).cast("int")
+        ),
+        partition_by=["grp", "bucket"],
+    )
+    bootstrap_delta_to_hudi(spark, t, h, record_key="doc_id")
+
+    w = HudiMorWriter(h, record_key="doc_id")
+    assert w.parts == ["grp", "bucket"]
+    # log upsert: two keys in different partitions
+    up = (
+        _docs(spark, 30)
+        .withColumn("bucket", (F.col("doc_id") % 2).cast("int"))
+        .filter("doc_id in (4, 9)")
+        .withColumn("val", F.lit(-1.0))
+    )
+    _i1, n_logged, n_ins, _nr = w.upsert_log_batch(up)
+    assert n_logged >= 1 and n_ins == 0
+    # delete block tombstones one key
+    dl = (
+        _docs(spark, 30)
+        .withColumn("bucket", (F.col("doc_id") % 2).cast("int"))
+        .filter("doc_id = 20")
+    )
+    _i2, n_del_groups = w.delete_log_batch(dl)
+    assert n_del_groups == 1
+    # a real .log. file exists before compaction
+    assert any(
+        ".log." in f for _dp, _d, fs in os.walk(h) for f in fs
+    )
+
+    snap = read_hudi(spark, h).select("doc_id", "grp", "bucket", "val")
+    got = {r.doc_id: (r.grp, r.bucket, r.val) for r in snap.collect()}
+    assert len(got) == 29 and 20 not in got
+    assert got[4] == ("4", 0, -1.0) and got[9] == ("4", 1, -1.0)
+    assert got[7] == ("2", 1, 10.5)  # untouched source row, pv intact
+
+    # compaction FULL_RECORD-izes the log-bearing groups
+    before = sorted(got.items())
+    assert w.compact(spark) is not None
+    after_df = read_hudi(spark, h).select(
+        "doc_id", "grp", "bucket", "val"
+    )
+    after = sorted(
+        (r.doc_id, (r.grp, r.bucket, r.val)) for r in after_df.collect()
+    )
+    assert after == before
+    # compacted slices are FULL files: data + partition columns baked
+    compacted = [
+        os.path.join(dp, f)
+        for dp, _d, fs in os.walk(h)
+        for f in fs
+        if f.endswith(".parquet")
+        and not f.endswith(f"_{BOOTSTRAP_INSTANT}.parquet")
+    ]
+    assert compacted
+    for p in compacted:
+        assert {"doc_id", "grp", "bucket", "val"} <= set(
+            pq.read_schema(p).names
+        )
+    # time-travel at the bootstrap instant: the pure source content
+    tt = read_hudi(spark, h, as_of_instant=BOOTSTRAP_INSTANT)
+    assert tt.count() == 30
+    assert {
+        r.doc_id: r.val for r in tt.filter("doc_id in (4, 20)").collect()
+    } == {4: 6.0, 20: 30.0}

@@ -247,3 +247,33 @@ def test_streaming_upsert_into_mor_destination(spark, tmp_path):
     assert not [f for f in os.listdir(table) if ".log." in f]
     got2 = {r["id"]: r["color"] for r in read_hudi(spark, table).collect()}
     assert got2 == got
+
+
+def test_compact_fully_deleted_group_writes_empty_slice(
+    spark, tmp_path
+):
+    """r12 regression: a file group whose rows are ALL tombstoned by
+    delete blocks yields ZERO merged rows at compaction — previously
+    no new slice was written for it while its folded log file was
+    physically reclaimed, so the next snapshot read re-planned
+    (base + missing log) and crashed. compact() now writes an EMPTY
+    base slice with the merged schema: later-base-wins retires the
+    log chain and the group scans as zero rows."""
+    t = str(tmp_path / "mor")
+    w = _seed(spark, t)  # two file groups: ids 0-9 and 10-19
+    # tombstone EVERY row of the first group, one row of the second
+    w.delete_log_batch(
+        _df(spark, [(i, "", 0.0) for i in range(10)]).select("id")
+    )
+    w.delete_log_batch(_df(spark, [(10, "", 0.0)]).select("id"))
+    assert sorted(
+        r.id for r in read_hudi(spark, t).select("id").collect()
+    ) == list(range(11, 20))
+    assert w.compact(spark) is not None
+    # post-compact: no logs left, snapshot identical, empty slice real
+    assert not [
+        f for _dp, _d, fs in os.walk(t) for f in fs if ".log." in f
+    ]
+    assert sorted(
+        r.id for r in read_hudi(spark, t).select("id").collect()
+    ) == list(range(11, 20))
