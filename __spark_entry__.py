@@ -7017,6 +7017,131 @@ def _bootstrap_part_fixture(spark, sf_dir: str) -> tuple:
 
 
 @_q(
+    "table_bootstrap_mor_logs",
+    """
+    SELECT event_id, event_type, user_id,
+      CASE WHEN event_id % 7 = 0 THEN -1.0 ELSE value END AS value,
+      TRUE AS bm_ok
+    FROM events
+    WHERE event_id % 13 <> 0
+    """,
+)
+def table_bootstrap_mor_logs(spark, sf_dir):
+    """MoR-over-bootstrap (r12): log upserts and delete blocks append
+    to METADATA_ONLY-bootstrapped file groups — real Hudi's model,
+    previously refused. A Delta table bootstraps into Hudi; then a
+    MERGE_ON_READ writer appends an UPDATE log block family (every
+    7th event's value -> -1.0) and DELETE blocks (every 13th event)
+    against the skeleton groups; the snapshot read merges the blocks
+    over the ZIPPED skeleton+source view (latest-wins + tombstones).
+    The oracle is the post-DML logical content, so a hash match
+    certifies bootstrap planning -> key match over skeletons -> log
+    encode/decode -> zip merge end-to-end. bm_ok pins what rows
+    can't: real .log. files exist against still-skeleton groups
+    BEFORE compaction, compact() then FULL_RECORD-izes (snapshot
+    identical across it, zero logs after, every post-compact slice
+    carries data columns), and time-travel at the bootstrap instant
+    still serves the pure pre-DML source."""
+    from kafka_delta_ingest_spark.hudi import read_hudi
+
+    h, bm_ok = _bootstrap_mor_fixture(spark, sf_dir)
+    return read_hudi(spark, h).select(
+        "event_id", "event_type", "user_id", "value"
+    ).withColumn("bm_ok", F.lit(bool(bm_ok)))
+
+
+def _bootstrap_mor_fixture(spark, sf_dir: str) -> tuple:
+    import atexit
+    import shutil as _sh
+    import tempfile as _tf
+
+    import pyarrow.parquet as _pq
+
+    from kafka_delta_ingest_spark.convert import bootstrap_delta_to_hudi
+    from kafka_delta_ingest_spark.delta_standard import (
+        DeltaStandardWriter,
+    )
+    from kafka_delta_ingest_spark.hudi import (
+        BOOTSTRAP_INSTANT,
+        HudiMorWriter,
+        read_hudi,
+    )
+
+    key = ("bootmor", sf_dir)
+    hit = _TBLFMT_FIXTURES.get(key)
+    if hit and os.path.isdir(hit[0]):
+        return hit
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    root = _tf.mkdtemp(prefix="kdi-bootmor-")
+    t = root + "/t"
+    h = root + "/h"
+    DeltaStandardWriter(t).write(ev.repartition(4))
+    bootstrap_delta_to_hudi(spark, t, h, record_key="event_id")
+    w = HudiMorWriter(h, record_key="event_id")
+    w.upsert_log_batch(
+        ev.filter("event_id % 7 = 0").withColumn("value", F.lit(-1.0))
+    )
+    w.delete_log_batch(ev.filter("event_id % 13 = 0"))
+    logs_before = [
+        f for _dp, _d, fs in os.walk(h) for f in fs if ".log." in f
+    ]
+    skel_still = all(
+        all(
+            c.startswith("_hoodie_")
+            for c in _pq.read_schema(os.path.join(dp, f)).names
+        )
+        for dp, _dirs, fs in os.walk(h)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    # MATERIALIZE the pre-compact snapshot: compact() physically
+    # reclaims the folded log files, so re-evaluating a lazy
+    # pre-compact plan afterwards would read deleted paths
+    pre_collected = sorted(
+        map(tuple, read_hudi(spark, h).select(
+            "event_id", "event_type", "user_id", "value"
+        ).collect())
+    )
+    pre_rows = len(pre_collected)
+    inst = w.compact(spark)
+    post = read_hudi(spark, h).select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    logs_after = [
+        f for _dp, _d, fs in os.walk(h) for f in fs if ".log." in f
+    ]
+    full_slices = [
+        os.path.join(dp, f)
+        for dp, _dirs, fs in os.walk(h)
+        for f in fs
+        if f.endswith(".parquet")
+        and not f.endswith(f"_{BOOTSTRAP_INSTANT}.parquet")
+    ]
+    tt = read_hudi(spark, h, as_of_instant=BOOTSTRAP_INSTANT)
+    bm_ok = (
+        bool(logs_before)
+        and skel_still
+        and inst is not None
+        and not logs_after
+        and post.count() == pre_rows
+        and sorted(map(tuple, post.collect())) == pre_collected
+        and bool(full_slices)
+        and all(
+            {"event_id", "event_type", "user_id", "value"}
+            <= set(_pq.read_schema(p).names)
+            for p in full_slices
+        )
+        and tt.count() == ev.count()
+    )
+    out = (h, bm_ok)
+    _TBLFMT_FIXTURES[key] = out
+    atexit.register(_sh.rmtree, root, ignore_errors=True)
+    return out
+
+
+@_q(
     "table_convert_mixed_appends",
     """
     SELECT event_id, event_type, user_id, value, TRUE AS mixed_ok
@@ -11587,6 +11712,7 @@ _SWEEP_ORDER: list[str] = [
     "text_bpe_train_probe",
     # r12 additions (post-window-freeze; mirror-certified, front of r13)
     "table_bootstrap_partitioned",
+    "table_bootstrap_mor_logs",
 ]
 
 
