@@ -44,6 +44,25 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r12 (optimization): InferFiltersFromGenerate synthesizes a
+        # ``size(arr) > 0`` filter under every explode/posexplode, and
+        # predicate pushdown then drags that filter below the
+        # repartition that feeds our shingle/gram operators — fully
+        # INLINING the expensive gram expression (a ~16x-duplicated
+        # regexp+split zip_with chain, interpreted: HOFs are
+        # CodegenFallback) into the narrow pre-shuffle scan stage.
+        # Measured on dedup_substring_spans at sf0.1: two single-task
+        # 4-12s filter stages, and every gram row pays the expression
+        # TWICE (filter + projection) at any scale. The rule only
+        # infers a redundant filter (empty arrays generate no rows
+        # anyway), so excluding it never changes results; its upside
+        # (dropping empty-array rows before a shuffle) is negligible
+        # for these operators, where empty docs are rare and cheap.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer."
+            "InferFiltersFromGenerate",
+        )
         # Arrow for any pandas UDF hop.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Reference writes snappy parquet exclusively (src/writer.rs:353-356).
