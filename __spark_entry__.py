@@ -1375,7 +1375,11 @@ def pipeline_corpus_curation(spark, sf_dir):
         source_mix,
     )
 
-    d = load_table(spark, sf_dir, "documents")
+    from kafka_delta_ingest_spark.operators.util import spread
+
+    # spread before the score-and-filter projection (see
+    # pipeline_pretrain_curation's r12 note).
+    d = spread(load_table(spark, sf_dir, "documents"))
     q = d.select(
         "doc_id",
         "lang",
@@ -1483,9 +1487,14 @@ def pipeline_pretrain_curation(spark, sf_dir):
     arms (q1 steady) during the capture. Verdict: LOAD."""
     from kafka_delta_ingest_spark.operators import decontam, pii
     from kafka_delta_ingest_spark.operators.sampling import deterministic_split
+    from kafka_delta_ingest_spark.operators.util import spread
 
     d = load_table(spark, sf_dir, "documents")
-    planted = _plant_pii(d.select("doc_id", "lang", "source", "text"))
+    # spread BEFORE the plant→redact→score projection chain: documents
+    # arrives as one split at bench SFs, and the pushed-down quality
+    # filter otherwise evaluates the whole interpreted chain in that
+    # single scan task (r12 profile: one 2.9 s single-task stage).
+    planted = _plant_pii(spread(d).select("doc_id", "lang", "source", "text"))
     red = planted.withColumn("text", pii.redact(F.col("text")))
     q = red.select(
         "doc_id",
@@ -11193,8 +11202,12 @@ def pipeline_fuzzy_curation(spark, sf_dir):
     The oracle replays the identical funnel with a recursive
     transitive-closure CTE standing in for the CC loop."""
     from kafka_delta_ingest_spark.operators.sampling import deterministic_split
+    from kafka_delta_ingest_spark.operators.util import spread
 
-    d = load_table(spark, sf_dir, "documents")
+    # spread before the score-and-filter projection (see
+    # pipeline_pretrain_curation): keeps the pushed quality filter out
+    # of the single-split scan task at bench SFs.
+    d = spread(load_table(spark, sf_dir, "documents"))
     q = d.select(
         "doc_id",
         "lang",

@@ -49,7 +49,27 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
             pass
     if n_splits >= target:
         return df
-    return df.repartition(target)
+    # r12 (optimization): the repartition alone does not deliver
+    # spread's contract — Catalyst pushes deterministic filters
+    # THROUGH RepartitionOperation, so a downstream filter over an
+    # expression-heavy computed column (a quality score, a shingle
+    # array's size) gets fully inlined below this exchange and runs in
+    # the narrow pre-shuffle scan stage, exactly the serialization
+    # spread exists to prevent (measured: a single-task 2.9 s
+    # quality-filter stage in pipeline_pretrain_curation at sf0.1).
+    # An always-true non-deterministic guard right above the exchange
+    # is a pushdown barrier: predicate pushdown may not reorder a
+    # deterministic filter below a non-deterministic one, so heavy
+    # filters stay on the wide side and their expressions evaluate
+    # ONCE, after the already-computed columns. Rows are unaffected
+    # (spark_partition_id() is never negative; it is chosen over
+    # rand() because Spark 4's optimizer knows rand's value bounds and
+    # folds rand-based tautologies away). When spread no-ops (input
+    # already wide — the 100 TB case), no barrier is added and
+    # scan-level pushdown behaves exactly as before.
+    return df.repartition(target).where(
+        F.spark_partition_id() >= F.lit(0)
+    )
 
 
 def co_locate(df: DataFrame, key: Column, partitions: int | None = None) -> DataFrame:
