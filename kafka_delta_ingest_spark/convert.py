@@ -184,8 +184,11 @@ def _executor_iceberg_entries(
     ``fields`` the Iceberg schema fields whose ids key the metrics."""
     from kafka_delta_ingest_spark.iceberg import footer_bounds
 
-    flist = spark.createDataFrame(items, "path string, pv string")
     n_slices = max(1, min(len(items), 256))
+    flist = spark.createDataFrame(
+        spark.sparkContext.parallelize(items, n_slices),
+        "path string, pv string",
+    )
 
     def _stats(batches):
         # pickle transport: manifest bounds legitimately carry bytes /
@@ -232,7 +235,7 @@ def _executor_iceberg_entries(
 
     return [
         pickle.loads(base64.b64decode(r.j))
-        for r in flist.repartition(n_slices)
+        for r in flist
         .mapInPandas(_stats, "j string")
         .collect()
     ]
@@ -321,10 +324,11 @@ def _executor_delta_adds(spark, paths: list[str]) -> list[dict]:
     mapInPandas; the driver collects only the log-sized result."""
     from kafka_delta_ingest_spark.sinks.delta_like import _parquet_stats
 
-    flist = spark.createDataFrame(
-        [(p,) for p in paths], "path string"
-    )
     n_slices = max(1, min(len(paths), 256))
+    flist = spark.createDataFrame(
+        spark.sparkContext.parallelize([(p,) for p in paths], n_slices),
+        "path string",
+    )
 
     def _stats(batches):
         import base64
@@ -359,7 +363,7 @@ def _executor_delta_adds(spark, paths: list[str]) -> list[dict]:
 
     return [
         pickle.loads(base64.b64decode(r.j))
-        for r in flist.repartition(n_slices)
+        for r in flist
         .mapInPandas(_stats, "j string")
         .collect()
     ]
@@ -896,13 +900,16 @@ def _probe_cols_present(
                 hits.append(",".join(c for c in want if c in names))
             yield pd.DataFrame({"src": srcs, "hit": hits})
 
-    flist = spark.createDataFrame(
-        [(p,) for p in source_paths], "src string"
-    )
     n_slices = max(1, min(len(source_paths), 256))
+    flist = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(p,) for p in source_paths], n_slices
+        ),
+        "src string",
+    )
     return {
         r.src: [c for c in r.hit.split(",") if c]
-        for r in flist.repartition(n_slices)
+        for r in flist
         .mapInPandas(_probe, "src string, hit string")
         .collect()
     }
@@ -961,13 +968,16 @@ def _bootstrap_preflight(
                     )
             yield pd.DataFrame({"bad": out})
 
-    flist = spark.createDataFrame(
-        [(p,) for p in source_paths], "src string"
-    )
     n_slices = max(1, min(len(source_paths), 256))
+    flist = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(p,) for p in source_paths], n_slices
+        ),
+        "src string",
+    )
     bad = [
         r.bad
-        for r in flist.repartition(n_slices)
+        for r in flist
         .mapInPandas(_probe, "bad string")
         .collect()
     ]
@@ -1060,10 +1070,11 @@ def _bootstrap_to_hudi(
         )
         for p in source_paths
     ]
-    flist = spark.createDataFrame(
-        items, "src string, fid string, part string"
-    )
     n_slices = max(1, min(len(items), 256))
+    flist = spark.createDataFrame(
+        spark.sparkContext.parallelize(items, n_slices),
+        "src string, fid string, part string",
+    )
     table_root = hudi_path
     key_col = record_key
 
@@ -1140,7 +1151,7 @@ def _bootstrap_to_hudi(
 
     stats = [
         pickle.loads(base64.b64decode(r.j))
-        for r in flist.repartition(n_slices)
+        for r in flist
         .mapInPandas(_skeletons, "j string")
         .collect()
     ]

@@ -80,6 +80,8 @@ import re
 import uuid
 from typing import Callable
 
+from kafka_delta_ingest_spark.io import metadata_df
+
 _INSTANT_RE = re.compile(r"^(\d{14,17})\.(\w+)$")
 
 META_COLS = [
@@ -269,7 +271,8 @@ def _bootstrap_pv_frame(spark, ddl: str, rows: list[tuple]):
         (k, *[(vals or {}).get(f.name) for f in st.fields])
         for k, vals in rows
     ]
-    mp = spark.createDataFrame(
+    mp = metadata_df(
+        spark,
         data,
         "__kdi_pvkey string"
         + "".join(f", `{f.name}` string" for f in st.fields),
@@ -311,7 +314,8 @@ def _bootstrap_zip(spark, boot_items: list[tuple[str, str]],
     from pyspark.sql.functions import broadcast
 
     def _side(paths, fid_of, suffix):
-        mp = spark.createDataFrame(
+        mp = metadata_df(
+            spark,
             sorted(fid_of.items()),
             f"_kdi_fp_m{suffix} string, _kdi_fid{suffix} string",
         )
@@ -739,10 +743,16 @@ def _log_records_df(spark, log_specs: list[tuple[str, str, int, str]],
                     ).dt.date
             yield out
 
+    # one slice per log file up to 64, sliced at parallelize time:
+    # the old createDataFrame (defaultParallelism slices) + repartition
+    # cost an extra 32-task stage and a shuffle for a handful of rows
     paths_df = spark.createDataFrame(
-        [(p, i, s, pt) for p, i, s, pt in log_specs],
+        spark.sparkContext.parallelize(
+            [(p, i, s, pt) for p, i, s, pt in log_specs],
+            max(1, min(len(log_specs), 64)),
+        ),
         "path string, instant string, seq long, part string",
-    ).repartition(max(1, min(len(log_specs), 64)))
+    )
     return paths_df.mapInPandas(run, schema=out_schema)
 
 
@@ -1742,14 +1752,22 @@ class HudiCowWriter:
                 "upsert_batch requires the writer's record_key field "
                 "(HudiCowWriter(record_key=...))"
             )
-        if df.isEmpty():
-            return None, 0, 0
         spark = df.sparkSession
         key = self.record_key
 
+        # r12 (optimization): materialize the source batch ONCE. The
+        # batch lineage (typically an aggregation + join upstream) was
+        # re-executed by every consumer below — the empty check, the
+        # duplicate-key probe, match discovery's distinct keys, the
+        # merge leg and the not-matched anti-join: five runs of the
+        # same shuffles. One eager localCheckpoint is O(batch) —
+        # micro-batch-sized at any table size — and every later pass
+        # is a scan of the materialized rows.
         src = df.withColumn("__pp", self._part_path_col()).withColumn(
             "__rk", F.col(key).cast("string")
-        )
+        ).localCheckpoint()
+        if src.isEmpty():
+            return None, 0, 0
         if precombine is not None:
             w = Window.partitionBy("__pp", "__rk").orderBy(
                 F.col(precombine).desc()
@@ -1833,7 +1851,8 @@ class HudiCowWriter:
                 norm_paths = sorted(
                     p for p in touched if p not in set(boot_paths)
                 )
-                fid_map = spark.createDataFrame(
+                fid_map = metadata_df(
+                    spark,
                     [(p, *by_base[p]) for p in sorted(touched)],
                     "__fp string, __part string, "
                     "__fid string, __prev string",
@@ -2295,15 +2314,19 @@ class HudiMorWriter(HudiCowWriter):
 
     def _split_matched(self, df, precombine):
         """(matched rows tagged __fid/__pp/__rk, unmatched rows,
-        fid_meta) — match discovery is the CoW upsert's column-pruned
+        fid_meta, materialized source) — match discovery is the CoW
+        upsert's column-pruned
         key scan over live base files."""
         from pyspark.sql import functions as F
         from pyspark.sql.window import Window
 
         spark = df.sparkSession
+        # r12: one eager materialization of the source batch — its
+        # lineage was re-executed by the duplicate probe, the matched
+        # join AND the unmatched anti-join (see upsert_batch).
         src = df.withColumn("__pp", self._part_path_col()).withColumn(
             "__rk", F.col(self.record_key).cast("string")
-        )
+        ).localCheckpoint()
         if precombine is not None:
             w = Window.partitionBy("__pp", "__rk").orderBy(
                 F.col(precombine).desc()
@@ -2325,7 +2348,7 @@ class HudiMorWriter(HudiCowWriter):
                 )
         by_base, fid_meta = self._group_plan()
         if not by_base:
-            return None, src, fid_meta
+            return None, src, fid_meta, src
         live_keys = (
             spark.read.option("mergeSchema", "true")
             .parquet(*sorted(by_base))
@@ -2338,15 +2361,23 @@ class HudiMorWriter(HudiCowWriter):
             )
         )
         fid_rows = [(p, *by_base[p]) for p in sorted(by_base)]
-        fid_map = spark.createDataFrame(
-            fid_rows, "__fp string, __part string, __fid string"
+        fid_map = metadata_df(
+            spark, fid_rows, "__fp string, __part string, __fid string"
         )
         keyed = live_keys.join(F.broadcast(fid_map), "__fp").select(
             "__pp", "__rk", "__fid"
         )
-        matched = src.join(keyed, ["__pp", "__rk"], "inner")
-        unmatched = src.join(keyed, ["__pp", "__rk"], "left_anti")
-        return matched, unmatched, fid_meta
+        # r12: ONE left join, materialized once, then split by __fid
+        # nullability — the previous inner + anti pair executed the
+        # live-keys base scan and the join twice (once per consumer).
+        # Equivalent because a live (__pp, __rk) owns exactly one file
+        # group (the upsert invariant this writer maintains).
+        joined = src.join(
+            keyed, ["__pp", "__rk"], "left"
+        ).localCheckpoint()
+        matched = joined.filter(F.col("__fid").isNotNull())
+        unmatched = joined.filter(F.col("__fid").isNull()).drop("__fid")
+        return matched, unmatched, fid_meta, src
 
     def upsert_log_batch(self, df, precombine: str | None = None,
                          extra_metadata: dict | None = None,
@@ -2377,14 +2408,16 @@ class HudiMorWriter(HudiCowWriter):
                 "upsert_log_batch requires the writer's record_key "
                 "field (HudiMorWriter(record_key=...))"
             )
-        if df.isEmpty():
-            return None, 0, 0, 0
         avro_schema = self._avro_schema_of(df)
         data_cols = list(df.columns)
         ts_cols, date_cols = self._temporal_cols(df.schema)
-        matched, unmatched, fid_meta = self._split_matched(
+        matched, unmatched, fid_meta, src = self._split_matched(
             df, precombine
         )
+        # empty check on the MATERIALIZED source (r12): df.isEmpty()
+        # re-ran the whole batch lineage just to probe one row.
+        if src.isEmpty():
+            return None, 0, 0, 0
 
         hoodie = os.path.join(self.path, ".hoodie")
         instant = self._claim_instant(self.ACTION)
@@ -2551,11 +2584,11 @@ class HudiMorWriter(HudiCowWriter):
             raise ValueError(
                 "delete_log_batch requires the writer's record_key"
             )
-        if df.isEmpty():
-            return None, 0
-        matched, _unmatched, fid_meta = self._split_matched(
+        matched, _unmatched, fid_meta, src = self._split_matched(
             df.dropDuplicates(), None
         )
+        if src.isEmpty():
+            return None, 0
         if matched is None:
             return None, 0
 
@@ -2694,7 +2727,8 @@ class HudiMorWriter(HudiCowWriter):
             base_df = spark.read.option("mergeSchema", "true").parquet(
                 *base_paths
             )
-            fid_map = spark.createDataFrame(
+            fid_map = metadata_df(
+                spark,
                 [
                     (g["base"], fid)
                     for (p, fid), g in norm_victims.items()

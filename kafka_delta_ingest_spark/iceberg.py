@@ -790,7 +790,10 @@ def _reattach_identity_partitions(spark, frame, meta, data_files,
         )
         for path, _seq, pv in data_files
     ]
-    mp = spark.createDataFrame(
+    from kafka_delta_ingest_spark.io import metadata_df
+
+    mp = metadata_df(
+        spark,
         rows,
         StructType(
             [StructField("_kdi_map_fp", StringType())]
@@ -1793,6 +1796,11 @@ class IcebergWriter:
         missing = [c for c in key_cols if c not in ids_by_name]
         if missing:
             raise ValueError(f"unknown key columns {missing}")
+        # r12 (optimization): materialize the batch once — its lineage
+        # (aggregation + join upstream in the common CDC shape) was
+        # executed twice, for the equality-delete key file AND the
+        # data files. O(batch) local materialization, scans after.
+        df = df.localCheckpoint()
         # equality-delete file: the DISTINCT incoming key tuples,
         # written EXECUTOR-side via the same staging-promote shape as
         # delete_where below — driver memory stays O(1) in the batch
