@@ -8247,13 +8247,17 @@ def text_unigram_train_probe(spark, sf_dir):
             .select(F.lit("dd").alias("text"))
         )
     )
+    # one census, shared by the trainer and the ab/dd freq probe
+    # (was two full census passes + checkpoints per run — r12)
+    words = word_census(corpus).localCheckpoint()
     pieces = train_unigram(
-        corpus, vocab_size=5, max_piece_len=2, seed_size=4, em_iters=1
+        corpus, vocab_size=5, max_piece_len=2, seed_size=4,
+        em_iters=1, words=words,
     )
     vocab = {p for p, _ in pieces}
     cen = {
         r.piece: int(r.freq)
-        for r in seed_census(word_census(corpus), max_len=2)
+        for r in seed_census(words, max_len=2)
         .filter(F.col("piece").isin("ab", "dd"))
         .collect()
     }

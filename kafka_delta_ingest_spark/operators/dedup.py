@@ -121,11 +121,33 @@ def positional_shingles(words: Column, n: Column, k: int) -> Column:
     return F.when(n < k, F.array(F.concat_ws(" ", words))).otherwise(full)
 
 
+def let_once(value: Column, body) -> Column:
+    """Per-row LET binding at the expression level: evaluate ``value``
+    once and hand it to ``body`` as a lambda variable, so every
+    reference inside ``body`` is a bound-variable read instead of a
+    re-evaluation of the producing expression.
+
+    ``transform`` (like every higher-order function) evaluates its
+    array argument once per row before applying the lambda — that is
+    the materialization point. Catalyst has no common-subexpression
+    elimination inside CodegenFallback trees (all HOFs), so the
+    zip_with shingle chain used to re-evaluate its ``words`` argument
+    ~16x per row: 8 zip_with operands + slice bounds + the short-doc
+    branch each inlined the full regexp_replace+lower+trim+split
+    (r12 plan capture: plans/r12/pipeline_pretrain_curation_before.txt
+    node 15). NULL propagates identically: a null ``value`` rides
+    through as the lambda argument and the body yields what the
+    inlined form yields."""
+    return F.transform(F.array(value), lambda v: body(v))[0]
+
+
 def word_shingles(col: Column, k: int = 3) -> Column:
     """Distinct k-word shingles of normalized text (the set-semantics
     builder every Jaccard/MinHash-family operator uses)."""
-    words = F.split(normalize_text(col), " ")
-    return F.array_distinct(positional_shingles(words, F.size(words), k))
+    return let_once(
+        F.split(normalize_text(col), " "),
+        lambda w: F.array_distinct(positional_shingles(w, F.size(w), k)),
+    )
 
 
 # Affine hash families over the Mersenne prime 2^31-1: every operand
@@ -899,8 +921,6 @@ def winnow_fingerprints(
     before anything shuffles, and downstream pair grouping moves
     8-byte xxhash64 longs, not text.
     """
-    words = F.split(normalize_text(F.col(text_col)), " ")
-    n = F.size(words)
     # k-gram hashes over the POSITIONAL shingle sequence: repeated
     # grams must stay in place or windows vanish and the w+k-1-run
     # guarantee breaks for internally repetitive text. xxhash64 per
@@ -908,24 +928,40 @@ def winnow_fingerprints(
     # replicates these values engine-side (the oracle predicts PAIRS
     # from the coverage guarantee, not hash values), so the portable
     # md5 convention lm.py's bucketing needs does not apply here.
-    grams = positional_shingles(words, n, k)
-    hashes = F.transform(grams, lambda g: F.xxhash64(g))
-    nh = F.size(hashes)
+    #
     # Window minima by a shift-and-least chain (the same shape as the
     # shingle builder): after step j element i holds min(h[i..i+j]),
     # so the first nh-w+1 elements are the w-window minima — O(n*w)
     # two-arg `least` comparisons with no per-window slice allocation.
-    m = hashes
-    for j in range(1, w):
-        m = F.zip_with(
-            m, F.slice(hashes, j + 1, nh), lambda a, b: F.least(a, b)
-        )
-    mins = F.when(
-        nh < w,
-        # Shorter than one window: the whole doc is one window
-        # (standard winnowing edge rule — every doc fingerprints).
-        F.array(F.array_min(hashes)),
-    ).otherwise(F.slice(m, 1, F.greatest(nh - (w - 1), F.lit(1))))
+    # Both the word array and the hash array are let_once-bound: the
+    # min chain references the hash array ~2(w-1) times and each of
+    # those used to re-run the ENTIRE shingle+hash pipeline (itself
+    # re-splitting the text ~16x) — the deepest duplication in the
+    # dedup family (r12).
+    def _window_mins(h: Column) -> Column:
+        nh = F.size(h)
+        m = h
+        for j in range(1, w):
+            m = F.zip_with(
+                m, F.slice(h, j + 1, nh), lambda a, b: F.least(a, b)
+            )
+        return F.when(
+            nh < w,
+            # Shorter than one window: the whole doc is one window
+            # (standard winnowing edge rule — every doc fingerprints).
+            F.array(F.array_min(h)),
+        ).otherwise(F.slice(m, 1, F.greatest(nh - (w - 1), F.lit(1))))
+
+    mins = let_once(
+        F.split(normalize_text(F.col(text_col)), " "),
+        lambda wv: let_once(
+            F.transform(
+                positional_shingles(wv, F.size(wv), k),
+                lambda g: F.xxhash64(g),
+            ),
+            _window_mins,
+        ),
+    )
     return (
         spread(df)
         # split('') yields [''] (size 1), so gate on normalized length:
@@ -1007,16 +1043,24 @@ def substring_dup_spans(
     ``None`` disables it for exact parity)."""
     from kafka_delta_ingest_spark.operators.util import spread
 
-    words = F.split(normalize_text(F.col(text_col)), " ")
-    n = F.size(words)
+    def _grams_of(wv: Column) -> Column:
+        n = F.size(wv)
+        return F.when(n >= k, F.slice(
+            positional_shingles(wv, n, k), 1,
+            F.greatest(n - (k - 1), F.lit(1)),
+        )).otherwise(F.array().cast("array<string>"))
+
     base = spread(df).select(
         F.col(id_col),
-        F.when(
-            F.length(normalize_text(F.col(text_col))) == 0, F.lit(0)
-        ).otherwise(n).alias("n_tokens"),
-        F.when(n >= k, F.slice(
-            positional_shingles(words, n, k), 1, F.greatest(n - (k - 1), F.lit(1))
-        )).otherwise(F.array().cast("array<string>")).alias("_grams"),
+        let_once(
+            normalize_text(F.col(text_col)),
+            lambda t: F.when(F.length(t) == 0, F.lit(0)).otherwise(
+                F.size(F.split(t, " "))
+            ),
+        ).alias("n_tokens"),
+        let_once(
+            F.split(normalize_text(F.col(text_col)), " "), _grams_of
+        ).alias("_grams"),
     )
     # One explicit gh-shuffle shared by BOTH consumers (the count
     # aggregation and the coverage join probe): the expensive shingle
@@ -1108,19 +1152,25 @@ def substring_dedup_rewrite(
     extends SURVEY §6's dedup family with the curate-stage rewrite."""
     from kafka_delta_ingest_spark.operators.util import spread
 
-    words_expr = F.split(normalize_text(F.col(text_col)), " ")
-    n = F.size(words_expr)
-    base = spread(df).select(
-        F.col(id_col),
-        F.when(
-            F.length(normalize_text(F.col(text_col))) == 0,
-            F.array().cast("array<string>"),
-        ).otherwise(words_expr).alias("_w"),
-        F.when(n >= k, F.slice(
-            positional_shingles(words_expr, n, k),
+    def _grams_of(wv: Column) -> Column:
+        n = F.size(wv)
+        return F.when(n >= k, F.slice(
+            positional_shingles(wv, n, k),
             1,
             F.greatest(n - (k - 1), F.lit(1)),
-        )).otherwise(F.array().cast("array<string>")).alias("_grams"),
+        )).otherwise(F.array().cast("array<string>"))
+
+    base = spread(df).select(
+        F.col(id_col),
+        let_once(
+            normalize_text(F.col(text_col)),
+            lambda t: F.when(
+                F.length(t) == 0, F.array().cast("array<string>")
+            ).otherwise(F.split(t, " ")),
+        ).alias("_w"),
+        let_once(
+            F.split(normalize_text(F.col(text_col)), " "), _grams_of
+        ).alias("_grams"),
     )
     # Shared gh-shuffle: shingling runs once in this exchange's map
     # side and the stage is reused by both the canonical aggregation

@@ -191,7 +191,8 @@ def _viterbi(
 
 
 def _collect_piece_map(
-    words: DataFrame, logp: dict, max_len: int, kernel
+    words: DataFrame, logp: dict, max_len: int, kernel,
+    width: int | None = None,
 ) -> dict:
     """Run a per-word ``kernel(word, wc, logp, acc)`` over the
     distinct-word table and return the globally-summed (piece -> val)
@@ -212,7 +213,11 @@ def _collect_piece_map(
         )
 
     rows = (
-        spread(words)
+        # width, when given, is derived ONCE from the checkpointed
+        # word count (train_unigram) — spread's blind
+        # defaultParallelism target put a 3-distinct-word probe corpus
+        # through 32 near-empty Python tasks per EM pass (r12).
+        spread(words, partitions=width)
         .mapInPandas(run, "piece string, val double")
         .groupBy("piece")
         .agg(F.sum("val").alias("val"))
@@ -224,7 +229,8 @@ def _collect_piece_map(
     return {r.piece: float(r.val) for r in rows}
 
 
-def _estep(words: DataFrame, logp: dict, max_len: int) -> tuple[dict, float]:
+def _estep(words: DataFrame, logp: dict, max_len: int,
+           width: int | None = None) -> tuple[dict, float]:
     """One distributed E-step: (expected counts per piece, corpus
     log-likelihood)."""
 
@@ -236,12 +242,13 @@ def _estep(words: DataFrame, logp: dict, max_len: int) -> tuple[dict, float]:
         for p, c in counts.items():
             acc[p] = acc.get(p, 0.0) + wc * c
 
-    out = _collect_piece_map(words, logp, max_len, kernel)
+    out = _collect_piece_map(words, logp, max_len, kernel, width)
     ll = out.pop(_LL_KEY, 0.0)
     return out, ll
 
 
-def _prune_losses(words: DataFrame, logp: dict, max_len: int) -> dict:
+def _prune_losses(words: DataFrame, logp: dict, max_len: int,
+                  width: int | None = None) -> dict:
     """Per-piece likelihood loss of removal: for each word's Viterbi
     path, re-segment without each distinct path piece and charge the
     word count times the score drop (the SentencePiece prune
@@ -260,7 +267,7 @@ def _prune_losses(words: DataFrame, logp: dict, max_len: int) -> dict:
             drop = (base - alt[0]) if alt else float("inf")
             acc[p] = acc.get(p, 0.0) + wc * drop
 
-    return _collect_piece_map(words, logp, max_len, kernel)
+    return _collect_piece_map(words, logp, max_len, kernel, width)
 
 
 def train_unigram(
@@ -271,6 +278,7 @@ def train_unigram(
     seed_size: int = 1000,
     shrink: float = 0.75,
     em_iters: int = 2,
+    words: DataFrame | None = None,
 ) -> list[tuple[str, float]]:
     """Train a unigram-LM vocabulary of (at most) ``vocab_size``
     pieces; returns [(piece, prob), ...] sorted by (prob desc, piece
@@ -282,14 +290,25 @@ def train_unigram(
         raise ValueError("vocab_size must be >= 1")
     if not 0.0 < shrink < 1.0:
         raise ValueError("shrink must be in (0, 1)")
-    words = word_census(df, text_col).localCheckpoint()
+    if words is None:
+        words = word_census(df, text_col).localCheckpoint()
+    # EM-kernel width from the materialized word count (free after the
+    # checkpoint): ~1k DP-kernel words per task, capped at cluster
+    # width, floor 1 — replaces spread()'s blind defaultParallelism
+    # repartition inside every E/prune pass.
+    n_words = words.count()
+    try:
+        par = words.sparkSession.sparkContext.defaultParallelism
+    except Exception:
+        par = int(words.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    width = max(1, min(par, (n_words + 1023) // 1024))
     seeds = seed_pieces(words, max_piece_len, seed_size).collect()
     freq = {r.piece: float(r.freq) for r in seeds}
     total = sum(freq.values())
     logp = {p: math.log(v / total) for p, v in freq.items()}
     while True:
         for _ in range(em_iters):
-            counts, _ll = _estep(words, logp, max_piece_len)
+            counts, _ll = _estep(words, logp, max_piece_len, width)
             tot = sum(counts.values())
             logp = {p: math.log(c / tot) for p, c in counts.items() if c > 0}
         singles = [p for p in logp if len(p) == 1]
@@ -297,7 +316,7 @@ def train_unigram(
         budget = max(vocab_size - len(singles), 0)
         if len(multis) <= budget:
             break
-        losses = _prune_losses(words, logp, max_piece_len)
+        losses = _prune_losses(words, logp, max_piece_len, width)
         # keep_n < len(multis) always holds here: this branch requires
         # budget < len(multis), and int(len*shrink) < len for shrink<1.
         keep_n = max(budget, int(len(multis) * shrink))
