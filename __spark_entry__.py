@@ -7897,7 +7897,8 @@ def text_bpe_train_probe(spark, sf_dir):
     probe = spark.createDataFrame(
         [(0, "aa bb ccd aab cdd")], "doc_id long, text string"
     )
-    n_bpe = int(bpe_encode(probe, merges).collect()[0].n_bpe)
+    # One-row probe: width 1, not 32 near-empty Arrow-UDF tasks (r12).
+    n_bpe = int(bpe_encode(probe, merges, partitions=1).collect()[0].n_bpe)
     row = tuple(
         f"{a}+{b}" for a, b, _ in merges
     ) + tuple(int(c) for _, _, c in merges) + (n_bpe,)

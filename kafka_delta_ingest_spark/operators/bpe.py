@@ -158,6 +158,19 @@ def train_bpe(
         .select("syms", "wc")
         .localCheckpoint()
     )
+    # Vocabulary tables are distinct-word-sized, but the census shuffle
+    # leaves them at full shuffle width — 32 near-empty tasks for every
+    # census/size-aggregation/rewrite job of every round on a
+    # probe-scale corpus (measured: ~0.3-0.5s of pure task overhead per
+    # job at local[32]). Coalesce to ~1k words per task (the count is
+    # one cheap scan of the materialized checkpoint); later rounds
+    # inherit the narrow width through the rewrite selects (r12).
+    n_words = vocab.count()
+    try:
+        par = vocab.sparkSession.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no client-side SparkContext
+        par = int(vocab.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    vocab = vocab.coalesce(max(1, min(par, (n_words + 1023) // 1024)))
     # Exact driver-side symbol ledger: initial distinct characters
     # (vocabulary-scale, tiny) + one new symbol per applied merge.
     known_symbols = {
@@ -231,6 +244,7 @@ def bpe_encode(
     merges: list[tuple[str, str, int]] | list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    partitions: int | None = None,
 ) -> DataFrame:
     """Apply trained BPE merges: (id, bpe_tokens array<string>, n_bpe).
 
@@ -278,7 +292,10 @@ def bpe_encode(
         return pd.Series(out)
 
     return (
-        spread(df)
+        # partitions: callers encoding a known-tiny batch (a probe
+        # string) pass an explicit width so one row does not fan out
+        # into defaultParallelism Arrow-UDF tasks (r12).
+        spread(df, partitions)
         .select(F.col(id_col), _encode(F.col(text_col)).alias("bpe_tokens"))
         .withColumn("n_bpe", F.size("bpe_tokens"))
     )

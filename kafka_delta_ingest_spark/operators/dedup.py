@@ -121,24 +121,11 @@ def positional_shingles(words: Column, n: Column, k: int) -> Column:
     return F.when(n < k, F.array(F.concat_ws(" ", words))).otherwise(full)
 
 
-def let_once(value: Column, body) -> Column:
-    """Per-row LET binding at the expression level: evaluate ``value``
-    once and hand it to ``body`` as a lambda variable, so every
-    reference inside ``body`` is a bound-variable read instead of a
-    re-evaluation of the producing expression.
-
-    ``transform`` (like every higher-order function) evaluates its
-    array argument once per row before applying the lambda — that is
-    the materialization point. Catalyst has no common-subexpression
-    elimination inside CodegenFallback trees (all HOFs), so the
-    zip_with shingle chain used to re-evaluate its ``words`` argument
-    ~16x per row: 8 zip_with operands + slice bounds + the short-doc
-    branch each inlined the full regexp_replace+lower+trim+split
-    (r12 plan capture: plans/r12/pipeline_pretrain_curation_before.txt
-    node 15). NULL propagates identically: a null ``value`` rides
-    through as the lambda argument and the body yields what the
-    inlined form yields."""
-    return F.transform(F.array(value), lambda v: body(v))[0]
+# Shared with similarity.py and any other HOF-heavy operator; the
+# zip_with shingle chain here used to re-evaluate its ``words``
+# argument ~16x per row before binding (r12 plan capture:
+# plans/r12/pipeline_pretrain_curation_before.txt node 15).
+from kafka_delta_ingest_spark.operators.util import let_once  # noqa: E402,F401
 
 
 def word_shingles(col: Column, k: int = 3) -> Column:

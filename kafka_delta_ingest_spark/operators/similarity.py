@@ -222,9 +222,16 @@ def _bucketed(
 def _unit(col: Column) -> Column:
     # Zero vectors pass through unchanged: x/0 would NaN-poison every
     # downstream dot product, comparison, and aggregate they touch.
-    n = l2_norm(col)
-    return F.when(n == 0, col).otherwise(
-        F.transform(col, lambda x: x / n)
+    # The norm is let_once-bound: referenced per element of the
+    # division transform, an unbound ``n`` re-runs the full l2
+    # aggregate dim times per row (r12).
+    from kafka_delta_ingest_spark.operators.util import let_once
+
+    return let_once(
+        l2_norm(col),
+        lambda n: F.when(n == 0, col).otherwise(
+            F.transform(col, lambda x: x / n)
+        ),
     )
 
 
@@ -737,13 +744,21 @@ def embedding_neardup_pairs(
 
 
 def _pq_subspaces(vcol: Column, m: int, sub_dim: int) -> Column:
+    # vcol (typically a full _unit(_as_double(...)) pipeline) is
+    # let_once-bound: each of the m slice lambdas would otherwise
+    # inline and re-run it, m x per row (r12).
+    from kafka_delta_ingest_spark.operators.util import let_once
+
     js = F.sequence(F.lit(0), F.lit(m - 1))
     return F.explode(
-        F.transform(
-            js,
-            lambda j: F.struct(
-                j.cast("int").alias("j"),
-                F.slice(vcol, j * sub_dim + 1, sub_dim).alias("sv"),
+        let_once(
+            vcol,
+            lambda v: F.transform(
+                js,
+                lambda j: F.struct(
+                    j.cast("int").alias("j"),
+                    F.slice(v, j * sub_dim + 1, sub_dim).alias("sv"),
+                ),
             ),
         )
     )

@@ -5,6 +5,25 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+def let_once(value: Column, body) -> Column:
+    """Per-row LET binding at the expression level: evaluate ``value``
+    once and hand it to ``body`` as a lambda variable, so every
+    reference inside ``body`` is a bound-variable read instead of a
+    re-evaluation of the producing expression.
+
+    ``transform`` (like every higher-order function) evaluates its
+    array argument once per row before applying the lambda — that is
+    the materialization point. Catalyst has no common-subexpression
+    elimination inside CodegenFallback trees (all HOFs), so without
+    the binding every lambda reference to an outer expression inlines
+    and re-runs it (measured 2(w-1)x re-evaluation of the full shingle
+    pipeline in winnowing, 64x re-evaluation of the l2-norm aggregate
+    in vector unit-scaling). NULL propagates identically: a null
+    ``value`` rides through as the lambda argument and the body yields
+    what the inlined form yields."""
+    return F.transform(F.array(value), lambda v: body(v))[0]
+
+
 def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     """Repartition a small/under-partitioned input to cluster width
     before expression-heavy per-row work (shingling, hashing, scoring).
