@@ -7950,25 +7950,37 @@ def text_split_sentences(spark, sf_dir):
     oracle's regexp_extract_all) must agree — two independent regex
     engines certify the split.  Scale: pure array expressions, no
     shuffle, no UDF."""
+    from kafka_delta_ingest_spark.operators.util import let_once
+
     doc = F.col("doc_id")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    planted = F.array_join(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 1),
-            lambda i: F.concat(
-                F.element_at(toks, i + 1),
-                F.when((doc + i) % 5 == 0, F.lit("."))
-                .when((doc + i) % 5 == 3, F.lit("!"))
-                .otherwise(F.lit("")),
+    # toks is let_once-bound: element_at(toks, i+1) inside the plant
+    # transform otherwise re-splits the text once PER TOKEN (r12).
+    planted = let_once(
+        F.split(F.trim(F.col("text")), r"\s+"),
+        lambda toks: F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 1),
+                lambda i: F.concat(
+                    F.element_at(toks, i + 1),
+                    F.when((doc + i) % 5 == 0, F.lit("."))
+                    .when((doc + i) % 5 == 3, F.lit("!"))
+                    .otherwise(F.lit("")),
+                ),
             ),
+            " ",
         ),
-        " ",
     )
-    sents = textops.split_sentences(planted)
-    return load_table(spark, sf_dir, "documents").select(
+    # Two-step select: _sents is expensive and consumed twice;
+    # CollapseProject keeps the producing projection separate for
+    # non-cheap multiply-referenced aliases, so the whole plant+split
+    # pipeline evaluates once per row instead of twice (r12).
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", textops.split_sentences(planted).alias("_sents")
+    )
+    return base.select(
         "doc_id",
-        F.size(sents).cast("int").alias("n_sentences"),
-        F.md5(F.array_join(sents, "|")).alias("sents_md5"),
+        F.size("_sents").cast("int").alias("n_sentences"),
+        F.md5(F.array_join("_sents", "|")).alias("sents_md5"),
     )
 
 

@@ -33,7 +33,6 @@ deterministic across runs and cluster sizes.
 from __future__ import annotations
 
 import random
-from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
@@ -175,15 +174,22 @@ def minhash_signatures(
         )
         .select(id_col, F.pmod(F.xxhash64("_sh"), F.lit(_MERSENNE31)).alias("_h0"))
     )
+    # SQL-string battery (one py4j parse per agg instead of ~8 round
+    # trips each — the Column-API loop cost ~1s of driver time per
+    # query build at 64 hashes, r12). All-long literals: a*h+b < 2^62,
+    # same values and result type as the old int-literal promotion.
     aggs = [
-        F.min(F.pmod(F.lit(a) * F.col("_h0") + F.lit(b), F.lit(_MERSENNE31))).alias(
-            f"h{j}"
+        F.expr(
+            f"min(pmod({a}L * _h0 + {b}L, {_MERSENNE31}L)) as h{j}"
         )
         for j, (a, b) in enumerate(_hash_family(num_hashes))
     ]
     sigs = exploded.groupBy(id_col).agg(*aggs)
     return sigs.select(
-        id_col, F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig")
+        id_col,
+        F.expr(
+            "array(" + ",".join(f"h{j}" for j in range(num_hashes)) + ") as sig"
+        ),
     )
 
 
@@ -328,33 +334,34 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("_t"),
     ).select(id_col, F.xxhash64("_t").alias("_h"))
 
-    def mask(i: int) -> int:
-        # Bit 63 as a signed long (two's complement), ANSI-overflow-safe.
-        return 1 << i if i < 63 else -(1 << 63)
-
     # Token-multiplicity pre-aggregation: collapse to one row per
     # (doc, token hash) with its count BEFORE the 64 bit-vote sums, so
     # the expensive conditional aggregation runs over |docs|×|vocab|
     # rows instead of every token occurrence. SimHash weights votes by
     # term frequency, and sum(±count) ≡ sum over occurrences exactly.
+    #
+    # The 64-expression batteries are built as SQL strings parsed
+    # JVM-side in ONE py4j call each: the Column-API formulation cost
+    # ~14k py4j round trips = 2-3s of DRIVER time per query build
+    # (measured with cProfile at sf0.1, r12). shiftleft(1L, 63) is the
+    # sign bit as a signed long (two's complement) — same value the old
+    # -(1 << 63) literal produced, ANSI-overflow-safe; bit-disjoint
+    # terms make the fp sum equivalent to bitwise OR, so no overflow.
     weighted = toks.groupBy(id_col, "_h").agg(F.count("*").alias("_w"))
     votes = weighted.groupBy(id_col).agg(
         *[
-            F.sum(
-                F.when(F.col("_h").bitwiseAND(F.lit(mask(i))) != 0, F.col("_w"))
-                .otherwise(-F.col("_w"))
-                .cast("long")
-            ).alias(f"v{i}")
+            F.expr(
+                f"sum(cast(case when (_h & shiftleft(1L, {i})) != 0 "
+                f"then _w else -_w end as bigint)) as v{i}"
+            )
             for i in range(64)
         ]
     )
-    fp = reduce(
-        lambda acc, i: acc
-        + F.when(F.col(f"v{i}") > 0, F.lit(mask(i)).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        ),
-        range(64),
-        F.lit(0).cast("long"),
+    fp = F.expr(
+        " + ".join(
+            f"(case when v{i} > 0 then shiftleft(1L, {i}) else 0L end)"
+            for i in range(64)
+        )
     )
     return votes.select(F.col(id_col), fp.alias("fp"))
 
