@@ -7107,13 +7107,16 @@ def _bootstrap_mor_fixture(spark, sf_dir: str) -> tuple:
     )
     # MATERIALIZE the pre-compact snapshot: compact() physically
     # reclaims the folded log files, so re-evaluating a lazy
-    # pre-compact plan afterwards would read deleted paths
-    pre_collected = sorted(
-        map(tuple, read_hudi(spark, h).select(
-            "event_id", "event_type", "user_id", "value"
-        ).collect())
-    )
-    pre_rows = len(pre_collected)
+    # pre-compact plan afterwards would read deleted paths. Executor
+    # memory (localCheckpoint), not a driver collect — the multiset
+    # comparison below runs engine-side (exceptAll both ways ==
+    # multiset equality, the same boolean the old sorted-collect
+    # comparison produced) instead of pulling the whole table to the
+    # driver twice and sorting it in Python (r12, guide §5).
+    pre_df = read_hudi(spark, h).select(
+        "event_id", "event_type", "user_id", "value"
+    ).localCheckpoint()
+    pre_rows = pre_df.count()
     inst = w.compact(spark)
     post = read_hudi(spark, h).select(
         "event_id", "event_type", "user_id", "value"
@@ -7135,7 +7138,8 @@ def _bootstrap_mor_fixture(spark, sf_dir: str) -> tuple:
         and inst is not None
         and not logs_after
         and post.count() == pre_rows
-        and sorted(map(tuple, post.collect())) == pre_collected
+        and post.exceptAll(pre_df).isEmpty()
+        and pre_df.exceptAll(post).isEmpty()
         and bool(full_slices)
         and all(
             {"event_id", "event_type", "user_id", "value"}
@@ -11225,6 +11229,11 @@ def pipeline_fuzzy_curation(spark, sf_dir):
     # pipeline_pretrain_curation): keeps the pushed quality filter out
     # of the single-split scan task at bench SFs.
     d = spread(load_table(spark, sf_dir, "documents"))
+    # NOT checkpointed: an eager localCheckpoint of the scored
+    # survivors was A/B-tested in r12 (wt11/nowt11) and LOST — 6.25s
+    # vs 4.88s min-of-3 — because materializing text bytes serializes
+    # legs that otherwise pipeline, and the re-derived scoring passes
+    # are cheaper than the write+rescan at every SF measured.
     q = d.select(
         "doc_id",
         "lang",
