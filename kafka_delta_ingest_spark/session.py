@@ -63,6 +63,13 @@ def get_spark(
             "org.apache.spark.sql.catalyst.optimizer."
             "InferFiltersFromGenerate",
         )
+        # r12 (optimization, guide §3.1): let the planner pick a
+        # shuffled-hash join when its per-partition build side fits —
+        # sort-merge stays available (and is still chosen when sizes
+        # are unknown/large); this only removes the blanket preference
+        # for the sort. Scale-safe: the size conditions are evaluated
+        # per query from statistics, not tuned to local core counts.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         # Arrow for any pandas UDF hop.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Reference writes snappy parquet exclusively (src/writer.rs:353-356).
