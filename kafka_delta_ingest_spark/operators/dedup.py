@@ -870,6 +870,15 @@ def incremental_ngram_dedup_indexed(
     inc_sizes = inc.select(
         F.col(id_col), F.size(word_shingles(F.col(text_col), n)).alias("sz")
     )
+    # The index is consumed twice (gram union below + the size census
+    # here). In deployment it is a PERSISTED table, so both consumers
+    # are scans; when a caller hands a computed lineage instead (the
+    # registry query builds it inline from text), each consumer would
+    # re-run the whole shingle+hash pipeline. A lazy localCheckpoint
+    # makes the second consumer a cached scan — the same cost shape as
+    # the persisted table the steady state reads (r12: one full-corpus
+    # shingle pass removed; 8.3s of task time at sf0.1).
+    index = index.localCheckpoint(eager=False)
     # Distinct grams per doc ⇒ the index itself is the size table.
     idx_sizes = index.groupBy(id_col).agg(F.count("*").alias("sz"))
     grams = index.select(
