@@ -5245,13 +5245,28 @@ def hudi_read_incremental(spark, sf_dir):
     filtered scan, not a two-snapshot diff.  The fixture table is
     memoized per process (driver-side pyarrow writes, not the reader
     under test) — every invocation still executes both incremental
-    READ pulls."""
-    from kafka_delta_ingest_spark.hudi import read_hudi_incremental
+    READ pulls.  Both pulls poll the SAME end instant (latest), so
+    the snapshot — timeline walk + MOR log merge — is built once and
+    handed to both via read_hudi_incremental(snapshot=...) with a
+    lazy localCheckpoint (within one run; rebuilt every invocation):
+    each pull is then just its begin-watermark filter, the cost
+    shape of a real consumer polling one table state with two
+    watermarks."""
+    from kafka_delta_ingest_spark.hudi import (
+        read_hudi,
+        read_hudi_incremental,
+    )
 
     t, i1, i2, n_fives = _hudi_incr_fixture(spark, sf_dir)
-    window_ok = read_hudi_incremental(spark, t, i2).count() == n_fives
+    snap = read_hudi(spark, t, keep_meta=True).localCheckpoint(
+        eager=False
+    )
+    window_ok = (
+        read_hudi_incremental(spark, t, i2, snapshot=snap).count()
+        == n_fives
+    )
     return (
-        read_hudi_incremental(spark, t, i1)
+        read_hudi_incremental(spark, t, i1, snapshot=snap)
         .select(
             "doc_id", "lang", F.col("rev").cast("int").alias("rev")
         )

@@ -903,6 +903,7 @@ def read_hudi_incremental(
     begin_instant: str,
     end_instant: str | None = None,
     keep_meta: bool = False,
+    snapshot=None,
 ):
     """Hudi INCREMENTAL query: the LATEST version of every record
     inserted or updated in ``(begin_instant, end_instant]`` — the
@@ -915,10 +916,18 @@ def read_hudi_incremental(
     the instant that last wrote it), then one pushed-down filter on
     the commit-time meta column. Incremental pulls therefore cost one
     filtered scan of the files commits in range actually touched, not
-    a diff of two snapshots."""
+    a diff of two snapshots.
+
+    ``snapshot`` lets a caller making SEVERAL windowed pulls against
+    the same end instant supply the keep_meta=True snapshot once
+    (typically ``read_hudi(..., keep_meta=True).localCheckpoint
+    (eager=False)``): each pull then differs only in its begin filter
+    instead of re-planning the timeline and re-merging MOR logs per
+    window — the cost shape of a consumer that polls one table state
+    with multiple watermarks."""
     from pyspark.sql import functions as F
 
-    df = read_hudi(
+    df = snapshot if snapshot is not None else read_hudi(
         spark, table_path, as_of_instant=end_instant, keep_meta=True
     )
     df = df.filter(F.col("_hoodie_commit_time") > begin_instant)

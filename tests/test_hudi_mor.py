@@ -176,6 +176,24 @@ def test_incremental_query_mor(spark, mor):
     assert got == {(4, "UPDATED-AGAIN")}
 
 
+def test_incremental_query_shared_snapshot(spark, mor):
+    # A consumer polling one table state with several watermarks can
+    # hand the keep_meta=True snapshot to each pull via snapshot=...;
+    # every windowed pull must equal its independently-planned twin.
+    from kafka_delta_ingest_spark.hudi import read_hudi_incremental
+
+    path, _, (i1, i2, i3, i4) = mor
+    snap = read_hudi(spark, path, keep_meta=True).localCheckpoint(
+        eager=False
+    )
+    for begin in (i1, i2, i3):
+        shared = {(r.id, r.text) for r in read_hudi_incremental(
+            spark, path, begin, snapshot=snap).collect()}
+        solo = {(r.id, r.text) for r in read_hudi_incremental(
+            spark, path, begin).collect()}
+        assert shared == solo
+
+
 def test_incremental_query_cow(spark, tmp_path):
     # CoW rewrites stamp the new instant only on rows they CHANGED —
     # unchanged neighbors in the rewritten file keep their original
