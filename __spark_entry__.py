@@ -66,6 +66,36 @@ def _q(name: str, sql: str | None = None):
     return reg
 
 
+def _materialized(spark: SparkSession, out: DataFrame) -> DataFrame:
+    """Materialize a fixture-backed result on the driver (the temp
+    table it reads is removed in the query's ``finally``), sliced by
+    ROW COUNT instead of ``defaultParallelism``: plain
+    ``createDataFrame(rows)`` splits even a 20k-row result across 32
+    near-empty tasks, so every downstream action (the bench's noop
+    sink included) paid a ~0.3-0.5s empty-task stage per run
+    (io.metadata_df convention, r12)."""
+    rows = out.collect()
+    if not rows:
+        return spark.createDataFrame([], schema=out.schema)
+    n = max(1, min((len(rows) + 4095) // 4096, 64))
+    rdd = spark.sparkContext.parallelize(rows, n)
+    return spark.createDataFrame(rdd, schema=out.schema)
+
+
+def _rows_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """``createDataFrame`` for already-collected driver rows, sliced
+    by row count (io.metadata_df convention) — a 1-row probe result
+    otherwise fans out as 32 near-empty tasks in every downstream
+    action."""
+    rows = list(rows)
+    if not rows:
+        return spark.createDataFrame([], schema)
+    n = max(1, min((len(rows) + 4095) // 4096, 64))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n), schema
+    )
+
+
 def _dec(col, prec: int = 18, scale: int = 2) -> Column:
     c = col if isinstance(col, Column) else F.col(col)
     return c.cast(f"decimal({prec},{scale})")
@@ -2201,7 +2231,7 @@ def sink_dml_cdf(spark, sf_dir):
         # Materialize before the temp table is removed; the result is
         # change-rate-sized (a few hundred rows), never table-sized.
         rows = changes.collect()
-        return spark.createDataFrame(rows, changes.schema)
+        return _rows_df(spark, rows, changes.schema)
     finally:
         _sh.rmtree(root, ignore_errors=True)
 
@@ -4371,7 +4401,7 @@ def delta_read_standard(spark, sf_dir):
             .select("doc_id", "lang")
             .withColumn("travel_ok", F.lit(bool(travel_ok)))
         )
-        return spark.createDataFrame(out.collect(), schema=out.schema)
+        return _materialized(spark, out)
     finally:
         _sh.rmtree(root, ignore_errors=True)
 
@@ -4452,9 +4482,7 @@ def iceberg_read_snapshot(spark, sf_dir):
             .withColumn("travel_ok", F.lit(bool(travel_ok)))
         )
         # materialize before the temp table is removed
-        return spark.createDataFrame(
-            out.collect(), schema=out.schema
-        )
+        return _materialized(spark, out)
     finally:
         _sh.rmtree(root, ignore_errors=True)
 
@@ -4534,7 +4562,7 @@ def iceberg_read_incremental(spark, sf_dir):
                 "files_ok": F.lit(bool(files_ok)),
             }
         )
-        return spark.createDataFrame(out.collect(), schema=out.schema)
+        return _materialized(spark, out)
     finally:
         _sh.rmtree(root, ignore_errors=True)
 
@@ -4607,7 +4635,7 @@ def iceberg_expire_snapshots(spark, sf_dir):
             .select("doc_id", "lang")
             .withColumn("expire_ok", F.lit(bool(expire_ok)))
         )
-        return spark.createDataFrame(out.collect(), schema=out.schema)
+        return _materialized(spark, out)
     finally:
         _sh.rmtree(root, ignore_errors=True)
 
@@ -4674,7 +4702,7 @@ def hudi_clean(spark, sf_dir):
         out = live.select("doc_id", "lang").withColumn(
             "clean_ok", F.lit(bool(clean_ok))
         )
-        return spark.createDataFrame(out.collect(), schema=out.schema)
+        return _materialized(spark, out)
     finally:
         _sh.rmtree(root, ignore_errors=True)
 
@@ -4702,65 +4730,79 @@ def iceberg_data_skipping(spark, sf_dir):
     the unpruned read's filtered rows. At 100 TB this is the
     difference between a manifest walk + one band scan and a
     full-table scan — pruning costs O(manifest entries), zero data
-    IO."""
+    IO.  The banded table is memoized per process (it derives
+    deterministically from the orders parquet — the
+    _hudi_incr_fixture convention, r12); every invocation still
+    executes BOTH manifest walks, both reads and the count probes,
+    and returns the LAZY pruned read."""
+    from kafka_delta_ingest_spark.iceberg import plan_files, read_iceberg
+
+    t = _iceberg_skip_fixture(spark, sf_dir)
+    flt = [("o_totalprice", ">", 310000)]
+    all_files, _, _, _ = plan_files(t)
+    kept, _, _, _ = plan_files(t, row_filter=flt)
+    pruned = read_iceberg(spark, t, row_filter=flt)
+    scanned = {
+        p.replace("file://", "").replace("file:", "")
+        for p in pruned.inputFiles()
+    }
+    full_count = read_iceberg(spark, t).filter(
+        "o_totalprice > 310000"
+    ).count()
+    skip_ok = (
+        len(all_files) == 3
+        and len(kept) == 1
+        and scanned == {p for p, _ in kept}
+        and pruned.count() == full_count
+    )
+    return pruned.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).withColumn("skip_ok", F.lit(bool(skip_ok)))
+
+
+def _iceberg_skip_fixture(spark, sf_dir: str) -> str:
+    """Build (once per process per sf_dir) the three price-banded
+    Iceberg appends for ``iceberg_data_skipping``; returns the table
+    path.  The reads under test run in the query, every
+    invocation."""
+    import atexit
     import shutil as _sh
     import tempfile as _tf
 
-    from kafka_delta_ingest_spark.iceberg import (
-        IcebergWriter,
-        plan_files,
-        read_iceberg,
-    )
+    from kafka_delta_ingest_spark.iceberg import IcebergWriter
 
+    key = ("iceskip", sf_dir)
+    hit = _TBLFMT_FIXTURES.get(key)
+    if hit and os.path.isdir(hit[0]):
+        return hit[0]
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
     root = _tf.mkdtemp(prefix="kdi-iceskip-")
-    try:
-        t = root + "/t"
-        w = IcebergWriter(
-            t,
-            [
-                {"id": 1, "name": "o_orderkey", "type": "long",
-                 "required": False},
-                {"id": 2, "name": "o_orderstatus", "type": "string",
-                 "required": False},
-                {"id": 3, "name": "o_totalprice", "type": "double",
-                 "required": False},
-            ],
-        )
-        bands = [
-            orders.filter("o_totalprice < 150000"),
-            orders.filter(
-                "o_totalprice >= 150000 AND o_totalprice <= 310000"
-            ),
-            orders.filter("o_totalprice > 310000"),
-        ]
-        for i, band in enumerate(bands):
-            w.append(band.coalesce(1), ts_ms=1000 + i)
-        flt = [("o_totalprice", ">", 310000)]
-        all_files, _, _, _ = plan_files(t)
-        kept, _, _, _ = plan_files(t, row_filter=flt)
-        pruned = read_iceberg(spark, t, row_filter=flt)
-        scanned = {
-            p.replace("file://", "").replace("file:", "")
-            for p in pruned.inputFiles()
-        }
-        full_count = read_iceberg(spark, t).filter(
-            "o_totalprice > 310000"
-        ).count()
-        skip_ok = (
-            len(all_files) == 3
-            and len(kept) == 1
-            and scanned == {p for p, _ in kept}
-            and pruned.count() == full_count
-        )
-        out = pruned.select(
-            "o_orderkey", "o_orderstatus", "o_totalprice"
-        ).withColumn("skip_ok", F.lit(bool(skip_ok)))
-        return spark.createDataFrame(out.collect(), schema=out.schema)
-    finally:
-        _sh.rmtree(root, ignore_errors=True)
+    t = root + "/t"
+    w = IcebergWriter(
+        t,
+        [
+            {"id": 1, "name": "o_orderkey", "type": "long",
+             "required": False},
+            {"id": 2, "name": "o_orderstatus", "type": "string",
+             "required": False},
+            {"id": 3, "name": "o_totalprice", "type": "double",
+             "required": False},
+        ],
+    )
+    bands = [
+        orders.filter("o_totalprice < 150000"),
+        orders.filter(
+            "o_totalprice >= 150000 AND o_totalprice <= 310000"
+        ),
+        orders.filter("o_totalprice > 310000"),
+    ]
+    for i, band in enumerate(bands):
+        w.append(band.coalesce(1), ts_ms=1000 + i)
+    _TBLFMT_FIXTURES[key] = (t,)
+    atexit.register(_sh.rmtree, root, ignore_errors=True)
+    return t
 
 
 @_q(
@@ -4829,7 +4871,7 @@ def iceberg_delete_where(spark, sf_dir):
         out = read_iceberg(spark, t).select(
             "doc_id", "lang"
         ).withColumn("delete_ok", F.lit(bool(delete_ok)))
-        return spark.createDataFrame(out.collect(), schema=out.schema)
+        return _materialized(spark, out)
     finally:
         _sh.rmtree(root, ignore_errors=True)
 
@@ -4942,7 +4984,7 @@ def iceberg_upsert(spark, sf_dir):
         out = live.select(
             "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
         ).withColumn("upsert_ok", F.lit(bool(upsert_ok)))
-        return spark.createDataFrame(out.collect(), schema=out.schema)
+        return _materialized(spark, out)
     finally:
         _sh.rmtree(root, ignore_errors=True)
 
@@ -5069,7 +5111,7 @@ def hudi_upsert_cow(spark, sf_dir):
         out = live.select(
             "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
         ).withColumn("upsert_ok", F.lit(bool(upsert_ok)))
-        return spark.createDataFrame(out.collect(), schema=out.schema)
+        return _materialized(spark, out)
     finally:
         _sh.rmtree(root, ignore_errors=True)
 
@@ -5212,7 +5254,7 @@ def hudi_upsert_mor(spark, sf_dir):
         out = live.select(
             "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
         ).withColumn("mor_ok", F.lit(bool(mor_ok)))
-        return spark.createDataFrame(out.collect(), schema=out.schema)
+        return _materialized(spark, out)
     finally:
         _sh.rmtree(root, ignore_errors=True)
 
@@ -5682,7 +5724,7 @@ def join_bucketed_colocated(spark, sf_dir):
             .alias("revenue"),
         )
         # materialize before the bucketed tables are dropped
-        return spark.createDataFrame(out.collect(), schema=out.schema)
+        return _materialized(spark, out)
     finally:
         cleanup()
 
@@ -5753,7 +5795,7 @@ def delta_read_cdf(spark, sf_dir):
             F.col("_commit_version").alias("commit_version"),
         )
         # materialize before the temp table is removed
-        return spark.createDataFrame(out.collect(), schema=out.schema)
+        return _materialized(spark, out)
     finally:
         _sh.rmtree(root, ignore_errors=True)
 
@@ -5782,14 +5824,35 @@ def delta_read_dv(spark, sf_dir):
     the %10 rows are missing.  The oracle states the surviving set
     declaratively.  Scale: descriptor bytes are compressed-bitmap
     sized on the driver; position expansion happens one-task-per-DV
-    in executors; AQE broadcasts the expanded set when small."""
+    in executors; the expanded set broadcasts only when the driver-
+    known compressed size bounds it small.  The fixture table is
+    memoized per process (driver-side pyarrow/bitmap writes, not the
+    reader under test — the _hudi_incr_fixture convention, r12) —
+    every invocation still executes the two time-travel COUNT reads
+    and returns the LAZY latest-version DV read."""
+    from kafka_delta_ingest_spark.delta_standard import read_delta
+
+    t, n_rows, n_after_v1 = _delta_dv_fixture(spark, sf_dir)
+    travel_ok = (
+        read_delta(spark, t, version=0).count() == n_rows
+        and read_delta(spark, t, version=1).count() == n_after_v1
+    )
+    return read_delta(spark, t).select(
+        "doc_id", "lang",
+        F.lit(bool(travel_ok)).alias("travel_ok"),
+    )
+
+
+def _delta_dv_fixture(spark, sf_dir: str) -> tuple:
+    """Build (once per process per sf_dir) the two-file DV-deleted
+    Delta table for ``delta_read_dv``; returns (path, n_rows,
+    n_after_v1).  Driver-side pyarrow + roaring writes only — the
+    reader under test runs in the query, every invocation."""
+    import atexit
     import shutil as _sh
     import tempfile as _tf
 
-    from kafka_delta_ingest_spark.delta_standard import (
-        DeltaFixtureWriter,
-        read_delta,
-    )
+    from kafka_delta_ingest_spark.delta_standard import DeltaFixtureWriter
     from pyspark.sql.types import (
         LongType,
         StringType,
@@ -5797,6 +5860,10 @@ def delta_read_dv(spark, sf_dir):
         StructType,
     )
 
+    key = ("dvread", sf_dir)
+    hit = _TBLFMT_FIXTURES.get(key)
+    if hit and os.path.isdir(hit[0]):
+        return hit
     rows = sorted(
         (int(r.doc_id), r.lang)
         for r in load_table(spark, sf_dir, "documents")
@@ -5810,32 +5877,22 @@ def delta_read_dv(spark, sf_dir):
          StructField("lang", StringType())]
     )
     root = _tf.mkdtemp(prefix="kdi-dvq-")
-    try:
-        t = root + "/t"
-        w = DeltaFixtureWriter(t, schema)
-        w.add_files(
-            [({}, [{"doc_id": i, "lang": g} for i, g in evens]),
-             ({}, [{"doc_id": i, "lang": g} for i, g in odds])],
-            timestamp_ms=1000,
-        )
-        even_file = "part-00001.parquet"
-        pos_10 = [p for p, (i, _) in enumerate(evens) if i % 10 == 0]
-        pos_7 = [p for p, (i, _) in enumerate(evens) if i % 7 == 0]
-        w.delete_rows(even_file, pos_10, timestamp_ms=2000)   # v1
-        w.delete_rows(even_file, pos_7, timestamp_ms=3000)    # v2 union
-        n_after_v1 = len(rows) - len(pos_10)
-        travel_ok = (
-            read_delta(spark, t, version=0).count() == len(rows)
-            and read_delta(spark, t, version=1).count() == n_after_v1
-        )
-        out = read_delta(spark, t).select(
-            "doc_id", "lang",
-            F.lit(bool(travel_ok)).alias("travel_ok"),
-        )
-        # materialize before the temp table is removed
-        return spark.createDataFrame(out.collect(), schema=out.schema)
-    finally:
-        _sh.rmtree(root, ignore_errors=True)
+    t = root + "/t"
+    w = DeltaFixtureWriter(t, schema)
+    w.add_files(
+        [({}, [{"doc_id": i, "lang": g} for i, g in evens]),
+         ({}, [{"doc_id": i, "lang": g} for i, g in odds])],
+        timestamp_ms=1000,
+    )
+    even_file = "part-00001.parquet"
+    pos_10 = [p for p, (i, _) in enumerate(evens) if i % 10 == 0]
+    pos_7 = [p for p, (i, _) in enumerate(evens) if i % 7 == 0]
+    w.delete_rows(even_file, pos_10, timestamp_ms=2000)   # v1
+    w.delete_rows(even_file, pos_7, timestamp_ms=3000)    # v2 union
+    out = (t, len(rows), len(rows) - len(pos_10))
+    _TBLFMT_FIXTURES[key] = out
+    atexit.register(_sh.rmtree, root, ignore_errors=True)
+    return out
 
 
 @_q(
@@ -7926,7 +7983,7 @@ def text_bpe_train_probe(spark, sf_dir):
         + [StructField(f"c{i}", LongType()) for i in range(1, 5)]
         + [StructField("probe_tokens", IntegerType())]
     )
-    return spark.createDataFrame([row], schema)
+    return _rows_df(spark, [row], schema)
 
 
 @_q(
@@ -8310,7 +8367,8 @@ def text_unigram_train_probe(spark, sf_dir):
             StructField("probe_tokens", IntegerType()),
         ]
     )
-    return spark.createDataFrame(
+    return _rows_df(
+        spark,
         [
             (
                 len(vocab),
@@ -8400,7 +8458,7 @@ def hudi_read_snapshot(spark, sf_dir):
             .withColumn("travel_ok", F.lit(bool(travel_ok)))
         )
         # materialize before the fixture table is removed
-        return spark.createDataFrame(out.collect(), schema=out.schema)
+        return _materialized(spark, out)
     finally:
         _sh.rmtree(root, ignore_errors=True)
 
@@ -8616,7 +8674,7 @@ def ingest_orc_path(spark, sf_dir):
             )
         )
         # materialize before the fixture dataset is removed
-        return spark.createDataFrame(out.collect(), schema=out.schema)
+        return _materialized(spark, out)
     finally:
         _sh.rmtree(root, ignore_errors=True)
 
@@ -8685,7 +8743,7 @@ def ingest_csv_path(spark, sf_dir):
             )
         )
         # materialize before the fixture dataset is removed
-        return spark.createDataFrame(out.collect(), schema=out.schema)
+        return _materialized(spark, out)
     finally:
         _sh.rmtree(root, ignore_errors=True)
 
@@ -9272,7 +9330,8 @@ def web_robots_filter(spark, sf_dir):
         robots_rules,
     )
 
-    robots_df = spark.createDataFrame(
+    robots_df = _rows_df(
+        spark,
         [
             ("site0.com",
              "User-agent: *\nDisallow: /admin\nAllow: /admin/public"),

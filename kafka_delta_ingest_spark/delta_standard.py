@@ -690,9 +690,14 @@ def _apply_deletion_vectors(spark, table_path, df, dv_adds, abs_of):
          bytearray(dv_descriptor_bytes(table_path, a["deletionVector"])))
         for a in dv_adds
     ]
-    spec_df = spark.createDataFrame(
-        spec, "fp string, dv binary"
-    ).repartition(max(1, min(len(spec), 64)))
+    # One slice per DV file (capped), built at parallelize time: the
+    # plain createDataFrame(list) splits even a 1-row spec across
+    # defaultParallelism empty slices and the old repartition added a
+    # shuffle on top — one near-empty 32-task stage per read.
+    spec_rdd = spark.sparkContext.parallelize(
+        spec, max(1, min(len(spec), 64))
+    )
+    spec_df = spark.createDataFrame(spec_rdd, "fp string, dv binary")
 
     def expand(batches):
         for pdf in batches:
@@ -701,6 +706,17 @@ def _apply_deletion_vectors(spark, table_path, df, dv_adds, abs_of):
                 yield pd.DataFrame({"_dv_fp": fp, "_dv_pos": pos})
 
     dels = spec_df.mapInPandas(expand, "_dv_fp string, _dv_pos long")
+    # The static planner has no size estimate for a mapInPandas
+    # output, so without a hint the anti-join plans as a 32-partition
+    # shuffle join and AQE can only fix it after both sides shuffled.
+    # The driver DOES know the compressed descriptor bytes exactly,
+    # and roaring's worst case is 2 bytes/position (array containers):
+    # <=256 KiB serialized bounds the expanded set at ~131k
+    # (file, row_index) pairs — safely broadcastable. Larger tombstone
+    # sets keep the shuffle plan (scale: a billion-row DV never
+    # broadcasts).
+    if sum(len(dv) for _fp, dv in spec) <= 256 * 1024:
+        dels = F.broadcast(dels)
     cond = (F.col("_kdi_fp") == F.col("_dv_fp")) & (
         F.col("_kdi_pos") == F.col("_dv_pos")
     )

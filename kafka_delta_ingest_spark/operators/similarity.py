@@ -21,6 +21,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql.functions import broadcast
 
+from kafka_delta_ingest_spark.io import metadata_df
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -554,9 +556,7 @@ def kmeans_centroids(
         spark = corpus.sparkSession
         for _ in range(n_iters):
             cdf = broadcast(
-                spark.createDataFrame(
-                    cents, "cent_id int, cvec array<double>"
-                )
+                metadata_df(spark, cents, "cent_id int, cvec array<double>")
             )
             assigned = _assign_cells(vecs, cdf, max_packed=None).select(
                 F.col("cell").alias("cent_id"), "vec"
@@ -572,7 +572,7 @@ def kmeans_centroids(
             cents = new_cents
     finally:
         vecs.unpersist()
-    return spark.createDataFrame(cents, "cent_id int, cvec array<double>")
+    return metadata_df(spark, cents, "cent_id int, cvec array<double>")
 
 
 def ivf_append_to_index(
@@ -828,9 +828,7 @@ def pq_train_codebooks(
         spark = corpus.sparkSession
         for _ in range(n_iters):
             cb = broadcast(
-                spark.createDataFrame(
-                    books, "j int, cent_id int, cv array<double>"
-                )
+                metadata_df(spark, books, "j int, cent_id int, cv array<double>")
             )
             assigned = (
                 vecs.join(cb, "j")
@@ -850,7 +848,7 @@ def pq_train_codebooks(
             ]
     finally:
         vecs.unpersist()
-    return spark.createDataFrame(books, "j int, cent_id int, cv array<double>")
+    return metadata_df(spark, books, "j int, cent_id int, cv array<double>")
 
 
 def pq_topk(
