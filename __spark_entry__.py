@@ -69,31 +69,20 @@ def _q(name: str, sql: str | None = None):
 def _materialized(spark: SparkSession, out: DataFrame) -> DataFrame:
     """Materialize a fixture-backed result on the driver (the temp
     table it reads is removed in the query's ``finally``), sliced by
-    ROW COUNT instead of ``defaultParallelism``: plain
-    ``createDataFrame(rows)`` splits even a 20k-row result across 32
-    near-empty tasks, so every downstream action (the bench's noop
-    sink included) paid a ~0.3-0.5s empty-task stage per run
-    (io.metadata_df convention, r12)."""
-    rows = out.collect()
-    if not rows:
-        return spark.createDataFrame([], schema=out.schema)
-    n = max(1, min((len(rows) + 4095) // 4096, 64))
-    rdd = spark.sparkContext.parallelize(rows, n)
-    return spark.createDataFrame(rdd, schema=out.schema)
+    ROW COUNT instead of ``defaultParallelism`` — thin wrapper over
+    io.metadata_df so the slicing formula lives in one place (r13)."""
+    from kafka_delta_ingest_spark.io import metadata_df
+
+    return metadata_df(spark, out.collect(), out.schema)
 
 
 def _rows_df(spark: SparkSession, rows, schema) -> DataFrame:
     """``createDataFrame`` for already-collected driver rows, sliced
-    by row count (io.metadata_df convention) — a 1-row probe result
-    otherwise fans out as 32 near-empty tasks in every downstream
-    action."""
-    rows = list(rows)
-    if not rows:
-        return spark.createDataFrame([], schema)
-    n = max(1, min((len(rows) + 4095) // 4096, 64))
-    return spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, n), schema
-    )
+    by row count — thin wrapper over io.metadata_df (a 1-row probe
+    result otherwise fans out as 32 near-empty tasks downstream)."""
+    from kafka_delta_ingest_spark.io import metadata_df
+
+    return metadata_df(spark, rows, schema)
 
 
 def _dec(col, prec: int = 18, scale: int = 2) -> Column:
@@ -4970,9 +4959,18 @@ def iceberg_upsert(spark, sf_dir):
         w.upsert(
             upd_src.unionByName(ins_src), ["c_custkey"], ts_ms=2000
         )
-        live = read_iceberg(spark, t)
-        n_keys = live.count()
-        n_distinct = live.select("c_custkey").distinct().count()
+        # r13: ONE read of the upserted table — the previous
+        # count()/distinct().count() probes each re-ran the full
+        # delete-applying MoR read (three scans total with the result
+        # materialization). len(rows) == count() and a driver set over
+        # the collected keys == distinct().count() (NULL, were it
+        # possible here, is one distinct value under both).
+        base = read_iceberg(spark, t).select(
+            "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+        )
+        rows = base.collect()
+        n_keys = len(rows)
+        n_distinct = len({r.c_custkey for r in rows})
         has_eqdel = bool(
             _glob.glob(os.path.join(t, "data", "eqdelete-*.parquet"))
         )
@@ -4981,10 +4979,10 @@ def iceberg_upsert(spark, sf_dir):
             and has_eqdel  # the commit really is delete+insert
             and n_keys == n_distinct  # every prior version masked
         )
-        out = live.select(
-            "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
-        ).withColumn("upsert_ok", F.lit(bool(upsert_ok)))
-        return _materialized(spark, out)
+        schema = base.withColumn("upsert_ok", F.lit(True)).schema
+        return _rows_df(
+            spark, [(*r, bool(upsert_ok)) for r in rows], schema
+        )
     finally:
         _sh.rmtree(root, ignore_errors=True)
 
@@ -5097,10 +5095,19 @@ def hudi_upsert_cow(spark, sf_dir):
             for st in stats
             if st["prevCommit"] != "null"
         ]
-        live = read_hudi(spark, t)
-        newseg_ok = (
-            live.filter("c_mktsegment = 'NEWSEG'")
-            .filter("c_custkey < 10000000").count() == 0
+        # r13: ONE read of the upserted table — newseg_ok is decided
+        # from the rows the result materialization collects anyway
+        # (previously a separate filter+count action re-ran the full
+        # snapshot read). Equivalent: count(filter)==0 ⇔ no collected
+        # row satisfies the predicate.
+        base = read_hudi(spark, t).select(
+            "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+        )
+        rows = base.collect()
+        newseg_ok = not any(
+            r.c_mktsegment == "NEWSEG"
+            and r.c_custkey is not None and r.c_custkey < 10_000_000
+            for r in rows
         )
         upsert_ok = (
             meta["operationType"] == "UPSERT"
@@ -5108,10 +5115,10 @@ def hudi_upsert_cow(spark, sf_dir):
             and len(upd_stats) == n_upd
             and newseg_ok
         )
-        out = live.select(
-            "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
-        ).withColumn("upsert_ok", F.lit(bool(upsert_ok)))
-        return _materialized(spark, out)
+        schema = base.withColumn("upsert_ok", F.lit(True)).schema
+        return _rows_df(
+            spark, [(*r, bool(upsert_ok)) for r in rows], schema
+        )
     finally:
         _sh.rmtree(root, ignore_errors=True)
 
@@ -5242,19 +5249,26 @@ def hudi_upsert_mor(spark, sf_dir):
             ".log." in f
             for _d, _s, fs in _os.walk(t) for f in fs
         )
-        live = read_hudi(spark, t)
+        # r13: ONE read of the compacted table — the post-compact row
+        # count is len() of the rows the result materialization
+        # collects anyway (select preserves row count; previously a
+        # separate count() action re-ran the full snapshot read).
+        base = read_hudi(spark, t).select(
+            "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+        )
+        rows = base.collect()
         mor_ok = (
             "MERGE_ON_READ" in props
             and n_log > 0 and n_ins > 0
             and len(chained) == n_log
             and logs_before == n_log and logs_after == 0
-            and live.count() == pre
+            and len(rows) == pre
             and meta["operationType"] == "UPSERT"
         )
-        out = live.select(
-            "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
-        ).withColumn("mor_ok", F.lit(bool(mor_ok)))
-        return _materialized(spark, out)
+        schema = base.withColumn("mor_ok", F.lit(True)).schema
+        return _rows_df(
+            spark, [(*r, bool(mor_ok)) for r in rows], schema
+        )
     finally:
         _sh.rmtree(root, ignore_errors=True)
 

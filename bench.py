@@ -208,6 +208,13 @@ def main() -> None:
         "ingest_iceberg_evolve", "ingest_delta_standard_cdc",
         "sink_delta_standard_constraints", "delta_read_time_travel",
         "ingest_hudi_mor",
+        # r13 (r12 verdict item 2): these two queries memoize their
+        # fixture tables per (process, sf_dir) inside the query body;
+        # pre-building them HERE declares the timing boundary in the
+        # harness like every other table-format fixture above — the
+        # timed repeats measure the lazy read under test, never a
+        # one-time fixture build.
+        "delta_read_dv", "iceberg_data_skipping",
     ]:
         qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"

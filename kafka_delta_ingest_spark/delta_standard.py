@@ -709,13 +709,22 @@ def _apply_deletion_vectors(spark, table_path, df, dv_adds, abs_of):
     # The static planner has no size estimate for a mapInPandas
     # output, so without a hint the anti-join plans as a 32-partition
     # shuffle join and AQE can only fix it after both sides shuffled.
-    # The driver DOES know the compressed descriptor bytes exactly,
-    # and roaring's worst case is 2 bytes/position (array containers):
-    # <=256 KiB serialized bounds the expanded set at ~131k
-    # (file, row_index) pairs — safely broadcastable. Larger tombstone
-    # sets keep the shuffle plan (scale: a billion-row DV never
+    # Gate the hint on the DECODED cardinality, not serialized bytes:
+    # a run container packs up to 65,536 positions into 4 payload
+    # bytes, so a <=256 KiB run-encoded DV (dense contiguous deletes,
+    # what runOptimize-style writers produce) can expand to billions
+    # of (file, pos) rows — F.broadcast would force-build that as a
+    # hash relation and OOM. The descriptor headers carry each
+    # container's cardinality, so the driver-side walk is O(headers)
+    # with no value materialization; <=131,072 positions (~2 MiB of
+    # hashed-relation rows at ~16 B/pos) broadcasts, anything larger
+    # keeps the shuffle plan (scale: a billion-row DV never
     # broadcasts).
-    if sum(len(dv) for _fp, dv in spec) <= 256 * 1024:
+    from kafka_delta_ingest_spark.roaring import rbm_array_cardinality
+
+    if sum(
+        rbm_array_cardinality(bytes(dv)) for _fp, dv in spec
+    ) <= 131_072:
         dels = F.broadcast(dels)
     cond = (F.col("_kdi_fp") == F.col("_dv_fp")) & (
         F.col("_kdi_pos") == F.col("_dv_pos")

@@ -80,7 +80,7 @@ import re
 import uuid
 from typing import Callable
 
-from kafka_delta_ingest_spark.io import metadata_df
+from kafka_delta_ingest_spark.io import metadata_df, overlap
 
 _INSTANT_RE = re.compile(r"^(\d{14,17})\.(\w+)$")
 
@@ -931,6 +931,14 @@ def read_hudi_incremental(
         spark, table_path, as_of_instant=end_instant, keep_meta=True
     )
     df = df.filter(F.col("_hoodie_commit_time") > begin_instant)
+    if snapshot is not None and end_instant is not None:
+        # A supplied snapshot is used as-is, so the as_of_instant cut
+        # above never ran for it — without this filter a caller
+        # passing both would silently receive rows committed AFTER
+        # end_instant. (Exact only when the snapshot was built at an
+        # instant >= end_instant; rows updated after end_instant hide
+        # their in-window version, same as any late-read snapshot.)
+        df = df.filter(F.col("_hoodie_commit_time") <= end_instant)
     if not keep_meta:
         df = df.drop(*META_COLS)
     return df
@@ -1818,9 +1826,8 @@ class HudiCowWriter:
             os.path.join(hoodie, f"{instant}.{self.ACTION}.inflight"), b""
         )
 
-        upd_stats: dict[str, list[dict]] = {}
-        n_updated_groups = 0
         matched_keys = None
+        touched: set = set()
         if by_base:
             # bloom-index analog: key + partition-path columns ONLY
             live_keys = (
@@ -1835,191 +1842,220 @@ class HudiCowWriter:
                 )
             )
             src_keys = src.select("__pp", "__rk").distinct()
+            # ONE materialized pass over the base key columns (r13):
+            # the match set serves both touched-file discovery and the
+            # not-matched anti-join below. Previously the anti-join
+            # consumed a lazy all-live-keys distinct, re-scanning
+            # every base file's key columns a second time. Equivalent:
+            # a src row matches a live key iff its (__pp, __rk) is in
+            # live ∩ src-keys — exactly this join's output.
+            m = live_keys.join(
+                src_keys, ["__pp", "__rk"], "inner"
+            ).localCheckpoint()
             touched = {
                 r["__fp"]
-                for r in live_keys.join(
-                    src_keys, ["__pp", "__rk"], "inner"
-                ).select("__fp").distinct().collect()
+                for r in m.select("__fp").distinct().collect()
             }
-            matched_keys = live_keys.drop("__fp").distinct()
-            if touched:
-                n_updated_groups = len(touched)
-                # FULL_RECORD-ization (real Hudi's first-touch rule):
-                # a touched group whose live slice is still a
-                # bootstrap SKELETON reads through the zipped
-                # skeleton+source view; its rewrite below produces a
-                # normal full slice, and later-base-wins makes the
-                # group ordinary from this instant on (the bootstrap
-                # index entry stays, serving time-travel reads).
-                bmap = bootstrap_mapping(self.path)
-                boot_paths = sorted(
-                    p for p in touched
-                    if by_base[p][1] in bmap
-                    and _is_bootstrap_slice(p)
-                )
-                norm_paths = sorted(
-                    p for p in touched if p not in set(boot_paths)
-                )
-                fid_map = metadata_df(
-                    spark,
-                    [(p, *by_base[p]) for p in sorted(touched)],
-                    "__fp string, __part string, "
-                    "__fid string, __prev string",
-                )
-                tgt = None
-                if norm_paths:
-                    tgt = spark.read.option(
-                        "mergeSchema", "true"
-                    ).parquet(*norm_paths).select(
-                        F.regexp_replace(
-                            F.col("_metadata.file_path"),
-                            "^file:(//)?", ""
-                        ).alias("__fp"),
-                        F.col("_hoodie_partition_path").alias("__pp"),
-                        F.col("_hoodie_record_key").alias("__rk"),
-                        "*",
-                    ).join(F.broadcast(fid_map), "__fp").drop(
-                        "__fp", "__part", "__prev"
-                    )
-                if boot_paths:
-                    bt = _bootstrap_zip(
-                        spark,
-                        [(by_base[p][1], p) for p in boot_paths],
-                        bmap,
-                        fid_alias="__fid",
-                        # partitioned-source bootstrap: reattach the
-                        # typed partition columns so the FULL_RECORD
-                        # rewrite bakes them into the new slice's
-                        # pages (without this the new base file would
-                        # hold nulls for every partition field)
-                        pv_info=bootstrap_partition_info(self.path),
-                    ).select(
-                        F.col("_hoodie_partition_path").alias("__pp"),
-                        F.col("_hoodie_record_key").alias("__rk"),
-                        "*",
-                    )
-                    tgt = bt if tgt is None else tgt.unionByName(
-                        bt, allowMissingColumns=True
-                    )
-                src_m = src.withColumn("__m", F.lit(True))
-                joined = tgt.alias("t").join(
-                    src_m.alias("s"), ["__pp", "__rk"], "left"
-                )
-                is_m = F.col("__m").isNotNull()
-                data_cols = [
-                    c for c in tgt.columns
-                    if c not in ("__fid", "__pp", "__rk")
-                    and not c.startswith("_hoodie_")
-                ]
-                src_cols = set(df.columns)
-                seqno = F.concat_ws(
-                    "_",
-                    F.lit(instant),
-                    F.spark_partition_id().cast("string"),
-                    F.monotonically_increasing_id().cast("string"),
-                )
-                out_cols = [
-                    F.when(is_m, F.lit(instant))
-                    .otherwise(F.col("t._hoodie_commit_time"))
-                    .alias("_hoodie_commit_time"),
-                    F.when(is_m, seqno)
-                    .otherwise(F.col("t._hoodie_commit_seqno"))
-                    .alias("_hoodie_commit_seqno"),
-                    F.col("__rk").alias("_hoodie_record_key"),
-                    F.col("__pp").alias("_hoodie_partition_path"),
-                    F.lit("").alias("_hoodie_file_name"),
-                ]
-                for c in data_cols:
-                    if c in src_cols:
-                        out_cols.append(
-                            F.when(is_m, F.col(f"s.{c}"))
-                            .otherwise(F.col(f"t.{c}")).alias(c)
-                        )
-                    else:
-                        # column the source batch doesn't carry:
-                        # replaced rows surface NULL (whole-row
-                        # payload replace, Hudi's default payload)
-                        out_cols.append(
-                            F.when(is_m, F.lit(None))
-                            .otherwise(F.col(f"t.{c}")).alias(c)
-                        )
-                merged = joined.select(
-                    F.col("__fid").alias("__kdi_fid"), *out_cols
-                )
-                staging = os.path.join(
-                    self.path, f"_staging-{_uuid.uuid4().hex}"
-                )
-                # one task per fileId -> exactly one new base file
-                # per rewritten group (a slice is ONE base file)
-                merged.repartition("__kdi_fid").write.mode(
-                    "overwrite"
-                ).partitionBy("__kdi_fid").parquet(staging)
-                fid_meta = {
-                    fid: (part, prev)
-                    for _p, (part, fid, prev) in by_base.items()
-                }
-                for dirpath, _dirs, files in os.walk(staging):
-                    rel = os.path.relpath(dirpath, staging)
-                    if rel == ".":
-                        continue
-                    fid = _up.unquote(rel.split("=", 1)[1])
-                    parquets = [
-                        f for f in sorted(files)
-                        if f.endswith(".parquet")
-                    ]
-                    if len(parquets) != 1:
-                        shutil.rmtree(staging, ignore_errors=True)
-                        raise RuntimeError(
-                            f"file group {fid}: expected one slice "
-                            f"file, got {len(parquets)}"
-                        )
-                    part, prev = fid_meta[fid]
-                    src_f = os.path.join(dirpath, parquets[0])
-                    md = pq.ParquetFile(src_f).metadata
-                    new_name = f"{fid}_0-1-0_{instant}.parquet"
-                    dest_dir = os.path.join(self.path, part)
-                    os.makedirs(dest_dir, exist_ok=True)
-                    shutil.move(
-                        src_f, os.path.join(dest_dir, new_name)
-                    )
-                    rel_path = (
-                        os.path.join(part, new_name) if part
-                        else new_name
-                    ).replace(os.sep, "/")
-                    upd_stats.setdefault(part, []).append(
-                        {
-                            "fileId": fid,
-                            "path": rel_path,
-                            "prevCommit": prev,
-                            "numWrites": md.num_rows,
-                            "fileSizeInBytes": os.path.getsize(
-                                os.path.join(dest_dir, new_name)
-                            ),
-                        }
-                    )
-                shutil.rmtree(staging, ignore_errors=True)
+            matched_keys = m.select("__pp", "__rk").distinct()
 
-        # not-matched leg: new file groups, real record keys
-        ins = src
-        if matched_keys is not None:
-            ins = src.join(matched_keys, ["__pp", "__rk"], "left_anti")
-        seqno_i = F.concat_ws(
-            "_",
-            F.lit(instant),
-            F.spark_partition_id().cast("string"),
-            F.monotonically_increasing_id().cast("string"),
+        def _update_leg() -> dict:
+            """Rewrite every touched file group (one new base-file
+            slice per group) and return its partitionToWriteStats."""
+            if not touched:
+                return {}
+            upd: dict[str, list[dict]] = {}
+            # FULL_RECORD-ization (real Hudi's first-touch rule):
+            # a touched group whose live slice is still a
+            # bootstrap SKELETON reads through the zipped
+            # skeleton+source view; its rewrite below produces a
+            # normal full slice, and later-base-wins makes the
+            # group ordinary from this instant on (the bootstrap
+            # index entry stays, serving time-travel reads).
+            bmap = bootstrap_mapping(self.path)
+            boot_paths = sorted(
+                p for p in touched
+                if by_base[p][1] in bmap
+                and _is_bootstrap_slice(p)
+            )
+            norm_paths = sorted(
+                p for p in touched if p not in set(boot_paths)
+            )
+            fid_map = metadata_df(
+                spark,
+                [(p, *by_base[p]) for p in sorted(touched)],
+                "__fp string, __part string, "
+                "__fid string, __prev string",
+            )
+            tgt = None
+            if norm_paths:
+                tgt = spark.read.option(
+                    "mergeSchema", "true"
+                ).parquet(*norm_paths).select(
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"),
+                        "^file:(//)?", ""
+                    ).alias("__fp"),
+                    F.col("_hoodie_partition_path").alias("__pp"),
+                    F.col("_hoodie_record_key").alias("__rk"),
+                    "*",
+                ).join(F.broadcast(fid_map), "__fp").drop(
+                    "__fp", "__part", "__prev"
+                )
+            if boot_paths:
+                bt = _bootstrap_zip(
+                    spark,
+                    [(by_base[p][1], p) for p in boot_paths],
+                    bmap,
+                    fid_alias="__fid",
+                    # partitioned-source bootstrap: reattach the
+                    # typed partition columns so the FULL_RECORD
+                    # rewrite bakes them into the new slice's
+                    # pages (without this the new base file would
+                    # hold nulls for every partition field)
+                    pv_info=bootstrap_partition_info(self.path),
+                ).select(
+                    F.col("_hoodie_partition_path").alias("__pp"),
+                    F.col("_hoodie_record_key").alias("__rk"),
+                    "*",
+                )
+                tgt = bt if tgt is None else tgt.unionByName(
+                    bt, allowMissingColumns=True
+                )
+            src_m = src.withColumn("__m", F.lit(True))
+            joined = tgt.alias("t").join(
+                src_m.alias("s"), ["__pp", "__rk"], "left"
+            )
+            is_m = F.col("__m").isNotNull()
+            data_cols = [
+                c for c in tgt.columns
+                if c not in ("__fid", "__pp", "__rk")
+                and not c.startswith("_hoodie_")
+            ]
+            src_cols = set(df.columns)
+            seqno = F.concat_ws(
+                "_",
+                F.lit(instant),
+                F.spark_partition_id().cast("string"),
+                F.monotonically_increasing_id().cast("string"),
+            )
+            out_cols = [
+                F.when(is_m, F.lit(instant))
+                .otherwise(F.col("t._hoodie_commit_time"))
+                .alias("_hoodie_commit_time"),
+                F.when(is_m, seqno)
+                .otherwise(F.col("t._hoodie_commit_seqno"))
+                .alias("_hoodie_commit_seqno"),
+                F.col("__rk").alias("_hoodie_record_key"),
+                F.col("__pp").alias("_hoodie_partition_path"),
+                F.lit("").alias("_hoodie_file_name"),
+            ]
+            for c in data_cols:
+                if c in src_cols:
+                    out_cols.append(
+                        F.when(is_m, F.col(f"s.{c}"))
+                        .otherwise(F.col(f"t.{c}")).alias(c)
+                    )
+                else:
+                    # column the source batch doesn't carry:
+                    # replaced rows surface NULL (whole-row
+                    # payload replace, Hudi's default payload)
+                    out_cols.append(
+                        F.when(is_m, F.lit(None))
+                        .otherwise(F.col(f"t.{c}")).alias(c)
+                    )
+            merged = joined.select(
+                F.col("__fid").alias("__kdi_fid"), *out_cols
+            )
+            staging = os.path.join(
+                self.path, f"_staging-{_uuid.uuid4().hex}"
+            )
+            # one task per fileId -> exactly one new base file
+            # per rewritten group (a slice is ONE base file)
+            merged.repartition("__kdi_fid").write.mode(
+                "overwrite"
+            ).partitionBy("__kdi_fid").parquet(staging)
+            fid_meta = {
+                fid: (part, prev)
+                for _p, (part, fid, prev) in by_base.items()
+            }
+            for dirpath, _dirs, files in os.walk(staging):
+                rel = os.path.relpath(dirpath, staging)
+                if rel == ".":
+                    continue
+                fid = _up.unquote(rel.split("=", 1)[1])
+                parquets = [
+                    f for f in sorted(files)
+                    if f.endswith(".parquet")
+                ]
+                if len(parquets) != 1:
+                    shutil.rmtree(staging, ignore_errors=True)
+                    raise RuntimeError(
+                        f"file group {fid}: expected one slice "
+                        f"file, got {len(parquets)}"
+                    )
+                part, prev = fid_meta[fid]
+                src_f = os.path.join(dirpath, parquets[0])
+                md = pq.ParquetFile(src_f).metadata
+                new_name = f"{fid}_0-1-0_{instant}.parquet"
+                dest_dir = os.path.join(self.path, part)
+                os.makedirs(dest_dir, exist_ok=True)
+                shutil.move(
+                    src_f, os.path.join(dest_dir, new_name)
+                )
+                rel_path = (
+                    os.path.join(part, new_name) if part
+                    else new_name
+                ).replace(os.sep, "/")
+                upd.setdefault(part, []).append(
+                    {
+                        "fileId": fid,
+                        "path": rel_path,
+                        "prevCommit": prev,
+                        "numWrites": md.num_rows,
+                        "fileSizeInBytes": os.path.getsize(
+                            os.path.join(dest_dir, new_name)
+                        ),
+                    }
+                )
+            shutil.rmtree(staging, ignore_errors=True)
+            return upd
+
+        def _insert_leg() -> tuple[dict, int]:
+            """Not-matched leg: new file groups, real record keys."""
+            ins = src
+            if matched_keys is not None:
+                ins = src.join(
+                    matched_keys, ["__pp", "__rk"], "left_anti"
+                )
+            seqno_i = F.concat_ws(
+                "_",
+                F.lit(instant),
+                F.spark_partition_id().cast("string"),
+                F.monotonically_increasing_id().cast("string"),
+            )
+            ins_meta = ins.select(
+                F.lit(instant).alias("_hoodie_commit_time"),
+                seqno_i.alias("_hoodie_commit_seqno"),
+                F.col("__rk").alias("_hoodie_record_key"),
+                F.col("__pp").alias("_hoodie_partition_path"),
+                F.lit("").alias("_hoodie_file_name"),
+                *[F.col(c) for c in df.columns],
+            )
+            st, n_files, _n = self._stage_new_groups(ins_meta, instant)
+            return st, n_files
+
+        # r13 (guide §2.6): the two legs are independent once the
+        # match set is materialized — both consume only checkpointed
+        # frames (src, m) and write to distinct staging dirs. Running
+        # them from two driver threads lets each leg's driver-side
+        # phases (staging walk, parquet-footer reads, file moves) and
+        # task tails back-fill with the other leg's work; previously
+        # the insert leg's whole job waited for the update leg's
+        # sequential write+walk to finish.
+        upd_stats, (ins_stats, n_ins_files) = overlap(
+            _update_leg, _insert_leg
         )
-        ins_meta = ins.select(
-            F.lit(instant).alias("_hoodie_commit_time"),
-            seqno_i.alias("_hoodie_commit_seqno"),
-            F.col("__rk").alias("_hoodie_record_key"),
-            F.col("__pp").alias("_hoodie_partition_path"),
-            F.lit("").alias("_hoodie_file_name"),
-            *[F.col(c) for c in df.columns],
-        )
-        ins_stats, n_ins_files, _n_ins = self._stage_new_groups(
-            ins_meta, instant
-        )
+        n_updated_groups = len(touched)
 
         stats: dict[str, list[dict]] = {}
         for part, lst in (*upd_stats.items(), *ins_stats.items()):
@@ -2507,9 +2543,10 @@ class HudiMorWriter(HudiCowWriter):
                 ]
             )
 
-        log_stats: list = []
-        if matched is not None:
-            log_stats = (
+        def _log_leg() -> list:
+            if matched is None:
+                return []
+            return (
                 matched
                 .groupBy("__fid")
                 .applyInPandas(
@@ -2521,24 +2558,33 @@ class HudiMorWriter(HudiCowWriter):
                 .collect()
             )
 
-        # not-matched leg: new base file groups (MoR inserts go to
-        # base parquet), real record keys
-        seqno = F.concat_ws(
-            "_",
-            F.lit(instant),
-            F.spark_partition_id().cast("string"),
-            F.monotonically_increasing_id().cast("string"),
-        )
-        ins_meta = unmatched.select(
-            F.lit(instant).alias("_hoodie_commit_time"),
-            seqno.alias("_hoodie_commit_seqno"),
-            F.col("__rk").alias("_hoodie_record_key"),
-            F.col("__pp").alias("_hoodie_partition_path"),
-            F.lit("").alias("_hoodie_file_name"),
-            *[F.col(c) for c in data_cols],
-        )
-        ins_stats, n_ins_files, _ = self._stage_new_groups(
-            ins_meta, instant
+        def _insert_leg() -> tuple[dict, int]:
+            # not-matched leg: new base file groups (MoR inserts go
+            # to base parquet), real record keys
+            seqno = F.concat_ws(
+                "_",
+                F.lit(instant),
+                F.spark_partition_id().cast("string"),
+                F.monotonically_increasing_id().cast("string"),
+            )
+            ins_meta = unmatched.select(
+                F.lit(instant).alias("_hoodie_commit_time"),
+                seqno.alias("_hoodie_commit_seqno"),
+                F.col("__rk").alias("_hoodie_record_key"),
+                F.col("__pp").alias("_hoodie_partition_path"),
+                F.lit("").alias("_hoodie_file_name"),
+                *[F.col(c) for c in data_cols],
+            )
+            st, n_files, _ = self._stage_new_groups(ins_meta, instant)
+            return st, n_files
+
+        # r13 (guide §2.6): both legs read only the materialized
+        # _split_matched frames and write disjoint files (log blocks
+        # into existing group dirs vs a fresh staging dir), so they
+        # run from two driver threads — the Arrow log-encode tasks
+        # back-fill the insert write's tail and vice versa.
+        log_stats, (ins_stats, n_ins_files) = overlap(
+            _log_leg, _insert_leg
         )
 
         stats: dict[str, list[dict]] = dict(ins_stats)

@@ -1801,45 +1801,63 @@ class IcebergWriter:
         # executed twice, for the equality-delete key file AND the
         # data files. O(batch) local materialization, scans after.
         df = df.localCheckpoint()
-        # equality-delete file: the DISTINCT incoming key tuples,
-        # written EXECUTOR-side via the same staging-promote shape as
-        # delete_where below — driver memory stays O(1) in the batch
-        # key count (previously toPandas() + a driver pyarrow write,
-        # O(distinct keys) on the driver).
-        staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex}")
-        (
-            df.select(*key_cols)
-            .dropDuplicates()
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(staging)
-        )
         eq_ids = [ids_by_name[c] for c in key_cols]
-        delete_files = []
-        for fname in sorted(os.listdir(staging)):
-            if not fname.endswith(".parquet"):
-                continue
-            src = os.path.join(staging, fname)
-            md = pq.ParquetFile(src).metadata
-            if md.num_rows == 0:
-                continue
-            del_path = os.path.join(
-                self.data_dir, f"eqdelete-{uuid.uuid4().hex}.parquet"
+
+        def _eq_delete_leg() -> list[dict]:
+            # equality-delete file: the DISTINCT incoming key tuples,
+            # written EXECUTOR-side via the same staging-promote shape
+            # as delete_where below — driver memory stays O(1) in the
+            # batch key count (previously toPandas() + a driver
+            # pyarrow write, O(distinct keys) on the driver).
+            staging = os.path.join(
+                self.root, f"_staging-{uuid.uuid4().hex}"
             )
-            shutil.move(src, del_path)
-            delete_files.append(
-                {
-                    "content": 2,
-                    "file_path": del_path,
-                    "file_format": "PARQUET",
-                    "partition": {},
-                    "record_count": md.num_rows,
-                    "file_size_in_bytes": os.path.getsize(del_path),
-                    "equality_ids": eq_ids,
-                }
+            (
+                df.select(*key_cols)
+                .dropDuplicates()
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(staging)
             )
-        shutil.rmtree(staging, ignore_errors=True)
-        data_files = self._write_data_files(df)
+            out = []
+            for fname in sorted(os.listdir(staging)):
+                if not fname.endswith(".parquet"):
+                    continue
+                src = os.path.join(staging, fname)
+                md = pq.ParquetFile(src).metadata
+                if md.num_rows == 0:
+                    continue
+                del_path = os.path.join(
+                    self.data_dir,
+                    f"eqdelete-{uuid.uuid4().hex}.parquet",
+                )
+                shutil.move(src, del_path)
+                out.append(
+                    {
+                        "content": 2,
+                        "file_path": del_path,
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": md.num_rows,
+                        "file_size_in_bytes": os.path.getsize(
+                            del_path
+                        ),
+                        "equality_ids": eq_ids,
+                    }
+                )
+            shutil.rmtree(staging, ignore_errors=True)
+            return out
+
+        # r13 (guide §2.6): the key-file write and the data-file write
+        # both scan only the checkpointed batch and stage into
+        # distinct uuid dirs — two driver threads overlap the
+        # single-task key coalesce with the data write's fan-out (and
+        # each leg's footer reads/moves with the other's tasks).
+        from kafka_delta_ingest_spark.io import overlap
+
+        delete_files, data_files = overlap(
+            _eq_delete_leg, lambda: self._write_data_files(df)
+        )
         if not data_files:
             raise ValueError("upsert with zero non-empty data files")
         legs = [(data_files, 0)]

@@ -64,6 +64,36 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
+def overlap(*thunks):
+    """Run independent driver thunks (each typically submitting its
+    own Spark jobs) CONCURRENTLY and return their results in order
+    (guide §2.6: actions are only sequential because driver code calls
+    them sequentially; FIFO scheduling back-fills executors freed by
+    one job's task tail with the other job's tasks, and each leg's
+    driver-side phases — staging walks, parquet-footer reads, file
+    moves — overlap the other leg's executor work).  With a single
+    thunk, runs it inline.  The first exception (in argument order)
+    propagates after every thunk has finished, so no leg is abandoned
+    mid-write."""
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        results, first_err = [], None
+        for f in futures:
+            try:
+                results.append(f.result())
+            except BaseException as e:  # noqa: BLE001 — re-raised
+                results.append(None)
+                if first_err is None:
+                    first_err = e
+        if first_err is not None:
+            raise first_err
+        return results
+
+
 def metadata_df(spark: SparkSession, rows, schema: str) -> DataFrame:
     """``createDataFrame`` for DRIVER-SIDE METADATA ROWS (file lists,
     fileId maps, partition-value frames) without the default
@@ -78,5 +108,11 @@ def metadata_df(spark: SparkSession, rows, schema: str) -> DataFrame:
     n = max(1, min((len(rows) + 4095) // 4096, 64))
     if not rows:
         return spark.createDataFrame([], schema)
-    rdd = spark.sparkContext.parallelize(rows, n)
-    return spark.createDataFrame(rdd, schema)
+    try:
+        sc = spark.sparkContext
+    except Exception:
+        # Spark Connect has no client-side SparkContext; fall back to
+        # the plain (Connect-compatible) path and coalesce to the same
+        # row-count-derived width.
+        return spark.createDataFrame(rows, schema).coalesce(n)
+    return spark.createDataFrame(sc.parallelize(rows, n), schema)

@@ -679,7 +679,7 @@ def ngram_containment_pairs(
 
 def _admit_incoming(
     grams: DataFrame,
-    sizes: DataFrame,
+    sizes: DataFrame | None,
     incoming: DataFrame,
     id_col: str,
     threshold: float,
@@ -689,7 +689,11 @@ def _admit_incoming(
 
     ``grams``: one row per (doc, gram) — columns (id_col, ``_t``
     new-tag, ``gh`` hashed gram). ``sizes``: (id_col, ``sz``) distinct
-    shingle counts. Same group-carriers-then-stream-pairs shape as
+    shingle counts — or ``None`` to derive them from the materialized
+    gram table itself (grams are DISTINCT per doc in both forms, so
+    the per-doc row count IS the shingle-set size; a separate sizes
+    lineage would re-run the whole tokenize+shingle pass once more,
+    r13). Same group-carriers-then-stream-pairs shape as
     ``ngram_jaccard_pairs`` (df-capped with bounded buffers via
     _carriers), carrying the new/existing tag inside the grouped
     struct so the pair stream filters existing x existing pairs
@@ -715,7 +719,12 @@ def _admit_incoming(
     # redundant source scans from the uncut plan, which is the bound
     # that matters at 100x corpus size.
     grams = grams.localCheckpoint(eager=False)
-    sizes = sizes.localCheckpoint(eager=False)
+    if sizes is None:
+        # one map-side-combined count over the materialized gram rows
+        # — no second pass over the source text (r13)
+        sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
+    else:
+        sizes = sizes.localCheckpoint(eager=False)
     inter = (
         _suffix_pairs(
             _carriers(
@@ -798,16 +807,17 @@ def incremental_ngram_dedup(
         incoming.select(F.col(id_col), F.col(text_col), F.lit(1).alias("_t"))
     )
     df = spread(tagged)
-    sizes = df.select(
-        F.col(id_col), F.size(word_shingles(F.col(text_col), n)).alias("sz")
-    )
     grams = df.select(
         F.col(id_col),
         "_t",
         F.explode(word_shingles(F.col(text_col), n)).alias("_g"),
     ).select(F.col(id_col), "_t", F.xxhash64("_g").alias("gh"))
+    # sizes=None: derived from the materialized gram table (shingles
+    # are distinct per doc, so the row count IS size(word_shingles)) —
+    # the separate size pipeline re-ran the full tokenize+shingle pass
+    # over corpus+batch once more per run (r13).
     return _admit_incoming(
-        grams, sizes, incoming, id_col, threshold, max_gram_df
+        grams, None, incoming, id_col, threshold, max_gram_df
     )
 
 
@@ -867,20 +877,15 @@ def incremental_ngram_dedup_indexed(
     ``build_gram_index(admitted)`` to the index for the next batch.
     """
     inc = spread(incoming)
-    inc_sizes = inc.select(
-        F.col(id_col), F.size(word_shingles(F.col(text_col), n)).alias("sz")
-    )
-    # The index is consumed twice (gram union below + the size census
-    # here). In deployment it is a PERSISTED table, so both consumers
-    # are scans; when a caller hands a computed lineage instead (the
-    # registry query builds it inline from text), each consumer would
-    # re-run the whole shingle+hash pipeline. A lazy localCheckpoint
-    # makes the second consumer a cached scan — the same cost shape as
-    # the persisted table the steady state reads (r12: one full-corpus
-    # shingle pass removed; 8.3s of task time at sf0.1).
+    # When a caller hands a computed lineage instead of a persisted
+    # table (the registry query builds the index inline from text), a
+    # lazy localCheckpoint keeps the cost shape of the steady state's
+    # stored scan (r12). Distinct grams per doc ⇒ the materialized
+    # gram table itself is the size table: _admit_incoming derives
+    # sizes from it (sizes=None), so neither the index NOR the
+    # incoming batch is shingled a second time for a size census
+    # (r13; previously inc was tokenized+shingled twice).
     index = index.localCheckpoint(eager=False)
-    # Distinct grams per doc ⇒ the index itself is the size table.
-    idx_sizes = index.groupBy(id_col).agg(F.count("*").alias("sz"))
     grams = index.select(
         F.col(id_col), F.lit(0).alias("_t"), F.col("gh")
     ).unionByName(
@@ -892,7 +897,7 @@ def incremental_ngram_dedup_indexed(
     )
     return _admit_incoming(
         grams,
-        idx_sizes.unionByName(inc_sizes),
+        None,
         incoming,
         id_col,
         threshold,

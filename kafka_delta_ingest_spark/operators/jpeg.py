@@ -144,8 +144,25 @@ def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
     return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
 
 
+# Canonical-code construction is ~12% of the whole decode path when
+# rebuilt per image (guide §4.5: heavyweight init once) — and every
+# real-world stream reuses a handful of tables (usually the Annex K
+# standard ones), so both directions are memoized on the table spec.
+# Returned dicts are SHARED — treat as immutable. Bounded: a stream
+# with pathological per-image custom tables can't grow the cache past
+# _TABLE_CACHE_MAX (reset wholesale, no LRU bookkeeping on the hot
+# path).
+_TABLE_CACHE_MAX = 64
+_CODES_CACHE: dict = {}
+_DECODE_CACHE: dict = {}
+
+
 def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     """symbol → (code, length) per the canonical assignment (C.2)."""
+    key = (tuple(bits), tuple(vals))
+    hit = _CODES_CACHE.get(key)
+    if hit is not None:
+        return hit
     if len(vals) < sum(bits):
         raise ValueError("truncated Huffman table")
     out, code = {}, 0
@@ -156,15 +173,26 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
             code += 1
             k += 1
         code <<= 1
+    if len(_CODES_CACHE) >= _TABLE_CACHE_MAX:
+        _CODES_CACHE.clear()
+    _CODES_CACHE[key] = out
     return out
 
 
 def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
     """(length, code) → symbol, for the bit-serial decoder."""
-    return {
+    key = (tuple(bits), tuple(vals))
+    hit = _DECODE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    out = {
         (length, code): sym
         for sym, (code, length) in _canonical_codes(bits, vals).items()
     }
+    if len(_DECODE_CACHE) >= _TABLE_CACHE_MAX:
+        _DECODE_CACHE.clear()
+    _DECODE_CACHE[key] = out
+    return out
 
 
 # --------------------------------------------------------------------------

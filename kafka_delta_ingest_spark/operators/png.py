@@ -78,13 +78,25 @@ def _filter_row(ft: int, row: np.ndarray, prev: np.ndarray, bpp: int) -> bytes:
         left = np.zeros(n, dtype=np.int32)
         left[bpp:] = r[:-bpp]
         out = r - (left + p) // 2
-    elif ft == 4:  # Paeth
-        out = np.empty(n, dtype=np.int32)
-        for i in range(n):
-            a = int(r[i - bpp]) if i >= bpp else 0
-            b = int(p[i])
-            c = int(p[i - bpp]) if i >= bpp else 0
-            out[i] = r[i] - _paeth(a, b, c)
+    elif ft == 4:  # Paeth — vectorized: the FORWARD filter's inputs
+        # (left, up, up-left) are all shifts of the source rows, so
+        # the predictor is a pure elementwise function (unlike the
+        # decoder, where left is the reconstruction being built).
+        # np.where order mirrors _paeth's tie-breaks exactly.
+        left = np.zeros(n, dtype=np.int32)
+        left[bpp:] = r[:-bpp]
+        upleft = np.zeros(n, dtype=np.int32)
+        upleft[bpp:] = p[:-bpp]
+        pp = left + p - upleft
+        pa = np.abs(pp - left)
+        pb = np.abs(pp - p)
+        pc = np.abs(pp - upleft)
+        pred = np.where(
+            (pa <= pb) & (pa <= pc),
+            left,
+            np.where(pb <= pc, p, upleft),
+        )
+        out = r - pred
     else:
         raise ValueError(f"unknown PNG filter type {ft}")
     return (out % 256).astype(np.uint8).tobytes()
@@ -224,13 +236,21 @@ def decode_scanlines(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
             rec = line
         elif ft == 2:  # Up
             rec = (line + prev) % 256
-        elif ft in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+        elif ft == 1:  # Sub — rec[i] = (line[i] + rec[i-bpp]) % 256 is
+            # a per-channel prefix sum: vectorized as a cumsum mod 256
+            # over each of the bpp interleaved channel sequences
+            # (exact: int64 cumsum never overflows at any stride).
+            rec = (
+                np.cumsum(line.reshape(-1, bpp), axis=0, dtype=np.int64)
+                % 256
+            ).reshape(stride).astype(np.int32)
+        elif ft in (3, 4):  # Average / Paeth: the predictor reads the
+            # reconstruction being built (left neighbor), so decode is
+            # genuinely sequential in x — unlike the encoder side.
             rec = np.empty(stride, dtype=np.int32)
             for i in range(stride):
                 left = rec[i - bpp] if i >= bpp else 0
-                if ft == 1:
-                    pred = left
-                elif ft == 3:
+                if ft == 3:
                     pred = (left + prev[i]) // 2
                 else:
                     up_left = int(prev[i - bpp]) if i >= bpp else 0

@@ -57,14 +57,6 @@ def _term_frequencies(
     return tf, dl
 
 
-def _corpus_size(df: DataFrame, text_col: str) -> DataFrame:
-    """Single-row (n_docs) frame — broadcast-cross-joined wherever the
-    formulas need N, keeping the whole plan lazy (no driver round-trip)."""
-    return df.where(F.length(F.trim(F.col(text_col))) > 0).agg(
-        F.count("*").alias("n_docs")
-    )
-
-
 def tfidf_top_terms(
     df: DataFrame,
     top_k: int = 3,
@@ -83,7 +75,10 @@ def tfidf_top_terms(
     """
     tf, dl = _term_frequencies(df, text_col, id_col)
     dft = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n_docs = _corpus_size(df, text_col)
+    # N as count(dl), not a separate corpus scan: a doc appears in dl
+    # iff its trimmed text is nonempty — identical census, one fewer
+    # full pass over the text (r13, guide §2.4).
+    n_docs = dl.agg(F.count("*").alias("n_docs"))
 
     score = (F.col("tf").cast("double") / F.col("dl")) * F.log(
         F.col("n_docs").cast("double") / F.col("df")
@@ -129,8 +124,14 @@ def bm25_search(
     query_terms = [t.lower() for t in query_terms]
     qtf = tf.where(F.col("term").isin(*query_terms))
     dft = qtf.groupBy("term").agg(F.count("*").alias("df"))
-    n_docs = _corpus_size(df, text_col)
-    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    # N and avgdl in ONE single-row aggregate over dl: a doc appears
+    # in dl iff its trimmed text is nonempty (tokens() yields >=1 for
+    # any such doc), so count(dl) == the `len(trim(text)) > 0` census
+    # — this drops a separate full corpus scan plus a second broadcast
+    # build from the plan (r13, guide §2.4).
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count("*").alias("n_docs")
+    )
 
     idf = F.log(
         1.0 + (F.col("n_docs").cast("double") - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -142,8 +143,7 @@ def bm25_search(
     scored = (
         qtf.join(dl, id_col)
         .join(F.broadcast(dft), "term")
-        .crossJoin(F.broadcast(n_docs))
-        .crossJoin(F.broadcast(avgdl))
+        .crossJoin(F.broadcast(stats))
         .groupBy(id_col)
         .agg(F.sum(contrib).alias("_score"))
     )

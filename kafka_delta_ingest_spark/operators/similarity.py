@@ -737,6 +737,17 @@ def embedding_neardup_pairs(
     cand = pair_ids.join(
         vecs.select(F.col("vid").alias("id_a"), F.col("v").alias("va")), "id_a"
     ).join(vecs.select(F.col("vid").alias("id_b"), F.col("v").alias("vb")), "id_b")
+    # r13 (guide §2.5): the cosine below is interpreted HOF work
+    # (~dim*6 expression evals per pair — no codegen, no CSE), so a
+    # candidate partition's cost is ~1000x what its BYTES suggest, and
+    # AQE's byte-based coalescing packs the whole candidate set into
+    # one task (measured: a single-task 1.4 s CPU final stage at
+    # sf0.1). spread() re-widens to cluster width and its barrier
+    # keeps the threshold filter from being pushed back below the
+    # exchange into that same single task.
+    from kafka_delta_ingest_spark.operators.util import spread
+
+    cand = spread(cand)
     return (
         cand.select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)

@@ -258,20 +258,90 @@ def corpus_top_ngrams(
 
 
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """One-pass profile: token count, ratios, quality, language, fingerprint."""
+    """One-pass profile: token count, ratios, quality, language, fingerprint.
+
+    LAYERED projections (r13, guide §1.2/§4.1): the naive single-select
+    form hand-inlines ``tokens()`` (an interpreted regexp split — HOFs
+    and their arguments get no codegen and no CSE) into every metric;
+    the lang-ID argmax chain alone references the token array ~16x, so
+    the split ran ~30x per row (measured: 7.4 s at sf0.1). Computing
+    the two token arrays ONCE as real columns and deriving every
+    metric from attribute references removes all re-evaluation;
+    CollapseProject keeps the layers separate because the producers
+    are non-cheap and multiply-referenced (SPARK-36718). The arithmetic
+    per output value is expression-identical to the single-select form
+    (components bound to columns, rounding only at emit — the same
+    s → m → final layering as the SQL oracle twin)."""
     from kafka_delta_ingest_spark.operators.util import spread
 
     c = F.col(text_col)
-    return spread(df).select(
+    base = spread(df).select(
         F.col(id_col),
-        token_count(c).alias("n_tokens"),
         F.length(c).alias("n_chars"),
-        F.round(punct_ratio(c), 6).alias("punct_ratio"),
-        F.round(stopword_ratio(c), 6).alias("stopword_ratio"),
-        F.round(mean_token_len(c), 6).alias("mean_token_len"),
-        quality_score(c).alias("quality"),
-        lang_id(c).alias("lang_pred"),
+        (F.length(c) - F.length(F.regexp_replace(c, r"[.!?,;:]", "")))
+        .alias("_np"),
+        tokens(c).alias("_tk"),
+        tokens(F.lower(c)).alias("_tkl"),
         fingerprint_md5(c).alias("fingerprint"),
+    )
+    tk, tkl = F.col("_tk"), F.col("_tkl")
+    nc = F.col("n_chars")
+    mid = base.select(
+        F.col(id_col),
+        "n_chars",
+        "fingerprint",
+        F.size(tk).alias("n_tokens"),
+        F.when(nc == 0, F.lit(0.0))
+        .otherwise(F.col("_np").cast("double") / nc)
+        .alias("_praw"),
+        F.when(F.size(tkl) == 0, F.lit(0.0))
+        .otherwise(
+            F.size(F.filter(tkl, lambda t: t.isin(*STOPWORDS))).cast(
+                "double"
+            )
+            / F.size(tkl)
+        )
+        .alias("_sraw"),
+        F.when(F.size(tk) == 0, F.lit(0.0))
+        .otherwise(
+            F.aggregate(
+                tk, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+            ).cast("double")
+            / F.size(tk)
+        )
+        .alias("_mraw"),
+        *[
+            F.size(F.filter(tkl, lambda t: t.isin(*m))).alias(f"_h_{lang}")
+            for lang, m in LANG_MARKERS.items()
+        ],
+    )
+    langs = list(LANG_MARKERS)
+    mx = F.col(f"_h_{langs[0]}")
+    for lang in langs[1:]:
+        mx = F.greatest(mx, F.col(f"_h_{lang}"))
+    lang_pred = F.lit("unknown")
+    for lang in reversed(langs):
+        lang_pred = F.when(
+            (mx > 0) & (F.col(f"_h_{lang}") == mx), F.lit(lang)
+        ).otherwise(lang_pred)
+    praw, sraw, mraw = F.col("_praw"), F.col("_sraw"), F.col("_mraw")
+    quality = F.round(
+        0.4 * F.least(nc.cast("double") / 500.0, F.lit(1.0))
+        + 0.2 * F.least(praw * 20.0, F.lit(1.0))
+        + 0.2 * F.least(sraw * 5.0, F.lit(1.0))
+        + 0.2 * F.when((mraw >= 3.0) & (mraw <= 10.0), 1.0).otherwise(0.0),
+        6,
+    )
+    return mid.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        "n_chars",
+        F.round(praw, 6).alias("punct_ratio"),
+        F.round(sraw, 6).alias("stopword_ratio"),
+        F.round(mraw, 6).alias("mean_token_len"),
+        quality.alias("quality"),
+        lang_pred.alias("lang_pred"),
+        "fingerprint",
     )
 
 

@@ -190,6 +190,65 @@ def serialize_rbm_array(values: list[int]) -> bytes:
     return bytes(out)
 
 
+def _roaring32_cardinality(buf: bytes, pos: int) -> tuple[int, int]:
+    """Total cardinality of one portable 32-bit roaring bitmap at
+    ``pos`` WITHOUT materializing values; returns (cardinality,
+    position after the bitmap). The descriptive header carries each
+    container's cardinality-1, so only payload *sizes* are walked."""
+    (cookie16,) = struct.unpack_from("<H", buf, pos)
+    if cookie16 == _COOKIE_RUN:
+        (word,) = struct.unpack_from("<I", buf, pos)
+        n = (word >> 16) + 1
+        pos += 4
+        flag_bytes = (n + 7) // 8
+        run_flags = buf[pos:pos + flag_bytes]
+        pos += flag_bytes
+        has_offsets = n >= _NO_OFFSET_THRESHOLD
+    elif cookie16 == _COOKIE_NORUN:
+        (_, n) = struct.unpack_from("<ii", buf, pos)
+        pos += 8
+        run_flags = b"\x00" * ((n + 7) // 8)
+        has_offsets = True
+    else:
+        raise ValueError(f"bad roaring cookie {cookie16}")
+    cards = []
+    for i in range(n):
+        _k, c = struct.unpack_from("<HH", buf, pos)
+        pos += 4
+        cards.append(c + 1)
+    if has_offsets:
+        pos += 4 * n
+    total = 0
+    for i in range(n):
+        card = cards[i]
+        total += card
+        if run_flags[i >> 3] & (1 << (i & 7)):
+            (n_runs,) = struct.unpack_from("<H", buf, pos)
+            pos += 2 + 4 * n_runs
+        elif card <= _ARRAY_MAX:
+            pos += 2 * card
+        else:
+            pos += 8192
+    return total, pos
+
+
+def rbm_array_cardinality(buf: bytes) -> int:
+    """Decoded position count of a portable RoaringBitmapArray —
+    header-only walk, no value materialization. A run container
+    encodes up to 65,536 positions in 4 payload bytes, so serialized
+    size is NOT a safe proxy for expanded cardinality; gate broadcast
+    decisions on this count instead."""
+    magic, n = struct.unpack_from("<iq", buf, 0)
+    if magic != _MAGIC:
+        raise ValueError(f"bad RoaringBitmapArray magic {magic}")
+    pos = 12
+    total = 0
+    for _high in range(n):
+        card, pos = _roaring32_cardinality(buf, pos)
+        total += card
+    return total
+
+
 def deserialize_rbm_array(buf: bytes) -> list[int]:
     magic, n = struct.unpack_from("<iq", buf, 0)
     if magic != _MAGIC:

@@ -2,7 +2,7 @@
 """Per-query profiler for the optimization rounds (guide §1).
 
 For each named registry query:
-  * writes ``plans/r12/<name>_<tag>.txt`` — the ``explain("formatted")``
+  * writes ``plans/<round>/<name>_<tag>.txt`` — the ``explain("formatted")``
     physical plan of the DataFrame the query returns at the target SF;
   * times N noop-sink runs (same methodology as bench.py);
   * parses the Spark event log it just wrote and prints the top stages
@@ -35,7 +35,7 @@ def main() -> None:
     os.makedirs(EVDIR, exist_ok=True)
     os.makedirs(
         os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "plans", "r12"),
+            os.path.abspath(__file__))), "plans", os.environ.get("KDI_PLANS_ROUND", "r13")),
         exist_ok=True,
     )
 
@@ -82,7 +82,7 @@ def main() -> None:
         plan = buf.getvalue()
         pf = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "plans", "r12", f"{name}_{tag}.txt",
+            "plans", os.environ.get("KDI_PLANS_ROUND", "r13"), f"{name}_{tag}.txt",
         )
         with open(pf, "w") as f:
             f.write(plan)
