@@ -55,11 +55,25 @@ LANG_MARKERS = {
 }
 
 
+def _let(value: Column, body) -> Column:
+    # expression-level LET (see operators.util.let_once): HOFs and
+    # their arguments are interpreted with no CSE, so an unbound
+    # ``tokens(col)`` re-runs its regexp split at EVERY reference —
+    # each combinator below referenced it 3-10x per row (r13).
+    from kafka_delta_ingest_spark.operators.util import let_once
+
+    return let_once(value, body)
+
+
 def stopword_ratio(col: Column) -> Column:
-    toks = tokens(F.lower(col))
-    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
-        hits.cast("double") / F.size(toks)
+    return _let(
+        tokens(F.lower(col)),
+        lambda toks: F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+            F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast(
+                "double"
+            )
+            / F.size(toks)
+        ),
     )
 
 
@@ -71,11 +85,15 @@ def punct_ratio(col: Column) -> Column:
 
 
 def mean_token_len(col: Column) -> Column:
-    toks = tokens(col)
-    total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
-    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
-        total.cast("double") / F.size(toks)
-    )
+    def body(toks: Column) -> Column:
+        total = F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        )
+        return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+            total.cast("double") / F.size(toks)
+        )
+
+    return _let(tokens(col), body)
 
 
 def quality_score(col: Column) -> Column:
@@ -84,20 +102,30 @@ def quality_score(col: Column) -> Column:
 
     The exact formula matters less than determinism: each component is a
     simple bounded ratio so the score is stable across engines.
+    The token arrays and the mean-token-length value are LET-bound
+    (r13): inlined, the wordlen band alone evaluated mean_token_len
+    twice and each component re-split the text — ~10 interpreted
+    regexp splits per row for one score. The arithmetic per value is
+    unchanged.
     """
     n = F.length(col)
     len_component = F.least(n.cast("double") / 500.0, F.lit(1.0))
     punct_component = F.least(punct_ratio(col) * 20.0, F.lit(1.0))
     stop_component = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
-    mtl = mean_token_len(col)
-    wordlen_component = F.when((mtl >= 3.0) & (mtl <= 10.0), 1.0).otherwise(0.0)
-    return F.round(
-        0.4 * len_component
-        + 0.2 * punct_component
-        + 0.2 * stop_component
-        + 0.2 * wordlen_component,
-        6,
-    )
+
+    def with_mtl(mtl: Column) -> Column:
+        wordlen_component = F.when(
+            (mtl >= 3.0) & (mtl <= 10.0), 1.0
+        ).otherwise(0.0)
+        return F.round(
+            0.4 * len_component
+            + 0.2 * punct_component
+            + 0.2 * stop_component
+            + 0.2 * wordlen_component,
+            6,
+        )
+
+    return _let(mean_token_len(col), with_mtl)
 
 
 def lang_scores(col: Column) -> dict[str, Column]:
@@ -113,17 +141,36 @@ def lang_scores(col: Column) -> dict[str, Column]:
 
 def lang_id(col: Column) -> Column:
     """Stopword-marker language ID; ties break in LANG_MARKERS order,
-    zero hits → 'unknown'."""
-    scores = lang_scores(col)
-    langs = list(scores)
-    # argmax: compute the max, then the first language attaining it.
-    mx = scores[langs[0]]
-    for lang in langs[1:]:
-        mx = F.greatest(mx, scores[lang])
-    out = F.lit("unknown")
-    for lang in reversed(langs):
-        out = F.when((mx > 0) & (scores[lang] == mx), F.lit(lang)).otherwise(out)
-    return out
+    zero hits → 'unknown'.
+
+    LET-bound (r13): the token array, the per-language hit counts, and
+    their max are each bound once — the inlined argmax/when chain
+    referenced the hit counts ~16x, re-running the regexp split every
+    time. Comparison structure and tie-breaks are unchanged."""
+    langs = list(LANG_MARKERS)
+
+    def with_scores(sc: Column) -> Column:
+        def with_mx(mx: Column) -> Column:
+            out = F.lit("unknown")
+            for i, lang in reversed(list(enumerate(langs))):
+                out = F.when(
+                    (mx > 0) & (sc[i] == mx), F.lit(lang)
+                ).otherwise(out)
+            return out
+
+        mx = sc[0]
+        for i in range(1, len(langs)):
+            mx = F.greatest(mx, sc[i])
+        return _let(mx, with_mx)
+
+    def with_toks(toks: Column) -> Column:
+        hits = [
+            F.size(F.filter(toks, lambda t: t.isin(*m)))
+            for m in LANG_MARKERS.values()
+        ]
+        return _let(F.array(*hits), with_scores)
+
+    return _let(tokens(F.lower(col)), with_toks)
 
 
 # BPE-ish pre-tokenizer: letter runs, digit runs, single non-space
@@ -625,21 +672,38 @@ def c4_line_filter(
     """
     from kafka_delta_ingest_spark.operators.util import spread
 
+    # Layered projections (r13, same shape as text_profile): the kept
+    # array (a line split + per-line regex predicate, interpreted with
+    # no CSE) was referenced by FOUR output columns, re-running the
+    # whole line scan each time. Compute it once as a column; every
+    # output below is an attribute reference.
     lines = F.split(F.col(text_col), "\n")
     kept = F.filter(lines, _c4_line_keep(min_line_words))
-    kept_text = F.array_join(kept, "\n")
-    doc_drop = (
-        F.lower(F.col(text_col)).contains("lorem ipsum")
-        | F.col(text_col).contains("{")
-        | (F.size(kept) < min_kept_lines)
-    )
-    return spread(df).select(
+    base = spread(df).select(
         F.col(id_col),
         F.size(lines).alias("n_lines"),
-        F.size(kept).alias("n_kept"),
-        doc_drop.alias("c4_drop"),
-        F.md5(kept_text).alias("kept_md5"),
-        F.length(kept_text).cast("long").alias("kept_chars"),
+        kept.alias("_kept"),
+        (
+            F.lower(F.col(text_col)).contains("lorem ipsum")
+            | F.col(text_col).contains("{")
+        ).alias("_txt_drop"),
+    )
+    mid = base.select(
+        F.col(id_col),
+        "n_lines",
+        F.size("_kept").alias("n_kept"),
+        "_txt_drop",
+        F.array_join("_kept", "\n").alias("_ktext"),
+    )
+    return mid.select(
+        F.col(id_col),
+        "n_lines",
+        "n_kept",
+        (F.col("_txt_drop") | (F.col("n_kept") < min_kept_lines)).alias(
+            "c4_drop"
+        ),
+        F.md5("_ktext").alias("kept_md5"),
+        F.length("_ktext").cast("long").alias("kept_chars"),
     )
 
 
