@@ -95,17 +95,32 @@ def positional_shingles(words: Column, n: Column, k: int) -> Column:
     would silently drop windows). Docs shorter than k yield the single
     whole-doc shingle (standard edge rule).
 
-    Built by chaining ``zip_with`` over progressively shifted copies of
-    the word array: after step j each element i holds words[i..i+j]
-    joined by spaces; the first n-k+1 elements are then the full
-    k-shingles. Higher-order-function lambdas evaluate interpreted (no
-    codegen), so per-element work must be minimal — one two-string
-    concat per step here, vs a k-element slice+join per shingle in the
-    naive ``transform(sequence(...), i -> concat_ws(slice(...)))``
-    formulation. Measured 4x faster at equal output. Tail elements
-    (which run past the array end and come out short) are cut by the
-    final slice, never inspected.
+    Two formulations, chosen by k (r13; both verified element-identical
+    at k in {3, 5, 8, 50}):
+
+    * small k (<= 6): chain ``zip_with`` over progressively shifted
+      copies of the word array — after step j each element i holds
+      words[i..i+j] joined by spaces; the first n-k+1 elements are the
+      full k-shingles. One two-string concat per element per step;
+      measured faster than the slice+join form up to k=5 (0.26 vs
+      0.31 s at k=3 on the sf0.1 census).
+    * large k (> 6): direct ``transform(sequence(...), i ->
+      concat_ws(slice(words, i, k)))``. The chain copies every byte of
+      every gram once per REMAINING step — O(k^2) byte work per gram —
+      while slice+join copies each byte once. Measured 9x at k=50
+      (1.95 -> 0.21 s) and 1.4x at k=8 on the same census; the
+      boilerplate-passage operators (window=50) were dominated by the
+      chain's quadratic copying.
+
+    Tail elements (which would run past the array end) are cut by the
+    final slice / bounded sequence, never inspected.
     """
+    if k > 6:
+        full = F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+        )
+        return F.when(n < k, F.array(F.concat_ws(" ", words))).otherwise(full)
     grams = words
     for j in range(1, k):
         # slice length n (not INT_MAX: Slice computes start+length in
