@@ -598,24 +598,32 @@ def ngram_jaccard_pairs(
     before the pair join (df-cap — see module docstring).
     """
     df = spread(df)
-    # Shingle-set size is a per-doc array expression — no explode or
-    # shuffle needed for it (the explode below is only for the join).
-    sizes = df.select(
-        F.col(id_col), F.size(word_shingles(F.col(text_col), n)).alias("sz")
+    # One materialized gram table serves every consumer (r13, the same
+    # shape _admit_incoming proved): the pair machinery reads grams
+    # 2-3x (df-cap counter pre-agg, carrier collect) and the size
+    # census once more — each consumer re-ran the full
+    # tokenize+shingle lineage (profiled: two ~10s-task-time 32-task
+    # shingle stages plus a lighter size pass per run). Grams are
+    # hashed to 8-byte xxhash64 keys BEFORE the checkpoint/exchange
+    # (guide §2.3: shuffle keys, not payloads — the same convention
+    # the incremental forms and substring operators already use);
+    # carrier grouping by hash yields identical pairs modulo 64-bit
+    # collisions. Sizes: word_shingles is distinct-per-doc and yields
+    # >= 1 gram for EVERY doc (short/empty docs get the whole-doc
+    # shingle), so the per-doc gram-row count IS size(word_shingles)
+    # exactly — no second pass over the text.
+    grams = (
+        df.select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), n)).alias("_g"),
+        )
+        .select(F.col(id_col), F.xxhash64("_g").alias("gh"))
+        .localCheckpoint(eager=False)
     )
-    grams = df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("g")
-    )
-    # Group carrier ids per gram (df-capped with bounded buffers — see
-    # _carriers), then stream ordered pairs from each group via
-    # posexplode + suffix-slice: two passes over the gram explode
-    # total (counter agg + collect) where the previous a/b aliased
-    # self-join executed the shingle lineage three times (Spark does
-    # not reuse the exchange across aliased legs), and per-row memory
-    # stays O(gram df) <= max_gram_df.
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
     inter = (
         _suffix_pairs(
-            _carriers(grams, "g", F.col(id_col), max_gram_df),
+            _carriers(grams, "gh", F.col(id_col), max_gram_df),
             "id_a",
             "id_b",
         )
@@ -664,15 +672,20 @@ def ngram_containment_pairs(
     from the intersection, understating containment).
     """
     df = spread(df)
-    sizes = df.select(
-        F.col(id_col), F.size(word_shingles(F.col(text_col), n)).alias("sz")
+    # Materialized hashed gram table shared by the size census and the
+    # pair machinery — see ngram_jaccard_pairs (r13).
+    grams = (
+        df.select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), n)).alias("_g"),
+        )
+        .select(F.col(id_col), F.xxhash64("_g").alias("gh"))
+        .localCheckpoint(eager=False)
     )
-    grams = df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("g")
-    )
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
     inter = (
         _suffix_pairs(
-            _carriers(grams, "g", F.col(id_col), max_gram_df),
+            _carriers(grams, "gh", F.col(id_col), max_gram_df),
             "id_a",
             "id_b",
         )
