@@ -191,6 +191,162 @@ def _best_checkpoint(log: str, target: int, store=None) -> int | None:
     return best
 
 
+# Reconstructed checkpoint states, keyed (log, cp, size, mtime_ns) of
+# the first checkpoint file. Checkpoint files are immutable once
+# written (a rewrite would change size/mtime and miss), and ONE
+# declared read query replays the same checkpoint 2-4x per invocation
+# (each time-travel count plus the final read resolves through the
+# same checkpoint), each replay costing 4-6 driver-blocking Spark jobs
+# (schema inference + probe collects + the add/remove reconciliation).
+# This is within-process metadata reuse of an immutable file's parse —
+# the data-path read under test still executes per call (r13).
+_CP_STATE_MEMO: dict = {}
+
+
+def _replay_checkpoint(spark, log: str, cp: int):
+    """(adds, meta, protocol) reconstructed from checkpoint ``cp``.
+
+    add/remove reconciliation runs IN SPARK: the driver collects
+    only metaData/protocol (one row each) and the SURVIVING add
+    actions — O(live files), not O(checkpoint rows incl. remove
+    tombstones). At 1M+-file tables the remove tombstones and
+    superseded adds never reach the driver (r7, was a full
+    .collect() of the checkpoint). V2 checkpoints (UUID-named
+    manifest, add/remove actions in `sidecar`-referenced parquet
+    under _sidecars/) route their sidecars through the same
+    Spark reconciliation."""
+    from pyspark.sql import functions as F
+
+    cp_files = _checkpoint_files(log, cp)
+    st = os.stat(cp_files[0])
+    key = (log, cp, st.st_size, st.st_mtime_ns)
+    hit = _CP_STATE_MEMO.get(key)
+    if hit is not None:
+        adds, meta, protocol = hit
+        # shallow copy: callers mutate the DICT (later commits add/
+        # remove entries), never the per-add action values.
+        return dict(adds), meta, protocol
+    adds: dict[str, dict] = {}
+    meta = None
+    protocol = None
+    frames = []
+    sidecars: list[str] = []
+    if cp_files[0].endswith(".json"):
+        # v2 JSON manifest: protocol/metaData/sidecar refs parse
+        # driver-side (the manifest is metadata-sized)
+        with open(cp_files[0]) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                act = json.loads(line)
+                if "metaData" in act:
+                    meta = act["metaData"]
+                elif "protocol" in act:
+                    protocol = act["protocol"]
+                elif "sidecar" in act:
+                    sidecars.append(act["sidecar"]["path"])
+                elif "add" in act:
+                    adds[act["add"]["path"]] = act["add"]
+                elif "remove" in act:
+                    _reconcile_remove(adds, act["remove"])
+    else:
+        cpdf = spark.read.parquet(*cp_files)
+        cols = set(cpdf.columns)
+        # ONE probe job for the metadata-sized actions (r13): the
+        # metaData / protocol / sidecar rows were three separate
+        # filter+collect jobs over the same checkpoint scan — each a
+        # driver-blocking round trip on every replay.
+        probe = {
+            "metaData": "metaData.id",
+            "protocol": "protocol.minReaderVersion",
+            "sidecar": "sidecar.path",
+        }
+        want = [c for c in probe if c in cols]
+        if want:
+            cond = None
+            for c in want:
+                nn = F.col(probe[c]).isNotNull()
+                cond = nn if cond is None else (cond | nn)
+            for row in cpdf.filter(cond).select(*want).collect():
+                d = row.asDict()
+                if d.get("metaData") is not None and (
+                    d["metaData"].id is not None
+                ):
+                    meta = d["metaData"].asDict(recursive=True)
+                if d.get("protocol") is not None and (
+                    d["protocol"].minReaderVersion is not None
+                ):
+                    protocol = d["protocol"].asDict(recursive=True)
+                if d.get("sidecar") is not None and (
+                    d["sidecar"].path is not None
+                ):
+                    sidecars.append(d["sidecar"].path)
+        if "add" in cols:
+            frames.append(cpdf)
+    if sidecars:
+        frames.append(
+            spark.read.parquet(
+                *[os.path.join(log, "_sidecars", p)
+                  for p in sidecars]
+            )
+        )
+
+    def _uid_col(fr, prefix):
+        # protocol reconciliation key: (path, dv uid) — see
+        # _dv_uid. "" when the struct has no deletionVector field
+        # (pre-DV checkpoints) or the row carries none.
+        fields = fr.schema[prefix].dataType.fieldNames()
+        if "deletionVector" not in fields:
+            return F.lit("")
+        dv = F.col(f"{prefix}.deletionVector")
+        base = F.concat(
+            F.coalesce(dv["storageType"], F.lit("")),
+            F.coalesce(dv["pathOrInlineDv"], F.lit("")),
+        )
+        with_off = F.when(
+            dv["offset"].isNotNull(),
+            F.concat(base, F.lit("@"),
+                     dv["offset"].cast("string")),
+        ).otherwise(base)
+        return F.when(
+            dv["storageType"].isNotNull(), with_off
+        ).otherwise(F.lit(""))
+
+    adds_df = None
+    rm = None
+    for fr in frames:
+        fcols = set(fr.columns)
+        if "add" in fcols:
+            a = fr.filter(F.col("add.path").isNotNull()).select(
+                "add", _uid_col(fr, "add").alias("_add_uid")
+            )
+            adds_df = a if adds_df is None else adds_df.unionByName(
+                a, allowMissingColumns=True
+            )
+        if "remove" in fcols:
+            r = fr.filter(F.col("remove.path").isNotNull()).select(
+                F.col("remove.path").alias("_rm_path"),
+                _uid_col(fr, "remove").alias("_rm_uid"),
+            )
+            rm = r if rm is None else rm.unionByName(r)
+    if adds_df is not None:
+        if rm is not None:
+            adds_df = adds_df.join(
+                rm,
+                (adds_df["add"]["path"] == rm["_rm_path"])
+                & (adds_df["_add_uid"] == rm["_rm_uid"]),
+                "left_anti",
+            )
+        for row in adds_df.collect():
+            a = row.add.asDict(recursive=True)
+            adds[a["path"]] = a
+    if len(_CP_STATE_MEMO) > 64:
+        _CP_STATE_MEMO.clear()
+    _CP_STATE_MEMO[key] = (dict(adds), meta, protocol)
+    return adds, meta, protocol
+
+
 def _replay(spark, table_path: str, target: int) -> dict:
     """Reconstruct table state at ``target``: live adds, metaData,
     protocol."""
@@ -201,123 +357,7 @@ def _replay(spark, table_path: str, target: int) -> dict:
     start = 0
     cp = _best_checkpoint(log, target)
     if cp is not None:
-        from pyspark.sql import functions as F
-
-        # add/remove reconciliation runs IN SPARK: the driver collects
-        # only metaData/protocol (one row each) and the SURVIVING add
-        # actions — O(live files), not O(checkpoint rows incl. remove
-        # tombstones). At 1M+-file tables the remove tombstones and
-        # superseded adds never reach the driver (r7, was a full
-        # .collect() of the checkpoint). V2 checkpoints (UUID-named
-        # manifest, add/remove actions in `sidecar`-referenced parquet
-        # under _sidecars/) route their sidecars through the same
-        # Spark reconciliation.
-        cp_files = _checkpoint_files(log, cp)
-        frames = []
-        sidecars: list[str] = []
-        if cp_files[0].endswith(".json"):
-            # v2 JSON manifest: protocol/metaData/sidecar refs parse
-            # driver-side (the manifest is metadata-sized)
-            with open(cp_files[0]) as f:
-                for line in f:
-                    line = line.strip()
-                    if not line:
-                        continue
-                    act = json.loads(line)
-                    if "metaData" in act:
-                        meta = act["metaData"]
-                    elif "protocol" in act:
-                        protocol = act["protocol"]
-                    elif "sidecar" in act:
-                        sidecars.append(act["sidecar"]["path"])
-                    elif "add" in act:
-                        adds[act["add"]["path"]] = act["add"]
-                    elif "remove" in act:
-                        _reconcile_remove(adds, act["remove"])
-        else:
-            cpdf = spark.read.parquet(*cp_files)
-            cols = set(cpdf.columns)
-            if "metaData" in cols:
-                for row in (
-                    cpdf.filter(F.col("metaData.id").isNotNull())
-                    .select("metaData")
-                    .collect()
-                ):
-                    meta = row.metaData.asDict(recursive=True)
-            if "protocol" in cols:
-                for row in (
-                    cpdf.filter(
-                        F.col("protocol.minReaderVersion").isNotNull()
-                    )
-                    .select("protocol")
-                    .collect()
-                ):
-                    protocol = row.protocol.asDict(recursive=True)
-            if "sidecar" in cols:
-                for row in (
-                    cpdf.filter(F.col("sidecar.path").isNotNull())
-                    .select("sidecar.path")
-                    .collect()
-                ):
-                    sidecars.append(row.path)
-            if "add" in cols:
-                frames.append(cpdf)
-        if sidecars:
-            frames.append(
-                spark.read.parquet(
-                    *[os.path.join(log, "_sidecars", p)
-                      for p in sidecars]
-                )
-            )
-        def _uid_col(fr, prefix):
-            # protocol reconciliation key: (path, dv uid) — see
-            # _dv_uid. "" when the struct has no deletionVector field
-            # (pre-DV checkpoints) or the row carries none.
-            fields = fr.schema[prefix].dataType.fieldNames()
-            if "deletionVector" not in fields:
-                return F.lit("")
-            dv = F.col(f"{prefix}.deletionVector")
-            base = F.concat(
-                F.coalesce(dv["storageType"], F.lit("")),
-                F.coalesce(dv["pathOrInlineDv"], F.lit("")),
-            )
-            with_off = F.when(
-                dv["offset"].isNotNull(),
-                F.concat(base, F.lit("@"),
-                         dv["offset"].cast("string")),
-            ).otherwise(base)
-            return F.when(
-                dv["storageType"].isNotNull(), with_off
-            ).otherwise(F.lit(""))
-
-        adds_df = None
-        rm = None
-        for fr in frames:
-            fcols = set(fr.columns)
-            if "add" in fcols:
-                a = fr.filter(F.col("add.path").isNotNull()).select(
-                    "add", _uid_col(fr, "add").alias("_add_uid")
-                )
-                adds_df = a if adds_df is None else adds_df.unionByName(
-                    a, allowMissingColumns=True
-                )
-            if "remove" in fcols:
-                r = fr.filter(F.col("remove.path").isNotNull()).select(
-                    F.col("remove.path").alias("_rm_path"),
-                    _uid_col(fr, "remove").alias("_rm_uid"),
-                )
-                rm = r if rm is None else rm.unionByName(r)
-        if adds_df is not None:
-            if rm is not None:
-                adds_df = adds_df.join(
-                    rm,
-                    (adds_df["add"]["path"] == rm["_rm_path"])
-                    & (adds_df["_add_uid"] == rm["_rm_uid"]),
-                    "left_anti",
-                )
-            for row in adds_df.collect():
-                a = row.add.asDict(recursive=True)
-                adds[a["path"]] = a
+        adds, meta, protocol = _replay_checkpoint(spark, log, cp)
         start = cp + 1
     for v in _commit_versions(log):
         if v < start or v > target:
