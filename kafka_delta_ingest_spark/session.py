@@ -84,6 +84,26 @@ def get_spark(
     )
     if SparkSession.getActiveSession() is None:
         builder = builder.master(f"local[{cpus}]")
+        # Python-worker daemon wrapper (see kdi_pydaemon.py): CPython
+        # 3.11's zipimport re-reads pyspark.zip's whole central
+        # directory on EVERY task's importlib.invalidate_caches() —
+        # ~200 ms of worker CPU per Python-UDF task. The wrapper makes
+        # invalidation mtime-aware (the later-CPython upstream fix).
+        # Only set when WE create the context AND the module is where
+        # the worker's PYTHONPATH will find it — a harness-owned
+        # session never sees this conf.
+        repo_root = os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))
+        )
+        if os.path.exists(os.path.join(repo_root, "kdi_pydaemon.py")):
+            cur = os.environ.get("PYTHONPATH", "")
+            if repo_root not in cur.split(os.pathsep):
+                os.environ["PYTHONPATH"] = (
+                    repo_root + (os.pathsep + cur if cur else "")
+                )
+            builder = builder.config(
+                "spark.python.daemon.module", "kdi_pydaemon"
+            )
         # Local mode runs everything in the driver JVM, whose heap
         # defaults to 1g regardless of machine size — 32 concurrent
         # tasks sharing 1g hit GCLocker retry death on any
