@@ -2366,52 +2366,69 @@ class HudiMorWriter(HudiCowWriter):
         from pyspark.sql.window import Window
 
         spark = df.sparkSession
-        # r12: one eager materialization of the source batch — its
-        # lineage was re-executed by the duplicate probe, the matched
-        # join AND the unmatched anti-join (see upsert_batch).
-        src = df.withColumn("__pp", self._part_path_col()).withColumn(
-            "__rk", F.col(self.record_key).cast("string")
-        ).localCheckpoint()
-        if precombine is not None:
-            w = Window.partitionBy("__pp", "__rk").orderBy(
-                F.col(precombine).desc()
-            )
-            src = (
-                src.withColumn("__rn", F.row_number().over(w))
-                .filter("__rn = 1").drop("__rn")
-            )
-        else:
-            dup = (
-                src.groupBy("__pp", "__rk")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .filter("n > 1").limit(1).collect()
-            )
-            if dup:
-                raise ValueError(
-                    "duplicate record keys in source and no "
-                    "precombine field given"
+
+        # r13 (guide §2.6): the source materialization (+ duplicate
+        # probe) and the live-base key scan are INDEPENDENT — the one
+        # reads the incoming batch's lineage, the other the table's
+        # base files — so they run from two driver threads; previously
+        # they were three sequential driver-blocking jobs.
+        def _src_leg():
+            # r12: one eager materialization of the source batch — its
+            # lineage was re-executed by the duplicate probe, the
+            # matched join AND the unmatched anti-join (see
+            # upsert_batch).
+            s = df.withColumn("__pp", self._part_path_col()).withColumn(
+                "__rk", F.col(self.record_key).cast("string")
+            ).localCheckpoint()
+            if precombine is not None:
+                w = Window.partitionBy("__pp", "__rk").orderBy(
+                    F.col(precombine).desc()
                 )
-        by_base, fid_meta = self._group_plan()
-        if not by_base:
-            return None, src, fid_meta, src
-        live_keys = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*sorted(by_base))
-            .select(
-                F.regexp_replace(
-                    F.col("_metadata.file_path"), "^file:(//)?", ""
-                ).alias("__fp"),
-                F.col("_hoodie_partition_path").alias("__pp"),
-                F.col("_hoodie_record_key").alias("__rk"),
+                s = (
+                    s.withColumn("__rn", F.row_number().over(w))
+                    .filter("__rn = 1").drop("__rn")
+                )
+            else:
+                dup = (
+                    s.groupBy("__pp", "__rk")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .filter("n > 1").limit(1).collect()
+                )
+                if dup:
+                    raise ValueError(
+                        "duplicate record keys in source and no "
+                        "precombine field given"
+                    )
+            return s
+
+        def _keyed_leg():
+            by_base, fid_meta = self._group_plan()
+            if not by_base:
+                return None, fid_meta
+            live_keys = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(*sorted(by_base))
+                .select(
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), "^file:(//)?", ""
+                    ).alias("__fp"),
+                    F.col("_hoodie_partition_path").alias("__pp"),
+                    F.col("_hoodie_record_key").alias("__rk"),
+                )
             )
-        )
-        fid_rows = [(p, *by_base[p]) for p in sorted(by_base)]
-        fid_map = metadata_df(
-            spark, fid_rows, "__fp string, __part string, __fid string"
-        )
-        keyed = live_keys.join(F.broadcast(fid_map), "__fp").select(
-            "__pp", "__rk", "__fid"
-        )
+            fid_rows = [(p, *by_base[p]) for p in sorted(by_base)]
+            fid_map = metadata_df(
+                spark, fid_rows,
+                "__fp string, __part string, __fid string",
+            )
+            k = live_keys.join(F.broadcast(fid_map), "__fp").select(
+                "__pp", "__rk", "__fid"
+            ).localCheckpoint()
+            return k, fid_meta
+
+        src, (keyed, fid_meta) = overlap(_src_leg, _keyed_leg)
+        if keyed is None:
+            return None, src, fid_meta, src
         # r12: ONE left join, materialized once, then split by __fid
         # nullability — the previous inner + anti pair executed the
         # live-keys base scan and the join twice (once per consumer).
