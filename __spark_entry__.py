@@ -3126,7 +3126,15 @@ def pipeline_rag_retrieval(spark, sf_dir):
         ]
     )
     ce = chunks.select("doc_id", "chunk_ix", emb.alias("embedding"))
-    pooled = similarity.pool_embeddings(ce, "doc_id", id_col="chunk_ix")
+    # r13 (guide §5.3): BOTH consumers below — the broadcast query
+    # side and the scored corpus side — re-executed the full
+    # chunk→embed→pool lineage (profiled: a 734 ms single-task
+    # broadcast-build stage plus the same work again in the scoring
+    # scan). One lazy materialization of the pooled table (|docs| rows
+    # of 8 doubles) serves both, within this one run.
+    pooled = similarity.pool_embeddings(
+        ce, "doc_id", id_col="chunk_ix"
+    ).localCheckpoint(eager=False)
     q = pooled.where(F.col("doc_id") % 101 == 0).select(
         F.col("doc_id").alias("query_id"), "embedding"
     )

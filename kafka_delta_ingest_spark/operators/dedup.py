@@ -275,7 +275,15 @@ def minhash_lsh_pairs(
     the default keeps the candidate set complete.
     """
     assert num_hashes % bands == 0
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    # One materialized signature table (r13, same shape as the jaccard
+    # gram checkpoint): the banding/carrier pass and BOTH sig-fetch
+    # joins below each re-executed the full shingle+64-agg signature
+    # lineage (profiled: three ~5-10s-task-time 32-task stages per
+    # run). The table is |docs| x (id + 64 longs) — corpus-scale rows
+    # but metadata-scale bytes next to the text it replaces.
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_k
+    ).localCheckpoint(eager=False)
 
     # Band/bucket rows carry only (id, band, bucket) — the 512-byte
     # signature arrays stay out of the bucket grouping and the pair
@@ -1034,7 +1042,13 @@ def winnow_pairs(
     counter pass — callers that rely on the MUST-pair coverage
     guarantee need it, since a cap may drop exactly the one
     fingerprint a pair shares."""
-    fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+    # Materialized once (r13): with a df-cap the carrier machinery
+    # consumes fps twice (counter pre-agg + collect), each pass
+    # re-running the whole winnowing expression pipeline. (id, fp
+    # long) rows — tiny next to the text lineage they replace.
+    fps = winnow_fingerprints(
+        df, id_col, text_col, k=k, w=w
+    ).localCheckpoint(eager=False)
     return (
         _suffix_pairs(
             _carriers(fps, "fp", F.col(id_col), max_fp_df), "id_a", "id_b"
