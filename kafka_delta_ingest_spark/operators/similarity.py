@@ -331,12 +331,16 @@ def ivf_build_index(
         F.col(corpus_id).alias("vec_id"),
         _unit(_as_double(F.col(corpus_vec))).alias("vec"),
     )
+    # r13: the centroid table is consumed by the assignment pack AND
+    # (in the ivf_topk composition) the query-probe scoring — each
+    # execution re-ran the corpus-scan pivot lineage. Centroid-sized,
+    # materialized once.
     cents = _pivot_rows(
         corpus, corpus_id, centroid_mod, max_centroids
     ).select(
         F.col(corpus_id).alias("cent_id"),
         _unit(_as_double(F.col(corpus_vec))).alias("cvec"),
-    )
+    ).localCheckpoint(eager=False)
     # Nearest centroid per corpus vector (ties → lowest id) as a PURE
     # MAP: the centroid table packs into ONE broadcast row and each
     # vector folds over it with an aggregate expression — zero corpus
@@ -912,8 +916,14 @@ def pq_topk(
         # same (cent_id, j, cv) contract, plugged into the same plan.
         piv_sub = codebooks.select("cent_id", "j", "cv")
     else:
+        # r13: the interpreted subspace expansion ran in the pivot
+        # limit's ONE task (profiled 503 ms single-task CPU); spread()
+        # re-widens it. The two broadcasts consuming piv_sub (codes
+        # join + query ADC join) already share ONE build via Spark's
+        # broadcast-exchange reuse — a localCheckpoint here was
+        # A/B-tested and LOST (it broke the reuse); not added.
         piv_sub = (
-            _pivot_rows(corpus, corpus_id, centroid_mod, max_centroids)
+            spread(_pivot_rows(corpus, corpus_id, centroid_mod, max_centroids))
             .select(
                 F.col(corpus_id).alias("cent_id"),
                 _pq_subspaces(_unit(_as_double(F.col(corpus_vec))), m, sub_dim).alias("s"),
@@ -1080,6 +1090,13 @@ def ivfpq_topk(
 
     from kafka_delta_ingest_spark.operators.util import spread
 
+    # r13 negative results, documented: a cvecs checkpoint (the corpus
+    # unit-transform, consumed by assignment AND code expansion) LOST
+    # its A/B (+0.4-0.5 s min over 3 alternating rounds) — at equal
+    # parallelism the duplicated narrow transform is cheaper than
+    # materializing and re-reading |corpus| x dim doubles. Checkpoints
+    # on coarse/piv_sub also lost: their twin broadcasts already share
+    # one build via broadcast-exchange reuse. Both left as-is.
     cvecs = spread(corpus).select(
         F.col(corpus_id).alias("neighbor_id"),
         _unit(_as_double(F.col(corpus_vec))).alias("_v"),
@@ -1112,7 +1129,7 @@ def ivfpq_topk(
     )
 
     piv_sub = (
-        _pivot_rows(corpus, corpus_id, centroid_mod, max_centroids)
+        spread(_pivot_rows(corpus, corpus_id, centroid_mod, max_centroids))
         .select(
             F.col(corpus_id).alias("cent_id"),
             _pq_subspaces(_unit(_as_double(F.col(corpus_vec))), m, sub_dim).alias("s"),
